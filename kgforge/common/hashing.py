@@ -1,0 +1,64 @@
+"""Stable 64-bit hashing used across the engine.
+
+Python's builtin ``hash`` is salted per-process (PYTHONHASHSEED) and is
+therefore unusable for anything that must agree across Ray workers,
+across runs, or between the oracle and the pipeline (partition ids,
+salting, minhash shingles, invariant checksums).  Everything here is
+deterministic across processes and platforms.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MASK64 = (1 << 64) - 1
+
+
+def hash_u64_bytes(data: bytes) -> int:
+    """Stable u64 of raw bytes (blake2b-8)."""
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
+def hash_u64(text: str, *, seed: int = 0) -> int:
+    """Stable u64 of a unicode string (optionally seeded)."""
+    h = hashlib.blake2b(digest_size=8, key=seed.to_bytes(8, "little") if seed else b"")
+    h.update(text.encode("utf-8"))
+    return int.from_bytes(h.digest(), "little")
+
+
+def hash_u64_np(strings, *, seed: int = 0) -> np.ndarray:
+    """Vectorized-ish stable u64 over an iterable of strings → uint64 array.
+
+    blake2b per element; fine for per-batch cardinalities (the hot paths
+    hash distinct surfaces / shingles, not raw corpus chars).
+    """
+    key = seed.to_bytes(8, "little") if seed else b""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        h = hashlib.blake2b(digest_size=8, key=key)
+        h.update(s.encode("utf-8") if isinstance(s, str) else bytes(s))
+        out[i] = int.from_bytes(h.digest(), "little")
+    return out
+
+
+def stable_partition_id(doc_id: str, num_partitions: int) -> int:
+    """Partition assignment for checkpoint/lineage (SURVEY §4, T5)."""
+    return hash_u64(doc_id) % num_partitions
+
+
+def span_sequence_hash(kinds, texts, media_refs) -> int:
+    """Order-sensitive u64 over a doc's span sequence ``(kind, text,
+    media_ref)`` — invariant I1 (BASELINE.json:15).  Separators chosen
+    outside the data alphabet to prevent concatenation collisions.
+    """
+    h = hashlib.blake2b(digest_size=8)
+    for k, t, m in zip(kinds, texts, media_refs):
+        h.update((k or "").encode("utf-8"))
+        h.update(b"\x1f")
+        h.update((t or "").encode("utf-8"))
+        h.update(b"\x1f")
+        h.update((m or "").encode("utf-8"))
+        h.update(b"\x1e")
+    return int.from_bytes(h.digest(), "little")

@@ -1,0 +1,64 @@
+"""BIO/BIOES codec + entity extraction (SURVEY §2.2 M4/M5)."""
+
+import random
+
+from hypothesis import given, strategies as st
+
+from kgforge.oracle.labels import (
+    BIO_TAGS, bio_to_bioes, bioes_to_bio, extract_entities,
+)
+
+
+def _random_bio(seed: int, n: int) -> list[str]:
+    rng = random.Random(seed)
+    tags, open_type = [], None
+    for _ in range(n):
+        r = rng.random()
+        if open_type and r < 0.4:
+            tags.append("I-" + open_type)
+        elif r < 0.7:
+            open_type = rng.choice(["PER", "LOC", "ORG"])
+            tags.append("B-" + open_type)
+        else:
+            tags.append("O")
+            open_type = None
+    return tags
+
+
+@given(st.integers(0, 10_000), st.integers(0, 40))
+def test_bio_bioes_roundtrip(seed, n):
+    tags = _random_bio(seed, n)
+    assert bioes_to_bio(bio_to_bioes(tags)) == tags
+
+
+@given(st.integers(0, 10_000), st.integers(0, 40))
+def test_entities_invariant_under_scheme(seed, n):
+    tags = _random_bio(seed, n)
+    assert extract_entities(tags) == extract_entities(bio_to_bioes(tags))
+
+
+def test_extract_basic():
+    tags = ["B-PER", "I-PER", "O", "B-ORG", "I-ORG", "I-ORG"]
+    assert extract_entities(tags) == [("PER", 0, 2), ("ORG", 3, 6)]
+
+
+def test_extract_tolerant_illegal_I_start():
+    # I- with no open entity starts a new one (start-new convention)
+    assert extract_entities(["O", "I-LOC", "I-LOC", "O"]) == [("LOC", 1, 3)]
+    # type switch inside a run starts a new entity
+    assert extract_entities(["B-PER", "I-ORG"]) == [("PER", 0, 1), ("ORG", 1, 2)]
+
+
+def test_extract_adjacent_B():
+    assert extract_entities(["B-PER", "B-PER"]) == [("PER", 0, 1), ("PER", 1, 2)]
+
+
+def test_bioes_single_and_end():
+    assert bio_to_bioes(["B-LOC"]) == ["S-LOC"]
+    assert bio_to_bioes(["B-LOC", "I-LOC"]) == ["B-LOC", "E-LOC"]
+    assert extract_entities(["S-PER", "O", "B-ORG", "E-ORG"]) == \
+        [("PER", 0, 1), ("ORG", 2, 4)]
+
+
+def test_tag_order_stable():
+    assert BIO_TAGS[0] == "O" and len(BIO_TAGS) == 7
