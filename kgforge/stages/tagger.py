@@ -1,0 +1,102 @@
+"""A1/A2: stateful tagger actor-pool stages (SURVEY §2.3).
+
+Callable classes for ``ds.map_batches(Cls, concurrency=N, ...)`` —
+model artifacts load ONCE per actor in ``__init__`` (from a path or a
+``ray.put`` broadcast ref), per-batch work is the vectorized batched
+Viterbi.  This is the ``Tagger`` plugin protocol (SURVEY §2.10): any
+class with ``__init__(model source)`` + ``__call__(pa.Table) ->
+pa.Table`` slots into the same pipeline position; ``num_gpus`` is a
+config knob on the stage, not a code difference (no GPU in sandbox).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from kgforge.oracle import hmm as hmm_mod
+
+
+class HmmTagger:
+    """HMM-Viterbi tagger (``REF?:hmm`` predict path).
+
+    ``model_path``: ``.npz`` artifact on a shared filesystem, or
+    ``model_ref``: a ``ray.ObjectRef`` to an :class:`HmmModel` placed
+    once with ``ray.put`` (broadcast — read per actor, not per batch).
+    """
+
+    TEXT_COL = "sent_text"
+
+    def __init__(self, model_path: str | None = None, model_ref=None):
+        if model_ref is not None:
+            import ray
+
+            self.model: hmm_mod.HmmModel = ray.get(model_ref)
+        elif model_path is not None:
+            self.model = hmm_mod.HmmModel.load(model_path)
+        else:
+            raise ValueError("need model_path or model_ref")
+        self.tags = list(self.model.tags)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.TEXT_COL].to_pylist()
+        tag_lists = self.decode(texts)
+        return batch.append_column(
+            "tags", pa.array(tag_lists, type=pa.list_(pa.string())))
+
+    def decode(self, texts: list[str]) -> list[list[str]]:
+        if not texts:
+            return []
+        lengths = np.array([len(t) for t in texts], dtype=np.int64)
+        Lmax = max(1, int(lengths.max()))
+        obs = np.zeros((len(texts), Lmax), dtype=np.int64)
+        vocab = self.model.vocab
+        from kgforge.oracle.vocab import UNK_ID
+
+        for i, txt in enumerate(texts):
+            if txt:
+                obs[i, : len(txt)] = [vocab.get(c, UNK_ID) for c in txt]
+        paths = hmm_mod.viterbi_batch(self.model, obs, lengths)
+        tags = self.tags
+        return [[tags[j] for j in p] for p in paths]
+
+
+class HmmTrainerStage:
+    """A3/G1: per-batch HMM count partials (mergeable — summed by the
+    caller over all batches, then normalized once on the driver)."""
+
+    def __init__(self, vocab: dict[str, int], tags: tuple[str, ...]):
+        self.vocab = vocab
+        self.tag_to_id = {t: i for i, t in enumerate(tags)}
+        self.tags = tags
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from kgforge.oracle.corpus import Sentence
+
+        sents = [Sentence(c, t) for c, t in
+                 zip(batch["chars"].to_pylist(), batch["tags"].to_pylist())]
+        pi_c, a_c, b_c = hmm_mod.fit_counts(sents, self.tag_to_id, self.vocab)
+        return pa.table({
+            "pi": pa.array([pi_c.ravel()], type=pa.list_(pa.float64())),
+            "a": pa.array([a_c.ravel()], type=pa.list_(pa.float64())),
+            "b": pa.array([b_c.ravel()], type=pa.list_(pa.float64())),
+        })
+
+
+def train_hmm_distributed(corpus_ds, vocab: dict[str, int],
+                          tags: tuple[str, ...]) -> hmm_mod.HmmModel:
+    """Distributed HMM fit: map_batches partial counts → driver sum
+    (T·T + T·V floats ≪ memory — SURVEY §2.5 G1)."""
+    T, V = len(tags), max(vocab.values()) + 1
+    partials = corpus_ds.map_batches(
+        HmmTrainerStage, fn_constructor_kwargs={"vocab": vocab, "tags": tags},
+        batch_format="pyarrow", concurrency=2)
+    pi = np.zeros(T)
+    a = np.zeros((T, T))
+    b = np.zeros((T, V))
+    for chunk in partials.iter_batches(batch_format="pyarrow"):
+        for row in chunk.to_pylist():
+            pi += np.array(row["pi"])
+            a += np.array(row["a"]).reshape(T, T)
+            b += np.array(row["b"]).reshape(T, V)
+    return hmm_mod.counts_to_model(pi, a, b, vocab, tags)

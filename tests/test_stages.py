@@ -1,0 +1,106 @@
+"""Ray stage unit tests: explode parity with the oracle, CoNLL reader,
+checkpoint round-trip (SURVEY §5.2)."""
+
+import pyarrow as pa
+import pytest
+
+from kgforge.oracle.corpus import (
+    corpus_to_conll, generate_corpus, generate_interleaved_docs,
+)
+from kgforge.oracle.pipeline import tag_docs
+from kgforge.sources.interleaved import docs_to_table
+from kgforge.stages.explode import make_explode_spans
+
+
+def test_explode_matches_oracle_sentences(hmm_model, small_docs):
+    batch = docs_to_table(small_docs)
+    out = make_explode_spans(32)(batch)
+    got = out.select(["doc_id", "span_idx", "span_offset", "sent_idx",
+                      "sent_offset", "sent_text"]).to_pylist()
+    oracle_rows = [{k: r[k] for k in ("doc_id", "span_idx", "span_offset",
+                                      "sent_idx", "sent_offset", "sent_text")}
+                   for r in tag_docs(hmm_model, small_docs)]
+    assert got == oracle_rows
+
+
+def test_explode_media_anchor():
+    docs = [{"doc_id": "d1", "spans": [
+        {"kind": "image", "text": "", "media_ref": "media://image/000001", "offset": 0},
+        {"kind": "text", "text": "你好。", "media_ref": "", "offset": 0},
+        {"kind": "audio", "text": "", "media_ref": "media://audio/000002", "offset": 3},
+        {"kind": "text", "text": "再见。", "media_ref": "", "offset": 3},
+    ]}]
+    out = make_explode_spans(8)(docs_to_table(docs)).to_pylist()
+    assert out[0]["anchor_media_ref"] == "media://image/000001"
+    assert out[1]["anchor_media_ref"] == "media://audio/000002"
+    assert [r["span_idx"] for r in out] == [1, 3]
+
+
+def test_explode_empty_and_media_only():
+    docs = [
+        {"doc_id": "d0", "spans": []},
+        {"doc_id": "d1", "spans": [{"kind": "image", "text": "",
+                                    "media_ref": "media://image/000009",
+                                    "offset": 0}]},
+        {"doc_id": "d2", "spans": [{"kind": "text", "text": "",
+                                    "media_ref": "", "offset": 0}]},
+    ]
+    out = make_explode_spans(8)(docs_to_table(docs))
+    assert out.num_rows == 0
+
+
+def test_conll_reader(ray_session, tmp_path):
+    sents = generate_corpus(40, seed=42)
+    path = tmp_path / "train.txt"
+    path.write_text(corpus_to_conll(sents), encoding="utf-8")
+    from kgforge.sources.conll import read_conll
+
+    rows = read_conll(str(path)).take_all()
+    assert len(rows) == 40
+    assert [list(r["chars"]) for r in rows] == [s.chars for s in sents]
+    assert [list(r["tags"]) for r in rows] == [s.tags for s in sents]
+
+
+def test_checkpoint_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from kgforge.stages.checkpoint import CheckpointManager
+
+    tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(100)], pa.string()),
+        "val": pa.array(list(range(100)), pa.int64()),
+        "pid": pa.array([i % 4 for i in range(100)], pa.int32()),
+    })
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"), num_partitions=4)
+    assert not ckpt.is_complete("stage_a")
+    out = ckpt.write_stage("stage_a", rd.from_arrow(tbl),
+                           checksum_cols=["doc_id", "val"])
+    assert ckpt.is_complete("stage_a")
+    back = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(back) == 100
+    assert back["pid"].dtype.name in ("int32", "int64")
+    lineage = ckpt.lineage().to_pylist()
+    assert {r["partition_id"] for r in lineage} == {0, 1, 2, 3}
+    assert sum(r["output_rows"] for r in lineage) == 100
+    assert all(r["status"] == "complete" for r in lineage)
+
+
+def test_distributed_hmm_training_matches_local(ray_session):
+    """G1: distributed count aggregation == single-process fit."""
+    import numpy as np
+    import ray.data as rd
+
+    from kgforge.oracle import hmm as H
+    from kgforge.oracle.labels import BIO_TAGS
+    from kgforge.oracle.vocab import build_vocab, count_chars
+    from kgforge.stages.tagger import train_hmm_distributed
+
+    train = generate_corpus(300, seed=42)
+    vocab = build_vocab(count_chars(train))
+    local = H.fit(train, vocab)
+    corpus_ds = rd.from_items([
+        {"chars": s.chars, "tags": s.tags} for s in train]).repartition(8)
+    dist = train_hmm_distributed(corpus_ds, vocab, tuple(BIO_TAGS))
+    assert np.allclose(local.pi, dist.pi)
+    assert np.allclose(local.a, dist.a)
+    assert np.allclose(local.b, dist.b)
