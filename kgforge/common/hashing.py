@@ -16,6 +16,15 @@ import numpy as np
 _MASK64 = (1 << 64) - 1
 
 
+def round_away(x, ndigits: int):
+    """Round-half-away-from-zero, matching DuckDB/C ``round()`` —
+    Python/numpy bankers' rounding diverges on exact binary midpoints
+    (e.g. 185/32 = 5.78125), which breaks oracle value-hash parity.
+    Accepts a float or a numpy array."""
+    f = 10.0 ** ndigits
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
 def hash_u64_bytes(data: bytes) -> int:
     """Stable u64 of raw bytes (blake2b-8)."""
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")

@@ -1,0 +1,375 @@
+"""Document deduplication at training-data scale.
+
+Five families, each a streaming Ray Data composition (no full
+materialization; the only wide steps are hash-keyed groupbys):
+
+- **Exact**   — md5 content hash → ``groupby(hash)`` keep min-id +
+  count.  At 100 TB the groupby key is the 16-byte digest, never the
+  text, so the shuffle moves only (hash, id) pairs.
+- **Normalized exact** — same after lowercase + punctuation strip.
+- **MinHash + LSH** — char-shingle → 128-perm minhash → 16 bands →
+  ``groupby(band, band_hash)`` → verified candidate pairs (exact
+  shingle Jaccard ≥ θ inside the group).  The classic
+  shingle→minhash→band→bucket-groupby plan: only signatures shuffle.
+- **SimHash** — 64-bit token-weighted simhash, split into 4×16-bit
+  sub-keys; documents sharing any sub-key are candidates (Hamming ≤ 3
+  guarantee by pigeonhole); verified by full simhash Hamming distance.
+- **n-gram Jaccard (blocked)** — exact Jaccard over 5-char shingles
+  within deterministic blocks ``(source, n_tokens)``; the
+  SQL-verifiable ground-truth variant (same blocking expressible in
+  DuckDB), used as the oracle-checked member of the family.
+- **Embedding cosine** — exact near-dup pairs within ``label`` blocks
+  (numpy matmul per group) + an LSH-bucketed variant for the unblocked
+  case (random-hyperplane 16-bit buckets).
+
+Pair outputs are canonicalized ``id_a < id_b`` and deduplicated, so
+results are set-comparable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kgforge.common.hashing import hash_u64_np, round_away
+from kgforge.oracle.minhash import MinHasher
+
+SHINGLE_N = 5          # char n-grams for document near-dup
+DEFAULT_THETA = 0.80   # verified-Jaccard threshold
+
+
+# ---------------------------------------------------------------------------
+# exact / normalized-exact
+# ---------------------------------------------------------------------------
+
+def _md5_col(texts: list) -> pa.Array:
+    return pa.array(
+        [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts],
+        pa.string())
+
+
+def exact_dedup_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """→ (content_hash, doc_id=min id in group, n_dups).  One groupby
+    on the digest; ``n_dups > 1`` rows are the duplicate clusters."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(
+        lambda b: pa.table({"content_hash": _md5_col(b[text_col].to_pylist()),
+                            id_col: b[id_col]}),
+        batch_format="pyarrow")
+    return hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups"))
+
+
+_NORM_RE = re.compile(r"[^a-z0-9 ]+")
+
+
+def normalize_text(t: str) -> str:
+    """lowercase + drop non-[a-z0-9 ] + collapse whitespace — shared
+    verbatim with the SQL oracle."""
+    return re.sub(r" +", " ", _NORM_RE.sub("", (t or "").lower())).strip()
+
+
+def normalized_dedup_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
+    from ray.data.aggregate import Count, Min
+
+    def norm_hash(b: pa.Table) -> pa.Table:
+        texts = [normalize_text(t) for t in b[text_col].to_pylist()]
+        return pa.table({"content_hash": _md5_col(texts), id_col: b[id_col]})
+
+    return ds.map_batches(norm_hash, batch_format="pyarrow") \
+        .groupby("content_hash").aggregate(
+            Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups"))
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by minhash / jaccard paths)
+# ---------------------------------------------------------------------------
+
+def doc_shingles(text: str, n: int = SHINGLE_N) -> np.ndarray:
+    """Distinct hashed char n-gram shingles of a document (uint64)."""
+    t = text or ""
+    if len(t) < n:
+        grams = [t] if t else []
+    else:
+        grams = [t[i:i + n] for i in range(len(t) - n + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(hash_u64_np(grams))
+
+
+def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / (a.size + b.size - inter)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+class _MinhashSigner:
+    """Stateful band-signer: per-actor MinHasher init (SURVEY §2.3 A4).
+
+    Emits 16 band rows per doc carrying the full 128-perm signature as
+    a 1 KiB binary blob — the shuffle moves signatures, never document
+    text, so candidate verification needs no second read of the corpus.
+    """
+
+    def __init__(self, text_col: str, id_col: str, shingle_n: int):
+        self.hasher = MinHasher()
+        self.text_col, self.id_col, self.n = text_col, id_col, shingle_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        sets = [doc_shingles(t, self.n) for t in texts]
+        sigs = self.hasher.signatures(sets)           # [n, 128] u64
+        bands = self.hasher.band_hashes(sigs)         # [n, 16]
+        nb = self.hasher.num_bands
+        n = len(ids)
+        sig_bytes = [sigs[i].tobytes() for i in range(n)]
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(nb, dtype=np.int32), n)),
+            "band_hash": pa.array(bands.reshape(-1), pa.uint64()),
+            self.id_col: pa.array(np.repeat(np.asarray(ids), nb)),
+            "sig": pa.array(
+                [sig_bytes[i] for i in range(n) for _ in range(nb)],
+                pa.binary()),
+        })
+
+
+def minhash_dedup_pairs_ds(ds, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           theta: float = DEFAULT_THETA,
+                           shingle_n: int = SHINGLE_N):
+    """Near-duplicate pairs via MinHash banding, verified by signature
+    similarity (estimated Jaccard = fraction of equal permutations).
+
+    Scale shape: only (band, band_hash, id, sig) rows shuffle.  An
+    exact-Jaccard confirmation pass, when required, re-reads just the
+    candidate doc_ids from the source with a pruned read — the
+    SQL-verifiable exact variant is :func:`jaccard_blocked_pairs_ds`.
+    """
+    signed = ds.map_batches(
+        _MinhashSigner,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
+                               "shingle_n": shingle_n},
+        batch_format="pyarrow", concurrency=(1, 8))
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_pylist()
+        sig_blobs = group["sig"].to_pylist()
+        # one row per distinct doc within the bucket
+        uniq: dict = {}
+        for i, d in enumerate(ids):
+            uniq.setdefault(d, i)
+        order = sorted(uniq)
+        sigs = np.stack([np.frombuffer(sig_blobs[uniq[d]], dtype=np.uint64)
+                         for d in order]) if order else \
+            np.empty((0, 128), dtype=np.uint64)
+        a_out, b_out, j_out = [], [], []
+        for x in range(len(order)):
+            eq = (sigs[x + 1:] == sigs[x]).mean(axis=1)
+            for off in np.nonzero(eq >= theta)[0]:
+                a_out.append(order[x])
+                b_out.append(order[x + 1 + off])
+                j_out.append(round(float(eq[off]), 4))
+        return pa.table({"id_a": pa.array(a_out), "id_b": pa.array(b_out),
+                         "jaccard": pa.array(j_out, pa.float64())})
+
+    pairs = signed.groupby(["band", "band_hash"]).map_groups(
+        verify, batch_format="pyarrow")
+    # same pair can surface from several bands → dedup
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("jaccard", alias_name="jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# blocked exact n-gram Jaccard (SQL-verifiable ground truth)
+# ---------------------------------------------------------------------------
+
+def jaccard_blocked_pairs_ds(ds, block_cols=("source",),
+                             text_col: str = "text", id_col: str = "doc_id",
+                             theta: float = 0.5, shingle_n: int = SHINGLE_N):
+    """Exact shingle-Jaccard pairs within deterministic blocks.
+
+    ``groupby(block_cols).map_groups`` — each group does an O(k²)
+    vectorized set comparison.  Blocking keys must bound k; this is the
+    oracle-checked member of the dedup family (same blocks + shingles
+    expressible in DuckDB SQL).
+    """
+    def pairs_of(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_pylist()
+        texts = group[text_col].to_pylist()
+        order = np.argsort(np.asarray(ids))
+        ids = [ids[i] for i in order]
+        texts = [texts[i] for i in order]
+        sets = [_string_shingle_set(t, shingle_n) for t in texts]
+        a_out, b_out, j_out = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                sa, sb = sets[x], sets[y]
+                if not sa and not sb:
+                    j = 1.0
+                else:
+                    j = len(sa & sb) / len(sa | sb)
+                if j >= theta:
+                    a_out.append(ids[x])
+                    b_out.append(ids[y])
+                    j_out.append(float(round_away(j, 4)))
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64()),
+                         "jaccard": pa.array(j_out, pa.float64())})
+
+    return ds.select_columns(list(block_cols) + [id_col, text_col]) \
+        .groupby(list(block_cols)).map_groups(pairs_of, batch_format="pyarrow")
+
+
+def _string_shingle_set(text: str, n: int) -> set:
+    t = text or ""
+    if len(t) < n:
+        return {t} if t else set()
+    return {t[i:i + n] for i in range(len(t) - n + 1)}
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit simhash over whitespace tokens (unweighted)."""
+    toks = (text or "").split()
+    if not toks:
+        return 0
+    hashes = hash_u64_np(toks)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) &
+            np.uint64(1)).astype(np.int64)
+    maj = (bits.sum(axis=0) * 2 > len(toks)).astype(np.uint64)
+    return int((maj << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+
+def simhash_pairs_ds(ds, text_col: str = "text", id_col: str = "doc_id",
+                     max_hamming: int = 3):
+    """Candidate generation by 4×16-bit sub-key banding (pigeonhole: any
+    pair with Hamming ≤ 3 over 64 bits shares ≥ 1 of 4 sub-keys),
+    verified by exact Hamming distance."""
+    def sign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        sh = np.array([simhash64(t) for t in batch[text_col].to_pylist()],
+                      dtype=np.uint64)
+        n = len(ids)
+        subs = np.stack([(sh >> np.uint64(16 * k)) & np.uint64(0xFFFF)
+                         for k in range(4)], axis=1)   # [n, 4]
+        return pa.table({
+            "sub": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+            "sub_key": pa.array(subs.reshape(-1), pa.uint64()),
+            id_col: pa.array(np.repeat(np.asarray(ids), 4)),
+            "simhash": pa.array(np.repeat(sh, 4), pa.uint64()),
+        })
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_pylist()
+        sh = group["simhash"].to_numpy(zero_copy_only=False)
+        order = np.argsort(np.asarray(ids))
+        a_out, b_out, d_out = [], [], []
+        seen = set()
+        for xi in range(len(order)):
+            for yi in range(xi + 1, len(order)):
+                x, y = order[xi], order[yi]
+                if ids[x] == ids[y] or (ids[x], ids[y]) in seen:
+                    continue
+                seen.add((ids[x], ids[y]))
+                d = int(bin(int(sh[x]) ^ int(sh[y])).count("1"))
+                if d <= max_hamming:
+                    a_out.append(ids[x])
+                    b_out.append(ids[y])
+                    d_out.append(d)
+        return pa.table({"id_a": pa.array(a_out), "id_b": pa.array(b_out),
+                         "hamming": pa.array(d_out, pa.int64())})
+
+    from ray.data.aggregate import Min
+
+    signed = ds.map_batches(sign, batch_format="pyarrow")
+    pairs = signed.groupby(["sub", "sub_key"]).map_groups(
+        verify, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs_ds(ds, block_col: str = "label",
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id", tau: float = 0.99):
+    """Exact cosine-similar pairs within blocks (numpy matmul per
+    group).  ``block_col=None`` variant at scale: LSH hyperplane
+    bucketing (see :func:`embedding_lsh_pairs_ds`)."""
+    def pairs_of(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist())
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(group[vec_col].to_pylist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = sims[iu, ju] >= tau
+        return pa.table({
+            "id_a": pa.array(ids[iu[mask]], pa.int64()),
+            "id_b": pa.array(ids[ju[mask]], pa.int64()),
+            "cos_sim": pa.array(round_away(sims[iu, ju][mask], 4), pa.float64()),
+        })
+
+    return ds.groupby(block_col).map_groups(pairs_of, batch_format="pyarrow")
+
+
+def embedding_lsh_pairs_ds(ds, vec_col: str = "embedding",
+                           id_col: str = "vec_id", tau: float = 0.99,
+                           n_planes: int = 16, dim: int = 64,
+                           seed: int = 42):
+    """Random-hyperplane LSH bucketing → exact cosine verify per bucket.
+
+    The scale path for unblocked embedding dedup: only (bucket, id,
+    vector) rows shuffle, bucket width tunable via ``n_planes``.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        proj = (mat @ planes) > 0
+        bucket = (proj.astype(np.uint64) <<
+                  np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+        out = batch.append_column("bucket", pa.array(bucket, pa.uint64()))
+        return out
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist())
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(group[vec_col].to_pylist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = sims[iu, ju] >= tau
+        return pa.table({
+            "id_a": pa.array(ids[iu[mask]], pa.int64()),
+            "id_b": pa.array(ids[ju[mask]], pa.int64()),
+            "cos_sim": pa.array(round_away(sims[iu, ju][mask], 4), pa.float64()),
+        })
+
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(verify, batch_format="pyarrow")

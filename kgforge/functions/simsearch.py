@@ -1,0 +1,194 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`knn_brute_ds` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), every batch computes a vectorized
+  ``(B×d) @ (d×Q)`` partial top-k, and a final tiny merge keeps the
+  global top-k per query.  The partial-top-k-inside-``map_batches``
+  is the combiner that makes this a near-zero-shuffle plan: only
+  ``num_batches × Q × k`` candidate rows leave the map stage.
+- :func:`knn_ivf_ds` — IVF (inverted-file) approximate variant: a
+  deterministic k-means-lite codebook (fit on a bounded sample),
+  cluster assignment inside ``map_batches``, and search restricted to
+  the ``nprobe`` closest centroids per query.  The scale path: at
+  10⁹+ vectors the brute plan reads everything per query set; IVF
+  prunes to ``nprobe/n_centroids`` of the data.
+
+All cosine math in float64 for DuckDB-oracle parity
+(``list_cosine_similarity`` on ``DOUBLE[]``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def _take_rows_by_id(ds, id_col: str, ids) -> list[dict]:
+    """Pruned fetch of a known-small id set (pushdown-style filter via
+    ``pc.is_in`` per batch; only matching rows reach the driver)."""
+    import pyarrow.compute as pc
+
+    value_set = pa.array(list(ids), pa.int64())
+    rows = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b[id_col], value_set=value_set)),
+        batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return rows
+
+
+class _BruteScorer:
+    """Actor: holds the broadcast unit-normalized query matrix."""
+
+    def __init__(self, queries_ref, vec_col: str, id_col: str, k: int):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.q_ids = q["ids"]                       # [Q]
+        self.q_unit = q["unit"]                     # [Q, d]
+        self.vec_col, self.id_col, self.k = vec_col, id_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        mat = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        sims = _unit(mat) @ self.q_unit.T           # [B, Q]
+        # self-match exclusion: a query never reports itself
+        self_mask = ids[:, None] == self.q_ids[None, :]
+        sims[self_mask] = -np.inf
+        k = min(self.k, sims.shape[0])
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]   # [k, Q]
+        q_idx = np.repeat(np.arange(sims.shape[1]), k)
+        n_idx = top.T.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(self.q_ids[q_idx], pa.int64()),
+            "neighbor_id": pa.array(ids[n_idx], pa.int64()),
+            "cos_sim": pa.array(sims[n_idx, q_idx], pa.float64()),
+        })
+
+
+def knn_brute_ds(ds, query_ids, vec_col: str = "embedding",
+                 id_col: str = "vec_id", k: int = 5) -> pa.Table:
+    """Exact top-k cosine neighbors for each query id.
+
+    Returns a small arrow table (query_id, neighbor_id, rank) — the
+    global merge of per-batch partial top-ks is Q×k-sized, done on the
+    driver (the one place a driver-side reduce is correct: the result
+    is the small side).
+    """
+    import ray
+
+    query_ids = np.asarray(sorted(query_ids), dtype=np.int64)
+    q_rows = _take_rows_by_id(ds, id_col, query_ids)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    queries_ref = ray.put({"ids": np.array([r[id_col] for r in q_rows],
+                                           dtype=np.int64),
+                           "unit": _unit(q_mat)})
+
+    partials = ds.map_batches(
+        _BruteScorer,
+        fn_constructor_kwargs={"queries_ref": queries_ref,
+                               "vec_col": vec_col, "id_col": id_col, "k": k},
+        batch_format="pyarrow", concurrency=(1, 8)).take_all()
+
+    return _merge_topk(partials, k)
+
+
+def _merge_topk(partial_rows: list[dict], k: int) -> pa.Table:
+    by_q: dict[int, list] = {}
+    for r in partial_rows:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (float(r["cos_sim"]), int(r["neighbor_id"])))
+    q_out, n_out, r_out = [], [], []
+    for q in sorted(by_q):
+        # deterministic: sim desc, neighbor_id asc tie-break
+        cand = sorted(by_q[q], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (_, nid) in enumerate(cand, start=1):
+            q_out.append(q)
+            n_out.append(nid)
+            r_out.append(rank)
+    return pa.table({"query_id": pa.array(q_out, pa.int64()),
+                     "neighbor_id": pa.array(n_out, pa.int64()),
+                     "rank": pa.array(r_out, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate search
+# ---------------------------------------------------------------------------
+
+def _kmeans_lite(sample: np.ndarray, n_centroids: int, n_iter: int = 8,
+                 seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd iterations on a bounded sample."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                     replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            pts = sample[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(axis=0)
+    return cent
+
+
+def knn_ivf_ds(ds, query_ids, vec_col: str = "embedding",
+               id_col: str = "vec_id", k: int = 5, n_centroids: int = 16,
+               nprobe: int = 4, sample_n: int = 2048,
+               seed: int = 42) -> pa.Table:
+    """IVF top-k: codebook from a bounded deterministic sample, search
+    only batches' vectors assigned to each query's ``nprobe`` nearest
+    centroids.  Approximate — recall depends on nprobe/n_centroids."""
+    import ray
+
+    sample_rows = ds.limit(sample_n).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cent = _kmeans_lite(sample, n_centroids, seed=seed)
+
+    query_ids = np.asarray(sorted(query_ids), dtype=np.int64)
+    q_rows = _take_rows_by_id(ds, id_col, query_ids)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qd = ((q_mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd, axis=1)[:, :nprobe]      # [Q, nprobe]
+
+    state_ref = ray.put({
+        "ids": np.array([r[id_col] for r in q_rows], dtype=np.int64),
+        "unit": _unit(q_mat), "cent": cent, "probe": probe})
+
+    class IvfScorer:
+        def __init__(self):
+            st = ray.get(state_ref)
+            self.q_ids, self.q_unit = st["ids"], st["unit"]
+            self.cent, self.probe = st["cent"], st["probe"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist())
+            mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            d = ((mat[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)               # [B]
+            unit = _unit(mat)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.q_ids)):
+                mask = np.isin(assign, self.probe[qi])
+                mask &= ids != self.q_ids[qi]
+                if not mask.any():
+                    continue
+                sims = unit[mask] @ self.q_unit[qi]
+                cand_ids = ids[mask]
+                kk = min(len(sims), 64)
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                out_q.extend([self.q_ids[qi]] * kk)
+                out_n.extend(cand_ids[top].tolist())
+                out_s.extend(sims[top].tolist())
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "neighbor_id": pa.array(out_n, pa.int64()),
+                             "cos_sim": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(IvfScorer, batch_format="pyarrow",
+                              concurrency=(1, 8)).take_all()
+    return _merge_topk(partials, k)

@@ -1,0 +1,158 @@
+"""Text analysis over a ``documents``-shaped table (doc_id, text, ...).
+
+All per-batch work is vectorized: ``pyarrow.compute`` regex kernels for
+counting (``count_substring_regex`` — no Python loop over chars), with
+one cheap per-row pass only where a hash digest is inherently per-row
+(md5 fingerprint).  Designed as stateless ``map_batches`` stages —
+at 100 TB these run embarrassingly parallel with zero shuffle.
+
+DuckDB-oracle parity: every output column is either an integer count,
+an md5 hex digest, or an arithmetic expression rounded to a fixed
+number of decimals, so the driver's value-hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Regexes shared verbatim with the SQL oracles (__ray_entry__.py).
+TOKEN_RE = r"\S+"
+PUNCT_RE = r"[^a-zA-Z0-9\s]"
+DIGIT_RE = r"[0-9]"
+UPPER_RE = r"[A-Z]"
+
+# Tiny closed stopword list for the language-ID heuristic + quality
+# scoring.  Chosen to be SQL-expressible (plain word-boundary counts).
+STOPWORDS = ("the", "a", "of", "and", "data")
+
+
+def _count_re(col: pa.ChunkedArray | pa.Array, pattern: str) -> pa.Array:
+    return pc.count_substring_regex(col, pattern=pattern)
+
+
+def token_stats(batch: pa.Table, text_col: str = "text",
+                id_col: str = "doc_id") -> pa.Table:
+    """Per-document token/char counts → (doc_id, n_tokens, n_punct,
+    n_digits, n_upper, n_chars_m).  Integer-only output."""
+    text = batch[text_col]
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pc.cast(_count_re(text, TOKEN_RE), pa.int64()),
+        "n_punct": pc.cast(_count_re(text, PUNCT_RE), pa.int64()),
+        "n_digits": pc.cast(_count_re(text, DIGIT_RE), pa.int64()),
+        "n_upper": pc.cast(_count_re(text, UPPER_RE), pa.int64()),
+        "n_chars_m": pc.cast(pc.utf8_length(text), pa.int64()),
+    })
+
+
+def quality_score(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Heuristic quality components per document.
+
+    (doc_id, n_tokens, n_stopwords, mean_token_len, stopword_ratio) —
+    ratios rounded to 4 decimals; formula mirrored exactly in the SQL
+    oracle.  A real pipeline thresholds on these to drop junk docs.
+    """
+    text = batch[text_col]
+    n_tokens = pc.cast(_count_re(text, TOKEN_RE), pa.int64())
+    n_stop = pc.cast(_count_re(
+        text, r"\b(" + "|".join(STOPWORDS) + r")\b"), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    from kgforge.common.hashing import round_away
+
+    nt = np.maximum(n_tokens.to_numpy(zero_copy_only=False), 1).astype(np.float64)
+    mean_tok = round_away(n_chars.to_numpy(zero_copy_only=False) / nt, 4)
+    stop_ratio = round_away(
+        n_stop.to_numpy(zero_copy_only=False).astype(np.float64) / nt, 4)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": n_tokens,
+        "n_stopwords": n_stop,
+        "mean_token_len": pa.array(mean_tok, pa.float64()),
+        "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+    })
+
+
+def lang_id(batch: pa.Table, text_col: str = "text",
+            id_col: str = "doc_id") -> pa.Table:
+    """Deterministic function-word language-ID heuristic.
+
+    Scores each document by counts of closed function-word sets; the
+    decision rule (argmax with fixed precedence en > de > es > unk) is
+    deliberately SQL-expressible so the driver can verify it exactly.
+    """
+    text = batch[text_col]
+    n_en = _count_re(text, r"\b(the|of|and)\b").to_numpy(zero_copy_only=False)
+    n_de = _count_re(text, r"\b(der|die|und)\b").to_numpy(zero_copy_only=False)
+    n_es = _count_re(text, r"\b(el|la|los)\b").to_numpy(zero_copy_only=False)
+    pred = np.where(
+        (n_en >= n_de) & (n_en >= n_es) & (n_en > 0), "en",
+        np.where((n_de >= n_es) & (n_de > 0), "de",
+                 np.where(n_es > 0, "es", "unk")))
+    return pa.table({
+        id_col: batch[id_col],
+        "pred_lang": pa.array(pred.tolist(), pa.string()),
+        "n_en": pa.array(n_en.astype(np.int64)),
+        "n_de": pa.array(n_de.astype(np.int64)),
+        "n_es": pa.array(n_es.astype(np.int64)),
+    })
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text",
+                id_col: str = "doc_id") -> pa.Table:
+    """Content fingerprints: md5 hex (exact-dedup key, matches DuckDB
+    ``md5()``) + a 64-bit rolling (Karp-Rabin) hash for chunk-level
+    dedup.  md5 is the cross-system-verifiable digest; the rolling hash
+    is the cheap streaming fingerprint."""
+    texts = batch[text_col].to_pylist()
+    fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    rolling = [_rolling_hash(t or "") for t in texts]
+    return pa.table({
+        id_col: batch[id_col],
+        "fp_md5": pa.array(fps, pa.string()),
+        "fp_rolling": pa.array(rolling, pa.uint64()),
+    })
+
+
+_ROLL_BASE = np.uint64(1000003)
+
+
+def _rolling_hash(text: str) -> int:
+    """Karp-Rabin over utf-8 bytes, vectorized via cumulative powers."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if data.size == 0:
+        return 0
+    with np.errstate(over="ignore"):
+        n = data.size
+        # h = sum(b[i] * BASE^(n-1-i)) mod 2^64, computed by Horner in
+        # chunks would be serial; use powers table instead (vector mult)
+        powers = np.empty(n, dtype=np.uint64)
+        powers[0] = 1
+        if n > 1:
+            np.multiply.accumulate(
+                np.full(n - 1, _ROLL_BASE, dtype=np.uint64), out=powers[1:])
+        return int((data[::-1].astype(np.uint64) * powers).sum(dtype=np.uint64))
+
+
+def token_stats_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: token_stats(b, text_col, id_col), batch_format="pyarrow")
+
+
+def quality_score_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: quality_score(b, text_col, id_col), batch_format="pyarrow")
+
+
+def lang_id_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: lang_id(b, text_col, id_col), batch_format="pyarrow")
+
+
+def fingerprint_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: fingerprint(b, text_col, id_col), batch_format="pyarrow")

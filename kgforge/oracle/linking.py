@@ -78,17 +78,26 @@ def _is_subsequence(short: str, long_: str) -> bool:
     return all(ch in it for ch in short)
 
 
-def accept_pair(a: str, b: str, theta: float = JACCARD_THETA) -> bool:
-    """Verification rule applied to every blocked candidate pair
-    (same entity type, distinct surfaces)."""
-    sa, sb = set(shingles(a).tolist()), set(shingles(b).tolist())
+def accept_pair_cached(a: str, b: str, sa: set, sb: set,
+                       theta: float = JACCARD_THETA) -> bool:
+    """Verification rule with precomputed shingle-hash sets — computing
+    shingles per *pair* is O(block² · len) blake2b calls and dominated
+    the alias-resolution wall time; callers must hash each surface once
+    per block and pass the sets in."""
     if sa and sb:
         inter = len(sa & sb)
-        if inter / len(sa | sb) >= theta:
+        if inter / (len(sa) + len(sb) - inter) >= theta:
             return True
     short, long_ = (a, b) if len(a) <= len(b) else (b, a)
     return (len(short) >= 2 and len(long_) > len(short)
             and short[0] == long_[0] and _is_subsequence(short, long_))
+
+
+def accept_pair(a: str, b: str, theta: float = JACCARD_THETA) -> bool:
+    """Verification rule applied to every blocked candidate pair
+    (same entity type, distinct surfaces)."""
+    return accept_pair_cached(a, b, set(shingles(a).tolist()),
+                              set(shingles(b).tolist()), theta)
 
 
 def candidate_pairs(surfaces: list[str], hasher: MinHasher | None = None
@@ -127,9 +136,11 @@ def resolve_aliases(surface_support: dict[tuple[str, str], int],
         by_type.setdefault(etype, []).append(surface)
     for etype, surfaces in sorted(by_type.items()):
         idx = {s: i for i, s in enumerate(surfaces)}
+        sets = [set(shingles(s).tolist()) for s in surfaces]
         uf = UnionFind(len(surfaces))
         for i, j in candidate_pairs(surfaces, hasher):
-            if accept_pair(surfaces[i], surfaces[j], theta):
+            if accept_pair_cached(surfaces[i], surfaces[j],
+                                  sets[i], sets[j], theta):
                 uf.union(i, j)
         clusters: dict[int, list[str]] = {}
         for s in surfaces:

@@ -38,7 +38,7 @@ import pyarrow as pa
 
 from kgforge.common.hashing import hash_u64_np
 from kgforge.oracle.linking import (
-    accept_pair, blocking_keys, canon_id_of, resolve_from_pairs,
+    accept_pair_cached, blocking_keys, canon_id_of, resolve_from_pairs,
 )
 from kgforge.oracle.minhash import MinHasher
 
@@ -77,6 +77,8 @@ def surface_support(mentions_ds, salt_buckets: int = DEFAULT_SALT_BUCKETS):
 
 
 def _make_pair_fn(max_block: int):
+    from kgforge.oracle.minhash import shingles
+
     def emit_pairs(group: pa.Table) -> pa.Table:
         rows = sorted(zip(group["surface"].to_pylist(),
                           group["n"].to_pylist(),
@@ -84,15 +86,20 @@ def _make_pair_fn(max_block: int):
                       key=lambda r: (-r[1], r[0]))
         if len(rows) > max_block:
             rows = rows[:max_block]
+        # shingle each surface ONCE per block (pairwise loop is O(k²);
+        # recomputing hashes per pair dominated wall time)
+        sets = [set(shingles(r[0]).tolist()) for r in rows]
         a_col, b_col, t_col = [], [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
                 sa, sb = rows[i][0], rows[j][0]
                 if sa == sb:
                     continue
-                if accept_pair(min(sa, sb), max(sa, sb)):
-                    a_col.append(min(sa, sb))
-                    b_col.append(max(sa, sb))
+                lo, hi = (i, j) if sa < sb else (j, i)
+                if accept_pair_cached(rows[lo][0], rows[hi][0],
+                                      sets[lo], sets[hi]):
+                    a_col.append(rows[lo][0])
+                    b_col.append(rows[hi][0])
                     t_col.append(rows[i][2])
         return pa.table({"etype": pa.array(t_col, pa.string()),
                          "surf_a": pa.array(a_col, pa.string()),
