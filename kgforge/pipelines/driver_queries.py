@@ -367,17 +367,18 @@ def _flagship_for(sf_dir: str) -> dict:
         return _FLAGSHIP_CACHE[sf_dir]
     import pyarrow.parquet as pq
 
-    import ray.data as rd
-
     from kgforge.oracle.corpus import generate_interleaved_docs
     from kgforge.oracle.pipeline import train_hmm
     from kgforge.pipelines.flagship import run_flagship
-    from kgforge.sources.interleaved import docs_to_table
+    from kgforge.sources.interleaved import read_interleaved, write_interleaved
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     docs = generate_interleaved_docs(n_docs, seed=42)
-    zh_t0 = rd.from_arrow(docs_to_table(docs))
-    t0 = zh_t0.union(derive_t0_ds(sf_dir))
+    root0 = tempfile.mkdtemp(prefix="kgforge_t0_")
+    # fragmented layout → many blocks → the tagger actor pool actually
+    # fans out (a single from_arrow block would serialize the pipeline)
+    write_interleaved(docs, root0, rows_per_fragment=max(64, n_docs // 32))
+    t0 = read_interleaved(root0).union(derive_t0_ds(sf_dir))
 
     root = tempfile.mkdtemp(prefix="kgforge_driver_")
     model_path = f"{root}/hmm.npz"

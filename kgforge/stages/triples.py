@@ -68,43 +68,29 @@ class TripleExtractor:
 
 def combine_triples_in_batch(batch: pa.Table) -> pa.Table:
     """Partial D1 combiner: merge duplicate (subj, pred, obj) within a
-    batch before the shuffle (pre-aggregation — SURVEY §4)."""
-    agg: dict[tuple, dict] = {}
-    for r in batch.to_pylist():
-        key = (r["subj"], r["pred"], r["obj"])
-        cur = agg.get(key)
-        if cur is None:
-            agg[key] = {"subj": r["subj"], "pred": r["pred"], "obj": r["obj"],
-                        "subj_type": r["subj_type"],
-                        "obj_type": r["obj_type"],
-                        "support": int(r["support"]),
-                        "first_doc": r["doc_id"]}
-        else:
-            cur["support"] += int(r["support"])
-            cur["first_doc"] = min(cur["first_doc"], r["doc_id"])
-    return pa.Table.from_pylist([agg[k] for k in sorted(agg)],
-                                schema=EDGE_SCHEMA)
-
-
-def merge_triples_group(group: pa.Table) -> pa.Table:
-    """Final D1 merge of one (subj, pred, obj) group."""
-    import pyarrow.compute as pc
-
-    return pa.Table.from_pylist([{
-        "subj": group["subj"][0].as_py(),
-        "pred": group["pred"][0].as_py(),
-        "obj": group["obj"][0].as_py(),
-        "subj_type": group["subj_type"][0].as_py(),
-        "obj_type": group["obj_type"][0].as_py(),
-        "support": int(pc.sum(group["support"]).as_py()),
-        "first_doc": pc.min(group["first_doc"]).as_py(),
-    }], schema=EDGE_SCHEMA)
+    batch before the shuffle (pre-aggregation — SURVEY §4).  Vectorized
+    pandas groupby: a Python row loop here was the hot path."""
+    df = batch.select(["subj", "pred", "obj", "subj_type", "obj_type",
+                       "support", "doc_id"]).to_pandas()
+    g = df.groupby(["subj", "pred", "obj"], as_index=False, sort=True).agg(
+        subj_type=("subj_type", "min"), obj_type=("obj_type", "min"),
+        support=("support", "sum"), first_doc=("doc_id", "min"))
+    return pa.Table.from_pandas(
+        g[["subj", "pred", "obj", "subj_type", "obj_type", "support",
+           "first_doc"]], schema=EDGE_SCHEMA, preserve_index=False)
 
 
 def dedup_triples_ds(triples_ds):
-    """T3 ds → sorted edge table ds (D1 + O2)."""
+    """T3 ds → sorted edge table ds (D1 + O2): two-phase aggregate —
+    in-batch combiner, then ONE native groupby-aggregate (no per-group
+    Python calls), then the global range sort."""
+    from ray.data.aggregate import Min, Sum
+
     partial = triples_ds.map_batches(combine_triples_in_batch,
                                      batch_format="pyarrow")
-    merged = partial.groupby(["subj", "pred", "obj"]) \
-        .map_groups(merge_triples_group, batch_format="pyarrow")
+    merged = partial.groupby(["subj", "pred", "obj"]).aggregate(
+        Min("subj_type", alias_name="subj_type"),
+        Min("obj_type", alias_name="obj_type"),
+        Sum("support", alias_name="support"),
+        Min("first_doc", alias_name="first_doc"))
     return merged.sort(["subj", "pred", "obj"])
