@@ -30,10 +30,10 @@ from kgforge.sources.graph import build_nodes_ds, write_graph_table
 from kgforge.sources.interleaved import read_interleaved
 from kgforge.stages.checkpoint import CheckpointManager
 from kgforge.stages.explode import make_explode_spans
-from kgforge.stages.linking import CanonLookup, build_alias_map
+from kgforge.stages.linking import build_alias_map, make_canon_lookup_fn
 from kgforge.stages.mentions import attach_mentions, explode_mentions
 from kgforge.stages.tagger import HmmTagger
-from kgforge.stages.triples import TripleExtractor, dedup_triples_ds
+from kgforge.stages.triples import dedup_triples_ds, make_triple_extract_fn
 
 
 def run_flagship(t0_path: str | None = None, t0_ds=None, *,
@@ -41,17 +41,38 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
                  num_partitions: int = 32,
                  tagger_concurrency: int | tuple = 4,
                  tagger_batch_size: int = 1024,
+                 read_blocks: int | None = None,
                  out_dir: str | None = None,
                  verify_i1: bool = False) -> dict:
     """Run (or resume) the flagship pipeline.  Returns dataset handles +
     summary counts; writes node/edge tables under ``out_dir`` if given.
+
+    ``read_blocks``: block count for the T0 read (default 8× cluster
+    CPUs).  A block is the per-task unit of every downstream map stage —
+    too few or uneven blocks puts a straggler on the critical path
+    (measured 2× on the tagger stage at 32 CPUs).
     """
+    import time
+
     import ray
 
     ckpt = CheckpointManager(ckpt_root, num_partitions)
+    timings: dict[str, float] = {}
+    _t = time.monotonic()
+
+    def _mark(name: str) -> None:
+        nonlocal _t
+        now = time.monotonic()
+        timings[name] = round(now - _t, 3)
+        _t = now
 
     def t0():
-        return t0_ds if t0_ds is not None else read_interleaved(t0_path)
+        if t0_ds is not None:
+            return t0_ds
+        nb = read_blocks
+        if nb is None:
+            nb = int(8 * ray.cluster_resources().get("CPU", 8))
+        return read_interleaved(t0_path, override_num_blocks=nb)
 
     # ---- stage 1: sentences (explode → tag → mentions) -------------------
     if ckpt.is_complete("sentences"):
@@ -71,47 +92,42 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
                                      checksum_cols=["doc_id", "span_idx",
                                                     "sent_idx", "sent_text"],
                                      schema=sentence_stage_schema())
+    _mark("sentences")
 
-    # ---- stage 2: T1 mentions -------------------------------------------
-    if ckpt.is_complete("mentions"):
-        mentions = ckpt.read_stage("mentions")
-    else:
-        t1 = sentences.map_batches(explode_mentions, batch_format="pyarrow")
-        from kgforge.stages.mentions import T1_SCHEMA
-
-        mentions = ckpt.write_stage(
-            "mentions", t1,
-            checksum_cols=["doc_id", "span_idx", "sent_idx", "ment_start",
-                           "ment_end", "surface", "etype"],
-            schema=T1_SCHEMA)
+    # ---- stage 2: T1 mentions (in-memory fan-out point; derived from
+    # the 'sentences' checkpoint in one cheap pass, so it is NOT its own
+    # disk checkpoint — resume recomputes it from 'sentences') ----------
+    mentions = sentences.map_batches(explode_mentions,
+                                     batch_format="pyarrow").materialize()
+    _mark("mentions")
 
     # ---- stage 3: alias resolution (G4) ---------------------------------
     alias_map = build_alias_map(mentions)
     alias_ref = ray.put(alias_map)
+    _mark("alias")
 
     # ---- stage 4: triples (T3) ------------------------------------------
     if ckpt.is_complete("triples"):
         triples = ckpt.read_stage("triples")
     else:
-        t3 = sentences.map_batches(
-            TripleExtractor, fn_constructor_kwargs={"alias_ref": alias_ref},
-            batch_format="pyarrow", concurrency=tagger_concurrency)
+        t3 = sentences.map_batches(make_triple_extract_fn(alias_ref),
+                                   batch_format="pyarrow")
         from kgforge.stages.triples import TRIPLE_SCHEMA
 
         triples = ckpt.write_stage(
             "triples", t3, checksum_cols=["subj", "pred", "obj", "doc_id"],
             schema=TRIPLE_SCHEMA)
+    _mark("triples")
 
     # ---- stage 5: dedup + sort → edges; nodes ---------------------------
     edges = dedup_triples_ds(triples)
-    linked = mentions.map_batches(
-        CanonLookup, fn_constructor_kwargs={"alias_ref": alias_ref},
-        batch_format="pyarrow", concurrency=tagger_concurrency)
+    linked = mentions.map_batches(make_canon_lookup_fn(alias_ref),
+                                  batch_format="pyarrow")
     nodes = build_nodes_ds(linked)
 
     result = {"sentences": sentences, "mentions": mentions,
               "triples": triples, "edges": edges, "nodes": nodes,
-              "alias_map": alias_map, "ckpt": ckpt}
+              "alias_map": alias_map, "ckpt": ckpt, "timings": timings}
 
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
@@ -125,6 +141,7 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
                                           file_extensions=["parquet"])
         result["nodes"] = rd.read_parquet(result["nodes_path"],
                                           file_extensions=["parquet"])
+        _mark("graph_write")
 
     if verify_i1:
         from kgforge.stages.invariant import verify_invariant

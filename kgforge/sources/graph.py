@@ -25,29 +25,64 @@ NODE_SCHEMA = pa.schema([
 ])
 
 
-def build_nodes_ds(linked_mentions_ds):
-    """T1+canon ds → nodes ds (distributed, two shuffles over small keys)."""
-    from ray.data.aggregate import Count
+def _combine_node_partials(batch: pa.Table) -> pa.Table:
+    """Commutative-associative combiner over (canon, doc, etype) partial
+    counts — vectorized ``group_by``, reusable at every tree level."""
+    if "n" not in batch.column_names:        # first level: raw mentions
+        batch = batch.select(["canon_id", "canon_surface", "doc_id",
+                              "etype"]).append_column(
+            "n", pa.array([1] * batch.num_rows, pa.int64()))
+    g = batch.group_by(["canon_id", "canon_surface", "doc_id", "etype"],
+                       use_threads=False).aggregate([("n", "sum")])
+    return g.rename_columns(["canon_id", "canon_surface", "doc_id",
+                             "etype", "n"])
 
-    phase1 = linked_mentions_ds.groupby(
-        ["canon_id", "canon_surface", "doc_id", "etype"]).aggregate(
-        Count(alias_name="n"))
 
-    def merge_canon(group: pa.Table) -> pa.Table:
-        etypes: dict[str, int] = {}
-        for e, n in zip(group["etype"].to_pylist(), group["n"].to_pylist()):
-            etypes[e] = etypes.get(e, 0) + int(n)
-        top = sorted(etypes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
-        return pa.Table.from_pylist([{
-            "canon_id": group["canon_id"][0].as_py(),
-            "surface": group["canon_surface"][0].as_py(),
-            "etype": top,
-            "n_mentions": int(pc.sum(group["n"]).as_py()),
-            "n_docs": len(set(group["doc_id"].to_pylist())),
-        }], schema=NODE_SCHEMA)
+def _finalize_nodes(batch: pa.Table) -> pa.Table:
+    """Final per-canon merge (single task over the distinct
+    (canon, doc, etype) partials): majority etype with lexicographic
+    tie-break, exact distinct-doc counts — all pandas-vectorized."""
+    df = batch.to_pandas()
+    if df.empty:
+        return NODE_SCHEMA.empty_table()
+    # majority etype: sum n per (canon, etype), pick (-n, etype) min
+    te = df.groupby(["canon_id", "etype"], as_index=False)["n"].sum()
+    te = te.sort_values(["canon_id", "n", "etype"],
+                        ascending=[True, False, True])
+    top = te.drop_duplicates("canon_id")[["canon_id", "etype"]]
+    agg = df.groupby("canon_id").agg(
+        surface=("canon_surface", "first"),
+        n_mentions=("n", "sum"),
+        n_docs=("doc_id", "nunique")).reset_index()
+    out = agg.merge(top, on="canon_id").sort_values("canon_id")
+    return pa.Table.from_pandas(
+        out[["canon_id", "surface", "etype", "n_mentions", "n_docs"]],
+        schema=NODE_SCHEMA, preserve_index=False)
 
-    return phase1.groupby("canon_id").map_groups(
-        merge_canon, batch_format="pyarrow").sort("canon_id")
+
+def build_nodes_ds(linked_mentions_ds, num_buckets: int = 32):
+    """T1+canon ds → nodes ds.
+
+    Per-block vectorized combine of (canon, doc, etype) counted
+    partials, then ONE hash-partitioned exchange keyed on
+    ``hash(canon_id) % num_buckets`` (all rows of a canon land in one
+    bucket, so the per-bucket finalize computes exact majority etype +
+    distinct-doc counts), then a global sort by canon_id.  Fully
+    parallel at every level — the distinct (canon, doc) set grows with
+    the corpus and is never single-tasked."""
+    from kgforge.stages.triples import add_hash_bucket
+
+    partial = linked_mentions_ds.map_batches(_combine_node_partials,
+                                             batch_format="pyarrow")
+    bucketed = partial.map_batches(
+        lambda b: add_hash_bucket(b, ["canon_id"], num_buckets),
+        batch_format="pyarrow")
+
+    def finalize_bucket(group: pa.Table) -> pa.Table:
+        return _finalize_nodes(group.drop_columns(["bucket"]))
+
+    return bucketed.groupby("bucket").map_groups(
+        finalize_bucket, batch_format="pyarrow").sort("canon_id")
 
 
 def write_graph_table(ds, path: str, table_name: str) -> str:

@@ -2,16 +2,24 @@
 
 Checkpoint layout under ``ckpt_root``::
 
-    {stage}/pid=N/part-*.parquet     # partition-keyed Parquet fragments
-    {stage}/_SUCCESS                 # stage completion marker (atomic)
-    lineage/{stage}.parquet          # T5 rows: one per partition
+    {stage}/part-<checksum>-<rows>.parquet   # one file per block/partition
+    {stage}/_SUCCESS                         # stage completion marker
+    lineage/{stage}.parquet                  # T5 rows: one per partition
 
-A stage writes to ``{stage}.tmp/`` first and renames — a crash mid-write
-leaves no ``_SUCCESS``, so resume recomputes that stage from the previous
-checkpoint and nothing downstream can read a torn table ("resumes
-mid-pipeline after failure", BASELINE.json:6).  Lineage rows carry
-per-partition row counts, an order-insensitive content checksum, and
-wall time (T5 schema, SURVEY §1.2).
+Write path is **write-through**: every map task persists its own block
+(and a one-row lineage fragment) inline during the compute pass — no
+second materialization, no driver-side readback, no hive explosion.
+File names are content-addressed (``<checksum>-<rows>``) so a Ray task
+*retry* rewrites the same file idempotently instead of duplicating
+rows; the checksum columns always include a row-identity column
+(doc_id / mention key), so distinct blocks can't collide.
+
+A stage writes to ``{stage}.tmp/`` first and renames — a crash
+mid-write leaves no ``_SUCCESS``, so resume recomputes that stage from
+the previous checkpoint and nothing downstream reads a torn table
+("resumes mid-pipeline after failure", BASELINE.json:6).  Lineage rows
+carry per-partition row counts, an order-insensitive content checksum,
+and wall time (T5 schema, SURVEY §1.2).
 """
 
 from __future__ import annotations
@@ -24,7 +32,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from kgforge.common.hashing import hash_u64
 
 def _restore_pid(batch: pa.Table) -> pa.Table:
     if "pid" in batch.column_names and batch.schema.field("pid").type != pa.int32():
@@ -47,8 +54,8 @@ LINEAGE_SCHEMA = pa.schema([
 
 def _content_checksum(batch: pa.Table, cols: list[str]) -> int:
     """Order-insensitive u64: XOR of vectorized per-row hashes over the
-    key columns (``pd.util.hash_pandas_object`` — C-speed siphash; the
-    previous per-row blake2b Python loop dominated checkpoint time)."""
+    key columns (``pd.util.hash_pandas_object`` — C-speed siphash; a
+    per-row Python hash loop here dominated checkpoint time)."""
     if batch.num_rows == 0:
         return 0
     import pandas as pd
@@ -58,16 +65,31 @@ def _content_checksum(batch: pa.Table, cols: list[str]) -> int:
     return int(np.bitwise_xor.reduce(h))
 
 
-def _partition_lineage(part_dir: str, stage: str, pid: int,
-                       checksum_cols: list[str], input_rows: int,
-                       wall: float) -> dict:
-    tbl = pq.read_table(part_dir)
-    return {
-        "stage": stage, "partition_id": pid,
-        "input_rows": input_rows, "output_rows": tbl.num_rows,
-        "checksum": _content_checksum(tbl, checksum_cols),
-        "wall_s": wall, "status": "complete",
-    }
+def _make_block_writer(tmp_dir: str, stage: str, checksum_cols: list[str],
+                       t_start: float):
+    """Write-through batch fn: persist the block + its lineage fragment,
+    pass the batch downstream unchanged."""
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        cs = _content_checksum(batch, checksum_cols)
+        name = f"part-{cs:016x}-{batch.num_rows}"
+        pq.write_table(batch, os.path.join(tmp_dir, name + ".parquet"))
+        lineage = pa.Table.from_pylist([{
+            "stage": stage,
+            "partition_id": int(cs & 0x7FFFFFFF),
+            "input_rows": batch.num_rows,
+            "output_rows": batch.num_rows,
+            "checksum": cs,
+            "wall_s": time.monotonic() - t_start,
+            "status": "complete",
+        }], schema=LINEAGE_SCHEMA)
+        pq.write_table(lineage,
+                       os.path.join(tmp_dir, "_lineage", name + ".parquet"))
+        return batch
+
+    return write_block
 
 
 class CheckpointManager:
@@ -85,11 +107,10 @@ class CheckpointManager:
     def write_stage(self, stage: str, ds, checksum_cols: list[str],
                     input_rows: int | None = None,
                     schema: pa.Schema | None = None):
-        """Materialize ``ds`` as this stage's checkpoint (atomic) and
-        record per-partition lineage.  Returns a fresh Dataset reading
-        the checkpoint (downstream consumers re-read from Parquet, so
-        upstream lineage is never re-executed — this is both the resume
-        point and the fan-out point for multi-consumer stages)."""
+        """Run ``ds`` once with write-through block persistence; returns
+        the *materialized* dataset (downstream consumers stream from the
+        object store; the Parquet files exist for resume).  Atomic via
+        tmp-dir + rename; ``_SUCCESS`` only after all blocks landed."""
         t0 = time.monotonic()
         final = self.stage_dir(stage)
         tmp = final + ".tmp"
@@ -97,48 +118,42 @@ class CheckpointManager:
             shutil.rmtree(tmp)
         if os.path.exists(final):
             shutil.rmtree(final)
-        os.makedirs(tmp, exist_ok=True)
-        ds.write_parquet(tmp, partition_cols=["pid"])
-        if not any(e.startswith("pid=") for e in os.listdir(tmp)):
-            # zero-row stage: persist an empty table so downstream reads
-            # (and resume) still see the stage's schema
+        os.makedirs(os.path.join(tmp, "_lineage"), exist_ok=True)
+
+        written = ds.map_batches(
+            _make_block_writer(tmp, stage, checksum_cols, t0),
+            batch_format="pyarrow", batch_size=None).materialize()
+
+        lineage_dir = os.path.join(tmp, "_lineage")
+        frags = sorted(os.listdir(lineage_dir))
+        if frags:
+            lineage_tbl = pa.concat_tables(
+                [pq.read_table(os.path.join(lineage_dir, f)) for f in frags])
+        else:
+            lineage_tbl = LINEAGE_SCHEMA.empty_table()
+            # zero-row stage: persist schema so resume sees it
             arrow_schema = schema
             if arrow_schema is None:
                 try:
-                    arrow_schema = ds.schema().base_schema
+                    arrow_schema = written.schema().base_schema
                 except Exception:
                     arrow_schema = pa.schema([("pid", pa.int32())])
             pq.write_table(arrow_schema.empty_table(),
                            os.path.join(tmp, "empty.parquet"))
-        wall = time.monotonic() - t0
-        # lineage per partition — one Ray task per pid dir (parallel
-        # readback of the small per-pid fragments, vectorized checksum)
-        import ray
-
-        lineage_task = ray.remote(num_cpus=1)(_partition_lineage)
-        refs = []
-        for entry in sorted(os.listdir(tmp)):
-            if not entry.startswith("pid="):
-                continue
-            pid = int(entry.split("=")[1])
-            refs.append(lineage_task.remote(
-                os.path.join(tmp, entry), stage, pid, checksum_cols,
-                -1 if input_rows is None else input_rows, wall))
-        rows = ray.get(refs)
         os.makedirs(os.path.join(self.root, "lineage"), exist_ok=True)
-        pq.write_table(pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA),
+        pq.write_table(lineage_tbl,
                        os.path.join(self.root, "lineage", f"{stage}.parquet"))
+        shutil.rmtree(lineage_dir)
         os.rename(tmp, final)
         with open(os.path.join(final, "_SUCCESS"), "w") as f:
-            f.write(str(len(rows)))
-        return self.read_stage(stage)
+            f.write(str(len(frags)))
+        return written
 
     def read_stage(self, stage: str):
         import ray.data as rd
 
         ds = rd.read_parquet(self.stage_dir(stage),
                              file_extensions=["parquet"])
-        # hive partitioning surfaces `pid` as string — restore int32
         return ds.map_batches(_restore_pid, batch_format="pyarrow")
 
     def lineage(self) -> pa.Table:

@@ -181,6 +181,17 @@ def build_alias_map(mentions_ds, salt_buckets: int = DEFAULT_SALT_BUCKETS,
     return resolve_from_pairs(support, sorted(pairs))
 
 
+def make_canon_lookup_fn(alias_ref):
+    """Stateless task variant of :class:`CanonLookup` (broadcast map
+    resolved once per worker via the shared cache — no actor pool)."""
+    from kgforge.stages.triples import alias_from_ref
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        return CanonLookup(alias_map=alias_from_ref(alias_ref))(batch)
+
+    return lookup
+
+
 class CanonLookup:
     """L2 broadcast lookup actor: mention/sentence batches gain
     ``canon_id`` / ``canon_surface`` columns."""

@@ -38,6 +38,33 @@ EDGE_SCHEMA = pa.schema([
 ])
 
 
+_ALIAS_CACHE: dict = {}
+
+
+def alias_from_ref(alias_ref) -> dict:
+    """Per-worker-process cache of the broadcast alias map: ``ray.get``
+    of a Python dict deserializes on every call, so stateless task fns
+    resolve it once per process (the actor-pool alternative paid ~2-5s
+    of pool spin-up per stage for the same effect)."""
+    key = alias_ref.hex()
+    if key not in _ALIAS_CACHE:
+        import ray
+
+        _ALIAS_CACHE.clear()          # only one broadcast generation live
+        _ALIAS_CACHE[key] = ray.get(alias_ref)
+    return _ALIAS_CACHE[key]
+
+
+def make_triple_extract_fn(alias_ref):
+    """Stateless task variant of :class:`TripleExtractor` — fuses with
+    upstream map stages (no actor pool)."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        return TripleExtractor(alias_map=alias_from_ref(alias_ref))(batch)
+
+    return extract
+
+
 class TripleExtractor:
     """Sentence rows (``mentions`` attached) → T3 rows."""
 
@@ -68,29 +95,63 @@ class TripleExtractor:
 
 def combine_triples_in_batch(batch: pa.Table) -> pa.Table:
     """Partial D1 combiner: merge duplicate (subj, pred, obj) within a
-    batch before the shuffle (pre-aggregation — SURVEY §4).  Vectorized
-    pandas groupby: a Python row loop here was the hot path."""
-    df = batch.select(["subj", "pred", "obj", "subj_type", "obj_type",
-                       "support", "doc_id"]).to_pandas()
-    g = df.groupby(["subj", "pred", "obj"], as_index=False, sort=True).agg(
-        subj_type=("subj_type", "min"), obj_type=("obj_type", "min"),
-        support=("support", "sum"), first_doc=("doc_id", "min"))
-    return pa.Table.from_pandas(
-        g[["subj", "pred", "obj", "subj_type", "obj_type", "support",
-           "first_doc"]], schema=EDGE_SCHEMA, preserve_index=False)
+    batch before any exchange (pre-aggregation — SURVEY §4).  Pure
+    ``pyarrow.Table.group_by`` — C++-vectorized, no per-row Python."""
+    if "doc_id" in batch.column_names:           # T3 input
+        batch = pa.table({
+            "subj": batch["subj"], "pred": batch["pred"],
+            "obj": batch["obj"], "subj_type": batch["subj_type"],
+            "obj_type": batch["obj_type"], "support": batch["support"],
+            "first_doc": batch["doc_id"]})
+    g = batch.group_by(["subj", "pred", "obj"], use_threads=False).aggregate(
+        [("subj_type", "min"), ("obj_type", "min"),
+         ("support", "sum"), ("first_doc", "min")])
+    g = g.select(["subj", "pred", "obj", "subj_type_min", "obj_type_min",
+                  "support_sum", "first_doc_min"])
+    return g.rename_columns(["subj", "pred", "obj", "subj_type",
+                             "obj_type", "support", "first_doc"]) \
+        .cast(EDGE_SCHEMA)
 
 
-def dedup_triples_ds(triples_ds):
-    """T3 ds → sorted edge table ds (D1 + O2): two-phase aggregate —
-    in-batch combiner, then ONE native groupby-aggregate (no per-group
-    Python calls), then the global range sort."""
-    from ray.data.aggregate import Min, Sum
+def add_hash_bucket(batch: pa.Table, key_cols: list[str],
+                    num_buckets: int) -> pa.Table:
+    """Append a ``bucket`` int column = stable hash of the key columns
+    (vectorized siphash) — the explicit hash-partition key for the
+    merge shuffle."""
+    import numpy as np
+    import pandas as pd
 
+    if batch.num_rows == 0:
+        return batch.append_column("bucket", pa.array([], pa.int64()))
+    h = pd.util.hash_pandas_object(
+        batch.select(key_cols).to_pandas(), index=False) \
+        .to_numpy(dtype=np.uint64)
+    return batch.append_column(
+        "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+
+def dedup_triples_ds(triples_ds, num_buckets: int = 64):
+    """T3 ds → sorted edge table ds (D1 + O2).
+
+    Two-phase hash merge with a commutative-associative combiner:
+    per-block vectorized combine (the pre-aggregation that keeps hot
+    triples from concentrating), then ONE hash-partitioned exchange
+    (``groupby(bucket)`` over ``num_buckets`` int keys — cheap shuffle,
+    no string-key sort) with a vectorized ``group_by`` merge per
+    bucket, then the global range sort.  The distinct edge set is NOT
+    assumed small (structural ``mentions(doc, entity)`` triples grow
+    with the corpus): every level is fully parallel; scale by raising
+    ``num_buckets``.
+    """
     partial = triples_ds.map_batches(combine_triples_in_batch,
                                      batch_format="pyarrow")
-    merged = partial.groupby(["subj", "pred", "obj"]).aggregate(
-        Min("subj_type", alias_name="subj_type"),
-        Min("obj_type", alias_name="obj_type"),
-        Sum("support", alias_name="support"),
-        Min("first_doc", alias_name="first_doc"))
+    bucketed = partial.map_batches(
+        lambda b: add_hash_bucket(b, ["subj", "pred", "obj"], num_buckets),
+        batch_format="pyarrow")
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        return combine_triples_in_batch(group.drop_columns(["bucket"]))
+
+    merged = bucketed.groupby("bucket").map_groups(
+        merge_bucket, batch_format="pyarrow")
     return merged.sort(["subj", "pred", "obj"])

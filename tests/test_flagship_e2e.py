@@ -73,7 +73,7 @@ def test_alias_map_merges_fixture_aliases(flagship_result):
 def test_lineage_recorded(flagship_result):
     lineage = flagship_result["res"]["ckpt"].lineage().to_pylist()
     stages = {r["stage"] for r in lineage}
-    assert {"sentences", "mentions", "triples"} <= stages
+    assert {"sentences", "triples"} <= stages
     assert all(r["status"] == "complete" for r in lineage)
 
 

@@ -80,9 +80,16 @@ def test_checkpoint_roundtrip(ray_session, tmp_path):
     assert len(back) == 100
     assert back["pid"].dtype.name in ("int32", "int64")
     lineage = ckpt.lineage().to_pylist()
-    assert {r["partition_id"] for r in lineage} == {0, 1, 2, 3}
+    # partition ids are content-derived (write-through checkpoints);
+    # every written block contributes one complete lineage row
+    assert len(lineage) >= 1
+    assert len({r["partition_id"] for r in lineage}) == len(lineage)
     assert sum(r["output_rows"] for r in lineage) == 100
     assert all(r["status"] == "complete" for r in lineage)
+    # resume path: read_stage returns the persisted rows
+    back2 = ckpt.read_stage("stage_a").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(back2) == 100
 
 
 def test_distributed_hmm_training_matches_local(ray_session):
