@@ -32,7 +32,7 @@ from kgforge.stages.checkpoint import CheckpointManager
 from kgforge.stages.explode import make_explode_spans
 from kgforge.stages.linking import build_alias_map, make_canon_lookup_fn
 from kgforge.stages.mentions import attach_mentions, explode_mentions
-from kgforge.stages.tagger import HmmTagger
+from kgforge.stages.tagger import HmmTagger, make_hmm_tagger_fn
 from kgforge.stages.triples import dedup_triples_ds, make_triple_extract_fn
 
 
@@ -41,6 +41,7 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
                  num_partitions: int = 32,
                  tagger_concurrency: int | tuple = 4,
                  tagger_batch_size: int = 1024,
+                 tagger_mode: str = "tasks",
                  read_blocks: int | None = None,
                  out_dir: str | None = None,
                  verify_i1: bool = False) -> dict:
@@ -80,10 +81,20 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
     else:
         sents = t0().map_batches(make_explode_spans(num_partitions),
                                  batch_format="pyarrow")
-        tagged = sents.map_batches(
-            HmmTagger, fn_constructor_kwargs={"model_path": model_path},
-            batch_format="pyarrow", batch_size=tagger_batch_size,
-            concurrency=tagger_concurrency, num_cpus=1)
+        if tagger_mode == "actors":
+            # expensive-per-worker state (BiLSTM weights, GPU): class
+            # UDF actor pool, setup once per actor in __init__
+            tagged = sents.map_batches(
+                HmmTagger, fn_constructor_kwargs={"model_path": model_path},
+                batch_format="pyarrow", batch_size=tagger_batch_size,
+                concurrency=tagger_concurrency, num_cpus=1)
+        else:
+            # cheap state (HMM .npz): stateless fn + per-worker model
+            # cache — fuses read→explode→tag→mentions→checkpoint into
+            # one operator, no pool spin-up
+            tagged = sents.map_batches(
+                make_hmm_tagger_fn(model_path), batch_format="pyarrow",
+                batch_size=tagger_batch_size)
         with_mentions = tagged.map_batches(attach_mentions,
                                            batch_format="pyarrow")
         from kgforge.stages.mentions import sentence_stage_schema

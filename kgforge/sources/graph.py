@@ -70,19 +70,21 @@ def build_nodes_ds(linked_mentions_ds, num_buckets: int = 32):
     distinct-doc counts), then a global sort by canon_id.  Fully
     parallel at every level — the distinct (canon, doc) set grows with
     the corpus and is never single-tasked."""
-    from kgforge.stages.triples import add_hash_bucket
+    import numpy as np
 
-    partial = linked_mentions_ds.map_batches(_combine_node_partials,
-                                             batch_format="pyarrow")
-    bucketed = partial.map_batches(
-        lambda b: add_hash_bucket(b, ["canon_id"], num_buckets),
-        batch_format="pyarrow")
+    from kgforge.stages.exchange import range_exchange_merge
 
-    def finalize_bucket(group: pa.Table) -> pa.Table:
-        return _finalize_nodes(group.drop_columns(["bucket"]))
+    partial = linked_mentions_ds.map_batches(
+        _combine_node_partials, batch_format="pyarrow").materialize()
 
-    return bucketed.groupby("bucket").map_groups(
-        finalize_bucket, batch_format="pyarrow").sort("canon_id")
+    def key_of(batch: pa.Table) -> np.ndarray:
+        return np.asarray(batch["canon_id"].to_pylist(), dtype=object)
+
+    # _finalize_nodes sorts by canon_id within the bucket; range buckets
+    # in key order ⇒ globally sorted node table
+    return range_exchange_merge(partial, key_of=key_of,
+                                merge_fn=_finalize_nodes,
+                                num_buckets=num_buckets)
 
 
 def write_graph_table(ds, path: str, table_name: str) -> str:

@@ -1,0 +1,97 @@
+"""Custom two-stage range exchange (raw Ray tasks, zero-copy Arrow).
+
+``ray.data``'s sort-based groupby shuffle carries significant per-row
+overhead for the final merge of large keyed tables (measured ~25-30s
+for an 8.5M-row merge that this exchange does in a fraction).  This is
+the one place the engine drops below the Dataset API (SURVEY §2 note:
+"raw Ray tasks/actors as a last resort"), and it implements the
+textbook shuffle:
+
+1. **split** — one task per input block: assign each row a range
+   bucket via ``np.searchsorted`` over sample-derived split points,
+   ``sort+slice`` the block into per-bucket sub-tables
+   (``num_returns=num_buckets`` → each sub-table is its own object).
+2. **merge** — one task per bucket: concat that bucket's sub-tables
+   from every block, apply the caller's vectorized merge fn
+   (combine + sort-within-bucket), return one Arrow table.
+3. reassemble with ``ray.data.from_arrow_refs`` in bucket order —
+   range buckets ⇒ the concatenated dataset is globally sorted.
+
+All stages are Arrow-native and fully parallel; skew is bounded by the
+sample-based split points (equi-depth buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _split_block(tbl: pa.Table, splits: np.ndarray, key_of, num_buckets: int):
+    """Block → ``num_buckets`` sub-tables (bucket-sorted slices)."""
+    if tbl.num_rows == 0:
+        return tuple(tbl.slice(0, 0) for _ in range(num_buckets))
+    keys = key_of(tbl)
+    buckets = np.searchsorted(splits, keys, side="right")
+    order = np.argsort(buckets, kind="stable")
+    tbl = tbl.take(pa.array(order))
+    sorted_buckets = buckets[order]
+    bounds = np.searchsorted(sorted_buckets,
+                             np.arange(num_buckets + 1), side="left")
+    return tuple(tbl.slice(bounds[b], bounds[b + 1] - bounds[b])
+                 for b in range(num_buckets))
+
+
+def _merge_bucket(merge_fn, *parts: pa.Table) -> pa.Table:
+    tables = [p for p in parts if p.num_rows > 0]
+    if not tables:
+        tables = [parts[0]]            # empty bucket: merge_fn defines
+    return merge_fn(pa.concat_tables(tables))   # the (empty) out schema
+
+
+def sample_splits(ds, key_of, num_buckets: int,
+                  per_block: int = 64) -> np.ndarray:
+    """Equi-depth split points from a systematic sample of the keys."""
+    def sample_keys(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.string())})
+        keys = key_of(batch)
+        stride = max(1, len(keys) // per_block)
+        return pa.table({"key": pa.array(list(keys[::stride]), pa.string())})
+
+    sampled = sorted(r["key"] for r in
+                     ds.map_batches(sample_keys,
+                                    batch_format="pyarrow").take_all())
+    if not sampled:
+        return np.asarray([], dtype=object)
+    splits = sorted({sampled[i * len(sampled) // num_buckets]
+                     for i in range(1, num_buckets)})
+    return np.asarray(splits, dtype=object)
+
+
+def range_exchange_merge(ds, key_of, merge_fn, num_buckets: int = 64):
+    """Materialized Dataset → Dataset, globally sorted by ``key_of``.
+
+    ``key_of(batch) -> np.ndarray[object]`` must be a sort key whose
+    string order equals the caller's desired row order; ``merge_fn``
+    merges one co-ranged table (dedup/aggregate + sort within bucket).
+    """
+    import ray
+    import ray.data as rd
+
+    splits = sample_splits(ds, key_of, num_buckets)
+    block_refs = ds.to_arrow_refs()
+    if not block_refs:
+        return ds
+
+    split_task = ray.remote(num_cpus=1, num_returns=num_buckets)(_split_block)
+    merge_task = ray.remote(num_cpus=1)(_merge_bucket)
+
+    parts = [split_task.remote(ref, splits, key_of, num_buckets)
+             for ref in block_refs]
+    if num_buckets == 1:
+        parts = [[p] for p in parts]
+    merged = [merge_task.remote(merge_fn,
+                                *[parts[i][b] for i in range(len(parts))])
+              for b in range(num_buckets)]
+    return rd.from_arrow_refs(merged)

@@ -17,6 +17,28 @@ import pyarrow as pa
 from kgforge.oracle import hmm as hmm_mod
 
 
+_MODEL_CACHE: dict = {}
+
+
+def make_hmm_tagger_fn(model_path: str):
+    """Stateless task variant of :class:`HmmTagger`: the model loads
+    once per worker process from ``model_path`` (module-level cache) and
+    the stage FUSES with adjacent task stages — no actor pool to spin
+    up.  Right when model state is cheap to load (the HMM ``.npz`` is a
+    few hundred KB); use the :class:`HmmTagger` actor-pool form when
+    per-worker setup is expensive (BiLSTM weights, GPU transfer)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        tagger = _MODEL_CACHE.get(model_path)
+        if tagger is None:
+            tagger = HmmTagger(model_path=model_path)
+            _MODEL_CACHE.clear()
+            _MODEL_CACHE[model_path] = tagger
+        return tagger(batch)
+
+    return tag
+
+
 class HmmTagger:
     """HMM-Viterbi tagger (``REF?:hmm`` predict path).
 

@@ -4,12 +4,13 @@
 broadcast alias map; it maps sentence-with-mentions batches to T3 triple
 rows using the *oracle* rule engine (identical semantics by
 construction).  Dedup is the canonical two-phase pattern: in-batch
-combine (map_batches) → ``groupby(subj, pred, obj).map_groups`` final
-merge → global sort (SHUFFLE 2 + 3 of SURVEY §3.2).
+combine (map_batches) → range-partitioned merge+sort in one exchange
+(SHUFFLE 2+3 of SURVEY §3.2 fused; see :func:`dedup_triples_ds`).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from kgforge.oracle.triples import Mention, extract_triples
@@ -118,7 +119,6 @@ def add_hash_bucket(batch: pa.Table, key_cols: list[str],
     """Append a ``bucket`` int column = stable hash of the key columns
     (vectorized siphash) — the explicit hash-partition key for the
     merge shuffle."""
-    import numpy as np
     import pandas as pd
 
     if batch.num_rows == 0:
@@ -130,28 +130,41 @@ def add_hash_bucket(batch: pa.Table, key_cols: list[str],
         "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
 
 
+_KEY_SEP = "\x1f"   # below every content byte → concat order == tuple order
+
+
+def _triple_keys(batch: pa.Table) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    joined = pc.binary_join_element_wise(batch["subj"], batch["pred"],
+                                         batch["obj"], _KEY_SEP)
+    return np.asarray(joined.to_pylist(), dtype=object)
+
+
 def dedup_triples_ds(triples_ds, num_buckets: int = 64):
-    """T3 ds → sorted edge table ds (D1 + O2).
+    """T3 ds → globally sorted edge table ds (D1 + O2) in ONE exchange.
 
-    Two-phase hash merge with a commutative-associative combiner:
-    per-block vectorized combine (the pre-aggregation that keeps hot
-    triples from concentrating), then ONE hash-partitioned exchange
-    (``groupby(bucket)`` over ``num_buckets`` int keys — cheap shuffle,
-    no string-key sort) with a vectorized ``group_by`` merge per
-    bucket, then the global range sort.  The distinct edge set is NOT
-    assumed small (structural ``mentions(doc, entity)`` triples grow
-    with the corpus): every level is fully parallel; scale by raising
-    ``num_buckets``.
+    Per-block vectorized combine (pre-aggregation), then a
+    range-partitioned merge: sample-based split points over the
+    combined ``subj␟pred␟obj`` key assign each partial row a range
+    bucket; ``groupby(bucket)`` co-locates each key range, the
+    per-bucket merge combines + sorts within the range, and because
+    groupby emits partitions in key order the concatenated output is
+    globally sorted — no separate sort exchange.  The distinct edge
+    set is NOT assumed small (structural ``mentions(doc, entity)``
+    triples grow with the corpus): every level is parallel; scale by
+    raising ``num_buckets``.
     """
+    from kgforge.stages.exchange import range_exchange_merge
+
     partial = triples_ds.map_batches(combine_triples_in_batch,
-                                     batch_format="pyarrow")
-    bucketed = partial.map_batches(
-        lambda b: add_hash_bucket(b, ["subj", "pred", "obj"], num_buckets),
-        batch_format="pyarrow")
+                                     batch_format="pyarrow").materialize()
 
-    def merge_bucket(group: pa.Table) -> pa.Table:
-        return combine_triples_in_batch(group.drop_columns(["bucket"]))
+    def merge_and_sort(tbl: pa.Table) -> pa.Table:
+        merged = combine_triples_in_batch(tbl)
+        return merged.sort_by([("subj", "ascending"), ("pred", "ascending"),
+                               ("obj", "ascending")])
 
-    merged = bucketed.groupby("bucket").map_groups(
-        merge_bucket, batch_format="pyarrow")
-    return merged.sort(["subj", "pred", "obj"])
+    return range_exchange_merge(partial, key_of=_triple_keys,
+                                merge_fn=merge_and_sort,
+                                num_buckets=num_buckets)
