@@ -27,8 +27,14 @@ import numpy as np
 import pyarrow as pa
 
 
-def _split_block(tbl: pa.Table, splits: np.ndarray, key_of, num_buckets: int):
-    """Block → ``num_buckets`` sub-tables (bucket-sorted slices)."""
+def _split_block(splits: np.ndarray, key_of, num_buckets: int,
+                 *tbls: pa.Table):
+    """Block group → ``num_buckets`` sub-tables (bucket-sorted slices).
+
+    Takes a GROUP of blocks (so the split×merge object matrix stays
+    ~num_buckets², not num_blocks×num_buckets — 16k tiny objects
+    measurably cost driver time)."""
+    tbl = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
     if tbl.num_rows == 0:
         return tuple(tbl.slice(0, 0) for _ in range(num_buckets))
     keys = key_of(tbl)
@@ -87,8 +93,11 @@ def range_exchange_merge(ds, key_of, merge_fn, num_buckets: int = 64):
     split_task = ray.remote(num_cpus=1, num_returns=num_buckets)(_split_block)
     merge_task = ray.remote(num_cpus=1)(_merge_bucket)
 
-    parts = [split_task.remote(ref, splits, key_of, num_buckets)
-             for ref in block_refs]
+    group_size = max(1, len(block_refs) // num_buckets)
+    groups = [block_refs[i:i + group_size]
+              for i in range(0, len(block_refs), group_size)]
+    parts = [split_task.remote(splits, key_of, num_buckets, *g)
+             for g in groups]
     if num_buckets == 1:
         parts = [[p] for p in parts]
     merged = [merge_task.remote(merge_fn,

@@ -48,18 +48,21 @@ DEFAULT_MAX_BLOCK = 512
 
 def make_partial_surface_counts(salt_buckets: int = DEFAULT_SALT_BUCKETS):
     def partial_surface_counts(batch: pa.Table) -> pa.Table:
-        c = Counter(zip(batch["etype"].to_pylist(),
-                        batch["surface"].to_pylist()))
-        etypes = [k[0] for k in c]
-        surfaces = [k[1] for k in c]
+        # vectorized combiner (arrow group_by): one row per distinct
+        # (etype, surface) per batch — this is what keeps hot surfaces
+        # from concentrating on one reducer
+        g = batch.select(["etype", "surface"]) \
+            .group_by(["etype", "surface"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        surfaces = g["surface"].to_pylist()
         salts = (hash_u64_np(surfaces, seed=7) %
                  np.uint64(salt_buckets)).astype(np.int32) if surfaces else \
             np.array([], dtype=np.int32)
         return pa.table({
-            "etype": pa.array(etypes, pa.string()),
-            "surface": pa.array(surfaces, pa.string()),
+            "etype": g["etype"],
+            "surface": g["surface"],
             "salt": pa.array(salts, pa.int32()),
-            "n": pa.array([c[k] for k in c], pa.int64()),
+            "n": g["count_all"].cast(pa.int64()),
         })
 
     return partial_surface_counts
@@ -76,31 +79,46 @@ def surface_support(mentions_ds, salt_buckets: int = DEFAULT_SALT_BUCKETS):
         Sum("n", alias_name="n"))
 
 
-def _make_pair_fn(max_block: int):
+def verify_block_pairs(rows: list[tuple[str, int, str]],
+                       max_block: int) -> list[tuple[str, str, str]]:
+    """One blocking bucket → accepted ``(etype, surf_a, surf_b)`` pairs.
+
+    ``rows``: (surface, support, etype).  Caps oversized blocks to the
+    ``max_block`` highest-support surfaces (a giant block is
+    non-discriminative; bounds the O(k²) verify).  Shingles each
+    surface ONCE per block — recomputing hashes per pair dominated
+    wall time.  Shared by the distributed groupby path and the
+    driver-side small-side path (identical pair sets by construction).
+    """
     from kgforge.oracle.minhash import shingles
 
+    rows = sorted(rows, key=lambda r: (-r[1], r[0]))
+    if len(rows) > max_block:
+        rows = rows[:max_block]
+    sets = [set(shingles(r[0]).tolist()) for r in rows]
+    out: list[tuple[str, str, str]] = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            sa, sb = rows[i][0], rows[j][0]
+            if sa == sb:
+                continue
+            lo, hi = (i, j) if sa < sb else (j, i)
+            if accept_pair_cached(rows[lo][0], rows[hi][0],
+                                  sets[lo], sets[hi]):
+                out.append((rows[i][2], rows[lo][0], rows[hi][0]))
+    return out
+
+
+def _make_pair_fn(max_block: int):
     def emit_pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(zip(group["surface"].to_pylist(),
-                          group["n"].to_pylist(),
-                          group["etype"].to_pylist()),
-                      key=lambda r: (-r[1], r[0]))
-        if len(rows) > max_block:
-            rows = rows[:max_block]
-        # shingle each surface ONCE per block (pairwise loop is O(k²);
-        # recomputing hashes per pair dominated wall time)
-        sets = [set(shingles(r[0]).tolist()) for r in rows]
-        a_col, b_col, t_col = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                sa, sb = rows[i][0], rows[j][0]
-                if sa == sb:
-                    continue
-                lo, hi = (i, j) if sa < sb else (j, i)
-                if accept_pair_cached(rows[lo][0], rows[hi][0],
-                                      sets[lo], sets[hi]):
-                    a_col.append(rows[lo][0])
-                    b_col.append(rows[hi][0])
-                    t_col.append(rows[i][2])
+        rows = list(zip(group["surface"].to_pylist(),
+                        group["n"].to_pylist(),
+                        group["etype"].to_pylist()))
+        t_col, a_col, b_col = [], [], []
+        for etype, a, b in verify_block_pairs(rows, max_block):
+            t_col.append(etype)
+            a_col.append(a)
+            b_col.append(b)
         return pa.table({"etype": pa.array(t_col, pa.string()),
                          "surf_a": pa.array(a_col, pa.string()),
                          "surf_b": pa.array(b_col, pa.string())})
@@ -138,31 +156,75 @@ def make_blocking_keys_fn():
 
 
 def build_alias_map(mentions_ds, salt_buckets: int = DEFAULT_SALT_BUCKETS,
-                    max_block: int = DEFAULT_MAX_BLOCK
+                    max_block: int = DEFAULT_MAX_BLOCK,
+                    small_side: str = "driver"
                     ) -> dict[tuple[str, str], tuple[str, str]]:
-    """Full distributed alias resolution → driver-side alias dict.
+    """Full alias resolution → driver-side alias dict.
 
     The returned dict is the broadcast small side (``ray.put`` it once;
-    :class:`CanonLookup` reads it per actor).  Scale assumption: the
-    number of *distinct* entity surfaces fits driver memory (gazetteer-
-    bounded; at 10¹² docs this is the entity vocabulary, not the corpus).
+    lookups read it per worker).  Scale assumption: the number of
+    *distinct* entity surfaces fits driver memory (gazetteer-bounded;
+    at 10¹² docs this is the entity vocabulary, not the corpus).
+
+    ``small_side="driver"`` (default): the per-batch vectorized
+    combiner already emits one row per distinct (etype, surface) per
+    batch — the driver merges those partials directly and runs
+    blocking + capped pair verification locally.  This is the fast
+    path while the distinct-surface set is broadcast-sized; the wide
+    machinery (salted groupby, block-keyed pair groupby) is retained
+    under ``small_side="shuffle"`` for when it isn't, and the two paths
+    produce identical pair sets (shared :func:`verify_block_pairs`;
+    equality is tested).
     """
-    support_ds = surface_support(mentions_ds, salt_buckets)
-    # driver merge of ≤ salt_buckets partial rows per surface
-    support: dict[tuple[str, str], int] = {}
-    support_tbl = support_ds.to_arrow_refs()
-    import ray
+    if small_side == "shuffle":
+        support_ds = surface_support(mentions_ds, salt_buckets)
+        import ray
 
-    for ref in support_tbl:
-        tbl = ray.get(ref)
-        if tbl.num_rows == 0 or "etype" not in tbl.column_names:
-            continue
-        for e, s, n in zip(tbl["etype"].to_pylist(), tbl["surface"].to_pylist(),
-                           tbl["n"].to_pylist()):
-            support[(e, s)] = support.get((e, s), 0) + int(n)
-    if not support:
-        return {}
+        support: dict[tuple[str, str], int] = {}
+        for ref in support_ds.to_arrow_refs():
+            tbl = ray.get(ref)
+            if tbl.num_rows == 0 or "etype" not in tbl.column_names:
+                continue
+            for e, s, n in zip(tbl["etype"].to_pylist(),
+                               tbl["surface"].to_pylist(),
+                               tbl["n"].to_pylist()):
+                support[(e, s)] = support.get((e, s), 0) + int(n)
+        if not support:
+            return {}
+        pairs = _pairs_distributed(support, max_block)
+    else:
+        partial = mentions_ds.map_batches(
+            make_partial_surface_counts(salt_buckets),
+            batch_format="pyarrow")
+        support = {}
+        for row in partial.take_all():
+            k = (row["etype"], row["surface"])
+            support[k] = support.get(k, 0) + int(row["n"])
+        if not support:
+            return {}
+        pairs = _pairs_driver(support, max_block)
+    return resolve_from_pairs(support, sorted(pairs))
 
+
+def _pairs_driver(support: dict[tuple[str, str], int], max_block: int
+                  ) -> set[tuple[tuple[str, str], tuple[str, str]]]:
+    """Driver-side blocking + verification (same keys/caps as the
+    distributed path)."""
+    hasher = MinHasher()
+    buckets: dict[tuple, list[tuple[str, int, str]]] = {}
+    for (etype, surface), n in support.items():
+        for kind, key in blocking_keys(surface, hasher):
+            buckets.setdefault((etype, kind, key), []).append(
+                (surface, n, etype))
+    pairs: set = set()
+    for rows in buckets.values():
+        for etype, a, b in verify_block_pairs(rows, max_block):
+            pairs.add(((etype, a), (etype, b)))
+    return pairs
+
+
+def _pairs_distributed(support: dict[tuple[str, str], int], max_block: int
+                       ) -> set[tuple[tuple[str, str], tuple[str, str]]]:
     import ray.data as rd
 
     distinct = pa.table({
@@ -170,15 +232,15 @@ def build_alias_map(mentions_ds, salt_buckets: int = DEFAULT_SALT_BUCKETS,
         "surface": pa.array([k[1] for k in sorted(support)], pa.string()),
         "n": pa.array([support[k] for k in sorted(support)], pa.int64()),
     })
-    surfaces_ds = rd.from_arrow(distinct)
-    keys_ds = surfaces_ds.map_batches(make_blocking_keys_fn(),
-                                      batch_format="pyarrow")
+    keys_ds = rd.from_arrow(distinct).map_batches(
+        make_blocking_keys_fn(), batch_format="pyarrow")
     pairs_ds = keys_ds.groupby(["etype", "block_kind", "block_key"]) \
         .map_groups(_make_pair_fn(max_block), batch_format="pyarrow")
-    pairs: set[tuple[tuple[str, str], tuple[str, str]]] = set()
+    pairs: set = set()
     for row in pairs_ds.take_all():
-        pairs.add(((row["etype"], row["surf_a"]), (row["etype"], row["surf_b"])))
-    return resolve_from_pairs(support, sorted(pairs))
+        pairs.add(((row["etype"], row["surf_a"]),
+                   (row["etype"], row["surf_b"])))
+    return pairs
 
 
 def make_canon_lookup_fn(alias_ref):
@@ -211,11 +273,20 @@ class CanonLookup:
         return got
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cids, csurfs = [], []
-        for e, s in zip(batch["etype"].to_pylist(),
-                        batch["surface"].to_pylist()):
-            cid, cs = self.canon(e, s)
-            cids.append(cid)
-            csurfs.append(cs)
-        return batch.append_column("canon_id", pa.array(cids, pa.string())) \
-                    .append_column("canon_surface", pa.array(csurfs, pa.string()))
+        # vectorized broadcast-hash-join: distinct (etype, surface)
+        # pairs in the batch are looked up once, then fanned back out
+        g = batch.select(["etype", "surface"]) \
+            .group_by(["etype", "surface"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        lut = {(e, s): self.canon(e, s)
+               for e, s in zip(g["etype"].to_pylist(),
+                               g["surface"].to_pylist())}
+        import pandas as pd
+
+        keys = pd.Series(list(zip(batch["etype"].to_pylist(),
+                                  batch["surface"].to_pylist())))
+        mapped = keys.map(lut)
+        return batch.append_column(
+            "canon_id", pa.array([m[0] for m in mapped], pa.string())) \
+            .append_column(
+            "canon_surface", pa.array([m[1] for m in mapped], pa.string()))
