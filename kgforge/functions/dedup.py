@@ -336,22 +336,40 @@ def embedding_dup_pairs_ds(ds, block_col: str = "label",
 
 def embedding_lsh_pairs_ds(ds, vec_col: str = "embedding",
                            id_col: str = "vec_id", tau: float = 0.99,
-                           n_planes: int = 16, dim: int = 64,
-                           seed: int = 42):
-    """Random-hyperplane LSH bucketing → exact cosine verify per bucket.
+                           n_tables: int = 4, planes_per_table: int = 8,
+                           dim: int = 64, seed: int = 42):
+    """Multi-table random-hyperplane LSH → exact cosine verify per
+    bucket (classic (L, k) LSH: each of ``n_tables`` tables hashes a
+    vector with ``planes_per_table`` hyperplane signs; a pair is a
+    candidate if it collides in ANY table — recall at similarity s is
+    1-(1-p^k)^L with p = 1 - acos(s)/π).
 
-    The scale path for unblocked embedding dedup: only (bucket, id,
-    vector) rows shuffle, bucket width tunable via ``n_planes``.
+    The scale path for unblocked embedding dedup: only (table, bucket,
+    id, vector) rows shuffle — L rows per vector, never O(n²).
     """
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((n_tables, dim, planes_per_table))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-        proj = (mat @ planes) > 0
-        bucket = (proj.astype(np.uint64) <<
-                  np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
-        out = batch.append_column("bucket", pa.array(bucket, pa.uint64()))
+        n = mat.shape[0]
+        tabs, keys, ids, vecs = [], [], [], []
+        id_list = batch[id_col].to_pylist()
+        vec_list = batch[vec_col].to_pylist()
+        for t in range(n_tables):
+            proj = (mat @ planes[t]) > 0
+            key = (proj.astype(np.uint64) <<
+                   np.arange(planes_per_table, dtype=np.uint64)).sum(axis=1)
+            tabs.extend([t] * n)
+            keys.extend(key.tolist())
+            ids.extend(id_list)
+            vecs.extend(vec_list)
+        out = pa.table({
+            id_col: pa.array(ids, batch.schema.field(id_col).type),
+            vec_col: pa.array(vecs, batch.schema.field(vec_col).type),
+            "bucket": pa.array(
+                [t << 60 | k for t, k in zip(tabs, keys)], pa.uint64()),
+        })
         return out
 
     def verify(group: pa.Table) -> pa.Table:
@@ -371,5 +389,10 @@ def embedding_lsh_pairs_ds(ds, vec_col: str = "embedding",
             "cos_sim": pa.array(round_away(sims[iu, ju][mask], 4), pa.float64()),
         })
 
-    return ds.map_batches(bucketize, batch_format="pyarrow") \
+    from ray.data.aggregate import Max
+
+    pairs = ds.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    # a pair may collide in several tables → dedup
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("cos_sim", alias_name="cos_sim"))

@@ -20,28 +20,36 @@ HOUR_FMT = "%Y-%m-%d %H:00:00"
 
 def hourly_agg_ds(ds):
     """Tumbling 1-hour window per event_type → (event_type, hour,
-    n_events, sum_value).  Partial per-batch pre-aggregation before the
-    groupby keeps shuffle rows at (types × hours) per batch."""
-    from ray.data.aggregate import Count, Sum
+    n_events, sum_value_cents).  Partial per-batch pre-aggregation
+    before the groupby keeps shuffle rows at (types × hours) per batch.
+    Values are rounded to integer cents per ROW and summed as int64 —
+    exact and summation-order-independent (float sums differ at
+    rounding boundaries between engines)."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(hour=df["ts"].dt.strftime(HOUR_FMT))
+        df = df.assign(hour=df["ts"].dt.strftime(HOUR_FMT),
+                       cents=round_away(df["value"] * 100, 0)
+                       .astype("int64"))
         g = df.groupby(["event_type", "hour"], as_index=False).agg(
-            n_events=("event_id", "size"), sum_value=("value", "sum"))
+            n_events=("event_id", "size"), sum_value_cents=("cents", "sum"))
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
     out = partials.groupby(["event_type", "hour"]).aggregate(
         Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"))
+        Sum("sum_value_cents", alias_name="sum_value_cents"))
 
     def finish(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return b.set_column(
-            b.schema.get_field_index("sum_value"), "sum_value",
-            pc.round(b["sum_value"], ndigits=2,
-                     round_mode="half_towards_infinity"))
+        return pa.table({
+            "event_type": b["event_type"], "hour": b["hour"],
+            "n_events": pc.cast(b["n_events"], pa.int64()),
+            "sum_value_cents": pc.cast(b["sum_value_cents"], pa.int64()),
+        })
 
     return out.map_batches(finish, batch_format="pyarrow")
 

@@ -178,29 +178,40 @@ def q_pricing_summary(sf_dir: str):
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount"])
 
+    from kgforge.common.hashing import round_away
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(disc_price=df.l_extendedprice * (1 - df.l_discount))
+        # per-ROW rounding to integer cents, then int64 sums: exact and
+        # order-independent — float sums round-trip differently between
+        # engines at rounding boundaries (summation order)
+        df = df.assign(
+            qty=df.l_quantity.astype("int64"),
+            base_cents=round_away(df.l_extendedprice * 100, 0)
+            .astype("int64"),
+            disc_cents=round_away(
+                df.l_extendedprice * (1 - df.l_discount) * 100, 0)
+            .astype("int64"))
         return df.groupby(["l_returnflag", "l_linestatus"],
                           as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "size"))
+            sum_qty=("qty", "sum"),
+            sum_base_cents=("base_cents", "sum"),
+            sum_disc_cents=("disc_cents", "sum"),
+            count_order=("qty", "size"))
 
     agg = ds.map_batches(partial, batch_format="pandas") \
         .groupby(["l_returnflag", "l_linestatus"]).aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
             Sum("count_order", alias_name="count_order"))
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({
             "l_returnflag": b["l_returnflag"],
             "l_linestatus": b["l_linestatus"],
-            "sum_qty": _r2(b["sum_qty"]),
-            "sum_base_price": _r2(b["sum_base_price"]),
-            "sum_disc_price": _r2(b["sum_disc_price"]),
+            "sum_qty": pc.cast(b["sum_qty"], pa.int64()),
+            "sum_base_cents": pc.cast(b["sum_base_cents"], pa.int64()),
+            "sum_disc_cents": pc.cast(b["sum_disc_cents"], pa.int64()),
             "count_order": pc.cast(b["count_order"], pa.int64()),
         })
 
@@ -210,17 +221,26 @@ def q_pricing_summary(sf_dir: str):
 def q_top_customers(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
+    from kgforge.common.hashing import round_away
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = round_away(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100, 0)
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "cents": pa.array(cents.astype(np.int64))})
+
     agg = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(to_cents, batch_format="pyarrow") \
         .groupby("o_custkey").aggregate(
-            Sum("o_totalprice", alias_name="total_price"),
+            Sum("cents", alias_name="total_cents"),
             Count(alias_name="n_orders"))
-    top = agg.sort(["total_price", "o_custkey"],
+    top = agg.sort(["total_cents", "o_custkey"],
                    descending=[True, False]).limit(10)
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({
             "o_custkey": b["o_custkey"],
-            "total_price": _r2(b["total_price"]),
+            "total_cents": pc.cast(b["total_cents"], pa.int64()),
             "n_orders": pc.cast(b["n_orders"], pa.int64()),
         })
 
@@ -595,7 +615,8 @@ ORACLE_SQL = {
     "events_hourly": """
         SELECT event_type, strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(sum(value), 2) AS sum_value
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
         FROM events GROUP BY 1, 2
     """,
     "sessionize": """
@@ -612,18 +633,22 @@ ORACLE_SQL = {
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)
-                   AS sum_disc_price,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100,
+                                   0) AS BIGINT)) AS BIGINT)
+                   AS sum_disc_cents,
                CAST(count(*) AS BIGINT) AS count_order
         FROM lineitem GROUP BY 1, 2
     """,
     "top_customers": """
-        SELECT o_custkey, round(sum(o_totalprice), 2) AS total_price,
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS total_cents,
                CAST(count(*) AS BIGINT) AS n_orders
         FROM orders GROUP BY 1
-        ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 10
+        ORDER BY total_cents DESC, o_custkey LIMIT 10
     """,
     "customer_nation_region": """
         SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers

@@ -1,0 +1,234 @@
+"""Unit tests for the training-data ops (kgforge.functions.*):
+dedup correctness vs brute force, similarity-search exactness, text
+stats vs straightforward recomputation, multimodal plumbing."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kgforge.functions import dedup as D
+from kgforge.functions import simsearch as S
+from kgforge.functions import textstats as T
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",          # exact dup
+        "The quick brown fox jumps over the lazy dog!",         # norm dup
+        "the quick brown fox leaps over the lazy dog",          # near dup
+        "completely different content about data pipelines",
+        "another unrelated document with its own words",
+        "",                                                      # empty
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(["s0"] * len(texts), pa.string()),
+    })
+    return rd.from_arrow(tbl).repartition(3)
+
+
+def test_exact_dedup(docs_ds):
+    out = D.exact_dedup_ds(docs_ds).to_pandas()
+    dup = out[out.n_dups > 1]
+    assert len(dup) == 1
+    assert dup.iloc[0].n_dups == 2 and dup.iloc[0].keep_id == 0
+
+
+def test_normalized_dedup(docs_ds):
+    out = D.normalized_dedup_ds(docs_ds).to_pandas()
+    dup = out[out.n_dups > 1]
+    # rows 0, 1, 2 normalize to the same text
+    assert len(dup) == 1 and dup.iloc[0].n_dups == 3
+
+
+def test_normalize_text_semantics():
+    assert D.normalize_text("  The  QUICK, fox!  ") == "the quick fox"
+    assert D.normalize_text("") == ""
+
+
+def test_minhash_pairs_finds_near_dups(docs_ds):
+    pairs = D.minhash_dedup_pairs_ds(docs_ds, theta=0.5).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in got            # exact dup certainly collides
+    # near-dup (0,3): single-word change at shingle_n=5 keeps most
+    # shingles — estimated jaccard should clear 0.5
+    assert (0, 3) in got or (1, 3) in got
+
+
+def test_simhash_exact_dups_zero_distance(docs_ds):
+    pairs = D.simhash_pairs_ds(docs_ds, max_hamming=3).to_pandas()
+    z = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert len(z) == 1 and z.iloc[0].hamming == 0
+
+
+def test_jaccard_blocked_matches_bruteforce(docs_ds):
+    out = D.jaccard_blocked_pairs_ds(
+        docs_ds, block_cols=("source",), theta=0.2).to_pandas()
+    texts = {r["doc_id"]: r["text"] for r in docs_ds.take_all()}
+
+    def sh(t):
+        return ({t[i:i + 5] for i in range(len(t) - 4)} if len(t) >= 5
+                else ({t} if t else set()))
+
+    for _, row in out.iterrows():
+        sa, sb = sh(texts[row.id_a]), sh(texts[row.id_b])
+        expect = len(sa & sb) / len(sa | sb)
+        assert abs(row.jaccard - expect) < 1e-3
+
+
+def test_simhash64_deterministic():
+    a = D.simhash64("hello world foo bar")
+    assert a == D.simhash64("hello world foo bar")
+    assert a != D.simhash64("entirely different words here")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((40, 16))
+    # near-duplicates: 0/1 and 2/3 (cross-label), 0/4 (same label 0)
+    base[1] = base[0] + rng.standard_normal(16) * 0.01
+    base[3] = base[2] + rng.standard_normal(16) * 0.01
+    base[4] = base[0] + rng.standard_normal(16) * 0.01
+    tbl = pa.table({
+        "vec_id": pa.array(list(range(40)), pa.int64()),
+        "label": pa.array([i % 4 for i in range(40)], pa.int32()),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              pa.list_(pa.float32())),
+    })
+    return rd.from_arrow(tbl).repartition(4), base
+
+
+def test_embedding_blocked_pairs(emb_ds):
+    ds, base = emb_ds
+    out = D.embedding_dup_pairs_ds(ds, tau=0.99).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(out.id_a, out.id_b)}
+    # only same-label pairs are visible to the blocked variant:
+    # (0, 4) share label 0; cross-label near-dups (0,1), (2,3) are not
+    assert (0, 4) in got
+    u = base / np.linalg.norm(base, axis=1, keepdims=True)
+    for a, b in got:
+        assert float(u[a] @ u[b]) >= 0.99 - 1e-9
+
+
+def test_embedding_lsh_finds_near_dups(emb_ds):
+    ds, base = emb_ds
+    out = D.embedding_lsh_pairs_ds(ds, tau=0.99, dim=16).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(out.id_a, out.id_b)}
+    assert (0, 1) in got and (2, 3) in got
+
+
+def test_knn_brute_matches_numpy(emb_ds):
+    ds, base = emb_ds
+    out = S.knn_brute_ds(ds, query_ids=[0, 5], k=3).to_pandas()
+    u = base / np.linalg.norm(base, axis=1, keepdims=True)
+    for q in (0, 5):
+        sims = u @ u[q]
+        sims[q] = -np.inf
+        expect = list(np.argsort(-sims)[:3])
+        got = list(out[out.query_id == q].sort_values("rank").neighbor_id)
+        assert got == expect
+
+
+def test_knn_ivf_reasonable_recall(emb_ds):
+    ds, base = emb_ds
+    exact = S.knn_brute_ds(ds, query_ids=[0], k=3).to_pandas()
+    approx = S.knn_ivf_ds(ds, query_ids=[0], k=3, n_centroids=4,
+                          nprobe=4, sample_n=40).to_pandas()
+    # nprobe == n_centroids → searches everything → exact
+    assert list(approx.neighbor_id) == list(exact.neighbor_id)
+
+
+def test_token_stats_counts(docs_ds):
+    out = T.token_stats_ds(docs_ds).to_pandas().set_index("doc_id")
+    assert out.loc[0].n_tokens == 9
+    assert out.loc[6].n_tokens == 0
+    assert out.loc[2].n_punct == 1          # the "!"
+
+
+def test_fingerprint_matches_hashlib(docs_ds):
+    out = T.fingerprint_ds(docs_ds).to_pandas().set_index("doc_id")
+    texts = {r["doc_id"]: r["text"] for r in docs_ds.take_all()}
+    for d, t in texts.items():
+        assert out.loc[d].fp_md5 == hashlib.md5(t.encode()).hexdigest()
+    # rolling hash: deterministic + content-sensitive
+    assert out.loc[0].fp_rolling == out.loc[1].fp_rolling
+    assert out.loc[0].fp_rolling != out.loc[4].fp_rolling
+
+
+def test_lang_id_heuristic(docs_ds):
+    out = T.lang_id_ds(docs_ds).to_pandas().set_index("doc_id")
+    assert out.loc[0].pred_lang == "en"     # has "the"
+    assert out.loc[6].pred_lang == "unk"    # empty
+
+
+def test_media_decoder_plumbing(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.multimodal import (
+        FrameSampler, MediaDecoder, fake_decode_meta, media_features_ds,
+    )
+
+    spans = pa.table({
+        "doc_id": pa.array(["d1", "d1", "d2"], pa.string()),
+        "span_idx": pa.array([0, 1, 0], pa.int32()),
+        "kind": pa.array(["text", "image", "video"], pa.string()),
+        "media_ref": pa.array(["", "media://image/000001",
+                               "media://video/000002"], pa.string()),
+    })
+    ds = rd.from_arrow(spans)
+    feats = media_features_ds(ds).to_pandas()
+    assert len(feats) == 2                       # text span dropped
+    img = feats[feats.kind == "image"].iloc[0]
+    assert (img.width, img.height) == (256 + 20 % 64, 144 + 20 % 32)
+    frames = ds.map_batches(FrameSampler, batch_format="pyarrow",
+                            concurrency=1).to_pandas()
+    dur = fake_decode_meta("video", "media://video/000002")[2]
+    assert len(frames) == dur // 1000
+    # real mode is an explicit stub
+    dec = MediaDecoder(mode="real")
+    with pytest.raises(NotImplementedError):
+        dec(spans)
+
+
+def test_sessionize(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [{"user_id": 1, "ts": base},
+            {"user_id": 1, "ts": base + dt.timedelta(minutes=10)},
+            {"user_id": 1, "ts": base + dt.timedelta(minutes=90)},
+            {"user_id": 2, "ts": base}]
+    from kgforge.functions.events import sessionize_ds
+
+    out = sessionize_ds(rd.from_items(rows)).to_pandas() \
+        .set_index("user_id")
+    assert out.loc[1].n_sessions == 2 and out.loc[1].n_events == 3
+    assert out.loc[2].n_sessions == 1
+
+
+def test_alias_small_side_paths_agree(ray_session, hmm_model):
+    """driver vs shuffle small-side paths produce identical alias maps."""
+    import ray.data as rd
+
+    from kgforge.oracle.corpus import generate_interleaved_docs
+    from kgforge.oracle.pipeline import mentions_of, tag_docs
+    from kgforge.stages.linking import build_alias_map
+
+    docs = generate_interleaved_docs(80, seed=42)
+    ment = mentions_of(tag_docs(hmm_model, docs))
+    t1 = rd.from_items(ment).repartition(4)
+    a = build_alias_map(t1, small_side="driver")
+    b = build_alias_map(t1, small_side="shuffle")
+    assert a == b and len(a) > 0
