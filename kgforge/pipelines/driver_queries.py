@@ -410,6 +410,49 @@ def _flagship_for(sf_dir: str) -> dict:
     return res
 
 
+_BILSTM_CACHE: dict = {}
+
+
+def q_kg_mentions_bilstm(sf_dir: str):
+    """A2 lane: BiLSTM-CRF actor-pool tagger over the fixture corpus
+    (sized to the sf tier) → T1 mention rows.  Model-based → rows-only
+    driver check; exactness vs the oracle is covered by pytest."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kgforge.oracle import bilstm_crf as bc
+    from kgforge.oracle.corpus import generate_corpus
+    from kgforge.oracle.vocab import build_vocab, count_chars
+    from kgforge.stages.mentions import attach_mentions, explode_mentions
+    from kgforge.stages.tagger import BiLstmCrfTagger
+
+    if "model_path" not in _BILSTM_CACHE:
+        train = generate_corpus(600, seed=42)
+        model = bc.fit(train, build_vocab(count_chars(train)), epochs=10)
+        path = tempfile.mktemp(suffix=".npz", prefix="kgforge_bilstm_")
+        model.save(path)
+        _BILSTM_CACHE["model_path"] = path
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    sents = generate_corpus(min(4 * n, 20000), seed=123)
+    tbl = pa.table({
+        "doc_id": pa.array([f"sent-{i:06d}" for i in range(len(sents))]),
+        "span_idx": pa.array([0] * len(sents), pa.int32()),
+        "sent_idx": pa.array([0] * len(sents), pa.int32()),
+        "span_offset": pa.array([0] * len(sents), pa.int32()),
+        "sent_offset": pa.array([0] * len(sents), pa.int32()),
+        "sent_text": pa.array([s.text for s in sents], pa.string()),
+        "pid": pa.array([i % 32 for i in range(len(sents))], pa.int32()),
+    })
+    ds = rd.from_arrow(tbl).repartition(16)
+    return ds.map_batches(
+        BiLstmCrfTagger,
+        fn_constructor_kwargs={"model_path": _BILSTM_CACHE["model_path"]},
+        batch_format="pyarrow", batch_size=512, concurrency=(1, 8),
+        num_cpus=1) \
+        .map_batches(attach_mentions, batch_format="pyarrow") \
+        .map_batches(explode_mentions, batch_format="pyarrow")
+
+
 def q_kg_edges(sf_dir: str):
     return _flagship_for(sf_dir)["edges"]
 
@@ -457,6 +500,7 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "part_minmax": q_part_minmax,
     "vocab_topk": q_vocab_topk,
+    "kg_mentions_bilstm": q_kg_mentions_bilstm,
     "kg_edges": q_kg_edges,
     "kg_nodes": q_kg_nodes,
     "kg_mentions": q_kg_mentions,

@@ -83,6 +83,38 @@ class HmmTagger:
         return [[tags[j] for j in p] for p in paths]
 
 
+class BiLstmCrfTagger:
+    """A2: BiLSTM-CRF tagger in the same ``Tagger`` protocol slot as
+    :class:`HmmTagger` — actor-pool class UDF, model loads once per
+    actor in ``__init__`` (this is the expensive-state case the pool
+    exists for; on a GPU cluster the stage takes ``num_gpus=φ`` with no
+    code change — SURVEY §2.3 A2)."""
+
+    TEXT_COL = "sent_text"
+
+    def __init__(self, model_path: str | None = None, model_ref=None):
+        from kgforge.oracle import bilstm_crf as bc
+
+        if model_ref is not None:
+            import ray
+
+            self.model = ray.get(model_ref)
+        elif model_path is not None:
+            self.model = bc.BiLstmCrfModel.load(model_path)
+        else:
+            raise ValueError("need model_path or model_ref")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from kgforge.oracle import bilstm_crf as bc
+
+        texts = batch[self.TEXT_COL].to_pylist()
+        tag_lists = bc.decode_texts(self.model, texts)
+        if "tags" in batch.column_names:
+            batch = batch.drop_columns(["tags"])
+        return batch.append_column(
+            "tags", pa.array(tag_lists, type=pa.list_(pa.string())))
+
+
 class HmmTrainerStage:
     """A3/G1: per-batch HMM count partials (mergeable — summed by the
     caller over all batches, then normalized once on the driver)."""
