@@ -1,0 +1,168 @@
+"""CLI entry points mirroring the reference's lifecycle
+(``REF?:train.py / eval / predict`` — SURVEY §3.1) plus the flagship
+KG pipeline.  This script OWNS its Ray session (guarded init — the
+driver contract forbids library-level ray.init, SURVEY §0.3).
+
+    python -m kgforge.cli train   --model {hmm,bilstm_crf} --out DIR
+    python -m kgforge.cli eval    --model {hmm,bilstm_crf} --model-dir DIR
+    python -m kgforge.cli predict --model-dir DIR --text 王伟在华为工作。
+    python -m kgforge.cli flagship --t0 DIR --model-dir DIR --out DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_train(args) -> None:
+    from kgforge.oracle.corpus import corpus_to_conll, generate_corpus
+    from kgforge.oracle.vocab import build_vocab, count_chars
+
+    os.makedirs(args.out, exist_ok=True)
+    train = generate_corpus(args.n_train, seed=args.seed)
+    with open(os.path.join(args.out, "train.txt"), "w") as f:
+        f.write(corpus_to_conll(train))
+    vocab = build_vocab(count_chars(train))
+    if args.model == "hmm":
+        _ray()
+        import ray.data as rd
+
+        from kgforge.oracle.labels import BIO_TAGS
+        from kgforge.stages.tagger import train_hmm_distributed
+
+        import pyarrow as pa
+
+        tbl = pa.table({
+            "chars": pa.array([s.chars for s in train]),
+            "tags": pa.array([s.tags for s in train]),
+        })
+        model = train_hmm_distributed(rd.from_arrow(tbl), vocab, BIO_TAGS)
+        path = os.path.join(args.out, "hmm.npz")
+    else:
+        from kgforge.oracle import bilstm_crf as bc
+
+        model = bc.fit(train, vocab, epochs=args.epochs, seed=args.seed)
+        path = os.path.join(args.out, "bilstm_crf.npz")
+    model.save(path)
+    print(json.dumps({"model": args.model, "path": path,
+                      "n_train": args.n_train}))
+
+
+def _load(model_dir: str, model: str):
+    if model == "hmm":
+        from kgforge.oracle.hmm import HmmModel
+
+        return HmmModel.load(os.path.join(model_dir, "hmm.npz"))
+    from kgforge.oracle.bilstm_crf import BiLstmCrfModel
+
+    return BiLstmCrfModel.load(os.path.join(model_dir, "bilstm_crf.npz"))
+
+
+def cmd_eval(args) -> None:
+    import pyarrow as pa
+
+    from kgforge.oracle.corpus import generate_corpus
+
+    _ray()
+    import ray.data as rd
+
+    from kgforge.stages.evaluate import evaluate_ds
+    from kgforge.stages.tagger import BiLstmCrfTagger, HmmTagger
+
+    test = generate_corpus(args.n_test, seed=args.seed + 57)
+    tbl = pa.table({
+        "sent_text": pa.array([s.text for s in test]),
+        "gold_tags": pa.array([s.tags for s in test]),
+    })
+    cls = HmmTagger if args.model == "hmm" else BiLstmCrfTagger
+    name = "hmm.npz" if args.model == "hmm" else "bilstm_crf.npz"
+    tagged = rd.from_arrow(tbl).repartition(8).map_batches(
+        cls, fn_constructor_kwargs={
+            "model_path": os.path.join(args.model_dir, name)},
+        batch_format="pyarrow", concurrency=(1, 4))
+    for row in evaluate_ds(tagged):
+        print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                          for k, v in row.items()}))
+
+
+def cmd_predict(args) -> None:
+    from kgforge.oracle.labels import extract_entities
+
+    model = _load(args.model_dir, args.model)
+    if args.model == "hmm":
+        from kgforge.oracle.hmm import decode_texts
+    else:
+        from kgforge.oracle.bilstm_crf import decode_texts
+    tags = decode_texts(model, [args.text])[0]
+    ents = [{"etype": e, "surface": args.text[s:t]}
+            for e, s, t in extract_entities(tags)]
+    print(json.dumps({"text": args.text, "tags": tags,
+                      "entities": ents}, ensure_ascii=False))
+
+
+def cmd_flagship(args) -> None:
+    _ray()
+    from kgforge.pipelines.flagship import run_flagship
+
+    res = run_flagship(t0_path=args.t0,
+                       model_path=os.path.join(args.model_dir, "hmm.npz"),
+                       ckpt_root=args.ckpt, out_dir=args.out)
+    print(json.dumps({"edges": res["edges"].count(),
+                      "nodes": res["nodes"].count(),
+                      "timings": res["timings"]}))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="kgforge")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("--model", choices=["hmm", "bilstm_crf"], default="hmm")
+    t.add_argument("--out", required=True)
+    t.add_argument("--n-train", type=int, default=2000)
+    t.add_argument("--epochs", type=int, default=10)
+    t.add_argument("--seed", type=int, default=42)
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval")
+    e.add_argument("--model", choices=["hmm", "bilstm_crf"], default="hmm")
+    e.add_argument("--model-dir", required=True)
+    e.add_argument("--n-test", type=int, default=500)
+    e.add_argument("--seed", type=int, default=42)
+    e.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("predict")
+    p.add_argument("--model", choices=["hmm", "bilstm_crf"], default="hmm")
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--text", required=True)
+    p.set_defaults(fn=cmd_predict)
+
+    f = sub.add_parser("flagship")
+    f.add_argument("--t0", required=True)
+    f.add_argument("--model-dir", required=True)
+    f.add_argument("--ckpt", required=True)
+    f.add_argument("--out", required=True)
+    f.set_defaults(fn=cmd_flagship)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

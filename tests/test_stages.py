@@ -111,3 +111,25 @@ def test_distributed_hmm_training_matches_local(ray_session):
     assert np.allclose(local.pi, dist.pi)
     assert np.allclose(local.a, dist.a)
     assert np.allclose(local.b, dist.b)
+
+
+def test_distributed_eval_matches_oracle(ray_session, hmm_model):
+    """G3: distributed per-type eval == single-process oracle metrics."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.oracle import hmm as H
+    from kgforge.oracle.corpus import generate_corpus
+    from kgforge.oracle.metrics import prf_table, span_match_counts
+    from kgforge.stages.evaluate import evaluate_ds
+
+    test = generate_corpus(150, seed=77)
+    pred = H.decode_texts(hmm_model, [s.text for s in test])
+    local = prf_table(span_match_counts([s.tags for s in test], pred))
+
+    tbl = pa.table({
+        "gold_tags": pa.array([s.tags for s in test]),
+        "tags": pa.array(pred),
+    })
+    dist = evaluate_ds(rd.from_arrow(tbl).repartition(5))
+    assert dist == local
