@@ -35,6 +35,11 @@ def cmd_train(args) -> None:
 
     os.makedirs(args.out, exist_ok=True)
     train = generate_corpus(args.n_train, seed=args.seed)
+    if args.scheme == "bioes":
+        from kgforge.oracle.corpus import Sentence
+        from kgforge.oracle.labels import bio_to_bioes
+
+        train = [Sentence(s.chars, bio_to_bioes(s.tags)) for s in train]
     with open(os.path.join(args.out, "train.txt"), "w") as f:
         f.write(corpus_to_conll(train))
     vocab = build_vocab(count_chars(train))
@@ -42,21 +47,26 @@ def cmd_train(args) -> None:
         _ray()
         import ray.data as rd
 
-        from kgforge.oracle.labels import BIO_TAGS
+        from kgforge.oracle.labels import BIO_TAGS, BIOES_TAGS
         from kgforge.stages.tagger import train_hmm_distributed
 
         import pyarrow as pa
 
+        tags = BIOES_TAGS if args.scheme == "bioes" else BIO_TAGS
         tbl = pa.table({
             "chars": pa.array([s.chars for s in train]),
             "tags": pa.array([s.tags for s in train]),
         })
-        model = train_hmm_distributed(rd.from_arrow(tbl), vocab, BIO_TAGS)
+        model = train_hmm_distributed(rd.from_arrow(tbl), vocab, tuple(tags))
         path = os.path.join(args.out, "hmm.npz")
     else:
         from kgforge.oracle import bilstm_crf as bc
 
-        model = bc.fit(train, vocab, epochs=args.epochs, seed=args.seed)
+        from kgforge.oracle.labels import BIO_TAGS, BIOES_TAGS
+
+        tags = BIOES_TAGS if args.scheme == "bioes" else BIO_TAGS
+        model = bc.fit(train, vocab, tags=tags, epochs=args.epochs,
+                       seed=args.seed)
         path = os.path.join(args.out, "bilstm_crf.npz")
     model.save(path)
     print(json.dumps({"model": args.model, "path": path,
@@ -133,6 +143,7 @@ def main(argv=None) -> int:
 
     t = sub.add_parser("train")
     t.add_argument("--model", choices=["hmm", "bilstm_crf"], default="hmm")
+    t.add_argument("--scheme", choices=["bio", "bioes"], default="bio")
     t.add_argument("--out", required=True)
     t.add_argument("--n-train", type=int, default=2000)
     t.add_argument("--epochs", type=int, default=10)

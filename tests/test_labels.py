@@ -62,3 +62,51 @@ def test_bioes_single_and_end():
 
 def test_tag_order_stable():
     assert BIO_TAGS[0] == "O" and len(BIO_TAGS) == 7
+
+
+def test_bioes_hmm_end_to_end(ray_session):
+    """Reference capability: training + decoding under the BIOES scheme
+    flows through the same pipeline stages and yields the same entity
+    set as the BIO lane (the scheme is carried by the model artifact)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.oracle import hmm as H
+    from kgforge.oracle.corpus import Sentence, generate_corpus
+    from kgforge.oracle.labels import BIOES_TAGS, bio_to_bioes
+    from kgforge.oracle.vocab import build_vocab, count_chars
+    from kgforge.stages.mentions import attach_mentions
+    from kgforge.stages.tagger import HmmTagger
+
+    train = generate_corpus(400, seed=42)
+    vocab = build_vocab(count_chars(train))
+    bio_model = H.fit(train, vocab)
+    bioes_train = [Sentence(s.chars, bio_to_bioes(s.tags)) for s in train]
+    bioes_model = H.fit(bioes_train, vocab, tags=BIOES_TAGS)
+
+    test = generate_corpus(80, seed=5)
+    tbl = pa.table({"sent_text": pa.array([s.text for s in test])})
+
+    def run(model):
+        import tempfile
+
+        p = tempfile.mktemp(suffix=".npz")
+        model.save(p)
+        rows = rd.from_arrow(tbl).map_batches(
+            HmmTagger, fn_constructor_kwargs={"model_path": p},
+            batch_format="pyarrow", concurrency=1) \
+            .map_batches(attach_mentions, batch_format="pyarrow").take_all()
+        return [tuple((m["etype"], m["ment_start"], m["ment_end"])
+                      for m in r["mentions"]) for r in rows]
+
+    bio_ments = run(bio_model)
+    bioes_ments = run(bioes_model)
+    # same sentences, same training data → overwhelmingly equal spans
+    agree = sum(a == b for a, b in zip(bio_ments, bioes_ments))
+    assert agree >= int(0.9 * len(bio_ments))
+    # and the BIOES model really emits BIOES tags
+    from kgforge.oracle.labels import extract_entities
+
+    tags = H.decode_texts(bioes_model, [test[0].text])[0]
+    assert any(t.startswith(("E-", "S-")) for t in tags if t != "O")
+    assert extract_entities(tags)
