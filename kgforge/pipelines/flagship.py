@@ -155,10 +155,16 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
         _mark("graph_write")
 
     if verify_i1:
-        from kgforge.stages.invariant import verify_invariant
+        from kgforge.stages.invariant import (
+            verify_invariant, verify_sentence_reconstruction,
+        )
 
-        # the pipeline never mutates T0; the "output side" is the
-        # passthrough of the same table (spans untouched by construction)
+        # the pipeline never mutates T0 (spans untouched by
+        # construction); hash-compare the passthrough...
         result["i1_violations"] = verify_invariant(t0(), t0())
+        # ...and prove the OUTPUT side: every text span's full text is
+        # reconstructible from the pipeline's own sentence rows
+        result["i1_span_violations"] = \
+            verify_sentence_reconstruction(t0(), sentences)
 
     return result

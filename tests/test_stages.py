@@ -133,3 +133,38 @@ def test_distributed_eval_matches_oracle(ray_session, hmm_model):
     })
     dist = evaluate_ds(rd.from_arrow(tbl).repartition(5))
     assert dist == local
+
+
+def test_sentence_reconstruction_invariant(ray_session, hmm_model,
+                                           small_docs, tmp_path):
+    """I1 output-side: text spans rebuild exactly from the sentences
+    stage; a mutated sentence is detected as a violation."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from kgforge.pipelines.flagship import run_flagship
+    from kgforge.sources.interleaved import write_interleaved
+    from kgforge.stages.invariant import verify_sentence_reconstruction
+
+    model_path = str(tmp_path / "hmm.npz")
+    hmm_model.save(model_path)
+    t0_path = write_interleaved(small_docs, str(tmp_path / "t0"),
+                                rows_per_fragment=40)
+    res = run_flagship(t0_path=t0_path, model_path=model_path,
+                       ckpt_root=str(tmp_path / "ckpt"),
+                       tagger_concurrency=2, verify_i1=True)
+    assert res["i1_violations"] == 0
+    assert res["i1_span_violations"] == 0
+
+    def corrupt(b):
+        import pyarrow as pa
+
+        texts = b["sent_text"].to_pylist()
+        if texts:
+            texts[0] = texts[0] + "X"
+        idx = b.column_names.index("sent_text")
+        return b.set_column(idx, "sent_text", pa.array(texts, pa.string()))
+
+    bad = res["sentences"].map_batches(corrupt, batch_format="pyarrow")
+    t0_ds = rd.read_parquet(t0_path, file_extensions=["parquet"])
+    assert verify_sentence_reconstruction(t0_ds, bad) > 0
