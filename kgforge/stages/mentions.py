@@ -46,48 +46,106 @@ def sentence_stage_schema() -> pa.Schema:
 
 
 def attach_mentions(batch: pa.Table) -> pa.Table:
-    tags_col = batch["tags"].to_pylist()
-    texts = batch["sent_text"].to_pylist()
-    mentions = []
-    for tags, text in zip(tags_col, texts):
-        ms = [{"etype": e, "ment_start": s, "ment_end": t,
-               "surface": text[s:t]}
-              for e, s, t in extract_entities(tags)]
-        mentions.append(ms)
+    """Vectorized M4 over the whole batch: dictionary-encode the
+    flattened tag column once (≤ 13 distinct tag strings), then compute
+    entity start/end masks with numpy over int arrays — semantics
+    identical to :func:`kgforge.oracle.labels.extract_entities`
+    (tolerant BIO/BIOES; property-tested equal)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    tags_col = batch["tags"]
+    if isinstance(tags_col, pa.ChunkedArray):
+        tags_col = tags_col.combine_chunks()
+    n = batch.num_rows
+    flat = pc.list_flatten(tags_col)
+    lens = pc.list_value_length(tags_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    total = int(lens.sum())
+    mentions: list[list[dict]] = [[] for _ in range(n)]
+    if total:
+        enc = pc.dictionary_encode(flat)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tag_strs = enc.dictionary.to_pylist()
+        # per-distinct-tag type id (0 = O) and prefix class
+        typ_lut = np.zeros(len(tag_strs), dtype=np.int64)
+        starty_lut = np.zeros(len(tag_strs), dtype=bool)   # B / S
+        close_lut = np.zeros(len(tag_strs), dtype=bool)    # E / S / O
+        types: list[str] = [""]
+        type_ids: dict[str, int] = {}
+        for i, t in enumerate(tag_strs):
+            if t == "O":
+                close_lut[i] = True
+                continue
+            prefix, etype = t.split("-", 1)
+            if etype not in type_ids:
+                type_ids[etype] = len(types)
+                types.append(etype)
+            typ_lut[i] = type_ids[etype]
+            starty_lut[i] = prefix in ("B", "S")
+            close_lut[i] = prefix in ("E", "S")
+        typ = typ_lut[idx]
+        starty = starty_lut[idx]
+        closes = close_lut[idx]
+        offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        sent_start = np.zeros(total, dtype=bool)
+        sent_start[offsets[lens > 0]] = True
+        prev_typ = np.empty(total, dtype=np.int64)
+        prev_typ[0] = 0
+        prev_typ[1:] = typ[:-1]
+        prev_typ[sent_start] = 0
+        prev_closed = np.empty(total, dtype=bool)
+        prev_closed[0] = True
+        prev_closed[1:] = closes[:-1]
+        prev_closed[sent_start] = True
+        # continuation: I/E of the same open type
+        cont = (typ > 0) & ~starty & (typ == prev_typ) & ~prev_closed
+        is_start = (typ > 0) & ~cont
+        next_cont = np.zeros(total, dtype=bool)
+        next_cont[:-1] = cont[1:]
+        is_end = (typ > 0) & (closes | ~next_cont)
+        # tolerant rule nuance: E/S closes; a following I of same type
+        # re-opens (prev_closed=True ⇒ cont False ⇒ is_start True) ✓
+        starts = np.flatnonzero(is_start)
+        ends = np.flatnonzero(is_end)
+        texts = batch["sent_text"].to_pylist()
+        sent_of = np.searchsorted(offsets, starts, side="right") - 1
+        for s_pos, e_pos, si in zip(starts, ends, sent_of):
+            off = int(offsets[si])
+            s_c, e_c = int(s_pos - off), int(e_pos - off) + 1
+            mentions[int(si)].append({
+                "etype": types[int(typ[s_pos])],
+                "ment_start": s_c, "ment_end": e_c,
+                "surface": texts[int(si)][s_c:e_c]})
     return batch.append_column(
         "mentions", pa.array(mentions, type=pa.list_(MENTION_STRUCT)))
 
 
 def explode_mentions(batch: pa.Table, tagger: str = "hmm") -> pa.Table:
-    """Sentence rows (with ``mentions``) → T1 rows (SURVEY §1.2 T1)."""
-    out = {k: [] for k in ("doc_id", "span_idx", "sent_idx", "offset",
-                           "ment_start", "ment_end", "surface", "etype",
-                           "tagger", "score", "pid")}
-    rows = batch.select(["doc_id", "span_idx", "sent_idx", "span_offset",
-                         "sent_offset", "mentions", "pid"]).to_pylist()
-    for r in rows:
-        for m in r["mentions"]:
-            out["doc_id"].append(r["doc_id"])
-            out["span_idx"].append(r["span_idx"])
-            out["sent_idx"].append(r["sent_idx"])
-            out["offset"].append(r["span_offset"] + r["sent_offset"])
-            out["ment_start"].append(m["ment_start"])
-            out["ment_end"].append(m["ment_end"])
-            out["surface"].append(m["surface"])
-            out["etype"].append(m["etype"])
-            out["tagger"].append(tagger)
-            out["score"].append(1.0)
-            out["pid"].append(r["pid"])
+    """Sentence rows (with ``mentions``) → T1 rows (SURVEY §1.2 T1).
+
+    Zero-copy explode: ``list_flatten`` the mention struct column +
+    ``list_parent_indices`` take of the sentence-level columns."""
+    import pyarrow.compute as pc
+
+    ments = batch["mentions"]
+    if isinstance(ments, pa.ChunkedArray):
+        ments = ments.combine_chunks()
+    flat = pc.list_flatten(ments)
+    parents = pc.list_parent_indices(ments)
+    n = len(flat)
+    take = lambda col: pc.take(batch[col], parents)  # noqa: E731
+    offset = pc.add(take("span_offset"), take("sent_offset"))
     return pa.table({
-        "doc_id": pa.array(out["doc_id"], pa.string()),
-        "span_idx": pa.array(out["span_idx"], pa.int32()),
-        "sent_idx": pa.array(out["sent_idx"], pa.int32()),
-        "offset": pa.array(out["offset"], pa.int32()),
-        "ment_start": pa.array(out["ment_start"], pa.int32()),
-        "ment_end": pa.array(out["ment_end"], pa.int32()),
-        "surface": pa.array(out["surface"], pa.string()),
-        "etype": pa.array(out["etype"], pa.string()),
-        "tagger": pa.array(out["tagger"], pa.string()),
-        "score": pa.array(out["score"], pa.float64()),
-        "pid": pa.array(out["pid"], pa.int32()),
+        "doc_id": take("doc_id"),
+        "span_idx": pc.cast(take("span_idx"), pa.int32()),
+        "sent_idx": pc.cast(take("sent_idx"), pa.int32()),
+        "offset": pc.cast(offset, pa.int32()),
+        "ment_start": pc.cast(flat.field("ment_start"), pa.int32()),
+        "ment_end": pc.cast(flat.field("ment_end"), pa.int32()),
+        "surface": flat.field("surface"),
+        "etype": flat.field("etype"),
+        "tagger": pa.array([tagger] * n, pa.string()),
+        "score": pa.array([1.0] * n, pa.float64()),
+        "pid": pc.cast(take("pid"), pa.int32()),
     })

@@ -59,25 +59,48 @@ class HmmTagger:
         else:
             raise ValueError("need model_path or model_ref")
         self.tags = list(self.model.tags)
+        # dense codepoint→char-id LUT: per-char Python dict lookups were
+        # the encoding hot path (~100M lookups per 1M sentences); BMP
+        # table + UNK for astral chars, built once per actor/worker
+        from kgforge.oracle.vocab import UNK_ID
+
+        lut = np.full(0x10000, UNK_ID, dtype=np.int64)
+        for ch, cid in self.model.vocab.items():
+            if len(ch) != 1:          # special tokens (<PAD>/<UNK>)
+                continue
+            cp = ord(ch)
+            if cp < 0x10000:
+                lut[cp] = cid
+        self._lut = lut
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.TEXT_COL].to_pylist()
         tag_lists = self.decode(texts)
+        if "tags" in batch.column_names:
+            batch = batch.drop_columns(["tags"])
         return batch.append_column(
             "tags", pa.array(tag_lists, type=pa.list_(pa.string())))
 
     def decode(self, texts: list[str]) -> list[list[str]]:
         if not texts:
             return []
-        lengths = np.array([len(t) for t in texts], dtype=np.int64)
-        Lmax = max(1, int(lengths.max()))
-        obs = np.zeros((len(texts), Lmax), dtype=np.int64)
-        vocab = self.model.vocab
         from kgforge.oracle.vocab import UNK_ID
 
-        for i, txt in enumerate(texts):
-            if txt:
-                obs[i, : len(txt)] = [vocab.get(c, UNK_ID) for c in txt]
+        lengths = np.array([len(t) for t in texts], dtype=np.int64)
+        Lmax = max(1, int(lengths.max()))
+        # vectorized encode: one UTF-32 pass over the concatenated
+        # batch, LUT gather, scatter into the padded matrix
+        joined = "".join(texts)
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        ids = np.where(codes < 0x10000,
+                       self._lut[np.minimum(codes, 0xFFFF)],
+                       UNK_ID)
+        obs = np.zeros((len(texts), Lmax), dtype=np.int64)
+        if len(codes):
+            offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+            row = np.repeat(np.arange(len(texts)), lengths)
+            col = np.arange(len(codes)) - np.repeat(offsets, lengths)
+            obs[row, col] = ids
         paths = hmm_mod.viterbi_batch(self.model, obs, lengths)
         tags = self.tags
         return [[tags[j] for j in p] for p in paths]

@@ -110,3 +110,31 @@ def test_bioes_hmm_end_to_end(ray_session):
     tags = H.decode_texts(bioes_model, [test[0].text])[0]
     assert any(t.startswith(("E-", "S-")) for t in tags if t != "O")
     assert extract_entities(tags)
+
+
+def test_vectorized_attach_matches_oracle_property():
+    """Vectorized M4 == oracle extract_entities on random (including
+    illegal) BIO/BIOES tag sequences."""
+    import random
+
+    import pyarrow as pa
+
+    from kgforge.oracle.labels import BIOES_TAGS, extract_entities
+    from kgforge.stages.mentions import attach_mentions
+
+    rng = random.Random(1234)
+    all_tags = list(BIOES_TAGS)
+    sents = []
+    for _ in range(300):
+        L = rng.randint(0, 12)
+        sents.append([rng.choice(all_tags) for _ in range(L)])
+    texts = ["x" * len(t) for t in sents]
+    batch = pa.table({
+        "sent_text": pa.array(texts, pa.string()),
+        "tags": pa.array(sents, pa.list_(pa.string())),
+    })
+    out = attach_mentions(batch)["mentions"].to_pylist()
+    for tags, ments in zip(sents, out):
+        expect = [(e, s, t) for e, s, t in extract_entities(tags)]
+        got = [(m["etype"], m["ment_start"], m["ment_end"]) for m in ments]
+        assert got == expect, (tags, got, expect)
