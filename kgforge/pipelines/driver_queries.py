@@ -371,6 +371,64 @@ def q_vocab_topk(sf_dir: str):
     return counts.sort(["n", "token"], descending=[True, False]).limit(20)
 
 
+def _orderkey_set_ref(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    keys = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])["l_orderkey"]
+    return ray.put(set(keys.to_pylist()))
+
+
+def q_semi_join(sf_dir: str):
+    """Orders that HAVE lineitems (broadcast semi-join: the distinct
+    key set ships once via ray.put, each batch filters locally)."""
+    import ray
+
+    ref = _orderkey_set_ref(sf_dir)
+
+    def keep(b: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pa.array([k in keys for k in b["o_orderkey"].to_pylist()])
+        return b.filter(mask)
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(keep, batch_format="pyarrow") \
+        .map_batches(lambda b: pa.table({"o_orderkey": b["o_orderkey"]}),
+                     batch_format="pyarrow")
+
+
+def q_anti_join(sf_dir: str):
+    """Orders WITHOUT lineitems (broadcast anti-join)."""
+    import ray
+
+    ref = _orderkey_set_ref(sf_dir)
+
+    def drop(b: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pa.array([k not in keys
+                         for k in b["o_orderkey"].to_pylist()])
+        return b.filter(mask)
+
+    return _read(sf_dir, "orders", ["o_orderkey"]) \
+        .map_batches(drop, batch_format="pyarrow")
+
+
+def q_events_props(sf_dir: str):
+    """Scalar extraction from the JSON-ish props column (regex both
+    sides — no JSON engine dependency): event_id, k_value."""
+    def extract(b: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(b["props"], pattern=r'"k": (?P<k>\d+)')
+        kvals = pc.struct_field(ks, [0])
+        return pa.table({
+            "event_id": b["event_id"],
+            "k_value": pc.cast(kvals, pa.int64()),
+        })
+
+    return _read(sf_dir, "events", ["event_id", "props"]) \
+        .map_batches(extract, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Flagship KG pipeline on interleaved docs (model-based → rows-only)
 # ---------------------------------------------------------------------------
@@ -500,6 +558,9 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "part_minmax": q_part_minmax,
     "vocab_topk": q_vocab_topk,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "events_props": q_events_props,
     "kg_mentions_bilstm": q_kg_mentions_bilstm,
     "kg_edges": q_kg_edges,
     "kg_nodes": q_kg_nodes,
@@ -722,6 +783,20 @@ ORACLE_SQL = {
                round(max(p_retailprice), 2) AS max_price,
                CAST(count(*) AS BIGINT) AS n_parts
         FROM part GROUP BY 1
+    """,
+    "semi_join": """
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+    """,
+    "anti_join": """
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    """,
+    "events_props": r"""
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+                   AS k_value
+        FROM events
     """,
     "vocab_topk": r"""
         WITH toks AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
