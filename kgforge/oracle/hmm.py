@@ -120,33 +120,58 @@ def viterbi_batch(model: HmmModel, obs: np.ndarray, lengths: np.ndarray
     Padding positions are ignored via per-sentence length masking.
     """
     B, Lmax = obs.shape
-    T = len(model.pi)
     if B == 0 or Lmax == 0:
         return [np.zeros(0, dtype=np.int64) for _ in range(B)]
-    delta = model.pi[None, :] + model.b[:, obs[:, 0]].T          # [B, T]
+    mat = viterbi_batch_padded(model, obs, lengths)
+    return [mat[i, :int(lengths[i])].astype(np.int64) for i in range(B)]
+
+
+def _backtrace_padded(delta: np.ndarray, psi: np.ndarray,
+                      lengths: np.ndarray) -> np.ndarray:
+    """Vectorized backtrace → padded tag-id matrix [B, Lmax].
+
+    The per-row Python loop was O(total chars) interpreter iterations
+    (~100M per 3M sentences); this walks the Lmax axis once with [B]
+    gathers per step."""
+    B, Lmax, _ = psi.shape
+    path = np.zeros((B, Lmax), dtype=np.int64)
+    last = np.argmax(delta, axis=1)                       # [B]
+    rows = np.arange(B)
+    nz = lengths > 0
+    path[rows[nz], lengths[nz] - 1] = last[nz]
+    cur = last
+    for t in range(Lmax - 1, 0, -1):
+        upd = lengths > t
+        if not upd.any():
+            continue
+        prev = np.take_along_axis(psi[:, t, :], cur[:, None],
+                                  axis=1)[:, 0].astype(np.int64)
+        cur = np.where(upd, prev, cur)
+        path[upd, t - 1] = prev[upd]
+    return path
+
+
+def viterbi_batch_padded(model: HmmModel, obs: np.ndarray,
+                         lengths: np.ndarray) -> np.ndarray:
+    """Like :func:`viterbi_batch` but returns the padded [B, Lmax]
+    tag-id matrix (no per-row Python objects — the hot-path API)."""
+    B, Lmax = obs.shape
+    T = len(model.pi)
+    if B == 0 or Lmax == 0:
+        return np.zeros((B, Lmax), dtype=np.int64)
+    delta = model.pi[None, :] + model.b[:, obs[:, 0]].T
     psi = np.zeros((B, Lmax, T), dtype=np.int32)
     for t in range(1, Lmax):
         active = lengths > t
         if not active.any():
             break
-        scores = delta[:, :, None] + model.a[None, :, :]          # [B, prev, cur]
-        am = np.argmax(scores, axis=1)                            # [B, T]
+        scores = delta[:, :, None] + model.a[None, :, :]
+        am = np.argmax(scores, axis=1)
         psi[:, t, :] = am
         new_delta = np.take_along_axis(scores, am[:, None, :], axis=1)[:, 0, :] \
             + model.b[:, obs[:, t]].T
         delta = np.where(active[:, None], new_delta, delta)
-    paths: list[np.ndarray] = []
-    for i in range(B):
-        L = int(lengths[i])
-        if L == 0:
-            paths.append(np.zeros(0, dtype=np.int64))
-            continue
-        p = np.zeros(L, dtype=np.int64)
-        p[-1] = int(np.argmax(delta[i]))
-        for t in range(L - 1, 0, -1):
-            p[t - 1] = psi[i, t, p[t]]
-        paths.append(p)
-    return paths
+    return _backtrace_padded(delta, psi, lengths)
 
 
 def decode_texts(model: HmmModel, texts: list[str]) -> list[list[str]]:

@@ -64,7 +64,13 @@ def attach_mentions(batch: pa.Table) -> pa.Table:
     total = int(lens.sum())
     mentions: list[list[dict]] = [[] for _ in range(n)]
     if total:
-        enc = pc.dictionary_encode(flat)
+        if pa.types.is_dictionary(flat.type):
+            enc = flat.combine_chunks() if isinstance(
+                flat, pa.ChunkedArray) else flat
+        else:
+            enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
         idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         tag_strs = enc.dictionary.to_pylist()
         # per-distinct-tag type id (0 = O) and prefix class

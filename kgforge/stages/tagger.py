@@ -75,32 +75,55 @@ class HmmTagger:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.TEXT_COL].to_pylist()
-        tag_lists = self.decode(texts)
+        tags_col = self.decode_column(texts)
         if "tags" in batch.column_names:
             batch = batch.drop_columns(["tags"])
-        return batch.append_column(
-            "tags", pa.array(tag_lists, type=pa.list_(pa.string())))
+        return batch.append_column("tags", tags_col)
 
-    def decode(self, texts: list[str]) -> list[list[str]]:
-        if not texts:
-            return []
+    def _encode(self, texts: list[str]):
+        """Vectorized encode: one UTF-32 pass over the concatenated
+        batch, LUT gather, scatter into the padded matrix."""
         from kgforge.oracle.vocab import UNK_ID
 
         lengths = np.array([len(t) for t in texts], dtype=np.int64)
-        Lmax = max(1, int(lengths.max()))
-        # vectorized encode: one UTF-32 pass over the concatenated
-        # batch, LUT gather, scatter into the padded matrix
+        Lmax = max(1, int(lengths.max()) if len(lengths) else 1)
         joined = "".join(texts)
         codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
         ids = np.where(codes < 0x10000,
                        self._lut[np.minimum(codes, 0xFFFF)],
                        UNK_ID)
         obs = np.zeros((len(texts), Lmax), dtype=np.int64)
+        row = col = None
         if len(codes):
             offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
             row = np.repeat(np.arange(len(texts)), lengths)
             col = np.arange(len(codes)) - np.repeat(offsets, lengths)
             obs[row, col] = ids
+        return obs, lengths, row, col
+
+    def decode_column(self, texts: list[str]) -> pa.Array:
+        """Batch decode → ``list<dictionary<int8, string>>`` Arrow
+        column built straight from the padded int path matrix — zero
+        per-tag Python objects (the previous list-of-str materialized
+        ~30 interpreter objects per sentence)."""
+        if not texts:
+            return pa.array([], type=pa.list_(
+                pa.dictionary(pa.int8(), pa.string())))
+        obs, lengths, row, col = self._encode(texts)
+        mat = hmm_mod.viterbi_batch_padded(self.model, obs, lengths)
+        flat = (mat[row, col] if row is not None
+                else np.zeros(0, dtype=np.int64))
+        offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+        dict_arr = pa.DictionaryArray.from_arrays(
+            pa.array(flat.astype(np.int8)),
+            pa.array(self.tags, pa.string()))
+        return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                        dict_arr)
+
+    def decode(self, texts: list[str]) -> list[list[str]]:
+        if not texts:
+            return []
+        obs, lengths, _, _ = self._encode(texts)
         paths = hmm_mod.viterbi_batch(self.model, obs, lengths)
         tags = self.tags
         return [[tags[j] for j in p] for p in paths]

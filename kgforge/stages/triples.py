@@ -78,18 +78,37 @@ class TripleExtractor:
             self.alias = alias_map or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = batch.select(["doc_id", "span_idx", "sent_idx", "sent_text",
-                             "mentions", "pid"]).to_pylist()
+        import pyarrow.compute as pc
+
+        ments = batch["mentions"]
+        if isinstance(ments, pa.ChunkedArray):
+            ments = ments.combine_chunks()
+        # mention-less sentences produce nothing — drop before any
+        # Python-object conversion
+        batch = batch.filter(pc.greater(pc.list_value_length(ments), 0))
+        ments = batch["mentions"]
+        if isinstance(ments, pa.ChunkedArray):
+            ments = ments.combine_chunks()
+        flat = pc.list_flatten(ments)
+        parents = pc.list_parent_indices(ments) \
+            .to_numpy(zero_copy_only=False)
+        etypes = flat.field("etype").to_pylist()
+        starts = flat.field("ment_start").to_pylist()
+        ends = flat.field("ment_end").to_pylist()
+        surfaces = flat.field("surface").to_pylist()
+        per_row: list[list[Mention]] = [[] for _ in range(batch.num_rows)]
+        for p, e, s, t, sf in zip(parents, etypes, starts, ends, surfaces):
+            per_row[p].append(Mention(e, s, t, sf))
         out: list[dict] = []
-        for r in rows:
-            ms = [Mention(m["etype"], m["ment_start"], m["ment_end"],
-                          m["surface"]) for m in r["mentions"]]
-            if not ms:
-                continue
-            for t in extract_triples(r["sent_text"], ms, self.alias,
-                                     r["doc_id"], r["span_idx"],
-                                     r["sent_idx"]):
-                t["pid"] = r["pid"]
+        for text, doc_id, span_idx, sent_idx, pid, ms in zip(
+                batch["sent_text"].to_pylist(),
+                batch["doc_id"].to_pylist(),
+                batch["span_idx"].to_pylist(),
+                batch["sent_idx"].to_pylist(),
+                batch["pid"].to_pylist(), per_row):
+            for t in extract_triples(text, ms, self.alias, doc_id,
+                                     span_idx, sent_idx):
+                t["pid"] = pid
                 out.append(t)
         return pa.Table.from_pylist(out, schema=TRIPLE_SCHEMA)
 
