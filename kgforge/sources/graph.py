@@ -60,7 +60,7 @@ def _finalize_nodes(batch: pa.Table) -> pa.Table:
         schema=NODE_SCHEMA, preserve_index=False)
 
 
-def build_nodes_ds(linked_mentions_ds, num_buckets: int = 32):
+def build_nodes_ds(linked_mentions_ds, num_buckets: int | None = None):
     """T1+canon ds → nodes ds.
 
     Per-block vectorized combine of (canon, doc, etype) counted
@@ -78,7 +78,7 @@ def build_nodes_ds(linked_mentions_ds, num_buckets: int = 32):
         _combine_node_partials, batch_format="pyarrow").materialize()
 
     def key_of(batch: pa.Table) -> np.ndarray:
-        return np.asarray(batch["canon_id"].to_pylist(), dtype=object)
+        return np.asarray(batch["canon_id"].to_pylist(), dtype="U48")
 
     # _finalize_nodes sorts by canon_id within the bucket; range buckets
     # in key order ⇒ globally sorted node table

@@ -69,21 +69,32 @@ def sample_splits(ds, key_of, num_buckets: int,
                      ds.map_batches(sample_keys,
                                     batch_format="pyarrow").take_all())
     if not sampled:
-        return np.asarray([], dtype=object)
+        return np.asarray([], dtype="U48")
     splits = sorted({sampled[i * len(sampled) // num_buckets]
                      for i in range(1, num_buckets)})
-    return np.asarray(splits, dtype=object)
+    # fixed-width dtype must match the key arrays (C-speed searchsorted)
+    return np.asarray(splits, dtype="U48")
 
 
-def range_exchange_merge(ds, key_of, merge_fn, num_buckets: int = 64):
+def range_exchange_merge(ds, key_of, merge_fn,
+                         num_buckets: int | None = None):
     """Materialized Dataset → Dataset, globally sorted by ``key_of``.
 
-    ``key_of(batch) -> np.ndarray[object]`` must be a sort key whose
-    string order equals the caller's desired row order; ``merge_fn``
-    merges one co-ranged table (dedup/aggregate + sort within bucket).
+    ``key_of(batch) -> np.ndarray`` must be a (fixed-width) sort-key
+    array whose order equals the caller's desired row order;
+    ``merge_fn`` merges one co-ranged table (dedup/aggregate + sort
+    within bucket).
+
+    ``num_buckets`` defaults to the cluster CPU count: the split×merge
+    object matrix is S×B and its scheduling/transfer overhead — not
+    task compute — dominates when S·B ≫ cores (measured 2048 objects
+    cost ~15s of a 19s exchange at 16 CPUs).
     """
     import ray
     import ray.data as rd
+
+    if num_buckets is None:
+        num_buckets = max(64, int(ray.cluster_resources().get("CPU", 8)))
 
     splits = sample_splits(ds, key_of, num_buckets)
     block_refs = ds.to_arrow_refs()
@@ -93,7 +104,8 @@ def range_exchange_merge(ds, key_of, merge_fn, num_buckets: int = 64):
     split_task = ray.remote(num_cpus=1, num_returns=num_buckets)(_split_block)
     merge_task = ray.remote(num_cpus=1)(_merge_bucket)
 
-    group_size = max(1, len(block_refs) // num_buckets)
+    n_split_tasks = min(len(block_refs), num_buckets)
+    group_size = -(-len(block_refs) // n_split_tasks)
     groups = [block_refs[i:i + group_size]
               for i in range(0, len(block_refs), group_size)]
     parts = [split_task.remote(splits, key_of, num_buckets, *g)
