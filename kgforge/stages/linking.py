@@ -31,8 +31,6 @@ Stages over a T1 mention dataset:
 
 from __future__ import annotations
 
-from collections import Counter
-
 import numpy as np
 import pyarrow as pa
 

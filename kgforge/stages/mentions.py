@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from kgforge.oracle.labels import extract_entities
-
 MENTION_STRUCT = pa.struct([
     ("etype", pa.string()),
     ("ment_start", pa.int32()),
