@@ -414,6 +414,14 @@ def q_anti_join(sf_dir: str):
         .map_batches(drop, batch_format="pyarrow")
 
 
+def q_shuffle_sample(sf_dir: str):
+    """Seeded global shuffle + take — the training-data epoch-shuffle
+    op (`random_shuffle` is an all-to-all; at scale prefer
+    `randomize_block_order` + local shuffle, both exposed here)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return ds.random_shuffle(seed=42).limit(100)
+
+
 def q_events_props(sf_dir: str):
     """Scalar extraction from the JSON-ish props column (regex both
     sides — no JSON engine dependency): event_id, k_value."""
@@ -561,6 +569,7 @@ QUERIES = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "events_props": q_events_props,
+    "shuffle_sample": q_shuffle_sample,
     "kg_mentions_bilstm": q_kg_mentions_bilstm,
     "kg_edges": q_kg_edges,
     "kg_nodes": q_kg_nodes,
