@@ -232,3 +232,26 @@ def test_alias_small_side_paths_agree(ray_session, hmm_model):
     a = build_alias_map(t1, small_side="driver")
     b = build_alias_map(t1, small_side="shuffle")
     assert a == b and len(a) > 0
+
+
+def test_round_away_matches_duckdb_property():
+    """round_away == DuckDB round() on random doubles INCLUDING exact
+    binary midpoints (the values where numpy bankers' rounding
+    diverges) — the whole oracle-SQL contract leans on this."""
+    import duckdb
+    import numpy as np
+
+    from kgforge.common.hashing import round_away
+
+    rng = np.random.RandomState(11)
+    vals = list(rng.uniform(-1e5, 1e5, 200))
+    # exact midpoints at 2 and 4 decimals (power-of-two fractions)
+    vals += [185 / 32, -185 / 32, 0.125, -0.125, 58375.125, 2.675,
+             0.5, -0.5, 1.005, 12.345]
+    con = duckdb.connect()
+    for nd in (0, 2, 4):
+        got = [float(round_away(v, nd)) for v in vals]
+        exp = [con.execute(f"SELECT round(CAST(? AS DOUBLE), {nd})",
+                           [v]).fetchone()[0] for v in vals]
+        assert got == exp, (nd, [(v, g, e) for v, g, e
+                                 in zip(vals, got, exp) if g != e][:5])
