@@ -42,6 +42,7 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
                  tagger_concurrency: int | tuple = 4,
                  tagger_batch_size: int = 1024,
                  tagger_mode: str = "tasks",
+                 tagger_cls=None,
                  read_blocks: int | None = None,
                  out_dir: str | None = None,
                  verify_i1: bool = False) -> dict:
@@ -81,11 +82,15 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
     else:
         sents = t0().map_batches(make_explode_spans(num_partitions),
                                  batch_format="pyarrow")
-        if tagger_mode == "actors":
+        if tagger_mode == "actors" or tagger_cls is not None:
             # expensive-per-worker state (BiLSTM weights, GPU): class
-            # UDF actor pool, setup once per actor in __init__
+            # UDF actor pool, setup once per actor in __init__.  Any
+            # Tagger-protocol class plugs in via ``tagger_cls``
+            # (SURVEY §2.10); ``num_gpus`` would be added here for the
+            # GPU variant — a config knob, not a code change.
+            cls = tagger_cls or HmmTagger
             tagged = sents.map_batches(
-                HmmTagger, fn_constructor_kwargs={"model_path": model_path},
+                cls, fn_constructor_kwargs={"model_path": model_path},
                 batch_format="pyarrow", batch_size=tagger_batch_size,
                 concurrency=tagger_concurrency, num_cpus=1)
         else:

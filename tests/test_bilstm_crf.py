@@ -97,3 +97,23 @@ def test_tagger_protocol_in_pipeline(ray_session, trained, tmp_path):
     ments = [m for r in out for m in r["mentions"]]
     surfaces = {m["surface"] for m in ments}
     assert "华为" in surfaces and "北京" in surfaces
+
+
+def test_flagship_with_bilstm_tagger(ray_session, trained, tmp_path):
+    """The flagship pipeline runs unchanged with the BiLSTM-CRF tagger
+    plugged into the actor-pool slot (Tagger protocol, SURVEY §2.10)."""
+    from kgforge.oracle.corpus import generate_interleaved_docs
+    from kgforge.pipelines.flagship import run_flagship
+    from kgforge.sources.interleaved import write_interleaved
+    from kgforge.stages.tagger import BiLstmCrfTagger
+
+    model, _ = trained
+    mp = str(tmp_path / "bilstm_crf.npz")
+    model.save(mp)
+    docs = generate_interleaved_docs(60, seed=42)
+    t0 = write_interleaved(docs, str(tmp_path / "t0"), rows_per_fragment=20)
+    res = run_flagship(t0_path=t0, model_path=mp,
+                       ckpt_root=str(tmp_path / "ckpt"),
+                       tagger_cls=BiLstmCrfTagger, tagger_concurrency=2)
+    assert res["edges"].count() > 0
+    assert res["nodes"].count() > 0
