@@ -1,23 +1,26 @@
 """Flagship end-to-end KG-construction pipeline (SURVEY §3.2).
 
-    read T0 (lance-layout / parquet)                [streaming source]
-      └─ M6+M7+L3 explode spans → sentences        [stateless tasks]
-      └─ A1 HmmTagger                              [actor pool]
-      └─ M4 attach mentions                        [stateless tasks]
-      └─ CHECKPOINT "sentences" (per-pid parquet + lineage)
-      └─ T1 explode → CHECKPOINT "mentions"
-      └─ G4 salted support groupby + LSH-block groupby → alias map
-      └─ ray.put alias map  → TripleExtractor      [broadcast + tasks]
-      └─ T3 → CHECKPOINT "triples"
-      └─ D1 groupby dedup + O2 sort → edges        [SHUFFLE]
-      └─ G5 nodes                                  [SHUFFLE]
+    read T0 (lance-layout / parquet, 8×CPU blocks)  [streaming source]
+      └─ M6+M7+L3 explode spans → sentences        ┐ ONE fused operator
+      └─ A1 tagger (task fn + per-worker model     │ (tasks); actor pool
+         cache; actor pool via tagger_cls/mode)    │ when state is
+      └─ M4 attach mentions (vectorized)           │ expensive (BiLSTM,
+      └─ write-through CHECKPOINT "sentences"      ┘ GPU)
+      └─ T1 explode → materialize (in-memory fan-out)
+      └─ G4 alias resolution: per-batch combine → driver small-side
+         merge + blocked verify (salted-groupby path retained)
+      └─ ray.put alias map → TripleExtractor       [broadcast + tasks]
+      └─ write-through CHECKPOINT "triples"
+      └─ D1+O2 range-exchange dedup+sort → edges   [ONE custom exchange]
+      └─ G5 range-exchange node finalize           [ONE custom exchange]
       └─ S4 write graph tables + lineage
-      └─ M10 I1 verification lane (optional)
+      └─ M10 I1 verification lanes (optional): passthrough hash +
+         output-side sentence reconstruction
 
-Checkpoints double as the fan-out points (multi-consumer stages re-read
-Parquet instead of re-executing lineage) and the resume points: any
-stage whose ``_SUCCESS`` exists is skipped on a restart with the same
-``ckpt_root`` (CheckpointManager docstring has the atomicity story).
+Checkpoints are the resume points: any stage whose ``_SUCCESS`` exists
+is skipped on a restart with the same ``ckpt_root`` (CheckpointManager
+docstring has the atomicity story); downstream consumers stream from
+the materialized blocks, the Parquet exists for resume.
 
 Never calls ``ray.init`` (driver contract).
 """
