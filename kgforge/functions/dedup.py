@@ -90,16 +90,40 @@ def normalized_dedup_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
 # shingling (shared by minhash / jaccard paths)
 # ---------------------------------------------------------------------------
 
+_POLY_BASE = np.uint64(1099511628211)          # FNV prime
+
+
 def doc_shingles(text: str, n: int = SHINGLE_N) -> np.ndarray:
-    """Distinct hashed char n-gram shingles of a document (uint64)."""
+    """Distinct hashed char n-gram shingles of a document (uint64).
+
+    Vectorized polynomial hash over a sliding codepoint window (one
+    UTF-32 pass + one matmul) — the per-gram blake2b loop cost ~3-5s
+    per 5k documents.  Hash family choice only affects minhash
+    estimates, not any oracle-checked output."""
     t = text or ""
-    if len(t) < n:
-        grams = [t] if t else []
-    else:
-        grams = [t[i:i + n] for i in range(len(t) - n + 1)]
-    if not grams:
+    if not t:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(hash_u64_np(grams))
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.uint64)
+    if len(codes) < n:
+        win = codes[None, :]
+        k = len(codes)
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(codes, n)
+        k = n
+    with np.errstate(over="ignore"):
+        powers = np.empty(k, dtype=np.uint64)
+        powers[0] = 1
+        if k > 1:
+            np.multiply.accumulate(
+                np.full(k - 1, _POLY_BASE, dtype=np.uint64),
+                out=powers[1:])
+        h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        # final avalanche (splitmix64-ish) to decorrelate low bits
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return np.unique(h)
 
 
 def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -162,29 +186,47 @@ def minhash_dedup_pairs_ds(ds, text_col: str = "text",
                                "shingle_n": shingle_n},
         batch_format="pyarrow", concurrency=(1, 8))
 
-    def verify(group: pa.Table) -> pa.Table:
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bh = b["band_hash"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array((bh % np.uint64(64)).astype(np.int64)))
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        """All (band, band_hash) groups of one bucket, grouped with a
+        vectorized lexsort (one ray group per bucket — a ray group per
+        LSH bucket meant ~80k Python calls)."""
+        bands = group["band"].to_numpy(zero_copy_only=False)
+        hashes = group["band_hash"].to_numpy(zero_copy_only=False)
         ids = group[id_col].to_pylist()
         sig_blobs = group["sig"].to_pylist()
-        # one row per distinct doc within the bucket
-        uniq: dict = {}
-        for i, d in enumerate(ids):
-            uniq.setdefault(d, i)
-        order = sorted(uniq)
-        sigs = np.stack([np.frombuffer(sig_blobs[uniq[d]], dtype=np.uint64)
-                         for d in order]) if order else \
-            np.empty((0, 128), dtype=np.uint64)
+        order = np.lexsort((np.asarray(ids), hashes, bands))
         a_out, b_out, j_out = [], [], []
-        for x in range(len(order)):
-            eq = (sigs[x + 1:] == sigs[x]).mean(axis=1)
-            for off in np.nonzero(eq >= theta)[0]:
-                a_out.append(order[x])
-                b_out.append(order[x + 1 + off])
-                j_out.append(round(float(eq[off]), 4))
+        i = 0
+        n = len(order)
+        while i < n:
+            j = i + 1
+            oi = order[i]
+            while j < n and bands[order[j]] == bands[oi] \
+                    and hashes[order[j]] == hashes[oi]:
+                j += 1
+            if j - i > 1:
+                members = sorted({ids[order[k]]: order[k]
+                                  for k in range(i, j)}.items())
+                sigs = np.stack([np.frombuffer(sig_blobs[m[1]],
+                                               dtype=np.uint64)
+                                 for m in members])
+                for x in range(len(members)):
+                    eq = (sigs[x + 1:] == sigs[x]).mean(axis=1)
+                    for off in np.nonzero(eq >= theta)[0]:
+                        a_out.append(members[x][0])
+                        b_out.append(members[x + 1 + off][0])
+                        j_out.append(round(float(eq[off]), 4))
+            i = j
         return pa.table({"id_a": pa.array(a_out), "id_b": pa.array(b_out),
                          "jaccard": pa.array(j_out, pa.float64())})
 
-    pairs = signed.groupby(["band", "band_hash"]).map_groups(
-        verify, batch_format="pyarrow")
+    pairs = signed.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(verify_bucket, batch_format="pyarrow")
     # same pair can surface from several bands → dedup
     from ray.data.aggregate import Max
 

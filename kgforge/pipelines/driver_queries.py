@@ -111,13 +111,16 @@ def q_jaccard_pairs(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
+    # single-file read = one block = one actor; spread the signer
     return F_dedup.minhash_dedup_pairs_ds(
-        _read(sf_dir, "documents", ["doc_id", "text"]), theta=0.5)
+        _read(sf_dir, "documents", ["doc_id", "text"]).repartition(32),
+        theta=0.5)
 
 
 def q_simhash_pairs(sf_dir: str):
     return F_dedup.simhash_pairs_ds(
-        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
+        _read(sf_dir, "documents", ["doc_id", "text"]).repartition(32),
+        max_hamming=3)
 
 
 def q_embedding_dup_pairs(sf_dir: str):
