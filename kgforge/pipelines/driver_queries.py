@@ -131,7 +131,8 @@ def q_embedding_dup_pairs(sf_dir: str):
 
 def q_embedding_lsh_pairs(sf_dir: str):
     return F_dedup.embedding_lsh_pairs_ds(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.3)
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .repartition(16), tau=0.3)
 
 
 # ---------------------------------------------------------------------------
@@ -143,15 +144,15 @@ KNN_K = 5
 
 
 def q_knn_brute(sf_dir: str):
-    return F_sim.knn_brute_ds(_read(sf_dir, "embeddings",
-                                    ["vec_id", "embedding"]),
-                              KNN_QUERY_IDS, k=KNN_K)
+    return F_sim.knn_brute_ds(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .repartition(16), KNN_QUERY_IDS, k=KNN_K)
 
 
 def q_knn_ivf(sf_dir: str):
-    return F_sim.knn_ivf_ds(_read(sf_dir, "embeddings",
-                                  ["vec_id", "embedding"]),
-                            KNN_QUERY_IDS, k=KNN_K)
+    return F_sim.knn_ivf_ds(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .repartition(16), KNN_QUERY_IDS, k=KNN_K)
 
 
 # ---------------------------------------------------------------------------
