@@ -8,9 +8,12 @@ materialization; the only wide steps are hash-keyed groupbys):
   text, so the shuffle moves only (hash, id) pairs.
 - **Normalized exact** — same after lowercase + punctuation strip.
 - **MinHash + LSH** — char-shingle → 128-perm minhash → 16 bands →
-  ``groupby(band, band_hash)`` → verified candidate pairs (exact
-  shingle Jaccard ≥ θ inside the group).  The classic
+  ``groupby(band, band_hash)`` → candidate pairs kept when the
+  *signature-estimated* Jaccard (fraction of agreeing minhash slots)
+  is ≥ θ inside the group.  The classic
   shingle→minhash→band→bucket-groupby plan: only signatures shuffle.
+  For exact shingle-Jaccard verification use the blocked n-gram
+  Jaccard family below (:func:`jaccard_blocked_pairs_ds`).
 - **SimHash** — 64-bit token-weighted simhash, split into 4×16-bit
   sub-keys; documents sharing any sub-key are candidates (Hamming ≤ 3
   guarantee by pigeonhole); verified by full simhash Hamming distance.

@@ -61,9 +61,14 @@ class _BruteScorer:
         self_mask = ids[:, None] == self.q_ids[None, :]
         sims[self_mask] = -np.inf
         k = min(self.k, sims.shape[0])
-        top = np.argpartition(-sims, k - 1, axis=0)[:k]   # [k, Q]
+        # deterministic per-batch candidates: sim desc, neighbor_id asc
+        # tie-break (matches the oracle's ORDER BY sim DESC, neighbor_id;
+        # bare argpartition keeps an arbitrary member of a k-boundary tie)
         q_idx = np.repeat(np.arange(sims.shape[1]), k)
-        n_idx = top.T.reshape(-1)
+        n_idx = np.empty(sims.shape[1] * k, dtype=np.int64)
+        for q in range(sims.shape[1]):
+            order = np.lexsort((ids, -sims[:, q]))[:k]
+            n_idx[q * k:(q + 1) * k] = order
         return pa.table({
             "query_id": pa.array(self.q_ids[q_idx], pa.int64()),
             "neighbor_id": pa.array(ids[n_idx], pa.int64()),
@@ -181,7 +186,7 @@ def knn_ivf_ds(ds, query_ids, vec_col: str = "embedding",
                 sims = unit[mask] @ self.q_unit[qi]
                 cand_ids = ids[mask]
                 kk = min(len(sims), 64)
-                top = np.argpartition(-sims, kk - 1)[:kk]
+                top = np.lexsort((cand_ids, -sims))[:kk]  # deterministic
                 out_q.extend([self.q_ids[qi]] * kk)
                 out_n.extend(cand_ids[top].tolist())
                 out_s.extend(sims[top].tolist())

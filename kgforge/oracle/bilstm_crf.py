@@ -89,8 +89,15 @@ class BiLstmCrfModel:
     # ---- encoder --------------------------------------------------------
 
     def _lstm_dir(self, x: np.ndarray, w: np.ndarray, b: np.ndarray,
-                  reverse: bool) -> np.ndarray:
-        """x: [B, L, d] → h-sequence [B, L, h] (one direction)."""
+                  reverse: bool, lengths: np.ndarray | None = None
+                  ) -> np.ndarray:
+        """x: [B, L, d] → h-sequence [B, L, h] (one direction).
+
+        ``lengths`` masks padding: state (ht, ct) is frozen at positions
+        >= a row's true length, so the backward recurrence effectively
+        starts at each row's true last index and real tokens never see
+        pad embeddings — decoding is batch-composition independent
+        (packed/masked LSTM semantics)."""
         B, L, d = x.shape
         h = self.h
         hs = np.zeros((B, L, h))
@@ -103,20 +110,31 @@ class BiLstmCrfModel:
             f = _sigmoid(z[:, h:2 * h])
             g = np.tanh(z[:, 2 * h:3 * h])
             o = _sigmoid(z[:, 3 * h:])
-            ct = f * ct + i * g
-            ht = o * np.tanh(ct)
+            nct = f * ct + i * g
+            nht = o * np.tanh(nct)
+            if lengths is not None:
+                active = (lengths > t)[:, None]
+                ct = np.where(active, nct, ct)
+                ht = np.where(active, nht, ht)
+            else:
+                ct, ht = nct, nht
             hs[:, t, :] = ht
         return hs
 
-    def encode(self, obs: np.ndarray) -> np.ndarray:
+    def encode(self, obs: np.ndarray,
+               lengths: np.ndarray | None = None) -> np.ndarray:
         """obs: [B, L] char ids → contextual features [B, L, 2h]."""
         x = self.emb[obs]
-        fwd = self._lstm_dir(x, self.w_f, self.b_f, reverse=False)
-        bwd = self._lstm_dir(x, self.w_b, self.b_b, reverse=True)
+        fwd = self._lstm_dir(x, self.w_f, self.b_f, reverse=False,
+                             lengths=lengths)
+        bwd = self._lstm_dir(x, self.w_b, self.b_b, reverse=True,
+                             lengths=lengths)
         return np.concatenate([fwd, bwd], axis=2)
 
-    def emissions(self, obs: np.ndarray) -> np.ndarray:
-        return self.encode(obs) @ self.proj + self.bias + self.unigram[obs]
+    def emissions(self, obs: np.ndarray,
+                  lengths: np.ndarray | None = None) -> np.ndarray:
+        return (self.encode(obs, lengths) @ self.proj + self.bias
+                + self.unigram[obs])
 
 
 def viterbi_crf(emissions: np.ndarray, lengths: np.ndarray,
@@ -225,6 +243,6 @@ def decode_texts(model: BiLstmCrfModel, texts: list[str]
     for i, t in enumerate(texts):
         if t:
             obs[i, :len(t)] = [model.vocab.get(c, UNK_ID) for c in t]
-    em = model.emissions(obs)
+    em = model.emissions(obs, lengths)
     paths = viterbi_crf(em, lengths, model.trans, model.start, model.stop)
     return [[model.tags[j] for j in p] for p in paths]

@@ -2,17 +2,18 @@
 
 Checkpoint layout under ``ckpt_root``::
 
-    {stage}/part-<checksum>-<rows>.parquet   # one file per block/partition
+    {stage}/part-<xor>-<sum>-<rows>.parquet  # one file per block/partition
     {stage}/_SUCCESS                         # stage completion marker
     lineage/{stage}.parquet                  # T5 rows: one per partition
 
 Write path is **write-through**: every map task persists its own block
 (and a one-row lineage fragment) inline during the compute pass — no
 second materialization, no driver-side readback, no hive explosion.
-File names are content-addressed (``<checksum>-<rows>``) so a Ray task
-*retry* rewrites the same file idempotently instead of duplicating
-rows; the checksum columns always include a row-identity column
-(doc_id / mention key), so distinct blocks can't collide.
+File names are content-addressed (``<xor>-<sum>-<rows>`` of per-row
+hashes) so a Ray task *retry* rewrites the same file idempotently
+instead of duplicating rows; the (xor, sum, rows) triple means two
+distinct blocks colliding requires a simultaneous xor- and
+sum-collision (xor alone cancels pairwise-duplicated rows).
 
 A stage writes to ``{stage}.tmp/`` first and renames — a crash
 mid-write leaves no ``_SUCCESS``, so resume recomputes that stage from
@@ -52,17 +53,23 @@ LINEAGE_SCHEMA = pa.schema([
 ])
 
 
-def _content_checksum(batch: pa.Table, cols: list[str]) -> int:
-    """Order-insensitive u64: XOR of vectorized per-row hashes over the
-    key columns (``pd.util.hash_pandas_object`` — C-speed siphash; a
-    per-row Python hash loop here dominated checkpoint time)."""
+def _content_checksum(batch: pa.Table, cols: list[str]) -> tuple[int, int]:
+    """Order-insensitive (xor, sum) u64 pair of vectorized per-row
+    hashes over the key columns (``pd.util.hash_pandas_object`` —
+    C-speed siphash; a per-row Python hash loop here dominated
+    checkpoint time).  XOR alone cancels duplicated rows pairwise
+    (possible in T3: same (subj,pred,obj,doc_id) from two sentences);
+    the wraparound SUM does not, so the pair is a faithful
+    order-insensitive content summary."""
     if batch.num_rows == 0:
-        return 0
+        return 0, 0
     import pandas as pd
 
     df = batch.select(cols).to_pandas()
     h = pd.util.hash_pandas_object(df, index=False).to_numpy(dtype=np.uint64)
-    return int(np.bitwise_xor.reduce(h))
+    with np.errstate(over="ignore"):
+        s = int(np.add.reduce(h))
+    return int(np.bitwise_xor.reduce(h)), s & 0xFFFFFFFFFFFFFFFF
 
 
 def _make_block_writer(tmp_dir: str, stage: str, checksum_cols: list[str],
@@ -73,8 +80,9 @@ def _make_block_writer(tmp_dir: str, stage: str, checksum_cols: list[str],
     def write_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        cs = _content_checksum(batch, checksum_cols)
-        name = f"part-{cs:016x}-{batch.num_rows}"
+        xor, tot = _content_checksum(batch, checksum_cols)
+        cs = xor ^ ((tot * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        name = f"part-{xor:016x}-{tot:016x}-{batch.num_rows}"
         pq.write_table(batch, os.path.join(tmp_dir, name + ".parquet"))
         lineage = pa.Table.from_pylist([{
             "stage": stage,

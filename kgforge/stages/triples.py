@@ -149,7 +149,7 @@ def add_hash_bucket(batch: pa.Table, key_cols: list[str],
         "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
 
 
-_KEY_SEP = "\x1f"   # below every content byte → concat order == tuple order
+_KEY_SEP = "\x00"   # below every content codepoint → concat order == tuple order
 
 
 def _triple_keys(batch: pa.Table) -> np.ndarray:
@@ -157,11 +157,17 @@ def _triple_keys(batch: pa.Table) -> np.ndarray:
     in C (object-dtype Python strings cost ~100M interpreted compares
     per exchange).  Truncation is safe: keys equal in the first 48
     chars land in the same range bucket, and the within-bucket merge
-    sorts on the full columns."""
+    sorts on the full columns.  Separator is NUL (U+0000), strictly
+    below every possible content codepoint, so concat ordering agrees
+    with (subj, pred, obj) tuple ordering; the assert verifies no
+    content NUL snuck in (vectorized, one substring count)."""
     import pyarrow.compute as pc
 
     joined = pc.binary_join_element_wise(batch["subj"], batch["pred"],
                                          batch["obj"], _KEY_SEP)
+    n_nul = pc.sum(pc.count_substring(joined, _KEY_SEP)).as_py() or 0
+    assert n_nul == 2 * batch.num_rows, \
+        "NUL byte inside subj/pred/obj content breaks range-key ordering"
     return np.asarray(joined.to_pylist(), dtype="U48")
 
 

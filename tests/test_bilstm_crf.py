@@ -65,6 +65,30 @@ def test_training_deterministic(trained):
     assert np.array_equal(model.trans, again.trans)
 
 
+def test_batch_composition_independent(trained):
+    """Decoding a sentence alone == decoding it padded in a batch with
+    longer sentences: the masked BiLSTM must never let pad embeddings
+    leak into real-token states (esp. the backward direction)."""
+    model, _ = trained
+    test = generate_corpus(300, seed=7)
+    texts = [s.text for s in test]
+    batched = B.decode_texts(model, texts)
+    # Decode in small shuffled groups (different pad lengths per group)
+    regrouped: dict[int, list[str]] = {}
+    order = np.random.RandomState(0).permutation(len(texts))
+    for pos, idx in enumerate(order):
+        regrouped.setdefault(pos % 17, []).append(idx)
+    got = [None] * len(texts)
+    for grp in regrouped.values():
+        out = B.decode_texts(model, [texts[i] for i in grp])
+        for i, tags in zip(grp, out):
+            got[i] = tags
+    assert got == batched
+    # And singleton decode agrees for a sample
+    for i in range(0, len(texts), 37):
+        assert B.decode_texts(model, [texts[i]])[0] == batched[i]
+
+
 def test_save_load_roundtrip(trained, tmp_path):
     model, _ = trained
     p = str(tmp_path / "bilstm_crf.npz")
