@@ -1,0 +1,186 @@
+"""DuckDB oracle SQL for the dictionary-tagger KG lane.
+
+Generates, from the SAME constants the Ray side uses
+(:mod:`kgforge.sources.dictcorpus` formulas, ``TEMPLATES``, the frozen
+gazetteers, ``TRIPLE_RULES``), ANSI SQL that:
+
+1. reconstructs every rendered sentence + its gold mention offsets
+   positionally (pure modular arithmetic + ``length()`` sums), and
+2. re-implements the triple rule engine
+   (:func:`kgforge.oracle.triples.extract_triples`) as a mention pair
+   join: gap text via ``substr``, connective via ``contains``,
+   co-occurrence window, per-sentence ``mentions`` pred with
+   first-occurrence etype, and the D1 dedup as a GROUP BY.
+
+The Ray pipeline must therefore land on these values exactly — the
+driver's CORRECTNESS gate value-checks the whole
+explode → split → tag → mentions → triples → dedup lane.
+"""
+
+from __future__ import annotations
+
+from kgforge.oracle.corpus import _SLOT_TYPES, TEMPLATES
+from kgforge.oracle.triples import COOCCUR_WINDOW, TRIPLE_RULES
+from kgforge.sources.dictcorpus import N_TPL, dict_gazetteers
+
+_GTABLE = {"PER": "g_per", "LOC": "g_loc", "ORG": "g_org"}
+
+
+def _values(surfaces: list[str]) -> str:
+    return ", ".join(f"({i}, '{s}')" for i, s in enumerate(surfaces))
+
+
+def _slot_idx_expr(k: int, n: int) -> str:
+    # keep in lockstep with dictcorpus.slot_index
+    return f"(d * (3 + 2*{k} + 5*j) + {11 * k} + 7*j) % {n}"
+
+
+def _template_branches() -> tuple[list[str], list[str]]:
+    """Per-template SELECTs for the sentence CTE and the mention CTE."""
+    gaz = dict_gazetteers()
+    sent_sel: list[str] = []
+    ment_sel: list[str] = []
+    for t, template in enumerate(TEMPLATES):
+        joins: list[str] = []
+        text_parts: list[str] = []
+        # running start offset: constant + length() of earlier slots
+        const = 0
+        start_exprs: list[tuple[int, str, str]] = []  # (k, etype, start_sql)
+        var_parts: list[str] = []
+        k = 0
+        for seg in template:
+            if seg in _SLOT_TYPES:
+                tbl = _GTABLE[seg]
+                joins.append(f"JOIN {tbl} s{k} ON s{k}.i = "
+                             f"{_slot_idx_expr(k, len(gaz[seg]))}")
+                text_parts.append(f"s{k}.s")
+                start_sql = " + ".join([str(const)] + var_parts) \
+                    if var_parts else str(const)
+                start_exprs.append((k, seg, start_sql))
+                var_parts.append(f"length(s{k}.s)")
+                k += 1
+            else:
+                text_parts.append("'" + seg + "'")
+                const += len(seg)
+        text_expr = " || ".join(text_parts)
+        frm = f"FROM dj {' '.join(joins)} WHERE tpl = {t}"
+        sent_sel.append(f"SELECT d, j, {text_expr} AS sent_text {frm}")
+        for k, etype, start_sql in start_exprs:
+            ment_sel.append(
+                f"SELECT d, j, ({start_sql}) AS ms, "
+                f"({start_sql}) + length(s{k}.s) AS me, "
+                f"s{k}.s AS surface, '{etype}' AS etype {frm}")
+    return sent_sel, ment_sel
+
+
+def corpus_prelude() -> str:
+    """The shared WITH-clause: gazetteers, doc×sentence grid, rendered
+    sentences (with per-doc sentence offsets) and gold mentions."""
+    gaz = dict_gazetteers()
+    sent_sel, ment_sel = _template_branches()
+    return f"""
+WITH jj(j) AS (VALUES (0), (1)),
+g_per(i, s) AS (VALUES {_values(gaz["PER"])}),
+g_loc(i, s) AS (VALUES {_values(gaz["LOC"])}),
+g_org(i, s) AS (VALUES {_values(gaz["ORG"])}),
+dj AS (SELECT doc_id AS d, j, (doc_id * (1 + 2*j) + 5*j) % {N_TPL} AS tpl
+       FROM documents CROSS JOIN jj),
+sents0 AS ({" UNION ALL ".join(sent_sel)}),
+sents AS (SELECT d, j, sent_text, printf('dict-%08d', d) AS doc_id,
+                 CAST(coalesce(lag(length(sent_text))
+                      OVER (PARTITION BY d ORDER BY j), 0) AS INTEGER)
+                     AS sent_offset
+          FROM sents0),
+ments AS ({" UNION ALL ".join(ment_sel)})"""
+
+
+def mentions_sql() -> str:
+    return corpus_prelude() + """
+SELECT s.doc_id, 0 AS span_idx, s.j AS sent_idx, s.sent_offset AS "offset",
+       m.ms AS ment_start, m.me AS ment_end, m.surface, m.etype
+FROM ments m JOIN sents s ON s.d = m.d AND s.j = m.j
+"""
+
+
+def _rules_values() -> str:
+    rows = []
+    for pred, st, ot, direction, conns, max_gap in TRIPLE_RULES:
+        c1 = f"'{conns[0]}'"
+        c2 = f"'{conns[1]}'" if len(conns) > 1 else "NULL"
+        d = "sf" if direction == "subj_first" else "of"
+        rows.append(f"('{pred}', '{st}', '{ot}', '{d}', {c1}, {c2}, "
+                    f"{max_gap})")
+    return ", ".join(rows)
+
+
+def _triples_ctes() -> str:
+    """CTEs computing the pre-dedup triple rows (named ``trip``)."""
+    return corpus_prelude() + f""",
+pairs AS (
+  SELECT m1.d, m1.j, m1.etype AS t1, m2.etype AS t2,
+         m1.surface AS s1, m2.surface AS s2,
+         m1.me AS me1, m2.ms AS ms2,
+         substr(s.sent_text, m1.me + 1, m2.ms - m1.me) AS gap
+  FROM ments m1
+  JOIN ments m2 ON m1.d = m2.d AND m1.j = m2.j AND m1.ms < m2.ms
+  JOIN sents s ON s.d = m1.d AND s.j = m1.j
+  WHERE m2.ms >= m1.me
+),
+rules(pred, st, ot, dir, c1, c2, max_gap) AS (VALUES {_rules_values()}),
+rel AS (
+  SELECT CASE r.dir WHEN 'sf' THEN p.s1 ELSE p.s2 END AS subj, r.pred,
+         CASE r.dir WHEN 'sf' THEN p.s2 ELSE p.s1 END AS obj,
+         CASE r.dir WHEN 'sf' THEN p.t1 ELSE p.t2 END AS subj_type,
+         CASE r.dir WHEN 'sf' THEN p.t2 ELSE p.t1 END AS obj_type,
+         p.d, p.j
+  FROM pairs p JOIN rules r
+    ON length(p.gap) <= r.max_gap
+   AND (contains(p.gap, r.c1)
+        OR (r.c2 IS NOT NULL AND contains(p.gap, r.c2)))
+   AND ((r.dir = 'sf' AND p.t1 = r.st AND p.t2 = r.ot)
+     OR (r.dir = 'of' AND p.t1 = r.ot AND p.t2 = r.st))
+),
+cooc AS (
+  SELECT CASE WHEN s1 <= s2 THEN s1 ELSE s2 END AS subj,
+         'co_occurs' AS pred,
+         CASE WHEN s1 <= s2 THEN s2 ELSE s1 END AS obj,
+         CASE WHEN s1 <= s2 THEN t1 ELSE t2 END AS subj_type,
+         CASE WHEN s1 <= s2 THEN t2 ELSE t1 END AS obj_type,
+         d, j
+  FROM pairs WHERE ms2 - me1 <= {COOCCUR_WINDOW} AND s1 <> s2
+),
+mentpred AS (
+  SELECT printf('dict-%08d', d) AS subj, 'mentions' AS pred,
+         surface AS obj, 'DOC' AS subj_type,
+         arg_min(etype, ms) AS obj_type, d, j
+  FROM ments GROUP BY d, j, surface
+),
+trip AS (
+  SELECT subj, pred, obj, subj_type, obj_type,
+         printf('dict-%08d', d) AS doc_id, 0 AS span_idx,
+         j AS sent_idx, 1 AS support
+  FROM (SELECT * FROM rel UNION ALL SELECT * FROM cooc
+        UNION ALL SELECT subj, pred, obj, subj_type, obj_type, d, j
+        FROM mentpred)
+)"""
+
+
+def triples_sql() -> str:
+    return _triples_ctes() + "\nSELECT * FROM trip\n"
+
+
+def edges_sql() -> str:
+    return _triples_ctes() + """
+SELECT subj, pred, obj, min(subj_type) AS subj_type,
+       min(obj_type) AS obj_type, CAST(sum(support) AS BIGINT) AS support,
+       min(doc_id) AS first_doc
+FROM trip GROUP BY subj, pred, obj
+"""
+
+
+def nodes_sql() -> str:
+    return corpus_prelude() + """
+SELECT surface, min(etype) AS etype, CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+FROM ments GROUP BY surface
+"""

@@ -540,6 +540,56 @@ def q_kg_triples(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Dictionary-tagger KG lane (SQL-verifiable end-to-end; SURVEY §2 A1/D1
+# value gate — kgforge/pipelines/dict_oracle.py generates the twins)
+# ---------------------------------------------------------------------------
+
+_DICT_FLAGSHIP_CACHE: dict = {}
+
+
+def _dict_flagship_for(sf_dir: str) -> dict:
+    """Run (once per process per sf_dir) the REAL flagship pipeline —
+    explode → sentence split → dictionary tagger (actor pool) →
+    mentions → triples → range-exchange dedup — over the
+    arithmetic-derived dict corpus, alias resolution off (identity
+    canonicalization keeps the lane SQL-exact)."""
+    if sf_dir in _DICT_FLAGSHIP_CACHE:
+        return _DICT_FLAGSHIP_CACHE[sf_dir]
+    from kgforge.pipelines.flagship import run_flagship
+    from kgforge.sources.dictcorpus import derive_dict_t0_ds
+    from kgforge.stages.dict_tagger import DictTagger
+
+    root = tempfile.mkdtemp(prefix="kgforge_dict_")
+    res = run_flagship(t0_ds=derive_dict_t0_ds(sf_dir), model_path="",
+                       ckpt_root=f"{root}/ckpt", tagger_cls=DictTagger,
+                       use_alias=False, out_dir=f"{root}/graph",
+                       verify_i1=False)
+    _DICT_FLAGSHIP_CACHE[sf_dir] = res
+    return res
+
+
+def q_kg_mentions_dict(sf_dir: str):
+    return _dict_flagship_for(sf_dir)["mentions"].select_columns(
+        ["doc_id", "span_idx", "sent_idx", "offset",
+         "ment_start", "ment_end", "surface", "etype"])
+
+
+def q_kg_triples_dict(sf_dir: str):
+    return _dict_flagship_for(sf_dir)["triples"].select_columns(
+        ["subj", "pred", "obj", "subj_type", "obj_type",
+         "doc_id", "span_idx", "sent_idx", "support"])
+
+
+def q_kg_edges_dict(sf_dir: str):
+    return _dict_flagship_for(sf_dir)["edges"]
+
+
+def q_kg_nodes_dict(sf_dir: str):
+    return _dict_flagship_for(sf_dir)["nodes"].select_columns(
+        ["surface", "etype", "n_mentions", "n_docs"])
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -579,6 +629,10 @@ QUERIES = {
     "kg_nodes": q_kg_nodes,
     "kg_mentions": q_kg_mentions,
     "kg_triples": q_kg_triples,
+    "kg_mentions_dict": q_kg_mentions_dict,
+    "kg_triples_dict": q_kg_triples_dict,
+    "kg_edges_dict": q_kg_edges_dict,
+    "kg_nodes_dict": q_kg_nodes_dict,
 }
 
 _KIND_CASE = ("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
@@ -819,3 +873,12 @@ ORACLE_SQL = {
         SELECT token, n FROM c ORDER BY n DESC, token LIMIT 20
     """,
 }
+
+# dict-lane oracles are generated from the same template/gazetteer/rule
+# constants the Ray side uses (kgforge/pipelines/dict_oracle.py)
+from kgforge.pipelines import dict_oracle as _dict_oracle  # noqa: E402
+
+ORACLE_SQL["kg_mentions_dict"] = _dict_oracle.mentions_sql()
+ORACLE_SQL["kg_triples_dict"] = _dict_oracle.triples_sql()
+ORACLE_SQL["kg_edges_dict"] = _dict_oracle.edges_sql()
+ORACLE_SQL["kg_nodes_dict"] = _dict_oracle.nodes_sql()

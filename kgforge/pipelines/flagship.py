@@ -42,12 +42,13 @@ from kgforge.stages.triples import dedup_triples_ds, make_triple_extract_fn
 def run_flagship(t0_path: str | None = None, t0_ds=None, *,
                  model_path: str, ckpt_root: str,
                  num_partitions: int = 32,
-                 tagger_concurrency: int | tuple = 4,
+                 tagger_concurrency: int | tuple | None = None,
                  tagger_batch_size: int = 1024,
                  tagger_mode: str = "tasks",
                  tagger_cls=None,
                  read_blocks: int | None = None,
                  out_dir: str | None = None,
+                 use_alias: bool = True,
                  verify_i1: bool = False) -> dict:
     """Run (or resume) the flagship pipeline.  Returns dataset handles +
     summary counts; writes node/edge tables under ``out_dir`` if given.
@@ -86,6 +87,13 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
         sents = t0().map_batches(make_explode_spans(num_partitions),
                                  batch_format="pyarrow")
         if tagger_mode == "actors" or tagger_cls is not None:
+            conc = tagger_concurrency
+            if conc is None:
+                # autoscaling pool capped below the cluster CPU count: a
+                # fixed pool equal to all CPUs starves upstream all-to-all
+                # tasks (repartition) of workers → scheduling deadlock
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+                conc = (1, max(1, cpus - 1))
             # expensive-per-worker state (BiLSTM weights, GPU): class
             # UDF actor pool, setup once per actor in __init__.  Any
             # Tagger-protocol class plugs in via ``tagger_cls``
@@ -95,7 +103,7 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
             tagged = sents.map_batches(
                 cls, fn_constructor_kwargs={"model_path": model_path},
                 batch_format="pyarrow", batch_size=tagger_batch_size,
-                concurrency=tagger_concurrency, num_cpus=1)
+                concurrency=conc, num_cpus=1)
         else:
             # cheap state (HMM .npz): stateless fn + per-worker model
             # cache — fuses read→explode→tag→mentions→checkpoint into
@@ -121,7 +129,9 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
     _mark("mentions")
 
     # ---- stage 3: alias resolution (G4) ---------------------------------
-    alias_map = build_alias_map(mentions)
+    # use_alias=False: canonicalization is identity (the dictionary lane
+    # needs SQL-reproducible surfaces; alias discovery is minhash-based)
+    alias_map = build_alias_map(mentions) if use_alias else {}
     alias_ref = ray.put(alias_map)
     _mark("alias")
 
