@@ -174,7 +174,8 @@ class _MinhashSigner:
 def minhash_dedup_pairs_ds(ds, text_col: str = "text",
                            id_col: str = "doc_id",
                            theta: float = DEFAULT_THETA,
-                           shingle_n: int = SHINGLE_N):
+                           shingle_n: int = SHINGLE_N,
+                           num_buckets: int | None = None):
     """Near-duplicate pairs via MinHash banding, verified by signature
     similarity (estimated Jaccard = fraction of equal permutations).
 
@@ -182,7 +183,20 @@ def minhash_dedup_pairs_ds(ds, text_col: str = "text",
     exact-Jaccard confirmation pass, when required, re-reads just the
     candidate doc_ids from the source with a pruned read — the
     SQL-verifiable exact variant is :func:`jaccard_blocked_pairs_ds`.
+
+    ``num_buckets`` is ONLY a partitioning knob (verification still
+    groups by exact ``(band, band_hash)`` inside each bucket, so the
+    pair set is invariant to it — tested).  Default scales with the
+    cluster (4 × CPUs, min 64): a fixed modulus caps the verify
+    stage's parallelism AND lets per-group size grow with the corpus.
     """
+    if num_buckets is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 16)) \
+            if ray.is_initialized() else 16
+        num_buckets = max(64, 4 * cpus)
+
     signed = ds.map_batches(
         _MinhashSigner,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
@@ -192,7 +206,7 @@ def minhash_dedup_pairs_ds(ds, text_col: str = "text",
     def add_bucket(b: pa.Table) -> pa.Table:
         bh = b["band_hash"].to_numpy(zero_copy_only=False)
         return b.append_column(
-            "bucket", pa.array((bh % np.uint64(64)).astype(np.int64)))
+            "bucket", pa.array((bh % np.uint64(num_buckets)).astype(np.int64)))
 
     def verify_bucket(group: pa.Table) -> pa.Table:
         """All (band, band_hash) groups of one bucket, grouped with a
@@ -302,10 +316,16 @@ def simhash64(text: str) -> int:
 
 
 def simhash_pairs_ds(ds, text_col: str = "text", id_col: str = "doc_id",
-                     max_hamming: int = 3):
+                     max_hamming: int = 3, max_block: int = 4096):
     """Candidate generation by 4×16-bit sub-key banding (pigeonhole: any
     pair with Hamming ≤ 3 over 64 bits shares ≥ 1 of 4 sub-keys),
-    verified by exact Hamming distance."""
+    verified by exact Hamming distance (vectorized chunked popcount —
+    no per-pair Python).
+
+    ``max_block`` guards the O(k²) verify against a degenerate sub-key
+    bucket (a bucket beyond it is truncated deterministically by sorted
+    id; >4096 docs sharing a 16-bit sub-key means the sub-key carries
+    no near-dup signal — same guard the linking stage uses)."""
     def sign(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         sh = np.array([simhash64(t) for t in batch[text_col].to_pylist()],
@@ -321,24 +341,32 @@ def simhash_pairs_ds(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     def verify(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_pylist()
-        sh = group["simhash"].to_numpy(zero_copy_only=False)
-        order = np.argsort(np.asarray(ids))
+        ids = np.asarray(group[id_col].to_pylist())
+        sh = group["simhash"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        order = np.argsort(ids)
+        ids, sh = ids[order], sh[order]
+        k = len(ids)
+        if k > max_block:
+            ids, sh = ids[:max_block], sh[:max_block]
+            k = max_block
         a_out, b_out, d_out = [], [], []
-        seen = set()
-        for xi in range(len(order)):
-            for yi in range(xi + 1, len(order)):
-                x, y = order[xi], order[yi]
-                if ids[x] == ids[y] or (ids[x], ids[y]) in seen:
-                    continue
-                seen.add((ids[x], ids[y]))
-                d = int(bin(int(sh[x]) ^ int(sh[y])).count("1"))
-                if d <= max_hamming:
-                    a_out.append(ids[x])
-                    b_out.append(ids[y])
-                    d_out.append(d)
-        return pa.table({"id_a": pa.array(a_out), "id_b": pa.array(b_out),
-                         "hamming": pa.array(d_out, pa.int64())})
+        for s in range(0, k, 512):
+            e = min(k, s + 512)
+            x = sh[s:e, None] ^ sh[None, :]           # [r, k] u64
+            bits = np.unpackbits(
+                x.view(np.uint8).reshape(e - s, k, 8), axis=2)
+            ham = bits.sum(axis=2, dtype=np.int64)    # [r, k]
+            ri, ci = np.nonzero(ham <= max_hamming)
+            keep = ci > (ri + s)                      # upper triangle only
+            a_out.append(ids[ri[keep] + s])
+            b_out.append(ids[ci[keep]])
+            d_out.append(ham[ri[keep], ci[keep]])
+        return pa.table({
+            "id_a": pa.array(np.concatenate(a_out) if a_out else []),
+            "id_b": pa.array(np.concatenate(b_out) if b_out else []),
+            "hamming": pa.array(
+                np.concatenate(d_out) if d_out else [], pa.int64())})
 
     from ray.data.aggregate import Min
 

@@ -375,44 +375,53 @@ def q_vocab_topk(sf_dir: str):
     return counts.sort(["n", "token"], descending=[True, False]).limit(20)
 
 
-def _orderkey_set_ref(sf_dir: str):
-    import pyarrow.parquet as pq
+def _orderkey_value_set_ref(sf_dir: str):
+    """Distinct ``l_orderkey`` values as ONE broadcast Arrow array.
+
+    Distributed distinct: per-batch ``pc.unique`` combiners shrink each
+    block to its distinct keys before anything leaves the map stage;
+    the driver unions the already-small partials once and ``ray.put``\ s
+    the result.  Broadcast semi/anti-join is the right plan while the
+    DISTINCT key set (≈ |orders|, far smaller than |lineitem|) fits in
+    worker memory; past that threshold the scale path is to
+    hash-partition both sides on the key (``kgforge.stages.exchange``)
+    and semi-join per bucket — no full-table driver set, ever."""
     import ray
 
-    keys = pq.read_table(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_orderkey"])["l_orderkey"]
-    return ray.put(set(keys.to_pylist()))
+    partials = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        lambda b: pa.table({"k": pc.unique(b["l_orderkey"])}),
+        batch_format="pyarrow")
+    tables = ray.get(partials.to_arrow_refs())
+    vs = pc.unique(pa.concat_tables(tables)["k"].combine_chunks())
+    return ray.put(vs)
 
 
 def q_semi_join(sf_dir: str):
-    """Orders that HAVE lineitems (broadcast semi-join: the distinct
-    key set ships once via ray.put, each batch filters locally)."""
+    """Orders that HAVE lineitems: broadcast semi-join via vectorized
+    ``pc.is_in`` against the distinct-key value set (C-speed hash
+    probe, no per-row Python membership)."""
     import ray
 
-    ref = _orderkey_set_ref(sf_dir)
+    ref = _orderkey_value_set_ref(sf_dir)
 
     def keep(b: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = pa.array([k in keys for k in b["o_orderkey"].to_pylist()])
-        return b.filter(mask)
+        vs = ray.get(ref)
+        return b.filter(pc.is_in(b["o_orderkey"], value_set=vs))
 
-    return _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
-        .map_batches(keep, batch_format="pyarrow") \
-        .map_batches(lambda b: pa.table({"o_orderkey": b["o_orderkey"]}),
-                     batch_format="pyarrow")
+    return _read(sf_dir, "orders", ["o_orderkey"]) \
+        .map_batches(keep, batch_format="pyarrow")
 
 
 def q_anti_join(sf_dir: str):
-    """Orders WITHOUT lineitems (broadcast anti-join)."""
+    """Orders WITHOUT lineitems (broadcast anti-join, ``pc.is_in``
+    inverted)."""
     import ray
 
-    ref = _orderkey_set_ref(sf_dir)
+    ref = _orderkey_value_set_ref(sf_dir)
 
     def drop(b: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = pa.array([k not in keys
-                         for k in b["o_orderkey"].to_pylist()])
-        return b.filter(mask)
+        vs = ray.get(ref)
+        return b.filter(pc.invert(pc.is_in(b["o_orderkey"], value_set=vs)))
 
     return _read(sf_dir, "orders", ["o_orderkey"]) \
         .map_batches(drop, batch_format="pyarrow")

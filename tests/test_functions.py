@@ -255,3 +255,68 @@ def test_round_away_matches_duckdb_property():
                            [v]).fetchone()[0] for v in vals]
         assert got == exp, (nd, [(v, g, e) for v, g, e
                                  in zip(vals, got, exp) if g != e][:5])
+
+
+def test_minhash_pair_set_invariant_to_bucketization(ray_session):
+    """The LSH bucket modulus is only a partitioning key: any bucket
+    count must yield the identical verified pair set."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    texts = []
+    for i in range(60):
+        base = [words[rng.randint(10)] for _ in range(12)]
+        texts.append(" ".join(base))
+        if i % 3 == 0:                      # near-dup variant
+            mut = list(base)
+            mut[rng.randint(12)] = words[rng.randint(10)]
+            texts.append(" ".join(mut))
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(4)
+    sets = []
+    for nb in (1, 7, 64, 1024):
+        pairs = D.minhash_dedup_pairs_ds(ds, theta=0.5,
+                                         num_buckets=nb).to_pandas()
+        sets.append({(a, b, j) for a, b, j in
+                     zip(pairs.id_a, pairs.id_b, pairs.jaccard)})
+    assert sets[0] == sets[1] == sets[2] == sets[3]
+    assert sets[0]                           # non-trivial
+
+
+def test_simhash_vectorized_verify_matches_bruteforce(ray_session):
+    """Chunked-popcount verify == brute-force candidate pairs (all
+    pairs sharing >= 1 sub-key with Hamming <= 3)."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    words = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(80):
+        base = [words[rng.randint(30)] for _ in range(15)]
+        texts.append(" ".join(base))
+        if i % 4 == 0:
+            mut = list(base)
+            mut[rng.randint(15)] = words[rng.randint(30)]
+            texts.append(" ".join(mut))
+    ids = list(range(len(texts)))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts)})
+    pairs = D.simhash_pairs_ds(
+        rd.from_arrow(tbl).repartition(3)).to_pandas()
+    got = {(a, b): h for a, b, h in
+           zip(pairs.id_a, pairs.id_b, pairs.hamming)}
+
+    sh = [D.simhash64(t) for t in texts]
+    exp = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            shares = any(((sh[x] >> (16 * k)) & 0xFFFF)
+                         == ((sh[y] >> (16 * k)) & 0xFFFF)
+                         for k in range(4))
+            d = bin(sh[x] ^ sh[y]).count("1")
+            if shares and d <= 3:
+                exp[(x, y)] = d
+    assert got == exp and exp
