@@ -112,14 +112,19 @@ def _make_pair_fn(max_block: int):
         rows = list(zip(group["surface"].to_pylist(),
                         group["n"].to_pylist(),
                         group["etype"].to_pylist()))
-        t_col, a_col, b_col = [], [], []
+        nof = {s: int(n) for s, n, _ in rows}
+        t_col, a_col, b_col, na_col, nb_col = [], [], [], [], []
         for etype, a, b in verify_block_pairs(rows, max_block):
             t_col.append(etype)
             a_col.append(a)
             b_col.append(b)
+            na_col.append(nof[a])
+            nb_col.append(nof[b])
         return pa.table({"etype": pa.array(t_col, pa.string()),
                          "surf_a": pa.array(a_col, pa.string()),
-                         "surf_b": pa.array(b_col, pa.string())})
+                         "surf_b": pa.array(b_col, pa.string()),
+                         "n_a": pa.array(na_col, pa.int64()),
+                         "n_b": pa.array(nb_col, pa.int64())})
 
     return emit_pairs
 
@@ -155,53 +160,88 @@ def make_blocking_keys_fn():
 
 def build_alias_map(mentions_ds, salt_buckets: int = DEFAULT_SALT_BUCKETS,
                     max_block: int = DEFAULT_MAX_BLOCK,
-                    small_side: str = "driver"
+                    small_side: str = "auto",
+                    driver_partial_rows_max: int = 1_000_000
                     ) -> dict[tuple[str, str], tuple[str, str]]:
     """Full alias resolution → driver-side alias dict.
 
     The returned dict is the broadcast small side (``ray.put`` it once;
-    lookups read it per worker).  Scale assumption: the number of
-    *distinct* entity surfaces fits driver memory (gazetteer-bounded;
-    at 10¹² docs this is the entity vocabulary, not the corpus).
+    lookups read it per worker); surfaces absent from it canonicalize
+    to themselves (:meth:`CanonLookup.canon` fallback), so the dict
+    only ever needs the surfaces that participate in an accepted pair.
 
-    ``small_side="driver"`` (default): the per-batch vectorized
-    combiner already emits one row per distinct (etype, surface) per
-    batch — the driver merges those partials directly and runs
-    blocking + capped pair verification locally.  This is the fast
-    path while the distinct-surface set is broadcast-sized; the wide
-    machinery (salted groupby, block-keyed pair groupby) is retained
-    under ``small_side="shuffle"`` for when it isn't, and the two paths
-    produce identical pair sets (shared :func:`verify_block_pairs`;
-    equality is tested).
+    ``small_side="auto"`` (default) picks per input size:
+
+    - **driver**: while the per-batch combiner's partial-count rows fit
+      a driver merge (≤ ``driver_partial_rows_max``), the driver merges
+      them vectorized (arrow ``group_by``) and runs blocking + capped
+      pair verification locally — the fast path for broadcast-sized
+      distinct-surface sets.
+    - **shuffle** (the web-scale path, open vocabulary): everything
+      stays distributed — salted ``groupby(etype, surface, salt)``
+      (the combiner bounds rows/surface at #batches; the salt splits a
+      hot surface's partials across reducers), a tiny merge groupby,
+      blocking-key fan-out, and the block-keyed pair-verify groupby.
+      ONLY accepted pairs (plus their two support counts) ship to the
+      driver union-find — never per-surface rows.
+
+    Both paths share :func:`verify_block_pairs`, and canonicalization
+    results agree (tested); the shuffle map is the pair-involved subset
+    of the driver map.
     """
-    if small_side == "shuffle":
-        support_ds = surface_support(mentions_ds, salt_buckets)
-        import ray
+    import ray
 
-        support: dict[tuple[str, str], int] = {}
-        for ref in support_ds.to_arrow_refs():
-            tbl = ray.get(ref)
-            if tbl.num_rows == 0 or "etype" not in tbl.column_names:
-                continue
-            for e, s, n in zip(tbl["etype"].to_pylist(),
-                               tbl["surface"].to_pylist(),
-                               tbl["n"].to_pylist()):
-                support[(e, s)] = support.get((e, s), 0) + int(n)
-        if not support:
+    partial = mentions_ds.map_batches(
+        make_partial_surface_counts(salt_buckets),
+        batch_format="pyarrow").materialize()
+    if small_side == "auto":
+        small_side = ("driver" if partial.count() <= driver_partial_rows_max
+                      else "shuffle")
+
+    if small_side == "driver":
+        tables = [t for t in ray.get(partial.to_arrow_refs())
+                  if t.num_rows and "etype" in t.column_names]
+        if not tables:
             return {}
-        pairs = _pairs_distributed(support, max_block)
-    else:
-        partial = mentions_ds.map_batches(
-            make_partial_surface_counts(salt_buckets),
-            batch_format="pyarrow")
-        support = {}
-        for row in partial.take_all():
-            k = (row["etype"], row["surface"])
-            support[k] = support.get(k, 0) + int(row["n"])
+        merged = pa.concat_tables(tables) \
+            .group_by(["etype", "surface"], use_threads=False) \
+            .aggregate([("n", "sum")])
+        support = {(e, s): int(n) for e, s, n in zip(
+            merged["etype"].to_pylist(), merged["surface"].to_pylist(),
+            merged["n_sum"].to_pylist())}
         if not support:
             return {}
         pairs = _pairs_driver(support, max_block)
-    return resolve_from_pairs(support, sorted(pairs))
+        return resolve_from_pairs(support, sorted(pairs))
+
+    # ---- distributed scale path -----------------------------------------
+    from ray.data.aggregate import Sum
+
+    salted = partial.groupby(["etype", "surface", "salt"]).aggregate(
+        Sum("n", alias_name="n"))
+    distinct = salted.groupby(["etype", "surface"]).aggregate(
+        Sum("n", alias_name="n"))
+    keys_ds = distinct.map_batches(make_blocking_keys_fn(),
+                                   batch_format="pyarrow")
+    pairs_ds = keys_ds.groupby(["etype", "block_kind", "block_key"]) \
+        .map_groups(_make_pair_fn(max_block), batch_format="pyarrow")
+    pair_support: dict[tuple[str, str], int] = {}
+    pairs: set = set()
+    for ref in pairs_ds.to_arrow_refs():
+        tbl = ray.get(ref)
+        if tbl.num_rows == 0 or "etype" not in tbl.column_names:
+            continue
+        for e, a, b, na, nb in zip(tbl["etype"].to_pylist(),
+                                   tbl["surf_a"].to_pylist(),
+                                   tbl["surf_b"].to_pylist(),
+                                   tbl["n_a"].to_pylist(),
+                                   tbl["n_b"].to_pylist()):
+            pairs.add(((e, a), (e, b)))
+            pair_support[(e, a)] = int(na)
+            pair_support[(e, b)] = int(nb)
+    if not pairs:
+        return {}
+    return resolve_from_pairs(pair_support, sorted(pairs))
 
 
 def _pairs_driver(support: dict[tuple[str, str], int], max_block: int
@@ -218,26 +258,6 @@ def _pairs_driver(support: dict[tuple[str, str], int], max_block: int
     for rows in buckets.values():
         for etype, a, b in verify_block_pairs(rows, max_block):
             pairs.add(((etype, a), (etype, b)))
-    return pairs
-
-
-def _pairs_distributed(support: dict[tuple[str, str], int], max_block: int
-                       ) -> set[tuple[tuple[str, str], tuple[str, str]]]:
-    import ray.data as rd
-
-    distinct = pa.table({
-        "etype": pa.array([k[0] for k in sorted(support)], pa.string()),
-        "surface": pa.array([k[1] for k in sorted(support)], pa.string()),
-        "n": pa.array([support[k] for k in sorted(support)], pa.int64()),
-    })
-    keys_ds = rd.from_arrow(distinct).map_batches(
-        make_blocking_keys_fn(), batch_format="pyarrow")
-    pairs_ds = keys_ds.groupby(["etype", "block_kind", "block_key"]) \
-        .map_groups(_make_pair_fn(max_block), batch_format="pyarrow")
-    pairs: set = set()
-    for row in pairs_ds.take_all():
-        pairs.add(((row["etype"], row["surf_a"]),
-                   (row["etype"], row["surf_b"])))
     return pairs
 
 

@@ -219,19 +219,33 @@ def test_sessionize(ray_session):
 
 
 def test_alias_small_side_paths_agree(ray_session, hmm_model):
-    """driver vs shuffle small-side paths produce identical alias maps."""
+    """driver vs shuffle paths canonicalize identically: the shuffle
+    map is the pair-involved subset of the driver map, and missing keys
+    fall back to identity canon in CanonLookup — so canon() over every
+    surface must agree between the two."""
     import ray.data as rd
 
     from kgforge.oracle.corpus import generate_interleaved_docs
     from kgforge.oracle.pipeline import mentions_of, tag_docs
-    from kgforge.stages.linking import build_alias_map
+    from kgforge.stages.linking import CanonLookup, build_alias_map
 
     docs = generate_interleaved_docs(80, seed=42)
     ment = mentions_of(tag_docs(hmm_model, docs))
     t1 = rd.from_items(ment).repartition(4)
     a = build_alias_map(t1, small_side="driver")
     b = build_alias_map(t1, small_side="shuffle")
-    assert a == b and len(a) > 0
+    assert len(a) > 0 and len(b) > 0
+    # shuffle map ⊆ driver map with equal values
+    for k, v in b.items():
+        assert a[k] == v, k
+    # identical canonicalization over every surface the driver map saw
+    ca, cb = CanonLookup(alias_map=a), CanonLookup(alias_map=b)
+    for etype, surface in a:
+        assert ca.canon(etype, surface) == cb.canon(etype, surface)
+    # every non-identity driver entry is pair-involved → present in b
+    for k, v in a.items():
+        if v[1] != k[1]:
+            assert k in b, k
 
 
 def test_round_away_matches_duckdb_property():
