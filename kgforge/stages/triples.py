@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from kgforge.oracle.triples import Mention, extract_triples
+from kgforge.oracle.triples import COOCCUR_WINDOW, TRIPLE_RULES
 
 TRIPLE_SCHEMA = pa.schema([
     ("subj", pa.string()),
@@ -66,8 +66,22 @@ def make_triple_extract_fn(alias_ref):
     return extract
 
 
+_MAX_RULE_GAP = max(r[5] for r in TRIPLE_RULES)
+
+
 class TripleExtractor:
-    """Sentence rows (``mentions`` attached) → T3 rows."""
+    """Sentence rows (``mentions`` attached) → T3 rows.
+
+    Vectorized re-expression of :func:`kgforge.oracle.triples
+    .extract_triples` (multiset-equal output; parity-tested): pair
+    generation is a shifted-parents comparison, gap-length pruning and
+    type/direction rule masks are numpy, connective containment is a
+    ``np.char.find`` over only the gap strings that survive the length
+    prune, and the per-sentence ``mentions``-pred dedup is a pandas
+    ``drop_duplicates``.  Python touches strings exactly once per
+    surviving gap slice."""
+
+    emit_mentions_pred = True
 
     def __init__(self, alias_ref=None, alias_map=None):
         if alias_ref is not None:
@@ -77,7 +91,18 @@ class TripleExtractor:
         else:
             self.alias = alias_map or {}
 
+    def _canon_surfaces(self, etypes: np.ndarray,
+                        surfaces: np.ndarray) -> np.ndarray:
+        """Vectorized canon lookup: distinct (etype, surface) once."""
+        import pandas as pd
+
+        keys = pd.Series(list(zip(etypes, surfaces)))
+        uniq = keys.drop_duplicates()
+        lut = {k: self.alias.get(k, (None, k[1]))[1] for k in uniq}
+        return keys.map(lut).to_numpy(dtype=object)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
         import pyarrow.compute as pc
 
         ments = batch["mentions"]
@@ -86,31 +111,128 @@ class TripleExtractor:
         # mention-less sentences produce nothing — drop before any
         # Python-object conversion
         batch = batch.filter(pc.greater(pc.list_value_length(ments), 0))
+        if batch.num_rows == 0:
+            return TRIPLE_SCHEMA.empty_table()
         ments = batch["mentions"]
         if isinstance(ments, pa.ChunkedArray):
             ments = ments.combine_chunks()
         flat = pc.list_flatten(ments)
         parents = pc.list_parent_indices(ments) \
-            .to_numpy(zero_copy_only=False)
-        etypes = flat.field("etype").to_pylist()
-        starts = flat.field("ment_start").to_pylist()
-        ends = flat.field("ment_end").to_pylist()
-        surfaces = flat.field("surface").to_pylist()
-        per_row: list[list[Mention]] = [[] for _ in range(batch.num_rows)]
-        for p, e, s, t, sf in zip(parents, etypes, starts, ends, surfaces):
-            per_row[p].append(Mention(e, s, t, sf))
-        out: list[dict] = []
-        for text, doc_id, span_idx, sent_idx, pid, ms in zip(
-                batch["sent_text"].to_pylist(),
-                batch["doc_id"].to_pylist(),
-                batch["span_idx"].to_pylist(),
-                batch["sent_idx"].to_pylist(),
-                batch["pid"].to_pylist(), per_row):
-            for t in extract_triples(text, ms, self.alias, doc_id,
-                                     span_idx, sent_idx):
-                t["pid"] = pid
-                out.append(t)
-        return pa.Table.from_pylist(out, schema=TRIPLE_SCHEMA)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        etypes = np.asarray(flat.field("etype").to_pylist(), dtype=object)
+        starts = flat.field("ment_start") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ends = flat.field("ment_end") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        surfaces = np.asarray(flat.field("surface").to_pylist(),
+                              dtype=object)
+        # oracle order: mentions sorted by (start, end) within sentence
+        order = np.lexsort((ends, starts, parents))
+        parents, etypes = parents[order], etypes[order]
+        starts, ends = starts[order], ends[order]
+        surfaces = surfaces[order]
+        canon = self._canon_surfaces(etypes, surfaces)
+
+        texts = batch["sent_text"].to_pylist()
+        doc_ids = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
+        span_idx = batch["span_idx"].to_numpy(zero_copy_only=False)
+        sent_idx = batch["sent_idx"].to_numpy(zero_copy_only=False)
+        pid = batch["pid"].to_numpy(zero_copy_only=False)
+
+        cols = {k: [] for k in ("subj", "pred", "obj", "subj_type",
+                                "obj_type", "p")}
+
+        def emit(subj, pred, obj, st, ot, p):
+            cols["subj"].append(np.asarray(subj, dtype=object))
+            cols["pred"].append(np.full(len(p), pred, dtype=object)
+                                if isinstance(pred, str)
+                                else np.asarray(pred, dtype=object))
+            cols["obj"].append(np.asarray(obj, dtype=object))
+            cols["subj_type"].append(np.asarray(st, dtype=object))
+            cols["obj_type"].append(np.asarray(ot, dtype=object))
+            cols["p"].append(np.asarray(p, dtype=np.int64))
+
+        # ---- ordered same-sentence pairs (i before j) -------------------
+        n = len(parents)
+        i1s, i2s = [], []
+        _, counts = np.unique(parents, return_counts=True)
+        for k in range(1, int(counts.max()) if n else 0):
+            cand = np.flatnonzero(parents[:-k] == parents[k:])
+            if len(cand):
+                i1s.append(cand)
+                i2s.append(cand + k)
+        if i1s:
+            i1 = np.concatenate(i1s)
+            i2 = np.concatenate(i2s)
+            keep = starts[i2] >= ends[i1]       # overlapping → no relation
+            i1, i2 = i1[keep], i2[keep]
+        else:
+            i1 = i2 = np.zeros(0, dtype=np.int64)
+        gap_len = starts[i2] - ends[i1]
+
+        # ---- pattern rules (gap ≤ max rule gap only) --------------------
+        nr = np.flatnonzero(gap_len <= _MAX_RULE_GAP)
+        if len(nr):
+            g1, g2 = i1[nr], i2[nr]
+            gl = gap_len[nr]
+            gp = parents[g1]
+            gaps = np.asarray([texts[p][e:s] for p, e, s in
+                               zip(gp, ends[g1], starts[g2])], dtype="U8")
+            t1, t2 = etypes[g1], etypes[g2]
+            for pred, st, ot, direction, conns, max_gap in TRIPLE_RULES:
+                has = np.zeros(len(nr), dtype=bool)
+                for c in conns:
+                    has |= np.char.find(gaps, c) >= 0
+                m = has & (gl <= max_gap)
+                if direction == "subj_first":
+                    m &= (t1 == st) & (t2 == ot)
+                    sj, ob = g1, g2
+                else:
+                    m &= (t1 == ot) & (t2 == st)
+                    sj, ob = g2, g1
+                if m.any():
+                    emit(canon[sj[m]], pred, canon[ob[m]],
+                         etypes[sj[m]], etypes[ob[m]], gp[m])
+
+        # ---- co-occurrence (windowed, unordered, canon-distinct) --------
+        co = np.flatnonzero((gap_len <= COOCCUR_WINDOW) &
+                            (canon[i1] != canon[i2]))
+        if len(co):
+            c1, c2 = i1[co], i2[co]
+            a_first = canon[c1] <= canon[c2]
+            sj = np.where(a_first, c1, c2)
+            ob = np.where(a_first, c2, c1)
+            emit(canon[sj], "co_occurs", canon[ob],
+                 etypes[sj], etypes[ob], parents[c1])
+
+        # ---- mentions pred: first occurrence per (sentence, canon) ------
+        if self.emit_mentions_pred:
+            dfm = pd.DataFrame({"p": parents, "canon": canon,
+                                "etype": etypes})
+            firsts = dfm.drop_duplicates(["p", "canon"], keep="first")
+            fp = firsts["p"].to_numpy()
+            emit(doc_ids[fp], "mentions", firsts["canon"].to_numpy(),
+                 np.full(len(fp), "DOC", dtype=object),
+                 firsts["etype"].to_numpy(), fp)
+
+        if not cols["p"]:
+            return TRIPLE_SCHEMA.empty_table()
+        p_all = np.concatenate(cols["p"])
+        m_rows = len(p_all)
+        return pa.table({
+            "subj": pa.array(np.concatenate(cols["subj"]), pa.string()),
+            "pred": pa.array(np.concatenate(cols["pred"]), pa.string()),
+            "obj": pa.array(np.concatenate(cols["obj"]), pa.string()),
+            "subj_type": pa.array(np.concatenate(cols["subj_type"]),
+                                  pa.string()),
+            "obj_type": pa.array(np.concatenate(cols["obj_type"]),
+                                 pa.string()),
+            "doc_id": pa.array(doc_ids[p_all], pa.string()),
+            "span_idx": pa.array(span_idx[p_all].astype(np.int32)),
+            "sent_idx": pa.array(sent_idx[p_all].astype(np.int32)),
+            "support": pa.array(np.ones(m_rows, dtype=np.int64)),
+            "pid": pa.array(pid[p_all].astype(np.int32)),
+        }, schema=TRIPLE_SCHEMA)
 
 
 def combine_triples_in_batch(batch: pa.Table) -> pa.Table:

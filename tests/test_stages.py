@@ -168,3 +168,110 @@ def test_sentence_reconstruction_invariant(ray_session, hmm_model,
     bad = res["sentences"].map_batches(corrupt, batch_format="pyarrow")
     t0_ds = rd.read_parquet(t0_path, file_extensions=["parquet"])
     assert verify_sentence_reconstruction(t0_ds, bad) > 0
+
+
+def test_explode_vectorized_matches_reference_loop():
+    """Vectorized explode == the straightforward per-span loop
+    (split_sentences + running anchor) on randomized docs covering
+    terminators at edges, consecutive terminators, terminator-free
+    tails, empty-ref media, and interleaving."""
+    import random
+
+    from kgforge.oracle.segment import split_sentences
+
+    rng = random.Random(13)
+    frags = ["今天天气很好", "你好", "再见", "哈", "", "外语abc",
+             "。", "！", "？", "；", "。。", "正文"]
+    docs = []
+    for d in range(60):
+        spans, off = [], 0
+        for _ in range(rng.randint(0, 8)):
+            if rng.random() < 0.35:
+                ref = ("" if rng.random() < 0.2
+                       else f"media://image/{rng.randint(0, 99):06d}")
+                spans.append({"kind": "image", "text": "",
+                              "media_ref": ref, "offset": off})
+            else:
+                text = "".join(rng.choice(frags)
+                               for _ in range(rng.randint(0, 4)))
+                spans.append({"kind": "text", "text": text,
+                              "media_ref": "", "offset": off})
+                off += len(text)
+        docs.append({"doc_id": f"r{d:03d}", "spans": spans})
+
+    got = make_explode_spans(16)(docs_to_table(docs)).to_pylist()
+
+    exp = []
+    from kgforge.common.hashing import hash_u64_np
+    import numpy as np
+    doc_ids = [d["doc_id"] for d in docs]
+    pids = (hash_u64_np(doc_ids) % np.uint64(16)).astype(int)
+    for p, doc in enumerate(docs):
+        anchor = ""
+        for span_idx, s in enumerate(doc["spans"]):
+            if s["kind"] != "text":
+                anchor = s["media_ref"] or anchor
+                continue
+            if not s["text"]:
+                continue
+            for sent_idx, (o, sent) in enumerate(
+                    split_sentences(s["text"])):
+                exp.append({"doc_id": doc["doc_id"], "span_idx": span_idx,
+                            "span_offset": s["offset"],
+                            "sent_idx": sent_idx, "sent_offset": o,
+                            "sent_text": sent, "anchor_media_ref": anchor,
+                            "pid": int(pids[p])})
+    assert got == exp and len(exp) > 50
+
+
+def test_triple_extractor_vectorized_matches_oracle(hmm_model):
+    """Vectorized TripleExtractor == per-sentence oracle rule loop
+    (multiset of rows) on tagged fixture sentences, with a non-trivial
+    alias map."""
+    from collections import Counter
+
+    from kgforge.oracle.corpus import generate_interleaved_docs
+    from kgforge.oracle.linking import resolve_aliases
+    from kgforge.oracle.pipeline import tag_docs
+    from kgforge.oracle.triples import Mention, extract_triples
+    from kgforge.stages.mentions import attach_mentions
+    from kgforge.stages.triples import TripleExtractor
+
+    docs = generate_interleaved_docs(150, seed=42)
+    rows = tag_docs(hmm_model, docs)          # rows carry oracle tags
+    batch = pa.Table.from_pylist(
+        [{**r, "pid": i % 8} for i, r in enumerate(rows)])
+    with_m = attach_mentions(batch)
+
+    # alias map discovered from the mention surfaces
+    support: dict = {}
+    import pyarrow.compute as pc
+    flat = pc.list_flatten(with_m["mentions"])
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    for e, s in zip(flat.field("etype").to_pylist(),
+                    flat.field("surface").to_pylist()):
+        support[(e, s)] = support.get((e, s), 0) + 1
+    alias = resolve_aliases(support)
+
+    got = TripleExtractor(alias_map=alias)(with_m)
+    got_rows = Counter(tuple(sorted(r.items()))
+                       for r in got.to_pylist())
+
+    exp_rows: Counter = Counter()
+    parents = pc.list_parent_indices(with_m["mentions"]).to_pylist()
+    per_row = [[] for _ in range(with_m.num_rows)]
+    for p, e, st, en, sf in zip(
+            parents, flat.field("etype").to_pylist(),
+            flat.field("ment_start").to_pylist(),
+            flat.field("ment_end").to_pylist(),
+            flat.field("surface").to_pylist()):
+        per_row[p].append(Mention(e, st, en, sf))
+    for i in range(with_m.num_rows):
+        r = with_m.slice(i, 1).to_pylist()[0]
+        for t in extract_triples(r["sent_text"], per_row[i], alias,
+                                 r["doc_id"], r["span_idx"],
+                                 r["sent_idx"]):
+            t["pid"] = r["pid"]
+            exp_rows[tuple(sorted(t.items()))] += 1
+    assert got_rows == exp_rows and len(got_rows) > 100
