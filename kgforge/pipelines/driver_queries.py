@@ -598,6 +598,42 @@ def q_kg_nodes_dict(sf_dir: str):
         ["surface", "etype", "n_mentions", "n_docs"])
 
 
+def q_mention_dedup(sf_dir: str):
+    """D2 mention dedup across taggers, driver-value-checked: the
+    dict-lane mentions are duplicated under two synthetic tagger rows
+    with deterministic arithmetic scores, then
+    :func:`kgforge.stages.mentions.dedup_mentions_ds` keeps the best
+    row per span (score desc, tagger asc) through the range exchange —
+    the same op the HMM∪BiLSTM union path uses."""
+    import numpy as np
+
+    from kgforge.stages.mentions import dedup_mentions_ds
+
+    ments = _dict_flagship_for(sf_dir)["mentions"]
+
+    def duplicate(b: pa.Table) -> pa.Table:
+        d = pc.cast(pc.utf8_slice_codeunits(b["doc_id"], 5, 13),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        ms = b["ment_start"].to_numpy(zero_copy_only=False)
+        me = b["ment_end"].to_numpy(zero_copy_only=False)
+        ti = b.column_names.index("tagger")
+        si = b.column_names.index("score")
+        a = b.set_column(ti, "tagger",
+                         pa.array(["hmm"] * b.num_rows)) \
+             .set_column(si, "score",
+                         pa.array((d * 7 + ms) % 100 / 100.0))
+        c = b.set_column(ti, "tagger",
+                         pa.array(["bilstm"] * b.num_rows)) \
+             .set_column(si, "score",
+                         pa.array((d * 11 + me) % 100 / 100.0))
+        return pa.concat_tables([a, c])
+
+    dup = ments.map_batches(duplicate, batch_format="pyarrow")
+    return dedup_mentions_ds(dup).select_columns(
+        ["doc_id", "sent_idx", "ment_start", "ment_end",
+         "surface", "etype", "tagger", "score"])
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -642,6 +678,7 @@ QUERIES = {
     "kg_triples_dict": q_kg_triples_dict,
     "kg_edges_dict": q_kg_edges_dict,
     "kg_nodes_dict": q_kg_nodes_dict,
+    "mention_dedup": q_mention_dedup,
 }
 
 _KIND_CASE = ("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
@@ -891,3 +928,16 @@ ORACLE_SQL["kg_mentions_dict"] = _dict_oracle.mentions_sql()
 ORACLE_SQL["kg_triples_dict"] = _dict_oracle.triples_sql()
 ORACLE_SQL["kg_edges_dict"] = _dict_oracle.edges_sql()
 ORACLE_SQL["kg_nodes_dict"] = _dict_oracle.nodes_sql()
+ORACLE_SQL["mention_dedup"] = _dict_oracle.corpus_prelude() + """,
+dup AS (
+  SELECT d, j, ms, me, surface, etype, 'hmm' AS tagger,
+         CAST((d*7 + ms) % 100 AS DOUBLE) / 100.0 AS score FROM ments
+  UNION ALL
+  SELECT d, j, ms, me, surface, etype, 'bilstm',
+         CAST((d*11 + me) % 100 AS DOUBLE) / 100.0 FROM ments),
+r AS (SELECT *, row_number() OVER (PARTITION BY d, j, ms, me
+        ORDER BY score DESC, tagger) AS rn FROM dup)
+SELECT printf('dict-%08d', d) AS doc_id, j AS sent_idx,
+       ms AS ment_start, me AS ment_end, surface, etype, tagger, score
+FROM r WHERE rn = 1
+"""

@@ -153,3 +153,57 @@ def explode_mentions(batch: pa.Table, tagger: str = "hmm") -> pa.Table:
         "score": pa.array([1.0] * n, pa.float64()),
         "pid": pc.cast(take("pid"), pa.int32()),
     })
+
+
+MENTION_KEY = ["doc_id", "span_idx", "sent_idx", "ment_start", "ment_end"]
+
+
+def _best_mention_per_span(batch: pa.Table) -> pa.Table:
+    """Keep the best row per identical span: score desc, then tagger
+    asc (deterministic across any tagger combination)."""
+    if batch.num_rows == 0:
+        return batch
+    df = batch.to_pandas()
+    df = df.sort_values(MENTION_KEY + ["score", "tagger"],
+                        ascending=[True] * 5 + [False, True],
+                        kind="mergesort")
+    df = df.drop_duplicates(MENTION_KEY, keep="first")
+    return pa.Table.from_pandas(df, schema=batch.schema,
+                                preserve_index=False)
+
+
+def dedup_mentions_ds(mentions_ds, num_buckets: int | None = None):
+    """D2 (SURVEY §2.7): dedup identical spans across taggers.
+
+    Running several taggers (HMM ∪ BiLSTM ∪ dictionary) over the same
+    sentences double-counts every span both agree on; this keeps ONE
+    row per ``(doc_id, span_idx, sent_idx, ment_start, ment_end)`` —
+    the max-score row, tagger name as the deterministic tie-break.
+
+    Same scale shape as triple dedup: per-block vectorized combine
+    (pandas drop_duplicates) → ONE range exchange keyed on the span
+    identity; output globally sorted by that key.  Fully parallel at
+    every level — the distinct span set grows with the corpus.
+    """
+    import numpy as np
+
+    from kgforge.stages.exchange import range_exchange_merge
+
+    partial = mentions_ds.map_batches(_best_mention_per_span,
+                                      batch_format="pyarrow").materialize()
+
+    def key_of(batch: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        joined = pc.binary_join_element_wise(
+            batch["doc_id"],
+            pc.utf8_lpad(pc.cast(batch["span_idx"], pa.string()), 6, "0"),
+            pc.utf8_lpad(pc.cast(batch["sent_idx"], pa.string()), 6, "0"),
+            pc.utf8_lpad(pc.cast(batch["ment_start"], pa.string()), 6, "0"),
+            pc.utf8_lpad(pc.cast(batch["ment_end"], pa.string()), 6, "0"),
+            "\x00")
+        return np.asarray(joined.to_pylist(), dtype="U48")
+
+    return range_exchange_merge(partial, key_of=key_of,
+                                merge_fn=_best_mention_per_span,
+                                num_buckets=num_buckets)

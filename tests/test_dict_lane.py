@@ -163,3 +163,34 @@ def test_dict_flagship_e2e(ray_session, tmp_path):
         ((r["subj"], r["pred"], r["obj"], r["subj_type"], r["obj_type"],
           r["support"], r["first_doc"]) for r in gold_edges))
     assert got_e == exp_e
+
+
+def test_mention_dedup_two_tagger_union(ray_session):
+    """D2: HMM-tagged ∪ dict-tagged mentions over the same sentences
+    dedup to one row per span, keeping the max-score row (tagger name
+    tie-break), via the range-exchange op."""
+    import ray.data as rd
+
+    from kgforge.stages.mentions import dedup_mentions_ds
+
+    rows = []
+    gaz = dict_gazetteers()
+    for d in range(40):
+        for j in (0, 1):
+            text, ents = render_dict_sentence(d, j, gaz)
+            for e, s, t, sf in ents:
+                for tagger, score in (("hmm", 0.6), ("dict", 1.0)):
+                    rows.append({
+                        "doc_id": f"dict-{d:08d}", "span_idx": 0,
+                        "sent_idx": j, "offset": 0, "ment_start": s,
+                        "ment_end": t, "surface": sf, "etype": e,
+                        "tagger": tagger, "score": score, "pid": d % 8})
+    n_spans = len(rows) // 2
+    out = dedup_mentions_ds(
+        rd.from_items(rows).repartition(4)).to_pandas()
+    assert len(out) == n_spans
+    assert (out.tagger == "dict").all()          # max score wins
+    # deterministic tie-break: equal scores -> lexicographic tagger
+    tie = [dict(r, score=1.0) for r in rows]
+    out2 = dedup_mentions_ds(rd.from_items(tie).repartition(4)).to_pandas()
+    assert len(out2) == n_spans and (out2.tagger == "dict").all()
