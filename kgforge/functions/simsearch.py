@@ -142,6 +142,111 @@ def _kmeans_lite(sample: np.ndarray, n_centroids: int, n_iter: int = 8,
     return cent
 
 
+def ivf_build(ds, index_root: str, vec_col: str = "embedding",
+              id_col: str = "vec_id", n_centroids: int = 16,
+              sample_n: int = 2048, seed: int = 42) -> np.ndarray:
+    """Build a PERSISTED inverted file: assign every vector to its
+    nearest centroid once and write one Parquet partition per centroid
+    (``centroid=<c>/`` dirs via ``write_parquet(partition_cols)``),
+    plus the codebook (``centroids.npz``).
+
+    This is the amortized-scan step the index-less variant lacked:
+    after the one-time build, a query run READS only its ``nprobe``
+    probed partitions — O(N·nprobe/C) I/O instead of re-scanning and
+    re-assigning all N vectors per query set."""
+    import os
+
+    sample_rows = ds.limit(sample_n).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cent = _kmeans_lite(sample, n_centroids, seed=seed)
+    import ray
+
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1).astype(np.int64)
+        # cent_id rides inside the data files (hive partition cols are
+        # stripped on write and not restored when reading subdir paths)
+        return batch.append_column("centroid", pa.array(a)) \
+                    .append_column("cent_id", pa.array(a))
+
+    os.makedirs(index_root, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(index_root, partition_cols=["centroid"])
+    np.savez(os.path.join(index_root, "centroids.npz"), cent=cent)
+    return cent
+
+
+def knn_ivf_indexed_ds(index_root: str, query_ids,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       k: int = 5, nprobe: int = 4) -> pa.Table:
+    """Top-k over a persisted IVF index: only the union of the
+    queries' ``nprobe`` nearest partitions is READ (directory-pruned
+    ``read_parquet``); scoring inside each batch masks per query."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cent = np.load(os.path.join(index_root, "centroids.npz"))["cent"]
+    query_ids = np.asarray(sorted(query_ids), dtype=np.int64)
+    # query vectors live in their own partitions — pruned fetch needs
+    # only the partitions the query ids hash... we don't know which, so
+    # fetch by id across the index (still a pruned column read)
+    full = rd.read_parquet(index_root, file_extensions=["parquet"],
+                           columns=[id_col, vec_col])
+    q_rows = _take_rows_by_id(full, id_col, query_ids)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    qd = ((q_mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd, axis=1)[:, :nprobe]          # [Q, nprobe]
+    needed = sorted(set(probe.reshape(-1).tolist()))
+    paths = [os.path.join(index_root, f"centroid={c}") for c in needed
+             if os.path.isdir(os.path.join(index_root, f"centroid={c}"))]
+    if not paths:
+        return _merge_topk([], k)
+
+    state_ref = ray.put({
+        "ids": np.array([r[id_col] for r in q_rows], dtype=np.int64),
+        "unit": _unit(q_mat), "probe": probe})
+
+    class IndexedScorer:
+        def __init__(self):
+            st = ray.get(state_ref)
+            self.q_ids, self.q_unit = st["ids"], st["unit"]
+            self.probe = st["probe"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist())
+            cents = batch["cent_id"].to_numpy(zero_copy_only=False)
+            mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            unit = _unit(mat)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.q_ids)):
+                mask = np.isin(cents, self.probe[qi])
+                mask &= ids != self.q_ids[qi]
+                if not mask.any():
+                    continue
+                sims = unit[mask] @ self.q_unit[qi]
+                cand_ids = ids[mask]
+                kk = min(len(sims), 64)
+                top = np.lexsort((cand_ids, -sims))[:kk]
+                out_q.extend([self.q_ids[qi]] * kk)
+                out_n.extend(cand_ids[top].tolist())
+                out_s.extend(sims[top].tolist())
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "neighbor_id": pa.array(out_n, pa.int64()),
+                             "cos_sim": pa.array(out_s, pa.float64())})
+
+    probed = rd.read_parquet(paths, file_extensions=["parquet"],
+                             columns=[id_col, vec_col, "cent_id"])
+    partials = probed.map_batches(IndexedScorer, batch_format="pyarrow",
+                                  concurrency=(1, 8)).take_all()
+    return _merge_topk(partials, k)
+
+
 def knn_ivf_ds(ds, query_ids, vec_col: str = "embedding",
                id_col: str = "vec_id", k: int = 5, n_centroids: int = 16,
                nprobe: int = 4, sample_n: int = 2048,

@@ -149,10 +149,21 @@ def q_knn_brute(sf_dir: str):
         .repartition(16), KNN_QUERY_IDS, k=KNN_K)
 
 
+_IVF_INDEX_CACHE: dict = {}
+
+
 def q_knn_ivf(sf_dir: str):
-    return F_sim.knn_ivf_ds(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .repartition(16), KNN_QUERY_IDS, k=KNN_K)
+    """IVF over a PERSISTED inverted file: partitions are built once
+    per sf_dir (one Parquet dir per centroid), then each query run
+    reads only the probed partitions."""
+    root = _IVF_INDEX_CACHE.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="kgforge_ivf_")
+        F_sim.ivf_build(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+            .repartition(16), root)
+        _IVF_INDEX_CACHE[sf_dir] = root
+    return F_sim.knn_ivf_indexed_ds(root, KNN_QUERY_IDS, k=KNN_K)
 
 
 # ---------------------------------------------------------------------------

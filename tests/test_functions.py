@@ -334,3 +334,20 @@ def test_simhash_vectorized_verify_matches_bruteforce(ray_session):
             if shares and d <= 3:
                 exp[(x, y)] = d
     assert got == exp and exp
+
+
+def test_knn_ivf_indexed_matches_scan_variant(emb_ds, tmp_path):
+    """Persisted-IVF path == in-flight scan path (same codebook seed →
+    same probes → identical candidates), and full-probe == brute."""
+    ds, base = emb_ds
+    root = str(tmp_path / "ivf")
+    S.ivf_build(ds, root, n_centroids=4, sample_n=40)
+    for nprobe in (1, 2, 4):
+        idx = S.knn_ivf_indexed_ds(root, [0, 5], k=3,
+                                   nprobe=nprobe).to_pandas()
+        scan = S.knn_ivf_ds(ds, [0, 5], k=3, n_centroids=4,
+                            nprobe=nprobe, sample_n=40).to_pandas()
+        assert idx.values.tolist() == scan.values.tolist()
+    exact = S.knn_brute_ds(ds, query_ids=[0, 5], k=3).to_pandas()
+    full = S.knn_ivf_indexed_ds(root, [0, 5], k=3, nprobe=4).to_pandas()
+    assert full.values.tolist() == exact.values.tolist()
