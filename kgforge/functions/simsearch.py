@@ -6,12 +6,16 @@
   global top-k per query.  The partial-top-k-inside-``map_batches``
   is the combiner that makes this a near-zero-shuffle plan: only
   ``num_batches × Q × k`` candidate rows leave the map stage.
-- :func:`knn_ivf_ds` — IVF (inverted-file) approximate variant: a
-  deterministic k-means-lite codebook (fit on a bounded sample),
-  cluster assignment inside ``map_batches``, and search restricted to
-  the ``nprobe`` closest centroids per query.  The scale path: at
-  10⁹+ vectors the brute plan reads everything per query set; IVF
-  prunes to ``nprobe/n_centroids`` of the data.
+- :func:`ivf_build` + :func:`knn_ivf_indexed_ds` — the scale path: a
+  PERSISTED inverted file (one Parquet partition per centroid, built
+  once) lets each query run read only its ``nprobe`` probed
+  partitions — O(N·nprobe/C) I/O.  At 10⁹+ vectors the brute plan
+  reads everything per query set; the index amortizes assignment and
+  prunes the read itself.
+- :func:`knn_ivf_ds` — index-less IVF variant (codebook + assignment
+  in-flight); kept for one-shot queries where building the index
+  wouldn't amortize.  Identical results to the indexed path for the
+  same codebook seed (tested).
 
 All cosine math in float64 for DuckDB-oracle parity
 (``list_cosine_similarity`` on ``DOUBLE[]``).

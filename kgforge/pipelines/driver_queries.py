@@ -273,22 +273,33 @@ def q_customer_nation_region(sf_dir: str):
     region = pq.read_table(f"{sf_dir}/region.parquet")
     rmap = dict(zip(region["r_regionkey"].to_pylist(),
                     region["r_name"].to_pylist()))
-    nmap = {nk: (nn, rmap[nr]) for nk, nn, nr in zip(
-        nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist(),
-        nation["n_regionkey"].to_pylist())}
-    nmap_ref = ray.put(nmap)
+    # dense LUT arrays indexed by nationkey → vectorized pc.take join
+    nk = nation["n_nationkey"].to_pylist()
+    size = max(nk) + 1
+    n_names = [""] * size
+    r_names = [""] * size
+    for k, nn, nr in zip(nk, nation["n_name"].to_pylist(),
+                         nation["n_regionkey"].to_pylist()):
+        n_names[k] = nn
+        r_names[k] = rmap[nr]
+    lut_ref = ray.put({"n": pa.array(n_names, pa.string()),
+                       "r": pa.array(r_names, pa.string())})
 
     class JoinCount:
         def __init__(self):
-            self.nmap = ray.get(nmap_ref)
+            self.lut = ray.get(lut_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            c = Counter(self.nmap[k]
-                        for k in batch["c_nationkey"].to_pylist())
+            keys = batch["c_nationkey"]
+            joined = pa.table({
+                "r_name": pc.take(self.lut["r"], keys),
+                "n_name": pc.take(self.lut["n"], keys),
+            })
+            g = joined.group_by(["r_name", "n_name"], use_threads=False) \
+                .aggregate([([], "count_all")])
             return pa.table({
-                "r_name": pa.array([k[1] for k in c], pa.string()),
-                "n_name": pa.array([k[0] for k in c], pa.string()),
-                "n_customers": pa.array(list(c.values()), pa.int64()),
+                "r_name": g["r_name"], "n_name": g["n_name"],
+                "n_customers": g["count_all"].cast(pa.int64()),
             })
 
     return _read(sf_dir, "customer", ["c_nationkey"]) \
@@ -369,16 +380,14 @@ def q_vocab_topk(sf_dir: str):
     → global sort + limit (O1/O3 vocab pattern over driver text)."""
     from ray.data.aggregate import Sum
 
-    import re as _re
-
-    tok_re = _re.compile(r"\S+")
-
     def partial(b: pa.Table) -> pa.Table:
-        c = Counter()
-        for t in b["text"].to_pylist():
-            c.update(tok_re.findall(t or ""))
-        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+        # vectorized combiner: split→flatten→value_counts, all arrow
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
 
     counts = _read(sf_dir, "documents", ["text"]) \
         .map_batches(partial, batch_format="pyarrow") \
