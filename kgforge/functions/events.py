@@ -73,3 +73,127 @@ def sessionize_ds(ds, gap_minutes: int = 30):
 
     return ds.groupby("user_id").map_groups(sessions_of,
                                             batch_format="pandas")
+
+
+def _on_key(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """Sort/window key for the ``on`` column: timestamps become epoch
+    int64 (µs) so searchsorted and window arithmetic stay numeric."""
+    import pyarrow.compute as pc
+
+    if pa.types.is_timestamp(col.type):
+        return pc.cast(col, pa.int64())
+    return col
+
+
+def asof_join_ds(left_ds, right_ds, by: str = "user_id", on: str = "ts",
+                 left_cols: tuple = ("event_id",),
+                 right_cols: tuple = ("event_id", "ts")):
+    """As-of join (SURVEY §2.4): each left row matched to the single
+    right row with the greatest ``on`` ≤ the left's ``on`` within the
+    same ``by`` key (backward, inclusive — DuckDB ``ASOF JOIN``
+    semantics); left rows with no prior right row keep nulls.
+
+    Ray-Data composition, no custom tasks: both sides are aligned to
+    one schema (missing columns null), unioned, and ONE
+    ``groupby(by).map_groups`` does a vectorized sorted ``searchsorted``
+    merge per key.  Partitioning assumption (documented contract): one
+    key's rows fit in a task — at web scale, pre-split hot keys by a
+    coarse ``on``-range salt and stitch the boundary row per sub-range
+    (the boundary fix needs only each sub-range's last right row).
+    """
+    left_keep = list(left_cols)
+    right_keep = list(right_cols)
+    # align schemas: build each side with its own columns + typed nulls
+    # for the other side's (types resolved from the OTHER dataset)
+    l_schema = left_ds.schema().base_schema
+    r_schema = right_ds.schema().base_schema
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {by: b[by], "__on": _on_key(b[on]),
+                "__side": pa.array(np.zeros(n, dtype=np.int8))}
+        for c in left_keep:
+            cols["l_" + c] = b[c]
+        for c in right_keep:
+            cols["r_" + c] = pa.nulls(n, r_schema.field(c).type)
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {by: b[by], "__on": _on_key(b[on]),
+                "__side": pa.array(np.ones(n, dtype=np.int8))}
+        for c in left_keep:
+            cols["l_" + c] = pa.nulls(n, l_schema.field(c).type)
+        for c in right_keep:
+            cols["r_" + c] = b[c]
+        return pa.table(cols)
+
+    unioned = left_ds.map_batches(tag_left, batch_format="pyarrow") \
+        .union(right_ds.map_batches(tag_right, batch_format="pyarrow"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lmask = df["__side"].to_numpy() == 0
+        left = df[lmask]
+        right = df[~lmask].sort_values("__on", kind="mergesort")
+        if len(left) == 0:
+            return left.drop(columns=["__side", "__on"]).iloc[0:0]
+        if len(right) == 0:
+            out = left.drop(columns=["__side"]).copy()
+            for c in right_keep:
+                out["r_" + c] = None
+            return out.drop(columns=["__on"])
+        r_on = right["__on"].to_numpy()
+        idx = np.searchsorted(r_on, left["__on"].to_numpy(),
+                              side="right") - 1
+        out = left.drop(columns=["__side"]).copy()
+        for c in right_keep:
+            col = right["r_" + c].to_numpy()
+            vals = np.where(idx >= 0, col[np.maximum(idx, 0)], None)
+            out["r_" + c] = vals
+        return out.drop(columns=["__on"])
+
+    return unioned.groupby(by).map_groups(merge, batch_format="pandas")
+
+
+def range_window_count_ds(left_ds, right_ds, by: str = "user_id",
+                          on: str = "ts", window_us: int = 3_600_000_000,
+                          left_id: str = "event_id"):
+    """Range join + aggregate (SURVEY §2.4): for each left row, count
+    right rows of the same key with ``on`` in ``[left.on - window,
+    left.on)`` (strictly before).  Same union + per-key sorted-merge
+    shape as :func:`asof_join_ds`; the per-left work is two
+    ``searchsorted`` probes, so a key's cost is O((l + r) log r)."""
+    l_schema = left_ds.schema().base_schema
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        return pa.table({by: b[by], "__on": _on_key(b[on]),
+                         "__side": pa.array(
+                             np.zeros(b.num_rows, dtype=np.int8)),
+                         "l_id": b[left_id]})
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        return pa.table({by: b[by], "__on": _on_key(b[on]),
+                         "__side": pa.array(
+                             np.ones(b.num_rows, dtype=np.int8)),
+                         "l_id": pa.nulls(b.num_rows,
+                                          l_schema.field(left_id).type)})
+
+    unioned = left_ds.map_batches(tag_left, batch_format="pyarrow") \
+        .union(right_ds.map_batches(tag_right, batch_format="pyarrow"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lmask = df["__side"].to_numpy() == 0
+        left = df[lmask]
+        if len(left) == 0:
+            return pd.DataFrame({by: pd.Series([], dtype=df[by].dtype),
+                                 left_id: pd.Series([], dtype="int64"),
+                                 "n_in_window": pd.Series([], dtype="int64")})
+        r_on = np.sort(df[~lmask]["__on"].to_numpy())
+        l_on = left["__on"].to_numpy()
+        hi = np.searchsorted(r_on, l_on, side="left")      # strictly <
+        lo = np.searchsorted(r_on, l_on - window_us, side="left")
+        return pd.DataFrame({by: left[by].to_numpy(),
+                             left_id: left["l_id"].to_numpy(),
+                             "n_in_window": (hi - lo).astype("int64")})
+
+    return unioned.groupby(by).map_groups(merge, batch_format="pandas")

@@ -16,7 +16,6 @@ Never calls ``ray.init`` (driver contract).
 from __future__ import annotations
 
 import tempfile
-from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -376,8 +375,8 @@ def q_part_minmax(sf_dir: str):
 
 
 def q_vocab_topk(sf_dir: str):
-    """Token-frequency top-k: per-batch Counter combiner → groupby Sum
-    → global sort + limit (O1/O3 vocab pattern over driver text)."""
+    """Token-frequency top-k: vectorized per-batch combiner → groupby
+    Sum → global sort + limit (O1/O3 vocab pattern over driver text)."""
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
@@ -654,6 +653,48 @@ def q_mention_dedup(sf_dir: str):
          "surface", "etype", "tagger", "score"])
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join: each purchase event matched to the user's most
+    recent click at-or-before it (backward inclusive, DuckDB ASOF
+    semantics).  Timestamps surface as epoch-µs int64 for engine-
+    neutral comparison."""
+    from kgforge.functions.events import asof_join_ds
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    out = asof_join_ds(purchases, clicks, by="user_id", on="ts",
+                       left_cols=("event_id",),
+                       right_cols=("event_id", "ts"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "purchase_event": b["l_event_id"],
+            "click_event": b["r_event_id"].cast(pa.int64()),
+            # pandas round-trip upcasts to ns — normalize to epoch µs
+            "click_ts_us": b["r_ts"].cast(pa.timestamp("us"))
+                                    .cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_range_join(sf_dir: str):
+    """Range join + aggregate: per purchase, how many clicks by the
+    same user in the hour strictly before it."""
+    from kgforge.functions.events import range_window_count_ds
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    return range_window_count_ds(purchases, clicks, by="user_id",
+                                 on="ts", window_us=3_600_000_000,
+                                 left_id="event_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -699,6 +740,8 @@ QUERIES = {
     "kg_edges_dict": q_kg_edges_dict,
     "kg_nodes_dict": q_kg_nodes_dict,
     "mention_dedup": q_mention_dedup,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }
 
 _KIND_CASE = ("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
@@ -948,6 +991,31 @@ ORACLE_SQL["kg_mentions_dict"] = _dict_oracle.mentions_sql()
 ORACLE_SQL["kg_triples_dict"] = _dict_oracle.triples_sql()
 ORACLE_SQL["kg_edges_dict"] = _dict_oracle.edges_sql()
 ORACLE_SQL["kg_nodes_dict"] = _dict_oracle.nodes_sql()
+ORACLE_SQL["asof_join"] = """
+    WITH p AS (SELECT event_id, ts, user_id FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, ts, user_id FROM events
+               WHERE event_type = 'click')
+    SELECT p.user_id,
+           p.event_id AS purchase_event,
+           c.event_id AS click_event,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+ORACLE_SQL["range_join"] = """
+    WITH p AS (SELECT event_id, ts, user_id FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT ts, user_id FROM events WHERE event_type = 'click')
+    SELECT p.user_id, p.event_id,
+           CAST(count(c.ts) AS BIGINT) AS n_in_window
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    GROUP BY p.user_id, p.event_id
+"""
+
 ORACLE_SQL["mention_dedup"] = _dict_oracle.corpus_prelude() + """,
 dup AS (
   SELECT d, j, ms, me, surface, etype, 'hmm' AS tagger,

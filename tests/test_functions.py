@@ -351,3 +351,40 @@ def test_knn_ivf_indexed_matches_scan_variant(emb_ds, tmp_path):
     exact = S.knn_brute_ds(ds, query_ids=[0, 5], k=3).to_pandas()
     full = S.knn_ivf_indexed_ds(root, [0, 5], k=3, nprobe=4).to_pandas()
     assert full.values.tolist() == exact.values.tolist()
+
+
+def test_asof_and_range_join_ops(ray_session):
+    """As-of join (backward inclusive) + range-window count vs a
+    straightforward per-key loop on random event streams."""
+    import ray.data as rd
+
+    from kgforge.functions.events import asof_join_ds, range_window_count_ds
+
+    rng = np.random.RandomState(3)
+    n = 300
+    users = rng.randint(0, 6, n)
+    ts = np.sort(rng.randint(0, 10_000, n)).astype(np.int64)
+    side = rng.random(n) < 0.5
+    ids = np.arange(n, dtype=np.int64)
+    mk = lambda m: rd.from_arrow(pa.table({  # noqa: E731
+        "event_id": pa.array(ids[m]), "ts": pa.array(ts[m]),
+        "user_id": pa.array(users[m], pa.int64())})).repartition(3)
+    left_ds, right_ds = mk(side), mk(~side)
+
+    out = asof_join_ds(left_ds, right_ds).to_pandas() \
+        .set_index("l_event_id")
+    rw = range_window_count_ds(left_ds, right_ds, window_us=1000) \
+        .to_pandas().set_index("event_id")
+    for i in ids[side]:
+        u, t = users[i], ts[i]
+        prior = [j for j in ids[~side] if users[j] == u and ts[j] <= t]
+        expect = max(prior, key=lambda j: (ts[j],), default=None)
+        got = out.loc[i, "r_event_id"]
+        if expect is None:
+            assert got is None or (isinstance(got, float) and np.isnan(got))
+        else:
+            # ties on ts: any max-ts right row is a valid as-of match
+            assert ts[int(got)] == ts[expect] and users[int(got)] == u
+        n_win = sum(1 for j in ids[~side]
+                    if users[j] == u and t - 1000 <= ts[j] < t)
+        assert int(rw.loc[i, "n_in_window"]) == n_win
