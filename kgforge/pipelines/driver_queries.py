@@ -695,6 +695,43 @@ def q_range_join(sf_dir: str):
                                  left_id="event_id")
 
 
+def _embedding_lsh_oracle_sql(n_tables: int = 4, planes_per_table: int = 8,
+                              dim: int = 64, seed: int = 42,
+                              tau: float = 0.3) -> str:
+    """DuckDB twin of :func:`kgforge.functions.dedup
+    .embedding_lsh_pairs_ds`: the seeded hyperplane matrix is inlined
+    as float64 literals (repr round-trips exactly), bucket keys are
+    sign-bit sums via ``list_dot_product``, and candidate pairs are
+    verified with ``list_cosine_similarity`` on DOUBLE[]."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables, dim, planes_per_table))
+    table_keys = []
+    for t in range(n_tables):
+        bits = []
+        for j in range(planes_per_table):
+            vec = ", ".join(repr(float(x)) for x in planes[t, :, j])
+            bits.append(f"(CASE WHEN list_dot_product(e, [{vec}]) > 0.0 "
+                        f"THEN {1 << j} ELSE 0 END)")
+        table_keys.append(" + ".join(bits))
+    buckets = " UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS tab, ({table_keys[t]}) AS bkey FROM v"
+        for t in range(n_tables))
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    b AS ({buckets}),
+    pr AS (SELECT b1.vec_id AS id_a, b2.vec_id AS id_b,
+                  list_cosine_similarity(b1.e, b2.e) AS cs
+           FROM b b1 JOIN b b2
+             ON b1.tab = b2.tab AND b1.bkey = b2.bkey
+            AND b1.vec_id < b2.vec_id)
+    SELECT DISTINCT id_a, id_b, round(cs, 4) AS cos_sim
+    FROM pr WHERE cs >= {tau}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -991,6 +1028,7 @@ ORACLE_SQL["kg_mentions_dict"] = _dict_oracle.mentions_sql()
 ORACLE_SQL["kg_triples_dict"] = _dict_oracle.triples_sql()
 ORACLE_SQL["kg_edges_dict"] = _dict_oracle.edges_sql()
 ORACLE_SQL["kg_nodes_dict"] = _dict_oracle.nodes_sql()
+ORACLE_SQL["embedding_lsh_pairs"] = _embedding_lsh_oracle_sql()
 ORACLE_SQL["asof_join"] = """
     WITH p AS (SELECT event_id, ts, user_id FROM events
                WHERE event_type = 'purchase'),
