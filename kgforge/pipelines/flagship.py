@@ -150,9 +150,11 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
 
     # ---- stage 5: dedup + sort → edges; nodes ---------------------------
     edges = dedup_triples_ds(triples)
+    _mark("edges_exchange")
     linked = mentions.map_batches(make_canon_lookup_fn(alias_ref),
                                   batch_format="pyarrow")
     nodes = build_nodes_ds(linked)
+    _mark("nodes_build")
 
     result = {"sentences": sentences, "mentions": mentions,
               "triples": triples, "edges": edges, "nodes": nodes,
@@ -161,7 +163,9 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
         result["edges_path"] = write_graph_table(edges, out_dir, "edges")
+        _mark("edges_write")
         result["nodes_path"] = write_graph_table(nodes, out_dir, "nodes")
+        _mark("nodes_write")
         # re-read the written tables so downstream consumers stream from
         # disk instead of re-running the dedup shuffle
         import ray.data as rd
@@ -170,7 +174,7 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
                                           file_extensions=["parquet"])
         result["nodes"] = rd.read_parquet(result["nodes_path"],
                                           file_extensions=["parquet"])
-        _mark("graph_write")
+        _mark("graph_reread")
 
     if verify_i1:
         from kgforge.stages.invariant import (

@@ -27,6 +27,46 @@ import numpy as np
 import pyarrow as pa
 
 
+def arrow_string_keys(arr, width: int = 48) -> np.ndarray:
+    """Fixed-width BYTES sort-key array (``S<width>``) built directly
+    from the Arrow string buffers — zero per-row Python objects.
+
+    The previous ``np.asarray(col.to_pylist(), dtype="U48")`` path
+    allocated one Python str + 192 key bytes per row; at 11M rows per
+    exchange that made the split stage memory-bandwidth-bound and
+    anti-scale past 8 CPUs.  This path is one vectorized gather
+    (48 bytes/row) from the UTF-8 data buffer.
+
+    Ordering: UTF-8 byte order equals codepoint order and prefix
+    truncation is monotone, so range-bucketing on these keys respects
+    full-key order.  numpy's S-dtype treats trailing NULs as padding
+    (``b"a" == b"a\\x00"``) — a monotone collapse: it can merge
+    adjacent keys into one bucket, never invert an ordering, and the
+    within-bucket merge sorts on the full columns anyway."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=f"S{width}")
+    bufs = arr.buffers()               # [validity, offsets, data]
+    large = pa.types.is_large_string(arr.type) or \
+        pa.types.is_large_binary(arr.type)
+    odt = np.int64 if large else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=odt, count=n + 1,
+                            offset=arr.offset * odt().itemsize) \
+        .astype(np.int64)
+    if bufs[2] is None or len(bufs[2]) == 0:
+        return np.zeros(n, dtype=f"S{width}")
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts
+    idx = starts[:, None] + np.arange(width)[None, :]
+    mask = np.arange(width)[None, :] < np.minimum(lens, width)[:, None]
+    np.clip(idx, 0, len(data) - 1, out=idx)
+    out = np.where(mask, data[idx], 0).astype(np.uint8)
+    return np.ascontiguousarray(out).reshape(-1).view(f"S{width}")
+
+
 def _split_block(splits: np.ndarray, key_of, num_buckets: int,
                  *tbls: pa.Table):
     """Block group → ``num_buckets`` sub-tables (bucket-sorted slices).
@@ -60,20 +100,21 @@ def sample_splits(ds, key_of, num_buckets: int,
     """Equi-depth split points from a systematic sample of the keys."""
     def sample_keys(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"key": pa.array([], pa.string())})
+            return pa.table({"key": pa.array([], pa.binary())})
         keys = key_of(batch)
         stride = max(1, len(keys) // per_block)
-        return pa.table({"key": pa.array(list(keys[::stride]), pa.string())})
+        return pa.table({"key": pa.array([bytes(k) for k in
+                                          keys[::stride]], pa.binary())})
 
     sampled = sorted(r["key"] for r in
                      ds.map_batches(sample_keys,
                                     batch_format="pyarrow").take_all())
     if not sampled:
-        return np.asarray([], dtype="U48")
+        return np.asarray([], dtype="S48")
     splits = sorted({sampled[i * len(sampled) // num_buckets]
                      for i in range(1, num_buckets)})
     # fixed-width dtype must match the key arrays (C-speed searchsorted)
-    return np.asarray(splits, dtype="U48")
+    return np.asarray(splits, dtype="S48")
 
 
 def range_exchange_merge(ds, key_of, merge_fn,
@@ -85,16 +126,27 @@ def range_exchange_merge(ds, key_of, merge_fn,
     ``merge_fn`` merges one co-ranged table (dedup/aggregate + sort
     within bucket).
 
-    ``num_buckets`` defaults to the cluster CPU count: the split×merge
-    object matrix is S×B and its scheduling/transfer overhead — not
-    task compute — dominates when S·B ≫ cores (measured 2048 objects
-    cost ~15s of a 19s exchange at 16 CPUs).
+    ``num_buckets`` defaults to ``max(64, cluster CPUs)``, overridable
+    via ``KGFORGE_NUM_BUCKETS``.  On this shared-VM sandbox, isolated
+    probes of an 11M-row exchange preferred 128-256 buckets (5-14s vs
+    13-16s at 64) but full-pipeline A/B in one host window preferred 64
+    (74s vs 91s total) — the difference is swamped by ±2.4× host-window
+    noise, so the simple CPU floor stays the default.  At real web
+    scale the operator knob to turn is rows-per-merge-task (~100k):
+    a fixed bucket count makes per-task work grow with the corpus.
     """
     import ray
     import ray.data as rd
 
     if num_buckets is None:
-        num_buckets = max(64, int(ray.cluster_resources().get("CPU", 8)))
+        import os
+
+        env = os.environ.get("KGFORGE_NUM_BUCKETS")
+        if env:
+            num_buckets = int(env)
+        else:
+            num_buckets = max(64, int(ray.cluster_resources()
+                                      .get("CPU", 8)))
 
     splits = sample_splits(ds, key_of, num_buckets)
     block_refs = ds.to_arrow_refs()

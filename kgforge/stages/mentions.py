@@ -195,6 +195,8 @@ def dedup_mentions_ds(mentions_ds, num_buckets: int | None = None):
     def key_of(batch: pa.Table) -> np.ndarray:
         import pyarrow.compute as pc
 
+        from kgforge.stages.exchange import arrow_string_keys
+
         joined = pc.binary_join_element_wise(
             batch["doc_id"],
             pc.utf8_lpad(pc.cast(batch["span_idx"], pa.string()), 6, "0"),
@@ -202,7 +204,7 @@ def dedup_mentions_ds(mentions_ds, num_buckets: int | None = None):
             pc.utf8_lpad(pc.cast(batch["ment_start"], pa.string()), 6, "0"),
             pc.utf8_lpad(pc.cast(batch["ment_end"], pa.string()), 6, "0"),
             "\x00")
-        return np.asarray(joined.to_pylist(), dtype="U48")
+        return arrow_string_keys(joined, 48)
 
     return range_exchange_merge(partial, key_of=key_of,
                                 merge_fn=_best_mention_per_span,

@@ -285,12 +285,14 @@ def _triple_keys(batch: pa.Table) -> np.ndarray:
     content NUL snuck in (vectorized, one substring count)."""
     import pyarrow.compute as pc
 
+    from kgforge.stages.exchange import arrow_string_keys
+
     joined = pc.binary_join_element_wise(batch["subj"], batch["pred"],
                                          batch["obj"], _KEY_SEP)
     n_nul = pc.sum(pc.count_substring(joined, _KEY_SEP)).as_py() or 0
     assert n_nul == 2 * batch.num_rows, \
         "NUL byte inside subj/pred/obj content breaks range-key ordering"
-    return np.asarray(joined.to_pylist(), dtype="U48")
+    return arrow_string_keys(joined, 48)
 
 
 def dedup_triples_ds(triples_ds, num_buckets: int | None = None):
