@@ -469,3 +469,77 @@ def embedding_lsh_pairs_ds(ds, vec_col: str = "embedding",
     # a pair may collide in several tables → dedup
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Max("cos_sim", alias_name="cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters (connected components) + deterministic hash split
+# ---------------------------------------------------------------------------
+
+def dup_clusters_ds(pairs_ds, id_a: str = "id_a", id_b: str = "id_b"):
+    """Connected components over a near-dup pair set → one
+    ``(doc_id, cluster_id)`` row per doc that appears in ≥ 1 pair;
+    ``cluster_id`` = the component's minimum doc id (the canonical
+    keeper under keep-first dedup policy).
+
+    The PAIR set is the small side (pairs ≪ corpus by construction of
+    any blocked/LSH candidate generator), so the union-find runs on
+    the driver over collected pairs — the same justified pattern as
+    alias resolution; everything upstream (pair generation) is
+    distributed.  At extreme pair counts the scale path is iterative
+    min-label propagation (repeat: join labels to edges, take min) —
+    each round is one hash groupby, O(diameter) rounds.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    from kgforge.oracle.linking import UnionFind
+
+    tables = [t for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
+    pairs = pa.concat_tables([t.select([id_a, id_b]) for t in tables])
+    ids = pc.unique(pa.chunked_array([pairs[id_a].combine_chunks(),
+                                      pairs[id_b].combine_chunks()]))
+    ids = sorted(ids.to_pylist())
+    idx = {v: i for i, v in enumerate(ids)}
+    uf = UnionFind(len(ids))
+    for a, b in sorted(zip(pairs[id_a].to_pylist(),
+                           pairs[id_b].to_pylist())):
+        uf.union(idx[a], idx[b])
+    roots: dict[int, int] = {}
+    cluster = []
+    for v in ids:
+        r = uf.find(idx[v])
+        if r not in roots:
+            roots[r] = v            # ids sorted → first member is min
+        cluster.append(roots[r])
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "cluster_id": pa.array(cluster, pa.int64())}))
+
+
+def hash_split_ds(ds, id_col: str = "doc_id", train_pct: int = 80):
+    """Deterministic hash-based train/test assignment: split by
+    ``md5(str(doc_id))`` so membership is stable across runs, engines
+    and cluster sizes (the standard leakage-safe split for training
+    corpora; content- or time-based splits drift as the corpus grows).
+    Pure map — no shuffle, no state."""
+    import hashlib
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        buckets = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                   % 100 for i in ids]
+        split = ["train" if b < train_pct else "test" for b in buckets]
+        return pa.table({
+            id_col: batch[id_col],
+            "bucket": pa.array(buckets, pa.int64()),
+            "split": pa.array(split, pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")

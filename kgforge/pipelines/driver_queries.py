@@ -732,6 +732,18 @@ def _embedding_lsh_oracle_sql(n_tables: int = 4, planes_per_table: int = 8,
     """
 
 
+def q_dup_clusters(sf_dir: str):
+    """Connected components over the blocked-Jaccard near-dup pairs →
+    (doc_id, cluster_id = component min)."""
+    return F_dedup.dup_clusters_ds(q_jaccard_pairs(sf_dir))
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic md5 hash-based train/test split of documents."""
+    return F_dedup.hash_split_ds(
+        _read(sf_dir, "documents", ["doc_id"]), train_pct=80)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -779,6 +791,8 @@ QUERIES = {
     "mention_dedup": q_mention_dedup,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "dup_clusters": q_dup_clusters,
+    "hash_split": q_hash_split,
 }
 
 _KIND_CASE = ("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
@@ -1052,6 +1066,48 @@ ORACLE_SQL["range_join"] = """
       ON p.user_id = c.user_id
      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
     GROUP BY p.user_id, p.event_id
+"""
+
+ORACLE_SQL["dup_clusters"] = """
+    WITH RECURSIVE p AS (
+        WITH d AS (SELECT doc_id, source, length(text) % 16 AS len_bucket,
+                          text
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id, source, len_bucket,
+                      substring(text, g.i, 5) AS s
+               FROM d, generate_series(1, 4096) g(i)
+               WHERE g.i <= greatest(length(text) - 4, 1)),
+        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+                  FROM sh a JOIN sh b
+                    ON a.source = b.source AND a.len_bucket = b.len_bucket
+                   AND a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT ia AS id_a, ib AS id_b,
+               round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN counts ca ON ca.doc_id = ia
+        JOIN counts cb ON cb.doc_id = ib
+        WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.2
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+    reach(id, r) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+ORACLE_SQL["hash_split"] = """
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS UBIGINT) % 100 AS BIGINT) AS bucket,
+           CASE WHEN CAST(concat('0x',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS UBIGINT) % 100 < 80 THEN 'train' ELSE 'test' END AS split
+    FROM documents
 """
 
 ORACLE_SQL["mention_dedup"] = _dict_oracle.corpus_prelude() + """,

@@ -388,3 +388,24 @@ def test_asof_and_range_join_ops(ray_session):
         n_win = sum(1 for j in ids[~side]
                     if users[j] == u and t - 1000 <= ts[j] < t)
         assert int(rw.loc[i, "n_in_window"]) == n_win
+
+
+def test_dup_clusters_and_hash_split(ray_session):
+    """Connected components transitivity + deterministic split."""
+    import ray.data as rd
+
+    pairs = pa.table({"id_a": pa.array([1, 2, 10, 11], pa.int64()),
+                      "id_b": pa.array([2, 3, 11, 12], pa.int64())})
+    out = D.dup_clusters_ds(rd.from_arrow(pairs)).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[[1, 2, 3], "cluster_id"].tolist() == [1, 1, 1]
+    assert out.loc[[10, 11, 12], "cluster_id"].tolist() == [10, 10, 10]
+
+    import hashlib
+    docs = pa.table({"doc_id": pa.array(range(200), pa.int64())})
+    sp = D.hash_split_ds(rd.from_arrow(docs)).to_pandas() \
+        .set_index("doc_id")
+    for i in (0, 7, 199):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        assert sp.loc[i, "bucket"] == b
+        assert sp.loc[i, "split"] == ("train" if b < 80 else "test")
