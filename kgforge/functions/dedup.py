@@ -489,15 +489,14 @@ def dup_clusters_ds(pairs_ds, id_a: str = "id_a", id_b: str = "id_b"):
     min-label propagation (repeat: join labels to edges, take min) —
     each round is one hash groupby, O(diameter) rounds.
     """
-    import pyarrow.compute as pc
-
     import ray
+    import ray.data as rd
 
     from kgforge.oracle.linking import UnionFind
 
     tables = [t for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows]
     if not tables:
-        return ray.data.from_arrow(pa.table({
+        return rd.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),
             "cluster_id": pa.array([], pa.int64())}))
     pairs = pa.concat_tables([t.select([id_a, id_b]) for t in tables])
@@ -516,8 +515,6 @@ def dup_clusters_ds(pairs_ds, id_a: str = "id_a", id_b: str = "id_b"):
         if r not in roots:
             roots[r] = v            # ids sorted → first member is min
         cluster.append(roots[r])
-    import ray.data as rd
-
     return rd.from_arrow(pa.table({
         "doc_id": pa.array(ids, pa.int64()),
         "cluster_id": pa.array(cluster, pa.int64())}))
