@@ -303,12 +303,20 @@ def _string_shingle_set(text: str, n: int) -> set:
 # SimHash near-dedup
 # ---------------------------------------------------------------------------
 
+def _md5_u64(token: str) -> int:
+    """Token hash = high 64 bits of md5 (first 16 hex chars) — chosen
+    over blake2b so DuckDB (`md5(tok)`) reproduces the whole simhash
+    family exactly, making ``simhash_pairs`` value-verifiable."""
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:16], 16)
+
+
 def simhash64(text: str) -> int:
-    """64-bit simhash over whitespace tokens (unweighted)."""
+    """64-bit simhash over whitespace tokens (unweighted, duplicates
+    counted; strict-majority bit vote)."""
     toks = (text or "").split()
     if not toks:
         return 0
-    hashes = hash_u64_np(toks)
+    hashes = np.array([_md5_u64(t) for t in toks], dtype=np.uint64)
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) &
             np.uint64(1)).astype(np.int64)
     maj = (bits.sum(axis=0) * 2 > len(toks)).astype(np.uint64)

@@ -146,9 +146,19 @@ def _kmeans_lite(sample: np.ndarray, n_centroids: int, n_iter: int = 8,
     return cent
 
 
+def _sq_dists(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Squared L2 via the expanded form |v|² - 2v·c + |c|² — the same
+    arithmetic shape the DuckDB oracle uses (list_dot_product terms),
+    so centroid argmin assignments agree between engines."""
+    vv = (mat * mat).sum(axis=1)
+    cc = (cent * cent).sum(axis=1)
+    return vv[:, None] - 2.0 * (mat @ cent.T) + cc[None, :]
+
+
 def ivf_build(ds, index_root: str, vec_col: str = "embedding",
               id_col: str = "vec_id", n_centroids: int = 16,
-              sample_n: int = 2048, seed: int = 42) -> np.ndarray:
+              sample_n: int = 2048, seed: int = 42,
+              codebook_ids=None) -> np.ndarray:
     """Build a PERSISTED inverted file: assign every vector to its
     nearest centroid once and write one Parquet partition per centroid
     (``centroid=<c>/`` dirs via ``write_parquet(partition_cols)``),
@@ -160,9 +170,18 @@ def ivf_build(ds, index_root: str, vec_col: str = "embedding",
     re-assigning all N vectors per query set."""
     import os
 
-    sample_rows = ds.limit(sample_n).take_all()
-    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
-    cent = _kmeans_lite(sample, n_centroids, seed=seed)
+    if codebook_ids is not None:
+        # deterministic, SQL-reproducible codebook: the vectors of a
+        # fixed id set (no Lloyd) — the IVF structure (partitioned
+        # inverted file + pruned probes) is identical; codebook choice
+        # is a policy knob
+        rows = _take_rows_by_id(ds, id_col, sorted(codebook_ids))
+        cent = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    else:
+        sample_rows = ds.limit(sample_n).take_all()
+        sample = np.array([r[vec_col] for r in sample_rows],
+                          dtype=np.float64)
+        cent = _kmeans_lite(sample, n_centroids, seed=seed)
     import ray
 
     cent_ref = ray.put(cent)
@@ -170,8 +189,7 @@ def ivf_build(ds, index_root: str, vec_col: str = "embedding",
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        a = d.argmin(axis=1).astype(np.int64)
+        a = _sq_dists(mat, c).argmin(axis=1).astype(np.int64)
         # cent_id rides inside the data files (hive partition cols are
         # stripped on write and not restored when reading subdir paths)
         return batch.append_column("centroid", pa.array(a)) \
@@ -204,8 +222,9 @@ def knn_ivf_indexed_ds(index_root: str, query_ids,
                            columns=[id_col, vec_col])
     q_rows = _take_rows_by_id(full, id_col, query_ids)
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    qd = ((q_mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-    probe = np.argsort(qd, axis=1)[:, :nprobe]          # [Q, nprobe]
+    qd = _sq_dists(q_mat, cent)
+    # deterministic probe order: distance asc, centroid index asc
+    probe = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
     needed = sorted(set(probe.reshape(-1).tolist()))
     paths = [os.path.join(index_root, f"centroid={c}") for c in needed
              if os.path.isdir(os.path.join(index_root, f"centroid={c}"))]
@@ -267,8 +286,8 @@ def knn_ivf_ds(ds, query_ids, vec_col: str = "embedding",
     query_ids = np.asarray(sorted(query_ids), dtype=np.int64)
     q_rows = _take_rows_by_id(ds, id_col, query_ids)
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    qd = ((q_mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-    probe = np.argsort(qd, axis=1)[:, :nprobe]      # [Q, nprobe]
+    qd = _sq_dists(q_mat, cent)
+    probe = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
 
     state_ref = ray.put({
         "ids": np.array([r[id_col] for r in q_rows], dtype=np.int64),
@@ -283,8 +302,7 @@ def knn_ivf_ds(ds, query_ids, vec_col: str = "embedding",
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist())
             mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-            d = ((mat[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)               # [B]
+            assign = _sq_dists(mat, self.cent).argmin(axis=1)   # [B]
             unit = _unit(mat)
             out_q, out_n, out_s = [], [], []
             for qi in range(len(self.q_ids)):

@@ -154,15 +154,19 @@ _IVF_INDEX_CACHE: dict = {}
 def q_knn_ivf(sf_dir: str):
     """IVF over a PERSISTED inverted file: partitions are built once
     per sf_dir (one Parquet dir per centroid), then each query run
-    reads only the probed partitions."""
+    reads only the probed partitions.  The driver variant uses the
+    deterministic fixed-id codebook (vectors of vec_id < 16), which a
+    DuckDB oracle reproduces value-exactly — kmeans codebooks are a
+    drop-in (`ivf_build(..., codebook_ids=None)`)."""
     root = _IVF_INDEX_CACHE.get(sf_dir)
     if root is None:
         root = tempfile.mkdtemp(prefix="kgforge_ivf_")
         F_sim.ivf_build(
             _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-            .repartition(16), root)
+            .repartition(16), root, codebook_ids=range(16))
         _IVF_INDEX_CACHE[sf_dir] = root
-    return F_sim.knn_ivf_indexed_ds(root, KNN_QUERY_IDS, k=KNN_K)
+    return F_sim.knn_ivf_indexed_ds(root, KNN_QUERY_IDS, k=KNN_K,
+                                    nprobe=4)
 
 
 # ---------------------------------------------------------------------------
@@ -1043,6 +1047,71 @@ ORACLE_SQL["kg_triples_dict"] = _dict_oracle.triples_sql()
 ORACLE_SQL["kg_edges_dict"] = _dict_oracle.edges_sql()
 ORACLE_SQL["kg_nodes_dict"] = _dict_oracle.nodes_sql()
 ORACLE_SQL["embedding_lsh_pairs"] = _embedding_lsh_oracle_sql()
+ORACLE_SQL["knn_ivf"] = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    cent AS (SELECT vec_id AS c, e AS ce FROM v WHERE vec_id < 16),
+    vd AS (SELECT v.vec_id, cent.c,
+                  list_dot_product(v.e, v.e)
+                  - 2 * list_dot_product(v.e, cent.ce)
+                  + list_dot_product(cent.ce, cent.ce) AS d
+           FROM v, cent),
+    assign AS (SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM vd) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8),
+    probe AS (SELECT query_id, c FROM (
+        SELECT q.query_id, vd.c,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY vd.d, vd.c) AS rn
+        FROM q JOIN vd ON vd.vec_id = q.query_id) WHERE rn <= 4),
+    cand AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+                    list_cosine_similarity(v.e, q.qe) AS sim
+             FROM q
+             JOIN probe p ON p.query_id = q.query_id
+             JOIN assign a ON a.c = p.c
+             JOIN v ON v.vec_id = a.vec_id
+             WHERE v.vec_id <> q.query_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id)
+                     AS "rank"
+          FROM cand)
+    SELECT query_id, neighbor_id, CAST("rank" AS BIGINT) AS "rank"
+    FROM r WHERE "rank" <= 5
+"""
+
+ORACLE_SQL["simhash_pairs"] = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+      FROM documents),
+    th AS (SELECT doc_id,
+                  CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT)
+                      AS h
+           FROM toks),
+    cnt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY 1),
+    bits AS (SELECT t.doc_id, g.j,
+                    sum(CAST((t.h >> g.j) & 1 AS BIGINT)) AS ones
+             FROM th t, generate_series(0, 63) g(j) GROUP BY 1, 2),
+    sh0 AS (SELECT b.doc_id,
+                   CAST(sum(CASE WHEN 2 * b.ones > c.n
+                            THEN CAST(1 AS HUGEINT) << b.j
+                            ELSE 0 END) AS UBIGINT) AS sh
+            FROM bits b JOIN cnt c USING (doc_id) GROUP BY 1),
+    sh AS (SELECT d.doc_id, coalesce(s.sh, 0) AS sh
+           FROM documents d LEFT JOIN sh0 s USING (doc_id)),
+    subs AS (SELECT doc_id, sh, (sh >> (16 * g.k)) & 65535 AS sub, g.k
+             FROM sh, generate_series(0, 3) g(k)),
+    cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+                    a.sh AS sha, b.sh AS shb
+             FROM subs a JOIN subs b
+               ON a.k = b.k AND a.sub = b.sub AND a.doc_id < b.doc_id)
+    SELECT ia AS id_a, ib AS id_b,
+           CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+"""
+
 ORACLE_SQL["asof_join"] = """
     WITH p AS (SELECT event_id, ts, user_id FROM events
                WHERE event_type = 'purchase'),
