@@ -451,11 +451,13 @@ def q_anti_join(sf_dir: str):
 
 
 def q_shuffle_sample(sf_dir: str):
-    """Seeded global shuffle + take — the training-data epoch-shuffle
-    op (`random_shuffle` is an all-to-all; at scale prefer
-    `randomize_block_order` + local shuffle, both exposed here)."""
+    """Seeded epoch shuffle + take (full mode here; the zero-network
+    blocks+local scale variant is
+    :func:`kgforge.functions.sampling.epoch_shuffle_ds`)."""
+    from kgforge.functions.sampling import epoch_shuffle_ds
+
     ds = _read(sf_dir, "documents", ["doc_id"])
-    return ds.random_shuffle(seed=42).limit(100)
+    return epoch_shuffle_ds(ds, seed=42, mode="full").limit(100)
 
 
 def q_events_props(sf_dir: str):

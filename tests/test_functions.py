@@ -409,3 +409,28 @@ def test_dup_clusters_and_hash_split(ray_session):
         b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
         assert sp.loc[i, "bucket"] == b
         assert sp.loc[i, "split"] == ("train" if b < 80 else "test")
+
+
+def test_epoch_shuffle_modes(ray_session):
+    """blocks+local epoch shuffle: a true permutation (set-equal),
+    deterministic per seed, different across seeds; full mode defers
+    to random_shuffle."""
+    import ray.data as rd
+
+    from kgforge.functions.sampling import epoch_shuffle_ds
+
+    tbl = pa.table({"doc_id": pa.array(range(500), pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(8)
+    a1 = [r["doc_id"] for r in
+          epoch_shuffle_ds(ds, seed=1, id_col="doc_id").take_all()]
+    a2 = [r["doc_id"] for r in
+          epoch_shuffle_ds(ds, seed=1, id_col="doc_id").take_all()]
+    b = [r["doc_id"] for r in
+         epoch_shuffle_ds(ds, seed=2, id_col="doc_id").take_all()]
+    assert sorted(a1) == list(range(500))
+    assert a1 == a2                      # deterministic per seed
+    assert a1 != b                       # seed changes the order
+    assert a1 != list(range(500))        # actually shuffled
+    f = [r["doc_id"] for r in
+         epoch_shuffle_ds(ds, seed=3, mode="full").take_all()]
+    assert sorted(f) == list(range(500)) and f != list(range(500))
