@@ -101,10 +101,14 @@ def sample_splits(ds, key_of, num_buckets: int,
     def sample_keys(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"key": pa.array([], pa.binary())})
-        keys = key_of(batch)
-        stride = max(1, len(keys) // per_block)
-        return pa.table({"key": pa.array([bytes(k) for k in
-                                          keys[::stride]], pa.binary())})
+        # slice BEFORE building keys: key_of over a full block just to
+        # keep 64 samples was one extra full key pass per exchange
+        stride = max(1, batch.num_rows // per_block)
+        sliced = batch.take(pa.array(
+            np.arange(0, batch.num_rows, stride, dtype=np.int64)))
+        keys = key_of(sliced)
+        return pa.table({"key": pa.array([bytes(k) for k in keys],
+                                         pa.binary())})
 
     sampled = sorted(r["key"] for r in
                      ds.map_batches(sample_keys,
