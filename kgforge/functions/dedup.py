@@ -38,7 +38,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from kgforge.common.hashing import hash_u64_np, round_away
+from kgforge.common.hashing import round_away
 from kgforge.oracle.minhash import MinHasher
 
 SHINGLE_N = 5          # char n-grams for document near-dup

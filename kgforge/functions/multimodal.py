@@ -18,7 +18,6 @@ while raw bytes never outlive the stage.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 FEATURE_SCHEMA = pa.schema([
