@@ -750,6 +750,30 @@ def q_hash_split(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id"]), train_pct=80)
 
 
+def q_kg_invariant(sf_dir: str):
+    """I1 north-rule invariant, driver-value-checked: per-row
+    span-sequence equality (kind, text, media_ref, order) through the
+    dict-lane flagship — input-vs-passthrough hash compare AND
+    output-side sentence reconstruction (every text span rebuilt from
+    the pipeline's own sentence rows).  The oracle is the REQUIRED
+    value: zero violations; any span mutation/drop/reorder anywhere in
+    explode → tag → checkpoint shows up as a nonzero count and fails
+    the compare."""
+    from kgforge.sources.dictcorpus import derive_dict_t0_ds
+    from kgforge.stages.invariant import (
+        verify_invariant, verify_sentence_reconstruction,
+    )
+
+    res = _dict_flagship_for(sf_dir)
+    t0 = derive_dict_t0_ds(sf_dir)
+    v1 = verify_invariant(t0, derive_dict_t0_ds(sf_dir))
+    v2 = verify_sentence_reconstruction(t0, res["sentences"])
+    return pa.table({
+        "i1_violations": pa.array([v1], pa.int64()),
+        "i1_span_violations": pa.array([v2], pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -799,6 +823,7 @@ QUERIES = {
     "range_join": q_range_join,
     "dup_clusters": q_dup_clusters,
     "hash_split": q_hash_split,
+    "kg_invariant": q_kg_invariant,
 }
 
 _KIND_CASE = ("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
@@ -1179,6 +1204,11 @@ ORACLE_SQL["hash_split"] = """
                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                 AS UBIGINT) % 100 < 80 THEN 'train' ELSE 'test' END AS split
     FROM documents
+"""
+
+ORACLE_SQL["kg_invariant"] = """
+    SELECT CAST(0 AS BIGINT) AS i1_violations,
+           CAST(0 AS BIGINT) AS i1_span_violations
 """
 
 ORACLE_SQL["mention_dedup"] = _dict_oracle.corpus_prelude() + """,
