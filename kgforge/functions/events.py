@@ -197,3 +197,40 @@ def range_window_count_ds(left_ds, right_ds, by: str = "user_id",
                              "n_in_window": (hi - lo).astype("int64")})
 
     return unioned.groupby(by).map_groups(merge, batch_format="pandas")
+
+
+def sliding_window_counts_ds(ds, window_hours: int = 3,
+                             on: str = "ts", type_col: str = "event_type"):
+    """Sliding window counts: events per ``(event_type, window)`` for a
+    ``window_hours``-hour window ending at each hour bucket.
+
+    Zero-extra-shuffle plan: per-batch (type, hour) partial counts
+    (combiner), each partial FANS OUT to the ``window_hours`` window
+    ends it contributes to (rows multiply by W before the shuffle, but
+    only (types × hours × W) combiner rows shuffle — never events),
+    then one small groupby-sum.  Windows with zero events are absent
+    (same as the SQL twin)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    hour_us = np.int64(3_600_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        hours = pc.cast(_on_key(b[on]), pa.int64())
+        h = pc.divide(hours, hour_us)  # floor for non-negative epochs
+        t = pa.table({type_col: b[type_col], "h": h})
+        g = t.group_by([type_col, "h"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        n = g.num_rows
+        reps = np.repeat(np.arange(n), window_hours)
+        offs = np.tile(np.arange(window_hours, dtype=np.int64), n)
+        base = g["h"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            type_col: pc.take(g[type_col], pa.array(reps)),
+            "window_end_hour": pa.array(base[reps] + offs, pa.int64()),
+            "n": pc.take(g["count_all"].cast(pa.int64()), pa.array(reps)),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([type_col, "window_end_hour"]) \
+        .aggregate(Sum("n", alias_name="n_events"))

@@ -774,6 +774,13 @@ def q_kg_invariant(sf_dir: str):
     })
 
 
+def q_sliding_window(sf_dir: str):
+    """3-hour sliding window counts per event type (window ends at
+    each hour bucket)."""
+    return F_events.sliding_window_counts_ds(
+        _read(sf_dir, "events", ["ts", "event_type"]), window_hours=3)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -824,6 +831,7 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,
     "hash_split": q_hash_split,
     "kg_invariant": q_kg_invariant,
+    "sliding_window": q_sliding_window,
 }
 
 _KIND_CASE = ("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
@@ -1209,6 +1217,17 @@ ORACLE_SQL["hash_split"] = """
 ORACLE_SQL["kg_invariant"] = """
     SELECT CAST(0 AS BIGINT) AS i1_violations,
            CAST(0 AS BIGINT) AS i1_span_violations
+"""
+
+ORACLE_SQL["sliding_window"] = """
+    WITH he AS (SELECT event_type,
+                       epoch_us(ts) // 3600000000 AS h,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2)
+    SELECT event_type, CAST(he.h + g.k AS BIGINT) AS window_end_hour,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM he, generate_series(0, 2) g(k)
+    GROUP BY 1, 2
 """
 
 ORACLE_SQL["mention_dedup"] = _dict_oracle.corpus_prelude() + """,

@@ -434,3 +434,30 @@ def test_epoch_shuffle_modes(ray_session):
     f = [r["doc_id"] for r in
          epoch_shuffle_ds(ds, seed=3, mode="full").take_all()]
     assert sorted(f) == list(range(500)) and f != list(range(500))
+
+
+def test_sliding_window_counts(ray_session):
+    """3-hour sliding window == sum of the 3 hour buckets ending at
+    each window end."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kgforge.functions.events import sliding_window_counts_ds
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:10", "2024-01-01 00:50",      # h0: 2
+        "2024-01-01 01:30",                          # h1: 1
+        "2024-01-01 03:30",                          # h3: 1
+    ])
+    tbl = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                    "event_type": pa.array(["c"] * 4)})
+    out = sliding_window_counts_ds(rd.from_arrow(tbl).repartition(2)) \
+        .to_pandas().set_index("window_end_hour")
+    h0 = int(ts[0].value // 1000) // 3_600_000_000
+    # window ending h0 = {h0}=2; h1 = {h0,h1}=3; h2 = {h0,h1}=3;
+    # h3 = {h1,h3}=2; h4 = {h3}=1; h5 = {h3}=1
+    assert out.loc[h0].n_events == 2
+    assert out.loc[h0 + 1].n_events == 3
+    assert out.loc[h0 + 2].n_events == 3
+    assert out.loc[h0 + 3].n_events == 2
+    assert out.loc[h0 + 5].n_events == 1
