@@ -482,6 +482,18 @@ def q_events_props(sf_dir: str):
 _FLAGSHIP_CACHE: dict = {}
 
 
+def _prefix_derived_ids(b: pa.Table) -> pa.Table:
+    """Disambiguate the derived documents-table lane from the
+    generated interleaved corpus before the union: both used
+    ``doc-%08d`` ids, and a (doc_id, span_idx, sent_idx) collision
+    merges mentions of two DIFFERENT documents in any per-sentence
+    grouping (found via the kg_prf gate: cross-doc co_occurs
+    artifacts)."""
+    i = b.column_names.index("doc_id")
+    return b.set_column(i, "doc_id", pc.binary_join_element_wise(
+        pa.scalar("drv-"), b["doc_id"], ""))
+
+
 def _flagship_for(sf_dir: str) -> dict:
     """Run (once per process per sf_dir) the flagship KG pipeline on a
     deterministic interleaved-doc table sized to the sf tier, unioned
@@ -502,7 +514,9 @@ def _flagship_for(sf_dir: str) -> dict:
     # fragmented layout → many blocks → the tagger actor pool actually
     # fans out (a single from_arrow block would serialize the pipeline)
     write_interleaved(docs, root0, rows_per_fragment=max(64, n_docs // 32))
-    t0 = read_interleaved(root0).union(derive_t0_ds(sf_dir))
+    t0 = read_interleaved(root0).union(
+        derive_t0_ds(sf_dir).map_batches(_prefix_derived_ids,
+                                         batch_format="pyarrow"))
 
     root = tempfile.mkdtemp(prefix="kgforge_driver_")
     model_path = f"{root}/hmm.npz"
@@ -579,6 +593,18 @@ def q_kg_triples(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 _DICT_FLAGSHIP_CACHE: dict = {}
+
+
+def _prefix_derived_ids(b: pa.Table) -> pa.Table:
+    """Disambiguate the derived documents-table lane from the
+    generated interleaved corpus before the union: both used
+    ``doc-%08d`` ids, and a (doc_id, span_idx, sent_idx) collision
+    merges mentions of two DIFFERENT documents in any per-sentence
+    grouping (found via the kg_prf gate: cross-doc co_occurs
+    artifacts)."""
+    i = b.column_names.index("doc_id")
+    return b.set_column(i, "doc_id", pc.binary_join_element_wise(
+        pa.scalar("drv-"), b["doc_id"], ""))
 
 
 def _dict_flagship_for(sf_dir: str) -> dict:
@@ -781,6 +807,40 @@ def q_sliding_window(sf_dir: str):
         _read(sf_dir, "events", ["ts", "event_type"]), window_hours=3)
 
 
+def q_kg_prf(sf_dir: str):
+    """North-star gate, driver-value-checked: triple precision/recall
+    of the DISTRIBUTED flagship (HMM lane) vs the single-process
+    oracle pipeline on the identical input — the BASELINE.json
+    criterion is P/R ≥ 0.95; the engine's contract is exact agreement,
+    so the oracle row is the required value (1.0, 1.0).  Any
+    divergence anywhere in explode → tag → link → extract → dedup
+    drops P or R below 1.0 and fails the compare."""
+    import pyarrow.parquet as pq
+
+    from kgforge.oracle.corpus import generate_interleaved_docs
+    from kgforge.oracle.pipeline import run_oracle, train_hmm
+    from kgforge.oracle.triples import triple_prf
+    from kgforge.sources.derive import derive_t0_batch
+
+    res = _flagship_for(sf_dir)
+    edges = res["edges"].select_columns(["subj", "pred", "obj"]) \
+        .to_pandas()
+    pred_rows = edges.to_dict("records")
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet") \
+        .metadata.num_rows
+    docs = generate_interleaved_docs(n_docs, seed=42)
+    derived = _prefix_derived_ids(derive_t0_batch(
+        pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]))).to_pylist()
+    oracle = run_oracle(docs + derived, train_hmm(n_train=800, seed=42))
+    prf = triple_prf(pred_rows, oracle["edges"])
+    return pa.table({
+        "precision": pa.array([float(prf["precision"])], pa.float64()),
+        "recall": pa.array([float(prf["recall"])], pa.float64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -832,6 +892,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "kg_invariant": q_kg_invariant,
     "sliding_window": q_sliding_window,
+    "kg_prf": q_kg_prf,
 }
 
 _KIND_CASE = ("CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
@@ -1228,6 +1289,10 @@ ORACLE_SQL["sliding_window"] = """
            CAST(sum(n) AS BIGINT) AS n_events
     FROM he, generate_series(0, 2) g(k)
     GROUP BY 1, 2
+"""
+
+ORACLE_SQL["kg_prf"] = """
+    SELECT CAST(1.0 AS DOUBLE) AS precision, CAST(1.0 AS DOUBLE) AS recall
 """
 
 ORACLE_SQL["mention_dedup"] = _dict_oracle.corpus_prelude() + """,
