@@ -356,6 +356,13 @@ def simhash_pairs_ds(ds, text_col: str = "text", id_col: str = "doc_id",
         ids, sh = ids[order], sh[order]
         k = len(ids)
         if k > max_block:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash bucket truncated: %d docs share one 16-bit "
+                "sub-key (cap %d); pairs among the dropped tail are "
+                "not reported (the oracle SQL mirrors this cap)",
+                k, max_block)
             ids, sh = ids[:max_block], sh[:max_block]
             k = max_block
         a_out, b_out, d_out = [], [], []

@@ -85,26 +85,11 @@ def _on_key(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     return col
 
 
-def asof_join_ds(left_ds, right_ds, by: str = "user_id", on: str = "ts",
-                 left_cols: tuple = ("event_id",),
-                 right_cols: tuple = ("event_id", "ts")):
-    """As-of join (SURVEY §2.4): each left row matched to the single
-    right row with the greatest ``on`` ≤ the left's ``on`` within the
-    same ``by`` key (backward, inclusive — DuckDB ``ASOF JOIN``
-    semantics); left rows with no prior right row keep nulls.
-
-    Ray-Data composition, no custom tasks: both sides are aligned to
-    one schema (missing columns null), unioned, and ONE
-    ``groupby(by).map_groups`` does a vectorized sorted ``searchsorted``
-    merge per key.  Partitioning assumption (documented contract): one
-    key's rows fit in a task — at web scale, pre-split hot keys by a
-    coarse ``on``-range salt and stitch the boundary row per sub-range
-    (the boundary fix needs only each sub-range's last right row).
-    """
-    left_keep = list(left_cols)
-    right_keep = list(right_cols)
-    # align schemas: build each side with its own columns + typed nulls
-    # for the other side's (types resolved from the OTHER dataset)
+def _tag_union(left_ds, right_ds, by, on, left_keep, right_keep):
+    """Align both sides to one schema (own columns + typed nulls for
+    the other side's, types resolved from the OTHER dataset) and union.
+    Arrow end-to-end so int64/timestamp columns never take a pandas
+    float/ns round-trip."""
     l_schema = left_ds.schema().base_schema
     r_schema = right_ds.schema().base_schema
 
@@ -128,75 +113,280 @@ def asof_join_ds(left_ds, right_ds, by: str = "user_id", on: str = "ts",
             cols["r_" + c] = b[c]
         return pa.table(cols)
 
-    unioned = left_ds.map_batches(tag_left, batch_format="pyarrow") \
+    return left_ds.map_batches(tag_left, batch_format="pyarrow") \
         .union(right_ds.map_batches(tag_right, batch_format="pyarrow"))
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        lmask = df["__side"].to_numpy() == 0
-        left = df[lmask]
-        right = df[~lmask].sort_values("__on", kind="mergesort")
-        if len(left) == 0:
-            return left.drop(columns=["__side", "__on"]).iloc[0:0]
-        if len(right) == 0:
-            out = left.drop(columns=["__side"]).copy()
-            for c in right_keep:
-                out["r_" + c] = None
-            return out.drop(columns=["__on"])
-        r_on = right["__on"].to_numpy()
-        idx = np.searchsorted(r_on, left["__on"].to_numpy(),
-                              side="right") - 1
-        out = left.drop(columns=["__side"]).copy()
-        for c in right_keep:
-            col = right["r_" + c].to_numpy()
-            vals = np.where(idx >= 0, col[np.maximum(idx, 0)], None)
-            out["r_" + c] = vals
-        return out.drop(columns=["__on"])
 
-    return unioned.groupby(by).map_groups(merge, batch_format="pandas")
+def _key_stats(unioned, by):
+    """Per-key ``(n rows, min __on, max __on)`` over the unioned table.
+
+    Per-block vectorized combiner (one output row per key per block),
+    partials merged on the driver — only hot keys matter and the
+    partial set is blocks × keys-per-block.  At web scale swap the
+    exact pass for a uniform-sample pre-pass: a key hot enough to
+    matter (≥ millions of rows) is visible in any 1e-3 sample."""
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": b[by], "o": b["__on"]})
+        return t.group_by(["k"], use_threads=False).aggregate(
+            [("o", "count"), ("o", "min"), ("o", "max")])
+
+    parts = unioned.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return parts
+    return parts.groupby("k").agg(n=("o_count", "sum"), mn=("o_min", "min"),
+                                  mx=("o_max", "max"))
+
+
+def _hot_plan(stats, hot_threshold, salt_target, min_width):
+    """Keys above ``hot_threshold`` rows → ``{key: (mn, width, nb)}``:
+    the key's ``__on`` range is cut into ``nb`` coarse sub-ranges of
+    ``width`` (≥ ``min_width``) so no merge task sees more than
+    ~``salt_target`` rows of one key."""
+    hot = {}
+    if stats is None or len(stats) == 0:
+        return hot
+    for k, row in stats[stats["n"] > hot_threshold].iterrows():
+        span = int(row["mx"]) - int(row["mn"]) + 1
+        nb = max(2, -(-int(row["n"]) // salt_target))
+        width = max(min_width, -(-span // nb))
+        nb = max(1, -(-span // width))
+        if nb >= 2:
+            hot[k] = (int(row["mn"]), width, nb)
+    return hot
+
+
+def _add_salt(unioned, by, hot, replicate_right=False):
+    """Append ``__salt`` (coarse ``__on``-range bucket for hot keys,
+    0 otherwise).  With ``replicate_right`` each hot right row is also
+    emitted into the NEXT bucket, so a window of up to ``width`` µs
+    reaching back from any left row is fully covered in its own task."""
+    def fn(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        meta = pd.Series(b[by].to_pandas()).map(hot)
+        hotmask = meta.notna().to_numpy()
+        salt = np.zeros(n, dtype=np.int32)
+        if hotmask.any():
+            on = b["__on"].to_numpy(zero_copy_only=False)
+            mn = np.fromiter((m[0] for m in meta[hotmask]), np.int64,
+                             int(hotmask.sum()))
+            w = np.fromiter((m[1] for m in meta[hotmask]), np.int64,
+                            int(hotmask.sum()))
+            nb = np.fromiter((m[2] for m in meta[hotmask]), np.int64,
+                             int(hotmask.sum()))
+            s = np.clip((on[hotmask] - mn) // w, 0, nb - 1)
+            salt[hotmask] = s
+            out = b.append_column("__salt", pa.array(salt, pa.int32()))
+            if replicate_right:
+                side = b["__side"].to_numpy(zero_copy_only=False)
+                dup = np.zeros(n, dtype=bool)
+                dup[hotmask] = s + 1 < nb
+                dup &= side == 1
+                if dup.any():
+                    didx = np.flatnonzero(dup)
+                    dups = b.take(pa.array(didx)).append_column(
+                        "__salt", pa.array(salt[didx] + 1, pa.int32()))
+                    out = pa.concat_tables([out, dups])
+            return out
+        return b.append_column("__salt", pa.array(salt, pa.int32()))
+
+    return unioned.map_batches(fn, batch_format="pyarrow")
+
+
+def _carry_table(unioned, by, hot, right_keep, tie):
+    """For each hot ``(key, salt)``: the right row with the max
+    ``(__on, tie)`` among all EARLIER salt buckets of that key — the
+    one boundary row an as-of merge task needs from outside its own
+    sub-range.  Tiny by construction (≤ nb rows per hot key); computed
+    by a per-block argmax combiner + driver prefix scan, broadcast into
+    the merge closure."""
+    cols = ["__on", "r_" + tie] + ["r_" + c for c in right_keep
+                                   if c != tie]
+
+    def partial(b: pa.Table) -> pa.Table:
+        side = b["__side"].to_numpy(zero_copy_only=False)
+        meta = pd.Series(b[by].to_pandas()).map(hot)
+        mask = (side == 1) & meta.notna().to_numpy()
+        idxs = np.flatnonzero(mask)
+        if idxs.size == 0:
+            sel = b.select([by] + cols).slice(0, 0)
+            return sel.add_column(1, "__salt", pa.array([], pa.int32()))
+        t = b.take(pa.array(idxs))
+        on = t["__on"].to_numpy(zero_copy_only=False)
+        sub = meta.iloc[idxs]
+        mn = np.fromiter((m[0] for m in sub), np.int64, idxs.size)
+        w = np.fromiter((m[1] for m in sub), np.int64, idxs.size)
+        nb = np.fromiter((m[2] for m in sub), np.int64, idxs.size)
+        salt = np.clip((on - mn) // w, 0, nb - 1).astype(np.int32)
+        sel = t.select([by] + cols)
+        return sel.add_column(1, "__salt", pa.array(salt, pa.int32()))
+
+    rows = unioned.map_batches(partial, batch_format="pyarrow") \
+        .to_arrow_refs()
+    import ray as _ray
+
+    tabs = [t for t in _ray.get(rows) if t.num_rows]
+    carry: dict = {}
+    if not tabs:
+        return carry
+    t = pa.concat_tables(tabs)
+    df = t.to_pandas(types_mapper=None)
+    # keep Arrow values for typed scalars; pandas only orders/indexes
+    on_np = t["__on"].to_numpy(zero_copy_only=False)
+    tie_np = t["r_" + tie].to_numpy(zero_copy_only=False)
+    key_np = df[by].to_numpy()
+    salt_np = df["__salt"].to_numpy()
+    order = np.lexsort((tie_np, on_np))
+    # per (key, salt): argmax (on, tie) = last in lexsort order
+    best: dict = {}
+    for i in order:
+        best[(key_np[i], int(salt_np[i]))] = i
+    # prefix per key: carry for bucket s = best over buckets < s
+    per_key: dict = {}
+    for (k, s), i in best.items():
+        per_key.setdefault(k, []).append((s, i))
+    for k, lst in per_key.items():
+        lst.sort()
+        run = None
+        nb = hot[k][2]
+        pos = 0
+        seen = {s: i for s, i in lst}
+        for s in range(nb):
+            if run is not None:
+                carry[(k, s)] = {c: t[c][run].as_py() for c in cols}
+            i = seen.get(s)
+            if i is not None and (run is None or
+                                  (on_np[i], tie_np[i]) >
+                                  (on_np[run], tie_np[run])):
+                run = i
+    return carry
+
+
+def asof_join_ds(left_ds, right_ds, by: str = "user_id", on: str = "ts",
+                 left_cols: tuple = ("event_id",),
+                 right_cols: tuple = ("event_id", "ts"),
+                 tie_break: str | None = None,
+                 hot_threshold: int | None = 1_000_000,
+                 salt_target: int = 250_000):
+    """As-of join (SURVEY §2.4): each left row matched to the single
+    right row with the greatest ``on`` ≤ the left's ``on`` within the
+    same ``by`` key (backward, inclusive — DuckDB ``ASOF JOIN``
+    semantics); ties on ``on`` broken by the greatest ``tie_break``
+    column (default: first of ``right_cols``) so the result is
+    deterministic regardless of block order — the SQL twin must encode
+    the same rule.  Left rows with no prior right row keep typed nulls
+    (the merge is Arrow end-to-end: no pandas float/ns round-trip).
+
+    Scale contract: one ``(key, salt)`` group fits in a task.  Keys
+    with more than ``hot_threshold`` rows are pre-split into coarse
+    ``on``-range buckets of ~``salt_target`` rows (``__salt``), and the
+    single boundary row each bucket needs from earlier buckets (the
+    per-key prefix argmax) is broadcast into the merge — so one power
+    user with 10⁸ events lands on ~400 tasks, not one.  Set
+    ``hot_threshold=None`` to skip the stats pass entirely."""
+    left_keep = list(left_cols)
+    right_keep = list(right_cols)
+    tie = tie_break or right_keep[0]
+    unioned = _tag_union(left_ds, right_ds, by, on, left_keep, right_keep)
+
+    carry: dict = {}
+    if hot_threshold is not None:
+        unioned = unioned.materialize()
+        hot = _hot_plan(_key_stats(unioned, by), hot_threshold,
+                        salt_target, min_width=1)
+        if hot:
+            carry = _carry_table(unioned, by, hot, right_keep, tie)
+        unioned = _add_salt(unioned, by, hot)
+    else:
+        unioned = _add_salt(unioned, by, {})
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        on_np = t["__on"].to_numpy(zero_copy_only=False)
+        lidx = np.flatnonzero(side == 0)
+        ridx = np.flatnonzero(side == 1)
+        nl = lidx.size
+        if ridx.size:
+            r_on = on_np[ridx]
+            tie_vals = pc.take(t["r_" + tie], pa.array(ridx)) \
+                .to_numpy(zero_copy_only=False)
+            order = np.lexsort((tie_vals, r_on))
+            r_on = r_on[order]
+            r_pos = ridx[order]
+            pos = np.searchsorted(r_on, on_np[lidx], side="right") - 1
+            have = pos >= 0
+            idx = r_pos[np.maximum(pos, 0)]
+        else:
+            have = np.zeros(nl, dtype=bool)
+            idx = np.zeros(nl, dtype=np.int64)
+        la = pa.array(lidx)
+        cols = {by: pc.take(t[by], la)}
+        for c in left_keep:
+            cols["l_" + c] = pc.take(t["l_" + c], la)
+        cr = None
+        if carry and nl and not have.all():
+            key = t[by][0].as_py()
+            salt = t["__salt"][0].as_py()
+            cr = carry.get((key, salt))
+        take_r = pa.array(np.where(have, idx, 0), type=pa.int64(),
+                          mask=~have)
+        have_arr = pa.array(have)
+        for c in right_keep:
+            col = pc.take(t["r_" + c], take_r)
+            if cr is not None:
+                col = pc.if_else(have_arr, col,
+                                 pa.scalar(cr["r_" + c],
+                                           type=t["r_" + c].type))
+            cols["r_" + c] = col
+        return pa.table(cols)
+
+    return unioned.groupby([by, "__salt"]).map_groups(
+        merge, batch_format="pyarrow")
 
 
 def range_window_count_ds(left_ds, right_ds, by: str = "user_id",
                           on: str = "ts", window_us: int = 3_600_000_000,
-                          left_id: str = "event_id"):
+                          left_id: str = "event_id",
+                          hot_threshold: int | None = 1_000_000,
+                          salt_target: int = 250_000):
     """Range join + aggregate (SURVEY §2.4): for each left row, count
     right rows of the same key with ``on`` in ``[left.on - window,
     left.on)`` (strictly before).  Same union + per-key sorted-merge
     shape as :func:`asof_join_ds`; the per-left work is two
-    ``searchsorted`` probes, so a key's cost is O((l + r) log r)."""
-    l_schema = left_ds.schema().base_schema
+    ``searchsorted`` probes, so a key's cost is O((l + r) log r).
+    Output id column stays Arrow int64 (no pandas float upcast).
 
-    def tag_left(b: pa.Table) -> pa.Table:
-        return pa.table({by: b[by], "__on": _on_key(b[on]),
-                         "__side": pa.array(
-                             np.zeros(b.num_rows, dtype=np.int8)),
-                         "l_id": b[left_id]})
+    Scale contract: hot keys are pre-split into ``on``-range buckets of
+    width ≥ ``window_us`` and each hot right row is replicated into the
+    next bucket, so every left row's window is fully covered inside its
+    own ``(key, salt)`` task — no cross-task stitch needed."""
+    unioned = _tag_union(left_ds, right_ds, by, on, [left_id], [])
+    if hot_threshold is not None:
+        unioned = unioned.materialize()
+        hot = _hot_plan(_key_stats(unioned, by), hot_threshold,
+                        salt_target, min_width=int(window_us))
+        unioned = _add_salt(unioned, by, hot, replicate_right=True)
+    else:
+        unioned = _add_salt(unioned, by, {})
 
-    def tag_right(b: pa.Table) -> pa.Table:
-        return pa.table({by: b[by], "__on": _on_key(b[on]),
-                         "__side": pa.array(
-                             np.ones(b.num_rows, dtype=np.int8)),
-                         "l_id": pa.nulls(b.num_rows,
-                                          l_schema.field(left_id).type)})
+    def merge(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    unioned = left_ds.map_batches(tag_left, batch_format="pyarrow") \
-        .union(right_ds.map_batches(tag_right, batch_format="pyarrow"))
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        lmask = df["__side"].to_numpy() == 0
-        left = df[lmask]
-        if len(left) == 0:
-            return pd.DataFrame({by: pd.Series([], dtype=df[by].dtype),
-                                 left_id: pd.Series([], dtype="int64"),
-                                 "n_in_window": pd.Series([], dtype="int64")})
-        r_on = np.sort(df[~lmask]["__on"].to_numpy())
-        l_on = left["__on"].to_numpy()
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        on_np = t["__on"].to_numpy(zero_copy_only=False)
+        lidx = np.flatnonzero(side == 0)
+        la = pa.array(lidx)
+        r_on = np.sort(on_np[side == 1])
+        l_on = on_np[lidx]
         hi = np.searchsorted(r_on, l_on, side="left")      # strictly <
         lo = np.searchsorted(r_on, l_on - window_us, side="left")
-        return pd.DataFrame({by: left[by].to_numpy(),
-                             left_id: left["l_id"].to_numpy(),
-                             "n_in_window": (hi - lo).astype("int64")})
+        return pa.table({by: pc.take(t[by], la),
+                         left_id: pc.take(t["l_" + left_id], la),
+                         "n_in_window": pa.array((hi - lo).astype("int64"))})
 
-    return unioned.groupby(by).map_groups(merge, batch_format="pandas")
+    return unioned.groupby([by, "__salt"]).map_groups(
+        merge, batch_format="pyarrow")
 
 
 def sliding_window_counts_ds(ds, window_hours: int = 3,

@@ -21,13 +21,19 @@ from __future__ import annotations
 
 from kgforge.oracle.corpus import _SLOT_TYPES, TEMPLATES
 from kgforge.oracle.triples import COOCCUR_WINDOW, TRIPLE_RULES
-from kgforge.sources.dictcorpus import N_TPL, dict_gazetteers
+from kgforge.sources.dictcorpus import N_TPL, SENTS_PER_DOC, dict_gazetteers
 
 _GTABLE = {"PER": "g_per", "LOC": "g_loc", "ORG": "g_org"}
 
 
+def _q(s: str) -> str:
+    """SQL single-quoted literal (apostrophes in gazetteer surfaces or
+    template segments must not break the generated oracle)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def _values(surfaces: list[str]) -> str:
-    return ", ".join(f"({i}, '{s}')" for i, s in enumerate(surfaces))
+    return ", ".join(f"({i}, {_q(s)})" for i, s in enumerate(surfaces))
 
 
 def _slot_idx_expr(k: int, n: int) -> str:
@@ -60,7 +66,7 @@ def _template_branches() -> tuple[list[str], list[str]]:
                 var_parts.append(f"length(s{k}.s)")
                 k += 1
             else:
-                text_parts.append("'" + seg + "'")
+                text_parts.append(_q(seg))
                 const += len(seg)
         text_expr = " || ".join(text_parts)
         frm = f"FROM dj {' '.join(joins)} WHERE tpl = {t}"
@@ -79,7 +85,7 @@ def corpus_prelude() -> str:
     gaz = dict_gazetteers()
     sent_sel, ment_sel = _template_branches()
     return f"""
-WITH jj(j) AS (VALUES (0), (1)),
+WITH jj(j) AS (VALUES {", ".join(f"({j})" for j in range(SENTS_PER_DOC))}),
 g_per(i, s) AS (VALUES {_values(gaz["PER"])}),
 g_loc(i, s) AS (VALUES {_values(gaz["LOC"])}),
 g_org(i, s) AS (VALUES {_values(gaz["ORG"])}),
@@ -87,8 +93,10 @@ dj AS (SELECT doc_id AS d, j, (doc_id * (1 + 2*j) + 5*j) % {N_TPL} AS tpl
        FROM documents CROSS JOIN jj),
 sents0 AS ({" UNION ALL ".join(sent_sel)}),
 sents AS (SELECT d, j, sent_text, printf('dict-%08d', d) AS doc_id,
-                 CAST(coalesce(lag(length(sent_text))
-                      OVER (PARTITION BY d ORDER BY j), 0) AS INTEGER)
+                 CAST(coalesce(sum(length(sent_text))
+                      OVER (PARTITION BY d ORDER BY j
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS INTEGER)
                      AS sent_offset
           FROM sents0),
 ments AS ({" UNION ALL ".join(ment_sel)})"""
@@ -105,10 +113,10 @@ FROM ments m JOIN sents s ON s.d = m.d AND s.j = m.j
 def _rules_values() -> str:
     rows = []
     for pred, st, ot, direction, conns, max_gap in TRIPLE_RULES:
-        c1 = f"'{conns[0]}'"
-        c2 = f"'{conns[1]}'" if len(conns) > 1 else "NULL"
+        c1 = _q(conns[0])
+        c2 = _q(conns[1]) if len(conns) > 1 else "NULL"
         d = "sf" if direction == "subj_first" else "of"
-        rows.append(f"('{pred}', '{st}', '{ot}', '{d}', {c1}, {c2}, "
+        rows.append(f"({_q(pred)}, {_q(st)}, {_q(ot)}, '{d}', {c1}, {c2}, "
                     f"{max_gap})")
     return ", ".join(rows)
 

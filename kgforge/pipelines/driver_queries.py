@@ -595,18 +595,6 @@ def q_kg_triples(sf_dir: str):
 _DICT_FLAGSHIP_CACHE: dict = {}
 
 
-def _prefix_derived_ids(b: pa.Table) -> pa.Table:
-    """Disambiguate the derived documents-table lane from the
-    generated interleaved corpus before the union: both used
-    ``doc-%08d`` ids, and a (doc_id, span_idx, sent_idx) collision
-    merges mentions of two DIFFERENT documents in any per-sentence
-    grouping (found via the kg_prf gate: cross-doc co_occurs
-    artifacts)."""
-    i = b.column_names.index("doc_id")
-    return b.set_column(i, "doc_id", pc.binary_join_element_wise(
-        pa.scalar("drv-"), b["doc_id"], ""))
-
-
 def _dict_flagship_for(sf_dir: str) -> dict:
     """Run (once per process per sf_dir) the REAL flagship pipeline —
     explode → sentence split → dictionary tagger (actor pool) →
@@ -698,14 +686,14 @@ def q_asof_join(sf_dir: str):
     clicks = ev.filter(expr="event_type == 'click'")
     out = asof_join_ds(purchases, clicks, by="user_id", on="ts",
                        left_cols=("event_id",),
-                       right_cols=("event_id", "ts"))
+                       right_cols=("event_id", "ts"),
+                       tie_break="event_id")
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({
             "user_id": b["user_id"],
             "purchase_event": b["l_event_id"],
             "click_event": b["r_event_id"].cast(pa.int64()),
-            # pandas round-trip upcasts to ns — normalize to epoch µs
             "click_ts_us": b["r_ts"].cast(pa.timestamp("us"))
                                     .cast(pa.int64()),
         })
@@ -1197,8 +1185,14 @@ ORACLE_SQL["simhash_pairs"] = r"""
             FROM bits b JOIN cnt c USING (doc_id) GROUP BY 1),
     sh AS (SELECT d.doc_id, coalesce(s.sh, 0) AS sh
            FROM documents d LEFT JOIN sh0 s USING (doc_id)),
+    -- mirror simhash_pairs_ds's deterministic max_block=4096 bucket cap
+    -- (first 4096 ids per (band, sub-key)) so both engines agree by
+    -- construction even on degenerate buckets
     subs AS (SELECT doc_id, sh, (sh >> (16 * g.k)) & 65535 AS sub, g.k
-             FROM sh, generate_series(0, 3) g(k)),
+             FROM sh, generate_series(0, 3) g(k)
+             QUALIFY row_number() OVER (
+                 PARTITION BY g.k, (sh >> (16 * g.k)) & 65535
+                 ORDER BY doc_id) <= 4096),
     cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
                     a.sh AS sha, b.sh AS shb
              FROM subs a JOIN subs b
@@ -1209,16 +1203,24 @@ ORACLE_SQL["simhash_pairs"] = r"""
 """
 
 ORACLE_SQL["asof_join"] = """
+    -- deterministic tie rule mirrored from asof_join_ds: among right
+    -- rows sharing the max ts <= p.ts, pick the greatest event_id
+    -- (bare ASOF JOIN picks an arbitrary row on ts ties)
     WITH p AS (SELECT event_id, ts, user_id FROM events
                WHERE event_type = 'purchase'),
          c AS (SELECT event_id, ts, user_id FROM events
-               WHERE event_type = 'click')
-    SELECT p.user_id,
-           p.event_id AS purchase_event,
-           c.event_id AS click_event,
-           CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us
-    FROM p ASOF LEFT JOIN c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
+               WHERE event_type = 'click'),
+         j AS (SELECT p.user_id,
+                      p.event_id AS purchase_event,
+                      c.event_id AS click_event,
+                      CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+                      row_number() OVER (
+                          PARTITION BY p.event_id
+                          ORDER BY c.ts DESC, c.event_id DESC) AS rn
+               FROM p LEFT JOIN c
+                 ON p.user_id = c.user_id AND c.ts <= p.ts)
+    SELECT user_id, purchase_event, click_event, click_ts_us
+    FROM j WHERE rn = 1
 """
 
 ORACLE_SQL["range_join"] = """

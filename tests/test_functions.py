@@ -390,6 +390,68 @@ def test_asof_and_range_join_ops(ray_session):
         assert int(rw.loc[i, "n_in_window"]) == n_win
 
 
+def test_asof_range_join_hot_key_salted(ray_session):
+    """Hot-key contract (SURVEY §2.4): a key above hot_threshold is
+    pre-split into coarse on-range buckets, with the as-of boundary row
+    carried across buckets (incl. over EMPTY middle buckets) and range
+    right rows replicated one bucket forward — results must equal the
+    unsalted single-task merge exactly, and the hot key must actually
+    land on several merge tasks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kgforge.functions import events as E
+
+    rng = np.random.RandomState(7)
+    # hot user 0: rows clustered at both ends of the time axis so the
+    # middle salt buckets are empty; cold users 1-3
+    n_hot = 12_000
+    ts_hot = np.concatenate([
+        rng.randint(0, 50_000, n_hot // 2),
+        rng.randint(900_000, 1_000_000, n_hot // 2)]).astype(np.int64)
+    ts_cold = rng.randint(0, 1_000_000, 600).astype(np.int64)
+    ts = np.concatenate([ts_hot, ts_cold])
+    users = np.concatenate([np.zeros(n_hot, np.int64),
+                            rng.randint(1, 4, 600).astype(np.int64)])
+    n = ts.size
+    ids = np.arange(n, dtype=np.int64)
+    ts[n_hot // 4] = ts[n_hot // 4 + 1]  # duplicate ts → tie-break path
+    side = rng.random(n) < 0.5
+
+    def mk(m):
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array(ids[m]), "ts": pa.array(ts[m]),
+            "user_id": pa.array(users[m], pa.int64())})).repartition(4)
+
+    left_ds, right_ds = mk(side), mk(~side)
+
+    def norm(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    salted = E.asof_join_ds(left_ds, right_ds, hot_threshold=1_000,
+                            salt_target=800).to_pandas()
+    plain = E.asof_join_ds(left_ds, right_ds,
+                           hot_threshold=None).to_pandas()
+    pd.testing.assert_frame_equal(norm(salted), norm(plain))
+
+    rs = E.range_window_count_ds(left_ds, right_ds, window_us=10_000,
+                                 hot_threshold=1_000,
+                                 salt_target=800).to_pandas()
+    rp = E.range_window_count_ds(left_ds, right_ds, window_us=10_000,
+                                 hot_threshold=None).to_pandas()
+    pd.testing.assert_frame_equal(norm(rs), norm(rp))
+
+    # the hot key must be split across ≥2 merge tasks
+    unioned = E._tag_union(left_ds, right_ds, "user_id", "ts",
+                           ["event_id"], ["event_id", "ts"]).materialize()
+    hot = E._hot_plan(E._key_stats(unioned, "user_id"), 1_000, 800, 1)
+    assert 0 in hot and hot[0][2] >= 2
+    assert not any(k in hot for k in (1, 2, 3))
+    salts = E._add_salt(unioned, "user_id", hot).to_pandas()
+    assert salts.loc[salts.user_id == 0, "__salt"].nunique() >= 2
+    assert (salts.loc[salts.user_id != 0, "__salt"] == 0).all()
+
+
 def test_dup_clusters_and_hash_split(ray_session):
     """Connected components transitivity + deterministic split."""
     import ray.data as rd

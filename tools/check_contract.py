@@ -90,6 +90,21 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1
             continue
+        # the driver's value hash is dtype-sensitive: an int64 column
+        # that arrives as float64 (e.g. via a pandas null round-trip)
+        # hash-mismatches even when every value compares equal.  The
+        # stringify canon above masks exactly that — check kinds too.
+        kind_bad = [c for c in got.columns
+                    if got[c].dtype.kind != exp[c].dtype.kind
+                    and {got[c].dtype.kind, exp[c].dtype.kind}
+                    <= {"i", "u", "f"}]
+        if kind_bad:
+            print(f"FAIL {name}: dtype-kind mismatch (driver hash "
+                  f"diverges): "
+                  + ", ".join(f"{c}: {got[c].dtype}!={exp[c].dtype}"
+                              for c in kind_bad))
+            n_fail += 1
+            continue
         try:
             pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                           check_exact=False, rtol=0, atol=1e-9)
