@@ -775,12 +775,12 @@ def q_kg_invariant(sf_dir: str):
     the compare."""
     from kgforge.sources.dictcorpus import derive_dict_t0_ds
     from kgforge.stages.invariant import (
-        verify_invariant, verify_sentence_reconstruction,
+        verify_invariant_output, verify_sentence_reconstruction,
     )
 
     res = _dict_flagship_for(sf_dir)
     t0 = derive_dict_t0_ds(sf_dir)
-    v1 = verify_invariant(t0, derive_dict_t0_ds(sf_dir))
+    v1 = verify_invariant_output(t0, res["sentences"])
     v2 = verify_sentence_reconstruction(t0, res["sentences"])
     return pa.table({
         "i1_violations": pa.array([v1], pa.int64()),

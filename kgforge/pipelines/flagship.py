@@ -178,13 +178,15 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
 
     if verify_i1:
         from kgforge.stages.invariant import (
-            verify_invariant, verify_sentence_reconstruction,
+            verify_invariant_output, verify_sentence_reconstruction,
         )
 
-        # the pipeline never mutates T0 (spans untouched by
-        # construction); hash-compare the passthrough...
-        result["i1_violations"] = verify_invariant(t0(), t0())
-        # ...and prove the OUTPUT side: every text span's full text is
+        # REAL output side: per-doc span-sequence hash of the input vs
+        # the sequence rebuilt from the pipeline's own 'sentences'
+        # output (+ media passthrough) — a sentence dropped, edited or
+        # reordered anywhere in explode → tag → checkpoint flips this
+        result["i1_violations"] = verify_invariant_output(t0(), sentences)
+        # per-span evidence: every text span's full text is
         # reconstructible from the pipeline's own sentence rows
         result["i1_span_violations"] = \
             verify_sentence_reconstruction(t0(), sentences)

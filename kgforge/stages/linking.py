@@ -291,20 +291,26 @@ class CanonLookup:
         return got
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # vectorized broadcast-hash-join: distinct (etype, surface)
-        # pairs in the batch are looked up once, then fanned back out
-        g = batch.select(["etype", "surface"]) \
-            .group_by(["etype", "surface"], use_threads=False) \
-            .aggregate([([], "count_all")])
-        lut = {(e, s): self.canon(e, s)
-               for e, s in zip(g["etype"].to_pylist(),
-                               g["surface"].to_pylist())}
-        import pandas as pd
+        # vectorized broadcast-hash-join: dictionary-encode the
+        # (etype, surface) key, resolve once per DISTINCT code, then
+        # one zero-copy take fans the result back out — no per-row
+        # Python objects on the flagship hot path
+        import pyarrow.compute as pc
 
-        keys = pd.Series(list(zip(batch["etype"].to_pylist(),
-                                  batch["surface"].to_pylist())))
-        mapped = keys.map(lut)
+        key = pc.binary_join_element_wise(
+            pc.cast(batch["etype"], pa.string()), batch["surface"],
+            "\x00")
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        enc = key.dictionary_encode()
+        ids, surfs = [], []
+        for k in enc.dictionary.to_pylist():
+            e, _, s = k.partition("\x00")
+            ci, cs = self.canon(e, s)
+            ids.append(ci)
+            surfs.append(cs)
+        idx = enc.indices
         return batch.append_column(
-            "canon_id", pa.array([m[0] for m in mapped], pa.string())) \
+            "canon_id", pc.take(pa.array(ids, pa.string()), idx)) \
             .append_column(
-            "canon_surface", pa.array([m[1] for m in mapped], pa.string()))
+            "canon_surface", pc.take(pa.array(surfs, pa.string()), idx))

@@ -93,13 +93,21 @@ class TripleExtractor:
 
     def _canon_surfaces(self, etypes: np.ndarray,
                         surfaces: np.ndarray) -> np.ndarray:
-        """Vectorized canon lookup: distinct (etype, surface) once."""
-        import pandas as pd
-
-        keys = pd.Series(list(zip(etypes, surfaces)))
-        uniq = keys.drop_duplicates()
-        lut = {k: self.alias.get(k, (None, k[1]))[1] for k in uniq}
-        return keys.map(lut).to_numpy(dtype=object)
+        """Vectorized canon lookup: resolve once per distinct
+        (etype, surface), fan back out by code index — no per-row
+        tuple construction.  Key separator is \\x1f (unit separator):
+        np.char treats NUL as a terminator, and etype labels are closed
+        enum strings that cannot contain control chars."""
+        if not self.alias:
+            return surfaces
+        key = np.char.add(np.char.add(etypes.astype("U"), "\x1f"),
+                          surfaces.astype("U"))
+        uniq, inv = np.unique(key, return_inverse=True)
+        vals = np.empty(len(uniq), dtype=object)
+        for i, k in enumerate(uniq):
+            e, _, s = str(k).partition("\x1f")
+            vals[i] = self.alias.get((e, s), (None, s))[1]
+        return vals[inv]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd

@@ -169,6 +169,19 @@ def test_sentence_reconstruction_invariant(ray_session, hmm_model,
     t0_ds = rd.read_parquet(t0_path, file_extensions=["parquet"])
     assert verify_sentence_reconstruction(t0_ds, bad) > 0
 
+    # the doc-hash lane behind verify_i1=True must ALSO be falsifiable:
+    # the same mutated sentence, and a dropped sentence, each flip the
+    # rebuilt span-sequence hash for the affected docs
+    from kgforge.stages.invariant import verify_invariant_output
+
+    assert verify_invariant_output(t0_ds, bad) > 0
+
+    def drop_one(b):
+        return b.slice(1) if b.num_rows else b
+
+    dropped = res["sentences"].map_batches(drop_one, batch_format="pyarrow")
+    assert verify_invariant_output(t0_ds, dropped) > 0
+
 
 def test_explode_vectorized_matches_reference_loop():
     """Vectorized explode == the straightforward per-span loop
