@@ -490,24 +490,108 @@ def embedding_lsh_pairs_ds(ds, vec_col: str = "embedding",
 # near-dup clusters (connected components) + deterministic hash split
 # ---------------------------------------------------------------------------
 
-def dup_clusters_ds(pairs_ds, id_a: str = "id_a", id_b: str = "id_b"):
+def _dup_clusters_propagate(edges, id_type, max_rounds: int = 64):
+    """Distributed connected components: iterative min-label
+    propagation.  Each round every node's label becomes the min of its
+    own and its neighbors' labels — one union + two keyed groupbys per
+    round, nothing collected to the driver.  Rounds ≈ component
+    diameter (near-dup clusters are dense, so convergence is fast);
+    labels only ever decrease, so the int-sum checksum is a sound
+    fixpoint test.  ``edges`` is the symmetric (src, dst) dataset."""
+    import logging
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["src"], "label": b["src"]})
+
+    labels = edges.map_batches(init_labels, batch_format="pyarrow") \
+        .groupby("node").aggregate(Min("label", alias_name="label")) \
+        .materialize()
+
+    def tag_label(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"],
+                         "dst": pa.nulls(b.num_rows, id_type),
+                         "label": b["label"]})
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["src"], "dst": b["dst"],
+                         "label": pa.nulls(b.num_rows, id_type)})
+
+    def emit(g: pa.Table) -> pa.Table:
+        # one label row per node + its outgoing edges: forward the
+        # node's current label to every neighbor (and to itself)
+        lab = pc.min(g["label"]).as_py()
+        dsts = pc.drop_null(g["dst"])
+        if isinstance(dsts, pa.ChunkedArray):
+            dsts = dsts.combine_chunks()
+        node0 = g["node"].combine_chunks()[:1] \
+            if isinstance(g["node"], pa.ChunkedArray) else g["node"][:1]
+        nodes = pa.concat_arrays([node0, dsts])
+        return pa.table({
+            "node": nodes,
+            "label": pa.array(np.full(len(nodes), lab, dtype=np.int64),
+                              id_type)})
+
+    tagged_edges = edges.map_batches(tag_edge, batch_format="pyarrow") \
+        .materialize()
+    checksum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    for _ in range(max_rounds):
+        msgs = labels.map_batches(tag_label, batch_format="pyarrow") \
+            .union(tagged_edges)
+        labels = msgs.groupby("node").map_groups(
+            emit, batch_format="pyarrow") \
+            .groupby("node").aggregate(Min("label", alias_name="label")) \
+            .materialize()
+        new_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if new_sum == checksum:
+            break
+        checksum = new_sum
+    else:
+        logging.getLogger(__name__).warning(
+            "dup_clusters propagation hit max_rounds=%d before "
+            "fixpoint; labels may span a component diameter larger "
+            "than the round budget", max_rounds)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["node"], "cluster_id": b["label"]})
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_clusters_ds(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
+                    driver_max_pairs: int = 5_000_000):
     """Connected components over a near-dup pair set → one
     ``(doc_id, cluster_id)`` row per doc that appears in ≥ 1 pair;
     ``cluster_id`` = the component's minimum doc id (the canonical
     keeper under keep-first dedup policy).
 
-    The PAIR set is the small side (pairs ≪ corpus by construction of
-    any blocked/LSH candidate generator), so the union-find runs on
-    the driver over collected pairs — the same justified pattern as
-    alias resolution; everything upstream (pair generation) is
-    distributed.  At extreme pair counts the scale path is iterative
-    min-label propagation (repeat: join labels to edges, take min) —
-    each round is one hash groupby, O(diameter) rounds.
+    Path selection (same auto pattern as ``build_alias_map``): the
+    PAIR set is usually the small side (pairs ≪ corpus by construction
+    of any blocked/LSH candidate generator), so up to
+    ``driver_max_pairs`` the union-find runs on the driver over
+    collected pairs.  Beyond it, :func:`_dup_clusters_propagate` runs
+    iterative min-label propagation fully distributed (integer ids
+    required — ours are int64 doc ids).  Both paths produce identical
+    labels (paths-agree tested).
     """
     import ray
     import ray.data as rd
 
     from kgforge.oracle.linking import UnionFind
+
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs > driver_max_pairs:
+        def sym(b: pa.Table) -> pa.Table:
+            return pa.concat_tables([
+                pa.table({"src": b[id_a], "dst": b[id_b]}),
+                pa.table({"src": b[id_b], "dst": b[id_a]})])
+
+        edges = pairs_ds.map_batches(sym, batch_format="pyarrow")
+        id_type = pairs_ds.schema().base_schema.field(id_a).type
+        return _dup_clusters_propagate(edges, id_type)
 
     tables = [t for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows]
     if not tables:

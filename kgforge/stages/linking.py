@@ -314,3 +314,91 @@ class CanonLookup:
             "canon_id", pc.take(pa.array(ids, pa.string()), idx)) \
             .append_column(
             "canon_surface", pc.take(pa.array(surfs, pa.string()), idx))
+
+
+def canon_lookup_shuffle_ds(mentions_ds, alias_map: dict | None = None,
+                            alias_ds=None, salt_buckets: int = 16):
+    """L2 fallback for an alias map too large to broadcast: apply
+    canonicalization as a key-shuffle join instead of a per-worker
+    dict.  Mentions and alias rows are union-tagged and ONE
+    ``groupby(etype, surface, salt)`` co-locates each mention with its
+    (replicated) alias row; absent surfaces canonicalize to themselves,
+    same as :meth:`CanonLookup.canon`.  Output rows/columns are
+    identical to :class:`CanonLookup` (paths-agree tested).
+
+    Skew: the canon result is CONSTANT per surface, so a hot surface
+    can be split freely — mentions take ``salt = hash64(doc_id) %
+    salt_buckets`` and each alias row is replicated to every salt
+    (alias rows ≪ mentions; the replication is the classic
+    broadcast-fragment join, just expressed inside the shuffle)."""
+    import ray.data as rd
+
+    m_schema = mentions_ds.schema().base_schema
+    mention_cols = list(m_schema.names)
+
+    if alias_ds is None:
+        am = alias_map or {}
+        alias_ds = rd.from_arrow(pa.table({
+            "etype": pa.array([e for e, _ in am], pa.string()),
+            "surface": pa.array([s for _, s in am], pa.string()),
+            "canon_id": pa.array([v[0] for v in am.values()], pa.string()),
+            "canon_surface": pa.array([v[1] for v in am.values()],
+                                      pa.string()),
+        }))
+
+    def tag_m(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {c: b[c] for c in mention_cols}
+        cols["__salt"] = pa.array(
+            (hash_u64_np(b["doc_id"].to_pylist(), seed=3) %
+             np.uint64(salt_buckets)).astype(np.int32))
+        cols["__canon_id"] = pa.nulls(n, pa.string())
+        cols["__canon_surface"] = pa.nulls(n, pa.string())
+        cols["__is_alias"] = pa.array(np.zeros(n, np.int8))
+        return pa.table(cols)
+
+    def tag_a(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        reps = pa.array(np.repeat(np.arange(n), salt_buckets))
+        cols = {}
+        for c in mention_cols:
+            if c in ("etype", "surface"):
+                cols[c] = b[c].take(reps)
+            else:
+                cols[c] = pa.nulls(n * salt_buckets, m_schema.field(c).type)
+        cols["__salt"] = pa.array(
+            np.tile(np.arange(salt_buckets, dtype=np.int32), n))
+        cols["__canon_id"] = b["canon_id"].take(reps)
+        cols["__canon_surface"] = b["canon_surface"].take(reps)
+        cols["__is_alias"] = pa.array(np.ones(n * salt_buckets, np.int8))
+        return pa.table(cols)
+
+    unioned = mentions_ds.map_batches(tag_m, batch_format="pyarrow") \
+        .union(alias_ds.map_batches(tag_a, batch_format="pyarrow"))
+    drop = ["__salt", "__canon_id", "__canon_surface", "__is_alias"]
+
+    def resolve(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_a = g["__is_alias"].to_numpy(zero_copy_only=False)
+        midx = np.flatnonzero(is_a == 0)
+        m = g.take(pa.array(midx)).drop_columns(drop)
+        if midx.size == 0:
+            return m.append_column(
+                "canon_id", pa.array([], pa.string())).append_column(
+                "canon_surface", pa.array([], pa.string()))
+        aidx = np.flatnonzero(is_a == 1)
+        if aidx.size:
+            cid = g["__canon_id"][int(aidx[0])].as_py()
+            cs = g["__canon_surface"][int(aidx[0])].as_py()
+        else:
+            etype = g["etype"][0].as_py()
+            surface = g["surface"][0].as_py()
+            cid, cs = canon_id_of(etype, surface), surface
+        n = m.num_rows
+        return m.append_column(
+            "canon_id", pa.array([cid] * n, pa.string())).append_column(
+            "canon_surface", pa.array([cs] * n, pa.string()))
+
+    return unioned.groupby(["etype", "surface", "__salt"]).map_groups(
+        resolve, batch_format="pyarrow")

@@ -248,6 +248,43 @@ def test_alias_small_side_paths_agree(ray_session, hmm_model):
             assert k in b, k
 
 
+def test_canon_lookup_shuffle_matches_broadcast(ray_session, hmm_model):
+    """L2 broadcast dict vs the key-shuffle join fallback (the path for
+    an alias map too big to broadcast): identical rows, including
+    surfaces absent from the map (identity canon) and hot surfaces
+    split across salts."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kgforge.oracle.corpus import generate_interleaved_docs
+    from kgforge.oracle.pipeline import mentions_of, tag_docs
+    from kgforge.stages.linking import (
+        CanonLookup, build_alias_map, canon_lookup_shuffle_ds,
+    )
+
+    docs = generate_interleaved_docs(80, seed=42)
+    ment = mentions_of(tag_docs(hmm_model, docs))
+    t1 = rd.from_items(ment).repartition(4).materialize()
+    am = build_alias_map(t1, small_side="driver")
+    assert len(am) > 0
+
+    import ray
+
+    bcast = t1.map_batches(
+        CanonLookup, fn_constructor_kwargs={"alias_map": am},
+        batch_format="pyarrow", concurrency=2).to_pandas()
+    shuf = canon_lookup_shuffle_ds(t1, alias_map=am,
+                                   salt_buckets=4).to_pandas()
+
+    cols = sorted(bcast.columns)
+    assert cols == sorted(shuf.columns)
+
+    def norm(df):
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(bcast), norm(shuf))
+
+
 def test_round_away_matches_duckdb_property():
     """round_away == DuckDB round() on random doubles INCLUDING exact
     binary midpoints (the values where numpy bankers' rounding
@@ -471,6 +508,41 @@ def test_dup_clusters_and_hash_split(ray_session):
         b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
         assert sp.loc[i, "bucket"] == b
         assert sp.loc[i, "split"] == ("train" if b < 80 else "test")
+
+
+def test_dup_clusters_paths_agree(ray_session):
+    """Driver union-find vs distributed min-label propagation on a
+    random graph with chains (nontrivial diameter), stars, singleton
+    pairs and a big component — identical labels from both paths."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    edges = []
+    # chain 0..9 (diameter 9 → several propagation rounds)
+    edges += [(i, i + 1) for i in range(9)]
+    # star centered at 100
+    edges += [(100, 100 + i) for i in range(1, 15)]
+    # random blob over 200..260
+    for _ in range(120):
+        a, b = rng.randint(200, 260, 2)
+        if a != b:
+            edges.append((int(min(a, b)), int(max(a, b))))
+    # isolated pair
+    edges.append((500, 501))
+    tbl = pa.table({"id_a": pa.array([a for a, _ in edges], pa.int64()),
+                    "id_b": pa.array([b for _, b in edges], pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(5)
+
+    drv = D.dup_clusters_ds(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    dist = D.dup_clusters_ds(ds, driver_max_pairs=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(drv, dist)
+    # chain collapses to min label 0
+    assert (dist.set_index("doc_id").loc[range(10), "cluster_id"]
+            == 0).all()
 
 
 def test_epoch_shuffle_modes(ray_session):
