@@ -163,23 +163,68 @@ class BiLstmCrfTagger:
 
 class HmmTrainerStage:
     """A3/G1: per-batch HMM count partials (mergeable — summed by the
-    caller over all batches, then normalized once on the driver)."""
+    caller over all batches, then normalized once on the driver).
+
+    Vectorized (parity-tested against :func:`oracle.hmm.fit_counts`):
+    tag ids via dictionary-encode + code remap, char ids via ONE utf-32
+    pass over the batch's joined text and the same BMP LUT the tagger
+    uses, and all three count tensors as ``np.bincount`` over fused
+    (state, next/emission) codes — no per-sentence Python objects."""
 
     def __init__(self, vocab: dict[str, int], tags: tuple[str, ...]):
+        from kgforge.oracle.vocab import UNK_ID
+
         self.vocab = vocab
         self.tag_to_id = {t: i for i, t in enumerate(tags)}
         self.tags = tags
+        self.V = max(vocab.values()) + 1
+        lut = np.full(0x10000, UNK_ID, dtype=np.int64)
+        for ch, cid in vocab.items():
+            if len(ch) == 1 and ord(ch) < 0x10000:
+                lut[ord(ch)] = cid
+        self._lut = lut
+        self._unk = UNK_ID
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from kgforge.oracle.corpus import Sentence
+        import pyarrow.compute as pc
 
-        sents = [Sentence(c, t) for c, t in
-                 zip(batch["chars"].to_pylist(), batch["tags"].to_pylist())]
-        pi_c, a_c, b_c = hmm_mod.fit_counts(sents, self.tag_to_id, self.vocab)
+        T, V = len(self.tags), self.V
+        tags_col = batch["tags"]
+        if isinstance(tags_col, pa.ChunkedArray):
+            tags_col = tags_col.combine_chunks()
+        flat = pc.list_flatten(tags_col)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = pc.list_parent_indices(tags_col) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = flat.dictionary_encode()
+        dmap = np.array([self.tag_to_id[t]
+                         for t in enc.dictionary.to_pylist()], np.int64) \
+            if len(enc.dictionary) else np.zeros(0, np.int64)
+        codes_idx = enc.indices.to_numpy(zero_copy_only=False)
+        tids = dmap[codes_idx] if len(codes_idx) else \
+            np.zeros(0, np.int64)
+
+        texts = pc.binary_join(batch["chars"], "").to_pylist()
+        cps = np.frombuffer("".join(texts).encode("utf-32-le"),
+                            dtype=np.uint32)
+        cids = np.where(cps < 0x10000,
+                        self._lut[np.minimum(cps, 0xFFFF)], self._unk)
+
+        pi_c = np.zeros(T)
+        a_c = np.zeros(T * T)
+        b_c = np.zeros(T * V)
+        if len(tids):
+            starts = np.flatnonzero(np.diff(parents, prepend=-1))
+            pi_c += np.bincount(tids[starts], minlength=T)
+            same = parents[1:] == parents[:-1]
+            a_c += np.bincount(tids[:-1][same] * T + tids[1:][same],
+                               minlength=T * T)
+            b_c += np.bincount(tids * V + cids, minlength=T * V)
         return pa.table({
-            "pi": pa.array([pi_c.ravel()], type=pa.list_(pa.float64())),
-            "a": pa.array([a_c.ravel()], type=pa.list_(pa.float64())),
-            "b": pa.array([b_c.ravel()], type=pa.list_(pa.float64())),
+            "pi": pa.array([pi_c], type=pa.list_(pa.float64())),
+            "a": pa.array([a_c], type=pa.list_(pa.float64())),
+            "b": pa.array([b_c], type=pa.list_(pa.float64())),
         })
 
 
