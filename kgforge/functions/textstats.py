@@ -138,6 +138,81 @@ def _rolling_hash(text: str) -> int:
         return int((data[::-1].astype(np.uint64) * powers).sum(dtype=np.uint64))
 
 
+# Closed benchmark-contamination n-gram set (word trigrams).  A real
+# decontamination pass holds millions of eval-set n-grams; the Ray
+# plumbing is identical — broadcast the set once (ray.put / module
+# constant shipped with the task) and scan each batch vectorized.  At
+# that scale swap the per-pattern substring loop for one Aho-Corasick
+# automaton built once per actor (__init__), or a bloom filter over
+# document shingles; the per-doc output contract stays the same.
+CONTAM_NGRAMS = (
+    "hash value table",
+    "agg join small",
+    "row fast merge",
+    "window the row",
+    "data column agg",
+    "slow filter value",
+)
+
+
+def decontaminate(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Benchmark decontamination scan: per document, how many of the
+    known eval-set n-grams appear (``n_contam``) and whether the doc
+    should be dropped from training data (``contaminated``, 0/1).
+    One vectorized plain-substring scan per pattern — no regex, no
+    per-row Python.  Integer-only output (exact oracle parity)."""
+    text = batch[text_col]
+    hits = np.zeros(batch.num_rows, dtype=np.int64)
+    for pat in CONTAM_NGRAMS:
+        present = pc.greater(pc.count_substring(text, pattern=pat), 0)
+        hits += present.to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_contam": pa.array(hits),
+        "contaminated": pa.array((hits > 0).astype(np.int64)),
+    })
+
+
+def doc_frequency_ds(ds, k: int = 25, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Document-frequency top-k (the IDF table of TF-IDF): for each
+    term, in how many documents does it appear at least once.
+
+    Scale shape: per-batch the (term, doc) pairs are made distinct and
+    counted (arrow ``group_by`` — a document is exactly one row, so
+    within-row distinct IS per-document distinct), so only
+    ``≤ vocab`` partial rows per batch reach the global
+    ``groupby(term).sum`` — the shuffle moves term counts, never
+    tokens.  Deterministic tie-break (df desc, term asc) so the
+    top-k boundary is stable across engines."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(b[text_col], ""), r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        t = pa.table({"term": flat.filter(mask), "d": par.filter(mask)})
+        dd = t.group_by(["term", "d"], use_threads=False).aggregate([])
+        col = dd["term"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = col.value_counts()
+        return pa.table({"term": vc.field("values"),
+                         "df": vc.field("counts").cast(pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df", alias_name="df"))
+    return counts.sort(["df", "term"], descending=[True, False]).limit(k)
+
+
+def decontaminate_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: decontaminate(b, text_col, id_col),
+        batch_format="pyarrow")
+
+
 def token_stats_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(
         lambda b: token_stats(b, text_col, id_col), batch_format="pyarrow")

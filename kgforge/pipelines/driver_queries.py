@@ -82,6 +82,16 @@ def q_fingerprint(sf_dir: str):
     return ds.select_columns(["doc_id", "fp_md5"])
 
 
+def q_decontaminate(sf_dir: str):
+    return F_text.decontaminate_ds(_read(sf_dir, "documents",
+                                         ["doc_id", "text"]))
+
+
+def q_doc_frequency(sf_dir: str):
+    return F_text.doc_frequency_ds(_read(sf_dir, "documents",
+                                         ["doc_id", "text"]))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication family
 # ---------------------------------------------------------------------------
@@ -841,6 +851,8 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "decontaminate": q_decontaminate,
+    "doc_frequency": q_doc_frequency,
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "jaccard_pairs": q_jaccard_pairs,
@@ -1121,6 +1133,26 @@ ORACLE_SQL = {
         SELECT token, n FROM c ORDER BY n DESC, token LIMIT 20
     """,
 }
+
+# Generated from the same pattern constant the Ray side scans
+# (kgforge/functions/textstats.py CONTAM_NGRAMS) so the two engines
+# can't drift; '' escaping per dict_oracle convention.
+_contam_sum = " + ".join(
+    "CASE WHEN contains(text, '%s') THEN 1 ELSE 0 END"
+    % p.replace("'", "''") for p in F_text.CONTAM_NGRAMS)
+ORACLE_SQL["decontaminate"] = f"""
+    SELECT doc_id, CAST({_contam_sum} AS BIGINT) AS n_contam,
+           CAST(CASE WHEN {_contam_sum} > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS contaminated
+    FROM documents
+"""
+ORACLE_SQL["doc_frequency"] = r"""
+    WITH toks AS (SELECT DISTINCT doc_id,
+                         unnest(regexp_extract_all(text, '\S+')) AS term
+                  FROM documents)
+    SELECT term, CAST(count(*) AS BIGINT) AS df
+    FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 25
+"""
 
 # dict-lane oracles are generated from the same template/gazetteer/rule
 # constants the Ray side uses (kgforge/pipelines/dict_oracle.py)
