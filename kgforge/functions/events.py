@@ -424,3 +424,107 @@ def sliding_window_counts_ds(ds, window_hours: int = 3,
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby([type_col, "window_end_hour"]) \
         .aggregate(Sum("n", alias_name="n_events"))
+
+
+def topk_per_group_ds(ds, k: int = 3, by: str = "user_id",
+                      order_col: str = "value", id_col: str = "event_id"):
+    """Top-k rows per group by (value desc, id asc) — the window
+    ``row_number() <= k`` pattern, partial-top-k'd before the shuffle.
+
+    Scale shape: each batch keeps at most k rows per group it sees, so
+    the groupby moves ≤ k × (groups × batches) rows — never the event
+    stream.  The order key is integer cents (per-row half-away round,
+    like every money sum here) so the rank boundary is exact and the
+    SQL twin orders by the identical integer."""
+    from kgforge.common.hashing import round_away
+
+    def topk(df: pd.DataFrame, with_rank: bool) -> pd.DataFrame:
+        df = df.sort_values(["value_cents", id_col],
+                            ascending=[False, True], kind="mergesort")
+        out = df.groupby(by, sort=False).head(k)
+        if with_rank:
+            out = out.assign(rn=(out.groupby(by, sort=False).cumcount() + 1)
+                             .astype("int64"))
+        return out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            by: df[by].astype("int64"),
+            id_col: df[id_col].astype("int64"),
+            "value_cents": round_away(df[order_col] * 100, 0).astype("int64"),
+        })
+        return topk(df, with_rank=False)
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby(by) \
+        .map_groups(lambda df: topk(df, with_rank=True),
+                    batch_format="pandas")
+
+
+def event_deltas_ds(ds, by: str = "user_id", on: str = "ts",
+                    id_col: str = "event_id"):
+    """Per-event gap (µs) to the same user's previous event — the
+    ``lag() OVER (PARTITION BY user ORDER BY ts, id)`` window.  NULL
+    (Arrow-typed int64 null, no NaN round-trip) for each user's first
+    event.  One shuffle keyed by user; a hot user's group is a single
+    sorted diff, and the same on-range salting contract as asof_join
+    applies if one user ever outgrows a task."""
+
+    def deltas(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(t, sort_keys=[(on, "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        us = _on_key(t[on]).combine_chunks().to_numpy(zero_copy_only=False)
+        vals = np.zeros(len(us), dtype=np.int64)
+        if len(us) > 1:
+            vals[1:] = np.diff(us)
+        mask = np.zeros(len(us), dtype=bool)
+        if len(us):
+            mask[0] = True  # the user's first event has no predecessor
+        return pa.table({
+            id_col: t[id_col], by: t[by],
+            "delta_us": pa.array(vals, pa.int64(), mask=mask),
+        })
+
+    return ds.groupby(by).map_groups(deltas, batch_format="pyarrow")
+
+
+def group_quantiles_ds(ds, qs=(0.5, 0.9), by: str = "event_type",
+                       value_col: str = "value"):
+    """Exact per-group quantiles via a distributed value histogram.
+
+    Per-batch (group, cents) counts → one groupby-sum → per-group
+    cumulative scan.  The shuffle carries (groups × distinct cents)
+    count rows, never events, so exact quantiles cost one small
+    exchange at any scale — no global sort, no sampling sketch.
+    Quantile rule (encoded identically in the SQL twin): the sorted
+    element at index floor((n-1)·q)."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            by: df[by],
+            "cents": round_away(df[value_col] * 100, 0).astype("int64"),
+        }).groupby([by, "cents"], as_index=False).size() \
+          .rename(columns={"size": "n"})
+
+    counts = ds.map_batches(partial, batch_format="pandas") \
+        .groupby([by, "cents"]).aggregate(Sum("n", alias_name="n"))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("cents")
+        cum = df["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row = {by: df[by].iloc[0]}
+        for q in qs:
+            idx = int(np.floor((n - 1) * q))
+            pos = int(np.searchsorted(cum, idx + 1))
+            row[f"p{int(q * 100)}_cents"] = np.int64(df["cents"].iloc[pos])
+        row["n_events"] = np.int64(n)
+        return pd.DataFrame([row])
+
+    return counts.groupby(by).map_groups(pick, batch_format="pandas")

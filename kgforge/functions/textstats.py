@@ -213,6 +213,91 @@ def decontaminate_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
         batch_format="pyarrow")
 
 
+# Redaction pattern list (name, RE2 pattern).  Email/long-digit-run are
+# the realistic PII shapes; the closed term list stands in for a
+# customer-supplied blocklist.  RE2 semantics are identical in pyarrow
+# and DuckDB regexp_replace, so the SQL twin is generated from this
+# same constant (driver_queries) and the engines cannot drift.
+REDACT_PATTERNS = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+    ("digit_run", r"\b[0-9][0-9 -]{6,}[0-9]\b"),
+    ("blockterm", r"\b(spark|secret)\b"),
+)
+REDACT_TOKEN = "[REDACTED]"
+
+
+def redact(batch: pa.Table, text_col: str = "text",
+           id_col: str = "doc_id") -> pa.Table:
+    """PII / blocklist redaction: count matches of each pattern on the
+    original text, then strip them all (sequential ``replace``, same
+    order as the SQL twin's nested ``regexp_replace``).  Returns
+    (doc_id, n_redact, clean_md5) — the digest of the scrubbed text is
+    the cross-engine-verifiable witness that the rewrite is identical.
+    Pure map stage: zero shuffle at any scale."""
+    text = batch[text_col]
+    n = np.zeros(batch.num_rows, dtype=np.int64)
+    for _, pat in REDACT_PATTERNS:
+        n += pc.count_substring_regex(text, pattern=pat) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+    clean = text
+    for _, pat in REDACT_PATTERNS:
+        clean = pc.replace_substring_regex(clean, pattern=pat,
+                                           replacement=REDACT_TOKEN)
+    digests = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+               for t in clean.to_pylist()]
+    return pa.table({
+        id_col: batch[id_col],
+        "n_redact": pa.array(n),
+        "clean_md5": pa.array(digests, pa.string()),
+    })
+
+
+def repetition_ratio(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """C4-style repetition quality signals per document: token count,
+    distinct-token count, the most-frequent token's count, and the
+    derived dup/top ratios (round 4).  A training-data filter drops
+    docs above a dup_ratio threshold.  Vectorized: one split, one
+    arrow ``group_by`` over (row, term) — no per-row Python loop.
+    Pure map stage (the group_by is batch-local, not a shuffle)."""
+    from kgforge.common.hashing import round_away
+
+    toks = pc.split_pattern_regex(pc.fill_null(batch[text_col], ""), r"\s+")
+    flat = pc.list_flatten(toks)
+    par = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    t = pa.table({"par": par.filter(mask), "term": flat.filter(mask)})
+    tc = t.group_by(["par", "term"], use_threads=False) \
+        .aggregate([("term", "count")])
+    rows = tc["par"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnts = tc["term_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_rows = batch.num_rows
+    n_tok = np.bincount(rows, weights=cnts, minlength=n_rows).astype(np.int64)
+    n_dis = np.bincount(rows, minlength=n_rows).astype(np.int64)
+    top = np.zeros(n_rows, dtype=np.int64)
+    np.maximum.at(top, rows, cnts)
+    denom = np.maximum(n_tok, 1).astype(np.float64)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pa.array(n_tok),
+        "n_distinct": pa.array(n_dis),
+        "top_n": pa.array(top),
+        "dup_ratio": pa.array(round_away(1.0 - n_dis / denom, 4),
+                              pa.float64()),
+        "top_frac": pa.array(round_away(top / denom, 4), pa.float64()),
+    })
+
+
+def redact_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(lambda b: redact(b, text_col, id_col),
+                          batch_format="pyarrow")
+
+
+def repetition_ratio_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(lambda b: repetition_ratio(b, text_col, id_col),
+                          batch_format="pyarrow")
+
+
 def token_stats_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(
         lambda b: token_stats(b, text_col, id_col), batch_format="pyarrow")

@@ -82,6 +82,15 @@ def q_fingerprint(sf_dir: str):
     return ds.select_columns(["doc_id", "fp_md5"])
 
 
+def q_redact(sf_dir: str):
+    return F_text.redact_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_repetition_ratio(sf_dir: str):
+    return F_text.repetition_ratio_ds(_read(sf_dir, "documents",
+                                            ["doc_id", "text"]))
+
+
 def q_decontaminate(sf_dir: str):
     return F_text.decontaminate_ds(_read(sf_dir, "documents",
                                          ["doc_id", "text"]))
@@ -190,6 +199,21 @@ def q_events_hourly(sf_dir: str):
 def q_sessionize(sf_dir: str):
     return F_events.sessionize_ds(_read(sf_dir, "events",
                                         ["user_id", "ts"]))
+
+
+def q_topk_per_group(sf_dir: str):
+    return F_events.topk_per_group_ds(
+        _read(sf_dir, "events", ["user_id", "event_id", "value"]))
+
+
+def q_event_deltas(sf_dir: str):
+    return F_events.event_deltas_ds(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts"]))
+
+
+def q_group_quantiles(sf_dir: str):
+    return F_events.group_quantiles_ds(
+        _read(sf_dir, "events", ["event_type", "value"]))
 
 
 # ---------------------------------------------------------------------------
@@ -853,6 +877,11 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "decontaminate": q_decontaminate,
     "doc_frequency": q_doc_frequency,
+    "redact": q_redact,
+    "repetition_ratio": q_repetition_ratio,
+    "topk_per_group": q_topk_per_group,
+    "event_deltas": q_event_deltas,
+    "group_quantiles": q_group_quantiles,
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "jaccard_pairs": q_jaccard_pairs,
@@ -1145,6 +1174,74 @@ ORACLE_SQL["decontaminate"] = f"""
            CAST(CASE WHEN {_contam_sum} > 0 THEN 1 ELSE 0 END AS BIGINT)
                AS contaminated
     FROM documents
+"""
+# Redaction oracle generated from the same pattern constants the Ray
+# side scans/replaces (textstats.REDACT_PATTERNS): counts on the
+# original text, nested regexp_replace in the same order.
+_redact_count = " + ".join(
+    "array_length(regexp_extract_all(text, '%s'))"
+    % p.replace("'", "''") for _, p in F_text.REDACT_PATTERNS)
+_redact_clean = "text"
+for _, _pat in F_text.REDACT_PATTERNS:
+    _redact_clean = ("regexp_replace(%s, '%s', '%s', 'g')"
+                     % (_redact_clean, _pat.replace("'", "''"),
+                        F_text.REDACT_TOKEN))
+ORACLE_SQL["redact"] = f"""
+    SELECT doc_id, CAST({_redact_count} AS BIGINT) AS n_redact,
+           md5({_redact_clean}) AS clean_md5
+    FROM documents
+"""
+ORACLE_SQL["repetition_ratio"] = r"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_extract_all(text, '\S+')) AS term
+                  FROM documents),
+    tc AS (SELECT doc_id, term, count(*) AS c FROM toks
+           GROUP BY doc_id, term),
+    agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(max(c) AS BIGINT) AS top_n
+            FROM tc GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+           coalesce(n_distinct, 0) AS n_distinct,
+           coalesce(top_n, 0) AS top_n,
+           round(1 - CAST(coalesce(n_distinct, 0) AS DOUBLE)
+                 / greatest(coalesce(n_tokens, 0), 1), 4) AS dup_ratio,
+           round(CAST(coalesce(top_n, 0) AS DOUBLE)
+                 / greatest(coalesce(n_tokens, 0), 1), 4) AS top_frac
+    FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+ORACLE_SQL["topk_per_group"] = """
+    WITH v AS (SELECT user_id, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS value_cents
+               FROM events),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY value_cents DESC, event_id) AS rn
+          FROM v)
+    SELECT user_id, event_id, value_cents, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 3
+"""
+ORACLE_SQL["event_deltas"] = """
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+    FROM events
+"""
+ORACLE_SQL["group_quantiles"] = """
+    WITH v AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+    r AS (SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents) - 1 AS i,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM v)
+    SELECT event_type,
+           max(CASE WHEN i = CAST(floor((n - 1) * 0.5) AS BIGINT)
+               THEN cents END) AS p50_cents,
+           max(CASE WHEN i = CAST(floor((n - 1) * 0.9) AS BIGINT)
+               THEN cents END) AS p90_cents,
+           CAST(max(n) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type
 """
 ORACLE_SQL["doc_frequency"] = r"""
     WITH toks AS (SELECT DISTINCT doc_id,

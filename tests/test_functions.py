@@ -595,3 +595,118 @@ def test_sliding_window_counts(ray_session):
     assert out.loc[h0 + 2].n_events == 3
     assert out.loc[h0 + 3].n_events == 2
     assert out.loc[h0 + 5].n_events == 1
+
+
+def test_redact_and_decontaminate(ray_session):
+    import ray.data as rd
+
+    texts = [
+        "contact bob@example.com or call 555-123 4567 now",
+        "the spark engine holds a secret table",
+        "clean document with a hash value table inside",
+        "",
+    ]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(tbl).repartition(2)
+
+    red = T.redact_ds(ds).to_pandas().sort_values("doc_id")
+    assert red.n_redact.tolist() == [2, 2, 0, 0]
+    expect0 = "contact [REDACTED] or call [REDACTED] now"
+    assert red.clean_md5.iloc[0] == hashlib.md5(
+        expect0.encode()).hexdigest()
+    # untouched doc keeps its original digest
+    assert red.clean_md5.iloc[2] == hashlib.md5(
+        texts[2].encode()).hexdigest()
+
+    dec = T.decontaminate_ds(ds).to_pandas().sort_values("doc_id")
+    assert dec.n_contam.tolist() == [0, 0, 1, 0]
+    assert dec.contaminated.tolist() == [0, 0, 1, 0]
+
+
+def test_repetition_ratio(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["a a a b", ""], pa.string())})
+    out = T.repetition_ratio_ds(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("doc_id")
+    assert out.n_tokens.tolist() == [4, 0]
+    assert out.n_distinct.tolist() == [2, 0]
+    assert out.top_n.tolist() == [3, 0]
+    # empty doc: 1 - 0/max(0,1) = 1.0 (filtered as junk) in BOTH engines
+    assert out.dup_ratio.tolist() == [0.5, 1.0]
+    assert out.top_frac.tolist() == [0.75, 0.0]
+
+
+def test_doc_frequency(docs_ds):
+    out = T.doc_frequency_ds(docs_ds, k=3).to_pandas()
+    # docs 0-3 share {brown,fox,lazy,over,quick,the} (df=4 each; "dog"
+    # is df=3 because doc 2 tokenizes as "dog!"); deterministic
+    # (df desc, term asc) tie-break picks the first three
+    assert out.term.tolist() == ["brown", "fox", "lazy"]
+    assert out.df.tolist() == [4, 4, 4]
+    assert list(out.columns) == ["term", "df"]
+
+
+def _events_fixture_ds(rd):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = {
+        "event_id": pa.array(list(range(8)), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2, 2], pa.int64()),
+        "ts": pa.array([base + dt.timedelta(seconds=s)
+                        for s in [0, 10, 10, 40, 5, 5, 25, 100]],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, 5.0, 5.0, 2.0, 9.0, 3.0, 7.0, 8.0],
+                          pa.float64()),
+    }
+    return rd.from_arrow(pa.table(rows)).repartition(3)
+
+
+def test_topk_per_group(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.events import topk_per_group_ds
+
+    out = topk_per_group_ds(_events_fixture_ds(rd), k=2).to_pandas() \
+        .sort_values(["user_id", "rn"]).reset_index(drop=True)
+    # user 1: values 5.0 (ids 1,2 tie -> lower id first), user 2: 9,8
+    assert out[out.user_id == 1].event_id.tolist() == [1, 2]
+    assert out[out.user_id == 2].event_id.tolist() == [4, 7]
+    assert out[out.user_id == 2].value_cents.tolist() == [900, 800]
+    assert out.rn.tolist() == [1, 2, 1, 2]
+
+
+def test_event_deltas(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.events import event_deltas_ds
+
+    out = event_deltas_ds(_events_fixture_ds(rd)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    d = out.delta_us.tolist()
+    # user 1: first null, then 10s, 0s (ts tie), 30s
+    assert np.isnan(d[0]) and d[1:4] == [10e6, 0.0, 30e6]
+    # user 2: first null (tie broken by event_id), 0, 20s, 75s
+    assert np.isnan(d[4]) and d[5:8] == [0.0, 20e6, 75e6]
+
+
+def test_group_quantiles(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.events import group_quantiles_ds
+
+    tbl = pa.table({
+        "event_type": pa.array(["a"] * 5 + ["b"] * 2, pa.string()),
+        "value": pa.array([0.10, 0.20, 0.30, 0.40, 0.50, 1.0, 2.0],
+                          pa.float64()),
+    })
+    out = group_quantiles_ds(rd.from_arrow(tbl).repartition(3)) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    # a: sorted cents [10..50], p50 idx floor(4*.5)=2 -> 30,
+    #    p90 idx floor(4*.9)=3 -> 40; b: [100,200] -> 100, 100
+    assert out.p50_cents.tolist() == [30, 100]
+    assert out.p90_cents.tolist() == [40, 100]
+    assert out.n_events.tolist() == [5, 2]
