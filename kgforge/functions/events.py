@@ -528,3 +528,132 @@ def group_quantiles_ds(ds, qs=(0.5, 0.9), by: str = "event_type",
         return pd.DataFrame([row])
 
     return counts.groupby(by).map_groups(pick, batch_format="pandas")
+
+
+def cumulative_sum_ds(ds, by: str = "user_id", on: str = "ts",
+                      id_col: str = "event_id", value_col: str = "value"):
+    """Per-user running total — the ``sum() OVER (PARTITION BY user
+    ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` window.  Values are
+    per-row integer cents so the running sum is exact and
+    order-independent within the engine's float handling.  One shuffle
+    keyed by user; the per-key work is a sort + cumsum."""
+    from kgforge.common.hashing import round_away
+
+    def scan(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(t, sort_keys=[(on, "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        cents = round_away(
+            t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100, 0).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col], by: t[by],
+            "cum_cents": pa.array(np.cumsum(cents), pa.int64()),
+        })
+
+    return ds.groupby(by).map_groups(scan, batch_format="pyarrow")
+
+
+def rolling_sum_ds(ds, window: int = 3, by: str = "user_id",
+                   on: str = "ts", id_col: str = "event_id",
+                   value_col: str = "value"):
+    """Per-user rolling aggregate over the last ``window`` events —
+    the ``ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW`` window.  Emits
+    the integer window sum and the in-window row count (exact; a
+    rolling *mean* is their float ratio and rounds differently per
+    engine, so the integers are the contract).  Same single
+    user-keyed shuffle shape as :func:`event_deltas_ds`."""
+    from kgforge.common.hashing import round_away
+
+    def roll(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(t, sort_keys=[(on, "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        cents = round_away(
+            t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100, 0).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        n = len(cents)
+        lo = np.maximum(np.arange(n) - window + 1, 0)
+        return pa.table({
+            id_col: t[id_col], by: t[by],
+            "win_sum_cents": pa.array(cum[1:] - cum[lo], pa.int64()),
+            "win_n": pa.array(np.arange(n) - lo + 1, pa.int64()),
+        })
+
+    return ds.groupby(by).map_groups(roll, batch_format="pyarrow")
+
+
+def pivot_hourly_ds(ds, type_col: str = "event_type", on: str = "ts"):
+    """Pivot: one row per event_type, 24 hour-of-day count columns
+    (h00..h23) — the conditional-aggregation reshape.  Per-batch
+    combiner counts (type × hour-of-day) so the shuffle carries at
+    most 24 rows per type per batch; the pivot itself touches only
+    the tiny aggregated table."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    hour_us = np.int64(3_600_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        hours = pc.cast(_on_key(b[on]), pa.int64())
+        hod = pc.subtract(pc.divide(hours, hour_us),
+                          pc.multiply(pc.divide(pc.divide(hours, hour_us),
+                                                24), 24))
+        t = pa.table({type_col: b[type_col], "hod": hod})
+        g = t.group_by([type_col, "hod"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({type_col: g[type_col], "hod": g["hod"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([type_col, "hod"]).aggregate(Sum("n", alias_name="n"))
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        row = {type_col: df[type_col].iloc[0]}
+        per = dict(zip(df["hod"].astype(int), df["n"].astype(int)))
+        for h in range(24):
+            row[f"h{h:02d}"] = np.int64(per.get(h, 0))
+        return pd.DataFrame([row])
+
+    return counts.groupby(type_col).map_groups(pivot, batch_format="pandas")
+
+
+# Broadcast interval-join small side: (lo_cents inclusive, hi_cents
+# exclusive, tier).  A stand-in for any static banding table (pricing
+# tiers, IP→geo ranges); the driver SQL twin joins the same VALUES.
+TIER_TABLE = (
+    (-(2 ** 62), 2500, "low"),
+    (2500, 7500, "mid"),
+    (7500, 2 ** 62, "high"),
+)
+
+
+def tier_lookup_ds(ds, id_col: str = "event_id", value_col: str = "value"):
+    """Broadcast interval join: map each event's value to its tier row
+    in a small static band table.  The small side is a module constant
+    here; at scale it is ``ray.put`` once and read per task — never
+    shuffled.  Lookup is one ``searchsorted`` over the band bounds per
+    batch (the bands are non-overlapping and sorted, the general
+    broadcast-range-join fast path)."""
+    from kgforge.common.hashing import round_away
+
+    los = np.array([t[0] for t in TIER_TABLE], dtype=np.int64)
+    names = np.array([t[2] for t in TIER_TABLE])
+
+    def lookup(t: pa.Table) -> pa.Table:
+        cents = round_away(
+            t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100, 0).astype(np.int64)
+        code = np.searchsorted(los, cents, side="right") - 1
+        return pa.table({
+            id_col: t[id_col],
+            "value_cents": pa.array(cents, pa.int64()),
+            "tier": pa.array(names[code], pa.string()),
+        })
+
+    return ds.map_batches(lookup, batch_format="pyarrow")

@@ -61,3 +61,37 @@ def epoch_shuffle_ds(ds, seed: int, mode: str = "blocks+local",
     # structure + seed, independent of task scheduling
     return shuffled.map_batches(local_perm, batch_format="pyarrow",
                                 batch_size=None)
+
+
+def stratified_sample_ds(ds, k: int = 20, by: str = "event_type",
+                         id_col: str = "event_id"):
+    """Deterministic stratified sample: the k rows per group with the
+    smallest md5(id) — a content-derived, engine-independent "random"
+    order, so the sample is identical in Ray and the SQL twin and
+    stable across cluster sizes and reruns (the property a train/eval
+    sampler must have for reproducibility).
+
+    Scale shape: per-batch partial top-k on the digest keeps ≤ k rows
+    per group per batch before the shuffle — the full stream never
+    moves, exactly like topk_per_group."""
+    import hashlib
+
+    import pandas as pd
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        md5 = [hashlib.md5(str(v).encode()).hexdigest()
+               for v in df[id_col].tolist()]
+        return pd.DataFrame({by: df[by], id_col: df[id_col], "md5": md5})
+
+    def head(df: pd.DataFrame, with_rank: bool) -> pd.DataFrame:
+        df = df.sort_values(["md5", id_col], kind="mergesort")
+        out = df.groupby(by, sort=False).head(k)
+        if with_rank:
+            out = out.assign(rn=(out.groupby(by, sort=False).cumcount() + 1)
+                             .astype("int64")).drop(columns=["md5"])
+        return out
+
+    return ds.map_batches(lambda df: head(digest(df), False),
+                          batch_format="pandas") \
+        .groupby(by).map_groups(lambda df: head(df, True),
+                                batch_format="pandas")

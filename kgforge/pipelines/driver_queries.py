@@ -216,6 +216,33 @@ def q_group_quantiles(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "value"]))
 
 
+def q_cumulative_sum(sf_dir: str):
+    return F_events.cumulative_sum_ds(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]))
+
+
+def q_rolling_sum(sf_dir: str):
+    return F_events.rolling_sum_ds(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]))
+
+
+def q_pivot_hourly(sf_dir: str):
+    return F_events.pivot_hourly_ds(
+        _read(sf_dir, "events", ["event_type", "ts"]))
+
+
+def q_tier_lookup(sf_dir: str):
+    return F_events.tier_lookup_ds(
+        _read(sf_dir, "events", ["event_id", "value"]))
+
+
+def q_stratified_sample(sf_dir: str):
+    from kgforge.functions.sampling import stratified_sample_ds
+
+    return stratified_sample_ds(
+        _read(sf_dir, "events", ["event_type", "event_id"]))
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage (groupby / join / sort / union / distinct)
 # ---------------------------------------------------------------------------
@@ -882,6 +909,11 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "event_deltas": q_event_deltas,
     "group_quantiles": q_group_quantiles,
+    "cumulative_sum": q_cumulative_sum,
+    "rolling_sum": q_rolling_sum,
+    "pivot_hourly": q_pivot_hourly,
+    "tier_lookup": q_tier_lookup,
+    "stratified_sample": q_stratified_sample,
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "jaccard_pairs": q_jaccard_pairs,
@@ -1242,6 +1274,50 @@ ORACLE_SQL["group_quantiles"] = """
                THEN cents END) AS p90_cents,
            CAST(max(n) AS BIGINT) AS n_events
     FROM r GROUP BY event_type
+"""
+ORACLE_SQL["cumulative_sum"] = """
+    WITH v AS (SELECT event_id, user_id, ts,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_id, user_id,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_cents
+    FROM v
+"""
+ORACLE_SQL["rolling_sum"] = """
+    WITH v AS (SELECT event_id, user_id, ts,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_id, user_id,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS win_sum_cents,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS win_n
+    FROM v
+"""
+ORACLE_SQL["pivot_hourly"] = "SELECT event_type, " + ", ".join(
+    "CAST(count(*) FILTER (WHERE extract(hour FROM ts) = %d) AS BIGINT)"
+    " AS h%02d" % (h, h) for h in range(24)) + " FROM events GROUP BY event_type"
+ORACLE_SQL["tier_lookup"] = """
+    WITH t(lo, hi, tier) AS (VALUES {bands}),
+    v AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events)
+    SELECT event_id, cents AS value_cents, tier
+    FROM v JOIN t ON cents >= lo AND cents < hi
+""".format(bands=", ".join("(%d, %d, '%s')" % b
+                           for b in F_events.TIER_TABLE))
+ORACLE_SQL["stratified_sample"] = """
+    WITH r AS (SELECT event_type, event_id,
+                      row_number() OVER (
+                          PARTITION BY event_type
+                          ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                   event_id) AS rn
+               FROM events)
+    SELECT event_type, event_id, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 20
 """
 ORACLE_SQL["doc_frequency"] = r"""
     WITH toks AS (SELECT DISTINCT doc_id,

@@ -710,3 +710,86 @@ def test_group_quantiles(ray_session):
     assert out.p50_cents.tolist() == [30, 100]
     assert out.p90_cents.tolist() == [40, 100]
     assert out.n_events.tolist() == [5, 2]
+
+
+def test_cumulative_and_rolling_sum(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.events import cumulative_sum_ds, rolling_sum_ds
+
+    ds = _events_fixture_ds(rd)
+    cum = cumulative_sum_ds(ds).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    # user 1 values 1,5,5,2 -> cents 100,600,1100,1300
+    assert cum[cum.user_id == 1].cum_cents.tolist() == [100, 600, 1100, 1300]
+    # user 2 order by (ts,id): 9,3,7,8 -> 900,1200,1900,2700
+    assert cum[cum.user_id == 2].cum_cents.tolist() == [900, 1200, 1900, 2700]
+
+    roll = rolling_sum_ds(ds, window=3).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    assert roll[roll.user_id == 1].win_sum_cents.tolist() == \
+        [100, 600, 1100, 1200]
+    assert roll[roll.user_id == 1].win_n.tolist() == [1, 2, 3, 3]
+    assert roll[roll.user_id == 2].win_sum_cents.tolist() == \
+        [900, 1200, 1900, 1800]
+
+
+def test_pivot_hourly(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgforge.functions.events import pivot_hourly_ds
+
+    base = dt.datetime(2024, 1, 1)  # midnight UTC
+    tbl = pa.table({
+        "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+        "ts": pa.array([base, base + dt.timedelta(hours=1),
+                        base + dt.timedelta(hours=1, minutes=30),
+                        base + dt.timedelta(days=1)], pa.timestamp("us")),
+    })
+    out = pivot_hourly_ds(rd.from_arrow(tbl).repartition(2)).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    assert out.h00.tolist() == [1, 1]  # day-1 midnight folds to h00
+    assert out.h01.tolist() == [2, 0]
+    assert out.h05.tolist() == [0, 0]
+    assert list(out.columns) == ["event_type"] + [f"h{h:02d}"
+                                                 for h in range(24)]
+
+
+def test_tier_lookup(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.events import tier_lookup_ds
+
+    tbl = pa.table({"event_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "value": pa.array([1.0, 25.0, 74.99, 99.0],
+                                      pa.float64())})
+    out = tier_lookup_ds(rd.from_arrow(tbl).repartition(2)).to_pandas() \
+        .sort_values("event_id")
+    # bands are [lo, hi): 2500 cents is already "mid", 7499 still "mid"
+    assert out.tier.tolist() == ["low", "mid", "mid", "high"]
+    assert out.value_cents.tolist() == [100, 2500, 7499, 9900]
+
+
+def test_stratified_sample(ray_session):
+    import hashlib as hl
+
+    import ray.data as rd
+
+    from kgforge.functions.sampling import stratified_sample_ds
+
+    ids = list(range(40))
+    tbl = pa.table({
+        "event_type": pa.array(["x" if i % 2 else "y" for i in ids]),
+        "event_id": pa.array(ids, pa.int64()),
+    })
+    out = stratified_sample_ds(rd.from_arrow(tbl).repartition(4), k=5) \
+        .to_pandas().sort_values(["event_type", "rn"])
+    assert out.groupby("event_type").size().tolist() == [5, 5]
+    # matches the md5-order oracle rule exactly
+    for g, grp in out.groupby("event_type"):
+        pool = [i for i in ids if ("x" if i % 2 else "y") == g]
+        expect = sorted(pool, key=lambda i: (hl.md5(str(i).encode())
+                                             .hexdigest(), i))[:5]
+        assert grp.sort_values("rn").event_id.tolist() == expect
