@@ -243,6 +243,55 @@ def q_stratified_sample(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "event_id"]))
 
 
+def q_orders_customer_join(sf_dir: str):
+    """Large-large shuffle equi-join (cogroup; neither side broadcast):
+    every order row joined to its customer row."""
+    from kgforge.functions.joins import shuffle_join_ds
+
+    return shuffle_join_ds(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]),
+        on_left="o_custkey", on_right="c_custkey",
+        left_cols=["o_orderkey"], right_cols=["c_name", "c_mktsegment"])
+
+
+def q_priority_revenue(sf_dir: str):
+    """Join+aggregate fusion over the cogroup: per-order lineitem
+    revenue is summed INSIDE the key task (one row per order leaves
+    the shuffle, never the joined cartesian), then a tiny groupby over
+    the 5 priorities.  Revenue is per-row integer cents, exact."""
+    from ray.data.aggregate import Count, Sum
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import cogroup_ds
+
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def per_order(key, lt: pa.Table, rt: pa.Table) -> pa.Table:
+        # lt = lineitem rows of this order, rt = the (single) order row
+        if rt.num_rows == 0 or lt.num_rows == 0:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "rev_cents": pa.array([], pa.int64())})
+        price = lt["l_extendedprice"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        disc = lt["l_discount"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cents = round_away(price * (1.0 - disc) * 100, 0).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": rt["o_orderpriority"].slice(0, 1),
+            "rev_cents": pa.array([int(cents.sum())], pa.int64()),
+        })
+
+    per = cogroup_ds(lineitem, orders, "l_orderkey", "o_orderkey",
+                     per_order, ["l_extendedprice", "l_discount"],
+                     ["o_orderpriority"])
+    return per.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("rev_cents", alias_name="revenue_cents"))
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage (groupby / join / sort / union / distinct)
 # ---------------------------------------------------------------------------
@@ -914,6 +963,8 @@ QUERIES = {
     "pivot_hourly": q_pivot_hourly,
     "tier_lookup": q_tier_lookup,
     "stratified_sample": q_stratified_sample,
+    "orders_customer_join": q_orders_customer_join,
+    "priority_revenue": q_priority_revenue,
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "jaccard_pairs": q_jaccard_pairs,
@@ -1309,6 +1360,21 @@ ORACLE_SQL["tier_lookup"] = """
     FROM v JOIN t ON cents >= lo AND cents < hi
 """.format(bands=", ".join("(%d, %d, '%s')" % b
                            for b in F_events.TIER_TABLE))
+ORACLE_SQL["orders_customer_join"] = """
+    SELECT o_custkey, o_orderkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+ORACLE_SQL["priority_revenue"] = """
+    WITH r AS (SELECT l_orderkey,
+                      CAST(sum(CAST(round(l_extendedprice
+                                          * (1 - l_discount) * 100)
+                               AS BIGINT)) AS BIGINT) AS rev
+               FROM lineitem GROUP BY l_orderkey)
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(rev) AS BIGINT) AS revenue_cents
+    FROM orders JOIN r ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+"""
 ORACLE_SQL["stratified_sample"] = """
     WITH r AS (SELECT event_type, event_id,
                       row_number() OVER (

@@ -1,0 +1,80 @@
+"""Cogroup / shuffle equi-join (kgforge.functions.joins)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _sides(rd):
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 4], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d"], pa.string()),
+    })).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([1, 2, 2, 3], pa.int64()),
+        "rv": pa.array([10, 20, 21, 30], pa.int64()),
+    })).repartition(2)
+    return left, right
+
+
+def test_shuffle_join_inner(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.joins import shuffle_join_ds
+
+    left, right = _sides(rd)
+    out = shuffle_join_ds(left, right, "k", "rk", ["lv"], ["rv"]) \
+        .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    # k=1: 2 left x 1 right; k=2: 1 x 2; k=3/4 dropped
+    assert out.k.tolist() == [1, 1, 2, 2]
+    assert out.lv.tolist() == ["a", "b", "c", "c"]
+    assert out.rv.tolist() == [10, 10, 20, 21]
+
+
+def test_shuffle_join_left_outer(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.joins import shuffle_join_ds
+
+    left, right = _sides(rd)
+    out = shuffle_join_ds(left, right, "k", "rk", ["lv"], ["rv"],
+                          how="left").to_pandas() \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    assert len(out) == 5  # 4 matches + the k=4 miss
+    miss = out[out.k == 4]
+    assert miss.lv.tolist() == ["d"] and miss.rv.isna().all()
+    # typed null: rv stays numeric, not object
+    assert out.rv.dtype.kind in "if"
+
+
+def test_cogroup_aggregate_fusion(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.joins import cogroup_ds
+
+    left, right = _sides(rd)
+
+    def per_key(key, lt, rt):
+        return pa.table({
+            "k": pa.array([key.as_py()], pa.int64()),
+            "nl": pa.array([lt.num_rows], pa.int64()),
+            "sum_rv": pa.array(
+                [int(np.nan_to_num(rt["rv"].combine_chunks()
+                     .to_numpy(zero_copy_only=False)).sum())
+                 if rt.num_rows else 0], pa.int64()),
+        })
+
+    out = cogroup_ds(left, right, "k", "rk", per_key, ["lv"], ["rv"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert out.k.tolist() == [1, 2, 3, 4]
+    assert out.nl.tolist() == [2, 1, 0, 1]
+    assert out.sum_rv.tolist() == [10, 41, 30, 0]
+
+
+def test_join_name_collision_raises(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.joins import shuffle_join_ds
+
+    left, right = _sides(rd)
+    with pytest.raises(ValueError, match="collision"):
+        shuffle_join_ds(left, right, "k", "rk", ["lv"], ["lv"])
