@@ -531,29 +531,94 @@ def group_quantiles_ds(ds, qs=(0.5, 0.9), by: str = "event_type",
 
 
 def cumulative_sum_ds(ds, by: str = "user_id", on: str = "ts",
-                      id_col: str = "event_id", value_col: str = "value"):
+                      id_col: str = "event_id", value_col: str = "value",
+                      hot_threshold: int = 1_000_000,
+                      salt_target: int = 500_000):
     """Per-user running total — the ``sum() OVER (PARTITION BY user
     ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` window.  Values are
     per-row integer cents so the running sum is exact and
-    order-independent within the engine's float handling.  One shuffle
-    keyed by user; the per-key work is a sort + cumsum."""
+    order-independent within the engine's float handling.
+
+    Scale shape: one shuffle keyed by user; per key the work is a
+    sort + cumsum.  A key above ``hot_threshold`` rows is auto-split
+    into coarse ``on``-range salt buckets (same plan machinery as
+    :func:`asof_join_ds`) and scanned as a distributed two-phase
+    prefix sum: per-bucket local cumsum + a broadcast per-bucket
+    offset table (per-block combiner → driver prefix scan over the
+    tiny (hot keys × buckets) set).  Bucket cuts are by ``__on``
+    value, so equal timestamps never straddle buckets and the
+    (on, id) order is exactly the per-bucket concatenation."""
     from kgforge.common.hashing import round_away
+
+    def compact(b: pa.Table) -> pa.Table:
+        return pa.table({
+            by: b[by], "__on": _on_key(b[on]), id_col: b[id_col],
+            "cents": pa.array(round_away(
+                b[value_col].combine_chunks()
+                .to_numpy(zero_copy_only=False) * 100, 0)
+                .astype(np.int64)),
+        })
+
+    base = ds.map_batches(compact, batch_format="pyarrow")
+    stats = _key_stats(base, by)
+    hot = _hot_plan(stats, hot_threshold, salt_target, min_width=1)
+    salted = _add_salt(base, by, hot)
+
+    offs: dict = {}
+    if hot:
+        # per-bucket cent sums of hot keys only: per-block combiner →
+        # driver prefix scan; |hot keys| × nb rows, never the stream
+        def bucket_partial(b: pa.Table) -> pa.Table:
+            meta = pd.Series(b[by].to_pandas()).map(hot)
+            hotmask = meta.notna().to_numpy()
+            if not hotmask.any():
+                return pa.table({"k": b[by].slice(0, 0),
+                                 "s": pa.array([], pa.int32()),
+                                 "c": pa.array([], pa.int64())})
+            on_np = b["__on"].to_numpy(zero_copy_only=False)[hotmask]
+            mn = np.fromiter((m[0] for m in meta[hotmask]), np.int64)
+            w = np.fromiter((m[1] for m in meta[hotmask]), np.int64)
+            nb = np.fromiter((m[2] for m in meta[hotmask]), np.int64)
+            s = np.clip((on_np - mn) // w, 0, nb - 1).astype(np.int32)
+            t = pa.table({
+                "k": pa.array(b[by].combine_chunks()
+                              .to_numpy(zero_copy_only=False)[hotmask]),
+                "s": pa.array(s),
+                "c": pa.array(b["cents"].combine_chunks()
+                              .to_numpy(zero_copy_only=False)[hotmask]),
+            })
+            g = t.group_by(["k", "s"], use_threads=False) \
+                .aggregate([("c", "sum")])
+            return pa.table({"k": g["k"], "s": g["s"], "c": g["c_sum"]})
+
+        parts = base.map_batches(bucket_partial,
+                                 batch_format="pyarrow").to_pandas()
+        if len(parts):
+            sums = parts.groupby(["k", "s"])["c"].sum()
+            for k, grp in sums.groupby(level=0):
+                run = 0
+                for (_, s), c in grp.sort_index().items():
+                    offs[(k, int(s))] = run
+                    run += int(c)
 
     def scan(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        idx = pc.sort_indices(t, sort_keys=[(on, "ascending"),
+        idx = pc.sort_indices(t, sort_keys=[("__on", "ascending"),
                                             (id_col, "ascending")])
         t = t.take(idx)
-        cents = round_away(
-            t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
-            * 100, 0).astype(np.int64)
+        cents = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        base_off = 0
+        if offs and t.num_rows:
+            base_off = offs.get((t[by][0].as_py(),
+                                 int(t["__salt"][0].as_py())), 0)
         return pa.table({
             id_col: t[id_col], by: t[by],
-            "cum_cents": pa.array(np.cumsum(cents), pa.int64()),
+            "cum_cents": pa.array(np.cumsum(cents) + base_off, pa.int64()),
         })
 
-    return ds.groupby(by).map_groups(scan, batch_format="pyarrow")
+    return salted.groupby([by, "__salt"]).map_groups(
+        scan, batch_format="pyarrow")
 
 
 def rolling_sum_ds(ds, window: int = 3, by: str = "user_id",

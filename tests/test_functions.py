@@ -793,3 +793,45 @@ def test_stratified_sample(ray_session):
         expect = sorted(pool, key=lambda i: (hl.md5(str(i).encode())
                                              .hexdigest(), i))[:5]
         assert grp.sort_values("rn").event_id.tolist() == expect
+
+
+def test_cumulative_sum_hot_key_salted(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    n = 12_000
+    base = dt.datetime(2024, 1, 1)
+    # one hot user holds 90% of events; duplicated timestamps included
+    user = np.where(rng.rand(n) < 0.9, 1, rng.randint(2, 6, n)).astype(
+        np.int64)
+    secs = np.sort(rng.randint(0, 500_000, n))
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(user),
+        "ts": pa.array([base + dt.timedelta(seconds=int(s)) for s in secs],
+                       pa.timestamp("us")),
+        "value": pa.array(rng.rand(n) * 50, pa.float64()),
+    })
+    ds = rd.from_arrow(tbl).repartition(8)
+
+    from kgforge.functions.events import _hot_plan, _key_stats, \
+        cumulative_sum_ds
+
+    cold = cumulative_sum_ds(ds, hot_threshold=10 ** 9).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    hot = cumulative_sum_ds(ds, hot_threshold=1000, salt_target=500) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert hot.cum_cents.tolist() == cold.cum_cents.tolist()
+    assert (hot.user_id == cold.user_id).all()
+
+    # the plan really split the hot key into many buckets
+    from kgforge.functions.events import _on_key  # noqa: F401
+
+    compact = ds.map_batches(
+        lambda b: pa.table({"user_id": b["user_id"],
+                            "__on": b["ts"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    plan = _hot_plan(_key_stats(compact, "user_id"), 1000, 500, 1)
+    assert 1 in plan and plan[1][2] >= 10
