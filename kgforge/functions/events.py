@@ -495,14 +495,14 @@ def group_quantiles_ds(ds, qs=(0.5, 0.9), by: str = "event_type",
                        value_col: str = "value"):
     """Exact per-group quantiles via a distributed value histogram.
 
-    Per-batch (group, cents) counts → one groupby-sum → per-group
-    cumulative scan.  The shuffle carries (groups × distinct cents)
-    count rows, never events, so exact quantiles cost one small
-    exchange at any scale — no global sort, no sampling sketch.
-    Quantile rule (encoded identically in the SQL twin): the sorted
-    element at index floor((n-1)·q)."""
-    from ray.data.aggregate import Sum
-
+    Per-batch (group, cents) count partials → ONE groupby shuffle →
+    per-group merge + cumulative scan.  The shuffle carries (groups ×
+    distinct cents × batches) count rows, never events, so exact
+    quantiles cost one small exchange at any scale — no global sort,
+    no sampling sketch (duplicate partial rows for the same cents are
+    merged inside the per-group pick, saving the second all-to-all a
+    pre-merge groupby would cost).  Quantile rule (encoded identically
+    in the SQL twin): the sorted element at index floor((n-1)·q)."""
     from kgforge.common.hashing import round_away
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -512,11 +512,11 @@ def group_quantiles_ds(ds, qs=(0.5, 0.9), by: str = "event_type",
         }).groupby([by, "cents"], as_index=False).size() \
           .rename(columns={"size": "n"})
 
-    counts = ds.map_batches(partial, batch_format="pandas") \
-        .groupby([by, "cents"]).aggregate(Sum("n", alias_name="n"))
+    counts = ds.map_batches(partial, batch_format="pandas")
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("cents")
+        df = df.groupby("cents", as_index=False) \
+            .agg({by: "first", "n": "sum"}).sort_values("cents")
         cum = df["n"].to_numpy().cumsum()
         n = int(cum[-1])
         row = {by: df[by].iloc[0]}

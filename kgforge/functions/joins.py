@@ -6,20 +6,23 @@ pre-sorted side.  This module covers the remaining class: BOTH sides
 are large, so each must move exactly once, keyed by the join column —
 the classic cogroup (shuffle-hash-join) plan:
 
-    tag side → union → groupby(key) → per-key (left rows, right rows)
+    tag side → union → groupby(hash(key) % P) → vectorized merge
 
-``cogroup_ds`` exposes the raw per-key callback (the right altitude
-for join+aggregate fusion: aggregate inside the key task and ship one
-row per key, never the joined cartesian).  ``shuffle_join_ds`` builds
-inner/left equi-join row output on top of it.
+The shuffle key is a HASH PARTITION, not the raw key: a
+``groupby(key).map_groups`` plan pays one Python callback per
+distinct key (150k keys → 150k calls — measured 5.2s on a join whose
+data fits in one block), whereas P≈4×CPUs partition groups amortize
+the callback and let the within-partition merge run as pure numpy
+index arithmetic over ALL keys at once.  Skew note: a single key
+hashes to one partition, so a key with millions of rows on BOTH sides
+(cartesian blow-up) needs upstream salting as in
+``events.asof_join_ds``; every key-unique-on-one-side join (fact⋈dim,
+the overwhelmingly common case) is linear per partition.
 
-Scale contract: per-key work is O(|L_k|·|R_k|) only if the callback
-materializes the cartesian; a skewed key with millions of rows BOTH
-sides needs the same salting treatment as ``events.asof_join_ds``
-(split one side by hash, replicate the other) — not implemented here
-because every key-unique-on-one-side join (fact⋈dim, fact⋈fact on a
-key unique in one table, the overwhelmingly common case) is linear
-per key.
+``cogroup_ds`` exposes a per-key callback API (the right altitude for
+join+aggregate fusion when the per-key logic is irreducibly custom);
+``shuffle_join_ds`` emits inner / left-outer joined rows with no
+per-key Python at all.
 """
 
 from __future__ import annotations
@@ -28,87 +31,205 @@ import numpy as np
 import pyarrow as pa
 
 
+def _part_codes(arr: pa.ChunkedArray, num_partitions: int) -> np.ndarray:
+    """Stable partition id per row: splitmix64 mix for integer keys,
+    blake2b-8 (``hash_u64_np``) for strings — deterministic across
+    workers and runs, well-mixed so sequential ids spread evenly."""
+    if pa.types.is_integer(arr.type):
+        x = arr.combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return (x % np.uint64(num_partitions)).astype(np.int32)
+    from kgforge.common.hashing import hash_u64_np
+
+    h = hash_u64_np([s if s is not None else "" for s in arr.to_pylist()])
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
 def _tag(t: pa.Table, key, side: int, own: set[str],
-         all_types: list[tuple[str, pa.DataType]]) -> pa.Table:
-    """One side of the union, in the CANONICAL column order (__k,
+         all_types: list[tuple[str, pa.DataType]],
+         num_partitions: int) -> pa.Table:
+    """One side of the union, in the CANONICAL column order (__p, __k,
     __side, every payload column of both sides) so the two
     ``map_batches`` outputs union cleanly.  The absent side's columns
     are typed Arrow nulls — a pandas object/NaN round-trip here would
     corrupt the driver hash."""
     n = t.num_rows
-    cols: dict[str, object] = {"__k": key, "__side": pa.array(
-        np.full(n, side, dtype=np.int8))}
+    cols: dict[str, object] = {
+        "__p": pa.array(_part_codes(key, num_partitions)),
+        "__k": key,
+        "__side": pa.array(np.full(n, side, dtype=np.int8)),
+    }
     for name, typ in all_types:
         cols[name] = t[name] if name in own else pa.nulls(n, typ)
     return pa.table(cols)
 
 
-def cogroup_ds(left_ds, right_ds, on_left: str, on_right: str,
-               fn, left_cols: list[str], right_cols: list[str]):
-    """Cogroup both datasets by key and apply ``fn(key_scalar,
-    left_tbl, right_tbl) -> pa.Table`` once per key inside the shuffle
-    task.  ``left_cols`` / ``right_cols`` name the payload columns to
-    carry (key excluded) — prune to what ``fn`` reads, the columns ARE
-    the shuffle."""
+def _union_tagged(left_ds, right_ds, on_left, on_right,
+                  left_cols, right_cols, num_partitions):
     dup = set(left_cols) & set(right_cols)
     if dup:
         raise ValueError(f"payload column name collision: {sorted(dup)}")
-    l_schema = left_ds.schema()
-    r_schema = right_ds.schema()
-    l_types = [(c, l_schema.base_schema.field(c).type) for c in left_cols]
-    r_types = [(c, r_schema.base_schema.field(c).type) for c in right_cols]
-
+    l_schema = left_ds.schema().base_schema
+    r_schema = right_ds.schema().base_schema
+    l_types = [(c, l_schema.field(c).type) for c in left_cols]
+    r_types = [(c, r_schema.field(c).type) for c in right_cols]
     all_types = l_types + r_types
 
     def tag_left(t: pa.Table) -> pa.Table:
-        return _tag(t, t[on_left], 0, set(left_cols), all_types)
+        return _tag(t, t[on_left], 0, set(left_cols), all_types,
+                    num_partitions)
 
     def tag_right(t: pa.Table) -> pa.Table:
-        return _tag(t, t[on_right], 1, set(right_cols), all_types)
+        return _tag(t, t[on_right], 1, set(right_cols), all_types,
+                    num_partitions)
 
-    unioned = left_ds.map_batches(tag_left, batch_format="pyarrow") \
-        .union(right_ds.map_batches(tag_right, batch_format="pyarrow"))
+    return (left_ds.map_batches(tag_left, batch_format="pyarrow")
+            .union(right_ds.map_batches(tag_right,
+                                        batch_format="pyarrow")))
 
-    def per_key(t: pa.Table) -> pa.Table:
-        side = t["__side"].combine_chunks().to_numpy(zero_copy_only=False)
-        li = np.nonzero(side == 0)[0]
-        ri = np.nonzero(side == 1)[0]
-        lt = t.select(["__k"] + [c for c, _ in l_types]).take(pa.array(li))
-        rt = t.select([c for c, _ in r_types]).take(pa.array(ri))
-        return fn(t["__k"][0] if t.num_rows else None, lt, rt)
 
-    return unioned.groupby("__k").map_groups(per_key, batch_format="pyarrow")
+def _sorted_runs(t: pa.Table):
+    """Sort one partition by (key, side) and return the per-key run
+    layout: (sorted table, key start offsets, left count and right
+    count per key) — all numpy, no per-key Python."""
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(t, sort_keys=[("__k", "ascending"),
+                                        ("__side", "ascending")])
+    t = t.take(idx)
+    keys = t["__k"].combine_chunks()
+    side = t["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+    n = t.num_rows
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return t, z, z, z
+    # run boundaries over the sorted key column (arrow compare on the
+    # typed array — no Python objects)
+    neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
+    starts = np.concatenate(
+        [[0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1])
+    ends = np.concatenate([starts[1:], [n]])
+    # side is 0/1 and sorted within each run → right count = sum
+    cs = np.concatenate([[0], np.cumsum(side, dtype=np.int64)])
+    nr = cs[ends] - cs[starts]
+    nl = (ends - starts) - nr
+    return t, starts, nl, nr
+
+
+def cogroup_ds(left_ds, right_ds, on_left: str, on_right: str,
+               fn, left_cols: list[str], right_cols: list[str],
+               num_partitions: int = 64):
+    """Cogroup both datasets by key and apply ``fn(key_scalar,
+    left_tbl, right_tbl) -> pa.Table`` once per key, looped IN-PROCESS
+    over each hash partition (P Ray groups total, not one per key).
+    ``left_cols`` / ``right_cols`` name the payload columns to carry
+    (key excluded) — prune to what ``fn`` reads, the columns ARE the
+    shuffle."""
+    unioned = _union_tagged(left_ds, right_ds, on_left, on_right,
+                            left_cols, right_cols, num_partitions)
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t, starts, nl, nr = _sorted_runs(t)
+        lt_all = t.select(["__k"] + left_cols)
+        rt_all = t.select(right_cols)
+        out, schema = [], None
+        for i in range(len(starts)):
+            s = int(starts[i])
+            lt = lt_all.slice(s, int(nl[i]))
+            rt = rt_all.slice(s + int(nl[i]), int(nr[i]))
+            r = fn(t["__k"][s], lt, rt)
+            schema = r.schema
+            if r.num_rows:
+                out.append(r)
+        if not out:
+            # every group has ≥1 key, so fn ran and fixed the schema
+            return schema.empty_table()
+        return pa.concat_tables(out)
+
+    return unioned.groupby("__p").map_groups(per_partition,
+                                             batch_format="pyarrow")
+
+
+def cogroup_partition_ds(left_ds, right_ds, on_left: str, on_right: str,
+                         fn, left_cols: list[str], right_cols: list[str],
+                         num_partitions: int = 64):
+    """Partition-level cogroup: ``fn(sorted_tbl, starts, nl, nr) ->
+    pa.Table`` receives one whole hash partition sorted by (key, side)
+    plus its per-key run layout — key i's left rows are
+    ``sorted_tbl[starts[i] : starts[i]+nl[i]]``, right rows the next
+    ``nr[i]``.  The fastest altitude for join+aggregate fusion: the
+    callback reduces ALL keys with segment ops (``np.add.reduceat``
+    over ``starts``) and ships one row per key out of the single
+    shuffle — no per-key Python, no follow-up re-shuffle."""
+    unioned = _union_tagged(left_ds, right_ds, on_left, on_right,
+                            left_cols, right_cols, num_partitions)
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        return fn(*_sorted_runs(t))
+
+    return unioned.groupby("__p").map_groups(per_partition,
+                                             batch_format="pyarrow")
 
 
 def shuffle_join_ds(left_ds, right_ds, on_left: str, on_right: str,
                     left_cols: list[str], right_cols: list[str],
-                    how: str = "inner"):
+                    how: str = "inner", num_partitions: int = 64):
     """Row-emitting equi-join (inner or left outer).  Output columns:
     ``on_left`` + left payload + right payload; right payload is
-    typed-null on left-outer misses.  Per key the output is the
+    typed-null on left-outer misses.  The within-partition merge is
+    pure index arithmetic across all keys at once (repeat/modulo over
+    run layouts) — zero per-key Python.  Per key the output is the
     cartesian (|L_k| × |R_k|) — see the module salting note."""
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r}: only inner/left supported")
+    dup = set(left_cols) & set(right_cols)
+    if dup:
+        raise ValueError(f"payload column name collision: {sorted(dup)}")
+    r_schema = right_ds.schema().base_schema
+    r_types = [(c, r_schema.field(c).type) for c in right_cols]
 
-    def join_key(key, lt: pa.Table, rt: pa.Table) -> pa.Table:
-        nl, nr = lt.num_rows, rt.num_rows
-        empty = {on_left: lt["__k"].slice(0, 0),
-                 **{c: lt[c].slice(0, 0) for c in left_cols},
-                 **{c: rt[c].slice(0, 0) for c in right_cols}}
-        if nl == 0 or (nr == 0 and how == "inner"):
-            return pa.table(empty)
-        if nr == 0:  # left outer miss: one row per left, right nulls
-            return pa.table({
-                on_left: lt["__k"],
-                **{c: lt[c] for c in left_cols},
-                **{c: pa.nulls(nl, rt.schema.field(c).type)
-                   for c in right_cols}})
-        reps = pa.array(np.repeat(np.arange(nl), nr))
-        tile = pa.array(np.tile(np.arange(nr), nl))
-        return pa.table({
-            on_left: lt["__k"].take(reps),
-            **{c: lt[c].take(reps) for c in left_cols},
-            **{c: rt[c].take(tile) for c in right_cols}})
+    def per_partition(t: pa.Table) -> pa.Table:
+        t, starts, nl, nr = _sorted_runs(t)
 
-    return cogroup_ds(left_ds, right_ds, on_left, on_right, join_key,
-                      left_cols, right_cols)
+        def build(lidx: np.ndarray, ridx: np.ndarray | None) -> pa.Table:
+            li = pa.array(lidx)
+            cols = {on_left: t["__k"].take(li),
+                    **{c: t[c].take(li) for c in left_cols}}
+            if ridx is None:
+                cols.update({c: pa.nulls(len(lidx), typ)
+                             for c, typ in r_types})
+            else:
+                ri = pa.array(ridx)
+                cols.update({c: t[c].take(ri) for c in right_cols})
+            return pa.table(cols)
+
+        # matched keys: emit the per-key cartesian via flat index math
+        m = nl * nr
+        total = int(m.sum())
+        parts = []
+        if total:
+            kofs = np.repeat(np.arange(len(m)), m)
+            j = np.arange(total) - np.repeat(
+                np.concatenate([[0], np.cumsum(m)[:-1]]), m)
+            lidx = starts[kofs] + j // np.maximum(nr[kofs], 1)
+            ridx = starts[kofs] + nl[kofs] + j % np.maximum(nr[kofs], 1)
+            parts.append(build(lidx, ridx))
+        if how == "left":
+            miss = np.flatnonzero((nr == 0) & (nl > 0))
+            if len(miss):
+                lidx = np.concatenate(
+                    [np.arange(starts[i], starts[i] + nl[i])
+                     for i in miss])
+                parts.append(build(lidx, None))
+        if not parts:
+            return build(np.zeros(0, dtype=np.int64),
+                         np.zeros(0, dtype=np.int64))
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+
+    unioned = _union_tagged(left_ds, right_ds, on_left, on_right,
+                            left_cols, right_cols, num_partitions)
+    return unioned.groupby("__p").map_groups(per_partition,
+                                             batch_format="pyarrow")

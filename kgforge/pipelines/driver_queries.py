@@ -256,40 +256,55 @@ def q_orders_customer_join(sf_dir: str):
 
 
 def q_priority_revenue(sf_dir: str):
-    """Join+aggregate fusion over the cogroup: per-order lineitem
-    revenue is summed INSIDE the key task (one row per order leaves
-    the shuffle, never the joined cartesian), then a tiny groupby over
-    the 5 priorities.  Revenue is per-row integer cents, exact."""
+    """Join+aggregate over the vectorized cogroup join: lineitem
+    revenue is pre-summed per order INSIDE each batch (combiner —
+    ~one row per order reaches the join, never the raw stream), the
+    partials join orders on the hash-partitioned merge, then per-order
+    partials collapse before the 5-row priority rollup.  Revenue is
+    per-row integer cents, exact."""
     from ray.data.aggregate import Count, Sum
 
     from kgforge.common.hashing import round_away
-    from kgforge.functions.joins import cogroup_ds
+    from kgforge.functions.joins import cogroup_partition_ds
 
     lineitem = _read(sf_dir, "lineitem",
                      ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
 
-    def per_order(key, lt: pa.Table, rt: pa.Table) -> pa.Table:
-        # lt = lineitem rows of this order, rt = the (single) order row
-        if rt.num_rows == 0 or lt.num_rows == 0:
-            return pa.table({"o_orderpriority": pa.array([], pa.string()),
-                             "rev_cents": pa.array([], pa.int64())})
-        price = lt["l_extendedprice"].combine_chunks() \
+    def rev_partial(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].combine_chunks() \
             .to_numpy(zero_copy_only=False)
-        disc = lt["l_discount"].combine_chunks() \
+        disc = b["l_discount"].combine_chunks() \
             .to_numpy(zero_copy_only=False)
         cents = round_away(price * (1.0 - disc) * 100, 0).astype(np.int64)
+        t = pa.table({"k": b["l_orderkey"], "c": pa.array(cents)})
+        g = t.group_by(["k"], use_threads=False).aggregate([("c", "sum")])
+        return pa.table({"l_orderkey": g["k"], "rev_cents": g["c_sum"]})
+
+    rev = lineitem.map_batches(rev_partial, batch_format="pyarrow")
+
+    def per_partition(t: pa.Table, starts, nl, nr) -> pa.Table:
+        # segment-sum the left partials per key; right row carries the
+        # priority; inner semantics: a key needs both sides
+        cents = pc.fill_null(t["rev_cents"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (nl > 0) & (nr > 0)
+        if not keep.any():
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "rev": pa.array([], pa.int64())})
+        sums = np.add.reduceat(cents, starts)[keep]
+        pr_idx = (starts + nl)[keep]  # first right row of each key
         return pa.table({
-            "o_orderpriority": rt["o_orderpriority"].slice(0, 1),
-            "rev_cents": pa.array([int(cents.sum())], pa.int64()),
+            "o_orderpriority": t["o_orderpriority"].take(pa.array(pr_idx)),
+            "rev": pa.array(sums, pa.int64()),
         })
 
-    per = cogroup_ds(lineitem, orders, "l_orderkey", "o_orderkey",
-                     per_order, ["l_extendedprice", "l_discount"],
-                     ["o_orderpriority"])
-    return per.groupby("o_orderpriority").aggregate(
+    per_order = cogroup_partition_ds(
+        rev, orders, "l_orderkey", "o_orderkey", per_partition,
+        ["rev_cents"], ["o_orderpriority"])
+    return per_order.groupby("o_orderpriority").aggregate(
         Count(alias_name="n_orders"),
-        Sum("rev_cents", alias_name="revenue_cents"))
+        Sum("rev", alias_name="revenue_cents"))
 
 
 # ---------------------------------------------------------------------------

@@ -78,3 +78,28 @@ def test_join_name_collision_raises(ray_session):
     left, right = _sides(rd)
     with pytest.raises(ValueError, match="collision"):
         shuffle_join_ds(left, right, "k", "rk", ["lv"], ["lv"])
+
+
+def test_cogroup_partition_vectorized(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    left, right = _sides(rd)
+
+    def fn(t, starts, nl, nr):
+        # per-key left-count / right-sum in one segment pass
+        rv = np.nan_to_num(
+            t["rv"].to_pandas().to_numpy(dtype="float64")).astype(np.int64)
+        sums = np.add.reduceat(rv, starts) if len(starts) else rv[:0]
+        return pa.table({
+            "k": t["__k"].take(pa.array(starts)),
+            "nl": pa.array(nl, pa.int64()),
+            "sum_rv": pa.array(sums, pa.int64()),
+        })
+
+    out = cogroup_partition_ds(left, right, "k", "rk", fn, ["lv"], ["rv"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert out.k.tolist() == [1, 2, 3, 4]
+    assert out.nl.tolist() == [2, 1, 0, 1]
+    assert out.sum_rv.tolist() == [10, 41, 30, 0]
