@@ -490,25 +490,41 @@ def embedding_lsh_pairs_ds(ds, vec_col: str = "embedding",
 # near-dup clusters (connected components) + deterministic hash split
 # ---------------------------------------------------------------------------
 
-def _dup_clusters_propagate(edges, id_type, max_rounds: int = 64):
-    """Distributed connected components: iterative min-label
-    propagation.  Each round every node's label becomes the min of its
-    own and its neighbors' labels — one union + two keyed groupbys per
-    round, nothing collected to the driver.  Rounds ≈ component
-    diameter (near-dup clusters are dense, so convergence is fast);
-    labels only ever decrease, so the int-sum checksum is a sound
-    fixpoint test.  ``edges`` is the symmetric (src, dst) dataset."""
+def propagate_min_labels(labels, edges, id_type, label_type=None,
+                         max_rounds: int = 64):
+    """Distributed min-label propagation to fixpoint: each round every
+    node's label becomes the min of its own and its neighbors' labels
+    — one union + two keyed groupbys per round, nothing collected to
+    the driver.  Rounds ≈ component diameter; labels only ever
+    decrease, so a checksum over all labels is a sound fixpoint test
+    (int labels sum; string labels use a stable content hash).
+
+    ``labels`` is the initial ``(node, label)`` dataset (label can be
+    any totally-ordered Arrow type — an int id for plain connected
+    components, or a composite sort-key string that encodes an
+    election rule so the component minimum IS the elected winner);
+    ``edges`` is the symmetric ``(src, dst)`` dataset.  Returns the
+    fixpoint ``(node, label)`` dataset."""
     import logging
 
     import pyarrow.compute as pc
     from ray.data.aggregate import Min, Sum
 
-    def init_labels(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b["src"], "label": b["src"]})
+    label_type = label_type or id_type
 
-    labels = edges.map_batches(init_labels, batch_format="pyarrow") \
-        .groupby("node").aggregate(Min("label", alias_name="label")) \
-        .materialize()
+    def _checksum(lab_ds) -> int:
+        if pa.types.is_string(label_type):
+            def h(b: pa.Table) -> pa.Table:
+                from kgforge.common.hashing import hash_u64_np
+
+                v = hash_u64_np(b["label"].to_pylist()).astype(np.int64)
+                return pa.table({"h": pa.array(v)})
+
+            return lab_ds.map_batches(h, batch_format="pyarrow") \
+                .aggregate(Sum("h", alias_name="s"))["s"]
+        return lab_ds.aggregate(Sum("label", alias_name="s"))["s"]
+
+    labels = labels.materialize()
 
     def tag_label(b: pa.Table) -> pa.Table:
         return pa.table({"node": b["node"],
@@ -517,7 +533,7 @@ def _dup_clusters_propagate(edges, id_type, max_rounds: int = 64):
 
     def tag_edge(b: pa.Table) -> pa.Table:
         return pa.table({"node": b["src"], "dst": b["dst"],
-                         "label": pa.nulls(b.num_rows, id_type)})
+                         "label": pa.nulls(b.num_rows, label_type)})
 
     def emit(g: pa.Table) -> pa.Table:
         # one label row per node + its outgoing edges: forward the
@@ -531,12 +547,11 @@ def _dup_clusters_propagate(edges, id_type, max_rounds: int = 64):
         nodes = pa.concat_arrays([node0, dsts])
         return pa.table({
             "node": nodes,
-            "label": pa.array(np.full(len(nodes), lab, dtype=np.int64),
-                              id_type)})
+            "label": pa.array([lab] * len(nodes), label_type)})
 
     tagged_edges = edges.map_batches(tag_edge, batch_format="pyarrow") \
         .materialize()
-    checksum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    checksum = _checksum(labels)
     for _ in range(max_rounds):
         msgs = labels.map_batches(tag_label, batch_format="pyarrow") \
             .union(tagged_edges)
@@ -544,15 +559,31 @@ def _dup_clusters_propagate(edges, id_type, max_rounds: int = 64):
             emit, batch_format="pyarrow") \
             .groupby("node").aggregate(Min("label", alias_name="label")) \
             .materialize()
-        new_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        new_sum = _checksum(labels)
         if new_sum == checksum:
             break
         checksum = new_sum
     else:
         logging.getLogger(__name__).warning(
-            "dup_clusters propagation hit max_rounds=%d before "
+            "min-label propagation hit max_rounds=%d before "
             "fixpoint; labels may span a component diameter larger "
             "than the round budget", max_rounds)
+    return labels
+
+
+def _dup_clusters_propagate(edges, id_type, max_rounds: int = 64):
+    """Connected components over symmetric ``(src, dst)`` edges via
+    :func:`propagate_min_labels` with each node's own id as its
+    initial label — the fixpoint label is the component minimum."""
+    from ray.data.aggregate import Min
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["src"], "label": b["src"]})
+
+    labels = edges.map_batches(init_labels, batch_format="pyarrow") \
+        .groupby("node").aggregate(Min("label", alias_name="label"))
+    labels = propagate_min_labels(labels, edges, id_type,
+                                  max_rounds=max_rounds)
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b["node"], "cluster_id": b["label"]})

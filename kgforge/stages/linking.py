@@ -244,6 +244,100 @@ def build_alias_map(mentions_ds, salt_buckets: int = DEFAULT_SALT_BUCKETS,
     return resolve_from_pairs(pair_support, sorted(pairs))
 
 
+_SEP = "\x1f"
+_SUPPORT_W = 19  # zero-pad width for 2**63-scale support counts
+
+
+def _encode_vote(n: np.ndarray, surface) -> list[str]:
+    """Election-encoded label: lexicographic MIN over these strings ==
+    (max support, then lexicographically smallest surface) — the exact
+    :func:`resolve_from_pairs` canon rule, expressed so min-label
+    propagation elects the canon while finding the component."""
+    # python ints: 10**19 - 1 overflows int64 (numpy would wrap and
+    # scramble the ordering)
+    top = 10 ** _SUPPORT_W - 1
+    return ["%019d%s%s" % (top - int(i), _SEP, s)
+            for i, s in zip(np.asarray(n, dtype=np.int64), surface)]
+
+
+def build_alias_ds(mentions_ds, salt_buckets: int = DEFAULT_SALT_BUCKETS,
+                   max_block: int = DEFAULT_MAX_BLOCK,
+                   max_rounds: int = 64):
+    """Fully distributed alias resolution: NOTHING ships to the driver
+    — not even the accepted pairs (:func:`build_alias_map`'s shuffle
+    path still union-finds collected pairs on the driver).  The
+    union-find + canon election is replaced by min-label propagation
+    (:func:`kgforge.functions.dedup.propagate_min_labels`) over the
+    accepted-pair graph with the election rule ENCODED IN THE LABEL:
+    each node starts as ``(inverted support, surface)`` so the
+    component's minimum label IS its (max-support, lex-smallest)
+    canon.  Returns the alias table as a Dataset ``(etype, surface,
+    canon_id, canon_surface)`` with rows only for pair-involved
+    surfaces (absent surfaces self-canonicalize downstream) — feed it
+    to :func:`canon_lookup_shuffle_ds` ``alias_ds=`` for the
+    end-to-end no-broadcast path.  Paths-agree tested against
+    :func:`build_alias_map`."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    from kgforge.functions.dedup import propagate_min_labels
+
+    partial = mentions_ds.map_batches(
+        make_partial_surface_counts(salt_buckets), batch_format="pyarrow")
+    salted = partial.groupby(["etype", "surface", "salt"]).aggregate(
+        Sum("n", alias_name="n"))
+    distinct = salted.groupby(["etype", "surface"]).aggregate(
+        Sum("n", alias_name="n"))
+    keys_ds = distinct.map_batches(make_blocking_keys_fn(),
+                                   batch_format="pyarrow")
+    pairs = keys_ds.groupby(["etype", "block_kind", "block_key"]) \
+        .map_groups(_make_pair_fn(max_block), batch_format="pyarrow") \
+        .materialize()
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        et = b["etype"].to_pylist()
+        sa = b["surf_a"].to_pylist()
+        sb = b["surf_b"].to_pylist()
+        a = [e + _SEP + s for e, s in zip(et, sa)]
+        bb = [e + _SEP + s for e, s in zip(et, sb)]
+        return pa.table({"src": pa.array(a + bb, pa.string()),
+                         "dst": pa.array(bb + a, pa.string())})
+
+    def to_labels(b: pa.Table) -> pa.Table:
+        et = b["etype"].to_pylist()
+        sa = b["surf_a"].to_pylist()
+        sb = b["surf_b"].to_pylist()
+        nodes = [e + _SEP + s for e, s in zip(et + et, sa + sb)]
+        votes = _encode_vote(
+            np.concatenate([np.asarray(b["n_a"].to_pylist(), np.int64),
+                            np.asarray(b["n_b"].to_pylist(), np.int64)])
+            if b.num_rows else np.zeros(0, np.int64), sa + sb)
+        return pa.table({"node": pa.array(nodes, pa.string()),
+                         "label": pa.array(votes, pa.string())})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    labels = pairs.map_batches(to_labels, batch_format="pyarrow") \
+        .groupby("node").aggregate(Min("label", alias_name="label"))
+    fixed = propagate_min_labels(labels, edges, pa.string(),
+                                 max_rounds=max_rounds)
+
+    def decode(b: pa.Table) -> pa.Table:
+        node = pc.split_pattern(b["node"], pattern=_SEP, max_splits=1)
+        etype = pc.list_element(node, 0)
+        surface = pc.list_element(node, 1)
+        canon = pc.list_element(
+            pc.split_pattern(b["label"], pattern=_SEP, max_splits=1), 1)
+        cids = [canon_id_of(e, s) for e, s in
+                zip(etype.to_pylist(), canon.to_pylist())]
+        return pa.table({
+            "etype": etype, "surface": surface,
+            "canon_id": pa.array(cids, pa.string()),
+            "canon_surface": canon,
+        })
+
+    return fixed.map_batches(decode, batch_format="pyarrow")
+
+
 def _pairs_driver(support: dict[tuple[str, str], int], max_block: int
                   ) -> set[tuple[tuple[str, str], tuple[str, str]]]:
     """Driver-side blocking + verification (same keys/caps as the

@@ -835,3 +835,43 @@ def test_cumulative_sum_hot_key_salted(ray_session):
         batch_format="pyarrow")
     plan = _hot_plan(_key_stats(compact, "user_id"), 1000, 500, 1)
     assert 1 in plan and plan[1][2] >= 10
+
+
+def test_build_alias_ds_matches_shuffle_map(ray_session, hmm_model):
+    """Fully distributed alias resolution (min-label propagation with
+    the election encoded in the label) must reproduce the shuffle
+    path's driver union-find exactly: same key set (pair-involved
+    surfaces), same canon_id/canon_surface per key."""
+    import ray.data as rd
+
+    from kgforge.oracle.corpus import generate_interleaved_docs
+    from kgforge.oracle.pipeline import mentions_of, tag_docs
+    from kgforge.stages.linking import build_alias_ds, build_alias_map
+
+    docs = generate_interleaved_docs(80, seed=42)
+    ment = mentions_of(tag_docs(hmm_model, docs))
+    t1 = rd.from_items(ment).repartition(4).materialize()
+
+    expect = build_alias_map(t1, small_side="shuffle")
+    assert len(expect) > 0
+    alias_ds = build_alias_ds(t1).materialize()
+    got = alias_ds.to_pandas()
+    got_map = {(r.etype, r.surface): (r.canon_id, r.canon_surface)
+               for r in got.itertuples()}
+    assert got_map == expect
+
+    # end-to-end no-broadcast lane: alias Dataset → key-shuffle lookup
+    # must equal the broadcast CanonLookup over the same map
+    import pandas as pd
+
+    from kgforge.stages.linking import CanonLookup, canon_lookup_shuffle_ds
+
+    bcast = t1.map_batches(
+        CanonLookup, fn_constructor_kwargs={"alias_map": expect},
+        batch_format="pyarrow", concurrency=2).to_pandas()
+    shuf = canon_lookup_shuffle_ds(t1, alias_ds=alias_ds,
+                                   salt_buckets=4).to_pandas()
+    cols = sorted(bcast.columns)
+    pd.testing.assert_frame_equal(
+        bcast[cols].sort_values(cols).reset_index(drop=True),
+        shuf[cols].sort_values(cols).reset_index(drop=True))
