@@ -722,3 +722,94 @@ def tier_lookup_ds(ds, id_col: str = "event_id", value_col: str = "value"):
         })
 
     return ds.map_batches(lookup, batch_format="pyarrow")
+
+
+def hourly_distinct_users_ds(ds, type_col: str = "event_type",
+                             on: str = "ts", user_col: str = "user_id"):
+    """Exact distinct-count per window — ``count(DISTINCT user)`` per
+    (event_type, hour) — as the standard two-phase plan: per-batch
+    dedup of (type, hour, user) triples, one groupby on the TRIPLE
+    (each user row moves once, hot windows spread across reducers by
+    user), then a count per (type, hour).  No HLL sketch needed for
+    exactness; the shuffle carries distinct triples, never events."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    hour_us = np.int64(3_600_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        hours = pc.cast(_on_key(b[on]), pa.int64())
+        t = pa.table({type_col: b[type_col],
+                      "hour": pc.divide(hours, hour_us),
+                      user_col: b[user_col]})
+        g = t.group_by([type_col, "hour", user_col], use_threads=False) \
+            .aggregate([])
+        return g
+
+    distinct = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([type_col, "hour", user_col]) \
+        .aggregate(Count(alias_name="__c"))
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select([type_col, "hour"])
+
+    return distinct.map_batches(strip, batch_format="pyarrow") \
+        .groupby([type_col, "hour"]) \
+        .aggregate(Count(alias_name="n_users"))
+
+
+ROLLUP_ALL = "<all>"
+
+
+def rollup_hourly_ds(ds, type_col: str = "event_type", on: str = "ts",
+                     value_col: str = "value"):
+    """GROUP BY ROLLUP(event_type, hour-of-day): leaf rows plus
+    per-type subtotals plus the grand total, absent dimensions marked
+    ``<all>`` (a marker string, not NULL — null group keys canonize
+    differently per engine).  The event stream feeds ONE combiner +
+    groupby at the leaf grain; both rollup levels re-aggregate the
+    tiny (types × 24) result on a single task — subtotal derivation
+    never touches the stream."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    hour_us = np.int64(3_600_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        hours = pc.cast(_on_key(b[on]), pa.int64())
+        h = pc.divide(hours, hour_us)
+        hod = pc.subtract(h, pc.multiply(pc.divide(h, 24), 24))
+        cents = round_away(
+            b[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100, 0).astype(np.int64)
+        t = pa.table({type_col: b[type_col], "hod": hod,
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "c": pa.array(cents)})
+        g = t.group_by([type_col, "hod"], use_threads=False) \
+            .aggregate([("n", "sum"), ("c", "sum")])
+        return pa.table({type_col: g[type_col], "hod": g["hod"],
+                         "n": g["n_sum"], "c": g["c_sum"]})
+
+    leaf = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([type_col, "hod"]) \
+        .aggregate(Sum("n", alias_name="n"), Sum("c", alias_name="c"))
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({"n": "int64", "c": "int64"})
+        lv0 = pd.DataFrame({
+            type_col: df[type_col], "hod": df["hod"].astype(int).astype(str),
+            "n_events": df["n"], "sum_cents": df["c"]})
+        sub = df.groupby(type_col, as_index=False).agg(
+            n_events=("n", "sum"), sum_cents=("c", "sum"))
+        lv1 = sub.assign(hod=ROLLUP_ALL)[
+            [type_col, "hod", "n_events", "sum_cents"]]
+        lv2 = pd.DataFrame({
+            type_col: [ROLLUP_ALL], "hod": [ROLLUP_ALL],
+            "n_events": [df["n"].sum()], "sum_cents": [df["c"].sum()]})
+        out = pd.concat([lv0, lv1, lv2], ignore_index=True)
+        return out.astype({"n_events": "int64", "sum_cents": "int64"})
+
+    return leaf.repartition(1).map_batches(rollup, batch_format="pandas",
+                                           batch_size=None)

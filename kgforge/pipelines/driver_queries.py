@@ -243,6 +243,16 @@ def q_stratified_sample(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "event_id"]))
 
 
+def q_hourly_distinct_users(sf_dir: str):
+    return F_events.hourly_distinct_users_ds(
+        _read(sf_dir, "events", ["event_type", "ts", "user_id"]))
+
+
+def q_rollup_hourly(sf_dir: str):
+    return F_events.rollup_hourly_ds(
+        _read(sf_dir, "events", ["event_type", "ts", "value"]))
+
+
 def q_orders_customer_join(sf_dir: str):
     """Large-large shuffle equi-join (cogroup; neither side broadcast):
     every order row joined to its customer row."""
@@ -980,6 +990,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "orders_customer_join": q_orders_customer_join,
     "priority_revenue": q_priority_revenue,
+    "hourly_distinct_users": q_hourly_distinct_users,
+    "rollup_hourly": q_rollup_hourly,
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "jaccard_pairs": q_jaccard_pairs,
@@ -1375,6 +1387,23 @@ ORACLE_SQL["tier_lookup"] = """
     FROM v JOIN t ON cents >= lo AND cents < hi
 """.format(bands=", ".join("(%d, %d, '%s')" % b
                            for b in F_events.TIER_TABLE))
+ORACLE_SQL["hourly_distinct_users"] = """
+    SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type, hour
+"""
+ORACLE_SQL["rollup_hourly"] = """
+    WITH v AS (SELECT event_type,
+                      CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT)
+                          AS hod,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(CAST(hod AS VARCHAR), '<all>') AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM v GROUP BY ROLLUP (event_type, hod)
+"""
 ORACLE_SQL["orders_customer_join"] = """
     SELECT o_custkey, o_orderkey, c_name, c_mktsegment
     FROM orders JOIN customer ON o_custkey = c_custkey

@@ -875,3 +875,48 @@ def test_build_alias_ds_matches_shuffle_map(ray_session, hmm_model):
     pd.testing.assert_frame_equal(
         bcast[cols].sort_values(cols).reset_index(drop=True),
         shuf[cols].sort_values(cols).reset_index(drop=True))
+
+
+def _typed_events_ds(rd):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(["a", "a", "a", "b", "b", "a", "b", "a"]),
+        "user_id": pa.array([1, 1, 2, 1, 2, 3, 2, 1], pa.int64()),
+        "ts": pa.array([base + dt.timedelta(minutes=m)
+                        for m in [0, 10, 20, 30, 70, 80, 90, 100]],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+                          pa.float64()),
+    })).repartition(3)
+
+
+def test_hourly_distinct_users(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.events import hourly_distinct_users_ds
+
+    out = hourly_distinct_users_ds(_typed_events_ds(rd)).to_pandas() \
+        .sort_values(["event_type", "hour"]).reset_index(drop=True)
+    # hour 0: a→{1,1,2}=2 users, b→{1}; hour 1: a→{3,1}=2, b→{2,2}=1
+    assert out.n_users.tolist() == [2, 2, 1, 1]
+
+
+def test_rollup_hourly(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.events import rollup_hourly_ds
+
+    ds = _typed_events_ds(rd)
+    out = rollup_hourly_ds(ds).to_pandas()
+    total = out[(out.event_type == "<all>") & (out.hod == "<all>")]
+    assert total.n_events.iloc[0] == 8
+    leaf = out[(out.event_type != "<all>") & (out.hod != "<all>")]
+    sub = out[(out.event_type != "<all>") & (out.hod == "<all>")]
+    assert leaf.n_events.sum() == 8 == sub.n_events.sum()
+    # per-type subtotal equals the sum of its leaves, cents included
+    for t, grp in leaf.groupby("event_type"):
+        row = sub[sub.event_type == t]
+        assert row.n_events.iloc[0] == grp.n_events.sum()
+        assert row.sum_cents.iloc[0] == grp.sum_cents.sum()
