@@ -1,0 +1,344 @@
+"""Graph analytics over the materialized KG edge table.
+
+Every operator here consumes an edge Dataset with string endpoint
+columns (``src``, ``dst``) — in the engine that is the output of the
+flagship's D1 dedup (``kgforge/stages/triples.py``) filtered to
+entity–entity predicates — and follows the same scale discipline as
+the rest of the engine:
+
+- the only all-to-all moves are hash partitions keyed by a node id
+  (``kgforge.functions.joins._part_codes``: one move per row, no
+  row-count-dependent driver state);
+- every per-partition kernel is vectorized (numpy run-length index
+  math + pyarrow C++ joins), no per-edge Python;
+- iterative ranking materializes each iteration (bounded lineage, the
+  object store holds exactly one rank table per step).
+
+Skew note (documented contract, same as ``joins.shuffle_join_ds``):
+wedge enumeration (`two_hop_count_ds`, `triangle_count_ds`) is
+O(deg²) per node, so a hub with millions of neighbours concentrates
+deg² candidate rows in one partition.  At 100-TB scale callers cap
+hubs upstream (drop or sample nodes above a degree bound — the
+standard truncation in distributed triangle counting); the operators
+themselves never truncate silently.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kgforge.functions.joins import (_part_codes, cogroup_partition_ds)
+
+# integer PageRank constants — shared verbatim with the SQL oracle
+PR_R0 = 1_000_000       # initial rank per node
+PR_BASE = 150_000       # (1 - d) * R0 with d = 0.85
+PR_NUM, PR_DEN = 85, 100
+
+
+def _distinct_pairs_ds(edges_ds, src: str, dst: str, out_a: str,
+                       out_b: str, both_directions: bool,
+                       drop_self: bool = True):
+    """Distinct (a, b) node pairs from the edge table — per-batch
+    partial distinct (combiner), one groupby on the pair; the shuffle
+    carries distinct pairs, never the raw multi-predicate edges."""
+    from ray.data.aggregate import Count
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({out_a: b[src], out_b: b[dst]})
+        if both_directions:
+            t = pa.concat_tables(
+                [t, pa.table({out_a: b[dst], out_b: b[src]})])
+        if drop_self:
+            t = t.filter(pc.invert(pc.equal(t[out_a], t[out_b])))
+        return t.group_by([out_a, out_b], use_threads=False).aggregate([])
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select([out_a, out_b])
+
+    return edges_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([out_a, out_b]).aggregate(Count(alias_name="__c")) \
+        .map_batches(strip, batch_format="pyarrow")
+
+
+def degree_ds(edges_ds, src: str = "subj", dst: str = "obj"):
+    """Per-node degrees over the DISTINCT-pair graph: ``out_deg`` =
+    distinct successors, ``in_deg`` = distinct predecessors,
+    ``degree`` = distinct neighbours in either direction.  Plan: both
+    directions tagged with out/in flags, per-batch partial distinct,
+    one groupby on (node, nbr) max-ing the flags, then a count per
+    node — the second shuffle carries one row per distinct adjacency
+    (already ≤ the first's output)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        t = pa.concat_tables([
+            pa.table({"node": b[src], "nbr": b[dst],
+                      "o": pa.array(np.ones(n, dtype=np.int64)),
+                      "i": pa.array(np.zeros(n, dtype=np.int64))}),
+            pa.table({"node": b[dst], "nbr": b[src],
+                      "o": pa.array(np.zeros(n, dtype=np.int64)),
+                      "i": pa.array(np.ones(n, dtype=np.int64))}),
+        ])
+        t = t.filter(pc.invert(pc.equal(t["node"], t["nbr"])))
+        g = t.group_by(["node", "nbr"], use_threads=False).aggregate(
+            [("o", "max"), ("i", "max")])
+        return pa.table({"node": g["node"], "nbr": g["nbr"],
+                         "o": g["o_max"], "i": g["i_max"]})
+
+    adj = edges_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["node", "nbr"]) \
+        .aggregate(Max("o", alias_name="om"), Max("i", alias_name="im"))
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["node", "om", "im"])
+
+    return adj.map_batches(strip, batch_format="pyarrow") \
+        .groupby("node") \
+        .aggregate(Sum("om", alias_name="out_deg"),
+                   Sum("im", alias_name="in_deg"),
+                   Count(alias_name="degree"))
+
+
+def _run_starts(codes: np.ndarray) -> np.ndarray:
+    if len(codes) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.concatenate(
+        [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1]).astype(np.int64)
+
+
+def _lr_indices(starts, nl, nr):
+    """Global row indices of the left / right runs in a
+    ``cogroup_partition_ds`` sorted table (vectorized, no per-key
+    Python)."""
+    def expand(offs, lens):
+        tot = int(lens.sum())
+        if tot == 0:
+            return np.zeros(0, dtype=np.int64)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        return np.repeat(offs, lens) + within
+    return expand(starts, nl), expand(starts + nl, nr)
+
+
+def pagerank_ds(edges_ds, iters: int = 3, src: str = "subj",
+                dst: str = "obj", num_partitions: int = 64):
+    """Integer-deterministic PageRank (damping 0.85) over the distinct
+    directed-pair graph: ranks are int64 micro-units, each step
+
+        rank'(v) = 150000 + (85 * Σ_{u→v} rank(u) // outdeg(u)) // 100
+
+    Floor division at every step makes the result independent of
+    summation order — bit-identical across cluster sizes AND engines
+    (the SQL oracle lands on the same integers), with no float-ulp
+    risk in the driver's value hash.  Dangling mass is dropped (also
+    deterministic).
+
+    Plan per iteration (2 keyed shuffles): cogroup(pairs by src,
+    ranks by node) → contribution rows (dst, rank//outdeg); per-batch
+    partial sum → groupby dst; cogroup(base nodes, in-sums) →
+    rank'.  Each iteration materializes — lineage stays one step deep,
+    the object store holds |nodes| rows per step."""
+    from ray.data.aggregate import Sum
+
+    pairs = _distinct_pairs_ds(edges_ds, src, dst, "s", "d",
+                               both_directions=False, drop_self=False)
+    pairs = pairs.materialize()
+
+    # base = (node, outdeg) for every node (outdeg 0 for sinks)
+    def node_partial(b: pa.Table) -> pa.Table:
+        t = pa.concat_tables([
+            pa.table({"node": b["s"],
+                      "od": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+            pa.table({"node": b["d"],
+                      "od": pa.array(np.zeros(b.num_rows,
+                                              dtype=np.int64))}),
+        ])
+        g = t.group_by(["node"], use_threads=False).aggregate([("od",
+                                                                "sum")])
+        return pa.table({"node": g["node"], "od": g["od_sum"]})
+
+    base = pairs.map_batches(node_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("od", alias_name="outdeg")) \
+        .materialize()
+
+    def init_ranks(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["node"], "outdeg": b["outdeg"],
+            "rank": pa.array(np.full(b.num_rows, PR_R0, dtype=np.int64)),
+        })
+
+    ranks = base.map_batches(init_ranks, batch_format="pyarrow") \
+        .materialize()
+
+    def contribs(t: pa.Table, starts, nl, nr) -> pa.Table:
+        # left = pairs (payload d), right = ranks (payload rank,
+        # outdeg; exactly one row per node)
+        has = (nl > 0) & (nr > 0)
+        ridx = (starts + nl)[has]
+        rank = t["rank"].take(pa.array(ridx)).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        od = t["outdeg"].take(pa.array(ridx)).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        per = rank // np.maximum(od, 1)
+        lidx, _ = _lr_indices(starts[has], nl[has],
+                              np.zeros(has.sum(), dtype=nl.dtype))
+        return pa.table({
+            "d": t["d"].take(pa.array(lidx)),
+            "c": pa.array(np.repeat(per, nl[has])),
+        })
+
+    def apply_rank(t: pa.Table, starts, nl, nr) -> pa.Table:
+        # left = base (payload outdeg; one row per node), right =
+        # in-sums (payload insum; ≤ 1 row per node)
+        has_l = nl > 0
+        lidx = starts[has_l]
+        insum = np.zeros(int(has_l.sum()), dtype=np.int64)
+        has_r = (nr > 0)[has_l]
+        r_first = (starts + nl)[has_l][has_r]
+        if len(r_first):
+            insum[has_r] = t["insum"].take(pa.array(r_first)) \
+                .combine_chunks().to_numpy(zero_copy_only=False)
+        new_rank = PR_BASE + (PR_NUM * insum) // PR_DEN
+        return pa.table({
+            "node": t["__k"].take(pa.array(lidx)),
+            "outdeg": t["outdeg"].take(pa.array(lidx)),
+            "rank": pa.array(new_rank),
+        })
+
+    def sum_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["d"], use_threads=False).aggregate([("c", "sum")])
+        return pa.table({"d": g["d"], "c": g["c_sum"]})
+
+    for _ in range(iters):
+        contrib = cogroup_partition_ds(
+            pairs, ranks, "s", "node", contribs, ["d"],
+            ["rank", "outdeg"], num_partitions=num_partitions)
+        insums = contrib.map_batches(sum_partial, batch_format="pyarrow") \
+            .groupby("d").aggregate(Sum("c", alias_name="insum"))
+        ranks = cogroup_partition_ds(
+            base, insums, "node", "d", apply_rank, ["outdeg"], ["insum"],
+            num_partitions=num_partitions).materialize()
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "rank": b["rank"]})
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def _wedge_pairs_ds(und_ds, ordered: bool, num_partitions: int = 64):
+    """Hash-partition the undirected adjacency by wedge CENTER and emit
+    the per-center neighbour pairs — (a, b) such that a—center—b.
+    ``ordered=False`` keeps all ordered pairs a≠b (two-hop);
+    ``ordered=True`` keeps a<b only (triangle wedges; neighbours are
+    distinct so index order after a lexicographic sort IS value
+    order).  Pair generation is flat repeat/modulo index math over all
+    centers at once; output is pre-distincted per partition."""
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__p", pa.array(_part_codes(t["n1"], num_partitions)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("n1", "ascending"), ("n2", "ascending")])
+        codes = t["n1"].combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False)
+        starts = _run_starts(codes)
+        lens = np.diff(np.concatenate([starts, [len(codes)]])) \
+            .astype(np.int64)
+        m = lens * lens
+        tot = int(m.sum())
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string())})
+        if tot == 0:
+            return empty
+        kofs = np.repeat(np.arange(len(m)), m)
+        j = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(m)[:-1]]), m)
+        j1, j2 = j // lens[kofs], j % lens[kofs]
+        keep = j1 < j2 if ordered else j1 != j2
+        a_idx = pa.array(starts[kofs[keep]] + j1[keep])
+        b_idx = pa.array(starts[kofs[keep]] + j2[keep])
+        nbr = t["n2"]
+        pairs = pa.table({"a": nbr.take(a_idx), "b": nbr.take(b_idx)})
+        return pairs.group_by(["a", "b"], use_threads=False).aggregate([])
+
+    return und_ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition, batch_format="pyarrow")
+
+
+def two_hop_count_ds(edges_ds, src: str = "subj", dst: str = "obj",
+                     num_partitions: int = 64):
+    """Per-node count of nodes EXACTLY two hops away in the undirected
+    distinct-pair graph (direct neighbours and the node itself
+    excluded).  Plan: wedge pairs partitioned by endpoint ``a``
+    cogrouped with the adjacency partitioned by node — the
+    per-partition anti-join (pyarrow C++ ``left anti``) removes
+    1-hop pairs, then a partition-local distinct + count per node
+    (complete because everything keyed ``a`` is co-located)."""
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+    wedges = _wedge_pairs_ds(und, ordered=False,
+                             num_partitions=num_partitions)
+
+    def per_partition(t: pa.Table, starts, nl, nr) -> pa.Table:
+        lidx, ridx = _lr_indices(starts, nl, nr)
+        left = pa.table({"a": t["__k"].take(pa.array(lidx)),
+                         "b": t["b"].take(pa.array(lidx))})
+        right = pa.table({"a": t["__k"].take(pa.array(ridx)),
+                          "b": t["n2"].take(pa.array(ridx))})
+        two = left.filter(pc.invert(pc.equal(left["a"], left["b"]))) \
+            .join(right, keys=["a", "b"], join_type="left anti")
+        two = two.group_by(["a", "b"], use_threads=False).aggregate([])
+        g = two.group_by(["a"], use_threads=False).aggregate(
+            [("b", "count")])
+        return pa.table({"node": g["a"],
+                         "n_two_hop": pc.cast(g["b_count"], pa.int64())})
+
+    return cogroup_partition_ds(wedges, und, "a", "n1", per_partition,
+                                ["b"], ["n2"],
+                                num_partitions=num_partitions)
+
+
+def triangle_count_ds(edges_ds, src: str = "subj", dst: str = "obj",
+                      num_partitions: int = 64):
+    """Total triangle count of the undirected distinct-pair graph as a
+    single-row table.  Node-iterator plan: canonical edges (a<b),
+    wedges (x<y) enumerated at each triangle's MINIMUM node (so each
+    triangle is generated exactly once), closed wedges found by a
+    per-partition pyarrow inner join against the canonical edge set
+    keyed by the wedge's smaller endpoint.  Only the per-partition
+    counts (one int each) reach the final aggregate."""
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True)
+
+    def canon(b: pa.Table) -> pa.Table:
+        lt = pc.less(b["n1"], b["n2"])
+        return pa.table({"n1": b["n1"].filter(lt),
+                         "n2": b["n2"].filter(lt)})
+
+    # canonical a<b adjacency = the und rows with n1<n2 (und is
+    # symmetric-distinct, so this is exactly the distinct a<b set).
+    # Wedges are generated from ce itself — each center only pairs
+    # neighbours GREATER than it, so triangle {u<x<y} yields its
+    # (x, y) wedge at u alone: counted exactly once.
+    ce = und.map_batches(canon, batch_format="pyarrow").materialize()
+    wedges = _wedge_pairs_ds(ce, ordered=True,
+                             num_partitions=num_partitions)
+
+    def per_partition(t: pa.Table, starts, nl, nr) -> pa.Table:
+        lidx, ridx = _lr_indices(starts, nl, nr)
+        left = pa.table({"a": t["__k"].take(pa.array(lidx)),
+                         "b": t["b"].take(pa.array(lidx))})
+        right = pa.table({"a": t["__k"].take(pa.array(ridx)),
+                          "b": t["n2"].take(pa.array(ridx))})
+        closed = left.join(right, keys=["a", "b"],
+                           join_type="left semi")
+        return pa.table({"cnt": pa.array([closed.num_rows], pa.int64())})
+
+    parts = cogroup_partition_ds(wedges, ce, "a", "n1", per_partition,
+                                 ["b"], ["n2"],
+                                 num_partitions=num_partitions)
+    total = parts.sum("cnt") or 0
+    return pa.table({"n_triangles": pa.array([int(total)], pa.int64())})

@@ -192,3 +192,79 @@ SELECT surface, min(etype) AS etype, CAST(count(*) AS BIGINT) AS n_mentions,
        CAST(count(DISTINCT d) AS BIGINT) AS n_docs
 FROM ments GROUP BY surface
 """
+
+
+def entity_pairs_prelude() -> str:
+    """The graph-analytics base: distinct directed entity–entity pairs
+    (``mentions`` doc→surface edges excluded) from the triple stream —
+    the same projection :mod:`kgforge.functions.graph` computes from
+    the materialized edge table."""
+    return _triples_ctes() + """,
+prs AS (SELECT DISTINCT subj AS s, obj AS d FROM trip
+        WHERE pred <> 'mentions'),
+und AS (SELECT DISTINCT n1, n2 FROM (
+          SELECT s AS n1, d AS n2 FROM prs
+          UNION ALL SELECT d AS n1, s AS n2 FROM prs)
+        WHERE n1 <> n2)"""
+
+
+def degree_sql() -> str:
+    return entity_pairs_prelude() + """,
+adj AS (SELECT n1, n2, max(o) AS om, max(i) AS im FROM (
+          SELECT s AS n1, d AS n2, 1 AS o, 0 AS i FROM prs WHERE s <> d
+          UNION ALL
+          SELECT d AS n1, s AS n2, 0 AS o, 1 AS i FROM prs WHERE s <> d)
+        GROUP BY n1, n2)
+SELECT n1 AS node, CAST(sum(om) AS BIGINT) AS out_deg,
+       CAST(sum(im) AS BIGINT) AS in_deg,
+       CAST(count(*) AS BIGINT) AS degree
+FROM adj GROUP BY n1
+"""
+
+
+def _pagerank_step(prev: str, cur: str) -> str:
+    return f""",
+{cur} AS (SELECT nd.n,
+                 CAST(150000 + (85 * coalesce(sum({prev}.r // od.odeg),
+                                              0)) // 100 AS BIGINT) AS r
+          FROM nodes nd
+          LEFT JOIN prs ON prs.d = nd.n
+          LEFT JOIN od ON od.s = prs.s
+          LEFT JOIN {prev} ON {prev}.n = prs.s
+          GROUP BY nd.n)"""
+
+
+def pagerank_sql(iters: int = 3) -> str:
+    """Integer-deterministic PageRank twin of
+    :func:`kgforge.functions.graph.pagerank_ds` — floor division at
+    every step, so both engines land on identical int64 ranks."""
+    sql = entity_pairs_prelude() + """,
+nodes AS (SELECT DISTINCT n FROM (
+            SELECT s AS n FROM prs UNION ALL SELECT d AS n FROM prs)),
+od AS (SELECT s, count(*) AS odeg FROM prs GROUP BY s),
+r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    for i in range(iters):
+        sql += _pagerank_step(f"r{i}", f"r{i + 1}")
+    return sql + f"""
+SELECT n AS node, r AS "rank" FROM r{iters}
+"""
+
+
+def two_hop_sql() -> str:
+    return entity_pairs_prelude() + """,
+two AS (SELECT DISTINCT a.n1 AS node, b.n2 AS nbr
+        FROM und a JOIN und b ON b.n1 = a.n2
+        WHERE b.n2 <> a.n1
+          AND NOT EXISTS (SELECT 1 FROM und u
+                          WHERE u.n1 = a.n1 AND u.n2 = b.n2))
+SELECT node, CAST(count(*) AS BIGINT) AS n_two_hop FROM two GROUP BY node
+"""
+
+
+def triangles_sql() -> str:
+    return entity_pairs_prelude() + """,
+ce AS (SELECT n1 AS a, n2 AS b FROM und WHERE n1 < n2)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM ce e1 JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b
+"""

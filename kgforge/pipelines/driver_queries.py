@@ -808,6 +808,48 @@ def q_mention_dedup(sf_dir: str):
          "surface", "etype", "tagger", "score"])
 
 
+# ---------------------------------------------------------------------------
+# Graph analytics over the materialized KG edges (dict lane, SQL-exact)
+# ---------------------------------------------------------------------------
+
+def _entity_edges_for(sf_dir: str):
+    """The entity–entity projection of the dict-lane edge table (the
+    doc→surface ``mentions`` edges are provenance, not graph
+    structure)."""
+    edges = _dict_flagship_for(sf_dir)["edges"]
+
+    def proj(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(b["pred"], "mentions"))
+        return pa.table({"subj": b["subj"].filter(keep),
+                         "obj": b["obj"].filter(keep)})
+
+    return edges.map_batches(proj, batch_format="pyarrow")
+
+
+def q_kg_degree(sf_dir: str):
+    from kgforge.functions.graph import degree_ds
+
+    return degree_ds(_entity_edges_for(sf_dir))
+
+
+def q_kg_pagerank(sf_dir: str):
+    from kgforge.functions.graph import pagerank_ds
+
+    return pagerank_ds(_entity_edges_for(sf_dir), iters=3)
+
+
+def q_kg_two_hop(sf_dir: str):
+    from kgforge.functions.graph import two_hop_count_ds
+
+    return two_hop_count_ds(_entity_edges_for(sf_dir))
+
+
+def q_kg_triangles(sf_dir: str):
+    from kgforge.functions.graph import triangle_count_ds
+
+    return triangle_count_ds(_entity_edges_for(sf_dir))
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: each purchase event matched to the user's most
     recent click at-or-before it (backward inclusive, DuckDB ASOF
@@ -1025,6 +1067,10 @@ QUERIES = {
     "kg_edges_dict": q_kg_edges_dict,
     "kg_nodes_dict": q_kg_nodes_dict,
     "mention_dedup": q_mention_dedup,
+    "kg_degree": q_kg_degree,
+    "kg_pagerank": q_kg_pagerank,
+    "kg_two_hop": q_kg_two_hop,
+    "kg_triangles": q_kg_triangles,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "dup_clusters": q_dup_clusters,
@@ -1445,6 +1491,10 @@ ORACLE_SQL["kg_mentions_dict"] = _dict_oracle.mentions_sql()
 ORACLE_SQL["kg_triples_dict"] = _dict_oracle.triples_sql()
 ORACLE_SQL["kg_edges_dict"] = _dict_oracle.edges_sql()
 ORACLE_SQL["kg_nodes_dict"] = _dict_oracle.nodes_sql()
+ORACLE_SQL["kg_degree"] = _dict_oracle.degree_sql()
+ORACLE_SQL["kg_pagerank"] = _dict_oracle.pagerank_sql(iters=3)
+ORACLE_SQL["kg_two_hop"] = _dict_oracle.two_hop_sql()
+ORACLE_SQL["kg_triangles"] = _dict_oracle.triangles_sql()
 ORACLE_SQL["embedding_lsh_pairs"] = _embedding_lsh_oracle_sql()
 ORACLE_SQL["knn_ivf"] = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
