@@ -228,14 +228,18 @@ def pagerank_ds(edges_ds, iters: int = 3, src: str = "subj",
     return ranks.map_batches(finish, batch_format="pyarrow")
 
 
-def _wedge_pairs_ds(und_ds, ordered: bool, num_partitions: int = 64):
+def _wedge_pairs_ds(und_ds, ordered: bool, num_partitions: int = 64,
+                    distinct: bool = True):
     """Hash-partition the undirected adjacency by wedge CENTER and emit
     the per-center neighbour pairs — (a, b) such that a—center—b.
     ``ordered=False`` keeps all ordered pairs a≠b (two-hop);
     ``ordered=True`` keeps a<b only (triangle wedges; neighbours are
     distinct so index order after a lexicographic sort IS value
     order).  Pair generation is flat repeat/modulo index math over all
-    centers at once; output is pre-distincted per partition."""
+    centers at once.  ``distinct=True`` collapses pairs ACROSS centers
+    (right for reachability, where only the endpoint pair matters);
+    triangle counting needs ``distinct=False`` — the same (a, b) wedge
+    under two different centers is two different triangles."""
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column(
             "__p", pa.array(_part_codes(t["n1"], num_partitions)))
@@ -262,7 +266,10 @@ def _wedge_pairs_ds(und_ds, ordered: bool, num_partitions: int = 64):
         b_idx = pa.array(starts[kofs[keep]] + j2[keep])
         nbr = t["n2"]
         pairs = pa.table({"a": nbr.take(a_idx), "b": nbr.take(b_idx)})
-        return pairs.group_by(["a", "b"], use_threads=False).aggregate([])
+        if distinct:
+            pairs = pairs.group_by(["a", "b"],
+                                   use_threads=False).aggregate([])
+        return pairs
 
     return und_ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("__p").map_groups(per_partition, batch_format="pyarrow")
@@ -325,7 +332,8 @@ def triangle_count_ds(edges_ds, src: str = "subj", dst: str = "obj",
     # (x, y) wedge at u alone: counted exactly once.
     ce = und.map_batches(canon, batch_format="pyarrow").materialize()
     wedges = _wedge_pairs_ds(ce, ordered=True,
-                             num_partitions=num_partitions)
+                             num_partitions=num_partitions,
+                             distinct=False)
 
     def per_partition(t: pa.Table, starts, nl, nr) -> pa.Table:
         lidx, ridx = _lr_indices(starts, nl, nr)

@@ -101,6 +101,25 @@ def q_doc_frequency(sf_dir: str):
                                          ["doc_id", "text"]))
 
 
+def q_chunk_docs(sf_dir: str):
+    from kgforge.functions.indexing import chunk_docs_ds
+
+    return chunk_docs_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_inverted_index(sf_dir: str):
+    from kgforge.functions.indexing import inverted_index_ds
+
+    return inverted_index_ds(_read(sf_dir, "documents",
+                                   ["doc_id", "text"]))
+
+
+def q_tfidf_topk(sf_dir: str):
+    from kgforge.functions.indexing import tfidf_topk_ds
+
+    return tfidf_topk_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication family
 # ---------------------------------------------------------------------------
@@ -1020,6 +1039,9 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "decontaminate": q_decontaminate,
     "doc_frequency": q_doc_frequency,
+    "chunk_docs": q_chunk_docs,
+    "inverted_index": q_inverted_index,
+    "tfidf_topk": q_tfidf_topk,
     "redact": q_redact,
     "repetition_ratio": q_repetition_ratio,
     "topk_per_group": q_topk_per_group,
@@ -1481,6 +1503,46 @@ ORACLE_SQL["doc_frequency"] = r"""
                   FROM documents)
     SELECT term, CAST(count(*) AS BIGINT) AS df
     FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 25
+"""
+ORACLE_SQL["chunk_docs"] = r"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tl
+               FROM documents),
+    e AS (SELECT doc_id, tl, unnest(range(0, (len(tl)-1)//48 + 1)) AS i
+          FROM t WHERE len(tl) > 0)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(tl[i*48+1 : least(i*48+64, len(tl))], ' ')
+               AS chunk_text,
+           CAST(least(i*48+64, len(tl)) - i*48 AS BIGINT) AS n_tokens
+    FROM e
+"""
+ORACLE_SQL["inverted_index"] = r"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_extract_all(text, '\S+')) AS term
+                  FROM documents),
+    p AS (SELECT DISTINCT term, doc_id FROM toks)
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+    FROM p GROUP BY term HAVING count(*) >= 2
+"""
+ORACLE_SQL["tfidf_topk"] = r"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_extract_all(text, '\S+')) AS term
+                  FROM documents),
+    tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tfq GROUP BY term),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+    SELECT doc_id, term, tf, df,
+           round(CAST(tf AS DOUBLE)
+                 * ((SELECT nd FROM nn) / CAST(df AS DOUBLE)), 4) AS score
+    FROM tfq JOIN dfq USING (term)
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY CAST(tf AS DOUBLE)
+                 * ((SELECT nd FROM nn) / CAST(df AS DOUBLE)) DESC,
+                 term) <= 5
 """
 
 # dict-lane oracles are generated from the same template/gazetteer/rule

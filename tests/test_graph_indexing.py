@@ -1,0 +1,169 @@
+"""Graph analytics (kgforge/functions/graph.py) and tokenized-corpus
+operators (kgforge/functions/indexing.py) against brute-force oracles
+on small synthetic inputs."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _edges_ds(pairs):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "subj": [a for a, b in pairs],
+        "obj": [b for a, b in pairs],
+    }))
+
+
+def _rand_digraph(rng, n_nodes=18, n_edges=60):
+    names = [f"N{i:02d}" for i in range(n_nodes)]
+    pairs = [(names[rng.integers(n_nodes)], names[rng.integers(n_nodes)])
+             for _ in range(n_edges)]
+    return names, pairs
+
+
+class TestGraph:
+    def test_degree_matches_bruteforce(self, ray_session):
+        from kgforge.functions.graph import degree_ds
+
+        rng = np.random.default_rng(7)
+        _, pairs = _rand_digraph(rng)
+        out = {r["node"]: r for r in
+               degree_ds(_edges_ds(pairs)).take_all()}
+        succ, pred = {}, {}
+        for a, b in pairs:
+            if a != b:
+                succ.setdefault(a, set()).add(b)
+                pred.setdefault(b, set()).add(a)
+        for node in set(succ) | set(pred):
+            nbrs = succ.get(node, set()) | pred.get(node, set())
+            assert out[node]["out_deg"] == len(succ.get(node, set()))
+            assert out[node]["in_deg"] == len(pred.get(node, set()))
+            assert out[node]["degree"] == len(nbrs)
+        assert set(out) == set(succ) | set(pred)
+
+    def test_pagerank_matches_local_integer_iteration(self, ray_session):
+        from kgforge.functions.graph import (PR_BASE, PR_DEN, PR_NUM,
+                                             PR_R0, pagerank_ds)
+
+        rng = np.random.default_rng(11)
+        _, pairs = _rand_digraph(rng)
+        dpairs = sorted(set(pairs))
+        nodes = sorted({a for a, _ in dpairs} | {b for _, b in dpairs})
+        od = {n: 0 for n in nodes}
+        for a, _ in dpairs:
+            od[a] += 1
+        rank = {n: PR_R0 for n in nodes}
+        for _ in range(3):
+            acc = {n: 0 for n in nodes}
+            for a, b in dpairs:
+                acc[b] += rank[a] // od[a]
+            rank = {n: PR_BASE + (PR_NUM * acc[n]) // PR_DEN
+                    for n in nodes}
+        out = {r["node"]: r["rank"] for r in
+               pagerank_ds(_edges_ds(pairs), iters=3,
+                           num_partitions=8).take_all()}
+        assert out == rank
+
+    def test_two_hop_matches_bruteforce(self, ray_session):
+        from kgforge.functions.graph import two_hop_count_ds
+
+        rng = np.random.default_rng(3)
+        _, pairs = _rand_digraph(rng, n_nodes=14, n_edges=40)
+        adj = {}
+        for a, b in pairs:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        expect = {}
+        for v in adj:
+            two = set(itertools.chain.from_iterable(
+                adj[u] for u in adj[v])) - adj[v] - {v}
+            if two:
+                expect[v] = len(two)
+        out = {r["node"]: r["n_two_hop"] for r in
+               two_hop_count_ds(_edges_ds(pairs),
+                                num_partitions=8).take_all()}
+        assert out == expect
+
+    def test_triangle_count_matches_bruteforce(self, ray_session):
+        from kgforge.functions.graph import triangle_count_ds
+
+        rng = np.random.default_rng(5)
+        _, pairs = _rand_digraph(rng, n_nodes=12, n_edges=50)
+        und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+        nodes = sorted({x for e in und for x in e})
+        n_tri = sum(1 for a, b, c in itertools.combinations(nodes, 3)
+                    if (a, b) in und and (a, c) in und and (b, c) in und)
+        tbl = triangle_count_ds(_edges_ds(pairs), num_partitions=8)
+        assert tbl["n_triangles"][0].as_py() == n_tri
+
+
+class TestIndexing:
+    DOCS = pa.table({
+        "doc_id": list(range(1, 7)),
+        "text": ["a b c d e f g h i", "a a b x", "", "x  y\tz a",
+                 "q r s t u v w", "   "],
+    })
+
+    def _ds(self):
+        import ray.data as rd
+
+        return rd.from_arrow(self.DOCS)
+
+    def test_chunks_reconstruct_and_overlap(self, ray_session):
+        from kgforge.functions.indexing import chunk_docs_ds
+
+        rows = chunk_docs_ds(self._ds(), chunk=4, stride=3).take_all()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # empty / whitespace docs produce no chunks
+        assert 3 not in by_doc and 6 not in by_doc
+        for did, text in zip(self.DOCS["doc_id"].to_pylist(),
+                             self.DOCS["text"].to_pylist()):
+            toks = text.split()
+            if not toks:
+                continue
+            chunks = sorted(by_doc[did], key=lambda r: r["chunk_idx"])
+            for i, ch in enumerate(chunks):
+                assert ch["chunk_idx"] == i
+                want = toks[i * 3:i * 3 + 4]
+                assert ch["chunk_text"].split(" ") == want
+                assert ch["n_tokens"] == len(want)
+            # stride coverage: every token index appears in some chunk
+            covered = set()
+            for ch in chunks:
+                s = ch["chunk_idx"] * 3
+                covered |= set(range(s, s + ch["n_tokens"]))
+            assert covered == set(range(len(toks)))
+
+    def test_inverted_index_postings(self, ray_session):
+        from kgforge.functions.indexing import inverted_index_ds
+
+        rows = inverted_index_ds(self._ds(), min_df=2,
+                                 num_partitions=8).take_all()
+        got = {r["term"]: (r["df"], r["postings"]) for r in rows}
+        assert got == {"a": (3, "1,2,4"), "b": (2, "1,2"),
+                       "x": (2, "2,4")}
+
+    def test_tfidf_topk_ranking(self, ray_session):
+        from kgforge.functions.indexing import tfidf_topk_ds
+
+        rows = tfidf_topk_ds(self._ds(), k=2,
+                             num_partitions=8).take_all()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 2: 'a' tf=2 df=3 → 2*(6/3)=4.0 ; 'b'/'x' tie at 3.0 →
+        # term asc keeps 'b'
+        d2 = sorted(by_doc[2], key=lambda r: -r["score"])
+        assert [r["term"] for r in d2] == ["a", "b"]
+        assert d2[0]["score"] == pytest.approx(4.0)
+        assert d2[1]["score"] == pytest.approx(3.0)
+        assert all(len(v) <= 2 for v in by_doc.values())
