@@ -1,0 +1,180 @@
+"""Embedding clustering and compression.
+
+- :func:`kmeans_ds` — distributed Lloyd's k-means over the
+  ``list<float>`` embedding column.  Deterministic BY CONSTRUCTION
+  across cluster sizes and block orders: centroid accumulation uses
+  scaled-int64 sums (each float32 coordinate is quantized once to
+  2⁻²⁴ units, so partial sums commute exactly — no float summation-
+  order drift), init is the k lowest-id vectors, and assignment ties
+  break to the lowest cluster index.  Per iteration the shuffle is
+  ``num_batches × k`` partial rows — the map stage is the combiner.
+- :func:`quantize_embeddings_ds` — global per-dimension min/max int8
+  scalar quantization (the standard vector-store compression).  Two
+  passes: a 2×d-row min/max reduce, then a broadcast vectorized map.
+  Every arithmetic op is IEEE-correctly-rounded (sub/mul/div/floor),
+  so the codes are bit-identical to the DuckDB oracle.
+
+Both ship only tiny per-batch partials to the driver (k×d scaled ints
+/ 2×d floats per batch) — the embedding stream itself never leaves
+the map stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+Q_SCALE = float(1 << 24)   # float32 → int64 accumulation units
+
+
+def _batch_mat(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), -1).astype(np.float64)
+
+
+def _init_centroids(ds, k: int, vec_col: str, id_col: str) -> np.ndarray:
+    """Embeddings of the k smallest ids (deterministic seed choice):
+    per-batch partial top-k keeps the candidate set tiny."""
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:k]
+        return b.take(pa.array(order))
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: r[id_col])
+    return np.array([r[vec_col] for r in cand[:k]], dtype=np.float64)
+
+
+def kmeans_ds(ds, k: int = 8, iters: int = 5,
+              vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Lloyd's k-means; returns (vec_id, cluster) assignments after
+    ``iters`` iterations.  See module docstring for the determinism
+    contract; an empty cluster keeps its previous centroid."""
+    import ray
+
+    centroids = _init_centroids(ds, k, vec_col, id_col)
+    d = centroids.shape[1]
+
+    def assign(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin ties → lowest c
+        d2 = (-2.0 * mat @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        return np.argmin(d2, axis=1)
+
+    for _ in range(iters):
+        cents_ref = ray.put(centroids)
+
+        class _Partial:
+            def __init__(self):
+                self.cents = ray.get(cents_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                mat = _batch_mat(b, vec_col)
+                a = assign(mat, self.cents)
+                q = np.floor(mat * Q_SCALE + 0.5).astype(np.int64)
+                sums = np.zeros((k, d), dtype=np.int64)
+                np.add.at(sums, a, q)
+                cnt = np.bincount(a, minlength=k).astype(np.int64)
+                return pa.table({
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "cnt": pa.array(cnt),
+                    "sums": pa.array(sums.tolist(), pa.list_(pa.int64())),
+                })
+
+        parts = ds.map_batches(_Partial, batch_format="pyarrow",
+                               concurrency=(1, 8)).take_all()
+        sums = np.zeros((k, d), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for r in parts:
+            sums[r["cluster"]] += np.asarray(r["sums"], dtype=np.int64)
+            cnt[r["cluster"]] += r["cnt"]
+        nz = cnt > 0
+        centroids = centroids.copy()
+        centroids[nz] = (sums[nz] / cnt[nz, None]) / Q_SCALE
+
+    final_ref = ray.put(centroids)
+
+    class _Assign:
+        def __init__(self):
+            self.cents = ray.get(final_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mat = _batch_mat(b, vec_col)
+            a = assign(mat, self.cents)
+            return pa.table({
+                id_col: b[id_col],
+                "cluster": pa.array(a.astype(np.int64)),
+            })
+
+    return ds.map_batches(_Assign, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def kmeans_local(tbl: pa.Table, k: int = 8, iters: int = 5,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Single-process reference implementation (paths-agree tests)."""
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    mat = np.array(tbl[vec_col].to_pylist(), dtype=np.float64)
+    cents = mat[np.argsort(ids, kind="stable")[:k]]
+    q = np.floor(mat * Q_SCALE + 0.5).astype(np.int64)
+    for _ in range(iters):
+        d2 = (-2.0 * mat @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        a = np.argmin(d2, axis=1)
+        sums = np.zeros((k, mat.shape[1]), dtype=np.int64)
+        np.add.at(sums, a, q)
+        cnt = np.bincount(a, minlength=k).astype(np.int64)
+        nz = cnt > 0
+        cents = cents.copy()
+        cents[nz] = (sums[nz] / cnt[nz, None]) / Q_SCALE
+    d2 = (-2.0 * mat @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+    return {int(i): int(c) for i, c in zip(ids, np.argmin(d2, axis=1))}
+
+
+def quantize_embeddings_ds(ds, vec_col: str = "embedding",
+                           id_col: str = "vec_id"):
+    """Per-dimension min/max int8 quantization →
+    (vec_id, codes) with codes the comma-joined 0..255 levels:
+    ``code = floor((v - lo_j) * 255 / (hi_j - lo_j) + 0.5)``
+    (0 when the dimension is constant)."""
+    def minmax(b: pa.Table) -> pa.Table:
+        mat = _batch_mat(b, vec_col)
+        return pa.table({
+            "lo": pa.array([mat.min(axis=0)], pa.list_(pa.float64())),
+            "hi": pa.array([mat.max(axis=0)], pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(minmax, batch_format="pyarrow").take_all()
+    lo = np.min([r["lo"] for r in parts], axis=0)
+    hi = np.max([r["hi"] for r in parts], axis=0)
+    import ray
+
+    mm_ref = ray.put((lo, hi))
+
+    class _Quant:
+        def __init__(self):
+            self.lo, self.hi = ray.get(mm_ref)
+            span = self.hi - self.lo
+            self.ok = span > 0
+            self.span = np.where(self.ok, span, 1.0)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mat = _batch_mat(b, vec_col)
+            codes = np.floor((mat - self.lo) * 255.0 / self.span + 0.5)
+            codes = np.clip(codes, 0, 255).astype(np.int64)
+            codes[:, ~self.ok] = 0
+            n, d = codes.shape
+            flat = pa.array(codes.reshape(-1))
+            la = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+                flat.cast(pa.string()))
+            import pyarrow.compute as pc
+
+            return pa.table({
+                id_col: b[id_col],
+                "codes": pc.binary_join(la, ","),
+            })
+
+    return ds.map_batches(_Quant, batch_format="pyarrow",
+                          concurrency=(1, 8))

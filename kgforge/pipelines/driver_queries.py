@@ -211,6 +211,23 @@ def q_knn_ivf(sf_dir: str):
 # Event-stream operators
 # ---------------------------------------------------------------------------
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means (rows-only: iterative model fitting
+    is not SQL-expressible; determinism + paths-agree covered by
+    tests/test_graph_indexing.py and test_clustering)."""
+    from kgforge.functions.clustering import kmeans_ds
+
+    return kmeans_ds(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                     k=8, iters=5)
+
+
+def q_quantize_embeddings(sf_dir: str):
+    from kgforge.functions.clustering import quantize_embeddings_ds
+
+    return quantize_embeddings_ds(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
 def q_events_hourly(sf_dir: str):
     return F_events.hourly_agg_ds(_read(sf_dir, "events"))
 
@@ -1065,6 +1082,8 @@ QUERIES = {
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
     "knn_brute": q_knn_brute,
     "knn_ivf": q_knn_ivf,
+    "kmeans_clusters": q_kmeans_clusters,
+    "quantize_embeddings": q_quantize_embeddings,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
     "pricing_summary": q_pricing_summary,
@@ -1503,6 +1522,22 @@ ORACLE_SQL["doc_frequency"] = r"""
                   FROM documents)
     SELECT term, CAST(count(*) AS BIGINT) AS df
     FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 25
+"""
+ORACLE_SQL["quantize_embeddings"] = r"""
+    WITH dims AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                         generate_subscripts(embedding, 1) AS j
+                  FROM embeddings),
+    mm AS (SELECT j, min(v) AS lo, max(v) AS hi FROM dims GROUP BY j),
+    q AS (SELECT vec_id, j,
+                 CASE WHEN hi > lo
+                      THEN CAST(least(greatest(
+                               floor((v - lo) * 255.0 / (hi - lo) + 0.5),
+                               0), 255) AS BIGINT)
+                      ELSE 0 END AS code
+          FROM dims JOIN mm USING (j))
+    SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY j)
+               AS codes
+    FROM q GROUP BY vec_id
 """
 ORACLE_SQL["chunk_docs"] = r"""
     WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tl

@@ -1,0 +1,58 @@
+"""kmeans_ds / quantize_embeddings_ds: paths-agree with the local
+reference, determinism across block layouts, and quantize roundtrip
+bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _emb_table(n=120, d=16, seed=9):
+    rng = np.random.default_rng(seed)
+    # three separated blobs so clustering is non-trivial
+    centers = rng.normal(0, 5, size=(3, d))
+    mat = np.concatenate([
+        rng.normal(0, 1, size=(n // 3, d)) + centers[i] for i in range(3)
+    ]).astype(np.float32)
+    ids = np.arange(len(mat), dtype=np.int64)
+    return pa.table({"vec_id": pa.array(ids),
+                     "embedding": pa.array([r for r in mat.tolist()],
+                                           pa.list_(pa.float32()))})
+
+
+class TestKMeans:
+    def test_distributed_matches_local_and_block_layout(self, ray_session):
+        import ray.data as rd
+
+        from kgforge.functions.clustering import kmeans_ds, kmeans_local
+
+        tbl = _emb_table()
+        loc = kmeans_local(tbl, k=4, iters=4)
+        for parts in (2, 7):
+            ds = rd.from_arrow(tbl).repartition(parts)
+            dist = {r["vec_id"]: r["cluster"]
+                    for r in kmeans_ds(ds, k=4, iters=4).take_all()}
+            assert dist == loc
+        # the blobs should be separated: ≥ 3 non-trivial clusters
+        assert len(set(loc.values())) >= 3
+
+    def test_quantize_matches_formula_and_bounds(self, ray_session):
+        import ray.data as rd
+
+        from kgforge.functions.clustering import quantize_embeddings_ds
+
+        tbl = _emb_table(n=60, d=8, seed=3)
+        ds = rd.from_arrow(tbl).repartition(5)
+        rows = {r["vec_id"]: r["codes"]
+                for r in quantize_embeddings_ds(ds).take_all()}
+        mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+        lo, hi = mat.min(axis=0), mat.max(axis=0)
+        span = np.where(hi > lo, hi - lo, 1.0)
+        want = np.clip(np.floor((mat - lo) * 255.0 / span + 0.5),
+                       0, 255).astype(np.int64)
+        want[:, hi <= lo] = 0
+        for i, vid in enumerate(tbl["vec_id"].to_pylist()):
+            got = np.fromstring(rows[vid], dtype=np.int64, sep=",")
+            assert (got == want[i]).all()
+            assert got.min() >= 0 and got.max() <= 255
