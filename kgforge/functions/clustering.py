@@ -64,27 +64,27 @@ def kmeans_ds(ds, k: int = 8, iters: int = 5,
         return np.argmin(d2, axis=1)
 
     for _ in range(iters):
+        # broadcast via ray.put: tasks read the centroid matrix zero-
+        # copy from the object store (no per-batch reserialization);
+        # plain tasks, not an actor pool — per-iteration pool spin-up
+        # costs more than the stateless ray.get it would amortize
         cents_ref = ray.put(centroids)
 
-        class _Partial:
-            def __init__(self):
-                self.cents = ray.get(cents_ref)
+        def partial(b: pa.Table, ref=cents_ref) -> pa.Table:
+            cents = ray.get(ref)
+            mat = _batch_mat(b, vec_col)
+            a = assign(mat, cents)
+            q = np.floor(mat * Q_SCALE + 0.5).astype(np.int64)
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, a, q)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "cnt": pa.array(cnt),
+                "sums": pa.array(sums.tolist(), pa.list_(pa.int64())),
+            })
 
-            def __call__(self, b: pa.Table) -> pa.Table:
-                mat = _batch_mat(b, vec_col)
-                a = assign(mat, self.cents)
-                q = np.floor(mat * Q_SCALE + 0.5).astype(np.int64)
-                sums = np.zeros((k, d), dtype=np.int64)
-                np.add.at(sums, a, q)
-                cnt = np.bincount(a, minlength=k).astype(np.int64)
-                return pa.table({
-                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
-                    "cnt": pa.array(cnt),
-                    "sums": pa.array(sums.tolist(), pa.list_(pa.int64())),
-                })
-
-        parts = ds.map_batches(_Partial, batch_format="pyarrow",
-                               concurrency=(1, 8)).take_all()
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
         sums = np.zeros((k, d), dtype=np.int64)
         cnt = np.zeros(k, dtype=np.int64)
         for r in parts:
@@ -96,20 +96,16 @@ def kmeans_ds(ds, k: int = 8, iters: int = 5,
 
     final_ref = ray.put(centroids)
 
-    class _Assign:
-        def __init__(self):
-            self.cents = ray.get(final_ref)
+    def final_assign(b: pa.Table) -> pa.Table:
+        cents = ray.get(final_ref)
+        mat = _batch_mat(b, vec_col)
+        a = assign(mat, cents)
+        return pa.table({
+            id_col: b[id_col],
+            "cluster": pa.array(a.astype(np.int64)),
+        })
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            mat = _batch_mat(b, vec_col)
-            a = assign(mat, self.cents)
-            return pa.table({
-                id_col: b[id_col],
-                "cluster": pa.array(a.astype(np.int64)),
-            })
-
-    return ds.map_batches(_Assign, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    return ds.map_batches(final_assign, batch_format="pyarrow")
 
 
 def kmeans_local(tbl: pa.Table, k: int = 8, iters: int = 5,
@@ -152,29 +148,25 @@ def quantize_embeddings_ds(ds, vec_col: str = "embedding",
 
     mm_ref = ray.put((lo, hi))
 
-    class _Quant:
-        def __init__(self):
-            self.lo, self.hi = ray.get(mm_ref)
-            span = self.hi - self.lo
-            self.ok = span > 0
-            self.span = np.where(self.ok, span, 1.0)
+    def quant(b: pa.Table) -> pa.Table:
+        lo2, hi2 = ray.get(mm_ref)
+        span = hi2 - lo2
+        ok = span > 0
+        span = np.where(ok, span, 1.0)
+        mat = _batch_mat(b, vec_col)
+        codes = np.floor((mat - lo2) * 255.0 / span + 0.5)
+        codes = np.clip(codes, 0, 255).astype(np.int64)
+        codes[:, ~ok] = 0
+        n, d = codes.shape
+        flat = pa.array(codes.reshape(-1))
+        la = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+            flat.cast(pa.string()))
+        import pyarrow.compute as pc
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            mat = _batch_mat(b, vec_col)
-            codes = np.floor((mat - self.lo) * 255.0 / self.span + 0.5)
-            codes = np.clip(codes, 0, 255).astype(np.int64)
-            codes[:, ~self.ok] = 0
-            n, d = codes.shape
-            flat = pa.array(codes.reshape(-1))
-            la = pa.ListArray.from_arrays(
-                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
-                flat.cast(pa.string()))
-            import pyarrow.compute as pc
+        return pa.table({
+            id_col: b[id_col],
+            "codes": pc.binary_join(la, ","),
+        })
 
-            return pa.table({
-                id_col: b[id_col],
-                "codes": pc.binary_join(la, ","),
-            })
-
-    return ds.map_batches(_Quant, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    return ds.map_batches(quant, batch_format="pyarrow")
