@@ -350,3 +350,68 @@ def triangle_count_ds(edges_ds, src: str = "subj", dst: str = "obj",
                                  num_partitions=num_partitions)
     total = parts.sum("cnt") or 0
     return pa.table({"n_triangles": pa.array([int(total)], pa.int64())})
+
+
+def components_ds(edges_ds, src: str = "subj", dst: str = "obj",
+                  max_rounds: int = 64,
+                  driver_max_pairs: int = 5_000_000):
+    """Connected components of the undirected distinct-pair graph →
+    (node, component) with ``component`` the lexicographically-minimum
+    member.  Same MEASURED auto-selection as
+    ``dedup.dup_clusters_ds``: the distinct-pair set is counted first
+    — at or below ``driver_max_pairs`` a driver union-find over the
+    collected pairs wins outright (label propagation pays ~3 Ray
+    executions per diameter round); above it, distributed min-label
+    propagation (:func:`kgforge.functions.dedup.propagate_min_labels`)
+    runs with nothing on the driver.  Paths-agree tested."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from kgforge.functions.dedup import propagate_min_labels
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+
+    if und.count() <= driver_max_pairs:
+        from kgforge.oracle.linking import UnionFind
+
+        tables = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows]
+        if not tables:
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], pa.string()),
+                "component": pa.array([], pa.string())}))
+        pairs = pa.concat_tables([t.select(["n1", "n2"]) for t in tables])
+        nodes = sorted(set(pairs["n1"].to_pylist()))
+        idx = {v: i for i, v in enumerate(nodes)}
+        uf = UnionFind(len(nodes))
+        for a, b in zip(pairs["n1"].to_pylist(), pairs["n2"].to_pylist()):
+            uf.union(idx[a], idx[b])
+        roots: dict[int, str] = {}
+        comp = []
+        for v in nodes:            # ascending → first member is the min
+            r = uf.find(idx[v])
+            if r not in roots:
+                roots[r] = v
+            comp.append(roots[r])
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.string()),
+            "component": pa.array(comp, pa.string())}))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["n1"], "dst": b["n2"]})
+
+    edges = und.map_batches(rename, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["src"], "label": b["src"]})
+
+    labels = edges.map_batches(init_labels, batch_format="pyarrow") \
+        .groupby("node").aggregate(Min("label", alias_name="label"))
+    labels = propagate_min_labels(labels, edges, pa.string(),
+                                  max_rounds=max_rounds)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "component": b["label"]})
+
+    return labels.map_batches(finish, batch_format="pyarrow")

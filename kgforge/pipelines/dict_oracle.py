@@ -268,3 +268,18 @@ SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM ce e1 JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
 JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b
 """
+
+
+def components_sql() -> str:
+    """Connected components as a recursive reachability closure —
+    fine at oracle scale; the Ray side's label propagation is the
+    scale path."""
+    prelude = entity_pairs_prelude().replace("\nWITH jj",
+                                             "\nWITH RECURSIVE jj", 1)
+    return prelude + """,
+reach(node, lab) AS (
+  SELECT n1 AS node, n1 AS lab FROM und
+  UNION
+  SELECT r.node, u.n2 FROM reach r JOIN und u ON u.n1 = r.lab)
+SELECT node, min(lab) AS component FROM reach GROUP BY node
+"""

@@ -886,6 +886,12 @@ def q_kg_triangles(sf_dir: str):
     return triangle_count_ds(_entity_edges_for(sf_dir))
 
 
+def q_kg_components(sf_dir: str):
+    from kgforge.functions.graph import components_ds
+
+    return components_ds(_entity_edges_for(sf_dir))
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: each purchase event matched to the user's most
     recent click at-or-before it (backward inclusive, DuckDB ASOF
@@ -1112,6 +1118,7 @@ QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "kg_two_hop": q_kg_two_hop,
     "kg_triangles": q_kg_triangles,
+    "kg_components": q_kg_components,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "dup_clusters": q_dup_clusters,
@@ -1592,6 +1599,7 @@ ORACLE_SQL["kg_degree"] = _dict_oracle.degree_sql()
 ORACLE_SQL["kg_pagerank"] = _dict_oracle.pagerank_sql(iters=3)
 ORACLE_SQL["kg_two_hop"] = _dict_oracle.two_hop_sql()
 ORACLE_SQL["kg_triangles"] = _dict_oracle.triangles_sql()
+ORACLE_SQL["kg_components"] = _dict_oracle.components_sql()
 ORACLE_SQL["embedding_lsh_pairs"] = _embedding_lsh_oracle_sql()
 ORACLE_SQL["knn_ivf"] = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

@@ -91,6 +91,37 @@ class TestGraph:
                                 num_partitions=8).take_all()}
         assert out == expect
 
+    def test_components_match_bruteforce(self, ray_session):
+        from kgforge.functions.graph import components_ds
+
+        rng = np.random.default_rng(13)
+        # sparse graph → several components
+        _, pairs = _rand_digraph(rng, n_nodes=30, n_edges=20)
+        adj = {}
+        for a, b in pairs:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        expect = {}
+        for start in adj:
+            seen, stack = {start}, [start]
+            while stack:
+                for nb in adj[stack.pop()]:
+                    if nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+            expect[start] = min(seen)
+        # both paths (driver union-find / distributed propagation)
+        # must agree with the brute force and each other
+        drv = {r["node"]: r["component"] for r in
+               components_ds(_edges_ds(pairs)).take_all()}
+        prop = {r["node"]: r["component"] for r in
+                components_ds(_edges_ds(pairs),
+                              driver_max_pairs=0).take_all()}
+        assert drv == expect
+        assert prop == expect
+        assert len(set(expect.values())) > 1
+
     def test_triangle_count_matches_bruteforce(self, ray_session):
         from kgforge.functions.graph import triangle_count_ds
 
