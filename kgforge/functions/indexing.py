@@ -225,3 +225,35 @@ def tfidf_topk_ds(ds, k: int = 5, text_col: str = "text",
     return ds.map_batches(pairs, batch_format="pyarrow") \
         .groupby("__p").map_groups(attach_df, batch_format="pyarrow") \
         .groupby("__q").map_groups(rank, batch_format="pyarrow")
+
+
+def bigram_topk_ds(ds, k: int = 25, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Top-``k`` adjacent token pairs corpus-wide (the n-gram LM /
+    collocation base table) → (bigram, n), n desc then bigram asc.
+    Shape mirrors ``textstats.doc_frequency_ds``: per-batch partial
+    counts (arrow ``group_by``) so the global shuffle carries bigram
+    partials, never tokens."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, par = _token_lists(b, text_col)
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        pv = par.to_numpy(zero_copy_only=False)
+        adj = pv[1:] == pv[:-1]
+        w1 = flat.slice(0, len(flat) - 1).filter(pa.array(adj))
+        w2 = flat.slice(1).filter(pa.array(adj))
+        big = pc.binary_join_element_wise(w1, w2, " ")
+        t = pa.table({"bigram": big})
+        col = t["bigram"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = col.value_counts()
+        return pa.table({"bigram": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+    return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)

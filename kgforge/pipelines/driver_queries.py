@@ -120,6 +120,12 @@ def q_tfidf_topk(sf_dir: str):
     return tfidf_topk_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_bigram_topk(sf_dir: str):
+    from kgforge.functions.indexing import bigram_topk_ds
+
+    return bigram_topk_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication family
 # ---------------------------------------------------------------------------
@@ -1065,6 +1071,7 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "inverted_index": q_inverted_index,
     "tfidf_topk": q_tfidf_topk,
+    "bigram_topk": q_bigram_topk,
     "redact": q_redact,
     "repetition_ratio": q_repetition_ratio,
     "topk_per_group": q_topk_per_group,
@@ -1566,6 +1573,15 @@ ORACLE_SQL["inverted_index"] = r"""
            string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
                AS postings
     FROM p GROUP BY term HAVING count(*) >= 2
+"""
+ORACLE_SQL["bigram_topk"] = r"""
+    WITH t AS (SELECT regexp_extract_all(text, '\S+') AS tl
+               FROM documents),
+    b AS (SELECT unnest(tl[1:len(tl)-1]) || ' ' || unnest(tl[2:len(tl)])
+              AS bigram
+          FROM t WHERE len(tl) >= 2)
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25
 """
 ORACLE_SQL["tfidf_topk"] = r"""
     WITH toks AS (SELECT doc_id,

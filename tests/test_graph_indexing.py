@@ -183,6 +183,18 @@ class TestIndexing:
         assert got == {"a": (3, "1,2,4"), "b": (2, "1,2"),
                        "x": (2, "2,4")}
 
+    def test_bigram_topk_counts(self, ray_session):
+        from kgforge.functions.indexing import bigram_topk_ds
+
+        rows = bigram_topk_ds(self._ds(), k=4).take_all()
+        got = [(r["bigram"], r["n"]) for r in rows]
+        # corpus bigrams: doc1 a b,b c,c d,d e,e f,f g,g h,h i; doc2
+        # a a,a b,b x; doc4 x y,y z,z a; doc5 q r,...  "a b" ×2 tops,
+        # rest ×1 tie → lexicographic
+        assert got[0] == ("a b", 2)
+        assert [g[1] for g in got[1:]] == [1, 1, 1]
+        assert [g[0] for g in got[1:]] == sorted(g[0] for g in got[1:])
+
     def test_tfidf_topk_ranking(self, ray_session):
         from kgforge.functions.indexing import tfidf_topk_ds
 
