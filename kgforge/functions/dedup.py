@@ -650,6 +650,62 @@ def dup_clusters_ds(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
         "cluster_id": pa.array(cluster, pa.int64())}))
 
 
+def lsh_recall_ds(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                  tau: float = 0.3, num_partitions: int = 32):
+    """Candidate-generator QUALITY metric: recall of the hyperplane-LSH
+    pair generator against exact all-pairs ground truth at the same
+    ``tau`` → one row (n_exact, n_lsh, n_hit, recall).
+
+    The ground truth is an O(n²) all-pairs cosine — an EVALUATION
+    operator: at corpus scale you run it on a hash-sample (see
+    ``hash_split_ds``) exactly as ANN recall is benchmarked anywhere;
+    the LSH side under test is the production scale path.  The pair
+    sets meet in a hash-partitioned cogroup (no driver-side set
+    arithmetic); only three counters come back."""
+    import pyarrow.compute as pc
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    def const_block(b: pa.Table) -> pa.Table:
+        return b.append_column("__blk",
+                               pa.array(np.zeros(b.num_rows, np.int8)))
+
+    exact = embedding_dup_pairs_ds(
+        ds.map_batches(const_block, batch_format="pyarrow"),
+        block_col="__blk", vec_col=vec_col, id_col=id_col, tau=tau)
+    lsh = embedding_lsh_pairs_ds(ds, vec_col=vec_col, id_col=id_col,
+                                 tau=tau)
+
+    def key_of(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(b["id_a"], pa.string()),
+            pc.cast(b["id_b"], pa.string()), ",")
+        return pa.table({"pair": k})
+
+    ek = exact.map_batches(key_of, batch_format="pyarrow")
+    lk = lsh.map_batches(key_of, batch_format="pyarrow")
+
+    def count_hits(t: pa.Table, starts, nl, nr) -> pa.Table:
+        n_exact = int((nl > 0).sum())
+        n_hit = int(((nl > 0) & (nr > 0)).sum())
+        return pa.table({"n_exact": pa.array([n_exact], pa.int64()),
+                         "n_hit": pa.array([n_hit], pa.int64())})
+
+    parts = cogroup_partition_ds(ek, lk, "pair", "pair", count_hits,
+                                 [], [], num_partitions=num_partitions)
+    n_exact = parts.sum("n_exact") or 0
+    n_hit = parts.sum("n_hit") or 0
+    n_lsh = lsh.count()
+    recall = (round_away(np.array([n_hit / n_exact]), 4)[0]
+              if n_exact else 0.0)
+    return pa.table({
+        "n_exact": pa.array([int(n_exact)], pa.int64()),
+        "n_lsh": pa.array([int(n_lsh)], pa.int64()),
+        "n_hit": pa.array([int(n_hit)], pa.int64()),
+        "recall": pa.array([float(recall)], pa.float64()),
+    })
+
+
 def hash_split_ds(ds, id_col: str = "doc_id", train_pct: int = 80):
     """Deterministic hash-based train/test assignment: split by
     ``md5(str(doc_id))`` so membership is stable across runs, engines

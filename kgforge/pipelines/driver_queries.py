@@ -234,6 +234,14 @@ def q_quantize_embeddings(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def q_lsh_recall(sf_dir: str):
+    """ANN-quality metric: recall of the LSH pair generator vs exact
+    all-pairs ground truth at the same threshold."""
+    return F_dedup.lsh_recall_ds(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .repartition(16), tau=0.3)
+
+
 def q_events_hourly(sf_dir: str):
     return F_events.hourly_agg_ds(_read(sf_dir, "events"))
 
@@ -1097,6 +1105,7 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "kmeans_clusters": q_kmeans_clusters,
     "quantize_embeddings": q_quantize_embeddings,
+    "lsh_recall": q_lsh_recall,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
     "pricing_summary": q_pricing_summary,
@@ -1617,6 +1626,22 @@ ORACLE_SQL["kg_two_hop"] = _dict_oracle.two_hop_sql()
 ORACLE_SQL["kg_triangles"] = _dict_oracle.triangles_sql()
 ORACLE_SQL["kg_components"] = _dict_oracle.components_sql()
 ORACLE_SQL["embedding_lsh_pairs"] = _embedding_lsh_oracle_sql()
+ORACLE_SQL["lsh_recall"] = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    exact AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.e, b.e) >= 0.3),
+    lsh AS (SELECT id_a, id_b FROM ({_embedding_lsh_oracle_sql()}) l),
+    hits AS (SELECT count(*) AS h FROM exact
+             JOIN lsh USING (id_a, id_b))
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+           CAST((SELECT h FROM hits) AS BIGINT) AS n_hit,
+           round(CAST((SELECT h FROM hits) AS DOUBLE)
+                 / CAST((SELECT count(*) FROM exact) AS DOUBLE), 4)
+               AS recall
+"""
 ORACLE_SQL["knn_ivf"] = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings),

@@ -37,6 +37,33 @@ class TestKMeans:
         # the blobs should be separated: ≥ 3 non-trivial clusters
         assert len(set(loc.values())) >= 3
 
+    def test_lsh_recall_counts(self, ray_session):
+        import ray.data as rd
+
+        from kgforge.functions.dedup import (embedding_lsh_pairs_ds,
+                                             lsh_recall_ds)
+
+        tbl = _emb_table(n=90, d=64, seed=21)
+        ds = rd.from_arrow(tbl).repartition(4)
+        out = lsh_recall_ds(ds, tau=0.3)
+        n_exact = out["n_exact"][0].as_py()
+        n_hit = out["n_hit"][0].as_py()
+        n_lsh = out["n_lsh"][0].as_py()
+        # brute-force ground truth
+        mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+        sims = unit @ unit.T
+        iu, ju = np.triu_indices(len(mat), k=1)
+        want_exact = int((sims[iu, ju] >= 0.3).sum())
+        assert n_exact == want_exact
+        lsh_pairs = {(r["id_a"], r["id_b"]) for r in
+                     embedding_lsh_pairs_ds(ds, tau=0.3).take_all()}
+        assert n_lsh == len(lsh_pairs)
+        exact_pairs = {(int(a), int(b)) for a, b, s in
+                       zip(iu, ju, sims[iu, ju]) if s >= 0.3}
+        assert n_hit == len(exact_pairs & lsh_pairs)
+        assert 0 <= n_hit <= n_exact
+
     def test_quantize_matches_formula_and_bounds(self, ray_session):
         import ray.data as rd
 
