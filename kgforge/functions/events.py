@@ -813,3 +813,65 @@ def rollup_hourly_ds(ds, type_col: str = "event_type", on: str = "ts",
 
     return leaf.repartition(1).map_batches(rollup, batch_format="pandas",
                                            batch_size=None)
+
+
+def funnel_counts_ds(ds, steps=("view", "click", "purchase"),
+                     by: str = "user_id", type_col: str = "event_type",
+                     on: str = "ts", num_partitions: int = 64):
+    """Ordered-funnel analysis: for each step i, how many users
+    performed step i at-or-after their earliest completion of steps
+    0..i-1 (first-touch semantics, ``>=`` on the timestamp) →
+    (step_idx, step, n_users).
+
+    One keyed shuffle: events hash-partition by user; per partition
+    the per-user step times are ``np.minimum.reduceat`` segment
+    reductions over masked epoch-µs values — no per-user Python —
+    and only per-partition step counters leave the shuffle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    steps = tuple(steps)
+    big = np.int64(2**62)
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            by: b[by],
+            type_col: b[type_col],
+            "__on": pc.cast(_on_key(b[on]), pa.int64()),
+            "__p": pa.array(_part_codes(b[by], num_partitions)),
+        })
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(by, "ascending")])
+        users = t[by].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(users) == 0:
+            starts = np.zeros(0, dtype=np.int64)
+        else:
+            starts = np.concatenate(
+                [[0], np.flatnonzero(users[1:] != users[:-1]) + 1])
+        ts = t["__on"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        etype = t[type_col].combine_chunks()
+        seg_lens = np.diff(np.concatenate([starts, [len(users)]]))
+        prev = np.zeros(len(starts), dtype=np.int64)   # -inf sentinel 0
+        counts = []
+        for s in steps:
+            mask = pc.equal(etype, s).to_numpy(zero_copy_only=False)
+            prev_row = np.repeat(prev, seg_lens)
+            val = np.where(mask & (ts >= prev_row), ts, big)
+            tmin = (np.minimum.reduceat(val, starts)
+                    if len(starts) else np.zeros(0, dtype=np.int64))
+            counts.append(int((tmin < big).sum()))
+            prev = tmin
+        return pa.table({
+            "step_idx": pa.array(np.arange(len(steps), dtype=np.int64)),
+            "step": pa.array(list(steps), pa.string()),
+            "n_users": pa.array(counts, pa.int64()),
+        })
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition, batch_format="pyarrow")
+    return parts.groupby(["step_idx", "step"]) \
+        .aggregate(Sum("n_users", alias_name="n_users"))

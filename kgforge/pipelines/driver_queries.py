@@ -234,6 +234,11 @@ def q_quantize_embeddings(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def q_funnel_counts(sf_dir: str):
+    return F_events.funnel_counts_ds(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"]))
+
+
 def q_lsh_recall(sf_dir: str):
     """ANN-quality metric: recall of the LSH pair generator vs exact
     all-pairs ground truth at the same threshold."""
@@ -1106,6 +1111,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "quantize_embeddings": q_quantize_embeddings,
     "lsh_recall": q_lsh_recall,
+    "funnel_counts": q_funnel_counts,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
     "pricing_summary": q_pricing_summary,
@@ -1626,6 +1632,24 @@ ORACLE_SQL["kg_two_hop"] = _dict_oracle.two_hop_sql()
 ORACLE_SQL["kg_triangles"] = _dict_oracle.triangles_sql()
 ORACLE_SQL["kg_components"] = _dict_oracle.components_sql()
 ORACLE_SQL["embedding_lsh_pairs"] = _embedding_lsh_oracle_sql()
+ORACLE_SQL["funnel_counts"] = """
+    WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN t1 ON e.user_id = t1.user_id
+                               AND e.ts >= t1.t
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN t2 ON e.user_id = t2.user_id
+                               AND e.ts >= t2.t
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+           CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 1, 'click', (SELECT count(*) FROM t2)
+    UNION ALL
+    SELECT 2, 'purchase', (SELECT count(*) FROM t3)
+"""
 ORACLE_SQL["lsh_recall"] = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings),
