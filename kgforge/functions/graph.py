@@ -192,15 +192,26 @@ def pagerank_ds(edges_ds, iters: int = 3, src: str = "subj",
 
     def apply_rank(t: pa.Table, starts, nl, nr) -> pa.Table:
         # left = base (payload outdeg; one row per node), right =
-        # in-sums (payload insum; ≤ 1 row per node)
+        # contribution rows (payload c; any number per node) — the
+        # per-node in-sum is a segment reduction INSIDE this cogroup,
+        # so each iteration is exactly two Ray executions (contrib
+        # cogroup + this one), no separate groupby-sum pass
         has_l = nl > 0
         lidx = starts[has_l]
+        c = pc.fill_null(t["c"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # sum right runs per key: reduceat over [start+nl, start+nl+nr)
+        r_starts = (starts + nl)[has_l]
+        r_lens = nr[has_l]
         insum = np.zeros(int(has_l.sum()), dtype=np.int64)
-        has_r = (nr > 0)[has_l]
-        r_first = (starts + nl)[has_l][has_r]
-        if len(r_first):
-            insum[has_r] = t["insum"].take(pa.array(r_first)) \
-                .combine_chunks().to_numpy(zero_copy_only=False)
+        nz = r_lens > 0
+        if nz.any():
+            # reduceat sums each [start_i, start_{i+1}) — the rows
+            # between a key's right run and the next summed start are
+            # other keys' LEFT rows only (every contrib key is in
+            # base, so no right-only keys exist), and their c is
+            # null→0: the overshoot contributes nothing
+            insum[nz] = np.add.reduceat(c, r_starts[nz])
         new_rank = PR_BASE + (PR_NUM * insum) // PR_DEN
         return pa.table({
             "node": t["__k"].take(pa.array(lidx)),
@@ -208,18 +219,12 @@ def pagerank_ds(edges_ds, iters: int = 3, src: str = "subj",
             "rank": pa.array(new_rank),
         })
 
-    def sum_partial(b: pa.Table) -> pa.Table:
-        g = b.group_by(["d"], use_threads=False).aggregate([("c", "sum")])
-        return pa.table({"d": g["d"], "c": g["c_sum"]})
-
     for _ in range(iters):
         contrib = cogroup_partition_ds(
             pairs, ranks, "s", "node", contribs, ["d"],
             ["rank", "outdeg"], num_partitions=num_partitions)
-        insums = contrib.map_batches(sum_partial, batch_format="pyarrow") \
-            .groupby("d").aggregate(Sum("c", alias_name="insum"))
         ranks = cogroup_partition_ds(
-            base, insums, "node", "d", apply_rank, ["outdeg"], ["insum"],
+            base, contrib, "node", "d", apply_rank, ["outdeg"], ["c"],
             num_partitions=num_partitions).materialize()
 
     def finish(b: pa.Table) -> pa.Table:
