@@ -177,29 +177,39 @@ def cogroup_partition_ds(left_ds, right_ds, on_left: str, on_right: str,
 def shuffle_join_ds(left_ds, right_ds, on_left: str, on_right: str,
                     left_cols: list[str], right_cols: list[str],
                     how: str = "inner", num_partitions: int = 64):
-    """Row-emitting equi-join (inner or left outer).  Output columns:
-    ``on_left`` + left payload + right payload; right payload is
-    typed-null on left-outer misses.  The within-partition merge is
-    pure index arithmetic across all keys at once (repeat/modulo over
-    run layouts) — zero per-key Python.  Per key the output is the
-    cartesian (|L_k| × |R_k|) — see the module salting note."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how={how!r}: only inner/left supported")
+    """Row-emitting equi-join (inner / left / right / full outer).
+    Output columns: ``on_left`` + left payload + right payload; the
+    absent side's payload is typed-null on outer misses.  The
+    within-partition merge is pure index arithmetic across all keys at
+    once (repeat/modulo over run layouts) — zero per-key Python.  Per
+    key the output is the cartesian (|L_k| × |R_k|) — see the module
+    salting note."""
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"how={how!r}: inner/left/right/full supported")
     dup = set(left_cols) & set(right_cols)
     if dup:
         raise ValueError(f"payload column name collision: {sorted(dup)}")
+    l_schema = left_ds.schema().base_schema
+    l_types = [(c, l_schema.field(c).type) for c in left_cols]
     r_schema = right_ds.schema().base_schema
     r_types = [(c, r_schema.field(c).type) for c in right_cols]
 
     def per_partition(t: pa.Table) -> pa.Table:
         t, starts, nl, nr = _sorted_runs(t)
 
-        def build(lidx: np.ndarray, ridx: np.ndarray | None) -> pa.Table:
-            li = pa.array(lidx)
-            cols = {on_left: t["__k"].take(li),
-                    **{c: t[c].take(li) for c in left_cols}}
+        def build(lidx: np.ndarray | None,
+                  ridx: np.ndarray | None) -> pa.Table:
+            # key comes from whichever side is present
+            kidx = pa.array(lidx if lidx is not None else ridx)
+            cols = {on_left: t["__k"].take(kidx)}
+            if lidx is None:
+                cols.update({c: pa.nulls(len(kidx), typ)
+                             for c, typ in l_types})
+            else:
+                li = pa.array(lidx)
+                cols.update({c: t[c].take(li) for c in left_cols})
             if ridx is None:
-                cols.update({c: pa.nulls(len(lidx), typ)
+                cols.update({c: pa.nulls(len(kidx), typ)
                              for c, typ in r_types})
             else:
                 ri = pa.array(ridx)
@@ -217,13 +227,21 @@ def shuffle_join_ds(left_ds, right_ds, on_left: str, on_right: str,
             lidx = starts[kofs] + j // np.maximum(nr[kofs], 1)
             ridx = starts[kofs] + nl[kofs] + j % np.maximum(nr[kofs], 1)
             parts.append(build(lidx, ridx))
-        if how == "left":
+        if how in ("left", "full"):
             miss = np.flatnonzero((nr == 0) & (nl > 0))
             if len(miss):
                 lidx = np.concatenate(
                     [np.arange(starts[i], starts[i] + nl[i])
                      for i in miss])
                 parts.append(build(lidx, None))
+        if how in ("right", "full"):
+            miss = np.flatnonzero((nl == 0) & (nr > 0))
+            if len(miss):
+                ridx = np.concatenate(
+                    [np.arange(starts[i] + nl[i],
+                               starts[i] + nl[i] + nr[i])
+                     for i in miss])
+                parts.append(build(None, ridx))
         if not parts:
             return build(np.zeros(0, dtype=np.int64),
                          np.zeros(0, dtype=np.int64))

@@ -320,6 +320,41 @@ def q_orders_customer_join(sf_dir: str):
         left_cols=["o_orderkey"], right_cols=["c_name", "c_mktsegment"])
 
 
+def q_user_customer_full_join(sf_dir: str):
+    """Full-outer shuffle join with misses on BOTH sides: per-user
+    event counts (users 0–149) against a customer-key slice
+    (145–160: keys 145–149 match, 150–160 are right-only, users
+    0–144 are left-only).
+    Nulls are coalesced to sentinels so the output is typed-stable
+    through every engine's null round-trip."""
+    from ray.data.aggregate import Count
+
+    from kgforge.functions.joins import shuffle_join_ds
+
+    users = _read(sf_dir, "events", ["user_id"]) \
+        .groupby("user_id").aggregate(Count(alias_name="n_events"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def slice_cust(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["c_custkey"], 145),
+                       pc.less_equal(b["c_custkey"], 160))
+        return b.filter(keep)
+
+    joined = shuffle_join_ds(
+        users, cust.map_batches(slice_cust, batch_format="pyarrow"),
+        on_left="user_id", on_right="c_custkey",
+        left_cols=["n_events"], right_cols=["c_name"], how="full")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "n_events": pc.fill_null(b["n_events"], 0),
+            "c_name": pc.fill_null(b["c_name"], ""),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_priority_revenue(sf_dir: str):
     """Join+aggregate over the vectorized cogroup join: lineitem
     revenue is pre-summed per order INSIDE each batch (combiner —
@@ -1096,6 +1131,7 @@ QUERIES = {
     "tier_lookup": q_tier_lookup,
     "stratified_sample": q_stratified_sample,
     "orders_customer_join": q_orders_customer_join,
+    "user_customer_full_join": q_user_customer_full_join,
     "priority_revenue": q_priority_revenue,
     "hourly_distinct_users": q_hourly_distinct_users,
     "rollup_hourly": q_rollup_hourly,
@@ -1523,6 +1559,16 @@ ORACLE_SQL["rollup_hourly"] = """
 ORACLE_SQL["orders_customer_join"] = """
     SELECT o_custkey, o_orderkey, c_name, c_mktsegment
     FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+ORACLE_SQL["user_customer_full_join"] = """
+    SELECT coalesce(e.user_id, c.c_custkey) AS user_id,
+           coalesce(e.n_events, 0) AS n_events,
+           coalesce(c.c_name, '') AS c_name
+    FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY user_id) e
+    FULL JOIN (SELECT c_custkey, c_name FROM customer
+               WHERE c_custkey BETWEEN 145 AND 160) c
+      ON e.user_id = c.c_custkey
 """
 ORACLE_SQL["priority_revenue"] = """
     WITH r AS (SELECT l_orderkey,

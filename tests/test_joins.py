@@ -46,6 +46,39 @@ def test_shuffle_join_left_outer(ray_session):
     assert out.rv.dtype.kind in "if"
 
 
+def test_shuffle_join_right_outer(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.joins import shuffle_join_ds
+
+    left, right = _sides(rd)
+    out = shuffle_join_ds(left, right, "k", "rk", ["lv"], ["rv"],
+                          how="right").to_pandas() \
+        .sort_values(["k", "rv"]).reset_index(drop=True)
+    # matches as inner, plus right-only k=3 with null left payload
+    assert out.k.tolist() == [1, 1, 2, 2, 3]
+    assert out.rv.tolist() == [10, 10, 20, 21, 30]
+    assert out.lv.tolist()[:4] == ["a", "b", "c", "c"]
+    assert out.lv.isna().tolist() == [False] * 4 + [True]
+
+
+def test_shuffle_join_full_outer(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.joins import shuffle_join_ds
+
+    left, right = _sides(rd)
+    out = shuffle_join_ds(left, right, "k", "rk", ["lv"], ["rv"],
+                          how="full").to_pandas() \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    # inner matches + left-only k=4 + right-only k=3
+    assert sorted(out.k.tolist()) == [1, 1, 2, 2, 3, 4]
+    assert out[out.k == 3].rv.tolist() == [30]
+    assert out[out.k == 3].lv.isna().all()
+    assert out[out.k == 4].rv.isna().all()
+    assert out[out.k == 4].lv.tolist() == ["d"]
+
+
 def test_cogroup_aggregate_fusion(ray_session):
     import ray.data as rd
 
