@@ -170,8 +170,10 @@ def pagerank_ds(edges_ds, iters: int = 3, src: str = "subj",
             "rank": pa.array(np.full(b.num_rows, PR_R0, dtype=np.int64)),
         })
 
-    ranks = base.map_batches(init_ranks, batch_format="pyarrow") \
-        .materialize()
+    # no materialize: init is a stateless map over the materialized
+    # base — re-deriving it inside the first iteration's cogroup is
+    # cheaper than one more full execution
+    ranks = base.map_batches(init_ranks, batch_format="pyarrow")
 
     def contribs(t: pa.Table, starts, nl, nr) -> pa.Table:
         # left = pairs (payload d), right = ranks (payload rank,
