@@ -77,29 +77,37 @@ def chunk_docs_ds(ds, chunk: int = 64, stride: int = 48,
         raise ValueError("chunk and stride must be positive")
 
     def per_batch(b: pa.Table) -> pa.Table:
-        flat, par = _token_lists(b, text_col)
-        n = b.num_rows
-        ntok = np.bincount(par.to_numpy(zero_copy_only=False),
-                           minlength=n).astype(np.int64)
-        docstart = _excl_cumsum(ntok)
-        n_chunks = np.where(ntok > 0, (ntok - 1) // stride + 1, 0)
-        doc_of = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
-        cidx = _segment_arange(n_chunks)
-        cstart = cidx * stride
-        clen = np.minimum(cstart + chunk, ntok[doc_of]) - cstart
-        within = _segment_arange(clen)
-        gidx = (np.repeat(docstart[doc_of] + cstart, clen) + within)
-        offsets = np.concatenate([[0], np.cumsum(clen)]).astype(np.int32)
-        la = pa.ListArray.from_arrays(pa.array(offsets),
-                                      flat.take(pa.array(gidx)))
-        return pa.table({
-            id_col: b[id_col].take(pa.array(doc_of)),
-            "chunk_idx": pa.array(cidx),
-            "chunk_text": pc.binary_join(la, " "),
-            "n_tokens": pa.array(clen),
-        })
+        return chunk_batch(b, chunk, stride, text_col, id_col)
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def chunk_batch(b: pa.Table, chunk: int, stride: int,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> pa.Table:
+    """The pure per-batch kernel of :func:`chunk_docs_ds` (exposed for
+    direct property testing)."""
+    flat, par = _token_lists(b, text_col)
+    n = b.num_rows
+    ntok = np.bincount(par.to_numpy(zero_copy_only=False),
+                       minlength=n).astype(np.int64)
+    docstart = _excl_cumsum(ntok)
+    n_chunks = np.where(ntok > 0, (ntok - 1) // stride + 1, 0)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+    cidx = _segment_arange(n_chunks)
+    cstart = cidx * stride
+    clen = np.minimum(cstart + chunk, ntok[doc_of]) - cstart
+    within = _segment_arange(clen)
+    gidx = (np.repeat(docstart[doc_of] + cstart, clen) + within)
+    offsets = np.concatenate([[0], np.cumsum(clen)]).astype(np.int32)
+    la = pa.ListArray.from_arrays(pa.array(offsets),
+                                  flat.take(pa.array(gidx)))
+    return pa.table({
+        id_col: b[id_col].take(pa.array(doc_of)),
+        "chunk_idx": pa.array(cidx),
+        "chunk_text": pc.binary_join(la, " "),
+        "n_tokens": pa.array(clen),
+    })
 
 
 def inverted_index_ds(ds, min_df: int = 2, text_col: str = "text",

@@ -195,6 +195,41 @@ class TestIndexing:
         assert [g[1] for g in got[1:]] == [1, 1, 1]
         assert [g[0] for g in got[1:]] == sorted(g[0] for g in got[1:])
 
+    def test_funnel_edge_cases(self, ray_session):
+        """Same-timestamp step completion counts (>= semantics); a
+        user doing steps out of order does NOT advance; events arrive
+        shuffled across blocks."""
+        import ray.data as rd
+
+        from kgforge.functions.events import funnel_counts_ds
+
+        us = 1_000_000
+        rows = [
+            # u1: strict order view<click<purchase → reaches all 3
+            (1, "view", 1 * us), (1, "click", 2 * us),
+            (1, "purchase", 3 * us),
+            # u2: click and purchase at the SAME ts as view → >= passes
+            (2, "view", 5 * us), (2, "click", 5 * us),
+            (2, "purchase", 5 * us),
+            # u3: purchase BEFORE first view → stops after click
+            (3, "purchase", 1 * us), (3, "view", 2 * us),
+            (3, "click", 3 * us),
+            # u4: click only, never viewed → counts nowhere
+            (4, "click", 9 * us),
+            # u5: view only
+            (5, "view", 7 * us),
+        ]
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([r[2] for r in rows],
+                           pa.timestamp("us")),
+        })
+        out = {r["step"]: r["n_users"] for r in
+               funnel_counts_ds(rd.from_arrow(tbl).repartition(4),
+                                num_partitions=8).take_all()}
+        assert out == {"view": 4, "click": 3, "purchase": 2}
+
     def test_tfidf_topk_ranking(self, ray_session):
         from kgforge.functions.indexing import tfidf_topk_ds
 

@@ -103,3 +103,28 @@ def test_triple_extractor_property_vs_oracle(rows):
             t["pid"] = r["pid"]
             exp[tuple(sorted(t.items()))] += 1
     assert got == exp
+
+
+@given(st.lists(st.text(alphabet="ab 清\t\nxyz", max_size=60),
+                max_size=12),
+       st.integers(1, 8), st.integers(1, 8))
+@settings(max_examples=150, deadline=None)
+def test_chunk_batch_matches_reference(texts, chunk, stride):
+    """chunk_batch == straightforward Python token slicing for any
+    (chunk, stride) and any whitespace-messy input."""
+    from kgforge.functions.indexing import chunk_batch
+
+    b = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = chunk_batch(b, chunk, stride)
+    got = [(r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+           for r in out.to_pylist()]
+    exp = []
+    for i, text in enumerate(texts):
+        toks = text.split()
+        j = 0
+        while j * stride < len(toks):
+            w = toks[j * stride:j * stride + chunk]
+            exp.append((i, j, " ".join(w), len(w)))
+            j += 1
+    assert got == exp
