@@ -46,6 +46,7 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
                  tagger_batch_size: int = 1024,
                  tagger_mode: str = "tasks",
                  tagger_cls=None,
+                 tagger_num_gpus: float = 0,
                  read_blocks: int | None = None,
                  out_dir: str | None = None,
                  use_alias: bool = True,
@@ -97,13 +98,17 @@ def run_flagship(t0_path: str | None = None, t0_ds=None, *,
             # expensive-per-worker state (BiLSTM weights, GPU): class
             # UDF actor pool, setup once per actor in __init__.  Any
             # Tagger-protocol class plugs in via ``tagger_cls``
-            # (SURVEY §2.10); ``num_gpus`` would be added here for the
-            # GPU variant — a config knob, not a code change.
+            # (SURVEY §2.10); ``tagger_num_gpus`` reserves GPU slices
+            # per actor (e.g. 0.25 → 4 taggers share a device) — the
+            # model's .to("cuda") in __init__ is the only other change
+            # a GPU tagger needs.
             cls = tagger_cls or HmmTagger
+            gpu_kw = {"num_gpus": tagger_num_gpus} if tagger_num_gpus \
+                else {}
             tagged = sents.map_batches(
                 cls, fn_constructor_kwargs={"model_path": model_path},
                 batch_format="pyarrow", batch_size=tagger_batch_size,
-                concurrency=conc, num_cpus=1)
+                concurrency=conc, num_cpus=1, **gpu_kw)
         else:
             # cheap state (HMM .npz): stateless fn + per-worker model
             # cache — fuses read→explode→tag→mentions→checkpoint into
