@@ -124,7 +124,8 @@ def _lr_indices(starts, nl, nr):
 
 
 def pagerank_ds(edges_ds, iters: int = 3, src: str = "subj",
-                dst: str = "obj", num_partitions: int = 64):
+                dst: str = "obj", num_partitions: int = 64,
+                materialize_each: bool = False):
     """Integer-deterministic PageRank (damping 0.85) over the distinct
     directed-pair graph: ranks are int64 micro-units, each step
 
@@ -139,8 +140,13 @@ def pagerank_ds(edges_ds, iters: int = 3, src: str = "subj",
     Plan per iteration (2 keyed shuffles): cogroup(pairs by src,
     ranks by node) → contribution rows (dst, rank//outdeg); per-batch
     partial sum → groupby dst; cogroup(base nodes, in-sums) →
-    rank'.  Each iteration materializes — lineage stays one step deep,
-    the object store holds |nodes| rows per step."""
+    rank'.  ``materialize_each=True`` checkpoints every iteration —
+    lineage stays one step deep and a task failure re-runs one step,
+    the right trade at web scale or high iteration counts.  The
+    default keeps the loop LAZY: all iterations execute as one
+    streaming DAG, so a small/medium graph pays Ray's per-execution
+    fixed cost once instead of per iteration (measured 71s → ~10s on
+    the oracle-scale graph in a contended window)."""
     from ray.data.aggregate import Sum
 
     pairs = _distinct_pairs_ds(edges_ds, src, dst, "s", "d",
@@ -221,13 +227,24 @@ def pagerank_ds(edges_ds, iters: int = 3, src: str = "subj",
             "rank": pa.array(new_rank),
         })
 
+    # fixed payload schemas for the loop's lazy datasets —
+    # Dataset.schema() on a lazy chained dataset would re-execute its
+    # growing lineage once per iteration just to discover these types
+    ranks_schema = pa.schema([("node", pa.string()),
+                              ("outdeg", pa.int64()),
+                              ("rank", pa.int64())])
+    contrib_schema = pa.schema([("d", pa.string()), ("c", pa.int64())])
+
     for _ in range(iters):
         contrib = cogroup_partition_ds(
             pairs, ranks, "s", "node", contribs, ["d"],
-            ["rank", "outdeg"], num_partitions=num_partitions)
+            ["rank", "outdeg"], num_partitions=num_partitions,
+            right_schema=ranks_schema)
         ranks = cogroup_partition_ds(
             base, contrib, "node", "d", apply_rank, ["outdeg"], ["c"],
-            num_partitions=num_partitions).materialize()
+            num_partitions=num_partitions, right_schema=contrib_schema)
+        if materialize_each:
+            ranks = ranks.materialize()
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({"node": b["node"], "rank": b["rank"]})

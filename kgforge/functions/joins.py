@@ -68,12 +68,19 @@ def _tag(t: pa.Table, key, side: int, own: set[str],
 
 
 def _union_tagged(left_ds, right_ds, on_left, on_right,
-                  left_cols, right_cols, num_partitions):
+                  left_cols, right_cols, num_partitions,
+                  left_schema: pa.Schema | None = None,
+                  right_schema: pa.Schema | None = None):
+    """``left_schema`` / ``right_schema``: optional payload-type hints.
+    ``Dataset.schema()`` on a LAZY dataset triggers (partial) plan
+    execution — an iterative caller chaining cogroups (PageRank's
+    per-iteration ranks) re-executes its growing lineage once per
+    schema probe without them."""
     dup = set(left_cols) & set(right_cols)
     if dup:
         raise ValueError(f"payload column name collision: {sorted(dup)}")
-    l_schema = left_ds.schema().base_schema
-    r_schema = right_ds.schema().base_schema
+    l_schema = left_schema or left_ds.schema().base_schema
+    r_schema = right_schema or right_ds.schema().base_schema
     l_types = [(c, l_schema.field(c).type) for c in left_cols]
     r_types = [(c, r_schema.field(c).type) for c in right_cols]
     all_types = l_types + r_types
@@ -155,7 +162,9 @@ def cogroup_ds(left_ds, right_ds, on_left: str, on_right: str,
 
 def cogroup_partition_ds(left_ds, right_ds, on_left: str, on_right: str,
                          fn, left_cols: list[str], right_cols: list[str],
-                         num_partitions: int = 64):
+                         num_partitions: int = 64,
+                         left_schema: pa.Schema | None = None,
+                         right_schema: pa.Schema | None = None):
     """Partition-level cogroup: ``fn(sorted_tbl, starts, nl, nr) ->
     pa.Table`` receives one whole hash partition sorted by (key, side)
     plus its per-key run layout — key i's left rows are
@@ -165,7 +174,9 @@ def cogroup_partition_ds(left_ds, right_ds, on_left: str, on_right: str,
     over ``starts``) and ships one row per key out of the single
     shuffle — no per-key Python, no follow-up re-shuffle."""
     unioned = _union_tagged(left_ds, right_ds, on_left, on_right,
-                            left_cols, right_cols, num_partitions)
+                            left_cols, right_cols, num_partitions,
+                            left_schema=left_schema,
+                            right_schema=right_schema)
 
     def per_partition(t: pa.Table) -> pa.Table:
         return fn(*_sorted_runs(t))
