@@ -69,6 +69,11 @@ class TestGraph:
                pagerank_ds(_edges_ds(pairs), iters=3,
                            num_partitions=8).take_all()}
         assert out == rank
+        # per-iteration checkpointing path lands on identical ranks
+        mat = {r["node"]: r["rank"] for r in
+               pagerank_ds(_edges_ds(pairs), iters=3, num_partitions=8,
+                           materialize_each=True).take_all()}
+        assert mat == rank
 
     def test_two_hop_matches_bruteforce(self, ray_session):
         from kgforge.functions.graph import two_hop_count_ds
