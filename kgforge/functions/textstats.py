@@ -316,3 +316,50 @@ def lang_id_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
 def fingerprint_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(
         lambda b: fingerprint(b, text_col, id_col), batch_format="pyarrow")
+
+
+def percentile_filter_ds(ds, q: float = 0.9, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """Corpus pruning by a global EXACT length percentile: keep
+    documents whose token count is at or above the sorted element at
+    index ``floor((N-1)·q)`` (the engine's standard quantile rule,
+    shared with ``events.group_quantiles_ds`` and the SQL twin).
+
+    Scale shape: the threshold comes from a value HISTOGRAM — per-batch
+    (n_tokens → count) partials, one groupby over distinct counts
+    (≤ max-doc-length rows, never documents), a tiny driver pick —
+    then one broadcast filter pass.  No global sort."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def counts_partial(b: pa.Table) -> pa.Table:
+        n = pc.cast(_count_re(b[text_col], TOKEN_RE), pa.int64())
+        t = pa.table({"n_tokens": n})
+        g = t.group_by(["n_tokens"], use_threads=False).aggregate(
+            [("n_tokens", "count")])
+        return pa.table({"n_tokens": g["n_tokens"],
+                         "cnt": pc.cast(g["n_tokens_count"], pa.int64())})
+
+    hist = ds.map_batches(counts_partial, batch_format="pyarrow") \
+        .groupby("n_tokens").aggregate(Sum("cnt", alias_name="cnt")) \
+        .take_all()
+    hist.sort(key=lambda r: r["n_tokens"])
+    cnts = np.array([r["cnt"] for r in hist], dtype=np.int64)
+    cum = cnts.cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    if total == 0:
+        return ds.map_batches(
+            lambda b: pa.table({id_col: b[id_col].slice(0, 0),
+                                "n_tokens": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    idx = int(np.floor((total - 1) * q))
+    pos = int(np.searchsorted(cum, idx + 1))
+    threshold = int(hist[pos]["n_tokens"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        n = pc.cast(_count_re(b[text_col], TOKEN_RE), pa.int64())
+        mask = pc.greater_equal(n, threshold)
+        return pa.table({id_col: b[id_col].filter(mask),
+                         "n_tokens": n.filter(mask)})
+
+    return ds.map_batches(keep, batch_format="pyarrow")

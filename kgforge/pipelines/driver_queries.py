@@ -101,6 +101,11 @@ def q_doc_frequency(sf_dir: str):
                                          ["doc_id", "text"]))
 
 
+def q_percentile_filter(sf_dir: str):
+    return F_text.percentile_filter_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]), q=0.9)
+
+
 def q_chunk_docs(sf_dir: str):
     from kgforge.functions.indexing import chunk_docs_ds
 
@@ -1116,6 +1121,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "decontaminate": q_decontaminate,
     "doc_frequency": q_doc_frequency,
+    "percentile_filter": q_percentile_filter,
     "chunk_docs": q_chunk_docs,
     "inverted_index": q_inverted_index,
     "tfidf_topk": q_tfidf_topk,
@@ -1613,6 +1619,21 @@ ORACLE_SQL["quantize_embeddings"] = r"""
     SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY j)
                AS codes
     FROM q GROUP BY vec_id
+"""
+ORACLE_SQL["percentile_filter"] = r"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                          AS n_tokens
+               FROM documents),
+    r AS (SELECT n_tokens,
+                 row_number() OVER (ORDER BY n_tokens) - 1 AS i,
+                 count(*) OVER () AS n
+          FROM t),
+    thr AS (SELECT max(CASE WHEN i = CAST(floor((n - 1) * 0.9) AS BIGINT)
+                            THEN n_tokens END) AS v
+            FROM r)
+    SELECT doc_id, n_tokens FROM t
+    WHERE n_tokens >= (SELECT v FROM thr)
 """
 ORACLE_SQL["chunk_docs"] = r"""
     WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tl
