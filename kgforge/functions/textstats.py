@@ -359,7 +359,6 @@ def percentile_filter_ds(ds, q: float = 0.9, text_col: str = "text",
     def keep(b: pa.Table) -> pa.Table:
         n = pc.cast(_count_re(b[text_col], TOKEN_RE), pa.int64())
         mask = pc.greater_equal(n, threshold)
-        return pa.table({id_col: b[id_col].filter(mask),
-                         "n_tokens": n.filter(mask)})
+        return b.append_column("n_tokens", n).filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -103,7 +103,39 @@ def q_doc_frequency(sf_dir: str):
 
 def q_percentile_filter(sf_dir: str):
     return F_text.percentile_filter_ds(
-        _read(sf_dir, "documents", ["doc_id", "text"]), q=0.9)
+        _read(sf_dir, "documents", ["doc_id", "text"]), q=0.9) \
+        .select_columns(["doc_id", "n_tokens"])
+
+
+def q_data_prep(sf_dir: str):
+    """The composed LLM training-data prep pipeline — exact dedup
+    (keep min id per content hash, digest-only first shuffle) →
+    cogroup semi-join of survivors → exact-median length filter →
+    context-window chunking (32/24) → leakage-safe hash split — each
+    stage one of the engine's standalone operators, value-checked
+    end-to-end against one composed SQL twin."""
+    import hashlib
+
+    from kgforge.functions.dedup import exact_dedup_ds
+    from kgforge.functions.indexing import chunk_docs_ds
+    from kgforge.functions.joins import shuffle_join_ds
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    keepers = exact_dedup_ds(docs).select_columns(["keep_id"])
+    kept = shuffle_join_ds(docs, keepers, "doc_id", "keep_id",
+                           ["text"], [], how="inner")
+    filtered = F_text.percentile_filter_ds(kept, q=0.5)
+    chunks = chunk_docs_ds(filtered.select_columns(["doc_id", "text"]),
+                           chunk=32, stride=24)
+
+    def add_split(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        buckets = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                   % 100 for i in ids]
+        split = ["train" if x < 80 else "test" for x in buckets]
+        return b.append_column("split", pa.array(split, pa.string()))
+
+    return chunks.map_batches(add_split, batch_format="pyarrow")
 
 
 def q_chunk_docs(sf_dir: str):
@@ -1122,6 +1154,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "doc_frequency": q_doc_frequency,
     "percentile_filter": q_percentile_filter,
+    "data_prep": q_data_prep,
     "chunk_docs": q_chunk_docs,
     "inverted_index": q_inverted_index,
     "tfidf_topk": q_tfidf_topk,
@@ -1634,6 +1667,33 @@ ORACLE_SQL["percentile_filter"] = r"""
             FROM r)
     SELECT doc_id, n_tokens FROM t
     WHERE n_tokens >= (SELECT v FROM thr)
+"""
+ORACLE_SQL["data_prep"] = r"""
+    WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+                  GROUP BY md5(text)),
+    d AS (SELECT doc_id, text FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM keep)),
+    t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tl FROM d),
+    r AS (SELECT len(tl) AS n,
+                 row_number() OVER (ORDER BY len(tl)) - 1 AS i,
+                 count(*) OVER () AS cnt
+          FROM t),
+    thr AS (SELECT max(CASE WHEN i = CAST(floor((cnt - 1) * 0.5)
+                                          AS BIGINT)
+                            THEN n END) AS v
+            FROM r),
+    f AS (SELECT * FROM t WHERE len(tl) >= (SELECT v FROM thr)),
+    e AS (SELECT doc_id, tl, unnest(range(0, (len(tl)-1)//24 + 1)) AS i
+          FROM f WHERE len(tl) > 0)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(tl[i*24+1 : least(i*24+32, len(tl))], ' ')
+               AS chunk_text,
+           CAST(least(i*24+32, len(tl)) - i*24 AS BIGINT) AS n_tokens,
+           CASE WHEN CAST(concat('0x',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS UBIGINT) % 100 < 80 THEN 'train' ELSE 'test' END
+               AS split
+    FROM e
 """
 ORACLE_SQL["chunk_docs"] = r"""
     WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tl
