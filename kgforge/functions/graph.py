@@ -152,6 +152,18 @@ def pagerank_ds(edges_ds, iters: int = 3, src: str = "subj",
     pairs = _distinct_pairs_ds(edges_ds, src, dst, "s", "d",
                                both_directions=False, drop_self=False)
     pairs = pairs.materialize()
+    # right-size the hash-partition fan-out to the graph: a
+    # vocabulary-bound entity graph (thousands of pairs) under the
+    # default 64 partitions pays 6 sorts of per-partition overhead for
+    # partitions holding a handful of rows each
+    n_pairs = pairs.count()
+    num_partitions = int(min(num_partitions,
+                             max(4, n_pairs // 2000 + 1)))
+    if n_pairs < 100_000 and pairs.num_blocks() > 2 * num_partitions:
+        # a vocabulary-bound graph arrives as dozens of micro-blocks
+        # (one per upstream groupby partition); six chained sorts each
+        # pay per-block overhead, so coalesce once while tiny
+        pairs = pairs.repartition(num_partitions).materialize()
 
     # base = (node, outdeg) for every node (outdeg 0 for sinks)
     def node_partial(b: pa.Table) -> pa.Table:
@@ -167,8 +179,10 @@ def pagerank_ds(edges_ds, iters: int = 3, src: str = "subj",
         return pa.table({"node": g["node"], "od": g["od_sum"]})
 
     base = pairs.map_batches(node_partial, batch_format="pyarrow") \
-        .groupby("node").aggregate(Sum("od", alias_name="outdeg")) \
-        .materialize()
+        .groupby("node").aggregate(Sum("od", alias_name="outdeg"))
+    if n_pairs < 100_000:
+        base = base.repartition(num_partitions)
+    base = base.materialize()
 
     def init_ranks(b: pa.Table) -> pa.Table:
         return pa.table({
