@@ -726,3 +726,123 @@ def hash_split_ds(ds, id_col: str = "doc_id", train_pct: int = 80):
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-n-gram spans (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+
+def _avalanche_u64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates polynomial-hash low bits."""
+    with np.errstate(over="ignore"):
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(31))
+
+
+def dup_ngram_stats_ds(ds, text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 8, num_partitions: int = 64):
+    """Per-document duplicated-substring statistics à la *Deduplicating
+    Training Data Makes Language Models Better* (Lee et al., 2022),
+    at word-n-gram granularity: for every document with ≥ n tokens,
+    ``dup_ngrams`` = how many of its n-gram positions carry an n-gram
+    that also occurs in AT LEAST ONE OTHER document, and
+    ``total_ngrams`` = its n-gram position count.  ``dup_ngrams /
+    total_ngrams`` is the trainable-duplication fraction used to gate
+    corpus pruning.
+
+    Scale plan: the corpus never travels — stage 1 emits one
+    ``(u64 ngram hash, doc_id, pos_count)`` row per DISTINCT n-gram
+    per doc (hashing is one md5 per distinct token per batch + a
+    vectorized sliding-window polynomial, no per-position Python);
+    stage 2 hash-partitions by the n-gram hash and flags runs seen in
+    ≥ 2 docs with run-length index math; stage 3 is a doc-keyed sum.
+    Two all-to-all moves, both over fixed-width integer triples.
+
+    Tokenization is ``text.split(" ")`` — shared verbatim with the SQL
+    oracle's ``string_split(text, ' ')``.  The u64 hash stands in for
+    the n-gram string on the wire; at 10¹²-doc scale swap in a 128-bit
+    digest to keep the collision budget (the oracle groups by the
+    actual string, so a collision would surface as a value mismatch).
+    """
+    from ray.data.aggregate import Sum
+
+    powers = np.empty(n, dtype=np.uint64)
+    powers[0] = 1
+    if n > 1:
+        with np.errstate(over="ignore"):
+            np.multiply.accumulate(
+                np.full(n - 1, _POLY_BASE, dtype=np.uint64),
+                out=powers[1:])
+
+    empty_sign = pa.table({
+        "h": pa.array([], pa.uint64()),
+        id_col: pa.array([], pa.int64()),
+        "pos_count": pa.array([], pa.int64())})
+
+    def sign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        toks = [(t or "").split(" ")
+                for t in batch[text_col].to_pylist()]
+        flat = [w for ws in toks for w in ws]
+        if not flat:
+            return empty_sign
+        uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                              return_inverse=True)
+        uh = np.array([_md5_u64(w) for w in uniq], dtype=np.uint64)
+        th = uh[inv]
+        hs, cs, lens = [], [], []
+        off = 0
+        for ws in toks:
+            m = len(ws)
+            if m >= n:
+                win = np.lib.stride_tricks.sliding_window_view(
+                    th[off:off + m], n)
+                with np.errstate(over="ignore"):
+                    h = _avalanche_u64(
+                        (win * powers[None, :]).sum(axis=1,
+                                                    dtype=np.uint64))
+                hu, cnt = np.unique(h, return_counts=True)
+                hs.append(hu)
+                cs.append(cnt.astype(np.int64))
+                lens.append(len(hu))
+            else:
+                lens.append(0)
+            off += m
+        if not hs:
+            return empty_sign
+        return pa.table({
+            "h": pa.array(np.concatenate(hs), pa.uint64()),
+            id_col: pa.array(np.repeat(np.asarray(ids, dtype=np.int64),
+                                       np.asarray(lens, dtype=np.int64))),
+            "pos_count": pa.array(np.concatenate(cs), pa.int64())})
+
+    def tag(b: pa.Table) -> pa.Table:
+        p = (b["h"].combine_chunks().to_numpy(zero_copy_only=False)
+             % np.uint64(num_partitions)).astype(np.int32)
+        return b.append_column("__p", pa.array(p))
+
+    def flag(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("h", "ascending")])
+        hv = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(hv) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dup_ngrams": pa.array([], pa.int64()),
+                             "total_ngrams": pa.array([], pa.int64())})
+        starts = np.concatenate(
+            [[0], np.flatnonzero(hv[1:] != hv[:-1]) + 1])
+        runlen = np.diff(np.concatenate([starts, [len(hv)]]))
+        dup = np.repeat(runlen >= 2, runlen)
+        cnt = t["pos_count"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t[id_col],
+            "dup_ngrams": pa.array(np.where(dup, cnt, 0), pa.int64()),
+            "total_ngrams": pa.array(cnt, pa.int64())})
+
+    signed = ds.map_batches(sign, batch_format="pyarrow")
+    flagged = signed.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(flag, batch_format="pyarrow")
+    return flagged.groupby(id_col).aggregate(
+        Sum("dup_ngrams", alias_name="dup_ngrams"),
+        Sum("total_ngrams", alias_name="total_ngrams"))

@@ -283,3 +283,18 @@ reach(node, lab) AS (
   SELECT r.node, u.n2 FROM reach r JOIN und u ON u.n1 = r.lab)
 SELECT node, min(lab) AS component FROM reach GROUP BY node
 """
+
+
+def common_neighbors_sql(k: int = 20) -> str:
+    """Top-k non-adjacent pairs by shared-neighbour count — the SQL
+    twin of :func:`kgforge.functions.graph.common_neighbors_ds` (same
+    wedge definition, same (cn DESC, a, b) deterministic cut)."""
+    return entity_pairs_prelude() + f""",
+w AS (SELECT l.n2 AS a, r.n2 AS b FROM und l
+      JOIN und r ON r.n1 = l.n1 AND l.n2 < r.n2),
+cn AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn FROM w GROUP BY 1, 2),
+nonadj AS (SELECT cn.a, cn.b, cn.cn FROM cn
+           WHERE NOT EXISTS (SELECT 1 FROM und u
+                             WHERE u.n1 = cn.a AND u.n2 = cn.b))
+SELECT a, b, cn FROM nonadj ORDER BY cn DESC, a, b LIMIT {k}
+"""

@@ -172,6 +172,11 @@ def q_dedup_exact(sf_dir: str):
                                         ["doc_id", "text"]))
 
 
+def q_dup_ngrams(sf_dir: str):
+    return F_dedup.dup_ngram_stats_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=8)
+
+
 def q_dedup_normalized(sf_dir: str):
     return F_dedup.normalized_dedup_ds(_read(sf_dir, "documents",
                                              ["doc_id", "text"]))
@@ -983,6 +988,12 @@ def q_kg_components(sf_dir: str):
     return components_ds(_entity_edges_for(sf_dir))
 
 
+def q_kg_link_pred(sf_dir: str):
+    from kgforge.functions.graph import common_neighbors_ds
+
+    return common_neighbors_ds(_entity_edges_for(sf_dir), k=20)
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: each purchase event matched to the user's most
     recent click at-or-before it (backward inclusive, DuckDB ASOF
@@ -1216,6 +1227,8 @@ QUERIES = {
     "kg_two_hop": q_kg_two_hop,
     "kg_triangles": q_kg_triangles,
     "kg_components": q_kg_components,
+    "kg_link_pred": q_kg_link_pred,
+    "dup_ngrams": q_dup_ngrams,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "dup_clusters": q_dup_clusters,
@@ -1758,6 +1771,28 @@ ORACLE_SQL["kg_pagerank"] = _dict_oracle.pagerank_sql(iters=3)
 ORACLE_SQL["kg_two_hop"] = _dict_oracle.two_hop_sql()
 ORACLE_SQL["kg_triangles"] = _dict_oracle.triangles_sql()
 ORACLE_SQL["kg_components"] = _dict_oracle.components_sql()
+ORACLE_SQL["kg_link_pred"] = _dict_oracle.common_neighbors_sql(k=20)
+ORACLE_SQL["dup_ngrams"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+toks AS (SELECT doc_id, unnest(w) AS tok,
+                unnest(generate_series(1, len(w))) AS pos FROM d),
+ng0 AS (SELECT doc_id,
+               string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS ng,
+               count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wlen
+        FROM toks),
+perdoc AS (SELECT doc_id, ng, CAST(count(*) AS BIGINT) AS pos_count
+           FROM ng0 WHERE wlen = 8 GROUP BY 1, 2),
+flag AS (SELECT doc_id, pos_count,
+                count(*) OVER (PARTITION BY ng) >= 2 AS is_dup
+         FROM perdoc)
+SELECT doc_id,
+       CAST(sum(CASE WHEN is_dup THEN pos_count ELSE 0 END) AS BIGINT)
+           AS dup_ngrams,
+       CAST(sum(pos_count) AS BIGINT) AS total_ngrams
+FROM flag GROUP BY doc_id
+"""
 ORACLE_SQL["embedding_lsh_pairs"] = _embedding_lsh_oracle_sql()
 ORACLE_SQL["funnel_counts"] = """
     WITH t1 AS (SELECT user_id, min(ts) AS t FROM events

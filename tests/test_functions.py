@@ -920,3 +920,48 @@ def test_rollup_hourly(ray_session):
         row = sub[sub.event_type == t]
         assert row.n_events.iloc[0] == grp.n_events.sum()
         assert row.sum_cents.iloc[0] == grp.sum_cents.sum()
+
+
+def test_dup_ngram_stats_flags_shared_spans(ray_session):
+    import ray.data as rd
+
+    shared = "a b c d e f g h"            # one shared 8-gram span
+    texts = [
+        f"x0 x1 {shared} y0 y1",          # doc 0: shares the span
+        f"z0 {shared} z1 z2 z3",          # doc 1: shares the span
+        "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9",  # doc 2: unique 8-grams
+        "short doc",                      # doc 3: < 8 tokens -> no row
+        f"{shared} {shared}",             # doc 4: span twice + bridges
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = D.dup_ngram_stats_ds(rd.from_arrow(tbl).repartition(3), n=8) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert 3 not in out.index
+    # doc 0: 5 positions total ("x0 x1"+8+2 = 12 toks -> 5 ngrams),
+    # exactly one (the shared span) duplicated
+    assert out.loc[0, "total_ngrams"] == 5
+    assert out.loc[0, "dup_ngrams"] == 1
+    assert out.loc[1, "dup_ngrams"] == 1
+    assert out.loc[2, "dup_ngrams"] == 0
+    # doc 4: 16 tokens -> 9 positions; the shared 8-gram occurs at
+    # positions 0 and 8 (2 duplicated positions, dup across docs)
+    assert out.loc[4, "total_ngrams"] == 9
+    assert out.loc[4, "dup_ngrams"] == 2
+
+
+def test_common_neighbors_ranks_nonadjacent_pairs(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import common_neighbors_ds
+
+    # a-c, b-c, a-d, b-d: a and b share {c, d} but are not adjacent;
+    # c and d share {a, b} but are not adjacent; plus edge c-d makes
+    # (c, d) adjacent so only (a, b) survives with cn=2.
+    edges = pa.table({
+        "subj": pa.array(["a", "b", "a", "b", "c"], pa.string()),
+        "obj": pa.array(["c", "c", "d", "d", "d"], pa.string())})
+    out = common_neighbors_ds(rd.from_arrow(edges).repartition(2), k=5) \
+        .to_pandas()
+    assert list(out.itertuples(index=False, name=None)) == [
+        ("a", "b", 2)]
