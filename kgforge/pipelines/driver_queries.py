@@ -449,6 +449,109 @@ def q_priority_revenue(sf_dir: str):
         Sum("rev", alias_name="revenue_cents"))
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — the canonical 3-table large-large join:
+    BUILDING customers ⨝ pre-cutoff orders ⨝ post-cutoff lineitem,
+    top-10 orders by revenue.  Scale plan: both joins are single
+    hash-partition cogroups (no broadcast — the segment-filtered
+    customer side is still ~1/5 of all customers at 100 TB); lineitem
+    revenue is combined to ~one row per order inside each batch before
+    its shuffle; the final top-10 sees at most 10 rows per block."""
+    import datetime as _dt
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    cut = _dt.datetime(1998, 7, 1)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def building(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["c_mktsegment"], "BUILDING")
+        return pa.table({"c_custkey": b["c_custkey"].filter(keep),
+                         "__one": pa.array(
+                             np.ones(int(pc.sum(keep).as_py() or 0),
+                                     dtype=np.int8))})
+
+    cust_b = cust.map_batches(building, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority"])
+    orders_f = orders.map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], pa.scalar(cut))),
+        batch_format="pyarrow")
+
+    def semi(t: pa.Table, starts, nl, nr) -> pa.Table:
+        # keep left (order) rows of keys that have ≥1 right (customer)
+        # row — vectorized row mask over the sorted run layout
+        total = nl + nr
+        row_key = np.repeat(np.arange(len(nl)), total)
+        pos = np.arange(len(row_key))
+        in_left = pos < (starts + nl)[row_key]
+        mask = ((nl > 0) & (nr > 0))[row_key] & in_left
+        idx = pa.array(np.flatnonzero(mask))
+        return pa.table({"o_orderkey": t["o_orderkey"].take(idx),
+                         "o_orderdate": t["o_orderdate"].take(idx),
+                         "o_orderpriority": t["o_orderpriority"].take(idx)})
+
+    orders_b = cogroup_partition_ds(
+        orders_f, cust_b, "o_custkey", "c_custkey", semi,
+        ["o_orderkey", "o_orderdate", "o_orderpriority"], ["__one"])
+
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cut)))
+        price = b["l_extendedprice"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cents = round_away(price * (1.0 - disc) * 100, 0).astype(np.int64)
+        t = pa.table({"k": b["l_orderkey"], "c": pa.array(cents)})
+        g = t.group_by(["k"], use_threads=False).aggregate([("c", "sum")])
+        return pa.table({"l_orderkey": g["k"], "rev_cents": g["c_sum"]})
+
+    rev = lineitem.map_batches(rev_partial, batch_format="pyarrow")
+
+    def fin(t: pa.Table, starts, nl, nr) -> pa.Table:
+        keep = (nl > 0) & (nr > 0)
+        if not keep.any():
+            return pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "revenue_cents": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_orderpriority": pa.array([], pa.string())})
+        cents = pc.fill_null(t["rev_cents"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.add.reduceat(cents, starts)[keep]
+        ridx = pa.array((starts + nl)[keep])
+        return pa.table({
+            "o_orderkey": t["__k"].take(ridx),
+            "revenue_cents": pa.array(sums, pa.int64()),
+            "o_orderdate": t["o_orderdate"].take(ridx),
+            "o_orderpriority": t["o_orderpriority"].take(ridx)})
+
+    joined = cogroup_partition_ds(
+        rev, orders_b, "l_orderkey", "o_orderkey", fin,
+        ["rev_cents"], ["o_orderdate", "o_orderpriority"])
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= 10:
+            return b
+        neg = pc.negate(b["revenue_cents"]).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        keys = b["o_orderkey"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, neg))
+        return b.take(pa.array(order[:10]))
+
+    return joined.map_batches(partial_topk, batch_format="pyarrow") \
+        .sort(["revenue_cents", "o_orderkey"],
+              descending=[True, False]).limit(10)
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage (groupby / join / sort / union / distinct)
 # ---------------------------------------------------------------------------
@@ -1229,6 +1332,7 @@ QUERIES = {
     "kg_components": q_kg_components,
     "kg_link_pred": q_kg_link_pred,
     "dup_ngrams": q_dup_ngrams,
+    "shipping_priority": q_shipping_priority,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "dup_clusters": q_dup_clusters,
@@ -1772,6 +1876,23 @@ ORACLE_SQL["kg_two_hop"] = _dict_oracle.two_hop_sql()
 ORACLE_SQL["kg_triangles"] = _dict_oracle.triangles_sql()
 ORACLE_SQL["kg_components"] = _dict_oracle.components_sql()
 ORACLE_SQL["kg_link_pred"] = _dict_oracle.common_neighbors_sql(k=20)
+ORACLE_SQL["shipping_priority"] = """
+WITH r AS (SELECT l_orderkey,
+                  CAST(sum(CAST(round(l_extendedprice
+                                      * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS revenue_cents
+           FROM lineitem
+           WHERE l_shipdate > TIMESTAMP '1998-07-01'
+           GROUP BY l_orderkey)
+SELECT o.o_orderkey, r.revenue_cents, o.o_orderdate, o.o_orderpriority
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+               AND c.c_mktsegment = 'BUILDING'
+JOIN r ON r.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1998-07-01'
+ORDER BY r.revenue_cents DESC, o.o_orderkey
+LIMIT 10
+"""
 ORACLE_SQL["dup_ngrams"] = """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 toks AS (SELECT doc_id, unnest(w) AS tok,
