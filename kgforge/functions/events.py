@@ -875,3 +875,61 @@ def funnel_counts_ds(ds, steps=("view", "click", "purchase"),
         .groupby("__p").map_groups(per_partition, batch_format="pyarrow")
     return parts.groupby(["step_idx", "step"]) \
         .aggregate(Sum("n_users", alias_name="n_users"))
+
+
+def cohort_retention_ds(ds, user_col: str = "user_id", ts_col: str = "ts",
+                        num_partitions: int = 64):
+    """Cohort retention matrix: users grouped by their first-activity
+    day, counted on each subsequent day they were active →
+    ``(cohort_day, day_offset, n_users)``.
+
+    One user-keyed all-to-all: per-batch distinct ``(user, day)``
+    combine, hash-partition by user (all of a user's days co-locate,
+    so the first day and every offset are partition-local), vectorized
+    run-length math per partition, then a final sum over the tiny
+    (cohorts × offsets) cell table.  Distinct-user counts are exact —
+    each user's rows live in exactly one partition, so per-partition
+    cell counts never double-count."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    _US_PER_DAY = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(b[ts_col], unit="day")
+        t = pa.table({user_col: b[user_col], "d": d})
+        t = t.group_by([user_col, "d"], use_threads=False).aggregate([])
+        uid = t[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__p", pa.array((uid % num_partitions).astype(np.int32)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.group_by([user_col, "d"], use_threads=False).aggregate([])
+        t = t.sort_by([(user_col, "ascending"), ("d", "ascending")])
+        uid = t[user_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table({
+                "cohort_day": pa.array([], pa.timestamp("us")),
+                "day_offset": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64())})
+        dv = t["d"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1])
+        runlen = np.diff(np.concatenate([starts, [len(uid)]]))
+        first = np.repeat(dv[starts], runlen)
+        cells = pa.table({
+            "cohort_day": pc.cast(pa.array(first, pa.int64()),
+                                  pa.timestamp("us")),
+            "day_offset": pa.array((dv - first) // _US_PER_DAY,
+                                   pa.int64())})
+        g = cells.group_by(["cohort_day", "day_offset"],
+                           use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"cohort_day": g["cohort_day"],
+                         "day_offset": g["day_offset"],
+                         "n_users": pc.cast(g["count_all"], pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition, batch_format="pyarrow") \
+        .groupby(["cohort_day", "day_offset"]).aggregate(
+            Sum("n_users", alias_name="n_users"))

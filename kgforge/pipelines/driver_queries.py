@@ -298,6 +298,11 @@ def q_sessionize(sf_dir: str):
                                         ["user_id", "ts"]))
 
 
+def q_cohort_retention(sf_dir: str):
+    return F_events.cohort_retention_ds(_read(sf_dir, "events",
+                                              ["user_id", "ts"]))
+
+
 def q_topk_per_group(sf_dir: str):
     return F_events.topk_per_group_ds(
         _read(sf_dir, "events", ["user_id", "event_id", "value"]))
@@ -1333,6 +1338,7 @@ QUERIES = {
     "kg_link_pred": q_kg_link_pred,
     "dup_ngrams": q_dup_ngrams,
     "shipping_priority": q_shipping_priority,
+    "cohort_retention": q_cohort_retention,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "dup_clusters": q_dup_clusters,
@@ -1876,6 +1882,17 @@ ORACLE_SQL["kg_two_hop"] = _dict_oracle.two_hop_sql()
 ORACLE_SQL["kg_triangles"] = _dict_oracle.triangles_sql()
 ORACLE_SQL["kg_components"] = _dict_oracle.components_sql()
 ORACLE_SQL["kg_link_pred"] = _dict_oracle.common_neighbors_sql(k=20)
+ORACLE_SQL["cohort_retention"] = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+            FROM events),
+fst AS (SELECT user_id, min(d) AS c FROM ud GROUP BY user_id)
+SELECT f.c AS cohort_day,
+       CAST(date_diff('day', f.c, u.d) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud u JOIN fst f ON f.user_id = u.user_id
+GROUP BY 1, 2
+"""
 ORACLE_SQL["shipping_priority"] = """
 WITH r AS (SELECT l_orderkey,
                   CAST(sum(CAST(round(l_extendedprice

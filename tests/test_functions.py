@@ -965,3 +965,31 @@ def test_common_neighbors_ranks_nonadjacent_pairs(ray_session):
         .to_pandas()
     assert list(out.itertuples(index=False, name=None)) == [
         ("a", "b", 2)]
+
+
+def test_cohort_retention_matrix(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgforge.functions.events import cohort_retention_ds
+
+    day = dt.datetime(2024, 1, 1)
+
+    def at(d, h):
+        return day + dt.timedelta(days=d, hours=h)
+
+    # u1 joins day 0, active days 0,1,3 (two events on day 1);
+    # u2 joins day 0, active day 0 only; u3 joins day 1, active 1,3
+    rows = [(1, at(0, 2)), (1, at(1, 3)), (1, at(1, 9)), (1, at(3, 1)),
+            (2, at(0, 5)),
+            (3, at(1, 1)), (3, at(3, 23))]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us"))})
+    out = cohort_retention_ds(rd.from_arrow(tbl).repartition(3)) \
+        .to_pandas().sort_values(["cohort_day", "day_offset"])
+    got = [(r.cohort_day.day - 1, int(r.day_offset), int(r.n_users))
+           for r in out.itertuples()]
+    assert got == [(0, 0, 2), (0, 1, 1), (0, 3, 1),
+                   (1, 0, 1), (1, 2, 1)]
