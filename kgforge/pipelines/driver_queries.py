@@ -1007,6 +1007,32 @@ def q_kg_edges_dict(sf_dir: str):
     return _dict_flagship_for(sf_dir)["edges"]
 
 
+def q_kg_edges_incremental(sf_dir: str):
+    """Incremental KG build: triples split by doc parity, each half
+    dedup'd into its own edge table (two independent 'runs'), the two
+    edge tables merged with the SAME range-exchange operator
+    (``combine_triples_in_batch`` is edge-shape aware: support sums,
+    first_doc mins — merge of partial builds ≡ one-shot batch build,
+    checked against the identical SQL oracle as ``kg_edges_dict``).
+    This is the production incremental path: a nightly delta corpus
+    becomes a delta edge table, merged into the base in one exchange
+    without re-reading the base corpus."""
+    from kgforge.stages.triples import dedup_triples_ds
+
+    trip = _dict_flagship_for(sf_dir)["triples"]
+
+    def half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            num = pc.cast(pc.utf8_slice_codeunits(b["doc_id"], 5, 50),
+                          pa.int64())
+            return b.filter(pc.equal(pc.bit_wise_and(num, 1), parity))
+        return trip.map_batches(f, batch_format="pyarrow")
+
+    e0 = dedup_triples_ds(half(0))
+    e1 = dedup_triples_ds(half(1))
+    return dedup_triples_ds(e0.union(e1))
+
+
 def q_kg_nodes_dict(sf_dir: str):
     return _dict_flagship_for(sf_dir)["nodes"].select_columns(
         ["surface", "etype", "n_mentions", "n_docs"])
@@ -1339,6 +1365,7 @@ QUERIES = {
     "dup_ngrams": q_dup_ngrams,
     "shipping_priority": q_shipping_priority,
     "cohort_retention": q_cohort_retention,
+    "kg_edges_incremental": q_kg_edges_incremental,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "dup_clusters": q_dup_clusters,
@@ -1875,6 +1902,8 @@ from kgforge.pipelines import dict_oracle as _dict_oracle  # noqa: E402
 ORACLE_SQL["kg_mentions_dict"] = _dict_oracle.mentions_sql()
 ORACLE_SQL["kg_triples_dict"] = _dict_oracle.triples_sql()
 ORACLE_SQL["kg_edges_dict"] = _dict_oracle.edges_sql()
+# incremental merge must equal the one-shot batch build bit-for-bit
+ORACLE_SQL["kg_edges_incremental"] = _dict_oracle.edges_sql()
 ORACLE_SQL["kg_nodes_dict"] = _dict_oracle.nodes_sql()
 ORACLE_SQL["kg_degree"] = _dict_oracle.degree_sql()
 ORACLE_SQL["kg_pagerank"] = _dict_oracle.pagerank_sql(iters=3)
