@@ -933,3 +933,43 @@ def cohort_retention_ds(ds, user_col: str = "user_id", ts_col: str = "ts",
         .groupby("__p").map_groups(per_partition, batch_format="pyarrow") \
         .groupby(["cohort_day", "day_offset"]).aggregate(
             Sum("n_users", alias_name="n_users"))
+
+
+def latest_event_ds(ds, by: str = "user_id", on: str = "ts",
+                    tie: str = "event_id", num_partitions: int = 64):
+    """Latest-wins snapshot (CDC upsert materialization): one row per
+    key — the event with the maximum ``(on, tie)``.  The ``tie``
+    column makes the pick deterministic under equal timestamps (the
+    same rule the SQL twin encodes).
+
+    Scale plan: per-batch combine first (sort the batch by
+    ``(key, on desc, tie desc)``, keep the first row of each key run
+    — at most one candidate per key per batch leaves the map), then
+    one hash partition by key and the identical vectorized reduction
+    per partition.  The shuffle moves candidates, never the raw
+    stream."""
+    import pyarrow.compute as pc
+
+    def reduce_batch(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        idx = pc.sort_indices(b, sort_keys=[(by, "ascending"),
+                                            (on, "descending"),
+                                            (tie, "descending")])
+        b = b.take(idx)
+        k = b[by].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        return b.take(pa.array(starts))
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = reduce_batch(b)
+        k = b[by].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__p", pa.array((k % num_partitions).astype(np.int32)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        return reduce_batch(t.drop_columns(["__p"]))
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition, batch_format="pyarrow")

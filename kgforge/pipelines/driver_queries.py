@@ -298,6 +298,12 @@ def q_sessionize(sf_dir: str):
                                         ["user_id", "ts"]))
 
 
+def q_latest_event(sf_dir: str):
+    return F_events.latest_event_ds(_read(
+        sf_dir, "events",
+        ["event_id", "ts", "user_id", "event_type", "value"]))
+
+
 def q_cohort_retention(sf_dir: str):
     return F_events.cohort_retention_ds(_read(sf_dir, "events",
                                               ["user_id", "ts"]))
@@ -1366,6 +1372,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "cohort_retention": q_cohort_retention,
     "kg_edges_incremental": q_kg_edges_incremental,
+    "latest_event": q_latest_event,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "dup_clusters": q_dup_clusters,
@@ -1911,6 +1918,13 @@ ORACLE_SQL["kg_two_hop"] = _dict_oracle.two_hop_sql()
 ORACLE_SQL["kg_triangles"] = _dict_oracle.triangles_sql()
 ORACLE_SQL["kg_components"] = _dict_oracle.components_sql()
 ORACLE_SQL["kg_link_pred"] = _dict_oracle.common_neighbors_sql(k=20)
+ORACLE_SQL["latest_event"] = """
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT event_id, ts, user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
 ORACLE_SQL["cohort_retention"] = """
 WITH ud AS (SELECT DISTINCT user_id,
                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS d

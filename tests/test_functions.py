@@ -993,3 +993,25 @@ def test_cohort_retention_matrix(ray_session):
            for r in out.itertuples()]
     assert got == [(0, 0, 2), (0, 1, 1), (0, 3, 1),
                    (1, 0, 1), (1, 2, 1)]
+
+
+def test_latest_event_tie_break(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgforge.functions.events import latest_event_ds
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: strict latest ts; user 2: two events at the SAME ts →
+    # the higher event_id must win deterministically
+    tbl = pa.table({
+        "event_id": pa.array([10, 11, 20, 21], pa.int64()),
+        "ts": pa.array([t0, t0 + dt.timedelta(hours=1), t0, t0],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "c", "d"], pa.string())})
+    out = latest_event_ds(rd.from_arrow(tbl).repartition(3)) \
+        .to_pandas().sort_values("user_id")
+    assert list(out.event_id) == [11, 21]
+    assert list(out.event_type) == ["b", "d"]
