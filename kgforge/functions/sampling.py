@@ -95,3 +95,76 @@ def stratified_sample_ds(ds, k: int = 20, by: str = "event_type",
                           batch_format="pandas") \
         .groupby(by).map_groups(lambda df: head(df, True),
                                 batch_format="pandas")
+
+
+def weighted_sample_ds(ds, k: int = 50, weight_col: str = "n_chars",
+                       id_col: str = "doc_id", num_partitions: int = 64):
+    """Deterministic weighted systematic sample of ~``k`` rows:
+    rows are laid on a line in content-hash order (md5-u64 of the id —
+    a fixed pseudo-random permutation shared verbatim with the SQL
+    twin), each occupying a segment of length = its integer weight;
+    a row is picked when its segment crosses one of the k equally
+    spaced thresholds of the total weight W.  Every pick is pure
+    integer arithmetic (``cum*k//W`` transitions), so the sample is
+    exact, partitioning-independent, and value-verifiable — the
+    classic systematic/“stochastic universe” sampler, inclusion
+    probability ∝ weight (a row heavier than W/k is included once).
+
+    Scale shape: one pass for per-partition weight sums (a
+    ``num_partitions``-row table to the driver), a prefix scan over
+    that tiny table, then a partition-local cumsum + threshold pick —
+    the corpus itself never shuffles: partitions are the TOP bits of
+    the hash, so hash order is (partition, local) order."""
+    import hashlib
+
+    shift = np.uint64(64 - int(np.log2(num_partitions)))
+    assert 1 << (64 - int(shift)) == num_partitions, \
+        "num_partitions must be a power of two"
+
+    def compact(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        h = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:16],
+                          16) for i in ids], dtype=np.uint64)
+        return pa.table({
+            id_col: b[id_col],
+            "__w": pa.array(b[weight_col].combine_chunks()
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+            "__h": pa.array(h, pa.uint64()),
+            "__p": pa.array((h >> shift).astype(np.int32))})
+
+    base = ds.map_batches(compact, batch_format="pyarrow").materialize()
+
+    def psum(b: pa.Table) -> pa.Table:
+        g = b.group_by(["__p"], use_threads=False).aggregate(
+            [("__w", "sum")])
+        return pa.table({"__p": g["__p"], "s": g["__w_sum"]})
+
+    parts = base.map_batches(psum, batch_format="pyarrow").to_pandas()
+    sums = np.zeros(num_partitions, dtype=np.int64)
+    if len(parts):
+        agg = parts.groupby("__p")["s"].sum()
+        sums[agg.index.to_numpy()] = agg.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+    total = int(sums.sum())
+    if total == 0:
+        return base.map_batches(
+            lambda b: pa.table({id_col: b[id_col].slice(0, 0),
+                                weight_col: pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(t, sort_keys=[("__h", "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        w = t["__w"].combine_chunks().to_numpy(zero_copy_only=False)
+        off = int(offsets[int(t["__p"][0].as_py())]) if t.num_rows else 0
+        cum = np.cumsum(w) + off
+        hit = (cum * k) // total > ((cum - w) * k) // total
+        sel = pa.array(np.flatnonzero(hit))
+        return pa.table({id_col: t[id_col].take(sel),
+                         weight_col: pa.array(w[hit], pa.int64())})
+
+    return base.groupby("__p").map_groups(pick, batch_format="pyarrow")

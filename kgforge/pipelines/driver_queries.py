@@ -298,6 +298,13 @@ def q_sessionize(sf_dir: str):
                                         ["user_id", "ts"]))
 
 
+def q_weighted_sample(sf_dir: str):
+    from kgforge.functions.sampling import weighted_sample_ds
+
+    return weighted_sample_ds(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]), k=50)
+
+
 def q_latest_event(sf_dir: str):
     return F_events.latest_event_ds(_read(
         sf_dir, "events",
@@ -1373,6 +1380,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "kg_edges_incremental": q_kg_edges_incremental,
     "latest_event": q_latest_event,
+    "weighted_sample": q_weighted_sample,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "dup_clusters": q_dup_clusters,
@@ -1918,6 +1926,19 @@ ORACLE_SQL["kg_two_hop"] = _dict_oracle.two_hop_sql()
 ORACLE_SQL["kg_triangles"] = _dict_oracle.triangles_sql()
 ORACLE_SQL["kg_components"] = _dict_oracle.components_sql()
 ORACLE_SQL["kg_link_pred"] = _dict_oracle.common_neighbors_sql(k=20)
+ORACLE_SQL["weighted_sample"] = """
+WITH h AS (SELECT doc_id, n_chars,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 16)) AS UBIGINT) AS hh
+           FROM documents),
+c AS (SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY hh, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(n_chars) OVER () AS w
+      FROM h)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM c WHERE (cum * 50) // w > ((cum - n_chars) * 50) // w
+"""
 ORACLE_SQL["latest_event"] = """
 SELECT event_id, ts, user_id, event_type, value FROM (
   SELECT event_id, ts, user_id, event_type, value,

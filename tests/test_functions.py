@@ -1015,3 +1015,26 @@ def test_latest_event_tie_break(ray_session):
         .to_pandas().sort_values("user_id")
     assert list(out.event_id) == [11, 21]
     assert list(out.event_type) == ["b", "d"]
+
+
+def test_weighted_sample_exact_and_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.sampling import weighted_sample_ds
+
+    # one row holds >1/2 the total weight -> always sampled; results
+    # identical across block layouts (pure function of data)
+    n = 40
+    w = [10] * n
+    w[7] = 1000
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "n_chars": pa.array(w, pa.int64())})
+    outs = []
+    for parts in (1, 8):
+        out = weighted_sample_ds(rd.from_arrow(tbl).repartition(parts),
+                                 k=5).to_pandas().sort_values("doc_id")
+        outs.append(list(out.doc_id))
+        assert 7 in outs[-1]
+        # heavy row crosses multiple thresholds but is included once
+        assert len(outs[-1]) == len(set(outs[-1])) <= 5
+    assert outs[0] == outs[1]
