@@ -298,6 +298,23 @@ def q_sessionize(sf_dir: str):
                                         ["user_id", "ts"]))
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Misra–Gries top tokens.  On the fixture corpus the distinct
+    vocabulary fits the sketch capacity, so the summary is EXACT
+    (err=0) and the SQL twin checks it value-exactly; the lossy
+    regime's est ≤ true ≤ est+err bound is pytest-measured."""
+    from kgforge.functions.sketches import heavy_hitters_ds
+
+    return heavy_hitters_ds(_read(sf_dir, "documents", ["text"]),
+                            capacity=4096, top=10)
+
+
+def q_quantile_sketch(sf_dir: str):
+    from kgforge.functions.sketches import quantile_sketch_ds
+
+    return quantile_sketch_ds(_read(sf_dir, "events", ["value"]), k=256)
+
+
 def q_weighted_sample(sf_dir: str):
     from kgforge.functions.sampling import weighted_sample_ds
 
@@ -1381,6 +1398,8 @@ QUERIES = {
     "kg_edges_incremental": q_kg_edges_incremental,
     "latest_event": q_latest_event,
     "weighted_sample": q_weighted_sample,
+    "heavy_hitters": q_heavy_hitters,
+    "quantile_sketch": q_quantile_sketch,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "dup_clusters": q_dup_clusters,
@@ -1926,6 +1945,13 @@ ORACLE_SQL["kg_two_hop"] = _dict_oracle.two_hop_sql()
 ORACLE_SQL["kg_triangles"] = _dict_oracle.triangles_sql()
 ORACLE_SQL["kg_components"] = _dict_oracle.components_sql()
 ORACLE_SQL["kg_link_pred"] = _dict_oracle.common_neighbors_sql(k=20)
+ORACLE_SQL["heavy_hitters"] = r"""
+SELECT tok AS token, CAST(count(*) AS BIGINT) AS est,
+       CAST(0 AS BIGINT) AS err
+FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+      FROM documents)
+GROUP BY tok ORDER BY est DESC, token LIMIT 10
+"""
 ORACLE_SQL["weighted_sample"] = """
 WITH h AS (SELECT doc_id, n_chars,
                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),

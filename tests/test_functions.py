@@ -1038,3 +1038,49 @@ def test_weighted_sample_exact_and_layout_invariant(ray_session):
         # heavy row crosses multiple thresholds but is included once
         assert len(outs[-1]) == len(set(outs[-1])) <= 5
     assert outs[0] == outs[1]
+
+
+def test_misra_gries_bounds_and_exact_regime(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.sketches import heavy_hitters_ds
+
+    # lossy regime: 2000 distinct rare tokens + 3 heavy ones, capacity 64
+    texts, true = [], {}
+    for i in range(2000):
+        texts.append(f"rare{i:04d}")
+        true[f"rare{i:04d}"] = 1
+    for tok, n in (("alpha", 900), ("beta", 500), ("gamma", 300)):
+        texts.extend([tok] * n)
+        true[tok] = n
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    out = heavy_hitters_ds(rd.from_arrow(tbl).repartition(4),
+                           capacity=64, top=5).to_pandas()
+    got = dict(zip(out.token, out.est))
+    err = int(out.err.iloc[0])
+    assert {"alpha", "beta", "gamma"} <= set(got)
+    for tok in ("alpha", "beta", "gamma"):
+        assert got[tok] <= true[tok] <= got[tok] + err
+
+    # exact regime: distinct <= capacity -> err == 0, counts exact
+    out2 = heavy_hitters_ds(rd.from_arrow(tbl).repartition(4),
+                            capacity=4096, top=3).to_pandas()
+    assert list(out2.err) == [0, 0, 0]
+    assert dict(zip(out2.token, out2.est)) == {
+        "alpha": 900, "beta": 500, "gamma": 300}
+
+
+def test_kll_quantile_rank_error(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.sketches import quantile_sketch_ds
+
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(0, 2, size=50_000)
+    tbl = pa.table({"value": pa.array(vals, pa.float64())})
+    out = quantile_sketch_ds(rd.from_arrow(tbl).repartition(8),
+                             k=256).to_pandas()
+    sv = np.sort(vals)
+    for q_pct, approx in zip(out.q_pct, out.approx):
+        rank = np.searchsorted(sv, approx) / len(sv)
+        assert abs(rank - q_pct / 100) < 0.03, (q_pct, rank)
