@@ -688,14 +688,18 @@ def lsh_recall_ds(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     def count_hits(t: pa.Table, starts, nl, nr) -> pa.Table:
         n_exact = int((nl > 0).sum())
         n_hit = int(((nl > 0) & (nr > 0)).sum())
+        # right side is already distinct pairs → its row total IS
+        # n_lsh, counted here so the LSH generator runs exactly once
         return pa.table({"n_exact": pa.array([n_exact], pa.int64()),
-                         "n_hit": pa.array([n_hit], pa.int64())})
+                         "n_hit": pa.array([n_hit], pa.int64()),
+                         "n_lsh": pa.array([int(nr.sum())], pa.int64())})
 
     parts = cogroup_partition_ds(ek, lk, "pair", "pair", count_hits,
-                                 [], [], num_partitions=num_partitions)
+                                 [], [], num_partitions=num_partitions) \
+        .materialize()
     n_exact = parts.sum("n_exact") or 0
     n_hit = parts.sum("n_hit") or 0
-    n_lsh = lsh.count()
+    n_lsh = parts.sum("n_lsh") or 0
     recall = (round_away(np.array([n_hit / n_exact]), 4)[0]
               if n_exact else 0.0)
     return pa.table({
