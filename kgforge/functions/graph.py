@@ -467,15 +467,17 @@ def common_neighbors_ds(edges_ds, src: str = "subj", dst: str = "obj",
     1. wedge enumeration at each center (``_wedge_pairs_ds`` — hash
        partition by center, flat index math), per-BLOCK combine of the
        (a, b) counts so the wide step ships partial counts, not wedges;
-    2. ``groupby(a, b).sum`` for the exact common-neighbor count, then
-       a cogroup anti-join against the canonical edge set keyed by
-       ``a`` (adjacent pairs are existing links, not predictions);
+    2. ONE cogroup keyed by ``a`` joins the partial counts against the
+       canonical edge set: hash-partitioning by ``a`` already
+       co-locates every (a, b) partial, so the exact sum happens
+       inside the same callback as the anti-join (adjacent pairs are
+       existing links, not predictions) — the separate
+       ``groupby(a, b).sum`` shuffle this fuses away moved the full
+       pair table twice;
     3. per-block partial top-k (vectorized lexsort) so the final
        ``sort().limit(k)`` sees at most k rows per block — the global
        sort input is O(k × blocks), never the full pair table.
     """
-    from ray.data.aggregate import Sum
-
     und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
                              both_directions=True).materialize()
     wedges = _wedge_pairs_ds(und, ordered=True,
@@ -488,8 +490,7 @@ def common_neighbors_ds(edges_ds, src: str = "subj", dst: str = "obj",
         return pa.table({"a": g["a"], "b": g["b"],
                          "cn": pc.cast(g["count_all"], pa.int64())})
 
-    cn = wedges.map_batches(combine, batch_format="pyarrow") \
-        .groupby(["a", "b"]).aggregate(Sum("cn", alias_name="cn"))
+    cn = wedges.map_batches(combine, batch_format="pyarrow")
 
     # canonical a<b adjacency for the anti-join
     def canon(b: pa.Table) -> pa.Table:
@@ -501,9 +502,14 @@ def common_neighbors_ds(edges_ds, src: str = "subj", dst: str = "obj",
 
     def per_partition(t: pa.Table, starts, nl, nr) -> pa.Table:
         lidx, ridx = _lr_indices(starts, nl, nr)
-        left = pa.table({"a": t["__k"].take(pa.array(lidx)),
-                         "b": t["b"].take(pa.array(lidx)),
-                         "cn": t["cn"].take(pa.array(lidx))})
+        partials = pa.table({"a": t["__k"].take(pa.array(lidx)),
+                             "b": t["b"].take(pa.array(lidx)),
+                             "cn": t["cn"].take(pa.array(lidx))})
+        # all partials for a given `a` land in this partition → the
+        # within-partition sum IS the exact common-neighbor count
+        g = partials.group_by(["a", "b"], use_threads=False) \
+            .aggregate([("cn", "sum")])
+        left = pa.table({"a": g["a"], "b": g["b"], "cn": g["cn_sum"]})
         right = pa.table({"a": t["__k"].take(pa.array(ridx)),
                           "b": t["n2"].take(pa.array(ridx))})
         return left.join(right, keys=["a", "b"], join_type="left anti")
