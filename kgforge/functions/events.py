@@ -973,3 +973,234 @@ def latest_event_ds(ds, by: str = "user_id", on: str = "ts",
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("__p").map_groups(per_partition, batch_format="pyarrow")
+
+def session_intervals_ds(ds, gap_minutes: int = 30, by: str = "user_id",
+                         on: str = "ts", tie: str = "event_id",
+                         num_partitions: int = 64):
+    """Per-user session INTERVALS (vs :func:`sessionize_ds`'s counts):
+    one row per session with ``(user, sess ordinal, start_us, end_us,
+    n_events)``.  A session breaks when the gap to the previous event
+    of the same user exceeds ``gap_minutes``; event order under equal
+    timestamps is fixed by ``tie`` so the split is deterministic (the
+    SQL twin orders by the same ``(on, tie)``).
+
+    One hash partition by user; the break scan inside a partition is a
+    single vectorized pass over ALL users at once (user-change OR gap
+    both break), no per-user Python."""
+    import pyarrow.compute as pc
+
+    from kgforge.functions.indexing import _segment_arange
+    from kgforge.functions.joins import _part_codes
+
+    gap_us = np.int64(gap_minutes) * np.int64(60_000_000)
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({by: b[by],
+                      "__on": pc.cast(_on_key(b[on]), pa.int64()),
+                      "__tie": b[tie]})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t[by], num_partitions)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            ("__on", "ascending"),
+                                            ("__tie", "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        u = t[by].combine_chunks()
+        on_np = t["__on"].combine_chunks().to_numpy(zero_copy_only=False)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            same = pc.equal(u.slice(1), u.slice(0, n - 1)) \
+                .to_numpy(zero_copy_only=False)
+            brk[1:] = ~same | (np.diff(on_np) > gap_us)
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [n]])
+        su = u.take(pa.array(starts))
+        # sessions are sorted by user → within-user ordinal from runs
+        ucodes = su.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False)
+        ufirst = np.concatenate(
+            [[0], np.flatnonzero(ucodes[1:] != ucodes[:-1]) + 1]) \
+            if len(ucodes) else np.zeros(0, dtype=np.int64)
+        ulens = np.diff(np.concatenate([ufirst, [len(ucodes)]])) \
+            if len(ucodes) else np.zeros(0, dtype=np.int64)
+        return pa.table({
+            by: su,
+            "sess": pa.array(_segment_arange(ulens) + 1),
+            "start_us": pa.array(on_np[starts]),
+            "end_us": pa.array(on_np[ends - 1]),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition, batch_format="pyarrow")
+
+
+def interval_overlap_pairs_ds(iv_ds, by: str = "user_id",
+                              sess: str = "sess",
+                              start_col: str = "start_us",
+                              end_col: str = "end_us"):
+    """Interval-overlap SELF-join: every pair of intervals (a, b) with
+    ``start_a <= end_b AND start_b <= end_a``, pair ordered
+    ``(user, sess)``-lexicographically, with the exact overlap length.
+
+    Banded plan (the classic time-bucket interval join): bucket width
+    = global max interval duration + 1, so every interval spans at
+    most TWO buckets; each interval is replicated to the buckets its
+    span touches and a pair is counted only in the start bucket of its
+    LATER-starting member (the earlier member overlaps that bucket by
+    definition → both are present there, and the pair is attributed
+    exactly once).  Within a bucket the candidate check is a chunked
+    mask matrix over start-sorted rows — cost proportional to
+    candidate pairs, which the band already bounds to near the true
+    output size.  The interval table is the compacted session summary
+    (orders of magnitude smaller than the event stream), so the single
+    ``max`` pre-pass and the ≤2× replication are cheap."""
+    import pyarrow.compute as pc
+
+    iv = iv_ds.materialize()          # session summaries, not events
+
+    def dur(b: pa.Table) -> pa.Table:
+        d = pc.subtract(b[end_col], b[start_col])
+        return pa.table({"d": pc.cast(d, pa.int64())})
+
+    max_dur = iv.map_batches(dur, batch_format="pyarrow").max("d")
+    width = np.int64(int(max_dur) + 1)
+
+    def replicate(b: pa.Table) -> pa.Table:
+        st = b[start_col].combine_chunks().to_numpy(zero_copy_only=False)
+        en = b[end_col].combine_chunks().to_numpy(zero_copy_only=False)
+        b0 = st // width
+        b1 = en // width
+        reps = (b1 - b0 + 1).astype(np.int64)      # 1 or 2
+        ridx = np.repeat(np.arange(len(st)), reps)
+        bucket = np.repeat(b0, reps) + _iv_seg_arange(reps)
+        out = b.take(pa.array(ridx))
+        return out.append_column("bucket", pa.array(bucket))
+
+    def pairs_of(t: pa.Table) -> pa.Table:
+        bucket = int(t["bucket"][0].as_py())
+        idx = pc.sort_indices(t, sort_keys=[(start_col, "ascending"),
+                                            (by, "ascending"),
+                                            (sess, "ascending")])
+        t = t.take(idx)
+        st = t[start_col].combine_chunks().to_numpy(zero_copy_only=False)
+        en = t[end_col].combine_chunks().to_numpy(zero_copy_only=False)
+        k = len(st)
+        a_idx, b_idx = [], []
+        chunk = 1024
+        for j0 in range(0, k, chunk):
+            j1 = min(j0 + chunk, k)
+            # later member must START in this bucket (dedup rule)
+            own = (st[j0:j1] // width) == bucket
+            # candidates i < j in start order with end_i >= start_j
+            m = (en[:, None] >= st[None, j0:j1]) & own[None, :]
+            tri = np.arange(k)[:, None] < np.arange(j0, j1)[None, :]
+            ii, jj = np.nonzero(m & tri)
+            a_idx.append(ii)
+            b_idx.append(jj + j0)
+        ai = np.concatenate(a_idx) if a_idx else np.zeros(0, np.int64)
+        bi = np.concatenate(b_idx) if b_idx else np.zeros(0, np.int64)
+        ov = np.minimum(en[ai], en[bi]) - np.maximum(st[ai], st[bi])
+        ua, sa = t[by].take(pa.array(ai)), t[sess].take(pa.array(ai))
+        ub, sb = t[by].take(pa.array(bi)), t[sess].take(pa.array(bi))
+        # canonical pair order: (user, sess) of a < of b
+        uan = ua.combine_chunks().to_numpy(zero_copy_only=False)
+        ubn = ub.combine_chunks().to_numpy(zero_copy_only=False)
+        san = sa.combine_chunks().to_numpy(zero_copy_only=False)
+        sbn = sb.combine_chunks().to_numpy(zero_copy_only=False)
+        swap = (uan > ubn) | ((uan == ubn) & (san > sbn))
+        return pa.table({
+            "user_a": pa.array(np.where(swap, ubn, uan)),
+            "sess_a": pa.array(np.where(swap, sbn, san)),
+            "user_b": pa.array(np.where(swap, uan, ubn)),
+            "sess_b": pa.array(np.where(swap, san, sbn)),
+            "overlap_us": pa.array(ov.astype(np.int64)),
+        })
+
+    return iv.map_batches(replicate, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs_of, batch_format="pyarrow")
+
+
+def _iv_seg_arange(lens: np.ndarray) -> np.ndarray:
+    tot = int(lens.sum())
+    if tot == 0:
+        return np.zeros(0, dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    return np.arange(tot, dtype=np.int64) - np.repeat(off, lens)
+
+
+def hour_gaps_ds(ds, type_col: str = "event_type", on: str = "ts"):
+    """Coverage-gap detection: for every event type, the epoch-hours
+    BETWEEN its first and last active hour that saw zero events.
+    Two-phase: per-batch distinct (type, hour) pairs (the only rows
+    that shuffle), then one group per type computes
+    ``setdiff(arange(min, max+1), present)`` vectorized.  Parallelism
+    is the type cardinality — gaps are a per-series property, and each
+    series' distinct-hour set is tiny (hours, not events)."""
+    import pyarrow.compute as pc
+
+    hour_us = np.int64(3_600_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        hours = pc.divide(pc.cast(_on_key(b[on]), pa.int64()), hour_us)
+        t = pa.table({type_col: b[type_col], "hour": hours})
+        return t.group_by([type_col, "hour"], use_threads=False) \
+            .aggregate([])
+
+    def gaps(t: pa.Table) -> pa.Table:
+        h = np.unique(t["hour"].combine_chunks()
+                      .to_numpy(zero_copy_only=False))
+        missing = np.setdiff1d(np.arange(h[0], h[-1] + 1), h,
+                               assume_unique=True)
+        return pa.table({
+            type_col: pa.array([t[type_col][0].as_py()] * len(missing),
+                               pa.string()),
+            "missing_hour": pa.array(missing.astype(np.int64)),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(type_col).map_groups(gaps, batch_format="pyarrow")
+
+
+def mode_per_key_ds(ds, key_col: str, val_col: str):
+    """Exact per-key MODE with a deterministic tie rule (highest count,
+    then smallest value).  Per-batch (key, value) count partials →
+    one groupby on the pair (hot keys spread across reducers by value)
+    → per-key argmax over the tiny (key × distinct-values) table.
+    The stream never shuffles — only pair partials do."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({key_col: b[key_col], val_col: b[val_col]})
+        g = t.group_by([key_col, val_col], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({key_col: g[key_col], val_col: g[val_col],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([key_col, val_col]).aggregate(Sum("n", alias_name="n"))
+
+    def argmax(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(key_col, "ascending"),
+                                            ("n", "descending"),
+                                            (val_col, "ascending")])
+        t = t.take(idx)
+        k = t[key_col].combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pa.table({key_col: k, "mode": t[val_col],
+                             "n": pc.cast(t["n"], pa.int64())})
+        neq = pc.not_equal(k.slice(1), k.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+        starts = pa.array(np.concatenate([[0], np.flatnonzero(neq) + 1]))
+        t = t.take(starts)
+        return pa.table({key_col: t[key_col], "mode": t[val_col],
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    # the counts table is (keys × values) — re-keying it by key alone
+    # is a shuffle of that small table, not of the stream
+    return counts.groupby(key_col).map_groups(
+        lambda t: argmax(t), batch_format="pyarrow")

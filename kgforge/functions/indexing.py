@@ -265,3 +265,154 @@ def bigram_topk_ds(ds, k: int = 25, text_col: str = "text",
     counts = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("bigram").aggregate(Sum("n", alias_name="n"))
     return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+def term_search_ds(ds, terms, k: int = 20, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Conjunctive full-scan search: the top-``k`` documents containing
+    ALL query terms, ranked by total query-term frequency (int64 —
+    value-exact), ties by ascending id.  Pure map + partial-top-k: the
+    tiny query-term set rides inside the UDF, per-batch scoring is one
+    ``pc.is_in`` + two arrow group_bys, and the global sort sees at
+    most k rows per block.  (The indexed path for repeated queries is
+    :func:`inverted_index_ds`; a one-shot conjunctive query is cheaper
+    as a scan than as an index build.)"""
+    tset = pa.array(sorted(set(terms)), pa.string())
+    nterms = len(tset)
+
+    def score(b: pa.Table) -> pa.Table:
+        flat, par = _token_lists(b, text_col)
+        mask = pc.is_in(flat, value_set=tset)
+        t = pa.table({"d": par.filter(mask), "term": flat.filter(mask)})
+        g = t.group_by(["d", "term"], use_threads=False).aggregate(
+            [([], "count_all")])
+        g2 = g.group_by(["d"], use_threads=False).aggregate(
+            [("count_all", "sum"), ("term", "count")])
+        g2 = g2.filter(pc.equal(g2["term_count"], nterms))
+        return pa.table({
+            id_col: b[id_col].take(g2["d"]),
+            "score": pc.cast(g2["count_all_sum"], pa.int64()),
+        })
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        idx = pc.sort_indices(b, sort_keys=[("score", "descending"),
+                                            (id_col, "ascending")])
+        return b.take(idx.slice(0, k))
+
+    return ds.map_batches(score, batch_format="pyarrow") \
+        .map_batches(partial_topk, batch_format="pyarrow") \
+        .sort(["score", id_col], descending=[True, False]).limit(k)
+
+
+def pmi_topk_ds(ds, k: int = 25, min_count: int = 5,
+                text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int = 64):
+    """Top-``k`` collocations by LIFT — ``n_ab * T / (n_a * n_b)``,
+    the exp of PMI — over adjacent token pairs with support
+    ``n_ab >= min_count``.  Monotone in PMI, but needs no log: every
+    arithmetic step (int64→double casts, one multiply chain, one
+    divide) is IEEE correctly-rounded and executed in the same order
+    as the SQL twin, so the doubles are bit-identical (same contract
+    as ``tfidf_topk_ds``'s linear idf).
+
+    Scale shape — two keyed shuffles, mirroring ``tfidf_topk_ds``:
+    per-batch bigram AND unigram count partials; cogroup by ``w1``
+    completes both counts per partition (hash co-location) and
+    attaches ``n_a``; cogroup by ``w2`` attaches ``n_b``.  The
+    vocabulary is never collected or broadcast; ``T`` (total tokens)
+    is the one driver scalar, a sum over unigram partials."""
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        flat, _ = _token_lists(b, text_col)
+        vc = flat.value_counts()
+        return pa.table({"term": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    def bi_partial(b: pa.Table) -> pa.Table:
+        flat, par = _token_lists(b, text_col)
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "n_ab": pa.array([], pa.int64())})
+        if len(flat) < 2:
+            return empty
+        pv = par.to_numpy(zero_copy_only=False)
+        adj = pa.array(pv[1:] == pv[:-1])
+        t = pa.table({"w1": flat.slice(0, len(flat) - 1).filter(adj),
+                      "w2": flat.slice(1).filter(adj)})
+        g = t.group_by(["w1", "w2"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"w1": g["w1"], "w2": g["w2"],
+                         "n_ab": pc.cast(g["count_all"], pa.int64())})
+
+    uni = ds.map_batches(uni_partial, batch_format="pyarrow") \
+        .materialize()                      # reused 3×: w1, w2, T
+    bi = ds.map_batches(bi_partial, batch_format="pyarrow")
+    total = int(uni.sum("n") or 0)
+
+    def attach(side_key: str, out_key: str, carry: list[str],
+               agg_left: bool):
+        def per_partition(t: pa.Table, starts, nl, nr) -> pa.Table:
+            n_right = pc.fill_null(t["n"], 0).combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            cs = np.concatenate([[0], np.cumsum(n_right)])
+            ends = starts + nl + nr
+            per_key = cs[ends] - cs[starts]       # right-run sums
+            lrows = np.repeat(starts, nl) + _segment_arange(nl)
+            key_of = np.repeat(np.arange(len(starts)), nl)
+            li = pa.array(lrows)
+            cols = {side_key: t["__k"].take(li)}
+            for c in carry:
+                cols[c] = t[c].take(li)
+            cols[out_key] = pa.array(per_key[key_of])
+            lt = pa.table(cols)
+            if agg_left:
+                # bigram partials: complete the (w1, w2) sum here —
+                # hash co-location by w1 makes the partition-sum exact
+                g = lt.group_by([side_key, "w2"], use_threads=False) \
+                    .aggregate([("n_ab", "sum"), (out_key, "max")])
+                return pa.table({side_key: g[side_key], "w2": g["w2"],
+                                 "n_ab": pc.cast(g["n_ab_sum"],
+                                                 pa.int64()),
+                                 out_key: pc.cast(g[f"{out_key}_max"],
+                                                  pa.int64())})
+            return lt
+        return per_partition
+
+    s1 = cogroup_partition_ds(bi, uni, "w1", "term",
+                              attach("w1", "n_a", ["w2", "n_ab"], True),
+                              ["w2", "n_ab"], ["n"],
+                              num_partitions=num_partitions)
+    s2 = cogroup_partition_ds(s1, uni, "w2", "term",
+                              attach("w2", "n_b", ["w1", "n_ab", "n_a"],
+                                     False),
+                              ["w1", "n_ab", "n_a"], ["n"],
+                              num_partitions=num_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["n_ab"], min_count))
+        n_ab = b["n_ab"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n_a = pc.fill_null(b["n_a"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        n_b = pc.fill_null(b["n_b"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        lift = round_away((n_ab * np.float64(total)) / (n_a * n_b), 4)
+        out = pa.table({
+            "w1": b["w1"], "w2": b["w2"],
+            "n_ab": pc.cast(b["n_ab"], pa.int64()),
+            "n_a": pc.cast(pc.fill_null(b["n_a"], 0), pa.int64()),
+            "n_b": pc.cast(pc.fill_null(b["n_b"], 0), pa.int64()),
+            "lift": pa.array(lift),
+        })
+        if out.num_rows <= k:
+            return out
+        idx = pc.sort_indices(out, sort_keys=[("lift", "descending"),
+                                              ("w1", "ascending"),
+                                              ("w2", "ascending")])
+        return out.take(idx.slice(0, k))
+
+    return s2.map_batches(finish, batch_format="pyarrow") \
+        .sort(["lift", "w1", "w2"], descending=[True, False, False]) \
+        .limit(k)

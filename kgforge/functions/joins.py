@@ -262,3 +262,34 @@ def shuffle_join_ds(left_ds, right_ds, on_left: str, on_right: str,
                             left_cols, right_cols, num_partitions)
     return unioned.groupby("__p").map_groups(per_partition,
                                              batch_format="pyarrow")
+
+def set_op_ds(left_ds, right_ds, on_left: str, on_right: str,
+              op: str = "intersect", num_partitions: int = 64):
+    """Distributed INTERSECT / EXCEPT over DISTINCT keys (the SQL set
+    operators).  Both sides are deduped per batch first, so only
+    distinct keys enter the single hash-partitioned cogroup; the
+    per-partition pick is one vectorized mask over the key-run layout
+    (left-present & right-present, or left-present & right-absent).
+    Output column is named ``on_left``."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op={op!r}: intersect/except supported")
+
+    def distinct(col):
+        def f(b: pa.Table) -> pa.Table:
+            return b.select([col]).group_by([col], use_threads=False) \
+                .aggregate([])
+        return f
+
+    l = left_ds.map_batches(distinct(on_left), batch_format="pyarrow")
+    r = right_ds.map_batches(distinct(on_right), batch_format="pyarrow")
+
+    def pick(t: pa.Table, starts, nl, nr) -> pa.Table:
+        if op == "intersect":
+            sel = (nl > 0) & (nr > 0)
+        else:
+            sel = (nl > 0) & (nr == 0)
+        idx = starts[np.flatnonzero(sel)]
+        return pa.table({on_left: t["__k"].take(pa.array(idx))})
+
+    return cogroup_partition_ds(l, r, on_left, on_right, pick, [], [],
+                                num_partitions=num_partitions)

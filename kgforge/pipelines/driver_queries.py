@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 
 from kgforge.functions import dedup as F_dedup
 from kgforge.functions import events as F_events
+from kgforge.functions import indexing as F_indexing
+from kgforge.functions import joins as F_joins
 from kgforge.functions import simsearch as F_sim
 from kgforge.functions import textstats as F_text
 from kgforge.functions.multimodal import FrameSampler, media_features_ds
@@ -1315,6 +1317,81 @@ def q_kg_prf(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Session intervals / interval-overlap join / coverage gaps / mode
+# ---------------------------------------------------------------------------
+
+def q_session_overlap(sf_dir: str):
+    """Banded interval-overlap self-join over per-user session
+    intervals: every cross-session pair whose time spans intersect."""
+    iv = F_events.session_intervals_ds(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]))
+    return F_events.interval_overlap_pairs_ds(iv)
+
+
+def q_hour_gaps(sf_dir: str):
+    return F_events.hour_gaps_ds(
+        _read(sf_dir, "events", ["event_type", "ts"]))
+
+
+def q_hourly_mode(sf_dir: str):
+    import pyarrow.compute as pc
+
+    def hour_key(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"hour": pc.divide(us, 3_600_000_000),
+                         "event_type": b["event_type"]})
+
+    return F_events.mode_per_key_ds(
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(hour_key, batch_format="pyarrow"),
+        "hour", "event_type")
+
+
+def _user_hours(sf_dir: str, event_type: str):
+    """Distinct packed (user, hour) keys of one event type."""
+    import pyarrow.compute as pc
+
+    def pack(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], event_type))
+        us = pc.cast(b["ts"], pa.timestamp("us")).cast(pa.int64())
+        h = pc.divide(us, 3_600_000_000)
+        return pa.table({"uh": pc.add(pc.multiply(b["user_id"],
+                                                  10_000_000), h)})
+
+    return _read(sf_dir, "events", ["user_id", "ts", "event_type"]) \
+        .map_batches(pack, batch_format="pyarrow")
+
+
+def q_hours_intersect(sf_dir: str):
+    """(user, hour) cells active for BOTH purchase and click — the
+    distributed INTERSECT set operator."""
+    return F_joins.set_op_ds(_user_hours(sf_dir, "purchase"),
+                             _user_hours(sf_dir, "click"), "uh", "uh",
+                             op="intersect")
+
+
+def q_hours_except(sf_dir: str):
+    return F_joins.set_op_ds(_user_hours(sf_dir, "purchase"),
+                             _user_hours(sf_dir, "click"), "uh", "uh",
+                             op="except")
+
+
+SEARCH_TERMS = ("key", "table", "sort")
+
+
+def q_term_search(sf_dir: str):
+    return F_indexing.term_search_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        list(SEARCH_TERMS), k=20)
+
+
+def q_pmi_topk(sf_dir: str):
+    return F_indexing.pmi_topk_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        k=25, min_count=5)
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -1400,6 +1477,13 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "heavy_hitters": q_heavy_hitters,
     "quantile_sketch": q_quantile_sketch,
+    "session_overlap": q_session_overlap,
+    "hour_gaps": q_hour_gaps,
+    "hourly_mode": q_hourly_mode,
+    "hours_intersect": q_hours_intersect,
+    "hours_except": q_hours_except,
+    "term_search": q_term_search,
+    "pmi_topk": q_pmi_topk,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "dup_clusters": q_dup_clusters,
@@ -2234,4 +2318,102 @@ r AS (SELECT *, row_number() OVER (PARTITION BY d, j, ms, me
 SELECT printf('dict-%08d', d) AS doc_id, j AS sent_idx,
        ms AS ment_start, me AS ment_end, surface, etype, tagger, score
 FROM r WHERE rn = 1
+"""
+
+_SESSION_IV_SQL = """
+    s AS (SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sx AS (SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+           FROM s),
+    iv AS (SELECT user_id, CAST(sess AS BIGINT) AS sess,
+             min(epoch_us(ts)) AS st, max(epoch_us(ts)) AS en
+           FROM sx GROUP BY 1, 2)
+"""
+
+ORACLE_SQL["session_overlap"] = "WITH" + _SESSION_IV_SQL + """
+    SELECT a.user_id AS user_a, a.sess AS sess_a,
+           b.user_id AS user_b, b.sess AS sess_b,
+           CAST(least(a.en, b.en) - greatest(a.st, b.st) AS BIGINT)
+               AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.st <= b.en AND b.st <= a.en
+     AND (a.user_id < b.user_id
+          OR (a.user_id = b.user_id AND a.sess < b.sess))
+"""
+
+ORACLE_SQL["hour_gaps"] = """
+    WITH p AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
+               FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(h) AS mn, max(h) AS mx
+          FROM p GROUP BY 1),
+    allh AS (SELECT event_type, unnest(generate_series(mn, mx)) AS h
+             FROM b)
+    SELECT a.event_type, CAST(a.h AS BIGINT) AS missing_hour
+    FROM allh a LEFT JOIN p
+      ON p.event_type = a.event_type AND p.h = a.h
+    WHERE p.h IS NULL
+"""
+
+ORACLE_SQL["hourly_mode"] = """
+    WITH c AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY hour ORDER BY n DESC, event_type) AS rn
+          FROM c)
+    SELECT CAST(hour AS BIGINT) AS hour, event_type AS mode, n
+    FROM r WHERE rn = 1
+"""
+
+_UH_SQL = """SELECT DISTINCT
+    user_id * 10000000 + epoch_us(ts) // 3600000000 AS uh
+    FROM events WHERE event_type = '{et}'"""
+
+ORACLE_SQL["hours_intersect"] = (
+    _UH_SQL.format(et="purchase") + " INTERSECT "
+    + _UH_SQL.format(et="click"))
+ORACLE_SQL["hours_except"] = (
+    _UH_SQL.format(et="purchase") + " EXCEPT "
+    + _UH_SQL.format(et="click"))
+
+ORACLE_SQL["term_search"] = r"""
+    WITH toks AS (SELECT doc_id,
+                    unnest(regexp_extract_all(text, '\S+')) AS term
+                  FROM documents),
+    m AS (SELECT doc_id, term, count(*) AS n FROM toks
+          WHERE term IN ('{t0}', '{t1}', '{t2}') GROUP BY 1, 2),
+    s AS (SELECT doc_id, sum(n) AS score, count(*) AS nt
+          FROM m GROUP BY 1)
+    SELECT doc_id, CAST(score AS BIGINT) AS score
+    FROM s WHERE nt = 3
+    ORDER BY score DESC, doc_id LIMIT 20
+""".format(t0=SEARCH_TERMS[0], t1=SEARCH_TERMS[1], t2=SEARCH_TERMS[2])
+
+ORACLE_SQL["pmi_topk"] = r"""
+    WITH t AS (SELECT regexp_extract_all(text, '\S+') AS tl
+               FROM documents),
+    uni AS (SELECT unnest(tl) AS term FROM t),
+    un AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+           FROM uni GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM uni),
+    bg AS (SELECT unnest(tl[1:len(tl)-1]) AS w1,
+                  unnest(tl[2:len(tl)]) AS w2
+           FROM t WHERE len(tl) >= 2),
+    bn AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+           FROM bg GROUP BY 1, 2)
+    SELECT bn.w1, bn.w2, bn.n_ab, a.n AS n_a, b.n AS n_b,
+           round((CAST(bn.n_ab AS DOUBLE)
+                  * CAST((SELECT total FROM tot) AS DOUBLE))
+                 / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)), 4)
+               AS lift
+    FROM bn JOIN un a ON a.term = bn.w1 JOIN un b ON b.term = bn.w2
+    WHERE bn.n_ab >= 5
+    ORDER BY lift DESC, bn.w1, bn.w2 LIMIT 25
 """

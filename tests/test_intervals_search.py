@@ -1,0 +1,173 @@
+"""Tests for the session-interval / interval-overlap-join family,
+set operators, per-key mode, coverage gaps, and the conjunctive
+search + PMI collocation operators — each vs a brute-force oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from kgforge.functions import events as E
+from kgforge.functions import indexing as X
+from kgforge.functions import joins as J
+
+US = 1_000_000
+MIN = 60 * US
+
+
+def _events_tbl(rows):
+    """rows: (event_id, user_id, ts_us)"""
+    eid, uid, ts = zip(*rows)
+    return pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "user_id": pa.array(uid, pa.int64()),
+        "ts": pa.array(list(ts), pa.timestamp("us")),
+    })
+
+
+@pytest.fixture(scope="module")
+def interval_events(ray_session):
+    import ray.data as rd
+
+    rows = []
+    eid = 0
+    # user 1: two sessions — [0, 10min] (3 events), then a 45-min gap
+    for m in (0, 5, 10):
+        rows.append((eid, 1, m * MIN)); eid += 1
+    rows.append((eid, 1, 55 * MIN)); eid += 1
+    # user 2: one session overlapping user 1's first [7min, 12min]
+    for m in (7, 12):
+        rows.append((eid, 2, m * MIN)); eid += 1
+    # user 3: isolated much later, no overlap
+    rows.append((eid, 3, 600 * MIN)); eid += 1
+    # user 4: same-timestamp events as user 1's session start
+    rows.append((eid, 4, 0)); eid += 1
+    return rd.from_arrow(_events_tbl(rows)).repartition(3)
+
+
+def test_session_intervals(interval_events):
+    iv = E.session_intervals_ds(interval_events, gap_minutes=30) \
+        .to_pandas().sort_values(["user_id", "sess"]).reset_index(drop=True)
+    got = list(iv.itertuples(index=False, name=None))
+    assert got == [
+        (1, 1, 0, 10 * MIN, 3),
+        (1, 2, 55 * MIN, 55 * MIN, 1),
+        (2, 1, 7 * MIN, 12 * MIN, 2),
+        (3, 1, 600 * MIN, 600 * MIN, 1),
+        (4, 1, 0, 0, 1),
+    ]
+
+
+def test_interval_overlap_matches_bruteforce(interval_events):
+    iv_ds = E.session_intervals_ds(interval_events, gap_minutes=30)
+    got = E.interval_overlap_pairs_ds(iv_ds).to_pandas()
+    got_set = {tuple(r) for r in got.itertuples(index=False, name=None)}
+
+    iv = iv_ds.to_pandas().sort_values(["user_id", "sess"]) \
+        .to_dict("records")
+    want = set()
+    for i in range(len(iv)):
+        for j in range(i + 1, len(iv)):
+            a, b = iv[i], iv[j]
+            if a["start_us"] <= b["end_us"] and b["start_us"] <= a["end_us"]:
+                want.add((a["user_id"], a["sess"], b["user_id"], b["sess"],
+                          min(a["end_us"], b["end_us"])
+                          - max(a["start_us"], b["start_us"])))
+    assert got_set == want
+    # the known overlaps: u1s1×u2s1 (3 min) and u1s1×u4s1 (instant)
+    assert (1, 1, 2, 1, 3 * MIN) in got_set
+    assert (1, 1, 4, 1, 0) in got_set
+    assert len(got_set) == 2
+
+
+def test_hour_gaps(ray_session):
+    import ray.data as rd
+
+    hour = 3600 * US
+    rows = [(0, 1, 0), (1, 1, 1 * hour), (2, 1, 4 * hour),  # miss h2, h3
+            (3, 2, 10 * hour)]
+    tbl = _events_tbl(rows).append_column(
+        "event_type", pa.array(["a", "a", "a", "b"]))
+    out = E.hour_gaps_ds(rd.from_arrow(tbl).repartition(2)).to_pandas()
+    got = sorted(map(tuple, out.values.tolist()))
+    assert got == [("a", 2), ("a", 3)]
+
+
+def test_mode_per_key_tie_breaks_to_smallest_value(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "v": pa.array(["b", "b", "a", "a", "z", "y"], pa.string()),
+    })
+    out = E.mode_per_key_ds(rd.from_arrow(tbl).repartition(3), "k", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(out.itertuples(index=False, name=None)) == [
+        (1, "a", 2),     # tie 2-2 → smallest value
+        (2, "y", 1),     # tie 1-1 → smallest value
+    ]
+
+
+def test_set_ops(ray_session):
+    import ray.data as rd
+
+    l = rd.from_arrow(pa.table({"k": pa.array([1, 2, 2, 3, 5],
+                                              pa.int64())})).repartition(2)
+    r = rd.from_arrow(pa.table({"j": pa.array([2, 3, 3, 4],
+                                              pa.int64())})).repartition(2)
+    inter = sorted(J.set_op_ds(l, r, "k", "j", "intersect")
+                   .to_pandas()["k"])
+    exc = sorted(J.set_op_ds(l, r, "k", "j", "except").to_pandas()["k"])
+    assert inter == [2, 3]
+    assert exc == [1, 5]
+    with pytest.raises(ValueError):
+        J.set_op_ds(l, r, "k", "j", "union")
+
+
+@pytest.fixture(scope="module")
+def search_docs(ray_session):
+    import ray.data as rd
+
+    texts = [
+        "key table sort key key",          # all 3, score 5
+        "key table sort",                  # all 3, score 3
+        "key table table",                 # missing sort
+        "sort sort sort",                  # missing key/table
+        "",
+    ]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(2)
+
+
+def test_term_search_requires_all_terms(search_docs):
+    out = X.term_search_ds(search_docs, ["key", "table", "sort"], k=10) \
+        .to_pandas()
+    assert list(out.itertuples(index=False, name=None)) == [
+        (0, 5), (1, 3)]
+
+
+def test_pmi_topk_matches_bruteforce(search_docs):
+    out = X.pmi_topk_ds(search_docs, k=50, min_count=1).to_pandas()
+
+    texts = ["key table sort key key", "key table sort",
+             "key table table", "sort sort sort", ""]
+    from collections import Counter
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    total = sum(uni.values())
+    want = {}
+    for (w1, w2), n_ab in bi.items():
+        lift = np.float64(n_ab) * np.float64(total) / (
+            np.float64(uni[w1]) * np.float64(uni[w2]))
+        want[(w1, w2)] = (n_ab, uni[w1], uni[w2],
+                          float(np.round(lift, 4)))
+    got = {(r.w1, r.w2): (r.n_ab, r.n_a, r.n_b, r.lift)
+           for r in out.itertuples(index=False)}
+    assert got == want
+    # ranking is (lift desc, w1, w2)
+    ranks = [(-r.lift, r.w1, r.w2) for r in out.itertuples(index=False)]
+    assert ranks == sorted(ranks)
