@@ -293,3 +293,96 @@ def set_op_ds(left_ds, right_ds, on_left: str, on_right: str,
 
     return cogroup_partition_ds(l, r, on_left, on_right, pick, [], [],
                                 num_partitions=num_partitions)
+
+def table_diff_ds(left_ds, right_ds, on_left: str, on_right: str,
+                  left_cols: list[str], right_cols: list[str],
+                  num_partitions: int = 64):
+    """Snapshot diff keyed by a (pre-composed) key column: one row per
+    key that differs between the two tables, with status ``added``
+    (right only), ``removed`` (left only) or ``changed`` (both present
+    but the payload differs; multi-row keys compare as sorted
+    multisets).  Output: key + ``status`` + the right side's payload
+    (typed-null for ``removed``).  ``left_cols`` / ``right_cols`` must
+    align positionally (same arity and types) and must not collide by
+    name — rename one side first when diffing same-schema tables.
+
+    Single hash cogroup.  Unique-key runs (the dominant regime for
+    deduped snapshot tables) are compared fully vectorized — one
+    ``pc.equal`` per payload column over all common keys at once; only
+    keys with duplicate rows fall back to a per-key multiset compare.
+    Only differing keys leave the shuffle — the natural verification /
+    regression primitive for nightly KG rebuilds (is the delta-merged
+    graph identical to the batch build, and if not, where?)."""
+    if len(left_cols) != len(right_cols):
+        raise ValueError("left_cols and right_cols must align")
+    import pyarrow.compute as pc
+
+    r_schema = right_ds.schema().base_schema
+    r_types = [(c, r_schema.field(c).type) for c in right_cols]
+
+    def emit(t, key_idx: pa.Array, row_idx: pa.Array | None,
+             status: str) -> pa.Table:
+        n = len(key_idx)
+        cols = {on_left: t["__k"].take(key_idx),
+                "status": pa.array([status] * n, pa.string())}
+        for rc, typ in r_types:
+            cols[rc] = (pa.nulls(n, typ) if row_idx is None
+                        else t[rc].take(row_idx))
+        return pa.table(cols)
+
+    def per_partition(t: pa.Table, starts, nl, nr) -> pa.Table:
+        parts = []
+        added = np.flatnonzero((nl == 0) & (nr > 0))
+        if len(added):
+            fi = pa.array(starts[added])
+            parts.append(emit(t, fi, fi, "added"))
+        removed = np.flatnonzero((nl > 0) & (nr == 0))
+        if len(removed):
+            parts.append(emit(t, pa.array(starts[removed]), None,
+                              "removed"))
+        # --- changed: unique-key fast path, all keys at once -------
+        uniq = np.flatnonzero((nl == 1) & (nr == 1))
+        if len(uniq):
+            li = pa.array(starts[uniq])
+            ri = pa.array(starts[uniq] + 1)
+            neq = np.zeros(len(uniq), dtype=bool)
+            for lc, (rc, _) in zip(left_cols, r_types):
+                eq = pc.equal(t[lc].take(li), t[rc].take(ri))
+                # null==null counts as equal; null vs value as changed
+                ln = pc.is_null(t[lc].take(li))
+                rn = pc.is_null(t[rc].take(ri))
+                eq = pc.or_kleene(eq, pc.and_(ln, rn))
+                neq |= ~pc.fill_null(eq, False) \
+                    .to_numpy(zero_copy_only=False)
+            hit = np.flatnonzero(neq)
+            if len(hit):
+                parts.append(emit(t, pa.array(starts[uniq][hit]),
+                                  pa.array(starts[uniq][hit] + 1),
+                                  "changed"))
+        # --- multi-row keys: per-key sorted-multiset compare (rare —
+        # a deduped snapshot has unique keys; documented fallback) ---
+        multi = np.flatnonzero((nl > 0) & (nr > 0)
+                               & ((nl > 1) | (nr > 1)))
+        sort_keys = [(rc, "ascending") for rc, _ in r_types]
+        for i in multi:
+            s0 = int(starts[i])
+            if nl[i] != nr[i]:
+                differs = True
+            else:
+                ls = t.slice(s0, int(nl[i])).select(left_cols) \
+                    .rename_columns([rc for rc, _ in r_types]) \
+                    .sort_by(sort_keys)
+                rs = t.slice(s0 + int(nl[i]), int(nr[i])) \
+                    .select(right_cols).sort_by(sort_keys)
+                differs = not ls.equals(rs)
+            if differs:
+                fi = pa.array([s0 + int(nl[i])])
+                parts.append(emit(t, pa.array([s0]), fi, "changed"))
+        if not parts:
+            return emit(t, pa.array([], pa.int64()), None, "removed") \
+                .slice(0, 0)
+        return pa.concat_tables(parts)
+
+    return cogroup_partition_ds(left_ds, right_ds, on_left, on_right,
+                                per_partition, left_cols, right_cols,
+                                num_partitions=num_partitions)

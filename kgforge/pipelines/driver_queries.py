@@ -1376,6 +1376,41 @@ def q_hours_except(sf_dir: str):
                              op="except")
 
 
+def q_kg_edges_diff(sf_dir: str):
+    """Snapshot diff between the even-docs-only KG edge build (the
+    'base' run) and the full batch build: which edges appeared, which
+    gained support.  The nightly-rebuild verification primitive — run
+    it between a delta-merged graph and a batch rebuild and an empty
+    result proves them identical, a non-empty one names the keys."""
+    from kgforge.stages.triples import dedup_triples_ds
+
+    res = _dict_flagship_for(sf_dir)
+    trip, full = res["triples"], res["edges"]
+
+    def even_docs(b: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(b["doc_id"], 5, 50),
+                      pa.int64())
+        return b.filter(pc.equal(pc.bit_wise_and(num, 1), 0))
+
+    half = dedup_triples_ds(trip.map_batches(even_docs,
+                                             batch_format="pyarrow"))
+
+    def key_support(out_name: str):
+        def f(b: pa.Table) -> pa.Table:
+            k = pc.binary_join_element_wise(b["subj"], b["pred"],
+                                            b["obj"], "\x1f")
+            return pa.table({"edge_key": k,
+                             out_name: pc.cast(b["support"],
+                                               pa.int64())})
+        return f
+
+    return F_joins.table_diff_ds(
+        half.map_batches(key_support("support_old"),
+                         batch_format="pyarrow"),
+        full.map_batches(key_support("support"), batch_format="pyarrow"),
+        "edge_key", "edge_key", ["support_old"], ["support"])
+
+
 SEARCH_TERMS = ("key", "table", "sort")
 
 
@@ -1477,6 +1512,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "heavy_hitters": q_heavy_hitters,
     "quantile_sketch": q_quantile_sketch,
+    "kg_edges_diff": q_kg_edges_diff,
     "session_overlap": q_session_overlap,
     "hour_gaps": q_hour_gaps,
     "hourly_mode": q_hourly_mode,
@@ -2416,4 +2452,25 @@ ORACLE_SQL["pmi_topk"] = r"""
     FROM bn JOIN un a ON a.term = bn.w1 JOIN un b ON b.term = bn.w2
     WHERE bn.n_ab >= 5
     ORDER BY lift DESC, bn.w1, bn.w2 LIMIT 25
+"""
+
+ORACLE_SQL["kg_edges_diff"] = _dict_oracle._triples_ctes() + """,
+e_full AS (SELECT subj, pred, obj, CAST(sum(support) AS BIGINT)
+               AS support
+           FROM trip GROUP BY 1, 2, 3),
+e_half AS (SELECT subj, pred, obj, CAST(sum(support) AS BIGINT)
+               AS support
+           FROM trip WHERE CAST(substr(doc_id, 6) AS BIGINT) % 2 = 0
+           GROUP BY 1, 2, 3)
+SELECT concat(f.subj, chr(31), f.pred, chr(31), f.obj) AS edge_key,
+       CASE WHEN h.subj IS NULL THEN 'added' ELSE 'changed' END
+           AS status,
+       f.support
+FROM e_full f LEFT JOIN e_half h USING (subj, pred, obj)
+WHERE h.subj IS NULL OR h.support <> f.support
+UNION ALL
+SELECT concat(h.subj, chr(31), h.pred, chr(31), h.obj), 'removed',
+       CAST(NULL AS BIGINT)
+FROM e_half h LEFT JOIN e_full f USING (subj, pred, obj)
+WHERE f.subj IS NULL
 """

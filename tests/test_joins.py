@@ -1,5 +1,6 @@
 """Cogroup / shuffle equi-join (kgforge.functions.joins)."""
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -136,3 +137,44 @@ def test_cogroup_partition_vectorized(ray_session):
     assert out.k.tolist() == [1, 2, 3, 4]
     assert out.nl.tolist() == [2, 1, 0, 1]
     assert out.sum_rv.tolist() == [10, 41, 30, 0]
+
+def test_table_diff_statuses(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.joins import table_diff_ds
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "c", "m", "m"], pa.string()),
+        "v_old": pa.array([1, 2, 3, 7, 8], pa.int64()),
+    })).repartition(2)
+    right = rd.from_arrow(pa.table({
+        # a unchanged, b changed, c missing (removed), d new (added),
+        # m is a multi-row key with a differing multiset
+        "k": pa.array(["a", "b", "d", "m", "m"], pa.string()),
+        "v": pa.array([1, 20, 4, 7, 9], pa.int64()),
+    })).repartition(2)
+    out = table_diff_ds(left, right, "k", "k", ["v_old"], ["v"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    got = {(r.k, r.status) for r in out.itertuples(index=False)}
+    assert got == {("b", "changed"), ("c", "removed"), ("d", "added"),
+                   ("m", "changed")}
+    assert out[out.k == "d"]["v"].iloc[0] == 4
+    assert pd.isna(out[out.k == "c"]["v"].iloc[0])
+
+
+def test_table_diff_multiset_equal_keys_silent(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.joins import table_diff_ds
+
+    # same multiset in different row order → NOT a diff
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["x", "x"], pa.string()),
+        "v_old": pa.array([5, 6], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["x", "x"], pa.string()),
+        "v": pa.array([6, 5], pa.int64()),
+    }))
+    out = table_diff_ds(left, right, "k", "k", ["v_old"], ["v"])
+    assert out.count() == 0
