@@ -1204,3 +1204,39 @@ def mode_per_key_ds(ds, key_col: str, val_col: str):
     # is a shuffle of that small table, not of the stream
     return counts.groupby(key_col).map_groups(
         lambda t: argmax(t), batch_format="pyarrow")
+
+def point_in_interval_ds(points_ds, iv_ds, by: str = "user_id",
+                         on: str = "ts", point_id: str = "event_id",
+                         sess: str = "sess",
+                         start_col: str = "start_us",
+                         end_col: str = "end_us"):
+    """Point-in-interval join: label each point with the covering
+    interval's id (typed-null when no interval of the same key covers
+    it).  Composed from the as-of join — the covering interval is
+    exactly the latest interval STARTING at or before the point
+    (intervals of one key don't overlap), post-filtered by
+    ``end >= point`` — so it inherits the as-of operator's whole scale
+    contract (keyed salting, boundary carry, Arrow-typed nulls) for
+    free.  Output: (key, point id, sess)."""
+    import pyarrow.compute as pc
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({by: b[by], on: b[start_col],
+                         sess: b[sess], end_col: b[end_col]})
+
+    right = iv_ds.map_batches(prep, batch_format="pyarrow")
+    j = asof_join_ds(points_ds, right, by=by, on=on,
+                     left_cols=(point_id, on),
+                     right_cols=(sess, end_col), tie_break=sess)
+
+    def finish(b: pa.Table) -> pa.Table:
+        pt = pc.cast(_on_key(b["l_" + on]), pa.int64())
+        covered = pc.fill_null(
+            pc.less_equal(pt, b["r_" + end_col]), False)
+        lab = pc.if_else(covered, b["r_" + sess],
+                         pa.nulls(b.num_rows,
+                                  b["r_" + sess].type))
+        return pa.table({by: b[by], point_id: b["l_" + point_id],
+                         sess: lab})
+
+    return j.map_batches(finish, batch_format="pyarrow")

@@ -362,3 +362,49 @@ def percentile_filter_ds(ds, q: float = 0.9, text_col: str = "text",
         return b.append_column("n_tokens", n).filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+def value_deciles_ds(ds, value_col: str = "n_chars",
+                     id_col: str = "doc_id", n_buckets: int = 10):
+    """Equi-depth bucket label per row — ``floor(n_buckets · cnt_lt /
+    N)`` where ``cnt_lt`` counts rows with a strictly smaller value —
+    i.e. SQL's ``(rank() - 1) * n_buckets // N``.  Rank is value-based,
+    so ties always share a bucket and the labels are deterministic
+    under any row order (``ntile`` is not: it splits ties by physical
+    order).
+
+    Scale shape (same as :func:`percentile_filter_ds`): a value
+    HISTOGRAM shuffles (distinct values, never rows), the cumulative
+    rank table is a tiny broadcast, and the labeling pass is one
+    vectorized ``searchsorted`` per batch.  The feature-binning
+    primitive for curriculum/quality stratification."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"v": pc.cast(b[value_col], pa.int64())})
+        g = t.group_by(["v"], use_threads=False).aggregate(
+            [("v", "count")])
+        return pa.table({"v": g["v"],
+                         "cnt": pc.cast(g["v_count"], pa.int64())})
+
+    hist = ds.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("cnt", alias_name="cnt")).take_all()
+    hist.sort(key=lambda r: r["v"])
+    vals = np.array([r["v"] for r in hist], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in hist], dtype=np.int64)
+    total = int(cnts.sum())
+    cum_lt = np.concatenate([[0], np.cumsum(cnts)[:-1]]) \
+        if len(cnts) else np.zeros(0, dtype=np.int64)
+    labels = (cum_lt * n_buckets) // max(total, 1)
+
+    def label(b: pa.Table) -> pa.Table:
+        v = pc.cast(b[value_col], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vals, v)
+        return pa.table({
+            id_col: b[id_col],
+            value_col: pa.array(v),
+            "decile": pa.array(labels[pos].astype(np.int64)),
+        })
+
+    return ds.map_batches(label, batch_format="pyarrow")

@@ -1411,6 +1411,21 @@ def q_kg_edges_diff(sf_dir: str):
         "edge_key", "edge_key", ["support_old"], ["support"])
 
 
+def q_event_sessions(sf_dir: str):
+    """Point-in-interval join: label every event with its session
+    ordinal (intervals derived from the same stream, so coverage is
+    total — the operator itself handles uncovered points with typed
+    nulls, unit-tested)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    iv = F_events.session_intervals_ds(ev)
+    return F_events.point_in_interval_ds(ev, iv)
+
+
+def q_length_deciles(sf_dir: str):
+    return F_text.value_deciles_ds(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]))
+
+
 SEARCH_TERMS = ("key", "table", "sort")
 
 
@@ -1513,6 +1528,8 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "quantile_sketch": q_quantile_sketch,
     "kg_edges_diff": q_kg_edges_diff,
+    "event_sessions": q_event_sessions,
+    "length_deciles": q_length_deciles,
     "session_overlap": q_session_overlap,
     "hour_gaps": q_hour_gaps,
     "hourly_mode": q_hourly_mode,
@@ -2473,4 +2490,17 @@ SELECT concat(h.subj, chr(31), h.pred, chr(31), h.obj), 'removed',
        CAST(NULL AS BIGINT)
 FROM e_half h LEFT JOIN e_full f USING (subj, pred, obj)
 WHERE f.subj IS NULL
+"""
+
+ORACLE_SQL["event_sessions"] = "WITH" + _SESSION_IV_SQL.replace(
+    "sx AS (SELECT user_id, ts,",
+    "sx AS (SELECT user_id, ts, event_id,") + """
+    SELECT user_id, event_id, CAST(sess AS BIGINT) AS sess FROM sx
+"""
+
+ORACLE_SQL["length_deciles"] = """
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(((rank() OVER (ORDER BY n_chars) - 1) * 10)
+                // (count(*) OVER ()) AS BIGINT) AS decile
+    FROM documents
 """

@@ -171,3 +171,46 @@ def test_pmi_topk_matches_bruteforce(search_docs):
     # ranking is (lift desc, w1, w2)
     ranks = [(-r.lift, r.w1, r.w2) for r in out.itertuples(index=False)]
     assert ranks == sorted(ranks)
+
+
+def test_point_in_interval_uncovered_is_null(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    # intervals: user 1 [10, 20] (sess 1); points at 5 (before), 15
+    # (inside), 25 (after); user 2 has no interval at all
+    iv = rd.from_arrow(pa.table({
+        "user_id": pa.array([1], pa.int64()),
+        "sess": pa.array([1], pa.int64()),
+        "start_us": pa.array([10], pa.int64()),
+        "end_us": pa.array([20], pa.int64()),
+    }))
+    pts = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_id": pa.array([100, 101, 102, 103], pa.int64()),
+        "ts": pa.array([5, 15, 25, 15], pa.int64()),
+    }))
+    out = E.point_in_interval_ds(pts, iv).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert pd.isna(out.loc[0, "sess"])          # before the interval
+    assert out.loc[1, "sess"] == 1              # covered
+    assert pd.isna(out.loc[2, "sess"])          # after end (asof hit,
+    assert pd.isna(out.loc[3, "sess"])          # filtered) / no key
+
+
+def test_value_deciles_ties_share_bucket(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.textstats import value_deciles_ds
+
+    # 10 rows: value 7 appears 5× → all five get the same label
+    vals = [1, 2, 3, 7, 7, 7, 7, 7, 9, 10]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "n_chars": pa.array(vals, pa.int64()),
+    })).repartition(3)
+    out = value_deciles_ds(ds).to_pandas().sort_values("doc_id")
+    got = dict(zip(out.n_chars, out.decile))
+    # rank-1 per value: 1→0, 2→1, 3→2, 7→3, 9→8, 10→9
+    assert got == {1: 0, 2: 1, 3: 2, 7: 3, 9: 8, 10: 9}
+    assert set(out[out.n_chars == 7]["decile"]) == {3}
