@@ -1240,3 +1240,43 @@ def point_in_interval_ds(points_ds, iv_ds, by: str = "user_id",
                          sess: lab})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+def group_outliers_ds(ds, q: float = 0.99, by: str = "event_type",
+                      value_col: str = "value", id_col: str = "event_id"):
+    """Per-group outlier detection: rows whose value exceeds their own
+    group's exact ``q``-quantile (same histogram plan + quantile rule
+    as :func:`group_quantiles_ds`).  The threshold table is one row
+    per group — a broadcast small side by construction — so the second
+    pass is a pure map filter; the stream shuffles only (group, cents)
+    histogram partials.  → (id, group, cents, p_cents)."""
+    import pyarrow.compute as pc
+
+    from kgforge.common.hashing import round_away
+
+    qkey = f"p{int(q * 100)}_cents"
+    thr = {r[by]: r[qkey]
+           for r in group_quantiles_ds(ds, qs=(q,), by=by,
+                                       value_col=value_col).take_all()}
+
+    def flag(b: pa.Table) -> pa.Table:
+        cents = round_away(
+            b[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100, 0).astype(np.int64)
+        # threshold lookup once per DISTINCT group, fanned back out
+        # over dictionary codes — no per-row Python
+        enc = b[by].combine_chunks().dictionary_encode()
+        per_code = np.array([thr.get(v, np.iinfo(np.int64).max)
+                             for v in enc.dictionary.to_pylist()],
+                            dtype=np.int64)
+        lim = per_code[enc.indices.to_numpy(zero_copy_only=False)] \
+            if len(per_code) else np.zeros(0, dtype=np.int64)
+        keep = cents > lim
+        ki = pa.array(np.flatnonzero(keep))
+        return pa.table({
+            id_col: b[id_col].take(ki),
+            by: b[by].take(ki),
+            "cents": pa.array(cents[keep]),
+            qkey: pa.array(lim[keep]),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -408,3 +408,97 @@ def value_deciles_ds(ds, value_col: str = "n_chars",
         })
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+def profile_columns_ds(ds, columns: list[str]):
+    """Ingest-QA column profiler: per column — row count, null count,
+    exact distinct count, min and max (stringified for a uniform
+    output schema; ordering happens on the TYPED values before the
+    cast, so integer columns compare numerically).
+
+    Two small exchanges regardless of table width: (a) one stats row
+    per column per batch (counts + typed min/max partials), (b) the
+    distinct (column, value) pair stream — deduped per batch so only
+    distinct pairs shuffle, counted per column after a global dedup.
+    Rows never move."""
+    import numpy as np
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    schema = ds.schema().base_schema
+    is_num = {c: pa.types.is_integer(schema.field(c).type)
+              for c in columns}
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        rows = {"column": [], "n_rows": [], "n_null": [],
+                "min_num": [], "max_num": [], "min_str": [],
+                "max_str": []}
+        for c in columns:
+            col = b[c]
+            rows["column"].append(c)
+            rows["n_rows"].append(b.num_rows)
+            rows["n_null"].append(col.null_count)
+            mm = pc.min_max(col)
+            lo, hi = mm["min"], mm["max"]
+            if is_num[c]:
+                rows["min_num"].append(lo.as_py())
+                rows["max_num"].append(hi.as_py())
+                rows["min_str"].append(None)
+                rows["max_str"].append(None)
+            else:
+                rows["min_num"].append(None)
+                rows["max_num"].append(None)
+                rows["min_str"].append(lo.as_py())
+                rows["max_str"].append(hi.as_py())
+        return pa.table({
+            "column": pa.array(rows["column"], pa.string()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+            "n_null": pa.array(rows["n_null"], pa.int64()),
+            "min_num": pa.array(rows["min_num"], pa.int64()),
+            "max_num": pa.array(rows["max_num"], pa.int64()),
+            "min_str": pa.array(rows["min_str"], pa.string()),
+            "max_str": pa.array(rows["max_str"], pa.string()),
+        })
+
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow") \
+        .groupby("column").aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_num", alias_name="min_num"),
+            Max("max_num", alias_name="max_num"),
+            Min("min_str", alias_name="min_str"),
+            Max("max_str", alias_name="max_str"))
+
+    def pairs_partial(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in columns:
+            v = pc.cast(b[c], pa.string())
+            t = pa.table({"column": pa.array([c] * b.num_rows,
+                                             pa.string()), "v": v})
+            t = t.filter(pc.is_valid(t["v"]))
+            parts.append(t.group_by(["column", "v"],
+                                    use_threads=False).aggregate([]))
+        return pa.concat_tables(parts)
+
+    ndist = ds.map_batches(pairs_partial, batch_format="pyarrow") \
+        .groupby(["column", "v"]).aggregate(Count(alias_name="__c")) \
+        .map_batches(lambda b: b.select(["column"]),
+                     batch_format="pyarrow") \
+        .groupby("column").aggregate(Count(alias_name="n_distinct"))
+
+    # both sides are |columns| rows — a driver-side zip is the join
+    s = {r["column"]: r for r in stats.take_all()}
+    d = {r["column"]: int(r["n_distinct"]) for r in ndist.take_all()}
+    cols = sorted(s)
+    return pa.table({
+        "column": pa.array(cols, pa.string()),
+        "n_rows": pa.array([int(s[c]["n_rows"]) for c in cols],
+                           pa.int64()),
+        "n_null": pa.array([int(s[c]["n_null"]) for c in cols],
+                           pa.int64()),
+        "n_distinct": pa.array([d.get(c, 0) for c in cols], pa.int64()),
+        "min_val": pa.array(
+            [str(s[c]["min_num"]) if s[c]["min_num"] is not None
+             else s[c]["min_str"] for c in cols], pa.string()),
+        "max_val": pa.array(
+            [str(s[c]["max_num"]) if s[c]["max_num"] is not None
+             else s[c]["max_str"] for c in cols], pa.string()),
+    })

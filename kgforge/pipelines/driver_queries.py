@@ -1426,6 +1426,21 @@ def q_length_deciles(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "n_chars"]))
 
 
+def q_value_outliers(sf_dir: str):
+    return F_events.group_outliers_ds(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        q=0.99)
+
+
+PROFILE_COLUMNS = ("event_id", "event_type", "user_id", "props")
+
+
+def q_profile_events(sf_dir: str):
+    return F_text.profile_columns_ds(
+        _read(sf_dir, "events", list(PROFILE_COLUMNS)),
+        list(PROFILE_COLUMNS))
+
+
 SEARCH_TERMS = ("key", "table", "sort")
 
 
@@ -1530,6 +1545,8 @@ QUERIES = {
     "kg_edges_diff": q_kg_edges_diff,
     "event_sessions": q_event_sessions,
     "length_deciles": q_length_deciles,
+    "value_outliers": q_value_outliers,
+    "profile_events": q_profile_events,
     "session_overlap": q_session_overlap,
     "hour_gaps": q_hour_gaps,
     "hourly_mode": q_hourly_mode,
@@ -2504,3 +2521,29 @@ ORACLE_SQL["length_deciles"] = """
                 // (count(*) OVER ()) AS BIGINT) AS decile
     FROM documents
 """
+
+ORACLE_SQL["value_outliers"] = """
+    WITH c AS (SELECT event_id, event_type,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+    r AS (SELECT event_type, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents) - 1 AS i,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM c),
+    t AS (SELECT event_type, cents AS p99_cents FROM r
+          WHERE i = CAST(floor((n - 1) * 0.99) AS BIGINT))
+    SELECT c.event_id, c.event_type, c.cents, t.p99_cents
+    FROM c JOIN t USING (event_type)
+    WHERE c.cents > t.p99_cents
+"""
+
+_PROFILE_COL_SQL = """SELECT '{c}' AS "column",
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+    CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+    CAST(min({c}) AS VARCHAR) AS min_val,
+    CAST(max({c}) AS VARCHAR) AS max_val FROM events"""
+
+ORACLE_SQL["profile_events"] = " UNION ALL ".join(
+    _PROFILE_COL_SQL.format(c=c) for c in PROFILE_COLUMNS)

@@ -214,3 +214,48 @@ def test_value_deciles_ties_share_bucket(ray_session):
     # rank-1 per value: 1→0, 2→1, 3→2, 7→3, 9→8, 10→9
     assert got == {1: 0, 2: 1, 3: 2, 7: 3, 9: 8, 10: 9}
     assert set(out[out.n_chars == 7]["decile"]) == {3}
+
+
+def test_group_outliers_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.uniform(0, 100, 400), 2)
+    groups = np.where(np.arange(400) % 2 == 0, "a", "b")
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(400), pa.int64()),
+        "event_type": pa.array(groups.tolist(), pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    out = E.group_outliers_ds(rd.from_arrow(tbl).repartition(4), q=0.9) \
+        .to_pandas()
+
+    cents = np.round(vals * 100).astype(np.int64)
+    want = set()
+    for g in ("a", "b"):
+        m = groups == g
+        srt = np.sort(cents[m])
+        thr = srt[int(np.floor((m.sum() - 1) * 0.9))]
+        want |= {(i, g, c, thr) for i, c in
+                 zip(np.flatnonzero(m), cents[m]) if c > thr}
+    got = {tuple(r) for r in out.itertuples(index=False, name=None)}
+    assert got == want and len(got) > 0
+
+
+def test_profile_columns(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.textstats import profile_columns_ds
+
+    tbl = pa.table({
+        "k": pa.array([3, 1, 2, None, 2], pa.int64()),
+        "s": pa.array(["b", None, "a", "a", None], pa.string()),
+    })
+    out = profile_columns_ds(rd.from_arrow(tbl).repartition(3),
+                             ["k", "s"]).to_pandas()
+    k = out[out["column"] == "k"].iloc[0]
+    assert (k.n_rows, k.n_null, k.n_distinct) == (5, 1, 3)
+    assert (k.min_val, k.max_val) == ("1", "3")   # numeric order
+    s = out[out["column"] == "s"].iloc[0]
+    assert (s.n_rows, s.n_null, s.n_distinct) == (5, 2, 2)
+    assert (s.min_val, s.max_val) == ("a", "b")
