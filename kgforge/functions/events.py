@@ -1280,3 +1280,65 @@ def group_outliers_ds(ds, q: float = 0.99, by: str = "event_type",
         })
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+def group_corr_ds(ds, by: str = "event_type", x_col: str = "value",
+                  y_expr: str = "hour_of_day"):
+    """Per-group Pearson correlation (and sample covariance) between
+    the value (integer cents) and the hour-of-day — the statistical
+    aggregate family (SQL ``corr`` / ``covar_samp``), made value-exact:
+    per-batch partials accumulate the five cross-moments as EXACT
+    int64 sums (n, Σx, Σy, Σxy, Σx², Σy²), one tiny groupby sums them,
+    and the final r/cov are computed from the exact integers with one
+    fixed IEEE op order — the SQL twin spells out the identical
+    formula over the identical integer sums, so the doubles match
+    bit-for-bit (DuckDB's own ``corr()`` uses a different running
+    recurrence and would not).
+
+    Scale note: the int64 moments bound the supported domain to
+    ``n · max(x)² < 2⁶³`` per group (fine for cents-scale values at
+    10¹² rows; larger domains shard the moment into (hi, lo) pairs —
+    not needed here)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    hour_us = np.int64(3_600_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = round_away(
+            b[x_col].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100, 0).astype(np.int64)
+        h = pc.divide(pc.cast(_on_key(b["ts"]), pa.int64()), hour_us)
+        y = pc.subtract(h, pc.multiply(pc.divide(h, 24), 24)) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table({by: b[by], "n": pa.array(np.ones(len(x), np.int64)),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+                      "syy": pa.array(y * y)})
+        g = t.group_by([by], use_threads=False).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+        return pa.table({by: g[by], **{c: g[f"{c}_sum"] for c in
+                                       ("n", "sx", "sy", "sxy", "sxx",
+                                        "syy")}})
+
+    sums = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(by).aggregate(
+            *[Sum(c, alias_name=c)
+              for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        f = {c: b[c].combine_chunks().to_numpy(zero_copy_only=False)
+             .astype(np.float64)
+             for c in ("n", "sx", "sy", "sxy", "sxx", "syy")}
+        cov_n = f["n"] * f["sxy"] - f["sx"] * f["sy"]
+        vx = f["n"] * f["sxx"] - f["sx"] * f["sx"]
+        vy = f["n"] * f["syy"] - f["sy"] * f["sy"]
+        r = cov_n / (np.sqrt(vx) * np.sqrt(vy))
+        covar = cov_n / (f["n"] * (f["n"] - 1.0))
+        return pa.table({by: b[by],
+                         "n": pc.cast(b["n"], pa.int64()),
+                         "corr_r": pa.array(r),
+                         "covar_samp": pa.array(covar)})
+
+    return sums.map_batches(finish, batch_format="pyarrow")

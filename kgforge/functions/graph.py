@@ -529,3 +529,80 @@ def common_neighbors_ds(edges_ds, src: str = "subj", dst: str = "obj",
 
     return nonadj.map_batches(partial_topk, batch_format="pyarrow") \
         .sort(["cn", "a", "b"], descending=[True, False, False]).limit(k)
+
+def ego_edges_ds(edges_ds, seed: str | None = None, hops: int = 2,
+                 src: str = "subj", dst: str = "obj",
+                 num_partitions: int = 64):
+    """Ego-network extraction: the induced edges of the ``hops``-hop
+    neighborhood of ``seed`` in the undirected distinct-pair graph
+    (``seed=None`` → the lexicographically smallest node, a
+    deterministic default shared with the SQL twin).
+
+    Frontier expansion stays distributed end-to-end: each hop is ONE
+    hash cogroup semi-join (edges keyed by source vs the member set)
+    plus a distinct — the member set is a Dataset, never a driver
+    collection or broadcast, so a celebrity hub's million-node
+    neighborhood costs shuffle volume, not driver memory.  The induced
+    subgraph is two more semi-joins (each canonical a<b edge must have
+    BOTH endpoints in the member set)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+    if seed is None:
+        seed = und.min("n1")
+
+    members = rd.from_arrow(pa.table({"node": pa.array([seed],
+                                                       pa.string())}))
+
+    def nbrs_of(t: pa.Table, starts, nl, nr) -> pa.Table:
+        # left = und rows (payload n2), right = member rows: keep the
+        # neighbors of every key present on the member side
+        keep = np.repeat(nr > 0, nl + nr)
+        sub = t.filter(pa.array(keep))
+        side = sub["__side"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        nb = sub["n2"].filter(pa.array(side == 0)).combine_chunks()
+        return pa.table({"node": nb.unique()})
+
+    for _ in range(hops):
+        nbrs = cogroup_partition_ds(und, members, "n1", "node",
+                                    nbrs_of, ["n2"], [],
+                                    num_partitions=num_partitions)
+        members = members.union(nbrs) \
+            .groupby("node").aggregate(Count(alias_name="__c")) \
+            .map_batches(lambda b: b.select(["node"]),
+                         batch_format="pyarrow").materialize()
+
+    def canon(b: pa.Table) -> pa.Table:
+        lt = pc.less(b["n1"], b["n2"])
+        return pa.table({"a": b["n1"].filter(lt),
+                         "b": b["n2"].filter(lt)})
+
+    ce = und.map_batches(canon, batch_format="pyarrow")
+
+    def keep_left(payload: list[str]):
+        def f(t: pa.Table, starts, nl, nr) -> pa.Table:
+            keep = np.repeat(nr > 0, nl + nr)
+            sub = t.filter(pa.array(keep))
+            side = sub["__side"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            lmask = pa.array(side == 0)
+            return pa.table({
+                "a" if "a" not in payload else "b":
+                    sub["__k"].filter(lmask).combine_chunks(),
+                **{c: sub[c].filter(lmask).combine_chunks()
+                   for c in payload}})
+        return f
+
+    half = cogroup_partition_ds(ce, members, "a", "node",
+                                keep_left(["b"]), ["b"], [],
+                                num_partitions=num_partitions)
+    return cogroup_partition_ds(half, members, "b", "node",
+                                keep_left(["a"]), ["a"], [],
+                                num_partitions=num_partitions) \
+        .map_batches(lambda t: t.select(["a", "b"]),
+                     batch_format="pyarrow")

@@ -298,3 +298,23 @@ nonadj AS (SELECT cn.a, cn.b, cn.cn FROM cn
                              WHERE u.n1 = cn.a AND u.n2 = cn.b))
 SELECT a, b, cn FROM nonadj ORDER BY cn DESC, a, b LIMIT {k}
 """
+
+def ego_sql(hops: int = 2) -> str:
+    """Induced edges of the k-hop neighborhood around the
+    lexicographically smallest node — twin of
+    :func:`kgforge.functions.graph.ego_edges_ds` (same deterministic
+    seed rule, same undirected distinct-pair graph)."""
+    prelude = entity_pairs_prelude().replace("\nWITH jj",
+                                             "\nWITH RECURSIVE jj", 1)
+    return prelude + f""",
+seedq AS (SELECT min(n1) AS s FROM und),
+reach(node, d) AS (
+  SELECT s, 0 FROM seedq
+  UNION
+  SELECT u.n2, r.d + 1 FROM reach r JOIN und u ON u.n1 = r.node
+  WHERE r.d < {hops}),
+m AS (SELECT DISTINCT node FROM reach)
+SELECT u.n1 AS a, u.n2 AS b FROM und u
+JOIN m m1 ON m1.node = u.n1 JOIN m m2 ON m2.node = u.n2
+WHERE u.n1 < u.n2
+"""

@@ -1160,6 +1160,17 @@ def q_kg_link_pred(sf_dir: str):
     return common_neighbors_ds(_entity_edges_for(sf_dir), k=20)
 
 
+def q_kg_ego(sf_dir: str):
+    from kgforge.functions.graph import ego_edges_ds
+
+    return ego_edges_ds(_entity_edges_for(sf_dir), hops=2)
+
+
+def q_event_type_corr(sf_dir: str):
+    return F_events.group_corr_ds(
+        _read(sf_dir, "events", ["event_type", "ts", "value"]))
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: each purchase event matched to the user's most
     recent click at-or-before it (backward inclusive, DuckDB ASOF
@@ -1547,6 +1558,8 @@ QUERIES = {
     "length_deciles": q_length_deciles,
     "value_outliers": q_value_outliers,
     "profile_events": q_profile_events,
+    "kg_ego": q_kg_ego,
+    "event_type_corr": q_event_type_corr,
     "session_overlap": q_session_overlap,
     "hour_gaps": q_hour_gaps,
     "hourly_mode": q_hourly_mode,
@@ -2547,3 +2560,32 @@ _PROFILE_COL_SQL = """SELECT '{c}' AS "column",
 
 ORACLE_SQL["profile_events"] = " UNION ALL ".join(
     _PROFILE_COL_SQL.format(c=c) for c in PROFILE_COLUMNS)
+
+ORACLE_SQL["kg_ego"] = _dict_oracle.ego_sql(hops=2)
+
+ORACLE_SQL["event_type_corr"] = """
+    WITH c AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS x,
+                      (epoch_us(ts) // 3600000000) % 24 AS y
+               FROM events),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM c GROUP BY 1)
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS corr_r,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+               AS covar_samp
+    FROM s
+"""

@@ -259,3 +259,50 @@ def test_profile_columns(ray_session):
     s = out[out["column"] == "s"].iloc[0]
     assert (s.n_rows, s.n_null, s.n_distinct) == (5, 2, 2)
     assert (s.min_val, s.max_val) == ("a", "b")
+
+
+def test_ego_edges_matches_bfs(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import ego_edges_ds
+
+    # a - b - c - d - e chain plus triangle a-b-f; seed defaults to 'a'
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("a", "f"), ("b", "f")]
+    tbl = pa.table({
+        "subj": pa.array([p[0] for p in pairs], pa.string()),
+        "obj": pa.array([p[1] for p in pairs], pa.string()),
+    })
+    out = ego_edges_ds(rd.from_arrow(tbl).repartition(2), hops=2,
+                       num_partitions=4).to_pandas()
+    got = {tuple(r) for r in out.itertuples(index=False, name=None)}
+    # 2 hops from a: {a, b, f, c}; induced edges among them
+    assert got == {("a", "b"), ("a", "f"), ("b", "f"), ("b", "c")}
+
+
+def test_group_corr_matches_numpy(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n = 300
+    vals = np.round(rng.uniform(0, 50, n), 2)
+    ts = pa.array((rng.integers(0, 96, n) * 3_600_000_000).tolist(),
+                  pa.timestamp("us"))
+    tbl = pa.table({
+        "event_type": pa.array(["a" if i % 2 else "b"
+                                for i in range(n)], pa.string()),
+        "ts": ts,
+        "value": pa.array(vals, pa.float64()),
+    })
+    out = E.group_corr_ds(rd.from_arrow(tbl).repartition(4)) \
+        .to_pandas().set_index("event_type")
+
+    cents = np.round(vals * 100).astype(np.int64)
+    hod = (np.asarray(ts.cast(pa.int64())) // 3_600_000_000) % 24
+    for g in ("a", "b"):
+        m = np.array(["a" if i % 2 else "b" for i in range(n)]) == g
+        want_r = np.corrcoef(cents[m], hod[m])[0, 1]
+        want_cov = np.cov(cents[m], hod[m], ddof=1)[0, 1]
+        assert abs(out.loc[g, "corr_r"] - want_r) < 1e-9
+        assert abs(out.loc[g, "covar_samp"] - want_cov) < 1e-6
+        assert out.loc[g, "n"] == int(m.sum())
