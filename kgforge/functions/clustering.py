@@ -170,3 +170,64 @@ def quantize_embeddings_ds(ds, vec_col: str = "embedding",
         })
 
     return ds.map_batches(quant, batch_format="pyarrow")
+
+def embedding_stats_ds(ds, vec_col: str = "embedding",
+                       scale: int = 1_000_000):
+    """Per-dimension feature statistics over an embedding column —
+    n, sum/mean, min, max in integer MICRO-units (value × ``scale``,
+    rounded half-away like the rest of the engine's cents convention).
+    Integer accumulation makes every stat summation-order-free and the
+    mean (one exact-int → double cast + one division) bit-identical to
+    the SQL twin.
+
+    Scale shape: one combiner per batch reduces its vectors to d rows
+    (``np.add.at`` / ``minimum.at`` segment ops over the flattened
+    ListArray — no per-vector Python), one groupby over the d-row
+    partials.  The stream never shuffles."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[vec_col].combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        par = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        lens = np.bincount(par, minlength=b.num_rows).astype(np.int64)
+        dims = (np.arange(len(flat), dtype=np.int64)
+                - np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]])
+                            .astype(np.int64), lens))
+        micro = round_away(flat * scale, 0).astype(np.int64)
+        d = int(dims.max()) + 1 if len(dims) else 0
+        n = np.bincount(dims, minlength=d).astype(np.int64)
+        s = np.zeros(d, dtype=np.int64)
+        np.add.at(s, dims, micro)
+        lo = np.full(d, np.iinfo(np.int64).max, dtype=np.int64)
+        hi = np.full(d, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(lo, dims, micro)
+        np.maximum.at(hi, dims, micro)
+        return pa.table({"dim": pa.array(np.arange(d, dtype=np.int64)),
+                         "n": pa.array(n), "s": pa.array(s),
+                         "lo": pa.array(lo), "hi": pa.array(hi)})
+
+    sums = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("dim").aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="sum_micro"),
+            Min("lo", alias_name="min_micro"),
+            Max("hi", alias_name="max_micro"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s = b["sum_micro"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "dim": b["dim"], "n": pc.cast(b["n"], pa.int64()),
+            "sum_micro": pc.cast(b["sum_micro"], pa.int64()),
+            "mean_micro": pa.array(s / n),
+            "min_micro": pc.cast(b["min_micro"], pa.int64()),
+            "max_micro": pc.cast(b["max_micro"], pa.int64()),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")

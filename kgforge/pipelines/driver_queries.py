@@ -1171,6 +1171,12 @@ def q_event_type_corr(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "ts", "value"]))
 
 
+def q_embedding_stats(sf_dir: str):
+    from kgforge.functions.clustering import embedding_stats_ds
+
+    return embedding_stats_ds(_read(sf_dir, "embeddings", ["embedding"]))
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: each purchase event matched to the user's most
     recent click at-or-before it (backward inclusive, DuckDB ASOF
@@ -1560,6 +1566,7 @@ QUERIES = {
     "profile_events": q_profile_events,
     "kg_ego": q_kg_ego,
     "event_type_corr": q_event_type_corr,
+    "embedding_stats": q_embedding_stats,
     "session_overlap": q_session_overlap,
     "hour_gaps": q_hour_gaps,
     "hourly_mode": q_hourly_mode,
@@ -2588,4 +2595,20 @@ ORACLE_SQL["event_type_corr"] = """
            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
                AS covar_samp
     FROM s
+"""
+
+ORACLE_SQL["embedding_stats"] = """
+    WITH f AS (SELECT unnest(embedding) AS e,
+                      generate_subscripts(embedding, 1) AS pos
+               FROM embeddings),
+    m AS (SELECT CAST(pos - 1 AS BIGINT) AS dim,
+                 CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)
+                     AS micro
+          FROM f)
+    SELECT dim, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(micro) AS BIGINT) AS sum_micro,
+           CAST(sum(micro) AS DOUBLE) / count(*) AS mean_micro,
+           CAST(min(micro) AS BIGINT) AS min_micro,
+           CAST(max(micro) AS BIGINT) AS max_micro
+    FROM m GROUP BY dim
 """

@@ -83,3 +83,25 @@ class TestKMeans:
             got = np.fromstring(rows[vid], dtype=np.int64, sep=",")
             assert (got == want[i]).all()
             assert got.min() >= 0 and got.max() <= 255
+
+
+def test_embedding_stats(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.clustering import embedding_stats_ds
+
+    rng = np.random.default_rng(11)
+    vecs = rng.uniform(-1, 1, (50, 4)).astype(np.float32)
+    tbl = pa.table({"embedding": pa.array(
+        [v.tolist() for v in vecs],
+        pa.list_(pa.float32()))})
+    out = embedding_stats_ds(rd.from_arrow(tbl).repartition(3)) \
+        .to_pandas().sort_values("dim").reset_index(drop=True)
+    micro = np.round(vecs.astype(np.float64) * 1e6).astype(np.int64)
+    for d in range(4):
+        r = out.iloc[d]
+        assert r.n == 50
+        assert r.sum_micro == micro[:, d].sum()
+        assert r.min_micro == micro[:, d].min()
+        assert r.max_micro == micro[:, d].max()
+        assert r.mean_micro == float(micro[:, d].sum()) / 50.0
