@@ -29,8 +29,6 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
-
 from kgforge.oracle.minhash import MinHasher, shingles
 
 JACCARD_THETA = 0.7

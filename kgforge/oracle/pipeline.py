@@ -8,7 +8,7 @@ from __future__ import annotations
 from collections import Counter
 
 from kgforge.oracle import hmm as hmm_mod
-from kgforge.oracle.corpus import Sentence, generate_corpus
+from kgforge.oracle.corpus import generate_corpus
 from kgforge.oracle.labels import extract_entities
 from kgforge.oracle.linking import resolve_aliases
 from kgforge.oracle.segment import split_sentences
