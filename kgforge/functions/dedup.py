@@ -850,3 +850,143 @@ def dup_ngram_stats_ds(ds, text_col: str = "text", id_col: str = "doc_id",
     return flagged.groupby(id_col).aggregate(
         Sum("dup_ngrams", alias_name="dup_ngrams"),
         Sum("total_ngrams", alias_name="total_ngrams"))
+
+def edit_distance_pairs_ds(ds, col: str = "c_name",
+                           num_partitions: int = 64):
+    """All DISTINCT-value pairs at Levenshtein distance exactly 1 —
+    typo/near-key detection via FastSS deletion-neighborhood blocking
+    (Bocek et al.): ed(a, b) ≤ 1 ⟺ D1(a) ∩ D1(b) ≠ ∅ where D1(x) is
+    x plus every single-character deletion of x.  Output (a, b),
+    a < b.
+
+    Scale shape: variants are generated ARROW-VECTORIZED (one
+    slice+concat pass per character position over the whole distinct
+    batch, ~max-length passes total, no per-string Python); only
+    (variant, value) rows shuffle — |value| × (len+1) of the DISTINCT
+    values, never corpus rows.  Candidate pairs surface per variant
+    run, dedup on the pair key, and the exact ed==1 verify is one
+    vectorized common-prefix/suffix scan (a deletion-neighborhood
+    false positive like xy~yx has prefix+suffix < required and dies
+    there).  The SQL twin is the O(V²) brute-force cross join with
+    ``levenshtein()`` — an independent method, same pair set."""
+    from ray.data.aggregate import Count
+
+    def distinct_vals(b: pa.Table) -> pa.Table:
+        return b.select([col]).group_by([col], use_threads=False) \
+            .aggregate([])
+
+    vals = ds.map_batches(distinct_vals, batch_format="pyarrow") \
+        .groupby(col).aggregate(Count(alias_name="__c")) \
+        .map_batches(lambda b: b.select([col]), batch_format="pyarrow")
+
+    def variants(b: pa.Table) -> pa.Table:
+        v = b[col].combine_chunks()
+        lens = pc.utf8_length(v).to_numpy(zero_copy_only=False)
+        max_len = int(lens.max()) if len(lens) else 0
+        parts = [pa.table({"variant": v, col: v})]   # identity
+        for i in range(max_len):
+            has = pa.array(lens > i)
+            sub = v.filter(has)
+            cut = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(sub, 0, i),
+                pc.utf8_slice_codeunits(sub, i + 1, 2_147_483_647), "")
+            parts.append(pa.table({"variant": cut, col: sub}))
+        out = pa.concat_tables(parts)
+        return out.group_by(["variant", col], use_threads=False) \
+            .aggregate([])
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from kgforge.functions.joins import _part_codes
+
+        return b.append_column(
+            "__p", pa.array(_part_codes(b["variant"], num_partitions)))
+
+    def candidates(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("variant", "ascending"), (col, "ascending")])
+        var = t["variant"].combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string())})
+        neq = pc.not_equal(var.slice(1), var.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
+        lens = np.diff(np.concatenate([starts, [n]]))
+        # pairs within each variant run (flat index math)
+        m = lens * (lens - 1) // 2
+        tot = int(m.sum())
+        if tot == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string())})
+        run = np.repeat(np.arange(len(lens)), m)
+        w = np.arange(tot) - np.repeat(
+            np.concatenate([[0], np.cumsum(m)[:-1]]), m)
+        k = lens[run]
+        # enumerate (i, j) i<j within run from the flat offset w
+        i = (np.ceil((2 * k - 1 - np.sqrt((2 * k - 1) ** 2 - 8 * w))
+                     / 2) - 1).astype(np.int64)
+        i = np.clip(i, 0, k - 2)
+        # row i's pairs start at flat offset i*k - i*(i+1)//2
+        j = w - (i * k - i * (i + 1) // 2) + i + 1
+        # guard: float sqrt edge → repair any row whose (i, j) does
+        # not reconstruct its flat offset exactly
+        w_check = i * k - i * (i + 1) // 2 + (j - i - 1)
+        bad = (j <= i) | (j >= k) | (i < 0) | (w_check != w)
+        if bad.any():
+            for x in np.flatnonzero(bad):
+                ww, kk = int(w[x]), int(k[x])
+                ii = 0
+                while ww >= kk - 1 - ii:
+                    ww -= kk - 1 - ii
+                    ii += 1
+                i[x], j[x] = ii, ii + 1 + ww
+        vi = t[col].take(pa.array(starts[run] + i))
+        vj = t[col].take(pa.array(starts[run] + j))
+        lt = pc.less(vi, vj)
+        g = pa.table({"a": pc.if_else(lt, vi, vj),
+                      "b": pc.if_else(lt, vj, vi)})
+        return g.group_by(["a", "b"], use_threads=False).aggregate([])
+
+    pairs = vals.map_batches(variants, batch_format="pyarrow") \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__p").map_groups(candidates, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Count(alias_name="__c"))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string())})
+        a = np.array(t["a"].to_pylist())
+        b = np.array(t["b"].to_pylist())
+        la = np.char.str_len(a)
+        lb = np.char.str_len(b)
+        # orient: s = shorter, g = longer
+        swap = la > lb
+        s = np.where(swap, b, a)
+        g = np.where(swap, a, b)
+        ls, lg = np.minimum(la, lb), np.maximum(la, lb)
+        W = int(lg.max())
+        sm = s.astype(f"U{W}").view(np.uint32).reshape(len(s), -1)[:, :W]
+        gm = g.astype(f"U{W}").view(np.uint32).reshape(len(g), -1)[:, :W]
+        posm = np.arange(W)[None, :]
+        eqp = (sm == gm) | (posm >= ls[:, None])
+        # common prefix: first in-range position where they differ
+        pref = np.where(eqp.all(axis=1), ls, np.argmin(eqp, axis=1))
+        # right-aligned suffix compare
+        idx_s = ls[:, None] - 1 - posm
+        idx_g = lg[:, None] - 1 - posm
+        valid = idx_s >= 0
+        eqs = np.zeros_like(eqp)
+        rows = np.repeat(np.arange(len(s)), W).reshape(len(s), W)
+        eqs[valid] = sm[rows[valid], idx_s[valid]] \
+            == gm[rows[valid], idx_g[valid]]
+        suff = np.where((eqs | ~valid).all(axis=1), ls,
+                        np.argmin(eqs | ~valid, axis=1))
+        same_len = ls == lg
+        ok = np.where(same_len,
+                      (pref + suff >= ls - 1) & (pref < ls),
+                      (lg - ls == 1) & (pref + suff >= ls))
+        ki = pa.array(np.flatnonzero(ok))
+        return pa.table({"a": t["a"].take(ki), "b": t["b"].take(ki)})
+
+    return pairs.map_batches(verify, batch_format="pyarrow")

@@ -1171,6 +1171,13 @@ def q_event_type_corr(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "ts", "value"]))
 
 
+def q_typo_pairs(sf_dir: str):
+    """FastSS deletion-neighborhood blocking vs the SQL twin's O(V²)
+    levenshtein cross join — same ed==1 pair set, independent method."""
+    return F_dedup.edit_distance_pairs_ds(
+        _read(sf_dir, "customer", ["c_name"]), col="c_name")
+
+
 def q_embedding_stats(sf_dir: str):
     from kgforge.functions.clustering import embedding_stats_ds
 
@@ -1567,6 +1574,7 @@ QUERIES = {
     "kg_ego": q_kg_ego,
     "event_type_corr": q_event_type_corr,
     "embedding_stats": q_embedding_stats,
+    "typo_pairs": q_typo_pairs,
     "session_overlap": q_session_overlap,
     "hour_gaps": q_hour_gaps,
     "hourly_mode": q_hourly_mode,
@@ -2611,4 +2619,11 @@ ORACLE_SQL["embedding_stats"] = """
            CAST(min(micro) AS BIGINT) AS min_micro,
            CAST(max(micro) AS BIGINT) AS max_micro
     FROM m GROUP BY dim
+"""
+
+ORACLE_SQL["typo_pairs"] = """
+    WITH v AS (SELECT DISTINCT c_name FROM customer)
+    SELECT a.c_name AS a, b.c_name AS b
+    FROM v a JOIN v b
+      ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) = 1
 """

@@ -306,3 +306,37 @@ def test_group_corr_matches_numpy(ray_session):
         assert abs(out.loc[g, "corr_r"] - want_r) < 1e-9
         assert abs(out.loc[g, "covar_samp"] - want_cov) < 1e-6
         assert out.loc[g, "n"] == int(m.sum())
+
+
+def test_edit_distance_pairs_matches_bruteforce(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from kgforge.functions.dedup import edit_distance_pairs_ds
+
+    def ed(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[n]
+
+    vals = ["cat", "cut", "cast", "cats", "dog", "dig", "dg", "xy",
+            "yx", "abc", "abc", "ab", "a", "", "b", "Customer#1",
+            "Customer#2", "Customer#12", "kitten", "sitten", "sittin",
+            "日本", "日木", "日"]
+    tbl = pa.table({"c_name": pa.array(vals, pa.string())})
+    out = edit_distance_pairs_ds(
+        rd.from_arrow(tbl).repartition(3), "c_name",
+        num_partitions=8).to_pandas()
+    got = {tuple(r) for r in out.itertuples(index=False, name=None)}
+    want = {(a, b) for a, b in
+            itertools.combinations(sorted(set(vals)), 2)
+            if ed(a, b) == 1}
+    assert got == want
