@@ -416,3 +416,73 @@ def pmi_topk_ds(ds, k: int = 25, min_count: int = 5,
     return s2.map_batches(finish, batch_format="pyarrow") \
         .sort(["lift", "w1", "w2"], descending=[True, False, False]) \
         .limit(k)
+
+def pack_chunks_ds(chunks_ds, capacity: int = 512,
+                   id_col: str = "doc_id", idx_col: str = "chunk_idx",
+                   tok_col: str = "n_tokens", num_partitions: int = 64):
+    """Sequence packing for LLM training: assign every context chunk a
+    training BIN of ``capacity`` tokens by OFFSET PACKING — chunks are
+    laid on a token line in content-hash order (md5-u64 of
+    ``doc#chunk``, a fixed pseudo-random permutation shared verbatim
+    with the SQL twin) and ``bin = token_offset // capacity``,
+    ``bin_offset = token_offset % capacity``.  Deterministic,
+    layout-invariant, and exact — unlike first-fit-decreasing, whose
+    greedy state is inherently sequential and partitioning-dependent.
+
+    Scale shape (same as ``sampling.weighted_sample_ds``): partitions
+    are the TOP hash bits so hash order ≡ (partition, local) order;
+    one pass collects per-partition token sums (P rows to the driver),
+    a prefix over that tiny table gives each partition its global
+    offset, and the bin labels are a partition-local cumsum.  The
+    chunk stream itself never shuffles."""
+    import hashlib
+
+    shift = np.uint64(64 - int(np.log2(num_partitions)))
+    if 1 << (64 - int(shift)) != num_partitions:
+        raise ValueError("num_partitions must be a power of two")
+
+    def compact(b: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pc.cast(b[id_col], pa.string()), "#",
+            pc.cast(b[idx_col], pa.string()), "").to_pylist()
+        h = np.array([int(hashlib.md5(k.encode()).hexdigest()[:16], 16)
+                      for k in keys], dtype=np.uint64)
+        return pa.table({
+            id_col: b[id_col], idx_col: b[idx_col],
+            "__w": pa.array(b[tok_col].combine_chunks()
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+            "__h": pa.array(h, pa.uint64()),
+            "__p": pa.array((h >> shift).astype(np.int32))})
+
+    base = chunks_ds.map_batches(compact,
+                                 batch_format="pyarrow").materialize()
+
+    def psum(b: pa.Table) -> pa.Table:
+        g = b.group_by(["__p"], use_threads=False).aggregate(
+            [("__w", "sum")])
+        return pa.table({"__p": g["__p"], "s": g["__w_sum"]})
+
+    parts = base.map_batches(psum, batch_format="pyarrow").to_pandas()
+    sums = np.zeros(num_partitions, dtype=np.int64)
+    if len(parts):
+        agg = parts.groupby("__p")["s"].sum()
+        sums[agg.index.to_numpy()] = agg.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+
+    def label(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("__h", "ascending"),
+                                            (id_col, "ascending"),
+                                            (idx_col, "ascending")])
+        t = t.take(idx)
+        w = t["__w"].combine_chunks().to_numpy(zero_copy_only=False)
+        off = int(offsets[int(t["__p"][0].as_py())]) if t.num_rows else 0
+        start = np.cumsum(w) - w + off          # exclusive prefix sum
+        return pa.table({
+            id_col: t[id_col], idx_col: t[idx_col],
+            tok_col: pa.array(w),
+            "bin": pa.array(start // capacity),
+            "bin_offset": pa.array(start % capacity),
+        })
+
+    return base.groupby("__p").map_groups(label, batch_format="pyarrow")

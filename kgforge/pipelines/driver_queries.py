@@ -1171,6 +1171,14 @@ def q_event_type_corr(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "ts", "value"]))
 
 
+def q_pack_chunks(sf_dir: str):
+    from kgforge.functions.indexing import chunk_docs_ds, pack_chunks_ds
+
+    chunks = chunk_docs_ds(_read(sf_dir, "documents",
+                                 ["doc_id", "text"]))
+    return pack_chunks_ds(chunks, capacity=512)
+
+
 def q_typo_pairs(sf_dir: str):
     """FastSS deletion-neighborhood blocking vs the SQL twin's O(V²)
     levenshtein cross join — same ed==1 pair set, independent method."""
@@ -1575,6 +1583,7 @@ QUERIES = {
     "event_type_corr": q_event_type_corr,
     "embedding_stats": q_embedding_stats,
     "typo_pairs": q_typo_pairs,
+    "pack_chunks": q_pack_chunks,
     "session_overlap": q_session_overlap,
     "hour_gaps": q_hour_gaps,
     "hourly_mode": q_hourly_mode,
@@ -2626,4 +2635,31 @@ ORACLE_SQL["typo_pairs"] = """
     SELECT a.c_name AS a, b.c_name AS b
     FROM v a JOIN v b
       ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) = 1
+"""
+
+ORACLE_SQL["pack_chunks"] = r"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tl
+               FROM documents),
+    e AS (SELECT doc_id, tl, unnest(range(0, (len(tl)-1)//48 + 1)) AS i
+          FROM t WHERE len(tl) > 0),
+    c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                 CAST(least(i*48+64, len(tl)) - i*48 AS BIGINT)
+                     AS n_tokens
+          FROM e),
+    h AS (SELECT *,
+            CAST(concat('0x', substr(md5(concat(
+                 CAST(doc_id AS VARCHAR), '#',
+                 CAST(chunk_idx AS VARCHAR))), 1, 16)) AS UBIGINT)
+                AS hh
+          FROM c),
+    x AS (SELECT doc_id, chunk_idx, n_tokens,
+            coalesce(sum(n_tokens) OVER (
+                ORDER BY hh, doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS off
+          FROM h)
+    SELECT doc_id, chunk_idx, n_tokens,
+           CAST(off // 512 AS BIGINT) AS bin,
+           CAST(off % 512 AS BIGINT) AS bin_offset
+    FROM x
 """

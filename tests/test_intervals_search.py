@@ -340,3 +340,45 @@ def test_edit_distance_pairs_matches_bruteforce(ray_session):
             itertools.combinations(sorted(set(vals)), 2)
             if ed(a, b) == 1}
     assert got == want
+
+
+def test_pack_chunks_layout_invariant_and_exact(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from kgforge.functions.indexing import pack_chunks_ds
+
+    rng = np.random.default_rng(5)
+    n = 120
+    toks = rng.integers(1, 64, n).astype(np.int64)
+    tbl = pa.table({
+        "doc_id": pa.array((np.arange(n) // 3).tolist(), pa.int64()),
+        "chunk_idx": pa.array((np.arange(n) % 3).tolist(), pa.int64()),
+        "n_tokens": pa.array(toks),
+    })
+    outs = []
+    for parts in (2, 7):
+        out = pack_chunks_ds(rd.from_arrow(tbl).repartition(parts),
+                             capacity=100, num_partitions=8) \
+            .to_pandas().sort_values(["doc_id", "chunk_idx"]) \
+            .reset_index(drop=True)
+        outs.append(out)
+    assert outs[0].equals(outs[1])          # layout-invariant
+
+    # brute force: hash order, exclusive prefix // capacity
+    def h(d, c):
+        return int(hashlib.md5(f"{d}#{c}".encode()).hexdigest()[:16], 16)
+
+    rows = sorted(
+        ((h(d, c), d, c, t) for d, c, t in
+         zip(tbl["doc_id"].to_pylist(), tbl["chunk_idx"].to_pylist(),
+             toks.tolist())))
+    off = 0
+    want = {}
+    for _, d, c, t in rows:
+        want[(d, c)] = (off // 100, off % 100)
+        off += t
+    got = {(r.doc_id, r.chunk_idx): (r.bin, r.bin_offset)
+           for r in outs[0].itertuples(index=False)}
+    assert got == want
