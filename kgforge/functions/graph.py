@@ -606,3 +606,81 @@ def ego_edges_ds(edges_ds, seed: str | None = None, hops: int = 2,
                                 num_partitions=num_partitions) \
         .map_batches(lambda t: t.select(["a", "b"]),
                      batch_format="pyarrow")
+
+def negative_samples_ds(edges_ds, src: str = "subj", pred: str = "pred",
+                        dst: str = "obj", num_partitions: int = 64):
+    """Deterministic negative sampling for KG-embedding / link-pred
+    training: every positive edge gets one corrupted tail — the node
+    at rank ``md5(subj#pred#obj) % |V|`` in the sorted node vocabulary
+    — and candidates that collide with a REAL edge (or with the
+    original tail) are dropped via one hash-partitioned anti-join, so
+    the output is guaranteed-false triples, reproducible across runs
+    and cluster sizes.
+
+    The ranked node vocabulary is collected and broadcast (documented
+    small side: node VOCAB, not edges — same bound as the alias map;
+    a billion-node graph swaps this for a rank range-exchange).  The
+    edge stream itself is one map + one cogroup."""
+    import hashlib
+
+    import ray
+    from ray.data.aggregate import Count
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True)
+    nodes = sorted(r["n1"] for r in
+                   und.groupby("n1").aggregate(
+                       Count(alias_name="__c")).take_all())
+    nv = np.array(nodes)
+    nodes_ref = ray.put(nv)
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        vocab = ray.get(nodes_ref)
+        s = b[src].to_pylist()
+        p = b[pred].to_pylist()
+        o = b[dst].to_pylist()
+        idx = np.array([int(hashlib.md5(f"{a}#{r}#{c}".encode())
+                            .hexdigest()[:16], 16) % len(vocab)
+                        for a, r, c in zip(s, p, o)], dtype=np.int64)
+        neg = vocab[idx]
+        keep = neg != np.array(o)
+        ki = pa.array(np.flatnonzero(keep))
+        t = pa.table({src: b[src].take(ki), pred: b[pred].take(ki),
+                      "neg_obj": pa.array(neg[keep], pa.string())})
+        return t.group_by([src, pred, "neg_obj"],
+                          use_threads=False).aggregate([])
+
+    def pair_key(b: pa.Table, a_col: str, b_col: str,
+                 keep: list[str]) -> pa.Table:
+        k = pc.binary_join_element_wise(b[a_col], b[b_col], "\x1f")
+        cols = {"k": k}
+        for c in keep:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    cand = edges_ds.map_batches(corrupt, batch_format="pyarrow") \
+        .map_batches(lambda b: pair_key(b, src, "neg_obj",
+                                        [src, pred, "neg_obj"]),
+                     batch_format="pyarrow")
+    real = und.map_batches(lambda b: pair_key(b, "n1", "n2", []),
+                           batch_format="pyarrow")
+
+    def anti(t: pa.Table, starts, nl, nr) -> pa.Table:
+        keep = np.repeat(nr == 0, nl + nr)
+        sub = t.filter(pa.array(keep))
+        side = sub["__side"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        lmask = pa.array(side == 0)
+        out = pa.table({src: sub[src].filter(lmask),
+                        pred: sub[pred].filter(lmask),
+                        "neg_obj": sub["neg_obj"].filter(lmask)})
+        # two positives (s,p,o1)/(s,p,o2) can corrupt to one neg —
+        # the (s,neg) key co-locates them, dedup here is global
+        return out.group_by([src, pred, "neg_obj"],
+                            use_threads=False).aggregate([])
+
+    return cogroup_partition_ds(cand, real, "k", "k", anti,
+                                [src, pred, "neg_obj"], [],
+                                num_partitions=num_partitions)

@@ -1160,6 +1160,21 @@ def q_kg_link_pred(sf_dir: str):
     return common_neighbors_ds(_entity_edges_for(sf_dir), k=20)
 
 
+def q_kg_negatives(sf_dir: str):
+    from kgforge.functions.graph import negative_samples_ds
+
+    edges = _dict_flagship_for(sf_dir)["edges"]
+
+    def proj(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(b["pred"], "mentions"))
+        return pa.table({"subj": b["subj"].filter(keep),
+                         "pred": b["pred"].filter(keep),
+                         "obj": b["obj"].filter(keep)})
+
+    return negative_samples_ds(edges.map_batches(proj,
+                                                 batch_format="pyarrow"))
+
+
 def q_kg_ego(sf_dir: str):
     from kgforge.functions.graph import ego_edges_ds
 
@@ -1584,6 +1599,7 @@ QUERIES = {
     "embedding_stats": q_embedding_stats,
     "typo_pairs": q_typo_pairs,
     "pack_chunks": q_pack_chunks,
+    "kg_negatives": q_kg_negatives,
     "session_overlap": q_session_overlap,
     "hour_gaps": q_hour_gaps,
     "hourly_mode": q_hourly_mode,
@@ -2662,4 +2678,22 @@ ORACLE_SQL["pack_chunks"] = r"""
            CAST(off // 512 AS BIGINT) AS bin,
            CAST(off % 512 AS BIGINT) AS bin_offset
     FROM x
+"""
+
+ORACLE_SQL["kg_negatives"] = _dict_oracle.entity_pairs_prelude() + """,
+pos AS (SELECT subj, pred, obj FROM trip WHERE pred <> 'mentions'
+        GROUP BY 1, 2, 3),
+nn AS (SELECT n1 AS node, row_number() OVER (ORDER BY n1) - 1 AS r
+       FROM (SELECT DISTINCT n1 FROM und)),
+tot AS (SELECT count(*) AS c FROM nn),
+cand AS (SELECT p.subj, p.pred, v.node AS neg_obj
+         FROM pos p JOIN nn v
+           ON v.r = CAST(concat('0x', substr(md5(concat(
+                    p.subj, '#', p.pred, '#', p.obj)), 1, 16))
+                    AS UBIGINT) % (SELECT c FROM tot)
+         WHERE v.node <> p.obj),
+dd AS (SELECT DISTINCT subj, pred, neg_obj FROM cand)
+SELECT d.subj, d.pred, d.neg_obj
+FROM dd d LEFT JOIN und u ON u.n1 = d.subj AND u.n2 = d.neg_obj
+WHERE u.n1 IS NULL
 """

@@ -382,3 +382,43 @@ def test_pack_chunks_layout_invariant_and_exact(ray_session):
     got = {(r.doc_id, r.chunk_idx): (r.bin, r.bin_offset)
            for r in outs[0].itertuples(index=False)}
     assert got == want
+
+
+def test_negative_samples_are_nonedges_and_deterministic(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from kgforge.functions.graph import negative_samples_ds
+
+    pairs = [("a", "r1", "b"), ("b", "r1", "c"), ("c", "r2", "d"),
+             ("d", "r1", "e"), ("a", "r2", "c")]
+    tbl = pa.table({
+        "subj": pa.array([p[0] for p in pairs], pa.string()),
+        "pred": pa.array([p[1] for p in pairs], pa.string()),
+        "obj": pa.array([p[2] for p in pairs], pa.string()),
+    })
+    outs = []
+    for parts in (1, 3):
+        out = negative_samples_ds(rd.from_arrow(tbl).repartition(parts),
+                                  num_partitions=4) \
+            .to_pandas().sort_values(["subj", "pred", "neg_obj"]) \
+            .reset_index(drop=True)
+        outs.append(out)
+    assert outs[0].equals(outs[1])                  # layout-invariant
+
+    adj = set()
+    for s, _, o in pairs:
+        adj |= {(s, o), (o, s)}
+    nodes = sorted({x for s, _, o in pairs for x in (s, o)})
+    want = set()
+    for s, r, o in pairs:
+        h = int(hashlib.md5(f"{s}#{r}#{o}".encode()).hexdigest()[:16],
+                16)
+        neg = nodes[h % len(nodes)]
+        if neg != o and (s, neg) not in adj:
+            want.add((s, r, neg))
+    got = {tuple(x) for x in outs[0].itertuples(index=False, name=None)}
+    assert got == want
+    for s, _, neg in got:
+        assert (s, neg) not in adj
