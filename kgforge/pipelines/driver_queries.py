@@ -1175,6 +1175,56 @@ def q_kg_negatives(sf_dir: str):
                                                  batch_format="pyarrow"))
 
 
+def q_kg_health(sf_dir: str):
+    """One-row graph-quality gate over the entity graph — node/edge
+    counts, exact degree quantiles (the engine's floor((n-1)q) rule),
+    mean degree (exact-int → double, one division), component count
+    and largest-component size.  Pure composition of the graph
+    operators; every input to the final row is an already-tiny
+    aggregate (degree histogram = distinct degrees, component sizes =
+    n_components rows)."""
+    import numpy as np
+
+    from kgforge.functions.graph import components_ds, degree_ds
+    from ray.data.aggregate import Count, Max
+
+    edges = _entity_edges_for(sf_dir)
+    deg = degree_ds(edges).materialize()
+
+    hist = {}
+    for r in deg.map_batches(
+            lambda b: b.select(["degree"]),
+            batch_format="pyarrow").groupby("degree") \
+            .aggregate(Count(alias_name="c")).take_all():
+        hist[int(r["degree"])] = hist.get(int(r["degree"]), 0) \
+            + int(r["c"])
+    degs = np.array(sorted(hist), dtype=np.int64)
+    cnts = np.array([hist[d] for d in degs], dtype=np.int64)
+    cum = np.cumsum(cnts)
+    n_nodes = int(cum[-1]) if len(cum) else 0
+    sum_deg = int((degs * cnts).sum())
+
+    def q_at(q: float) -> int:
+        idx = int(np.floor((n_nodes - 1) * q))
+        return int(degs[int(np.searchsorted(cum, idx + 1))])
+
+    sizes = components_ds(edges).groupby("component") \
+        .aggregate(Count(alias_name="size")).materialize()
+    n_comp = sizes.count()
+    max_comp = int(sizes.max("size") or 0)
+
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([sum_deg // 2], pa.int64()),
+        "mean_degree": pa.array([float(sum_deg) / float(n_nodes)],
+                                pa.float64()),
+        "p50_degree": pa.array([q_at(0.5)], pa.int64()),
+        "p90_degree": pa.array([q_at(0.9)], pa.int64()),
+        "n_components": pa.array([n_comp], pa.int64()),
+        "max_component": pa.array([max_comp], pa.int64()),
+    })
+
+
 def q_kg_ego(sf_dir: str):
     from kgforge.functions.graph import ego_edges_ds
 
@@ -1600,6 +1650,7 @@ QUERIES = {
     "typo_pairs": q_typo_pairs,
     "pack_chunks": q_pack_chunks,
     "kg_negatives": q_kg_negatives,
+    "kg_health": q_kg_health,
     "session_overlap": q_session_overlap,
     "hour_gaps": q_hour_gaps,
     "hourly_mode": q_hourly_mode,
@@ -2696,4 +2747,30 @@ dd AS (SELECT DISTINCT subj, pred, neg_obj FROM cand)
 SELECT d.subj, d.pred, d.neg_obj
 FROM dd d LEFT JOIN und u ON u.n1 = d.subj AND u.n2 = d.neg_obj
 WHERE u.n1 IS NULL
+"""
+
+ORACLE_SQL["kg_health"] = _dict_oracle.entity_pairs_prelude().replace(
+    "\nWITH jj", "\nWITH RECURSIVE jj", 1) + """,
+deg AS (SELECT n1 AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM und GROUP BY 1),
+rk AS (SELECT degree, row_number() OVER (ORDER BY degree) - 1 AS i,
+              count(*) OVER () AS n
+       FROM deg),
+reach(node, lab) AS (
+  SELECT n1, n1 FROM und
+  UNION
+  SELECT r2.node, u.n2 FROM reach r2 JOIN und u ON u.n1 = r2.lab),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+          FROM comp GROUP BY 1)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT sum(degree) FROM deg) // 2 AS BIGINT) AS n_edges,
+       CAST((SELECT sum(degree) FROM deg) AS DOUBLE)
+           / CAST((SELECT count(*) FROM deg) AS DOUBLE) AS mean_degree,
+       (SELECT max(CASE WHEN i = CAST(floor((n - 1) * 0.5) AS BIGINT)
+                   THEN degree END) FROM rk) AS p50_degree,
+       (SELECT max(CASE WHEN i = CAST(floor((n - 1) * 0.9) AS BIGINT)
+                   THEN degree END) FROM rk) AS p90_degree,
+       CAST((SELECT count(*) FROM sizes) AS BIGINT) AS n_components,
+       (SELECT max(sz) FROM sizes) AS max_component
 """
