@@ -1342,3 +1342,34 @@ def group_corr_ds(ds, by: str = "event_type", x_col: str = "value",
                          "covar_samp": pa.array(covar)})
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def event_sequences_ds(ds, by: str = "user_id", on: str = "ts",
+                       id_col: str = "event_id",
+                       type_col: str = "event_type", sep: str = ">"):
+    """Per-user ordered behavior sequence — the training-data
+    "behavior sequence" builder: each user's events sorted by
+    ``(on, id)`` (the id tie-break makes equal-timestamp order
+    deterministic) and their types joined into one string, plus the
+    event count.  Equivalent to
+    ``string_agg(event_type, sep ORDER BY ts, event_id) GROUP BY user``.
+
+    ONE shuffle keyed by ``by``; each group is sorted and joined in a
+    single vectorized pass (no per-event Python work beyond the final
+    join of an already-ordered type list).  A pathological single user
+    holding a cluster-sized event history would pin one task — the
+    same documented hot-key contract as ``asof_join_ds``; sequences
+    that long are not useful training rows, so callers cap upstream."""
+    import pyarrow.compute as pc
+
+    def seq(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(on, "ascending"),
+                                            (id_col, "ascending")])
+        types = t[type_col].take(idx).to_pylist()
+        return pa.table({
+            by: t[by].slice(0, 1),
+            "seq": pa.array([sep.join(types)], pa.string()),
+            "n_events": pa.array([len(types)], pa.int64()),
+        })
+
+    return ds.groupby(by).map_groups(seq, batch_format="pyarrow")

@@ -330,6 +330,11 @@ def q_latest_event(sf_dir: str):
         ["event_id", "ts", "user_id", "event_type", "value"]))
 
 
+def q_event_sequences(sf_dir: str):
+    return F_events.event_sequences_ds(_read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]))
+
+
 def q_cohort_retention(sf_dir: str):
     return F_events.cohort_retention_ds(_read(sf_dir, "events",
                                               ["user_id", "ts"]))
@@ -1651,6 +1656,7 @@ QUERIES = {
     "pack_chunks": q_pack_chunks,
     "kg_negatives": q_kg_negatives,
     "kg_health": q_kg_health,
+    "event_sequences": q_event_sequences,
     "session_overlap": q_session_overlap,
     "hour_gaps": q_hour_gaps,
     "hourly_mode": q_hourly_mode,
@@ -2773,4 +2779,12 @@ SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
                    THEN degree END) FROM rk) AS p90_degree,
        CAST((SELECT count(*) FROM sizes) AS BIGINT) AS n_components,
        (SELECT max(sz) FROM sizes) AS max_component
+"""
+
+ORACLE_SQL["event_sequences"] = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
 """

@@ -1084,3 +1084,23 @@ def test_kll_quantile_rank_error(ray_session):
     for q_pct, approx in zip(out.q_pct, out.approx):
         rank = np.searchsorted(sv, approx) / len(sv)
         assert abs(rank - q_pct / 100) < 0.03, (q_pct, rank)
+
+
+def test_event_sequences(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.events import event_sequences_ds
+
+    letters = "abcdefgh"
+    t = _events_fixture_ds(rd).map_batches(
+        lambda b: b.append_column(
+            "event_type",
+            pa.array([letters[i] for i in b["event_id"].to_pylist()],
+                     pa.string())),
+        batch_format="pyarrow")
+    out = event_sequences_ds(t).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    # user 1 ts order 0,10,10,40 — the ts tie (ids 1,2) breaks by id
+    assert out.seq.tolist() == ["a>b>c>d", "e>f>g>h"]
+    assert out.n_events.tolist() == [4, 4]
+    assert list(out.columns) == ["user_id", "seq", "n_events"]
