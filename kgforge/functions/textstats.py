@@ -502,3 +502,106 @@ def profile_columns_ds(ds, columns: list[str]):
             [str(s[c]["max_num"]) if s[c]["max_num"] is not None
              else s[c]["max_str"] for c in cols], pa.string()),
     })
+
+
+def budget_select_ds(ds, budget_num: int = 1, budget_den: int = 2,
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """Token-budget corpus selection: keep the highest-quality prefix
+    of the corpus — documents ordered by (score DESC, doc_id ASC) —
+    whose cumulative token count stays within ``budget_num/budget_den``
+    of the corpus total (exact integer arithmetic, so the budget is
+    bit-identical to SQL's ``sum(n_tokens) * num // den`` at any
+    corpus size — no float in the cut).  The "train on the best N tokens you can afford"
+    selector; equivalent to SQL's
+    ``QUALIFY sum(n_tokens) OVER (ORDER BY score DESC, doc_id) <= B``.
+
+    Score = stopword micro-ratio ``n_stopwords · 10⁶ // max(n_tokens,
+    1)`` — an integer, so score equality (and therefore the selection
+    boundary) is exact, never a float tie.
+
+    Scale shape (the global sort is eliminated): per-batch
+    (score → Σtokens, count) partials → ONE groupby over ≤ 10⁶+1
+    distinct scores (never documents) → driver cumsum picks the
+    boundary score s* and the budget remainder → ONLY the s* score
+    group (logged if degenerate) is collected to resolve the doc_id
+    prefix → one broadcast filter pass.  Three passes over metadata,
+    zero passes shuffling text."""
+    import logging
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    stop_re = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+    def stats(b: pa.Table) -> pa.Table:
+        nt = pc.cast(_count_re(b[text_col], TOKEN_RE), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ns = pc.cast(_count_re(b[text_col], stop_re), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        score = ns * 1_000_000 // np.maximum(nt, 1)
+        return pa.table({id_col: b[id_col],
+                         "score": pa.array(score, pa.int64()),
+                         "n_tokens": pa.array(nt, pa.int64())})
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = stats(b).select(["score", "n_tokens"])
+        g = t.group_by(["score"], use_threads=False).aggregate(
+            [("n_tokens", "sum"), ("n_tokens", "count")])
+        return pa.table({"score": g["score"],
+                         "tok": pc.cast(g["n_tokens_sum"], pa.int64()),
+                         "cnt": pc.cast(g["n_tokens_count"], pa.int64())})
+
+    hist = ds.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("score").aggregate(Sum("tok", alias_name="tok"),
+                                    Sum("cnt", alias_name="cnt")) \
+        .take_all()
+    hist.sort(key=lambda r: -r["score"])
+    toks = np.array([r["tok"] for r in hist], dtype=np.int64)
+    total = int(toks.sum()) if len(toks) else 0
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64())})
+    if total == 0:
+        return ds.map_batches(lambda b: empty, batch_format="pyarrow")
+    budget = total * budget_num // budget_den
+    cum = toks.cumsum()
+    # first score-desc position whose full inclusion would overflow
+    pos = int(np.searchsorted(cum, budget, side="right"))
+    if pos >= len(hist):           # whole corpus fits the budget
+        return ds.map_batches(stats, batch_format="pyarrow")
+    s_star = int(hist[pos]["score"])
+    remaining = budget - (int(cum[pos - 1]) if pos else 0)
+
+    # resolve the doc_id-ordered prefix INSIDE the boundary score
+    # group; only that one group is collected (small by construction —
+    # one score value — but log if a degenerate corpus concentrates)
+    if hist[pos]["cnt"] > 1_000_000:
+        logging.getLogger(__name__).warning(
+            "budget_select boundary score %d holds %d docs; driver "
+            "resolves the prefix over all of them", s_star,
+            hist[pos]["cnt"])
+    def boundary_only(b: pa.Table) -> pa.Table:
+        t = stats(b)
+        return t.filter(pc.equal(t["score"], s_star))
+
+    boundary = ds.map_batches(boundary_only,
+                              batch_format="pyarrow").take_all()
+    boundary.sort(key=lambda r: r[id_col])
+    cutoff = None
+    used = 0
+    for r in boundary:
+        if used + r["n_tokens"] > remaining:
+            break
+        used += r["n_tokens"]
+        cutoff = r[id_col]
+
+    def keep(b: pa.Table) -> pa.Table:
+        t = stats(b)
+        mask = pc.greater(t["score"], s_star)
+        if cutoff is not None:
+            mask = pc.or_(mask, pc.and_(
+                pc.equal(t["score"], s_star),
+                pc.less_equal(t[id_col], cutoff)))
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

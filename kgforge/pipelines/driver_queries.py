@@ -330,6 +330,11 @@ def q_latest_event(sf_dir: str):
         ["event_id", "ts", "user_id", "event_type", "value"]))
 
 
+def q_budget_select(sf_dir: str):
+    return F_text.budget_select_ds(_read(sf_dir, "documents",
+                                         ["doc_id", "text"]))
+
+
 def q_event_sequences(sf_dir: str):
     return F_events.event_sequences_ds(_read(
         sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]))
@@ -1657,6 +1662,7 @@ QUERIES = {
     "kg_negatives": q_kg_negatives,
     "kg_health": q_kg_health,
     "event_sequences": q_event_sequences,
+    "budget_select": q_budget_select,
     "session_overlap": q_session_overlap,
     "hour_gaps": q_hour_gaps,
     "hourly_mode": q_hourly_mode,
@@ -2787,4 +2793,23 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events
 GROUP BY user_id
+"""
+
+ORACLE_SQL["budget_select"] = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(array_length(regexp_extract_all(text, '\S+')) AS BIGINT)
+             AS n_tokens,
+         CAST(array_length(regexp_extract_all(
+             text, '\b(the|a|of|and|data)\b')) AS BIGINT) AS n_stop
+  FROM documents),
+s AS (SELECT doc_id, n_tokens,
+             n_stop * 1000000 // greatest(n_tokens, 1) AS score
+      FROM c),
+b AS (SELECT sum(n_tokens) * 1 // 2 AS budget FROM s)
+SELECT doc_id, score, n_tokens
+FROM s
+QUALIFY sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING)
+        <= (SELECT budget FROM b)
 """

@@ -1104,3 +1104,32 @@ def test_event_sequences(ray_session):
     assert out.seq.tolist() == ["a>b>c>d", "e>f>g>h"]
     assert out.n_events.tolist() == [4, 4]
     assert list(out.columns) == ["user_id", "seq", "n_events"]
+
+
+def test_budget_select_boundary_ties(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.textstats import budget_select_ds
+
+    # all docs score 0 (no stopwords) -> the ENTIRE corpus is the
+    # boundary group; prefix must follow doc_id order exactly
+    texts = ["x " * n for n in (4, 4, 4, 4)]  # 4 tokens each, total 16
+    t = pa.table({"doc_id": pa.array([3, 1, 2, 0], pa.int64()),
+                  "text": pa.array([texts[i] for i in (3, 1, 2, 0)],
+                                   pa.string())})
+    out = budget_select_ds(rd.from_arrow(t).repartition(3)) \
+        .to_pandas().sort_values("doc_id")
+    # budget = 8 tokens -> doc_ids 0 and 1 only (doc_id-asc prefix)
+    assert out.doc_id.tolist() == [0, 1]
+
+    # budget covers everything -> all rows kept
+    out2 = budget_select_ds(rd.from_arrow(t), budget_num=1,
+                            budget_den=1).to_pandas()
+    assert len(out2) == 4
+    assert list(out2.columns) == ["doc_id", "score", "n_tokens"]
+
+    # empty corpus -> empty result (no rows ever reach a batch, so
+    # there is no schema to assert beyond zero length)
+    e = pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    assert budget_select_ds(rd.from_arrow(e)).count() == 0
