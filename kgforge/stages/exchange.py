@@ -162,14 +162,15 @@ def range_exchange_merge(ds, key_of, merge_fn,
     ``merge_fn`` merges one co-ranged table (dedup/aggregate + sort
     within bucket).
 
-    ``num_buckets`` defaults to ``max(64, cluster CPUs)``, overridable
-    via ``KGFORGE_NUM_BUCKETS``.  On this shared-VM sandbox, isolated
-    probes of an 11M-row exchange preferred 128-256 buckets (5-14s vs
-    13-16s at 64) but full-pipeline A/B in one host window preferred 64
-    (74s vs 91s total) — the difference is swamped by ±2.4× host-window
-    noise, so the simple CPU floor stays the default.  At real web
-    scale the operator knob to turn is rows-per-merge-task (~100k):
-    a fixed bucket count makes per-task work grow with the corpus.
+    ``num_buckets`` defaults to ``max(64, cluster CPUs, rows/100k)``
+    (capped at 4096), overridable via ``KGFORGE_NUM_BUCKETS``.  The
+    row-scaled term keeps per-merge-task work ~constant as the corpus
+    grows — the input is already materialized, so the row count is a
+    metadata read.  Same-window A/B at 21M edge rows (1.6M docs, 32
+    CPUs): 64 buckets = 56.3s exchange, 256 = 15.8s (3.5×) — a fixed
+    bucket count makes each merge task's sort grow superlinearly with
+    the corpus.  At the bench's 400k-doc scale (5.4M rows) the formula
+    still picks the 64 floor, so small-corpus behavior is unchanged.
     """
     import ray
     import ray.data as rd
@@ -182,7 +183,8 @@ def range_exchange_merge(ds, key_of, merge_fn,
             num_buckets = int(env)
         else:
             num_buckets = max(64, int(ray.cluster_resources()
-                                      .get("CPU", 8)))
+                                      .get("CPU", 8)),
+                              min(4096, ds.count() // 100_000))
 
     splits = sample_splits(ds, key_of, num_buckets)
     block_refs = ds.to_arrow_refs()
