@@ -279,6 +279,16 @@ def test_ego_edges_matches_bfs(ray_session):
     # 2 hops from a: {a, b, f, c}; induced edges among them
     assert got == {("a", "b"), ("a", "f"), ("b", "f"), ("b", "c")}
 
+    # paths agree: force the broadcast lane to spill to the
+    # distributed cogroup lane mid-expansion (threshold of 1 spills
+    # after the first hop) and at hop zero (threshold 0)
+    for cap in (0, 1):
+        spilled = ego_edges_ds(rd.from_arrow(tbl).repartition(2),
+                               hops=2, num_partitions=4,
+                               driver_max_members=cap).to_pandas()
+        assert {tuple(r) for r in
+                spilled.itertuples(index=False, name=None)} == got
+
 
 def test_group_corr_matches_numpy(ray_session):
     import ray.data as rd
