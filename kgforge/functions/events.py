@@ -1052,11 +1052,14 @@ def interval_overlap_pairs_ds(iv_ds, by: str = "user_id",
     LATER-starting member (the earlier member overlaps that bucket by
     definition → both are present there, and the pair is attributed
     exactly once).  Within a bucket the candidate check is a chunked
-    mask matrix over start-sorted rows — cost proportional to
-    candidate pairs, which the band already bounds to near the true
-    output size.  The interval table is the compacted session summary
-    (orders of magnitude smaller than the event stream), so the single
-    ``max`` pre-pass and the ≤2× replication are cheap."""
+    mask matrix over start-sorted rows, with the earlier-member side
+    pruned per chunk to rows still open at the chunk's first start
+    (``en_i >= st[j0]``) — so a hot bucket costs candidate-rows ×
+    chunk, not k² (many co-located sessions share a bucket when one
+    long interval sets the global width).  The interval table is the
+    compacted session summary (orders of magnitude smaller than the
+    event stream), so the single ``max`` pre-pass and the ≤2×
+    replication are cheap."""
     import pyarrow.compute as pc
 
     iv = iv_ds.materialize()          # session summaries, not events
@@ -1066,6 +1069,17 @@ def interval_overlap_pairs_ds(iv_ds, by: str = "user_id",
         return pa.table({"d": pc.cast(d, pa.int64())})
 
     max_dur = iv.map_batches(dur, batch_format="pyarrow").max("d")
+    if max_dur is None:               # empty interval set → empty result
+        import ray.data as rd
+
+        sch = iv.schema().base_schema
+        return rd.from_arrow(pa.table({
+            "user_a": pa.array([], sch.field(by).type),
+            "sess_a": pa.array([], sch.field(sess).type),
+            "user_b": pa.array([], sch.field(by).type),
+            "sess_b": pa.array([], sch.field(sess).type),
+            "overlap_us": pa.array([], pa.int64()),
+        }))
     width = np.int64(int(max_dur) + 1)
 
     def replicate(b: pa.Table) -> pa.Table:
@@ -1094,11 +1108,16 @@ def interval_overlap_pairs_ds(iv_ds, by: str = "user_id",
             j1 = min(j0 + chunk, k)
             # later member must START in this bucket (dedup rule)
             own = (st[j0:j1] // width) == bucket
+            # earlier-member prune: st is sorted ascending, so only
+            # rows i < j1 still open at st[j0] can pair with this chunk
+            cand = np.flatnonzero(en[:j1] >= st[j0])
+            if cand.size == 0:
+                continue
             # candidates i < j in start order with end_i >= start_j
-            m = (en[:, None] >= st[None, j0:j1]) & own[None, :]
-            tri = np.arange(k)[:, None] < np.arange(j0, j1)[None, :]
+            m = (en[cand, None] >= st[None, j0:j1]) & own[None, :]
+            tri = cand[:, None] < np.arange(j0, j1)[None, :]
             ii, jj = np.nonzero(m & tri)
-            a_idx.append(ii)
+            a_idx.append(cand[ii])
             b_idx.append(jj + j0)
         ai = np.concatenate(a_idx) if a_idx else np.zeros(0, np.int64)
         bi = np.concatenate(b_idx) if b_idx else np.zeros(0, np.int64)

@@ -118,8 +118,8 @@ def weighted_sample_ds(ds, k: int = 50, weight_col: str = "n_chars",
     import hashlib
 
     shift = np.uint64(64 - int(np.log2(num_partitions)))
-    assert 1 << (64 - int(shift)) == num_partitions, \
-        "num_partitions must be a power of two"
+    if 1 << (64 - int(shift)) != num_partitions:
+        raise ValueError("num_partitions must be a power of two")
 
     def compact(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_pylist()

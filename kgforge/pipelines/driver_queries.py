@@ -1213,6 +1213,16 @@ def q_kg_health(sf_dir: str):
     cum = np.cumsum(cnts)
     n_nodes = int(cum[-1]) if len(cum) else 0
     sum_deg = int((degs * cnts).sum())
+    if n_nodes == 0:  # empty graph: all-zero health row, no div-by-0
+        return pa.table({
+            "n_nodes": pa.array([0], pa.int64()),
+            "n_edges": pa.array([0], pa.int64()),
+            "mean_degree": pa.array([0.0], pa.float64()),
+            "p50_degree": pa.array([0], pa.int64()),
+            "p90_degree": pa.array([0], pa.int64()),
+            "n_components": pa.array([0], pa.int64()),
+            "max_component": pa.array([0], pa.int64()),
+        })
 
     def q_at(q: float) -> int:
         idx = int(np.floor((n_nodes - 1) * q))

@@ -39,6 +39,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _max_ulp(got: pd.DataFrame, exp: pd.DataFrame) -> int:
+    """Largest ulp distance across shared float columns — an absolute
+    1e-9 tolerance on small-magnitude doubles can hide millions of
+    ulps, so the drift report carries the real number."""
+    import numpy as np
+
+    worst = 0
+    for c in got.columns:
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        if a.dtype.kind != "f" or b.dtype.kind != "f":
+            continue
+        av = a.astype(np.float64).view(np.int64)
+        bv = b.astype(np.float64).view(np.int64)
+        m = np.isfinite(a) & np.isfinite(b)
+        if m.any():
+            worst = max(worst, int(np.abs(av[m] - bv[m]).max()))
+    return worst
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -122,7 +141,8 @@ def main() -> int:
                                               check_exact=False,
                                               rtol=0, atol=1e-9)
                 print(f"ok   {name}: rows={len(got)} MATCH "
-                      f"(ulp-level float drift) [{dt:.1f}s]")
+                      f"(atol=1e-9 float drift, max "
+                      f"{_max_ulp(got, exp)} ulp) [{dt:.1f}s]")
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch: {str(e)[:400]}")
             n_fail += 1
