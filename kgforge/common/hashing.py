@@ -52,6 +52,75 @@ def hash_u64_np(strings, *, seed: int = 0) -> np.ndarray:
     return out
 
 
+_DUCK_CON = None
+
+
+def _duck():
+    """Process-local DuckDB connection backing the vectorized md5
+    kernels.  One per worker process (Ray tasks/actors don't share
+    module globals); DuckDB projections preserve insertion order, so
+    results align row-for-row with the input array."""
+    global _DUCK_CON
+    if _DUCK_CON is None:
+        import duckdb
+
+        _DUCK_CON = duckdb.connect()
+    return _DUCK_CON
+
+
+def _as_string_array(values):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        arr = values
+    else:
+        arr = pa.array(list(values), pa.string())
+    if not (pa.types.is_string(arr.type)
+            or pa.types.is_large_string(arr.type)):
+        arr = pc.cast(arr, pa.string())
+    return arr
+
+
+def md5_hex_arr(values):
+    """md5 hex digests of a batch of strings in ONE C-level call via
+    DuckDB's vectorized md5 kernel — the identical kernel the SQL
+    twins call, so cross-engine parity holds by construction (a
+    per-row ``hashlib`` loop costs O(rows) Python calls on
+    corpus-size paths).  NULL hashes to NULL; ``pc.fill_null`` first
+    for empty-string semantics.  → pa.ChunkedArray<string>."""
+    import pyarrow as pa
+
+    t = pa.table({"s": _as_string_array(values)})
+    con = _duck()
+    con.register("__md5_in", t)
+    try:
+        out = con.execute("SELECT md5(s) AS h FROM __md5_in").arrow()
+    finally:
+        con.unregister("__md5_in")
+    return out["h"].combine_chunks()
+
+
+def md5_u64_arr(values, nhex: int = 16) -> np.ndarray:
+    """``int(md5(x).hexdigest()[:nhex], 16)`` as uint64 — the exact
+    value of the SQL twins' ``CAST(concat('0x', substr(md5(x),1,nhex))
+    AS UBIGINT)`` — computed batch-at-a-time through DuckDB instead of
+    a per-row hashlib loop."""
+    import pyarrow as pa
+
+    t = pa.table({"s": _as_string_array(values)})
+    con = _duck()
+    con.register("__md5_in", t)
+    try:
+        out = con.execute(
+            f"SELECT CAST(concat('0x', substr(md5(s), 1, {int(nhex)})) "
+            "AS UBIGINT) AS h FROM __md5_in").arrow()
+    finally:
+        con.unregister("__md5_in")
+    return out["h"].combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(np.uint64)
+
+
 def stable_partition_id(doc_id: str, num_partitions: int) -> int:
     """Partition assignment for checkpoint/lineage (SURVEY §4, T5)."""
     return hash_u64(doc_id) % num_partitions

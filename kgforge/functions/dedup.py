@@ -49,10 +49,16 @@ DEFAULT_THETA = 0.80   # verified-Jaccard threshold
 # exact / normalized-exact
 # ---------------------------------------------------------------------------
 
-def _md5_col(texts: list) -> pa.Array:
-    return pa.array(
-        [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts],
-        pa.string())
+def _md5_col(texts) -> pa.Array:
+    """md5 hex per text — one DuckDB C call per batch (see
+    ``hashing.md5_hex_arr``), not a per-row hashlib loop."""
+    import pyarrow.compute as pc
+
+    from kgforge.common.hashing import md5_hex_arr
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        return md5_hex_arr(pc.fill_null(texts, ""))
+    return md5_hex_arr(pa.array([t or "" for t in texts], pa.string()))
 
 
 def exact_dedup_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -61,7 +67,7 @@ def exact_dedup_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
     from ray.data.aggregate import Count, Min
 
     hashed = ds.map_batches(
-        lambda b: pa.table({"content_hash": _md5_col(b[text_col].to_pylist()),
+        lambda b: pa.table({"content_hash": _md5_col(b[text_col]),
                             id_col: b[id_col]}),
         batch_format="pyarrow")
     return hashed.groupby("content_hash").aggregate(
@@ -716,13 +722,14 @@ def hash_split_ds(ds, id_col: str = "doc_id", train_pct: int = 80):
     and cluster sizes (the standard leakage-safe split for training
     corpora; content- or time-based splits drift as the corpus grows).
     Pure map — no shuffle, no state."""
-    import hashlib
+    import pyarrow.compute as pc
+
+    from kgforge.common.hashing import md5_u64_arr
 
     def assign(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        buckets = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
-                   % 100 for i in ids]
-        split = ["train" if b < train_pct else "test" for b in buckets]
+        buckets = (md5_u64_arr(pc.cast(batch[id_col], pa.string()),
+                               nhex=8) % np.uint64(100)).astype(np.int64)
+        split = np.where(buckets < train_pct, "train", "test")
         return pa.table({
             id_col: batch[id_col],
             "bucket": pa.array(buckets, pa.int64()),

@@ -661,8 +661,6 @@ def negative_samples_ds(edges_ds, src: str = "subj", pred: str = "pred",
     small side: node VOCAB, not edges — same bound as the alias map;
     a billion-node graph swaps this for a rank range-exchange).  The
     edge stream itself is one map + one cogroup."""
-    import hashlib
-
     import ray
     from ray.data.aggregate import Count
 
@@ -677,13 +675,14 @@ def negative_samples_ds(edges_ds, src: str = "subj", pred: str = "pred",
     nodes_ref = ray.put(nv)
 
     def corrupt(b: pa.Table) -> pa.Table:
+        from kgforge.common.hashing import md5_u64_arr
+
         vocab = ray.get(nodes_ref)
-        s = b[src].to_pylist()
-        p = b[pred].to_pylist()
         o = b[dst].to_pylist()
-        idx = np.array([int(hashlib.md5(f"{a}#{r}#{c}".encode())
-                            .hexdigest()[:16], 16) % len(vocab)
-                        for a, r, c in zip(s, p, o)], dtype=np.int64)
+        keys = pc.binary_join_element_wise(
+            b[src], b[pred], b[dst], "#")
+        idx = (md5_u64_arr(keys) % np.uint64(len(vocab))) \
+            .astype(np.int64)
         neg = vocab[idx]
         keep = neg != np.array(o)
         ki = pa.array(np.flatnonzero(keep))

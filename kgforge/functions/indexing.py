@@ -435,7 +435,7 @@ def pack_chunks_ds(chunks_ds, capacity: int = 512,
     a prefix over that tiny table gives each partition its global
     offset, and the bin labels are a partition-local cumsum.  The
     chunk stream itself never shuffles."""
-    import hashlib
+    from kgforge.common.hashing import md5_u64_arr
 
     shift = np.uint64(64 - int(np.log2(num_partitions)))
     if 1 << (64 - int(shift)) != num_partitions:
@@ -444,9 +444,8 @@ def pack_chunks_ds(chunks_ds, capacity: int = 512,
     def compact(b: pa.Table) -> pa.Table:
         keys = pc.binary_join_element_wise(
             pc.cast(b[id_col], pa.string()), "#",
-            pc.cast(b[idx_col], pa.string()), "").to_pylist()
-        h = np.array([int(hashlib.md5(k.encode()).hexdigest()[:16], 16)
-                      for k in keys], dtype=np.uint64)
+            pc.cast(b[idx_col], pa.string()), "")
+        h = md5_u64_arr(keys)
         return pa.table({
             id_col: b[id_col], idx_col: b[idx_col],
             "__w": pa.array(b[tok_col].combine_chunks()

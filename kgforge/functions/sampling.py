@@ -74,13 +74,13 @@ def stratified_sample_ds(ds, k: int = 20, by: str = "event_type",
     Scale shape: per-batch partial top-k on the digest keeps ≤ k rows
     per group per batch before the shuffle — the full stream never
     moves, exactly like topk_per_group."""
-    import hashlib
-
     import pandas as pd
 
+    from kgforge.common.hashing import md5_hex_arr
+
     def digest(df: pd.DataFrame) -> pd.DataFrame:
-        md5 = [hashlib.md5(str(v).encode()).hexdigest()
-               for v in df[id_col].tolist()]
+        md5 = md5_hex_arr(df[id_col].astype("int64").astype(str)
+                          .to_numpy()).to_numpy(zero_copy_only=False)
         return pd.DataFrame({by: df[by], id_col: df[id_col], "md5": md5})
 
     def head(df: pd.DataFrame, with_rank: bool) -> pd.DataFrame:
@@ -115,16 +115,16 @@ def weighted_sample_ds(ds, k: int = 50, weight_col: str = "n_chars",
     that tiny table, then a partition-local cumsum + threshold pick —
     the corpus itself never shuffles: partitions are the TOP bits of
     the hash, so hash order is (partition, local) order."""
-    import hashlib
+    import pyarrow.compute as pc
+
+    from kgforge.common.hashing import md5_u64_arr
 
     shift = np.uint64(64 - int(np.log2(num_partitions)))
     if 1 << (64 - int(shift)) != num_partitions:
         raise ValueError("num_partitions must be a power of two")
 
     def compact(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_pylist()
-        h = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:16],
-                          16) for i in ids], dtype=np.uint64)
+        h = md5_u64_arr(pc.cast(b[id_col], pa.string()))
         return pa.table({
             id_col: b[id_col],
             "__w": pa.array(b[weight_col].combine_chunks()

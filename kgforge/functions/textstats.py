@@ -13,7 +13,6 @@ number of decimals, so the driver's value-hash comparison is exact.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -108,12 +107,14 @@ def fingerprint(batch: pa.Table, text_col: str = "text",
     ``md5()``) + a 64-bit rolling (Karp-Rabin) hash for chunk-level
     dedup.  md5 is the cross-system-verifiable digest; the rolling hash
     is the cheap streaming fingerprint."""
+    from kgforge.common.hashing import md5_hex_arr
+
     texts = batch[text_col].to_pylist()
-    fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    fps = md5_hex_arr(pc.fill_null(batch[text_col], ""))
     rolling = [_rolling_hash(t or "") for t in texts]
     return pa.table({
         id_col: batch[id_col],
-        "fp_md5": pa.array(fps, pa.string()),
+        "fp_md5": fps,
         "fp_rolling": pa.array(rolling, pa.uint64()),
     })
 
@@ -243,12 +244,13 @@ def redact(batch: pa.Table, text_col: str = "text",
     for _, pat in REDACT_PATTERNS:
         clean = pc.replace_substring_regex(clean, pattern=pat,
                                            replacement=REDACT_TOKEN)
-    digests = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
-               for t in clean.to_pylist()]
+    from kgforge.common.hashing import md5_hex_arr
+
+    digests = md5_hex_arr(pc.fill_null(clean, ""))
     return pa.table({
         id_col: batch[id_col],
         "n_redact": pa.array(n),
-        "clean_md5": pa.array(digests, pa.string()),
+        "clean_md5": digests,
     })
 
 

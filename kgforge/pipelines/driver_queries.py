@@ -116,8 +116,6 @@ def q_data_prep(sf_dir: str):
     context-window chunking (32/24) → leakage-safe hash split — each
     stage one of the engine's standalone operators, value-checked
     end-to-end against one composed SQL twin."""
-    import hashlib
-
     from kgforge.functions.dedup import exact_dedup_ds
     from kgforge.functions.indexing import chunk_docs_ds
     from kgforge.functions.joins import shuffle_join_ds
@@ -131,10 +129,13 @@ def q_data_prep(sf_dir: str):
                            chunk=32, stride=24)
 
     def add_split(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_pylist()
-        buckets = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
-                   % 100 for i in ids]
-        split = ["train" if x < 80 else "test" for x in buckets]
+        import pyarrow.compute as pc
+
+        from kgforge.common.hashing import md5_u64_arr
+
+        buckets = md5_u64_arr(pc.cast(b["doc_id"], pa.string()),
+                              nhex=8) % np.uint64(100)
+        split = np.where(buckets < 80, "train", "test")
         return b.append_column("split", pa.array(split, pa.string()))
 
     return chunks.map_batches(add_split, batch_format="pyarrow")
