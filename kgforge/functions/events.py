@@ -54,34 +54,64 @@ def hourly_agg_ds(ds):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-def sessionize_ds(ds, gap_minutes: int = 30):
+def sessionize_ds(ds, gap_minutes: int = 30, by: str = "user_id",
+                  on: str = "ts", num_partitions: int = 64):
     """Per-user session counting: a new session starts when the gap to
     the previous event exceeds ``gap_minutes``.  → (user_id,
-    n_sessions, n_events)."""
-    gap = np.timedelta64(gap_minutes * 60, "s")
+    n_sessions, n_events).
 
-    def sessions_of(df: pd.DataFrame) -> pd.DataFrame:
-        ts = df["ts"].sort_values().to_numpy()
-        n_events = len(ts)
-        if n_events == 0:
-            return pd.DataFrame({"user_id": [], "n_sessions": [],
-                                 "n_events": []})
-        breaks = int((np.diff(ts) > gap).sum())
-        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
-                             "n_sessions": [breaks + 1],
-                             "n_events": [n_events]})
+    Scale shape: ONE hash partition by user (``num_partitions`` Ray
+    callbacks, never one per key); inside a partition the break scan
+    is a single vectorized pass over ALL users at once (user-change OR
+    gap both break) and per-user counts are ``np.add.reduceat``
+    segment sums."""
+    import pyarrow.compute as pc
 
-    return ds.groupby("user_id").map_groups(sessions_of,
-                                            batch_format="pandas")
+    from kgforge.functions.joins import _part_codes
+
+    gap_us = np.int64(gap_minutes) * np.int64(60_000_000)
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({by: b[by],
+                      "__on": pc.cast(_on_key(b[on]), pa.int64())})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t[by], num_partitions)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            ("__on", "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        on_np = t["__on"].combine_chunks().to_numpy(zero_copy_only=False)
+        ubrk = _run_breaks(t[by].combine_chunks(),
+                           np.zeros(n, dtype=np.int32))
+        sbrk = ubrk.copy()
+        if n > 1:
+            sbrk[1:] |= np.diff(on_np) > gap_us
+        starts = np.flatnonzero(ubrk)
+        runlens = np.diff(np.concatenate([starts, [n]]))
+        n_sess = np.add.reduceat(sbrk.astype(np.int64), starts) \
+            if len(starts) else np.zeros(0, dtype=np.int64)
+        return pa.table({
+            by: t[by].take(pa.array(starts)),
+            "n_sessions": pa.array(n_sess),
+            "n_events": pa.array(runlens.astype(np.int64)),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition, batch_format="pyarrow")
 
 
 def _on_key(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     """Sort/window key for the ``on`` column: timestamps become epoch
-    int64 (µs) so searchsorted and window arithmetic stay numeric."""
+    int64 (µs) so searchsorted and window arithmetic stay numeric.
+    Any timestamp unit is normalized to µs first — a ``timestamp[s]``
+    column cast straight to int64 would yield seconds and silently
+    break every µs-denominated window/gap constant."""
     import pyarrow.compute as pc
 
     if pa.types.is_timestamp(col.type):
-        return pc.cast(col, pa.int64())
+        return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
     return col
 
 
@@ -192,15 +222,64 @@ def _add_salt(unioned, by, hot, replicate_right=False):
     return unioned.map_batches(fn, batch_format="pyarrow")
 
 
-def _carry_table(unioned, by, hot, right_keep, tie):
-    """For each hot ``(key, salt)``: the right row with the max
-    ``(__on, tie)`` among all EARLIER salt buckets of that key — the
-    one boundary row an as-of merge task needs from outside its own
-    sub-range.  Tiny by construction (≤ nb rows per hot key); computed
-    by a per-block argmax combiner + driver prefix scan, broadcast into
-    the merge closure."""
-    cols = ["__on", "r_" + tie] + ["r_" + c for c in right_keep
-                                   if c != tie]
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _salted_pcodes(key_col, salt: np.ndarray,
+                   num_partitions: int) -> np.ndarray:
+    """Partition id from ``(key, salt)``: the key's stable 64-bit hash
+    remixed with the salt bucket, so a hot key's on-range buckets land
+    on DIFFERENT partitions (``hash(key) % P`` alone would collapse
+    all of a hot key's buckets back onto one task)."""
+    arr = key_col.combine_chunks() \
+        if isinstance(key_col, pa.ChunkedArray) else key_col
+    if pa.types.is_integer(arr.type):
+        x = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        from kgforge.common.hashing import hash_u64_np
+
+        x = hash_u64_np([v if v is not None else ""
+                         for v in arr.to_pylist()])
+    x = _splitmix64(x ^ (salt.astype(np.uint64) * _GOLD))
+    return (x % np.uint64(num_partitions)).astype(np.int32)
+
+
+def _run_breaks(keys: pa.ChunkedArray, salt: np.ndarray) -> np.ndarray:
+    """True at each row starting a new ``(key, salt)`` run in a sorted
+    table (null-safe key compare: null==null stays one run)."""
+    import pyarrow.compute as pc
+
+    n = len(salt)
+    brk = np.ones(n, dtype=bool)
+    if n > 1:
+        a, b = keys.slice(1), keys.slice(0, n - 1)
+        neq = pc.fill_null(pc.not_equal(a, b), False) \
+            .to_numpy(zero_copy_only=False)
+        nullmix = pc.xor(pc.is_null(a), pc.is_null(b)) \
+            .to_numpy(zero_copy_only=False)
+        brk[1:] = neq | nullmix | (salt[1:] != salt[:-1])
+    return brk
+
+
+def _carry_sentinels(unioned, by, hot, tie):
+    """Sentinel right rows that fold the as-of boundary carry INTO the
+    salted shuffle (replacing the former driver-dict broadcast): for
+    each hot ``(key, salt s >= 1)``, the right row with the max
+    ``(__on, tie)`` among that key's EARLIER salt buckets, re-labeled
+    ``__salt = s`` so the merge task sees it as an ordinary (earliest)
+    right row.  Two bounded stages: a per-block (key, bucket) argmax
+    combiner (<= one row per hot (key, bucket) per block), then one
+    tiny per-key groupby over hot keys only (few by definition) whose
+    emission is a vectorized prefix pick — salt is a monotone function
+    of ``__on``, so the best row among buckets < s is simply the LAST
+    candidate with salt < s in (salt, on, tie) order."""
+    import pyarrow.compute as pc
 
     def partial(b: pa.Table) -> pa.Table:
         side = b["__side"].to_numpy(zero_copy_only=False)
@@ -208,57 +287,51 @@ def _carry_table(unioned, by, hot, right_keep, tie):
         mask = (side == 1) & meta.notna().to_numpy()
         idxs = np.flatnonzero(mask)
         if idxs.size == 0:
-            sel = b.select([by] + cols).slice(0, 0)
-            return sel.add_column(1, "__salt", pa.array([], pa.int32()))
+            return b.slice(0, 0).append_column(
+                "__salt", pa.array([], pa.int32()))
         t = b.take(pa.array(idxs))
         on = t["__on"].to_numpy(zero_copy_only=False)
         sub = meta.iloc[idxs]
         mn = np.fromiter((m[0] for m in sub), np.int64, idxs.size)
         w = np.fromiter((m[1] for m in sub), np.int64, idxs.size)
         nb = np.fromiter((m[2] for m in sub), np.int64, idxs.size)
-        salt = np.clip((on - mn) // w, 0, nb - 1).astype(np.int32)
-        sel = t.select([by] + cols)
-        return sel.add_column(1, "__salt", pa.array(salt, pa.int32()))
+        s = np.clip((on - mn) // w, 0, nb - 1).astype(np.int32)
+        t = t.append_column("__salt", pa.array(s, pa.int32()))
+        idx2 = pc.sort_indices(t, sort_keys=[
+            (by, "ascending"), ("__salt", "ascending"),
+            ("__on", "descending"), ("r_" + tie, "descending")])
+        t = t.take(idx2)
+        salt_np = t["__salt"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            _run_breaks(t[by].combine_chunks(), salt_np))
+        return t.take(pa.array(starts))
 
-    rows = unioned.map_batches(partial, batch_format="pyarrow") \
-        .to_arrow_refs()
-    import ray as _ray
+    cands = unioned.map_batches(partial, batch_format="pyarrow")
 
-    tabs = [t for t in _ray.get(rows) if t.num_rows]
-    carry: dict = {}
-    if not tabs:
-        return carry
-    t = pa.concat_tables(tabs)
-    df = t.to_pandas(types_mapper=None)
-    # keep Arrow values for typed scalars; pandas only orders/indexes
-    on_np = t["__on"].to_numpy(zero_copy_only=False)
-    tie_np = t["r_" + tie].to_numpy(zero_copy_only=False)
-    key_np = df[by].to_numpy()
-    salt_np = df["__salt"].to_numpy()
-    order = np.lexsort((tie_np, on_np))
-    # per (key, salt): argmax (on, tie) = last in lexsort order
-    best: dict = {}
-    for i in order:
-        best[(key_np[i], int(salt_np[i]))] = i
-    # prefix per key: carry for bucket s = best over buckets < s
-    per_key: dict = {}
-    for (k, s), i in best.items():
-        per_key.setdefault(k, []).append((s, i))
-    for k, lst in per_key.items():
-        lst.sort()
-        run = None
-        nb = hot[k][2]
-        pos = 0
-        seen = {s: i for s, i in lst}
-        for s in range(nb):
-            if run is not None:
-                carry[(k, s)] = {c: t[c][run].as_py() for c in cols}
-            i = seen.get(s)
-            if i is not None and (run is None or
-                                  (on_np[i], tie_np[i]) >
-                                  (on_np[run], tie_np[run])):
-                run = i
-    return carry
+    def emit(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = t[by][0].as_py()
+        nb = int(hot[key][2])
+        idx = pc.sort_indices(t, sort_keys=[
+            ("__salt", "ascending"), ("__on", "ascending"),
+            ("r_" + tie, "ascending")])
+        t = t.take(idx)
+        salts = t["__salt"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tgt = np.arange(1, nb, dtype=np.int64)
+        j = np.searchsorted(salts, tgt) - 1  # last candidate, salt < s
+        ok = j >= 0
+        if not ok.any():
+            return t.slice(0, 0)
+        out = t.take(pa.array(j[ok]))
+        pos = out.schema.get_field_index("__salt")
+        return out.set_column(
+            pos, "__salt", pa.array(tgt[ok].astype(np.int32),
+                                    pa.int32()))
+
+    return cands.groupby(by).map_groups(emit, batch_format="pyarrow")
 
 
 def asof_join_ds(left_ds, right_ds, by: str = "user_id", on: str = "ts",
@@ -266,9 +339,10 @@ def asof_join_ds(left_ds, right_ds, by: str = "user_id", on: str = "ts",
                  right_cols: tuple = ("event_id", "ts"),
                  tie_break: str | None = None,
                  hot_threshold: int | None = 1_000_000,
-                 salt_target: int = 250_000):
+                 salt_target: int = 250_000,
+                 num_partitions: int = 64):
     """As-of join (SURVEY §2.4): each left row matched to the single
-    right row with the greatest ``on`` ≤ the left's ``on`` within the
+    right row with the greatest ``on`` <= the left's ``on`` within the
     same ``by`` key (backward, inclusive — DuckDB ``ASOF JOIN``
     semantics); ties on ``on`` broken by the greatest ``tie_break``
     column (default: first of ``right_cols``) so the result is
@@ -276,117 +350,149 @@ def asof_join_ds(left_ds, right_ds, by: str = "user_id", on: str = "ts",
     the same rule.  Left rows with no prior right row keep typed nulls
     (the merge is Arrow end-to-end: no pandas float/ns round-trip).
 
-    Scale contract: one ``(key, salt)`` group fits in a task.  Keys
-    with more than ``hot_threshold`` rows are pre-split into coarse
-    ``on``-range buckets of ~``salt_target`` rows (``__salt``), and the
-    single boundary row each bucket needs from earlier buckets (the
-    per-key prefix argmax) is broadcast into the merge — so one power
-    user with 10⁸ events lands on ~400 tasks, not one.  Set
-    ``hot_threshold=None`` to skip the stats pass entirely."""
+    Scale contract: the merge runs per HASH PARTITION of ``(key,
+    salt)`` — ``num_partitions`` Ray callbacks total, never one per
+    key (10⁸ users → 64 tasks, not 10⁸ group callbacks) — and matches
+    ALL keys in a partition in one vectorized pass: sort by (key,
+    salt, on, rights-before-lefts, tie), forward-fill the latest
+    right-row index with ``np.maximum.accumulate``, invalidate fills
+    that crossed a run boundary.  Keys with more than
+    ``hot_threshold`` rows are pre-split into coarse ``on``-range
+    buckets of ~``salt_target`` rows (``__salt``), and the one
+    boundary row each bucket needs from earlier buckets rides the
+    same shuffle as a sentinel right row (``_carry_sentinels`` — no
+    driver-held carry state), so one power user with 10⁸ events lands
+    on ~400 tasks, not one.  The stats pass itself is gated on the
+    total row count (<= ``hot_threshold`` rows → no key can be hot →
+    stream straight to the merge, no materialize); pass
+    ``hot_threshold=None`` to skip the count probe too."""
     left_keep = list(left_cols)
     right_keep = list(right_cols)
     tie = tie_break or right_keep[0]
     unioned = _tag_union(left_ds, right_ds, by, on, left_keep, right_keep)
 
-    carry: dict = {}
-    if hot_threshold is not None:
+    hot: dict = {}
+    if hot_threshold is not None and \
+            left_ds.count() + right_ds.count() > hot_threshold:
         unioned = unioned.materialize()
         hot = _hot_plan(_key_stats(unioned, by), hot_threshold,
                         salt_target, min_width=1)
-        if hot:
-            carry = _carry_table(unioned, by, hot, right_keep, tie)
-        unioned = _add_salt(unioned, by, hot)
-    else:
-        unioned = _add_salt(unioned, by, {})
+    salted = _add_salt(unioned, by, hot)
+    if hot:
+        salted = salted.union(_carry_sentinels(unioned, by, hot, tie))
+
+    def add_p(b: pa.Table) -> pa.Table:
+        salt = b["__salt"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.append_column("__p", pa.array(
+            _salted_pcodes(b[by], salt, num_partitions), pa.int32()))
 
     def merge(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        side = t["__side"].to_numpy(zero_copy_only=False)
-        on_np = t["__on"].to_numpy(zero_copy_only=False)
-        lidx = np.flatnonzero(side == 0)
-        ridx = np.flatnonzero(side == 1)
-        nl = lidx.size
-        if ridx.size:
-            r_on = on_np[ridx]
-            tie_vals = pc.take(t["r_" + tie], pa.array(ridx)) \
-                .to_numpy(zero_copy_only=False)
-            order = np.lexsort((tie_vals, r_on))
-            r_on = r_on[order]
-            r_pos = ridx[order]
-            pos = np.searchsorted(r_on, on_np[lidx], side="right") - 1
-            have = pos >= 0
-            idx = r_pos[np.maximum(pos, 0)]
-        else:
-            have = np.zeros(nl, dtype=bool)
-            idx = np.zeros(nl, dtype=np.int64)
-        la = pa.array(lidx)
+        n = t.num_rows
+        idx = pc.sort_indices(t, sort_keys=[
+            (by, "ascending"), ("__salt", "ascending"),
+            ("__on", "ascending"), ("__side", "descending"),
+            ("r_" + tie, "ascending")])
+        t = t.take(idx)
+        side = t["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+        salt = t["__salt"].combine_chunks().to_numpy(zero_copy_only=False)
+        run_id = np.cumsum(_run_breaks(t[by].combine_chunks(), salt)) - 1
+        # ffill of the latest right row index across the whole
+        # partition; a fill that crossed into a different (key, salt)
+        # run is a non-match
+        last = np.maximum.accumulate(np.where(side == 1, np.arange(n), -1))
+        lpos = np.flatnonzero(side == 0)
+        lr = last[lpos]
+        have = (lr >= 0) & (run_id[np.maximum(lr, 0)] == run_id[lpos])
+        la = pa.array(lpos)
         cols = {by: pc.take(t[by], la)}
         for c in left_keep:
             cols["l_" + c] = pc.take(t["l_" + c], la)
-        cr = None
-        if carry and nl and not have.all():
-            key = t[by][0].as_py()
-            salt = t["__salt"][0].as_py()
-            cr = carry.get((key, salt))
-        take_r = pa.array(np.where(have, idx, 0), type=pa.int64(),
+        take_r = pa.array(np.where(have, lr, 0), type=pa.int64(),
                           mask=~have)
-        have_arr = pa.array(have)
         for c in right_keep:
-            col = pc.take(t["r_" + c], take_r)
-            if cr is not None:
-                col = pc.if_else(have_arr, col,
-                                 pa.scalar(cr["r_" + c],
-                                           type=t["r_" + c].type))
-            cols["r_" + c] = col
+            cols["r_" + c] = pc.take(t["r_" + c], take_r)
         return pa.table(cols)
 
-    return unioned.groupby([by, "__salt"]).map_groups(
-        merge, batch_format="pyarrow")
+    return salted.map_batches(add_p, batch_format="pyarrow") \
+        .groupby("__p").map_groups(merge, batch_format="pyarrow")
 
 
 def range_window_count_ds(left_ds, right_ds, by: str = "user_id",
                           on: str = "ts", window_us: int = 3_600_000_000,
                           left_id: str = "event_id",
                           hot_threshold: int | None = 1_000_000,
-                          salt_target: int = 250_000):
+                          salt_target: int = 250_000,
+                          num_partitions: int = 64):
     """Range join + aggregate (SURVEY §2.4): for each left row, count
     right rows of the same key with ``on`` in ``[left.on - window,
-    left.on)`` (strictly before).  Same union + per-key sorted-merge
-    shape as :func:`asof_join_ds`; the per-left work is two
-    ``searchsorted`` probes, so a key's cost is O((l + r) log r).
-    Output id column stays Arrow int64 (no pandas float upcast).
+    left.on)`` (strictly before).  Output id column stays Arrow int64
+    (no pandas float upcast).
 
-    Scale contract: hot keys are pre-split into ``on``-range buckets of
-    width ≥ ``window_us`` and each hot right row is replicated into the
-    next bucket, so every left row's window is fully covered inside its
-    own ``(key, salt)`` task — no cross-task stitch needed."""
+    Scale contract: hash-partitioned by ``(key, salt)`` —
+    ``num_partitions`` Ray callbacks, not one per key — with ONE
+    vectorized rank-merge per partition: the rights and BOTH window
+    bounds of every left row are lexsorted together by (run, value,
+    query-before-right), and each bound's strictly-below right count
+    falls out of one cumulative sum (the merge-rank trick; the
+    per-run base cancels in the hi−lo difference, so no per-key
+    searchsorted loop exists at any altitude).  Hot keys are
+    pre-split into ``on``-range buckets of width >= ``window_us``
+    and each hot right row is replicated into the next bucket, so
+    every left row's window is fully covered inside its own task —
+    no cross-task stitch.  The stats pass is gated on total rows >
+    ``hot_threshold`` (below it no key can be hot; ``None`` skips
+    the count probe too)."""
     unioned = _tag_union(left_ds, right_ds, by, on, [left_id], [])
-    if hot_threshold is not None:
+    hot: dict = {}
+    if hot_threshold is not None and \
+            left_ds.count() + right_ds.count() > hot_threshold:
         unioned = unioned.materialize()
         hot = _hot_plan(_key_stats(unioned, by), hot_threshold,
                         salt_target, min_width=int(window_us))
-        unioned = _add_salt(unioned, by, hot, replicate_right=True)
-    else:
-        unioned = _add_salt(unioned, by, {})
+    salted = _add_salt(unioned, by, hot, replicate_right=True)
+
+    def add_p(b: pa.Table) -> pa.Table:
+        salt = b["__salt"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.append_column("__p", pa.array(
+            _salted_pcodes(b[by], salt, num_partitions), pa.int32()))
 
     def merge(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        side = t["__side"].to_numpy(zero_copy_only=False)
-        on_np = t["__on"].to_numpy(zero_copy_only=False)
-        lidx = np.flatnonzero(side == 0)
-        la = pa.array(lidx)
-        r_on = np.sort(on_np[side == 1])
-        l_on = on_np[lidx]
-        hi = np.searchsorted(r_on, l_on, side="left")      # strictly <
-        lo = np.searchsorted(r_on, l_on - window_us, side="left")
-        return pa.table({by: pc.take(t[by], la),
-                         left_id: pc.take(t["l_" + left_id], la),
-                         "n_in_window": pa.array((hi - lo).astype("int64"))})
+        n = t.num_rows
+        idx = pc.sort_indices(t, sort_keys=[
+            (by, "ascending"), ("__salt", "ascending")])
+        t = t.take(idx)
+        side = t["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+        salt = t["__salt"].combine_chunks().to_numpy(zero_copy_only=False)
+        run_id = np.cumsum(_run_breaks(t[by].combine_chunks(), salt)) - 1
+        on_np = t["__on"].combine_chunks().to_numpy(zero_copy_only=False)
+        lpos = np.flatnonzero(side == 0)
+        rpos = np.flatnonzero(side == 1)
+        nl, nr = lpos.size, rpos.size
+        l_on = on_np[lpos]
+        vals = np.concatenate([on_np[rpos], l_on, l_on - window_us])
+        kinds = np.concatenate([np.ones(nr, np.int8),
+                                np.zeros(2 * nl, np.int8)])
+        runs = np.concatenate([run_id[rpos], run_id[lpos],
+                               run_id[lpos]])
+        order = np.lexsort((kinds, vals, runs))
+        is_r = kinds[order] == 1
+        rb = np.cumsum(is_r) - is_r        # rights strictly before
+        pos = np.empty(order.size, np.int64)
+        pos[order] = np.arange(order.size)
+        hi = rb[pos[nr:nr + nl]]
+        lo = rb[pos[nr + nl:]]
+        la = pa.array(lpos)
+        return pa.table({
+            by: pc.take(t[by], la),
+            left_id: pc.take(t["l_" + left_id], la),
+            "n_in_window": pa.array((hi - lo).astype(np.int64))})
 
-    return unioned.groupby([by, "__salt"]).map_groups(
-        merge, batch_format="pyarrow")
+    return salted.map_batches(add_p, batch_format="pyarrow") \
+        .groupby("__p").map_groups(merge, batch_format="pyarrow")
 
 
 def sliding_window_counts_ds(ds, window_hours: int = 3,
@@ -427,7 +533,8 @@ def sliding_window_counts_ds(ds, window_hours: int = 3,
 
 
 def topk_per_group_ds(ds, k: int = 3, by: str = "user_id",
-                      order_col: str = "value", id_col: str = "event_id"):
+                      order_col: str = "value", id_col: str = "event_id",
+                      num_partitions: int = 64):
     """Top-k rows per group by (value desc, id asc) — the window
     ``row_number() <= k`` pattern, partial-top-k'd before the shuffle.
 
@@ -447,107 +554,160 @@ def topk_per_group_ds(ds, k: int = 3, by: str = "user_id",
                              .astype("int64"))
         return out
 
+    from kgforge.functions.joins import _part_codes
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = pd.DataFrame({
             by: df[by].astype("int64"),
             id_col: df[id_col].astype("int64"),
             "value_cents": round_away(df[order_col] * 100, 0).astype("int64"),
         })
-        return topk(df, with_rank=False)
+        out = topk(df, with_rank=False)
+        # final stage is keyed by HASH PARTITION, not by raw key —
+        # P Ray callbacks, not one per group; topk() already ranks
+        # every group in a partition vectorized (pandas groupby.head)
+        out = out.assign(__p=_part_codes(
+            pa.array(out[by].to_numpy()), num_partitions))
+        return out
 
     return ds.map_batches(partial, batch_format="pandas") \
-        .groupby(by) \
-        .map_groups(lambda df: topk(df, with_rank=True),
+        .groupby("__p") \
+        .map_groups(lambda df: topk(df.drop(columns="__p"),
+                                    with_rank=True),
                     batch_format="pandas")
 
 
 def event_deltas_ds(ds, by: str = "user_id", on: str = "ts",
-                    id_col: str = "event_id"):
+                    id_col: str = "event_id",
+                    num_partitions: int = 64):
     """Per-event gap (µs) to the same user's previous event — the
     ``lag() OVER (PARTITION BY user ORDER BY ts, id)`` window.  NULL
     (Arrow-typed int64 null, no NaN round-trip) for each user's first
-    event.  One shuffle keyed by user; a hot user's group is a single
-    sorted diff, and the same on-range salting contract as asof_join
-    applies if one user ever outgrows a task."""
+    event.  One shuffle keyed by HASH PARTITION of the user id
+    (``num_partitions`` Ray callbacks, never one per user); inside a
+    partition the lag is one global ``np.diff`` with the first row of
+    every user run masked null — all users at once, no per-key
+    Python."""
+    import pyarrow.compute as pc
 
-    def deltas(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    from kgforge.functions.joins import _part_codes
 
-        idx = pc.sort_indices(t, sort_keys=[(on, "ascending"),
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({id_col: b[id_col], by: b[by],
+                      "__on": pc.cast(_on_key(b[on]), pa.int64())})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t[by], num_partitions)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            ("__on", "ascending"),
                                             (id_col, "ascending")])
         t = t.take(idx)
-        us = _on_key(t[on]).combine_chunks().to_numpy(zero_copy_only=False)
-        vals = np.zeros(len(us), dtype=np.int64)
-        if len(us) > 1:
+        n = t.num_rows
+        us = t["__on"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals = np.zeros(n, dtype=np.int64)
+        if n > 1:
             vals[1:] = np.diff(us)
-        mask = np.zeros(len(us), dtype=bool)
-        if len(us):
-            mask[0] = True  # the user's first event has no predecessor
+        mask = _run_breaks(t[by].combine_chunks(),
+                           np.zeros(n, dtype=np.int32))
         return pa.table({
             id_col: t[id_col], by: t[by],
             "delta_us": pa.array(vals, pa.int64(), mask=mask),
         })
 
-    return ds.groupby(by).map_groups(deltas, batch_format="pyarrow")
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition, batch_format="pyarrow")
 
 
 def group_quantiles_ds(ds, qs=(0.5, 0.9), by: str = "event_type",
-                       value_col: str = "value"):
+                       value_col: str = "value",
+                       num_partitions: int = 64):
     """Exact per-group quantiles via a distributed value histogram.
 
-    Per-batch (group, cents) count partials → ONE groupby shuffle →
-    per-group merge + cumulative scan.  The shuffle carries (groups ×
-    distinct cents × batches) count rows, never events, so exact
-    quantiles cost one small exchange at any scale — no global sort,
-    no sampling sketch (duplicate partial rows for the same cents are
-    merged inside the per-group pick, saving the second all-to-all a
-    pre-merge groupby would cost).  Quantile rule (encoded identically
-    in the SQL twin): the sorted element at index floor((n-1)·q)."""
+    Per-batch (group, cents) count partials → ONE shuffle keyed by
+    HASH PARTITION of the group (``num_partitions`` Ray callbacks,
+    never one per group) → per-partition merge + cumulative scan over
+    ALL groups at once: duplicate (group, cents) partials collapse in
+    one arrow group_by, and every group's rank row falls out of a
+    single ``searchsorted`` into the partition-global cumsum (run
+    bases cancel, so no per-group Python).  The shuffle carries
+    (groups × distinct cents × batches) count rows, never events —
+    exact quantiles cost one small exchange at any scale, no global
+    sort, no sampling sketch.  Quantile rule (encoded identically in
+    the SQL twin): the sorted element at index floor((n-1)·q)."""
+    import pyarrow.compute as pc
+
     from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import _part_codes
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
+        out = pd.DataFrame({
             by: df[by],
             "cents": round_away(df[value_col] * 100, 0).astype("int64"),
         }).groupby([by, "cents"], as_index=False).size() \
           .rename(columns={"size": "n"})
+        out = out.assign(__p=_part_codes(
+            pa.array(out[by].to_numpy()), num_partitions))
+        return out
 
     counts = ds.map_batches(partial, batch_format="pandas")
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.groupby("cents", as_index=False) \
-            .agg({by: "first", "n": "sum"}).sort_values("cents")
-        cum = df["n"].to_numpy().cumsum()
-        n = int(cum[-1])
-        row = {by: df[by].iloc[0]}
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__p"]) \
+            .group_by([by, "cents"], use_threads=False) \
+            .aggregate([("n", "sum")])
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            ("cents", "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        cents = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_arr = t["n_sum"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        brk = _run_breaks(t[by].combine_chunks(),
+                          np.zeros(n, dtype=np.int32))
+        starts = np.flatnonzero(brk)
+        csum = np.cumsum(n_arr)
+        base = csum[starts] - n_arr[starts]      # exclusive run prefix
+        ntot = np.add.reduceat(n_arr, starts) \
+            if len(starts) else np.zeros(0, dtype=np.int64)
+        cols = {by: t[by].take(pa.array(starts))}
         for q in qs:
-            idx = int(np.floor((n - 1) * q))
-            pos = int(np.searchsorted(cum, idx + 1))
-            row[f"p{int(q * 100)}_cents"] = np.int64(df["cents"].iloc[pos])
-        row["n_events"] = np.int64(n)
-        return pd.DataFrame([row])
+            idxq = np.floor((ntot - 1) * q).astype(np.int64)
+            pos = np.searchsorted(csum, base + idxq + 1)
+            cols[f"p{int(q * 100)}_cents"] = pa.array(cents[pos],
+                                                      pa.int64())
+        cols["n_events"] = pa.array(ntot)
+        return pa.table(cols)
 
-    return counts.groupby(by).map_groups(pick, batch_format="pandas")
+    return counts.groupby("__p").map_groups(pick, batch_format="pyarrow")
 
 
 def cumulative_sum_ds(ds, by: str = "user_id", on: str = "ts",
                       id_col: str = "event_id", value_col: str = "value",
                       hot_threshold: int = 1_000_000,
-                      salt_target: int = 500_000):
+                      salt_target: int = 500_000,
+                      num_partitions: int = 64):
     """Per-user running total — the ``sum() OVER (PARTITION BY user
     ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` window.  Values are
     per-row integer cents so the running sum is exact and
     order-independent within the engine's float handling.
 
-    Scale shape: one shuffle keyed by user; per key the work is a
-    sort + cumsum.  A key above ``hot_threshold`` rows is auto-split
-    into coarse ``on``-range salt buckets (same plan machinery as
-    :func:`asof_join_ds`) and scanned as a distributed two-phase
-    prefix sum: per-bucket local cumsum + a broadcast per-bucket
-    offset table (per-block combiner → driver prefix scan over the
-    tiny (hot keys × buckets) set).  Bucket cuts are by ``__on``
-    value, so equal timestamps never straddle buckets and the
-    (on, id) order is exactly the per-bucket concatenation."""
+    Scale shape: one shuffle keyed by HASH PARTITION of ``(key,
+    salt)`` (``num_partitions`` Ray callbacks, never one per user);
+    per partition the scan is ONE global cumsum with per-run bases
+    subtracted — all users at once, no per-key Python.  A key above
+    ``hot_threshold`` rows is auto-split into coarse ``on``-range salt
+    buckets (same plan machinery as :func:`asof_join_ds`) and scanned
+    as a distributed two-phase prefix sum: per-bucket local cumsum +
+    a broadcast per-bucket offset table (per-block combiner → driver
+    prefix scan over the tiny (hot keys × buckets) set).  Bucket cuts
+    are by ``__on`` value, so equal timestamps never straddle buckets
+    and the (on, id) order is exactly the per-bucket concatenation.
+    The stats pass is gated on a dataset row count: at or below
+    ``hot_threshold`` rows no key can be hot and the stream goes
+    straight to the merge."""
+    import pyarrow.compute as pc
+
     from kgforge.common.hashing import round_away
 
     def compact(b: pa.Table) -> pa.Table:
@@ -560,8 +720,11 @@ def cumulative_sum_ds(ds, by: str = "user_id", on: str = "ts",
         })
 
     base = ds.map_batches(compact, batch_format="pyarrow")
-    stats = _key_stats(base, by)
-    hot = _hot_plan(stats, hot_threshold, salt_target, min_width=1)
+    hot: dict = {}
+    if ds.count() > hot_threshold:
+        base = base.materialize()
+        hot = _hot_plan(_key_stats(base, by), hot_threshold,
+                        salt_target, min_width=1)
     salted = _add_salt(base, by, hot)
 
     offs: dict = {}
@@ -579,11 +742,11 @@ def cumulative_sum_ds(ds, by: str = "user_id", on: str = "ts",
             mn = np.fromiter((m[0] for m in meta[hotmask]), np.int64)
             w = np.fromiter((m[1] for m in meta[hotmask]), np.int64)
             nb = np.fromiter((m[2] for m in meta[hotmask]), np.int64)
-            s = np.clip((on_np - mn) // w, 0, nb - 1).astype(np.int32)
+            st = np.clip((on_np - mn) // w, 0, nb - 1).astype(np.int32)
             t = pa.table({
                 "k": pa.array(b[by].combine_chunks()
                               .to_numpy(zero_copy_only=False)[hotmask]),
-                "s": pa.array(s),
+                "s": pa.array(st),
                 "c": pa.array(b["cents"].combine_chunks()
                               .to_numpy(zero_copy_only=False)[hotmask]),
             })
@@ -597,60 +760,100 @@ def cumulative_sum_ds(ds, by: str = "user_id", on: str = "ts",
             sums = parts.groupby(["k", "s"])["c"].sum()
             for k, grp in sums.groupby(level=0):
                 run = 0
-                for (_, s), c in grp.sort_index().items():
-                    offs[(k, int(s))] = run
+                for (_, sv), c in grp.sort_index().items():
+                    offs[(k, int(sv))] = run
                     run += int(c)
+    hot_keys = {k for (k, _) in offs}
+
+    def add_p(b: pa.Table) -> pa.Table:
+        salt = b["__salt"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.append_column("__p", pa.array(
+            _salted_pcodes(b[by], salt, num_partitions), pa.int32()))
 
     def scan(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        idx = pc.sort_indices(t, sort_keys=[("__on", "ascending"),
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            ("__salt", "ascending"),
+                                            ("__on", "ascending"),
                                             (id_col, "ascending")])
         t = t.take(idx)
+        n = t.num_rows
         cents = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
-        base_off = 0
-        if offs and t.num_rows:
-            base_off = offs.get((t[by][0].as_py(),
-                                 int(t["__salt"][0].as_py())), 0)
+        salt = t["__salt"].combine_chunks().to_numpy(zero_copy_only=False)
+        brk = _run_breaks(t[by].combine_chunks(), salt)
+        starts = np.flatnonzero(brk)
+        runlens = np.diff(np.concatenate([starts, [n]]))
+        csum = np.cumsum(cents)
+        base_off = csum[starts] - cents[starts]   # exclusive run prefix
+        add = np.zeros(len(starts), dtype=np.int64)
+        if offs:      # hot-key runs pick up their bucket's global base
+            skeys = t[by].take(pa.array(starts)).to_pandas()
+            for i in np.flatnonzero(skeys.isin(hot_keys).to_numpy()):
+                add[i] = offs.get((skeys.iloc[i], int(salt[starts[i]])), 0)
+        cum = csum - np.repeat(base_off - add, runlens) \
+            if n else np.zeros(0, dtype=np.int64)
         return pa.table({
             id_col: t[id_col], by: t[by],
-            "cum_cents": pa.array(np.cumsum(cents) + base_off, pa.int64()),
+            "cum_cents": pa.array(cum.astype(np.int64), pa.int64()),
         })
 
-    return salted.groupby([by, "__salt"]).map_groups(
-        scan, batch_format="pyarrow")
+    return salted.map_batches(add_p, batch_format="pyarrow") \
+        .groupby("__p").map_groups(scan, batch_format="pyarrow")
 
 
 def rolling_sum_ds(ds, window: int = 3, by: str = "user_id",
                    on: str = "ts", id_col: str = "event_id",
-                   value_col: str = "value"):
+                   value_col: str = "value", num_partitions: int = 64):
     """Per-user rolling aggregate over the last ``window`` events —
     the ``ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW`` window.  Emits
     the integer window sum and the in-window row count (exact; a
     rolling *mean* is their float ratio and rounds differently per
-    engine, so the integers are the contract).  Same single
-    user-keyed shuffle shape as :func:`event_deltas_ds`."""
+    engine, so the integers are the contract).
+
+    Scale shape: one shuffle keyed by HASH PARTITION of the user
+    (``num_partitions`` Ray callbacks, never one per user); per
+    partition the window is one global prefix-sum difference with the
+    window lower bound clamped to each user run's start — all users
+    at once, no per-key Python."""
+    import pyarrow.compute as pc
+
     from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import _part_codes
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: b[id_col], by: b[by],
+            "__on": pc.cast(_on_key(b[on]), pa.int64()),
+            "cents": pa.array(round_away(
+                b[value_col].combine_chunks()
+                .to_numpy(zero_copy_only=False) * 100, 0)
+                .astype(np.int64)),
+        })
+        return t.append_column(
+            "__p", pa.array(_part_codes(t[by], num_partitions)))
 
     def roll(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        idx = pc.sort_indices(t, sort_keys=[(on, "ascending"),
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            ("__on", "ascending"),
                                             (id_col, "ascending")])
         t = t.take(idx)
-        cents = round_away(
-            t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
-            * 100, 0).astype(np.int64)
+        n = t.num_rows
+        cents = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        brk = _run_breaks(t[by].combine_chunks(),
+                          np.zeros(n, dtype=np.int32))
+        starts = np.flatnonzero(brk)
+        runlens = np.diff(np.concatenate([starts, [n]]))
+        run_start = np.repeat(starts, runlens) \
+            if n else np.zeros(0, dtype=np.int64)
         cum = np.concatenate([[0], np.cumsum(cents)])
-        n = len(cents)
-        lo = np.maximum(np.arange(n) - window + 1, 0)
+        lo = np.maximum(np.arange(n) - window + 1, run_start)
         return pa.table({
             id_col: t[id_col], by: t[by],
             "win_sum_cents": pa.array(cum[1:] - cum[lo], pa.int64()),
-            "win_n": pa.array(np.arange(n) - lo + 1, pa.int64()),
+            "win_n": pa.array((np.arange(n) - lo + 1).astype(np.int64)),
         })
 
-    return ds.groupby(by).map_groups(roll, batch_format="pyarrow")
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(roll, batch_format="pyarrow")
 
 
 def pivot_hourly_ds(ds, type_col: str = "event_type", on: str = "ts"):
@@ -1183,7 +1386,8 @@ def hour_gaps_ds(ds, type_col: str = "event_type", on: str = "ts"):
         .groupby(type_col).map_groups(gaps, batch_format="pyarrow")
 
 
-def mode_per_key_ds(ds, key_col: str, val_col: str):
+def mode_per_key_ds(ds, key_col: str, val_col: str,
+                    num_partitions: int = 64):
     """Exact per-key MODE with a deterministic tie rule (highest count,
     then smallest value).  Per-batch (key, value) count partials →
     one groupby on the pair (hot keys spread across reducers by value)
@@ -1219,10 +1423,20 @@ def mode_per_key_ds(ds, key_col: str, val_col: str):
         return pa.table({key_col: t[key_col], "mode": t[val_col],
                          "n": pc.cast(t["n"], pa.int64())})
 
-    # the counts table is (keys × values) — re-keying it by key alone
-    # is a shuffle of that small table, not of the stream
-    return counts.groupby(key_col).map_groups(
-        lambda t: argmax(t), batch_format="pyarrow")
+    from kgforge.functions.joins import _part_codes
+
+    def add_p(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__p", pa.array(_part_codes(b[key_col], num_partitions)))
+
+    # the counts table is (keys × values) — re-keying it by HASH
+    # PARTITION of the key is a shuffle of that small table, not of
+    # the stream, and costs P callbacks, not one per key (argmax is
+    # already vectorized across every key run in a partition)
+    return counts.map_batches(add_p, batch_format="pyarrow") \
+        .groupby("__p").map_groups(
+            lambda t: argmax(t.drop_columns(["__p"])),
+            batch_format="pyarrow")
 
 def point_in_interval_ds(points_ds, iv_ds, by: str = "user_id",
                          on: str = "ts", point_id: str = "event_id",
@@ -1365,7 +1579,8 @@ def group_corr_ds(ds, by: str = "event_type", x_col: str = "value",
 
 def event_sequences_ds(ds, by: str = "user_id", on: str = "ts",
                        id_col: str = "event_id",
-                       type_col: str = "event_type", sep: str = ">"):
+                       type_col: str = "event_type", sep: str = ">",
+                       num_partitions: int = 64):
     """Per-user ordered behavior sequence — the training-data
     "behavior sequence" builder: each user's events sorted by
     ``(on, id)`` (the id tie-break makes equal-timestamp order
@@ -1373,22 +1588,44 @@ def event_sequences_ds(ds, by: str = "user_id", on: str = "ts",
     event count.  Equivalent to
     ``string_agg(event_type, sep ORDER BY ts, event_id) GROUP BY user``.
 
-    ONE shuffle keyed by ``by``; each group is sorted and joined in a
-    single vectorized pass (no per-event Python work beyond the final
-    join of an already-ordered type list).  A pathological single user
-    holding a cluster-sized event history would pin one task — the
-    same documented hot-key contract as ``asof_join_ds``; sequences
-    that long are not useful training rows, so callers cap upstream."""
+    ONE shuffle keyed by HASH PARTITION of the user (``num_partitions``
+    Ray callbacks, never one per user); inside a partition every
+    user's join happens at once — the sorted type column is wrapped as
+    a ListArray over per-user run offsets and joined with one
+    ``pc.binary_join`` C call.  A pathological single user holding a
+    cluster-sized event history would pin one task — the same
+    documented hot-key contract as ``asof_join_ds``; sequences that
+    long are not useful training rows, so callers cap upstream."""
     import pyarrow.compute as pc
 
+    from kgforge.functions.joins import _part_codes
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({by: b[by],
+                      "__on": pc.cast(_on_key(b[on]), pa.int64()),
+                      id_col: b[id_col], type_col: b[type_col]})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t[by], num_partitions)))
+
     def seq(t: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(t, sort_keys=[(on, "ascending"),
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            ("__on", "ascending"),
                                             (id_col, "ascending")])
-        types = t[type_col].take(idx).to_pylist()
+        t = t.take(idx)
+        n = t.num_rows
+        brk = _run_breaks(t[by].combine_chunks(),
+                          np.zeros(n, dtype=np.int32))
+        starts = np.flatnonzero(brk)
+        offsets = np.concatenate([starts, [n]]).astype(np.int32)
+        types = t[type_col].combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         types)
         return pa.table({
-            by: t[by].slice(0, 1),
-            "seq": pa.array([sep.join(types)], pa.string()),
-            "n_events": pa.array([len(types)], pa.int64()),
+            by: t[by].take(pa.array(starts)),
+            "seq": pc.binary_join(lists, sep),
+            "n_events": pa.array(
+                np.diff(np.concatenate([starts, [n]])).astype(np.int64)),
         })
 
-    return ds.groupby(by).map_groups(seq, batch_format="pyarrow")
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(seq, batch_format="pyarrow")

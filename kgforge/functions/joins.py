@@ -31,12 +31,15 @@ import numpy as np
 import pyarrow as pa
 
 
-def _part_codes(arr: pa.ChunkedArray, num_partitions: int) -> np.ndarray:
+def _part_codes(arr: pa.ChunkedArray | pa.Array,
+                num_partitions: int) -> np.ndarray:
     """Stable partition id per row: splitmix64 mix for integer keys,
     blake2b-8 (``hash_u64_np``) for strings — deterministic across
     workers and runs, well-mixed so sequential ids spread evenly."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
     if pa.types.is_integer(arr.type):
-        x = arr.combine_chunks().to_numpy(zero_copy_only=False) \
+        x = arr.to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
         x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)

@@ -73,10 +73,15 @@ def stratified_sample_ds(ds, k: int = 20, by: str = "event_type",
 
     Scale shape: per-batch partial top-k on the digest keeps ≤ k rows
     per group per batch before the shuffle — the full stream never
-    moves, exactly like topk_per_group."""
+    moves, exactly like topk_per_group — and the final cut is keyed by
+    HASH PARTITION of the group (P Ray callbacks, never one per group;
+    ``head()`` ranks every group in a partition vectorized)."""
     import pandas as pd
 
     from kgforge.common.hashing import md5_hex_arr
+    from kgforge.functions.joins import _part_codes
+
+    num_partitions = 64
 
     def digest(df: pd.DataFrame) -> pd.DataFrame:
         md5 = md5_hex_arr(df[id_col].astype("int64").astype(str)
@@ -91,10 +96,15 @@ def stratified_sample_ds(ds, k: int = 20, by: str = "event_type",
                              .astype("int64")).drop(columns=["md5"])
         return out
 
-    return ds.map_batches(lambda df: head(digest(df), False),
-                          batch_format="pandas") \
-        .groupby(by).map_groups(lambda df: head(df, True),
-                                batch_format="pandas")
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = head(digest(df), False)
+        return out.assign(__p=_part_codes(
+            pa.array(out[by].astype(str).to_numpy()), num_partitions))
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("__p").map_groups(
+            lambda df: head(df.drop(columns="__p"), True),
+            batch_format="pandas")
 
 
 def weighted_sample_ds(ds, k: int = 50, weight_col: str = "n_chars",
