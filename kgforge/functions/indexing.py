@@ -485,3 +485,85 @@ def pack_chunks_ds(chunks_ds, capacity: int = 512,
         })
 
     return base.groupby("__p").map_groups(label, batch_format="pyarrow")
+
+
+def doc_rarity_ds(ds, text_col: str = "text", id_col: str = "doc_id",
+                  num_partitions: int = 64):
+    """Token-rarity quality scores per document — the CCNet-style
+    "is this doc made of common or rare tokens" filter signal, made
+    hash-exact: for each document, the corpus-wide occurrence count of
+    its tokens aggregated as ``n_tokens`` (occurrences), ``sum_ct``
+    (Σ per-token corpus count over occurrences), ``min_ct`` (rarest
+    token's count) and ``mean_ct`` (= sum_ct / n_tokens, ONE exact-int
+    division → bit-identical double in both engines).  A perplexity
+    scorer swaps the count for a log-prob; counts keep the driver
+    value-hash exact, log-sums would drift per summation order.
+
+    Plan (tfidf shape): per-batch (term, doc, tf) partials → partition
+    by TERM (each term's corpus count completes locally, attached by
+    segment repeat) → partition by DOC (per-doc sums are segment
+    reductions).  The corpus never shuffles — only (term, doc, tf)
+    partials and per-term counts do; no vocabulary broadcast or driver
+    collection at any point."""
+    from kgforge.functions.joins import _part_codes
+
+    def pairs(b: pa.Table) -> pa.Table:
+        flat, par = _token_lists(b, text_col)
+        ids = b[id_col].take(par)
+        t = pa.table({"term": flat, "doc": ids,
+                      "one": pa.array(np.ones(len(flat), dtype=np.int64))})
+        g = t.group_by(["term", "doc"], use_threads=False).aggregate(
+            [("one", "sum")])
+        g = pa.table({"term": g["term"], "doc": g["doc"],
+                      "tf": pc.cast(g["one_sum"], pa.int64())})
+        return g.append_column(
+            "__p", pa.array(_part_codes(g["term"], num_partitions)))
+
+    def attach_ct(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("term", "ascending")])
+        codes = t["term"].combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False)
+        tf = t["tf"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(codes) == 0:
+            out = pa.table({"doc": t["doc"],
+                            "tf": pa.array([], pa.int64()),
+                            "ct": pa.array([], pa.int64())})
+        else:
+            starts = np.concatenate(
+                [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1])
+            lens = np.diff(np.concatenate([starts, [len(codes)]]))
+            ct = np.repeat(np.add.reduceat(tf, starts), lens)
+            out = pa.table({"doc": t["doc"], "tf": t["tf"],
+                            "ct": pa.array(ct.astype(np.int64))})
+        return out.append_column(
+            "__q", pa.array(_part_codes(out["doc"], num_partitions)))
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("doc", "ascending")])
+        codes = t["doc"].combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False)
+        tf = t["tf"].combine_chunks().to_numpy(zero_copy_only=False)
+        ct = t["ct"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(codes) == 0:
+            return pa.table({id_col: t["doc"],
+                             "n_tokens": pa.array([], pa.int64()),
+                             "sum_ct": pa.array([], pa.int64()),
+                             "min_ct": pa.array([], pa.int64()),
+                             "mean_ct": pa.array([], pa.float64())})
+        starts = np.concatenate(
+            [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1])
+        n_tok = np.add.reduceat(tf, starts)
+        sum_ct = np.add.reduceat(tf * ct, starts)
+        min_ct = np.minimum.reduceat(ct, starts)
+        return pa.table({
+            id_col: t["doc"].take(pa.array(starts)),
+            "n_tokens": pa.array(n_tok.astype(np.int64)),
+            "sum_ct": pa.array(sum_ct.astype(np.int64)),
+            "min_ct": pa.array(min_ct.astype(np.int64)),
+            "mean_ct": pa.array(sum_ct.astype(np.float64)
+                                / n_tok.astype(np.float64)),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("__p").map_groups(attach_ct, batch_format="pyarrow") \
+        .groupby("__q").map_groups(per_doc, batch_format="pyarrow")

@@ -184,3 +184,107 @@ def quantile_sketch_ds(ds, value_col: str = "value", k: int = 256,
     return pa.table({
         "q_pct": pa.array([int(q * 100) for q in qs], pa.int64()),
         "approx": pa.array(approx, pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+_HLL_P = 12                       # 4096 registers, ~1.6% std error
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_partial(keys: pa.Array, values: pa.Array) -> pa.Table:
+    """Per-batch HLL register partials: (key, register, rho) with the
+    per-(key, register) MAX already taken — at most (keys × 4096) rows
+    leave a block regardless of row count.  The value hash is the
+    engine's DuckDB-md5 u64 (deterministic across workers/runs), so
+    the sketch — like every operator here — is a pure function of the
+    data."""
+    import pyarrow.compute as pc
+
+    from kgforge.common.hashing import md5_u64_arr
+
+    h = md5_u64_arr(pc.cast(values, pa.string()))
+    reg = (h >> np.uint64(64 - _HLL_P)).astype(np.int32)
+    suffix = h & np.uint64((1 << (64 - _HLL_P)) - 1)
+    # rho = leading zeros of the (64-p)-bit suffix + 1; frexp gives the
+    # exact exponent for any integer < 2^53 (suffix is 52-bit at p=12)
+    _, e = np.frexp(suffix.astype(np.float64))
+    rho = np.where(suffix == 0, 64 - _HLL_P + 1,
+                   64 - _HLL_P - e + 1).astype(np.int32)
+    t = pa.table({"k": keys, "reg": pa.array(reg),
+                  "rho": pa.array(rho)})
+    g = t.group_by(["k", "reg"], use_threads=False).aggregate(
+        [("rho", "max")])
+    return pa.table({"k": g["k"], "reg": g["reg"], "rho": g["rho_max"]})
+
+
+def hll_distinct_ds(ds, key_col: str, value_col: str):
+    """Approximate per-key COUNT(DISTINCT value) via a mergeable
+    HyperLogLog sketch (Flajolet et al.) — the documented scale path
+    past the engine's exact two-phase distinct (`hourly_distinct_users`
+    shuffles one row per DISTINCT (key, value); at 10⁹ open-domain
+    values that IS the data, while the sketch shuffles ≤ 4096 register
+    rows per key at any cardinality).
+
+    Plan: per-block register partials (max-per-(key, register) inside
+    the block) → one groupby max over (key, register) → per-key
+    estimate from the 4096-row register table.  Registers merge by
+    MAX, so the sketch is order- and partition-independent —
+    bit-identical across cluster sizes.  Estimator: standard HLL with
+    the small-range linear-counting correction (E ≤ 2.5m with empty
+    registers → m·ln(m/V)); the estimate is floored to int64 so the
+    output carries no float-hash risk.  Error bound 1.04/√4096 ≈ 1.6%
+    std, measured in tests against the exact count."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _hll_partial(b[key_col], b[value_col])
+
+    regs = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["k", "reg"]).aggregate(Max("rho", alias_name="rho"))
+
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+    def estimate(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("k", "ascending")])
+        codes = t["k"].combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False)
+        rho = t["rho"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if len(codes) == 0:
+            return pa.table({key_col: t["k"],
+                             "n_distinct_est": pa.array([], pa.int64())})
+        starts = np.concatenate(
+            [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1])
+        nreg = np.diff(np.concatenate([starts, [len(codes)]]))
+        inv_sum = np.add.reduceat(np.power(2.0, -rho), starts)
+        # empty registers contribute 2^0 = 1 each
+        zeros = (_HLL_M - nreg).astype(np.float64)
+        est = alpha * _HLL_M * _HLL_M / (inv_sum + zeros)
+        # small-range correction: linear counting while any register
+        # is empty and the raw estimate is below 2.5m
+        lc_mask = (zeros > 0) & (est <= 2.5 * _HLL_M)
+        with np.errstate(divide="ignore"):
+            lc = _HLL_M * np.log(_HLL_M / np.maximum(zeros, 1e-300))
+        est = np.where(lc_mask, lc, est)
+        return pa.table({
+            key_col: t["k"].take(pa.array(starts)),
+            "n_distinct_est": pa.array(np.floor(est).astype(np.int64)),
+        })
+
+    # the register table is ≤ keys × 4096 rows — re-keying it is a
+    # shuffle of that sketch table, never of the stream; one final
+    # map_batches(batch_size=None) per block keeps estimate vectorized
+    from kgforge.functions.joins import _part_codes
+
+    def add_p(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__p", pa.array(_part_codes(b["k"], 64)))
+
+    return regs.map_batches(add_p, batch_format="pyarrow") \
+        .groupby("__p").map_groups(
+            lambda t: estimate(t.drop_columns(["__p"])),
+            batch_format="pyarrow")

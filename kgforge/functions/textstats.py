@@ -48,6 +48,35 @@ def token_stats(batch: pa.Table, text_col: str = "text",
     })
 
 
+BPE_ALPHA_RE = r"[A-Za-z]+"
+BPE_NUM_RE = r"[0-9]+"
+BPE_OTHER_RE = r"[^A-Za-z0-9\s]+"
+
+
+def bpe_token_stats(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """GPT-2-style pre-tokenizer counts: maximal runs of letters,
+    digits, and non-alphanumeric symbols (the three classes a BPE
+    pre-tokenizer splits on before merges).  ``n_bpe_tokens`` is their
+    sum — a closer LLM token-cost proxy than whitespace words (code
+    and punctuation-dense text fan out into many BPE pieces).  Both
+    engines run the identical RE2 patterns (pyarrow
+    ``count_substring_regex`` / DuckDB ``regexp_extract_all``), so the
+    counts are value-exact.  Pure map stage: zero shuffle."""
+    text = batch[text_col]
+    n_alpha = pc.cast(_count_re(text, BPE_ALPHA_RE), pa.int64())
+    n_num = pc.cast(_count_re(text, BPE_NUM_RE), pa.int64())
+    n_other = pc.cast(_count_re(text, BPE_OTHER_RE), pa.int64())
+    total = pc.add(pc.add(n_alpha, n_num), n_other)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_alpha_runs": n_alpha,
+        "n_num_runs": n_num,
+        "n_other_runs": n_other,
+        "n_bpe_tokens": pc.cast(total, pa.int64()),
+    })
+
+
 def quality_score(batch: pa.Table, text_col: str = "text",
                   id_col: str = "doc_id") -> pa.Table:
     """Heuristic quality components per document.

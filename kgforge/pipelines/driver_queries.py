@@ -1578,6 +1578,35 @@ def q_pmi_topk(sf_dir: str):
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
+def q_bpe_token_stats(sf_dir: str):
+    """BPE-pre-tokenizer run counts (letters/digits/symbol runs) —
+    the LLM token-cost proxy; identical RE2 patterns both engines."""
+    from kgforge.functions.textstats import bpe_token_stats
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        bpe_token_stats, batch_format="pyarrow")
+
+
+def q_doc_rarity(sf_dir: str):
+    """Token-rarity quality scores (corpus-count aggregates per doc,
+    exact ints + one division)."""
+    from kgforge.functions.indexing import doc_rarity_ds
+
+    return doc_rarity_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_hll_distinct(sf_dir: str):
+    """Approximate distinct users per event type via the mergeable
+    HyperLogLog sketch (rows-only: no SQL twin can reproduce the
+    md5-register estimator; accuracy vs the exact count is pytest-
+    bounded and the estimate is deterministic)."""
+    from kgforge.functions.sketches import hll_distinct_ds
+
+    return hll_distinct_ds(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        key_col="event_type", value_col="user_id")
+
+
 QUERIES = {
     "explode_spans": q_explode_spans,
     "media_features": q_media_features,
@@ -1660,6 +1689,9 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "heavy_hitters": q_heavy_hitters,
     "quantile_sketch": q_quantile_sketch,
+    "hll_distinct": q_hll_distinct,
+    "bpe_token_stats": q_bpe_token_stats,
+    "doc_rarity": q_doc_rarity,
     "kg_edges_diff": q_kg_edges_diff,
     "event_sessions": q_event_sessions,
     "length_deciles": q_length_deciles,
@@ -2823,4 +2855,31 @@ FROM s
 QUALIFY sum(n_tokens) OVER (ORDER BY score DESC, doc_id
                             ROWS UNBOUNDED PRECEDING)
         <= (SELECT budget FROM b)
+"""
+
+ORACLE_SQL["bpe_token_stats"] = r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+               AS n_alpha_runs,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+               AS n_num_runs,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]+')) AS BIGINT)
+               AS n_other_runs,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                + len(regexp_extract_all(text, '[0-9]+'))
+                + len(regexp_extract_all(text, '[^A-Za-z0-9\s]+'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+"""
+ORACLE_SQL["doc_rarity"] = r"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_extract_all(text, '\S+')) AS tok
+                  FROM documents),
+    cnt AS (SELECT tok, count(*) AS ct FROM toks GROUP BY 1),
+    j AS (SELECT t.doc_id, c.ct FROM toks t JOIN cnt c ON t.tok = c.tok)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(ct) AS BIGINT) AS sum_ct,
+           CAST(min(ct) AS BIGINT) AS min_ct,
+           CAST(sum(ct) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_ct
+    FROM j GROUP BY doc_id
 """

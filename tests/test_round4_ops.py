@@ -1,0 +1,87 @@
+"""Round-4 operators: HLL distinct sketch, BPE pre-tokenizer stats,
+token-rarity scores — each against an independent brute-force oracle."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_hll_distinct_accuracy_and_determinism(ray_session):
+    """HLL estimate within the 4096-register error envelope of the
+    exact distinct count, and bit-identical across layouts (registers
+    merge by max → partition-independent)."""
+    import ray.data as rd
+
+    from kgforge.functions.sketches import hll_distinct_ds
+
+    rng = np.random.RandomState(5)
+    # three keys with very different cardinalities
+    keys, vals = [], []
+    for key, card, n in (("a", 37, 2_000), ("b", 5_000, 20_000),
+                         ("c", 1, 50)):
+        keys += [key] * n
+        vals += rng.randint(0, card, n).tolist()
+    t = pa.table({"k": pa.array(keys, pa.string()),
+                  "v": pa.array(vals, pa.int64())})
+    exact = {}
+    for key in ("a", "b", "c"):
+        m = np.array(keys) == key
+        exact[key] = len(set(np.array(vals)[m].tolist()))
+
+    out1 = hll_distinct_ds(rd.from_arrow(t).repartition(7),
+                           "k", "v").to_pandas().set_index("k")
+    out2 = hll_distinct_ds(rd.from_arrow(t).repartition(2),
+                           "k", "v").to_pandas().set_index("k")
+    # layout invariance: same registers whatever the block structure
+    assert out1.sort_index().equals(out2.sort_index())
+    for key in ("a", "b", "c"):
+        est = int(out1.loc[key, "n_distinct_est"])
+        # 5 sigma of the 1.04/sqrt(4096) ≈ 1.6% envelope, floor of 2
+        tol = max(2, int(0.09 * exact[key]))
+        assert abs(est - exact[key]) <= tol, (key, est, exact[key])
+
+
+def test_bpe_token_stats_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.textstats import bpe_token_stats
+
+    texts = ["hello world 42!", "a1b2c3", "   ", "", "x--y..z 007",
+             "CamelCase And UPPER 12.5% (ok)"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = rd.from_arrow(t).map_batches(
+        bpe_token_stats, batch_format="pyarrow").to_pandas() \
+        .set_index("doc_id")
+    for i, s in enumerate(texts):
+        a = len(re.findall(r"[A-Za-z]+", s))
+        d = len(re.findall(r"[0-9]+", s))
+        o = len(re.findall(r"[^A-Za-z0-9\s]+", s))
+        assert out.loc[i, "n_alpha_runs"] == a
+        assert out.loc[i, "n_num_runs"] == d
+        assert out.loc[i, "n_other_runs"] == o
+        assert out.loc[i, "n_bpe_tokens"] == a + d + o
+
+
+def test_doc_rarity_bruteforce(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from kgforge.functions.indexing import doc_rarity_ds
+
+    texts = ["the cat sat", "the the dog", "rare unique words here",
+             "the cat again"]
+    toks = [t.split() for t in texts]
+    corpus = collections.Counter(w for ws in toks for w in ws)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = doc_rarity_ds(rd.from_arrow(t).repartition(3)).to_pandas() \
+        .set_index("doc_id")
+    for i, ws in enumerate(toks):
+        cts = [corpus[w] for w in ws]
+        assert out.loc[i, "n_tokens"] == len(ws)
+        assert out.loc[i, "sum_ct"] == sum(cts)
+        assert out.loc[i, "min_ct"] == min(cts)
+        assert out.loc[i, "mean_ct"] == float(sum(cts)) / len(ws)
