@@ -881,14 +881,38 @@ def pivot_hourly_ds(ds, type_col: str = "event_type", on: str = "ts"):
     counts = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby([type_col, "hod"]).aggregate(Sum("n", alias_name="n"))
 
-    def pivot(df: pd.DataFrame) -> pd.DataFrame:
-        row = {type_col: df[type_col].iloc[0]}
-        per = dict(zip(df["hod"].astype(int), df["n"].astype(int)))
-        for h in range(24):
-            row[f"h{h:02d}"] = np.int64(per.get(h, 0))
-        return pd.DataFrame([row])
+    from kgforge.functions.joins import _part_codes
 
-    return counts.groupby(type_col).map_groups(pivot, batch_format="pandas")
+    def add_p(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__p", pa.array(_part_codes(b[type_col], 64)))
+
+    # final reshape keyed by HASH PARTITION (P callbacks, not one per
+    # type); the (runs × 24) matrix fill is one fancy-index assignment
+    def pivot(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(type_col, "ascending")])
+        codes = t[type_col].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        hod = t["hod"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1]) \
+            if len(codes) else np.zeros(0, dtype=np.int64)
+        run_of = np.cumsum(np.isin(np.arange(len(codes)), starts)) - 1 \
+            if len(codes) else np.zeros(0, dtype=np.int64)
+        mat = np.zeros((len(starts), 24), dtype=np.int64)
+        mat[run_of, hod] = n
+        cols = {type_col: t[type_col].take(pa.array(starts))}
+        for h in range(24):
+            cols[f"h{h:02d}"] = pa.array(mat[:, h])
+        return pa.table(cols)
+
+    return counts.map_batches(add_p, batch_format="pyarrow") \
+        .groupby("__p").map_groups(
+            lambda t: pivot(t.drop_columns(["__p"])),
+            batch_format="pyarrow")
 
 
 # Broadcast interval-join small side: (lo_cents inclusive, hi_cents
@@ -1371,19 +1395,55 @@ def hour_gaps_ds(ds, type_col: str = "event_type", on: str = "ts"):
         return t.group_by([type_col, "hour"], use_threads=False) \
             .aggregate([])
 
+    from kgforge.functions.joins import _part_codes
+
+    def add_p(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__p", pa.array(_part_codes(b[type_col], 64)))
+
+    # final keyed by HASH PARTITION — P Ray callbacks; the per-series
+    # setdiff loops IN-PROCESS over the partition's type runs (each a
+    # tiny distinct-hours array), not one Ray task per series
     def gaps(t: pa.Table) -> pa.Table:
-        h = np.unique(t["hour"].combine_chunks()
-                      .to_numpy(zero_copy_only=False))
-        missing = np.setdiff1d(np.arange(h[0], h[-1] + 1), h,
-                               assume_unique=True)
+        t = t.sort_by([(type_col, "ascending"), ("hour", "ascending")])
+        codes = t[type_col].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        hours = t["hour"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1]) \
+            if len(codes) else np.zeros(0, dtype=np.int64)
+        ends = np.concatenate([starts[1:], [len(codes)]]) \
+            if len(codes) else np.zeros(0, dtype=np.int64)
+        miss, owner = [], []
+        for i in range(len(starts)):
+            h = np.unique(hours[starts[i]:ends[i]])
+            m = np.setdiff1d(np.arange(h[0], h[-1] + 1), h,
+                             assume_unique=True)
+            miss.append(m)
+            owner.append(np.full(len(m), starts[i], dtype=np.int64))
+        mv = np.concatenate(miss) if miss else np.zeros(0, np.int64)
+        ov = np.concatenate(owner) if owner else np.zeros(0, np.int64)
         return pa.table({
-            type_col: pa.array([t[type_col][0].as_py()] * len(missing),
-                               pa.string()),
-            "missing_hour": pa.array(missing.astype(np.int64)),
+            type_col: t[type_col].take(pa.array(ov)),
+            "missing_hour": pa.array(mv.astype(np.int64)),
         })
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(type_col).map_groups(gaps, batch_format="pyarrow")
+    import ray.data as rd
+
+    out_schema = pa.schema([(type_col, pa.string()),
+                            ("missing_hour", pa.int64())])
+
+    grouped = ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(add_p, batch_format="pyarrow") \
+        .groupby("__p").map_groups(
+            lambda t: gaps(t.drop_columns(["__p"])),
+            batch_format="pyarrow")
+    # a gap-free input yields only 0-row blocks, which the groupby
+    # internals emit COLUMN-LESS (and map stages skip empty blocks, so
+    # they can't be coerced in-stream); union one typed empty block so
+    # to_pandas()/write keep the contract schema even when empty
+    return grouped.union(rd.from_arrow(out_schema.empty_table()))
 
 
 def mode_per_key_ds(ds, key_col: str, val_col: str,

@@ -98,10 +98,26 @@ def accept_pair(a: str, b: str, theta: float = JACCARD_THETA) -> bool:
                               set(shingles(b).tolist()), theta)
 
 
-def candidate_pairs(surfaces: list[str], hasher: MinHasher | None = None
-                    ) -> list[tuple[int, int]]:
+# Per-block candidate cap — the SINGLE source of truth shared with the
+# distributed pair emission (stages/linking.py imports it): a block
+# larger than this keeps only its ``max_block`` highest-support
+# surfaces (order: support desc, then surface asc).  A giant block is
+# non-discriminative and the cap bounds the O(k²) verify; mirroring it
+# here keeps oracle and engine bit-identical at ANY corpus scale (an
+# uncapped oracle diverges the moment one blocking bucket outgrows the
+# cap — first observed at sf0.1, where same-vocabulary word-salad
+# surfaces shingle-collide into one bucket).
+DEFAULT_MAX_BLOCK = 512
+
+
+def candidate_pairs(surfaces: list[str], hasher: MinHasher | None = None,
+                    supports: list[int] | None = None,
+                    max_block: int | None = None) -> list[tuple[int, int]]:
     """Blocked candidate index pairs (surfaces assumed same-type,
-    distinct, sorted by the caller for deterministic order)."""
+    distinct, sorted by the caller for deterministic order).  With
+    ``supports`` + ``max_block``, each blocking bucket is truncated to
+    the ``max_block`` highest-support members using the identical
+    (-support, surface) order as the engine's ``verify_block_pairs``."""
     hasher = hasher or MinHasher()
     buckets: dict[tuple[str, int], list[int]] = {}
     for i, s in enumerate(surfaces):
@@ -111,6 +127,11 @@ def candidate_pairs(surfaces: list[str], hasher: MinHasher | None = None
     for members in buckets.values():
         if len(members) < 2:
             continue
+        if (max_block is not None and supports is not None
+                and len(members) > max_block):
+            members = sorted(
+                members,
+                key=lambda i: (-supports[i], surfaces[i]))[:max_block]
         for x in range(len(members)):
             for y in range(x + 1, len(members)):
                 i, j = members[x], members[y]
@@ -120,12 +141,15 @@ def candidate_pairs(surfaces: list[str], hasher: MinHasher | None = None
 
 def resolve_aliases(surface_support: dict[tuple[str, str], int],
                     hasher: MinHasher | None = None,
-                    theta: float = JACCARD_THETA
+                    theta: float = JACCARD_THETA,
+                    max_block: int = DEFAULT_MAX_BLOCK
                     ) -> dict[tuple[str, str], tuple[str, str]]:
     """``(etype, surface) → (canon_id, canon_surface)`` for every input.
 
     Deterministic: types and surfaces processed in sorted order;
     canonical pick = (max support, then lexicographically smallest).
+    Blocking buckets are capped at ``max_block`` (same contract and
+    identical truncation order as the distributed pair emission).
     """
     hasher = hasher or MinHasher()
     out: dict[tuple[str, str], tuple[str, str]] = {}
@@ -135,8 +159,11 @@ def resolve_aliases(surface_support: dict[tuple[str, str], int],
     for etype, surfaces in sorted(by_type.items()):
         idx = {s: i for i, s in enumerate(surfaces)}
         sets = [set(shingles(s).tolist()) for s in surfaces]
+        supports = [surface_support[(etype, s)] for s in surfaces]
         uf = UnionFind(len(surfaces))
-        for i, j in candidate_pairs(surfaces, hasher):
+        for i, j in candidate_pairs(surfaces, hasher,
+                                    supports=supports,
+                                    max_block=max_block):
             if accept_pair_cached(surfaces[i], surfaces[j],
                                   sets[i], sets[j], theta):
                 uf.union(i, j)

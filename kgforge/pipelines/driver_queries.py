@@ -1447,8 +1447,19 @@ def q_session_overlap(sf_dir: str):
 
 
 def q_hour_gaps(sf_dir: str):
-    return F_events.hour_gaps_ds(
+    """Gap list is a tiny summary (≤ series × hours rows), collected
+    into one typed Arrow table: a gap-FREE corpus yields only 0-row
+    blocks, which Ray's groupby internals emit column-less and
+    ``Dataset.to_pandas`` then drops the schema — the typed collect
+    keeps the contract columns even when empty."""
+    import ray
+
+    ds = F_events.hour_gaps_ds(
         _read(sf_dir, "events", ["event_type", "ts"]))
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
+    return pa.concat_tables(tabs) if tabs else pa.table({
+        "event_type": pa.array([], pa.string()),
+        "missing_hour": pa.array([], pa.int64())})
 
 
 def q_hourly_mode(sf_dir: str):

@@ -4,16 +4,23 @@ media_ref, order)`` end-to-end (BASELINE.json:15).
 The pipeline never mutates ``spans`` (mention detection *annotates* via
 sibling tables), so the check recomputes a per-doc order-sensitive hash
 on the input T0 and on the output/passthrough T0 and compares — a
-join-free anti-check: union both sides tagged, ``groupby(doc_id)``,
-every group must hold exactly one distinct hash and both sides.
+join-free anti-check: union both sides tagged, ONE hash partition by
+doc_id (P Ray callbacks, never one per doc), every doc run must hold
+exactly one distinct hash and both sides; the run checks are segment
+reductions over the sorted partition, no per-doc Python beyond the
+inherently-sequential blake2b fold itself (which runs in-process, not
+as a Ray task per doc).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from kgforge.common.hashing import span_sequence_hash
+
+_INVARIANT_PARTITIONS = 64
 
 
 def _hash_batch(batch: pa.Table, side: str) -> pa.Table:
@@ -38,18 +45,52 @@ def span_hashes(t0_ds, side: str):
                              batch_format="pyarrow")
 
 
-def _check_group(group: pa.Table) -> pa.Table:
-    ok = (len(pc.unique(group["span_hash"])) == 1
-          and len(pc.unique(group["side"])) == 2)
-    return pa.table({
-        "doc_id": group["doc_id"][:1],
-        "ok": pa.array([ok], pa.bool_()),
-    })
+def _doc_runs(t: pa.Table, key: str = "doc_id") -> np.ndarray:
+    """Run starts of the (sorted) key column."""
+    codes = t[key].combine_chunks().dictionary_encode().indices \
+        .to_numpy(zero_copy_only=False)
+    if len(codes) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.concatenate(
+        [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1]).astype(np.int64)
 
 
 def _count_violations(both) -> int:
-    per_doc = both.groupby("doc_id").map_groups(_check_group,
-                                               batch_format="pyarrow")
+    from kgforge.functions.joins import _part_codes
+
+    def add_p(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__p", pa.array(_part_codes(b["doc_id"],
+                                        _INVARIANT_PARTITIONS)))
+
+    def check_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("doc_id", "ascending"),
+                                            ("span_hash", "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        starts = _doc_runs(t)
+        ends = np.concatenate([starts[1:], [n]]) \
+            if len(starts) else np.zeros(0, dtype=np.int64)
+        h = t["span_hash"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        # one distinct hash per run ⇔ first == last in hash-sorted order
+        hash_ok = h[starts] == h[ends - 1] if len(starts) else \
+            np.zeros(0, dtype=bool)
+        is_in = pc.equal(t["side"], "in") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_in = np.add.reduceat(is_in, starts) \
+            if len(starts) else np.zeros(0, dtype=np.int64)
+        n_tot = ends - starts
+        ok = hash_ok & (n_in > 0) & (n_in < n_tot)
+        return pa.table({
+            "doc_id": t["doc_id"].take(pa.array(starts)),
+            "ok": pa.array(ok),
+        })
+
+    per_doc = both.map_batches(add_p, batch_format="pyarrow") \
+        .groupby("__p").map_groups(
+            lambda t: check_partition(t.drop_columns(["__p"])),
+            batch_format="pyarrow")
     bad = per_doc.map_batches(
         lambda t: t.filter(pc.equal(t["ok"], False)), batch_format="pyarrow")
     return bad.count()
@@ -70,8 +111,6 @@ def passthrough_spans(batch: pa.Table) -> pa.Table:
     ``span_idx = -1`` presence marker per doc (so a doc whose spans all
     vanished still reaches the compare instead of silently dropping
     out).  Feeds :func:`verify_invariant_output`."""
-    import numpy as np
-
     from kgforge.stages.explode import _segment_local_arange
 
     spans = batch["spans"]
@@ -108,7 +147,14 @@ def output_side_hashes(t0_ds, sentences_ds):
     checkpoint), media/empty spans from the passthrough branch (which
     the engine never mutates by construction).  A sentence that was
     dropped, reordered or edited anywhere mid-pipeline changes the
-    rebuilt sequence hash."""
+    rebuilt sequence hash.
+
+    One hash partition by doc (P Ray callbacks); per partition the
+    span texts are re-joined with one ``pc.binary_join`` over run
+    offsets and only the final blake2b fold per doc (inherently
+    sequential) runs as an in-process loop."""
+    from kgforge.functions.joins import _part_codes
+
     def sent_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table({
@@ -123,28 +169,66 @@ def output_side_hashes(t0_ds, sentences_ds):
     rows = t0_ds.map_batches(passthrough_spans, batch_format="pyarrow") \
         .union(sentences_ds.map_batches(sent_rows, batch_format="pyarrow"))
 
-    def hash_doc(group: pa.Table) -> pa.Table:
-        rs = [r for r in group.to_pylist() if r["span_idx"] >= 0]
-        rs.sort(key=lambda r: (r["span_idx"], r["sent_idx"]))
-        kinds, texts, refs = [], [], []
-        cur = None
-        for r in rs:
-            if cur != r["span_idx"]:
-                kinds.append(r["kind"])
-                texts.append(r["text"])
-                refs.append(r["media_ref"])
-                cur = r["span_idx"]
-            else:                       # later sentence of the same span
-                texts[-1] += r["text"]
-        h = span_sequence_hash(kinds, texts, refs)
+    def add_p(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__p", pa.array(_part_codes(b["doc_id"],
+                                        _INVARIANT_PARTITIONS)))
+
+    def hash_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__p"])
+        idx = pc.sort_indices(t, sort_keys=[("doc_id", "ascending"),
+                                            ("span_idx", "ascending"),
+                                            ("sent_idx", "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        dcodes = t["doc_id"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        span = t["span_idx"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        dstarts = np.concatenate(
+            [[0], np.flatnonzero(dcodes[1:] != dcodes[:-1]) + 1]) \
+            .astype(np.int64) if n else np.zeros(0, dtype=np.int64)
+        keep = span >= 0                     # -1 rows are doc markers
+        kidx = np.flatnonzero(keep)
+        kd = dcodes[kidx]
+        ksp = span[kidx]
+        if kidx.size:
+            brk = np.ones(kidx.size, dtype=bool)
+            brk[1:] = (kd[1:] != kd[:-1]) | (ksp[1:] != ksp[:-1])
+            sstarts = np.flatnonzero(brk)
+        else:
+            sstarts = np.zeros(0, dtype=np.int64)
+        slens = np.diff(np.concatenate([sstarts, [kidx.size]])) \
+            if len(sstarts) else np.zeros(0, dtype=np.int64)
+        texts = t["text"].take(pa.array(kidx)).combine_chunks()
+        la = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(slens)])
+                     .astype(np.int32)), texts)
+        joined = pc.binary_join(la, "").to_pylist()
+        kinds = t["kind"].take(pa.array(kidx[sstarts])).to_pylist() \
+            if len(sstarts) else []
+        media = t["media_ref"].take(pa.array(kidx[sstarts])).to_pylist() \
+            if len(sstarts) else []
+        span_doc = kd[sstarts] if len(sstarts) else \
+            np.zeros(0, dtype=np.int64)
+        out_rows, hashes = [], []
+        jp = 0
+        for di in range(len(dstarts)):
+            dc = dcodes[dstarts[di]]
+            j0 = jp
+            while jp < len(span_doc) and span_doc[jp] == dc:
+                jp += 1
+            hashes.append(span_sequence_hash(
+                kinds[j0:jp], joined[j0:jp], media[j0:jp]))
+            out_rows.append(int(dstarts[di]))
         return pa.table({
-            "doc_id": group["doc_id"][:1],
-            "span_hash": pa.array([h], pa.uint64()),
-            "side": pa.array(["out"], pa.string()),
+            "doc_id": t["doc_id"].take(pa.array(out_rows, pa.int64())),
+            "span_hash": pa.array(hashes, pa.uint64()),
+            "side": pa.array(["out"] * len(out_rows), pa.string()),
         })
 
-    return rows.groupby("doc_id").map_groups(hash_doc,
-                                             batch_format="pyarrow")
+    return rows.map_batches(add_p, batch_format="pyarrow") \
+        .groupby("__p").map_groups(hash_partition, batch_format="pyarrow")
 
 
 def verify_invariant_output(t0_ds, sentences_ds) -> int:
@@ -170,8 +254,12 @@ def verify_sentence_reconstruction(t0_ds, sentences_ds) -> int:
 
     This checks what actually flowed THROUGH the pipeline, not just a
     re-read of the input: a tagger/checkpoint stage that dropped,
-    reordered or mutated a sentence shows up here.
+    reordered or mutated a sentence shows up here.  One hash partition
+    by doc; per partition the rebuild is one ``pc.binary_join`` over
+    (doc, span) run offsets and the compare one ``pc.equal`` — no
+    per-span Python or Ray callbacks.
     """
+    from kgforge.functions.joins import _part_codes
     from kgforge.sources.derive import explode_t0_batch
 
     def src_spans(batch: pa.Table) -> pa.Table:
@@ -192,17 +280,55 @@ def verify_sentence_reconstruction(t0_ds, sentences_ds) -> int:
     src = t0_ds.map_batches(src_spans, batch_format="pyarrow")
     out = sentences_ds.map_batches(sent_rows, batch_format="pyarrow")
 
-    def check(group: pa.Table) -> pa.Table:
-        rows = sorted(group.to_pylist(), key=lambda r: r["sent_idx"])
-        srcs = [r for r in rows if r["sent_idx"] == -1]
-        rebuilt = "".join(r["text"] for r in rows if r["sent_idx"] >= 0)
-        ok = len(srcs) == 1 and rebuilt == srcs[0]["text"]
-        return pa.table({"doc_id": group["doc_id"][:1],
-                         "span_idx": group["span_idx"][:1],
-                         "ok": pa.array([ok], pa.bool_())})
+    def add_p(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__p", pa.array(_part_codes(b["doc_id"],
+                                        _INVARIANT_PARTITIONS)))
 
-    per_span = src.union(out).groupby(["doc_id", "span_idx"]) \
-        .map_groups(check, batch_format="pyarrow")
+    def check_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__p"])
+        idx = pc.sort_indices(t, sort_keys=[("doc_id", "ascending"),
+                                            ("span_idx", "ascending"),
+                                            ("sent_idx", "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        dcodes = t["doc_id"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        span = t["span_idx"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        if n == 0:
+            return pa.table({"doc_id": t["doc_id"],
+                             "span_idx": t["span_idx"],
+                             "ok": pa.array([], pa.bool_())})
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (dcodes[1:] != dcodes[:-1]) | (span[1:] != span[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [n]])
+        sent = t["sent_idx"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        is_src = sent == -1
+        n_src = np.add.reduceat(is_src.astype(np.int64), starts)
+        kidx = np.flatnonzero(~is_src)
+        klens = (ends - starts) - n_src
+        texts = t["text"].take(pa.array(kidx)).combine_chunks()
+        la = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(klens)])
+                     .astype(np.int32)), texts)
+        rebuilt = pc.binary_join(la, "")
+        src_text = t["text"].take(pa.array(starts))
+        eq = pc.fill_null(pc.equal(rebuilt, src_text), False) \
+            .to_numpy(zero_copy_only=False)
+        # the src row sorts first in its run (sent_idx = -1)
+        ok = (n_src == 1) & is_src[starts] & eq
+        return pa.table({
+            "doc_id": t["doc_id"].take(pa.array(starts)),
+            "span_idx": t["span_idx"].take(pa.array(starts)),
+            "ok": pa.array(ok),
+        })
+
+    per_span = src.union(out) \
+        .map_batches(add_p, batch_format="pyarrow") \
+        .groupby("__p").map_groups(check_partition, batch_format="pyarrow")
     bad = per_span.map_batches(
         lambda t: t.filter(pc.equal(t["ok"], False)), batch_format="pyarrow")
     return bad.count()

@@ -41,7 +41,8 @@ from kgforge.oracle.linking import (
 from kgforge.oracle.minhash import MinHasher
 
 DEFAULT_SALT_BUCKETS = 16
-DEFAULT_MAX_BLOCK = 512
+from kgforge.oracle.linking import DEFAULT_MAX_BLOCK  # single source
+assert DEFAULT_MAX_BLOCK == 512  # contract pin: oracle+engine share the cap
 
 
 def make_partial_surface_counts(salt_buckets: int = DEFAULT_SALT_BUCKETS):
@@ -127,6 +128,58 @@ def _make_pair_fn(max_block: int):
                          "n_b": pa.array(nb_col, pa.int64())})
 
     return emit_pairs
+
+
+def _block_pairs_ds(keys_ds, max_block: int, num_partitions: int = 64):
+    """Candidate-pair emission keyed by HASH PARTITION of the block key
+    (``num_partitions`` Ray callbacks, never one per block — block
+    cardinality tracks the surface vocabulary, 10⁸⁺ at web scale).
+    Inside a partition the per-block verify loops IN-PROCESS over the
+    sorted block runs; the verify itself (shingle Jaccard per
+    candidate pair) is inherently per-pair work either way."""
+    import pyarrow.compute as pc
+
+    from kgforge.functions.joins import _part_codes
+
+    pair_fn = _make_pair_fn(max_block)
+
+    def add_p(b: pa.Table) -> pa.Table:
+        kind_key = pc.binary_join_element_wise(
+            b["etype"], b["block_kind"],
+            pc.cast(b["block_key"], pa.string()), _SEP)
+        return b.append_column(
+            "__p", pa.array(_part_codes(kind_key, num_partitions)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("etype", "ascending"), ("block_kind", "ascending"),
+            ("block_key", "ascending"), ("surface", "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        ek = t["etype"].combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False)
+        bk = t["block_kind"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        kk = t["block_key"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (ek[1:] != ek[:-1]) | (bk[1:] != bk[:-1]) \
+                | (kk[1:] != kk[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [n]])
+        parts = []
+        for i in range(len(starts)):
+            g = t.slice(int(starts[i]), int(ends[i] - starts[i]))
+            r = pair_fn(g)
+            if r.num_rows:
+                parts.append(r)
+        if not parts:
+            return pair_fn(t.slice(0, 0))
+        return pa.concat_tables(parts)
+
+    return keys_ds.map_batches(add_p, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition, batch_format="pyarrow")
 
 
 def make_blocking_keys_fn():
@@ -223,8 +276,7 @@ def build_alias_map(mentions_ds, salt_buckets: int = DEFAULT_SALT_BUCKETS,
         Sum("n", alias_name="n"))
     keys_ds = distinct.map_batches(make_blocking_keys_fn(),
                                    batch_format="pyarrow")
-    pairs_ds = keys_ds.groupby(["etype", "block_kind", "block_key"]) \
-        .map_groups(_make_pair_fn(max_block), batch_format="pyarrow")
+    pairs_ds = _block_pairs_ds(keys_ds, max_block)
     pair_support: dict[tuple[str, str], int] = {}
     pairs: set = set()
     for ref in pairs_ds.to_arrow_refs():
@@ -290,9 +342,7 @@ def build_alias_ds(mentions_ds, salt_buckets: int = DEFAULT_SALT_BUCKETS,
         Sum("n", alias_name="n"))
     keys_ds = distinct.map_batches(make_blocking_keys_fn(),
                                    batch_format="pyarrow")
-    pairs = keys_ds.groupby(["etype", "block_kind", "block_key"]) \
-        .map_groups(_make_pair_fn(max_block), batch_format="pyarrow") \
-        .materialize()
+    pairs = _block_pairs_ds(keys_ds, max_block).materialize()
 
     def to_edges(b: pa.Table) -> pa.Table:
         et = b["etype"].to_pylist()
@@ -411,7 +461,8 @@ class CanonLookup:
 
 
 def canon_lookup_shuffle_ds(mentions_ds, alias_map: dict | None = None,
-                            alias_ds=None, salt_buckets: int = 16):
+                            alias_ds=None, salt_buckets: int = 16,
+                            num_partitions: int = 64):
     """L2 fallback for an alias map too large to broadcast: apply
     canonicalization as a key-shuffle join instead of a per-worker
     dict.  Mentions and alias rows are union-tagged and ONE
@@ -471,28 +522,62 @@ def canon_lookup_shuffle_ds(mentions_ds, alias_map: dict | None = None,
         .union(alias_ds.map_batches(tag_a, batch_format="pyarrow"))
     drop = ["__salt", "__canon_id", "__canon_surface", "__is_alias"]
 
-    def resolve(g: pa.Table) -> pa.Table:
+    def add_p(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        is_a = g["__is_alias"].to_numpy(zero_copy_only=False)
-        midx = np.flatnonzero(is_a == 0)
-        m = g.take(pa.array(midx)).drop_columns(drop)
-        if midx.size == 0:
-            return m.append_column(
-                "canon_id", pa.array([], pa.string())).append_column(
-                "canon_surface", pa.array([], pa.string()))
-        aidx = np.flatnonzero(is_a == 1)
-        if aidx.size:
-            cid = g["__canon_id"][int(aidx[0])].as_py()
-            cs = g["__canon_surface"][int(aidx[0])].as_py()
-        else:
-            etype = g["etype"][0].as_py()
-            surface = g["surface"][0].as_py()
-            cid, cs = canon_id_of(etype, surface), surface
-        n = m.num_rows
-        return m.append_column(
-            "canon_id", pa.array([cid] * n, pa.string())).append_column(
-            "canon_surface", pa.array([cs] * n, pa.string()))
+        from kgforge.functions.joins import _part_codes
 
-    return unioned.groupby(["etype", "surface", "__salt"]).map_groups(
-        resolve, batch_format="pyarrow")
+        key = pc.binary_join_element_wise(
+            b["etype"], b["surface"],
+            pc.cast(b["__salt"], pa.string()), "\x1f")
+        return b.append_column(
+            "__p", pa.array(_part_codes(key, num_partitions)))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        """One hash partition: every (etype, surface, salt) run at
+        once — alias rows sort FIRST in their run, so the run's canon
+        is its first row when an alias is present; absent surfaces
+        self-canonicalize (identity canon for the run, computed only
+        for runs that need it)."""
+        import pyarrow.compute as pc
+
+        t = t.drop_columns(["__p"])
+        idx = pc.sort_indices(t, sort_keys=[
+            ("etype", "ascending"), ("surface", "ascending"),
+            ("__salt", "ascending"), ("__is_alias", "descending")])
+        t = t.take(idx)
+        n = t.num_rows
+        is_a = t["__is_alias"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        ec = t["etype"].combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False)
+        sc = t["surface"].combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False)
+        salt = t["__salt"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (ec[1:] != ec[:-1]) | (sc[1:] != sc[:-1]) \
+                | (salt[1:] != salt[:-1])
+        starts = np.flatnonzero(brk)
+        run_of = np.cumsum(brk) - 1
+        has_alias = is_a[starts] == 1
+        cid = t["__canon_id"].take(pa.array(starts)).to_pylist()
+        cs = t["__canon_surface"].take(pa.array(starts)).to_pylist()
+        if not np.all(has_alias):
+            ets = t["etype"].take(pa.array(starts)).to_pylist()
+            surs = t["surface"].take(pa.array(starts)).to_pylist()
+            for i in np.flatnonzero(~has_alias):
+                cid[i] = canon_id_of(ets[i], surs[i])
+                cs[i] = surs[i]
+        midx = np.flatnonzero(is_a == 0)
+        m = t.take(pa.array(midx)).drop_columns(drop)
+        cid_arr = pa.array(cid, pa.string()).take(
+            pa.array(run_of[midx]))
+        cs_arr = pa.array(cs, pa.string()).take(
+            pa.array(run_of[midx]))
+        return m.append_column("canon_id", cid_arr) \
+            .append_column("canon_surface", cs_arr)
+
+    return unioned.map_batches(add_p, batch_format="pyarrow") \
+        .groupby("__p").map_groups(resolve, batch_format="pyarrow")
