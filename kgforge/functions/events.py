@@ -372,11 +372,16 @@ def asof_join_ds(left_ds, right_ds, by: str = "user_id", on: str = "ts",
     unioned = _tag_union(left_ds, right_ds, by, on, left_keep, right_keep)
 
     hot: dict = {}
-    if hot_threshold is not None and \
-            left_ds.count() + right_ds.count() > hot_threshold:
+    if hot_threshold is not None:
+        # one materialize (feeds the merge either way — the sub-
+        # threshold gate must not cost an extra executed count() pass
+        # on transformed inputs); count() on materialized blocks is
+        # metadata-only, and below the threshold no key can be hot so
+        # the stats pass is skipped entirely
         unioned = unioned.materialize()
-        hot = _hot_plan(_key_stats(unioned, by), hot_threshold,
-                        salt_target, min_width=1)
+        if unioned.count() > hot_threshold:
+            hot = _hot_plan(_key_stats(unioned, by), hot_threshold,
+                            salt_target, min_width=1)
     salted = _add_salt(unioned, by, hot)
     if hot:
         salted = salted.union(_carry_sentinels(unioned, by, hot, tie))
@@ -446,11 +451,12 @@ def range_window_count_ds(left_ds, right_ds, by: str = "user_id",
     the count probe too)."""
     unioned = _tag_union(left_ds, right_ds, by, on, [left_id], [])
     hot: dict = {}
-    if hot_threshold is not None and \
-            left_ds.count() + right_ds.count() > hot_threshold:
+    if hot_threshold is not None:
+        # same materialize-then-gate shape as asof_join_ds
         unioned = unioned.materialize()
-        hot = _hot_plan(_key_stats(unioned, by), hot_threshold,
-                        salt_target, min_width=int(window_us))
+        if unioned.count() > hot_threshold:
+            hot = _hot_plan(_key_stats(unioned, by), hot_threshold,
+                            salt_target, min_width=int(window_us))
     salted = _add_salt(unioned, by, hot, replicate_right=True)
 
     def add_p(b: pa.Table) -> pa.Table:
