@@ -341,9 +341,15 @@ def two_hop_count_ds(edges_ds, src: str = "subj", dst: str = "obj",
         return pa.table({"node": g["a"],
                          "n_two_hop": pc.cast(g["b_count"], pa.int64())})
 
+    sch_ab = pa.schema([("a", pa.string()), ("b", pa.string())])
+    sch_nn = pa.schema([("n1", pa.string()), ("n2", pa.string())])
+    # schema hints: a schema() probe on the lazy wedge/pair plans would
+    # execute them once extra
     return cogroup_partition_ds(wedges, und, "a", "n1", per_partition,
                                 ["b"], ["n2"],
-                                num_partitions=num_partitions)
+                                num_partitions=num_partitions,
+                                left_schema=sch_ab,
+                                right_schema=sch_nn)
 
 
 def triangle_count_ds(edges_ds, src: str = "subj", dst: str = "obj",
@@ -383,9 +389,13 @@ def triangle_count_ds(edges_ds, src: str = "subj", dst: str = "obj",
                            join_type="left semi")
         return pa.table({"cnt": pa.array([closed.num_rows], pa.int64())})
 
+    sch_ab = pa.schema([("a", pa.string()), ("b", pa.string())])
+    sch_nn = pa.schema([("n1", pa.string()), ("n2", pa.string())])
     parts = cogroup_partition_ds(wedges, ce, "a", "n1", per_partition,
                                  ["b"], ["n2"],
-                                 num_partitions=num_partitions)
+                                 num_partitions=num_partitions,
+                                 left_schema=sch_ab,
+                                 right_schema=sch_nn)
     total = parts.sum("cnt") or 0
     return pa.table({"n_triangles": pa.array([int(total)], pa.int64())})
 
@@ -514,9 +524,13 @@ def common_neighbors_ds(edges_ds, src: str = "subj", dst: str = "obj",
                           "b": t["n2"].take(pa.array(ridx))})
         return left.join(right, keys=["a", "b"], join_type="left anti")
 
-    nonadj = cogroup_partition_ds(cn, ce, "a", "n1", per_partition,
-                                  ["b", "cn"], ["n2"],
-                                  num_partitions=num_partitions)
+    nonadj = cogroup_partition_ds(
+        cn, ce, "a", "n1", per_partition, ["b", "cn"], ["n2"],
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                               ("cn", pa.int64())]),
+        right_schema=pa.schema([("n1", pa.string()),
+                                ("n2", pa.string())]))
 
     def partial_topk(b: pa.Table) -> pa.Table:
         if b.num_rows <= k:

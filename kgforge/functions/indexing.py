@@ -380,15 +380,29 @@ def pmi_topk_ds(ds, k: int = 25, min_count: int = 5,
             return lt
         return per_partition
 
+    # schema hints: s1 is itself a cogroup — a schema() probe on it
+    # would execute the whole first exchange once extra
+    sch_uni = pa.schema([("term", pa.string()), ("n", pa.int64())])
     s1 = cogroup_partition_ds(bi, uni, "w1", "term",
                               attach("w1", "n_a", ["w2", "n_ab"], True),
                               ["w2", "n_ab"], ["n"],
-                              num_partitions=num_partitions)
+                              num_partitions=num_partitions,
+                              left_schema=pa.schema(
+                                  [("w1", pa.string()),
+                                   ("w2", pa.string()),
+                                   ("n_ab", pa.int64())]),
+                              right_schema=sch_uni)
     s2 = cogroup_partition_ds(s1, uni, "w2", "term",
                               attach("w2", "n_b", ["w1", "n_ab", "n_a"],
                                      False),
                               ["w1", "n_ab", "n_a"], ["n"],
-                              num_partitions=num_partitions)
+                              num_partitions=num_partitions,
+                              left_schema=pa.schema(
+                                  [("w1", pa.string()),
+                                   ("w2", pa.string()),
+                                   ("n_ab", pa.int64()),
+                                   ("n_a", pa.int64())]),
+                              right_schema=sch_uni)
 
     def finish(b: pa.Table) -> pa.Table:
         b = b.filter(pc.greater_equal(b["n_ab"], min_count))

@@ -82,8 +82,13 @@ def _union_tagged(left_ds, right_ds, on_left, on_right,
     dup = set(left_cols) & set(right_cols)
     if dup:
         raise ValueError(f"payload column name collision: {sorted(dup)}")
-    l_schema = left_schema or left_ds.schema().base_schema
-    r_schema = right_schema or right_ds.schema().base_schema
+    # payload-free sides need no type lookup — skip the schema() probe
+    # entirely (it executes part of a lazy plan)
+    empty = pa.schema([])
+    l_schema = left_schema or (empty if not left_cols
+                               else left_ds.schema().base_schema)
+    r_schema = right_schema or (empty if not right_cols
+                                else right_ds.schema().base_schema)
     l_types = [(c, l_schema.field(c).type) for c in left_cols]
     r_types = [(c, r_schema.field(c).type) for c in right_cols]
     all_types = l_types + r_types

@@ -122,8 +122,12 @@ def q_data_prep(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     keepers = exact_dedup_ds(docs).select_columns(["keep_id"])
+    # materialize the seam: percentile_filter consumes `kept` once for
+    # its exact-median threshold and the chunker consumes it again —
+    # unmaterialized, Ray re-executes the dedup+join lineage per
+    # consumption (measured 29.8s lazy vs 7.5s with the seam pinned)
     kept = shuffle_join_ds(docs, keepers, "doc_id", "keep_id",
-                           ["text"], [], how="inner")
+                           ["text"], [], how="inner").materialize()
     filtered = F_text.percentile_filter_ds(kept, q=0.5)
     chunks = chunk_docs_ds(filtered.select_columns(["doc_id", "text"]),
                            chunk=32, stride=24)
@@ -542,9 +546,17 @@ def q_shipping_priority(sf_dir: str):
                          "o_orderdate": t["o_orderdate"].take(idx),
                          "o_orderpriority": t["o_orderpriority"].take(idx)})
 
+    # schema hints: cogroup's Dataset.schema() probe on a LAZY input
+    # executes (part of) its plan; these inputs' schemas are static
     orders_b = cogroup_partition_ds(
         orders_f, cust_b, "o_custkey", "c_custkey", semi,
-        ["o_orderkey", "o_orderdate", "o_orderpriority"], ["__one"])
+        ["o_orderkey", "o_orderdate", "o_orderpriority"], ["__one"],
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_orderdate", pa.timestamp("us")),
+                               ("o_orderpriority", pa.string())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("__one", pa.int8())]))
 
     lineitem = _read(sf_dir, "lineitem",
                      ["l_orderkey", "l_extendedprice", "l_discount",
@@ -583,7 +595,12 @@ def q_shipping_priority(sf_dir: str):
 
     joined = cogroup_partition_ds(
         rev, orders_b, "l_orderkey", "o_orderkey", fin,
-        ["rev_cents"], ["o_orderdate", "o_orderpriority"])
+        ["rev_cents"], ["o_orderdate", "o_orderpriority"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("rev_cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_orderpriority", pa.string())]))
 
     def partial_topk(b: pa.Table) -> pa.Table:
         if b.num_rows <= 10:
