@@ -391,9 +391,46 @@ def simhash_pairs_ds(ds, text_col: str = "text", id_col: str = "doc_id",
 
     from ray.data.aggregate import Min
 
+    from kgforge.functions.joins import _part_codes
+
+    def add_p(b: pa.Table) -> pa.Table:
+        sub = b["sub"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        key = b["sub_key"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        combo = pa.array((sub << np.uint64(16)) | key, pa.uint64())
+        return b.append_column("__p", pa.array(
+            _part_codes(combo, 64)))
+
+    def verify_partition(t: pa.Table) -> pa.Table:
+        """All (sub, sub_key) buckets of one hash partition — P Ray
+        callbacks total (the raw banding key space is 4×2¹⁶ groups);
+        the O(k²) popcount verify loops IN-PROCESS over bucket runs."""
+        t = t.sort_by([("sub", "ascending"), ("sub_key", "ascending")])
+        sub = t["sub"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = t["sub_key"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (sub[1:] != sub[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [n]])
+        parts = []
+        for i in range(len(starts)):
+            g = t.slice(int(starts[i]), int(ends[i] - starts[i]))
+            r = verify(g)
+            if r.num_rows:
+                parts.append(r)
+        if not parts:
+            return verify(t.slice(0, 0))
+        return pa.concat_tables(parts)
+
     signed = ds.map_batches(sign, batch_format="pyarrow")
-    pairs = signed.groupby(["sub", "sub_key"]).map_groups(
-        verify, batch_format="pyarrow")
+    pairs = signed.map_batches(add_p, batch_format="pyarrow") \
+        .groupby("__p").map_groups(
+            lambda t: verify_partition(t.drop_columns(["__p"])),
+            batch_format="pyarrow")
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
 
@@ -530,39 +567,42 @@ def propagate_min_labels(labels, edges, id_type, label_type=None,
                 .aggregate(Sum("h", alias_name="s"))["s"]
         return lab_ds.aggregate(Sum("label", alias_name="s"))["s"]
 
+    from kgforge.functions.indexing import _segment_arange
+    from kgforge.functions.joins import cogroup_partition_ds
+
     labels = labels.materialize()
+    edges = edges.materialize()
+    lab_schema = pa.schema([("node", id_type), ("label", label_type)])
+    edge_schema = pa.schema([("src", id_type), ("dst", id_type)])
 
-    def tag_label(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b["node"],
-                         "dst": pa.nulls(b.num_rows, id_type),
-                         "label": b["label"]})
+    def round_msgs(t: pa.Table, starts, nl, nr) -> pa.Table:
+        """One hash partition of (labels cogrouped with edges by src):
+        every node forwards its current label to itself and to each of
+        its edge targets — pure run-offset index math over ALL nodes in
+        the partition at once (the former plan scheduled one Ray group
+        callback PER NODE per round)."""
+        has = nl > 0                     # labels are unique per node
+        sidx = pa.array(starts[has])
+        parts = [pa.table({"node": t["__k"].take(sidx),
+                           "label": t["label"].take(sidx)})]
+        eruns = np.flatnonzero(has & (nr > 0))
+        if eruns.size:
+            rep = nr[eruns]
+            lab_idx = np.repeat(starts[eruns], rep)
+            dst_idx = np.repeat(starts[eruns] + nl[eruns], rep) \
+                + _segment_arange(rep)
+            parts.append(pa.table({
+                "node": t["dst"].take(pa.array(dst_idx)),
+                "label": t["label"].take(pa.array(lab_idx))}))
+        return pa.concat_tables(parts)
 
-    def tag_edge(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b["src"], "dst": b["dst"],
-                         "label": pa.nulls(b.num_rows, label_type)})
-
-    def emit(g: pa.Table) -> pa.Table:
-        # one label row per node + its outgoing edges: forward the
-        # node's current label to every neighbor (and to itself)
-        lab = pc.min(g["label"]).as_py()
-        dsts = pc.drop_null(g["dst"])
-        if isinstance(dsts, pa.ChunkedArray):
-            dsts = dsts.combine_chunks()
-        node0 = g["node"].combine_chunks()[:1] \
-            if isinstance(g["node"], pa.ChunkedArray) else g["node"][:1]
-        nodes = pa.concat_arrays([node0, dsts])
-        return pa.table({
-            "node": nodes,
-            "label": pa.array([lab] * len(nodes), label_type)})
-
-    tagged_edges = edges.map_batches(tag_edge, batch_format="pyarrow") \
-        .materialize()
     checksum = _checksum(labels)
     for _ in range(max_rounds):
-        msgs = labels.map_batches(tag_label, batch_format="pyarrow") \
-            .union(tagged_edges)
-        labels = msgs.groupby("node").map_groups(
-            emit, batch_format="pyarrow") \
+        msgs = cogroup_partition_ds(
+            labels, edges, "node", "src", round_msgs,
+            ["label"], ["dst"],
+            left_schema=lab_schema, right_schema=edge_schema)
+        labels = msgs \
             .groupby("node").aggregate(Min("label", alias_name="label")) \
             .materialize()
         new_sum = _checksum(labels)

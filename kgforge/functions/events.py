@@ -3,10 +3,13 @@
 
 Covers the windowed-aggregate / stateful-sessionization operator
 class: tumbling windows are a pure groupby on a truncated-timestamp
-key (zero extra state); sessionization needs per-user ordered state →
-``groupby(user_id).map_groups`` with a vectorized gap scan.  Both are
-single-shuffle plans keyed to survive 1000× data (the key spaces are
-(type × hours) and user_id respectively).
+key (zero extra state); every per-key ordered operator (sessionize,
+as-of/range joins, lag/rolling/cumulative windows, quantiles, mode,
+top-k, sequences) shuffles ONCE by ``hash(key) % P`` and merges every
+key of a partition in one vectorized pass over the sorted run layout —
+P Ray callbacks total, never one per key (10⁸ users → 64 tasks, not
+10⁸ group callbacks).  Single-shuffle plans keyed to survive 1000×
+data.
 """
 
 from __future__ import annotations
