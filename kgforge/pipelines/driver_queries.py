@@ -36,10 +36,17 @@ def _r2(col):
     return pc.round(col, ndigits=2, round_mode="half_towards_infinity")
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, row_filter=None):
+    """Column- AND row-pruned parquet read: ``row_filter`` is a
+    ``pyarrow.dataset`` expression pushed into the scan, so row groups
+    whose statistics exclude the predicate never leave storage and
+    non-matching rows never materialize into blocks."""
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    kw = {"columns": columns}
+    if row_filter is not None:
+        kw["filter"] = row_filter
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -425,17 +432,16 @@ def q_user_customer_full_join(sf_dir: str):
 
     from kgforge.functions.joins import shuffle_join_ds
 
+    import pyarrow.dataset as pds
+
     users = _read(sf_dir, "events", ["user_id"]) \
         .groupby("user_id").aggregate(Count(alias_name="n_events"))
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-
-    def slice_cust(b: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.greater_equal(b["c_custkey"], 145),
-                       pc.less_equal(b["c_custkey"], 160))
-        return b.filter(keep)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"],
+                 row_filter=(pds.field("c_custkey") >= 145)
+                 & (pds.field("c_custkey") <= 160))
 
     joined = shuffle_join_ds(
-        users, cust.map_batches(slice_cust, batch_format="pyarrow"),
+        users, cust,
         on_left="user_id", on_right="c_custkey",
         left_cols=["n_events"], right_cols=["c_name"], how="full")
 
@@ -514,24 +520,24 @@ def q_shipping_priority(sf_dir: str):
     from kgforge.common.hashing import round_away
     from kgforge.functions.joins import cogroup_partition_ds
 
+    import pyarrow.dataset as pds
+
     cut = _dt.datetime(1998, 7, 1)
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+                 row_filter=pds.field("c_mktsegment") == "BUILDING")
 
     def building(b: pa.Table) -> pa.Table:
-        keep = pc.equal(b["c_mktsegment"], "BUILDING")
-        return pa.table({"c_custkey": b["c_custkey"].filter(keep),
+        return pa.table({"c_custkey": b["c_custkey"],
                          "__one": pa.array(
-                             np.ones(int(pc.sum(keep).as_py() or 0),
-                                     dtype=np.int8))})
+                             np.ones(b.num_rows, dtype=np.int8))})
 
     cust_b = cust.map_batches(building, batch_format="pyarrow")
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
-                                      "o_orderdate", "o_orderpriority"])
-    orders_f = orders.map_batches(
-        lambda b: b.filter(pc.less(b["o_orderdate"], pa.scalar(cut))),
-        batch_format="pyarrow")
+    orders_f = _read(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"],
+                     row_filter=pds.field("o_orderdate") < cut)
 
     def semi(t: pa.Table, starts, nl, nr) -> pa.Table:
         # keep left (order) rows of keys that have ≥1 right (customer)
@@ -560,10 +566,10 @@ def q_shipping_priority(sf_dir: str):
 
     lineitem = _read(sf_dir, "lineitem",
                      ["l_orderkey", "l_extendedprice", "l_discount",
-                      "l_shipdate"])
+                      "l_shipdate"],
+                     row_filter=pds.field("l_shipdate") > cut)
 
     def rev_partial(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cut)))
         price = b["l_extendedprice"].combine_chunks() \
             .to_numpy(zero_copy_only=False)
         disc = b["l_discount"].combine_chunks() \
@@ -748,12 +754,14 @@ def q_customer_nation_region(sf_dir: str):
 
 
 def q_filter_project(sf_dir: str):
+    import pyarrow.dataset as pds
+
     ds = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_linenumber", "l_quantity",
-                "l_extendedprice", "l_discount"])
+                "l_extendedprice", "l_discount"],
+               row_filter=pds.field("l_quantity") > 30)
 
     def fp(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.greater(b["l_quantity"], 30))
         revenue = _r2(pc.multiply(
             b["l_extendedprice"],
             pc.subtract(pa.scalar(1.0), b["l_discount"])))
@@ -1302,10 +1310,13 @@ def q_asof_join(sf_dir: str):
     neutral comparison."""
     from kgforge.functions.events import asof_join_ds
 
-    ev = _read(sf_dir, "events",
-               ["event_id", "ts", "user_id", "event_type"])
-    purchases = ev.filter(expr="event_type == 'purchase'")
-    clicks = ev.filter(expr="event_type == 'click'")
+    import pyarrow.dataset as pds
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    purchases = _read(sf_dir, "events", cols,
+                      row_filter=pds.field("event_type") == "purchase")
+    clicks = _read(sf_dir, "events", cols,
+                   row_filter=pds.field("event_type") == "click")
     out = asof_join_ds(purchases, clicks, by="user_id", on="ts",
                        left_cols=("event_id",),
                        right_cols=("event_id", "ts"),
@@ -1328,10 +1339,13 @@ def q_range_join(sf_dir: str):
     same user in the hour strictly before it."""
     from kgforge.functions.events import range_window_count_ds
 
-    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
-                                  "event_type"])
-    purchases = ev.filter(expr="event_type == 'purchase'")
-    clicks = ev.filter(expr="event_type == 'click'")
+    import pyarrow.dataset as pds
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    purchases = _read(sf_dir, "events", cols,
+                      row_filter=pds.field("event_type") == "purchase")
+    clicks = _read(sf_dir, "events", cols,
+                   row_filter=pds.field("event_type") == "click")
     return range_window_count_ds(purchases, clicks, by="user_id",
                                  on="ts", window_us=3_600_000_000,
                                  left_id="event_id")
@@ -1497,14 +1511,16 @@ def _user_hours(sf_dir: str, event_type: str):
     """Distinct packed (user, hour) keys of one event type."""
     import pyarrow.compute as pc
 
+    import pyarrow.dataset as pds
+
     def pack(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.equal(b["event_type"], event_type))
         us = pc.cast(b["ts"], pa.timestamp("us")).cast(pa.int64())
         h = pc.divide(us, 3_600_000_000)
         return pa.table({"uh": pc.add(pc.multiply(b["user_id"],
                                                   10_000_000), h)})
 
-    return _read(sf_dir, "events", ["user_id", "ts", "event_type"]) \
+    return _read(sf_dir, "events", ["user_id", "ts", "event_type"],
+                 row_filter=pds.field("event_type") == event_type) \
         .map_batches(pack, batch_format="pyarrow")
 
 
