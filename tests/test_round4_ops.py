@@ -85,3 +85,45 @@ def test_doc_rarity_bruteforce(ray_session):
         assert out.loc[i, "sum_ct"] == sum(cts)
         assert out.loc[i, "min_ct"] == min(cts)
         assert out.loc[i, "mean_ct"] == float(sum(cts)) / len(ws)
+
+
+def test_semantic_dup_matches_within_cluster_exact(ray_session):
+    """SemDeDup blocking: the reported pairs are EXACTLY the pairs of
+    same-cluster vectors with cosine >= tau (brute-force oracle over
+    the same deterministic assignment), and the result is
+    layout-invariant."""
+    import ray.data as rd
+
+    from kgforge.functions.clustering import _assign, _kmeans_fit
+    from kgforge.functions.dedup import semantic_dup_pairs_ds
+
+    rng = np.random.RandomState(9)
+    base = rng.standard_normal((40, 16))
+    # 10 near-dups: tiny perturbations of the first 10 rows
+    dups = base[:10] + 0.01 * rng.standard_normal((10, 16))
+    mat = np.vstack([base, dups])
+    ids = np.arange(len(mat), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(mat.tolist(),
+                                        pa.list_(pa.float64()))})
+    ds1 = rd.from_arrow(t).repartition(5)
+    out1 = semantic_dup_pairs_ds(ds1, k=4, tau=0.9,
+                                 vec_col="embedding").to_pandas()
+    out2 = semantic_dup_pairs_ds(rd.from_arrow(t).repartition(2),
+                                 k=4, tau=0.9,
+                                 vec_col="embedding").to_pandas()
+
+    def norm(df):
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    assert norm(out1).equals(norm(out2))          # layout-invariant
+
+    cents = _kmeans_fit(rd.from_arrow(t), 4, 5, "embedding", "vec_id")
+    a = _assign(mat, cents)
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = unit @ unit.T
+    expect = {(int(i), int(j))
+              for i in range(len(mat)) for j in range(i + 1, len(mat))
+              if a[i] == a[j] and sims[i, j] >= 0.9}
+    got = {(int(r.id_a), int(r.id_b)) for _, r in out1.iterrows()}
+    assert got == expect and len(expect) >= 10
