@@ -48,20 +48,24 @@ def _init_centroids(ds, k: int, vec_col: str, id_col: str) -> np.ndarray:
     return np.array([r[vec_col] for r in cand[:k]], dtype=np.float64)
 
 
-def kmeans_ds(ds, k: int = 8, iters: int = 5,
-              vec_col: str = "embedding", id_col: str = "vec_id"):
-    """Lloyd's k-means; returns (vec_id, cluster) assignments after
-    ``iters`` iterations.  See module docstring for the determinism
-    contract; an empty cluster keeps its previous centroid."""
+def _assign(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin ties → lowest c
+    d2 = (-2.0 * mat @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+    return np.argmin(d2, axis=1)
+
+
+def _kmeans_fit(ds, k: int = 8, iters: int = 5,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> np.ndarray:
+    """Lloyd's k-means fit → centroid matrix [k, d] (deterministic —
+    see module docstring; an empty cluster keeps its previous
+    centroid).  Shared by :func:`kmeans_ds` and the SemDeDup-style
+    semantic blocking in ``functions/dedup.py``."""
     import ray
 
     centroids = _init_centroids(ds, k, vec_col, id_col)
     d = centroids.shape[1]
-
-    def assign(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
-        # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin ties → lowest c
-        d2 = (-2.0 * mat @ cents.T) + (cents * cents).sum(axis=1)[None, :]
-        return np.argmin(d2, axis=1)
+    assign = _assign
 
     for _ in range(iters):
         # broadcast via ray.put: tasks read the centroid matrix zero-
@@ -93,13 +97,22 @@ def kmeans_ds(ds, k: int = 8, iters: int = 5,
         nz = cnt > 0
         centroids = centroids.copy()
         centroids[nz] = (sums[nz] / cnt[nz, None]) / Q_SCALE
+    return centroids
 
+
+def kmeans_ds(ds, k: int = 8, iters: int = 5,
+              vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Lloyd's k-means; returns (vec_id, cluster) assignments after
+    ``iters`` iterations."""
+    import ray
+
+    centroids = _kmeans_fit(ds, k, iters, vec_col, id_col)
     final_ref = ray.put(centroids)
 
     def final_assign(b: pa.Table) -> pa.Table:
         cents = ray.get(final_ref)
         mat = _batch_mat(b, vec_col)
-        a = assign(mat, cents)
+        a = _assign(mat, cents)
         return pa.table({
             id_col: b[id_col],
             "cluster": pa.array(a.astype(np.int64)),

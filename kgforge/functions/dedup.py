@@ -529,6 +529,63 @@ def embedding_lsh_pairs_ds(ds, vec_col: str = "embedding",
         Max("cos_sim", alias_name="cos_sim"))
 
 
+def semantic_dup_pairs_ds(ds, k: int = 8, iters: int = 5,
+                          tau: float = 0.99,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id"):
+    """SemDeDup-style semantic near-dedup (Abbas et al., 2023):
+    deterministic k-means buckets the embedding space, then EXACT
+    cosine pairs are verified only WITHIN each cluster — the candidate
+    verify drops from O(n²) to Σ_c k_c² with a LEARNED blocking key
+    (``embedding_dup_pairs_ds`` needs a label column; this needs
+    nothing but the vectors).  Pairs straddling a centroid boundary
+    are missed by design — the SemDeDup trade; raise ``k`` with corpus
+    size (k ≈ n / target-cluster-size) to keep per-cluster cost flat.
+
+    Scale shape: centroids fit via the engine's integer-deterministic
+    k-means (broadcast matrix, int64-summed partials), ONE tagging map
+    (vector + cluster id), one cluster-keyed verify (k groups, each a
+    vectorized matmul).  Rows-only driver entry: the blocking depends
+    on the iterative centroids (SQL-inexpressible); within-cluster
+    equivalence to the exact operator and layout-invariance are
+    pytest-bounded."""
+    import ray
+
+    from kgforge.functions.clustering import (_assign, _batch_mat,
+                                              _kmeans_fit)
+
+    cents = _kmeans_fit(ds, k, iters, vec_col, id_col)
+    ref = ray.put(cents)
+
+    def tag(b: pa.Table) -> pa.Table:
+        mat = _batch_mat(b, vec_col)
+        a = _assign(mat, ray.get(ref))
+        return pa.table({id_col: b[id_col], vec_col: b[vec_col],
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    def pairs_of(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist())
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(group[vec_col].to_pylist(),
+                       dtype=np.float64)[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = sims[iu, ju] >= tau
+        return pa.table({
+            "id_a": pa.array(ids[iu[mask]], pa.int64()),
+            "id_b": pa.array(ids[ju[mask]], pa.int64()),
+            "cos_sim": pa.array(round_away(sims[iu, ju][mask], 4),
+                                pa.float64()),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("cluster").map_groups(pairs_of, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # near-dup clusters (connected components) + deterministic hash split
 # ---------------------------------------------------------------------------

@@ -1651,6 +1651,17 @@ def q_hll_distinct(sf_dir: str):
         key_col="event_type", value_col="user_id")
 
 
+def q_semantic_dup(sf_dir: str):
+    """SemDeDup-style semantic near-dedup: k-means blocking + exact
+    within-cluster cosine verify (rows-only: learned blocking is
+    SQL-inexpressible; bounds pytest-checked)."""
+    from kgforge.functions.dedup import semantic_dup_pairs_ds
+
+    return semantic_dup_pairs_ds(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=8, tau=0.3)
+
+
 QUERIES = {
     "explode_spans": q_explode_spans,
     "media_features": q_media_features,
@@ -1734,6 +1745,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "quantile_sketch": q_quantile_sketch,
     "hll_distinct": q_hll_distinct,
+    "semantic_dup": q_semantic_dup,
     "bpe_token_stats": q_bpe_token_stats,
     "doc_rarity": q_doc_rarity,
     "kg_edges_diff": q_kg_edges_diff,
