@@ -1051,6 +1051,67 @@ def rollup_hourly_ds(ds, type_col: str = "event_type", on: str = "ts",
                                            batch_size=None)
 
 
+def cube_hourly_ds(ds, type_col: str = "event_type", on: str = "ts",
+                   value_col: str = "value"):
+    """GROUP BY CUBE(event_type, hour-of-day): leaf rows + BOTH
+    one-dimension subtotals + the grand total (ROLLUP's sibling with
+    the hod-only marginal added), absent dimensions marked ``<all>``.
+    Same scale shape as :func:`rollup_hourly_ds`: the event stream
+    feeds ONE combiner + groupby at the leaf grain; all three subtotal
+    levels re-aggregate the tiny (types × 24) table on a single task —
+    subtotal derivation never touches the stream."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    hour_us = np.int64(3_600_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        hours = pc.cast(_on_key(b[on]), pa.int64())
+        h = pc.divide(hours, hour_us)
+        hod = pc.subtract(h, pc.multiply(pc.divide(h, 24), 24))
+        cents = round_away(
+            b[value_col].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        t = pa.table({type_col: b[type_col], "hod": hod,
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "c": pa.array(cents)})
+        g = t.group_by([type_col, "hod"], use_threads=False) \
+            .aggregate([("n", "sum"), ("c", "sum")])
+        return pa.table({type_col: g[type_col], "hod": g["hod"],
+                         "n": g["n_sum"], "c": g["c_sum"]})
+
+    leaf = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([type_col, "hod"]) \
+        .aggregate(Sum("n", alias_name="n"), Sum("c", alias_name="c"))
+
+    def cube(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.astype({"n": "int64", "c": "int64"})
+        lv0 = pd.DataFrame({
+            type_col: df[type_col], "hod": df["hod"].astype(int).astype(str),
+            "n_events": df["n"], "sum_cents": df["c"]})
+        by_type = df.groupby(type_col, as_index=False).agg(
+            n_events=("n", "sum"), sum_cents=("c", "sum")) \
+            .assign(hod=ROLLUP_ALL)[
+                [type_col, "hod", "n_events", "sum_cents"]]
+        by_hod = df.groupby("hod", as_index=False).agg(
+            n_events=("n", "sum"), sum_cents=("c", "sum"))
+        by_hod = pd.DataFrame({
+            type_col: ROLLUP_ALL, "hod": by_hod["hod"].astype(int)
+            .astype(str), "n_events": by_hod["n_events"],
+            "sum_cents": by_hod["sum_cents"]})
+        grand = pd.DataFrame({
+            type_col: [ROLLUP_ALL], "hod": [ROLLUP_ALL],
+            "n_events": [df["n"].sum()], "sum_cents": [df["c"].sum()]})
+        out = pd.concat([lv0, by_type, by_hod, grand],
+                        ignore_index=True)
+        return out.astype({"n_events": "int64", "sum_cents": "int64"})
+
+    return leaf.repartition(1).map_batches(cube, batch_format="pandas",
+                                           batch_size=None)
+
+
 def funnel_counts_ds(ds, steps=("view", "click", "purchase"),
                      by: str = "user_id", type_col: str = "event_type",
                      on: str = "ts", num_partitions: int = 64):

@@ -1662,6 +1662,11 @@ def q_semantic_dup(sf_dir: str):
         k=8, tau=0.3)
 
 
+def q_cube_hourly(sf_dir: str):
+    return F_events.cube_hourly_ds(
+        _read(sf_dir, "events", ["event_type", "ts", "value"]))
+
+
 QUERIES = {
     "explode_spans": q_explode_spans,
     "media_features": q_media_features,
@@ -1693,6 +1698,7 @@ QUERIES = {
     "priority_revenue": q_priority_revenue,
     "hourly_distinct_users": q_hourly_distinct_users,
     "rollup_hourly": q_rollup_hourly,
+    "cube_hourly": q_cube_hourly,
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "jaccard_pairs": q_jaccard_pairs,
@@ -2938,4 +2944,17 @@ ORACLE_SQL["doc_rarity"] = r"""
            CAST(min(ct) AS BIGINT) AS min_ct,
            CAST(sum(ct) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_ct
     FROM j GROUP BY doc_id
+"""
+
+ORACLE_SQL["cube_hourly"] = """
+    WITH v AS (SELECT event_type,
+                      CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT)
+                          AS hod,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(CAST(hod AS VARCHAR), '<all>') AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM v GROUP BY CUBE (event_type, hod)
 """

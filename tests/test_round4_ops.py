@@ -127,3 +127,28 @@ def test_semantic_dup_matches_within_cluster_exact(ray_session):
               if a[i] == a[j] and sims[i, j] >= 0.9}
     got = {(int(r.id_a), int(r.id_b)) for _, r in out1.iterrows()}
     assert got == expect and len(expect) >= 10
+
+
+def test_cube_hourly_levels(ray_session):
+    """CUBE = leaf + both marginals + grand total, all consistent."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgforge.functions.events import cube_hourly_ds
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [{"event_type": "a", "ts": base.replace(hour=1), "value": 1.0},
+            {"event_type": "a", "ts": base.replace(hour=2), "value": 2.0},
+            {"event_type": "b", "ts": base.replace(hour=1), "value": 3.0}]
+    out = cube_hourly_ds(rd.from_items(rows)).to_pandas()
+    gr = out[(out.event_type == "<all>") & (out.hod == "<all>")]
+    assert int(gr.n_events.iloc[0]) == 3
+    assert int(gr.sum_cents.iloc[0]) == 600
+    # hod marginal: hour 1 over both types
+    h1 = out[(out.event_type == "<all>") & (out.hod == "1")]
+    assert int(h1.n_events.iloc[0]) == 2 and int(h1.sum_cents.iloc[0]) == 400
+    # type marginal
+    ta = out[(out.event_type == "a") & (out.hod == "<all>")]
+    assert int(ta.n_events.iloc[0]) == 2 and int(ta.sum_cents.iloc[0]) == 300
+    assert len(out) == 2 + 3 + 2 + 1   # leaves + ... (3 leaves, 2 type, 2 hod, 1 grand)
