@@ -1707,6 +1707,77 @@ def group_corr_ds(ds, by: str = "event_type", x_col: str = "value",
     return sums.map_batches(finish, batch_format="pyarrow")
 
 
+def window_rank_ds(ds, by: str = "user_id", order_col: str = "value",
+                   id_col: str = "event_id", num_partitions: int = 64):
+    """The general SQL window-rank family in one pass: per key,
+    ``row_number`` / ``rank`` / ``dense_rank`` over ``(cents DESC
+    [, id])`` plus ``lag(cents)`` — the four ranking windows a
+    feature-engineering pipeline reaches for.
+
+    Plan: ONE shuffle keyed by HASH PARTITION of the key
+    (``num_partitions`` Ray callbacks, never one per key).  Inside a
+    partition every key is ranked at once — one sort by
+    ``(key, cents desc, id)``, then pure index math over the key-run
+    starts: row_number = position − run start; rank = start of the
+    current equal-value run − key-run start; dense_rank = cumulative
+    value-change count rebased per key run; lag = a shift with
+    key-run firsts masked to a typed Arrow null.  No per-key Python
+    anywhere; the order key is integer cents so rank boundaries are
+    exact and the SQL twin orders by the identical integer."""
+    import pyarrow.compute as pc
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import _part_codes
+
+    def tag(b: pa.Table) -> pa.Table:
+        vc = round_away(
+            b[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100, 0).astype(np.int64)
+        t = pa.table({id_col: b[id_col], by: b[by],
+                      "vc": pa.array(vc, pa.int64())})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t[by], num_partitions)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            ("vc", "descending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             by: pa.array([], pa.int64()),
+                             "rn": pa.array([], pa.int64()),
+                             "rnk": pa.array([], pa.int64()),
+                             "drnk": pa.array([], pa.int64()),
+                             "prev_cents": pa.array([], pa.int64())})
+        vc = t["vc"].combine_chunks().to_numpy(zero_copy_only=False)
+        kbrk = _run_breaks(t[by].combine_chunks(),
+                           np.zeros(n, dtype=np.int32))
+        vbrk = kbrk.copy()
+        vbrk[1:] |= vc[1:] != vc[:-1]
+        pos = np.arange(n, dtype=np.int64)
+        # start index of the enclosing key run / equal-value run
+        kstart = np.maximum.accumulate(np.where(kbrk, pos, 0))
+        vstart = np.maximum.accumulate(np.where(vbrk, pos, 0))
+        rn = pos - kstart + 1
+        rnk = vstart - kstart + 1
+        vcum = np.cumsum(vbrk.astype(np.int64))
+        drnk = vcum - vcum[kstart] + 1
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = vc[:-1]
+        prev[0] = 0
+        return pa.table({
+            id_col: t[id_col], by: t[by],
+            "rn": pa.array(rn), "rnk": pa.array(rnk),
+            "drnk": pa.array(drnk),
+            "prev_cents": pa.array(prev, pa.int64(), mask=kbrk),
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition, batch_format="pyarrow")
+
+
 def event_sequences_ds(ds, by: str = "user_id", on: str = "ts",
                        id_col: str = "event_id",
                        type_col: str = "event_type", sep: str = ">",

@@ -1667,6 +1667,11 @@ def q_cube_hourly(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "ts", "value"]))
 
 
+def q_window_rank(sf_dir: str):
+    return F_events.window_rank_ds(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"]))
+
+
 QUERIES = {
     "explode_spans": q_explode_spans,
     "media_features": q_media_features,
@@ -1699,6 +1704,7 @@ QUERIES = {
     "hourly_distinct_users": q_hourly_distinct_users,
     "rollup_hourly": q_rollup_hourly,
     "cube_hourly": q_cube_hourly,
+    "window_rank": q_window_rank,
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "jaccard_pairs": q_jaccard_pairs,
@@ -2957,4 +2963,18 @@ ORACLE_SQL["cube_hourly"] = """
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(cents) AS BIGINT) AS sum_cents
     FROM v GROUP BY CUBE (event_type, hod)
+"""
+
+ORACLE_SQL["window_rank"] = """
+    WITH e AS (SELECT event_id, user_id,
+                      CAST(round(value * 100) AS BIGINT) AS vc
+               FROM events)
+    SELECT event_id, user_id,
+           row_number() OVER w2 AS rn,
+           rank()       OVER w1 AS rnk,
+           dense_rank() OVER w1 AS drnk,
+           lag(vc)      OVER w2 AS prev_cents
+    FROM e
+    WINDOW w1 AS (PARTITION BY user_id ORDER BY vc DESC),
+           w2 AS (PARTITION BY user_id ORDER BY vc DESC, event_id)
 """

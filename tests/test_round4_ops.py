@@ -152,3 +152,43 @@ def test_cube_hourly_levels(ray_session):
     ta = out[(out.event_type == "a") & (out.hod == "<all>")]
     assert int(ta.n_events.iloc[0]) == 2 and int(ta.sum_cents.iloc[0]) == 300
     assert len(out) == 2 + 3 + 2 + 1   # leaves + ... (3 leaves, 2 type, 2 hod, 1 grand)
+
+
+def test_window_rank_matches_pandas(ray_session):
+    """row_number/rank/dense_rank/lag per key vs a pandas window
+    oracle, with deliberate value ties inside and across keys."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kgforge.functions.events import window_rank_ds
+
+    rng = np.random.RandomState(11)
+    n = 4_000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 60, n).astype(np.int64),
+        # coarse grid => plenty of exact ties per user
+        "value": rng.randint(0, 25, n) / 4.0,
+    })
+    out = window_rank_ds(rd.from_pandas(df).repartition(9),
+                         num_partitions=8).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    ref = df.assign(vc=np.round(df.value * 100).astype(np.int64)) \
+        .sort_values(["user_id", "vc", "event_id"],
+                     ascending=[True, False, True], kind="mergesort")
+    g = ref.groupby("user_id", sort=False)
+    ref = ref.assign(
+        rn=(g.cumcount() + 1).astype("int64"),
+        rnk=g["vc"].rank(method="min", ascending=False).astype("int64"),
+        drnk=g["vc"].rank(method="dense", ascending=False).astype("int64"),
+        prev_cents=g["vc"].shift(1),
+    ).sort_values("event_id").reset_index(drop=True)
+
+    assert (out.rn.to_numpy() == ref.rn.to_numpy()).all()
+    assert (out.rnk.to_numpy() == ref.rnk.to_numpy()).all()
+    assert (out.drnk.to_numpy() == ref.drnk.to_numpy()).all()
+    got_prev = out.prev_cents.to_numpy(dtype=float, na_value=np.nan)
+    want_prev = ref.prev_cents.to_numpy(dtype=float, na_value=np.nan)
+    assert ((got_prev == want_prev) | (np.isnan(got_prev)
+                                       & np.isnan(want_prev))).all()
