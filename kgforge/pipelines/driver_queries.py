@@ -623,6 +623,138 @@ def q_shipping_priority(sf_dir: str):
               descending=[True, False]).limit(10)
 
 
+def q_regional_revenue(sf_dir: str):
+    """TPC-H Q5 shape — the 6-table join with the correlated
+    ``s_nationkey = c_nationkey`` condition: revenue per ASIA nation
+    from local suppliers in one order-date year.  Scale plan:
+    nation/region (≤ 25 rows) ride a driver LUT; customer, orders and
+    supplier joins are hash-partition cogroups (customer and supplier
+    are SF-proportional — no broadcast); lineitem is combined to
+    (orderkey, suppkey) partials inside each batch before its shuffle,
+    and each later cogroup re-combines so at most
+    (suppliers × nations) rows reach the final groupby."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    import datetime as _dt
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia_key = {k for k, r in zip(region["r_regionkey"].to_pylist(),
+                                  region["r_name"].to_pylist())
+                if r == "ASIA"}
+    asia_nations = [k for k, r in zip(nation["n_nationkey"].to_pylist(),
+                                      nation["n_regionkey"].to_pylist())
+                    if r in asia_key]
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1998, 1, 1)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"],
+                 row_filter=pds.field("c_nationkey").isin(asia_nations))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   row_filter=(pds.field("o_orderdate") >= lo)
+                   & (pds.field("o_orderdate") < hi))
+
+    def _attach_right(t, starts, nl, nr, left_cols, right_col, out_names):
+        """Inner-join gather for a unique right side: left rows of
+        runs with both sides present, each annotated with the run's
+        (single) right value — one repeat/flatnonzero pass, no
+        per-key Python."""
+        total = nl + nr
+        row_key = np.repeat(np.arange(len(nl)), total)
+        pos = np.arange(len(row_key))
+        in_left = pos < (starts + nl)[row_key]
+        mask = ((nl > 0) & (nr > 0))[row_key] & in_left
+        lidx = np.flatnonzero(mask)
+        ridx = (starts + nl)[row_key][lidx]
+        cols = {name: t[c].take(pa.array(lidx))
+                for c, name in zip(left_cols, out_names)}
+        cols[right_col[1]] = t[right_col[0]].take(pa.array(ridx))
+        return pa.table(cols)
+
+    def order_nat(t, starts, nl, nr):
+        return _attach_right(t, starts, nl, nr, ["o_orderkey"],
+                             ("c_nationkey", "c_nat"), ["o_orderkey"])
+
+    orders_nat = cogroup_partition_ds(
+        orders, cust, "o_custkey", "c_custkey", order_nat,
+        ["o_orderkey"], ["c_nationkey"],
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int32())]))
+
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cents = round_away(price * (1.0 - disc) * 100, 0).astype(np.int64)
+        t = pa.table({"k": b["l_orderkey"], "s": b["l_suppkey"],
+                      "c": pa.array(cents)})
+        g = t.group_by(["k", "s"], use_threads=False) \
+            .aggregate([("c", "sum")])
+        return pa.table({"l_orderkey": g["k"], "l_suppkey": g["s"],
+                         "cents": g["c_sum"]})
+
+    li = lineitem.map_batches(li_partial, batch_format="pyarrow")
+
+    def li_nat(t, starts, nl, nr):
+        out = _attach_right(t, starts, nl, nr, ["l_suppkey", "cents"],
+                            ("c_nat", "c_nat"), ["l_suppkey", "cents"])
+        g = out.group_by(["l_suppkey", "c_nat"], use_threads=False) \
+            .aggregate([("cents", "sum")])
+        return pa.table({"l_suppkey": g["l_suppkey"], "c_nat": g["c_nat"],
+                         "cents": g["cents_sum"]})
+
+    li_n = cogroup_partition_ds(
+        li, orders_nat, "l_orderkey", "o_orderkey", li_nat,
+        ["l_suppkey", "cents"], ["c_nat"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("c_nat", pa.int32())]))
+
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def local_only(t, starts, nl, nr):
+        out = _attach_right(t, starts, nl, nr, ["c_nat", "cents"],
+                            ("s_nationkey", "s_nat"), ["c_nat", "cents"])
+        out = out.filter(pc.equal(out["c_nat"],
+                                  pc.cast(out["s_nat"], pa.int32())))
+        g = out.group_by(["c_nat"], use_threads=False) \
+            .aggregate([("cents", "sum")])
+        return pa.table({"c_nat": g["c_nat"], "cents": g["cents_sum"]})
+
+    per_nat = cogroup_partition_ds(
+        li_n, supplier, "l_suppkey", "s_suppkey", local_only,
+        ["c_nat", "cents"], ["s_nationkey"],
+        left_schema=pa.schema([("l_suppkey", pa.int64()),
+                               ("c_nat", pa.int32()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("s_nationkey", pa.int32())]))
+
+    # ≤ one row per (partition, nation) reaches the driver
+    acc: dict[int, int] = {}
+    for row in per_nat.take_all():
+        acc[int(row["c_nat"])] = acc.get(int(row["c_nat"]), 0) \
+            + int(row["cents"])
+    order = sorted(acc, key=lambda k: (-acc[k], n_name[k]))
+    return pa.table({
+        "n_name": pa.array([n_name[k] for k in order], pa.string()),
+        "revenue_cents": pa.array([acc[k] for k in order], pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage (groupby / join / sort / union / distinct)
 # ---------------------------------------------------------------------------
@@ -1750,6 +1882,7 @@ QUERIES = {
     "kg_link_pred": q_kg_link_pred,
     "dup_ngrams": q_dup_ngrams,
     "shipping_priority": q_shipping_priority,
+    "regional_revenue": q_regional_revenue,
     "cohort_retention": q_cohort_retention,
     "kg_edges_incremental": q_kg_edges_incremental,
     "latest_event": q_latest_event,
@@ -2963,6 +3096,24 @@ ORACLE_SQL["cube_hourly"] = """
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(cents) AS BIGINT) AS sum_cents
     FROM v GROUP BY CUBE (event_type, hod)
+"""
+
+ORACLE_SQL["regional_revenue"] = """
+    WITH li AS (SELECT l_orderkey, l_suppkey,
+                       CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT) AS cents
+                FROM lineitem)
+    SELECT n_name, CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM li
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
+      AND o_orderdate >= DATE '1997-01-01'
+      AND o_orderdate <  DATE '1998-01-01'
+    GROUP BY n_name ORDER BY revenue_cents DESC, n_name
 """
 
 ORACLE_SQL["window_rank"] = """
