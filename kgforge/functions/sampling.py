@@ -107,6 +107,67 @@ def stratified_sample_ds(ds, k: int = 20, by: str = "event_type",
             batch_format="pandas")
 
 
+def mixture_apportion(weights: dict[str, float], k: int) -> dict[str, int]:
+    """Largest-remainder apportionment of ``k`` rows across sources:
+    exact, deterministic (remainder desc, source asc tie-break), sums
+    to ``k``.  Data-independent — both the engine and a SQL twin can
+    bake the resulting counts as constants."""
+    total = float(sum(weights.values()))
+    quota = {s: k * w / total for s, w in weights.items()}
+    base = {s: int(quota[s]) for s in weights}
+    left = k - sum(base.values())
+    order = sorted(weights, key=lambda s: (-(quota[s] - base[s]), s))
+    for s in order[:left]:
+        base[s] += 1
+    return base
+
+
+def mixture_sample_ds(ds, weights: dict[str, float], k: int = 60,
+                      by: str = "source", id_col: str = "doc_id",
+                      num_partitions: int = 64):
+    """Deterministic corpus-mixing sampler — the LLM training-data
+    "data mixture" op (Pile/Dolma-style source proportions): ``k``
+    rows apportioned across sources by ``weights`` (largest-remainder,
+    exact), each source contributing its first ``n_s`` rows in
+    content-hash order (md5 of the id — the engine-independent
+    pseudo-random order every sampler here uses), so the mixture is
+    identical across cluster sizes, reruns and engines.
+
+    Scale shape: sources outside the mixture are dropped at the map;
+    each batch keeps ≤ n_s rows per source before the shuffle (partial
+    top-k on the digest), and the final cut is keyed by HASH PARTITION
+    of the source (P Ray callbacks; a partition ranks all its sources
+    in one vectorized pass) — the corpus never moves."""
+    import pandas as pd
+
+    from kgforge.common.hashing import md5_hex_arr
+    from kgforge.functions.joins import _part_codes
+
+    ns = mixture_apportion(weights, k)
+
+    def head(df: pd.DataFrame, final: bool) -> pd.DataFrame:
+        df = df.sort_values(["md5", id_col], kind="mergesort")
+        out = df[df.groupby(by, sort=False).cumcount()
+                 < df[by].map(ns).to_numpy()]
+        if final:
+            out = out.drop(columns=["md5"])
+        return out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[by].isin(ns)]
+        md5 = md5_hex_arr(df[id_col].astype("int64").astype(str)
+                          .to_numpy()).to_numpy(zero_copy_only=False)
+        out = head(pd.DataFrame({by: df[by], id_col: df[id_col],
+                                 "md5": md5}), False)
+        return out.assign(__p=_part_codes(
+            pa.array(out[by].astype(str).to_numpy()), num_partitions))
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("__p").map_groups(
+            lambda df: head(df.drop(columns="__p"), True),
+            batch_format="pandas")
+
+
 def weighted_sample_ds(ds, k: int = 50, weight_col: str = "n_chars",
                        id_col: str = "doc_id", num_partitions: int = 64):
     """Deterministic weighted systematic sample of ~``k`` rows:

@@ -399,6 +399,18 @@ def q_stratified_sample(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "event_id"]))
 
 
+MIXTURE_WEIGHTS = {"src0": 4.0, "src1": 3.0, "src2": 2.0, "src3": 1.0}
+MIXTURE_K = 60
+
+
+def q_mixture_sample(sf_dir: str):
+    from kgforge.functions.sampling import mixture_sample_ds
+
+    return mixture_sample_ds(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        weights=MIXTURE_WEIGHTS, k=MIXTURE_K)
+
+
 def q_hourly_distinct_users(sf_dir: str):
     return F_events.hourly_distinct_users_ds(
         _read(sf_dir, "events", ["event_type", "ts", "user_id"]))
@@ -1830,6 +1842,7 @@ QUERIES = {
     "pivot_hourly": q_pivot_hourly,
     "tier_lookup": q_tier_lookup,
     "stratified_sample": q_stratified_sample,
+    "mixture_sample": q_mixture_sample,
     "orders_customer_join": q_orders_customer_join,
     "user_customer_full_join": q_user_customer_full_join,
     "priority_revenue": q_priority_revenue,
@@ -3096,6 +3109,18 @@ ORACLE_SQL["cube_hourly"] = """
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(cents) AS BIGINT) AS sum_cents
     FROM v GROUP BY CUBE (event_type, hod)
+"""
+
+ORACLE_SQL["mixture_sample"] = """
+    WITH r AS (SELECT source, doc_id,
+                      row_number() OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                   doc_id) AS rn
+               FROM documents
+               WHERE source IN ('src0', 'src1', 'src2', 'src3'))
+    SELECT source, doc_id FROM r
+    WHERE rn <= CASE source WHEN 'src0' THEN 24 WHEN 'src1' THEN 18
+                            WHEN 'src2' THEN 12 ELSE 6 END
 """
 
 ORACLE_SQL["regional_revenue"] = """

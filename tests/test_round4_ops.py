@@ -192,3 +192,35 @@ def test_window_rank_matches_pandas(ray_session):
     want_prev = ref.prev_cents.to_numpy(dtype=float, na_value=np.nan)
     assert ((got_prev == want_prev) | (np.isnan(got_prev)
                                        & np.isnan(want_prev))).all()
+
+
+def test_mixture_sample_apportion_and_layout_invariance(ray_session):
+    """Largest-remainder apportionment sums to k and is exact for
+    round shares; the sampled set is identical across block layouts
+    (content-hash order, not scheduling order)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kgforge.functions.sampling import (
+        mixture_apportion, mixture_sample_ds,
+    )
+
+    assert mixture_apportion({"a": 1, "b": 1, "c": 1}, 10) \
+        == {"a": 4, "b": 3, "c": 3}
+    ns = mixture_apportion({"w": 0.5, "x": 0.25, "y": 0.15, "z": 0.1}, 40)
+    assert sum(ns.values()) == 40 and ns == {"w": 20, "x": 10,
+                                             "y": 6, "z": 4}
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(900, dtype=np.int64),
+        "source": [f"s{i % 3}" for i in range(900)],
+    })
+    w = {"s0": 2.0, "s1": 1.0}  # s2 excluded from the mixture
+    a = mixture_sample_ds(rd.from_pandas(df).repartition(11), w, k=30) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = mixture_sample_ds(rd.from_pandas(df).repartition(2), w, k=30) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    counts = a.source.value_counts().to_dict()
+    assert counts == {"s0": 20, "s1": 10}
+    assert not (a.source == "s2").any()
