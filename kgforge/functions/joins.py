@@ -394,3 +394,130 @@ def table_diff_ds(left_ds, right_ds, on_left: str, on_right: str,
     return cogroup_partition_ds(left_ds, right_ds, on_left, on_right,
                                 per_partition, left_cols, right_cols,
                                 num_partitions=num_partitions)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, n_hashes: int):
+    """Double-hashed bloom bit positions for uint64 keys →
+    (n_hashes, len(keys)) uint64 array of bit indices."""
+    x = keys.astype(np.uint64)
+    h1 = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h1 = (h1 ^ (h1 >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h1 ^= h1 >> np.uint64(31)
+    h2 = (x ^ np.uint64(0x9E3779B97F4A7C15)) \
+        * np.uint64(0xC2B2AE3D27D4EB4F)
+    h2 ^= h2 >> np.uint64(29)
+    h2 |= np.uint64(1)  # odd → full-period stride
+    i = np.arange(n_hashes, dtype=np.uint64)[:, None]
+    return (h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)
+
+
+def _key_u64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    if pa.types.is_integer(arr.type):
+        return arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+    from kgforge.common.hashing import hash_u64_np
+
+    return hash_u64_np([s if s is not None else ""
+                        for s in arr.to_pylist()])
+
+
+def bloom_semi_join_ds(left_ds, right_ds, on_left: str, on_right: str,
+                       left_cols: list[str], m_bits: int = 1 << 20,
+                       n_hashes: int = 4, fanin: int = 32,
+                       num_partitions: int = 64):
+    """Exact semi-join through a bloom pre-filter — the scale lane for
+    a right side whose DISTINCT key set is too large to broadcast as
+    an exact value set (``pc.is_in``): the bloom bitmap is a FIXED
+    ``m_bits/8`` bytes (default 128 KB) regardless of key count.
+
+    Three stages, all documented-bounded:
+    1. build — each right block ORs its keys into a local bitmap
+       (vectorized ``np.bitwise_or.at``); block bitmaps tree-reduce
+       through ``fanin`` OR groups, the driver ORs the final ``fanin``
+       rows and ``ray.put``s one bitmap.
+    2. filter — a pure map over the left side tests all ``n_hashes``
+       positions vectorized; only bloom survivors (true matches +
+       ~``(1-e^{-kn/m})^k`` false positives) continue.
+    3. verify — survivors meet the right side's per-batch-distinct
+       keys in ONE hash cogroup and false positives drop, so the
+       result is EXACT; the shuffle carries only survivors, not the
+       left table.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    n_words = m_bits // 64
+
+    def build(b: pa.Table) -> pa.Table:
+        pos = _bloom_positions(_key_u64(b[on_right]), m_bits, n_hashes)
+        words = np.zeros(n_words, dtype=np.uint64)
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).ravel(),
+                         np.uint64(1) << (pos.ravel() & np.uint64(63)))
+        g = int(_key_u64(b[on_right])[:1].sum() % fanin) \
+            if b.num_rows else 0
+        return pa.table({"__g": pa.array([g], pa.int32()),
+                         "bits": pa.array([words.tobytes()],
+                                          pa.large_binary())})
+
+    def or_group(t: pa.Table) -> pa.Table:
+        acc = np.zeros(n_words, dtype=np.uint64)
+        for buf in t["bits"].to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint64)
+        return pa.table({"__g": t["__g"].slice(0, 1),
+                         "bits": pa.array([acc.tobytes()],
+                                          pa.large_binary())})
+
+    partials = right_ds.map_batches(build, batch_format="pyarrow") \
+        .groupby("__g").map_groups(or_group, batch_format="pyarrow")
+    final = np.zeros(n_words, dtype=np.uint64)
+    for row in partials.take_all():
+        final |= np.frombuffer(row["bits"], dtype=np.uint64)
+    bits_ref = ray.put(final)
+
+    def bloom_filter(b: pa.Table) -> pa.Table:
+        words = ray.get(bits_ref)
+        pos = _bloom_positions(_key_u64(b[on_left]), m_bits, n_hashes)
+        hit = np.ones(b.num_rows, dtype=bool)
+        for i in range(n_hashes):
+            hit &= (words[(pos[i] >> np.uint64(6)).astype(np.int64)]
+                    >> (pos[i] & np.uint64(63))) & np.uint64(1) != 0
+        return b.select([on_left] + left_cols) \
+            .filter(pa.array(hit))
+
+    survivors = left_ds.map_batches(bloom_filter, batch_format="pyarrow")
+
+    def right_distinct(b: pa.Table) -> pa.Table:
+        u = pc.unique(b[on_right].combine_chunks())
+        return pa.table({on_right: u})
+
+    rkeys = right_ds.map_batches(right_distinct, batch_format="pyarrow")
+
+    def verify(t, starts, nl, nr):
+        total = nl + nr
+        row_key = np.repeat(np.arange(len(nl)), total)
+        pos = np.arange(len(row_key))
+        in_left = pos < (starts + nl)[row_key]
+        mask = ((nl > 0) & (nr > 0))[row_key] & in_left
+        idx = pa.array(np.flatnonzero(mask))
+        cols = {on_left: t["__k"].take(idx)}
+        for c in left_cols:
+            cols[c] = t[c].take(idx)
+        return pa.table(cols)
+
+    # schema hints from the INPUT datasets (metadata-cheap for reads)
+    # — probing the lazy survivors/rkeys outputs would execute plans;
+    # pandas-block inputs (tests) carry no Arrow schema → let the
+    # cogroup probe those itself
+    lsch = left_ds.schema().base_schema
+    rsch = right_ds.schema().base_schema
+    left_schema = right_schema = None
+    if isinstance(lsch, pa.Schema):
+        left_schema = pa.schema([lsch.field(c)
+                                 for c in [on_left] + left_cols])
+    if isinstance(rsch, pa.Schema):
+        right_schema = pa.schema([rsch.field(on_right)])
+    return cogroup_partition_ds(
+        survivors, rkeys, on_left, on_right, verify, left_cols, [],
+        num_partitions=num_partitions, left_schema=left_schema,
+        right_schema=right_schema)

@@ -1022,6 +1022,19 @@ def q_semi_join(sf_dir: str):
         .map_batches(keep, batch_format="pyarrow")
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Customers that have events, through the bloom-pre-filter semi
+    lane (fixed-size bitmap broadcast + survivor-only exact verify) —
+    the documented path when the right side's distinct keys outgrow a
+    broadcast value set."""
+    from kgforge.functions.joins import bloom_semi_join_ds
+
+    return bloom_semi_join_ds(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        _read(sf_dir, "events", ["user_id"]),
+        "c_custkey", "user_id", ["c_name"])
+
+
 def q_anti_join(sf_dir: str):
     """Orders WITHOUT lineitems (broadcast anti-join, ``pc.is_in``
     inverted)."""
@@ -1875,6 +1888,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
+    "bloom_semi_join": q_bloom_semi_join,
     "events_props": q_events_props,
     "shuffle_sample": q_shuffle_sample,
     "kg_mentions_bilstm": q_kg_mentions_bilstm,
@@ -3109,6 +3123,11 @@ ORACLE_SQL["cube_hourly"] = """
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(cents) AS BIGINT) AS sum_cents
     FROM v GROUP BY CUBE (event_type, hod)
+"""
+
+ORACLE_SQL["bloom_semi_join"] = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT user_id FROM events)
 """
 
 ORACLE_SQL["mixture_sample"] = """

@@ -224,3 +224,52 @@ def test_mixture_sample_apportion_and_layout_invariance(ray_session):
     counts = a.source.value_counts().to_dict()
     assert counts == {"s0": 20, "s1": 10}
     assert not (a.source == "s2").any()
+
+
+def test_bloom_semi_join_exact_under_false_positives(ray_session):
+    """With a deliberately tiny bitmap (high fp rate) the bloom
+    pre-filter passes extra keys, but the verify cogroup drops every
+    false positive — result identical to an exact semi-join; string
+    keys exercise the blake2b key path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kgforge.functions.joins import (
+        _bloom_positions, _key_u64, bloom_semi_join_ds,
+    )
+
+    left = pd.DataFrame({"k": np.arange(2_000, dtype=np.int64),
+                         "payload": [f"v{i}" for i in range(2_000)]})
+    right = pd.DataFrame({"rk": np.arange(0, 2_000, 40,
+                                          dtype=np.int64)})  # 50 keys
+    m_bits = 256  # ~50 keys × 4 hashes in 256 bits → many fps
+    # confirm the bloom alone WOULD over-select (the lane is real)
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    posr = _bloom_positions(right.rk.to_numpy().astype(np.uint64),
+                            m_bits, 4)
+    np.bitwise_or.at(words, (posr >> np.uint64(6)).ravel(),
+                     np.uint64(1) << (posr.ravel() & np.uint64(63)))
+    posl = _bloom_positions(left.k.to_numpy().astype(np.uint64),
+                            m_bits, 4)
+    hit = np.ones(len(left), dtype=bool)
+    for i in range(4):
+        hit &= (words[(posl[i] >> np.uint64(6)).astype(np.int64)]
+                >> (posl[i] & np.uint64(63))) & np.uint64(1) != 0
+    assert hit.sum() > 50  # false positives exist at this size
+
+    out = bloom_semi_join_ds(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(3),
+        "k", "rk", ["payload"], m_bits=m_bits, n_hashes=4) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    want = left[left.k.isin(right.rk)].reset_index(drop=True)
+    assert out.k.tolist() == want.k.tolist()
+    assert out.payload.tolist() == want.payload.tolist()
+
+    # string keys → blake2b path
+    sleft = pd.DataFrame({"k": [f"id{i}" for i in range(300)]})
+    sright = pd.DataFrame({"rk": [f"id{i}" for i in range(0, 300, 7)]})
+    sout = bloom_semi_join_ds(rd.from_pandas(sleft),
+                              rd.from_pandas(sright), "k", "rk", []) \
+        .to_pandas()
+    assert sorted(sout.k.tolist()) == sorted(sright.rk.tolist())
