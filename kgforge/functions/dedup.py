@@ -955,6 +955,171 @@ def dup_ngram_stats_ds(ds, text_col: str = "text", id_col: str = "doc_id",
         Sum("dup_ngrams", alias_name="dup_ngrams"),
         Sum("total_ngrams", alias_name="total_ngrams"))
 
+
+def cross_source_contamination_ds(ds, text_col: str = "text",
+                                  group_col: str = "source",
+                                  n: int = 8,
+                                  num_partitions: int = 64) -> pa.Table:
+    """Cross-source n-gram contamination matrix: for every unordered
+    pair of distinct sources (src_a < src_b), the number of DISTINCT
+    word-``n``-grams that occur in at least one document of EACH — the
+    pairwise-overlap census run before mixing corpora (a leaked eval
+    set, a mirrored crawl, or boilerplate shared between two dumps all
+    surface as an outlier cell).  Output columns ``(src_a, src_b,
+    shared_ngrams, ngrams_a, ngrams_b)`` where ``ngrams_x`` is source
+    x's distinct-n-gram count, so Jaccard/containment are one division
+    away.
+
+    Scale plan: the corpus never travels — stage 1 emits one ``(u64
+    n-gram hash, source)`` row per distinct n-gram per source PER
+    BATCH (token hashing is one DuckDB md5 C-call per batch plus a
+    vectorized sliding-window polynomial); stage 2 hash-partitions by
+    the n-gram hash, dedups ``(h, source)`` with run-length index
+    math, and folds each h-run's k sources into C(k,2) pair partials
+    vectorized BY RUN LENGTH (one reshape + triu_indices per distinct
+    k ≤ |sources|, never a per-n-gram Python loop); stage 3 is a
+    groupby-sum over ≤ |sources|² keys.  Per-source totals ride the
+    same exchange as (src, src) self rows.  The final pivot collects
+    ≤ |sources|² + |sources| rows to the driver — the matrix itself,
+    which is the contract: this operator targets source-level
+    taxonomies (tens..thousands of sources), not per-document keys.
+
+    Tokenization is ``text.split(" ")``, verbatim the SQL twin's
+    ``string_split(text, ' ')``; the u64 hash stands in for the n-gram
+    string on the wire (same collision contract as
+    ``dup_ngram_stats_ds``).
+    """
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import md5_u64_arr
+
+    powers = np.empty(n, dtype=np.uint64)
+    powers[0] = 1
+    if n > 1:
+        with np.errstate(over="ignore"):
+            np.multiply.accumulate(
+                np.full(n - 1, _POLY_BASE, dtype=np.uint64),
+                out=powers[1:])
+
+    empty_sign = pa.table({
+        "h": pa.array([], pa.uint64()),
+        "src": pa.array([], pa.string())})
+
+    def sign(batch: pa.Table) -> pa.Table:
+        srcs = batch[group_col].to_pylist()
+        toks = [(t or "").split(" ")
+                for t in batch[text_col].to_pylist()]
+        flat = [w for ws in toks for w in ws]
+        if not flat:
+            return empty_sign
+        uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                              return_inverse=True)
+        th = md5_u64_arr(pa.array(uniq.tolist(), pa.string()))[inv]
+        hs, out_src = [], []
+        off = 0
+        for ws, src in zip(toks, srcs):
+            m = len(ws)
+            if m >= n:
+                win = np.lib.stride_tricks.sliding_window_view(
+                    th[off:off + m], n)
+                with np.errstate(over="ignore"):
+                    h = _avalanche_u64(
+                        (win * powers[None, :]).sum(axis=1,
+                                                    dtype=np.uint64))
+                hu = np.unique(h)
+                hs.append(hu)
+                out_src.extend([src] * len(hu))
+            off += m
+        if not hs:
+            return empty_sign
+        t = pa.table({"h": pa.array(np.concatenate(hs), pa.uint64()),
+                      "src": pa.array(out_src, pa.string())})
+        # batch-level dedup: same (h, src) may recur across docs
+        return t.group_by(["h", "src"]).aggregate([]) \
+            .select(["h", "src"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        p = (b["h"].combine_chunks().to_numpy(zero_copy_only=False)
+             % np.uint64(num_partitions)).astype(np.int32)
+        return b.append_column("__p", pa.array(p))
+
+    empty_pairs = pa.table({
+        "src_a": pa.array([], pa.string()),
+        "src_b": pa.array([], pa.string()),
+        "cnt": pa.array([], pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.select(["h", "src"]) \
+            .group_by(["h", "src"]).aggregate([]) \
+            .sort_by([("h", "ascending"), ("src", "ascending")])
+        hv = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(hv) == 0:
+            return empty_pairs
+        src_names, codes = np.unique(
+            np.asarray(t["src"].to_pylist(), dtype=object),
+            return_inverse=True)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(hv[1:] != hv[:-1]) + 1])
+        runlen = np.diff(np.concatenate([starts, [len(hv)]]))
+        s = len(src_names)
+        # self rows: each (h, src) adds 1 to src's distinct total
+        self_cnt = np.bincount(codes, minlength=s).astype(np.int64)
+        a_parts = [np.arange(s, dtype=np.int64)]
+        b_parts = [np.arange(s, dtype=np.int64)]
+        c_parts = [self_cnt]
+        # pair rows, vectorized per distinct run length k
+        for k in np.unique(runlen):
+            if k < 2:
+                continue
+            runs = starts[runlen == k]
+            idx = runs[:, None] + np.arange(k)[None, :]
+            mat = codes[idx]                       # (m, k) sorted rows
+            ii, jj = np.triu_indices(int(k), 1)
+            a = mat[:, ii].ravel()
+            b = mat[:, jj].ravel()
+            key, cnt = np.unique(a * s + b, return_counts=True)
+            a_parts.append((key // s).astype(np.int64))
+            b_parts.append((key % s).astype(np.int64))
+            c_parts.append(cnt.astype(np.int64))
+        a_all = np.concatenate(a_parts)
+        b_all = np.concatenate(b_parts)
+        c_all = np.concatenate(c_parts)
+        keep = c_all > 0
+        names = pa.array(src_names.tolist(), pa.string())
+        return pa.table({
+            "src_a": pc.take(names, pa.array(a_all[keep])),
+            "src_b": pc.take(names, pa.array(b_all[keep])),
+            "cnt": pa.array(c_all[keep], pa.int64())})
+
+    summed = ds.map_batches(sign, batch_format="pyarrow") \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(fold, batch_format="pyarrow") \
+        .groupby(["src_a", "src_b"]).aggregate(
+            Sum("cnt", alias_name="cnt"))
+
+    import ray
+
+    tabs = [t for t in ray.get(summed.to_arrow_refs()) if t.num_columns]
+    flat = pa.concat_tables(tabs) if tabs else pa.table({
+        "src_a": pa.array([], pa.string()),
+        "src_b": pa.array([], pa.string()),
+        "cnt": pa.array([], pa.int64())})
+    sa = np.asarray(flat["src_a"].to_pylist(), dtype=object)
+    sb = np.asarray(flat["src_b"].to_pylist(), dtype=object)
+    cv = np.asarray(flat["cnt"].to_pylist(), dtype=np.int64) \
+        if flat.num_rows else np.empty(0, dtype=np.int64)
+    totals = {a: int(c) for a, b, c in zip(sa, sb, cv) if a == b}
+    mask = sa != sb
+    order = np.lexsort((sb[mask], sa[mask])) if mask.any() else []
+    pa_, pb_, pc_ = sa[mask][order], sb[mask][order], cv[mask][order]
+    return pa.table({
+        "src_a": pa.array(pa_.tolist(), pa.string()),
+        "src_b": pa.array(pb_.tolist(), pa.string()),
+        "shared_ngrams": pa.array(pc_, pa.int64()),
+        "ngrams_a": pa.array([totals[x] for x in pa_], pa.int64()),
+        "ngrams_b": pa.array([totals[x] for x in pb_], pa.int64())})
+
+
 def edit_distance_pairs_ds(ds, col: str = "c_name",
                            num_partitions: int = 64):
     """All DISTINCT-value pairs at Levenshtein distance exactly 1 —

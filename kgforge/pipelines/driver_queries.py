@@ -191,6 +191,11 @@ def q_dup_ngrams(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]), n=8)
 
 
+def q_source_contamination(sf_dir: str):
+    return F_dedup.cross_source_contamination_ds(
+        _read(sf_dir, "documents", ["source", "text"]), n=8)
+
+
 def q_dedup_normalized(sf_dir: str):
     return F_dedup.normalized_dedup_ds(_read(sf_dir, "documents",
                                              ["doc_id", "text"]))
@@ -1908,6 +1913,7 @@ QUERIES = {
     "kg_components": q_kg_components,
     "kg_link_pred": q_kg_link_pred,
     "dup_ngrams": q_dup_ngrams,
+    "source_contamination": q_source_contamination,
     "shipping_priority": q_shipping_priority,
     "regional_revenue": q_regional_revenue,
     "cohort_retention": q_cohort_retention,
@@ -3172,4 +3178,29 @@ ORACLE_SQL["window_rank"] = """
     FROM e
     WINDOW w1 AS (PARTITION BY user_id ORDER BY vc DESC),
            w2 AS (PARTITION BY user_id ORDER BY vc DESC, event_id)
+"""
+
+ORACLE_SQL["source_contamination"] = """
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           FROM documents),
+toks AS (SELECT doc_id, source, unnest(w) AS tok,
+                unnest(generate_series(1, len(w))) AS pos FROM d),
+ng0 AS (SELECT doc_id, source,
+               string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS ng,
+               count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wlen
+        FROM toks),
+sn AS (SELECT DISTINCT source, ng FROM ng0 WHERE wlen = 8),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sn GROUP BY 1),
+pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) AS BIGINT) AS shared_ngrams
+          FROM sn a JOIN sn b ON a.ng = b.ng AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT p.src_a, p.src_b, p.shared_ngrams,
+       ta.n AS ngrams_a, tb.n AS ngrams_b
+FROM pairs p
+JOIN tot ta ON ta.source = p.src_a
+JOIN tot tb ON tb.source = p.src_b
+ORDER BY src_a, src_b
 """

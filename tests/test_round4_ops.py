@@ -273,3 +273,50 @@ def test_bloom_semi_join_exact_under_false_positives(ray_session):
                               rd.from_pandas(sright), "k", "rk", []) \
         .to_pandas()
     assert sorted(sout.k.tolist()) == sorted(sright.rk.tolist())
+
+
+def test_cross_source_contamination_matrix(ray_session):
+    """Pair cells equal a brute-force distinct-8-gram intersection per
+    source pair; totals equal per-source distinct counts; result is
+    layout-invariant (hash-partitioned fold, order fixed by the final
+    lexsort)."""
+    import ray.data as rd
+
+    from kgforge.functions.dedup import cross_source_contamination_ds
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    texts = [
+        ("A", f"a0 {span} a1 a2"),        # A shares span with B and C
+        ("B", f"{span} b0 b1 b2 b3"),
+        ("C", f"c0 c1 {span}"),
+        ("C", "u0 u1 u2 u3 u4 u5 u6 u7 u8"),  # C-only grams
+        ("D", "short doc"),               # < 8 tokens → no grams
+    ]
+    tbl = pa.table({"source": pa.array([s for s, _ in texts]),
+                    "text": pa.array([t for _, t in texts])})
+
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 8]) for i in range(len(w) - 7)}
+
+    per_src = {}
+    for s, t in texts:
+        per_src.setdefault(s, set()).update(grams(t))
+
+    for nparts in (1, 4):
+        out = cross_source_contamination_ds(
+            rd.from_arrow(tbl).repartition(nparts), n=8).to_pandas()
+        want_pairs = {}
+        for a in per_src:
+            for b in per_src:
+                if a < b and per_src[a] & per_src[b]:
+                    want_pairs[(a, b)] = len(per_src[a] & per_src[b])
+        got = {(r.src_a, r.src_b): r.shared_ngrams
+               for r in out.itertuples()}
+        assert got == want_pairs
+        for r in out.itertuples():
+            assert r.ngrams_a == len(per_src[r.src_a])
+            assert r.ngrams_b == len(per_src[r.src_b])
+        # sorted by (src_a, src_b)
+        assert out[["src_a", "src_b"]].values.tolist() == \
+            sorted(out[["src_a", "src_b"]].values.tolist())
