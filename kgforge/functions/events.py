@@ -960,6 +960,59 @@ def tier_lookup_ds(ds, id_col: str = "event_id", value_col: str = "value"):
     return ds.map_batches(lookup, batch_format="pyarrow")
 
 
+def json_field_stats_ds(ds, json_col: str = "props", field: str = "k",
+                        by: str = "event_type"):
+    """Semi-structured payload extraction + grouped aggregate: pull an
+    integer ``field`` out of a JSON-string column with ONE vectorized
+    regex kernel per batch (``pc.extract_regex`` — no per-row
+    json.loads), then count/sum/min/max per ``by`` key.  Rows where
+    the field is absent are dropped (the twin filters the same way).
+
+    Scale shape: combiner-before-shuffle — each batch collapses to at
+    most |distinct by-keys| partial rows via an Arrow group_by, so the
+    exchange carries key-cardinality rows, never events.  The regex
+    (`"field":\\s*(-?\\d+)`) is spelled identically in the SQL twin's
+    ``regexp_extract``, so parity is by construction rather than by a
+    shared JSON parser."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    pat = f'"{field}":\\s*(?P<v>-?\\d+)'
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            pc.fill_null(b[json_col], "").combine_chunks(), pattern=pat)
+        vals = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        mask = pc.is_valid(ex)
+        t = pa.table({by: pc.filter(b[by].combine_chunks(), mask),
+                      "v": pc.filter(vals, mask)})
+        g = t.group_by(by, use_threads=False).aggregate(
+            [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")])
+        return pa.table({
+            by: g[by],
+            "n": pc.cast(g["v_count"], pa.int64()),
+            f"sum_{field}": pc.cast(g["v_sum"], pa.int64()),
+            f"min_{field}": pc.cast(g["v_min"], pa.int64()),
+            f"max_{field}": pc.cast(g["v_max"], pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(by).aggregate(
+            Sum("n", alias_name="n"),
+            Sum(f"sum_{field}", alias_name=f"sum_{field}"),
+            Min(f"min_{field}", alias_name=f"min_{field}"),
+            Max(f"max_{field}", alias_name=f"max_{field}"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            by: b[by],
+            "n": pc.cast(b["n"], pa.int64()),
+            f"sum_{field}": pc.cast(b[f"sum_{field}"], pa.int64()),
+            f"min_{field}": pc.cast(b[f"min_{field}"], pa.int64()),
+            f"max_{field}": pc.cast(b[f"max_{field}"], pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def hourly_distinct_users_ds(ds, type_col: str = "event_type",
                              on: str = "ts", user_col: str = "user_id"):
     """Exact distinct-count per window — ``count(DISTINCT user)`` per

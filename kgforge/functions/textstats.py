@@ -329,6 +329,47 @@ def repetition_ratio_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
                           batch_format="pyarrow")
 
 
+def type_token_ratio(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Per-document lexical-diversity signal: whitespace-token count,
+    DISTINCT-token count and their exact integer ratio in ppm
+    (``n_types * 1_000_000 // n_tokens``) — a standard low-quality /
+    boilerplate gate (near-zero TTR = heavy repetition).  Pure map,
+    zero shuffle; split + flatten are Arrow kernels and the per-doc
+    distinct count is one global ``np.unique`` over integer token
+    codes (EXACT — no hash stands in for the token, so the SQL twin's
+    ``count(DISTINCT tok)`` matches bit-for-bit).  Tokenization is
+    ``split(' ')``, verbatim the twin's ``string_split(text, ' ')``
+    (both yield one empty token for an empty document, so n_tokens
+    ≥ 1 always)."""
+    la = pc.split_pattern(
+        pc.fill_null(batch[text_col], "").combine_chunks(), pattern=" ")
+    lens = pc.list_value_length(la).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(la).to_numpy(zero_copy_only=False)
+    if len(flat):
+        uniq, inv = np.unique(flat, return_inverse=True)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        upair = np.unique(doc_idx * len(uniq) + inv)
+        types = np.bincount(upair // len(uniq),
+                            minlength=len(lens)).astype(np.int64)
+    else:
+        types = np.zeros(len(lens), np.int64)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pa.array(lens, pa.int64()),
+        "n_types": pa.array(types, pa.int64()),
+        "ttr_ppm": pa.array(types * 1_000_000 // np.maximum(lens, 1),
+                            pa.int64())})
+
+
+def type_token_ratio_ds(ds, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: type_token_ratio(b, text_col, id_col),
+        batch_format="pyarrow")
+
+
 def token_stats_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(
         lambda b: token_stats(b, text_col, id_col), batch_format="pyarrow")

@@ -77,6 +77,16 @@ def q_token_stats(sf_dir: str):
                                        ["doc_id", "text"]))
 
 
+def q_type_token_ratio(sf_dir: str):
+    return F_text.type_token_ratio_ds(_read(sf_dir, "documents",
+                                            ["doc_id", "text"]))
+
+
+def q_json_field_stats(sf_dir: str):
+    return F_events.json_field_stats_ds(
+        _read(sf_dir, "events", ["event_type", "props"]))
+
+
 def q_quality_score(sf_dir: str):
     return F_text.quality_score_ds(_read(sf_dir, "documents",
                                          ["doc_id", "text"]))
@@ -1839,6 +1849,8 @@ QUERIES = {
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
     "token_stats": q_token_stats,
+    "type_token_ratio": q_type_token_ratio,
+    "json_field_stats": q_json_field_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -3203,4 +3215,26 @@ FROM pairs p
 JOIN tot ta ON ta.source = p.src_a
 JOIN tot tb ON tb.source = p.src_b
 ORDER BY src_a, src_b
+"""
+
+ORACLE_SQL["type_token_ratio"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+t AS (SELECT doc_id, unnest(w) AS tok FROM d)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+       CAST(count(DISTINCT tok) * 1000000 // count(*) AS BIGINT) AS ttr_ppm
+FROM t GROUP BY doc_id
+"""
+
+ORACLE_SQL["json_field_stats"] = """
+WITH x AS (SELECT event_type,
+                  CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                       AS BIGINT) AS v
+           FROM events
+           WHERE regexp_extract(props, '"k":\\s*(-?\\d+)', 1) <> '')
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_k,
+       min(v) AS min_k, max(v) AS max_k
+FROM x GROUP BY 1
 """

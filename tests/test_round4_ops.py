@@ -320,3 +320,57 @@ def test_cross_source_contamination_matrix(ray_session):
         # sorted by (src_a, src_b)
         assert out[["src_a", "src_b"]].values.tolist() == \
             sorted(out[["src_a", "src_b"]].values.tolist())
+
+
+def test_type_token_ratio_exact(ray_session):
+    """n_types is an exact distinct count (no hash stand-in) and the
+    ppm ratio uses floor integer division; empty text yields the
+    single empty token (split(' ') semantics, n_tokens=1)."""
+    import ray.data as rd
+
+    from kgforge.functions.textstats import type_token_ratio_ds
+
+    texts = ["a b a b a", "x y z", "", "q q q q", None]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = type_token_ratio_ds(rd.from_arrow(tbl).repartition(2)) \
+        .to_pandas().set_index("doc_id").sort_index()
+    for i, t in enumerate(texts):
+        toks = (t or "").split(" ")
+        assert out.loc[i, "n_tokens"] == len(toks)
+        assert out.loc[i, "n_types"] == len(set(toks))
+        assert out.loc[i, "ttr_ppm"] == \
+            len(set(toks)) * 1_000_000 // len(toks)
+
+
+def test_json_field_stats_matches_json_loads(ray_session):
+    """Regex extraction agrees with a real JSON parse on well-formed
+    payloads; rows without the field are dropped; partials merge
+    across partitions (Sum/Min/Max are layout-invariant)."""
+    import json
+
+    import ray.data as rd
+
+    from kgforge.functions.events import json_field_stats_ds
+
+    props = [json.dumps({"k": v}) for v in (-5, 0, 7, 7, 123)] + \
+        ['{"other": 1}', None]
+    types = ["a", "a", "b", "b", "b", "a", "b"]
+    tbl = pa.table({"event_type": pa.array(types, pa.string()),
+                    "props": pa.array(props, pa.string())})
+    for nparts in (1, 3):
+        out = json_field_stats_ds(rd.from_arrow(tbl).repartition(nparts)) \
+            .to_pandas().set_index("event_type").sort_index()
+        want = {}
+        for t, p in zip(types, props):
+            if p is None:
+                continue
+            d = json.loads(p)
+            if "k" in d:
+                want.setdefault(t, []).append(d["k"])
+        assert set(out.index) == set(want)
+        for t, vs in want.items():
+            assert out.loc[t, "n"] == len(vs)
+            assert out.loc[t, "sum_k"] == sum(vs)
+            assert out.loc[t, "min_k"] == min(vs)
+            assert out.loc[t, "max_k"] == max(vs)
