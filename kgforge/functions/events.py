@@ -1013,6 +1013,65 @@ def json_field_stats_ds(ds, json_col: str = "props", field: str = "k",
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def rank_transform_ds(ds, value_col: str = "value",
+                      id_col: str = "event_id"):
+    """Exact global rank normalization of a numeric column — for each
+    row, ``rank_lt`` = number of rows with a STRICTLY smaller value
+    and ``pct_ppm = rank_lt * 1_000_000 // (n - 1)`` (percent_rank in
+    exact integer ppm) — the quantile/rank feature transform used to
+    make heavy-tailed signals comparable before thresholding, with no
+    float in sight until the caller divides.
+
+    Scale shape: no global sort — per-batch (cents → count) partials,
+    one groupby over DISTINCT values (domain-bounded: the histogram is
+    ≤ |value domain| rows regardless of corpus size; an unbounded
+    domain should go through the KLL sketch lane instead), a tiny
+    driver cumsum, then ONE broadcast (`ray.put`) of the sorted
+    (values, rank_lt) arrays and a searchsorted map pass.  Rows move
+    zero times."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def counts_partial(b: pa.Table) -> pa.Table:
+        cents = round_away(
+            b[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100, 0).astype(np.int64)
+        t = pa.table({"vc": pa.array(cents, pa.int64())})
+        g = t.group_by(["vc"], use_threads=False).aggregate(
+            [("vc", "count")])
+        return pa.table({"vc": g["vc"],
+                         "cnt": pc.cast(g["vc_count"], pa.int64())})
+
+    hist = ds.map_batches(counts_partial, batch_format="pyarrow") \
+        .groupby("vc").aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas()
+    hist = hist.sort_values("vc")
+    vals = hist["vc"].to_numpy(dtype=np.int64)
+    cnts = hist["cnt"].to_numpy(dtype=np.int64)
+    n = int(cnts.sum())
+    rank_lt = np.concatenate([[0], np.cumsum(cnts)[:-1]]) \
+        if len(cnts) else np.empty(0, np.int64)
+    denom = max(n - 1, 1)
+    ref = ray.put((vals, rank_lt))
+
+    def apply(b: pa.Table) -> pa.Table:
+        v, r = ray.get(ref)
+        cents = round_away(
+            b[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+            * 100, 0).astype(np.int64)
+        rk = r[np.searchsorted(v, cents)]
+        return pa.table({
+            id_col: b[id_col],
+            "value_cents": pa.array(cents, pa.int64()),
+            "rank_lt": pa.array(rk, pa.int64()),
+            "pct_ppm": pa.array(rk * 1_000_000 // denom, pa.int64())})
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 def hourly_distinct_users_ds(ds, type_col: str = "event_type",
                              on: str = "ts", user_col: str = "user_id"):
     """Exact distinct-count per window — ``count(DISTINCT user)`` per

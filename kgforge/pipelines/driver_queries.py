@@ -87,6 +87,11 @@ def q_json_field_stats(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "props"]))
 
 
+def q_rank_transform(sf_dir: str):
+    return F_events.rank_transform_ds(
+        _read(sf_dir, "events", ["event_id", "value"]))
+
+
 def q_quality_score(sf_dir: str):
     return F_text.quality_score_ds(_read(sf_dir, "documents",
                                          ["doc_id", "text"]))
@@ -1851,6 +1856,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "type_token_ratio": q_type_token_ratio,
     "json_field_stats": q_json_field_stats,
+    "rank_transform": q_rank_transform,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -3237,4 +3243,15 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(v) AS BIGINT) AS sum_k,
        min(v) AS min_k, max(v) AS max_k
 FROM x GROUP BY 1
+"""
+
+ORACLE_SQL["rank_transform"] = """
+WITH e AS (SELECT event_id,
+                  CAST(round(value * 100) AS BIGINT) AS value_cents
+           FROM events)
+SELECT event_id, value_cents,
+       CAST(rank() OVER (ORDER BY value_cents) - 1 AS BIGINT) AS rank_lt,
+       CAST((rank() OVER (ORDER BY value_cents) - 1) * 1000000
+            // (count(*) OVER () - 1) AS BIGINT) AS pct_ppm
+FROM e
 """

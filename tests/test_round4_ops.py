@@ -374,3 +374,26 @@ def test_json_field_stats_matches_json_loads(ray_session):
             assert out.loc[t, "sum_k"] == sum(vs)
             assert out.loc[t, "min_k"] == min(vs)
             assert out.loc[t, "max_k"] == max(vs)
+
+
+def test_rank_transform_exact_and_layout_invariant(ray_session):
+    """rank_lt equals the brute-force strict-smaller count (ties share
+    a rank) and the broadcast histogram plan is partition-independent."""
+    import ray.data as rd
+
+    from kgforge.functions.events import rank_transform_ds
+
+    rng = np.random.RandomState(11)
+    vals = np.round(rng.uniform(0, 50, 400), 2)
+    vals[::7] = vals[0]                       # force ties
+    tbl = pa.table({"event_id": pa.array(range(400), pa.int64()),
+                    "value": pa.array(vals, pa.float64())})
+    cents = np.round(vals * 100).astype(np.int64)
+    want_rank = np.array([(cents < c).sum() for c in cents])
+    for nparts in (1, 5):
+        out = rank_transform_ds(rd.from_arrow(tbl).repartition(nparts)) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        assert (out.rank_lt.to_numpy() == want_rank).all()
+        assert (out.value_cents.to_numpy() == cents).all()
+        assert (out.pct_ppm.to_numpy() ==
+                want_rank * 1_000_000 // 399).all()
