@@ -1120,6 +1120,350 @@ def cross_source_contamination_ds(ds, text_col: str = "text",
         "ngrams_b": pa.array([totals[x] for x in pb_], pa.int64())})
 
 
+def setsim_join_ds(ds, text_col: str = "text", id_col: str = "doc_id",
+                   n: int = 8, tau_ppm: int = 300_000,
+                   num_partitions: int = 64):
+    """EXACT set-similarity self-join (Bayardo et al. "Scaling Up All
+    Pairs" / PPJoin prefix filtering): all document pairs whose
+    word-``n``-gram SETS have Jaccard ≥ ``tau_ppm``/1e6, with exact
+    integer intersection/union — the verification-grade complement to
+    the probabilistic minhash/simhash lanes.  Output ``(doc_a, doc_b,
+    inter, un, jacc_ppm)``, doc_a < doc_b.
+
+    Prefix-filter completeness: order every doc's grams by a GLOBAL
+    (df, hash) rare-first order and keep the first
+    ``p = m - ceil(tau*m) + 1`` as its prefix.  If J(A,B) ≥ tau then
+    the smallest shared gram c has < ceil(tau*m_A) non-shared grams of
+    A before it, so c sits inside BOTH prefixes and the pair surfaces
+    in c's bucket — no qualifying pair is pruned.
+
+    Scale shape: text never travels.  (1) one map emits per-doc
+    DISTINCT gram-hash rows (doc, h, m); (2) df attaches in an h-hash
+    partition (df is global there by construction); (3) a doc-hash
+    partition sorts each doc's run by (df, h) and flags prefixes —
+    materialized once, consumed three times; (4) candidates form in
+    PREFIX-gram buckets (rare grams → small buckets), pair partials
+    vectorized per run length, then dedup in a pair-hash partition;
+    (5) verification expands each candidate by its two signatures via
+    two doc-keyed cogroups and counts (pair, h) rows seen on both
+    sides with one np.unique per partition — no per-pair Python loop.
+    Every exchange carries (doc, distinct-gram-hash) rows or
+    candidate-pair rows; the u64 gram hash stands in for the gram
+    string (same collision contract as ``dup_ngram_stats_ds``)."""
+    from kgforge.common.hashing import md5_u64_arr
+    from kgforge.functions.joins import _part_codes
+
+    powers = np.empty(n, dtype=np.uint64)
+    powers[0] = 1
+    if n > 1:
+        with np.errstate(over="ignore"):
+            np.multiply.accumulate(
+                np.full(n - 1, _POLY_BASE, dtype=np.uint64),
+                out=powers[1:])
+
+    empty_sign = pa.table({
+        id_col: pa.array([], pa.int64()),
+        "h": pa.array([], pa.uint64()),
+        "m": pa.array([], pa.int64())})
+
+    def sign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        toks = [(t or "").split(" ")
+                for t in batch[text_col].to_pylist()]
+        flat = [w for ws in toks for w in ws]
+        if not flat:
+            return empty_sign
+        uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                              return_inverse=True)
+        th = md5_u64_arr(pa.array(uniq.tolist(), pa.string()))[inv]
+        out_id, out_h, out_m = [], [], []
+        off = 0
+        for did, ws in zip(ids, toks):
+            mm = len(ws)
+            if mm >= n:
+                win = np.lib.stride_tricks.sliding_window_view(
+                    th[off:off + mm], n)
+                with np.errstate(over="ignore"):
+                    h = _avalanche_u64(
+                        (win * powers[None, :]).sum(axis=1,
+                                                    dtype=np.uint64))
+                hu = np.unique(h)
+                out_h.append(hu)
+                out_id.append(np.full(len(hu), did, dtype=np.int64))
+                out_m.append(np.full(len(hu), len(hu), dtype=np.int64))
+            off += mm
+        if not out_h:
+            return empty_sign
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "h": pa.array(np.concatenate(out_h), pa.uint64()),
+            "m": pa.array(np.concatenate(out_m), pa.int64())})
+
+    def tag_h(b: pa.Table) -> pa.Table:
+        p = (b["h"].combine_chunks().to_numpy(zero_copy_only=False)
+             % np.uint64(num_partitions)).astype(np.int32)
+        return b.append_column("__p", pa.array(p))
+
+    def attach_df(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("h", "ascending")])
+        hv = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(hv) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "h": pa.array([], pa.uint64()),
+                             "m": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        starts = np.concatenate(
+            [[0], np.flatnonzero(hv[1:] != hv[:-1]) + 1])
+        runlen = np.diff(np.concatenate([starts, [len(hv)]]))
+        df = np.repeat(runlen, runlen).astype(np.int64)
+        return pa.table({id_col: t[id_col], "h": t["h"],
+                         "m": t["m"], "df": pa.array(df, pa.int64())})
+
+    def tag_doc(b: pa.Table) -> pa.Table:
+        b = b.drop_columns(["__p"]) if "__p" in b.column_names else b
+        return b.append_column("__p", pa.array(
+            _part_codes(b[id_col], num_partitions)))
+
+    def flag_prefix(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(id_col, "ascending"), ("df", "ascending"),
+                       ("h", "ascending")])
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "h": pa.array([], pa.uint64()),
+                             "m": pa.array([], pa.int64()),
+                             "pref": pa.array([], pa.bool_())})
+        m = t["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(ids[1:] != ids[:-1]) + 1])
+        runlen = np.diff(np.concatenate([starts, [len(ids)]]))
+        pos = np.arange(len(ids)) - np.repeat(starts, runlen)
+        need = (tau_ppm * m + 999_999) // 1_000_000    # ceil(tau*m)
+        pref = pos < (m - need + 1)
+        return pa.table({id_col: t[id_col], "h": t["h"], "m": t["m"],
+                         "pref": pa.array(pref, pa.bool_())})
+
+    sig = ds.map_batches(sign, batch_format="pyarrow") \
+        .map_batches(tag_h, batch_format="pyarrow") \
+        .groupby("__p").map_groups(attach_df, batch_format="pyarrow") \
+        .map_batches(tag_doc, batch_format="pyarrow") \
+        .groupby("__p").map_groups(flag_prefix, batch_format="pyarrow") \
+        .materialize()          # consumed 3×: candidates + both sides
+
+    empty_cand = pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+        "m_a": pa.array([], pa.int64()), "m_b": pa.array([], pa.int64())})
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("h", "ascending"), (id_col, "ascending")])
+        hv = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(hv) == 0:
+            return empty_cand
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        m = t["m"].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(hv[1:] != hv[:-1]) + 1])
+        runlen = np.diff(np.concatenate([starts, [len(hv)]]))
+        outs = []
+        for k in np.unique(runlen):
+            if k < 2:
+                continue
+            runs = starts[runlen == k]
+            idx = runs[:, None] + np.arange(k)[None, :]
+            ii, jj = np.triu_indices(int(k), 1)
+            outs.append((ids[idx][:, ii].ravel(), ids[idx][:, jj].ravel(),
+                         m[idx][:, ii].ravel(), m[idx][:, jj].ravel()))
+        if not outs:
+            return empty_cand
+        a = np.concatenate([o[0] for o in outs])
+        b = np.concatenate([o[1] for o in outs])
+        ma = np.concatenate([o[2] for o in outs])
+        mb = np.concatenate([o[3] for o in outs])
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "m_a": pa.array(ma, pa.int64()),
+                         "m_b": pa.array(mb, pa.int64())})
+
+    def tag_pair(b: pa.Table) -> pa.Table:
+        a = b["a"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        bb = b["b"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        key = _avalanche_u64(a * np.uint64(0x9E3779B97F4A7C15) + bb)
+        return b.append_column("__p", pa.array(
+            (key % np.uint64(num_partitions)).astype(np.int32)))
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("a", "ascending"), ("b", "ascending")])
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return empty_cand
+        keep = np.concatenate(
+            [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        return t.select(["a", "b", "m_a", "m_b"]) \
+            .take(pa.array(np.flatnonzero(keep)))
+
+    cands = sig.map_batches(
+            lambda b: b.filter(b["pref"].combine_chunks()),
+            batch_format="pyarrow") \
+        .map_batches(tag_h, batch_format="pyarrow") \
+        .groupby("__p").map_groups(bucket_pairs, batch_format="pyarrow") \
+        .map_batches(tag_pair, batch_format="pyarrow") \
+        .groupby("__p").map_groups(dedup_pairs, batch_format="pyarrow") \
+        .materialize()          # consumed 3×: two expansions + meta
+
+    def expand_side(side_col: str):
+        """Cogroup candidates (keyed by ``side_col``) with signatures
+        (keyed by doc) and emit one (a, b, h) row per signature gram
+        of that side — pure index math, no per-pair loop."""
+        def tag_c(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "a": b["a"], "b": b["b"],
+                "d": b[side_col],
+                "h": pa.nulls(b.num_rows, pa.uint64()),
+                "s": pa.array(np.zeros(b.num_rows, np.int8)),
+                "__p": pa.array(_part_codes(b[side_col],
+                                            num_partitions))})
+
+        def tag_s(b: pa.Table) -> pa.Table:
+            z = pa.nulls(b.num_rows, pa.int64())
+            return pa.table({
+                "a": z, "b": z, "d": b[id_col], "h": b["h"],
+                "s": pa.array(np.ones(b.num_rows, np.int8)),
+                "__p": pa.array(_part_codes(b[id_col],
+                                            num_partitions))})
+
+        def emit(t: pa.Table) -> pa.Table:
+            s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = t["d"].combine_chunks().to_numpy(zero_copy_only=False)
+            empty = pa.table({
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "h": pa.array([], pa.uint64())})
+            ci = np.flatnonzero(s == 0)
+            si = np.flatnonzero(s == 1)
+            if ci.size == 0 or si.size == 0:
+                return empty
+            # fill_null BEFORE to_numpy: a nullable u64/i64 column
+            # otherwise converts to float64 and loses hash precision
+            hs = pc.fill_null(t["h"].combine_chunks(), 0) \
+                .to_numpy(zero_copy_only=False)
+            order = np.argsort(d[si], kind="stable")
+            sd, sh = d[si][order], hs[si][order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(sd[1:] != sd[:-1]) + 1])
+            run_doc = sd[starts]
+            runlen = np.diff(np.concatenate([starts, [len(sd)]]))
+            j = np.searchsorted(run_doc, d[ci])
+            ok = (j < len(run_doc)) & (run_doc[np.minimum(
+                j, len(run_doc) - 1)] == d[ci])
+            ci, j = ci[ok], j[ok]
+            L = runlen[j]
+            tot = int(L.sum())
+            if tot == 0:
+                return empty
+            base = np.repeat(starts[j], L)
+            cum = np.concatenate([[0], np.cumsum(L)[:-1]])
+            within = np.arange(tot) - np.repeat(cum, L)
+            gather = base + within
+            av = pc.fill_null(t["a"].combine_chunks(), 0) \
+                .to_numpy(zero_copy_only=False)
+            bv = pc.fill_null(t["b"].combine_chunks(), 0) \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({
+                "a": pa.array(np.repeat(av[ci], L).astype(np.int64)),
+                "b": pa.array(np.repeat(bv[ci], L).astype(np.int64)),
+                "h": pa.array(sh[gather], pa.uint64())})
+
+        return cands.map_batches(tag_c, batch_format="pyarrow") \
+            .union(sig.map_batches(tag_s, batch_format="pyarrow")) \
+            .groupby("__p").map_groups(emit, batch_format="pyarrow")
+
+    def tag_meta(b: pa.Table) -> pa.Table:
+        t = tag_pair(b)
+        return pa.table({
+            "a": t["a"], "b": t["b"],
+            "h": pa.nulls(t.num_rows, pa.uint64()),
+            "m_a": t["m_a"], "m_b": t["m_b"], "__p": t["__p"]})
+
+    def tag_exp(b: pa.Table) -> pa.Table:
+        t = tag_pair(b)
+        z = pa.nulls(t.num_rows, pa.int64())
+        return pa.table({"a": t["a"], "b": t["b"], "h": t["h"],
+                         "m_a": z, "m_b": z, "__p": t["__p"]})
+
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "un": pa.array([], pa.int64()),
+            "jacc_ppm": pa.array([], pa.int64())})
+        is_meta = t["m_a"].combine_chunks().is_valid() \
+            .to_numpy(zero_copy_only=False)
+        meta = np.flatnonzero(is_meta)
+        if meta.size == 0:
+            return empty
+        a = pc.fill_null(t["a"].combine_chunks(), 0) \
+            .to_numpy(zero_copy_only=False)
+        b = pc.fill_null(t["b"].combine_chunks(), 0) \
+            .to_numpy(zero_copy_only=False)
+        exp = np.flatnonzero(~is_meta)
+        # inter per pair: each (a, b, h) row appears once per side of
+        # the expansion, so a count of 2 means the gram is shared
+        if exp.size:
+            hs = pc.fill_null(t["h"].combine_chunks(), 0) \
+                .to_numpy(zero_copy_only=False)[exp] \
+                .view(np.int64)
+            key = np.stack([a[exp], b[exp], hs], axis=1)
+            ukey, cnt = np.unique(key, axis=0, return_counts=True)
+            shared = ukey[cnt == 2][:, :2]
+            if shared.shape[0]:
+                pkey, pcnt = np.unique(shared, axis=0,
+                                       return_counts=True)
+            else:
+                pkey = np.empty((0, 2), np.int64)
+                pcnt = np.empty(0, np.int64)
+        else:
+            pkey = np.empty((0, 2), np.int64)
+            pcnt = np.empty(0, np.int64)
+        am, bm = a[meta], b[meta]
+        mam = pc.fill_null(t["m_a"].combine_chunks(), 0) \
+            .to_numpy(zero_copy_only=False)[meta].astype(np.int64)
+        mbm = pc.fill_null(t["m_b"].combine_chunks(), 0) \
+            .to_numpy(zero_copy_only=False)[meta].astype(np.int64)
+        inter = np.zeros(meta.size, np.int64)
+        if pkey.shape[0]:
+            # vectorized (a, b) match: shared pairs are a subset of
+            # the deduped meta pairs, so unique-row codes line up
+            allp = np.concatenate(
+                [np.stack([am, bm], axis=1), pkey], axis=0)
+            _, inv = np.unique(allp, axis=0, return_inverse=True)
+            mcode, scode = inv[:meta.size], inv[meta.size:]
+            order = np.argsort(mcode)
+            pos = np.searchsorted(mcode[order], scode)
+            inter[order[pos]] = pcnt
+        un = mam + mbm - inter
+        keep = inter * 1_000_000 >= tau_ppm * un
+        if not keep.any():
+            return empty
+        jacc = inter[keep] * 1_000_000 // un[keep]
+        return pa.table({
+            "doc_a": pa.array(am[keep], pa.int64()),
+            "doc_b": pa.array(bm[keep], pa.int64()),
+            "inter": pa.array(inter[keep], pa.int64()),
+            "un": pa.array(un[keep], pa.int64()),
+            "jacc_ppm": pa.array(jacc, pa.int64())})
+
+    return cands.map_batches(tag_meta, batch_format="pyarrow") \
+        .union(expand_side("a").map_batches(tag_exp,
+                                            batch_format="pyarrow")) \
+        .union(expand_side("b").map_batches(tag_exp,
+                                            batch_format="pyarrow")) \
+        .groupby("__p").map_groups(verify, batch_format="pyarrow")
+
+
 def edit_distance_pairs_ds(ds, col: str = "c_name",
                            num_partitions: int = 64):
     """All DISTINCT-value pairs at Levenshtein distance exactly 1 —

@@ -211,6 +211,12 @@ def q_source_contamination(sf_dir: str):
         _read(sf_dir, "documents", ["source", "text"]), n=8)
 
 
+def q_setsim_join(sf_dir: str):
+    return F_dedup.setsim_join_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        n=8, tau_ppm=300_000)
+
+
 def q_dedup_normalized(sf_dir: str):
     return F_dedup.normalized_dedup_ds(_read(sf_dir, "documents",
                                              ["doc_id", "text"]))
@@ -1932,6 +1938,7 @@ QUERIES = {
     "kg_link_pred": q_kg_link_pred,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
+    "setsim_join": q_setsim_join,
     "shipping_priority": q_shipping_priority,
     "regional_revenue": q_regional_revenue,
     "cohort_retention": q_cohort_retention,
@@ -3254,4 +3261,29 @@ SELECT event_id, value_cents,
        CAST((rank() OVER (ORDER BY value_cents) - 1) * 1000000
             // (count(*) OVER () - 1) AS BIGINT) AS pct_ppm
 FROM e
+"""
+
+ORACLE_SQL["setsim_join"] = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+toks AS (SELECT doc_id, unnest(w) AS tok,
+                unnest(generate_series(1, len(w))) AS pos FROM d),
+ng0 AS (SELECT doc_id,
+               string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS ng,
+               count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wlen
+        FROM toks),
+t AS (SELECT DISTINCT doc_id, ng FROM ng0 WHERE wlen = 8),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM t GROUP BY 1),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM t a JOIN t b ON a.ng = b.ng AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       sa.m + sb.m - inter AS un,
+       CAST(inter * 1000000 // (sa.m + sb.m - inter) AS BIGINT)
+           AS jacc_ppm
+FROM i JOIN sz sa ON sa.doc_id = i.doc_a
+       JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE inter * 1000000 >= 300000 * (sa.m + sb.m - inter)
 """

@@ -397,3 +397,48 @@ def test_rank_transform_exact_and_layout_invariant(ray_session):
         assert (out.value_cents.to_numpy() == cents).all()
         assert (out.pct_ppm.to_numpy() ==
                 want_rank * 1_000_000 // 399).all()
+
+
+def test_setsim_join_exact_vs_bruteforce(ray_session):
+    """Prefix-filtered join returns EXACTLY the brute-force Jaccard-
+    threshold pairs with exact inter/union, across layouts and at a
+    threshold low enough that prefixes are short (stress pruning)."""
+    import ray.data as rd
+
+    from kgforge.functions.dedup import setsim_join_ds
+
+    rng = np.random.RandomState(3)
+    vocab = [f"t{i}" for i in range(50)]
+    base = [vocab[i] for i in rng.randint(0, 50, 40)]
+    texts = []
+    for i in range(12):
+        words = list(base)
+        for _ in range(rng.randint(0, 25)):     # mutate
+            words[rng.randint(0, 40)] = vocab[rng.randint(0, 50)]
+        texts.append(" ".join(words))
+    texts.append(" ".join(vocab[i] for i in rng.randint(0, 50, 6)))
+
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 8]) for i in range(len(w) - 7)}
+
+    gs = [grams(t) for t in texts]
+    tau = 200_000
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            it = len(gs[i] & gs[j])
+            un = len(gs[i] | gs[j])
+            if un and it * 1_000_000 >= tau * un:
+                want[(i, j)] = (it, un)
+
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    for nparts in (1, 4):
+        out = setsim_join_ds(rd.from_arrow(tbl).repartition(nparts),
+                             n=8, tau_ppm=tau).to_pandas()
+        got = {(r.doc_a, r.doc_b): (r.inter, r.un)
+               for r in out.itertuples()}
+        assert got == want
+        for r in out.itertuples():
+            assert r.jacc_ppm == r.inter * 1_000_000 // r.un
