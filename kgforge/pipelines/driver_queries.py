@@ -87,6 +87,75 @@ def q_json_field_stats(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "props"]))
 
 
+def q_part_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size)
+    over parts that survive two predicates, minus a supplier
+    blacklist.  Composition of standalone operators: per-batch
+    distinct combiner + one pair-keyed distinct exchange (distinct
+    (part, supp) pairs move, never lineitem rows), predicates pushed
+    into the part scan, one hash-partition equi-join, a BROADCAST
+    anti-filter (the blacklist is predicate-bounded and collected
+    once, `ray.put` + searchsorted per batch — no shuffle), then a
+    key-cardinality distinct + count."""
+    import pyarrow.dataset as pads
+    import ray
+    from ray.data.aggregate import Count
+
+    from kgforge.functions.joins import shuffle_join_ds
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pre_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_partkey", "l_suppkey"],
+                          use_threads=False).aggregate([])
+
+    pairs = li.map_batches(pre_distinct, batch_format="pyarrow") \
+        .groupby(["l_partkey", "l_suppkey"]) \
+        .aggregate(Count(alias_name="__c")) \
+        .map_batches(lambda b: b.select(["l_partkey", "l_suppkey"]),
+                     batch_format="pyarrow")
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"],
+                 row_filter=((pads.field("p_brand") != "Brand#13") &
+                             (pads.field("p_type") != "PROMO")))
+
+    black = np.sort(_read(sf_dir, "supplier", ["s_suppkey"],
+                          row_filter=pads.field("s_acctbal") < 1000.0)
+                    .to_pandas()["s_suppkey"].to_numpy(dtype=np.int64))
+    ref = ray.put(black)
+
+    joined = shuffle_join_ds(pairs, part, "l_partkey", "p_partkey",
+                             ["l_suppkey"],
+                             ["p_brand", "p_type", "p_size"], "inner")
+
+    def anti(b: pa.Table) -> pa.Table:
+        bl = ray.get(ref)
+        sk = b["l_suppkey"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        if len(bl) == 0:
+            return b
+        j = np.searchsorted(bl, sk)
+        hit = (j < len(bl)) & (bl[np.minimum(j, len(bl) - 1)] == sk)
+        return b.filter(pa.array(~hit))
+
+    dist = joined.map_batches(anti, batch_format="pyarrow") \
+        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+        .aggregate(Count(alias_name="__c")) \
+        .map_batches(lambda b: b.select(["p_brand", "p_type", "p_size"]),
+                     batch_format="pyarrow")
+    out = dist.groupby(["p_brand", "p_type", "p_size"]) \
+        .aggregate(Count(alias_name="supplier_cnt"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": b["p_brand"], "p_type": b["p_type"],
+            "p_size": pc.cast(b["p_size"], pa.int64()),
+            "supplier_cnt": pc.cast(b["supplier_cnt"], pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_rank_transform(sf_dir: str):
     return F_events.rank_transform_ds(
         _read(sf_dir, "events", ["event_id", "value"]))
@@ -1863,6 +1932,7 @@ QUERIES = {
     "type_token_ratio": q_type_token_ratio,
     "json_field_stats": q_json_field_stats,
     "rank_transform": q_rank_transform,
+    "part_supplier_counts": q_part_supplier_counts,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -3286,4 +3356,16 @@ SELECT doc_a, doc_b, inter,
 FROM i JOIN sz sa ON sa.doc_id = i.doc_a
        JOIN sz sb ON sb.doc_id = i.doc_b
 WHERE inter * 1000000 >= 300000 * (sa.m + sb.m - inter)
+"""
+
+ORACLE_SQL["part_supplier_counts"] = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part, lineitem
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#13'
+  AND p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 1000)
+GROUP BY 1, 2, 3
 """
