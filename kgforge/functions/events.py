@@ -1013,6 +1013,84 @@ def json_field_stats_ds(ds, json_col: str = "props", field: str = "k",
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def group_regression_ds(ds, by: str = "event_type",
+                        json_col: str = "props", field: str = "k",
+                        y_col: str = "value"):
+    """Grouped EXACT least-squares slope: per key, the OLS slope of
+    y-cents on an integer x extracted from a JSON payload, reported as
+    the exact integer pair ``slope_num = n·Σxy − Σx·Σy`` /
+    ``slope_den = n·Σx² − (Σx)²`` plus ``slope_ppm`` (scaled integer
+    quotient, truncated toward zero — DuckDB ``//`` semantics, NOT
+    Python floor).  No float enters until the caller divides.
+
+    Scale shape: one pass of per-batch integer moment partials
+    (n, Σx, Σy, Σxy, Σx²) per key — five int64 sums, combiner before
+    the key-cardinality exchange.  The final quotient runs over the
+    AGGREGATED table (≤ |keys| rows) in exact Python ints, so
+    ``slope_num · 1e6`` cannot overflow int64 mid-stream; int64 moment
+    partials themselves bound the domain (document/x·y ranges) — swap
+    the partials to object-dtype Python ints for 128-bit inputs."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    pat = f'"{field}":\\s*(?P<v>-?\\d+)'
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            pc.fill_null(b[json_col], "").combine_chunks(), pattern=pat)
+        xv = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        mask = pc.is_valid(ex)
+        x = pc.filter(xv, mask).to_numpy(zero_copy_only=False)
+        y = round_away(
+            pc.filter(b[y_col].combine_chunks(), mask)
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        t = pa.table({
+            by: pc.filter(b[by].combine_chunks(), mask),
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxy": pa.array(x * y), "sxx": pa.array(x * x)})
+        return t.group_by(by, use_threads=False).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")])
+
+    agg = ds.map_batches(
+        lambda b: partial(b).rename_columns(
+            [by, "n", "sx", "sy", "sxy", "sxx"]),
+        batch_format="pyarrow") \
+        .groupby(by).aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_pylist()
+        sx = b["sx"].to_pylist()
+        sy = b["sy"].to_pylist()
+        sxy = b["sxy"].to_pylist()
+        sxx = b["sxx"].to_pylist()
+        num, den, ppm = [], [], []
+        for i in range(len(n)):
+            nu = n[i] * sxy[i] - sx[i] * sy[i]     # exact Python ints
+            de = n[i] * sxx[i] - sx[i] * sx[i]
+            num.append(nu)
+            den.append(de)
+            if de == 0:
+                ppm.append(0)
+            else:
+                q = abs(nu) * 1_000_000 // abs(de)  # truncate-to-zero
+                ppm.append(q if (nu >= 0) == (de >= 0) else -q)
+        return pa.table({
+            by: b[by],
+            "n": pc.cast(b["n"], pa.int64()),
+            "slope_num": pa.array(num, pa.int64()),
+            "slope_den": pa.array(den, pa.int64()),
+            "slope_ppm": pa.array(ppm, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def rank_transform_ds(ds, value_col: str = "value",
                       id_col: str = "event_id"):
     """Exact global rank normalization of a numeric column — for each

@@ -87,6 +87,11 @@ def q_json_field_stats(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "props"]))
 
 
+def q_group_regression(sf_dir: str):
+    return F_events.group_regression_ds(
+        _read(sf_dir, "events", ["event_type", "props", "value"]))
+
+
 def q_part_supplier_counts(sf_dir: str):
     """TPC-H Q16 shape: distinct suppliers per (brand, type, size)
     over parts that survive two predicates, minus a supplier
@@ -1933,6 +1938,7 @@ QUERIES = {
     "json_field_stats": q_json_field_stats,
     "rank_transform": q_rank_transform,
     "part_supplier_counts": q_part_supplier_counts,
+    "group_regression": q_group_regression,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -3368,4 +3374,25 @@ WHERE p_partkey = l_partkey
   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                         WHERE s_acctbal < 1000)
 GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["group_regression"] = """
+WITH x AS (SELECT event_type,
+                  CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                       AS BIGINT) AS xv,
+                  CAST(round(value * 100) AS BIGINT) AS yv
+           FROM events
+           WHERE regexp_extract(props, '"k":\\s*(-?\\d+)', 1) <> '')
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * sum(xv * yv) - sum(xv) * sum(yv) AS BIGINT)
+           AS slope_num,
+       CAST(count(*) * sum(xv * xv) - sum(xv) * sum(xv) AS BIGINT)
+           AS slope_den,
+       CAST(CASE WHEN count(*) * sum(xv * xv) - sum(xv) * sum(xv) = 0
+                 THEN 0
+                 ELSE (count(*) * sum(xv * yv) - sum(xv) * sum(yv))
+                      * 1000000
+                      // (count(*) * sum(xv * xv) - sum(xv) * sum(xv))
+            END AS BIGINT) AS slope_ppm
+FROM x GROUP BY 1
 """

@@ -442,3 +442,42 @@ def test_setsim_join_exact_vs_bruteforce(ray_session):
         assert got == want
         for r in out.itertuples():
             assert r.jacc_ppm == r.inter * 1_000_000 // r.un
+
+
+def test_group_regression_exact_slope(ray_session):
+    """Moment partials merge across layouts; slope num/den equal the
+    textbook integers; ppm uses truncate-toward-zero (DuckDB //)."""
+    import json
+
+    import ray.data as rd
+
+    from kgforge.functions.events import group_regression_ds
+
+    rng = np.random.RandomState(7)
+    xs = rng.randint(-20, 100, 300)
+    # y correlates negatively for group a, positively for b
+    types = np.where(np.arange(300) % 2 == 0, "a", "b")
+    y = np.where(types == "a", 50.0 - 0.8 * xs, 3.0 + 1.3 * xs) \
+        + rng.uniform(-1, 1, 300)
+    tbl = pa.table({
+        "event_type": pa.array(types.tolist(), pa.string()),
+        "props": pa.array([json.dumps({"k": int(v)}) for v in xs]),
+        "value": pa.array(np.round(y, 2), pa.float64())})
+    for nparts in (1, 4):
+        out = group_regression_ds(rd.from_arrow(tbl)
+                                  .repartition(nparts)) \
+            .to_pandas().set_index("event_type").sort_index()
+        for t in ("a", "b"):
+            m = types == t
+            xi = xs[m].astype(object)          # exact Python ints
+            yi = np.round(np.round(y[m], 2) * 100).astype(np.int64) \
+                .astype(object)
+            n = int(m.sum())
+            nu = n * int((xi * yi).sum()) - int(xi.sum()) * int(yi.sum())
+            de = n * int((xi * xi).sum()) - int(xi.sum()) ** 2
+            assert out.loc[t, "slope_num"] == nu
+            assert out.loc[t, "slope_den"] == de
+            q = abs(nu) * 1_000_000 // abs(de)
+            assert out.loc[t, "slope_ppm"] == \
+                (q if (nu >= 0) == (de >= 0) else -q)
+            assert (out.loc[t, "slope_ppm"] < 0) == (t == "a")
