@@ -302,6 +302,58 @@ def set_op_ds(left_ds, right_ds, on_left: str, on_right: str,
     return cogroup_partition_ds(l, r, on_left, on_right, pick, [], [],
                                 num_partitions=num_partitions)
 
+def orphan_audit_ds(child_ds, child_key: str, parent_ds,
+                    parent_key: str, num_partitions: int = 64):
+    """Referential-integrity audit for one FK relation: per hash
+    partition, one partial row ``(n_rows, n_keys, orphan_rows,
+    orphan_keys)`` counting child rows/keys whose key has no parent.
+    The caller sums the ≤ P partials (a tiny driver fold).
+
+    Scale shape: child rows collapse to per-batch ``(key, cnt)``
+    partials and the parent to distinct keys before the ONE cogroup
+    exchange — the shuffle carries key-cardinality rows of both
+    sides, never child rows; the per-partition audit is pure cumsum
+    index math over the run layout."""
+    def child_partial(b: pa.Table) -> pa.Table:
+        g = b.select([child_key]).group_by([child_key],
+                                           use_threads=False) \
+            .aggregate([(child_key, "count")])
+        return g.rename_columns([child_key, "cnt"])
+
+    def parent_distinct(b: pa.Table) -> pa.Table:
+        return b.select([parent_key]).group_by([parent_key],
+                                               use_threads=False) \
+            .aggregate([])
+
+    c = child_ds.map_batches(child_partial, batch_format="pyarrow")
+    p = parent_ds.map_batches(parent_distinct, batch_format="pyarrow")
+
+    def audit(t: pa.Table, starts, nl, nr) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            z = pa.array([0], pa.int64())
+            return pa.table({"n_rows": z, "n_keys": z,
+                             "orphan_rows": z, "orphan_keys": z})
+        cnt = pc.fill_null(t["cnt"].combine_chunks(), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cnt)])
+        ends = np.concatenate([starts[1:], [t.num_rows]])
+        per_run = cum[ends] - cum[starts]      # right rows add zeros
+        child = nl > 0
+        orphan = child & (nr == 0)
+        return pa.table({
+            "n_rows": pa.array([int(per_run[child].sum())], pa.int64()),
+            "n_keys": pa.array([int(child.sum())], pa.int64()),
+            "orphan_rows": pa.array([int(per_run[orphan].sum())],
+                                    pa.int64()),
+            "orphan_keys": pa.array([int(orphan.sum())], pa.int64())})
+
+    return cogroup_partition_ds(c, p, child_key, parent_key, audit,
+                                ["cnt"], [],
+                                num_partitions=num_partitions)
+
+
 def table_diff_ds(left_ds, right_ds, on_left: str, on_right: str,
                   left_cols: list[str], right_cols: list[str],
                   num_partitions: int = 64):

@@ -87,6 +87,42 @@ def q_json_field_stats(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "props"]))
 
 
+def q_ref_integrity(sf_dir: str):
+    """Cross-table referential-integrity report: one row per FK
+    relation with child-row/key and orphan counts.  Each relation is
+    one `orphan_audit_ds` cogroup over key-cardinality partials; the
+    final fold sums ≤ P partial rows per relation on the driver (a
+    4×P-row collect)."""
+    from kgforge.functions.joins import orphan_audit_ds
+
+    rels = [
+        ("customer.nationkey->nation",
+         _read(sf_dir, "customer", ["c_nationkey"]), "c_nationkey",
+         _read(sf_dir, "nation", ["n_nationkey"]), "n_nationkey"),
+        ("events.user_id->customer",
+         _read(sf_dir, "events", ["user_id"]), "user_id",
+         _read(sf_dir, "customer", ["c_custkey"]), "c_custkey"),
+        ("lineitem.orderkey->orders",
+         _read(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey",
+         _read(sf_dir, "orders", ["o_orderkey"]), "o_orderkey"),
+        ("orders.custkey->customer",
+         _read(sf_dir, "orders", ["o_custkey"]), "o_custkey",
+         _read(sf_dir, "customer", ["c_custkey"]), "c_custkey"),
+    ]
+    names, rows, orows, okeys = [], [], [], []
+    for name, child, ck, parent, pk in rels:
+        part = orphan_audit_ds(child, ck, parent, pk).to_pandas()
+        names.append(name)
+        rows.append(int(part["n_rows"].sum()))
+        orows.append(int(part["orphan_rows"].sum()))
+        okeys.append(int(part["orphan_keys"].sum()))
+    return pa.table({
+        "relation": pa.array(names, pa.string()),
+        "n_rows": pa.array(rows, pa.int64()),
+        "orphan_rows": pa.array(orows, pa.int64()),
+        "orphan_keys": pa.array(okeys, pa.int64())})
+
+
 def q_group_regression(sf_dir: str):
     return F_events.group_regression_ds(
         _read(sf_dir, "events", ["event_type", "props", "value"]))
@@ -1939,6 +1975,7 @@ QUERIES = {
     "rank_transform": q_rank_transform,
     "part_supplier_counts": q_part_supplier_counts,
     "group_regression": q_group_regression,
+    "ref_integrity": q_ref_integrity,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -3395,4 +3432,36 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                       // (count(*) * sum(xv * xv) - sum(xv) * sum(xv))
             END AS BIGINT) AS slope_ppm
 FROM x GROUP BY 1
+"""
+
+ORACLE_SQL["ref_integrity"] = """
+SELECT 'customer.nationkey->nation' AS relation,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+           AS orphan_rows,
+       CAST(count(DISTINCT c.c_nationkey)
+            FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+           AS orphan_keys
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'events.user_id->customer',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE cu.c_custkey IS NULL) AS BIGINT),
+       CAST(count(DISTINCT e.user_id)
+            FILTER (WHERE cu.c_custkey IS NULL) AS BIGINT)
+FROM events e LEFT JOIN customer cu ON e.user_id = cu.c_custkey
+UNION ALL
+SELECT 'lineitem.orderkey->orders',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT),
+       CAST(count(DISTINCT l.l_orderkey)
+            FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders.custkey->customer',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE cu.c_custkey IS NULL) AS BIGINT),
+       CAST(count(DISTINCT o.o_custkey)
+            FILTER (WHERE cu.c_custkey IS NULL) AS BIGINT)
+FROM orders o LEFT JOIN customer cu ON o.o_custkey = cu.c_custkey
 """

@@ -481,3 +481,23 @@ def test_group_regression_exact_slope(ray_session):
             assert out.loc[t, "slope_ppm"] == \
                 (q if (nu >= 0) == (de >= 0) else -q)
             assert (out.loc[t, "slope_ppm"] < 0) == (t == "a")
+
+
+def test_orphan_audit_counts(ray_session):
+    """Partial rows sum to the brute-force orphan row/key counts,
+    independent of layout."""
+    import ray.data as rd
+
+    from kgforge.functions.joins import orphan_audit_ds
+
+    child = pa.table({"fk": pa.array(
+        [1, 1, 2, 3, 3, 3, 9, 9, 7], pa.int64())})
+    parent = pa.table({"pk": pa.array([1, 2, 3, 4], pa.int64())})
+    for nparts in (1, 3):
+        part = orphan_audit_ds(
+            rd.from_arrow(child).repartition(nparts), "fk",
+            rd.from_arrow(parent).repartition(2), "pk").to_pandas()
+        assert part["n_rows"].sum() == 9
+        assert part["n_keys"].sum() == 5
+        assert part["orphan_rows"].sum() == 3   # 9,9,7
+        assert part["orphan_keys"].sum() == 2   # {9, 7}
