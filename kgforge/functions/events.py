@@ -1091,6 +1091,92 @@ def group_regression_ds(ds, by: str = "event_type",
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def topk_paths_ds(ds, k: int = 10, steps: int = 3,
+                  by: str = "user_id", on: str = "ts",
+                  id_col: str = "event_id",
+                  type_col: str = "event_type", sep: str = ">",
+                  num_partitions: int = 64) -> pa.Table:
+    """Funnel discovery: the ``k`` most common first-``steps``
+    event-type paths across users (deterministic ``(on, id)`` order
+    within a user; ties in the final cut broken by path ascending —
+    the same rule spelled in the SQL twin's ``ORDER BY n_users DESC,
+    path``).  Users with fewer than ``steps`` events contribute their
+    shorter path, like the twin's ``rn <= steps`` filter.
+
+    Scale shape: ONE user-hash shuffle (same partitioned-merge
+    contract as ``event_sequences_ds``); inside each partition every
+    user's prefix is sliced with run-offset index math and joined in
+    one ``pc.binary_join`` C call, then collapsed to (path, count)
+    partials — so the exchange out of the merge carries at most
+    |distinct paths| ≤ |event types|^steps rows per partition.  The
+    final cut folds block-level top-k partials on the driver
+    (≤ k × blocks rows)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from kgforge.functions.joins import _part_codes
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({by: b[by],
+                      "__on": pc.cast(_on_key(b[on]), pa.int64()),
+                      id_col: b[id_col], type_col: b[type_col]})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t[by], num_partitions)))
+
+    def paths(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            ("__on", "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64())})
+        brk = _run_breaks(t[by].combine_chunks(),
+                          np.zeros(n, dtype=np.int32))
+        starts = np.flatnonzero(brk)
+        runlen = np.diff(np.concatenate([starts, [n]]))
+        take_n = np.minimum(runlen, steps)
+        # gather each user's first take_n rows
+        tot = int(take_n.sum())
+        base = np.repeat(starts, take_n)
+        within = np.arange(tot) - np.repeat(
+            np.concatenate([[0], np.cumsum(take_n)[:-1]]), take_n)
+        types = t[type_col].combine_chunks() \
+            .take(pa.array(base + within))
+        offsets = np.concatenate(
+            [[0], np.cumsum(take_n)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         types)
+        p = pa.table({"path": pc.binary_join(lists, sep)})
+        g = p.group_by(["path"], use_threads=False) \
+            .aggregate([("path", "count")])
+        return g.rename_columns(["path", "n_users"])
+
+    from ray.data.aggregate import Sum
+
+    summed = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(paths, batch_format="pyarrow") \
+        .groupby("path").aggregate(Sum("n_users", alias_name="n_users"))
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("n_users", "descending"),
+                                            ("path", "ascending")])
+        return b.take(idx[:k])
+
+    parts = [t for t in ray.get(
+        summed.map_batches(block_topk, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_columns]
+    flat = pa.concat_tables(parts) if parts else pa.table({
+        "path": pa.array([], pa.string()),
+        "n_users": pa.array([], pa.int64())})
+    idx = pc.sort_indices(flat, sort_keys=[("n_users", "descending"),
+                                           ("path", "ascending")])
+    out = flat.take(idx[:k])
+    return pa.table({"path": out["path"],
+                     "n_users": pc.cast(out["n_users"], pa.int64())})
+
+
 def rank_transform_ds(ds, value_col: str = "value",
                       id_col: str = "event_id"):
     """Exact global rank normalization of a numeric column — for each

@@ -87,6 +87,13 @@ def q_json_field_stats(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "props"]))
 
 
+def q_topk_paths(sf_dir: str):
+    return F_events.topk_paths_ds(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"]),
+        k=10, steps=3)
+
+
 def q_ref_integrity(sf_dir: str):
     """Cross-table referential-integrity report: one row per FK
     relation with child-row/key and orphan counts.  Each relation is
@@ -1976,6 +1983,7 @@ QUERIES = {
     "part_supplier_counts": q_part_supplier_counts,
     "group_regression": q_group_regression,
     "ref_integrity": q_ref_integrity,
+    "topk_paths": q_topk_paths,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -3464,4 +3472,17 @@ SELECT 'orders.custkey->customer',
        CAST(count(DISTINCT o.o_custkey)
             FILTER (WHERE cu.c_custkey IS NULL) AS BIGINT)
 FROM orders o LEFT JOIN customer cu ON o.o_custkey = cu.c_custkey
+"""
+
+ORACLE_SQL["topk_paths"] = """
+WITH r AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 10
 """

@@ -501,3 +501,29 @@ def test_orphan_audit_counts(ray_session):
         assert part["n_keys"].sum() == 5
         assert part["orphan_rows"].sum() == 3   # 9,9,7
         assert part["orphan_keys"].sum() == 2   # {9, 7}
+
+
+def test_topk_paths_prefix_and_ties(ray_session):
+    """Prefix truncation at `steps`, shorter-history users included,
+    count-desc/path-asc tie order, layout-invariant."""
+    import ray.data as rd
+
+    ts = pa.array(np.arange(12, dtype="int64") * 1_000_000,
+                  pa.timestamp("us"))
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 5],
+                            pa.int64()),
+        "ts": ts,
+        "event_id": pa.array(range(12), pa.int64()),
+        "event_type": pa.array(["a", "b", "c", "d",   # u1: a>b>c
+                                "a", "b", "c",        # u2: a>b>c
+                                "x", "y", "z",        # u3: x>y>z
+                                "a",                  # u4: a
+                                "a"], pa.string())})  # u5: a
+    from kgforge.functions.events import topk_paths_ds
+
+    for nparts in (1, 4):
+        out = topk_paths_ds(rd.from_arrow(tbl).repartition(nparts),
+                            k=3, steps=3).to_pandas()
+        assert out.path.tolist() == ["a", "a>b>c", "x>y>z"]
+        assert out.n_users.tolist() == [2, 2, 1]
