@@ -573,3 +573,121 @@ def bloom_semi_join_ds(left_ds, right_ds, on_left: str, on_right: str,
         survivors, rkeys, on_left, on_right, verify, left_cols, [],
         num_partitions=num_partitions, left_schema=left_schema,
         right_schema=right_schema)
+
+
+def count_distribution_ds(parent_ds, parent_key: str, child_ds,
+                          child_key: str, num_partitions: int = 64):
+    """TPC-H Q13 shape: the distribution of child-row counts per
+    parent key, INCLUDING zero-child parents (the LEFT JOIN +
+    GROUP BY count + re-GROUP BY shape).  Returns per-partition
+    partial histograms ``(c_count, freq)`` — at most
+    ``num_partitions × max_count`` tiny rows; the caller folds them
+    (driver or one small groupby).
+
+    Scale shape: child rows collapse to per-batch ``(key, cnt)``
+    partials and the parent to distinct keys before the ONE cogroup
+    exchange — the shuffle carries key-cardinality rows, never child
+    rows; per partition the per-key totals are one cumsum over the
+    run layout and the histogram one ``np.unique``.  Orphan children
+    (key with no parent) are excluded, exactly as the LEFT JOIN
+    from the parent side does."""
+    import pyarrow.compute as pc
+
+    def child_partial(b: pa.Table) -> pa.Table:
+        g = b.select([child_key]).group_by([child_key],
+                                           use_threads=False) \
+            .aggregate([(child_key, "count")])
+        return g.rename_columns([child_key, "cnt"])
+
+    def parent_distinct(b: pa.Table) -> pa.Table:
+        return b.select([parent_key]).group_by([parent_key],
+                                               use_threads=False) \
+            .aggregate([])
+
+    c = child_ds.map_batches(child_partial, batch_format="pyarrow")
+    p = parent_ds.map_batches(parent_distinct, batch_format="pyarrow")
+
+    def hist(t: pa.Table, starts, nl, nr) -> pa.Table:
+        empty = pa.table({"c_count": pa.array([], pa.int64()),
+                          "freq": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        cnt = pc.fill_null(t["cnt"].combine_chunks(), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cnt)])
+        ends = np.concatenate([starts[1:], [t.num_rows]])
+        per_key = cum[ends] - cum[starts]
+        vals = per_key[nr > 0]          # parent present (zero counts in)
+        if len(vals) == 0:
+            return empty
+        uniq, freq = np.unique(vals, return_counts=True)
+        return pa.table({"c_count": pa.array(uniq),
+                         "freq": pa.array(freq.astype(np.int64))})
+
+    return cogroup_partition_ds(c, p, child_key, parent_key, hist,
+                                ["cnt"], [],
+                                num_partitions=num_partitions)
+
+
+def dormant_above_avg_ds(parent_ds, parent_key: str, group_col: str,
+                         cents_col: str, child_ds, child_key: str,
+                         num_partitions: int = 64):
+    """TPC-H Q22 shape: parents whose value exceeds the GLOBAL mean
+    of positive values and that have NO child rows, aggregated per
+    ``group_col`` → per-partition partials ``(group, numcust,
+    tot_cents)``; the caller folds ≤ P × groups tiny rows.
+
+    The above-average filter is EXACT integer math: a parent
+    qualifies iff ``cents × n_pos > sum_pos_cents`` (cross-multiplied
+    mean compare — no float division on either engine).  The mean's
+    (sum, count) come from per-batch partials folded on the driver
+    (two scalars); the no-child test is ONE cogroup against the
+    child side's distinct keys, fused with the per-group partial
+    aggregate so only group-cardinality rows leave the shuffle."""
+    import pyarrow.compute as pc
+
+    # pass 1: global (sum, count) of positive cents — tiny fold
+    def pos_partial(b: pa.Table) -> pa.Table:
+        v = b[cents_col]
+        pos = pc.filter(v, pc.greater(v, 0))
+        return pa.table({
+            "s": pa.array([pc.sum(pos).as_py() or 0], pa.int64()),
+            "n": pa.array([len(pos)], pa.int64())})
+
+    parts = parent_ds.map_batches(pos_partial,
+                                  batch_format="pyarrow").to_pandas()
+    s_pos, n_pos = int(parts["s"].sum()), int(parts["n"].sum())
+
+    def candidates(b: pa.Table) -> pa.Table:
+        v = pc.cast(b[cents_col], pa.int64())
+        keep = pc.greater(pc.multiply(v, pa.scalar(n_pos, pa.int64())),
+                          pa.scalar(s_pos, pa.int64()))
+        return b.select([parent_key, group_col, cents_col]) \
+            .filter(pc.fill_null(keep, False))
+
+    cand = parent_ds.map_batches(candidates, batch_format="pyarrow")
+
+    def child_distinct(b: pa.Table) -> pa.Table:
+        return pa.table({child_key:
+                         pc.unique(b[child_key].combine_chunks())})
+
+    kids = child_ds.map_batches(child_distinct, batch_format="pyarrow")
+
+    def agg(t: pa.Table, starts, nl, nr) -> pa.Table:
+        keep_key = np.flatnonzero((nl > 0) & (nr == 0))
+        if len(keep_key) == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "numcust": pa.array([], pa.int64()),
+                             "tot_cents": pa.array([], pa.int64())})
+        idx = pa.array(starts[keep_key])     # parents are key-unique
+        g = pa.table({group_col: t[group_col].take(idx),
+                      "c": t[cents_col].take(idx)}) \
+            .group_by([group_col], use_threads=False) \
+            .aggregate([("c", "sum"), ("c", "count")])
+        return pa.table({group_col: g[group_col],
+                         "numcust": pc.cast(g["c_count"], pa.int64()),
+                         "tot_cents": pc.cast(g["c_sum"], pa.int64())})
+
+    return cogroup_partition_ds(cand, kids, parent_key, child_key,
+                                agg, [group_col, cents_col], [],
+                                num_partitions=num_partitions)

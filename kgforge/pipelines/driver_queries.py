@@ -1972,8 +1972,122 @@ def q_window_rank(sf_dir: str):
         _read(sf_dir, "events", ["event_id", "user_id", "value"]))
 
 
+def q_order_count_dist(sf_dir: str):
+    """TPC-H Q13 shape — distribution of orders-per-customer including
+    zero-order customers.  One cogroup over (custkey, cnt) partials vs
+    distinct custkeys; the per-partition histograms (≤ P × max_count
+    tiny rows) fold on the driver."""
+    from kgforge.functions.joins import count_distribution_ds
+
+    parts = count_distribution_ds(
+        _read(sf_dir, "customer", ["c_custkey"]), "c_custkey",
+        _read(sf_dir, "orders", ["o_custkey"]), "o_custkey").to_pandas()
+    g = parts.groupby("c_count", as_index=False)["freq"].sum()
+    return pa.table({
+        "c_count": pa.array(g["c_count"].to_numpy(np.int64)),
+        "custdist": pa.array(g["freq"].to_numpy(np.int64))})
+
+
+def q_dormant_customers(sf_dir: str):
+    """TPC-H Q22 shape — per market segment, the count and total
+    balance of customers above the global positive-balance mean with
+    no RECENT order (none since 2001-01-01 — this corpus has no
+    fully order-less customer).  Exact integer math:
+    ``cents × n_pos > sum_pos`` on both engines; one cogroup against
+    distinct recent-order custkeys, the date predicate pushed into
+    the orders scan."""
+    import datetime as _dt
+    import pyarrow.dataset as pds
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import dormant_above_avg_ds
+
+    def cents(b: pa.Table) -> pa.Table:
+        bal = b["c_acctbal"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_mktsegment": b["c_mktsegment"],
+            "bal_cents": pa.array(
+                round_away(bal * 100, 0).astype(np.int64))})
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    import ray
+
+    recent = _read(
+        sf_dir, "orders", ["o_custkey"],
+        row_filter=pds.field("o_orderdate")
+        >= _dt.datetime(2001, 1, 1))
+    ds = dormant_above_avg_ds(
+        cust, "c_custkey", "c_mktsegment", "bal_cents",
+        recent, "o_custkey")
+    # tiny partials (≤ P × segments rows) — typed collect so an
+    # all-empty result keeps the contract columns (hour_gaps
+    # precedent: Ray's groupby emits column-less 0-row blocks)
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
+    if not tabs:
+        return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                         "numcust": pa.array([], pa.int64()),
+                         "tot_cents": pa.array([], pa.int64())})
+    parts = pa.concat_tables(tabs).to_pandas()
+    g = parts.groupby("c_mktsegment", as_index=False).sum()
+    return pa.table({
+        "c_mktsegment": pa.array(g["c_mktsegment"], pa.string()),
+        "numcust": pa.array(g["numcust"].to_numpy(np.int64)),
+        "tot_cents": pa.array(g["tot_cents"].to_numpy(np.int64))})
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — supplier(s) with the maximum revenue in one
+    quarter, ties all kept.  Per-batch (suppkey, cents) partials →
+    one supplier-cardinality groupby, materialized once (it is
+    consumed twice: max + filter); the winners (a handful of rows)
+    come to the driver and the supplier dimension is read back
+    row-pruned by key."""
+    import datetime as _dt
+    import pyarrow.dataset as pds
+    import pyarrow.compute as pc
+    from kgforge.common.hashing import round_away
+
+    lo, hi = _dt.datetime(1998, 1, 1), _dt.datetime(1998, 4, 1)
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"],
+               row_filter=(pds.field("l_shipdate") >= lo)
+               & (pds.field("l_shipdate") < hi))
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cents = round_away(price * (1.0 - disc) * 100, 0) \
+            .astype(np.int64)
+        g = pa.table({"s": b["l_suppkey"], "c": pa.array(cents)}) \
+            .group_by(["s"], use_threads=False).aggregate([("c", "sum")])
+        return pa.table({"l_suppkey": g["s"], "cents": g["c_sum"]})
+
+    rev = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_suppkey").sum("cents").materialize()
+    best = rev.max("sum(cents)")
+    top = rev.filter(lambda r: r["sum(cents)"] == best).to_pandas()
+    keys = [int(k) for k in top["l_suppkey"]]
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"],
+                row_filter=pds.field("s_suppkey").isin(keys)) \
+        .to_pandas()
+    merged = sup.merge(top, left_on="s_suppkey", right_on="l_suppkey")
+    return pa.table({
+        "s_suppkey": pa.array(merged["s_suppkey"].to_numpy(np.int64)),
+        "s_name": pa.array(merged["s_name"], pa.string()),
+        "total_cents": pa.array(
+            merged["sum(cents)"].to_numpy(np.int64))})
+
+
 QUERIES = {
     "explode_spans": q_explode_spans,
+    "order_count_dist": q_order_count_dist,
+    "dormant_customers": q_dormant_customers,
+    "top_supplier": q_top_supplier,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
     "token_stats": q_token_stats,
@@ -3485,4 +3599,45 @@ SELECT path, CAST(count(*) AS BIGINT) AS n_users
 FROM p GROUP BY path
 ORDER BY n_users DESC, path
 LIMIT 10
+"""
+
+ORACLE_SQL["order_count_dist"] = """
+    WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count ORDER BY c_count
+"""
+
+ORACLE_SQL["dormant_customers"] = """
+    WITH c AS (SELECT c_custkey, c_mktsegment,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+               FROM customer),
+         t AS (SELECT sum(bal_cents) AS s, count(*) AS n
+               FROM c WHERE bal_cents > 0)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(bal_cents) AS BIGINT) AS tot_cents
+    FROM c, t
+    WHERE bal_cents * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+ORACLE_SQL["top_supplier"] = """
+    WITH rev AS (SELECT l_suppkey,
+                        CAST(sum(CAST(round(l_extendedprice
+                                            * (1 - l_discount) * 100)
+                                      AS BIGINT)) AS BIGINT)
+                            AS total_cents
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                   AND l_shipdate <  TIMESTAMP '1998-04-01'
+                 GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_cents
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_cents = (SELECT max(total_cents) FROM rev)
+    ORDER BY s_suppkey
 """

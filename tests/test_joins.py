@@ -178,3 +178,42 @@ def test_table_diff_multiset_equal_keys_silent(ray_session):
     }))
     out = table_diff_ds(left, right, "k", "k", ["v_old"], ["v"])
     assert out.count() == 0
+
+
+def test_count_distribution_includes_zero(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.joins import count_distribution_ds
+
+    parents = rd.from_arrow(pa.table({
+        "p": pa.array([1, 2, 3, 4], pa.int64())})).repartition(2)
+    # p=1 has 3 children, p=2 has 1, p=3/4 none; orphan child k=9
+    children = rd.from_arrow(pa.table({
+        "c": pa.array([1, 1, 1, 2, 9], pa.int64())})).repartition(2)
+    parts = count_distribution_ds(parents, "p", children, "c") \
+        .to_pandas()
+    dist = parts.groupby("c_count")["freq"].sum().to_dict()
+    assert dist == {0: 2, 1: 1, 3: 1}
+
+
+def test_dormant_above_avg_exact_threshold(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.joins import dormant_above_avg_ds
+
+    # positive balances: 100, 200, 300, 250 → mean 212.5; the strict
+    # integer compare keeps 300 and 250; negatives never qualify
+    parents = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "seg": pa.array(["A", "A", "B", "B", "A"], pa.string()),
+        "cents": pa.array([100, 200, 300, -50, 250], pa.int64()),
+    })).repartition(2)
+    # id=3 has a child → excluded; id=5 has none → kept
+    children = rd.from_arrow(pa.table({
+        "k": pa.array([3, 3, 1], pa.int64())})).repartition(2)
+    parts = dormant_above_avg_ds(parents, "id", "seg", "cents",
+                                 children, "k").to_pandas()
+    g = parts.groupby("seg").sum()
+    assert g.loc["A", "numcust"] == 1
+    assert g.loc["A", "tot_cents"] == 250
+    assert "B" not in g.index
