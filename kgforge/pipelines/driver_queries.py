@@ -1972,6 +1972,28 @@ def q_window_rank(sf_dir: str):
         _read(sf_dir, "events", ["event_id", "user_id", "value"]))
 
 
+def q_skyline_parts(sf_dir: str):
+    """Pareto frontier of parts on (retail price min, size max) —
+    block-local frontiers (bounded candidates) merged in one
+    single-block task; the corpus never shuffles."""
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.relational import skyline_ds
+
+    def cents(b: pa.Table) -> pa.Table:
+        price = b["p_retailprice"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_partkey": b["p_partkey"],
+            "price_cents": pa.array(
+                round_away(price * 100, 0).astype(np.int64)),
+            "p_size": pc.cast(b["p_size"], pa.int64())})
+
+    parts = _read(sf_dir, "part",
+                  ["p_partkey", "p_retailprice", "p_size"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    return skyline_ds(parts, "price_cents", "p_size", ["p_partkey"])
+
+
 def q_order_count_dist(sf_dir: str):
     """TPC-H Q13 shape — distribution of orders-per-customer including
     zero-order customers.  One cogroup over (custkey, cnt) partials vs
@@ -2086,6 +2108,7 @@ def q_top_supplier(sf_dir: str):
 QUERIES = {
     "explode_spans": q_explode_spans,
     "order_count_dist": q_order_count_dist,
+    "skyline_parts": q_skyline_parts,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
     "media_features": q_media_features,
@@ -3640,4 +3663,24 @@ ORACLE_SQL["top_supplier"] = """
     FROM supplier JOIN rev ON s_suppkey = l_suppkey
     WHERE total_cents = (SELECT max(total_cents) FROM rev)
     ORDER BY s_suppkey
+"""
+
+ORACLE_SQL["skyline_parts"] = """
+    WITH p AS (SELECT p_partkey,
+                      CAST(round(p_retailprice * 100) AS BIGINT)
+                          AS price_cents,
+                      CAST(p_size AS BIGINT) AS p_size
+               FROM part),
+         g AS (SELECT price_cents, max(p_size) AS ymax
+               FROM p GROUP BY price_cents),
+         gg AS (SELECT price_cents, ymax,
+                       max(ymax) OVER (ORDER BY price_cents
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prevmax
+                FROM g)
+    SELECT a.p_partkey, a.price_cents, a.p_size
+    FROM p a JOIN gg ON a.price_cents = gg.price_cents
+    WHERE a.p_size = gg.ymax
+      AND (gg.prevmax IS NULL OR gg.ymax > gg.prevmax)
+    ORDER BY a.price_cents, a.p_partkey
 """

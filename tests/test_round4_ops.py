@@ -527,3 +527,29 @@ def test_topk_paths_prefix_and_ties(ray_session):
                             k=3, steps=3).to_pandas()
         assert out.path.tolist() == ["a", "a>b>c", "x>y>z"]
         assert out.n_users.tolist() == [2, 2, 1]
+
+
+def test_skyline_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.relational import skyline_ds
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 40, 300).astype(np.int64)
+    y = rng.randint(0, 40, 300).astype(np.int64)
+    ids = np.arange(300, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(ids), "x": pa.array(x), "y": pa.array(y)})) \
+        .repartition(5)
+    got = skyline_ds(ds, "x", "y", ["id"]).to_pandas() \
+        .sort_values("id")["id"].tolist()
+    # brute-force dominance
+    keep = []
+    for i in range(300):
+        dom = ((x <= x[i]) & (y >= y[i])
+               & ((x < x[i]) | (y > y[i]))).any()
+        if not dom:
+            keep.append(int(ids[i]))
+    assert got == keep
