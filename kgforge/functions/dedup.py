@@ -1603,3 +1603,115 @@ def edit_distance_pairs_ds(ds, col: str = "c_name",
         return pa.table({"a": t["a"].take(ki), "b": t["b"].take(ki)})
 
     return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def dedup_representatives_ds(ds, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             size_col: str = "n_chars",
+                             num_partitions: int = 64):
+    """Canonical-document selection — the "keep best, drop rest" half
+    of a dedup pass: per normalized-content cluster, the LARGEST
+    document wins (``size_col`` desc, ties → smallest id), emitted
+    with the cluster size → (content_hash, rep_id, rep_chars,
+    n_dups).
+
+    Scale shape: only (digest, id, size) triples shuffle (one
+    digest-hash partition exchange, text never moves); the
+    per-partition argmax is one vectorized sort + run-boundary mask —
+    no per-cluster Python, no global sort."""
+    import pyarrow.compute as pc
+
+    from kgforge.functions.joins import _part_codes
+
+    def norm_hash(b: pa.Table) -> pa.Table:
+        texts = [normalize_text(t) for t in b[text_col].to_pylist()]
+        t = pa.table({"content_hash": _md5_col(texts),
+                      id_col: b[id_col],
+                      size_col: pc.cast(b[size_col], pa.int64())})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t["content_hash"],
+                                        num_partitions)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("content_hash", "ascending"),
+                       (size_col, "descending"),
+                       (id_col, "ascending")])
+        h = t["content_hash"].combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"content_hash": pa.array([], pa.string()),
+                             "rep_id": pa.array([], pa.int64()),
+                             "rep_chars": pa.array([], pa.int64()),
+                             "n_dups": pa.array([], pa.int64())})
+        neq = pc.not_equal(h.slice(1), h.slice(0, n - 1))
+        starts = np.concatenate(
+            [[0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1])
+        lens = np.diff(np.concatenate([starts, [n]]))
+        idx = pa.array(starts)
+        return pa.table({"content_hash": h.take(idx),
+                         "rep_id": t[id_col].take(idx),
+                         "rep_chars": t[size_col].take(idx),
+                         "n_dups": pa.array(lens.astype(np.int64))})
+
+    return ds.map_batches(norm_hash, batch_format="pyarrow") \
+        .groupby("__p").map_groups(pick, batch_format="pyarrow")
+
+
+def source_dup_report_ds(ds, text_col: str = "text",
+                         group_col: str = "source",
+                         num_partitions: int = 64):
+    """Per-source duplication census → per-partition partials
+    ``(source, n_docs, n_distinct)``; the caller folds ≤ P × sources
+    tiny rows and derives ``dup_ppm = (n_docs − n_distinct) × 10⁶ //
+    n_docs`` in exact integer math.
+
+    Scale shape: doc counts come from per-batch partials (zero
+    shuffle); distinct normalized digests per source shuffle as
+    per-batch-distinct (digest, source) pairs keyed by DIGEST hash —
+    each digest's rows co-locate, so the per-partition distinct is
+    exact and the corpus text never moves."""
+    import pyarrow.compute as pc
+
+    from kgforge.functions.joins import _part_codes
+
+    def pairs(b: pa.Table) -> pa.Table:
+        texts = [normalize_text(t) for t in b[text_col].to_pylist()]
+        t = pa.table({"d": _md5_col(texts), group_col: b[group_col]})
+        g = t.group_by(["d", group_col], use_threads=False).aggregate([])
+        n = t.group_by([group_col], use_threads=False).aggregate(
+            [("d", "count")]).rename_columns([group_col, "n_docs"])
+        g = g.append_column(
+            "__p", pa.array(_part_codes(g["d"], num_partitions)))
+        # docs partial rides along partition -1 (never a digest slot)
+        n = pa.table({
+            "d": pa.nulls(n.num_rows, pa.string()),
+            group_col: n[group_col],
+            "__p": pa.array(np.full(n.num_rows, -1, dtype=np.int32)),
+            "n_docs": n["n_docs"]})
+        g = g.append_column("n_docs",
+                            pa.nulls(g.num_rows, pa.int64()))
+        return pa.concat_tables([g.select(["d", group_col, "__p",
+                                           "n_docs"]), n])
+
+    def fold(t: pa.Table) -> pa.Table:
+        doc_rows = t.filter(pc.equal(t["__p"], -1))
+        if doc_rows.num_rows:
+            g = doc_rows.group_by([group_col], use_threads=False) \
+                .aggregate([("n_docs", "sum")])
+            return pa.table({group_col: g[group_col],
+                             "n_docs": pc.cast(g["n_docs_sum"],
+                                               pa.int64()),
+                             "n_distinct": pa.array(
+                                 np.zeros(g.num_rows, dtype=np.int64))})
+        dd = t.select(["d", group_col]).group_by(
+            ["d", group_col], use_threads=False).aggregate([])
+        g = dd.group_by([group_col], use_threads=False) \
+            .aggregate([("d", "count")])
+        return pa.table({group_col: g[group_col],
+                         "n_docs": pa.array(
+                             np.zeros(g.num_rows, dtype=np.int64)),
+                         "n_distinct": pc.cast(g["d_count"],
+                                               pa.int64())})
+
+    return ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("__p").map_groups(fold, batch_format="pyarrow")

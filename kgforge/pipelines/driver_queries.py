@@ -1972,6 +1972,27 @@ def q_window_rank(sf_dir: str):
         _read(sf_dir, "events", ["event_id", "user_id", "value"]))
 
 
+def q_dedup_representatives(sf_dir: str):
+    return F_dedup.dedup_representatives_ds(
+        _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
+
+
+def q_source_dup_report(sf_dir: str):
+    """Per-source duplication census; the engine's partials (≤ P ×
+    sources rows) fold on the driver and the dup rate is exact
+    integer ppm."""
+    parts = F_dedup.source_dup_report_ds(
+        _read(sf_dir, "documents", ["text", "source"])).to_pandas()
+    g = parts.groupby("source", as_index=False).sum()
+    nd = g["n_docs"].to_numpy(np.int64)
+    nu = g["n_distinct"].to_numpy(np.int64)
+    return pa.table({
+        "source": pa.array(g["source"], pa.string()),
+        "n_docs": pa.array(nd),
+        "n_distinct": pa.array(nu),
+        "dup_ppm": pa.array((nd - nu) * 1_000_000 // nd)})
+
+
 def q_skyline_parts(sf_dir: str):
     """Pareto frontier of parts on (retail price min, size max) —
     block-local frontiers (bounded candidates) merged in one
@@ -2109,6 +2130,8 @@ QUERIES = {
     "explode_spans": q_explode_spans,
     "order_count_dist": q_order_count_dist,
     "skyline_parts": q_skyline_parts,
+    "dedup_representatives": q_dedup_representatives,
+    "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
     "media_features": q_media_features,
@@ -3683,4 +3706,33 @@ ORACLE_SQL["skyline_parts"] = """
     WHERE a.p_size = gg.ymax
       AND (gg.prevmax IS NULL OR gg.ymax > gg.prevmax)
     ORDER BY a.price_cents, a.p_partkey
+"""
+
+ORACLE_SQL["dedup_representatives"] = """
+    WITH h AS (SELECT md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]+', '', 'g'),
+                   ' +', ' ', 'g'))) AS content_hash,
+                      doc_id, CAST(n_chars AS BIGINT) AS n_chars
+               FROM documents),
+         r AS (SELECT content_hash, doc_id, n_chars,
+                      row_number() OVER (PARTITION BY content_hash
+                                         ORDER BY n_chars DESC, doc_id)
+                          AS rn,
+                      count(*) OVER (PARTITION BY content_hash) AS n_dups
+               FROM h)
+    SELECT content_hash, doc_id AS rep_id, n_chars AS rep_chars,
+           CAST(n_dups AS BIGINT) AS n_dups
+    FROM r WHERE rn = 1 ORDER BY content_hash
+"""
+
+ORACLE_SQL["source_dup_report"] = """
+    WITH h AS (SELECT source, md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]+', '', 'g'),
+                   ' +', ' ', 'g'))) AS d
+               FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT d) AS BIGINT) AS n_distinct,
+           CAST((count(*) - count(DISTINCT d)) * 1000000
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM h GROUP BY source ORDER BY source
 """

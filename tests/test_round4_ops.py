@@ -553,3 +553,42 @@ def test_skyline_matches_bruteforce(ray_session):
         if not dom:
             keep.append(int(ids[i]))
     assert got == keep
+
+
+def test_dedup_representatives_argmax(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.dedup import dedup_representatives_ds
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        # docs 1/2/3 normalize to the same content; 3 is largest
+        "text": pa.array(["a b!", "A  b", "a B?!", "c", "c"],
+                         pa.string()),
+        "n_chars": pa.array([4, 4, 5, 1, 1], pa.int64()),
+    })).repartition(3)
+    out = dedup_representatives_ds(ds).to_pandas() \
+        .sort_values("rep_id").reset_index(drop=True)
+    assert out.rep_id.tolist() == [3, 4]      # ties → smallest id
+    assert out.n_dups.tolist() == [3, 2]
+    assert out.rep_chars.tolist() == [5, 1]
+
+
+def test_source_dup_report_partials(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.dedup import source_dup_report_ds
+
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["x", "X!", "y", "y", "z"], pa.string()),
+        "source": pa.array(["s1", "s1", "s1", "s2", "s2"],
+                           pa.string()),
+    })).repartition(3)
+    parts = source_dup_report_ds(ds).to_pandas()
+    g = parts.groupby("source").sum()
+    assert g.loc["s1", "n_docs"] == 3
+    assert g.loc["s1", "n_distinct"] == 2     # x ≡ X! after norm
+    assert g.loc["s2", "n_docs"] == 2
+    assert g.loc["s2", "n_distinct"] == 2
