@@ -737,3 +737,109 @@ def negative_samples_ds(edges_ds, src: str = "subj", pred: str = "pred",
     return cogroup_partition_ds(cand, real, "k", "k", anti,
                                 [src, pred, "neg_obj"], [],
                                 num_partitions=num_partitions)
+
+
+def _multi_key_codes(t: pa.Table, cols: list[str],
+                     num_partitions: int) -> np.ndarray:
+    """Partition id from a MULTI-column key: per-column u64 hashes
+    FNV-folded together, so composite groups (doc, sentence) land
+    whole in one partition without string concatenation."""
+    from kgforge.common.hashing import hash_u64_np
+
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    for c in cols:
+        arr = t[c].combine_chunks()
+        if pa.types.is_integer(arr.type):
+            x = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        else:
+            x = hash_u64_np([s if s is not None else ""
+                             for s in arr.to_pylist()])
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(1099511628211) ^ x
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
+def cooccur_pairs_ds(ds, group_cols: list[str], item_col: str,
+                     num_partitions: int = 64):
+    """Within-group distinct-item co-occurrence → one row per
+    unordered item pair ``(a, b)`` (a < b by item value) with
+    ``n_groups`` = number of groups where both appear.  The generic
+    market-basket / sentence-co-mention primitive.
+
+    Scale shape: stage 1 collapses each batch to DISTINCT (group,
+    item) rows and tags a composite group-key hash — the all-to-all
+    move carries (group, item) pairs, never source rows; stage 2
+    co-locates each group, re-distincts across batches, and emits
+    per-pair partials via flat cartesian index math + an
+    upper-triangle mask (quadratic only in items-per-group, the
+    bounded basket/sentence width), combined per partition before
+    stage 3's pair-keyed sum — the second exchange carries only
+    distinct-pair partials."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    keep = [*group_cols, item_col]
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = b.select(keep).group_by(keep, use_threads=False) \
+            .aggregate([])
+        return t.append_column(
+            "__p", pa.array(_multi_key_codes(t, group_cols,
+                                             num_partitions)))
+
+    def _col_neq(t: pa.Table, c: str, n: int) -> np.ndarray:
+        a = t[c].combine_chunks()
+        return pc.not_equal(a.slice(1), a.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        item_t = t.schema.field(item_col).type
+        empty = pa.table({"a": pa.array([], item_t),
+                          "b": pa.array([], item_t),
+                          "cnt": pa.array([], pa.int64())})
+        t = t.sort_by([(c, "ascending") for c in keep])
+        n = t.num_rows
+        if n == 0:
+            return empty
+        # distinct across batches: drop rows equal to their predecessor
+        if n > 1:
+            any_neq = np.zeros(n - 1, dtype=bool)
+            for c in keep:
+                any_neq |= _col_neq(t, c, n)
+            t = t.filter(pa.array(np.concatenate([[True], any_neq])))
+            n = t.num_rows
+        # run boundaries over the group columns only
+        if n > 1:
+            gneq = np.zeros(n - 1, dtype=bool)
+            for c in group_cols:
+                gneq |= _col_neq(t, c, n)
+            starts = np.concatenate([[0], np.flatnonzero(gneq) + 1])
+        else:
+            starts = np.zeros(1, dtype=np.int64)
+        lens = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+        m = lens * lens
+        tot = int(m.sum())
+        if tot == 0:
+            return empty
+        kofs = np.repeat(np.arange(len(m)), m)
+        j = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(m)[:-1]]), m)
+        j1, j2 = j // lens[kofs], j % lens[kofs]
+        sel = j1 < j2            # sorted within run → index order IS value order
+        a_idx = pa.array(starts[kofs[sel]] + j1[sel])
+        b_idx = pa.array(starts[kofs[sel]] + j2[sel])
+        items = t[item_col]
+        pairs = pa.table({"a": items.take(a_idx),
+                          "b": items.take(b_idx)})
+        g = pairs.group_by(["a", "b"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"a": g["a"], "b": g["b"],
+                         "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Sum("cnt", alias_name="n_groups"))

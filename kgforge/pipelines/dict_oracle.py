@@ -318,3 +318,18 @@ SELECT u.n1 AS a, u.n2 AS b FROM und u
 JOIN m m1 ON m1.node = u.n1 JOIN m m2 ON m2.node = u.n2
 WHERE u.n1 < u.n2
 """
+
+
+def cooccur_sql() -> str:
+    """Sentence-level entity co-mention counts — twin of the
+    ``cooccur_pairs_ds`` run in ``q_kg_cooccur`` (same distinct-
+    per-sentence semantics, same a < b pair order)."""
+    return corpus_prelude() + """,
+mm AS (SELECT DISTINCT d, j, surface FROM ments),
+pr AS (SELECT m1.surface AS a, m2.surface AS b,
+              CAST(count(*) AS BIGINT) AS n_sents
+       FROM mm m1 JOIN mm m2
+         ON m1.d = m2.d AND m1.j = m2.j AND m1.surface < m2.surface
+       GROUP BY 1, 2)
+SELECT a, b, n_sents FROM pr
+"""

@@ -1972,6 +1972,57 @@ def q_window_rank(sf_dir: str):
         _read(sf_dir, "events", ["event_id", "user_id", "value"]))
 
 
+def q_basket_pairs(sf_dir: str):
+    """Market-basket mining: top-25 part pairs by co-order count
+    (ties → (a, b) ascending, spelled identically in the SQL twin).
+    One composite-key exchange of distinct (order, part) pairs + a
+    pair-keyed partial sum; the final cut folds block-level top-k
+    partials on the driver."""
+    import ray
+    from kgforge.functions.graph import cooccur_pairs_ds
+
+    k = 25
+    pairs = cooccur_pairs_ds(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        ["l_orderkey"], "l_partkey")
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("n_groups", "descending"),
+                                            ("a", "ascending"),
+                                            ("b", "ascending")])
+        return b.take(idx[:k])
+
+    parts = [t for t in ray.get(
+        pairs.map_batches(block_topk, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_columns]
+    flat = pa.concat_tables(parts) if parts else pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+        "n_groups": pa.array([], pa.int64())})
+    idx = pc.sort_indices(flat, sort_keys=[("n_groups", "descending"),
+                                           ("a", "ascending"),
+                                           ("b", "ascending")])
+    out = flat.take(idx[:k])
+    return pa.table({"a": out["a"], "b": out["b"],
+                     "n_orders": pc.cast(out["n_groups"], pa.int64())})
+
+
+def q_kg_cooccur(sf_dir: str):
+    """Entity co-mention graph from the dict-tagger KG lane: surface
+    pairs co-occurring in a sentence, counted over sentences — the
+    co-occurrence edge builder KG pipelines use alongside the rule
+    extractor."""
+    from kgforge.functions.graph import cooccur_pairs_ds
+
+    ments = _dict_flagship_for(sf_dir)["mentions"].select_columns(
+        ["doc_id", "sent_idx", "surface"])
+    pairs = cooccur_pairs_ds(ments, ["doc_id", "sent_idx"], "surface")
+    return pairs.map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"],
+                            "n_sents": pc.cast(b["n_groups"],
+                                               pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_dedup_representatives(sf_dir: str):
     return F_dedup.dedup_representatives_ds(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
@@ -2131,6 +2182,8 @@ QUERIES = {
     "order_count_dist": q_order_count_dist,
     "skyline_parts": q_skyline_parts,
     "dedup_representatives": q_dedup_representatives,
+    "basket_pairs": q_basket_pairs,
+    "kg_cooccur": q_kg_cooccur,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -3735,4 +3788,18 @@ ORACLE_SQL["source_dup_report"] = """
            CAST((count(*) - count(DISTINCT d)) * 1000000
                 // count(*) AS BIGINT) AS dup_ppm
     FROM h GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["kg_cooccur"] = _dict_oracle.cooccur_sql()
+
+ORACLE_SQL["basket_pairs"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS a, b.l_partkey AS b,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2)
+    SELECT a, b, n_orders FROM pr
+    ORDER BY n_orders DESC, a, b LIMIT 25
 """

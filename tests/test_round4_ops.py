@@ -592,3 +592,20 @@ def test_source_dup_report_partials(ray_session):
     assert g.loc["s1", "n_distinct"] == 2     # x ≡ X! after norm
     assert g.loc["s2", "n_docs"] == 2
     assert g.loc["s2", "n_distinct"] == 2
+
+
+def test_cooccur_pairs_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.graph import cooccur_pairs_ds
+
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array([1, 1, 1, 2, 2, 3, 3, 3], pa.int64()),
+        # g1: {10,20,30}; g2: {10,20} (dup 10 ignored); g3: {10,20}
+        "it": pa.array([10, 20, 30, 10, 20, 10, 10, 20], pa.int64()),
+    })).repartition(3)
+    out = cooccur_pairs_ds(ds, ["g"], "it").to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    got = {(r.a, r.b): r.n_groups for r in out.itertuples()}
+    assert got == {(10, 20): 3, (10, 30): 1, (20, 30): 1}
