@@ -843,3 +843,77 @@ def cooccur_pairs_ds(ds, group_cols: list[str], item_col: str,
         .groupby("__p").map_groups(per_partition,
                                    batch_format="pyarrow") \
         .groupby(["a", "b"]).aggregate(Sum("cnt", alias_name="n_groups"))
+
+
+def kcore_ds(edges_ds, k: int = 2, rounds: int = 8,
+             src: str = "subj", dst: str = "obj",
+             num_partitions: int = 64,
+             driver_max_nodes: int = 2_000_000):
+    """Bounded-round k-core peeling over the undirected distinct-pair
+    graph: ``rounds`` times, drop every node of degree < ``k`` and
+    the edges touching it; → (node, degree) of the surviving
+    subgraph.  Fixed-round semantics (not run-to-convergence) so the
+    SQL twin is the IDENTICAL computation; the loop exits early once
+    an iteration removes nothing — from that point every further
+    round is the identity, so early exit ≡ the full ``rounds``.
+
+    Plan per round: degree partials → one node-keyed sum; the
+    surviving-node filter runs on the broadcast lane (good-node list
+    ≤ ``driver_max_nodes`` → one ``ray.put`` + ``pc.is_in`` on both
+    endpoint columns, zero shuffles) and spills to two bloom-semi-
+    join cogroups above it; each round materializes its edge set so
+    lineage stays one round deep (pagerank's checkpoint trade)."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+    n_edges = und.count()
+    num_partitions = int(min(num_partitions,
+                             max(4, n_edges // 2000 + 1)))
+    if n_edges < 100_000 and und.num_blocks() > 2 * num_partitions:
+        und = und.repartition(num_partitions).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["n1"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"n": g["n1"],
+                         "dg": pc.cast(g["count_all"], pa.int64())})
+
+    for _ in range(rounds):
+        deg = und.map_batches(deg_partial, batch_format="pyarrow") \
+            .groupby("n").aggregate(Sum("dg", alias_name="dg")) \
+            .materialize()
+        bad = deg.filter(lambda r: r["dg"] < k)
+        if bad.count() == 0:
+            break                      # converged — identity from here
+        good = deg.filter(lambda r: r["dg"] >= k)
+        if good.count() <= driver_max_nodes:
+            vals = pa.concat_tables(ray.get(good.to_arrow_refs()))["n"]
+            ref = ray.put(vals.combine_chunks())
+
+            def keep(b: pa.Table, _ref=ref) -> pa.Table:
+                vs = ray.get(_ref)
+                m = pc.and_(pc.is_in(b["n1"], value_set=vs),
+                            pc.is_in(b["n2"], value_set=vs))
+                return b.filter(m)
+
+            und = und.map_batches(keep, batch_format="pyarrow") \
+                .materialize()
+        else:
+            from kgforge.functions.joins import bloom_semi_join_ds
+
+            gk = good.select_columns(["n"])
+            und = bloom_semi_join_ds(und, gk, "n1", "n", ["n2"],
+                                     num_partitions=num_partitions)
+            und = bloom_semi_join_ds(und, gk, "n2", "n", ["n1"],
+                                     num_partitions=num_partitions) \
+                .select_columns(["n1", "n2"]).materialize()
+
+    final = und.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("n").aggregate(Sum("dg", alias_name="dg"))
+    return final.map_batches(
+        lambda b: pa.table({"node": b["n"],
+                            "degree": pc.cast(b["dg"], pa.int64())}),
+        batch_format="pyarrow")

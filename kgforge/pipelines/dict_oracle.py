@@ -333,3 +333,25 @@ pr AS (SELECT m1.surface AS a, m2.surface AS b,
        GROUP BY 1, 2)
 SELECT a, b, n_sents FROM pr
 """
+
+
+def kcore_sql(k: int = 2, rounds: int = 8) -> str:
+    """Bounded-round k-core peel — twin of
+    :func:`kgforge.functions.graph.kcore_ds` (same fixed-round
+    semantics; a converged round is the identity on both engines)."""
+    # AS MATERIALIZED: each round references its predecessor three
+    # times (directly + twice via d{r}); inlined CTEs would expand
+    # the corpus-reconstruction prelude 3^rounds times
+    sql = entity_pairs_prelude() + """,
+e0 AS MATERIALIZED (SELECT n1, n2 FROM und)"""
+    for r in range(rounds):
+        sql += f""",
+d{r} AS MATERIALIZED (SELECT n1 AS n, count(*) AS dg
+                      FROM e{r} GROUP BY n1),
+e{r + 1} AS MATERIALIZED (SELECT e.n1, e.n2 FROM e{r} e
+             JOIN d{r} a ON a.n = e.n1 AND a.dg >= {k}
+             JOIN d{r} b ON b.n = e.n2 AND b.dg >= {k})"""
+    return sql + f"""
+SELECT n1 AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e{rounds} GROUP BY n1
+"""

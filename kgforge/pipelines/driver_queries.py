@@ -2023,6 +2023,13 @@ def q_kg_cooccur(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_kg_kcore(sf_dir: str):
+    """Bounded-round k-core of the entity graph (k=3, 8 peels)."""
+    from kgforge.functions.graph import kcore_ds
+
+    return kcore_ds(_entity_edges_for(sf_dir), k=3, rounds=8)
+
+
 def q_dedup_representatives(sf_dir: str):
     return F_dedup.dedup_representatives_ds(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
@@ -2184,6 +2191,7 @@ QUERIES = {
     "dedup_representatives": q_dedup_representatives,
     "basket_pairs": q_basket_pairs,
     "kg_cooccur": q_kg_cooccur,
+    "kg_kcore": q_kg_kcore,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -3803,3 +3811,5 @@ ORACLE_SQL["basket_pairs"] = """
     SELECT a, b, n_orders FROM pr
     ORDER BY n_orders DESC, a, b LIMIT 25
 """
+
+ORACLE_SQL["kg_kcore"] = _dict_oracle.kcore_sql(k=3, rounds=8)

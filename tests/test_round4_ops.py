@@ -609,3 +609,20 @@ def test_cooccur_pairs_counts(ray_session):
         .sort_values(["a", "b"]).reset_index(drop=True)
     got = {(r.a, r.b): r.n_groups for r in out.itertuples()}
     assert got == {(10, 20): 3, (10, 30): 1, (20, 30): 1}
+
+
+def test_kcore_peels_tail(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.graph import kcore_ds
+
+    # triangle a-b-c plus a tail c-d-e: 2-core = the triangle
+    edges = rd.from_arrow(pa.table({
+        "subj": pa.array(["a", "b", "c", "c", "d"], pa.string()),
+        "obj": pa.array(["b", "c", "a", "d", "e"], pa.string()),
+    })).repartition(2)
+    out = kcore_ds(edges, k=2, rounds=8).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert out.node.tolist() == ["a", "b", "c"]
+    assert out.degree.tolist() == [2, 2, 2]
