@@ -2106,3 +2106,81 @@ def event_sequences_ds(ds, by: str = "user_id", on: str = "ts",
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("__p").map_groups(seq, batch_format="pyarrow")
+
+
+def event_transitions_ds(ds, by: str = "user_id", on: str = "ts",
+                         id_col: str = "event_id",
+                         type_col: str = "event_type",
+                         num_partitions: int = 64) -> pa.Table:
+    """First-order Markov transition matrix of event types: counts of
+    consecutive (prev → next) pairs within each user's deterministic
+    ``(on, id)`` order, plus the exact integer transition probability
+    ``p_ppm = n × 10⁶ // Σ n(prev, ·)``.  Returns the collected
+    |types|²-row matrix as a typed Arrow table.
+
+    Scale shape: ONE user-hash shuffle (the partitioned-merge
+    contract); inside a partition the pair stream is two shifted
+    views of the sorted type column with user-run breaks masked out —
+    all users at once — collapsed to (prev, next) partials before the
+    tiny pair-keyed sum.  The ppm division happens on the collected
+    matrix (≤ |types|² rows on the driver)."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({by: b[by],
+                      "__on": pc.cast(_on_key(b[on]), pa.int64()),
+                      id_col: b[id_col], type_col: b[type_col]})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t[by], num_partitions)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table({"prev_type": pa.array([], pa.string()),
+                          "next_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        n = t.num_rows
+        if n < 2:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            ("__on", "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        users = t[by].combine_chunks()
+        same_user = pc.equal(users.slice(1), users.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+        types = t[type_col].combine_chunks()
+        pairs = pa.table({"prev_type": types.slice(0, n - 1),
+                          "next_type": types.slice(1)}) \
+            .filter(pa.array(same_user))
+        if pairs.num_rows == 0:
+            return empty
+        g = pairs.group_by(["prev_type", "next_type"],
+                           use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"prev_type": g["prev_type"],
+                         "next_type": g["next_type"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    summed = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby(["prev_type", "next_type"]) \
+        .aggregate(Sum("n", alias_name="n"))
+    tabs = [t for t in ray.get(summed.to_arrow_refs())
+            if t.num_columns]
+    if not tabs:
+        return pa.table({"prev_type": pa.array([], pa.string()),
+                         "next_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "p_ppm": pa.array([], pa.int64())})
+    m = pa.concat_tables(tabs).to_pandas()
+    tot = m.groupby("prev_type")["n"].transform("sum").to_numpy(np.int64)
+    nn = m["n"].to_numpy(np.int64)
+    return pa.table({
+        "prev_type": pa.array(m["prev_type"], pa.string()),
+        "next_type": pa.array(m["next_type"], pa.string()),
+        "n": pa.array(nn),
+        "p_ppm": pa.array(nn * 1_000_000 // tot)})

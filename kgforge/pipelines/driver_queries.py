@@ -2030,6 +2030,12 @@ def q_kg_kcore(sf_dir: str):
     return kcore_ds(_entity_edges_for(sf_dir), k=3, rounds=8)
 
 
+def q_event_transitions(sf_dir: str):
+    return F_events.event_transitions_ds(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"]))
+
+
 def q_dedup_representatives(sf_dir: str):
     return F_dedup.dedup_representatives_ds(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
@@ -2192,6 +2198,7 @@ QUERIES = {
     "basket_pairs": q_basket_pairs,
     "kg_cooccur": q_kg_cooccur,
     "kg_kcore": q_kg_kcore,
+    "event_transitions": q_event_transitions,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -3813,3 +3820,19 @@ ORACLE_SQL["basket_pairs"] = """
 """
 
 ORACLE_SQL["kg_kcore"] = _dict_oracle.kcore_sql(k=3, rounds=8)
+
+ORACLE_SQL["event_transitions"] = """
+    WITH o AS (SELECT user_id, event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          AS nxt
+               FROM events),
+         c AS (SELECT event_type AS prev_type, nxt AS next_type,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
+    FROM c JOIN t ON c.prev_type = t.prev_type
+    ORDER BY c.prev_type, c.next_type
+"""

@@ -626,3 +626,24 @@ def test_kcore_peels_tail(ray_session):
         .sort_values("node").reset_index(drop=True)
     assert out.node.tolist() == ["a", "b", "c"]
     assert out.degree.tolist() == [2, 2, 2]
+
+
+def test_event_transitions_matrix(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.events import event_transitions_ds
+
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([10, 20, 30, 10, 20], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "a", "b"], pa.string()),
+    })).repartition(3)
+    out = event_transitions_ds(ds).to_pandas() \
+        .sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+    # u1: a→b, b→a; u2: a→b  ⇒ (a,b)=2 of 2 a-starts, (b,a)=1 of 1
+    assert out.prev_type.tolist() == ["a", "b"]
+    assert out.next_type.tolist() == ["b", "a"]
+    assert out.n.tolist() == [2, 1]
+    assert out.p_ppm.tolist() == [1_000_000, 1_000_000]
