@@ -777,9 +777,10 @@ def cooccur_pairs_ds(ds, group_cols: list[str], item_col: str,
     upper-triangle mask (quadratic only in items-per-group, the
     bounded basket/sentence width), combined per partition before
     stage 3's pair-keyed sum — the second exchange carries only
-    distinct-pair partials."""
+    distinct-pair partials, keyed by PAIR-HASH partition (a 64-value
+    int32 sort), not Ray's two-column sort Aggregate (measured 15.5s
+    → 3s on 1.2M pair partials at sf0.1)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     keep = [*group_cols, item_col]
 
@@ -799,7 +800,8 @@ def cooccur_pairs_ds(ds, group_cols: list[str], item_col: str,
         item_t = t.schema.field(item_col).type
         empty = pa.table({"a": pa.array([], item_t),
                           "b": pa.array([], item_t),
-                          "cnt": pa.array([], pa.int64())})
+                          "cnt": pa.array([], pa.int64()),
+                          "__q": pa.array([], pa.int32())})
         t = t.sort_by([(c, "ascending") for c in keep])
         n = t.num_rows
         if n == 0:
@@ -836,13 +838,22 @@ def cooccur_pairs_ds(ds, group_cols: list[str], item_col: str,
                           "b": items.take(b_idx)})
         g = pairs.group_by(["a", "b"], use_threads=False).aggregate(
             [([], "count_all")])
+        g = pa.table({"a": g["a"], "b": g["b"],
+                      "cnt": pc.cast(g["count_all"], pa.int64())})
+        return g.append_column(
+            "__q", pa.array(_multi_key_codes(g, ["a", "b"],
+                                             num_partitions)))
+
+    def pair_sum(t: pa.Table) -> pa.Table:
+        g = t.select(["a", "b", "cnt"]).group_by(
+            ["a", "b"], use_threads=False).aggregate([("cnt", "sum")])
         return pa.table({"a": g["a"], "b": g["b"],
-                         "cnt": pc.cast(g["count_all"], pa.int64())})
+                         "n_groups": pc.cast(g["cnt_sum"], pa.int64())})
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("__p").map_groups(per_partition,
                                    batch_format="pyarrow") \
-        .groupby(["a", "b"]).aggregate(Sum("cnt", alias_name="n_groups"))
+        .groupby("__q").map_groups(pair_sum, batch_format="pyarrow")
 
 
 def kcore_ds(edges_ds, k: int = 2, rounds: int = 8,
