@@ -2036,6 +2036,14 @@ def q_event_transitions(sf_dir: str):
               ["user_id", "ts", "event_id", "event_type"]))
 
 
+def q_rfm_segments(sf_dir: str):
+    from kgforge.functions.relational import rfm_segments_ds
+
+    return rfm_segments_ds(
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderdate", "o_totalprice"]))
+
+
 def q_dedup_representatives(sf_dir: str):
     return F_dedup.dedup_representatives_ds(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
@@ -2199,6 +2207,7 @@ QUERIES = {
     "kg_cooccur": q_kg_cooccur,
     "kg_kcore": q_kg_kcore,
     "event_transitions": q_event_transitions,
+    "rfm_segments": q_rfm_segments,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -3835,4 +3844,25 @@ ORACLE_SQL["event_transitions"] = """
            CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
     FROM c JOIN t ON c.prev_type = t.prev_type
     ORDER BY c.prev_type, c.next_type
+"""
+
+ORACLE_SQL["rfm_segments"] = """
+    WITH mm AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS f,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           // 100 AS m,
+                       CAST(epoch(max(o_orderdate)) AS BIGINT)
+                           // 86400 AS r
+                FROM orders GROUP BY o_custkey),
+         nn AS (SELECT count(*) AS n FROM mm),
+         q AS (SELECT ((rank() OVER (ORDER BY r) - 1) * 4) // nn.n
+                          AS r_q,
+                      ((rank() OVER (ORDER BY f) - 1) * 4) // nn.n
+                          AS f_q,
+                      ((rank() OVER (ORDER BY m) - 1) * 4) // nn.n
+                          AS m_q
+               FROM mm, nn)
+    SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """

@@ -647,3 +647,31 @@ def test_event_transitions_matrix(ray_session):
     assert out.next_type.tolist() == ["b", "a"]
     assert out.n.tolist() == [2, 1]
     assert out.p_ppm.tolist() == [1_000_000, 1_000_000]
+
+
+def test_rfm_segments_rank_rule(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.relational import rfm_segments_ds
+
+    # 4 customers with strictly increasing f/m/r → one per quartile
+    base = dt.datetime(2000, 1, 1)
+    rows = []
+    for c in range(4):
+        for j in range(c + 1):          # f = 1..4
+            rows.append((c, base + dt.timedelta(days=c), 100.0 * (c + 1)))
+    ds = rd.from_arrow(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array([r[1] for r in rows],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+    })).repartition(3)
+    out = rfm_segments_ds(ds).to_pandas() \
+        .sort_values("r_q").reset_index(drop=True)
+    assert out.r_q.tolist() == [0, 1, 2, 3]
+    assert out.f_q.tolist() == [0, 1, 2, 3]
+    assert out.m_q.tolist() == [0, 1, 2, 3]
+    assert out.n_customers.tolist() == [1, 1, 1, 1]
