@@ -1715,3 +1715,86 @@ def source_dup_report_ds(ds, text_col: str = "text",
 
     return ds.map_batches(pairs, batch_format="pyarrow") \
         .groupby("__p").map_groups(fold, batch_format="pyarrow")
+
+
+def source_provenance_ds(ds, text_col: str = "text",
+                         group_col: str = "source",
+                         num_partitions: int = 64):
+    """Cross-source provenance bitmap: per normalized-content digest,
+    the OR of source bits (bit = the source's rank in the sorted
+    distinct-source list) and the distinct-source count → one row per
+    digest ``(content_hash, src_mask, n_sources)``.  The multi-way
+    set-membership view a mixing pipeline uses to see WHERE each
+    duplicated document lives (union/intersect across N sources in
+    one pass, not C(N,2) pairwise joins).
+
+    Scale shape: the source taxonomy (small by construction) is
+    collected once and broadcast as a bit LUT; only per-batch-distinct
+    (digest, bit) pairs shuffle, keyed by digest hash; the
+    per-partition OR/count is one sort + ``np.bitwise_or.reduceat``."""
+    import pyarrow.compute as pc
+    import ray
+
+    from kgforge.functions.joins import _part_codes
+
+    # taxonomy discovery: per-batch DISTINCT before the collect, so
+    # only batch-distinct source names reach the driver
+    uniq = ds.map_batches(
+        lambda b: pa.table({group_col: pc.unique(
+            b[group_col].combine_chunks())}),
+        batch_format="pyarrow")
+    srcs = sorted(set().union(*[
+        set(t[group_col].to_pylist())
+        for t in ray.get(uniq.to_arrow_refs())]))
+    if len(srcs) > 63:
+        raise ValueError("source taxonomy exceeds the 63-bit mask")
+    lut = {s: np.int64(1) << i for i, s in enumerate(srcs)}
+    ref = ray.put(lut)
+
+    def pairs(b: pa.Table, _ref=ref) -> pa.Table:
+        bits = ray.get(_ref)
+        texts = [normalize_text(t) for t in b[text_col].to_pylist()]
+        t = pa.table({
+            "content_hash": _md5_col(texts),
+            "b": pa.array(np.array([bits[s] for s in
+                                    b[group_col].to_pylist()],
+                                   dtype=np.int64))})
+        g = t.group_by(["content_hash", "b"],
+                       use_threads=False).aggregate([])
+        return g.append_column(
+            "__p", pa.array(_part_codes(g["content_hash"],
+                                        num_partitions)))
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"content_hash": pa.array([], pa.string()),
+                             "src_mask": pa.array([], pa.int64()),
+                             "n_sources": pa.array([], pa.int64())})
+        t = t.sort_by([("content_hash", "ascending"),
+                       ("b", "ascending")])
+        h = t["content_hash"].combine_chunks()
+        n = t.num_rows
+        neq = pc.not_equal(h.slice(1), h.slice(0, n - 1))
+        starts = np.concatenate(
+            [[0], np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1])
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        # distinct (digest, bit) rows per batch may repeat ACROSS
+        # batches — dedupe runs first
+        keepmask = np.concatenate(
+            [[True], (b[1:] != b[:-1])
+             | neq.to_numpy(zero_copy_only=False)])
+        bd = b[keepmask]
+        # recompute run layout over the deduped rows
+        hid = np.cumsum(np.concatenate(
+            [[0], neq.to_numpy(zero_copy_only=False)]))[keepmask]
+        starts_d = np.concatenate(
+            [[0], np.flatnonzero(hid[1:] != hid[:-1]) + 1])
+        lens_d = np.diff(np.concatenate([starts_d, [len(bd)]]))
+        mask = np.bitwise_or.reduceat(bd, starts_d)
+        return pa.table({
+            "content_hash": h.take(pa.array(starts)),
+            "src_mask": pa.array(mask.astype(np.int64)),
+            "n_sources": pa.array(lens_d.astype(np.int64))})
+
+    return ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("__p").map_groups(fold, batch_format="pyarrow")

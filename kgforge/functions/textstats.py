@@ -677,3 +677,33 @@ def budget_select_ds(ds, budget_num: int = 1, budget_den: int = 2,
         return t.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def compression_ratio_ds(ds, text_col: str = "text",
+                         id_col: str = "doc_id", level: int = 6):
+    """Per-document zlib compression ratio in exact integer ppm
+    (``compressed_bytes × 10⁶ // raw_utf8_bytes``) — the
+    Gopher/RefinedWeb-style redundancy signal: boilerplate and
+    repetition compress far better than natural text, so a low ratio
+    flags low-quality documents before training.  Deterministic (fixed
+    zlib level); rows-only contract — DEFLATE is not expressible in
+    SQL, so there is no value oracle (the unit test pins goldens).
+
+    Scale shape: a pure map, zero shuffles; the per-batch loop is one
+    C ``zlib.compress`` call per DOCUMENT (not per token) — the same
+    altitude as a model-scoring actor stage."""
+    import zlib
+
+    def score(b: pa.Table) -> pa.Table:
+        raws = [(t or "").encode("utf-8")
+                for t in b[text_col].to_pylist()]
+        ratios = np.array(
+            [len(zlib.compress(r, level)) * 1_000_000 // max(len(r), 1)
+             for r in raws], dtype=np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            "raw_bytes": pa.array(
+                np.array([len(r) for r in raws], dtype=np.int64)),
+            "ratio_ppm": pa.array(ratios)})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -2044,6 +2044,40 @@ def q_rfm_segments(sf_dir: str):
               ["o_custkey", "o_orderdate", "o_totalprice"]))
 
 
+def q_source_provenance(sf_dir: str):
+    return F_dedup.source_provenance_ds(
+        _read(sf_dir, "documents", ["text", "source"]))
+
+
+def q_kg_degree_dist(sf_dir: str):
+    """Degree-distribution histogram of the entity graph (the
+    power-law tail check): per-batch (degree, count) partials folded
+    on the driver — ≤ blocks × distinct-degree tiny rows move."""
+    from kgforge.functions.graph import degree_ds
+
+    deg = degree_ds(_entity_edges_for(sf_dir))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["degree"]).group_by(["degree"],
+                                          use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({"degree": g["degree"],
+                         "n_nodes": pc.cast(g["count_all"],
+                                            pa.int64())})
+
+    parts = deg.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    g = parts.groupby("degree", as_index=False)["n_nodes"].sum()
+    return pa.table({
+        "degree": pa.array(g["degree"].to_numpy(np.int64)),
+        "n_nodes": pa.array(g["n_nodes"].to_numpy(np.int64))})
+
+
+def q_compression_ratio(sf_dir: str):
+    return F_text.compression_ratio_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_dedup_representatives(sf_dir: str):
     return F_dedup.dedup_representatives_ds(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
@@ -2208,6 +2242,9 @@ QUERIES = {
     "kg_kcore": q_kg_kcore,
     "event_transitions": q_event_transitions,
     "rfm_segments": q_rfm_segments,
+    "source_provenance": q_source_provenance,
+    "kg_degree_dist": q_kg_degree_dist,
+    "compression_ratio": q_compression_ratio,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -3866,3 +3903,24 @@ ORACLE_SQL["rfm_segments"] = """
            CAST(count(*) AS BIGINT) AS n_customers
     FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
+
+ORACLE_SQL["source_provenance"] = """
+    WITH s AS (SELECT source,
+                      row_number() OVER (ORDER BY source) - 1 AS bit
+               FROM (SELECT DISTINCT source FROM documents)),
+         h AS (SELECT md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]+', '', 'g'),
+                   ' +', ' ', 'g'))) AS content_hash, source
+               FROM documents),
+         j AS (SELECT DISTINCT content_hash,
+                      CAST(1 AS BIGINT) << s.bit AS b
+               FROM h JOIN s USING (source))
+    SELECT content_hash, CAST(bit_or(b) AS BIGINT) AS src_mask,
+           CAST(count(*) AS BIGINT) AS n_sources
+    FROM j GROUP BY content_hash ORDER BY content_hash
+"""
+
+ORACLE_SQL["kg_degree_dist"] = (
+    "SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM ("
+    + _dict_oracle.degree_sql()
+    + ") GROUP BY degree ORDER BY degree")

@@ -675,3 +675,25 @@ def test_rfm_segments_rank_rule(ray_session):
     assert out.f_q.tolist() == [0, 1, 2, 3]
     assert out.m_q.tolist() == [0, 1, 2, 3]
     assert out.n_customers.tolist() == [1, 1, 1, 1]
+
+
+def test_compression_ratio_flags_repetition(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.textstats import compression_ratio_ds
+
+    import zlib
+    rep = "spam ham " * 200
+    nat = "the quick brown fox jumps over a lazy dog near the bank " \
+          "while seventeen violet engines hum quietly beyond " * 20
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([rep, nat], pa.string())}))
+    out = compression_ratio_ds(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # deterministic golden: identical zlib call on the driver
+    exp = [len(zlib.compress(t.encode(), 6)) * 1_000_000 // len(t.encode())
+           for t in (rep, nat)]
+    assert out.ratio_ppm.tolist() == exp
+    assert out.ratio_ppm[0] < out.ratio_ppm[1]   # repetition compresses
