@@ -581,3 +581,60 @@ def doc_rarity_ds(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(pairs, batch_format="pyarrow") \
         .groupby("__p").map_groups(attach_ct, batch_format="pyarrow") \
         .groupby("__q").map_groups(per_doc, batch_format="pyarrow")
+
+
+def next_token_topk_ds(ds, k: int = 3, text_col: str = "text",
+                       num_partitions: int = 64):
+    """Bigram language-model table: for every previous token, the
+    top-``k`` next tokens by corpus count (ties → next ascending) →
+    (prev, next, n).  The autocomplete / LM-smoothing base table.
+
+    Scale shape: per-batch (prev, next, count) partials (one arrow
+    ``group_by`` per batch — tokens never leave the batch), ONE
+    exchange keyed by PREV-hash partition (each prev's candidates
+    co-locate), then the per-partition cut is one vectorized sort +
+    within-run rank mask over all prevs at once — the tfidf ranking
+    altitude, no per-key Python, no global sort."""
+    from kgforge.functions.joins import _part_codes
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, par = _token_lists(b, text_col)
+        empty = pa.table({"prev": pa.array([], pa.string()),
+                          "next": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "__p": pa.array([], pa.int32())})
+        if len(flat) < 2:
+            return empty
+        pv = par.to_numpy(zero_copy_only=False)
+        adj = pv[1:] == pv[:-1]
+        w1 = flat.slice(0, len(flat) - 1).filter(pa.array(adj))
+        w2 = flat.slice(1).filter(pa.array(adj))
+        g = pa.table({"prev": w1, "next": w2}) \
+            .group_by(["prev", "next"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        g = pa.table({"prev": g["prev"], "next": g["next"],
+                      "n": pc.cast(g["count_all"], pa.int64())})
+        return g.append_column(
+            "__p", pa.array(_part_codes(g["prev"], num_partitions)))
+
+    def rank(t: pa.Table) -> pa.Table:
+        t = t.select(["prev", "next", "n"]).group_by(
+            ["prev", "next"], use_threads=False).aggregate([("n", "sum")])
+        t = pa.table({"prev": t["prev"], "next": t["next"],
+                      "n": pc.cast(t["n_sum"], pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[("prev", "ascending"),
+                                            ("n", "descending"),
+                                            ("next", "ascending")])
+        t = t.take(idx)
+        codes = t["prev"].combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False)
+        if len(codes) == 0:
+            return t
+        starts = np.concatenate(
+            [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1])
+        lens = np.diff(np.concatenate([starts, [len(codes)]]))
+        keep = _segment_arange(lens) < k
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__p").map_groups(rank, batch_format="pyarrow")

@@ -2078,6 +2078,13 @@ def q_compression_ratio(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_next_token_topk(sf_dir: str):
+    from kgforge.functions.indexing import next_token_topk_ds
+
+    return next_token_topk_ds(
+        _read(sf_dir, "documents", ["text"]))
+
+
 def q_dedup_representatives(sf_dir: str):
     return F_dedup.dedup_representatives_ds(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
@@ -2245,6 +2252,7 @@ QUERIES = {
     "source_provenance": q_source_provenance,
     "kg_degree_dist": q_kg_degree_dist,
     "compression_ratio": q_compression_ratio,
+    "next_token_topk": q_next_token_topk,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -3924,3 +3932,24 @@ ORACLE_SQL["kg_degree_dist"] = (
     "SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM ("
     + _dict_oracle.degree_sql()
     + ") GROUP BY degree ORDER BY degree")
+
+ORACLE_SQL["next_token_topk"] = """
+    WITH toks AS (SELECT doc_id, g.i AS pos,
+                         string_split(text, ' ')[g.i] AS w,
+                         len(string_split(text, ' ')) AS m
+                  FROM documents,
+                       generate_series(1, 4096) g(i)
+                  WHERE g.i <= len(string_split(text, ' '))),
+         bg AS (SELECT a.w AS prev, b.w AS "next",
+                       CAST(count(*) AS BIGINT) AS n
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                GROUP BY 1, 2),
+         r AS (SELECT prev, "next", n,
+                      row_number() OVER (PARTITION BY prev
+                                         ORDER BY n DESC, "next")
+                          AS rn
+               FROM bg)
+    SELECT prev, "next", n FROM r WHERE rn <= 3
+    ORDER BY prev, n DESC, "next"
+"""

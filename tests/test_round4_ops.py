@@ -697,3 +697,19 @@ def test_compression_ratio_flags_repetition(ray_session):
            for t in (rep, nat)]
     assert out.ratio_ppm.tolist() == exp
     assert out.ratio_ppm[0] < out.ratio_ppm[1]   # repetition compresses
+
+
+def test_next_token_topk_rank_rule(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.indexing import next_token_topk_ds
+
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["a b", "a b", "a c", "a d", "b a"],
+                         pa.string())})).repartition(3)
+    out = next_token_topk_ds(ds, k=2).to_pandas() \
+        .sort_values(["prev", "next"]).reset_index(drop=True)
+    # a→b:2, a→c:1, a→d:1 (tie → c wins rank 2); b→a:1
+    got = {(r.prev, r.next): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "a"): 1}
