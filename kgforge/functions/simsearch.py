@@ -324,3 +324,40 @@ def knn_ivf_ds(ds, query_ids, vec_col: str = "embedding",
     partials = ds.map_batches(IvfScorer, batch_format="pyarrow",
                               concurrency=(1, 8)).take_all()
     return _merge_topk(partials, k)
+
+
+def knn_classify_ds(ds, query_ids, vec_col: str = "embedding",
+                    id_col: str = "vec_id", label_col: str = "label",
+                    k: int = 5) -> pa.Table:
+    """k-NN majority-vote classification: for each query id, the most
+    common label among its ``k`` exact cosine neighbors (vote ties →
+    smallest label) → (query_id, pred_label, votes).
+
+    Scale shape: rides :func:`knn_brute_ds` (per-batch partial top-k
+    against the broadcast query matrix, Q×k driver merge); neighbor
+    labels come back through ONE key-pruned read of the label column
+    — the corpus is scanned once for scoring and never shuffled."""
+    import pyarrow.dataset as pds
+
+    knn = knn_brute_ds(ds, query_ids, vec_col=vec_col,
+                       id_col=id_col, k=k)
+    nbr = sorted({int(x) for x in knn["neighbor_id"].to_pylist()})
+    lab_rows = _take_rows_by_id(
+        ds.select_columns([id_col, label_col]), id_col,
+        np.asarray(nbr, dtype=np.int64))
+    lab = {int(r[id_col]): int(r[label_col]) for r in lab_rows}
+    q_out, l_out, v_out = [], [], []
+    qs = knn["query_id"].to_numpy()
+    ns = knn["neighbor_id"].to_numpy()
+    for q in sorted(set(qs.tolist())):
+        votes: dict[int, int] = {}
+        for nid in ns[qs == q]:
+            labv = lab[int(nid)]
+            votes[labv] = votes.get(labv, 0) + 1
+        best = sorted(votes.items(), key=lambda t: (-t[1], t[0]))[0]
+        q_out.append(int(q))
+        l_out.append(best[0])
+        v_out.append(best[1])
+    return pa.table({"query_id": pa.array(q_out, pa.int64()),
+                     "pred_label": pa.array(l_out, pa.int64()),
+                     "votes": pa.array(v_out, pa.int64())})

@@ -2085,6 +2085,18 @@ def q_next_token_topk(sf_dir: str):
         _read(sf_dir, "documents", ["text"]))
 
 
+def q_time_weighted_avg(sf_dir: str):
+    return F_events.time_weighted_avg_ds(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "value"]))
+
+
+def q_knn_classify(sf_dir: str):
+    return F_sim.knn_classify_ds(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+        .repartition(16), KNN_QUERY_IDS, k=KNN_K)
+
+
 def q_dedup_representatives(sf_dir: str):
     return F_dedup.dedup_representatives_ds(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
@@ -2253,6 +2265,8 @@ QUERIES = {
     "kg_degree_dist": q_kg_degree_dist,
     "compression_ratio": q_compression_ratio,
     "next_token_topk": q_next_token_topk,
+    "time_weighted_avg": q_time_weighted_avg,
+    "knn_classify": q_knn_classify,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -3952,4 +3966,48 @@ ORACLE_SQL["next_token_topk"] = """
                FROM bg)
     SELECT prev, "next", n FROM r WHERE rn <= 3
     ORDER BY prev, n DESC, "next"
+"""
+
+ORACLE_SQL["time_weighted_avg"] = """
+    WITH o AS (SELECT user_id, event_id, ts,
+                      CAST(round(value * 100) AS BIGINT) AS c,
+                      lead(ts) OVER w AS nts,
+                      lead(CAST(round(value * 100) AS BIGINT)) OVER w
+                          AS nc
+               FROM events
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts, event_id)),
+         s AS (SELECT user_id,
+                      sum((c + nc) * (epoch_us(nts) - epoch_us(ts)))
+                          AS num,
+                      2 * (epoch_us(max(ts)) - epoch_us(min(ts)))
+                          AS den
+               FROM o GROUP BY user_id)
+    SELECT user_id, CAST(num // den AS BIGINT) AS twa_cents
+    FROM s WHERE den > 0 ORDER BY user_id
+"""
+
+ORACLE_SQL["knn_classify"] = """
+    WITH q AS (SELECT vec_id AS query_id,
+                      CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 8),
+         s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                      list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+               FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id)
+                          AS rnk
+               FROM s),
+         v AS (SELECT r.query_id, CAST(e.label AS BIGINT) AS label,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM r JOIN embeddings e ON e.vec_id = r.neighbor_id
+               WHERE r.rnk <= 5 GROUP BY 1, 2),
+         w AS (SELECT query_id, label, n,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY n DESC, label) AS rn
+               FROM v)
+    SELECT query_id, label AS pred_label, n AS votes
+    FROM w WHERE rn = 1 ORDER BY query_id
 """

@@ -713,3 +713,21 @@ def test_next_token_topk_rank_rule(ray_session):
     # a→b:2, a→c:1, a→d:1 (tie → c wins rank 2); b→a:1
     got = {(r.prev, r.next): r.n for r in out.itertuples()}
     assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "a"): 1}
+
+
+def test_time_weighted_avg_trapezoid(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.events import time_weighted_avg_ds
+
+    # u1: 100¢ for 10µs then 300¢ for 10µs → twa = (200*10+400*10)/40
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 10, 20, 5], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "value": pa.array([1.0, 3.0, 1.0, 9.0], pa.float64()),
+    })).repartition(2)
+    out = time_weighted_avg_ds(ds).to_pandas()
+    assert out.user_id.tolist() == [1]        # u2 has one event
+    assert out.twa_cents.tolist() == [(400 * 10 + 400 * 10) // 40]
