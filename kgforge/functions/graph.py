@@ -928,3 +928,109 @@ def kcore_ds(edges_ds, k: int = 2, rounds: int = 8,
         lambda b: pa.table({"node": b["n"],
                             "degree": pc.cast(b["dg"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def assortativity_ds(edges_ds, src: str = "subj", dst: str = "obj",
+                     num_partitions: int = 64) -> pa.Table:
+    """Degree-assortativity moments of the undirected distinct-pair
+    graph: over every directed pair (a, b), the EXACT integer moment
+    sums of (deg(a), deg(b)) plus the regression slope in ppm —
+    ``(n_pairs, num, denx, deny, slope_ppm)`` with
+    ``num = n·Σxy − Σx·Σy``, ``denx = n·Σx² − (Σx)²`` (deny
+    symmetric), ``slope_ppm = num × 10⁶ // denx`` — one row, no
+    floats, no sqrt (the consumer can form Pearson r from the three
+    integers; a float sqrt here would risk the value hash).
+
+    Plan: degrees via ``degree_ds``'s distinct-pair base; two
+    cogroups attach deg(a) then deg(b) to the pair stream; per-batch
+    integer moment partials fold on the driver (Python ints — no
+    int64 overflow for Σx², Σxy at web-scale degree sums)."""
+    import pyarrow.compute as pc
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["n1"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"n": g["n1"],
+                         "dg": pc.cast(g["count_all"], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    deg = und.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("n").aggregate(Sum("dg", alias_name="dg")) \
+        .materialize()
+
+    def attach(out_col, left_cols):
+        def fn(t: pa.Table, starts, nl, nr) -> pa.Table:
+            # left = pair rows; right = degree rows (one per node);
+            # closure args are bound per stage — the UDF pickles at
+            # (lazy) execution time, so no shared mutable state here
+            total = nl + nr
+            row_key = np.repeat(np.arange(len(nl)), total)
+            pos = np.arange(len(row_key))
+            in_left = pos < (starts + nl)[row_key]
+            mask = ((nl > 0) & (nr > 0))[row_key] & in_left
+            lidx = np.flatnonzero(mask)
+            ridx = (starts + nl)[row_key][lidx]
+            cols = {c: t[c].take(pa.array(lidx)) for c in left_cols}
+            cols[out_col] = t["dg"].take(pa.array(ridx))
+            return pa.table(cols)
+        return fn
+
+    node_t = und.schema().base_schema.field("n1").type  # materialized
+    deg_schema = pa.schema([("n", node_t), ("dg", pa.int64())])
+    with_da = cogroup_partition_ds(
+        und, deg, "n1", "n", attach("da", ["n2"]), ["n2"], ["dg"],
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("n1", node_t), ("n2", node_t)]),
+        right_schema=deg_schema)
+    # schema HINT for the lazy with_da side — a schema() probe on an
+    # unmaterialized all-to-all output executes its whole plan
+    pairs = cogroup_partition_ds(
+        with_da, deg, "n2", "n", attach("db", ["da"]), ["da"], ["dg"],
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("n2", node_t), ("da", pa.int64())]),
+        right_schema=deg_schema)
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = b["da"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = b["db"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64())})
+
+    import ray
+
+    parts = [t for t in ray.get(
+        pairs.map_batches(moments, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_columns]
+    agg = {c: 0 for c in ("n", "sx", "sy", "sxy", "sxx", "syy")}
+    for t in parts:
+        for c in agg:
+            agg[c] += int(pc.sum(t[c]).as_py() or 0)
+    n, sx, sy = agg["n"], agg["sx"], agg["sy"]
+    num = n * agg["sxy"] - sx * sy
+    denx = n * agg["sxx"] - sx * sx
+    deny = n * agg["syy"] - sy * sy
+    if denx == 0:
+        slope = 0
+    else:
+        # truncate toward zero — DuckDB // semantics, NOT Python floor
+        q = abs(num) * 1_000_000 // abs(denx)
+        slope = q if (num >= 0) == (denx >= 0) else -q
+    return pa.table({
+        "n_pairs": pa.array([n], pa.int64()),
+        "num": pa.array([num], pa.int64()),
+        "denx": pa.array([denx], pa.int64()),
+        "deny": pa.array([deny], pa.int64()),
+        "slope_ppm": pa.array([slope], pa.int64())})

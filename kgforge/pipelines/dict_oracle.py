@@ -355,3 +355,30 @@ e{r + 1} AS MATERIALIZED (SELECT e.n1, e.n2 FROM e{r} e
 SELECT n1 AS node, CAST(count(*) AS BIGINT) AS degree
 FROM e{rounds} GROUP BY n1
 """
+
+
+def assortativity_sql() -> str:
+    """Degree-assortativity moments — twin of
+    :func:`kgforge.functions.graph.assortativity_ds` (same directed
+    pair stream, same integer moments, DuckDB's truncating ``//``)."""
+    return entity_pairs_prelude() + """,
+dd AS (SELECT n1 AS n, CAST(count(*) AS BIGINT) AS dg
+       FROM und GROUP BY n1),
+pp AS (SELECT a.dg AS x, b.dg AS y
+       FROM und JOIN dd a ON a.n = und.n1 JOIN dd b ON b.n = und.n2),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pp)
+SELECT n AS n_pairs,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS denx,
+       CAST(n * syy - sy * sy AS BIGINT) AS deny,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                 ELSE (n * sxy - sx * sy) * 1000000
+                      // (n * sxx - sx * sx) END AS BIGINT) AS slope_ppm
+FROM m
+"""

@@ -2097,6 +2097,12 @@ def q_knn_classify(sf_dir: str):
         .repartition(16), KNN_QUERY_IDS, k=KNN_K)
 
 
+def q_kg_assortativity(sf_dir: str):
+    from kgforge.functions.graph import assortativity_ds
+
+    return assortativity_ds(_entity_edges_for(sf_dir))
+
+
 def q_dedup_representatives(sf_dir: str):
     return F_dedup.dedup_representatives_ds(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
@@ -2267,6 +2273,7 @@ QUERIES = {
     "next_token_topk": q_next_token_topk,
     "time_weighted_avg": q_time_weighted_avg,
     "knn_classify": q_knn_classify,
+    "kg_assortativity": q_kg_assortativity,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -4011,3 +4018,5 @@ ORACLE_SQL["knn_classify"] = """
     SELECT query_id, label AS pred_label, n AS votes
     FROM w WHERE rn = 1 ORDER BY query_id
 """
+
+ORACLE_SQL["kg_assortativity"] = _dict_oracle.assortativity_sql()

@@ -731,3 +731,21 @@ def test_time_weighted_avg_trapezoid(ray_session):
     out = time_weighted_avg_ds(ds).to_pandas()
     assert out.user_id.tolist() == [1]        # u2 has one event
     assert out.twa_cents.tolist() == [(400 * 10 + 400 * 10) // 40]
+
+
+def test_assortativity_star_is_disassortative(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.graph import assortativity_ds
+
+    # star: hub h connected to 3 leaves → pairs mix deg 3 with deg 1
+    edges = rd.from_arrow(pa.table({
+        "subj": pa.array(["h", "h", "h"], pa.string()),
+        "obj": pa.array(["a", "b", "c"], pa.string()),
+    })).repartition(2)
+    out = assortativity_ds(edges).to_pandas()
+    # directed pairs: (3,1)x3 and (1,3)x3 → perfect anti-correlation
+    assert out.n_pairs.tolist() == [6]
+    assert out.num.tolist()[0] < 0
+    assert out.slope_ppm.tolist() == [-1_000_000]
