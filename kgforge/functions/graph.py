@@ -951,6 +951,15 @@ def assortativity_ds(edges_ds, src: str = "subj", dst: str = "obj",
 
     und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
                              both_directions=True).materialize()
+    # right-size the fan-out to the graph (pagerank's trade): a
+    # vocabulary-bound entity graph under 64 partitions pays the
+    # per-partition sort overhead twice per cogroup for near-empty
+    # partitions
+    n_pairs = und.count()
+    num_partitions = int(min(num_partitions,
+                             max(4, n_pairs // 2000 + 1)))
+    if n_pairs < 100_000 and und.num_blocks() > 2 * num_partitions:
+        und = und.repartition(num_partitions).materialize()
 
     def deg_partial(b: pa.Table) -> pa.Table:
         g = b.group_by(["n1"], use_threads=False).aggregate(
