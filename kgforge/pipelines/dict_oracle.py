@@ -382,3 +382,23 @@ SELECT n AS n_pairs,
                       // (n * sxx - sx * sx) END AS BIGINT) AS slope_ppm
 FROM m
 """
+
+
+def edge_jaccard_sql() -> str:
+    """Per-edge neighborhood Jaccard — twin of
+    :func:`kgforge.functions.graph.edge_jaccard_ds` (same canonical
+    a < b edges, cn = 0 edges kept, integer ppm)."""
+    return entity_pairs_prelude() + """,
+dd AS (SELECT n1 AS n, CAST(count(*) AS BIGINT) AS dg
+       FROM und GROUP BY n1),
+ce AS (SELECT n1 AS a, n2 AS b FROM und WHERE n1 < n2),
+w AS (SELECT l.n2 AS a, r.n2 AS b, CAST(count(*) AS BIGINT) AS cn
+      FROM und l JOIN und r ON r.n1 = l.n1 AND l.n2 < r.n2
+      GROUP BY 1, 2),
+j AS (SELECT ce.a, ce.b, coalesce(w.cn, 0) AS cn
+      FROM ce LEFT JOIN w ON w.a = ce.a AND w.b = ce.b)
+SELECT j.a, j.b, j.cn,
+       CAST(j.cn * 1000000 // (da.dg + db.dg - j.cn) AS BIGINT)
+           AS jac_ppm
+FROM j JOIN dd da ON da.n = j.a JOIN dd db ON db.n = j.b
+"""

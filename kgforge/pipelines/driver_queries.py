@@ -2103,6 +2103,12 @@ def q_kg_assortativity(sf_dir: str):
     return assortativity_ds(_entity_edges_for(sf_dir))
 
 
+def q_kg_edge_jaccard(sf_dir: str):
+    from kgforge.functions.graph import edge_jaccard_ds
+
+    return edge_jaccard_ds(_entity_edges_for(sf_dir))
+
+
 def q_dedup_representatives(sf_dir: str):
     return F_dedup.dedup_representatives_ds(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
@@ -2274,6 +2280,7 @@ QUERIES = {
     "time_weighted_avg": q_time_weighted_avg,
     "knn_classify": q_knn_classify,
     "kg_assortativity": q_kg_assortativity,
+    "kg_edge_jaccard": q_kg_edge_jaccard,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -4020,3 +4027,5 @@ ORACLE_SQL["knn_classify"] = """
 """
 
 ORACLE_SQL["kg_assortativity"] = _dict_oracle.assortativity_sql()
+
+ORACLE_SQL["kg_edge_jaccard"] = _dict_oracle.edge_jaccard_sql()

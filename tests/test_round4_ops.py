@@ -749,3 +749,35 @@ def test_assortativity_star_is_disassortative(ray_session):
     assert out.n_pairs.tolist() == [6]
     assert out.num.tolist()[0] < 0
     assert out.slope_ppm.tolist() == [-1_000_000]
+
+
+def test_edge_jaccard_vs_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.graph import edge_jaccard_ds
+
+    rng = np.random.RandomState(11)
+    edges = set()
+    nodes = [f"n{i:02d}" for i in range(12)]
+    while len(edges) < 25:
+        a, b = rng.choice(12, 2, replace=False)
+        edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    el = sorted(edges)
+    ds = rd.from_arrow(pa.table({
+        "subj": pa.array([e[0] for e in el], pa.string()),
+        "obj": pa.array([e[1] for e in el], pa.string()),
+    })).repartition(3)
+    out = edge_jaccard_ds(ds).to_pandas()
+    got = {(r.a, r.b): (r.cn, r.jac_ppm) for r in out.itertuples()}
+    nbrs = {n: set() for n in nodes}
+    for a, b in el:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    exp = {}
+    for a, b in el:
+        cn = len(nbrs[a] & nbrs[b])
+        exp[(a, b)] = (cn, cn * 1_000_000
+                       // (len(nbrs[a]) + len(nbrs[b]) - cn))
+    assert got == exp
