@@ -707,3 +707,83 @@ def compression_ratio_ds(ds, text_col: str = "text",
             "ratio_ppm": pa.array(ratios)})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def oov_rate_ds(ds, vocab_k: int = 20, text_col: str = "text",
+                group_col: str = "source") -> pa.Table:
+    """Tokenizer-coverage report: per group, the share of token
+    positions OUTSIDE the global top-``vocab_k`` vocabulary, in exact
+    integer ppm → (group, total, oov, oov_ppm).  The gate run before
+    committing to a fixed vocabulary / tokenizer.
+
+    Scale shape: vocabulary from per-batch arrow value_counts partials
+    + one token-keyed sum + the global top-k cut (the O1/O3 vocab
+    pattern); the k winners broadcast via ``ray.put`` and the coverage
+    pass is one vectorized ``pc.is_in`` map emitting per-batch
+    (group, total, oov) partials — corpus rows never shuffle."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.fill_null(b[text_col], ""), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    counts = ds.map_batches(vocab_partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n"))
+    top = counts.sort(["n", "token"], descending=[True, False]) \
+        .limit(vocab_k).to_pandas()
+    vocab = pa.array(sorted(top["token"].tolist()), pa.string())
+    ref = ray.put(vocab)
+
+    def cover_partial(b: pa.Table, _ref=ref) -> pa.Table:
+        vs = ray.get(_ref)
+        split = pc.split_pattern_regex(pc.fill_null(b[text_col], ""),
+                                       r"\s+")
+        toks = pc.list_flatten(split)
+        keep = pc.not_equal(toks, "")
+        toks = toks.filter(keep)
+        lens = pc.list_value_length(split).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # per-row non-empty token counts: subtract empties per row
+        empt = np.zeros(len(lens), dtype=np.int64)
+        if len(toks) != int(lens.sum()):
+            # empties exist: recount per row the slow-but-rare way
+            row_of = np.repeat(np.arange(len(lens)), lens)
+            empt = np.bincount(
+                row_of[~keep.to_numpy(zero_copy_only=False)],
+                minlength=len(lens)).astype(np.int64)
+        n_tok = lens - empt
+        oov_mask = pc.invert(pc.is_in(toks, value_set=vs)) \
+            .to_numpy(zero_copy_only=False)
+        row_of_tok = np.repeat(np.arange(len(lens)), n_tok)
+        oov_per_row = np.bincount(row_of_tok[oov_mask],
+                                  minlength=len(lens)).astype(np.int64)
+        t = pa.table({group_col: b[group_col],
+                      "total": pa.array(n_tok),
+                      "oov": pa.array(oov_per_row)})
+        g = t.group_by([group_col], use_threads=False).aggregate(
+            [("total", "sum"), ("oov", "sum")])
+        return pa.table({group_col: g[group_col],
+                         "total": g["total_sum"], "oov": g["oov_sum"]})
+
+    parts = [t for t in ray.get(
+        ds.map_batches(cover_partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_columns]
+    if not parts:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "total": pa.array([], pa.int64()),
+                         "oov": pa.array([], pa.int64()),
+                         "oov_ppm": pa.array([], pa.int64())})
+    flat = pa.concat_tables(parts).to_pandas()
+    g = flat.groupby(group_col, as_index=False).sum()
+    tot = g["total"].to_numpy(np.int64)
+    oov = g["oov"].to_numpy(np.int64)
+    return pa.table({
+        group_col: pa.array(g[group_col], pa.string()),
+        "total": pa.array(tot), "oov": pa.array(oov),
+        "oov_ppm": pa.array(oov * 1_000_000 // np.maximum(tot, 1))})

@@ -2109,6 +2109,11 @@ def q_kg_edge_jaccard(sf_dir: str):
     return edge_jaccard_ds(_entity_edges_for(sf_dir))
 
 
+def q_oov_rate(sf_dir: str):
+    return F_text.oov_rate_ds(
+        _read(sf_dir, "documents", ["text", "source"]))
+
+
 def q_dedup_representatives(sf_dir: str):
     return F_dedup.dedup_representatives_ds(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
@@ -2281,6 +2286,7 @@ QUERIES = {
     "knn_classify": q_knn_classify,
     "kg_assortativity": q_kg_assortativity,
     "kg_edge_jaccard": q_kg_edge_jaccard,
+    "oov_rate": q_oov_rate,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -4029,3 +4035,21 @@ ORACLE_SQL["knn_classify"] = """
 ORACLE_SQL["kg_assortativity"] = _dict_oracle.assortativity_sql()
 
 ORACLE_SQL["kg_edge_jaccard"] = _dict_oracle.edge_jaccard_sql()
+
+ORACLE_SQL["oov_rate"] = """
+    WITH toks AS (SELECT source,
+                         unnest(regexp_extract_all(text, '\\S+'))
+                             AS token
+                  FROM documents),
+         c AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+         v AS (SELECT token FROM c ORDER BY n DESC, token LIMIT 20),
+         s AS (SELECT source, CAST(count(*) AS BIGINT) AS total,
+                      CAST(sum(CASE WHEN token IN
+                                    (SELECT token FROM v)
+                                    THEN 0 ELSE 1 END) AS BIGINT)
+                          AS oov
+               FROM toks GROUP BY source)
+    SELECT source, total, oov,
+           CAST(oov * 1000000 // total AS BIGINT) AS oov_ppm
+    FROM s ORDER BY source
+"""

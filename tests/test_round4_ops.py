@@ -781,3 +781,21 @@ def test_edge_jaccard_vs_bruteforce(ray_session):
         exp[(a, b)] = (cn, cn * 1_000_000
                        // (len(nbrs[a]) + len(nbrs[b]) - cn))
     assert got == exp
+
+
+def test_oov_rate_exact(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.textstats import oov_rate_ds
+
+    # vocab_k=2 → vocab {a, b} (counts 3, 2); source s2 has 1 OOV of 3
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["a a b", "a b z", "q"], pa.string()),
+        "source": pa.array(["s1", "s2", "s2"], pa.string()),
+    })).repartition(2)
+    out = oov_rate_ds(ds, vocab_k=2).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    assert out.total.tolist() == [3, 4]
+    assert out.oov.tolist() == [0, 2]          # z and q
+    assert out.oov_ppm.tolist() == [0, 500_000]
