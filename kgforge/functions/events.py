@@ -2248,3 +2248,55 @@ def time_weighted_avg_ds(ds, by: str = "user_id", on: str = "ts",
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("__p").map_groups(per_partition,
                                    batch_format="pyarrow")
+
+
+def group_share_ds(ds, by: str, value_col: str, id_col: str,
+                   num_partitions: int = 64):
+    """Within-group share of a cents-scaled value in exact integer
+    ppm — the ``100 × v / SUM(v) OVER (PARTITION BY key)`` window
+    without a window engine: one key-hash partitioned merge; per
+    partition the group totals are one ``np.add.reduceat`` over run
+    offsets, repeated back onto rows for the ppm division.  Output
+    (id, key, cents, share_ppm); zero-total groups emit share 0."""
+    import pyarrow.compute as pc
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import _part_codes
+
+    def tag(b: pa.Table) -> pa.Table:
+        v = b[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table({id_col: b[id_col], by: b[by],
+                      "cents": pa.array(round_away(v * 100, 0)
+                                        .astype(np.int64))})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t[by], num_partitions)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             by: pa.array([], t.schema.field(by).type),
+                             "cents": pa.array([], pa.int64()),
+                             "share_ppm": pa.array([], pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        keys = t[by].combine_chunks()
+        if n > 1:
+            neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)) \
+                .to_numpy(zero_copy_only=False)
+            starts = np.concatenate([[0], np.flatnonzero(neq) + 1])
+        else:
+            starts = np.zeros(1, dtype=np.int64)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        tot = np.repeat(np.add.reduceat(c, starts), lens)
+        share = np.where(tot != 0, c * 1_000_000 // np.where(tot == 0,
+                                                             1, tot), 0)
+        return pa.table({id_col: t[id_col], by: keys,
+                         "cents": t["cents"],
+                         "share_ppm": pa.array(share)})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow")

@@ -2114,6 +2114,14 @@ def q_oov_rate(sf_dir: str):
         _read(sf_dir, "documents", ["text", "source"]))
 
 
+def q_order_share(sf_dir: str):
+    return F_events.group_share_ds(
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderkey", "o_totalprice"]),
+        by="o_custkey", value_col="o_totalprice",
+        id_col="o_orderkey")
+
+
 def q_dedup_representatives(sf_dir: str):
     return F_dedup.dedup_representatives_ds(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
@@ -2287,6 +2295,7 @@ QUERIES = {
     "kg_assortativity": q_kg_assortativity,
     "kg_edge_jaccard": q_kg_edge_jaccard,
     "oov_rate": q_oov_rate,
+    "order_share": q_order_share,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -4052,4 +4061,19 @@ ORACLE_SQL["oov_rate"] = """
     SELECT source, total, oov,
            CAST(oov * 1000000 // total AS BIGINT) AS oov_ppm
     FROM s ORDER BY source
+"""
+
+ORACLE_SQL["order_share"] = """
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS cents
+               FROM orders),
+         s AS (SELECT o_orderkey, o_custkey, cents,
+                      sum(cents) OVER (PARTITION BY o_custkey) AS tot
+               FROM o)
+    SELECT o_orderkey, o_custkey, cents,
+           CAST(CASE WHEN tot = 0 THEN 0
+                     ELSE cents * 1000000 // tot END AS BIGINT)
+               AS share_ppm
+    FROM s ORDER BY o_orderkey
 """

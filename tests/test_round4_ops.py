@@ -799,3 +799,19 @@ def test_oov_rate_exact(ray_session):
     assert out.total.tolist() == [3, 4]
     assert out.oov.tolist() == [0, 2]          # z and q
     assert out.oov_ppm.tolist() == [0, 500_000]
+
+
+def test_group_share_ppm(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.events import group_share_ds
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "id": pa.array([10, 11, 12], pa.int64()),
+        "v": pa.array([1.0, 3.0, 5.0], pa.float64()),
+    })).repartition(2)
+    out = group_share_ds(ds, by="k", value_col="v", id_col="id") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert out.share_ppm.tolist() == [250_000, 750_000, 1_000_000]
