@@ -1798,3 +1798,57 @@ def source_provenance_ds(ds, text_col: str = "text",
 
     return ds.map_batches(pairs, batch_format="pyarrow") \
         .groupby("__p").map_groups(fold, batch_format="pyarrow")
+
+
+def incremental_dedup_ds(old_ds, new_ds, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         group_col: str = "source",
+                         num_partitions: int = 64):
+    """Dedup-on-ingest: per group of the NEW batch, how many incoming
+    documents collide with the EXISTING corpus by normalized digest →
+    (group, n_new, n_dup) partials (≤ P × groups rows; caller folds).
+    The CDC-shaped dedup every streaming ingestion runs before
+    appending to a training corpus.
+
+    Scale shape: the existing corpus collapses to per-batch-distinct
+    digests (at 10¹² docs this side is the stored digest index, read
+    not recomputed); ONE digest-keyed cogroup against the new batch's
+    (digest, group) rows; per-partition membership is the run-layout
+    mask — no broadcast of the big side, text never shuffles."""
+    import pyarrow.compute as pc
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    def new_rows(b: pa.Table) -> pa.Table:
+        texts = [normalize_text(t) for t in b[text_col].to_pylist()]
+        return pa.table({"d": _md5_col(texts), group_col: b[group_col]})
+
+    def old_digests(b: pa.Table) -> pa.Table:
+        texts = [normalize_text(t) for t in b[text_col].to_pylist()]
+        return pa.table({"d": pc.unique(_md5_col(texts))})
+
+    nd = new_ds.map_batches(new_rows, batch_format="pyarrow")
+    od = old_ds.map_batches(old_digests, batch_format="pyarrow")
+
+    def audit(t: pa.Table, starts, nl, nr) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n_new": pa.array([], pa.int64()),
+                             "n_dup": pa.array([], pa.int64())})
+        run_of = np.repeat(np.arange(len(nl)), nl)
+        li = np.repeat(starts, nl) + (
+            np.arange(int(nl.sum())) - np.repeat(
+                np.concatenate([[0], np.cumsum(nl)[:-1]]), nl))
+        dup = (nr[run_of] > 0).astype(np.int64)
+        g = pa.table({group_col: t[group_col].take(pa.array(li)),
+                      "one": pa.array(np.ones(len(li), np.int64)),
+                      "dup": pa.array(dup)}) \
+            .group_by([group_col], use_threads=False) \
+            .aggregate([("one", "sum"), ("dup", "sum")])
+        return pa.table({group_col: g[group_col],
+                         "n_new": pc.cast(g["one_sum"], pa.int64()),
+                         "n_dup": pc.cast(g["dup_sum"], pa.int64())})
+
+    return cogroup_partition_ds(nd, od, "d", "d", audit,
+                                [group_col], [],
+                                num_partitions=num_partitions)

@@ -2122,6 +2122,32 @@ def q_order_share(sf_dir: str):
         id_col="o_orderkey")
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Ingest-dedup: the 20% newest docs (doc_id % 10 >= 8) checked
+    against the 80% existing corpus by normalized digest."""
+    import ray
+
+    def split(which):
+        def f(b: pa.Table) -> pa.Table:
+            mod = pc.subtract(b["doc_id"],
+                              pc.multiply(pc.divide(b["doc_id"], 10),
+                                          10))
+            m = pc.less(mod, 8)
+            keep = m if which == "old" else pc.invert(m)
+            return b.filter(keep)
+        return f
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    old = docs.map_batches(split("old"), batch_format="pyarrow")
+    new = docs.map_batches(split("new"), batch_format="pyarrow")
+    parts = F_dedup.incremental_dedup_ds(old, new).to_pandas()
+    g = parts.groupby("source", as_index=False).sum()
+    return pa.table({
+        "source": pa.array(g["source"], pa.string()),
+        "n_new": pa.array(g["n_new"].to_numpy(np.int64)),
+        "n_dup": pa.array(g["n_dup"].to_numpy(np.int64))})
+
+
 def q_dedup_representatives(sf_dir: str):
     return F_dedup.dedup_representatives_ds(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
@@ -2296,6 +2322,7 @@ QUERIES = {
     "kg_edge_jaccard": q_kg_edge_jaccard,
     "oov_rate": q_oov_rate,
     "order_share": q_order_share,
+    "dedup_incremental": q_dedup_incremental,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -4076,4 +4103,18 @@ ORACLE_SQL["order_share"] = """
                      ELSE cents * 1000000 // tot END AS BIGINT)
                AS share_ppm
     FROM s ORDER BY o_orderkey
+"""
+
+ORACLE_SQL["dedup_incremental"] = """
+    WITH norm AS (SELECT doc_id, source, md5(trim(regexp_replace(
+                      regexp_replace(lower(text), '[^a-z0-9 ]+', '',
+                                     'g'),
+                      ' +', ' ', 'g'))) AS d
+                  FROM documents),
+         old AS (SELECT DISTINCT d FROM norm WHERE doc_id % 10 < 8),
+         nw AS (SELECT source, d FROM norm WHERE doc_id % 10 >= 8)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN d IN (SELECT d FROM old)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+    FROM nw GROUP BY source ORDER BY source
 """

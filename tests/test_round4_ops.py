@@ -815,3 +815,22 @@ def test_group_share_ppm(ray_session):
     out = group_share_ds(ds, by="k", value_col="v", id_col="id") \
         .to_pandas().sort_values("id").reset_index(drop=True)
     assert out.share_ppm.tolist() == [250_000, 750_000, 1_000_000]
+
+
+def test_incremental_dedup_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.dedup import incremental_dedup_ds
+
+    old = rd.from_arrow(pa.table({
+        "text": pa.array(["alpha", "beta"], pa.string()),
+        "source": pa.array(["s", "s"], pa.string())})).repartition(2)
+    new = rd.from_arrow(pa.table({
+        # ALPHA! normalizes to alpha (dup); gamma is novel
+        "text": pa.array(["ALPHA!", "gamma"], pa.string()),
+        "source": pa.array(["s1", "s1"], pa.string())})).repartition(2)
+    parts = incremental_dedup_ds(old, new).to_pandas()
+    g = parts.groupby("source").sum()
+    assert g.loc["s1", "n_new"] == 2
+    assert g.loc["s1", "n_dup"] == 1
