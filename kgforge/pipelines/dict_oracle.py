@@ -402,3 +402,26 @@ SELECT j.a, j.b, j.cn,
            AS jac_ppm
 FROM j JOIN dd da ON da.n = j.a JOIN dd db ON db.n = j.b
 """
+
+
+def lift_sql() -> str:
+    """Entity co-mention lift — twin of ``q_kg_lift`` (same distinct
+    per-sentence semantics; N = sentences containing ≥ 1 mention;
+    integer ppm, truncating division)."""
+    return corpus_prelude() + """,
+mm AS (SELECT DISTINCT d, j, surface FROM ments),
+nn AS (SELECT count(*) AS n FROM (SELECT DISTINCT d, j FROM mm)),
+ec AS (SELECT surface, CAST(count(*) AS BIGINT) AS ns
+       FROM mm GROUP BY surface),
+pr AS (SELECT m1.surface AS a, m2.surface AS b,
+              CAST(count(*) AS BIGINT) AS n_ab
+       FROM mm m1 JOIN mm m2
+         ON m1.d = m2.d AND m1.j = m2.j AND m1.surface < m2.surface
+       GROUP BY 1, 2)
+SELECT pr.a, pr.b, pr.n_ab,
+       CAST(pr.n_ab * nn.n * 1000000 // (ea.ns * eb.ns) AS BIGINT)
+           AS lift_ppm
+FROM pr, nn
+JOIN ec ea ON ea.surface = pr.a
+JOIN ec eb ON eb.surface = pr.b
+"""

@@ -2148,6 +2148,55 @@ def q_dedup_incremental(sf_dir: str):
         "n_dup": pa.array(g["n_dup"].to_numpy(np.int64))})
 
 
+def q_kg_lift(sf_dir: str):
+    """Entity co-mention lift: n_ab × N × 10⁶ // (n_a × n_b) over
+    sentence-distinct mention sets — the association-strength signal
+    separating template co-occurrence from real affinity.  Pair and
+    per-entity counts are both VOCABULARY-BOUNDED (gazetteer-sized),
+    so the final integer-lift join happens on the collected tables;
+    the distributed parts are the cooccur exchange and one
+    surface-keyed distinct-count."""
+    import ray
+    from ray.data.aggregate import Sum
+    from kgforge.functions.graph import cooccur_pairs_ds
+
+    ments = _dict_flagship_for(sf_dir)["mentions"].select_columns(
+        ["doc_id", "sent_idx", "surface"])
+    pairs = cooccur_pairs_ds(ments, ["doc_id", "sent_idx"],
+                             "surface").to_pandas()
+
+    def sent_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["doc_id", "sent_idx", "surface"]).group_by(
+            ["doc_id", "sent_idx", "surface"],
+            use_threads=False).aggregate([])
+        return g
+
+    distinct = ments.map_batches(sent_partial, batch_format="pyarrow") \
+        .groupby(["doc_id", "sent_idx", "surface"]).count() \
+        .select_columns(["doc_id", "sent_idx", "surface"]) \
+        .materialize()
+    ec = {}
+    sents = set()
+    for t in ray.get(distinct.to_arrow_refs()):
+        if not t.num_columns:
+            continue
+        for d, j, s in zip(t["doc_id"].to_pylist(),
+                           t["sent_idx"].to_pylist(),
+                           t["surface"].to_pylist()):
+            ec[s] = ec.get(s, 0) + 1
+            sents.add((d, j))
+    n_total = len(sents)
+    a = pairs["a"].tolist()
+    b = pairs["b"].tolist()
+    nab = pairs["n_groups"].to_numpy(np.int64)
+    lift = [int(nab[i]) * n_total * 1_000_000
+            // (ec[a[i]] * ec[b[i]]) for i in range(len(a))]
+    return pa.table({
+        "a": pa.array(a, pa.string()), "b": pa.array(b, pa.string()),
+        "n_ab": pa.array(nab),
+        "lift_ppm": pa.array(np.array(lift, dtype=np.int64))})
+
+
 def q_dedup_representatives(sf_dir: str):
     return F_dedup.dedup_representatives_ds(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
@@ -2323,6 +2372,7 @@ QUERIES = {
     "oov_rate": q_oov_rate,
     "order_share": q_order_share,
     "dedup_incremental": q_dedup_incremental,
+    "kg_lift": q_kg_lift,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -4118,3 +4168,5 @@ ORACLE_SQL["dedup_incremental"] = """
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
     FROM nw GROUP BY source ORDER BY source
 """
+
+ORACLE_SQL["kg_lift"] = _dict_oracle.lift_sql()
