@@ -2300,3 +2300,63 @@ def group_share_ds(ds, by: str, value_col: str, id_col: str,
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("__p").map_groups(per_partition,
                                    batch_format="pyarrow")
+
+
+def trimmed_mean_ds(ds, by: str = "event_type", value_col: str = "value",
+                    lo_decile: int = 1, hi_decile: int = 8) -> pa.Table:
+    """Robust per-group mean: drop each group's tail deciles by the
+    EXACT integer rank rule (keep rows with ``rank_lt × 10 // n`` in
+    [lo, hi]; rank_lt = strictly-smaller count, ties share a bucket)
+    and return ``(group, n_kept, trimmed_mean_cents)`` with the mean
+    as a truncating integer quotient — the outlier-robust signal
+    statistic, bit-stable across engines.
+
+    Scale shape: per-group VALUE HISTOGRAMS (distinct cents — domain-
+    bounded) through one keyed sum; per-group cumsum on the collected
+    histogram gives both the decile bounds and the kept-range sums
+    directly — rows never move, and no second pass is needed (sum of
+    kept values = Σ value × count over the kept histogram slice)."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table({by: b[by],
+                      "c": pa.array(round_away(v * 100, 0)
+                                    .astype(np.int64)),
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by([by, "c"], use_threads=False).aggregate(
+            [("n", "sum")])
+        return g.rename_columns([by, "c", "n"])
+
+    hist = ds.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby([by, "c"]).aggregate(Sum("n", alias_name="n"))
+    tabs = [t for t in ray.get(hist.to_arrow_refs()) if t.num_columns]
+    if not tabs:
+        return pa.table({by: pa.array([], pa.string()),
+                         "n_kept": pa.array([], pa.int64()),
+                         "trimmed_mean_cents": pa.array([], pa.int64())})
+    h = pa.concat_tables(tabs).to_pandas() \
+        .sort_values([by, "c"]).reset_index(drop=True)
+    out_g, out_n, out_m = [], [], []
+    for key, grp in h.groupby(by, sort=True):
+        c = grp["c"].to_numpy(np.int64)
+        n = grp["n"].to_numpy(np.int64)
+        tot = int(n.sum())
+        rank_lt = np.concatenate([[0], np.cumsum(n)[:-1]])
+        dec = rank_lt * 10 // tot
+        keep = (dec >= lo_decile) & (dec <= hi_decile)
+        kn = int(n[keep].sum())
+        if kn == 0:
+            continue
+        ks = int((c[keep] * n[keep]).sum())
+        q = abs(ks) // kn          # truncate toward zero (DuckDB //)
+        out_g.append(key)
+        out_n.append(kn)
+        out_m.append(q if ks >= 0 else -q)
+    return pa.table({by: pa.array(out_g, pa.string()),
+                     "n_kept": pa.array(out_n, pa.int64()),
+                     "trimmed_mean_cents": pa.array(out_m, pa.int64())})

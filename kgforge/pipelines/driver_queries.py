@@ -2197,6 +2197,11 @@ def q_kg_lift(sf_dir: str):
         "lift_ppm": pa.array(np.array(lift, dtype=np.int64))})
 
 
+def q_trimmed_mean(sf_dir: str):
+    return F_events.trimmed_mean_ds(
+        _read(sf_dir, "events", ["event_type", "value"]))
+
+
 def q_dedup_representatives(sf_dir: str):
     return F_dedup.dedup_representatives_ds(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
@@ -2373,6 +2378,7 @@ QUERIES = {
     "order_share": q_order_share,
     "dedup_incremental": q_dedup_incremental,
     "kg_lift": q_kg_lift,
+    "trimmed_mean": q_trimmed_mean,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -4170,3 +4176,19 @@ ORACLE_SQL["dedup_incremental"] = """
 """
 
 ORACLE_SQL["kg_lift"] = _dict_oracle.lift_sql()
+
+ORACLE_SQL["trimmed_mean"] = """
+    WITH o AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS c
+               FROM events),
+         r AS (SELECT event_type, c,
+                      (rank() OVER (PARTITION BY event_type
+                                    ORDER BY c) - 1) * 10
+                      // (count(*) OVER (PARTITION BY event_type))
+                          AS dec
+               FROM o)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(c) // count(*) AS BIGINT) AS trimmed_mean_cents
+    FROM r WHERE dec BETWEEN 1 AND 8
+    GROUP BY event_type ORDER BY event_type
+"""

@@ -834,3 +834,25 @@ def test_incremental_dedup_counts(ray_session):
     g = parts.groupby("source").sum()
     assert g.loc["s1", "n_new"] == 2
     assert g.loc["s1", "n_dup"] == 1
+
+
+def test_trimmed_mean_decile_rule(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.events import trimmed_mean_ds
+
+    # group "a": 10 distinct values 1.00..10.00 → deciles 0..9; keep
+    # ranks 1..8 → cents 200..900, mean 550.  group "n": sorted cents
+    # -500,-68,-33 → deciles 0,3,6; keep -68,-33 → sum -101, kn=2 →
+    # truncate toward zero = -50 (floor would give -51).
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 10 + ["n"] * 3, pa.string()),
+        "value": pa.array([float(i) for i in range(1, 11)]
+                          + [-5.00, -0.33, -0.68], pa.float64()),
+    })).repartition(3)
+    out = trimmed_mean_ds(ds).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    assert out.event_type.tolist() == ["a", "n"]
+    assert out.n_kept.tolist() == [8, 2]
+    assert out.trimmed_mean_cents.tolist() == [550, -50]
