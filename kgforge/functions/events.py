@@ -2360,3 +2360,118 @@ def trimmed_mean_ds(ds, by: str = "event_type", value_col: str = "value",
     return pa.table({by: pa.array(out_g, pa.string()),
                      "n_kept": pa.array(out_n, pa.int64()),
                      "trimmed_mean_cents": pa.array(out_m, pa.int64())})
+
+
+def gini_by_type_ds(ds, by: str = "event_type",
+                    value_col: str = "value") -> pa.Table:
+    """Per-group Gini concentration of positive values, exact integer
+    ppm: over ascending cents ``G = (2·Σ i·x_i − (n+1)·Σx) · 10⁶ //
+    (n·Σx)`` with row_number ranks (tied cents carry identical values,
+    so any within-tie order yields the same Σ i·x_i — deterministic
+    without a tie-break column).
+
+    Scale shape: per-group VALUE HISTOGRAMS (distinct cents —
+    domain-bounded) through one keyed sum; the rank-weighted sum comes
+    from the histogram cumsum (the run of n_c ranks at value c
+    contributes ``c·(n_c·cum_prev + n_c(n_c+1)/2)``) — rows never
+    move.  Final quotient in Python ints (2·ric·10⁶ can exceed int64;
+    DuckDB's HUGEINT sums need the same headroom)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = v > 0
+        t = pa.table({by: b[by].combine_chunks().filter(pa.array(keep)),
+                      "c": pa.array(round_away(v[keep] * 100, 0)
+                                    .astype(np.int64)),
+                      "n": pa.array(np.ones(int(keep.sum()), np.int64))})
+        g = t.group_by([by, "c"], use_threads=False).aggregate(
+            [("n", "sum")])
+        return g.rename_columns([by, "c", "n"])
+
+    hist = ds.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby([by, "c"]).aggregate(Sum("n", alias_name="n"))
+    tabs = [t for t in ray.get(hist.to_arrow_refs()) if t.num_columns]
+    empty = pa.table({by: pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "gini_ppm": pa.array([], pa.int64())})
+    if not tabs:
+        return empty
+    h = pa.concat_tables(tabs).to_pandas() \
+        .sort_values([by, "c"]).reset_index(drop=True)
+    out_g, out_n, out_p = [], [], []
+    for key, grp in h.groupby(by, sort=True):
+        c = grp["c"].tolist()
+        n = grp["n"].tolist()
+        tot = ric = 0
+        cum = 0                      # ranks already assigned
+        for ci, ni in zip(c, n):
+            ric += ci * (ni * cum + ni * (ni + 1) // 2)
+            tot += ci * ni
+            cum += ni
+        if tot == 0:
+            continue
+        out_g.append(key)
+        out_n.append(cum)
+        out_p.append((2 * ric - (cum + 1) * tot) * 1_000_000
+                     // (cum * tot))
+    return pa.table({by: pa.array(out_g, pa.string()),
+                     "n": pa.array(out_n, pa.int64()),
+                     "gini_ppm": pa.array(out_p, pa.int64())})
+
+
+def fano_by_type_ds(ds, by: str = "event_type", on: str = "ts") -> pa.Table:
+    """Burstiness (Fano factor) per event type: variance-to-mean ratio
+    of hourly event counts over the type's ACTIVE hours, exact integer
+    ppm ``(H·Σk² − n²) · 10⁶ // (n·H)`` (numerator ≥ 0 by
+    Cauchy–Schwarz, so floor == truncate).
+
+    Scale shape: per-batch (type, hour) count partials → ONE keyed sum
+    (≤ types × hours rows — time-bounded, not event-bounded) → per-type
+    moment partials fold through a second tiny keyed sum; the final
+    quotient runs on the collected ≤|types|-row table in Python ints
+    (10⁶-scaled products exceed int64 headroom at 10¹² events)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    hour_us = np.int64(3_600_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[on].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = pa.table({by: b[by], "h": pa.array(ts // hour_us),
+                      "k": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by([by, "h"], use_threads=False).aggregate(
+            [("k", "sum")])
+        return g.rename_columns([by, "h", "k"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        k = b["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table({by: b[by], "hours": pa.array(
+            np.ones(b.num_rows, np.int64)),
+            "n": pa.array(k), "kk": pa.array(k * k)})
+        g = t.group_by(by, use_threads=False).aggregate(
+            [("hours", "sum"), ("n", "sum"), ("kk", "sum")])
+        return g.rename_columns([by, "hours", "n", "kk"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([by, "h"]).aggregate(Sum("k", alias_name="k")) \
+        .map_batches(moments, batch_format="pyarrow") \
+        .groupby(by).aggregate(Sum("hours", alias_name="hours"),
+                               Sum("n", alias_name="n"),
+                               Sum("kk", alias_name="kk"))
+    tabs = [t for t in ray.get(agg.to_arrow_refs()) if t.num_columns]
+    if not tabs:
+        return pa.table({by: pa.array([], pa.string()),
+                         "hours": pa.array([], pa.int64()),
+                         "fano_ppm": pa.array([], pa.int64())})
+    m = pa.concat_tables(tabs).to_pandas().sort_values(by)
+    fano = [(int(h) * int(kk) - int(n) * int(n)) * 1_000_000
+            // (int(n) * int(h))
+            for h, n, kk in zip(m["hours"], m["n"], m["kk"])]
+    return pa.table({by: pa.array(m[by].tolist(), pa.string()),
+                     "hours": pa.array(m["hours"].tolist(), pa.int64()),
+                     "fano_ppm": pa.array(fano, pa.int64())})

@@ -787,3 +787,46 @@ def oov_rate_ds(ds, vocab_k: int = 20, text_col: str = "text",
         group_col: pa.array(g[group_col], pa.string()),
         "total": pa.array(tot), "oov": pa.array(oov),
         "oov_ppm": pa.array(oov * 1_000_000 // np.maximum(tot, 1))})
+
+
+def token_novelty_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document novel-token count: a token is "novel" in the
+    document with the SMALLEST id that contains it (first occurrence
+    in corpus order) — the marginal-vocabulary-contribution signal for
+    curriculum ordering and source triage.  Documents contributing no
+    first-seen token are omitted (the SQL twin has no row for them).
+
+    Scale shape: per-batch (term → min doc) partials (≤ batch-vocab
+    rows) through ONE term-keyed Min; the per-doc count is a second
+    keyed sum over ≤ |vocab| rows.  Tokens shuffle once as (term, id)
+    partials — text never moves, nothing is broadcast."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(b[text_col], ""),
+                                      r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        ids = b[id_col].combine_chunks().take(par.filter(mask))
+        t = pa.table({"term": flat.filter(mask), id_col: ids})
+        g = t.group_by("term", use_threads=False).aggregate(
+            [(id_col, "min")])
+        return g.rename_columns(["term", id_col])
+
+    first = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Min(id_col, alias_name=id_col))
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        col = b[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = col.value_counts()
+        return pa.table({id_col: vc.field("values"),
+                         "novel_terms": vc.field("counts")
+                         .cast(pa.int64())})
+
+    return first.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby(id_col) \
+        .aggregate(Sum("novel_terms", alias_name="novel_terms")) \
+        .sort(id_col)

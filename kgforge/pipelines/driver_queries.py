@@ -2202,6 +2202,21 @@ def q_trimmed_mean(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "value"]))
 
 
+def q_gini_by_type(sf_dir: str):
+    return F_events.gini_by_type_ds(
+        _read(sf_dir, "events", ["event_type", "value"]))
+
+
+def q_fano_by_type(sf_dir: str):
+    return F_events.fano_by_type_ds(
+        _read(sf_dir, "events", ["event_type", "ts"]))
+
+
+def q_token_novelty(sf_dir: str):
+    return F_text.token_novelty_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_dedup_representatives(sf_dir: str):
     return F_dedup.dedup_representatives_ds(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
@@ -2379,6 +2394,9 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "kg_lift": q_kg_lift,
     "trimmed_mean": q_trimmed_mean,
+    "gini_by_type": q_gini_by_type,
+    "fano_by_type": q_fano_by_type,
+    "token_novelty": q_token_novelty,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -4191,4 +4209,44 @@ ORACLE_SQL["trimmed_mean"] = """
            CAST(sum(c) // count(*) AS BIGINT) AS trimmed_mean_cents
     FROM r WHERE dec BETWEEN 1 AND 8
     GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["gini_by_type"] = """
+    WITH o AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS c
+               FROM events WHERE value > 0),
+         r AS (SELECT event_type, c,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY c) AS i
+               FROM o),
+         s AS (SELECT event_type, count(*) AS n, sum(c) AS tot,
+                      sum(i * c) AS ric
+               FROM r GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST((2 * ric - (n + 1) * tot) * 1000000
+                // (n * tot) AS BIGINT) AS gini_ppm
+    FROM s WHERE tot > 0 ORDER BY event_type
+"""
+
+ORACLE_SQL["fano_by_type"] = """
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                      count(*) AS k
+               FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, count(*) AS hours, sum(k) AS n,
+                      sum(k * k) AS kk
+               FROM h GROUP BY event_type)
+    SELECT event_type, CAST(hours AS BIGINT) AS hours,
+           CAST((hours * kk - n * n) * 1000000
+                // (n * hours) AS BIGINT) AS fano_ppm
+    FROM s ORDER BY event_type
+"""
+
+ORACLE_SQL["token_novelty"] = r"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_extract_all(text, '\S+')) AS term
+                  FROM documents),
+         first AS (SELECT term, min(doc_id) AS doc_id
+                   FROM toks GROUP BY term)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS novel_terms
+    FROM first GROUP BY doc_id ORDER BY doc_id
 """

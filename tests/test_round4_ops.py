@@ -856,3 +856,61 @@ def test_trimmed_mean_decile_rule(ray_session):
     assert out.event_type.tolist() == ["a", "n"]
     assert out.n_kept.tolist() == [8, 2]
     assert out.trimmed_mean_cents.tolist() == [550, -50]
+
+
+def test_gini_by_type_exact(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.events import gini_by_type_ds
+
+    # "a": four equal values → perfectly even → 0 ppm.  "b": cents
+    # (1, 3) → ric=7, tot=4, n=2 → (14-12)·1e6//8 = 250000.  Zero and
+    # negative values are excluded on both engines.
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 4 + ["b", "b", "b", "b"],
+                               pa.string()),
+        "value": pa.array([1.0, 1.0, 1.0, 1.0,
+                           0.01, 0.03, 0.0, -5.0], pa.float64()),
+    })).repartition(2)
+    out = gini_by_type_ds(ds).to_pandas()
+    assert out.event_type.tolist() == ["a", "b"]
+    assert out.n.tolist() == [4, 2]
+    assert out.gini_ppm.tolist() == [0, 250_000]
+
+
+def test_fano_by_type_exact(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.events import fano_by_type_ds
+
+    hour = 3_600_000_000
+    # "x": hourly counts (2,2) → Fano 0.  "y": (1,3) → (2·10−16)·1e6
+    # //(4·2) = 500000.
+    ts = [0, 1, hour, hour + 1,               # x: 2 + 2
+          0, hour, hour + 1, hour + 2]        # y: 1 + 3
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["x"] * 4 + ["y"] * 4, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })).repartition(3)
+    out = fano_by_type_ds(ds).to_pandas()
+    assert out.event_type.tolist() == ["x", "y"]
+    assert out.hours.tolist() == [2, 2]
+    assert out.fano_ppm.tolist() == [0, 500_000]
+
+
+def test_token_novelty_first_occurrence(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.textstats import token_novelty_ds
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b", "b c", "c"], pa.string()),
+    })).repartition(3)
+    out = token_novelty_ds(ds).to_pandas()
+    # a,b first in doc 1; c first in doc 2; doc 3 contributes nothing
+    assert out.doc_id.tolist() == [1, 2]
+    assert out.novel_terms.tolist() == [2, 1]
