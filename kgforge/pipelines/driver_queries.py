@@ -2217,6 +2217,270 @@ def q_token_novelty(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape — orders whose total lineitem quantity exceeds
+    300, top-20 by (qty desc, orderkey asc), customer name attached
+    AFTER the top-k cut (≤20 keys → row-pruned dimension read).
+
+    Scale shape: (orderkey, qty) per-batch integer partials → ONE
+    orderkey cogroup against orders fuses the HAVING filter and the
+    column attach (``np.add.reduceat`` over the run layout); ≤20-row
+    block-level top-k partials fold on the driver — the corpus
+    shuffles once, by orderkey."""
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    from kgforge.common.hashing import round_away
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({"k": b["l_orderkey"],
+                      "q": pa.array(np.rint(q).astype(np.int64))})
+        g = t.group_by(["k"], use_threads=False).aggregate([("q", "sum")])
+        return pa.table({"l_orderkey": g["k"], "qty": g["q_sum"]})
+
+    qty = li.map_batches(qty_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                      "o_custkey": pa.array([], pa.int64()),
+                      "total_qty": pa.array([], pa.int64()),
+                      "price_cents": pa.array([], pa.int64())})
+
+    def fuse(t: pa.Table, starts, nl, nr) -> pa.Table:
+        q = pc.fill_null(t["qty"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.add.reduceat(q, starts)
+        keep = (sums > 300) & (nl > 0) & (nr > 0)
+        if not keep.any():
+            return empty
+        ridx = pa.array((starts + nl)[keep])   # the single orders row
+        price = round_away(
+            t["o_totalprice"].take(ridx).combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        return pa.table({"o_orderkey": t["__k"].take(ridx),
+                         "o_custkey": t["o_custkey"].take(ridx),
+                         "total_qty": pa.array(sums[keep]),
+                         "price_cents": pa.array(price)})
+
+    big = cogroup_partition_ds(
+        qty, orders, "l_orderkey", "o_orderkey", fuse,
+        ["qty"], ["o_custkey", "o_totalprice"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("qty", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_totalprice", pa.float64())]))
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= 20:
+            return b
+        ok = b["o_orderkey"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        tq = b["total_qty"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -tq))[:20]
+        return b.take(pa.array(order))
+
+    top = big.map_batches(partial_topk, batch_format="pyarrow") \
+        .to_pandas()
+    if not len(top):
+        return pa.table({"c_name": pa.array([], pa.string()),
+                         "o_orderkey": pa.array([], pa.int64()),
+                         "total_qty": pa.array([], pa.int64()),
+                         "price_cents": pa.array([], pa.int64())})
+    top = top.sort_values(["total_qty", "o_orderkey"],
+                          ascending=[False, True]).head(20)
+    import pyarrow.dataset as pds
+    keys = [int(k) for k in top["o_custkey"].unique()]
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"],
+                 row_filter=pds.field("c_custkey").isin(keys)).to_pandas()
+    m = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    return pa.table({
+        "c_name": pa.array(m["c_name"], pa.string()),
+        "o_orderkey": pa.array(m["o_orderkey"].to_numpy(np.int64)),
+        "total_qty": pa.array(m["total_qty"].to_numpy(np.int64)),
+        "price_cents": pa.array(m["price_cents"].to_numpy(np.int64))})
+
+
+def q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape — suppliers that were the SOLE late shipper on
+    a multi-supplier order (late = shipped > 90 days after the order
+    date), top-10 by wait count.
+
+    Scale shape: ONE orderkey cogroup joins lineitem to orders; the
+    per-partition callback reduces every order vectorized (arrow
+    group_by to per-(order, supplier) late flags, run-length reduceat
+    for the sole-late test) and emits (suppkey, cnt) partials; the
+    global count is a supplier-bounded keyed sum, names attached
+    row-pruned after the driver-side top-10 cut."""
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    LATE_US = np.int64(90 * 86_400_000_000)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    empty = pa.table({"l_suppkey": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+
+    def fuse(t: pa.Table, starts, nl, nr) -> pa.Table:
+        ok = (nl > 0) & (nr > 0)
+        if not ok.any():
+            return empty
+        ridx = (starts + nl)[ok]
+        od = t["o_orderdate"].take(pa.array(ridx)).combine_chunks() \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lstarts, lcounts = starts[ok], nl[ok]
+        tot = int(lcounts.sum())
+        base = np.repeat(lstarts, lcounts)
+        run0 = np.concatenate([[0], np.cumsum(lcounts)[:-1]])
+        idx = base + (np.arange(tot) - np.repeat(run0, lcounts))
+        key_of = np.repeat(np.arange(len(lcounts)), lcounts)
+        ship = t["l_shipdate"].take(pa.array(idx)).combine_chunks() \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        supp = t["l_suppkey"].take(pa.array(idx)).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        late = (ship > od[key_of] + LATE_US).astype(np.int64)
+        g = pa.table({"k": pa.array(key_of), "s": pa.array(supp),
+                      "lt": pa.array(late)}) \
+            .group_by(["k", "s"], use_threads=False) \
+            .aggregate([("lt", "max")])
+        gk = g["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        gs = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        gl = g["lt_max"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(gk, kind="stable")
+        gk, gs, gl = gk[order], gs[order], gl[order]
+        rs = np.flatnonzero(np.concatenate([[True], gk[1:] != gk[:-1]]))
+        n_supp = np.diff(np.concatenate([rs, [len(gk)]]))
+        n_late = np.add.reduceat(gl, rs)
+        good = (n_supp >= 2) & (n_late == 1)
+        pick = np.repeat(good, n_supp) & (gl == 1)
+        if not pick.any():
+            return empty
+        win = gs[pick]
+        vc = pa.array(win).value_counts()
+        return pa.table({"l_suppkey": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    counts = cogroup_partition_ds(
+        li, orders, "l_orderkey", "o_orderkey", fuse,
+        ["l_suppkey", "l_shipdate"], ["o_orderdate"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]))
+    from ray.data.aggregate import Sum
+    agg = counts.groupby("l_suppkey") \
+        .aggregate(Sum("cnt", alias_name="numwait")).to_pandas()
+    out_schema = pa.schema([("s_suppkey", pa.int64()),
+                            ("s_name", pa.string()),
+                            ("numwait", pa.int64())])
+    if not len(agg):
+        return out_schema.empty_table()
+    agg = agg.sort_values(["numwait", "l_suppkey"],
+                          ascending=[False, True]).head(10)
+    import pyarrow.dataset as pds
+    keys = [int(k) for k in agg["l_suppkey"]]
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"],
+                row_filter=pds.field("s_suppkey").isin(keys)).to_pandas()
+    m = agg.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    return pa.table({
+        "s_suppkey": pa.array(m["s_suppkey"].to_numpy(np.int64)),
+        "s_name": pa.array(m["s_name"], pa.string()),
+        "numwait": pa.array(m["numwait"].to_numpy(np.int64))})
+
+
+def q_pareto_share(sf_dir: str):
+    """Revenue concentration per nation: the smallest number of
+    customers covering ≥50% of the nation's order revenue, plus the
+    exact ppm share at the cut — the curation-budget concentration
+    curve in one row per nation.
+
+    Scale shape: (custkey, cents) per-batch partials → one custkey
+    keyed sum fused into the customer cogroup (attaches nationkey);
+    the per-nation sorted cumsum runs inside |nation| dimension-
+    bounded groups (each a single vectorized numpy pass over its
+    customers); names attached row-pruned to the 25-row result."""
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    from kgforge.common.hashing import round_away
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        cents = round_away(
+            b["o_totalprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        g = pa.table({"k": b["o_custkey"], "c": pa.array(cents)}) \
+            .group_by(["k"], use_threads=False).aggregate([("c", "sum")])
+        return pa.table({"o_custkey": g["k"], "cents": g["c_sum"]})
+
+    rev = orders.map_batches(rev_partial, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def fuse(t: pa.Table, starts, nl, nr) -> pa.Table:
+        keep = (nl > 0) & (nr > 0)
+        if not keep.any():
+            return pa.table({"nk": pa.array([], pa.int64()),
+                             "ck": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        c = pc.fill_null(t["cents"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.add.reduceat(c, starts)[keep]
+        ridx = pa.array((starts + nl)[keep])
+        return pa.table({"nk": t["c_nationkey"].take(ridx),
+                         "ck": t["__k"].take(ridx),
+                         "cents": pa.array(sums)})
+
+    per_cust = cogroup_partition_ds(
+        rev, cust, "o_custkey", "c_custkey", fuse,
+        ["cents"], ["c_nationkey"],
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]))
+
+    def per_nation(t: pa.Table) -> pa.Table:
+        nk = int(t["nk"][0].as_py())
+        c = t["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, -c))
+        cum = np.cumsum(c[order])
+        tot = int(cum[-1])
+        cut = int(np.searchsorted(cum, (tot + 1) // 2))  # 2·cum ≥ tot
+        share = int(cum[cut]) * 1_000_000 // tot
+        return pa.table({"nk": pa.array([nk], pa.int64()),
+                         "n_top": pa.array([cut + 1], pa.int64()),
+                         "share_ppm": pa.array([share], pa.int64()),
+                         "n_customers": pa.array([len(c)], pa.int64())})
+
+    res = per_cust.groupby("nk").map_groups(
+        per_nation, batch_format="pyarrow").to_pandas()
+    out_schema = pa.schema([("n_name", pa.string()),
+                            ("n_top", pa.int64()),
+                            ("share_ppm", pa.int64()),
+                            ("n_customers", pa.int64())])
+    if not len(res):
+        return out_schema.empty_table()
+    import pyarrow.dataset as pds
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"],
+                row_filter=pds.field("n_nationkey")
+                .isin([int(k) for k in res["nk"]])).to_pandas()
+    m = res.merge(nat, left_on="nk", right_on="n_nationkey") \
+        .sort_values("n_name")
+    return pa.table({
+        "n_name": pa.array(m["n_name"], pa.string()),
+        "n_top": pa.array(m["n_top"].to_numpy(np.int64)),
+        "share_ppm": pa.array(m["share_ppm"].to_numpy(np.int64)),
+        "n_customers": pa.array(m["n_customers"].to_numpy(np.int64))})
+
+
 def q_dedup_representatives(sf_dir: str):
     return F_dedup.dedup_representatives_ds(
         _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]))
@@ -2397,6 +2661,9 @@ QUERIES = {
     "gini_by_type": q_gini_by_type,
     "fano_by_type": q_fano_by_type,
     "token_novelty": q_token_novelty,
+    "large_orders": q_large_orders,
+    "waiting_suppliers": q_waiting_suppliers,
+    "pareto_share": q_pareto_share,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -4249,4 +4516,61 @@ ORACLE_SQL["token_novelty"] = r"""
                    FROM toks GROUP BY term)
     SELECT doc_id, CAST(count(*) AS BIGINT) AS novel_terms
     FROM first GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLE_SQL["large_orders"] = """
+    WITH t AS (SELECT l_orderkey,
+                      CAST(sum(l_quantity) AS BIGINT) AS total_qty
+               FROM lineitem GROUP BY 1
+               HAVING sum(l_quantity) > 300)
+    SELECT c.c_name, o.o_orderkey, t.total_qty,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY t.total_qty DESC, o.o_orderkey LIMIT 20
+"""
+
+ORACLE_SQL["waiting_suppliers"] = """
+    WITH l AS (SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+                      CASE WHEN l.l_shipdate >
+                                o.o_orderdate + INTERVAL 90 DAY
+                           THEN 1 ELSE 0 END AS late
+               FROM lineitem l
+               JOIN orders o ON o.o_orderkey = l.l_orderkey),
+         s AS (SELECT ok, sk, max(late) AS late FROM l GROUP BY ok, sk),
+         o2 AS (SELECT ok, count(*) AS n_supp, sum(late) AS n_late
+                FROM s GROUP BY ok),
+         w AS (SELECT s.sk FROM s JOIN o2 USING (ok)
+               WHERE o2.n_supp >= 2 AND o2.n_late = 1 AND s.late = 1),
+         c AS (SELECT sk, CAST(count(*) AS BIGINT) AS numwait
+               FROM w GROUP BY sk)
+    SELECT c.sk AS s_suppkey, sup.s_name, c.numwait
+    FROM c JOIN supplier sup ON sup.s_suppkey = c.sk
+    ORDER BY c.numwait DESC, c.sk LIMIT 10
+"""
+
+ORACLE_SQL["pareto_share"] = """
+    WITH r AS (SELECT o_custkey AS ck,
+                      sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS cents
+               FROM orders GROUP BY 1),
+         j AS (SELECT c.c_nationkey AS nk, r.ck, r.cents
+               FROM r JOIN customer c ON c.c_custkey = r.ck),
+         w AS (SELECT nk, cents,
+                      sum(cents) OVER (PARTITION BY nk
+                                       ORDER BY cents DESC, ck
+                                       ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(cents) OVER (PARTITION BY nk) AS tot
+               FROM j),
+         k AS (SELECT nk,
+                      CAST(1 + count(*) FILTER (2 * cum < tot)
+                           AS BIGINT) AS n_top,
+                      CAST(min(cum) FILTER (2 * cum >= tot) * 1000000
+                           // max(tot) AS BIGINT) AS share_ppm,
+                      CAST(count(*) AS BIGINT) AS n_customers
+               FROM w GROUP BY nk)
+    SELECT n.n_name, k.n_top, k.share_ppm, k.n_customers
+    FROM k JOIN nation n ON n.n_nationkey = k.nk
+    ORDER BY n.n_name
 """

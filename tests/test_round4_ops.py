@@ -914,3 +914,79 @@ def test_token_novelty_first_occurrence(ray_session):
     # a,b first in doc 1; c first in doc 2; doc 3 contributes nothing
     assert out.doc_id.tolist() == [1, 2]
     assert out.novel_terms.tolist() == [2, 1]
+
+
+def _write_tpch_mini(tmp_path):
+    import datetime as dt
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(1995, 1, 1)
+    day = dt.timedelta(days=1)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([10, 11, 10, 11], pa.int64()),
+        "o_totalprice": pa.array([111.51, 20.0, 30.0, 40.0],
+                                 pa.float64()),
+        "o_orderdate": pa.array([t0, t0, t0, t0], pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 3, 4, 4], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 3, 2, 3, 2], pa.int64()),
+        "l_quantity": pa.array([200.0, 150.0, 60.0, 40.0, 10.0,
+                                5.0, 5.0], pa.float64()),
+        # order 1: supp1 late, supp2 on time → sole-late, multi-supp
+        # order 2: both late → excluded; order 3: single-supp late →
+        # excluded; order 4: nobody late
+        "l_shipdate": pa.array([t0 + 100 * day, t0 + 10 * day,
+                                t0 + 95 * day, t0 + 95 * day,
+                                t0 + 200 * day, t0 + day, t0 + day],
+                               pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 11, 12, 13], pa.int64()),
+        "c_name": pa.array(["Cust#10", "Cust#11", "Cust#12",
+                            "Cust#13"], pa.string()),
+        "c_nationkey": pa.array([0, 0, 0, 1], pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["Supp#1", "Supp#2", "Supp#3"],
+                           pa.string()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["ALPHA", "BETA"], pa.string()),
+    }), str(tmp_path / "nation.parquet"))
+    return str(tmp_path)
+
+
+def test_large_orders_q18(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_large_orders
+
+    out = q_large_orders(_write_tpch_mini(tmp_path)).to_pandas()
+    assert out.o_orderkey.tolist() == [1]      # 350 > 300, others ≤ 100
+    assert out.total_qty.tolist() == [350]
+    assert out.c_name.tolist() == ["Cust#10"]
+    assert out.price_cents.tolist() == [11151]
+
+
+def test_waiting_suppliers_q21(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_waiting_suppliers
+
+    out = q_waiting_suppliers(_write_tpch_mini(tmp_path)).to_pandas()
+    assert out.s_suppkey.tolist() == [1]
+    assert out.s_name.tolist() == ["Supp#1"]
+    assert out.numwait.tolist() == [1]
+
+
+def test_pareto_share_cut(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_pareto_share
+
+    out = q_pareto_share(_write_tpch_mini(tmp_path)).to_pandas()
+    # nation 0 only (cust 13 has no orders): cust10 = 11151+3000,
+    # cust11 = 2000+4000 → top1 = 14151 of 20151 → 2·cum ≥ tot at 1
+    assert out.n_name.tolist() == ["ALPHA"]
+    assert out.n_top.tolist() == [1]
+    assert out.n_customers.tolist() == [2]
+    assert out.share_ppm.tolist() == [14151 * 1_000_000 // 20151]
