@@ -1852,3 +1852,86 @@ def incremental_dedup_ds(old_ds, new_ds, text_col: str = "text",
     return cogroup_partition_ds(nd, od, "d", "d", audit,
                                 [group_col], [],
                                 num_partitions=num_partitions)
+
+
+def cross_source_dups_ds(ds, text_col: str = "text",
+                         source_col: str = "source",
+                         num_partitions: int = 64) -> pa.Table:
+    """Cross-source contamination matrix: for every unordered source
+    pair (a < b), how many distinct normalized digests occur in BOTH
+    sources — the census that catches eval-set text leaking into a
+    training source (and vice versa) BEFORE mixing corpora.
+
+    Scale shape: per-batch DISTINCT (digest, source) partials shuffle
+    ONCE by md5-u64 % P (same md5 as the SQL twin, batch C kernel);
+    each partition re-distincts, sorts by (digest, source) and expands
+    per-digest source pairs over the run layout (≤ |sources|² offset
+    passes, vectorized across digests); (src_a, src_b, n) partials are
+    sources²-bounded, so the final fold is a driver-side concat —
+    never a corpus shuffle, never a broadcast."""
+    import pyarrow.compute as pc
+    import ray
+
+    from kgforge.common.hashing import md5_hex_arr, md5_u64_arr
+
+    P = np.uint64(num_partitions)
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = pa.array([normalize_text(t)
+                          for t in b[text_col].to_pylist()], pa.string())
+        part = (md5_u64_arr(texts) % P).astype(np.int32)
+        t = pa.table({"__p": pa.array(part), "h": md5_hex_arr(texts),
+                      "s": b[source_col]})
+        return t.group_by(["__p", "h", "s"], use_threads=False) \
+            .aggregate([])
+
+    empty = pa.table({"src_a": pa.array([], pa.string()),
+                      "src_b": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.group_by(["h", "s"], use_threads=False).aggregate([])
+        idx = pc.sort_indices(t, sort_keys=[("h", "ascending"),
+                                            ("s", "ascending")])
+        t = t.take(idx)
+        h = t["h"].combine_chunks()
+        if len(h) < 2:
+            return empty
+        same = np.concatenate([[False], pc.equal(
+            h.slice(1), h.slice(0, len(h) - 1))
+            .to_numpy(zero_copy_only=False)])
+        starts = np.flatnonzero(~same)
+        lens = np.diff(np.append(starts, len(h)))
+        src = t["s"]
+        cols_a, cols_b = [], []
+        for i in range(int(lens.max())):
+            for j in range(i + 1, int(lens.max())):
+                m = lens > j
+                if not m.any():
+                    continue
+                cols_a.append(src.take(pa.array(starts[m] + i))
+                              .combine_chunks())
+                cols_b.append(src.take(pa.array(starts[m] + j))
+                              .combine_chunks())
+        if not cols_a:
+            return empty
+        pt = pa.table({"src_a": pa.concat_arrays(cols_a),
+                       "src_b": pa.concat_arrays(cols_b),
+                       "n": pa.array(np.ones(
+                           sum(len(a) for a in cols_a), np.int64))})
+        g = pt.group_by(["src_a", "src_b"], use_threads=False) \
+            .aggregate([("n", "sum")])
+        return g.rename_columns(["src_a", "src_b", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition, batch_format="pyarrow")
+    tabs = [t for t in ray.get(parts.to_arrow_refs())
+            if t.num_columns and t.num_rows]
+    if not tabs:
+        return empty
+    g = pa.concat_tables(tabs) \
+        .group_by(["src_a", "src_b"], use_threads=False) \
+        .aggregate([("n", "sum")]).rename_columns(["src_a", "src_b", "n"])
+    idx = pc.sort_indices(g, sort_keys=[("src_a", "ascending"),
+                                        ("src_b", "ascending")])
+    return g.take(idx)

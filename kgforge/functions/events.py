@@ -2475,3 +2475,61 @@ def fano_by_type_ds(ds, by: str = "event_type", on: str = "ts") -> pa.Table:
     return pa.table({by: pa.array(m[by].tolist(), pa.string()),
                      "hours": pa.array(m["hours"].tolist(), pa.int64()),
                      "fano_ppm": pa.array(fano, pa.int64())})
+
+
+def key_gap_dist_ds(ds, by: str = "user_id", on: str = "ts",
+                    tie: str = "event_id",
+                    unit_us: int = 86_400_000_000,
+                    num_partitions: int = 64):
+    """Inter-arrival gap distribution: for every key, the unit-floored
+    gaps between consecutive records (lag-window shape), histogrammed
+    globally — reorder cadence over orders, revisit cadence over
+    events.  Gap = ``floor(on/unit) − floor(prev_on/unit)`` (DuckDB
+    ``date_diff`` semantics: boundary crossings, not elapsed time).
+
+    Scale shape: ONE shuffle by ``hash(key) % P``; each partition
+    sorts (key, on, tie) once and diffs adjacent same-key rows
+    vectorized, emitting (gap, n) HISTOGRAM partials — the global
+    keyed sum moves gap-domain rows, never records."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+    P = np.uint64(num_partitions)
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[by].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            p = (((k * MIX) >> np.uint64(32)) % P).astype(np.int32)
+        return pa.table({"__p": pa.array(p), by: b[by],
+                         "__on": b[on].combine_chunks()
+                         .cast(pa.int64()),
+                         "__tie": b[tie]})
+
+    empty = pa.table({"gap_days": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            (by, "ascending"), ("__on", "ascending"),
+            ("__tie", "ascending")])
+        t = t.take(idx)
+        if t.num_rows < 2:
+            return empty
+        k = t[by].combine_chunks().to_numpy(zero_copy_only=False)
+        day = t["__on"].combine_chunks().to_numpy(
+            zero_copy_only=False) // unit_us
+        same = k[1:] == k[:-1]
+        gaps = (day[1:] - day[:-1])[same]
+        if not len(gaps):
+            return empty
+        vc = pa.array(gaps).value_counts()
+        return pa.table({"gap_days": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby("gap_days").aggregate(Sum("n", alias_name="n")) \
+        .sort("gap_days")

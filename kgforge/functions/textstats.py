@@ -830,3 +830,65 @@ def token_novelty_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
         .groupby(id_col) \
         .aggregate(Sum("novel_terms", alias_name="novel_terms")) \
         .sort(id_col)
+
+
+def vocab_growth_ds(ds, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Heaps-law vocabulary growth curve: new and cumulative distinct
+    terms per decile of the doc-id range — the tokenizer-sizing /
+    curriculum signal ("is vocabulary still growing at the end of the
+    corpus?").
+
+    Scale shape: the token_novelty first-occurrence table ((term →
+    min doc) partials through ONE term-keyed Min) mapped to ten decile
+    buckets (``min_doc · 10 // (max_id + 1)``) with per-batch counts
+    → a ≤10-row keyed sum collected on the driver for the cumsum;
+    text never moves, the only full-column pass is the doc-id max."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    mx = ds.max(id_col)
+    empty = pa.table({"decile": pa.array([], pa.int64()),
+                      "new_terms": pa.array([], pa.int64()),
+                      "cum_terms": pa.array([], pa.int64())})
+    if mx is None:
+        return empty
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.fill_null(b[text_col], ""),
+                                      r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        ids = b[id_col].combine_chunks().take(par.filter(mask))
+        t = pa.table({"term": flat.filter(mask), id_col: ids})
+        g = t.group_by("term", use_threads=False).aggregate(
+            [(id_col, "min")])
+        return g.rename_columns(["term", id_col])
+
+    first = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Min(id_col, alias_name=id_col))
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        d = b[id_col]
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        dec = d.to_numpy(zero_copy_only=False).astype(np.int64) \
+            * 10 // (mx + 1)
+        vc = pa.array(dec).value_counts()
+        return pa.table({"decile": vc.field("values"),
+                         "new_terms": vc.field("counts")
+                         .cast(pa.int64())})
+
+    agg = first.map_batches(bucket_partial, batch_format="pyarrow") \
+        .groupby("decile").aggregate(Sum("new_terms",
+                                         alias_name="new_terms"))
+    tabs = [t for t in ray.get(agg.to_arrow_refs())
+            if t.num_columns and t.num_rows]
+    if not tabs:
+        return empty
+    m = pa.concat_tables(tabs).to_pandas().sort_values("decile")
+    new = m["new_terms"].to_numpy(np.int64)
+    return pa.table({"decile": pa.array(m["decile"].to_numpy(np.int64)),
+                     "new_terms": pa.array(new),
+                     "cum_terms": pa.array(np.cumsum(new))})

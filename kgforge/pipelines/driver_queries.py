@@ -2217,6 +2217,23 @@ def q_token_novelty(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_cross_source_dups(sf_dir: str):
+    return F_dedup.cross_source_dups_ds(
+        _read(sf_dir, "documents", ["text", "source"]))
+
+
+def q_vocab_growth(sf_dir: str):
+    return F_text.vocab_growth_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_order_gap_dist(sf_dir: str):
+    return F_events.key_gap_dist_ds(
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderdate", "o_orderkey"]),
+        by="o_custkey", on="o_orderdate", tie="o_orderkey")
+
+
 def q_large_orders(sf_dir: str):
     """TPC-H Q18 shape — orders whose total lineitem quantity exceeds
     300, top-20 by (qty desc, orderkey asc), customer name attached
@@ -2664,6 +2681,9 @@ QUERIES = {
     "large_orders": q_large_orders,
     "waiting_suppliers": q_waiting_suppliers,
     "pareto_share": q_pareto_share,
+    "cross_source_dups": q_cross_source_dups,
+    "vocab_growth": q_vocab_growth,
+    "order_gap_dist": q_order_gap_dist,
     "source_dup_report": q_source_dup_report,
     "dormant_customers": q_dormant_customers,
     "top_supplier": q_top_supplier,
@@ -4573,4 +4593,43 @@ ORACLE_SQL["pareto_share"] = """
     SELECT n.n_name, k.n_top, k.share_ppm, k.n_customers
     FROM k JOIN nation n ON n.n_nationkey = k.nk
     ORDER BY n.n_name
+"""
+
+ORACLE_SQL["cross_source_dups"] = """
+    WITH d AS (SELECT DISTINCT
+                      md5(trim(regexp_replace(regexp_replace(
+                          lower(text), '[^a-z0-9 ]+', '', 'g'),
+                          ' +', ' ', 'g'))) AS h,
+                      source
+               FROM documents)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n
+    FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["vocab_growth"] = r"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_extract_all(text, '\S+')) AS term
+                  FROM documents),
+         first AS (SELECT term, min(doc_id) AS d
+                   FROM toks GROUP BY term),
+         mx AS (SELECT max(doc_id) AS m FROM documents),
+         b AS (SELECT d * 10 // (m + 1) AS decile FROM first, mx)
+    SELECT decile, CAST(count(*) AS BIGINT) AS new_terms,
+           CAST(sum(count(*)) OVER (ORDER BY decile) AS BIGINT)
+               AS cum_terms
+    FROM b GROUP BY decile ORDER BY decile
+"""
+
+ORACLE_SQL["order_gap_dist"] = """
+    WITH g AS (SELECT date_diff('day',
+                          lag(o_orderdate) OVER (
+                              PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey),
+                          o_orderdate) AS gap_days
+               FROM orders)
+    SELECT gap_days, CAST(count(*) AS BIGINT) AS n
+    FROM g WHERE gap_days IS NOT NULL
+    GROUP BY gap_days ORDER BY gap_days
 """

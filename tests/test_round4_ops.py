@@ -990,3 +990,60 @@ def test_pareto_share_cut(ray_session, tmp_path):
     assert out.n_top.tolist() == [1]
     assert out.n_customers.tolist() == [2]
     assert out.share_ppm.tolist() == [14151 * 1_000_000 // 20151]
+
+
+def test_cross_source_dups_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.dedup import cross_source_dups_ds
+
+    ds = rd.from_arrow(pa.table({
+        # "hello" digest in s1+s2+s3 (via normalization), "x y" in
+        # s1+s2, "unique" only once
+        "text": pa.array(["Hello!", "hello", "  hello ", "x y",
+                          "X  Y!", "unique"], pa.string()),
+        "source": pa.array(["s1", "s2", "s3", "s1", "s2", "s3"],
+                           pa.string()),
+    })).repartition(3)
+    out = cross_source_dups_ds(ds).to_pandas()
+    got = {(a, b): int(n) for a, b, n in
+           zip(out.src_a, out.src_b, out.n)}
+    assert got == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_vocab_growth_deciles(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.textstats import vocab_growth_ds
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 5, 9], pa.int64()),
+        "text": pa.array(["a b", "a c", "d"], pa.string()),
+    })).repartition(2)
+    out = vocab_growth_ds(ds).to_pandas()
+    assert out.decile.tolist() == [0, 5, 9]
+    assert out.new_terms.tolist() == [2, 1, 1]
+    assert out.cum_terms.tolist() == [2, 3, 4]
+
+
+def test_key_gap_dist_day_boundaries(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.events import key_gap_dist_ds
+
+    day = 86_400_000_000
+    hr = 3_600_000_000
+    # user 1: 23:00 day0 → 01:00 day1 (gap 1 despite 2h elapsed) →
+    # day3 (gap 2); user 2: one event → no gap
+    ts = [23 * hr, day + hr, 3 * day, 5 * day]
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+    })).repartition(2)
+    out = key_gap_dist_ds(ds).to_pandas()
+    assert out.gap_days.tolist() == [1, 2]
+    assert out.n.tolist() == [1, 1]
