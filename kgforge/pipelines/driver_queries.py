@@ -36,6 +36,24 @@ def _r2(col):
     return pc.round(col, ndigits=2, round_mode="half_towards_infinity")
 
 
+def _attach_right(t, starts, nl, nr, left_cols, right_col, out_names):
+    """Inner-join gather for a unique right side inside a
+    ``cogroup_partition_ds`` callback: left rows of runs with both
+    sides present, each annotated with the run's (single) right value
+    — one repeat/flatnonzero pass, no per-key Python."""
+    total = nl + nr
+    row_key = np.repeat(np.arange(len(nl)), total)
+    pos = np.arange(len(row_key))
+    in_left = pos < (starts + nl)[row_key]
+    mask = ((nl > 0) & (nr > 0))[row_key] & in_left
+    lidx = np.flatnonzero(mask)
+    ridx = (starts + nl)[row_key][lidx]
+    cols = {name: t[c].take(pa.array(lidx))
+            for c, name in zip(left_cols, out_names)}
+    cols[right_col[1]] = t[right_col[0]].take(pa.array(ridx))
+    return pa.table(cols)
+
+
 def _read(sf_dir: str, table: str, columns=None, row_filter=None):
     """Column- AND row-pruned parquet read: ``row_filter`` is a
     ``pyarrow.dataset`` expression pushed into the scan, so row groups
@@ -812,23 +830,6 @@ def q_regional_revenue(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
                    row_filter=(pds.field("o_orderdate") >= lo)
                    & (pds.field("o_orderdate") < hi))
-
-    def _attach_right(t, starts, nl, nr, left_cols, right_col, out_names):
-        """Inner-join gather for a unique right side: left rows of
-        runs with both sides present, each annotated with the run's
-        (single) right value — one repeat/flatnonzero pass, no
-        per-key Python."""
-        total = nl + nr
-        row_key = np.repeat(np.arange(len(nl)), total)
-        pos = np.arange(len(row_key))
-        in_left = pos < (starts + nl)[row_key]
-        mask = ((nl > 0) & (nr > 0))[row_key] & in_left
-        lidx = np.flatnonzero(mask)
-        ridx = (starts + nl)[row_key][lidx]
-        cols = {name: t[c].take(pa.array(lidx))
-                for c, name in zip(left_cols, out_names)}
-        cols[right_col[1]] = t[right_col[0]].take(pa.array(ridx))
-        return pa.table(cols)
 
     def order_nat(t, starts, nl, nr):
         return _attach_right(t, starts, nl, nr, ["o_orderkey"],
@@ -2652,6 +2653,497 @@ def q_top_supplier(sf_dir: str):
             merged["sum(cents)"].to_numpy(np.int64))})
 
 
+def q_promo_share(sf_dir: str):
+    """TPC-H Q14 shape — monthly share of revenue from PROMO-type
+    parts, exact integer ppm.  Scale plan: lineitem is combined to
+    (partkey, ship-month, cents) partials inside each batch, ONE
+    partkey cogroup against the part dimension attaches the promo
+    flag and reduces to per-partition (month, promo, total) partials
+    — ≤ months×partitions rows fold on the driver; the corpus
+    shuffles once, by partkey."""
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cents = round_away(price * (1.0 - disc) * 100, 0) \
+            .astype(np.int64)
+        ym = pc.add(pc.multiply(pc.cast(pc.year(b["l_shipdate"]),
+                                        pa.int64()), 100),
+                    pc.cast(pc.month(b["l_shipdate"]), pa.int64()))
+        g = pa.table({"k": b["l_partkey"], "ym": ym,
+                      "c": pa.array(cents)}) \
+            .group_by(["k", "ym"], use_threads=False) \
+            .aggregate([("c", "sum")])
+        return pa.table({"l_partkey": g["k"], "ym": g["ym"],
+                         "cents": g["c_sum"]})
+
+    lp = li.map_batches(li_partial, batch_format="pyarrow")
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def fuse(t: pa.Table, starts, nl, nr) -> pa.Table:
+        from kgforge.functions.graph import _lr_indices
+
+        lidx, _ = _lr_indices(starts, nl, nr)
+        # each left row's run must have a right row (inner join);
+        # right side is unique per key → the run's single part row
+        run_of = np.repeat(np.arange(len(nl)), nl)
+        ok = nr[run_of] > 0
+        lidx = lidx[ok]
+        ridx = (starts + nl)[run_of][ok]
+        promo = pc.equal(t["p_type"].take(pa.array(ridx)), "PROMO") \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        ym = t["ym"].take(pa.array(lidx)).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cents"].take(pa.array(lidx)).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table({"ym": pa.array(ym),
+                      "p": pa.array(np.where(promo, c, 0)),
+                      "t": pa.array(c)}) \
+            .group_by(["ym"], use_threads=False) \
+            .aggregate([("p", "sum"), ("t", "sum")])
+        return pa.table({"ym": g["ym"], "promo_cents": g["p_sum"],
+                         "total_cents": g["t_sum"]})
+
+    parts = cogroup_partition_ds(
+        lp, part, "l_partkey", "p_partkey", fuse,
+        ["ym", "cents"], ["p_type"],
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("ym", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("p_type", pa.string())])).to_pandas()
+    out_schema = pa.schema([("ym", pa.int64()),
+                            ("promo_cents", pa.int64()),
+                            ("total_cents", pa.int64()),
+                            ("promo_ppm", pa.int64())])
+    if not len(parts):
+        return out_schema.empty_table()
+    g = parts.groupby("ym", as_index=False).sum().sort_values("ym")
+    p = g["promo_cents"].to_numpy(np.int64)
+    tot = g["total_cents"].to_numpy(np.int64)
+    return pa.table({"ym": pa.array(g["ym"].to_numpy(np.int64)),
+                     "promo_cents": pa.array(p),
+                     "total_cents": pa.array(tot),
+                     "promo_ppm": pa.array(p * 1_000_000 // tot)})
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — revenue locked in 'small' orders: lineitems
+    whose quantity is below 20% of their part's average quantity,
+    summed per brand (exact integer predicate ``5·qty·cnt < Σqty`` —
+    no float average).  Scale plan: lineitem rows shuffle ONCE keyed
+    by partkey (row granularity is inherent to the below-average
+    predicate); the cogroup callback computes each part's Σqty/count
+    with one ``np.add.reduceat``, applies the mask, and reduces to
+    per-partition (brand, cents, lines) partials — ≤ brands×partitions
+    rows fold on the driver."""
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        qty = np.rint(b["l_quantity"].combine_chunks()
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        cents = round_away(
+            b["l_extendedprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "qty": pa.array(qty),
+                         "cents": pa.array(cents)})
+
+    rows = li.map_batches(li_proj, batch_format="pyarrow")
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def fuse(t: pa.Table, starts, nl, nr) -> pa.Table:
+        q = pc.fill_null(t["qty"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        c = pc.fill_null(t["cents"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        from kgforge.functions.graph import _lr_indices
+
+        sums = np.add.reduceat(q, starts) if len(starts) else \
+            np.zeros(0, np.int64)
+        run_of = np.repeat(np.arange(len(nl)), nl)
+        lidx, _ = _lr_indices(starts, nl, nr)
+        has_part = nr[run_of] > 0
+        small = q[lidx] * 5 * nl[run_of] < sums[run_of]
+        keep = has_part & small
+        lidx = lidx[keep]
+        ridx = (starts + nl)[run_of][keep]
+        brand = t["p_brand"].take(pa.array(ridx))
+        g = pa.table({"b": brand, "c": pa.array(c[lidx]),
+                      "n": pa.array(np.ones(len(lidx), np.int64))}) \
+            .group_by(["b"], use_threads=False) \
+            .aggregate([("c", "sum"), ("n", "sum")])
+        return pa.table({"p_brand": g["b"], "rev_cents": g["c_sum"],
+                         "n_lines": g["n_sum"]})
+
+    parts = cogroup_partition_ds(
+        rows, part, "l_partkey", "p_partkey", fuse,
+        ["qty", "cents"], ["p_brand"],
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("qty", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("p_brand", pa.string())])).to_pandas()
+    out_schema = pa.schema([("p_brand", pa.string()),
+                            ("rev_cents", pa.int64()),
+                            ("n_lines", pa.int64())])
+    if not len(parts):
+        return out_schema.empty_table()
+    g = parts.groupby("p_brand", as_index=False).sum() \
+        .sort_values("p_brand")
+    return pa.table({
+        "p_brand": pa.array(g["p_brand"], pa.string()),
+        "rev_cents": pa.array(g["rev_cents"].to_numpy(np.int64)),
+        "n_lines": pa.array(g["n_lines"].to_numpy(np.int64))})
+
+
+def q_dominant_supplier(sf_dir: str):
+    """TPC-H Q20-adapted supply-concentration report — each part's
+    leading supplier (max shipped quantity, ties → smaller suppkey)
+    with its exact integer-ppm share of the part's total, parts with
+    ≥ 2 shippers, top-100 by (share desc, partkey).  Scale plan:
+    per-batch (partkey, suppkey, qty) integer partials → ONE partkey
+    hash cogroup whose callback finishes the (part, supp) sums
+    in-partition (co-located by construction), picks each part's
+    max-qty supplier with a vectorized lexsort (ties → smaller
+    suppkey), and emits a ≤100-row partial top-k; the driver folds
+    ≤ 100×partitions rows."""
+    from kgforge.functions.joins import _part_codes
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = np.rint(b["l_quantity"].combine_chunks()
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        g = pa.table({"p": b["l_partkey"], "s": b["l_suppkey"],
+                      "q": pa.array(qty)}) \
+            .group_by(["p", "s"], use_threads=False) \
+            .aggregate([("q", "sum")])
+        out = pa.table({"l_partkey": g["p"], "l_suppkey": g["s"],
+                        "qty": g["q_sum"]})
+        return out.append_column(
+            "__p", pa.array(_part_codes(out["l_partkey"], 64)))
+
+    ps = li.map_batches(partial, batch_format="pyarrow")
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table({"l_partkey": pa.array([], pa.int64()),
+                          "l_suppkey": pa.array([], pa.int64()),
+                          "share_ppm": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        g = t.select(["l_partkey", "l_suppkey", "qty"]) \
+            .group_by(["l_partkey", "l_suppkey"], use_threads=False) \
+            .aggregate([("qty", "sum")])
+        p = g["l_partkey"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g["l_suppkey"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        q = g["qty_sum"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((s, -q, p))      # per part: qty↓, suppkey↑
+        p, s, q = p[order], s[order], q[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(p[1:] != p[:-1]) + 1]).astype(np.int64)
+        cnt = np.diff(np.concatenate([starts, [len(p)]]))
+        tot = np.add.reduceat(q, starts)
+        best = q[starts]
+        keep = cnt >= 2
+        if not keep.any():
+            return empty
+        share = best[keep] * 1_000_000 // tot[keep]
+        pk, sk = p[starts[keep]], s[starts[keep]]
+        cut = np.lexsort((pk, -share))[:100]
+        return pa.table({"l_partkey": pa.array(pk[cut]),
+                         "l_suppkey": pa.array(sk[cut]),
+                         "share_ppm": pa.array(share[cut])})
+
+    parts = ps.groupby("__p").map_groups(
+        per_partition, batch_format="pyarrow").to_pandas()
+    out_schema = pa.schema([("l_partkey", pa.int64()),
+                            ("l_suppkey", pa.int64()),
+                            ("share_ppm", pa.int64())])
+    if not len(parts):
+        return out_schema.empty_table()
+    top = parts.sort_values(["share_ppm", "l_partkey"],
+                            ascending=[False, True]).head(100)
+    return pa.table({
+        "l_partkey": pa.array(top["l_partkey"].to_numpy(np.int64)),
+        "l_suppkey": pa.array(top["l_suppkey"].to_numpy(np.int64)),
+        "share_ppm": pa.array(top["share_ppm"].to_numpy(np.int64))})
+
+
+def q_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape — bilateral trade volume: revenue shipped
+    between NATION_1 and NATION_2 (either direction) per ship-year.
+    Scale plan: nation rides a driver LUT; supplier and customer are
+    read row-pruned to the two nations; lineitem projects to
+    (orderkey, suppkey, year, cents) and its FIRST cogroup (by
+    suppkey, vs the pruned supplier side) drops ~23/25 of the corpus
+    before the second cogroup by orderkey attaches the customer
+    nation; per-partition (s_nat, c_nat, year) partials — ≤ 2×2×years
+    rows each — fold on the driver."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    n_key = dict(zip(nation["n_name"].to_pylist(),
+                     nation["n_nationkey"].to_pylist()))
+    pair = [n_key["NATION_1"], n_key["NATION_2"]]
+    n_name = {v: k for k, v in n_key.items()}
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"],
+                row_filter=pds.field("s_nationkey").isin(pair))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"],
+                 row_filter=pds.field("c_nationkey").isin(pair))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def order_nat(t, starts, nl, nr):
+        return _attach_right(t, starts, nl, nr, ["o_orderkey"],
+                             ("c_nationkey", "c_nat"), ["o_orderkey"])
+
+    orders_nat = cogroup_partition_ds(
+        orders, cust, "o_custkey", "c_custkey", order_nat,
+        ["o_orderkey"], ["c_nationkey"],
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int32())]))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cents = round_away(price * (1.0 - disc) * 100, 0) \
+            .astype(np.int64)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "yr": pc.cast(pc.year(b["l_shipdate"]),
+                                       pa.int64()),
+                         "cents": pa.array(cents)})
+
+    lp = li.map_batches(li_proj, batch_format="pyarrow")
+
+    def li_snat(t, starts, nl, nr):
+        return _attach_right(
+            t, starts, nl, nr, ["l_orderkey", "yr", "cents"],
+            ("s_nationkey", "s_nat"), ["l_orderkey", "yr", "cents"])
+
+    li_n = cogroup_partition_ds(
+        lp, sup, "l_suppkey", "s_suppkey", li_snat,
+        ["l_orderkey", "yr", "cents"], ["s_nationkey"],
+        left_schema=pa.schema([("l_suppkey", pa.int64()),
+                               ("l_orderkey", pa.int64()),
+                               ("yr", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("s_nationkey", pa.int32())]))
+
+    def fuse(t, starts, nl, nr):
+        out = _attach_right(t, starts, nl, nr,
+                            ["yr", "cents", "s_nat"],
+                            ("c_nat", "c_nat"),
+                            ["yr", "cents", "s_nat"])
+        out = out.filter(pc.invert(pc.equal(
+            pc.cast(out["s_nat"], pa.int32()),
+            pc.cast(out["c_nat"], pa.int32()))))
+        g = out.group_by(["s_nat", "c_nat", "yr"], use_threads=False) \
+            .aggregate([("cents", "sum")])
+        return pa.table({"s_nat": pc.cast(g["s_nat"], pa.int32()),
+                         "c_nat": pc.cast(g["c_nat"], pa.int32()),
+                         "yr": g["yr"],
+                         "cents": g["cents_sum"]})
+
+    parts = cogroup_partition_ds(
+        li_n, orders_nat, "l_orderkey", "o_orderkey", fuse,
+        ["yr", "cents", "s_nat"], ["c_nat"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("yr", pa.int64()),
+                               ("cents", pa.int64()),
+                               ("s_nat", pa.int32())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("c_nat", pa.int32())])).to_pandas()
+    out_schema = pa.schema([("supp_nation", pa.string()),
+                            ("cust_nation", pa.string()),
+                            ("l_year", pa.int64()),
+                            ("rev_cents", pa.int64())])
+    if not len(parts):
+        return out_schema.empty_table()
+    g = parts.groupby(["s_nat", "c_nat", "yr"], as_index=False).sum()
+    g["supp_nation"] = [n_name[int(k)] for k in g["s_nat"]]
+    g["cust_nation"] = [n_name[int(k)] for k in g["c_nat"]]
+    g = g.sort_values(["supp_nation", "cust_nation", "yr"])
+    return pa.table({
+        "supp_nation": pa.array(g["supp_nation"], pa.string()),
+        "cust_nation": pa.array(g["cust_nation"], pa.string()),
+        "l_year": pa.array(g["yr"].to_numpy(np.int64)),
+        "rev_cents": pa.array(g["cents"].to_numpy(np.int64))})
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 shape — NATION_3's supplier share of the AMERICA
+    ECONOMY-part market per order-year, exact integer ppm.  Scale
+    plan: part is read row-pruned to the one type and lineitem's
+    FIRST cogroup (by partkey) keeps only those lines; the second
+    cogroup attaches the supplier nation; orders are cogrouped with
+    AMERICA-pruned customers, and the third cogroup reduces to
+    per-partition (year, nation_cents, total_cents) partials —
+    ≤ years rows each — folded on the driver."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    amer_key = {k for k, r in zip(region["r_regionkey"].to_pylist(),
+                                  region["r_name"].to_pylist())
+                if r == "AMERICA"}
+    amer_nations = [k for k, r in zip(nation["n_nationkey"].to_pylist(),
+                                      nation["n_regionkey"].to_pylist())
+                    if r in amer_key]
+    target = dict(zip(nation["n_name"].to_pylist(),
+                      nation["n_nationkey"].to_pylist()))["NATION_3"]
+
+    part = _read(sf_dir, "part", ["p_partkey"],
+                 row_filter=pds.field("p_type") == "ECONOMY")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cents = round_away(price * (1.0 - disc) * 100, 0) \
+            .astype(np.int64)
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "cents": pa.array(cents)})
+
+    lp = li.map_batches(li_proj, batch_format="pyarrow")
+
+    def keep_econ(t, starts, nl, nr):
+        return _attach_right(
+            t, starts, nl, nr, ["l_orderkey", "l_suppkey", "cents"],
+            ("__k", "pk"), ["l_orderkey", "l_suppkey", "cents"]) \
+            .select(["l_orderkey", "l_suppkey", "cents"])
+
+    li_e = cogroup_partition_ds(
+        lp, part, "l_partkey", "p_partkey", keep_econ,
+        ["l_orderkey", "l_suppkey", "cents"], [],
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64())]))
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def li_snat(t, starts, nl, nr):
+        return _attach_right(
+            t, starts, nl, nr, ["l_orderkey", "cents"],
+            ("s_nationkey", "s_nat"), ["l_orderkey", "cents"])
+
+    li_s = cogroup_partition_ds(
+        li_e, sup, "l_suppkey", "s_suppkey", li_snat,
+        ["l_orderkey", "cents"], ["s_nationkey"],
+        left_schema=pa.schema([("l_suppkey", pa.int64()),
+                               ("l_orderkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("s_nationkey", pa.int32())]))
+
+    cust = _read(sf_dir, "customer", ["c_custkey"],
+                 row_filter=pds.field("c_nationkey").isin(amer_nations))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def o_proj(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"],
+                         "yr": pc.cast(pc.year(b["o_orderdate"]),
+                                       pa.int64())})
+
+    op = orders.map_batches(o_proj, batch_format="pyarrow")
+
+    def keep_amer(t, starts, nl, nr):
+        return _attach_right(
+            t, starts, nl, nr, ["o_orderkey", "yr"],
+            ("__k", "ck"), ["o_orderkey", "yr"]) \
+            .select(["o_orderkey", "yr"])
+
+    orders_a = cogroup_partition_ds(
+        op, cust, "o_custkey", "c_custkey", keep_amer,
+        ["o_orderkey", "yr"], [],
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("o_orderkey", pa.int64()),
+                               ("yr", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]))
+
+    def fuse(t, starts, nl, nr):
+        out = _attach_right(t, starts, nl, nr, ["cents", "s_nat"],
+                            ("yr", "yr"), ["cents", "s_nat"])
+        c = out["cents"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        is_t = pc.equal(pc.cast(out["s_nat"], pa.int64()),
+                        int(target)).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        g = pa.table({"yr": out["yr"],
+                      "n": pa.array(np.where(is_t, c, 0)),
+                      "t": pa.array(c)}) \
+            .group_by(["yr"], use_threads=False) \
+            .aggregate([("n", "sum"), ("t", "sum")])
+        return pa.table({"yr": g["yr"], "nation_cents": g["n_sum"],
+                         "total_cents": g["t_sum"]})
+
+    parts = cogroup_partition_ds(
+        li_s, orders_a, "l_orderkey", "o_orderkey", fuse,
+        ["cents", "s_nat"], ["yr"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("cents", pa.int64()),
+                               ("s_nat", pa.int32())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("yr", pa.int64())])).to_pandas()
+    out_schema = pa.schema([("o_year", pa.int64()),
+                            ("nation_cents", pa.int64()),
+                            ("total_cents", pa.int64()),
+                            ("share_ppm", pa.int64())])
+    if not len(parts):
+        return out_schema.empty_table()
+    g = parts.groupby("yr", as_index=False).sum().sort_values("yr")
+    n = g["nation_cents"].to_numpy(np.int64)
+    tot = g["total_cents"].to_numpy(np.int64)
+    return pa.table({"o_year": pa.array(g["yr"].to_numpy(np.int64)),
+                     "nation_cents": pa.array(n),
+                     "total_cents": pa.array(tot),
+                     "share_ppm": pa.array(n * 1_000_000 // tot)})
+
+
 QUERIES = {
     "explode_spans": q_explode_spans,
     "order_count_dist": q_order_count_dist,
@@ -2678,6 +3170,11 @@ QUERIES = {
     "gini_by_type": q_gini_by_type,
     "fano_by_type": q_fano_by_type,
     "token_novelty": q_token_novelty,
+    "promo_share": q_promo_share,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "small_qty_revenue": q_small_qty_revenue,
+    "dominant_supplier": q_dominant_supplier,
     "large_orders": q_large_orders,
     "waiting_suppliers": q_waiting_suppliers,
     "pareto_share": q_pareto_share,
@@ -4632,4 +5129,104 @@ ORACLE_SQL["order_gap_dist"] = """
     SELECT gap_days, CAST(count(*) AS BIGINT) AS n
     FROM g WHERE gap_days IS NOT NULL
     GROUP BY gap_days ORDER BY gap_days
+"""
+
+ORACLE_SQL["promo_share"] = """
+    WITH li AS (SELECT year(l_shipdate) * 100 + month(l_shipdate)
+                           AS ym,
+                       CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT) AS cents,
+                       l_partkey
+                FROM lineitem),
+         m AS (SELECT ym,
+                      CAST(sum(CASE WHEN p_type = 'PROMO'
+                               THEN cents ELSE 0 END) AS BIGINT)
+                          AS promo_cents,
+                      CAST(sum(cents) AS BIGINT) AS total_cents
+               FROM li JOIN part ON l_partkey = p_partkey
+               GROUP BY ym)
+    SELECT ym, promo_cents, total_cents,
+           promo_cents * 1000000 // total_cents AS promo_ppm
+    FROM m ORDER BY ym
+"""
+
+ORACLE_SQL["small_qty_revenue"] = """
+    WITH li AS (SELECT l_partkey,
+                       CAST(round(l_quantity) AS BIGINT) AS qty,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS cents
+                FROM lineitem),
+         w AS (SELECT l_partkey, qty, cents,
+                      sum(qty) OVER (PARTITION BY l_partkey) AS sq,
+                      count(*) OVER (PARTITION BY l_partkey) AS cnt
+               FROM li)
+    SELECT p_brand, CAST(sum(cents) AS BIGINT) AS rev_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM w JOIN part ON l_partkey = p_partkey
+    WHERE qty * 5 * cnt < sq
+    GROUP BY p_brand ORDER BY p_brand
+"""
+
+ORACLE_SQL["dominant_supplier"] = """
+    WITH ps AS (SELECT l_partkey, l_suppkey,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                            AS BIGINT) AS q
+                FROM lineitem GROUP BY 1, 2),
+         t AS (SELECT l_partkey, l_suppkey, q,
+                      CAST(sum(q) OVER (PARTITION BY l_partkey)
+                           AS BIGINT) AS tot,
+                      count(*) OVER (PARTITION BY l_partkey) AS ns,
+                      row_number() OVER (PARTITION BY l_partkey
+                                         ORDER BY q DESC, l_suppkey)
+                          AS rn
+               FROM ps)
+    SELECT l_partkey, l_suppkey, q * 1000000 // tot AS share_ppm
+    FROM t WHERE rn = 1 AND ns >= 2
+    ORDER BY share_ppm DESC, l_partkey LIMIT 100
+"""
+
+ORACLE_SQL["volume_shipping"] = """
+    WITH li AS (SELECT l_orderkey, l_suppkey,
+                       year(l_shipdate) AS l_year,
+                       CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT) AS cents
+                FROM lineitem)
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(l_year AS BIGINT) AS l_year,
+           CAST(sum(cents) AS BIGINT) AS rev_cents
+    FROM li
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+ORACLE_SQL["market_share"] = """
+    WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,
+                       CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT) AS cents
+                FROM lineitem),
+         t AS (SELECT year(o_orderdate) AS o_year,
+                      CAST(sum(CASE WHEN s_nationkey =
+                               (SELECT n_nationkey FROM nation
+                                WHERE n_name = 'NATION_3')
+                               THEN cents ELSE 0 END) AS BIGINT)
+                          AS nation_cents,
+                      CAST(sum(cents) AS BIGINT) AS total_cents
+               FROM li
+               JOIN part     ON l_partkey = p_partkey
+               JOIN supplier ON l_suppkey = s_suppkey
+               JOIN orders   ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation   ON c_nationkey = n_nationkey
+               JOIN region   ON n_regionkey = r_regionkey
+               WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+               GROUP BY 1)
+    SELECT CAST(o_year AS BIGINT) AS o_year, nation_cents, total_cents,
+           nation_cents * 1000000 // total_cents AS share_ppm
+    FROM t ORDER BY o_year
 """

@@ -1047,3 +1047,115 @@ def test_key_gap_dist_day_boundaries(ray_session):
     out = key_gap_dist_ds(ds).to_pandas()
     assert out.gap_days.tolist() == [1, 2]
     assert out.n.tolist() == [1, 1]
+
+
+def _write_tpch_mini2(tmp_path):
+    """Mini fixture for the Q7/Q8/Q14/Q17/Q20 shapes: two parts
+    (PROMO/ECONOMY), suppliers in NATION_1 and NATION_3, customers in
+    the AMERICA region, lineitems with price/discount/partkey."""
+    import datetime as dt
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int64()),
+        "r_name": pa.array(["AMERICA", "EUROPE"], pa.string()),
+    }), str(tmp_path / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+        "n_name": pa.array(["NATION_1", "NATION_2", "NATION_3"],
+                           pa.string()),
+        "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_type": pa.array(["PROMO", "ECONOMY"], pa.string()),
+        "p_brand": pa.array(["Brand#A", "Brand#B"], pa.string()),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_nationkey": pa.array([0, 2], pa.int32()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 11], pa.int64()),
+        "c_nationkey": pa.array([1, 0], pa.int32()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 11], pa.int64()),
+        "o_orderdate": pa.array([dt.datetime(1995, 6, 1),
+                                 dt.datetime(1996, 6, 1)],
+                                pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_partkey": pa.array([1, 2, 2, 1], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 2], pa.int64()),
+        "l_quantity": pa.array([10.0, 1.0, 39.0, 10.0], pa.float64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 200.0, 80.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.0, 0.5, 0.25, 0.0], pa.float64()),
+        "l_shipdate": pa.array([dt.datetime(1995, 2, 1),
+                                dt.datetime(1995, 3, 1),
+                                dt.datetime(1996, 2, 1),
+                                dt.datetime(1996, 3, 1)],
+                               pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def test_promo_share_q14(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_promo_share
+
+    out = q_promo_share(_write_tpch_mini2(tmp_path)).to_pandas()
+    assert out.ym.tolist() == [199502, 199503, 199602, 199603]
+    assert out.promo_cents.tolist() == [10000, 0, 0, 8000]
+    assert out.total_cents.tolist() == [10000, 2500, 15000, 8000]
+    assert out.promo_ppm.tolist() == [1_000_000, 0, 0, 1_000_000]
+
+
+def test_small_qty_revenue_q17(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_small_qty_revenue
+
+    out = q_small_qty_revenue(_write_tpch_mini2(tmp_path)).to_pandas()
+    # part1: qty 10,10 → 5·10·2 = 100 ≥ 20 (none); part2: qty 1
+    # passes (5·1·2 = 10 < 40), qty 39 fails → Brand#B, undiscounted
+    # extendedprice 50.00 = 5000 cents
+    assert out.p_brand.tolist() == ["Brand#B"]
+    assert out.rev_cents.tolist() == [5000]
+    assert out.n_lines.tolist() == [1]
+
+
+def test_dominant_supplier_q20(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_dominant_supplier
+
+    out = q_dominant_supplier(_write_tpch_mini2(tmp_path)).to_pandas()
+    # part2: supp1 ships 39/40 (975000 ppm); part1: 10/20 tie →
+    # smaller suppkey wins (supp2 and supp1 both 10 → supp1)
+    assert out.l_partkey.tolist() == [2, 1]
+    assert out.l_suppkey.tolist() == [1, 1]
+    assert out.share_ppm.tolist() == [975000, 500000]
+
+
+def test_volume_shipping_q7(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_volume_shipping
+
+    out = q_volume_shipping(_write_tpch_mini2(tmp_path)).to_pandas()
+    # only line 1 links NATION_1 supplier → NATION_2 customer; line 3
+    # is NATION_1 → NATION_1 (dropped), supp2 is NATION_3 (pruned)
+    assert out.supp_nation.tolist() == ["NATION_1"]
+    assert out.cust_nation.tolist() == ["NATION_2"]
+    assert out.l_year.tolist() == [1995]
+    assert out.rev_cents.tolist() == [10000]
+
+
+def test_market_share_q8(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_market_share
+
+    out = q_market_share(_write_tpch_mini2(tmp_path)).to_pandas()
+    # ECONOMY lines: (order1, supp2=NATION_3, 2500) and (order2,
+    # supp1, 15000); both customers are AMERICA
+    assert out.o_year.tolist() == [1995, 1996]
+    assert out.nation_cents.tolist() == [2500, 0]
+    assert out.total_cents.tolist() == [2500, 15000]
+    assert out.share_ppm.tolist() == [1_000_000, 0]
