@@ -1169,3 +1169,223 @@ def edge_jaccard_ds(edges_ds, src: str = "subj", dst: str = "obj",
             "jac_ppm": pa.array(cnv * 1_000_000 // den)})
 
     return full.map_batches(score, batch_format="pyarrow")
+
+
+def clustering_coeff_ds(edges_ds, src: str = "subj", dst: str = "obj",
+                        num_partitions: int = 64):
+    """Per-node local clustering coefficient over the undirected
+    distinct-pair graph, exact integer ppm:
+    ``coeff_ppm = 2·tri(v)·10⁶ // (deg(v)·(deg(v)−1))`` (0 when
+    deg < 2), with ``tri(v)`` = edges among v's neighbours.
+
+    Plan: centered wedges (c, a, b with a < b) are generated per
+    center-hash partition with flat index math (each center's
+    neighbour run is already co-located, and its run LENGTH is the
+    degree); ONE cogroup keyed by the wedge's smaller endpoint joins
+    them against the canonical a<b edge set (pyarrow C++ inner join —
+    the right side is distinct so no fanout) and reduces to
+    per-partition (node, tri) partials; a node-keyed sum plus a
+    node-keyed cogroup against :func:`degree_ds` finishes — the wide
+    steps move wedges and |nodes|-bounded partials, never raw edges."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes, cogroup_partition_ds
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__p", pa.array(_part_codes(t["n1"], num_partitions)))
+
+    def centered_wedges(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("n1", "ascending"), ("n2", "ascending")])
+        codes = t["n1"].combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False)
+        starts = _run_starts(codes)
+        lens = np.diff(np.concatenate([starts, [len(codes)]])) \
+            .astype(np.int64)
+        m = lens * lens
+        tot = int(m.sum())
+        empty = pa.table({"c": pa.array([], pa.string()),
+                          "a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string())})
+        if tot == 0:
+            return empty
+        kofs = np.repeat(np.arange(len(m)), m)
+        j = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(m)[:-1]]), m)
+        j1, j2 = j // lens[kofs], j % lens[kofs]
+        keep = j1 < j2
+        kofs = kofs[keep]
+        nbr = t["n2"]
+        return pa.table({
+            "c": t["n1"].take(pa.array(starts[kofs])),
+            "a": nbr.take(pa.array(starts[kofs] + j1[keep])),
+            "b": nbr.take(pa.array(starts[kofs] + j2[keep]))})
+
+    wedges = und.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(centered_wedges,
+                                   batch_format="pyarrow")
+
+    def canon(b: pa.Table) -> pa.Table:
+        lt = pc.less(b["n1"], b["n2"])
+        return pa.table({"n1": b["n1"].filter(lt),
+                         "n2": b["n2"].filter(lt)})
+
+    ce = und.map_batches(canon, batch_format="pyarrow")
+
+    def count_closed(t: pa.Table, starts, nl, nr) -> pa.Table:
+        lidx, ridx = _lr_indices(starts, nl, nr)
+        left = pa.table({"a": t["__k"].take(pa.array(lidx)),
+                         "b": t["b"].take(pa.array(lidx)),
+                         "c": t["c"].take(pa.array(lidx))})
+        right = pa.table({"a": t["__k"].take(pa.array(ridx)),
+                          "b": t["n2"].take(pa.array(ridx))})
+        closed = left.join(right, keys=["a", "b"],
+                           join_type="left semi")
+        g = closed.group_by(["c"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"node": g["c"],
+                         "tri": pc.cast(g["count_all"], pa.int64())})
+
+    sch_w = pa.schema([("a", pa.string()), ("b", pa.string()),
+                       ("c", pa.string())])
+    sch_nn = pa.schema([("n1", pa.string()), ("n2", pa.string())])
+    tri = cogroup_partition_ds(wedges, ce, "a", "n1", count_closed,
+                               ["b", "c"], ["n2"],
+                               num_partitions=num_partitions,
+                               left_schema=sch_w,
+                               right_schema=sch_nn) \
+        .groupby("node").aggregate(Sum("tri", alias_name="tri"))
+
+    deg = degree_ds(edges_ds, src, dst)
+
+    def strip_deg(b: pa.Table) -> pa.Table:
+        return b.select(["node", "degree"])
+
+    deg = deg.map_batches(strip_deg, batch_format="pyarrow")
+
+    def fuse(t: pa.Table, starts, nl, nr) -> pa.Table:
+        # left = degree rows (one per node), right = tri partial sums
+        keep = nl > 0
+        lidx = starts[keep]
+        d = t["degree"].take(pa.array(lidx)).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tri_v = pc.fill_null(t["tri"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tsum = np.add.reduceat(tri_v, starts)[keep] if keep.any() else \
+            np.zeros(0, np.int64)
+        den = d * (d - 1)
+        ppm = np.where(den > 0, 2 * tsum * 1_000_000 //
+                       np.maximum(den, 1), 0)
+        return pa.table({"node": t["__k"].take(pa.array(lidx)),
+                         "degree": pa.array(d),
+                         "n_tri": pa.array(tsum),
+                         "coeff_ppm": pa.array(ppm)})
+
+    return cogroup_partition_ds(
+        deg, tri, "node", "node", fuse, ["degree"], ["tri"],
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("node", pa.string()),
+                               ("degree", pa.int64())]),
+        right_schema=pa.schema([("node", pa.string()),
+                                ("tri", pa.int64())]))
+
+
+def ra_link_pred_ds(edges_ds, src: str = "subj", dst: str = "obj",
+                    k: int = 20, num_partitions: int = 64):
+    """Resource-Allocation link prediction (Zhou–Lü–Zhang 2009): the
+    top-``k`` non-adjacent pairs (a < b) by
+    ``ra_score = Σ_z 10⁶ // deg(z)`` over common neighbours ``z`` —
+    integer micro-units (truncating), so the score is deterministic
+    and SQL-twin-exact.
+
+    Plan: identical shuffle shape to :func:`common_neighbors_ds`, but
+    each wedge is emitted already weighted — the center's degree IS
+    its co-located neighbour-run length, so the weight costs nothing
+    extra; per-block partial sums, ONE cogroup keyed by ``a`` fuses
+    the exact sum with the adjacency anti-join, block top-k partials
+    bound the final sort to O(k × blocks)."""
+    from kgforge.functions.joins import _part_codes, cogroup_partition_ds
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__p", pa.array(_part_codes(t["n1"], num_partitions)))
+
+    def weighted_wedges(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("n1", "ascending"), ("n2", "ascending")])
+        codes = t["n1"].combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False)
+        starts = _run_starts(codes)
+        lens = np.diff(np.concatenate([starts, [len(codes)]])) \
+            .astype(np.int64)
+        m = lens * lens
+        tot = int(m.sum())
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "w": pa.array([], pa.int64())})
+        if tot == 0:
+            return empty
+        kofs = np.repeat(np.arange(len(m)), m)
+        j = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(m)[:-1]]), m)
+        j1, j2 = j // lens[kofs], j % lens[kofs]
+        keep = j1 < j2
+        kofs2 = kofs[keep]
+        nbr = t["n2"]
+        pairs = pa.table({
+            "a": nbr.take(pa.array(starts[kofs2] + j1[keep])),
+            "b": nbr.take(pa.array(starts[kofs2] + j2[keep])),
+            "w": pa.array(1_000_000 // lens[kofs2])})
+        g = pairs.group_by(["a", "b"], use_threads=False) \
+            .aggregate([("w", "sum")])
+        return pa.table({"a": g["a"], "b": g["b"], "w": g["w_sum"]})
+
+    wedges = und.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(weighted_wedges,
+                                   batch_format="pyarrow")
+
+    def canon(b: pa.Table) -> pa.Table:
+        lt = pc.less(b["n1"], b["n2"])
+        return pa.table({"n1": b["n1"].filter(lt),
+                         "n2": b["n2"].filter(lt)})
+
+    ce = und.map_batches(canon, batch_format="pyarrow")
+
+    def per_partition(t: pa.Table, starts, nl, nr) -> pa.Table:
+        lidx, ridx = _lr_indices(starts, nl, nr)
+        partials = pa.table({"a": t["__k"].take(pa.array(lidx)),
+                             "b": t["b"].take(pa.array(lidx)),
+                             "w": t["w"].take(pa.array(lidx))})
+        g = partials.group_by(["a", "b"], use_threads=False) \
+            .aggregate([("w", "sum")])
+        left = pa.table({"a": g["a"], "b": g["b"],
+                         "ra_score": g["w_sum"]})
+        right = pa.table({"a": t["__k"].take(pa.array(ridx)),
+                          "b": t["n2"].take(pa.array(ridx))})
+        return left.join(right, keys=["a", "b"], join_type="left anti")
+
+    nonadj = cogroup_partition_ds(
+        wedges, ce, "a", "n1", per_partition, ["b", "w"], ["n2"],
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                               ("w", pa.int64())]),
+        right_schema=pa.schema([("n1", pa.string()),
+                                ("n2", pa.string())]))
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        neg = pc.negate(b["ra_score"]).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((np.asarray(b["b"].to_pylist()),
+                            np.asarray(b["a"].to_pylist()), neg))
+        return b.take(pa.array(order[:k]))
+
+    return nonadj.map_batches(partial_topk, batch_format="pyarrow") \
+        .sort(["ra_score", "a", "b"],
+              descending=[True, False, False]).limit(k)

@@ -425,3 +425,42 @@ FROM pr, nn
 JOIN ec ea ON ea.surface = pr.a
 JOIN ec eb ON eb.surface = pr.b
 """
+
+
+def clustering_coeff_sql() -> str:
+    """SQL twin of :func:`kgforge.functions.graph.clustering_coeff_ds`
+    — same wedge definition, same exact-integer ppm (truncating)."""
+    return entity_pairs_prelude() + """,
+ce AS (SELECT n1 AS a, n2 AS b FROM und WHERE n1 < n2),
+w AS (SELECT l.n1 AS c, l.n2 AS a, r.n2 AS b FROM und l
+      JOIN und r ON r.n1 = l.n1 AND l.n2 < r.n2),
+tri AS (SELECT c, CAST(count(*) AS BIGINT) AS n_tri
+        FROM w JOIN ce ON w.a = ce.a AND w.b = ce.b GROUP BY c),
+deg AS (SELECT n1 AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM und GROUP BY n1)
+SELECT node, degree, COALESCE(n_tri, 0) AS n_tri,
+       CASE WHEN degree >= 2
+            THEN 2 * COALESCE(n_tri, 0) * 1000000
+                 // (degree * (degree - 1))
+            ELSE 0 END AS coeff_ppm
+FROM deg LEFT JOIN tri ON node = c
+"""
+
+
+def ra_link_pred_sql(k: int = 20) -> str:
+    """SQL twin of :func:`kgforge.functions.graph.ra_link_pred_ds` —
+    Resource-Allocation scores in integer micro-units (1000000 //
+    deg(z), truncating), same (score DESC, a, b) deterministic cut."""
+    return entity_pairs_prelude() + f""",
+deg AS (SELECT n1, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY n1),
+w AS (SELECT l.n2 AS a, r.n2 AS b, 1000000 // deg.d AS wt
+      FROM und l JOIN und r ON r.n1 = l.n1 AND l.n2 < r.n2
+      JOIN deg ON deg.n1 = l.n1),
+ra AS (SELECT a, b, CAST(sum(wt) AS BIGINT) AS ra_score
+       FROM w GROUP BY 1, 2),
+nonadj AS (SELECT ra.a, ra.b, ra.ra_score FROM ra
+           WHERE NOT EXISTS (SELECT 1 FROM und u
+                             WHERE u.n1 = ra.a AND u.n2 = ra.b))
+SELECT a, b, ra_score FROM nonadj
+ORDER BY ra_score DESC, a, b LIMIT {k}
+"""

@@ -1497,6 +1497,18 @@ def q_kg_link_pred(sf_dir: str):
     return common_neighbors_ds(_entity_edges_for(sf_dir), k=20)
 
 
+def q_kg_clustering(sf_dir: str):
+    from kgforge.functions.graph import clustering_coeff_ds
+
+    return clustering_coeff_ds(_entity_edges_for(sf_dir))
+
+
+def q_kg_ra_linkpred(sf_dir: str):
+    from kgforge.functions.graph import ra_link_pred_ds
+
+    return ra_link_pred_ds(_entity_edges_for(sf_dir), k=20)
+
+
 def q_kg_negatives(sf_dir: str):
     from kgforge.functions.graph import negative_samples_ds
 
@@ -3267,6 +3279,8 @@ QUERIES = {
     "kg_triangles": q_kg_triangles,
     "kg_components": q_kg_components,
     "kg_link_pred": q_kg_link_pred,
+    "kg_clustering": q_kg_clustering,
+    "kg_ra_linkpred": q_kg_ra_linkpred,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -3848,6 +3862,8 @@ ORACLE_SQL["kg_two_hop"] = _dict_oracle.two_hop_sql()
 ORACLE_SQL["kg_triangles"] = _dict_oracle.triangles_sql()
 ORACLE_SQL["kg_components"] = _dict_oracle.components_sql()
 ORACLE_SQL["kg_link_pred"] = _dict_oracle.common_neighbors_sql(k=20)
+ORACLE_SQL["kg_clustering"] = _dict_oracle.clustering_coeff_sql()
+ORACLE_SQL["kg_ra_linkpred"] = _dict_oracle.ra_link_pred_sql(k=20)
 ORACLE_SQL["heavy_hitters"] = r"""
 SELECT tok AS token, CAST(count(*) AS BIGINT) AS est,
        CAST(0 AS BIGINT) AS err

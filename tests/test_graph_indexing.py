@@ -250,3 +250,80 @@ class TestIndexing:
         assert d2[0]["score"] == pytest.approx(4.0)
         assert d2[1]["score"] == pytest.approx(3.0)
         assert all(len(v) <= 2 for v in by_doc.values())
+
+
+class TestClusteringAndRA:
+    def test_clustering_coeff_small_graph(self, ray_session):
+        from kgforge.functions.graph import clustering_coeff_ds
+
+        # triangle A-B-C plus pendant C-D
+        pairs = [("A", "B"), ("B", "C"), ("A", "C"), ("C", "D")]
+        out = clustering_coeff_ds(_edges_ds(pairs),
+                                  num_partitions=4).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        assert out.node.tolist() == ["A", "B", "C", "D"]
+        assert out.degree.tolist() == [2, 2, 3, 1]
+        assert out.n_tri.tolist() == [1, 1, 1, 0]
+        assert out.coeff_ppm.tolist() == [1_000_000, 1_000_000,
+                                          2 * 1_000_000 // 6, 0]
+
+    def test_clustering_matches_bruteforce(self, ray_session):
+        import itertools
+
+        from kgforge.functions.graph import clustering_coeff_ds
+
+        rng = np.random.default_rng(11)
+        _, pairs = _rand_digraph(rng, n_nodes=12, n_edges=50)
+        und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+        adj: dict[str, set] = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        out = clustering_coeff_ds(_edges_ds(pairs),
+                                  num_partitions=8).to_pandas()
+        got = {r.node: (r.degree, r.n_tri, r.coeff_ppm)
+               for r in out.itertuples()}
+        for v, nbrs in adj.items():
+            d = len(nbrs)
+            tri = sum(1 for x, y in itertools.combinations(sorted(nbrs), 2)
+                      if (min(x, y), max(x, y)) in und)
+            ppm = 2 * tri * 1_000_000 // (d * (d - 1)) if d >= 2 else 0
+            assert got[v] == (d, tri, ppm), v
+
+    def test_ra_link_pred_small_graph(self, ray_session):
+        from kgforge.functions.graph import ra_link_pred_ds
+
+        # triangle A-B-C + pendant C-D: non-adjacent pairs (A,D) and
+        # (B,D) both share only C (deg 3) → score 1000000 // 3
+        pairs = [("A", "B"), ("B", "C"), ("A", "C"), ("C", "D")]
+        out = ra_link_pred_ds(_edges_ds(pairs), k=5,
+                              num_partitions=4).to_pandas()
+        assert out.a.tolist() == ["A", "B"]
+        assert out.b.tolist() == ["D", "D"]
+        assert out.ra_score.tolist() == [333333, 333333]
+
+    def test_ra_matches_bruteforce(self, ray_session):
+        from kgforge.functions.graph import ra_link_pred_ds
+
+        rng = np.random.default_rng(13)
+        _, pairs = _rand_digraph(rng, n_nodes=10, n_edges=40)
+        und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+        adj: dict[str, set] = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        exp = []
+        nodes = sorted(adj)
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                if (a, b) in und:
+                    continue
+                s = sum(1_000_000 // len(adj[z])
+                        for z in adj[a] & adj[b])
+                if s > 0:
+                    exp.append((a, b, s))
+        exp.sort(key=lambda r: (-r[2], r[0], r[1]))
+        out = ra_link_pred_ds(_edges_ds(pairs), k=8,
+                              num_partitions=8).to_pandas()
+        got = list(out.itertuples(index=False, name=None))
+        assert got == exp[:8]
