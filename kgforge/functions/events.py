@@ -2533,3 +2533,95 @@ def key_gap_dist_ds(ds, by: str = "user_id", on: str = "ts",
                                    batch_format="pyarrow") \
         .groupby("gap_days").aggregate(Sum("n", alias_name="n")) \
         .sort("gap_days")
+
+
+def mad_outliers_ds(ds, by: str = "event_type", value_col: str = "value",
+                    num_partitions: int = 64):
+    """Robust per-group outlier census via the Median Absolute
+    Deviation, ENTIRELY in exact integers: per group,
+    ``med2 = x_lo + x_hi`` (the two central order statistics — 2× the
+    median, so even counts stay integral), per-row deviation
+    ``d = |2·x − med2|`` and ``mad4 = d_lo + d_hi`` (4× the MAD);
+    a row is an outlier iff ``2·d > 3·mad4`` ⇔ |x − med| > 3·MAD.
+
+    Scale shape: the same VALUE-HISTOGRAM exchange as
+    :func:`group_quantiles_ds` — per-batch (group, cents, n) count
+    partials, ONE shuffle keyed hash(group) % P, and the whole
+    median → deviation-histogram → MAD → outlier-count chain runs
+    inside each partition as vectorized passes over ALL groups at
+    once (rank picks are ``searchsorted`` into the partition cumsum;
+    the deviation histogram is a relabel + re-sort of the value
+    histogram, never of events).  The shuffle carries distinct
+    (group, cents) counts — events never move."""
+    import pyarrow.compute as pc
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import _part_codes
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            by: df[by],
+            "cents": round_away(df[value_col] * 100, 0).astype("int64"),
+        }).groupby([by, "cents"], as_index=False).size() \
+          .rename(columns={"size": "n"})
+        return out.assign(__p=_part_codes(
+            pa.array(out[by].to_numpy()), num_partitions))
+
+    counts = ds.map_batches(partial, batch_format="pandas")
+
+    def _central_pair(vals: np.ndarray, n_arr: np.ndarray,
+                      starts: np.ndarray) -> tuple[np.ndarray, ...]:
+        """Per run of a (group, value)-sorted histogram: the sum of
+        the order statistics at indices (n−1)//2 and n//2, plus the
+        run totals — one cumsum + two searchsorteds for all groups."""
+        csum = np.cumsum(n_arr)
+        base = csum[starts] - n_arr[starts]
+        ntot = np.add.reduceat(n_arr, starts)
+        lo = np.searchsorted(csum, base + (ntot - 1) // 2 + 1)
+        hi = np.searchsorted(csum, base + ntot // 2 + 1)
+        return vals[lo] + vals[hi], ntot
+
+    def analyze(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__p"]) \
+            .group_by([by, "cents"], use_threads=False) \
+            .aggregate([("n", "sum")])
+        if t.num_rows == 0:
+            return pa.table({by: pa.array([], pa.string()),
+                             "n_events": pa.array([], pa.int64()),
+                             "med2_cents": pa.array([], pa.int64()),
+                             "mad4_cents": pa.array([], pa.int64()),
+                             "n_outliers": pa.array([], pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            ("cents", "ascending")])
+        t = t.take(idx)
+        cents = t["cents"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_arr = t["n_sum"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        brk = _run_breaks(t[by].combine_chunks(),
+                          np.zeros(t.num_rows, dtype=np.int32))
+        starts = np.flatnonzero(brk)
+        run_of = np.cumsum(brk) - 1
+        med2, ntot = _central_pair(cents, n_arr, starts)
+
+        # deviation histogram: relabel each (group, cents) bucket to
+        # (group, |2·cents − med2|) and re-sort — two cents values may
+        # collapse onto one deviation, which the rank math absorbs
+        # because csum only needs sorted order, not distinctness
+        d = np.abs(2 * cents - med2[run_of])
+        order = np.lexsort((d, run_of))
+        mad4, _ = _central_pair(
+            d[order], n_arr[order],
+            np.flatnonzero(np.concatenate(
+                [[True], run_of[order][1:] != run_of[order][:-1]])))
+        out_mask = 2 * d > 3 * mad4[run_of]
+        n_out = np.add.reduceat(np.where(out_mask, n_arr, 0), starts)
+        return pa.table({
+            by: t[by].take(pa.array(starts)),
+            "n_events": pa.array(ntot),
+            "med2_cents": pa.array(med2),
+            "mad4_cents": pa.array(mad4),
+            "n_outliers": pa.array(n_out)})
+
+    return counts.groupby("__p").map_groups(analyze,
+                                            batch_format="pyarrow")

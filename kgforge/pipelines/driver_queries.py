@@ -2898,6 +2898,11 @@ def q_dominant_supplier(sf_dir: str):
         "share_ppm": pa.array(top["share_ppm"].to_numpy(np.int64))})
 
 
+def q_mad_outliers(sf_dir: str):
+    return F_events.mad_outliers_ds(
+        _read(sf_dir, "events", ["event_type", "value"]))
+
+
 def q_volume_shipping(sf_dir: str):
     """TPC-H Q7 shape — bilateral trade volume: revenue shipped
     between NATION_1 and NATION_2 (either direction) per ship-year.
@@ -3185,6 +3190,7 @@ QUERIES = {
     "promo_share": q_promo_share,
     "volume_shipping": q_volume_shipping,
     "market_share": q_market_share,
+    "mad_outliers": q_mad_outliers,
     "small_qty_revenue": q_small_qty_revenue,
     "dominant_supplier": q_dominant_supplier,
     "large_orders": q_large_orders,
@@ -5245,4 +5251,43 @@ ORACLE_SQL["market_share"] = """
     SELECT CAST(o_year AS BIGINT) AS o_year, nation_cents, total_cents,
            nation_cents * 1000000 // total_cents AS share_ppm
     FROM t ORDER BY o_year
+"""
+
+ORACLE_SQL["mad_outliers"] = """
+    WITH e AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS c
+               FROM events),
+         s AS (SELECT event_type, c,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY c) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM e),
+         med AS (SELECT event_type,
+                        CAST(sum(c * (CAST(rn = (n + 1) // 2 AS BIGINT)
+                                 + CAST(rn = n // 2 + 1 AS BIGINT)))
+                             AS BIGINT) AS med2,
+                        CAST(max(n) AS BIGINT) AS n_events
+                 FROM s GROUP BY event_type),
+         d AS (SELECT e.event_type, abs(2 * e.c - m.med2) AS dv
+               FROM e JOIN med m ON e.event_type = m.event_type),
+         dr AS (SELECT event_type, dv,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY dv) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM d),
+         mad AS (SELECT event_type,
+                        CAST(sum(dv * (CAST(rn = (n + 1) // 2 AS BIGINT)
+                                  + CAST(rn = n // 2 + 1 AS BIGINT)))
+                             AS BIGINT) AS mad4
+                 FROM dr GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(max(m.n_events) AS BIGINT) AS n_events,
+           CAST(max(m.med2) AS BIGINT) AS med2_cents,
+           CAST(max(x.mad4) AS BIGINT) AS mad4_cents,
+           CAST(sum(CASE WHEN 2 * d.dv > 3 * x.mad4
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d
+    JOIN med m ON d.event_type = m.event_type
+    JOIN mad x ON d.event_type = x.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
 """

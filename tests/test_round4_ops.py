@@ -1159,3 +1159,28 @@ def test_market_share_q8(ray_session, tmp_path):
     assert out.nation_cents.tolist() == [2500, 0]
     assert out.total_cents.tolist() == [2500, 15000]
     assert out.share_ppm.tolist() == [1_000_000, 0]
+
+
+def test_mad_outliers_exact(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.events import mad_outliers_ds
+
+    # group A: values 1..9 plus a wild 100 → med2 = 5+6 = 11,
+    # deviations |2v−11| = 9,7,5,3,1,1,3,5,7,189 sorted →
+    # 1,1,3,3,5,5,7,7,9,189; mad4 = 5+5 = 10; outlier iff 2d > 30
+    # → only 189 (the 100) qualifies.  group B: single value.
+    vals = [float(v) for v in range(1, 10)] + [100.0, 7.0]
+    types = ["A"] * 10 + ["B"]
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    })).repartition(3)
+    out = mad_outliers_ds(ds, num_partitions=4).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    assert out.event_type.tolist() == ["A", "B"]
+    assert out.n_events.tolist() == [10, 1]
+    assert out.med2_cents.tolist() == [1100, 1400]
+    assert out.mad4_cents.tolist() == [1000, 0]
+    assert out.n_outliers.tolist() == [1, 0]
