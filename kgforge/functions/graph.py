@@ -1389,3 +1389,140 @@ def ra_link_pred_ds(edges_ds, src: str = "subj", dst: str = "obj",
     return nonadj.map_batches(partial_topk, batch_format="pyarrow") \
         .sort(["ra_score", "a", "b"],
               descending=[True, False, False]).limit(k)
+
+
+def hits_ds(edges_ds, iters: int = 2, src: str = "subj",
+            dst: str = "obj", num_partitions: int = 64):
+    """Integer-deterministic HITS (Kleinberg) over the distinct
+    directed-pair graph: hub/authority scores in int64 micro-units,
+    each half-step
+
+        auth'(v) = (Σ_{u→v} hub(u)) · 10⁶ // max_w(Σ hub)
+        hub'(v)  = (Σ_{v→w} auth'(w)) · 10⁶ // max_w(Σ auth')
+
+    L∞ (max) normalization with floor division instead of the
+    classical L2 — summation-order-free and SQL-twin-exact (identical
+    int64s both engines; the ·10⁶ step bounds the supported weighted
+    degree at ~9.2·10⁶ before int64 overflow — both engines fail
+    loudly past it, DuckDB by OverflowError, documented contract).
+
+    Plan per half-step: the pagerank cogroup pair (scores cogrouped
+    with pairs keyed by the emitting side → contribution rows →
+    node-keyed segment sum), a node-bounded materialize (it is
+    consumed twice: the metadata max + the normalize map), then one
+    streaming normalize.  The corpus-scale table here is the pair
+    set; scores stay |nodes|-bounded."""
+    from ray.data.aggregate import Sum
+
+    pairs = _distinct_pairs_ds(edges_ds, src, dst, "s", "d",
+                               both_directions=False,
+                               drop_self=False).materialize()
+    n_pairs = pairs.count()
+    num_partitions = int(min(num_partitions,
+                             max(4, n_pairs // 2000 + 1)))
+    if n_pairs < 100_000 and pairs.num_blocks() > 2 * num_partitions:
+        pairs = pairs.repartition(num_partitions).materialize()
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        t = pa.concat_tables([pa.table({"node": b["s"]}),
+                              pa.table({"node": b["d"]})])
+        return t.group_by(["node"], use_threads=False).aggregate([])
+
+    from ray.data.aggregate import Count
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["node"])
+
+    nodes = pairs.map_batches(node_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Count(alias_name="__c")) \
+        .map_batches(strip, batch_format="pyarrow")
+    if n_pairs < 100_000:
+        nodes = nodes.repartition(num_partitions)
+    nodes = nodes.materialize()
+
+    def init_scores(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"],
+                         "v": pa.array(np.full(b.num_rows, 1_000_000,
+                                               dtype=np.int64))})
+
+    score_schema = pa.schema([("node", pa.string()), ("v", pa.int64())])
+    contrib_schema = pa.schema([("t", pa.string()), ("c", pa.int64())])
+    hub = nodes.map_batches(init_scores, batch_format="pyarrow")
+
+    def emit(out_key: str):
+        def contribs(t: pa.Table, starts, nl, nr) -> pa.Table:
+            # left = pairs (payload = the receiving endpoint), right =
+            # scores (exactly one row per node)
+            has = (nl > 0) & (nr > 0)
+            ridx = (starts + nl)[has]
+            val = t["v"].take(pa.array(ridx)).combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            lidx, _ = _lr_indices(starts[has], nl[has],
+                                  np.zeros(int(has.sum()),
+                                           dtype=nl.dtype))
+            return pa.table({
+                "t": t[out_key].take(pa.array(lidx)),
+                "c": pa.array(np.repeat(val, nl[has]))})
+        return contribs
+
+    def gather(t: pa.Table, starts, nl, nr) -> pa.Table:
+        # left = nodes (one row per node), right = contribution rows
+        has_l = nl > 0
+        lidx = starts[has_l]
+        c = pc.fill_null(t["c"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        r_starts = (starts + nl)[has_l]
+        r_lens = nr[has_l]
+        s = np.zeros(int(has_l.sum()), dtype=np.int64)
+        nz = r_lens > 0
+        if nz.any():
+            s[nz] = np.add.reduceat(c, r_starts[nz])
+        return pa.table({"node": t["__k"].take(pa.array(lidx)),
+                         "v": pa.array(s)})
+
+    def half_step(scores, key_pair: str, key_out: str):
+        """One HITS half-step: scores arrive keyed by the EMITTING
+        endpoint (``key_pair``), contributions land on ``key_out``."""
+        contrib = cogroup_partition_ds(
+            pairs, scores, key_pair, "node", emit(key_out), [key_out],
+            ["v"], num_partitions=num_partitions,
+            right_schema=score_schema)
+        raw = cogroup_partition_ds(
+            nodes, contrib, "node", "t", gather, [], ["c"],
+            num_partitions=num_partitions,
+            right_schema=contrib_schema).materialize()
+        mx = max(int(raw.max("v") or 0), 1)
+
+        def norm(b: pa.Table) -> pa.Table:
+            v = b["v"].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"node": b["node"],
+                             "v": pa.array(v * 1_000_000 // mx)})
+
+        return raw.map_batches(norm, batch_format="pyarrow") \
+            .materialize()
+
+    auth = None
+    for _ in range(iters):
+        auth = half_step(hub, "s", "d")      # auth ← hubs of in-edges
+        hub = half_step(auth, "d", "s")      # hub ← auths of out-edges
+
+    def j(t: pa.Table, starts, nl, nr) -> pa.Table:
+        # left = auth, right = hub — both exactly one row per node
+        keep = (nl > 0) & (nr > 0)
+        lidx = starts[keep]
+        ridx = (starts + nl)[keep]
+        return pa.table({"node": t["__k"].take(pa.array(lidx)),
+                         "auth": t["v"].take(pa.array(lidx)),
+                         "hub": t["v_r"].take(pa.array(ridx))})
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "v_r": b["v"]})
+
+    hub_r = hub.map_batches(rename, batch_format="pyarrow")
+    return cogroup_partition_ds(
+        auth, hub_r, "node", "node", j, ["v"], ["v_r"],
+        num_partitions=num_partitions,
+        left_schema=score_schema,
+        right_schema=pa.schema([("node", pa.string()),
+                                ("v_r", pa.int64())]))

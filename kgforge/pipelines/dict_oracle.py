@@ -464,3 +464,56 @@ nonadj AS (SELECT ra.a, ra.b, ra.ra_score FROM ra
 SELECT a, b, ra_score FROM nonadj
 ORDER BY ra_score DESC, a, b LIMIT {k}
 """
+
+
+def _hits_half(prev: str, cur: str, edge_in: str, edge_out: str) -> str:
+    """One HITS half-step CTE pair: raw in-sums from ``prev`` scores,
+    then L∞ normalization in truncating integer micro-units."""
+    return f""",
+{cur}0 AS MATERIALIZED (SELECT nd.n,
+                  CAST(coalesce(sum({prev}.v), 0) AS BIGINT) AS v
+           FROM nodes nd
+           LEFT JOIN prs ON prs.{edge_in} = nd.n
+           LEFT JOIN {prev} ON {prev}.n = prs.{edge_out}
+           GROUP BY nd.n),
+{cur} AS MATERIALIZED (SELECT n, CAST(v * 1000000 //
+                         greatest((SELECT max(v) FROM {cur}0), 1)
+                         AS BIGINT) AS v
+          FROM {cur}0)"""
+
+
+def hits_sql(iters: int = 2) -> str:
+    """Integer-deterministic HITS twin of
+    :func:`kgforge.functions.graph.hits_ds` — max-normalized micro-unit
+    scores with floor division at every half-step, identical int64s
+    both engines."""
+    sql = entity_pairs_prelude() + """,
+nodes AS MATERIALIZED (SELECT DISTINCT n FROM (
+            SELECT s AS n FROM prs UNION ALL SELECT d AS n FROM prs)),
+h0 AS MATERIALIZED (SELECT n, CAST(1000000 AS BIGINT) AS v
+                    FROM nodes)"""
+    for i in range(iters):
+        sql += _hits_half(f"h{i}", f"a{i + 1}", "d", "s")
+        sql += _hits_half(f"a{i + 1}", f"h{i + 1}", "s", "d")
+    return sql + f"""
+SELECT a.n AS node, a.v AS auth, h.v AS hub
+FROM a{iters} a JOIN h{iters} h ON a.n = h.n
+"""
+
+
+def comp_sizes_sql() -> str:
+    """Component size distribution — the recursive-closure components
+    twin aggregated to (size, count)."""
+    prelude = entity_pairs_prelude().replace("\nWITH jj",
+                                             "\nWITH RECURSIVE jj", 1)
+    return prelude + """,
+reach(node, lab) AS (
+  SELECT n1 AS node, n1 AS lab FROM und
+  UNION
+  SELECT r.node, u.n2 FROM reach r JOIN und u ON u.n1 = r.lab),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+szs AS (SELECT component, CAST(count(*) AS BIGINT) AS size_nodes
+        FROM comp GROUP BY component)
+SELECT size_nodes, CAST(count(*) AS BIGINT) AS n_components
+FROM szs GROUP BY size_nodes ORDER BY size_nodes
+"""

@@ -1509,6 +1509,32 @@ def q_kg_ra_linkpred(sf_dir: str):
     return ra_link_pred_ds(_entity_edges_for(sf_dir), k=20)
 
 
+def q_kg_hits(sf_dir: str):
+    from kgforge.functions.graph import hits_ds
+
+    return hits_ds(_entity_edges_for(sf_dir), iters=2)
+
+
+def q_kg_comp_sizes(sf_dir: str):
+    """Component size distribution — two node-bounded keyed counts
+    over the distributed components output."""
+    from ray.data.aggregate import Count
+
+    from kgforge.functions.graph import components_ds
+
+    comp = components_ds(_entity_edges_for(sf_dir))
+    sizes = comp.groupby("component").aggregate(
+        Count(alias_name="size_nodes"))
+
+    def strip(b: pa.Table) -> pa.Table:
+        return pa.table({"size_nodes": pc.cast(b["size_nodes"],
+                                               pa.int64())})
+
+    return sizes.map_batches(strip, batch_format="pyarrow") \
+        .groupby("size_nodes").aggregate(
+            Count(alias_name="n_components"))
+
+
 def q_kg_negatives(sf_dir: str):
     from kgforge.functions.graph import negative_samples_ds
 
@@ -2898,6 +2924,75 @@ def q_dominant_supplier(sf_dir: str):
         "share_ppm": pa.array(top["share_ppm"].to_numpy(np.int64))})
 
 
+def q_late_priority(sf_dir: str):
+    """TPC-H Q4 shape — EXISTS semantics: orders with at least one
+    lineitem shipped > 60 days after the order date, counted per
+    priority.  Scale plan: the EXISTS collapses to a per-order MAX
+    shipdate — per-batch (orderkey, max) partials → ONE orderkey
+    cogroup against orders where a segment max + one compare decide
+    the predicate and the count reduces to per-partition
+    (priority, n) partials — ≤ 5×P rows fold on the driver."""
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": b["l_orderkey"],
+                      "s": pc.cast(b["l_shipdate"], pa.int64())})
+        g = t.group_by(["k"], use_threads=False).aggregate([("s", "max")])
+        return pa.table({"l_orderkey": g["k"], "maxship": g["s_max"]})
+
+    mx = li.map_batches(partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_proj(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "odate": pc.cast(b["o_orderdate"], pa.int64()),
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    op = orders.map_batches(o_proj, batch_format="pyarrow")
+    sixty_days_us = 60 * 86_400 * 1_000_000
+
+    def fuse(t: pa.Table, starts, nl, nr) -> pa.Table:
+        sent = np.int64(-(2 ** 62))
+        s = pc.fill_null(t["maxship"], int(sent)).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        maxs = np.maximum.reduceat(s, starts)       # right rows = sentinel
+        keep = (nl > 0) & (nr > 0)
+        if not keep.any():
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ridx = (starts + nl)[keep]
+        odate = t["odate"].take(pa.array(ridx)).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        late = maxs[keep] > odate + sixty_days_us
+        pri = t["o_orderpriority"].take(pa.array(ridx[late]))
+        g = pa.table({"p": pri,
+                      "n": pa.array(np.ones(int(late.sum()), np.int64))}) \
+            .group_by(["p"], use_threads=False).aggregate([("n", "sum")])
+        return pa.table({"o_orderpriority": g["p"], "n": g["n_sum"]})
+
+    parts = cogroup_partition_ds(
+        mx, op, "l_orderkey", "o_orderkey", fuse,
+        ["maxship"], ["odate", "o_orderpriority"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("maxship", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("odate", pa.int64()),
+                                ("o_orderpriority", pa.string())])) \
+        .to_pandas()
+    out_schema = pa.schema([("o_orderpriority", pa.string()),
+                            ("n_orders", pa.int64())])
+    if not len(parts):
+        return out_schema.empty_table()
+    g = parts.groupby("o_orderpriority", as_index=False).sum() \
+        .sort_values("o_orderpriority")
+    return pa.table({
+        "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+        "n_orders": pa.array(g["n"].to_numpy(np.int64))})
+
+
 def q_mad_outliers(sf_dir: str):
     return F_events.mad_outliers_ds(
         _read(sf_dir, "events", ["event_type", "value"]))
@@ -3191,6 +3286,7 @@ QUERIES = {
     "volume_shipping": q_volume_shipping,
     "market_share": q_market_share,
     "mad_outliers": q_mad_outliers,
+    "late_priority": q_late_priority,
     "small_qty_revenue": q_small_qty_revenue,
     "dominant_supplier": q_dominant_supplier,
     "large_orders": q_large_orders,
@@ -3287,6 +3383,8 @@ QUERIES = {
     "kg_link_pred": q_kg_link_pred,
     "kg_clustering": q_kg_clustering,
     "kg_ra_linkpred": q_kg_ra_linkpred,
+    "kg_hits": q_kg_hits,
+    "kg_comp_sizes": q_kg_comp_sizes,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -3870,6 +3968,8 @@ ORACLE_SQL["kg_components"] = _dict_oracle.components_sql()
 ORACLE_SQL["kg_link_pred"] = _dict_oracle.common_neighbors_sql(k=20)
 ORACLE_SQL["kg_clustering"] = _dict_oracle.clustering_coeff_sql()
 ORACLE_SQL["kg_ra_linkpred"] = _dict_oracle.ra_link_pred_sql(k=20)
+ORACLE_SQL["kg_hits"] = _dict_oracle.hits_sql(iters=2)
+ORACLE_SQL["kg_comp_sizes"] = _dict_oracle.comp_sizes_sql()
 ORACLE_SQL["heavy_hitters"] = r"""
 SELECT tok AS token, CAST(count(*) AS BIGINT) AS est,
        CAST(0 AS BIGINT) AS err
@@ -5290,4 +5390,13 @@ ORACLE_SQL["mad_outliers"] = """
     JOIN med m ON d.event_type = m.event_type
     JOIN mad x ON d.event_type = x.event_type
     GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+ORACLE_SQL["late_priority"] = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1 ORDER BY 1
 """

@@ -327,3 +327,42 @@ class TestClusteringAndRA:
                               num_partitions=8).to_pandas()
         got = list(out.itertuples(index=False, name=None))
         assert got == exp[:8]
+
+
+class TestHitsAndComponents:
+    def test_hits_matches_bruteforce(self, ray_session):
+        from kgforge.functions.graph import hits_ds
+
+        rng = np.random.default_rng(17)
+        _, pairs = _rand_digraph(rng, n_nodes=10, n_edges=40)
+        prs = sorted({p for p in pairs})
+        nodes = sorted({x for e in prs for x in e})
+        h = {v: 1_000_000 for v in nodes}
+        for _ in range(2):
+            a_raw = {v: sum(h[s] for s, d in prs if d == v)
+                     for v in nodes}
+            mx = max(max(a_raw.values()), 1)
+            a = {v: x * 1_000_000 // mx for v, x in a_raw.items()}
+            h_raw = {v: sum(a[d] for s, d in prs if s == v)
+                     for v in nodes}
+            mx = max(max(h_raw.values()), 1)
+            h = {v: x * 1_000_000 // mx for v, x in h_raw.items()}
+        out = hits_ds(_edges_ds(pairs), iters=2,
+                      num_partitions=8).to_pandas()
+        got = {r.node: (r.auth, r.hub) for r in out.itertuples()}
+        assert set(got) == set(nodes)
+        for v in nodes:
+            assert got[v] == (a[v], h[v]), v
+
+    def test_comp_sizes_two_components(self, ray_session):
+        from ray.data.aggregate import Count
+
+        from kgforge.functions.graph import components_ds
+
+        # K3 plus an isolated edge → sizes {3: 1, 2: 1}
+        pairs = [("A", "B"), ("B", "C"), ("A", "C"), ("X", "Y")]
+        comp = components_ds(_edges_ds(pairs))
+        sizes = comp.groupby("component") \
+            .aggregate(Count(alias_name="size_nodes")).to_pandas()
+        got = sorted(sizes.size_nodes.tolist())
+        assert got == [2, 3]

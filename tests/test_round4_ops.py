@@ -1184,3 +1184,29 @@ def test_mad_outliers_exact(ray_session):
     assert out.med2_cents.tolist() == [1100, 1400]
     assert out.mad4_cents.tolist() == [1000, 0]
     assert out.n_outliers.tolist() == [1, 0]
+
+
+def test_late_priority_q4(ray_session, tmp_path):
+    import datetime as dt
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import q_late_priority
+
+    t0 = dt.datetime(1995, 1, 1)
+    day = dt.timedelta(days=1)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([t0, t0, t0], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "1-URGENT"],
+                                    pa.string()),
+    }), str(tmp_path / "orders.parquet"))
+    # order 1: one line late (61d); order 2: all ≤ 60d; order 3: late
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_shipdate": pa.array([t0 + 5 * day, t0 + 61 * day,
+                                t0 + 60 * day, t0 + 100 * day],
+                               pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_late_priority(str(tmp_path)).to_pandas()
+    assert out.o_orderpriority.tolist() == ["1-URGENT"]
+    assert out.n_orders.tolist() == [2]
