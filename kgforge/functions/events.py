@@ -2625,3 +2625,56 @@ def mad_outliers_ds(ds, by: str = "event_type", value_col: str = "value",
 
     return counts.groupby("__p").map_groups(analyze,
                                             batch_format="pyarrow")
+
+
+def session_length_dist_ds(ds, gap_minutes: int = 30,
+                           by: str = "user_id", on: str = "ts",
+                           num_partitions: int = 64):
+    """Histogram of session lengths (events per session, 30-minute
+    inactivity rule) → (session_len, n_sessions).
+
+    Scale shape: the :func:`sessionize_ds` partition pass — ONE
+    hash(user) % P shuffle, vectorized break scan over all users at
+    once — but emitting a per-partition length HISTOGRAM (session
+    lengths via diff over session starts, then one ``np.unique``);
+    the final keyed sum sees ≤ distinct-lengths × P rows.  Length
+    ties at equal timestamps are order-free: permuting equal ``on``
+    values leaves the consecutive-gap sequence unchanged, so both
+    engines land on identical histograms."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    gap_us = np.int64(gap_minutes) * np.int64(60_000_000)
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({by: b[by],
+                      "__on": pc.cast(_on_key(b[on]), pa.int64())})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t[by], num_partitions)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            ("__on", "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"session_len": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        on_np = t["__on"].combine_chunks().to_numpy(zero_copy_only=False)
+        sbrk = _run_breaks(t[by].combine_chunks(),
+                           np.zeros(n, dtype=np.int32))
+        if n > 1:
+            sbrk[1:] |= np.diff(on_np) > gap_us
+        s_starts = np.flatnonzero(sbrk)
+        lens = np.diff(np.concatenate([s_starts, [n]])).astype(np.int64)
+        uniq, cnt = np.unique(lens, return_counts=True)
+        return pa.table({"session_len": pa.array(uniq),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby("session_len").aggregate(Sum("n", alias_name="n_sessions"))

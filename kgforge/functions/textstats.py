@@ -892,3 +892,52 @@ def vocab_growth_ds(ds, text_col: str = "text",
     return pa.table({"decile": pa.array(m["decile"].to_numpy(np.int64)),
                      "new_terms": pa.array(new),
                      "cum_terms": pa.array(np.cumsum(new))})
+
+
+def fertility_by_lang_ds(ds, text_col: str = "text",
+                         lang_col: str = "lang"):
+    """Tokenizer fertility per language: BPE-pretoken count over
+    whitespace-word count, exact integer ppm — the classic signal
+    for how much more a BPE tokenizer fragments each language
+    (tokenizer-budget sizing per language ahead of training).
+
+    Scale shape: a pure per-batch map (two RE2 count kernels) reduced
+    to (lang, sums) partials inside each batch — the shuffle carries
+    langs × batches partial rows, never text; one tiny keyed sum and
+    a streaming ppm map finish."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b[text_col]
+        bpe = pc.add(pc.add(
+            pc.cast(_count_re(text, BPE_ALPHA_RE), pa.int64()),
+            pc.cast(_count_re(text, BPE_NUM_RE), pa.int64())),
+            pc.cast(_count_re(text, BPE_OTHER_RE), pa.int64()))
+        ws = pc.cast(_count_re(text, r"\S+"), pa.int64())
+        t = pa.table({"lang": b[lang_col], "bpe": bpe, "ws": ws,
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["lang"], use_threads=False).aggregate(
+            [("bpe", "sum"), ("ws", "sum"), ("n", "sum")])
+        return pa.table({"lang": g["lang"], "bpe": g["bpe_sum"],
+                         "ws": g["ws_sum"], "n": g["n_sum"]})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n", alias_name="n_docs"),
+                                   Sum("ws", alias_name="ws_tokens"),
+                                   Sum("bpe", alias_name="bpe_tokens"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        bpe = b["bpe_tokens"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ws = b["ws_tokens"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "lang": b["lang"],
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "ws_tokens": pa.array(ws),
+            "bpe_tokens": pa.array(bpe),
+            "fertility_ppm": pa.array(
+                bpe * 1_000_000 // np.maximum(ws, 1))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

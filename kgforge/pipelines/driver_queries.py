@@ -2924,6 +2924,16 @@ def q_dominant_supplier(sf_dir: str):
         "share_ppm": pa.array(top["share_ppm"].to_numpy(np.int64))})
 
 
+def q_fertility_by_lang(sf_dir: str):
+    return F_text.fertility_by_lang_ds(
+        _read(sf_dir, "documents", ["text", "lang"]))
+
+
+def q_session_length_dist(sf_dir: str):
+    return F_events.session_length_dist_ds(
+        _read(sf_dir, "events", ["user_id", "ts"]))
+
+
 def q_late_priority(sf_dir: str):
     """TPC-H Q4 shape — EXISTS semantics: orders with at least one
     lineitem shipped > 60 days after the order date, counted per
@@ -3287,6 +3297,8 @@ QUERIES = {
     "market_share": q_market_share,
     "mad_outliers": q_mad_outliers,
     "late_priority": q_late_priority,
+    "fertility_by_lang": q_fertility_by_lang,
+    "session_length_dist": q_session_length_dist,
     "small_qty_revenue": q_small_qty_revenue,
     "dominant_supplier": q_dominant_supplier,
     "large_orders": q_large_orders,
@@ -5399,4 +5411,39 @@ ORACLE_SQL["late_priority"] = """
                   WHERE l_orderkey = o_orderkey
                     AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
     GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["fertility_by_lang"] = r"""
+    WITH d AS (SELECT lang,
+                      CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                           + len(regexp_extract_all(text, '[0-9]+'))
+                           + len(regexp_extract_all(text,
+                                                    '[^A-Za-z0-9\s]+'))
+                           AS BIGINT) AS bpe,
+                      CAST(len(regexp_extract_all(text, '\S+'))
+                           AS BIGINT) AS ws
+               FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(bpe) AS BIGINT) * 1000000
+               // greatest(CAST(sum(ws) AS BIGINT), 1) AS fertility_ppm
+    FROM d GROUP BY lang ORDER BY lang
+"""
+
+ORACLE_SQL["session_length_dist"] = """
+    WITH o AS (SELECT user_id, ts,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS brk
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+               FROM o),
+         l AS (SELECT CAST(count(*) AS BIGINT) AS session_len
+               FROM s GROUP BY user_id, sid)
+    SELECT session_len, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM l GROUP BY session_len ORDER BY session_len
 """

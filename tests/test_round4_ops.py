@@ -1210,3 +1210,44 @@ def test_late_priority_q4(ray_session, tmp_path):
     out = q_late_priority(str(tmp_path)).to_pandas()
     assert out.o_orderpriority.tolist() == ["1-URGENT"]
     assert out.n_orders.tolist() == [2]
+
+
+def test_fertility_by_lang_exact(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.textstats import fertility_by_lang_ds
+
+    # en: "hi there 42!" → ws 3, bpe = 3 alpha ("hi","there") wait:
+    # alpha runs: hi, there = 2; num runs: 42 = 1; other: ! = 1 → 4
+    t = pa.table({
+        "text": pa.array(["hi there 42!", "a b", "x1"], pa.string()),
+        "lang": pa.array(["en", "en", "fr"], pa.string()),
+    })
+    out = fertility_by_lang_ds(rd.from_arrow(t).repartition(2)) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    # en: ws = 3+2 = 5, bpe = (2+1+1) + 2 = 6 → 1_200_000 ppm
+    # fr: ws = 1, bpe = 2 ("x","1") → 2_000_000 ppm
+    assert out.lang.tolist() == ["en", "fr"]
+    assert out.n_docs.tolist() == [2, 1]
+    assert out.ws_tokens.tolist() == [5, 1]
+    assert out.bpe_tokens.tolist() == [6, 2]
+    assert out.fertility_ppm.tolist() == [1_200_000, 2_000_000]
+
+
+def test_session_length_dist_gap_rule(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.events import session_length_dist_ds
+
+    m = 60_000_000
+    # user 1: events at 0, 10m, 50m (gap 40m > 30m → sessions of 2,1);
+    # user 2: one event → session of 1
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 10 * m, 50 * m, 0], pa.timestamp("us")),
+    })).repartition(2)
+    out = session_length_dist_ds(ds, num_partitions=4).to_pandas() \
+        .sort_values("session_len").reset_index(drop=True)
+    assert out.session_len.tolist() == [1, 2]
+    assert out.n_sessions.tolist() == [2, 1]
