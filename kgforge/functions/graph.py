@@ -1526,3 +1526,101 @@ def hits_ds(edges_ds, iters: int = 2, src: str = "subj",
         left_schema=score_schema,
         right_schema=pa.schema([("node", pa.string()),
                                 ("v_r", pa.int64())]))
+
+
+def label_prop_communities_ds(edges_ds, rounds: int = 2,
+                              src: str = "subj", dst: str = "obj",
+                              num_partitions: int = 64):
+    """Synchronous label-propagation communities (Raghavan et al.
+    2007, made deterministic): every node starts as its own label;
+    each round ALL nodes simultaneously adopt the most frequent label
+    among their neighbours, ties broken by the lexicographically
+    smallest label.  Fixed ``rounds`` (default 2) with synchronous
+    updates + a total tie order ⇒ bit-identical output across block
+    layouts, cluster sizes and engines (the SQL twin encodes the same
+    argmax).
+
+    Plan per round (2 keyed shuffles): ONE cogroup ships each node's
+    current label to its neighbours (labels are |nodes|-bounded; the
+    pair set is the corpus-scale table and never re-keys), then a
+    hash(node) % P partition votes — per-partition arrow count +
+    vectorized lexsort argmax, no per-node Python."""
+    from kgforge.functions.joins import _part_codes, cogroup_partition_ds
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+    n_pairs = und.count()
+    num_partitions = int(min(num_partitions,
+                             max(4, n_pairs // 2000 + 1)))
+    if n_pairs < 100_000 and und.num_blocks() > 2 * num_partitions:
+        und = und.repartition(num_partitions).materialize()
+
+    # distinct nodes via one keyed pass (n1 covers every node: und is
+    # symmetric, so each node appears on the left side)
+    from ray.data.aggregate import Count
+
+    def n1_only(b: pa.Table) -> pa.Table:
+        return b.select(["n1"])
+
+    nodes = und.map_batches(n1_only, batch_format="pyarrow") \
+        .groupby("n1").aggregate(Count(alias_name="__c"))
+
+    def to_labels(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["n1"], "lab": b["n1"]})
+
+    labels = nodes.map_batches(to_labels, batch_format="pyarrow") \
+        .materialize()
+    label_schema = pa.schema([("node", pa.string()),
+                              ("lab", pa.string())])
+
+    def emit(t: pa.Table, starts, nl, nr) -> pa.Table:
+        # left = und pairs (payload n2), right = labels (one per node)
+        has = (nl > 0) & (nr > 0)
+        ridx = (starts + nl)[has]
+        lab = t["lab"].take(pa.array(ridx))
+        lidx, _ = _lr_indices(starts[has], nl[has],
+                              np.zeros(int(has.sum()), dtype=nl.dtype))
+        lab_rep = lab.take(pa.array(
+            np.repeat(np.arange(int(has.sum())), nl[has])))
+        return pa.table({"t": t["n2"].take(pa.array(lidx)),
+                         "lab": lab_rep})
+
+    def vote(t: pa.Table) -> pa.Table:
+        g = t.select(["t", "lab"]) \
+            .group_by(["t", "lab"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        cnt = g["count_all"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = g["t"].combine_chunks()
+        lab = g["lab"].combine_chunks()
+        # argmax per node: sort (node asc, count desc, lab asc), keep
+        # the first row of each node run
+        order = pc.sort_indices(pa.table({
+            "t": tt, "c": pa.array(-cnt), "lab": lab}),
+            sort_keys=[("t", "ascending"), ("c", "ascending"),
+                       ("lab", "ascending")])
+        o = order.to_numpy(zero_copy_only=False)
+        t_sorted = tt.take(pa.array(o))
+        codes = t_sorted.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False)
+        starts = _run_starts(codes)
+        pick = pa.array(o[starts])
+        return pa.table({"node": tt.take(pick), "lab": lab.take(pick)})
+
+    for _ in range(rounds):
+        contrib = cogroup_partition_ds(
+            und, labels, "n1", "node", emit, ["n2"], ["lab"],
+            num_partitions=num_partitions, right_schema=label_schema)
+
+        def tag(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "__p", pa.array(_part_codes(b["t"], num_partitions)))
+
+        labels = contrib.map_batches(tag, batch_format="pyarrow") \
+            .groupby("__p").map_groups(vote, batch_format="pyarrow") \
+            .materialize()
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "community": b["lab"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")

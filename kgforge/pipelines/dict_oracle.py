@@ -517,3 +517,27 @@ szs AS (SELECT component, CAST(count(*) AS BIGINT) AS size_nodes
 SELECT size_nodes, CAST(count(*) AS BIGINT) AS n_components
 FROM szs GROUP BY size_nodes ORDER BY size_nodes
 """
+
+
+def _lpa_step(prev: str, cur: str) -> str:
+    return f""",
+{cur} AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT u.n2 AS node, l.lab AS lab,
+           row_number() OVER (PARTITION BY u.n2
+                              ORDER BY count(*) DESC, l.lab) AS rn
+    FROM und u JOIN {prev} l ON l.node = u.n1
+    GROUP BY u.n2, l.lab) WHERE rn = 1)"""
+
+
+def communities_sql(rounds: int = 2) -> str:
+    """Deterministic synchronous label-propagation twin of
+    :func:`kgforge.functions.graph.label_prop_communities_ds` — the
+    same (count DESC, label ASC) argmax each round."""
+    sql = entity_pairs_prelude() + """,
+l0 AS MATERIALIZED (SELECT DISTINCT n1 AS node, n1 AS lab FROM und)"""
+    for i in range(rounds):
+        sql += _lpa_step(f"l{i}", f"l{i + 1}")
+    return sql + f"""
+SELECT node, lab AS community FROM l{rounds}
+"""

@@ -1509,6 +1509,13 @@ def q_kg_ra_linkpred(sf_dir: str):
     return ra_link_pred_ds(_entity_edges_for(sf_dir), k=20)
 
 
+def q_kg_communities(sf_dir: str):
+    from kgforge.functions.graph import label_prop_communities_ds
+
+    return label_prop_communities_ds(_entity_edges_for(sf_dir),
+                                     rounds=2)
+
+
 def q_kg_hits(sf_dir: str):
     from kgforge.functions.graph import hits_ds
 
@@ -2924,6 +2931,138 @@ def q_dominant_supplier(sf_dir: str):
         "share_ppm": pa.array(top["share_ppm"].to_numpy(np.int64))})
 
 
+def q_nation_profit(sf_dir: str):
+    """TPC-H Q9 shape — profit per (supplier nation, order year) with
+    supply cost proxied at 10% of the part's retail price (no
+    partsupp table in this corpus):
+    ``profit = disc_cents − qty · retail_cents // 10`` per line,
+    exact integers end-to-end.  Scale plan: three cogroups each
+    keyed on a different join key (partkey → suppkey → orderkey),
+    each attaching one dimension column and re-combining so the
+    stream shrinks monotonically; per-partition (nation, year)
+    partials — ≤ 25×years rows each — fold on the driver."""
+    import pyarrow.parquet as pq
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        qty = np.rint(b["l_quantity"].combine_chunks()
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        cents = round_away(price * (1.0 - disc) * 100, 0) \
+            .astype(np.int64)
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "qty": pa.array(qty),
+                         "disc_cents": pa.array(cents)})
+
+    lp = li.map_batches(li_proj, batch_format="pyarrow")
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+
+    def attach_cost(t, starts, nl, nr):
+        out = _attach_right(
+            t, starts, nl, nr,
+            ["l_orderkey", "l_suppkey", "qty", "disc_cents"],
+            ("p_retailprice", "retail"),
+            ["l_orderkey", "l_suppkey", "qty", "disc_cents"])
+        retail = round_away(
+            out["retail"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        qty = out["qty"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        dc = out["disc_cents"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        profit = dc - qty * retail // 10
+        return pa.table({"l_orderkey": out["l_orderkey"],
+                         "l_suppkey": out["l_suppkey"],
+                         "profit": pa.array(profit)})
+
+    li_c = cogroup_partition_ds(
+        lp, part, "l_partkey", "p_partkey", attach_cost,
+        ["l_orderkey", "l_suppkey", "qty", "disc_cents"],
+        ["p_retailprice"],
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("qty", pa.int64()),
+                               ("disc_cents", pa.int64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("p_retailprice", pa.float64())]))
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def attach_nat(t, starts, nl, nr):
+        out = _attach_right(t, starts, nl, nr,
+                            ["l_orderkey", "profit"],
+                            ("s_nationkey", "s_nat"),
+                            ["l_orderkey", "profit"])
+        g = out.group_by(["l_orderkey", "s_nat"], use_threads=False) \
+            .aggregate([("profit", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "s_nat": pc.cast(g["s_nat"], pa.int32()),
+                         "profit": g["profit_sum"]})
+
+    li_n = cogroup_partition_ds(
+        li_c, sup, "l_suppkey", "s_suppkey", attach_nat,
+        ["l_orderkey", "profit"], ["s_nationkey"],
+        left_schema=pa.schema([("l_suppkey", pa.int64()),
+                               ("l_orderkey", pa.int64()),
+                               ("profit", pa.int64())]),
+        right_schema=pa.schema([("s_suppkey", pa.int64()),
+                                ("s_nationkey", pa.int32())]))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def o_proj(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "yr": pc.cast(pc.year(b["o_orderdate"]),
+                                       pa.int64())})
+
+    op = orders.map_batches(o_proj, batch_format="pyarrow")
+
+    def fuse(t, starts, nl, nr):
+        out = _attach_right(t, starts, nl, nr, ["s_nat", "profit"],
+                            ("yr", "yr"), ["s_nat", "profit"])
+        g = out.group_by(["s_nat", "yr"], use_threads=False) \
+            .aggregate([("profit", "sum")])
+        return pa.table({"s_nat": pc.cast(g["s_nat"], pa.int32()),
+                         "yr": g["yr"], "profit": g["profit_sum"]})
+
+    parts = cogroup_partition_ds(
+        li_n, op, "l_orderkey", "o_orderkey", fuse,
+        ["s_nat", "profit"], ["yr"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("s_nat", pa.int32()),
+                               ("profit", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("yr", pa.int64())])).to_pandas()
+    out_schema = pa.schema([("n_name", pa.string()),
+                            ("o_year", pa.int64()),
+                            ("profit_cents", pa.int64())])
+    if not len(parts):
+        return out_schema.empty_table()
+    g = parts.groupby(["s_nat", "yr"], as_index=False).sum()
+    g["n_name"] = [n_name[int(k)] for k in g["s_nat"]]
+    g = g.sort_values(["n_name", "yr"])
+    return pa.table({
+        "n_name": pa.array(g["n_name"], pa.string()),
+        "o_year": pa.array(g["yr"].to_numpy(np.int64)),
+        "profit_cents": pa.array(g["profit"].to_numpy(np.int64))})
+
+
 def q_fertility_by_lang(sf_dir: str):
     return F_text.fertility_by_lang_ds(
         _read(sf_dir, "documents", ["text", "lang"]))
@@ -3299,6 +3438,7 @@ QUERIES = {
     "late_priority": q_late_priority,
     "fertility_by_lang": q_fertility_by_lang,
     "session_length_dist": q_session_length_dist,
+    "nation_profit": q_nation_profit,
     "small_qty_revenue": q_small_qty_revenue,
     "dominant_supplier": q_dominant_supplier,
     "large_orders": q_large_orders,
@@ -3397,6 +3537,7 @@ QUERIES = {
     "kg_ra_linkpred": q_kg_ra_linkpred,
     "kg_hits": q_kg_hits,
     "kg_comp_sizes": q_kg_comp_sizes,
+    "kg_communities": q_kg_communities,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -3982,6 +4123,7 @@ ORACLE_SQL["kg_clustering"] = _dict_oracle.clustering_coeff_sql()
 ORACLE_SQL["kg_ra_linkpred"] = _dict_oracle.ra_link_pred_sql(k=20)
 ORACLE_SQL["kg_hits"] = _dict_oracle.hits_sql(iters=2)
 ORACLE_SQL["kg_comp_sizes"] = _dict_oracle.comp_sizes_sql()
+ORACLE_SQL["kg_communities"] = _dict_oracle.communities_sql(rounds=2)
 ORACLE_SQL["heavy_hitters"] = r"""
 SELECT tok AS token, CAST(count(*) AS BIGINT) AS est,
        CAST(0 AS BIGINT) AS err
@@ -5446,4 +5588,21 @@ ORACLE_SQL["session_length_dist"] = """
                FROM s GROUP BY user_id, sid)
     SELECT session_len, CAST(count(*) AS BIGINT) AS n_sessions
     FROM l GROUP BY session_len ORDER BY session_len
+"""
+
+ORACLE_SQL["nation_profit"] = """
+    WITH li AS (SELECT l_orderkey, l_suppkey,
+                       CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT)
+                       - CAST(round(l_quantity) AS BIGINT)
+                         * CAST(round(p_retailprice * 100) AS BIGINT)
+                         // 10 AS profit
+                FROM lineitem JOIN part ON l_partkey = p_partkey)
+    SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(profit) AS BIGINT) AS profit_cents
+    FROM li
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1, 2 ORDER BY 1, 2
 """

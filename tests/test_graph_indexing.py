@@ -366,3 +366,43 @@ class TestHitsAndComponents:
             .aggregate(Count(alias_name="size_nodes")).to_pandas()
         got = sorted(sizes.size_nodes.tolist())
         assert got == [2, 3]
+
+
+class TestCommunities:
+    @staticmethod
+    def _lpa_brute(pairs, rounds=2):
+        und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+        adj: dict[str, set] = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        lab = {v: v for v in adj}
+        for _ in range(rounds):
+            new = {}
+            for v, nbrs in adj.items():
+                cnt: dict[str, int] = {}
+                for u in nbrs:
+                    cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+                new[v] = min(cnt, key=lambda L: (-cnt[L], L))
+            lab = new
+        return lab
+
+    def test_lpa_path_tiebreak(self, ray_session):
+        from kgforge.functions.graph import label_prop_communities_ds
+
+        pairs = [("A", "B"), ("B", "C")]
+        out = label_prop_communities_ds(
+            _edges_ds(pairs), rounds=2, num_partitions=4).to_pandas()
+        got = dict(zip(out.node, out.community))
+        assert got == self._lpa_brute(pairs)      # {'A':'A','B':'B','C':'A'}
+        assert got == {"A": "A", "B": "B", "C": "A"}
+
+    def test_lpa_matches_bruteforce(self, ray_session):
+        from kgforge.functions.graph import label_prop_communities_ds
+
+        rng = np.random.default_rng(23)
+        _, pairs = _rand_digraph(rng, n_nodes=14, n_edges=45)
+        out = label_prop_communities_ds(
+            _edges_ds(pairs), rounds=2, num_partitions=8).to_pandas()
+        got = dict(zip(out.node, out.community))
+        assert got == self._lpa_brute(pairs)

@@ -1071,6 +1071,7 @@ def _write_tpch_mini2(tmp_path):
         "p_partkey": pa.array([1, 2], pa.int64()),
         "p_type": pa.array(["PROMO", "ECONOMY"], pa.string()),
         "p_brand": pa.array(["Brand#A", "Brand#B"], pa.string()),
+        "p_retailprice": pa.array([10.0, 20.0], pa.float64()),
     }), str(tmp_path / "part.parquet"))
     pq.write_table(pa.table({
         "s_suppkey": pa.array([1, 2], pa.int64()),
@@ -1251,3 +1252,16 @@ def test_session_length_dist_gap_rule(ray_session):
         .sort_values("session_len").reset_index(drop=True)
     assert out.session_len.tolist() == [1, 2]
     assert out.n_sessions.tolist() == [2, 1]
+
+
+def test_nation_profit_q9(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_nation_profit
+
+    out = q_nation_profit(_write_tpch_mini2(tmp_path)).to_pandas()
+    # per line: disc_cents − qty · retail_cents // 10 →
+    # r1 10000−1000=9000 (N1, 1995); r2 2500−200=2300 (N3, 1995);
+    # r3 15000−7800=7200 (N1, 1996); r4 8000−1000=7000 (N3, 1996)
+    assert out.n_name.tolist() == ["NATION_1", "NATION_1",
+                                   "NATION_3", "NATION_3"]
+    assert out.o_year.tolist() == [1995, 1996, 1995, 1996]
+    assert out.profit_cents.tolist() == [9000, 7200, 2300, 7000]
