@@ -2678,3 +2678,101 @@ def session_length_dist_ds(ds, gap_minutes: int = 30,
         .groupby("__p").map_groups(per_partition,
                                    batch_format="pyarrow") \
         .groupby("session_len").aggregate(Sum("n", alias_name="n_sessions"))
+
+
+def first_touch_ds(ds, conv_type: str = "purchase",
+                   window_us: int = 7 * 86_400_000_000,
+                   by: str = "user_id", on: str = "ts",
+                   type_col: str = "event_type",
+                   id_col: str = "event_id",
+                   num_partitions: int = 64):
+    """First-touch attribution: for every conversion event
+    (``conv_type``), the type of the user's EARLIEST event inside the
+    lookback window ``[conv.on − window, conv)`` — "before" is the
+    total order (ts, id), so equal-timestamp ties are deterministic —
+    aggregated to (first_touch, n_conversions); conversions with no
+    prior touch report ``(direct)``.
+
+    Scale shape: ONE hash(user) % P shuffle of (user, ts, id, type)
+    plus one synthetic QUERY row per conversion (value = ts − window).
+    Inside a partition a single lexsort merges queries and events;
+    the count of events before each query (one cumsum) IS the
+    window-start rank, and the k-th query of a run pairs with the
+    k-th conversion event (subtracting a constant preserves the
+    (ts, id) order) — no per-key searchsorted loop at any altitude.
+    Per-partition (type, n) partials reach the final keyed sum."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    win = np.int64(window_us)
+
+    def tag(b: pa.Table) -> pa.Table:
+        onv = pc.cast(_on_key(b[on]), pa.int64())
+        ev = pa.table({by: b[by], "__v": onv,
+                       "__id": pc.cast(b[id_col], pa.int64()),
+                       "__ty": b[type_col],
+                       "__side": pa.array(
+                           np.ones(b.num_rows, np.int8))})
+        conv = pc.equal(b[type_col], conv_type)
+        q = ev.filter(conv)
+        q = pa.table({by: q[by],
+                      "__v": pc.subtract(q["__v"], pa.scalar(
+                          int(win), pa.int64())),
+                      "__id": q["__id"], "__ty": q["__ty"],
+                      "__side": pa.array(
+                          np.zeros(q.num_rows, np.int8))})
+        t = pa.concat_tables([ev, q])
+        return t.append_column(
+            "__p", pa.array(_part_codes(t[by], num_partitions)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        empty = pa.table({"first_touch": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        n = t.num_rows
+        if n == 0:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[
+            (by, "ascending"), ("__v", "ascending"),
+            ("__side", "ascending"), ("__id", "ascending")])
+        t = t.take(idx)
+        side = t["__side"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        ty = t["__ty"].combine_chunks()
+        is_evt = side == 1
+        evt_cum = np.cumsum(is_evt.astype(np.int64))
+        brk = _run_breaks(t[by].combine_chunks(),
+                          np.zeros(n, dtype=np.int32))
+        run_of = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        # events strictly before each run's first row
+        base = (evt_cum - is_evt.astype(np.int64))[starts]
+        qpos = np.flatnonzero(side == 0)
+        if len(qpos) == 0:
+            return empty
+        lo_rel = evt_cum[qpos] - base[run_of[qpos]]
+        # conversion events, in merged order — k-th query of a run
+        # pairs with the k-th conversion event of the same run
+        is_conv = pc.and_(pc.equal(t["__ty"], conv_type),
+                          pa.array(is_evt)).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cpos = np.flatnonzero(is_conv)
+        i_rel = (evt_cum[cpos] - 1) - base[run_of[cpos]]
+        epos = np.flatnonzero(is_evt)
+        have = lo_rel < i_rel
+        touch_idx = epos[base[run_of[qpos[have]]] + lo_rel[have]]
+        touch = ty.take(pa.array(touch_idx)).to_pylist()
+        names = touch + ["(direct)"] * int((~have).sum())
+        g = pa.table({"first_touch": pa.array(names, pa.string()),
+                      "n": pa.array(np.ones(len(names), np.int64))}) \
+            .group_by(["first_touch"], use_threads=False) \
+            .aggregate([("n", "sum")])
+        return pa.table({"first_touch": g["first_touch"],
+                         "n": g["n_sum"]})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(merge, batch_format="pyarrow") \
+        .groupby("first_touch").aggregate(
+            Sum("n", alias_name="n_conversions"))

@@ -2931,6 +2931,12 @@ def q_dominant_supplier(sf_dir: str):
         "share_ppm": pa.array(top["share_ppm"].to_numpy(np.int64))})
 
 
+def q_first_touch(sf_dir: str):
+    return F_events.first_touch_ds(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"]))
+
+
 def q_nation_profit(sf_dir: str):
     """TPC-H Q9 shape — profit per (supplier nation, order year) with
     supply cost proxied at 10% of the part's retail price (no
@@ -3439,6 +3445,7 @@ QUERIES = {
     "fertility_by_lang": q_fertility_by_lang,
     "session_length_dist": q_session_length_dist,
     "nation_profit": q_nation_profit,
+    "first_touch": q_first_touch,
     "small_qty_revenue": q_small_qty_revenue,
     "dominant_supplier": q_dominant_supplier,
     "large_orders": q_large_orders,
@@ -5605,4 +5612,22 @@ ORACLE_SQL["nation_profit"] = """
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN nation   ON s_nationkey = n_nationkey
     GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["first_touch"] = """
+    WITH c AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase'),
+         t AS (SELECT c.event_id AS cid, e.event_type,
+                      row_number() OVER (PARTITION BY c.event_id
+                                         ORDER BY e.ts, e.event_id)
+                          AS rn
+               FROM c JOIN events e ON e.user_id = c.user_id
+                AND e.ts >= c.ts - INTERVAL 7 DAY
+                AND (e.ts < c.ts OR (e.ts = c.ts
+                                     AND e.event_id < c.event_id))),
+         ft AS (SELECT cid, event_type FROM t WHERE rn = 1),
+         a AS (SELECT coalesce(ft.event_type, '(direct)') AS first_touch
+               FROM c LEFT JOIN ft ON ft.cid = c.event_id)
+    SELECT first_touch, CAST(count(*) AS BIGINT) AS n_conversions
+    FROM a GROUP BY 1 ORDER BY 1
 """

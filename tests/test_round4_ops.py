@@ -1265,3 +1265,31 @@ def test_nation_profit_q9(ray_session, tmp_path):
                                    "NATION_3", "NATION_3"]
     assert out.o_year.tolist() == [1995, 1996, 1995, 1996]
     assert out.profit_cents.tolist() == [9000, 7200, 2300, 7000]
+
+
+def test_first_touch_attribution(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgforge.functions.events import first_touch_ds
+
+    d = 86_400_000_000
+    rows = {
+        # user 1: view → click → purchase (touch = view);
+        # second purchase 10d later, window starts at 3d → only
+        # itself inside → (direct)
+        "user_id": pa.array([1, 1, 1, 1, 2, 3, 3], pa.int64()),
+        "ts": pa.array([0, d, 2 * d, 10 * d, 0, 5 * d, 5 * d],
+                       pa.timestamp("us")),
+        "event_id": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
+        # user 2: lone purchase → (direct); user 3: click and
+        # purchase at the SAME ts — smaller event_id is "before"
+        "event_type": pa.array(["view", "click", "purchase",
+                                "purchase", "purchase", "click",
+                                "purchase"], pa.string()),
+    }
+    out = first_touch_ds(rd.from_arrow(pa.table(rows)).repartition(3),
+                         num_partitions=4).to_pandas() \
+        .sort_values("first_touch").reset_index(drop=True)
+    assert out.first_touch.tolist() == ["(direct)", "click", "view"]
+    assert out.n_conversions.tolist() == [2, 1, 1]
