@@ -1935,3 +1935,129 @@ def cross_source_dups_ds(ds, text_col: str = "text",
     idx = pc.sort_indices(g, sort_keys=[("src_a", "ascending"),
                                         ("src_b", "ascending")])
     return g.take(idx)
+
+
+def winnow_pairs_ds(ds, text_col: str = "text", id_col: str = "doc_id",
+                    n: int = 4, w: int = 4, min_shared: int = 2,
+                    max_docs_per_fp: int = 64,
+                    num_partitions: int = 64):
+    """Winnowing fingerprint near-dup pairs (Schleimer–Wilkerson–Aiken
+    2003, the MOSS algorithm), word-``n``-gram granularity: each doc
+    keeps, from every window of ``w`` consecutive n-gram hashes, the
+    RIGHTMOST minimal hash; doc pairs sharing ≥ ``min_shared``
+    distinct selected fingerprints are reported with their shared
+    count.  Winnowing guarantees any shared run of ≥ ``w + n − 1``
+    tokens yields at least one shared fingerprint while storing only
+    ~2/(w+1) of the grams.
+
+    Scale plan: the corpus never travels — stage 1 builds n-gram
+    strings with ONE ``pc.binary_join_element_wise`` C call over
+    shifted zero-copy slices, hashes them through the DuckDB md5
+    kernel (``md5_u64_arr``: the exact u64 the SQL twin computes, so
+    SELECTION agrees across engines), and picks window minima with a
+    ``sliding_window_view`` reversed argmin (rightmost tie) — no
+    per-position Python; stage 2 hash-partitions the distinct
+    ``(h, doc)`` fingerprints by h (every doc of an h co-locates),
+    drops boilerplate hashes shared by > ``max_docs_per_fp`` docs
+    (cap mirrored VERBATIM in the oracle's HAVING), and expands each
+    run's C(k,2) pairs with flat index math; stage 3 sums pair
+    partials and applies the ``min_shared`` floor."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import md5_u64_arr
+
+    empty_fp = pa.table({"h": pa.array([], pa.uint64()),
+                         id_col: pa.array([], pa.int64())})
+
+    def sign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        toks = [(t or "").split(" ")
+                for t in batch[text_col].to_pylist()]
+        lens = np.array([len(ws) for ws in toks], dtype=np.int64)
+        flat = pa.array([x for ws in toks for x in ws], pa.string())
+        N = len(flat)
+        if N < n:
+            return empty_fp
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        # n-gram strings at every flat position (one C call over
+        # zero-copy slices); valid iff the gram stays in one doc
+        parts = [flat.slice(i, N - n + 1) for i in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        h = md5_u64_arr(grams)
+        gvalid = doc_of[: N - n + 1] == doc_of[n - 1:]
+        # windows of w consecutive grams; valid iff first and last
+        # gram are valid grams of the same doc (middles follow)
+        if len(h) < w:
+            return empty_fp
+        view = np.lib.stride_tricks.sliding_window_view(h, w)
+        rel = (w - 1) - np.argmin(view[:, ::-1], axis=1)
+        wvalid = (gvalid[: len(h) - w + 1] & gvalid[w - 1:]
+                  & (doc_of[: len(h) - w + 1]
+                     == doc_of[w - 1: len(h)]))
+        ws_idx = np.flatnonzero(wvalid)
+        if not len(ws_idx):
+            return empty_fp
+        sel = ws_idx + rel[ws_idx]
+        t = pa.table({
+            "h": pa.array(h[sel], pa.uint64()),
+            id_col: pa.array(doc_of[sel].astype(np.int64))})
+        ids_np = np.asarray(ids, dtype=np.int64)
+        g = t.group_by(["h", id_col], use_threads=False).aggregate([])
+        return pa.table({
+            "h": g["h"],
+            id_col: pa.array(ids_np[g[id_col].combine_chunks()
+                                    .to_numpy(zero_copy_only=False)])})
+
+    def tag(b: pa.Table) -> pa.Table:
+        p = (b["h"].combine_chunks().to_numpy(zero_copy_only=False)
+             % np.uint64(num_partitions)).astype(np.int32)
+        return b.append_column("__p", pa.array(p))
+
+    empty_pairs = pa.table({"doc_a": pa.array([], pa.int64()),
+                            "doc_b": pa.array([], pa.int64()),
+                            "n": pa.array([], pa.int64())})
+
+    def expand(t: pa.Table) -> pa.Table:
+        # distinct (h, doc) then C(k,2) per h-run, 2 <= k <= cap
+        t = t.select(["h", id_col]) \
+            .group_by(["h", id_col], use_threads=False).aggregate([]) \
+            .sort_by([("h", "ascending"), (id_col, "ascending")])
+        hv = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(hv):
+            return empty_pairs
+        dv = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(hv[1:] != hv[:-1]) + 1]).astype(np.int64)
+        lens = np.diff(np.concatenate([starts, [len(hv)]])) \
+            .astype(np.int64)
+        keep = (lens >= 2) & (lens <= max_docs_per_fp)
+        starts, lens = starts[keep], lens[keep]
+        m = lens * lens
+        tot = int(m.sum())
+        if tot == 0:
+            return empty_pairs
+        kofs = np.repeat(np.arange(len(m)), m)
+        j = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(m)[:-1]]), m)
+        j1, j2 = j // lens[kofs], j % lens[kofs]
+        kp = j1 < j2
+        a = dv[starts[kofs[kp]] + j1[kp]]
+        b = dv[starts[kofs[kp]] + j2[kp]]
+        g = pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b),
+                      "n": pa.array(np.ones(len(a), np.int64))}) \
+            .group_by(["doc_a", "doc_b"], use_threads=False) \
+            .aggregate([("n", "sum")])
+        return pa.table({"doc_a": g["doc_a"], "doc_b": g["doc_b"],
+                         "n": g["n_sum"]})
+
+    summed = ds.map_batches(sign, batch_format="pyarrow") \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(expand, batch_format="pyarrow") \
+        .groupby(["doc_a", "doc_b"]) \
+        .aggregate(Sum("n", alias_name="n_shared"))
+
+    def floor_filter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_shared"],
+                                         int(min_shared)))
+
+    return summed.map_batches(floor_filter, batch_format="pyarrow")

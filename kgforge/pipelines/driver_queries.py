@@ -2931,6 +2931,11 @@ def q_dominant_supplier(sf_dir: str):
         "share_ppm": pa.array(top["share_ppm"].to_numpy(np.int64))})
 
 
+def q_winnow_pairs(sf_dir: str):
+    return F_dedup.winnow_pairs_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_first_touch(sf_dir: str):
     return F_events.first_touch_ds(
         _read(sf_dir, "events",
@@ -3446,6 +3451,7 @@ QUERIES = {
     "session_length_dist": q_session_length_dist,
     "nation_profit": q_nation_profit,
     "first_touch": q_first_touch,
+    "winnow_pairs": q_winnow_pairs,
     "small_qty_revenue": q_small_qty_revenue,
     "dominant_supplier": q_dominant_supplier,
     "large_orders": q_large_orders,
@@ -5630,4 +5636,51 @@ ORACLE_SQL["first_touch"] = """
                FROM c LEFT JOIN ft ON ft.cid = c.event_id)
     SELECT first_touch, CAST(count(*) AS BIGINT) AS n_conversions
     FROM a GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["winnow_pairs"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+         toks AS (SELECT doc_id, unnest(w) AS tok,
+                         unnest(generate_series(1, len(w))) AS pos
+                  FROM d),
+         ng0 AS (SELECT doc_id, pos,
+                        string_agg(tok, ' ') OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                                     AND 3 FOLLOWING) AS ng,
+                        count(*) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                                     AND 3 FOLLOWING) AS wlen
+                 FROM toks),
+         g AS (SELECT doc_id, pos,
+                      CAST(concat('0x', substr(md5(ng), 1, 16))
+                           AS UBIGINT) AS h
+               FROM ng0 WHERE wlen = 4),
+         mx AS (SELECT doc_id, max(pos) AS np FROM g GROUP BY 1),
+         win AS (SELECT g.doc_id, s.pos AS ws, g.pos, g.h
+                 FROM g JOIN g s ON s.doc_id = g.doc_id
+                  AND g.pos BETWEEN s.pos AND s.pos + 3
+                 JOIN mx ON mx.doc_id = g.doc_id
+                  AND s.pos + 3 <= mx.np),
+         wmin AS (SELECT doc_id, ws, min(h) AS mh
+                  FROM win GROUP BY 1, 2),
+         sel AS (SELECT w.doc_id, max(w.pos) AS spos
+                 FROM win w JOIN wmin m ON m.doc_id = w.doc_id
+                  AND m.ws = w.ws AND w.h = m.mh
+                 GROUP BY w.doc_id, w.ws),
+         fp AS (SELECT DISTINCT s.doc_id, g.h
+                FROM sel s JOIN g ON g.doc_id = s.doc_id
+                 AND g.pos = s.spos),
+         ok AS (SELECT h FROM fp GROUP BY h
+                HAVING count(*) BETWEEN 2 AND 64),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(count(*) AS BIGINT) AS n_shared
+                FROM fp a
+                JOIN fp b ON b.h = a.h AND a.doc_id < b.doc_id
+                JOIN ok ON ok.h = a.h
+                GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared FROM pr WHERE n_shared >= 2
+    ORDER BY doc_a, doc_b
 """

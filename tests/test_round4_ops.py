@@ -1293,3 +1293,52 @@ def test_first_touch_attribution(ray_session):
         .sort_values("first_touch").reset_index(drop=True)
     assert out.first_touch.tolist() == ["(direct)", "click", "view"]
     assert out.n_conversions.tolist() == [2, 1, 1]
+
+
+def test_winnow_pairs_bruteforce(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from kgforge.common.hashing import md5_u64_arr
+    from kgforge.functions.dedup import winnow_pairs_ds
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "a quick brown fox jumps over the lazy dog tomorrow",
+        "completely different words with no overlap at all here",
+        "the quick brown fox jumps over the lazy dog today",
+    ]
+    n, w = 4, 4
+
+    def fingerprints(s):
+        ws = s.split(" ")
+        grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+        if len(grams) < w:
+            return set()
+        h = md5_u64_arr(grams)
+        sel = set()
+        for ws0 in range(len(h) - w + 1):
+            win = h[ws0:ws0 + w]
+            mn = win.min()
+            # rightmost minimal
+            sel.add(ws0 + max(i for i in range(w) if win[i] == mn))
+        return {int(h[i]) for i in sel}
+
+    fps = [fingerprints(t) for t in texts]
+    expect = {}
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        sh = len(fps[i] & fps[j])
+        if sh >= 2:
+            expect[(i, j)] = sh
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(2)
+    out = winnow_pairs_ds(ds, num_partitions=4).to_pandas()
+    got = {(int(r.doc_a), int(r.doc_b)): int(r.n_shared)
+           for r in out.itertuples()}
+    assert got == expect
+    # identical docs 0 and 3 share ALL their fingerprints
+    assert (0, 3) in got and got[(0, 3)] == len(fps[0])
