@@ -2931,6 +2931,142 @@ def q_dominant_supplier(sf_dir: str):
         "share_ppm": pa.array(top["share_ppm"].to_numpy(np.int64))})
 
 
+def q_ship_latency_dist(sf_dir: str):
+    """Order-to-ship latency distribution — day-gap histogram between
+    each lineitem's shipdate and its order's orderdate (fulfilment
+    SLA census).  Scale plan: per-batch (orderkey, shipdate-day)
+    COUNT partials collapse duplicate days early; ONE orderkey
+    cogroup attaches the orderdate and reduces to per-partition
+    (gap_days, n) histogram partials — ≤ gaps×P rows reach the final
+    keyed sum; lineitem shuffles once."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    day_us = 86_400_000_000
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(b["l_shipdate"], pa.int64()),
+                      pa.scalar(day_us, pa.int64()))
+        g = pa.table({"k": b["l_orderkey"], "d": d,
+                      "n": pa.array(np.ones(b.num_rows, np.int64))}) \
+            .group_by(["k", "d"], use_threads=False) \
+            .aggregate([("n", "sum")])
+        return pa.table({"l_orderkey": g["k"], "sday": g["d"],
+                         "n": g["n_sum"]})
+
+    lp = li.map_batches(partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def o_proj(b: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "oday": pc.divide(
+                             pc.cast(b["o_orderdate"], pa.int64()),
+                             pa.scalar(day_us, pa.int64()))})
+
+    op = orders.map_batches(o_proj, batch_format="pyarrow")
+
+    def fuse(t, starts, nl, nr):
+        out = _attach_right(t, starts, nl, nr, ["sday", "n"],
+                            ("oday", "oday"), ["sday", "n"])
+        gap = pc.subtract(out["sday"], out["oday"])
+        g = pa.table({"gap_days": gap, "n": out["n"]}) \
+            .group_by(["gap_days"], use_threads=False) \
+            .aggregate([("n", "sum")])
+        return pa.table({"gap_days": g["gap_days"], "n": g["n_sum"]})
+
+    return cogroup_partition_ds(
+        lp, op, "l_orderkey", "o_orderkey", fuse,
+        ["sday", "n"], ["oday"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("sday", pa.int64()),
+                               ("n", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("oday", pa.int64())])) \
+        .groupby("gap_days").aggregate(Sum("n", alias_name="n_lines"))
+
+
+def q_stitch_pairs(sf_dir: str):
+    """Boundary-stitch detection: document pairs where A's LAST 4
+    whitespace tokens equal B's FIRST 4 (a doc split across shards
+    leaves exactly this seam — a chunking/ingest debugging census).
+    Scale plan: per-doc head and tail md5-u64 digests (two string
+    joins + the DuckDB md5 kernel per batch), ONE digest-keyed
+    cogroup where tails meet heads; pairs expand with run index math
+    inside the partition.  Self-stitches (A = B) are dropped; the
+    corpus never shuffles, only (digest, id) rows."""
+    from kgforge.common.hashing import md5_u64_arr
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    k = 4
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def digest(b: pa.Table, side: str, out_col: str) -> pa.Table:
+        ids = b["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = [(t or "").split(" ")
+                for t in b["text"].to_pylist()]
+        keep = np.array([len(ws) >= k for ws in toks], dtype=bool)
+        if not keep.any():
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             out_col: pa.array([], pa.int64())})
+        seg = [" ".join(ws[-k:] if side == "tail" else ws[:k])
+               for ws, kp in zip(toks, keep) if kp]
+        return pa.table({"h": pa.array(md5_u64_arr(seg), pa.uint64()),
+                         out_col: pa.array(ids[keep])})
+
+    tails = docs.map_batches(lambda b: digest(b, "tail", "doc_a"),
+                             batch_format="pyarrow")
+    heads = docs.map_batches(lambda b: digest(b, "head", "doc_b"),
+                             batch_format="pyarrow")
+
+    def pair(t: pa.Table, starts, nl, nr) -> pa.Table:
+        keep = (nl > 0) & (nr > 0)
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64())})
+        if not keep.any():
+            return empty
+        # cross product per run: tail docs × head docs
+        av = pc.fill_null(t["doc_a"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = pc.fill_null(t["doc_b"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        m = nl[keep] * nr[keep]
+        tot = int(m.sum())
+        kofs = np.repeat(np.arange(len(m)), m)
+        j = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(m)[:-1]]), m)
+        j1 = j // nr[keep][kofs]
+        j2 = j % nr[keep][kofs]
+        ls = starts[keep]
+        rs = (starts + nl)[keep]
+        a = av[ls[kofs] + j1]
+        b = bv[rs[kofs] + j2]
+        ok = a != b
+        return pa.table({"doc_a": pa.array(a[ok]),
+                         "doc_b": pa.array(b[ok])}) \
+            .group_by(["doc_a", "doc_b"], use_threads=False) \
+            .aggregate([]).select(["doc_a", "doc_b"])
+
+    res = cogroup_partition_ds(
+        tails, heads, "h", "h", pair, ["doc_a"], ["doc_b"],
+        left_schema=pa.schema([("h", pa.uint64()),
+                               ("doc_a", pa.int64())]),
+        right_schema=pa.schema([("h", pa.uint64()),
+                                ("doc_b", pa.int64())])).to_pandas()
+    # typed collect: a seam census is pair-bounded by construction,
+    # and an all-empty Dataset would lose its schema (hour_gaps
+    # precedent)
+    out_schema = pa.schema([("doc_a", pa.int64()),
+                            ("doc_b", pa.int64())])
+    if not len(res):
+        return out_schema.empty_table()
+    return pa.table({
+        "doc_a": pa.array(res["doc_a"].to_numpy(np.int64)),
+        "doc_b": pa.array(res["doc_b"].to_numpy(np.int64))})
+
+
 def q_winnow_pairs(sf_dir: str):
     return F_dedup.winnow_pairs_ds(
         _read(sf_dir, "documents", ["doc_id", "text"]))
@@ -3452,6 +3588,8 @@ QUERIES = {
     "nation_profit": q_nation_profit,
     "first_touch": q_first_touch,
     "winnow_pairs": q_winnow_pairs,
+    "ship_latency_dist": q_ship_latency_dist,
+    "stitch_pairs": q_stitch_pairs,
     "small_qty_revenue": q_small_qty_revenue,
     "dominant_supplier": q_dominant_supplier,
     "large_orders": q_large_orders,
@@ -5682,5 +5820,32 @@ ORACLE_SQL["winnow_pairs"] = """
                 JOIN ok ON ok.h = a.h
                 GROUP BY 1, 2)
     SELECT doc_a, doc_b, n_shared FROM pr WHERE n_shared >= 2
+    ORDER BY doc_a, doc_b
+"""
+
+ORACLE_SQL["ship_latency_dist"] = """
+    SELECT date_diff('day', o_orderdate, l_shipdate) AS gap_days,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["stitch_pairs"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+         e AS (SELECT doc_id, w, len(w) AS n FROM d
+               WHERE len(w) >= 4),
+         t AS (SELECT doc_id AS doc_a,
+                      CAST(concat('0x', substr(md5(
+                          array_to_string(w[n - 3 : n], ' ')), 1, 16))
+                           AS UBIGINT) AS h
+               FROM e),
+         hh AS (SELECT doc_id AS doc_b,
+                       CAST(concat('0x', substr(md5(
+                           array_to_string(w[1 : 4], ' ')), 1, 16))
+                            AS UBIGINT) AS h
+                FROM e)
+    SELECT DISTINCT t.doc_a, hh.doc_b
+    FROM t JOIN hh ON hh.h = t.h AND t.doc_a <> hh.doc_b
     ORDER BY doc_a, doc_b
 """

@@ -1342,3 +1342,46 @@ def test_winnow_pairs_bruteforce(ray_session):
     assert got == expect
     # identical docs 0 and 3 share ALL their fingerprints
     assert (0, 3) in got and got[(0, 3)] == len(fps[0])
+
+
+def test_ship_latency_dist(ray_session, tmp_path):
+    import datetime as dt
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import q_ship_latency_dist
+
+    t0 = dt.datetime(1995, 1, 1)
+    day = dt.timedelta(days=1)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array([t0, t0 + 10 * day],
+                                pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2], pa.int64()),
+        "l_shipdate": pa.array([t0 + day, t0 + day, t0 + 5 * day,
+                                t0 + 12 * day], pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_ship_latency_dist(str(tmp_path)).to_pandas() \
+        .sort_values("gap_days").reset_index(drop=True)
+    assert out.gap_days.tolist() == [1, 2, 5]
+    assert out.n_lines.tolist() == [2, 1, 1]
+
+
+def test_stitch_pairs_seam(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import q_stitch_pairs
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        # doc1's last 4 tokens == doc2's first 4 → stitch (1, 2);
+        # doc3 shares nothing
+        "text": pa.array([
+            "alpha beta gamma delta epsilon zeta",
+            "gamma delta epsilon zeta eta theta",
+            "one two three four five six",
+        ], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_stitch_pairs(str(tmp_path)).to_pandas()
+    assert list(zip(out.doc_a, out.doc_b)) == [(1, 2)]
