@@ -1624,3 +1624,94 @@ def label_prop_communities_ds(edges_ds, rounds: int = 2,
         return pa.table({"node": b["node"], "community": b["lab"]})
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def katz_ds(edges_ds, iters: int = 3, src: str = "subj",
+            dst: str = "obj", num_partitions: int = 64):
+    """Integer-deterministic Katz centrality (attenuation β = 1/2)
+    over the distinct directed-pair graph:
+
+        katz'(v) = Σ_{u→v} (10⁶ + katz(u)) // 2,   katz₀ = 0
+
+    — per-edge floor division (order-free), so after ``iters`` rounds
+    ``katz(v)`` counts the attenuated in-walks of length ≤ iters in
+    int64 micro-units, bit-identical across layouts, cluster sizes
+    and engines (the SQL twin floors per edge too).
+
+    Plan per iteration: the pagerank cogroup pair — scores cogrouped
+    with pairs keyed by source → per-edge contribution rows →
+    node-keyed segment sum inside the second cogroup.  Scores stay
+    |nodes|-bounded; the pair set never re-keys."""
+    from ray.data.aggregate import Count
+
+    pairs = _distinct_pairs_ds(edges_ds, src, dst, "s", "d",
+                               both_directions=False,
+                               drop_self=False).materialize()
+    n_pairs = pairs.count()
+    num_partitions = int(min(num_partitions,
+                             max(4, n_pairs // 2000 + 1)))
+    if n_pairs < 100_000 and pairs.num_blocks() > 2 * num_partitions:
+        pairs = pairs.repartition(num_partitions).materialize()
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        t = pa.concat_tables([pa.table({"node": b["s"]}),
+                              pa.table({"node": b["d"]})])
+        return t.group_by(["node"], use_threads=False).aggregate([])
+
+    def strip(b: pa.Table) -> pa.Table:
+        return b.select(["node"])
+
+    nodes = pairs.map_batches(node_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Count(alias_name="__c")) \
+        .map_batches(strip, batch_format="pyarrow")
+    if n_pairs < 100_000:
+        nodes = nodes.repartition(num_partitions)
+    nodes = nodes.materialize()
+
+    def init_scores(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"],
+                         "v": pa.array(np.zeros(b.num_rows,
+                                                dtype=np.int64))})
+
+    score_schema = pa.schema([("node", pa.string()), ("v", pa.int64())])
+    contrib_schema = pa.schema([("t", pa.string()), ("c", pa.int64())])
+    katz = nodes.map_batches(init_scores, batch_format="pyarrow")
+
+    def emit(t: pa.Table, starts, nl, nr) -> pa.Table:
+        has = (nl > 0) & (nr > 0)
+        ridx = (starts + nl)[has]
+        val = t["v"].take(pa.array(ridx)).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        per = (1_000_000 + val) // 2
+        lidx, _ = _lr_indices(starts[has], nl[has],
+                              np.zeros(int(has.sum()), dtype=nl.dtype))
+        return pa.table({"t": t["d"].take(pa.array(lidx)),
+                         "c": pa.array(np.repeat(per, nl[has]))})
+
+    def gather(t: pa.Table, starts, nl, nr) -> pa.Table:
+        has_l = nl > 0
+        lidx = starts[has_l]
+        c = pc.fill_null(t["c"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        r_starts = (starts + nl)[has_l]
+        r_lens = nr[has_l]
+        s = np.zeros(int(has_l.sum()), dtype=np.int64)
+        nz = r_lens > 0
+        if nz.any():
+            s[nz] = np.add.reduceat(c, r_starts[nz])
+        return pa.table({"node": t["__k"].take(pa.array(lidx)),
+                         "v": pa.array(s)})
+
+    for _ in range(iters):
+        contrib = cogroup_partition_ds(
+            pairs, katz, "s", "node", emit, ["d"], ["v"],
+            num_partitions=num_partitions, right_schema=score_schema)
+        katz = cogroup_partition_ds(
+            nodes, contrib, "node", "t", gather, [], ["c"],
+            num_partitions=num_partitions,
+            right_schema=contrib_schema)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "katz": b["v"]})
+
+    return katz.map_batches(rename, batch_format="pyarrow")

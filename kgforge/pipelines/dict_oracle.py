@@ -541,3 +541,29 @@ l0 AS MATERIALIZED (SELECT DISTINCT n1 AS node, n1 AS lab FROM und)"""
     return sql + f"""
 SELECT node, lab AS community FROM l{rounds}
 """
+
+
+def _katz_step(prev: str, cur: str) -> str:
+    return f""",
+{cur} AS MATERIALIZED (SELECT nd.n,
+                 CAST(coalesce(sum((1000000 + {prev}.v) // 2), 0)
+                      AS BIGINT) AS v
+          FROM nodes nd
+          LEFT JOIN prs ON prs.d = nd.n
+          LEFT JOIN {prev} ON {prev}.n = prs.s
+          GROUP BY nd.n)"""
+
+
+def katz_sql(iters: int = 3) -> str:
+    """Integer-deterministic Katz twin of
+    :func:`kgforge.functions.graph.katz_ds` — per-edge floor division
+    at β = 1/2, identical int64 micro-units both engines."""
+    sql = entity_pairs_prelude() + """,
+nodes AS MATERIALIZED (SELECT DISTINCT n FROM (
+            SELECT s AS n FROM prs UNION ALL SELECT d AS n FROM prs)),
+k0 AS MATERIALIZED (SELECT n, CAST(0 AS BIGINT) AS v FROM nodes)"""
+    for i in range(iters):
+        sql += _katz_step(f"k{i}", f"k{i + 1}")
+    return sql + f"""
+SELECT n AS node, v AS katz FROM k{iters}
+"""

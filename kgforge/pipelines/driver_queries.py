@@ -1509,6 +1509,12 @@ def q_kg_ra_linkpred(sf_dir: str):
     return ra_link_pred_ds(_entity_edges_for(sf_dir), k=20)
 
 
+def q_kg_katz(sf_dir: str):
+    from kgforge.functions.graph import katz_ds
+
+    return katz_ds(_entity_edges_for(sf_dir), iters=3)
+
+
 def q_kg_communities(sf_dir: str):
     from kgforge.functions.graph import label_prop_communities_ds
 
@@ -3689,6 +3695,7 @@ QUERIES = {
     "kg_hits": q_kg_hits,
     "kg_comp_sizes": q_kg_comp_sizes,
     "kg_communities": q_kg_communities,
+    "kg_katz": q_kg_katz,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -4275,6 +4282,7 @@ ORACLE_SQL["kg_ra_linkpred"] = _dict_oracle.ra_link_pred_sql(k=20)
 ORACLE_SQL["kg_hits"] = _dict_oracle.hits_sql(iters=2)
 ORACLE_SQL["kg_comp_sizes"] = _dict_oracle.comp_sizes_sql()
 ORACLE_SQL["kg_communities"] = _dict_oracle.communities_sql(rounds=2)
+ORACLE_SQL["kg_katz"] = _dict_oracle.katz_sql(iters=3)
 ORACLE_SQL["heavy_hitters"] = r"""
 SELECT tok AS token, CAST(count(*) AS BIGINT) AS est,
        CAST(0 AS BIGINT) AS err

@@ -406,3 +406,20 @@ class TestCommunities:
             _edges_ds(pairs), rounds=2, num_partitions=8).to_pandas()
         got = dict(zip(out.node, out.community))
         assert got == self._lpa_brute(pairs)
+
+
+def test_katz_matches_bruteforce(ray_session):
+    from kgforge.functions.graph import katz_ds
+
+    rng = np.random.default_rng(29)
+    _, pairs = _rand_digraph(rng, n_nodes=10, n_edges=40)
+    prs = sorted({p for p in pairs})
+    nodes = sorted({x for e in prs for x in e})
+    k = {v: 0 for v in nodes}
+    for _ in range(3):
+        k = {v: sum((1_000_000 + k[s]) // 2
+                    for s, d in prs if d == v) for v in nodes}
+    out = katz_ds(_edges_ds(pairs), iters=3,
+                  num_partitions=8).to_pandas()
+    got = dict(zip(out.node, out.katz))
+    assert got == k
