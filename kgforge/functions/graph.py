@@ -1715,3 +1715,123 @@ def katz_ds(edges_ds, iters: int = 3, src: str = "subj",
         return pa.table({"node": b["node"], "katz": b["v"]})
 
     return katz.map_batches(rename, batch_format="pyarrow")
+
+
+def bfs_levels_ds(edges_ds, n_seeds: int = 5, max_hops: int = 4,
+                  src: str = "subj", dst: str = "obj",
+                  num_partitions: int = 64,
+                  driver_max_members: int = 2_000_000):
+    """Multi-source BFS hop distances: ``(node, dist)`` for every node
+    reachable within ``max_hops`` undirected hops of the seed set (the
+    ``n_seeds`` lexicographically smallest nodes — a deterministic
+    default shared with the recursive-CTE SQL twin); ``dist`` is the
+    TRUE minimum hop count, seeds at 0.
+
+    Same two-lane design as :func:`ego_edges_ds`:
+
+    - **broadcast** (visited set ≤ ``driver_max_members``): the
+      frontier is ``ray.put`` once per hop and each hop is ONE
+      streaming ``pc.is_in`` semi-filter over the undirected
+      distinct-pair table — zero shuffles, the edge table never moves.
+    - **distributed** (a dense neighborhood blows past the bound):
+      from the spill hop onward the frontier and the visited set stay
+      Datasets; each hop is one hash-cogroup semi-join (frontier →
+      neighbors) plus one anti-join (drop already-visited), so a
+      billion-node reachable set costs shuffle volume, not driver
+      memory.
+
+    Seed selection never sorts the graph: each batch contributes its
+    ``n_seeds`` smallest distinct node ids (a bounded partial — the
+    global smallest are always inside the union of per-batch
+    smallest), folded on the driver."""
+    import ray
+    import ray.data as rd
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        u = b["n1"].combine_chunks().unique()
+        idx = pc.sort_indices(u)[:n_seeds]
+        return pa.table({"n": u.take(idx)})
+
+    cand: list[str] = []
+    for part in und.map_batches(seed_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        cand.extend(part["n"].to_pylist())
+    seeds = sorted(set(cand))[:n_seeds]
+
+    dist: dict[str, int] = {s: 0 for s in seeds}
+    frontier: set[str] = set(seeds)
+    hops_done = 0
+    while (hops_done < max_hops and frontier
+           and len(dist) <= driver_max_members):
+        fref = ray.put(pa.array(sorted(frontier), pa.string()))
+
+        def hop(b: pa.Table, _f=fref) -> pa.Table:
+            mask = pc.is_in(b["n1"], value_set=ray.get(_f))
+            return pa.table({"node": b["n2"].filter(mask)
+                             .combine_chunks().unique()})
+
+        nxt: set[str] = set()
+        for part in und.map_batches(hop, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            nxt.update(part["node"].to_pylist())
+        frontier = nxt - dist.keys()
+        hops_done += 1
+        for n in frontier:
+            dist[n] = hops_done
+
+    if hops_done == max_hops or not frontier:
+        ks = sorted(dist)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(ks, pa.string()),
+            "dist": pa.array([dist[k] for k in ks], pa.int64())}))
+
+    # ---- spill: continue with Dataset frontier / visited ----
+    visited = rd.from_arrow(pa.table({
+        "node": pa.array(sorted(dist), pa.string()),
+        "dist": pa.array([dist[k] for k in sorted(dist)], pa.int64())}))
+    front_ds = rd.from_arrow(pa.table({
+        "node": pa.array(sorted(frontier), pa.string())}))
+    node_schema = pa.schema([("node", pa.string())])
+
+    def nbrs_of(t: pa.Table, starts, nl, nr) -> pa.Table:
+        keep = np.repeat(nr > 0, nl + nr)
+        sub = t.filter(pa.array(keep))
+        side = sub["__side"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        nb = sub["n2"].filter(pa.array(side == 0)).combine_chunks()
+        return pa.table({"node": nb.unique()})
+
+    def unseen(t: pa.Table, starts, nl, nr) -> pa.Table:
+        # left = candidate nodes, right = visited: keep keys whose
+        # visited run is empty (anti-join), one row per key
+        keep = (nl > 0) & (nr == 0)
+        return pa.table({"node": t["__k"].take(
+            pa.array(starts[keep]))})
+
+    while hops_done < max_hops:
+        hops_done += 1
+        cands = cogroup_partition_ds(
+            und, front_ds, "n1", "node", nbrs_of, ["n2"], [],
+            num_partitions=num_partitions, right_schema=node_schema)
+        fresh = cogroup_partition_ds(
+            cands, visited, "node", "node", unseen, [], ["dist"],
+            num_partitions=num_partitions,
+            left_schema=node_schema).materialize()
+        if fresh.count() == 0:
+            break
+        d = hops_done
+
+        def stamp(b: pa.Table, _d=d) -> pa.Table:
+            return pa.table({
+                "node": b["node"],
+                "dist": pa.array(np.full(b.num_rows, _d, np.int64))})
+
+        visited = visited.union(
+            fresh.map_batches(stamp, batch_format="pyarrow")) \
+            .materialize()
+        front_ds = fresh
+
+    return visited

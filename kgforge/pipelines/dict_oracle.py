@@ -567,3 +567,23 @@ k0 AS MATERIALIZED (SELECT n, CAST(0 AS BIGINT) AS v FROM nodes)"""
     return sql + f"""
 SELECT n AS node, v AS katz FROM k{iters}
 """
+
+
+def bfs_levels_sql(n_seeds: int = 5, max_hops: int = 4) -> str:
+    """Recursive-CTE twin of
+    :func:`kgforge.functions.graph.bfs_levels_ds`: seeds = the
+    ``n_seeds`` lexicographically smallest nodes, dist = min hop count
+    within ``max_hops`` undirected hops (the ``d < max_hops`` bound
+    also terminates the recursion)."""
+    prelude = entity_pairs_prelude().replace("\nWITH jj",
+                                             "\nWITH RECURSIVE jj", 1)
+    return prelude + f""",
+bnodes AS (SELECT DISTINCT n1 AS n FROM und),
+bseeds AS (SELECT n FROM bnodes ORDER BY n LIMIT {n_seeds}),
+walk(node, d) AS (
+  SELECT n, 0 FROM bseeds
+  UNION
+  SELECT u.n2, walk.d + 1 FROM walk JOIN und u ON u.n1 = walk.node
+  WHERE walk.d < {max_hops})
+SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
+"""

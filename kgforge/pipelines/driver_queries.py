@@ -1479,6 +1479,13 @@ def q_kg_two_hop(sf_dir: str):
     return two_hop_count_ds(_entity_edges_for(sf_dir))
 
 
+def q_kg_sssp(sf_dir: str):
+    from kgforge.functions.graph import bfs_levels_ds
+
+    return bfs_levels_ds(_entity_edges_for(sf_dir), n_seeds=5,
+                         max_hops=4)
+
+
 def q_kg_triangles(sf_dir: str):
     from kgforge.functions.graph import triangle_count_ds
 
@@ -3696,6 +3703,7 @@ QUERIES = {
     "kg_comp_sizes": q_kg_comp_sizes,
     "kg_communities": q_kg_communities,
     "kg_katz": q_kg_katz,
+    "kg_sssp": q_kg_sssp,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -4283,6 +4291,8 @@ ORACLE_SQL["kg_hits"] = _dict_oracle.hits_sql(iters=2)
 ORACLE_SQL["kg_comp_sizes"] = _dict_oracle.comp_sizes_sql()
 ORACLE_SQL["kg_communities"] = _dict_oracle.communities_sql(rounds=2)
 ORACLE_SQL["kg_katz"] = _dict_oracle.katz_sql(iters=3)
+ORACLE_SQL["kg_sssp"] = _dict_oracle.bfs_levels_sql(n_seeds=5,
+                                                    max_hops=4)
 ORACLE_SQL["heavy_hitters"] = r"""
 SELECT tok AS token, CAST(count(*) AS BIGINT) AS est,
        CAST(0 AS BIGINT) AS err

@@ -1385,3 +1385,35 @@ def test_stitch_pairs_seam(ray_session, tmp_path):
     }), str(tmp_path / "documents.parquet"))
     out = q_stitch_pairs(str(tmp_path)).to_pandas()
     assert list(zip(out.doc_a, out.doc_b)) == [(1, 2)]
+
+
+def test_bfs_levels_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import bfs_levels_ds
+
+    # a-b-c-d-e chain, f-g island, a-h spur; seeds (2 smallest) = a, b
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("f", "g"), ("a", "h")]
+    tbl = pa.table({
+        "subj": pa.array([p[0] for p in pairs], pa.string()),
+        "obj": pa.array([p[1] for p in pairs], pa.string()),
+    })
+    want = {"a": 0, "b": 0, "c": 1, "h": 1, "d": 2, "e": 3}
+    out = bfs_levels_ds(rd.from_arrow(tbl).repartition(2), n_seeds=2,
+                        max_hops=3, num_partitions=4).to_pandas()
+    assert dict(zip(out.node, out.dist)) == want
+
+    # max_hops cuts the frontier: e (dist 3) drops at max_hops=2
+    out2 = bfs_levels_ds(rd.from_arrow(tbl).repartition(2), n_seeds=2,
+                         max_hops=2, num_partitions=4).to_pandas()
+    assert dict(zip(out2.node, out2.dist)) == {
+        k: v for k, v in want.items() if v <= 2}
+
+    # paths agree: spill to the distributed lane at hop zero and
+    # mid-expansion
+    for cap in (0, 3):
+        sp = bfs_levels_ds(rd.from_arrow(tbl).repartition(2), n_seeds=2,
+                           max_hops=3, num_partitions=4,
+                           driver_max_members=cap).to_pandas()
+        assert dict(zip(sp.node, sp.dist)) == want
