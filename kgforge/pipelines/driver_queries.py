@@ -3000,6 +3000,81 @@ def q_ship_latency_dist(sf_dir: str):
         .groupby("gap_days").aggregate(Sum("n", alias_name="n_lines"))
 
 
+# (brand, size_lo, size_hi, qty_lo, qty_hi) — shared verbatim with the
+# SQL twin so the disjunction can never drift between engines
+Q19_BANDS = (("Brand#1", 1, 5, 1, 11),
+             ("Brand#2", 1, 10, 10, 20),
+             ("Brand#3", 1, 15, 20, 30))
+
+
+def q_band_revenue(sf_dir: str):
+    """TPC-H Q19 shape — revenue from lineitems matching ANY of three
+    disjunctive (brand, size-range, quantity-range) bands, exact
+    integer cents.  Scale plan: part is brand-pruned AT THE SCAN (row
+    groups outside the three brands never leave storage) and the
+    surviving (partkey, brand, size) triple — a few % of an
+    already-small dimension table — is broadcast once via ``ray.put``;
+    the lineitem pass is one streaming ``searchsorted`` probe + band
+    mask per batch, emitting one partial-sum row per batch.  No
+    shuffle at any size: the only reduction is the ≤1-row-per-batch
+    partial fold."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from kgforge.common.hashing import round_away
+
+    brands = [b[0] for b in Q19_BANDS]
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand",
+                                           "p_size"],
+        filters=pds.field("p_brand").isin(brands))
+    pk = part["p_partkey"].to_numpy()
+    order = np.argsort(pk, kind="stable")
+    pk = pk[order]
+    bcode = np.searchsorted(
+        np.array(brands), part["p_brand"].to_numpy(zero_copy_only=False)
+    )[order].astype(np.int64)
+    psize = part["p_size"].to_numpy().astype(np.int64)[order]
+    side = ray.put((pk, bcode, psize))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def partial(b: pa.Table, _s=side) -> pa.Table:
+        pk_s, bc_s, sz_s = ray.get(_s)
+        lpk = b["l_partkey"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        if len(pk_s) == 0:
+            pos_c = np.zeros(len(lpk), np.int64)
+            found = np.zeros(len(lpk), bool)
+        else:
+            pos_c = np.minimum(np.searchsorted(pk_s, lpk),
+                               len(pk_s) - 1)
+            found = pk_s[pos_c] == lpk
+        qty = b["l_quantity"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(lpk), dtype=bool)
+        for i, (_, slo, shi, qlo, qhi) in enumerate(Q19_BANDS):
+            keep |= (found & (bc_s[pos_c] == i)
+                     & (sz_s[pos_c] >= slo) & (sz_s[pos_c] <= shi)
+                     & (qty >= qlo) & (qty <= qhi))
+        price = b["l_extendedprice"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cents = round_away(price * (1.0 - disc) * 100, 0) \
+            .astype(np.int64)
+        return pa.table({"c": pa.array([int(cents[keep].sum())],
+                                       pa.int64())})
+
+    total = li.map_batches(partial, batch_format="pyarrow").sum("c")
+    return rd.from_arrow(pa.table({
+        "revenue_cents": pa.array([int(total or 0)], pa.int64())}))
+
+
 def q_stitch_pairs(sf_dir: str):
     """Boundary-stitch detection: document pairs where A's LAST 4
     whitespace tokens equal B's FIRST 4 (a doc split across shards
@@ -3704,6 +3779,7 @@ QUERIES = {
     "kg_communities": q_kg_communities,
     "kg_katz": q_kg_katz,
     "kg_sssp": q_kg_sssp,
+    "band_revenue": q_band_revenue,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -4293,6 +4369,15 @@ ORACLE_SQL["kg_communities"] = _dict_oracle.communities_sql(rounds=2)
 ORACLE_SQL["kg_katz"] = _dict_oracle.katz_sql(iters=3)
 ORACLE_SQL["kg_sssp"] = _dict_oracle.bfs_levels_sql(n_seeds=5,
                                                     max_hops=4)
+ORACLE_SQL["band_revenue"] = """
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                    * 100) AS BIGINT)), 0) AS BIGINT)
+           AS revenue_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE """ + "\n   OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}\n"
+    f"       AND l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in Q19_BANDS)
 ORACLE_SQL["heavy_hitters"] = r"""
 SELECT tok AS token, CAST(count(*) AS BIGINT) AS est,
        CAST(0 AS BIGINT) AS err

@@ -1417,3 +1417,36 @@ def test_bfs_levels_matches_bruteforce(ray_session):
                            max_hops=3, num_partitions=4,
                            driver_max_members=cap).to_pandas()
         assert dict(zip(sp.node, sp.dist)) == want
+
+
+def test_band_revenue_q19(ray_session, tmp_path):
+    import datetime as dt
+    import pyarrow.parquet as pq2
+
+    from kgforge.pipelines.driver_queries import q_band_revenue
+
+    pq2.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "p_brand": pa.array(["Brand#1", "Brand#2", "Brand#1",
+                             "Brand#9"], pa.string()),
+        "p_size": pa.array([3, 8, 40, 3], pa.int32()),
+    }), str(tmp_path / "part.parquet"))
+    pq2.write_table(pa.table({
+        # part1: brand1/size3, qty 5 in [1,11]  -> kept (100.00)
+        # part2: brand2/size8, qty 15 in [10,20] -> kept (50.00 @ 50%)
+        # part3: brand1 but size 40 > 5          -> dropped
+        # part4: brand9 not in bands             -> dropped
+        # part1 again, qty 20 outside [1,11]     -> dropped
+        "l_orderkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "l_partkey": pa.array([1, 2, 3, 4, 1], pa.int64()),
+        "l_quantity": pa.array([5.0, 15.0, 5.0, 5.0, 20.0],
+                               pa.float64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 10.0, 10.0, 10.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.0, 0.5, 0.0, 0.0, 0.0],
+                               pa.float64()),
+        "l_shipdate": pa.array([dt.datetime(1995, 1, 1)] * 5,
+                               pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_band_revenue(str(tmp_path)).to_pandas()
+    assert out.revenue_cents.tolist() == [10000 + 2500]
