@@ -3000,6 +3000,59 @@ def q_ship_latency_dist(sf_dir: str):
         .groupby("gap_days").aggregate(Sum("n", alias_name="n_lines"))
 
 
+def q_zipf_slope(sf_dir: str):
+    """Zipf's-law fit: OLS slope of ln(frequency) vs ln(rank) over the
+    top-1000 corpus tokens, in exact integer ppm (a healthy natural
+    corpus sits near -1.0; template/spam corpora flatten).  Scale
+    plan: the token-count shuffle is the vocab_topk combiner plan
+    (per-batch value_counts partials, distinct tokens only); the
+    top-1000 cut is the only driver collection (bounded by
+    construction) and the regression runs in arbitrary-precision
+    Python ints over ``round(ln(x) * 1e6)`` coordinates — the same
+    scaled-log grid the SQL twin computes, both engines calling the
+    platform libm on identical integer inputs.  Division truncates
+    toward zero, matching DuckDB ``//``."""
+    import math
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    top = _read(sf_dir, "documents", ["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n")) \
+        .sort(["n", "token"], descending=[True, False]).limit(1000) \
+        .to_pandas()
+
+    def slog(v: int) -> int:
+        # round-half-away-from-zero of ln(v) * 1e6 (ln(v) >= 0 here)
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    xs = [slog(r) for r in range(1, len(top) + 1)]
+    ys = [slog(int(v)) for v in top["n"]]
+    k = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, den = k * sxy - sx * sy, k * sxx - sx * sx
+    if den == 0:
+        ppm = 0
+    else:
+        scaled = num * 1_000_000
+        sign = -1 if (scaled < 0) != (den < 0) else 1
+        ppm = sign * (abs(scaled) // abs(den))
+    return rd.from_arrow(pa.table({
+        "n_ranks": pa.array([k], pa.int64()),
+        "slope_ppm": pa.array([ppm], pa.int64())}))
+
+
 # (brand, size_lo, size_hi, qty_lo, qty_hi) — shared verbatim with the
 # SQL twin so the disjunction can never drift between engines
 Q19_BANDS = (("Brand#1", 1, 5, 1, 11),
@@ -3780,6 +3833,7 @@ QUERIES = {
     "kg_katz": q_kg_katz,
     "kg_sssp": q_kg_sssp,
     "band_revenue": q_band_revenue,
+    "zipf_slope": q_zipf_slope,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -4378,6 +4432,23 @@ WHERE """ + "\n   OR ".join(
     f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}\n"
     f"       AND l_quantity BETWEEN {qlo} AND {qhi})"
     for b, slo, shi, qlo, qhi in Q19_BANDS)
+ORACLE_SQL["zipf_slope"] = r"""
+WITH toks AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+              FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+top AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r
+        FROM c ORDER BY n DESC, token LIMIT 1000),
+xy AS (SELECT CAST(round(ln(r) * 1000000) AS BIGINT) AS x,
+              CAST(round(ln(n) * 1000000) AS BIGINT) AS y FROM top),
+s AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+SELECT CAST(k AS BIGINT) AS n_ranks,
+       CAST(CASE WHEN k * sxx - sx * sx = 0 THEN 0
+                 ELSE (k * sxy - sx * sy) * 1000000
+                      // (k * sxx - sx * sx) END AS BIGINT)
+           AS slope_ppm
+FROM s
+"""
 ORACLE_SQL["heavy_hitters"] = r"""
 SELECT tok AS token, CAST(count(*) AS BIGINT) AS est,
        CAST(0 AS BIGINT) AS err

@@ -1450,3 +1450,37 @@ def test_band_revenue_q19(ray_session, tmp_path):
     }), str(tmp_path / "lineitem.parquet"))
     out = q_band_revenue(str(tmp_path)).to_pandas()
     assert out.revenue_cents.tolist() == [10000 + 2500]
+
+
+def test_zipf_slope_bruteforce(ray_session, tmp_path):
+    import math
+
+    import pyarrow.parquet as pq2
+
+    from kgforge.pipelines.driver_queries import q_zipf_slope
+
+    # frequencies: the=4, of=2, cat/dog/fish=1 → 5 ranks
+    texts = ["the of the cat", "the dog of", "the fish"]
+    pq2.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_zipf_slope(str(tmp_path)).to_pandas()
+
+    freqs = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    ordered = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [int(math.floor(math.log(r) * 1e6 + 0.5))
+          for r in range(1, len(ordered) + 1)]
+    ys = [int(math.floor(math.log(n) * 1e6 + 0.5))
+          for _, n in ordered]
+    k = len(xs)
+    num = k * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = k * sum(x * x for x in xs) - sum(xs) ** 2
+    want = (-1 if (num < 0) != (den < 0) else 1) \
+        * (abs(num * 1_000_000) // abs(den))
+    assert out.n_ranks.tolist() == [5]
+    assert out.slope_ppm.tolist() == [want]
+    assert want < 0  # frequencies decay with rank
