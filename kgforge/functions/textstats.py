@@ -941,3 +941,95 @@ def fertility_by_lang_ds(ds, text_col: str = "text",
                 bpe * 1_000_000 // np.maximum(ws, 1))})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _doc_bigrams(texts: list[str]):
+    """All within-doc character-bigram u64 codes (hi cp << 32 | lo cp)
+    over a batch, plus the per-doc bigram counts — ONE utf-32 pass
+    over the concatenated batch text, no per-char Python."""
+    joined = "".join(texts)
+    codes = np.frombuffer(joined.encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.uint64)
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    nb = np.maximum(lens - 1, 0)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    tot = int(nb.sum())
+    if tot == 0:
+        return np.zeros(0, np.uint64), nb
+    within = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(nb)[:-1]]), nb)
+    idx = np.repeat(starts, nb) + within
+    bg = (codes[idx] << np.uint64(32)) | codes[idx + 1]
+    return bg, nb
+
+
+def bigram_lm_score_ds(docs_ds, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Char-bigram language-model quality score (the CCNet/perplexity
+    filtering shape): per doc, the total MLE log-probability of its
+    character bigrams under a model trained on the SAME corpus —
+    ``logprob_micro`` = Σ round(ln(c_ab / c_a·) · 1e6) as exact int64
+    (c_a· = total bigrams starting with that char, so every scored
+    bigram is in-vocabulary by construction).  Docs shorter than two
+    chars emit no row (no bigrams — mirrored by the SQL twin's
+    ``range(1, length)``).
+
+    Scale plan: the count pass ships per-batch ``np.unique`` partials
+    of DISTINCT bigrams (alphabet²-bounded, never corpus-sized); the
+    folded model is broadcast once via ``ray.put`` as a sorted u64
+    key + int64 log-prob pair, and the scoring pass is one streaming
+    searchsorted gather + ``np.add.reduceat`` per batch — documents
+    never shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        bg, _ = _doc_bigrams([t or "" for t in texts])
+        keys, counts = np.unique(bg, return_counts=True)
+        # distinct bigrams only — bounded by alphabet², not rows
+        s = [chr(int(k >> np.uint64(32))) + chr(int(k & np.uint64(0xFFFFFFFF)))
+             for k in keys]
+        return pa.table({"b": pa.array(s, pa.string()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    model = docs_ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("b").aggregate(Sum("n", alias_name="n")).to_pandas()
+
+    keys = np.array([(np.uint64(ord(b[0])) << np.uint64(32))
+                     | np.uint64(ord(b[1])) for b in model["b"]],
+                    dtype=np.uint64)
+    cnts = model["n"].to_numpy().astype(np.int64)
+    order = np.argsort(keys)
+    keys, cnts = keys[order], cnts[order]
+    first = (keys >> np.uint64(32)).astype(np.int64)
+    # prefix totals c_a· via one reduceat over the first-char runs
+    runs = np.concatenate(
+        [[0], np.flatnonzero(first[1:] != first[:-1]) + 1]) \
+        if len(first) else np.zeros(0, np.int64)
+    tots = np.add.reduceat(cnts, runs) if len(cnts) else cnts
+    run_of = np.cumsum(np.isin(np.arange(len(first)), runs)) - 1 \
+        if len(first) else np.zeros(0, np.int64)
+    lp = round_away(np.log(cnts / tots[run_of]) * 1_000_000, 0) \
+        .astype(np.int64) if len(cnts) else np.zeros(0, np.int64)
+    side = ray.put((keys, lp))
+
+    def score(b: pa.Table, _s=side) -> pa.Table:
+        ks, lps = ray.get(_s)
+        texts = b[text_col].to_pylist()
+        bg, nb = _doc_bigrams([t or "" for t in texts])
+        v = lps[np.searchsorted(ks, bg)] if len(bg) else \
+            np.zeros(0, np.int64)
+        offs = np.concatenate([[0], np.cumsum(nb)[:-1]])
+        keep = nb > 0
+        sums = np.zeros(len(nb), np.int64)
+        if keep.any():
+            sums[keep] = np.add.reduceat(v, offs[keep])
+        return pa.table({
+            id_col: b[id_col].filter(pa.array(keep)),
+            "n_bigrams": pa.array(nb[keep]),
+            "logprob_micro": pa.array(sums[keep])})
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

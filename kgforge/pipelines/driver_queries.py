@@ -3000,6 +3000,13 @@ def q_ship_latency_dist(sf_dir: str):
         .groupby("gap_days").aggregate(Sum("n", alias_name="n_lines"))
 
 
+def q_lm_perplexity(sf_dir: str):
+    """Per-doc char-bigram LM quality score (perplexity-filter shape)
+    — see :func:`kgforge.functions.textstats.bigram_lm_score_ds`."""
+    return F_text.bigram_lm_score_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_zipf_slope(sf_dir: str):
     """Zipf's-law fit: OLS slope of ln(frequency) vs ln(rank) over the
     top-1000 corpus tokens, in exact integer ppm (a healthy natural
@@ -3834,6 +3841,7 @@ QUERIES = {
     "kg_sssp": q_kg_sssp,
     "band_revenue": q_band_revenue,
     "zipf_slope": q_zipf_slope,
+    "lm_perplexity": q_lm_perplexity,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -4432,6 +4440,19 @@ WHERE """ + "\n   OR ".join(
     f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}\n"
     f"       AND l_quantity BETWEEN {qlo} AND {qhi})"
     for b, slo, shi, qlo, qhi in Q19_BANDS)
+ORACLE_SQL["lm_perplexity"] = """
+WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text))) AS i
+             FROM documents),
+bg AS (SELECT doc_id, substr(text, i, 2) AS b FROM pos),
+c AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1),
+pref AS (SELECT substr(b, 1, 1) AS a, sum(n) AS tot FROM c GROUP BY 1),
+lp AS (SELECT b, CAST(round(ln(CAST(n AS DOUBLE) / tot) * 1000000)
+                      AS BIGINT) AS lp
+       FROM c JOIN pref ON substr(b, 1, 1) = pref.a)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(lp) AS BIGINT) AS logprob_micro
+FROM bg JOIN lp USING (b) GROUP BY doc_id
+"""
 ORACLE_SQL["zipf_slope"] = r"""
 WITH toks AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
               FROM documents),

@@ -1484,3 +1484,36 @@ def test_zipf_slope_bruteforce(ray_session, tmp_path):
     assert out.n_ranks.tolist() == [5]
     assert out.slope_ppm.tolist() == [want]
     assert want < 0  # frequencies decay with rank
+
+
+def test_bigram_lm_score(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.textstats import bigram_lm_score_ds
+
+    # bigram counts: ab=3 (2 from "abab", 1 from "ab"), ba=1, ac=1,
+    # 中文=1, 文中=1; prefix totals: a·=4, b·=1, 中·=1, 文·=1.
+    # "x" (single char) has no bigrams → no output row.
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["abab", "ab", "中文中", "x", "ac"],
+                         pa.string()),
+    })
+    out = bigram_lm_score_ds(rd.from_arrow(docs).repartition(2)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def lp(c, tot):
+        return int(round_away(math.log(c / tot) * 1e6, 0))
+
+    want = {
+        1: (3, lp(3, 4) + lp(1, 1) + lp(3, 4)),   # ab, ba, ab
+        2: (1, lp(3, 4)),                          # ab
+        3: (2, lp(1, 1) + lp(1, 1)),               # 中文, 文中
+        5: (1, lp(1, 4)),                          # ac
+    }
+    got = {int(r.doc_id): (int(r.n_bigrams), int(r.logprob_micro))
+           for r in out.itertuples()}
+    assert got == want
