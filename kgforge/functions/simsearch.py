@@ -361,3 +361,113 @@ def knn_classify_ds(ds, query_ids, vec_col: str = "embedding",
     return pa.table({"query_id": pa.array(q_out, pa.int64()),
                      "pred_label": pa.array(l_out, pa.int64()),
                      "votes": pa.array(v_out, pa.int64())})
+
+
+def _list_mat(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Fixed-width ``list<float>`` column → (n, d) float64 matrix —
+    one flatten, no per-row Python."""
+    ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = ca.flatten().to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    n = len(ca)
+    return flat.reshape(n, len(flat) // n) if n else flat.reshape(0, 0)
+
+
+def knn_graph_ds(ds, k: int = 3, n_blocks: int = 4,
+                 num_partitions: int = 32, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+    """Exact cosine kNN GRAPH (every vector's top-k neighbors — the
+    mutual-kNN substrate for graph clustering / dedup), as the classic
+    blocked self-join: rows hash into ``n_blocks`` blocks by id, each
+    row is replicated to the ``n_blocks`` block-PAIR buckets its block
+    touches, and every unordered pair of vectors meets in exactly one
+    bucket — shuffle volume is n·B rows, per-bucket compute n²/B²
+    matmuls, and only ``n·B·k`` candidate rows leave the bucket stage
+    (partial top-k is the combiner).  The final merge hash-partitions
+    candidates by query id (``num_partitions`` callbacks, never one
+    per key) and takes each query's global top-k with one lexsort +
+    run-offset cut.  Bucket count is a knob: B ~ sqrt(cluster tasks)
+    balances replication against per-bucket memory.  For 10⁹+ vectors
+    use the IVF index (:func:`knn_ivf_indexed_ds`) — this operator is
+    the exact baseline it is validated against."""
+    B = int(n_blocks)
+
+    def replicate(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ids = b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(n, dtype=np.int64), B)
+        t = np.tile(np.arange(B, dtype=np.int64), n)
+        bi = (ids % B).astype(np.int64)[rep]
+        lo, hi = np.minimum(bi, t), np.maximum(bi, t)
+        out = b.take(pa.array(rep))
+        return out.append_column("__b", pa.array(lo * B + hi))
+
+    def cross(t: pa.Table) -> pa.Table:
+        bucket = int(t["__b"][0].as_py())
+        i, j = bucket // B, bucket % B
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")  # id-asc tie-break base
+        ids = ids[order]
+        U = _unit(_list_mat(t[vec_col])[order])
+        blk = ids % B
+        outs = []
+
+        def topk(q_ids, q_mat, c_ids, c_mat, drop_self):
+            if len(q_ids) == 0 or len(c_ids) == 0:
+                return
+            S = q_mat @ c_mat.T
+            if drop_self:
+                S[q_ids[:, None] == c_ids[None, :]] = -np.inf
+            kk = min(k, S.shape[1])
+            # stable argsort on -S keeps candidate-id-asc tie order
+            top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+            qi = np.repeat(np.arange(len(q_ids)), kk)
+            ci = top.ravel()
+            sims = S[qi, ci]
+            keep = np.isfinite(sims)
+            outs.append(pa.table({
+                "query_id": pa.array(q_ids[qi][keep]),
+                "neighbor_id": pa.array(c_ids[ci][keep]),
+                "sim": pa.array(sims[keep], pa.float64())}))
+
+        if i == j:
+            topk(ids, U, ids, U, drop_self=True)
+        else:
+            a, b_ = blk == i, blk == j
+            topk(ids[a], U[a], ids[b_], U[b_], drop_self=False)
+            topk(ids[b_], U[b_], ids[a], U[a], drop_self=False)
+        if not outs:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.concat_tables(outs)
+
+    def tag(b: pa.Table) -> pa.Table:
+        q = b["query_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__p", pa.array((q % num_partitions).astype(np.int64)))
+
+    def merge(t: pa.Table) -> pa.Table:
+        q = t["query_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        nb = t["neighbor_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        s = t["sim"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, -s, q))
+        q, nb = q[order], nb[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(q[1:] != q[:-1]) + 1]) \
+            if len(q) else np.zeros(0, np.int64)
+        within = np.arange(len(q)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(q)]])))
+        keep = within < k
+        return pa.table({
+            "query_id": pa.array(q[keep]),
+            "neighbor_id": pa.array(nb[keep]),
+            "rank": pa.array((within[keep] + 1).astype(np.int64))})
+
+    return ds.map_batches(replicate, batch_format="pyarrow") \
+        .groupby("__b").map_groups(cross, batch_format="pyarrow") \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(merge, batch_format="pyarrow")

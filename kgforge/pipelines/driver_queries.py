@@ -3000,6 +3000,14 @@ def q_ship_latency_dist(sf_dir: str):
         .groupby("gap_days").aggregate(Sum("n", alias_name="n_lines"))
 
 
+def q_knn_graph(sf_dir: str):
+    """Exact cosine kNN graph via the blocked self-join — see
+    :func:`kgforge.functions.simsearch.knn_graph_ds`."""
+    return F_sim.knn_graph_ds(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .repartition(8), k=3, n_blocks=4)
+
+
 def q_lm_perplexity(sf_dir: str):
     """Per-doc char-bigram LM quality score (perplexity-filter shape)
     — see :func:`kgforge.functions.textstats.bigram_lm_score_ds`."""
@@ -3842,6 +3850,7 @@ QUERIES = {
     "band_revenue": q_band_revenue,
     "zipf_slope": q_zipf_slope,
     "lm_perplexity": q_lm_perplexity,
+    "knn_graph": q_knn_graph,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -4440,6 +4449,21 @@ WHERE """ + "\n   OR ".join(
     f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}\n"
     f"       AND l_quantity BETWEEN {qlo} AND {qhi})"
     for b, slo, shi, qlo, qhi in Q19_BANDS)
+ORACLE_SQL["knn_graph"] = """
+WITH s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                      AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id <> b.vec_id),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id)
+                 AS "rank"
+      FROM s)
+SELECT query_id, neighbor_id, CAST("rank" AS BIGINT) AS "rank"
+FROM r WHERE "rank" <= 3
+"""
 ORACLE_SQL["lm_perplexity"] = """
 WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text))) AS i
              FROM documents),

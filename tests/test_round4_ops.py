@@ -1517,3 +1517,35 @@ def test_bigram_lm_score(ray_session):
     got = {int(r.doc_id): (int(r.n_bigrams), int(r.logprob_micro))
            for r in out.itertuples()}
     assert got == want
+
+
+def test_knn_graph_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.simsearch import knn_graph_ds, _unit
+
+    rng = np.random.default_rng(7)
+    n, d, k = 40, 8, 3
+    vecs = rng.normal(size=(n, d))
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    out = knn_graph_ds(rd.from_arrow(tbl).repartition(3), k=k,
+                       n_blocks=3, num_partitions=4).to_pandas()
+
+    U = _unit(np.array(
+        pa.table(tbl)["embedding"].to_pylist(), dtype=np.float64))
+    S = U @ U.T
+    np.fill_diagonal(S, -np.inf)
+    want = {}
+    for qi in range(n):
+        order = np.lexsort((ids, -S[qi]))[:k]
+        for r, ci in enumerate(order, start=1):
+            want[(int(ids[qi]), int(ids[ci]))] = r
+    got = {(int(r.query_id), int(r.neighbor_id)): int(r.rank)
+           for r in out.itertuples()}
+    assert got == want
+    assert len(out) == n * k
