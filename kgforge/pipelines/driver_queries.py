@@ -3000,6 +3000,109 @@ def q_ship_latency_dist(sf_dir: str):
         .groupby("gap_days").aggregate(Sum("n", alias_name="n_lines"))
 
 
+def q_returns_revenue(sf_dir: str):
+    """TPC-H Q10 shape — top-20 customers by revenue lost to returned
+    lines, with customer and nation names.  Scale plan: lineitem is
+    returnflag-pruned at the scan, ONE hash cogroup attaches the order
+    owner, the per-customer reduce rides the groupby, and only the
+    20-row cut touches the driver — the name/nation decoration is an
+    id-pruned dimension fetch on that bounded result, never a join of
+    the big side."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"],
+               row_filter=pds.field("l_returnflag") == "R")
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cents = round_away(price * (1.0 - disc) * 100, 0) \
+            .astype(np.int64)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "cents": pa.array(cents)})
+
+    lp = li.map_batches(to_cents, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def attach(t, starts, nl, nr):
+        return _attach_right(t, starts, nl, nr, ["cents"],
+                             ("o_custkey", "o_custkey"), ["cents"])
+
+    top = cogroup_partition_ds(
+        lp, orders, "l_orderkey", "o_orderkey", attach,
+        ["cents"], ["o_custkey"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())])) \
+        .groupby("o_custkey").aggregate(Sum("cents",
+                                            alias_name="rev_cents")) \
+        .sort(["rev_cents", "o_custkey"],
+              descending=[True, False]).limit(20).to_pandas()
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=pds.field("c_custkey").isin(
+            top["o_custkey"].tolist())).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey") \
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey") \
+        .sort_values(["rev_cents", "c_custkey"],
+                     ascending=[False, True])
+    return pa.table({
+        "c_custkey": pa.array(out["c_custkey"], pa.int64()),
+        "c_name": pa.array(out["c_name"], pa.string()),
+        "n_name": pa.array(out["n_name"], pa.string()),
+        "rev_cents": pa.array(out["rev_cents"], pa.int64())})
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape — revenue delta from a hypothetical discount
+    change: one-year ship window, a discount band, a quantity cap,
+    ``sum(extendedprice * discount)`` in exact cents.  Scale plan: ALL
+    three predicates push into the parquet scan (row groups outside
+    the year/band never leave storage), the map emits one partial-sum
+    row per batch, and the only reduction is the tiny fold — zero
+    shuffle at any size."""
+    import datetime as dt
+
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from kgforge.common.hashing import round_away
+
+    f = ((pds.field("l_shipdate") >= dt.datetime(1996, 1, 1))
+         & (pds.field("l_shipdate") < dt.datetime(1997, 1, 1))
+         & (pds.field("l_discount") >= 0.05)
+         & (pds.field("l_discount") <= 0.07)
+         & (pds.field("l_quantity") < 24))
+    li = _read(sf_dir, "lineitem",
+               ["l_extendedprice", "l_discount"], row_filter=f)
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cents = round_away(price * disc * 100, 0).astype(np.int64)
+        return pa.table({"c": pa.array([int(cents.sum())], pa.int64())})
+
+    total = li.map_batches(partial, batch_format="pyarrow").sum("c")
+    return rd.from_arrow(pa.table({
+        "revenue_cents": pa.array([int(total or 0)], pa.int64())}))
+
+
 def q_knn_graph(sf_dir: str):
     """Exact cosine kNN graph via the blocked self-join — see
     :func:`kgforge.functions.simsearch.knn_graph_ds`."""
@@ -3851,6 +3954,8 @@ QUERIES = {
     "zipf_slope": q_zipf_slope,
     "lm_perplexity": q_lm_perplexity,
     "knn_graph": q_knn_graph,
+    "forecast_revenue": q_forecast_revenue,
+    "returns_revenue": q_returns_revenue,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -4449,6 +4554,28 @@ WHERE """ + "\n   OR ".join(
     f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}\n"
     f"       AND l_quantity BETWEEN {qlo} AND {qhi})"
     for b, slo, shi, qlo, qhi in Q19_BANDS)
+ORACLE_SQL["returns_revenue"] = """
+WITH r AS (SELECT o_custkey,
+                  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 100) AS BIGINT)) AS BIGINT)
+                      AS rev_cents
+           FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           WHERE l_returnflag = 'R' GROUP BY 1)
+SELECT c_custkey, c_name, n_name, rev_cents
+FROM r JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+ORDER BY rev_cents DESC, c_custkey LIMIT 20
+"""
+ORACLE_SQL["forecast_revenue"] = """
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * l_discount * 100)
+                              AS BIGINT)), 0) AS BIGINT)
+           AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
 ORACLE_SQL["knn_graph"] = """
 WITH s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

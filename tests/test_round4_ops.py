@@ -1549,3 +1549,59 @@ def test_knn_graph_matches_bruteforce(ray_session):
            for r in out.itertuples()}
     assert got == want
     assert len(out) == n * k
+
+
+def test_forecast_revenue_q6(ray_session, tmp_path):
+    import datetime as dt
+    import pyarrow.parquet as pq2
+
+    from kgforge.pipelines.driver_queries import q_forecast_revenue
+
+    pq2.write_table(pa.table({
+        # kept: 1996, disc .05, qty 10 -> 100.00 * .05 = 5.00
+        # dropped: wrong year / disc .10 / qty 30
+        "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "l_quantity": pa.array([10.0, 10.0, 10.0, 30.0], pa.float64()),
+        "l_extendedprice": pa.array([100.0] * 4, pa.float64()),
+        "l_discount": pa.array([0.05, 0.05, 0.10, 0.05], pa.float64()),
+        "l_shipdate": pa.array([dt.datetime(1996, 5, 1),
+                                dt.datetime(1995, 5, 1),
+                                dt.datetime(1996, 5, 1),
+                                dt.datetime(1996, 5, 1)],
+                               pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_forecast_revenue(str(tmp_path)).to_pandas()
+    assert out.revenue_cents.tolist() == [500]
+
+
+def test_returns_revenue_q10(ray_session, tmp_path):
+    import datetime as dt
+    import pyarrow.parquet as pq2
+
+    from kgforge.pipelines.driver_queries import q_returns_revenue
+
+    pq2.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 80.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.5, 0.0], pa.float64()),
+        "l_returnflag": pa.array(["R", "R", "N"], pa.string()),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq2.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 11], pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq2.write_table(pa.table({
+        "c_custkey": pa.array([10, 11], pa.int64()),
+        "c_name": pa.array(["Customer#10", "Customer#11"], pa.string()),
+        "c_nationkey": pa.array([0, 1], pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    pq2.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["NATION_A", "NATION_B"], pa.string()),
+    }), str(tmp_path / "nation.parquet"))
+    out = pa.table(q_returns_revenue(str(tmp_path))).to_pandas()
+    # only customer 10 has returned lines: 100.00 + 25.00
+    assert out.c_custkey.tolist() == [10]
+    assert out.c_name.tolist() == ["Customer#10"]
+    assert out.n_name.tolist() == ["NATION_A"]
+    assert out.rev_cents.tolist() == [12500]
