@@ -1033,3 +1033,45 @@ def bigram_lm_score_ds(docs_ds, text_col: str = "text",
             "logprob_micro": pa.array(sums[keep])})
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+# Flesch reading-ease constants ×1000 (integer-milli grid shared with
+# the SQL twin; syllables proxied by vowel groups)
+FLESCH_BASE_MILLI = 206_835
+FLESCH_WPS_MILLI = 1_015
+FLESCH_SPW_MILLI = 84_600
+VOWEL_GROUP_RE = "[aeiouAEIOU]+"
+SENTENCE_RE = "[.!?]+"
+
+
+def reading_ease_ds(ds, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Flesch-style reading-ease score per document, fully integer:
+    words = ``\\S+`` runs, sentences = ``[.!?]+`` runs (min 1),
+    syllables ≈ vowel groups; the two rates are truncated integer ppm
+    and the score is milli-points —
+    ``206835 - 1015·wps_ppm//1e6 - 84600·spw_ppm//1e6`` — so both
+    engines land on identical int64s (all terms non-negative, ``//``
+    truncation == floor).  Pure per-batch map: three compiled-regex
+    count kernels, zero shuffle."""
+
+    def f(b: pa.Table) -> pa.Table:
+        text = b[text_col]
+        w = pc.cast(_count_re(text, TOKEN_RE), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        s = pc.cast(_count_re(text, SENTENCE_RE), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        v = pc.cast(_count_re(text, VOWEL_GROUP_RE), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        wps = w * 1_000_000 // np.maximum(s, 1)
+        spw = v * 1_000_000 // np.maximum(w, 1)
+        score = (FLESCH_BASE_MILLI
+                 - FLESCH_WPS_MILLI * wps // 1_000_000
+                 - FLESCH_SPW_MILLI * spw // 1_000_000)
+        return pa.table({
+            id_col: b[id_col],
+            "n_words": pa.array(w), "n_sentences": pa.array(s),
+            "n_vowel_groups": pa.array(v),
+            "flesch_milli": pa.array(score.astype(np.int64))})
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -3000,6 +3000,13 @@ def q_ship_latency_dist(sf_dir: str):
         .groupby("gap_days").aggregate(Sum("n", alias_name="n_lines"))
 
 
+def q_reading_ease(sf_dir: str):
+    """Integer Flesch-style readability per doc — see
+    :func:`kgforge.functions.textstats.reading_ease_ds`."""
+    return F_text.reading_ease_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_returns_revenue(sf_dir: str):
     """TPC-H Q10 shape — top-20 customers by revenue lost to returned
     lines, with customer and nation names.  Scale plan: lineitem is
@@ -3956,6 +3963,7 @@ QUERIES = {
     "knn_graph": q_knn_graph,
     "forecast_revenue": q_forecast_revenue,
     "returns_revenue": q_returns_revenue,
+    "reading_ease": q_reading_ease,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -4554,6 +4562,23 @@ WHERE """ + "\n   OR ".join(
     f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}\n"
     f"       AND l_quantity BETWEEN {qlo} AND {qhi})"
     for b, slo, shi, qlo, qhi in Q19_BANDS)
+ORACLE_SQL["reading_ease"] = r"""
+WITH c AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                      AS n_words,
+                  CAST(len(regexp_extract_all(text, '[.!?]+'))
+                       AS BIGINT) AS n_sentences,
+                  CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+                       AS BIGINT) AS n_vowel_groups
+           FROM documents)
+SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+       CAST(206835
+            - 1015 * (n_words * 1000000 // greatest(n_sentences, 1))
+                   // 1000000
+            - 84600 * (n_vowel_groups * 1000000 // greatest(n_words, 1))
+                    // 1000000 AS BIGINT) AS flesch_milli
+FROM c
+"""
 ORACLE_SQL["returns_revenue"] = """
 WITH r AS (SELECT o_custkey,
                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)

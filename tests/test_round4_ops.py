@@ -1605,3 +1605,29 @@ def test_returns_revenue_q10(ray_session, tmp_path):
     assert out.c_name.tolist() == ["Customer#10"]
     assert out.n_name.tolist() == ["NATION_A"]
     assert out.rev_cents.tolist() == [12500]
+
+
+def test_reading_ease_integer_formula(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.textstats import reading_ease_ds
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["The cat sat. On a mat!", "zzz 中文"],
+                         pa.string()),
+    })
+    out = reading_ease_ds(rd.from_arrow(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc1: 6 words, 2 sentences, vowel groups: e,a,a,O,a,a = 6
+    assert out.loc[0, ["n_words", "n_sentences",
+                       "n_vowel_groups"]].tolist() == [6, 2, 6]
+    wps = 6 * 1_000_000 // 2
+    spw = 6 * 1_000_000 // 6
+    assert out.loc[0, "flesch_milli"] == \
+        206835 - 1015 * wps // 1_000_000 - 84600 * spw // 1_000_000
+    # doc2: no sentence punct (min 1), no vowels
+    assert out.loc[1, ["n_words", "n_sentences",
+                       "n_vowel_groups"]].tolist() == [2, 0, 0]
+    assert out.loc[1, "flesch_milli"] == \
+        206835 - 1015 * (2 * 1_000_000 // 1) // 1_000_000
