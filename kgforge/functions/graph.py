@@ -1835,3 +1835,115 @@ def bfs_levels_ds(edges_ds, n_seeds: int = 5, max_hops: int = 4,
         front_ds = fresh
 
     return visited
+
+
+def random_walks_ds(edges_ds, walks_per_node: int = 2,
+                    walk_len: int = 3, src: str = "subj",
+                    dst: str = "obj", num_partitions: int = 64):
+    """Deterministic "random" walks — the DeepWalk/node2vec training-
+    corpus generator: ``walks_per_node`` walks of ``walk_len`` steps
+    from EVERY node of the undirected distinct-pair graph, as flat
+    ``(start, walk, step, node)`` rows.  The step rule is a shared
+    cross-engine convention, not a PRNG: from node c on walk w at step
+    s the successor is the ``md5_u64(c|w|s) % deg(c)``-th neighbor in
+    n2-ascending rank order — both engines compute the identical md5
+    prefix (DuckDB's own vectorized kernel on the Ray side too), so
+    the corpus is bit-reproducible and resume-safe.
+
+    Scale plan: the ranked adjacency is ONE hash-partition exchange
+    (rank + degree fall out of run-offset math, ``num_partitions``
+    callbacks); each step is one hash cogroup of the frontier against
+    the adjacency with a vectorized per-run gather — frontier volume
+    is nodes × walks rows per step, never edges."""
+    import ray.data as rd
+
+    from kgforge.common.hashing import md5_u64_arr
+    from kgforge.functions.joins import _part_codes
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True)
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__p", pa.array(_part_codes(b["n1"], num_partitions)))
+
+    def rank_part(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("n1", "ascending"),
+                                            ("n2", "ascending")])
+        t = t.take(idx)
+        codes = t["n1"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        starts = _run_starts(codes)
+        lens = np.diff(np.concatenate([starts, [len(codes)]]))
+        rk = np.arange(len(codes), dtype=np.int64) \
+            - np.repeat(starts, lens)
+        deg = np.repeat(lens, lens).astype(np.int64)
+        return pa.table({"n1": t["n1"], "n2": t["n2"],
+                         "rk": pa.array(rk), "deg": pa.array(deg)})
+
+    adj = und.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(rank_part, batch_format="pyarrow") \
+        .materialize()
+    adj_schema = pa.schema([("n1", pa.string()), ("n2", pa.string()),
+                            ("rk", pa.int64()), ("deg", pa.int64())])
+
+    def seed_walks(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.equal(b["rk"], 0))
+        n = m.num_rows
+        rep = np.repeat(np.arange(n, dtype=np.int64), walks_per_node)
+        w = np.tile(np.arange(walks_per_node, dtype=np.int64), n)
+        node = m["n1"].take(pa.array(rep))
+        return pa.table({"start": node, "w": pa.array(w),
+                         "cur": node})
+
+    frontier = adj.map_batches(seed_walks, batch_format="pyarrow") \
+        .materialize()
+    frontier_schema = pa.schema([("cur", pa.string()),
+                                 ("start", pa.string()),
+                                 ("w", pa.int64())])
+
+    def with_step(ds, step: int):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "start": b["start"], "w": b["w"],
+                "step": pa.array(np.full(b.num_rows, step, np.int64)),
+                "node": b["cur"]})
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    out = with_step(frontier, 0)
+    for s in range(1, walk_len + 1):
+        def step_fn(t, starts, nl, nr, _s=s):
+            lidx, ridx = _lr_indices(starts, nl, nr)
+            nkeys = len(nl)
+            run_l = np.repeat(np.arange(nkeys), nl)
+            has = nr[run_l] > 0           # cur with no adjacency: drop
+            lidx, run_l = lidx[has], run_l[has]
+            run_r = np.repeat(np.arange(nkeys), nr)
+            rkv = t["rk"].take(pa.array(ridx)).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            ordered = np.lexsort((rkv, run_r))    # run-major, rk-asc
+            roffs = np.concatenate([[0], np.cumsum(nr)[:-1]])
+            key_s = t["__k"].take(pa.array(lidx))
+            w_s = pc.cast(t["w"].take(pa.array(lidx)), pa.string())
+            msg = pc.binary_join_element_wise(
+                key_s, w_s, pa.scalar(str(_s)), "|")
+            h = md5_u64_arr(msg)
+            pick = h % nr[run_l].astype(np.uint64)
+            gidx = ridx[ordered[roffs[run_l] + pick.astype(np.int64)]]
+            return pa.table({
+                "start": t["start"].take(pa.array(lidx)),
+                "w": t["w"].take(pa.array(lidx)),
+                "cur": t["n2"].take(pa.array(gidx))})
+
+        frontier = cogroup_partition_ds(
+            frontier, adj.map_batches(
+                lambda b: b.select(["n1", "n2", "rk"]),
+                batch_format="pyarrow"),
+            "cur", "n1", step_fn, ["start", "w"], ["n2", "rk"],
+            num_partitions=num_partitions,
+            left_schema=frontier_schema,
+            right_schema=adj_schema.remove(
+                adj_schema.get_field_index("deg"))).materialize()
+        out = out.union(with_step(frontier, s))
+
+    return out

@@ -587,3 +587,34 @@ walk(node, d) AS (
   WHERE walk.d < {max_hops})
 SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
 """
+
+
+def random_walks_sql(walks_per_node: int = 2, walk_len: int = 3) -> str:
+    """Unrolled twin of
+    :func:`kgforge.functions.graph.random_walks_ds`: identical
+    md5-prefix step rule (``md5_u64(cur|w|s) % deg`` over n2-ranked
+    neighbors), one CTE per step."""
+    vals = ", ".join(f"({i})" for i in range(walks_per_node))
+    sql = entity_pairs_prelude() + f""",
+wrk AS (SELECT n1, n2,
+               row_number() OVER (PARTITION BY n1 ORDER BY n2) - 1
+                   AS rk
+        FROM und),
+wdg AS (SELECT n1, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+wwj(w) AS (VALUES {vals}),
+w0 AS (SELECT nd.n1 AS start, CAST(w AS BIGINT) AS w, nd.n1 AS cur
+       FROM (SELECT DISTINCT n1 FROM und) nd, wwj)"""
+    for s in range(1, walk_len + 1):
+        sql += f""",
+w{s} AS (SELECT wk.start, wk.w, nb.n2 AS cur
+        FROM w{s - 1} wk
+        JOIN wdg dg ON dg.n1 = wk.cur
+        JOIN wrk nb ON nb.n1 = wk.cur
+         AND nb.rk = CAST(
+               CAST(concat('0x', substr(md5(wk.cur || '|' ||
+                    CAST(wk.w AS VARCHAR) || '|' || '{s}'), 1, 16))
+                    AS UBIGINT) % CAST(dg.deg AS UBIGINT) AS BIGINT))"""
+    selects = [f"SELECT start, w, CAST({s} AS BIGINT) AS step, "
+               f"cur AS node FROM w{s}"
+               for s in range(walk_len + 1)]
+    return sql + "\n" + "\nUNION ALL ".join(selects) + "\n"

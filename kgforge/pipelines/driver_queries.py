@@ -1486,6 +1486,13 @@ def q_kg_sssp(sf_dir: str):
                          max_hops=4)
 
 
+def q_kg_walks(sf_dir: str):
+    from kgforge.functions.graph import random_walks_ds
+
+    return random_walks_ds(_entity_edges_for(sf_dir),
+                           walks_per_node=2, walk_len=3)
+
+
 def q_kg_triangles(sf_dir: str):
     from kgforge.functions.graph import triangle_count_ds
 
@@ -3957,6 +3964,7 @@ QUERIES = {
     "kg_communities": q_kg_communities,
     "kg_katz": q_kg_katz,
     "kg_sssp": q_kg_sssp,
+    "kg_walks": q_kg_walks,
     "band_revenue": q_band_revenue,
     "zipf_slope": q_zipf_slope,
     "lm_perplexity": q_lm_perplexity,
@@ -4553,6 +4561,8 @@ ORACLE_SQL["kg_communities"] = _dict_oracle.communities_sql(rounds=2)
 ORACLE_SQL["kg_katz"] = _dict_oracle.katz_sql(iters=3)
 ORACLE_SQL["kg_sssp"] = _dict_oracle.bfs_levels_sql(n_seeds=5,
                                                     max_hops=4)
+ORACLE_SQL["kg_walks"] = _dict_oracle.random_walks_sql(
+    walks_per_node=2, walk_len=3)
 ORACLE_SQL["band_revenue"] = """
 SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * (1 - l_discount)
                                     * 100) AS BIGINT)), 0) AS BIGINT)

@@ -1631,3 +1631,45 @@ def test_reading_ease_integer_formula(ray_session):
                        "n_vowel_groups"]].tolist() == [2, 0, 0]
     assert out.loc[1, "flesch_milli"] == \
         206835 - 1015 * (2 * 1_000_000 // 1) // 1_000_000
+
+
+def test_random_walks_deterministic_rule(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from kgforge.functions.graph import random_walks_ds
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    tbl = pa.table({
+        "subj": pa.array([p[0] for p in pairs], pa.string()),
+        "obj": pa.array([p[1] for p in pairs], pa.string()),
+    })
+    W, L = 2, 3
+    out = random_walks_ds(rd.from_arrow(tbl).repartition(2),
+                          walks_per_node=W, walk_len=L,
+                          num_partitions=4).to_pandas()
+
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    adj = {k: sorted(v) for k, v in adj.items()}
+
+    def nxt(cur, w, s):
+        h = int(hashlib.md5(f"{cur}|{w}|{s}".encode())
+                .hexdigest()[:16], 16)
+        return adj[cur][h % len(adj[cur])]
+
+    want = set()
+    for start in adj:
+        for w in range(W):
+            cur = start
+            want.add((start, w, 0, cur))
+            for s in range(1, L + 1):
+                cur = nxt(cur, w, s)
+                want.add((start, w, s, cur))
+    got = {(r.start, int(r.w), int(r.step), r.node)
+           for r in out.itertuples()}
+    assert got == want
+    assert len(out) == len(adj) * W * (L + 1)
