@@ -618,3 +618,18 @@ w{s} AS (SELECT wk.start, wk.w, nb.n2 AS cur
                f"cur AS node FROM w{s}"
                for s in range(walk_len + 1)]
     return sql + "\n" + "\nUNION ALL ".join(selects) + "\n"
+
+
+def pred_card_sql() -> str:
+    """Per-predicate cardinality QA twin of the engine's
+    ``q_kg_pred_card``: edge/endpoint counts + subject fanout over the
+    DEDUPED triple set (the D1 edge table's grain)."""
+    return _triples_ctes() + """,
+dtri AS (SELECT DISTINCT subj, pred, obj FROM trip)
+SELECT pred, CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_obj,
+       CAST(count(*) * 1000000 // count(DISTINCT subj) AS BIGINT)
+           AS fanout_ppm
+FROM dtri GROUP BY pred
+"""

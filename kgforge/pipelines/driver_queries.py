@@ -1486,6 +1486,41 @@ def q_kg_sssp(sf_dir: str):
                          max_hops=4)
 
 
+def q_kg_pred_card(sf_dir: str):
+    """Per-predicate cardinality QA report over the deduped edge
+    table: edge count, distinct subjects/objects, subject fanout ppm.
+    Scale plan: three combiner-first reductions (per-batch partial
+    distinct, shuffles carry (pred, endpoint) pairs — never edges
+    twice), folded on the driver at predicate grain (bounded by the
+    rule vocabulary, a few dozen rows)."""
+    from ray.data.aggregate import Count
+
+    edges = _dict_flagship_for(sf_dir)["edges"]
+
+    def npairs(col: str):
+        def partial(b: pa.Table) -> pa.Table:
+            return pa.table({"pred": b["pred"], "e": b[col]}) \
+                .group_by(["pred", "e"], use_threads=False).aggregate([])
+        return edges.map_batches(partial, batch_format="pyarrow") \
+            .groupby(["pred", "e"]).aggregate(Count(alias_name="__c")) \
+            .groupby("pred").aggregate(Count(alias_name="n")) \
+            .to_pandas().set_index("pred")["n"]
+
+    n_edges = edges.groupby("pred") \
+        .aggregate(Count(alias_name="n")).to_pandas() \
+        .set_index("pred")["n"]
+    n_subj, n_obj = npairs("subj"), npairs("obj")
+    preds = sorted(n_edges.index)
+    ne = np.array([n_edges[p] for p in preds], np.int64)
+    ns = np.array([n_subj[p] for p in preds], np.int64)
+    return pa.table({
+        "pred": pa.array(preds, pa.string()),
+        "n_edges": pa.array(ne),
+        "n_subj": pa.array(ns),
+        "n_obj": pa.array([n_obj[p] for p in preds], pa.int64()),
+        "fanout_ppm": pa.array(ne * 1_000_000 // ns)})
+
+
 def q_kg_walks(sf_dir: str):
     from kgforge.functions.graph import random_walks_ds
 
@@ -3965,6 +4000,7 @@ QUERIES = {
     "kg_katz": q_kg_katz,
     "kg_sssp": q_kg_sssp,
     "kg_walks": q_kg_walks,
+    "kg_pred_card": q_kg_pred_card,
     "band_revenue": q_band_revenue,
     "zipf_slope": q_zipf_slope,
     "lm_perplexity": q_lm_perplexity,
@@ -4563,6 +4599,7 @@ ORACLE_SQL["kg_sssp"] = _dict_oracle.bfs_levels_sql(n_seeds=5,
                                                     max_hops=4)
 ORACLE_SQL["kg_walks"] = _dict_oracle.random_walks_sql(
     walks_per_node=2, walk_len=3)
+ORACLE_SQL["kg_pred_card"] = _dict_oracle.pred_card_sql()
 ORACLE_SQL["band_revenue"] = """
 SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * (1 - l_discount)
                                     * 100) AS BIGINT)), 0) AS BIGINT)

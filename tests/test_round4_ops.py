@@ -1673,3 +1673,30 @@ def test_random_walks_deterministic_rule(ray_session):
            for r in out.itertuples()}
     assert got == want
     assert len(out) == len(adj) * W * (L + 1)
+
+
+def test_kg_pred_card_counts(ray_session, tmp_path):
+    # build a tiny sf-shaped documents table through the dict lane is
+    # heavyweight; unit-test the aggregation shape directly instead
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    edges = pa.table({
+        "subj": pa.array(["a", "a", "b", "a"], pa.string()),
+        "pred": pa.array(["p", "p", "p", "q"], pa.string()),
+        "obj": pa.array(["x", "y", "x", "x"], pa.string()),
+    })
+    # mirror q_kg_pred_card's reductions on a fixed table
+    ds = rd.from_arrow(edges)
+
+    def npairs(col):
+        def partial(b):
+            return pa.table({"pred": b["pred"], "e": b[col]}) \
+                .group_by(["pred", "e"], use_threads=False).aggregate([])
+        return ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(["pred", "e"]).aggregate(Count(alias_name="c")) \
+            .groupby("pred").aggregate(Count(alias_name="n")) \
+            .to_pandas().set_index("pred")["n"].to_dict()
+
+    assert npairs("subj") == {"p": 2, "q": 1}
+    assert npairs("obj") == {"p": 2, "q": 1}
