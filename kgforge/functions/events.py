@@ -2776,3 +2776,55 @@ def first_touch_ds(ds, conv_type: str = "purchase",
         .groupby("__p").map_groups(merge, batch_format="pyarrow") \
         .groupby("first_touch").aggregate(
             Sum("n", alias_name="n_conversions"))
+
+
+def scd_intervals_ds(ds, by: str = "user_id", on: str = "ts",
+                     value_col: str = "value",
+                     id_col: str = "event_id",
+                     num_partitions: int = 64):
+    """SCD-type-2 validity intervals from an event stream: each event
+    opens an interval ``[ts, next_ts)`` holding its value (exact
+    cents); the user's latest event stays open (Arrow-typed NULL end,
+    no NaN round-trip).  The ``lead() OVER (PARTITION BY user ORDER BY
+    ts, id)`` window as one hash-partition shuffle
+    (``num_partitions`` callbacks, never one per user) + a global
+    shifted-copy pass with run-break masking — all users at once, no
+    per-key Python."""
+    import pyarrow.compute as pc
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import _part_codes
+
+    def tag(b: pa.Table) -> pa.Table:
+        cents = round_away(
+            b[value_col].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        t = pa.table({id_col: b[id_col], by: b[by],
+                      "__on": pc.cast(_on_key(b[on]), pa.int64()),
+                      "cents": pa.array(cents)})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t[by], num_partitions)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            ("__on", "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        us = t["__on"].combine_chunks().to_numpy(zero_copy_only=False)
+        lead = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            lead[:-1] = us[1:]
+        brk = _run_breaks(t[by].combine_chunks(),
+                          np.zeros(n, dtype=np.int32))
+        last = np.concatenate([brk[1:], [True]]) if n else brk
+        return pa.table({
+            by: t[by],
+            "start_us": pa.array(us, pa.int64()),
+            "end_us": pa.array(lead, pa.int64(), mask=last),
+            "value_cents": t["cents"],
+        })
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow")

@@ -633,3 +633,17 @@ SELECT pred, CAST(count(*) AS BIGINT) AS n_edges,
            AS fanout_ppm
 FROM dtri GROUP BY pred
 """
+
+
+def type_matrix_sql() -> str:
+    """Entity-type adjacency matrix twin of ``q_kg_type_matrix``:
+    deduped-edge counts per (subj_type, obj_type), provenance
+    ``mentions`` edges excluded."""
+    return _triples_ctes() + """,
+dedge AS (SELECT subj, pred, obj, min(subj_type) AS st,
+                 min(obj_type) AS ot
+          FROM trip GROUP BY 1, 2, 3)
+SELECT st AS subj_type, ot AS obj_type,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM dedge WHERE pred <> 'mentions' GROUP BY 1, 2
+"""

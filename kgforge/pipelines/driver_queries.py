@@ -3042,6 +3042,104 @@ def q_ship_latency_dist(sf_dir: str):
         .groupby("gap_days").aggregate(Sum("n", alias_name="n_lines"))
 
 
+def q_kg_type_matrix(sf_dir: str):
+    """Entity-type adjacency matrix: deduped-edge counts per
+    (subj_type, obj_type), ``mentions`` provenance edges excluded —
+    the one-page KG composition report.  One groupby at type grain
+    (bounded by the type vocabulary)."""
+    from ray.data.aggregate import Count
+
+    edges = _dict_flagship_for(sf_dir)["edges"]
+
+    def proj(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(b["pred"], "mentions"))
+        return pa.table({"subj_type": b["subj_type"].filter(keep),
+                         "obj_type": b["obj_type"].filter(keep)})
+
+    return edges.map_batches(proj, batch_format="pyarrow") \
+        .groupby(["subj_type", "obj_type"]) \
+        .aggregate(Count(alias_name="n_edges"))
+
+
+def q_dow_profile(sf_dir: str):
+    """Weekly seasonality profile: event count + exact value cents per
+    (day-of-week, hour) cell — a 168-row reduce with the per-batch
+    combiner doing the heavy lifting (cells, never events, shuffle)."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        days = us // 86_400_000_000
+        dow = (days + 4) % 7          # epoch day 0 = Thursday; Sun = 0
+        hour = us // 3_600_000_000 % 24
+        cents = round_away(
+            b["value"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        t = pa.table({"dow": pa.array(dow), "hour": pa.array(hour),
+                      "cents": pa.array(cents)})
+        g = t.group_by(["dow", "hour"], use_threads=False).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({"dow": g["dow"], "hour": g["hour"],
+                         "c": g["cents_sum"],
+                         "n": g["cents_count"].cast(pa.int64())})
+
+    return _read(sf_dir, "events", ["ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["dow", "hour"]) \
+        .aggregate(Sum("n", alias_name="n_events"),
+                   Sum("c", alias_name="sum_value_cents"))
+
+
+def q_coverage_topk(sf_dir: str):
+    """Tokenizer-vocabulary coverage curve: the share of ALL token
+    occurrences covered by the top-{100, 1000, 10000} tokens (the
+    make-or-buy signal for vocab size), exact integer ppm.  Scale
+    plan: the count shuffle is the vocab combiner plan (distinct
+    tokens only), the corpus total is one streaming sum, and only the
+    10k-row head reaches the driver for the prefix fold."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    counts = _read(sf_dir, "documents", ["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n")) \
+        .materialize()
+    total = int(counts.sum("n") or 0)
+    ks = (100, 1000, 10000)
+    head = counts.sort(["n", "token"], descending=[True, False]) \
+        .limit(max(ks)).to_pandas()["n"].to_numpy()
+    cum = np.cumsum(head)
+    covered = [int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+               for k in ks]
+    return rd.from_arrow(pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "covered": pa.array(covered, pa.int64()),
+        "total": pa.array([total] * len(ks), pa.int64()),
+        "coverage_ppm": pa.array(
+            [c * 1_000_000 // max(total, 1) for c in covered],
+            pa.int64())}))
+
+
+def q_scd_intervals(sf_dir: str):
+    """SCD2 validity intervals per user — see
+    :func:`kgforge.functions.events.scd_intervals_ds`."""
+    from kgforge.functions.events import scd_intervals_ds
+
+    return scd_intervals_ds(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]))
+
+
 def q_reading_ease(sf_dir: str):
     """Integer Flesch-style readability per doc — see
     :func:`kgforge.functions.textstats.reading_ease_ds`."""
@@ -4008,6 +4106,10 @@ QUERIES = {
     "forecast_revenue": q_forecast_revenue,
     "returns_revenue": q_returns_revenue,
     "reading_ease": q_reading_ease,
+    "scd_intervals": q_scd_intervals,
+    "coverage_topk": q_coverage_topk,
+    "kg_type_matrix": q_kg_type_matrix,
+    "dow_profile": q_dow_profile,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -4600,6 +4702,15 @@ ORACLE_SQL["kg_sssp"] = _dict_oracle.bfs_levels_sql(n_seeds=5,
 ORACLE_SQL["kg_walks"] = _dict_oracle.random_walks_sql(
     walks_per_node=2, walk_len=3)
 ORACLE_SQL["kg_pred_card"] = _dict_oracle.pred_card_sql()
+ORACLE_SQL["kg_type_matrix"] = _dict_oracle.type_matrix_sql()
+ORACLE_SQL["dow_profile"] = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
 ORACLE_SQL["band_revenue"] = """
 SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * (1 - l_discount)
                                     * 100) AS BIGINT)), 0) AS BIGINT)
@@ -4609,6 +4720,28 @@ WHERE """ + "\n   OR ".join(
     f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}\n"
     f"       AND l_quantity BETWEEN {qlo} AND {qhi})"
     for b, slo, shi, qlo, qhi in Q19_BANDS)
+ORACLE_SQL["coverage_topk"] = r"""
+WITH toks AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+              FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk FROM c),
+t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total FROM c),
+ks(k) AS (VALUES (100), (1000), (10000))
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(coalesce((SELECT sum(n) FROM r WHERE rk <= ks.k), 0)
+            AS BIGINT) AS covered,
+       total,
+       CAST(coalesce((SELECT sum(n) FROM r WHERE rk <= ks.k), 0)
+            * 1000000 // greatest(total, 1) AS BIGINT) AS coverage_ppm
+FROM ks, t
+"""
+ORACLE_SQL["scd_intervals"] = """
+SELECT user_id, epoch_us(ts) AS start_us,
+       epoch_us(lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id)) AS end_us,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events
+"""
 ORACLE_SQL["reading_ease"] = r"""
 WITH c AS (SELECT doc_id,
                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)

@@ -1700,3 +1700,75 @@ def test_kg_pred_card_counts(ray_session, tmp_path):
 
     assert npairs("subj") == {"p": 2, "q": 1}
     assert npairs("obj") == {"p": 2, "q": 1}
+
+
+def test_scd_intervals_lead_window(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgforge.functions.events import scd_intervals_ds
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "u1", t0, 1.0),
+        (2, "u1", dt.datetime(2024, 1, 2), 2.5),
+        (3, "u2", t0, 9.99),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    import pandas as pd
+
+    out = scd_intervals_ds(rd.from_arrow(tbl).repartition(2)) \
+        .to_pandas().sort_values(["user_id", "start_us"]) \
+        .reset_index(drop=True)
+    day = 86_400_000_000
+    e0 = int(t0.timestamp() * 1e6)
+    assert out.user_id.tolist() == ["u1", "u1", "u2"]
+    assert out.start_us.tolist() == [e0, e0 + day, e0]
+    assert out.end_us.tolist()[0] == e0 + day
+    assert pd.isna(out.end_us.tolist()[1]) and pd.isna(
+        out.end_us.tolist()[2])
+    assert out.value_cents.tolist() == [100, 250, 999]
+
+
+def test_coverage_topk_prefix(ray_session, tmp_path):
+    import pyarrow.parquet as pq2
+
+    from kgforge.pipelines.driver_queries import q_coverage_topk
+
+    pq2.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a a a b b c", "a d"], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_coverage_topk(str(tmp_path)).to_pandas()
+    # total 8; top tokens a=4, b=2, c=1, d=1 — all k >= vocab cover 8
+    assert out.total.tolist() == [8, 8, 8]
+    assert out.covered.tolist() == [8, 8, 8]
+    assert out.coverage_ppm.tolist() == [1_000_000] * 3
+
+
+def test_dow_profile_epoch_rule(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq2
+
+    from kgforge.pipelines.driver_queries import q_dow_profile
+
+    pq2.write_table(pa.table({
+        # 1970-01-01 = Thursday (dow 4 in DuckDB's Sunday=0 scheme)
+        "ts": pa.array([dt.datetime(1970, 1, 1, 5),
+                        dt.datetime(1970, 1, 4, 23),
+                        dt.datetime(1970, 1, 4, 23)],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 3.005], pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+    out = q_dow_profile(str(tmp_path)).to_pandas() \
+        .sort_values(["dow", "hour"]).reset_index(drop=True)
+    assert out[["dow", "hour"]].values.tolist() == [[0, 23], [4, 5]]
+    assert out.n_events.tolist() == [2, 1]
+    assert out.sum_value_cents.tolist() == [200 + 301, 100]
