@@ -2828,3 +2828,109 @@ def scd_intervals_ds(ds, by: str = "user_id", on: str = "ts",
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("__p").map_groups(per_partition,
                                    batch_format="pyarrow")
+
+
+def markov_stationary_ds(ds, iters: int = 4, by: str = "user_id",
+                         on: str = "ts", id_col: str = "event_id",
+                         type_col: str = "event_type",
+                         num_partitions: int = 64) -> pa.Table:
+    """Integer-deterministic power iteration toward the stationary
+    distribution of the first-order event-type Markov chain: start
+    every type at 10⁶ micro-units and apply ``w'(j) = Σ_i w(i) ·
+    n(i,j) // tot(i)`` with PER-EDGE floor division ``iters`` times —
+    order-free, so both engines land on identical int64s (mass at
+    dead-end types simply stalls, mirroring the SQL twin's LEFT
+    JOIN).  Scale shape: the only big-data pass is
+    :func:`event_transitions_ds`'s one user-hash shuffle; the
+    iteration runs on the collected |types|²-row matrix plus the
+    distinct-type list (both type-vocabulary-bounded)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    mat = event_transitions_ds(ds, by=by, on=on, id_col=id_col,
+                               type_col=type_col,
+                               num_partitions=num_partitions)
+    types = sorted(
+        r[type_col] for r in
+        ds.map_batches(
+            lambda b: pa.table(
+                {type_col: b[type_col].combine_chunks().unique()}),
+            batch_format="pyarrow")
+        .groupby(type_col).aggregate(Count(alias_name="__c"))
+        .take_all())
+
+    prev = mat["prev_type"].to_pylist()
+    nxt = mat["next_type"].to_pylist()
+    n = mat["n"].to_pylist()
+    tot: dict[str, int] = {}
+    for p, c in zip(prev, n):
+        tot[p] = tot.get(p, 0) + int(c)
+    w = {t: 1_000_000 for t in types}
+    for _ in range(iters):
+        nw = {t: 0 for t in types}
+        for p, x, c in zip(prev, nxt, n):
+            nw[x] += w[p] * int(c) // tot[p]
+        # dead-end types (no outgoing row) keep their mass
+        for t in types:
+            if t not in tot:
+                nw[t] += w[t]
+        w = nw
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "weight": pa.array([w[t] for t in types], pa.int64())})
+
+
+def late_events_ds(ds, by: str = "user_id", on: str = "ts",
+                   id_col: str = "event_id",
+                   num_partitions: int = 64):
+    """Out-of-order-arrival report (the streaming watermark QA): per
+    user, how many events arrived late — arrival order is ``id`` asc,
+    and an event is late when its ``ts`` is below the running max of
+    the user's earlier arrivals (``max(ts) OVER (... ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``).  One user-hash shuffle; inside a
+    partition the segmented running max is a log₂(n)-pass vectorized
+    doubling scan over ALL users at once (no per-key Python, no
+    per-run offset arithmetic that could overflow on epoch-µs
+    values), then one ``reduceat`` per user run."""
+    import pyarrow.compute as pc
+
+    from kgforge.functions.joins import _part_codes
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({id_col: b[id_col], by: b[by],
+                      "__on": pc.cast(_on_key(b[on]), pa.int64())})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t[by], num_partitions)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        us = t["__on"].combine_chunks().to_numpy(zero_copy_only=False)
+        brk = _run_breaks(t[by].combine_chunks(),
+                          np.zeros(n, dtype=np.int32))
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        seg_start = np.repeat(starts, lens)
+        cm = us.copy()
+        pos = np.arange(n, dtype=np.int64)
+        shift = 1
+        while shift < n:
+            can = pos - shift >= seg_start
+            src = np.where(can, cm[np.maximum(pos - shift, 0)],
+                           np.int64(-(2 ** 62)))
+            cm = np.maximum(cm, src)
+            shift <<= 1
+        prev = np.concatenate([[np.int64(0)], cm[:-1]]) if n else cm
+        late = (~brk) & (us < prev)
+        n_late = np.add.reduceat(late.astype(np.int64), starts) \
+            if n else np.zeros(0, np.int64)
+        return pa.table({
+            by: t[by].take(pa.array(starts)),
+            "n_events": pa.array(lens.astype(np.int64)),
+            "n_late": pa.array(n_late)})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow")

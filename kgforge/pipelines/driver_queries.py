@@ -3042,6 +3042,138 @@ def q_ship_latency_dist(sf_dir: str):
         .groupby("gap_days").aggregate(Sum("n", alias_name="n_lines"))
 
 
+def q_late_events(sf_dir: str):
+    """Out-of-order arrival QA per user — see
+    :func:`kgforge.functions.events.late_events_ds`."""
+    from kgforge.functions.events import late_events_ds
+
+    return late_events_ds(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]))
+
+
+def q_open_orders_curve(sf_dir: str):
+    """Order-backlog concurrency curve: for every day where the count
+    changes, the number of orders opened (orderdate) but not yet fully
+    shipped (last lineitem shipdate) — the classic interval-stabbing
+    +1/−1 delta scan.  Scale plan: per-order close day is a combiner-
+    first max reduce, open/close deltas collapse to day grain
+    (calendar-bounded) before the only small shuffle, and the running
+    sum folds on the driver over ≤ a-few-thousand day rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    def ship_day(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"l_orderkey": b["l_orderkey"],
+                      "sday": pa.array(us // 86_400_000_000)})
+        g = t.group_by("l_orderkey", use_threads=False) \
+            .aggregate([("sday", "max")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "sday": g["sday_max"]})
+
+    close = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+        .map_batches(ship_day, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Max("sday", alias_name="sday"))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def open_delta(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"day": pa.array(us // 86_400_000_000)})
+        g = t.group_by("day", use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"day": g["day"],
+                         "delta": g["count_all"].cast(pa.int64())})
+
+    def close_delta(t, starts, nl, nr):
+        # left = per-order close day, right = orders: semi-join —
+        # only orders present in both sides close
+        keep = np.repeat(nr > 0, nl + nr)
+        sub = t.filter(pa.array(keep))
+        side = sub["__side"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "sday": sub["sday"].filter(pa.array(side == 0))})
+
+    closed = cogroup_partition_ds(
+        close, orders.map_batches(
+            lambda b: b.select(["o_orderkey"]),
+            batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", close_delta, ["sday"], [],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("sday", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64())]))
+
+    def neg_delta(b: pa.Table) -> pa.Table:
+        d = b["sday"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table({"day": pa.array(d + 1)})
+        g = t.group_by("day", use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"day": g["day"],
+                         "delta": pc.multiply(
+                             g["count_all"].cast(pa.int64()),
+                             pa.scalar(-1, pa.int64()))})
+
+    deltas = orders.map_batches(open_delta, batch_format="pyarrow") \
+        .union(closed.map_batches(neg_delta, batch_format="pyarrow")) \
+        .groupby("day").aggregate(Sum("delta", alias_name="delta")) \
+        .to_pandas().sort_values("day")
+
+    days = deltas["day"].to_numpy().astype(np.int64)
+    run = np.cumsum(deltas["delta"].to_numpy().astype(np.int64))
+    return rd.from_arrow(pa.table({
+        "day": pa.array(days), "open_orders": pa.array(run)}))
+
+
+def q_markov_stationary(sf_dir: str):
+    """Stationary distribution of the event-type Markov chain — see
+    :func:`kgforge.functions.events.markov_stationary_ds`."""
+    from kgforge.functions.events import markov_stationary_ds
+
+    return markov_stationary_ds(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"]), iters=4)
+
+
+def _markov_stationary_sql(iters: int = 4) -> str:
+    """Unrolled twin of ``markov_stationary_ds`` (same per-edge floor
+    rule; dead-end types keep their mass via the EXISTS branch)."""
+    sql = """
+WITH o AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events),
+c AS (SELECT event_type AS prev_type, nxt AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+      FROM c GROUP BY 1),
+ty AS (SELECT DISTINCT event_type AS ty FROM events),
+p0 AS (SELECT ty, CAST(1000000 AS BIGINT) AS w FROM ty)"""
+    for s in range(1, iters + 1):
+        sql += f""",
+p{s} AS (SELECT tyl.ty,
+        CAST(coalesce((SELECT sum(pp.w * c.n // t.tot)
+                       FROM p{s - 1} pp
+                       JOIN c ON c.prev_type = pp.ty
+                       JOIN t ON t.prev_type = pp.ty
+                       WHERE c.next_type = tyl.ty), 0)
+             + CASE WHEN EXISTS (SELECT 1 FROM t
+                                 WHERE t.prev_type = tyl.ty)
+                    THEN 0
+                    ELSE (SELECT w FROM p{s - 1} x
+                          WHERE x.ty = tyl.ty) END
+             AS BIGINT) AS w
+    FROM ty tyl)"""
+    return sql + f"""
+SELECT ty AS event_type, w AS weight FROM p{iters}
+"""
+
+
 def q_kg_type_matrix(sf_dir: str):
     """Entity-type adjacency matrix: deduped-edge counts per
     (subj_type, obj_type), ``mentions`` provenance edges excluded —
@@ -4110,6 +4242,9 @@ QUERIES = {
     "coverage_topk": q_coverage_topk,
     "kg_type_matrix": q_kg_type_matrix,
     "dow_profile": q_dow_profile,
+    "markov_stationary": q_markov_stationary,
+    "open_orders_curve": q_open_orders_curve,
+    "late_events": q_late_events,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -4703,6 +4838,35 @@ ORACLE_SQL["kg_walks"] = _dict_oracle.random_walks_sql(
     walks_per_node=2, walk_len=3)
 ORACLE_SQL["kg_pred_card"] = _dict_oracle.pred_card_sql()
 ORACLE_SQL["kg_type_matrix"] = _dict_oracle.type_matrix_sql()
+ORACLE_SQL["markov_stationary"] = _markov_stationary_sql(iters=4)
+ORACLE_SQL["late_events"] = """
+WITH m AS (SELECT user_id, ts,
+                  max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pmax
+           FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN pmax IS NOT NULL AND ts < pmax
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM m GROUP BY 1
+"""
+ORACLE_SQL["open_orders_curve"] = """
+WITH mx AS (SELECT l_orderkey,
+                   CAST(epoch(max(l_shipdate)) AS BIGINT) // 86400
+                       AS sday
+            FROM lineitem GROUP BY 1),
+d AS (SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+             CAST(1 AS BIGINT) AS delta
+      FROM orders
+      UNION ALL
+      SELECT mx.sday + 1, CAST(-1 AS BIGINT)
+      FROM mx JOIN orders ON o_orderkey = l_orderkey),
+g AS (SELECT day, CAST(sum(delta) AS BIGINT) AS delta
+      FROM d GROUP BY 1)
+SELECT day, CAST(sum(delta) OVER (ORDER BY day) AS BIGINT)
+           AS open_orders
+FROM g
+"""
 ORACLE_SQL["dow_profile"] = """
 SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
        CAST(hour(ts) AS BIGINT) AS hour,

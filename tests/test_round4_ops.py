@@ -1772,3 +1772,86 @@ def test_dow_profile_epoch_rule(ray_session, tmp_path):
     assert out[["dow", "hour"]].values.tolist() == [[0, 23], [4, 5]]
     assert out.n_events.tolist() == [2, 1]
     assert out.sum_value_cents.tolist() == [200 + 301, 100]
+
+
+def test_markov_stationary_floor_rule(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgforge.functions.events import markov_stationary_ds
+
+    # u1: a -> b -> a ; u2: a -> c ; type d is isolated (dead end,
+    # no user pairs) and keeps its mass
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "u1", "a"), (2, "u1", "b"), (3, "u1", "a"),
+        (4, "u2", "a"), (5, "u2", "c"), (6, "u3", "d"),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([t0.replace(hour=9 + i) for i in
+                        range(len(rows))], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = markov_stationary_ds(rd.from_arrow(tbl).repartition(2),
+                               iters=1).to_pandas()
+    w = dict(zip(out.event_type, out.weight))
+    # transitions: a->b (1), a->c (1), b->a (1); tot(a)=2, tot(b)=1
+    # one iter from 1e6 each: a gets b's 1e6; b gets 1e6*1//2; c gets
+    # 1e6*1//2; d (dead end) keeps 1e6; c,d have no outgoing rows
+    # BUT c also keeps its mass (dead end) → 500000 + 1000000
+    assert w == {"a": 1_000_000, "b": 500_000,
+                 "c": 1_500_000, "d": 1_000_000}
+
+
+def test_open_orders_curve_deltas(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq2
+
+    from kgforge.pipelines.driver_queries import q_open_orders_curve
+
+    pq2.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array([dt.datetime(1970, 1, 1),
+                                 dt.datetime(1970, 1, 3)],
+                                pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq2.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_shipdate": pa.array([dt.datetime(1970, 1, 2),
+                                dt.datetime(1970, 1, 5),
+                                dt.datetime(1970, 1, 4)],
+                               pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_open_orders_curve(str(tmp_path)).to_pandas()
+    # order1 open day0..day5 (close=max ship day4+1... ship 1/5=day4);
+    # order2 open day2..day4 (ship 1/4=day3, close day4)
+    assert dict(zip(out.day, out.open_orders)) == {
+        0: 1, 2: 2, 4: 1, 5: 0}
+
+
+def test_late_events_running_max(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgforge.functions.events import late_events_ds
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    rows = [  # u1 arrivals: ts 10, 12, 11 (late), 12 (not < max)
+        (1, "u1", t(10)), (2, "u1", t(12)), (3, "u1", t(11)),
+        (4, "u1", t(12)), (5, "u2", t(9)),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    out = late_events_ds(rd.from_arrow(tbl).repartition(2)) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert out.user_id.tolist() == ["u1", "u2"]
+    assert out.n_events.tolist() == [4, 1]
+    assert out.n_late.tolist() == [1, 0]
