@@ -3042,6 +3042,112 @@ def q_ship_latency_dist(sf_dir: str):
         .groupby("gap_days").aggregate(Sum("n", alias_name="n_lines"))
 
 
+def q_top_terms_per_source(sf_dir: str):
+    """Top-5 tokens per source (the per-corpus vocabulary snapshot):
+    per-batch (source, token) count partials → one pair-keyed sum →
+    one source-hash partition with a vectorized run-offset top-k cut
+    (``num_partitions`` callbacks, never one per source) — the
+    knn-merge pattern on a text key."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src = b["source"].take(
+            pa.array(np.repeat(np.arange(len(lens)), lens)))
+        t = pa.table({"source": src,
+                      "token": pc.list_flatten(toks)})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        return t.group_by(["source", "token"],
+                          use_threads=False).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["source", "token", "n"])
+
+    counts = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "token"]).aggregate(
+            Sum("n", alias_name="n"))
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__p", pa.array(_part_codes(b["source"], 16)))
+
+    def cut(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("source", "ascending"), ("n", "descending"),
+            ("token", "ascending")])
+        t = t.take(idx)
+        codes = t["source"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1]) \
+            if len(codes) else np.zeros(0, np.int64)
+        lens = np.diff(np.concatenate([starts, [len(codes)]]))
+        within = np.arange(len(codes)) - np.repeat(starts, lens)
+        keep = within < 5
+        return pa.table({
+            "source": t["source"].filter(pa.array(keep)),
+            "token": t["token"].filter(pa.array(keep)),
+            "n": t["n"].filter(pa.array(keep)),
+            "rk": pa.array((within[keep] + 1).astype(np.int64))})
+
+    return counts.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(cut, batch_format="pyarrow")
+
+
+def q_hourly_delta(sf_dir: str):
+    """Hour-over-hour event-count derivative per type (gaps skipped,
+    first observed hour deltas from zero — documented grain).  The
+    hourly reduce is combiner-first; the lag pass is one type-hash
+    partition with a global diff + run-break mask."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.events import _run_breaks
+    from kgforge.functions.joins import _part_codes
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": b["event_type"],
+                      "hour_idx": pa.array(us // 3_600_000_000)})
+        return t.group_by(["event_type", "hour_idx"],
+                          use_threads=False).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["event_type", "hour_idx", "n"])
+
+    hourly = _read(sf_dir, "events", ["event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hour_idx"]).aggregate(
+            Sum("n", alias_name="n"))
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__p", pa.array(_part_codes(b["event_type"], 16)))
+
+    def lagdiff(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("event_type", "ascending"), ("hour_idx", "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        v = t["n"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        brk = _run_breaks(t["event_type"].combine_chunks(),
+                          np.zeros(n, dtype=np.int32))
+        prev = np.concatenate([[np.int64(0)], v[:-1]]) if n else v
+        prev[brk] = 0
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour_idx": t["hour_idx"], "n": pa.array(v),
+            "delta": pa.array(v - prev)})
+
+    return hourly.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(lagdiff, batch_format="pyarrow")
+
+
 def q_late_events(sf_dir: str):
     """Out-of-order arrival QA per user — see
     :func:`kgforge.functions.events.late_events_ds`."""
@@ -4245,6 +4351,8 @@ QUERIES = {
     "markov_stationary": q_markov_stationary,
     "open_orders_curve": q_open_orders_curve,
     "late_events": q_late_events,
+    "top_terms_per_source": q_top_terms_per_source,
+    "hourly_delta": q_hourly_delta,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -4839,6 +4947,31 @@ ORACLE_SQL["kg_walks"] = _dict_oracle.random_walks_sql(
 ORACLE_SQL["kg_pred_card"] = _dict_oracle.pred_card_sql()
 ORACLE_SQL["kg_type_matrix"] = _dict_oracle.type_matrix_sql()
 ORACLE_SQL["markov_stationary"] = _markov_stationary_sql(iters=4)
+ORACLE_SQL["top_terms_per_source"] = r"""
+WITH toks AS (SELECT source,
+                     unnest(regexp_extract_all(text, '\S+')) AS token
+              FROM documents),
+c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY 1, 2),
+r AS (SELECT source, token, n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, token) AS rk
+      FROM c)
+SELECT source, token, n, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 5
+"""
+ORACLE_SQL["hourly_delta"] = """
+WITH h AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                      AS hour_idx,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+SELECT event_type, hour_idx, n,
+       CAST(n - coalesce(lag(n) OVER (PARTITION BY event_type
+                                      ORDER BY hour_idx), 0)
+            AS BIGINT) AS delta
+FROM h
+"""
 ORACLE_SQL["late_events"] = """
 WITH m AS (SELECT user_id, ts,
                   max(ts) OVER (PARTITION BY user_id ORDER BY event_id

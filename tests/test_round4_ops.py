@@ -1855,3 +1855,44 @@ def test_late_events_running_max(ray_session):
     assert out.user_id.tolist() == ["u1", "u2"]
     assert out.n_events.tolist() == [4, 1]
     assert out.n_late.tolist() == [1, 0]
+
+
+def test_top_terms_per_source_cut(ray_session, tmp_path):
+    import pyarrow.parquet as pq2
+
+    from kgforge.pipelines.driver_queries import q_top_terms_per_source
+
+    pq2.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "source": pa.array(["s1", "s1", "s2"], pa.string()),
+        "text": pa.array(["a a b c d e f", "a b", "x"], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_top_terms_per_source(str(tmp_path)).to_pandas() \
+        .sort_values(["source", "rk"]).reset_index(drop=True)
+    s1 = out[out.source == "s1"]
+    # a=3, b=2 then ties broken token-asc: c, d, e (f cut at k=5)
+    assert s1.token.tolist() == ["a", "b", "c", "d", "e"]
+    assert s1.n.tolist() == [3, 2, 1, 1, 1]
+    assert s1.rk.tolist() == [1, 2, 3, 4, 5]
+    assert out[out.source == "s2"].token.tolist() == ["x"]
+
+
+def test_hourly_delta_lag(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq2
+
+    from kgforge.pipelines.driver_queries import q_hourly_delta
+
+    ts = ([dt.datetime(2024, 1, 1, 0)] * 3
+          + [dt.datetime(2024, 1, 1, 1)] * 1
+          + [dt.datetime(2024, 1, 1, 3)] * 4)
+    pq2.write_table(pa.table({
+        "event_type": pa.array(["t"] * 8, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = q_hourly_delta(str(tmp_path)).to_pandas() \
+        .sort_values("hour_idx").reset_index(drop=True)
+    assert out.n.tolist() == [3, 1, 4]
+    # first hour deltas from 0; gap hour (2) skipped by the grain rule
+    assert out.delta.tolist() == [3, -2, 3]
