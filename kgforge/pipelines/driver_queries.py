@@ -3166,7 +3166,7 @@ def q_open_orders_curve(sf_dir: str):
     (calendar-bounded) before the only small shuffle, and the running
     sum folds on the driver over ≤ a-few-thousand day rows."""
     import ray.data as rd
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     from kgforge.functions.joins import cogroup_partition_ds
 
@@ -3180,9 +3180,11 @@ def q_open_orders_curve(sf_dir: str):
         return pa.table({"l_orderkey": g["l_orderkey"],
                          "sday": g["sday_max"]})
 
+    # per-batch partial maxima go STRAIGHT into the cogroup — the
+    # cogroup already groups by orderkey, so the final max folds in
+    # its callback (one shuffle total, not groupby + cogroup)
     close = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
-        .map_batches(ship_day, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Max("sday", alias_name="sday"))
+        .map_batches(ship_day, batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
 
@@ -3196,14 +3198,21 @@ def q_open_orders_curve(sf_dir: str):
                          "delta": g["count_all"].cast(pa.int64())})
 
     def close_delta(t, starts, nl, nr):
-        # left = per-order close day, right = orders: semi-join —
-        # only orders present in both sides close
-        keep = np.repeat(nr > 0, nl + nr)
-        sub = t.filter(pa.array(keep))
-        side = sub["__side"].combine_chunks() \
-            .to_numpy(zero_copy_only=False)
-        return pa.table({
-            "sday": sub["sday"].filter(pa.array(side == 0))})
+        # left = per-batch partial maxima (≥1 row per order), right =
+        # orders: semi-join + per-run max fold in one reduceat pass
+        keep = (nl > 0) & (nr > 0)
+        if not keep.any():
+            return pa.table({"sday": pa.array([], pa.int64())})
+        sd = t["sday"].combine_chunks().to_numpy(zero_copy_only=False)
+        # vectorized gather of the kept runs' LEFT rows (right rows
+        # sit after the left ones inside each run)
+        kstarts, klens = starts[keep], nl[keep]
+        seg = np.concatenate([[0], np.cumsum(klens)[:-1]])
+        within = np.arange(int(klens.sum()), dtype=np.int64) \
+            - np.repeat(seg, klens)
+        lidx = np.repeat(kstarts, klens) + within
+        mx = np.maximum.reduceat(sd[lidx], seg)
+        return pa.table({"sday": pa.array(mx.astype(np.int64))})
 
     closed = cogroup_partition_ds(
         close, orders.map_batches(
