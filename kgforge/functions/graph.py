@@ -1947,3 +1947,161 @@ def random_walks_ds(edges_ds, walks_per_node: int = 2,
         out = out.union(with_step(frontier, s))
 
     return out
+
+
+def typed_paths_ds(edges_ds, src: str = "subj", dst: str = "obj",
+                   src_t: str = "subj_type", dst_t: str = "obj_type",
+                   pred: str = "pred", num_partitions: int = 64):
+    """Typed 2-path wedge census: for every (type_a, type_mid, type_b)
+    triple, the number of ordered paths a–m–b (a ≠ b) in the
+    undirected entity graph, where a node's type is its MIN observed
+    endpoint type.  The KG-schema profiling report: which type
+    patterns actually connect.
+
+    Scale plan: no wedge is ever materialized — per middle node the
+    census needs only its type-degree vector, so the partition kernel
+    builds a (nodes × T) dense count matrix with one ``np.add.at``
+    and reduces each middle-type slice with ONE matmul
+    (``Mᵀ@M − diag(colsum)``); the shuffles carry (node, type)
+    observations and (node, type, count) rows, both ≤ distinct-
+    adjacency-sized, and every partial that reaches the driver is
+    T³-bounded."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from kgforge.functions.joins import _part_codes, cogroup_partition_ds
+
+    def obs(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(b[pred], "mentions"))
+        f = b.filter(keep)
+        return pa.concat_tables([
+            pa.table({"n": f[src], "t": f[src_t]}),
+            pa.table({"n": f[dst], "t": f[dst_t]}),
+        ]).group_by(["n", "t"], use_threads=False).aggregate([])
+
+    nt = edges_ds.map_batches(obs, batch_format="pyarrow") \
+        .groupby("n").aggregate(Min("t", alias_name="t")).materialize()
+    nt_schema = pa.schema([("n", pa.string()), ("t", pa.string())])
+
+    types = sorted(r["t"] for r in nt.map_batches(
+        lambda b: pa.table({"t": b["t"].combine_chunks().unique()}),
+        batch_format="pyarrow").groupby("t").aggregate(
+        Min("t", alias_name="__m")).take_all())
+    tcode = {t: i for i, t in enumerate(types)}
+    T = len(types)
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True)
+
+    def _gather_lr(t, starts, nl, nr):
+        """(lidx, ridx): left rows of runs with both sides, each
+        paired with its run's single right row — the _attach_right
+        index math."""
+        total = nl + nr
+        row_key = np.repeat(np.arange(len(nl)), total)
+        pos = np.arange(len(row_key))
+        in_left = pos < (starts + nl)[row_key]
+        mask = ((nl > 0) & (nr > 0))[row_key] & in_left
+        lidx = np.flatnonzero(mask)
+        return lidx, (starts + nl)[row_key][lidx]
+
+    def attach_t2(t, starts, nl, nr):
+        # left = und rows keyed by n2, right = nt: annotate each und
+        # row with its neighbor's type
+        lidx, ridx = _gather_lr(t, starts, nl, nr)
+        return pa.table({
+            "m": t["n1"].take(pa.array(lidx)),
+            "t2": t["t"].take(pa.array(ridx))})
+
+    adj_t = cogroup_partition_ds(
+        und, nt, "n2", "n", attach_t2, ["n1"], ["t"],
+        num_partitions=num_partitions, right_schema=nt_schema)
+
+    def cnt(b: pa.Table) -> pa.Table:
+        return b.group_by(["m", "t2"], use_threads=False).aggregate(
+            [([], "count_all")]).rename_columns(["m", "t2", "c"])
+
+    c = adj_t.map_batches(cnt, batch_format="pyarrow") \
+        .groupby(["m", "t2"]).aggregate(Sum("c", alias_name="c"))
+
+    def attach_tm(t, starts, nl, nr):
+        lidx, ridx = _gather_lr(t, starts, nl, nr)
+        return pa.table({
+            "m": t["__k"].take(pa.array(lidx)),
+            "tm": t["t"].take(pa.array(ridx)),
+            "t2": t["t2"].take(pa.array(lidx)),
+            "c": t["c"].take(pa.array(lidx))})
+
+    ctm = cogroup_partition_ds(
+        c, nt, "m", "n", attach_tm, ["t2", "c"], ["t"],
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("m", pa.string()),
+                               ("t2", pa.string()),
+                               ("c", pa.int64())]),
+        right_schema=nt_schema)
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"tm": pa.array([], pa.int64()),
+                             "ta": pa.array([], pa.int64()),
+                             "tb": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[("m", "ascending"),
+                                            ("t2", "ascending")])
+        t = t.take(idx)
+        codes = t["m"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        starts = _run_starts(codes)
+        run_id = np.cumsum(
+            np.isin(np.arange(len(codes)), starts)) - 1
+        R = len(starts)
+        M = np.zeros((R, T), dtype=np.int64)
+        t2c = np.array([tcode[x] for x in t["t2"].to_pylist()],
+                       dtype=np.int64)
+        cv = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        np.add.at(M, (run_id, t2c), cv)
+        tmc = np.array([tcode[x] for x in
+                        t["tm"].take(pa.array(starts)).to_pylist()],
+                       dtype=np.int64)
+        out_tm, out_ta, out_tb, out_n = [], [], [], []
+        for ti in range(T):
+            rows = M[tmc == ti]
+            if not len(rows):
+                continue
+            acc = rows.T @ rows
+            acc[np.diag_indices(T)] -= rows.sum(axis=0)
+            nz = np.nonzero(acc)
+            out_tm.append(np.full(len(nz[0]), ti, np.int64))
+            out_ta.append(nz[0].astype(np.int64))
+            out_tb.append(nz[1].astype(np.int64))
+            out_n.append(acc[nz])
+        if not out_tm:
+            return pa.table({"tm": pa.array([], pa.int64()),
+                             "ta": pa.array([], pa.int64()),
+                             "tb": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "tm": pa.array(np.concatenate(out_tm)),
+            "ta": pa.array(np.concatenate(out_ta)),
+            "tb": pa.array(np.concatenate(out_tb)),
+            "n": pa.array(np.concatenate(out_n).astype(np.int64))})
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__p", pa.array(_part_codes(b["m"], num_partitions)))
+
+    partial = ctm.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(
+            lambda t: census(t.drop_columns(["__p"])),
+            batch_format="pyarrow") \
+        .groupby(["tm", "ta", "tb"]).aggregate(
+            Sum("n", alias_name="n_paths")).to_pandas()
+
+    return rd.from_arrow(pa.table({
+        "type_a": pa.array([types[i] for i in partial["ta"]],
+                           pa.string()),
+        "type_mid": pa.array([types[i] for i in partial["tm"]],
+                             pa.string()),
+        "type_b": pa.array([types[i] for i in partial["tb"]],
+                           pa.string()),
+        "n_paths": pa.array(partial["n_paths"].astype(np.int64))}))

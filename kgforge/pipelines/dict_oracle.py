@@ -647,3 +647,26 @@ SELECT st AS subj_type, ot AS obj_type,
        CAST(count(*) AS BIGINT) AS n_edges
 FROM dedge WHERE pred <> 'mentions' GROUP BY 1, 2
 """
+
+
+def typed_paths_sql() -> str:
+    """Typed 2-path wedge census twin of
+    :func:`kgforge.functions.graph.typed_paths_ds`: ordered a–m–b
+    walks (a ≠ b) grouped by node types, node type = min observed
+    endpoint type."""
+    return entity_pairs_prelude() + """,
+tnt AS (SELECT n, min(t) AS t FROM (
+          SELECT subj AS n, subj_type AS t FROM trip
+          WHERE pred <> 'mentions'
+          UNION ALL
+          SELECT obj, obj_type FROM trip WHERE pred <> 'mentions')
+        GROUP BY n),
+tw AS (SELECT l.n2 AS a, l.n1 AS m, r.n2 AS b
+       FROM und l JOIN und r ON r.n1 = l.n1 AND l.n2 <> r.n2)
+SELECT ta.t AS type_a, tm.t AS type_mid, tb.t AS type_b,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM tw JOIN tnt ta ON ta.n = tw.a
+JOIN tnt tm ON tm.n = tw.m
+JOIN tnt tb ON tb.n = tw.b
+GROUP BY 1, 2, 3
+"""

@@ -1486,6 +1486,20 @@ def q_kg_sssp(sf_dir: str):
                          max_hops=4)
 
 
+def q_kg_typed_paths(sf_dir: str):
+    """Typed 2-path wedge census — see
+    :func:`kgforge.functions.graph.typed_paths_ds`."""
+    from kgforge.functions.graph import typed_paths_ds
+
+    edges = _dict_flagship_for(sf_dir)["edges"]
+
+    def ents(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.equal(b["pred"], "mentions")))
+
+    return typed_paths_ds(
+        edges.map_batches(ents, batch_format="pyarrow"))
+
+
 def q_kg_pred_card(sf_dir: str):
     """Per-predicate cardinality QA report over the deduped edge
     table: edge count, distinct subjects/objects, subject fanout ppm.
@@ -4346,6 +4360,7 @@ QUERIES = {
     "kg_sssp": q_kg_sssp,
     "kg_walks": q_kg_walks,
     "kg_pred_card": q_kg_pred_card,
+    "kg_typed_paths": q_kg_typed_paths,
     "band_revenue": q_band_revenue,
     "zipf_slope": q_zipf_slope,
     "lm_perplexity": q_lm_perplexity,
@@ -4954,6 +4969,7 @@ ORACLE_SQL["kg_sssp"] = _dict_oracle.bfs_levels_sql(n_seeds=5,
 ORACLE_SQL["kg_walks"] = _dict_oracle.random_walks_sql(
     walks_per_node=2, walk_len=3)
 ORACLE_SQL["kg_pred_card"] = _dict_oracle.pred_card_sql()
+ORACLE_SQL["kg_typed_paths"] = _dict_oracle.typed_paths_sql()
 ORACLE_SQL["kg_type_matrix"] = _dict_oracle.type_matrix_sql()
 ORACLE_SQL["markov_stationary"] = _markov_stationary_sql(iters=4)
 ORACLE_SQL["top_terms_per_source"] = r"""

@@ -1896,3 +1896,38 @@ def test_hourly_delta_lag(ray_session, tmp_path):
     assert out.n.tolist() == [3, 1, 4]
     # first hour deltas from 0; gap hour (2) skipped by the grain rule
     assert out.delta.tolist() == [3, -2, 3]
+
+
+def test_typed_paths_census_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import typed_paths_ds
+
+    # a(P)-b(L), b(L)-c(P), a(P)-d(O): typed wedges around b and a
+    rows = [("a", "b", "P", "L"), ("b", "c", "L", "P"),
+            ("a", "d", "P", "O")]
+    tbl = pa.table({
+        "subj": pa.array([r[0] for r in rows], pa.string()),
+        "obj": pa.array([r[1] for r in rows], pa.string()),
+        "subj_type": pa.array([r[2] for r in rows], pa.string()),
+        "obj_type": pa.array([r[3] for r in rows], pa.string()),
+        "pred": pa.array(["rel"] * len(rows), pa.string()),
+    })
+    out = typed_paths_ds(rd.from_arrow(tbl).repartition(2),
+                         num_partitions=4).to_pandas()
+    got = {(r.type_a, r.type_mid, r.type_b): int(r.n_paths)
+           for r in out.itertuples()}
+
+    adj = {}
+    ty = {"a": "P", "b": "L", "c": "P", "d": "O"}
+    for s, d, _, _ in rows:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    want = {}
+    for m, nbrs in adj.items():
+        for x in nbrs:
+            for y in nbrs:
+                if x != y:
+                    k = (ty[x], ty[m], ty[y])
+                    want[k] = want.get(k, 0) + 1
+    assert got == want
