@@ -670,3 +670,19 @@ JOIN tnt tm ON tm.n = tw.m
 JOIN tnt tb ON tb.n = tw.b
 GROUP BY 1, 2, 3
 """
+
+
+def entity_density_sql() -> str:
+    """Per-doc mention density twin of ``q_kg_entity_density``."""
+    return corpus_prelude() + """,
+edm AS (SELECT d, CAST(count(*) AS BIGINT) AS n_mentions
+        FROM ments GROUP BY d),
+edc AS (SELECT d, CAST(sum(length(sent_text)) AS BIGINT) AS n_chars
+        FROM sents GROUP BY d)
+SELECT printf('dict-%08d', edc.d) AS doc_id,
+       CAST(coalesce(edm.n_mentions, 0) AS BIGINT) AS n_mentions,
+       edc.n_chars,
+       CAST(coalesce(edm.n_mentions, 0) * 1000000
+            // greatest(edc.n_chars, 1) AS BIGINT) AS density_ppm
+FROM edc LEFT JOIN edm ON edm.d = edc.d
+"""

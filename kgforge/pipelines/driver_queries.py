@@ -1486,6 +1486,59 @@ def q_kg_sssp(sf_dir: str):
                          max_hops=4)
 
 
+def q_kg_entity_density(sf_dir: str):
+    """Per-doc entity density (mentions per char, exact ppm) — the
+    doc-level KG yield signal: low-density docs are candidates for
+    dropping from the extraction corpus.  Per-doc chars and mention
+    counts are combiner-first reduces; the final join is one hash
+    cogroup emitting one row per doc (left-outer: docs with zero
+    mentions keep a row)."""
+    from ray.data.aggregate import Count, Sum
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    res = _dict_flagship_for(sf_dir)
+
+    def chars(b: pa.Table) -> pa.Table:
+        t = pa.table({"doc_id": b["doc_id"],
+                      "c": pc.cast(pc.utf8_length(b["sent_text"]),
+                                   pa.int64())})
+        g = t.group_by("doc_id", use_threads=False).aggregate(
+            [("c", "sum")])
+        return pa.table({"doc_id": g["doc_id"], "c": g["c_sum"]})
+
+    nch = res["sentences"].map_batches(chars, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("c", alias_name="n_chars"))
+    nm = res["mentions"].map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Count(alias_name="n_mentions"))
+
+    def fuse(t, starts, nl, nr):
+        # left = chars (one row per doc), right = mention counts
+        has_l = nl > 0
+        lpos = starts[has_l]
+        c = t["n_chars"].take(pa.array(lpos)).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        m = np.zeros(len(lpos), dtype=np.int64)
+        has_r = (nr > 0)[has_l]
+        rpos = (starts + nl)[has_l][has_r]
+        m[has_r] = t["n_mentions"].take(pa.array(rpos)) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["__k"].take(pa.array(lpos)),
+            "n_mentions": pa.array(m),
+            "n_chars": pa.array(c),
+            "density_ppm": pa.array(m * 1_000_000 // np.maximum(c, 1))})
+
+    return cogroup_partition_ds(
+        nch, nm, "doc_id", "doc_id", fuse, ["n_chars"],
+        ["n_mentions"],
+        left_schema=pa.schema([("doc_id", pa.string()),
+                               ("n_chars", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.string()),
+                                ("n_mentions", pa.int64())]))
+
+
 def q_kg_typed_paths(sf_dir: str):
     """Typed 2-path wedge census — see
     :func:`kgforge.functions.graph.typed_paths_ds`."""
@@ -4361,6 +4414,7 @@ QUERIES = {
     "kg_walks": q_kg_walks,
     "kg_pred_card": q_kg_pred_card,
     "kg_typed_paths": q_kg_typed_paths,
+    "kg_entity_density": q_kg_entity_density,
     "band_revenue": q_band_revenue,
     "zipf_slope": q_zipf_slope,
     "lm_perplexity": q_lm_perplexity,
@@ -4970,6 +5024,7 @@ ORACLE_SQL["kg_walks"] = _dict_oracle.random_walks_sql(
     walks_per_node=2, walk_len=3)
 ORACLE_SQL["kg_pred_card"] = _dict_oracle.pred_card_sql()
 ORACLE_SQL["kg_typed_paths"] = _dict_oracle.typed_paths_sql()
+ORACLE_SQL["kg_entity_density"] = _dict_oracle.entity_density_sql()
 ORACLE_SQL["kg_type_matrix"] = _dict_oracle.type_matrix_sql()
 ORACLE_SQL["markov_stationary"] = _markov_stationary_sql(iters=4)
 ORACLE_SQL["top_terms_per_source"] = r"""
