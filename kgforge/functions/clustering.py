@@ -244,3 +244,67 @@ def embedding_stats_ds(ds, vec_col: str = "embedding",
         })
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def embedding_drift_ds(ds, vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       scale: int = 1_000_000):
+    """Per-dimension distribution drift between the two id-parity
+    halves of an embedding table (the shard-vs-shard / old-vs-new
+    ingest QA: a dimension whose mean moved is a featurization bug or
+    a data-mix shift).  Same integer micro-unit convention as
+    :func:`embedding_stats_ds`; the drift column is one exact-int →
+    double cast + two divisions, bit-identical to the SQL twin.
+
+    Scale shape: one combiner per batch reduces to 2·d rows (parity ×
+    dim), one groupby over those partials — the stream never
+    shuffles."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[vec_col].combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        par = pc.list_parent_indices(col) \
+            .to_numpy(zero_copy_only=False)
+        ids = b[id_col].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        lens = np.bincount(par, minlength=b.num_rows).astype(np.int64)
+        dims = (np.arange(len(flat), dtype=np.int64)
+                - np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]])
+                            .astype(np.int64), lens))
+        parity = (ids % 2)[par].astype(np.int64)
+        micro = round_away(flat * scale, 0).astype(np.int64)
+        d = int(dims.max()) + 1 if len(dims) else 0
+        key = parity * d + dims
+        n = np.bincount(key, minlength=2 * d).astype(np.int64)
+        s = np.zeros(2 * d, dtype=np.int64)
+        np.add.at(s, key, micro)
+        return pa.table({
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), 2)),
+            "parity": pa.array(np.repeat([0, 1], d).astype(np.int64)),
+            "n": pa.array(np.concatenate([n[:d], n[d:]])),
+            "s": pa.array(np.concatenate([s[:d], s[d:]]))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["dim", "parity"]).aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s")) \
+        .to_pandas().sort_values(["dim", "parity"])
+
+    piv = agg.pivot(index="dim", columns="parity", values=["n", "s"]) \
+        .fillna(0).astype(np.int64)
+    dims = piv.index.to_numpy().astype(np.int64)
+    ne = piv[("n", 0)].to_numpy()
+    no = piv[("n", 1)].to_numpy()
+    se = piv[("s", 0)].to_numpy()
+    so = piv[("s", 1)].to_numpy()
+    mean_e = se.astype(np.float64) / np.maximum(ne, 1)
+    mean_o = so.astype(np.float64) / np.maximum(no, 1)
+    return pa.table({
+        "dim": pa.array(dims),
+        "n_even": pa.array(ne), "n_odd": pa.array(no),
+        "sum_even_micro": pa.array(se), "sum_odd_micro": pa.array(so),
+        "drift_micro": pa.array(mean_e - mean_o, pa.float64())})

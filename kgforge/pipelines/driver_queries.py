@@ -1486,6 +1486,15 @@ def q_kg_sssp(sf_dir: str):
                          max_hops=4)
 
 
+def q_embedding_drift(sf_dir: str):
+    """Per-dim parity-half drift QA — see
+    :func:`kgforge.functions.clustering.embedding_drift_ds`."""
+    from kgforge.functions.clustering import embedding_drift_ds
+
+    return embedding_drift_ds(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
 def q_kg_entity_density(sf_dir: str):
     """Per-doc entity density (mentions per char, exact ppm) — the
     doc-level KG yield signal: low-density docs are candidates for
@@ -4415,6 +4424,7 @@ QUERIES = {
     "kg_pred_card": q_kg_pred_card,
     "kg_typed_paths": q_kg_typed_paths,
     "kg_entity_density": q_kg_entity_density,
+    "embedding_drift": q_embedding_drift,
     "band_revenue": q_band_revenue,
     "zipf_slope": q_zipf_slope,
     "lm_perplexity": q_lm_perplexity,
@@ -5025,6 +5035,31 @@ ORACLE_SQL["kg_walks"] = _dict_oracle.random_walks_sql(
 ORACLE_SQL["kg_pred_card"] = _dict_oracle.pred_card_sql()
 ORACLE_SQL["kg_typed_paths"] = _dict_oracle.typed_paths_sql()
 ORACLE_SQL["kg_entity_density"] = _dict_oracle.entity_density_sql()
+ORACLE_SQL["embedding_drift"] = """
+WITH f AS (SELECT vec_id, unnest(embedding) AS e,
+                  generate_subscripts(embedding, 1) AS pos
+           FROM embeddings),
+m AS (SELECT CAST(pos - 1 AS BIGINT) AS dim,
+             CAST(vec_id % 2 AS BIGINT) AS parity,
+             CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)
+                 AS micro
+      FROM f),
+g AS (SELECT dim, parity, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(micro) AS BIGINT) AS s
+      FROM m GROUP BY 1, 2),
+ev AS (SELECT dim, n, s FROM g WHERE parity = 0),
+od AS (SELECT dim, n, s FROM g WHERE parity = 1)
+SELECT coalesce(ev.dim, od.dim) AS dim,
+       CAST(coalesce(ev.n, 0) AS BIGINT) AS n_even,
+       CAST(coalesce(od.n, 0) AS BIGINT) AS n_odd,
+       CAST(coalesce(ev.s, 0) AS BIGINT) AS sum_even_micro,
+       CAST(coalesce(od.s, 0) AS BIGINT) AS sum_odd_micro,
+       CAST(coalesce(ev.s, 0) AS DOUBLE)
+           / greatest(coalesce(ev.n, 0), 1)
+       - CAST(coalesce(od.s, 0) AS DOUBLE)
+           / greatest(coalesce(od.n, 0), 1) AS drift_micro
+FROM ev FULL JOIN od ON ev.dim = od.dim
+"""
 ORACLE_SQL["kg_type_matrix"] = _dict_oracle.type_matrix_sql()
 ORACLE_SQL["markov_stationary"] = _markov_stationary_sql(iters=4)
 ORACLE_SQL["top_terms_per_source"] = r"""

@@ -1931,3 +1931,24 @@ def test_typed_paths_census_bruteforce(ray_session):
                     k = (ty[x], ty[m], ty[y])
                     want[k] = want.get(k, 0) + 1
     assert got == want
+
+
+def test_embedding_drift_parity(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.clustering import embedding_drift_ds
+
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0], [0.0, 2.0], [3.0, 0.0], [0.0, 4.0]],
+            pa.list_(pa.float32())),
+    })
+    out = pa.table(embedding_drift_ds(
+        rd.from_arrow(tbl).repartition(2))).to_pandas() \
+        .sort_values("dim").reset_index(drop=True)
+    # even ids (0, 2): dim0 sums 4e6, dim1 0; odd (1, 3): dim0 0,
+    # dim1 6e6; means over n=2 each
+    assert out.sum_even_micro.tolist() == [4_000_000, 0]
+    assert out.sum_odd_micro.tolist() == [0, 6_000_000]
+    assert out.drift_micro.tolist() == [2_000_000.0, -3_000_000.0]
