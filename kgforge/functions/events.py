@@ -2934,3 +2934,86 @@ def late_events_ds(ds, by: str = "user_id", on: str = "ts",
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("__p").map_groups(per_partition,
                                    batch_format="pyarrow")
+
+
+def window_funnel_ds(ds, steps=("view", "click", "purchase"),
+                     window_us: int = 6 * 3_600_000_000,
+                     by: str = "user_id", type_col: str = "event_type",
+                     on: str = "ts", num_partitions: int = 64):
+    """Windowed funnel (the ClickHouse ``windowFunnel`` shape): per
+    level k, how many users completed steps 0..k-1 on STRICTLY
+    increasing timestamps with the whole chain inside ``window_us`` of
+    its first step (counts are cumulative — level k counts users whose
+    max level ≥ k).  Greedy earliest-next from every step-0 event is
+    exact: for a fixed start, the earliest valid successor dominates
+    any later choice.
+
+    One user-hash shuffle; per partition each step's events form one
+    (user, ts)-sorted structured array and every chain extension is
+    ONE vectorized ``np.searchsorted`` of all live starts against the
+    next step's array — no per-user or per-event Python.  Only
+    per-partition level counters leave the shuffle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    steps = tuple(steps)
+    K = len(steps)
+
+    def tag(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b[type_col],
+                        value_set=pa.array(steps, pa.string()))
+        t = pa.table({by: b[by].filter(mask),
+                      type_col: b[type_col].filter(mask),
+                      "__on": pc.cast(_on_key(b[on].filter(mask)),
+                                      pa.int64())})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t[by], num_partitions)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(by, "ascending"),
+                                            ("__on", "ascending")])
+        t = t.take(idx)
+        ucodes = t[by].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        us = t["__on"].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = t[type_col].to_pylist()
+        sarrs = []
+        for s in steps:
+            m = np.array([x == s for x in ty], dtype=bool)
+            a = np.empty(int(m.sum()), dtype=[("u", "<i8"),
+                                              ("t", "<i8")])
+            a["u"], a["t"] = ucodes[m], us[m]
+            sarrs.append(a)
+        # live starts: one record per step-0 event
+        live = sarrs[0].copy()
+        start_t = live["t"].copy()
+        # level >= 1 users = users with any step-0 event
+        reached = [np.unique(live["u"])]
+        for k in range(1, K):
+            nxt = sarrs[k]
+            if len(live) == 0 or len(nxt) == 0:
+                reached.extend([np.zeros(0, np.int64)] * (K - k))
+                break
+            pos = np.searchsorted(nxt, live, side="right")
+            ok = pos < len(nxt)
+            posc = np.minimum(pos, len(nxt) - 1)
+            ok &= nxt["u"][posc] == live["u"]
+            ok &= nxt["t"][posc] - start_t <= window_us
+            live = nxt[posc[ok]].copy()
+            start_t = start_t[ok]
+            reached.append(np.unique(live["u"]))
+        out_lvl, out_n = [], []
+        for k, users in enumerate(reached, start=1):
+            out_lvl.append(k)
+            out_n.append(len(users))
+        return pa.table({
+            "level": pa.array(out_lvl, pa.int64()),
+            "n_users": pa.array(out_n, pa.int64())})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby("level").aggregate(Sum("n_users",
+                                        alias_name="n_users"))

@@ -1486,6 +1486,17 @@ def q_kg_sssp(sf_dir: str):
                          max_hops=4)
 
 
+def q_window_funnel(sf_dir: str):
+    """Windowed funnel levels (ClickHouse windowFunnel shape) — see
+    :func:`kgforge.functions.events.window_funnel_ds`."""
+    from kgforge.functions.events import window_funnel_ds
+
+    return window_funnel_ds(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        steps=("view", "click", "purchase"),
+        window_us=6 * 3_600_000_000)
+
+
 def q_embedding_drift(sf_dir: str):
     """Per-dim parity-half drift QA — see
     :func:`kgforge.functions.clustering.embedding_drift_ds`."""
@@ -4425,6 +4436,7 @@ QUERIES = {
     "kg_typed_paths": q_kg_typed_paths,
     "kg_entity_density": q_kg_entity_density,
     "embedding_drift": q_embedding_drift,
+    "window_funnel": q_window_funnel,
     "band_revenue": q_band_revenue,
     "zipf_slope": q_zipf_slope,
     "lm_perplexity": q_lm_perplexity,
@@ -5035,6 +5047,27 @@ ORACLE_SQL["kg_walks"] = _dict_oracle.random_walks_sql(
 ORACLE_SQL["kg_pred_card"] = _dict_oracle.pred_card_sql()
 ORACLE_SQL["kg_typed_paths"] = _dict_oracle.typed_paths_sql()
 ORACLE_SQL["kg_entity_density"] = _dict_oracle.entity_density_sql()
+ORACLE_SQL["window_funnel"] = """
+WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
+           FROM events),
+wl1 AS (SELECT DISTINCT u FROM e WHERE et = 'view'),
+wl2 AS (SELECT DISTINCT a.u FROM e a
+        JOIN e b ON b.u = a.u AND b.et = 'click' AND b.t > a.t
+                AND b.t <= a.t + 21600000000
+        WHERE a.et = 'view'),
+wl3 AS (SELECT DISTINCT a.u FROM e a
+        JOIN e b ON b.u = a.u AND b.et = 'click' AND b.t > a.t
+                AND b.t <= a.t + 21600000000
+        JOIN e c ON c.u = a.u AND c.et = 'purchase' AND c.t > b.t
+                AND c.t <= a.t + 21600000000
+        WHERE a.et = 'view')
+SELECT CAST(1 AS BIGINT) AS level,
+       CAST((SELECT count(*) FROM wl1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, (SELECT count(*) FROM wl2)
+UNION ALL
+SELECT 3, (SELECT count(*) FROM wl3)
+"""
 ORACLE_SQL["embedding_drift"] = """
 WITH f AS (SELECT vec_id, unnest(embedding) AS e,
                   generate_subscripts(embedding, 1) AS pos

@@ -1952,3 +1952,41 @@ def test_embedding_drift_parity(ray_session):
     assert out.sum_even_micro.tolist() == [4_000_000, 0]
     assert out.sum_odd_micro.tolist() == [0, 6_000_000]
     assert out.drift_micro.tolist() == [2_000_000.0, -3_000_000.0]
+
+
+def test_window_funnel_levels(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from kgforge.functions.events import window_funnel_ds
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # u1: view 0 -> click 10 -> purchase 20 (all within 30 min)
+        ("u1", "view", at(0)), ("u1", "click", at(10)),
+        ("u1", "purchase", at(20)),
+        # u2: view 0 -> click 10, purchase at 50 (outside window
+        # from the view) -> level 2
+        ("u2", "view", at(0)), ("u2", "click", at(10)),
+        ("u2", "purchase", at(50)),
+        # u3: click before view only -> level 1
+        ("u3", "click", at(0)), ("u3", "view", at(5)),
+        # u4: no view -> not counted at any level
+        ("u4", "purchase", at(0)),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.string()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    out = window_funnel_ds(
+        rd.from_arrow(tbl).repartition(2),
+        window_us=30 * 60_000_000).to_pandas() \
+        .sort_values("level").reset_index(drop=True)
+    assert out.level.tolist() == [1, 2, 3]
+    assert out.n_users.tolist() == [3, 2, 1]
