@@ -195,6 +195,17 @@ def fit(sentences, vocab: dict[str, int], tags=BIO_TAGS,
     top of the fixed seeded BiLSTM encoder.  Deterministic: fixed
     iteration order, no shuffling, integer-free of wall clock."""
     model = BiLstmCrfModel(vocab, tags=tags, seed=seed)
+    fit_epochs(model, sentences, epochs=epochs, lr=lr)
+    return model
+
+
+def fit_epochs(model: BiLstmCrfModel, sentences, epochs: int = 1,
+               lr: float = 0.1) -> int:
+    """Run ``epochs`` perceptron epochs over ``sentences``, updating
+    ``model`` IN PLACE from its current weights (the resumable /
+    parameter-mixing building block).  Returns the last epoch's
+    mistake count.  Same determinism contract as :func:`fit`."""
+    vocab = model.vocab
     tag_to_id = {t: i for i, t in enumerate(model.tags)}
     T = model.T
     # pre-encode every sentence once (encoder is frozen)
@@ -206,6 +217,7 @@ def fit(sentences, vocab: dict[str, int], tags=BIO_TAGS,
         hs = model.encode(ids[None, :])[0]           # [L, 2h]
         encoded.append((hs, ids, [tag_to_id[t] for t in s.tags]))
 
+    n_wrong = 0
     for _ in range(epochs):
         n_wrong = 0
         for hs, ids, gold in encoded:
@@ -229,7 +241,7 @@ def fit(sentences, vocab: dict[str, int], tags=BIO_TAGS,
                     model.unigram[ids[t], yp] -= lr
         if n_wrong == 0:
             break
-    return model
+    return n_wrong
 
 
 def decode_texts(model: BiLstmCrfModel, texts: list[str]

@@ -245,3 +245,58 @@ def train_hmm_distributed(corpus_ds, vocab: dict[str, int],
             a += np.array(row["a"]).reshape(T, T)
             b += np.array(row["b"]).reshape(T, V)
     return hmm_mod.counts_to_model(pi, a, b, vocab, tags)
+
+
+def train_bilstm_distributed(sentences, vocab: dict[str, int],
+                             tags=None, shards: int = 4,
+                             rounds: int = 3,
+                             epochs_per_round: int = 1,
+                             seed: int = 42, lr: float = 0.1):
+    """Distributed structured-perceptron training by ITERATIVE
+    PARAMETER MIXING (McDonald, Hall & Mann, NAACL 2010): the labeled
+    corpus is sharded deterministically (sentence index mod
+    ``shards``); each round, every shard runs ``epochs_per_round``
+    perceptron epochs FROM THE SAME broadcast weights (one Ray task
+    per shard, frozen-encoder model rebuilt from the shared seed), and
+    the trained parameter vectors are uniformly averaged in shard
+    order — so the result is bit-deterministic for a fixed shard
+    count (averaging order fixed; each shard's inner loop is the
+    sequential trainer's).  Weights-in-flight per round: one
+    (proj + bias + unigram + trans + start + stop) tensor set per
+    shard — model-sized, never corpus-sized; the corpus itself ships
+    once per shard as a ``ray.put`` broadcast.
+
+    Contract note: parameter mixing is NOT the sequential perceptron —
+    quality matches within noise (tested ≥ 0.9 P/R on the held-out
+    corpus) but weights differ from :func:`kgforge.oracle.bilstm_crf.fit`;
+    shard count is part of the reproducibility key."""
+    import ray
+
+    from kgforge.oracle import bilstm_crf as B
+
+    tags = tuple(tags) if tags is not None else B.BIO_TAGS
+    parts = [[s for i, s in enumerate(sentences) if i % shards == p]
+             for p in range(shards)]
+    part_refs = [ray.put(p) for p in parts]
+
+    model = B.BiLstmCrfModel(vocab, tags=tags, seed=seed)
+    trained = ("proj", "bias", "unigram", "trans", "start", "stop")
+
+    @ray.remote(num_cpus=1)
+    def shard_epoch(weights: dict, part_ref_inner) -> dict:
+        m = B.BiLstmCrfModel(vocab, tags=tags, seed=seed)
+        for k, v in weights.items():
+            setattr(m, k, v.copy())
+        B.fit_epochs(m, part_ref_inner, epochs=epochs_per_round, lr=lr)
+        return {k: getattr(m, k) for k in trained}
+
+    for _ in range(rounds):
+        w = {k: getattr(model, k) for k in trained}
+        outs = ray.get([shard_epoch.remote(w, ref)
+                        for ref in part_refs])
+        for k in trained:
+            avg = outs[0][k].copy()
+            for o in outs[1:]:          # fixed shard order: exact
+                avg += o[k]
+            setattr(model, k, avg / float(shards))
+    return model

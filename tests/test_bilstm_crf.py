@@ -141,3 +141,29 @@ def test_flagship_with_bilstm_tagger(ray_session, trained, tmp_path):
                        tagger_cls=BiLstmCrfTagger, tagger_concurrency=2)
     assert res["edges"].count() > 0
     assert res["nodes"].count() > 0
+
+
+def test_distributed_parameter_mixing(ray_session, trained):
+    from kgforge.stages.tagger import train_bilstm_distributed
+
+    _, vocab = trained
+    train = generate_corpus(600, seed=42)
+    m1 = train_bilstm_distributed(train, vocab, shards=4, rounds=4,
+                                  epochs_per_round=2)
+    # deterministic for a fixed shard count
+    m2 = train_bilstm_distributed(train, vocab, shards=4, rounds=4,
+                                  epochs_per_round=2)
+    assert np.array_equal(m1.proj, m2.proj)
+    assert np.array_equal(m1.unigram, m2.unigram)
+    assert np.array_equal(m1.trans, m2.trans)
+
+    # quality within noise of the sequential trainer on held-out data
+    test = generate_corpus(200, seed=99)
+    pred = B.decode_texts(m1, [s.text for s in test])
+    gold_n = pred_n = hit = 0
+    for s, p in zip(test, pred):
+        g, q = set(extract_entities(s.tags)), set(extract_entities(p))
+        gold_n += len(g)
+        pred_n += len(q)
+        hit += len(g & q)
+    assert hit / pred_n > 0.9 and hit / gold_n > 0.9
