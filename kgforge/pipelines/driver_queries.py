@@ -1486,6 +1486,42 @@ def q_kg_sssp(sf_dir: str):
                          max_hops=4)
 
 
+def q_bilstm_mix_prf(sf_dir: str):
+    """Held-out P/R of the DISTRIBUTED (parameter-mixing) BiLSTM-CRF
+    trainer — rows-only by nature (model training; no SQL twin).
+    Proves the distributed trainer end-to-end inside the driver
+    contract: shards train in parallel Ray tasks, averaged weights
+    decode the held-out corpus."""
+    import ray.data as rd
+
+    from kgforge.oracle import bilstm_crf as B
+    from kgforge.oracle.corpus import generate_corpus
+    from kgforge.oracle.labels import extract_entities
+    from kgforge.oracle.vocab import build_vocab, count_chars
+    from kgforge.stages.tagger import train_bilstm_distributed
+
+    train = generate_corpus(400, seed=42)
+    vocab = build_vocab(count_chars(train))
+    model = train_bilstm_distributed(train, vocab, shards=4,
+                                     rounds=3, epochs_per_round=2)
+    test = generate_corpus(150, seed=99)
+    pred = B.decode_texts(model, [s.text for s in test])
+    gold_n = pred_n = hit = 0
+    for s, p in zip(test, pred):
+        g, q = set(extract_entities(s.tags)), set(extract_entities(p))
+        gold_n += len(g)
+        pred_n += len(q)
+        hit += len(g & q)
+    return rd.from_arrow(pa.table({
+        "gold": pa.array([gold_n], pa.int64()),
+        "pred": pa.array([pred_n], pa.int64()),
+        "hit": pa.array([hit], pa.int64()),
+        "precision_ppm": pa.array(
+            [hit * 1_000_000 // max(pred_n, 1)], pa.int64()),
+        "recall_ppm": pa.array(
+            [hit * 1_000_000 // max(gold_n, 1)], pa.int64())}))
+
+
 def q_window_funnel(sf_dir: str):
     """Windowed funnel levels (ClickHouse windowFunnel shape) — see
     :func:`kgforge.functions.events.window_funnel_ds`."""
@@ -4437,6 +4473,7 @@ QUERIES = {
     "kg_entity_density": q_kg_entity_density,
     "embedding_drift": q_embedding_drift,
     "window_funnel": q_window_funnel,
+    "bilstm_mix_prf": q_bilstm_mix_prf,
     "band_revenue": q_band_revenue,
     "zipf_slope": q_zipf_slope,
     "lm_perplexity": q_lm_perplexity,
