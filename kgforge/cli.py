@@ -170,9 +170,46 @@ def main(argv=None) -> int:
     f.add_argument("--out", required=True)
     f.set_defaults(fn=cmd_flagship)
 
+    q = sub.add_parser("query", help="run a registry operator by name")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", required=True)
+    q.add_argument("--out", default=None,
+                   help="parquet output path (default: print head)")
+    q.set_defaults(fn=cmd_query)
+
     args = ap.parse_args(argv)
     args.fn(args)
     return 0
+
+
+def cmd_query(args) -> None:
+    """Run any registry operator over a table dir; write parquet or
+    print the head — the "switch one pipeline over" entry point."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _ray()
+    from kgforge.pipelines.driver_queries import QUERIES
+
+    if args.name not in QUERIES:
+        close = [n for n in sorted(QUERIES) if args.name in n]
+        raise SystemExit(f"unknown query {args.name!r}; close: {close}")
+    res = QUERIES[args.name](args.sf_dir)
+    if hasattr(res, "to_arrow_refs"):           # ray Dataset
+        import ray
+
+        tbl = pa.concat_tables(ray.get(res.to_arrow_refs()))
+    elif isinstance(res, pa.Table):
+        tbl = res
+    else:                                       # pandas
+        tbl = pa.Table.from_pandas(res)
+    if args.out:
+        pq.write_table(tbl, args.out)
+        print(json.dumps({"query": args.name, "rows": tbl.num_rows,
+                          "out": args.out}))
+    else:
+        print(tbl.slice(0, 20).to_pandas().to_string())
+        print(f"... {tbl.num_rows} rows")
 
 
 if __name__ == "__main__":

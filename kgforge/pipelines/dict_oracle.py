@@ -686,3 +686,13 @@ SELECT printf('dict-%08d', edc.d) AS doc_id,
             // greatest(edc.n_chars, 1) AS BIGINT) AS density_ppm
 FROM edc LEFT JOIN edm ON edm.d = edc.d
 """
+
+
+def entity_span_sql() -> str:
+    """Entity lifespan twin of ``q_kg_entity_span``."""
+    return corpus_prelude() + """
+SELECT surface, printf('dict-%08d', min(d)) AS first_doc,
+       printf('dict-%08d', max(d)) AS last_doc,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+FROM ments GROUP BY surface
+"""

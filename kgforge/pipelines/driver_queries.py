@@ -1542,6 +1542,32 @@ def q_embedding_drift(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def q_kg_entity_span(sf_dir: str):
+    """Entity lifespan over the corpus: per surface, first/last doc id
+    and distinct-doc support — the churn signal for incremental KG
+    maintenance (short-lived surfaces are extraction noise).  One
+    groupby over per-batch (surface, doc) partial distincts."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ments = _dict_flagship_for(sf_dir)["mentions"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({"surface": b["surface"],
+                         "doc_id": b["doc_id"]}) \
+            .group_by(["surface", "doc_id"],
+                      use_threads=False).aggregate([])
+
+    return ments.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["surface", "doc_id"]) \
+        .aggregate(Count(alias_name="__c")) \
+        .map_batches(lambda b: b.select(["surface", "doc_id"]),
+                     batch_format="pyarrow") \
+        .groupby("surface").aggregate(
+            Min("doc_id", alias_name="first_doc"),
+            Max("doc_id", alias_name="last_doc"),
+            Count(alias_name="n_docs"))
+
+
 def q_kg_entity_density(sf_dir: str):
     """Per-doc entity density (mentions per char, exact ppm) — the
     doc-level KG yield signal: low-density docs are candidates for
@@ -4471,6 +4497,7 @@ QUERIES = {
     "kg_pred_card": q_kg_pred_card,
     "kg_typed_paths": q_kg_typed_paths,
     "kg_entity_density": q_kg_entity_density,
+    "kg_entity_span": q_kg_entity_span,
     "embedding_drift": q_embedding_drift,
     "window_funnel": q_window_funnel,
     "bilstm_mix_prf": q_bilstm_mix_prf,
@@ -5084,6 +5111,7 @@ ORACLE_SQL["kg_walks"] = _dict_oracle.random_walks_sql(
 ORACLE_SQL["kg_pred_card"] = _dict_oracle.pred_card_sql()
 ORACLE_SQL["kg_typed_paths"] = _dict_oracle.typed_paths_sql()
 ORACLE_SQL["kg_entity_density"] = _dict_oracle.entity_density_sql()
+ORACLE_SQL["kg_entity_span"] = _dict_oracle.entity_span_sql()
 ORACLE_SQL["window_funnel"] = """
 WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
            FROM events),
