@@ -2105,3 +2105,67 @@ def typed_paths_ds(edges_ds, src: str = "subj", dst: str = "obj",
         "type_b": pa.array([types[i] for i in partial["tb"]],
                            pa.string()),
         "n_paths": pa.array(partial["n_paths"].astype(np.int64))}))
+
+
+def compose_edges_ds(edges_ds, pred_a: str, pred_b: str,
+                     out_pred: str, src: str = "subj",
+                     dst: str = "obj", pred: str = "pred",
+                     num_partitions: int = 64):
+    """Horn-rule edge composition (KG inference):
+    ``pred_a(x, y) ∧ pred_b(y, z) → out_pred(x, z)``, distinct.  The
+    canonical enrichment step after extraction — e.g. works_at ∘
+    located_in → based_in.
+
+    Scale plan: both sides are pred-filtered BEFORE the exchange, meet
+    in ONE hash cogroup on the shared middle node, and the per-key
+    cross product is a vectorized repeat/tile expansion over run
+    offsets (fanout = deg_a(y) × deg_b(y) per middle node — the
+    wedge-enumeration hub contract applies: cap or pre-aggregate hub
+    middles upstream).  The distinct is one pair-keyed groupby of the
+    inferred pairs, never the inputs."""
+    from ray.data.aggregate import Count
+
+    def side(p: str, keep_src: bool, vcol: str):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.equal(b[pred], p)
+            return pa.table({
+                "k": (b[dst] if keep_src else b[src]).filter(m),
+                vcol: (b[src] if keep_src else b[dst]).filter(m)})
+        return edges_ds.map_batches(f, batch_format="pyarrow")
+
+    left = side(pred_a, True, "xa")    # keyed by y, value x
+    right = side(pred_b, False, "zb")  # keyed by y, value z
+
+    def cross(t, starts, nl, nr):
+        both = (nl > 0) & (nr > 0)
+        if not both.any():
+            return pa.table({src: pa.array([], pa.string()),
+                             dst: pa.array([], pa.string())})
+        ks, kl, kr = starts[both], nl[both], nr[both]
+        pairs = kl * kr
+        tot = int(pairs.sum())
+        base = np.concatenate([[0], np.cumsum(pairs)[:-1]])
+        within = np.arange(tot, dtype=np.int64) - np.repeat(base, pairs)
+        li = np.repeat(ks, pairs) + within // np.repeat(kr, pairs)
+        ri = np.repeat(ks + kl, pairs) + within % np.repeat(kr, pairs)
+        return pa.table({src: t["xa"].take(pa.array(li)),
+                         dst: t["zb"].take(pa.array(ri))})
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    pairs = cogroup_partition_ds(
+        left, right, "k", "k", cross, ["xa"], ["zb"],
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("k", pa.string()),
+                               ("xa", pa.string())]),
+        right_schema=pa.schema([("k", pa.string()),
+                                ("zb", pa.string())]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            src: b[src], pred: pa.array([out_pred] * b.num_rows,
+                                        pa.string()), dst: b[dst]})
+
+    return pairs.groupby([src, dst]) \
+        .aggregate(Count(alias_name="__c")) \
+        .map_batches(finish, batch_format="pyarrow")

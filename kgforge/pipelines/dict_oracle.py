@@ -696,3 +696,14 @@ SELECT surface, printf('dict-%08d', min(d)) AS first_doc,
        CAST(count(DISTINCT d) AS BIGINT) AS n_docs
 FROM ments GROUP BY surface
 """
+
+
+def inferred_sql(pred_a: str = "works_at", pred_b: str = "located_in",
+                 out_pred: str = "based_in") -> str:
+    """Horn-rule composition twin of ``q_kg_inferred``."""
+    return _triples_ctes() + f""",
+idtr AS (SELECT DISTINCT subj, pred, obj FROM trip)
+SELECT DISTINCT a.subj, '{out_pred}' AS pred, b.obj
+FROM idtr a JOIN idtr b ON b.subj = a.obj
+WHERE a.pred = '{pred_a}' AND b.pred = '{pred_b}'
+"""

@@ -1542,6 +1542,16 @@ def q_embedding_drift(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def q_kg_inferred(sf_dir: str):
+    """Horn-rule inference: works_at(x, y) ∧ located_in(y, z) →
+    based_in(x, z) — see
+    :func:`kgforge.functions.graph.compose_edges_ds`."""
+    from kgforge.functions.graph import compose_edges_ds
+
+    return compose_edges_ds(_dict_flagship_for(sf_dir)["edges"],
+                            "works_at", "located_in", "based_in")
+
+
 def q_kg_entity_span(sf_dir: str):
     """Entity lifespan over the corpus: per surface, first/last doc id
     and distinct-doc support — the churn signal for incremental KG
@@ -4498,6 +4508,7 @@ QUERIES = {
     "kg_typed_paths": q_kg_typed_paths,
     "kg_entity_density": q_kg_entity_density,
     "kg_entity_span": q_kg_entity_span,
+    "kg_inferred": q_kg_inferred,
     "embedding_drift": q_embedding_drift,
     "window_funnel": q_window_funnel,
     "bilstm_mix_prf": q_bilstm_mix_prf,
@@ -5112,6 +5123,7 @@ ORACLE_SQL["kg_pred_card"] = _dict_oracle.pred_card_sql()
 ORACLE_SQL["kg_typed_paths"] = _dict_oracle.typed_paths_sql()
 ORACLE_SQL["kg_entity_density"] = _dict_oracle.entity_density_sql()
 ORACLE_SQL["kg_entity_span"] = _dict_oracle.entity_span_sql()
+ORACLE_SQL["kg_inferred"] = _dict_oracle.inferred_sql()
 ORACLE_SQL["window_funnel"] = """
 WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
            FROM events),

@@ -1990,3 +1990,25 @@ def test_window_funnel_levels(ray_session):
         .sort_values("level").reset_index(drop=True)
     assert out.level.tolist() == [1, 2, 3]
     assert out.n_users.tolist() == [3, 2, 1]
+
+
+def test_compose_edges_horn_rule(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import compose_edges_ds
+
+    rows = [("p1", "works_at", "o1"), ("p2", "works_at", "o1"),
+            ("o1", "located_in", "l1"), ("o1", "located_in", "l2"),
+            ("p3", "works_at", "o2"),          # o2 has no location
+            ("p1", "visited", "l9")]           # other pred ignored
+    tbl = pa.table({
+        "subj": pa.array([r[0] for r in rows], pa.string()),
+        "pred": pa.array([r[1] for r in rows], pa.string()),
+        "obj": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = compose_edges_ds(rd.from_arrow(tbl).repartition(2),
+                           "works_at", "located_in", "based_in",
+                           num_partitions=4).to_pandas()
+    got = {(r.subj, r.pred, r.obj) for r in out.itertuples()}
+    assert got == {("p1", "based_in", "l1"), ("p1", "based_in", "l2"),
+                   ("p2", "based_in", "l1"), ("p2", "based_in", "l2")}
