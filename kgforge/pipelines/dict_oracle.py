@@ -707,3 +707,22 @@ SELECT DISTINCT a.subj, '{out_pred}' AS pred, b.obj
 FROM idtr a JOIN idtr b ON b.subj = a.obj
 WHERE a.pred = '{pred_a}' AND b.pred = '{pred_b}'
 """
+
+
+def reciprocity_sql() -> str:
+    """Per-pred reciprocity twin of ``q_kg_reciprocity``."""
+    return _triples_ctes() + """,
+rdtr AS (SELECT DISTINCT subj, pred, obj FROM trip
+         WHERE pred <> 'mentions' AND subj <> obj),
+rr AS (SELECT a.pred, CAST(count(*) AS BIGINT) AS n_reciprocal
+       FROM rdtr a JOIN rdtr b ON b.pred = a.pred
+        AND b.subj = a.obj AND b.obj = a.subj
+       GROUP BY 1),
+re AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_edges
+       FROM rdtr GROUP BY 1)
+SELECT re.pred, re.n_edges,
+       CAST(coalesce(rr.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+       CAST(coalesce(rr.n_reciprocal, 0) * 1000000
+            // greatest(re.n_edges, 1) AS BIGINT) AS reciprocity_ppm
+FROM re LEFT JOIN rr ON rr.pred = re.pred
+"""

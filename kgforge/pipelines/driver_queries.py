@@ -1542,6 +1542,56 @@ def q_embedding_drift(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def q_kg_reciprocity(sf_dir: str):
+    """Per-predicate reciprocity QA: how many directed edges have
+    their reverse under the same predicate (symmetric predicates —
+    colleague_of, partner_of — should score high; functional ones
+    near zero; anything in between is extraction noise).  One groupby
+    on the canonical (pred, lo, hi) pair key with direction-flag
+    maxes, one pred-grain fold — shuffles carry distinct pairs."""
+    from ray.data.aggregate import Max, Sum
+
+    edges = _dict_flagship_for(sf_dir)["edges"]
+
+    def canon(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.invert(pc.equal(b["pred"], "mentions")),
+                       pc.invert(pc.equal(b["subj"], b["obj"])))
+        f = b.filter(keep)
+        lt = pc.less(f["subj"], f["obj"])
+        lo = pc.if_else(lt, f["subj"], f["obj"])
+        hi = pc.if_else(lt, f["obj"], f["subj"])
+        fwd = pc.cast(lt, pa.int64())
+        return pa.table({
+            "pred": f["pred"], "lo": lo, "hi": hi,
+            "d1": fwd,
+            "d2": pc.subtract(pa.scalar(1, pa.int64()), fwd)})
+
+    pairs = edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby(["pred", "lo", "hi"]) \
+        .aggregate(Max("d1", alias_name="d1"),
+                   Max("d2", alias_name="d2"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        d1 = b["d1"].combine_chunks().to_numpy(zero_copy_only=False)
+        d2 = b["d2"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pred": b["pred"],
+            "n": pa.array(d1 + d2),
+            "recip": pa.array(((d1 & d2) * 2).astype(np.int64))})
+
+    agg = pairs.map_batches(fold, batch_format="pyarrow") \
+        .groupby("pred").aggregate(
+            Sum("n", alias_name="n_edges"),
+            Sum("recip", alias_name="n_reciprocal")).to_pandas()
+    ne = agg["n_edges"].to_numpy().astype(np.int64)
+    nr = agg["n_reciprocal"].to_numpy().astype(np.int64)
+    return pa.table({
+        "pred": pa.array(agg["pred"], pa.string()),
+        "n_edges": pa.array(ne), "n_reciprocal": pa.array(nr),
+        "reciprocity_ppm": pa.array(
+            nr * 1_000_000 // np.maximum(ne, 1))})
+
+
 def q_kg_inferred(sf_dir: str):
     """Horn-rule inference: works_at(x, y) ∧ located_in(y, z) →
     based_in(x, z) — see
@@ -4509,6 +4559,7 @@ QUERIES = {
     "kg_entity_density": q_kg_entity_density,
     "kg_entity_span": q_kg_entity_span,
     "kg_inferred": q_kg_inferred,
+    "kg_reciprocity": q_kg_reciprocity,
     "embedding_drift": q_embedding_drift,
     "window_funnel": q_window_funnel,
     "bilstm_mix_prf": q_bilstm_mix_prf,
@@ -5124,6 +5175,7 @@ ORACLE_SQL["kg_typed_paths"] = _dict_oracle.typed_paths_sql()
 ORACLE_SQL["kg_entity_density"] = _dict_oracle.entity_density_sql()
 ORACLE_SQL["kg_entity_span"] = _dict_oracle.entity_span_sql()
 ORACLE_SQL["kg_inferred"] = _dict_oracle.inferred_sql()
+ORACLE_SQL["kg_reciprocity"] = _dict_oracle.reciprocity_sql()
 ORACLE_SQL["window_funnel"] = """
 WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
            FROM events),

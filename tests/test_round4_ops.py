@@ -2012,3 +2012,36 @@ def test_compose_edges_horn_rule(ray_session):
     got = {(r.subj, r.pred, r.obj) for r in out.itertuples()}
     assert got == {("p1", "based_in", "l1"), ("p1", "based_in", "l2"),
                    ("p2", "based_in", "l1"), ("p2", "based_in", "l2")}
+
+
+def test_kg_reciprocity_shape(ray_session, tmp_path):
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum  # noqa: F401
+
+    # direct unit test of the canonical-pair fold via the query's
+    # building blocks: symmetric pred p (a<->b), asymmetric q (a->b)
+    from kgforge.pipelines import driver_queries as dq
+
+    edges = pa.table({
+        "subj": pa.array(["a", "b", "a", "c"], pa.string()),
+        "pred": pa.array(["p", "p", "q", "q"], pa.string()),
+        "obj": pa.array(["b", "a", "b", "c"], pa.string()),
+        "subj_type": pa.array(["X"] * 4, pa.string()),
+        "obj_type": pa.array(["X"] * 4, pa.string()),
+    })
+    old = dq._DICT_FLAGSHIP_CACHE.get("__recip_test__")
+    dq._DICT_FLAGSHIP_CACHE["__recip_test__"] = {
+        "edges": rd.from_arrow(edges).repartition(2)}
+    try:
+        out = pa.table(dq.q_kg_reciprocity("__recip_test__")) \
+            .to_pandas().sort_values("pred").reset_index(drop=True)
+    finally:
+        if old is None:
+            dq._DICT_FLAGSHIP_CACHE.pop("__recip_test__", None)
+        else:
+            dq._DICT_FLAGSHIP_CACHE["__recip_test__"] = old
+    # self-loop (c,q,c) dropped; p: 2 edges both reciprocal; q: 1 edge
+    assert out.pred.tolist() == ["p", "q"]
+    assert out.n_edges.tolist() == [2, 1]
+    assert out.n_reciprocal.tolist() == [2, 0]
+    assert out.reciprocity_ppm.tolist() == [1_000_000, 0]
