@@ -1542,6 +1542,63 @@ def q_embedding_drift(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def q_media_census(sf_dir: str):
+    """Media-span census over the interleaved T0 table: per kind, the
+    span/doc/distinct-ref counts (the ingest dashboard row before any
+    decode work is scheduled).  Per-batch (kind, doc/ref) partial
+    distincts → kind-grain reduces; spans never shuffle raw."""
+    from ray.data.aggregate import Count, Sum
+
+    spans = explode_t0_ds(derive_t0_ds(sf_dir))
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.invert(pc.equal(b["kind"], "text")))
+        t = pa.table({"kind": f["kind"], "doc_id": f["doc_id"],
+                      "media_ref": f["media_ref"]})
+        g = t.group_by(["kind", "doc_id", "media_ref"],
+                       use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"kind": g["kind"], "doc_id": g["doc_id"],
+                         "media_ref": g["media_ref"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    fine = spans.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["kind", "doc_id", "media_ref"]) \
+        .aggregate(Sum("n", alias_name="n")).materialize()
+
+    def docs_partial(b: pa.Table) -> pa.Table:
+        return b.select(["kind", "doc_id"]).group_by(
+            ["kind", "doc_id"], use_threads=False).aggregate([])
+
+    n_docs = fine.map_batches(docs_partial, batch_format="pyarrow") \
+        .groupby(["kind", "doc_id"]).aggregate(Count(alias_name="c")) \
+        .groupby("kind").aggregate(Count(alias_name="n_docs")) \
+        .to_pandas().set_index("kind")["n_docs"]
+
+    def refs_partial(b: pa.Table) -> pa.Table:
+        return b.select(["kind", "media_ref"]).group_by(
+            ["kind", "media_ref"], use_threads=False).aggregate([])
+
+    n_refs = fine.map_batches(refs_partial, batch_format="pyarrow") \
+        .groupby(["kind", "media_ref"]) \
+        .aggregate(Count(alias_name="c")) \
+        .groupby("kind").aggregate(Count(alias_name="n_refs")) \
+        .to_pandas().set_index("kind")["n_refs"]
+
+    n_spans = fine.groupby("kind") \
+        .aggregate(Sum("n", alias_name="n_spans")).to_pandas() \
+        .set_index("kind")["n_spans"]
+    kinds = sorted(n_spans.index)
+    return pa.table({
+        "kind": pa.array(kinds, pa.string()),
+        "n_spans": pa.array([int(n_spans[k]) for k in kinds],
+                            pa.int64()),
+        "n_docs": pa.array([int(n_docs[k]) for k in kinds],
+                           pa.int64()),
+        "n_refs": pa.array([int(n_refs[k]) for k in kinds],
+                           pa.int64())})
+
+
 def q_kg_reciprocity(sf_dir: str):
     """Per-predicate reciprocity QA: how many directed edges have
     their reverse under the same predicate (symmetric predicates —
@@ -4560,6 +4617,7 @@ QUERIES = {
     "kg_entity_span": q_kg_entity_span,
     "kg_inferred": q_kg_inferred,
     "kg_reciprocity": q_kg_reciprocity,
+    "media_census": q_media_census,
     "embedding_drift": q_embedding_drift,
     "window_funnel": q_window_funnel,
     "bilstm_mix_prf": q_bilstm_mix_prf,
@@ -5176,6 +5234,15 @@ ORACLE_SQL["kg_entity_density"] = _dict_oracle.entity_density_sql()
 ORACLE_SQL["kg_entity_span"] = _dict_oracle.entity_span_sql()
 ORACLE_SQL["kg_inferred"] = _dict_oracle.inferred_sql()
 ORACLE_SQL["kg_reciprocity"] = _dict_oracle.reciprocity_sql()
+ORACLE_SQL["media_census"] = f"""
+WITH m AS (SELECT printf('doc-%08d', doc_id) AS doc_id,
+                  {_KIND_CASE} AS kind, {_MEDIA_REF} AS media_ref
+           FROM documents)
+SELECT kind, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT media_ref) AS BIGINT) AS n_refs
+FROM m GROUP BY 1
+"""
 ORACLE_SQL["window_funnel"] = """
 WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
            FROM events),
