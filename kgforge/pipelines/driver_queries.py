@@ -1542,6 +1542,52 @@ def q_embedding_drift(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def q_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix, exact integer
+    micro-nats: with L(x) = round(ln(x)·1e6), entropy_micro =
+    (n·L(n) − Σ_t c_t·L(c_t)) // n — all-integer once the shared
+    L grid is fixed, so both engines agree bit-for-bit (numerator
+    non-negative by concavity, // == floor).  The diversity signal
+    for bot/script detection.  One (user, type) count reduce, then a
+    user-grain fold — cells shuffle, never events."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "event_type": b["event_type"]}) \
+            .group_by(["user_id", "event_type"],
+                      use_threads=False).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["user_id", "event_type", "c"])
+
+    cells = _read(sf_dir, "events", ["user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]).aggregate(
+            Sum("c", alias_name="c"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        c = b["c"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lc = round_away(np.log(c) * 1_000_000, 0).astype(np.int64)
+        return pa.table({"user_id": b["user_id"],
+                         "c": pa.array(c),
+                         "clc": pa.array(c * lc)})
+
+    agg = cells.map_batches(fold, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Sum("c", alias_name="n_events"),
+            Sum("clc", alias_name="sum_clc")).to_pandas()
+    n = agg["n_events"].to_numpy().astype(np.int64)
+    ln_n = round_away(np.log(n) * 1_000_000, 0).astype(np.int64)
+    ent = (n * ln_n - agg["sum_clc"].to_numpy().astype(np.int64)) // n
+    return pa.table({
+        "user_id": pa.Array.from_pandas(agg["user_id"]),
+        "n_events": pa.array(n),
+        "entropy_micro": pa.array(ent.astype(np.int64))})
+
+
 def q_media_census(sf_dir: str):
     """Media-span census over the interleaved T0 table: per kind, the
     span/doc/distinct-ref counts (the ingest dashboard row before any
@@ -4618,6 +4664,7 @@ QUERIES = {
     "kg_inferred": q_kg_inferred,
     "kg_reciprocity": q_kg_reciprocity,
     "media_census": q_media_census,
+    "user_entropy": q_user_entropy,
     "embedding_drift": q_embedding_drift,
     "window_funnel": q_window_funnel,
     "bilstm_mix_prf": q_bilstm_mix_prf,
@@ -5234,6 +5281,19 @@ ORACLE_SQL["kg_entity_density"] = _dict_oracle.entity_density_sql()
 ORACLE_SQL["kg_entity_span"] = _dict_oracle.entity_span_sql()
 ORACLE_SQL["kg_inferred"] = _dict_oracle.inferred_sql()
 ORACLE_SQL["kg_reciprocity"] = _dict_oracle.reciprocity_sql()
+ORACLE_SQL["user_entropy"] = """
+WITH c AS (SELECT user_id, event_type,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT))
+                  AS BIGINT) AS sum_clc
+      FROM c GROUP BY 1)
+SELECT user_id, n AS n_events,
+       CAST((n * CAST(round(ln(n) * 1000000) AS BIGINT) - sum_clc)
+            // n AS BIGINT) AS entropy_micro
+FROM u
+"""
 ORACLE_SQL["media_census"] = f"""
 WITH m AS (SELECT printf('doc-%08d', doc_id) AS doc_id,
                   {_KIND_CASE} AS kind, {_MEDIA_REF} AS media_ref

@@ -2045,3 +2045,34 @@ def test_kg_reciprocity_shape(ray_session, tmp_path):
     assert out.n_edges.tolist() == [2, 1]
     assert out.n_reciprocal.tolist() == [2, 0]
     assert out.reciprocity_ppm.tolist() == [1_000_000, 0]
+
+
+def test_user_entropy_integer_grid(ray_session, tmp_path):
+    import datetime as dt
+    import math
+
+    import pyarrow.parquet as pq2
+
+    from kgforge.pipelines.driver_queries import q_user_entropy
+
+    # u1: 2×a, 2×b (max entropy for 2 types); u2: 4×a (zero entropy)
+    types = ["a", "b", "a", "b", "a", "a", "a", "a"]
+    users = [1, 1, 1, 1, 2, 2, 2, 2]
+    pq2.write_table(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "ts": pa.array([dt.datetime(2024, 1, 1)] * 8,
+                       pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = pa.table(q_user_entropy(str(tmp_path))).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+
+    def L(x):
+        return int(math.floor(math.log(x) * 1e6 + 0.5))
+
+    assert out.n_events.tolist() == [4, 4]
+    assert out.entropy_micro.tolist() == [
+        (4 * L(4) - (2 * L(2) + 2 * L(2))) // 4,   # = ln 2 micro
+        (4 * L(4) - 4 * L(4)) // 4,                 # = 0
+    ]
+    assert out.entropy_micro.tolist()[0] == 693147
