@@ -1542,6 +1542,65 @@ def q_embedding_drift(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def q_dau_stickiness(sf_dir: str):
+    """DAU / MAU stickiness per day (the product-analytics engagement
+    ratio), exact integer ppm.  Two pair-distinct reduces — (day,
+    user) and (month, user) — shuffle distinct pairs, never events;
+    the month MAU table is calendar-bounded and broadcast-joined on
+    the driver."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        t = pa.table({"day": pa.array(day), "user_id": b["user_id"]})
+        return t.group_by(["day", "user_id"],
+                          use_threads=False).aggregate([])
+
+    dau = ev.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["day", "user_id"]).aggregate(Count(alias_name="c")) \
+        .map_batches(lambda b: b.select(["day", "user_id"]),
+                     batch_format="pyarrow") \
+        .groupby("day").aggregate(Count(alias_name="dau")) \
+        .to_pandas().sort_values("day")
+
+    def mpairs(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        # calendar month id = year*12 + (month-1), via epoch day →
+        # the SQL twin uses year()/month(); match with a datetime64
+        # roundtrip (exact: both engines read the same timestamps)
+        days = (us // 86_400_000_000).astype("datetime64[D]")
+        months = days.astype("datetime64[M]").astype(np.int64)
+        t = pa.table({"month": pa.array(months),
+                      "user_id": b["user_id"]})
+        return t.group_by(["month", "user_id"],
+                          use_threads=False).aggregate([])
+
+    mau = ev.map_batches(mpairs, batch_format="pyarrow") \
+        .groupby(["month", "user_id"]) \
+        .aggregate(Count(alias_name="c")) \
+        .map_batches(lambda b: b.select(["month", "user_id"]),
+                     batch_format="pyarrow") \
+        .groupby("month").aggregate(Count(alias_name="mau")) \
+        .to_pandas()
+    mau_of = dict(zip(mau["month"].astype(np.int64),
+                      mau["mau"].astype(np.int64)))
+
+    days = dau["day"].to_numpy().astype(np.int64)
+    months = days.astype("datetime64[D]").astype("datetime64[M]") \
+        .astype(np.int64)
+    dv = dau["dau"].to_numpy().astype(np.int64)
+    mv = np.array([mau_of[m] for m in months], dtype=np.int64)
+    return pa.table({
+        "day": pa.array(days), "dau": pa.array(dv),
+        "mau": pa.array(mv),
+        "stickiness_ppm": pa.array(dv * 1_000_000 // mv)})
+
+
 def q_user_entropy(sf_dir: str):
     """Per-user Shannon entropy of the event-type mix, exact integer
     micro-nats: with L(x) = round(ln(x)·1e6), entropy_micro =
@@ -4665,6 +4724,7 @@ QUERIES = {
     "kg_reciprocity": q_kg_reciprocity,
     "media_census": q_media_census,
     "user_entropy": q_user_entropy,
+    "dau_stickiness": q_dau_stickiness,
     "embedding_drift": q_embedding_drift,
     "window_funnel": q_window_funnel,
     "bilstm_mix_prf": q_bilstm_mix_prf,
@@ -5281,6 +5341,22 @@ ORACLE_SQL["kg_entity_density"] = _dict_oracle.entity_density_sql()
 ORACLE_SQL["kg_entity_span"] = _dict_oracle.entity_span_sql()
 ORACLE_SQL["kg_inferred"] = _dict_oracle.inferred_sql()
 ORACLE_SQL["kg_reciprocity"] = _dict_oracle.reciprocity_sql()
+ORACLE_SQL["dau_stickiness"] = """
+WITH e AS (SELECT user_id,
+                  CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                  (year(ts) - 1970) * 12 + month(ts) - 1 AS month
+           FROM events),
+dp AS (SELECT DISTINCT day, month, user_id FROM e),
+d AS (SELECT day, min(month) AS month,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM dp GROUP BY day),
+mp AS (SELECT DISTINCT month, user_id FROM e),
+m AS (SELECT month, CAST(count(*) AS BIGINT) AS mau
+      FROM mp GROUP BY 1)
+SELECT CAST(d.day AS BIGINT) AS day, d.dau, m.mau,
+       CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_ppm
+FROM d JOIN m USING (month)
+"""
 ORACLE_SQL["user_entropy"] = """
 WITH c AS (SELECT user_id, event_type,
                   CAST(count(*) AS BIGINT) AS c

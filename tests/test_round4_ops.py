@@ -2076,3 +2076,26 @@ def test_user_entropy_integer_grid(ray_session, tmp_path):
         (4 * L(4) - 4 * L(4)) // 4,                 # = 0
     ]
     assert out.entropy_micro.tolist()[0] == 693147
+
+
+def test_dau_stickiness_months(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq2
+
+    from kgforge.pipelines.driver_queries import q_dau_stickiness
+
+    # Jan: users 1,2 across two days; Feb: user 1 only, one day
+    rows = [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 1)),
+            (1, dt.datetime(2024, 1, 2)), (1, dt.datetime(2024, 2, 1)),
+            (1, dt.datetime(2024, 1, 1, 5))]  # same day dup
+    pq2.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = pa.table(q_dau_stickiness(str(tmp_path))).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    assert out.dau.tolist() == [2, 1, 1]
+    assert out.mau.tolist() == [2, 2, 1]
+    assert out.stickiness_ppm.tolist() == [1_000_000, 500_000,
+                                           1_000_000]
