@@ -1542,6 +1542,58 @@ def q_embedding_drift(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def q_burst_score(sf_dir: str):
+    """Burstiness QA per user: the max number of events falling in any
+    trailing 10-minute window (rate-limiter / bot signal).  One
+    user-hash shuffle; per partition the window counts for ALL events
+    are two structured-array searchsorteds (window start and
+    equal-ts-inclusive end) and the per-user max is one reduceat —
+    no per-user Python."""
+    from ray.data.aggregate import Max
+
+    from kgforge.functions.joins import _part_codes
+
+    W = 600_000_000  # 10 min in µs
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"],
+                      "__on": pc.cast(
+                          pc.cast(b["ts"], pa.timestamp("us")),
+                          pa.int64())})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t["user_id"], 64)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("user_id", "ascending"),
+                                            ("__on", "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        u = t["user_id"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["__on"].combine_chunks().to_numpy(zero_copy_only=False)
+        rec = np.empty(n, dtype=[("u", "<i8"), ("t", "<i8")])
+        rec["u"], rec["t"] = u, ts
+        qlo = rec.copy()
+        qlo["t"] = ts - W
+        lo = np.searchsorted(rec, qlo, side="left")
+        hi = np.searchsorted(rec, rec, side="right")
+        cnt = (hi - lo).astype(np.int64)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(u[1:] != u[:-1]) + 1]) \
+            if n else np.zeros(0, np.int64)
+        mx = np.maximum.reduceat(cnt, starts) if n else cnt
+        return pa.table({
+            "user_id": t["user_id"].take(pa.array(starts)),
+            "max_burst": pa.array(mx)})
+
+    return _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Max("max_burst",
+                                          alias_name="max_burst"))
+
+
 def q_dau_stickiness(sf_dir: str):
     """DAU / MAU stickiness per day (the product-analytics engagement
     ratio), exact integer ppm.  Two pair-distinct reduces — (day,
@@ -4725,6 +4777,7 @@ QUERIES = {
     "media_census": q_media_census,
     "user_entropy": q_user_entropy,
     "dau_stickiness": q_dau_stickiness,
+    "burst_score": q_burst_score,
     "embedding_drift": q_embedding_drift,
     "window_funnel": q_window_funnel,
     "bilstm_mix_prf": q_bilstm_mix_prf,
@@ -5341,6 +5394,16 @@ ORACLE_SQL["kg_entity_density"] = _dict_oracle.entity_density_sql()
 ORACLE_SQL["kg_entity_span"] = _dict_oracle.entity_span_sql()
 ORACLE_SQL["kg_inferred"] = _dict_oracle.inferred_sql()
 ORACLE_SQL["kg_reciprocity"] = _dict_oracle.reciprocity_sql()
+ORACLE_SQL["burst_score"] = """
+WITH w AS (SELECT user_id,
+                  count(*) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts)
+                                 RANGE BETWEEN 600000000 PRECEDING
+                                 AND CURRENT ROW) AS c
+           FROM events)
+SELECT user_id, CAST(max(c) AS BIGINT) AS max_burst
+FROM w GROUP BY 1
+"""
 ORACLE_SQL["dau_stickiness"] = """
 WITH e AS (SELECT user_id,
                   CAST(epoch(ts) AS BIGINT) // 86400 AS day,

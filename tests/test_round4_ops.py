@@ -2099,3 +2099,28 @@ def test_dau_stickiness_months(ray_session, tmp_path):
     assert out.mau.tolist() == [2, 2, 1]
     assert out.stickiness_ppm.tolist() == [1_000_000, 500_000,
                                            1_000_000]
+
+
+def test_burst_score_window(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq2
+
+    from kgforge.pipelines.driver_queries import q_burst_score
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    # u1: events at 0, 5, 9, 30 min → best 10-min trailing window = 3
+    # u2: two events at the same instant → 2
+    rows = [(1, at(0)), (1, at(5)), (1, at(9)), (1, at(30)),
+            (2, at(0)), (2, at(0))]
+    pq2.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = q_burst_score(str(tmp_path)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert out.max_burst.tolist() == [3, 2]
