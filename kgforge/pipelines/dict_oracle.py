@@ -726,3 +726,13 @@ SELECT re.pred, re.n_edges,
             // greatest(re.n_edges, 1) AS BIGINT) AS reciprocity_ppm
 FROM re LEFT JOIN rr ON rr.pred = re.pred
 """
+
+
+def type_conflicts_sql() -> str:
+    """Type-conflict twin of ``q_kg_type_conflicts``."""
+    return corpus_prelude() + """,
+tcp AS (SELECT DISTINCT surface, etype FROM ments)
+SELECT surface, CAST(count(*) AS BIGINT) AS n_types,
+       min(etype) AS type_min, max(etype) AS type_max
+FROM tcp GROUP BY surface
+"""

@@ -1542,6 +1542,35 @@ def q_embedding_drift(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def q_kg_type_conflicts(sf_dir: str):
+    """Entity-type disambiguation QA: per surface, the number of
+    distinct entity types it was observed under plus the min/max type
+    (n_types > 1 rows are gazetteer collisions / tagging noise — the
+    clean dict corpus scores 1 everywhere, which the twin verifies
+    value-exactly).  Per-batch (surface, etype) partial distincts →
+    one keyed reduce → surface-grain fold; only distinct pairs
+    shuffle."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ments = _dict_flagship_for(sf_dir)["mentions"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({"surface": b["surface"],
+                         "etype": b["etype"]}) \
+            .group_by(["surface", "etype"],
+                      use_threads=False).aggregate([])
+
+    return ments.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["surface", "etype"]) \
+        .aggregate(Count(alias_name="__c")) \
+        .map_batches(lambda b: b.select(["surface", "etype"]),
+                     batch_format="pyarrow") \
+        .groupby("surface").aggregate(
+            Count(alias_name="n_types"),
+            Min("etype", alias_name="type_min"),
+            Max("etype", alias_name="type_max"))
+
+
 def q_burst_score(sf_dir: str):
     """Burstiness QA per user: the max number of events falling in any
     trailing 10-minute window (rate-limiter / bot signal).  One
@@ -4778,6 +4807,7 @@ QUERIES = {
     "user_entropy": q_user_entropy,
     "dau_stickiness": q_dau_stickiness,
     "burst_score": q_burst_score,
+    "kg_type_conflicts": q_kg_type_conflicts,
     "embedding_drift": q_embedding_drift,
     "window_funnel": q_window_funnel,
     "bilstm_mix_prf": q_bilstm_mix_prf,
@@ -5394,6 +5424,7 @@ ORACLE_SQL["kg_entity_density"] = _dict_oracle.entity_density_sql()
 ORACLE_SQL["kg_entity_span"] = _dict_oracle.entity_span_sql()
 ORACLE_SQL["kg_inferred"] = _dict_oracle.inferred_sql()
 ORACLE_SQL["kg_reciprocity"] = _dict_oracle.reciprocity_sql()
+ORACLE_SQL["kg_type_conflicts"] = _dict_oracle.type_conflicts_sql()
 ORACLE_SQL["burst_score"] = """
 WITH w AS (SELECT user_id,
                   count(*) OVER (PARTITION BY user_id
