@@ -1542,6 +1542,62 @@ def q_embedding_drift(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def q_reorder_gap(sf_dir: str):
+    """Median repeat-purchase interval (days) per customer with ≥ 2
+    orders — the replenishment-cycle signal.  Median uses the
+    engine's exact floor((n−1)/2) rank rule.  One customer-hash
+    shuffle; per partition the gaps are one global diff with run
+    breaks masked, the per-run median ONE gather at
+    run_start + (len−1)//2 of the (run, gap)-sorted array — no
+    per-customer Python."""
+    from kgforge.functions.events import _run_breaks
+    from kgforge.functions.joins import _part_codes
+
+    def tag(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"o_custkey": b["o_custkey"],
+                      "day": pa.array(us // 86_400_000_000)})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t["o_custkey"], 64)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("o_custkey", "ascending"), ("day", "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        day = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        brk = _run_breaks(t["o_custkey"].combine_chunks(),
+                          np.zeros(n, dtype=np.int32))
+        gaps = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            gaps[1:] = np.diff(day)
+        keep = ~brk                       # gap rows only
+        cust = t["o_custkey"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        gc, gg = cust[keep], gaps[keep]
+        if len(gc) == 0:
+            return pa.table({
+                "o_custkey": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "median_gap_days": pa.array([], pa.int64())})
+        order = np.lexsort((gg, gc))
+        gc, gg = gc[order], gg[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(gc[1:] != gc[:-1]) + 1])
+        lens = np.diff(np.concatenate([starts, [len(gc)]]))
+        med = gg[starts + (lens - 1) // 2]
+        return pa.table({
+            "o_custkey": pa.array(gc[starts]),
+            "n_gaps": pa.array(lens.astype(np.int64)),
+            "median_gap_days": pa.array(med)})
+
+    return _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow")
+
+
 def q_kg_type_conflicts(sf_dir: str):
     """Entity-type disambiguation QA: per surface, the number of
     distinct entity types it was observed under plus the min/max type
@@ -4808,6 +4864,7 @@ QUERIES = {
     "dau_stickiness": q_dau_stickiness,
     "burst_score": q_burst_score,
     "kg_type_conflicts": q_kg_type_conflicts,
+    "reorder_gap": q_reorder_gap,
     "embedding_drift": q_embedding_drift,
     "window_funnel": q_window_funnel,
     "bilstm_mix_prf": q_bilstm_mix_prf,
@@ -5425,6 +5482,23 @@ ORACLE_SQL["kg_entity_span"] = _dict_oracle.entity_span_sql()
 ORACLE_SQL["kg_inferred"] = _dict_oracle.inferred_sql()
 ORACLE_SQL["kg_reciprocity"] = _dict_oracle.reciprocity_sql()
 ORACLE_SQL["kg_type_conflicts"] = _dict_oracle.type_conflicts_sql()
+ORACLE_SQL["reorder_gap"] = """
+WITH o AS (SELECT o_custkey,
+                  CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day
+           FROM orders),
+g AS (SELECT o_custkey,
+             day - lag(day) OVER (PARTITION BY o_custkey
+                                  ORDER BY day) AS gap
+      FROM o),
+r AS (SELECT o_custkey, gap,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY gap) AS rk,
+             count(*) OVER (PARTITION BY o_custkey) AS n
+      FROM g WHERE gap IS NOT NULL)
+SELECT o_custkey, CAST(n AS BIGINT) AS n_gaps,
+       CAST(gap AS BIGINT) AS median_gap_days
+FROM r WHERE rk = (n - 1) // 2 + 1
+"""
 ORACLE_SQL["burst_score"] = """
 WITH w AS (SELECT user_id,
                   count(*) OVER (PARTITION BY user_id
