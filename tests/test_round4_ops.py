@@ -2124,3 +2124,27 @@ def test_burst_score_window(ray_session, tmp_path):
     out = q_burst_score(str(tmp_path)).to_pandas() \
         .sort_values("user_id").reset_index(drop=True)
     assert out.max_burst.tolist() == [3, 2]
+
+
+def test_reorder_gap_median(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq2
+
+    from kgforge.pipelines.driver_queries import q_reorder_gap
+
+    d = dt.datetime
+    rows = [(1, d(2024, 1, 1)), (1, d(2024, 1, 3)), (1, d(2024, 1, 10)),
+            (1, d(2024, 1, 12)),   # gaps 2, 7, 2 → median (rank 1) = 2
+            (2, d(2024, 1, 1)),    # single order → no gaps, no row
+            (3, d(2024, 1, 1)), (3, d(2024, 1, 6))]  # gap 5
+    pq2.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array([r[1] for r in rows],
+                                pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_reorder_gap(str(tmp_path)).to_pandas() \
+        .sort_values("o_custkey").reset_index(drop=True)
+    assert out.o_custkey.tolist() == [1, 3]
+    assert out.n_gaps.tolist() == [3, 1]
+    assert out.median_gap_days.tolist() == [2, 5]
