@@ -1542,6 +1542,110 @@ def q_embedding_drift(sf_dir: str):
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def q_supplier_reliability(sf_dir: str):
+    """Late-shipment rate per supplier (lines shipped > 90 days after
+    the order date), exact integer ppm — the vendor scorecard.  One
+    orderkey-hash cogroup attaches the order date; the per-supplier
+    reduce rides the groupby; only (orderkey, suppkey, day) triples
+    shuffle."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def lday(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "sday": pa.array(us // 86_400_000_000)})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def oday(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "oday": pa.array(us // 86_400_000_000)})
+
+    def attach(t, starts, nl, nr):
+        return _attach_right(t, starts, nl, nr,
+                             ["l_suppkey", "sday"], ("oday", "oday"),
+                             ["l_suppkey", "sday"])
+
+    lo = cogroup_partition_ds(
+        li.map_batches(lday, batch_format="pyarrow"),
+        orders.map_batches(oday, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", attach,
+        ["l_suppkey", "sday"], ["oday"],
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("sday", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("oday", pa.int64())]))
+
+    def late(b: pa.Table) -> pa.Table:
+        sd = b["sday"].combine_chunks().to_numpy(zero_copy_only=False)
+        od = b["oday"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table({"l_suppkey": b["l_suppkey"],
+                      "one": pa.array(np.ones(len(sd), np.int64)),
+                      "lt": pa.array((sd - od > 90).astype(np.int64))})
+        g = t.group_by("l_suppkey", use_threads=False).aggregate(
+            [("one", "sum"), ("lt", "sum")])
+        return pa.table({"l_suppkey": g["l_suppkey"],
+                         "n": g["one_sum"], "l": g["lt_sum"]})
+
+    agg = lo.map_batches(late, batch_format="pyarrow") \
+        .groupby("l_suppkey").aggregate(
+            Sum("n", alias_name="n_lines"),
+            Sum("l", alias_name="n_late")).to_pandas()
+    n = agg["n_lines"].to_numpy().astype(np.int64)
+    lt = agg["n_late"].to_numpy().astype(np.int64)
+    return pa.table({
+        "l_suppkey": pa.array(agg["l_suppkey"].astype(np.int64)),
+        "n_lines": pa.array(n), "n_late": pa.array(lt),
+        "late_ppm": pa.array(lt * 1_000_000 // n)})
+
+
+def q_quarter_yoy(sf_dir: str):
+    """Quarterly revenue with year-over-year delta (cents, exact).
+    The quarter grain is calendar-bounded, so the YoY join is a
+    driver-side shift over ≤ a-few-dozen rows; the only big-data pass
+    is the combiner-first cents reduce."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        months = (us // 86_400_000_000).astype("datetime64[D]") \
+            .astype("datetime64[M]").astype(np.int64)
+        q = (months + 1970 * 12) // 3    # absolute quarter index
+        cents = round_away(
+            b["o_totalprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        t = pa.table({"q": pa.array(q), "c": pa.array(cents)})
+        g = t.group_by("q", use_threads=False).aggregate(
+            [("c", "sum")])
+        return pa.table({"q": g["q"], "c": g["c_sum"]})
+
+    agg = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("q").aggregate(Sum("c", alias_name="rev_cents")) \
+        .to_pandas().sort_values("q")
+    qs = agg["q"].to_numpy().astype(np.int64)
+    rev = agg["rev_cents"].to_numpy().astype(np.int64)
+    prev = dict(zip(qs, rev))
+    yoy = np.array([rev[i] - prev.get(qs[i] - 4, 0)
+                    for i in range(len(qs))], dtype=np.int64)
+    return pa.table({
+        "year": pa.array(qs // 4), "quarter": pa.array(qs % 4 + 1),
+        "rev_cents": pa.array(rev), "yoy_delta_cents": pa.array(yoy)})
+
+
 def q_reorder_gap(sf_dir: str):
     """Median repeat-purchase interval (days) per customer with ≥ 2
     orders — the replenishment-cycle signal.  Median uses the
@@ -4865,6 +4969,8 @@ QUERIES = {
     "burst_score": q_burst_score,
     "kg_type_conflicts": q_kg_type_conflicts,
     "reorder_gap": q_reorder_gap,
+    "supplier_reliability": q_supplier_reliability,
+    "quarter_yoy": q_quarter_yoy,
     "embedding_drift": q_embedding_drift,
     "window_funnel": q_window_funnel,
     "bilstm_mix_prf": q_bilstm_mix_prf,
@@ -5482,6 +5588,32 @@ ORACLE_SQL["kg_entity_span"] = _dict_oracle.entity_span_sql()
 ORACLE_SQL["kg_inferred"] = _dict_oracle.inferred_sql()
 ORACLE_SQL["kg_reciprocity"] = _dict_oracle.reciprocity_sql()
 ORACLE_SQL["kg_type_conflicts"] = _dict_oracle.type_conflicts_sql()
+ORACLE_SQL["supplier_reliability"] = """
+WITH j AS (SELECT l_suppkey,
+                  CAST(epoch(l_shipdate) AS BIGINT) // 86400
+                  - CAST(epoch(o_orderdate) AS BIGINT) // 86400
+                      AS gap
+           FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN gap > 90 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+       CAST(sum(CASE WHEN gap > 90 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS late_ppm
+FROM j GROUP BY 1
+"""
+ORACLE_SQL["quarter_yoy"] = """
+WITH q AS (SELECT year(o_orderdate) * 4 + (month(o_orderdate) - 1) // 3
+               AS qi,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+a AS (SELECT qi, CAST(sum(cents) AS BIGINT) AS rev_cents
+      FROM q GROUP BY 1)
+SELECT CAST(a.qi // 4 AS BIGINT) AS year,
+       CAST(a.qi % 4 + 1 AS BIGINT) AS quarter, a.rev_cents,
+       CAST(a.rev_cents - coalesce(p.rev_cents, 0) AS BIGINT)
+           AS yoy_delta_cents
+FROM a LEFT JOIN a p ON p.qi = a.qi - 4
+"""
 ORACLE_SQL["reorder_gap"] = """
 WITH o AS (SELECT o_custkey,
                   CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day

@@ -2148,3 +2148,51 @@ def test_reorder_gap_median(ray_session, tmp_path):
     assert out.o_custkey.tolist() == [1, 3]
     assert out.n_gaps.tolist() == [3, 1]
     assert out.median_gap_days.tolist() == [2, 5]
+
+
+def test_supplier_reliability_late_rule(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq2
+
+    from kgforge.pipelines.driver_queries import q_supplier_reliability
+
+    d = dt.datetime
+    pq2.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array([d(2024, 1, 1), d(2024, 1, 1)],
+                                pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq2.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([7, 7, 8], pa.int64()),
+        # gaps: 30 (on time), 100 (late), 91 (late — strict >90)
+        "l_shipdate": pa.array([d(2024, 1, 31), d(2024, 4, 10),
+                                d(2024, 4, 1)], pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = pa.table(q_supplier_reliability(str(tmp_path))).to_pandas() \
+        .sort_values("l_suppkey").reset_index(drop=True)
+    assert out.n_lines.tolist() == [2, 1]
+    assert out.n_late.tolist() == [1, 1]
+    assert out.late_ppm.tolist() == [500_000, 1_000_000]
+
+
+def test_quarter_yoy_value_join(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq2
+
+    from kgforge.pipelines.driver_queries import q_quarter_yoy
+
+    d = dt.datetime
+    pq2.write_table(pa.table({
+        "o_orderdate": pa.array([d(2023, 2, 1), d(2024, 3, 1),
+                                 d(2024, 7, 1)], pa.timestamp("us")),
+        "o_totalprice": pa.array([100.0, 150.0, 70.0], pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = pa.table(q_quarter_yoy(str(tmp_path))).to_pandas() \
+        .sort_values(["year", "quarter"]).reset_index(drop=True)
+    assert out[["year", "quarter"]].values.tolist() == [
+        [2023, 1], [2024, 1], [2024, 3]]
+    # 2024Q1 deltas vs 2023Q1; 2024Q3 has no prior-year quarter
+    assert out.yoy_delta_cents.tolist() == [10000, 5000, 7000]
