@@ -736,3 +736,15 @@ SELECT surface, CAST(count(*) AS BIGINT) AS n_types,
        min(etype) AS type_min, max(etype) AS type_max
 FROM tcp GROUP BY surface
 """
+
+
+def mean_dist_sql(n_seeds: int = 5, max_hops: int = 4) -> str:
+    """Aggregate twin of ``q_kg_mean_dist`` over the BFS levels."""
+    body = bfs_levels_sql(n_seeds=n_seeds, max_hops=max_hops)
+    return f"""WITH lv AS ({body})
+SELECT CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(coalesce(sum(dist), 0) AS BIGINT) AS sum_dist,
+       CAST(coalesce(sum(dist), 0) * 1000
+            // greatest(count(*), 1) AS BIGINT) AS mean_dist_milli
+FROM lv
+"""

@@ -1702,6 +1702,46 @@ def q_reorder_gap(sf_dir: str):
                                    batch_format="pyarrow")
 
 
+def q_kg_mean_dist(sf_dir: str):
+    """Mean BFS hop distance from the deterministic seed set (the
+    small-world / connectivity health number): one row (n_reached,
+    sum_dist, mean_dist_milli) over the kg_sssp levels — integer
+    milli to stay hash-exact."""
+    import ray.data as rd
+
+    from kgforge.functions.graph import bfs_levels_ds
+
+    lv = bfs_levels_ds(_entity_edges_for(sf_dir), n_seeds=5,
+                       max_hops=4).to_pandas()
+    n = len(lv)
+    sd = int(lv["dist"].sum()) if n else 0
+    return rd.from_arrow(pa.table({
+        "n_reached": pa.array([n], pa.int64()),
+        "sum_dist": pa.array([sd], pa.int64()),
+        "mean_dist_milli": pa.array(
+            [sd * 1000 // max(n, 1)], pa.int64())}))
+
+
+def q_basket_size_dist(sf_dir: str):
+    """Order-size histogram: how many orders have k lineitems (the
+    basket-size distribution, Q13's sibling at line grain).  Combiner
+    per batch, per-order sum, k-grain fold — counts shuffle, never
+    lines."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(["l_orderkey"]).group_by(
+            "l_orderkey", use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    return _read(sf_dir, "lineitem", ["l_orderkey"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("n", alias_name="k")) \
+        .groupby("k").aggregate(Count(alias_name="n_orders"))
+
+
 def q_kg_type_conflicts(sf_dir: str):
     """Entity-type disambiguation QA: per surface, the number of
     distinct entity types it was observed under plus the min/max type
@@ -4971,6 +5011,8 @@ QUERIES = {
     "reorder_gap": q_reorder_gap,
     "supplier_reliability": q_supplier_reliability,
     "quarter_yoy": q_quarter_yoy,
+    "kg_mean_dist": q_kg_mean_dist,
+    "basket_size_dist": q_basket_size_dist,
     "embedding_drift": q_embedding_drift,
     "window_funnel": q_window_funnel,
     "bilstm_mix_prf": q_bilstm_mix_prf,
@@ -5588,6 +5630,14 @@ ORACLE_SQL["kg_entity_span"] = _dict_oracle.entity_span_sql()
 ORACLE_SQL["kg_inferred"] = _dict_oracle.inferred_sql()
 ORACLE_SQL["kg_reciprocity"] = _dict_oracle.reciprocity_sql()
 ORACLE_SQL["kg_type_conflicts"] = _dict_oracle.type_conflicts_sql()
+ORACLE_SQL["kg_mean_dist"] = _dict_oracle.mean_dist_sql(
+    n_seeds=5, max_hops=4)
+ORACLE_SQL["basket_size_dist"] = """
+WITH k AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+           FROM lineitem GROUP BY 1)
+SELECT k, CAST(count(*) AS BIGINT) AS n_orders
+FROM k GROUP BY 1
+"""
 ORACLE_SQL["supplier_reliability"] = """
 WITH j AS (SELECT l_suppkey,
                   CAST(epoch(l_shipdate) AS BIGINT) // 86400
