@@ -1702,6 +1702,41 @@ def q_reorder_gap(sf_dir: str):
                                    batch_format="pyarrow")
 
 
+def q_returns_trend(sf_dir: str):
+    """Monthly return-rate trend: per ship month, line count and the
+    returned-flag share in exact ppm (the quality-regression monitor).
+    Pure combiner + calendar-bounded fold — zero corpus shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        ym = (us // 86_400_000_000).astype("datetime64[D]") \
+            .astype("datetime64[M]").astype(np.int64) + 1970 * 12
+        r = pc.equal(b["l_returnflag"], "R").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pa.table({"ym": pa.array(ym),
+                      "one": pa.array(np.ones(len(r), np.int64)),
+                      "r": pa.array(r)})
+        g = t.group_by("ym", use_threads=False).aggregate(
+            [("one", "sum"), ("r", "sum")])
+        return pa.table({"ym": g["ym"], "n": g["one_sum"],
+                         "r": g["r_sum"]})
+
+    agg = _read(sf_dir, "lineitem", ["l_shipdate", "l_returnflag"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("ym").aggregate(
+            Sum("n", alias_name="n_lines"),
+            Sum("r", alias_name="n_returned")).to_pandas()
+    ym = agg["ym"].to_numpy().astype(np.int64)
+    n = agg["n_lines"].to_numpy().astype(np.int64)
+    r = agg["n_returned"].to_numpy().astype(np.int64)
+    return pa.table({
+        "year": pa.array(ym // 12), "month": pa.array(ym % 12 + 1),
+        "n_lines": pa.array(n), "n_returned": pa.array(r),
+        "return_ppm": pa.array(r * 1_000_000 // n)})
+
+
 def q_kg_mean_dist(sf_dir: str):
     """Mean BFS hop distance from the deterministic seed set (the
     small-world / connectivity health number): one row (n_reached,
@@ -5013,6 +5048,7 @@ QUERIES = {
     "quarter_yoy": q_quarter_yoy,
     "kg_mean_dist": q_kg_mean_dist,
     "basket_size_dist": q_basket_size_dist,
+    "returns_trend": q_returns_trend,
     "embedding_drift": q_embedding_drift,
     "window_funnel": q_window_funnel,
     "bilstm_mix_prf": q_bilstm_mix_prf,
@@ -5630,6 +5666,16 @@ ORACLE_SQL["kg_entity_span"] = _dict_oracle.entity_span_sql()
 ORACLE_SQL["kg_inferred"] = _dict_oracle.inferred_sql()
 ORACLE_SQL["kg_reciprocity"] = _dict_oracle.reciprocity_sql()
 ORACLE_SQL["kg_type_conflicts"] = _dict_oracle.type_conflicts_sql()
+ORACLE_SQL["returns_trend"] = """
+WITH m AS (SELECT year(l_shipdate) AS y, month(l_shipdate) AS mo,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+           FROM lineitem)
+SELECT CAST(y AS BIGINT) AS year, CAST(mo AS BIGINT) AS month,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(r) AS BIGINT) AS n_returned,
+       CAST(sum(r) * 1000000 // count(*) AS BIGINT) AS return_ppm
+FROM m GROUP BY 1, 2
+"""
 ORACLE_SQL["kg_mean_dist"] = _dict_oracle.mean_dist_sql(
     n_seeds=5, max_hops=4)
 ORACLE_SQL["basket_size_dist"] = """
