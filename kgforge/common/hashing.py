@@ -37,19 +37,43 @@ def hash_u64(text: str, *, seed: int = 0) -> int:
     return int.from_bytes(h.digest(), "little")
 
 
-def hash_u64_np(strings, *, seed: int = 0) -> np.ndarray:
-    """Vectorized-ish stable u64 over an iterable of strings → uint64 array.
+_HASH_NP_CUTOVER = 64   # below this, per-element hashlib beats a DuckDB call
 
-    blake2b per element; fine for per-batch cardinalities (the hot paths
-    hash distinct surfaces / shingles, not raw corpus chars).
+
+def hash_u64_np(strings, *, seed: int = 0) -> np.ndarray:
+    """Stable u64 per string: high 64 bits of ``md5(prefix ‖ s)`` where
+    the prefix encodes ``seed`` (empty for seed=0).
+
+    Large batches run in ONE C-level call through DuckDB's vectorized
+    md5 kernel (the same kernel the SQL twins use); small batches take
+    a hashlib loop producing IDENTICAL values.  Formerly a per-element
+    blake2b loop — an O(rows) Python-call tax on mention-volume paths
+    (minhash shingle signing, string partition codes).  No
+    oracle-checked output depends on the hash VALUES (callers use this
+    for partition ids, salts, per-block seeds and minhash shingles),
+    so the blake2b→md5 family change is observable only in rows-only
+    lanes, whose invariance tests are value-free by design.
     """
-    key = seed.to_bytes(8, "little") if seed else b""
-    out = np.empty(len(strings), dtype=np.uint64)
-    for i, s in enumerate(strings):
-        h = hashlib.blake2b(digest_size=8, key=key)
-        h.update(s.encode("utf-8") if isinstance(s, str) else bytes(s))
-        out[i] = int.from_bytes(h.digest(), "little")
-    return out
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    pre = f"{seed}\x1f" if seed else ""
+    if n < _HASH_NP_CUTOVER or not all(isinstance(s, str) for s in strings):
+        out = np.empty(n, dtype=np.uint64)
+        pb = pre.encode("utf-8")
+        for i, s in enumerate(strings):
+            data = pb + (s.encode("utf-8") if isinstance(s, str)
+                         else bytes(s))
+            out[i] = int(hashlib.md5(data).hexdigest()[:16], 16)
+        return out
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = strings if isinstance(strings, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(strings), pa.string())
+    if pre:
+        arr = pc.binary_join_element_wise(pa.scalar(pre), arr, "")
+    return md5_u64_arr(arr)
 
 
 _DUCK_CON = None
