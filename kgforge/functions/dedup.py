@@ -408,6 +408,176 @@ def _string_shingle_set(text: str, n: int) -> set:
 
 
 # ---------------------------------------------------------------------------
+# exact substring-window dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — fingerprint-join formulation of
+# the suffix-array substring dedup: two docs are substring-dups iff they
+# share an exact L-char window, and every shared window at every offset
+# is caught because BOTH sides slide stride-1)
+# ---------------------------------------------------------------------------
+
+_WINDOW_L = 25          # chars per exact-match window
+_WINDOW_MAX_DF = 128    # windows in more docs are boilerplate → dropped
+
+
+def _window_rows(batch: pa.Table, text_col: str, id_col: str,
+                 L: int) -> pa.Table:
+    """Per-doc DISTINCT L-char windows → (h, id) rows; ONE batched
+    DuckDB md5 call hashes every window of the batch (the u64 stands
+    in for the window string — same md5 family the SQL twin joins on,
+    so cross-engine equality holds by construction).  Docs shorter
+    than L contribute their whole text as one window (mirroring the
+    twin's ``substring(text, 1, L)`` under ``i ≤ max(len-L+1, 1)``)."""
+    from kgforge.common.hashing import md5_u64_arr
+
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    wins: list[str] = []
+    out_id: list = []
+    for did, t in zip(ids, texts):
+        t = t or ""
+        w = sorted({t[i:i + L] for i in range(len(t) - L + 1)}) \
+            if len(t) > L else [t]
+        wins.extend(w)
+        out_id.extend([did] * len(w))
+    if not wins:
+        return pa.table({"h": pa.array([], pa.uint64()),
+                         id_col: batch[id_col].slice(0, 0)})
+    return pa.table({"h": pa.array(md5_u64_arr(wins), pa.uint64()),
+                     id_col: pa.array(out_id,
+                                      batch.schema.field(id_col).type)})
+
+
+def substring_dup_pairs_ds(ds, text_col: str = "text",
+                           id_col: str = "doc_id", L: int = _WINDOW_L,
+                           max_df: int = _WINDOW_MAX_DF,
+                           num_partitions: int = 64):
+    """Exact substring-dup pairs: ``(id_a, id_b, n_shared)`` = number
+    of DISTINCT L-char windows the two docs share, windows seen in
+    more than ``max_df`` docs dropped as boilerplate (the SQL twin
+    mirrors the cap, so the output is value-exact).
+
+    Scale shape: only (window-md5, id) rows shuffle — never text; the
+    pair stage rides hash partitions of the window hash (P callbacks),
+    window-run pairs accumulate via offset-``t`` vectorized passes and
+    combine per partition before ONE (id_a, id_b)-keyed sum."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: _window_rows(b, text_col, id_col, L),
+        batch_format="pyarrow")
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("__p", pa.array(
+            _part_codes(b["h"], num_partitions)))
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        """One hash partition: every window's full df is local here.
+        Pairs for all window runs at once — docs within a run are
+        id-sorted and distinct, so offset-``t`` neighbours with equal
+        window give id_a < id_b."""
+        t = t.drop_columns(["__p"])
+        empty = pa.table({"id_a": t[id_col].slice(0, 0),
+                          "id_b": t[id_col].slice(0, 0),
+                          "n_shared": pa.array([], pa.int64())})
+        n = t.num_rows
+        if n < 2:
+            return empty
+        t = t.sort_by([("h", "ascending"), (id_col, "ascending")])
+        hv = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = hv[1:] != hv[:-1]
+        run_id = np.cumsum(brk) - 1
+        runlen = np.bincount(run_id)
+        keep = (runlen[run_id] >= 2) & (runlen[run_id] <= max_df)
+        if not keep.any():
+            return empty
+        g = run_id[keep]
+        kidx = np.flatnonzero(keep)
+        a_parts, b_parts = [], []
+        t_off = 1
+        while t_off < len(g):
+            same = g[t_off:] == g[:-t_off]
+            if not same.any():
+                break
+            a_parts.append(kidx[:-t_off][same])
+            b_parts.append(kidx[t_off:][same])
+            t_off += 1
+        if not a_parts:
+            return empty
+        idc = t[id_col].combine_chunks()
+        pairs = pa.table({
+            "id_a": idc.take(pa.array(np.concatenate(a_parts))),
+            "id_b": idc.take(pa.array(np.concatenate(b_parts)))})
+        gg = pairs.group_by(["id_a", "id_b"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({"id_a": gg["id_a"], "id_b": gg["id_b"],
+                         "n_shared": pc.cast(gg["count_all"],
+                                             pa.int64())})
+
+    return rows.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(pair_partials, batch_format="pyarrow") \
+        .groupby(["id_a", "id_b"]).aggregate(
+            Sum("n_shared", alias_name="n_shared"))
+
+
+def dup_span_fraction_ds(ds, text_col: str = "text",
+                         id_col: str = "doc_id", L: int = _WINDOW_L,
+                         num_partitions: int = 64):
+    """Per-doc duplicated-span census (the Lee-et-al "how much of the
+    corpus is duplicated text" metric): for each doc, ``n_win`` =
+    distinct L-char windows, ``n_dup`` = those appearing in ≥ 2 docs,
+    ``dup_frac`` = n_dup / n_win (round-away 4dp).  Window df is exact
+    inside its hash partition; only (doc, 0/1) rows come back."""
+    from ray.data.aggregate import Count, Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: _window_rows(b, text_col, id_col, L),
+        batch_format="pyarrow")
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("__p", pa.array(
+            _part_codes(b["h"], num_partitions)))
+
+    def mark_dup(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__p"])
+        n = t.num_rows
+        if n == 0:
+            return pa.table({id_col: t[id_col],
+                             "dup": pa.array([], pa.int64())})
+        t = t.sort_by([("h", "ascending")])
+        hv = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = hv[1:] != hv[:-1]
+        run_id = np.cumsum(brk) - 1
+        dup = (np.bincount(run_id)[run_id] >= 2).astype(np.int64)
+        return pa.table({id_col: t[id_col],
+                         "dup": pa.array(dup, pa.int64())})
+
+    per_doc = rows.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(mark_dup, batch_format="pyarrow") \
+        .groupby(id_col).aggregate(Count(alias_name="n_win"),
+                                   Sum("dup", alias_name="n_dup"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        nw = b["n_win"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nd = b["n_dup"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            id_col: b[id_col],
+            "n_win": pc.cast(b["n_win"], pa.int64()),
+            "n_dup": pc.cast(b["n_dup"], pa.int64()),
+            "dup_frac": pa.array(
+                round_away(nd / np.maximum(nw, 1.0), 4), pa.float64())})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dedup
 # ---------------------------------------------------------------------------
 

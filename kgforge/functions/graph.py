@@ -465,31 +465,14 @@ def components_ds(edges_ds, src: str = "subj", dst: str = "obj",
     return labels.map_batches(finish, batch_format="pyarrow")
 
 
-def common_neighbors_ds(edges_ds, src: str = "subj", dst: str = "obj",
-                        k: int = 20, num_partitions: int = 64):
-    """Link prediction by common-neighbor count: the top-``k``
-    NON-adjacent node pairs (a < b) ranked by how many neighbours they
-    share in the undirected distinct-pair graph (ties broken by
-    ``(a, b)`` so the cut is deterministic).
-
-    Plan (three bounded moves, no driver row loops):
-
-    1. wedge enumeration at each center (``_wedge_pairs_ds`` — hash
-       partition by center, flat index math), per-BLOCK combine of the
-       (a, b) counts so the wide step ships partial counts, not wedges;
-    2. ONE cogroup keyed by ``a`` joins the partial counts against the
-       canonical edge set: hash-partitioning by ``a`` already
-       co-locates every (a, b) partial, so the exact sum happens
-       inside the same callback as the anti-join (adjacent pairs are
-       existing links, not predictions) — the separate
-       ``groupby(a, b).sum`` shuffle this fuses away moved the full
-       pair table twice;
-    3. per-block partial top-k (vectorized lexsort) so the final
-       ``sort().limit(k)`` sees at most k rows per block — the global
-       sort input is O(k × blocks), never the full pair table.
-    """
-    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
-                             both_directions=True).materialize()
+def _cn_nonadj_ds(und, num_partitions: int = 64):
+    """Exact common-neighbor counts for NON-adjacent pairs ``(a, b,
+    cn)`` with a < b, from a materialized undirected distinct-pair
+    dataset — the shared candidate stage of the link-prediction family
+    (:func:`common_neighbors_ds`, :func:`jaccard_link_pred_ds`).
+    Wedge enumeration hash-partitions by center; per-block partial
+    counts; ONE cogroup keyed by ``a`` fuses the exact sum with the
+    adjacency anti-join."""
     wedges = _wedge_pairs_ds(und, ordered=True,
                              num_partitions=num_partitions,
                              distinct=False)
@@ -524,13 +507,119 @@ def common_neighbors_ds(edges_ds, src: str = "subj", dst: str = "obj",
                           "b": t["n2"].take(pa.array(ridx))})
         return left.join(right, keys=["a", "b"], join_type="left anti")
 
-    nonadj = cogroup_partition_ds(
+    return cogroup_partition_ds(
         cn, ce, "a", "n1", per_partition, ["b", "cn"], ["n2"],
         num_partitions=num_partitions,
         left_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
                                ("cn", pa.int64())]),
         right_schema=pa.schema([("n1", pa.string()),
                                 ("n2", pa.string())]))
+
+
+def jaccard_link_pred_ds(edges_ds, src: str = "subj", dst: str = "obj",
+                         k: int = 20, num_partitions: int = 64):
+    """Jaccard-coefficient link prediction: top-``k`` non-adjacent
+    pairs (a < b) by ``jac_score = cn·10⁶ // (deg(a)+deg(b)−cn)`` —
+    integer micro-units (truncating) so the score is deterministic and
+    SQL-twin-exact (same contract as :func:`ra_link_pred_ds`).
+
+    Plan: the shared :func:`_cn_nonadj_ds` candidate stage, then the
+    node-degree table attaches in TWO keyed cogroups (by ``a``, then
+    by ``b``) — vectorized run-repeat merges, no per-key Python, no
+    degree broadcast (the degree table is node-bounded but at web
+    scale still too big to ship to every task)."""
+    from ray.data.aggregate import Count
+
+    from kgforge.functions.indexing import _segment_arange
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+    nonadj = _cn_nonadj_ds(und, num_partitions)
+    deg = und.groupby("n1").aggregate(Count(alias_name="d"))
+
+    def make_attach(key_out: str, other: str, d_out: str):
+        def attach(t: pa.Table, starts, nl, nr) -> pa.Table:
+            # every candidate endpoint has a degree row → inner merge;
+            # one degree row per key, repeated across the key's pairs
+            has = (nl > 0) & (nr > 0)
+            rep = nl[has]
+            lidx = np.repeat(starts[has], rep) + _segment_arange(rep)
+            didx = np.repeat(starts[has] + nl[has], rep)
+            cols = {key_out: t["__k"].take(pa.array(lidx)),
+                    other: t[other].take(pa.array(lidx)),
+                    "cn": t["cn"].take(pa.array(lidx)),
+                    d_out: t["d"].take(pa.array(didx))}
+            if "da" in t.column_names and d_out != "da":
+                cols["da"] = t["da"].take(pa.array(lidx))
+            return pa.table(cols)
+
+        return attach
+
+    with_da = cogroup_partition_ds(
+        nonadj, deg, "a", "n1", make_attach("a", "b", "da"),
+        ["b", "cn"], ["d"], num_partitions=num_partitions,
+        left_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                               ("cn", pa.int64())]),
+        right_schema=pa.schema([("n1", pa.string()),
+                                ("d", pa.int64())]))
+    scored_in = cogroup_partition_ds(
+        with_da, deg, "b", "n1", make_attach("b", "a", "db"),
+        ["a", "cn", "da"], ["d"], num_partitions=num_partitions,
+        left_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                               ("cn", pa.int64()), ("da", pa.int64())]),
+        right_schema=pa.schema([("n1", pa.string()),
+                                ("d", pa.int64())]))
+
+    def score(b: pa.Table) -> pa.Table:
+        cn = b["cn"].combine_chunks().to_numpy(zero_copy_only=False)
+        da = b["da"].combine_chunks().to_numpy(zero_copy_only=False)
+        db = b["db"].combine_chunks().to_numpy(zero_copy_only=False)
+        un = da + db - cn
+        s = (cn * 1_000_000) // np.maximum(un, 1)
+        return pa.table({"a": b["a"], "b": b["b"],
+                         "jac_score": pa.array(s, pa.int64())})
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        neg = pc.negate(b["jac_score"]).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((np.asarray(b["b"].to_pylist()),
+                            np.asarray(b["a"].to_pylist()), neg))
+        return b.take(pa.array(order[:k]))
+
+    return scored_in.map_batches(score, batch_format="pyarrow") \
+        .map_batches(partial_topk, batch_format="pyarrow") \
+        .sort(["jac_score", "a", "b"],
+              descending=[True, False, False]).limit(k)
+
+
+def common_neighbors_ds(edges_ds, src: str = "subj", dst: str = "obj",
+                        k: int = 20, num_partitions: int = 64):
+    """Link prediction by common-neighbor count: the top-``k``
+    NON-adjacent node pairs (a < b) ranked by how many neighbours they
+    share in the undirected distinct-pair graph (ties broken by
+    ``(a, b)`` so the cut is deterministic).
+
+    Plan (three bounded moves, no driver row loops):
+
+    1. wedge enumeration at each center (``_wedge_pairs_ds`` — hash
+       partition by center, flat index math), per-BLOCK combine of the
+       (a, b) counts so the wide step ships partial counts, not wedges;
+    2. ONE cogroup keyed by ``a`` joins the partial counts against the
+       canonical edge set: hash-partitioning by ``a`` already
+       co-locates every (a, b) partial, so the exact sum happens
+       inside the same callback as the anti-join (adjacent pairs are
+       existing links, not predictions) — the separate
+       ``groupby(a, b).sum`` shuffle this fuses away moved the full
+       pair table twice;
+    3. per-block partial top-k (vectorized lexsort) so the final
+       ``sort().limit(k)`` sees at most k rows per block — the global
+       sort input is O(k × blocks), never the full pair table.
+    """
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+    nonadj = _cn_nonadj_ds(und, num_partitions)
 
     def partial_topk(b: pa.Table) -> pa.Table:
         if b.num_rows <= k:

@@ -363,6 +363,53 @@ def knn_classify_ds(ds, query_ids, vec_col: str = "embedding",
                      "votes": pa.array(v_out, pa.int64())})
 
 
+def dim_truncate_recall_ds(ds, query_ids, d_trunc: int = 16,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id", k: int = 10) -> pa.Table:
+    """Matryoshka-style dimension-truncation evaluation: recall@k of
+    cosine top-k computed on the FIRST ``d_trunc`` dims against the
+    full-dim exact top-k → one row per query ``(query_id, n_hit,
+    recall)``.  The scale rationale: a cheap truncated first-pass
+    search (d_trunc ≪ d means d/d_trunc × less matmul + I/O) is only
+    admissible if its measured recall holds — this operator measures
+    it on the production search path itself.
+
+    Scale shape: two :func:`knn_brute_ds` passes (broadcast query
+    matrix, per-batch partial top-k, Q×k driver merge each); the
+    driver-side set intersection is Q×k-bounded — the one place a
+    driver reduce is correct."""
+    def truncate(b: pa.Table) -> pa.Table:
+        mat = _list_mat(b[vec_col])[:, :d_trunc]
+        return pa.table({
+            id_col: b[id_col],
+            vec_col: pa.array(mat.tolist(), pa.list_(pa.float64()))})
+
+    full = knn_brute_ds(ds, query_ids, vec_col=vec_col,
+                        id_col=id_col, k=k)
+    trunc = knn_brute_ds(
+        ds.select_columns([id_col, vec_col]).map_batches(
+            truncate, batch_format="pyarrow"),
+        query_ids, vec_col=vec_col, id_col=id_col, k=k)
+
+    by_q_full: dict[int, set] = {}
+    for q, nid in zip(full["query_id"].to_pylist(),
+                      full["neighbor_id"].to_pylist()):
+        by_q_full.setdefault(int(q), set()).add(int(nid))
+    by_q_tr: dict[int, set] = {}
+    for q, nid in zip(trunc["query_id"].to_pylist(),
+                      trunc["neighbor_id"].to_pylist()):
+        by_q_tr.setdefault(int(q), set()).add(int(nid))
+    from kgforge.common.hashing import round_away
+
+    q_out = sorted(by_q_full)
+    hits = [len(by_q_full[q] & by_q_tr.get(q, set())) for q in q_out]
+    return pa.table({
+        "query_id": pa.array(q_out, pa.int64()),
+        "n_hit": pa.array(hits, pa.int64()),
+        "recall": pa.array(
+            [float(round_away(h / k, 4)) for h in hits], pa.float64())})
+
+
 def _list_mat(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Fixed-width ``list<float>`` column → (n, d) float64 matrix —
     one flatten, no per-row Python."""

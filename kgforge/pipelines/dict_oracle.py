@@ -466,6 +466,28 @@ ORDER BY ra_score DESC, a, b LIMIT {k}
 """
 
 
+def jaccard_link_pred_sql(k: int = 20) -> str:
+    """SQL twin of :func:`kgforge.functions.graph.jaccard_link_pred_ds`
+    — Jaccard-coefficient scores in integer micro-units
+    (``cn·1000000 // (deg(a)+deg(b)-cn)``, truncating), same
+    (score DESC, a, b) deterministic cut."""
+    return entity_pairs_prelude() + f""",
+deg AS (SELECT n1, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY n1),
+w AS (SELECT l.n2 AS a, r.n2 AS b, CAST(count(*) AS BIGINT) AS cn
+      FROM und l JOIN und r ON r.n1 = l.n1 AND l.n2 < r.n2
+      GROUP BY 1, 2),
+nonadj AS (SELECT w.a, w.b, w.cn FROM w
+           WHERE NOT EXISTS (SELECT 1 FROM und u
+                             WHERE u.n1 = w.a AND u.n2 = w.b)),
+sc AS (SELECT a, b,
+              CAST(cn * 1000000 // (da.d + db.d - cn) AS BIGINT)
+                  AS jac_score
+       FROM nonadj JOIN deg da ON da.n1 = a JOIN deg db ON db.n1 = b)
+SELECT a, b, jac_score FROM sc
+ORDER BY jac_score DESC, a, b LIMIT {k}
+"""
+
+
 def _hits_half(prev: str, cur: str, edge_in: str, edge_out: str) -> str:
     """One HITS half-step CTE pair: raw in-sums from ``prev`` scores,
     then L∞ normalization in truncating integer micro-units."""

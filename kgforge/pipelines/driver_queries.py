@@ -395,6 +395,21 @@ def q_embedding_lsh_pairs(sf_dir: str):
         .repartition(16), tau=0.3)
 
 
+def q_substring_dup_pairs(sf_dir: str):
+    """Lee-et-al exact substring dedup: docs sharing ≥ 1 exact 25-char
+    window, scored by distinct shared windows (boilerplate df-capped,
+    mirrored in the twin)."""
+    return F_dedup.substring_dup_pairs_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]).repartition(16))
+
+
+def q_dup_span_fraction(sf_dir: str):
+    """Per-doc duplicated-span census: fraction of a doc's distinct
+    25-char windows that appear in ≥ 2 docs."""
+    return F_dedup.dup_span_fraction_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]).repartition(16))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -454,6 +469,14 @@ def q_quantize_embeddings(sf_dir: str):
 def q_funnel_counts(sf_dir: str):
     return F_events.funnel_counts_ds(
         _read(sf_dir, "events", ["user_id", "event_type", "ts"]))
+
+
+def q_dim_truncate_recall(sf_dir: str):
+    """Matryoshka truncation evaluation: recall@10 of first-16-dim
+    cosine top-k against full 64-dim exact top-k, per query."""
+    return F_sim.dim_truncate_recall_ds(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .repartition(16), KNN_QUERY_IDS, d_trunc=16, k=10)
 
 
 def q_lsh_recall(sf_dir: str):
@@ -2243,6 +2266,15 @@ def q_kg_ra_linkpred(sf_dir: str):
     from kgforge.functions.graph import ra_link_pred_ds
 
     return ra_link_pred_ds(_entity_edges_for(sf_dir), k=20)
+
+
+def q_kg_jaccard_linkpred(sf_dir: str):
+    """Jaccard-coefficient link prediction in integer micro-units —
+    the neighborhood-overlap member of the linkpred family (CN and RA
+    are the other two)."""
+    from kgforge.functions.graph import jaccard_link_pred_ds
+
+    return jaccard_link_pred_ds(_entity_edges_for(sf_dir), k=20)
 
 
 def q_kg_katz(sf_dir: str):
@@ -4987,6 +5019,9 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    "substring_dup_pairs": q_substring_dup_pairs,
+    "dup_span_fraction": q_dup_span_fraction,
+    "dim_truncate_recall": q_dim_truncate_recall,
     "knn_brute": q_knn_brute,
     "knn_ivf": q_knn_ivf,
     "kmeans_clusters": q_kmeans_clusters,
@@ -5026,6 +5061,7 @@ QUERIES = {
     "kg_link_pred": q_kg_link_pred,
     "kg_clustering": q_kg_clustering,
     "kg_ra_linkpred": q_kg_ra_linkpred,
+    "kg_jaccard_linkpred": q_kg_jaccard_linkpred,
     "kg_hits": q_kg_hits,
     "kg_comp_sizes": q_kg_comp_sizes,
     "kg_communities": q_kg_communities,
@@ -5235,6 +5271,64 @@ ORACLE_SQL = {
         JOIN counts ca ON ca.doc_id = ia
         JOIN counts cb ON cb.doc_id = ib
         WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.2
+    """,
+    "substring_dup_pairs": """
+        WITH w AS (SELECT DISTINCT doc_id, substring(text, g.i, 25) AS s
+                   FROM documents, generate_series(1, 1024) g(i)
+                   WHERE g.i <= greatest(length(text) - 24, 1)),
+        good AS (SELECT s FROM w GROUP BY s
+                 HAVING count(*) BETWEEN 2 AND 128)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+        WHERE a.s IN (SELECT s FROM good)
+        GROUP BY 1, 2
+    """,
+    "dup_span_fraction": """
+        WITH w AS (SELECT DISTINCT doc_id, substring(text, g.i, 25) AS s
+                   FROM documents, generate_series(1, 1024) g(i)
+                   WHERE g.i <= greatest(length(text) - 24, 1)),
+        df AS (SELECT s, count(*) AS c FROM w GROUP BY 1)
+        SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_win,
+               CAST(sum(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup,
+               round(sum(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 4) AS dup_frac
+        FROM w JOIN df USING (s)
+        GROUP BY 1
+    """,
+    "dim_truncate_recall": """
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 8),
+        sf AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             q.qe) AS sim
+               FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        rf AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id)
+                          AS rk
+               FROM sf),
+        st AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                      list_cosine_similarity(
+                          (CAST(e.embedding AS DOUBLE[]))[1:16],
+                          (q.qe)[1:16]) AS sim
+               FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        rt AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id)
+                          AS rk
+               FROM st),
+        hit AS (SELECT f.query_id, count(*) AS n
+                FROM (SELECT * FROM rf WHERE rk <= 10) f
+                JOIN (SELECT * FROM rt WHERE rk <= 10) t
+                  ON f.query_id = t.query_id
+                 AND f.neighbor_id = t.neighbor_id
+                GROUP BY 1)
+        SELECT q.query_id, CAST(coalesce(hit.n, 0) AS BIGINT) AS n_hit,
+               round(coalesce(hit.n, 0) / 10.0, 4) AS recall
+        FROM q LEFT JOIN hit ON hit.query_id = q.query_id
     """,
     "embedding_dup_pairs": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -5651,6 +5745,7 @@ ORACLE_SQL["kg_components"] = _dict_oracle.components_sql()
 ORACLE_SQL["kg_link_pred"] = _dict_oracle.common_neighbors_sql(k=20)
 ORACLE_SQL["kg_clustering"] = _dict_oracle.clustering_coeff_sql()
 ORACLE_SQL["kg_ra_linkpred"] = _dict_oracle.ra_link_pred_sql(k=20)
+ORACLE_SQL["kg_jaccard_linkpred"] = _dict_oracle.jaccard_link_pred_sql(k=20)
 ORACLE_SQL["kg_hits"] = _dict_oracle.hits_sql(iters=2)
 ORACLE_SQL["kg_comp_sizes"] = _dict_oracle.comp_sizes_sql()
 ORACLE_SQL["kg_communities"] = _dict_oracle.communities_sql(rounds=2)
