@@ -125,7 +125,8 @@ def _lr_indices(starts, nl, nr):
 
 def pagerank_ds(edges_ds, iters: int = 3, src: str = "subj",
                 dst: str = "obj", num_partitions: int = 64,
-                materialize_each: bool = False):
+                materialize_each: bool = False,
+                seeds: list | None = None):
     """Integer-deterministic PageRank (damping 0.85) over the distinct
     directed-pair graph: ranks are int64 micro-units, each step
 
@@ -184,10 +185,22 @@ def pagerank_ds(edges_ds, iters: int = 3, src: str = "subj",
         base = base.repartition(num_partitions)
     base = base.materialize()
 
+    # seeds → PERSONALIZED PageRank: teleport mass (both the initial
+    # rank and the per-step base term) concentrates on the seed set,
+    # everything else identical — same integer-determinism contract
+    seed_set = pa.array(sorted(seeds), pa.string()) \
+        if seeds is not None else None
+
     def init_ranks(b: pa.Table) -> pa.Table:
+        if seed_set is None:
+            r = np.full(b.num_rows, PR_R0, dtype=np.int64)
+        else:
+            m = pc.is_in(b["node"], value_set=seed_set) \
+                .combine_chunks().to_numpy(zero_copy_only=False)
+            r = np.where(m, PR_R0, 0).astype(np.int64)
         return pa.table({
             "node": b["node"], "outdeg": b["outdeg"],
-            "rank": pa.array(np.full(b.num_rows, PR_R0, dtype=np.int64)),
+            "rank": pa.array(r),
         })
 
     # no materialize: init is a stateless map over the materialized
@@ -234,9 +247,16 @@ def pagerank_ds(edges_ds, iters: int = 3, src: str = "subj",
             # base, so no right-only keys exist), and their c is
             # null→0: the overshoot contributes nothing
             insum[nz] = np.add.reduceat(c, r_starts[nz])
-        new_rank = PR_BASE + (PR_NUM * insum) // PR_DEN
+        node_arr = t["__k"].take(pa.array(lidx))
+        if seed_set is None:
+            base_term: np.ndarray | int = PR_BASE
+        else:
+            m = pc.is_in(node_arr, value_set=seed_set) \
+                .combine_chunks().to_numpy(zero_copy_only=False)
+            base_term = np.where(m, PR_BASE, 0).astype(np.int64)
+        new_rank = base_term + (PR_NUM * insum) // PR_DEN
         return pa.table({
-            "node": t["__k"].take(pa.array(lidx)),
+            "node": node_arr,
             "outdeg": t["outdeg"].take(pa.array(lidx)),
             "rank": pa.array(new_rank),
         })
@@ -264,6 +284,35 @@ def pagerank_ds(edges_ds, iters: int = 3, src: str = "subj",
         return pa.table({"node": b["node"], "rank": b["rank"]})
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def personalized_pagerank_ds(edges_ds, n_seeds: int = 4, iters: int = 3,
+                             src: str = "subj", dst: str = "obj",
+                             num_partitions: int = 64):
+    """Personalized PageRank: teleport mass concentrated on a
+    deterministic seed set — the ``n_seeds`` lexicographically
+    smallest nodes (the engine's shared no-argument seed rule, same
+    as ``ego_edges_ds``), so the SQL twin selects the identical set.
+    Rides :func:`pagerank_ds`'s integer micro-unit machinery; output
+    ``(node, rank)`` is bit-identical across engines and layouts.
+
+    Scale shape: seed selection is a distinct + ``sort.limit(n)`` over
+    the NODE table (node-bounded, n rows to the driver); the iteration
+    is pagerank's two keyed cogroups per step."""
+    from ray.data.aggregate import Count
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        arr = pa.concat_tables([pa.table({"node": b[src]}),
+                                pa.table({"node": b[dst]})])["node"]
+        return pa.table({"node": arr.unique()})
+
+    distinct_nodes = edges_ds.select_columns([src, dst]) \
+        .map_batches(node_rows, batch_format="pyarrow") \
+        .groupby("node").aggregate(Count(alias_name="__c"))
+    seeds = [r["node"] for r in
+             distinct_nodes.sort("node").limit(n_seeds).take(n_seeds)]
+    return pagerank_ds(edges_ds, iters=iters, src=src, dst=dst,
+                       num_partitions=num_partitions, seeds=seeds)
 
 
 def _wedge_pairs_ds(und_ds, ordered: bool, num_partitions: int = 64,

@@ -1075,3 +1075,100 @@ def reading_ease_ds(ds, text_col: str = "text",
             "flesch_milli": pa.array(score.astype(np.int64))})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-rule census (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher" §A1.1 — the repetition/length/stopword filter
+# family, reduced to integer-exact rules)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 20, 1000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3, 5        # mean word length bounds
+GOPHER_STOP_PCT = 2                          # ≥ 2% stopwords
+GOPHER_UNIQ_PCT = 35                         # ≥ 35% distinct words
+
+
+def gopher_rules_ds(ds, text_col: str = "text", id_col: str = "doc_id",
+                    by: str = "source"):
+    """Per-``by`` census of Gopher-style quality-filter rules: how many
+    docs fail each rule and how many pass all of them → one row per
+    group ``(by, n_docs, fail_len, fail_wordlen, fail_stop, fail_uniq,
+    n_pass)``.
+
+    Every rule is an INTEGER cross-multiplication (``sum_wl ≥ 3·n_words``
+    instead of ``mean ≥ 3.0``), so the census is value-exact against the
+    SQL twin with zero float risk.  Word semantics = split on single
+    space (DuckDB ``string_split(text, ' ')``), all derived vectorized:
+    word count and summed word length from two C kernels, stopword and
+    distinct counts from one flatten + segment reductions.
+
+    Scale shape: a pure map emits one partial-census row per (batch,
+    group); the only shuffle is the final tiny ``groupby(by).sum`` over
+    group-bounded partials."""
+    from ray.data.aggregate import Sum
+
+    stop_set = pa.array(list(GOPHER_STOPWORDS), pa.string())
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b[text_col], "")
+        n = len(text)
+        n_spaces = pc.count_substring(text, pattern=" ") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = n_spaces + 1                       # len(string_split)
+        sum_wl = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64) - n_spaces
+        words = pc.split_pattern(text, pattern=" ")
+        lens = pc.list_value_length(words) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words).combine_chunks()
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) \
+            .astype(np.int64)
+        stop_flags = pc.is_in(flat, value_set=stop_set) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_stop = np.add.reduceat(stop_flags, starts) if len(flat) \
+            else np.zeros(n, dtype=np.int64)
+        codes = flat.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        span = int(codes.max()) + 1 if len(codes) else 1
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        uniq_keys = np.unique(doc_of * span + codes)
+        n_uniq = np.bincount(uniq_keys // span, minlength=n) \
+            .astype(np.int64)
+
+        f_len = ((n_words < GOPHER_MIN_WORDS) |
+                 (n_words > GOPHER_MAX_WORDS)).astype(np.int64)
+        f_wl = ((sum_wl < GOPHER_MIN_MWL * n_words) |
+                (sum_wl > GOPHER_MAX_MWL * n_words)).astype(np.int64)
+        f_stop = (n_stop * 100 < GOPHER_STOP_PCT * n_words) \
+            .astype(np.int64)
+        f_uniq = (n_uniq * 100 < GOPHER_UNIQ_PCT * n_words) \
+            .astype(np.int64)
+        n_pass = ((f_len + f_wl + f_stop + f_uniq) == 0).astype(np.int64)
+        t = pa.table({
+            by: b[by],
+            "n_docs": pa.array(np.ones(n, dtype=np.int64)),
+            "fail_len": pa.array(f_len), "fail_wordlen": pa.array(f_wl),
+            "fail_stop": pa.array(f_stop), "fail_uniq": pa.array(f_uniq),
+            "n_pass": pa.array(n_pass)})
+        g = t.group_by([by], use_threads=False).aggregate(
+            [("n_docs", "sum"), ("fail_len", "sum"),
+             ("fail_wordlen", "sum"), ("fail_stop", "sum"),
+             ("fail_uniq", "sum"), ("n_pass", "sum")])
+        return pa.table({by: g[by], "n_docs": g["n_docs_sum"],
+                         "fail_len": g["fail_len_sum"],
+                         "fail_wordlen": g["fail_wordlen_sum"],
+                         "fail_stop": g["fail_stop_sum"],
+                         "fail_uniq": g["fail_uniq_sum"],
+                         "n_pass": g["n_pass_sum"]})
+
+    return ds.select_columns([by, id_col, text_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(by).aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("fail_len", alias_name="fail_len"),
+            Sum("fail_wordlen", alias_name="fail_wordlen"),
+            Sum("fail_stop", alias_name="fail_stop"),
+            Sum("fail_uniq", alias_name="fail_uniq"),
+            Sum("n_pass", alias_name="n_pass"))

@@ -250,6 +250,40 @@ SELECT n AS node, r AS "rank" FROM r{iters}
 """
 
 
+def _ppr_step(prev: str, cur: str) -> str:
+    return f""",
+{cur} AS (SELECT nd.n,
+                 CAST((CASE WHEN nd.n IN (SELECT n FROM seeds)
+                            THEN 150000 ELSE 0 END)
+                      + (85 * coalesce(sum({prev}.r // od.odeg),
+                                       0)) // 100 AS BIGINT) AS r
+          FROM nodes nd
+          LEFT JOIN prs ON prs.d = nd.n
+          LEFT JOIN od ON od.s = prs.s
+          LEFT JOIN {prev} ON {prev}.n = prs.s
+          GROUP BY nd.n)"""
+
+
+def ppr_sql(iters: int = 3, n_seeds: int = 4) -> str:
+    """Integer-deterministic personalized-PageRank twin of
+    :func:`kgforge.functions.graph.personalized_pagerank_ds` — teleport
+    mass on the ``n_seeds`` lexicographically smallest nodes, floor
+    division at every step, identical int64 ranks both engines."""
+    sql = entity_pairs_prelude() + f""",
+nodes AS (SELECT DISTINCT n FROM (
+            SELECT s AS n FROM prs UNION ALL SELECT d AS n FROM prs)),
+od AS (SELECT s, count(*) AS odeg FROM prs GROUP BY s),
+seeds AS (SELECT n FROM nodes ORDER BY n LIMIT {n_seeds}),
+r0 AS (SELECT n, CAST(CASE WHEN n IN (SELECT n FROM seeds)
+                           THEN 1000000 ELSE 0 END AS BIGINT) AS r
+       FROM nodes)"""
+    for i in range(iters):
+        sql += _ppr_step(f"r{i}", f"r{i + 1}")
+    return sql + f"""
+SELECT n AS node, r AS "rank" FROM r{iters}
+"""
+
+
 def two_hop_sql() -> str:
     return entity_pairs_prelude() + """,
 two AS (SELECT DISTINCT a.n1 AS node, b.n2 AS nbr

@@ -232,6 +232,13 @@ def q_quality_score(sf_dir: str):
                                          ["doc_id", "text"]))
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher-style quality-filter census per source: integer-exact
+    rule fail counts + all-rules pass count."""
+    return F_text.gopher_rules_ds(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]))
+
+
 def q_lang_id(sf_dir: str):
     return F_text.lang_id_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -2275,6 +2282,15 @@ def q_kg_jaccard_linkpred(sf_dir: str):
     from kgforge.functions.graph import jaccard_link_pred_ds
 
     return jaccard_link_pred_ds(_entity_edges_for(sf_dir), k=20)
+
+
+def q_kg_ppr(sf_dir: str):
+    """Personalized PageRank (teleport mass on the 4 lexicographically
+    smallest nodes), integer micro-unit ranks."""
+    from kgforge.functions.graph import personalized_pagerank_ds
+
+    return personalized_pagerank_ds(_entity_edges_for(sf_dir),
+                                    n_seeds=4, iters=3)
 
 
 def q_kg_katz(sf_dir: str):
@@ -5062,6 +5078,8 @@ QUERIES = {
     "kg_clustering": q_kg_clustering,
     "kg_ra_linkpred": q_kg_ra_linkpred,
     "kg_jaccard_linkpred": q_kg_jaccard_linkpred,
+    "kg_ppr": q_kg_ppr,
+    "gopher_rules": q_gopher_rules,
     "kg_hits": q_kg_hits,
     "kg_comp_sizes": q_kg_comp_sizes,
     "kg_communities": q_kg_communities,
@@ -5271,6 +5289,37 @@ ORACLE_SQL = {
         JOIN counts ca ON ca.doc_id = ia
         JOIN counts cb ON cb.doc_id = ib
         WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.2
+    """,
+    "gopher_rules": """
+        WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                   FROM documents),
+        m AS (SELECT doc_id, source, len(ws) AS nw,
+                     (SELECT coalesce(sum(length(x.w)), 0)
+                      FROM unnest(ws) x(w)) AS swl,
+                     (SELECT count(*) FROM unnest(ws) x(w)
+                      WHERE x.w IN ('the','a','of','to','and','in','is'))
+                         AS nstop,
+                     (SELECT count(DISTINCT x.w) FROM unnest(ws) x(w))
+                         AS nuniq
+              FROM w),
+        f AS (SELECT source,
+                     CASE WHEN nw BETWEEN 20 AND 1000
+                          THEN 0 ELSE 1 END AS f_len,
+                     CASE WHEN swl >= 3 * nw AND swl <= 5 * nw
+                          THEN 0 ELSE 1 END AS f_wl,
+                     CASE WHEN nstop * 100 >= 2 * nw
+                          THEN 0 ELSE 1 END AS f_stop,
+                     CASE WHEN nuniq * 100 >= 35 * nw
+                          THEN 0 ELSE 1 END AS f_uniq
+              FROM m)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(f_len) AS BIGINT) AS fail_len,
+               CAST(sum(f_wl) AS BIGINT) AS fail_wordlen,
+               CAST(sum(f_stop) AS BIGINT) AS fail_stop,
+               CAST(sum(f_uniq) AS BIGINT) AS fail_uniq,
+               CAST(sum(CASE WHEN f_len + f_wl + f_stop + f_uniq = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        FROM f GROUP BY 1
     """,
     "substring_dup_pairs": """
         WITH w AS (SELECT DISTINCT doc_id, substring(text, g.i, 25) AS s
@@ -5746,6 +5795,7 @@ ORACLE_SQL["kg_link_pred"] = _dict_oracle.common_neighbors_sql(k=20)
 ORACLE_SQL["kg_clustering"] = _dict_oracle.clustering_coeff_sql()
 ORACLE_SQL["kg_ra_linkpred"] = _dict_oracle.ra_link_pred_sql(k=20)
 ORACLE_SQL["kg_jaccard_linkpred"] = _dict_oracle.jaccard_link_pred_sql(k=20)
+ORACLE_SQL["kg_ppr"] = _dict_oracle.ppr_sql(iters=3, n_seeds=4)
 ORACLE_SQL["kg_hits"] = _dict_oracle.hits_sql(iters=2)
 ORACLE_SQL["kg_comp_sizes"] = _dict_oracle.comp_sizes_sql()
 ORACLE_SQL["kg_communities"] = _dict_oracle.communities_sql(rounds=2)

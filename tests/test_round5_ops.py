@@ -147,3 +147,86 @@ def test_dim_truncate_recall_full_dim_is_one(ray_session):
                                  k=5).to_pandas()
     assert (low.recall <= 1.0).all() and (low.n_hit <= 5).all()
     assert low.recall.mean() < 1.0
+
+
+def test_gopher_rules_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.textstats import (GOPHER_STOPWORDS,
+                                             gopher_rules_ds)
+
+    texts = [
+        "the cat sat on a mat " * 10,          # trailing space → '' word
+        "short doc",                           # fails length
+        "zz " * 40 + "zz",                     # fails uniq + stop
+        "the quick brown fox jumps over a lazy dog and runs to town "
+        * 3,
+        "supercalifragilistic words only here " * 8,  # long words
+    ]
+    src = ["s1", "s1", "s2", "s2", "s2"]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                    "source": pa.array(src),
+                    "text": pa.array([t.strip() if i != 0 else t
+                                      for i, t in enumerate(texts)])})
+    got = gopher_rules_ds(rd.from_arrow(tbl).repartition(3)) \
+        .to_pandas().set_index("source").sort_index()
+
+    import collections
+    agg = collections.defaultdict(lambda: [0] * 6)
+    for s, t in zip(src, tbl["text"].to_pylist()):
+        ws = t.split(" ")
+        nw = len(ws)
+        swl = sum(len(w) for w in ws)
+        nstop = sum(1 for w in ws if w in GOPHER_STOPWORDS)
+        nuniq = len(set(ws))
+        f_len = 0 if 20 <= nw <= 1000 else 1
+        f_wl = 0 if 3 * nw <= swl <= 5 * nw else 1
+        f_stop = 0 if nstop * 100 >= 2 * nw else 1
+        f_uniq = 0 if nuniq * 100 >= 35 * nw else 1
+        row = agg[s]
+        row[0] += 1
+        row[1] += f_len
+        row[2] += f_wl
+        row[3] += f_stop
+        row[4] += f_uniq
+        row[5] += 1 if f_len + f_wl + f_stop + f_uniq == 0 else 0
+    for s in ("s1", "s2"):
+        want = agg[s]
+        assert got.loc[s].tolist() == want, (s, got.loc[s].tolist(), want)
+
+
+def test_personalized_pagerank_seeds_hold_the_mass(ray_session):
+    """Seeded PPR: seed nodes keep the teleport mass; nodes unreachable
+    from the seeds end at rank 0; plain pagerank unchanged by the
+    seeds=None default."""
+    import ray.data as rd
+
+    from kgforge.functions.graph import pagerank_ds, personalized_pagerank_ds
+
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]   # {a,b,c} ∪ {x,y}
+    tbl = pa.table({"subj": pa.array([e[0] for e in edges]),
+                    "obj": pa.array([e[1] for e in edges])})
+    ds = rd.from_arrow(tbl).repartition(2)
+    # seeds = 1 lexicographically smallest node = 'a'
+    got = {r["node"]: r["rank"] for r in
+           personalized_pagerank_ds(ds, n_seeds=1, iters=3).take_all()}
+    assert got["a"] == 150_000                     # pure teleport
+    assert got["b"] > 0 and got["c"] > 0           # reachable from a
+    assert got["x"] == 0 and got["y"] == 0         # unreachable, no seed
+
+    # brute-force the integer recurrence
+    nodes = ["a", "b", "c", "x", "y"]
+    out = {"a": ["b"], "b": ["c"], "x": ["y"]}
+    r = {n: (1_000_000 if n == "a" else 0) for n in nodes}
+    for _ in range(3):
+        nxt = {}
+        for v in nodes:
+            insum = sum(r[u] // max(len(out.get(u, [])), 1)
+                        for u in nodes if v in out.get(u, []))
+            nxt[v] = (150_000 if v == "a" else 0) + (85 * insum) // 100
+        r = nxt
+    assert got == r
+
+    plain = {x["node"]: x["rank"] for x in
+             pagerank_ds(ds, iters=2).take_all()}
+    assert all(v > 0 for v in plain.values())
