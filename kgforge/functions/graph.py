@@ -1431,13 +1431,14 @@ def clustering_coeff_ds(edges_ds, src: str = "subj", dst: str = "obj",
                                 ("tri", pa.int64())]))
 
 
-def ra_link_pred_ds(edges_ds, src: str = "subj", dst: str = "obj",
-                    k: int = 20, num_partitions: int = 64):
-    """Resource-Allocation link prediction (Zhou–Lü–Zhang 2009): the
-    top-``k`` non-adjacent pairs (a < b) by
-    ``ra_score = Σ_z 10⁶ // deg(z)`` over common neighbours ``z`` —
-    integer micro-units (truncating), so the score is deterministic
-    and SQL-twin-exact.
+def _weighted_cn_topk(edges_ds, src: str, dst: str, k: int,
+                      num_partitions: int, weight_of_deg, score_name: str):
+    """Shared engine for the degree-weighted common-neighbor
+    link-prediction family (:func:`ra_link_pred_ds`,
+    :func:`adamic_adar_ds`): top-``k`` non-adjacent pairs (a < b) by
+    ``Σ_z weight_of_deg(deg(z))`` over common neighbours ``z``, where
+    ``weight_of_deg`` maps an int64 degree vector to int64 micro-unit
+    weights (so the score is deterministic and SQL-twin-exact).
 
     Plan: identical shuffle shape to :func:`common_neighbors_ds`, but
     each wedge is emitted already weighted — the center's degree IS
@@ -1478,7 +1479,7 @@ def ra_link_pred_ds(edges_ds, src: str = "subj", dst: str = "obj",
         pairs = pa.table({
             "a": nbr.take(pa.array(starts[kofs2] + j1[keep])),
             "b": nbr.take(pa.array(starts[kofs2] + j2[keep])),
-            "w": pa.array(1_000_000 // lens[kofs2])})
+            "w": pa.array(weight_of_deg(lens[kofs2]))})
         g = pairs.group_by(["a", "b"], use_threads=False) \
             .aggregate([("w", "sum")])
         return pa.table({"a": g["a"], "b": g["b"], "w": g["w_sum"]})
@@ -1502,7 +1503,7 @@ def ra_link_pred_ds(edges_ds, src: str = "subj", dst: str = "obj",
         g = partials.group_by(["a", "b"], use_threads=False) \
             .aggregate([("w", "sum")])
         left = pa.table({"a": g["a"], "b": g["b"],
-                         "ra_score": g["w_sum"]})
+                         score_name: g["w_sum"]})
         right = pa.table({"a": t["__k"].take(pa.array(ridx)),
                           "b": t["n2"].take(pa.array(ridx))})
         return left.join(right, keys=["a", "b"], join_type="left anti")
@@ -1518,15 +1519,47 @@ def ra_link_pred_ds(edges_ds, src: str = "subj", dst: str = "obj",
     def partial_topk(b: pa.Table) -> pa.Table:
         if b.num_rows <= k:
             return b
-        neg = pc.negate(b["ra_score"]).combine_chunks() \
+        neg = pc.negate(b[score_name]).combine_chunks() \
             .to_numpy(zero_copy_only=False)
         order = np.lexsort((np.asarray(b["b"].to_pylist()),
                             np.asarray(b["a"].to_pylist()), neg))
         return b.take(pa.array(order[:k]))
 
     return nonadj.map_batches(partial_topk, batch_format="pyarrow") \
-        .sort(["ra_score", "a", "b"],
+        .sort([score_name, "a", "b"],
               descending=[True, False, False]).limit(k)
+
+
+def ra_link_pred_ds(edges_ds, src: str = "subj", dst: str = "obj",
+                    k: int = 20, num_partitions: int = 64):
+    """Resource-Allocation link prediction (Zhou–Lü–Zhang 2009): the
+    top-``k`` non-adjacent pairs (a < b) by
+    ``ra_score = Σ_z 10⁶ // deg(z)`` over common neighbours ``z`` —
+    integer micro-units (truncating), so the score is deterministic
+    and SQL-twin-exact.  Plan: :func:`_weighted_cn_topk`."""
+    return _weighted_cn_topk(edges_ds, src, dst, k, num_partitions,
+                             lambda d: 1_000_000 // d, "ra_score")
+
+
+def adamic_adar_ds(edges_ds, src: str = "subj", dst: str = "obj",
+                   k: int = 20, num_partitions: int = 64):
+    """Discrete Adamic–Adar link prediction: top-``k`` non-adjacent
+    pairs (a < b) by ``aa_score = Σ_z 10⁶ // (1 + floor(log2 deg(z)))``
+    over common neighbours ``z``.  The classical AA weight ``1/ln d``
+    is transcendental — floats would make the score depend on libm and
+    summation order — so the discrete form quantizes the logarithm:
+    ``floor(log2 d)`` is computed bit-exactly from the IEEE-754
+    exponent (``np.frexp``; exact for any int64 degree) and the SQL
+    twin's ``floor(log2(d))`` matches it (verified over 1..2·10⁶,
+    the full degree domain at test scale).  Same ordering as classical
+    AA whenever degrees differ by a power of two; deterministic and
+    SQL-twin-exact always.  Plan: :func:`_weighted_cn_topk`."""
+    def weight(d: np.ndarray) -> np.ndarray:
+        log2_floor = (np.frexp(d.astype(np.float64))[1] - 1).astype(np.int64)
+        return 1_000_000 // (1 + log2_floor)
+
+    return _weighted_cn_topk(edges_ds, src, dst, k, num_partitions,
+                             weight, "aa_score")
 
 
 def hits_ds(edges_ds, iters: int = 2, src: str = "subj",

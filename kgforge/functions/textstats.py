@@ -1172,3 +1172,81 @@ def gopher_rules_ds(ds, text_col: str = "text", id_col: str = "doc_id",
             Sum("fail_stop", alias_name="fail_stop"),
             Sum("fail_uniq", alias_name="fail_uniq"),
             Sum("n_pass", alias_name="n_pass"))
+
+
+C4_MIN_SENTS = 3            # ≥ 3 sentence terminators
+C4_MIN_LINE_WORDS = 5       # mean words per line ≥ 5
+
+
+def c4_rules_ds(ds, text_col: str = "text", id_col: str = "doc_id",
+                by: str = "source"):
+    """Per-``by`` census of C4-style quality-filter rules (the Raffel
+    et al. 2020 §2.2 heuristic family, doc-level form): how many docs
+    fail each rule and how many pass all → one row per group
+    ``(by, n_docs, fail_sent, fail_brace, fail_lorem, fail_linewords,
+    n_pass)``.
+
+    Rules (every test integer / substring-exact, zero float risk):
+    ``fail_sent`` — fewer than ``C4_MIN_SENTS`` '.' terminators;
+    ``fail_brace`` — contains '{' or '}' (code marker);
+    ``fail_lorem`` — contains 'lorem ipsum' (case-insensitive);
+    ``fail_linewords`` — mean words per line below
+    ``C4_MIN_LINE_WORDS``, tested as the cross-multiplication
+    ``n_words < k·n_lines`` (words = single-space split, the shared
+    word contract of :func:`gopher_rules_ds`; lines = '\\n' split).
+
+    Scale shape: a pure vectorized map (four C substring kernels per
+    batch) emits one partial-census row per (batch, group); the only
+    shuffle is the tiny final ``groupby(by).sum``."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b[text_col], "")
+        n = len(text)
+        n_per = pc.count_substring(text, pattern=".") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_brace = pc.count_substring(text, pattern="{") \
+            .to_numpy(zero_copy_only=False).astype(np.int64) + \
+            pc.count_substring(text, pattern="}") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lorem = pc.match_substring(pc.utf8_lower(text), "lorem ipsum") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_lines = pc.count_substring(text, pattern="\n") \
+            .to_numpy(zero_copy_only=False).astype(np.int64) + 1
+        n_words = pc.count_substring(text, pattern=" ") \
+            .to_numpy(zero_copy_only=False).astype(np.int64) + 1
+
+        f_sent = (n_per < C4_MIN_SENTS).astype(np.int64)
+        f_brace = (n_brace > 0).astype(np.int64)
+        f_lorem = lorem
+        f_lw = (n_words < C4_MIN_LINE_WORDS * n_lines).astype(np.int64)
+        n_pass = ((f_sent + f_brace + f_lorem + f_lw) == 0) \
+            .astype(np.int64)
+        t = pa.table({
+            by: b[by],
+            "n_docs": pa.array(np.ones(n, dtype=np.int64)),
+            "fail_sent": pa.array(f_sent),
+            "fail_brace": pa.array(f_brace),
+            "fail_lorem": pa.array(f_lorem),
+            "fail_linewords": pa.array(f_lw),
+            "n_pass": pa.array(n_pass)})
+        g = t.group_by([by], use_threads=False).aggregate(
+            [("n_docs", "sum"), ("fail_sent", "sum"),
+             ("fail_brace", "sum"), ("fail_lorem", "sum"),
+             ("fail_linewords", "sum"), ("n_pass", "sum")])
+        return pa.table({by: g[by], "n_docs": g["n_docs_sum"],
+                         "fail_sent": g["fail_sent_sum"],
+                         "fail_brace": g["fail_brace_sum"],
+                         "fail_lorem": g["fail_lorem_sum"],
+                         "fail_linewords": g["fail_linewords_sum"],
+                         "n_pass": g["n_pass_sum"]})
+
+    return ds.select_columns([by, id_col, text_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(by).aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("fail_sent", alias_name="fail_sent"),
+            Sum("fail_brace", alias_name="fail_brace"),
+            Sum("fail_lorem", alias_name="fail_lorem"),
+            Sum("fail_linewords", alias_name="fail_linewords"),
+            Sum("n_pass", alias_name="n_pass"))

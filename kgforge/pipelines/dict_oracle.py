@@ -500,6 +500,28 @@ ORDER BY ra_score DESC, a, b LIMIT {k}
 """
 
 
+def adamic_adar_sql(k: int = 20) -> str:
+    """SQL twin of :func:`kgforge.functions.graph.adamic_adar_ds` —
+    discrete Adamic–Adar scores in integer micro-units
+    (``1000000 // (1 + floor(log2(deg(z))))``, truncating; the
+    quantized log makes both engines bit-exact), same
+    (score DESC, a, b) deterministic cut."""
+    return entity_pairs_prelude() + f""",
+deg AS (SELECT n1, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY n1),
+w AS (SELECT l.n2 AS a, r.n2 AS b,
+             1000000 // (1 + CAST(floor(log2(deg.d)) AS BIGINT)) AS wt
+      FROM und l JOIN und r ON r.n1 = l.n1 AND l.n2 < r.n2
+      JOIN deg ON deg.n1 = l.n1),
+aa AS (SELECT a, b, CAST(sum(wt) AS BIGINT) AS aa_score
+       FROM w GROUP BY 1, 2),
+nonadj AS (SELECT aa.a, aa.b, aa.aa_score FROM aa
+           WHERE NOT EXISTS (SELECT 1 FROM und u
+                             WHERE u.n1 = aa.a AND u.n2 = aa.b))
+SELECT a, b, aa_score FROM nonadj
+ORDER BY aa_score DESC, a, b LIMIT {k}
+"""
+
+
 def jaccard_link_pred_sql(k: int = 20) -> str:
     """SQL twin of :func:`kgforge.functions.graph.jaccard_link_pred_ds`
     — Jaccard-coefficient scores in integer micro-units

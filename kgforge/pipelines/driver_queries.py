@@ -239,6 +239,14 @@ def q_gopher_rules(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "source", "text"]))
 
 
+def q_c4_rules(sf_dir: str):
+    """C4-style quality-filter census per source (Raffel et al. 2020
+    heuristics, doc-level form): integer/substring-exact rule fail
+    counts + all-rules pass count — the sibling of ``gopher_rules``."""
+    return F_text.c4_rules_ds(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]))
+
+
 def q_lang_id(sf_dir: str):
     return F_text.lang_id_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -2284,6 +2292,15 @@ def q_kg_jaccard_linkpred(sf_dir: str):
     return jaccard_link_pred_ds(_entity_edges_for(sf_dir), k=20)
 
 
+def q_kg_aa_linkpred(sf_dir: str):
+    """Discrete Adamic–Adar link prediction (weight 10⁶ //
+    (1 + floor(log2 deg)), bit-exact in both engines) — completes the
+    linkpred family alongside CN, RA and Jaccard."""
+    from kgforge.functions.graph import adamic_adar_ds
+
+    return adamic_adar_ds(_entity_edges_for(sf_dir), k=20)
+
+
 def q_kg_ppr(sf_dir: str):
     """Personalized PageRank (teleport mass on the 4 lexicographically
     smallest nodes), integer micro-unit ranks."""
@@ -3883,6 +3900,94 @@ def q_hourly_delta(sf_dir: str):
         .groupby("__p").map_groups(lagdiff, batch_format="pyarrow")
 
 
+def q_hourly_autocorr(sf_dir: str, max_lag: int = 6):
+    """Lag-k autocovariance building blocks of the GLOBAL hourly
+    event-count series (missing hours count 0), k = 1..max_lag —
+    the seasonality probe for event streams.  Every output is an
+    exact integer (`sum_xy = Σ_h c_h·c_{h+k}` plus the window sums
+    and term count), so the autocovariance/autocorrelation any
+    consumer derives is reproducible bit-exactly and the SQL twin
+    hashes identically.
+
+    Scale plan: combiner-first hourly reduce (per-batch group_by →
+    one small groupby; the reduce OUTPUT is calendar-bounded — ~10⁵
+    hour rows per decade even at 100 TB of events), then the lag
+    pass folds on the driver over that bounded vector with one
+    np.dot per lag — the same bounded-driver-fold contract as
+    ``open_orders_curve``."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({"h": pa.array(us // 3_600_000_000)})
+        return t.group_by("h", use_threads=False).aggregate(
+            [([], "count_all")]).rename_columns(["h", "n"])
+
+    hourly = _read(sf_dir, "events", ["ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    hs = hourly["h"].to_numpy(dtype=np.int64)
+    cs = hourly["n"].to_numpy(dtype=np.int64)
+    mn, mx = int(hs.min()), int(hs.max())
+    dense = np.zeros(mx - mn + 1, dtype=np.int64)
+    dense[hs - mn] = cs
+    rows = []
+    for k in range(1, max_lag + 1):
+        rows.append({
+            "lag": k,
+            "n_terms": len(dense) - k,
+            "sum_x": int(dense[:-k].sum()),
+            "sum_y": int(dense[k:].sum()),
+            "sum_xy": int(np.dot(dense[:-k], dense[k:]))})
+    return pd.DataFrame(rows)
+
+
+def q_cusum_changepoint(sf_dir: str):
+    """CUSUM changepoint per event type over the dense global hourly
+    axis: the hour t* maximizing ``|n·S_t − pos_t·S_n|`` (S = running
+    sum of hourly counts, missing hours 0; ties → earliest hour).
+    This is the classic mean-shift CUSUM statistic with the ``/n``
+    normalization cleared to keep every value an exact integer —
+    engine and SQL twin hash bit-identically.
+
+    Scale plan: combiner-first (type, hour) reduce whose OUTPUT is
+    types × calendar bounded, then one vectorized driver fold (dense
+    per-type cumsum + argmax) over that bounded table — the same
+    contract as ``open_orders_curve`` / ``hourly_autocorr``."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": b["event_type"],
+                      "h": pa.array(us // 3_600_000_000)})
+        return t.group_by(["event_type", "h"],
+                          use_threads=False).aggregate(
+            [([], "count_all")]).rename_columns(["event_type", "h", "n"])
+
+    hourly = _read(sf_dir, "events", ["event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "h"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    mn, mx = int(hourly["h"].min()), int(hourly["h"].max())
+    n = mx - mn + 1
+    rows = []
+    for etype, g in hourly.groupby("event_type", sort=True):
+        dense = np.zeros(n, dtype=np.int64)
+        dense[g["h"].to_numpy(dtype=np.int64) - mn] = \
+            g["n"].to_numpy(dtype=np.int64)
+        s = np.cumsum(dense)
+        pos = np.arange(1, n + 1, dtype=np.int64)
+        dev = np.abs(n * s - pos * s[-1])[:-1]   # last point is always 0
+        t_star = int(np.argmax(dev))             # first max = earliest
+        rows.append({"event_type": etype,
+                     "cp_hour": mn + t_star,
+                     "cusum_stat": int(dev[t_star])})
+    return pd.DataFrame(rows)
+
+
 def q_late_events(sf_dir: str):
     """Out-of-order arrival QA per user — see
     :func:`kgforge.functions.events.late_events_ds`."""
@@ -5078,8 +5183,10 @@ QUERIES = {
     "kg_clustering": q_kg_clustering,
     "kg_ra_linkpred": q_kg_ra_linkpred,
     "kg_jaccard_linkpred": q_kg_jaccard_linkpred,
+    "kg_aa_linkpred": q_kg_aa_linkpred,
     "kg_ppr": q_kg_ppr,
     "gopher_rules": q_gopher_rules,
+    "c4_rules": q_c4_rules,
     "kg_hits": q_kg_hits,
     "kg_comp_sizes": q_kg_comp_sizes,
     "kg_communities": q_kg_communities,
@@ -5122,6 +5229,8 @@ QUERIES = {
     "late_events": q_late_events,
     "top_terms_per_source": q_top_terms_per_source,
     "hourly_delta": q_hourly_delta,
+    "hourly_autocorr": q_hourly_autocorr,
+    "cusum_changepoint": q_cusum_changepoint,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -5318,6 +5427,38 @@ ORACLE_SQL = {
                CAST(sum(f_stop) AS BIGINT) AS fail_stop,
                CAST(sum(f_uniq) AS BIGINT) AS fail_uniq,
                CAST(sum(CASE WHEN f_len + f_wl + f_stop + f_uniq = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        FROM f GROUP BY 1
+    """,
+    "c4_rules": """
+        WITH m AS (SELECT source,
+                          length(coalesce(text, ''))
+                          - length(replace(coalesce(text, ''), '.', ''))
+                              AS nper,
+                          CASE WHEN contains(coalesce(text, ''), '{')
+                                 OR contains(coalesce(text, ''), '}')
+                               THEN 1 ELSE 0 END AS f_brace,
+                          CASE WHEN contains(lower(coalesce(text, '')),
+                                             'lorem ipsum')
+                               THEN 1 ELSE 0 END AS f_lorem,
+                          length(coalesce(text, ''))
+                          - length(replace(coalesce(text, ''),
+                                           chr(10), '')) + 1 AS nlines,
+                          length(coalesce(text, ''))
+                          - length(replace(coalesce(text, ''),
+                                           ' ', '')) + 1 AS nw
+                   FROM documents),
+        f AS (SELECT source,
+                     CASE WHEN nper >= 3 THEN 0 ELSE 1 END AS f_sent,
+                     f_brace, f_lorem,
+                     CASE WHEN nw >= 5 * nlines THEN 0 ELSE 1 END AS f_lw
+              FROM m)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(f_sent) AS BIGINT) AS fail_sent,
+               CAST(sum(f_brace) AS BIGINT) AS fail_brace,
+               CAST(sum(f_lorem) AS BIGINT) AS fail_lorem,
+               CAST(sum(f_lw) AS BIGINT) AS fail_linewords,
+               CAST(sum(CASE WHEN f_sent + f_brace + f_lorem + f_lw = 0
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         FROM f GROUP BY 1
     """,
@@ -5795,6 +5936,7 @@ ORACLE_SQL["kg_link_pred"] = _dict_oracle.common_neighbors_sql(k=20)
 ORACLE_SQL["kg_clustering"] = _dict_oracle.clustering_coeff_sql()
 ORACLE_SQL["kg_ra_linkpred"] = _dict_oracle.ra_link_pred_sql(k=20)
 ORACLE_SQL["kg_jaccard_linkpred"] = _dict_oracle.jaccard_link_pred_sql(k=20)
+ORACLE_SQL["kg_aa_linkpred"] = _dict_oracle.adamic_adar_sql(k=20)
 ORACLE_SQL["kg_ppr"] = _dict_oracle.ppr_sql(iters=3, n_seeds=4)
 ORACLE_SQL["kg_hits"] = _dict_oracle.hits_sql(iters=2)
 ORACLE_SQL["kg_comp_sizes"] = _dict_oracle.comp_sizes_sql()
@@ -5992,6 +6134,52 @@ SELECT event_type, hour_idx, n,
                                       ORDER BY hour_idx), 0)
             AS BIGINT) AS delta
 FROM h
+"""
+ORACLE_SQL["hourly_autocorr"] = """
+WITH hourly AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1),
+mm AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+ks AS (SELECT CAST(unnest(range(1, 7)) AS BIGINT) AS lag)
+SELECT ks.lag,
+       (SELECT mm.mx - mm.mn + 1 - ks.lag FROM mm) AS n_terms,
+       (SELECT CAST(coalesce(sum(c), 0) AS BIGINT)
+        FROM hourly, mm WHERE h <= mm.mx - ks.lag) AS sum_x,
+       (SELECT CAST(coalesce(sum(c), 0) AS BIGINT)
+        FROM hourly, mm WHERE h >= mm.mn + ks.lag) AS sum_y,
+       (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT)
+        FROM hourly a JOIN hourly b ON b.h = a.h + ks.lag) AS sum_xy
+FROM ks ORDER BY ks.lag
+"""
+ORACLE_SQL["cusum_changepoint"] = """
+WITH hourly AS (SELECT event_type,
+                       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+mm AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+axis AS (SELECT CAST(unnest(range(mm.mn, mm.mx + 1)) AS BIGINT) AS h
+         FROM mm),
+types AS (SELECT DISTINCT event_type FROM hourly),
+dense AS (SELECT t.event_type, a.h, coalesce(hh.c, 0) AS c
+          FROM types t CROSS JOIN axis a
+          LEFT JOIN hourly hh
+            ON hh.event_type = t.event_type AND hh.h = a.h),
+cum AS (SELECT event_type, h,
+               sum(c) OVER (PARTITION BY event_type ORDER BY h) AS s,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY h) AS pos,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               sum(c) OVER (PARTITION BY event_type) AS tot
+        FROM dense),
+stat AS (SELECT event_type, h,
+                CAST(abs(n * s - pos * tot) AS BIGINT) AS dev
+         FROM cum WHERE pos < n),
+ranked AS (SELECT event_type, h, dev,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY dev DESC, h) AS rn
+           FROM stat)
+SELECT event_type, h AS cp_hour, dev AS cusum_stat
+FROM ranked WHERE rn = 1
 """
 ORACLE_SQL["late_events"] = """
 WITH m AS (SELECT user_id, ts,

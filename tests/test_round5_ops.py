@@ -125,6 +125,43 @@ def test_jaccard_link_pred_matches_bruteforce(ray_session):
     assert got_rows                           # non-trivial
 
 
+def test_adamic_adar_matches_bruteforce(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from kgforge.functions.graph import adamic_adar_ds
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "h"),
+             ("b", "h"), ("c", "h"), ("e", "h"), ("d", "e")]
+    tbl = pa.table({"subj": pa.array([e[0] for e in edges]),
+                    "obj": pa.array([e[1] for e in edges])})
+    got = adamic_adar_ds(rd.from_arrow(tbl).repartition(3),
+                         k=50).to_pandas()
+
+    nbr: dict = {}
+    for s, d in edges:
+        nbr.setdefault(s, set()).add(d)
+        nbr.setdefault(d, set()).add(s)
+    adj = {tuple(sorted(e)) for e in edges}
+    want = []
+    nodes = sorted(nbr)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) in adj:
+                continue
+            shared = nbr[a] & nbr[b]
+            if not shared:
+                continue
+            score = sum(1_000_000 // (1 + int(math.log2(len(nbr[z]))))
+                        for z in shared)
+            want.append((a, b, score))
+    want.sort(key=lambda t: (-t[2], t[0], t[1]))
+    got_rows = [(r.a, r.b, r.aa_score) for r in got.itertuples()]
+    assert got_rows == want[:50]
+    assert got_rows                           # non-trivial
+
+
 def test_dim_truncate_recall_full_dim_is_one(ray_session):
     """Truncating to the FULL dimensionality must reproduce the exact
     top-k → recall 1.0 for every query; a 2-dim truncation of
@@ -230,3 +267,123 @@ def test_personalized_pagerank_seeds_hold_the_mass(ray_session):
     plain = {x["node"]: x["rank"] for x in
              pagerank_ds(ds, iters=2).take_all()}
     assert all(v > 0 for v in plain.values())
+
+
+def test_hourly_autocorr_matches_bruteforce(ray_session, tmp_path):
+    """Exact-integer lag-k autocovariance blocks vs a dense numpy
+    brute force on a gappy synthetic hourly series."""
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import q_hourly_autocorr
+
+    rng = np.random.RandomState(3)
+    # 300 events over ~40 hours with deliberate gaps
+    hours = np.sort(rng.choice(np.arange(0, 40), size=300, replace=True))
+    hours = hours[~np.isin(hours, [7, 8, 21])]          # gap hours
+    base = 1_700_000_000_000_000                        # epoch us
+    ts = base + hours * 3_600_000_000 + rng.randint(
+        0, 3_600_000_000, size=len(hours))
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(len(ts)), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(len(ts), dtype=np.int64)),
+        "event_type": pa.array(["x"] * len(ts)),
+        "value": pa.array(np.zeros(len(ts))),
+        "props": pa.array(["{}"] * len(ts))})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = q_hourly_autocorr(str(tmp_path)).sort_values("lag")
+
+    h_idx = (ts // 3_600_000_000).astype(np.int64)
+    mn, mx = h_idx.min(), h_idx.max()
+    dense = np.bincount(h_idx - mn, minlength=mx - mn + 1).astype(np.int64)
+    for _, r in got.iterrows():
+        k = int(r.lag)
+        assert r.n_terms == len(dense) - k
+        assert r.sum_x == dense[:-k].sum()
+        assert r.sum_y == dense[k:].sum()
+        assert r.sum_xy == np.dot(dense[:-k], dense[k:])
+    assert len(got) == 6 and got.sum_xy.sum() > 0
+
+
+def test_cusum_changepoint_finds_planted_shift(ray_session, tmp_path):
+    """A series that jumps from ~2/hour to ~10/hour at hour 20 must
+    put the CUSUM argmax at the shift; values re-checked against a
+    dense integer brute force."""
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import q_cusum_changepoint
+
+    rng = np.random.RandomState(5)
+    counts = np.concatenate([rng.poisson(2, 20), rng.poisson(10, 20)])
+    hours = np.repeat(np.arange(40), counts)
+    base = 1_700_000_000_000_000
+    ts = base + hours * 3_600_000_000 + 17
+    n_ev = len(ts)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n_ev), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n_ev, dtype=np.int64)),
+        "event_type": pa.array(["shift"] * n_ev),
+        "value": pa.array(np.zeros(n_ev)),
+        "props": pa.array(["{}"] * n_ev)})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = q_cusum_changepoint(str(tmp_path))
+    assert list(got.event_type) == ["shift"]
+
+    h_idx = (ts // 3_600_000_000).astype(np.int64)
+    mn, mx = h_idx.min(), h_idx.max()
+    dense = np.bincount(h_idx - mn, minlength=mx - mn + 1).astype(np.int64)
+    n = len(dense)
+    s = np.cumsum(dense)
+    dev = np.abs(n * s - np.arange(1, n + 1) * s[-1])[:-1]
+    t_star = int(np.argmax(dev))
+    assert int(got.cp_hour.iloc[0]) == int(mn + t_star)
+    assert int(got.cusum_stat.iloc[0]) == int(dev[t_star])
+    # the argmax sits near the planted shift
+    assert abs(t_star - 19) <= 2
+
+
+def test_c4_rules_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.textstats import c4_rules_ds
+
+    texts = [
+        "one. two. three. clean doc with plenty of words here ok",
+        "no terminal punctuation at all in this one honestly",   # sent
+        "short. code {x}. block. here with some words more",     # brace
+        "Lorem Ipsum dolor. sit amet. consectetur adipiscing.",  # lorem
+        "a. b. c.\nd\ne\nf",                                     # linewords
+    ]
+    src = ["s1", "s1", "s2", "s2", "s2"]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                    "source": pa.array(src),
+                    "text": pa.array(texts)})
+    got = c4_rules_ds(rd.from_arrow(tbl).repartition(3)) \
+        .to_pandas().set_index("source").sort_index()
+
+    want: dict = {}
+    for s, t in zip(src, texts):
+        r = want.setdefault(s, dict(n_docs=0, fail_sent=0, fail_brace=0,
+                                    fail_lorem=0, fail_linewords=0,
+                                    n_pass=0))
+        f_sent = int(t.count(".") < 3)
+        f_brace = int("{" in t or "}" in t)
+        f_lorem = int("lorem ipsum" in t.lower())
+        n_lines = t.count("\n") + 1
+        n_words = t.count(" ") + 1
+        f_lw = int(n_words < 5 * n_lines)
+        r["n_docs"] += 1
+        r["fail_sent"] += f_sent
+        r["fail_brace"] += f_brace
+        r["fail_lorem"] += f_lorem
+        r["fail_linewords"] += f_lw
+        r["n_pass"] += int(f_sent + f_brace + f_lorem + f_lw == 0)
+    for s, r in want.items():
+        for k, v in r.items():
+            assert got.loc[s, k] == v, (s, k)
+    # every rule fires at least once across the fixture
+    assert got.fail_sent.sum() >= 1 and got.fail_brace.sum() >= 1
+    assert got.fail_lorem.sum() >= 1 and got.fail_linewords.sum() >= 1
