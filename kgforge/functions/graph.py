@@ -1183,6 +1183,122 @@ def assortativity_ds(edges_ds, src: str = "subj", dst: str = "obj",
         "slope_ppm": pa.array([slope], pa.int64())})
 
 
+RICH_CLUB_THRESHOLDS = (1, 2, 4, 8, 16, 32)
+
+
+def rich_club_ds(edges_ds, src: str = "subj", dst: str = "obj",
+                 thresholds=RICH_CLUB_THRESHOLDS,
+                 num_partitions: int = 64) -> pa.Table:
+    """Rich-club coefficient curve (Colizza et al. 2006) of the
+    undirected distinct-pair graph: for each degree threshold ``k``
+    in ``thresholds``, the club size ``n_nodes`` (nodes with
+    degree > k), the internal edge count ``n_edges`` (edges with BOTH
+    endpoints above the threshold) and the density
+    ``rc_ppm = 2·n_edges·10⁶ // (n_nodes·(n_nodes−1))`` in parts per
+    million (0 when the club has < 2 members) — exact integers, so
+    both engines hash bit-identically.
+
+    Plan: :func:`assortativity_ds`'s shape — degrees from the
+    both-directions distinct-pair table, two hash cogroups attach
+    deg(a)/deg(b) to the pair stream, then a per-batch histogram of
+    ``min(da, db)`` (degree-bounded, so the driver fold is tiny).
+    Each undirected edge appears twice in the directed stream with
+    the same min-degree, so ``E_k = count/2`` — no a<b filter, no
+    extra pass.  The node-side histogram folds straight off the
+    degree table.  Shuffle volume: distinct pairs + two n-row degree
+    joins — the corpus-scale edge multiset never moves."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+    n_pairs = und.count()
+    num_partitions = int(min(num_partitions,
+                             max(4, n_pairs // 2000 + 1)))
+    if n_pairs < 100_000 and und.num_blocks() > 2 * num_partitions:
+        und = und.repartition(num_partitions).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["n1"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"n": g["n1"],
+                         "dg": pc.cast(g["count_all"], pa.int64())})
+
+    deg = und.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("n").aggregate(Sum("dg", alias_name="dg")) \
+        .materialize()
+
+    def attach(out_col, left_cols):
+        def fn(t: pa.Table, starts, nl, nr) -> pa.Table:
+            total = nl + nr
+            row_key = np.repeat(np.arange(len(nl)), total)
+            pos = np.arange(len(row_key))
+            in_left = pos < (starts + nl)[row_key]
+            mask = ((nl > 0) & (nr > 0))[row_key] & in_left
+            lidx = np.flatnonzero(mask)
+            ridx = (starts + nl)[row_key][lidx]
+            cols = {c: t[c].take(pa.array(lidx)) for c in left_cols}
+            cols[out_col] = t["dg"].take(pa.array(ridx))
+            return pa.table(cols)
+        return fn
+
+    node_t = und.schema().base_schema.field("n1").type
+    deg_schema = pa.schema([("n", node_t), ("dg", pa.int64())])
+    with_da = cogroup_partition_ds(
+        und, deg, "n1", "n", attach("da", ["n2"]), ["n2"], ["dg"],
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("n1", node_t), ("n2", node_t)]),
+        right_schema=deg_schema)
+    pairs = cogroup_partition_ds(
+        with_da, deg, "n2", "n", attach("db", ["da"]), ["da"], ["dg"],
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("n2", node_t), ("da", pa.int64())]),
+        right_schema=deg_schema)
+
+    def dmin_hist(b: pa.Table) -> pa.Table:
+        da = b["da"].combine_chunks().to_numpy(zero_copy_only=False)
+        db = b["db"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table({"d": pa.array(np.minimum(da, db))})
+        g = t.group_by("d", use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"d": g["d"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    edge_hist = {}
+    for part in pairs.map_batches(dmin_hist, batch_format="pyarrow") \
+            .groupby("d").aggregate(Sum("c", alias_name="c")) \
+            .iter_batches(batch_format="pyarrow"):
+        for d, c in zip(part["d"].to_pylist(), part["c"].to_pylist()):
+            edge_hist[d] = edge_hist.get(d, 0) + c
+
+    def deg_hist_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["dg"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"d": g["dg"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    node_hist = {}
+    for part in deg.map_batches(deg_hist_partial,
+                                batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for d, c in zip(part["d"].to_pylist(), part["c"].to_pylist()):
+            node_hist[d] = node_hist.get(d, 0) + c
+
+    rows = []
+    for k in thresholds:
+        n_nodes = sum(c for d, c in node_hist.items() if d > k)
+        n_edges = sum(c for d, c in edge_hist.items() if d > k) // 2
+        rc = (2 * n_edges * 1_000_000 // (n_nodes * (n_nodes - 1))
+              if n_nodes >= 2 else 0)
+        rows.append((int(k), n_nodes, n_edges, rc))
+    return pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "n_nodes": pa.array([r[1] for r in rows], pa.int64()),
+        "n_edges": pa.array([r[2] for r in rows], pa.int64()),
+        "rc_ppm": pa.array([r[3] for r in rows], pa.int64())})
+
+
 def edge_jaccard_ds(edges_ds, src: str = "subj", dst: str = "obj",
                     num_partitions: int = 64):
     """Link-strength scoring: per undirected edge (a < b) the

@@ -418,6 +418,31 @@ FROM m
 """
 
 
+def rich_club_sql(thresholds=(1, 2, 4, 8, 16, 32)) -> str:
+    """Rich-club coefficient curve — twin of
+    :func:`kgforge.functions.graph.rich_club_ds` (same undirected
+    distinct-pair degrees; each edge counted twice in the directed
+    stream then halved; nonneg integer // so floor == truncate)."""
+    ks = ", ".join(str(int(k)) for k in thresholds)
+    return entity_pairs_prelude() + f""",
+dd AS (SELECT n1 AS n, CAST(count(*) AS BIGINT) AS dg
+       FROM und GROUP BY n1),
+ed AS (SELECT least(a.dg, b.dg) AS dmin
+       FROM und JOIN dd a ON a.n = und.n1 JOIN dd b ON b.n = und.n2),
+ks AS (SELECT CAST(unnest([{ks}]) AS BIGINT) AS k),
+nk AS (SELECT ks.k, CAST(count(dd.n) AS BIGINT) AS n_nodes
+       FROM ks LEFT JOIN dd ON dd.dg > ks.k GROUP BY ks.k),
+ek AS (SELECT ks.k, CAST(count(ed.dmin) AS BIGINT) // 2 AS n_edges
+       FROM ks LEFT JOIN ed ON ed.dmin > ks.k GROUP BY ks.k)
+SELECT nk.k, nk.n_nodes, ek.n_edges,
+       CAST(CASE WHEN nk.n_nodes >= 2
+                 THEN 2 * ek.n_edges * 1000000
+                      // (nk.n_nodes * (nk.n_nodes - 1))
+                 ELSE 0 END AS BIGINT) AS rc_ppm
+FROM nk JOIN ek ON ek.k = nk.k ORDER BY nk.k
+"""
+
+
 def edge_jaccard_sql() -> str:
     """Per-edge neighborhood Jaccard — twin of
     :func:`kgforge.functions.graph.edge_jaccard_ds` (same canonical

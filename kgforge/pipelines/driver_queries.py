@@ -2301,6 +2301,15 @@ def q_kg_aa_linkpred(sf_dir: str):
     return adamic_adar_ds(_entity_edges_for(sf_dir), k=20)
 
 
+def q_kg_richclub(sf_dir: str):
+    """Rich-club coefficient curve over the entity graph — density of
+    the subgraph induced by nodes above each degree threshold, in
+    exact integer ppm."""
+    from kgforge.functions.graph import rich_club_ds
+
+    return rich_club_ds(_entity_edges_for(sf_dir))
+
+
 def q_kg_ppr(sf_dir: str):
     """Personalized PageRank (teleport mass on the 4 lexicographically
     smallest nodes), integer micro-unit ranks."""
@@ -3988,6 +3997,56 @@ def q_cusum_changepoint(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_ewma_hourly(sf_dir: str):
+    """Fixed-point EWMA anomaly detector per event type over the
+    dense global hourly axis (missing hours 0, micro-unit scale
+    S = 10⁶, α = 1/4 as the always-nonnegative recurrence
+    ``s_t = (3·s_{t-1} + c_t·S) // 4`` so floor == truncate in both
+    engines): reports the final smoothed level ``ewma_last`` and the
+    largest surprise ``anom_dev = max_t |c_t·S − s_{t-1}|`` with its
+    hour (earliest tie).  Sequential by definition — the SQL twin is
+    a per-type recursive CTE over the same dense axis.
+
+    Scale plan: combiner-first (type, hour) reduce whose OUTPUT is
+    types × calendar bounded, then one bounded driver fold — the
+    ``open_orders_curve`` / ``cusum_changepoint`` contract."""
+    from ray.data.aggregate import Sum
+
+    S = 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": b["event_type"],
+                      "h": pa.array(us // 3_600_000_000)})
+        return t.group_by(["event_type", "h"],
+                          use_threads=False).aggregate(
+            [([], "count_all")]).rename_columns(["event_type", "h", "n"])
+
+    hourly = _read(sf_dir, "events", ["event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "h"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    mn, mx = int(hourly["h"].min()), int(hourly["h"].max())
+    n = mx - mn + 1
+    rows = []
+    for etype, g in hourly.groupby("event_type", sort=True):
+        dense = np.zeros(n, dtype=np.int64)
+        dense[g["h"].to_numpy(dtype=np.int64) - mn] = \
+            g["n"].to_numpy(dtype=np.int64)
+        s = int(dense[0]) * S
+        best_dev, best_pos = -1, -1           # SQL twin's sentinels
+        for t in range(1, n):
+            dev = abs(int(dense[t]) * S - s)
+            if dev > best_dev:                # strict > keeps earliest
+                best_dev, best_pos = dev, t + 1   # 1-indexed like SQL
+            s = (3 * s + int(dense[t]) * S) // 4
+        rows.append({"event_type": etype, "ewma_last": s,
+                     "anom_hour": mn + best_pos - 1,
+                     "anom_dev": best_dev})
+    return pd.DataFrame(rows)
+
+
 def q_late_events(sf_dir: str):
     """Out-of-order arrival QA per user — see
     :func:`kgforge.functions.events.late_events_ds`."""
@@ -5184,6 +5243,7 @@ QUERIES = {
     "kg_ra_linkpred": q_kg_ra_linkpred,
     "kg_jaccard_linkpred": q_kg_jaccard_linkpred,
     "kg_aa_linkpred": q_kg_aa_linkpred,
+    "kg_richclub": q_kg_richclub,
     "kg_ppr": q_kg_ppr,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
@@ -5231,6 +5291,7 @@ QUERIES = {
     "hourly_delta": q_hourly_delta,
     "hourly_autocorr": q_hourly_autocorr,
     "cusum_changepoint": q_cusum_changepoint,
+    "ewma_hourly": q_ewma_hourly,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -5937,6 +5998,7 @@ ORACLE_SQL["kg_clustering"] = _dict_oracle.clustering_coeff_sql()
 ORACLE_SQL["kg_ra_linkpred"] = _dict_oracle.ra_link_pred_sql(k=20)
 ORACLE_SQL["kg_jaccard_linkpred"] = _dict_oracle.jaccard_link_pred_sql(k=20)
 ORACLE_SQL["kg_aa_linkpred"] = _dict_oracle.adamic_adar_sql(k=20)
+ORACLE_SQL["kg_richclub"] = _dict_oracle.rich_club_sql()
 ORACLE_SQL["kg_ppr"] = _dict_oracle.ppr_sql(iters=3, n_seeds=4)
 ORACLE_SQL["kg_hits"] = _dict_oracle.hits_sql(iters=2)
 ORACLE_SQL["kg_comp_sizes"] = _dict_oracle.comp_sizes_sql()
@@ -6180,6 +6242,42 @@ ranked AS (SELECT event_type, h, dev,
            FROM stat)
 SELECT event_type, h AS cp_hour, dev AS cusum_stat
 FROM ranked WHERE rn = 1
+"""
+ORACLE_SQL["ewma_hourly"] = """
+WITH RECURSIVE hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2),
+mm AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+axis AS (SELECT CAST(unnest(range(mm.mn, mm.mx + 1)) AS BIGINT) AS h
+         FROM mm),
+types AS (SELECT DISTINCT event_type FROM hourly),
+dense AS (SELECT t.event_type,
+                 a.h - mm.mn + 1 AS pos,
+                 coalesce(hh.c, 0) AS c
+          FROM types t CROSS JOIN axis a CROSS JOIN mm
+          LEFT JOIN hourly hh
+            ON hh.event_type = t.event_type AND hh.h = a.h),
+rec AS (
+    SELECT event_type, pos, c * 1000000 AS s,
+           CAST(-1 AS BIGINT) AS best_dev,
+           CAST(-1 AS BIGINT) AS best_pos
+    FROM dense WHERE pos = 1
+    UNION ALL
+    SELECT r.event_type, d.pos,
+           (3 * r.s + d.c * 1000000) // 4,
+           CASE WHEN abs(d.c * 1000000 - r.s) > r.best_dev
+                THEN abs(d.c * 1000000 - r.s) ELSE r.best_dev END,
+           CASE WHEN abs(d.c * 1000000 - r.s) > r.best_dev
+                THEN d.pos ELSE r.best_pos END
+    FROM rec r JOIN dense d
+      ON d.event_type = r.event_type AND d.pos = r.pos + 1)
+SELECT r.event_type, r.s AS ewma_last,
+       CAST(mm.mn + r.best_pos - 1 AS BIGINT) AS anom_hour,
+       r.best_dev AS anom_dev
+FROM rec r CROSS JOIN mm
+WHERE r.pos = mm.mx - mm.mn + 1
 """
 ORACLE_SQL["late_events"] = """
 WITH m AS (SELECT user_id, ts,

@@ -387,3 +387,82 @@ def test_c4_rules_matches_bruteforce(ray_session):
     # every rule fires at least once across the fixture
     assert got.fail_sent.sum() >= 1 and got.fail_brace.sum() >= 1
     assert got.fail_lorem.sum() >= 1 and got.fail_linewords.sum() >= 1
+
+
+def test_rich_club_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import rich_club_ds
+
+    # hub-heavy graph: clique on {a,b,c,d} plus pendant leaves
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"), ("a", "x"), ("a", "y"),
+             ("b", "z"), ("e", "f")]
+    tbl = pa.table({"subj": pa.array([e[0] for e in edges]),
+                    "obj": pa.array([e[1] for e in edges])})
+    got = rich_club_ds(rd.from_arrow(tbl).repartition(3),
+                       thresholds=(0, 1, 2, 3, 4)).to_pandas()
+
+    nbr: dict = {}
+    for s, d in edges:
+        nbr.setdefault(s, set()).add(d)
+        nbr.setdefault(d, set()).add(s)
+    deg = {n: len(v) for n, v in nbr.items()}
+    und = {tuple(sorted(e)) for e in edges}
+    for _, r in got.iterrows():
+        k = int(r.k)
+        club = {n for n, d in deg.items() if d > k}
+        e_k = sum(1 for a, b in und if a in club and b in club)
+        assert r.n_nodes == len(club), k
+        assert r.n_edges == e_k, k
+        want_rc = (2 * e_k * 1_000_000 // (len(club) * (len(club) - 1))
+                   if len(club) >= 2 else 0)
+        assert r.rc_ppm == want_rc, k
+    # the clique core must read denser than the whole graph
+    rc = got.set_index("k").rc_ppm
+    assert rc.loc[3] >= rc.loc[0] and rc.loc[3] == 1_000_000
+
+
+def test_ewma_hourly_flags_planted_spike(ray_session, tmp_path):
+    """A flat ~3/hour series with one 40-event spike hour must put
+    the max EWMA surprise at the spike; values re-checked against
+    the integer recurrence brute force."""
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import q_ewma_hourly
+
+    rng = np.random.RandomState(11)
+    counts = rng.poisson(3, 50)
+    counts[33] = 40                            # planted spike
+    hours = np.repeat(np.arange(50), counts)
+    base = 1_700_000_000_000_000
+    ts = base + hours * 3_600_000_000 + 99
+    n_ev = len(ts)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n_ev), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n_ev, dtype=np.int64)),
+        "event_type": pa.array(["flat"] * n_ev),
+        "value": pa.array(np.zeros(n_ev)),
+        "props": pa.array(["{}"] * n_ev)})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = q_ewma_hourly(str(tmp_path))
+    assert list(got.event_type) == ["flat"]
+
+    h_idx = (ts // 3_600_000_000).astype(np.int64)
+    mn, mx = h_idx.min(), h_idx.max()
+    dense = np.bincount(h_idx - mn, minlength=mx - mn + 1).astype(np.int64)
+    S = 1_000_000
+    s = int(dense[0]) * S
+    best_dev, best_pos = -1, -1
+    for t in range(1, len(dense)):
+        dev = abs(int(dense[t]) * S - s)
+        if dev > best_dev:
+            best_dev, best_pos = dev, t + 1
+        s = (3 * s + int(dense[t]) * S) // 4
+    assert int(got.ewma_last.iloc[0]) == s
+    assert int(got.anom_dev.iloc[0]) == best_dev
+    assert int(got.anom_hour.iloc[0]) == int(mn + best_pos - 1)
+    # the spike hour is the anomaly
+    assert int(got.anom_hour.iloc[0]) == int(mn + 33)
