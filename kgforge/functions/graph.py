@@ -2031,12 +2031,18 @@ def bfs_levels_ds(edges_ds, n_seeds: int = 5, max_hops: int = 4,
     ``n_seeds`` smallest distinct node ids (a bounded partial — the
     global smallest are always inside the union of per-batch
     smallest), folded on the driver."""
-    import ray
-    import ray.data as rd
-
     und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
                              both_directions=True).materialize()
+    seeds = _smallest_nodes(und, n_seeds)
+    return _bfs_from(und, seeds, max_hops, num_partitions,
+                     driver_max_members)
 
+
+def _smallest_nodes(und, n_seeds: int) -> list:
+    """The ``n_seeds`` lexicographically smallest node ids of the
+    undirected pair table — per-batch bounded partials folded on the
+    driver (the global smallest are always inside the union of
+    per-batch smallest); the graph is never sorted."""
     def seed_partial(b: pa.Table) -> pa.Table:
         u = b["n1"].combine_chunks().unique()
         idx = pc.sort_indices(u)[:n_seeds]
@@ -2046,7 +2052,18 @@ def bfs_levels_ds(edges_ds, n_seeds: int = 5, max_hops: int = 4,
     for part in und.map_batches(seed_partial, batch_format="pyarrow") \
             .iter_batches(batch_format="pyarrow"):
         cand.extend(part["n"].to_pylist())
-    seeds = sorted(set(cand))[:n_seeds]
+    return sorted(set(cand))[:n_seeds]
+
+
+def _bfs_from(und, seeds: list, max_hops: int, num_partitions: int,
+              driver_max_members: int):
+    """The two-lane multi-source BFS engine shared by
+    :func:`bfs_levels_ds` (one multi-source call) and
+    :func:`harmonic_ds` (one single-source call per seed): broadcast
+    ``pc.is_in`` hops while the visited set fits the driver bound,
+    hash-cogroup frontier expansion + anti-join beyond it."""
+    import ray
+    import ray.data as rd
 
     dist: dict[str, int] = {s: 0 for s in seeds}
     frontier: set[str] = set(seeds)
@@ -2122,6 +2139,48 @@ def bfs_levels_ds(edges_ds, n_seeds: int = 5, max_hops: int = 4,
         front_ds = fresh
 
     return visited
+
+
+def harmonic_ds(edges_ds, n_seeds: int = 4, max_hops: int = 4,
+                src: str = "subj", dst: str = "obj",
+                num_partitions: int = 64,
+                driver_max_members: int = 2_000_000) -> pa.Table:
+    """Per-seed harmonic centrality (bounded-radius form) +
+    eccentricity for the ``n_seeds`` lexicographically smallest
+    nodes: one row per seed with ``n_reached`` (nodes within
+    ``max_hops`` undirected hops, seed excluded), ``h_units =
+    Σ_v 10⁶ // dist(seed, v)`` (the harmonic sum in integer
+    micro-units — exact, so the SQL twin hashes identically) and
+    ``ecc = max dist`` within the radius.
+
+    Plan: one single-source run of the shared two-lane BFS engine
+    (:func:`_bfs_from` — broadcast ``is_in`` hops under the driver
+    bound, keyed-cogroup + anti-join spill beyond it) per seed; the
+    distance table aggregate per seed is a bounded per-batch fold.
+    Cost = ``n_seeds`` BFS sweeps — n_seeds is a small constant, and
+    each sweep's shuffle volume is frontier-proportional, never the
+    edge multiset."""
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+    seeds = _smallest_nodes(und, n_seeds)
+    rows = []
+    for s in seeds:
+        lv = _bfs_from(und, [s], max_hops, num_partitions,
+                       driver_max_members)
+        n_reached = h_units = ecc = 0
+        for part in lv.iter_batches(batch_format="pyarrow"):
+            d = part["dist"].to_numpy(zero_copy_only=False)
+            d = d[d >= 1]
+            if len(d):
+                n_reached += int(len(d))
+                h_units += int((1_000_000 // d).sum())
+                ecc = max(ecc, int(d.max()))
+        rows.append((s, n_reached, h_units, ecc))
+    return pa.table({
+        "seed": pa.array([r[0] for r in rows]),
+        "n_reached": pa.array([r[1] for r in rows], pa.int64()),
+        "h_units": pa.array([r[2] for r in rows], pa.int64()),
+        "ecc": pa.array([r[3] for r in rows], pa.int64())})
 
 
 def random_walks_ds(edges_ds, walks_per_node: int = 2,

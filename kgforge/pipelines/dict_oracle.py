@@ -692,6 +692,33 @@ SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
 """
 
 
+def harmonic_sql(n_seeds: int = 4, max_hops: int = 4) -> str:
+    """Seed-keyed recursive-CTE twin of
+    :func:`kgforge.functions.graph.harmonic_ds`: per-seed min hop
+    distance within ``max_hops``, harmonic sum in integer micro-units
+    (``1000000 // dist``, truncating), eccentricity = max dist."""
+    prelude = entity_pairs_prelude().replace("\nWITH jj",
+                                             "\nWITH RECURSIVE jj", 1)
+    return prelude + f""",
+bnodes AS (SELECT DISTINCT n1 AS n FROM und),
+bseeds AS (SELECT n FROM bnodes ORDER BY n LIMIT {n_seeds}),
+walk(seed, node, d) AS (
+  SELECT n, n, 0 FROM bseeds
+  UNION
+  SELECT walk.seed, u.n2, walk.d + 1 FROM walk JOIN und u
+    ON u.n1 = walk.node
+  WHERE walk.d < {max_hops}),
+lv AS (SELECT seed, node, CAST(min(d) AS BIGINT) AS dist
+       FROM walk GROUP BY 1, 2)
+SELECT seed,
+       CAST(count(*) FILTER (WHERE dist >= 1) AS BIGINT) AS n_reached,
+       CAST(coalesce(sum(1000000 // dist) FILTER (WHERE dist >= 1), 0)
+            AS BIGINT) AS h_units,
+       CAST(coalesce(max(dist), 0) AS BIGINT) AS ecc
+FROM lv GROUP BY seed ORDER BY seed
+"""
+
+
 def random_walks_sql(walks_per_node: int = 2, walk_len: int = 3) -> str:
     """Unrolled twin of
     :func:`kgforge.functions.graph.random_walks_ds`: identical

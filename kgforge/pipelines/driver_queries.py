@@ -2301,6 +2301,14 @@ def q_kg_aa_linkpred(sf_dir: str):
     return adamic_adar_ds(_entity_edges_for(sf_dir), k=20)
 
 
+def q_kg_harmonic(sf_dir: str):
+    """Per-seed bounded-radius harmonic centrality + eccentricity
+    (4 smallest seeds, 4 hops) — integer micro-unit harmonic sums."""
+    from kgforge.functions.graph import harmonic_ds
+
+    return harmonic_ds(_entity_edges_for(sf_dir), n_seeds=4, max_hops=4)
+
+
 def q_kg_richclub(sf_dir: str):
     """Rich-club coefficient curve over the entity graph — density of
     the subgraph induced by nodes above each degree threshold, in
@@ -5244,6 +5252,7 @@ QUERIES = {
     "kg_jaccard_linkpred": q_kg_jaccard_linkpred,
     "kg_aa_linkpred": q_kg_aa_linkpred,
     "kg_richclub": q_kg_richclub,
+    "kg_harmonic": q_kg_harmonic,
     "kg_ppr": q_kg_ppr,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
@@ -5999,6 +6008,8 @@ ORACLE_SQL["kg_ra_linkpred"] = _dict_oracle.ra_link_pred_sql(k=20)
 ORACLE_SQL["kg_jaccard_linkpred"] = _dict_oracle.jaccard_link_pred_sql(k=20)
 ORACLE_SQL["kg_aa_linkpred"] = _dict_oracle.adamic_adar_sql(k=20)
 ORACLE_SQL["kg_richclub"] = _dict_oracle.rich_club_sql()
+ORACLE_SQL["kg_harmonic"] = _dict_oracle.harmonic_sql(n_seeds=4,
+                                                      max_hops=4)
 ORACLE_SQL["kg_ppr"] = _dict_oracle.ppr_sql(iters=3, n_seeds=4)
 ORACLE_SQL["kg_hits"] = _dict_oracle.hits_sql(iters=2)
 ORACLE_SQL["kg_comp_sizes"] = _dict_oracle.comp_sizes_sql()

@@ -466,3 +466,41 @@ def test_ewma_hourly_flags_planted_spike(ray_session, tmp_path):
     assert int(got.anom_hour.iloc[0]) == int(mn + best_pos - 1)
     # the spike hour is the anomaly
     assert int(got.anom_hour.iloc[0]) == int(mn + 33)
+
+
+def test_harmonic_matches_bruteforce(ray_session):
+    from collections import deque
+
+    import ray.data as rd
+
+    from kgforge.functions.graph import harmonic_ds
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+             ("a", "f"), ("f", "g"), ("x", "y")]
+    tbl = pa.table({"subj": pa.array([e[0] for e in edges]),
+                    "obj": pa.array([e[1] for e in edges])})
+    got = harmonic_ds(rd.from_arrow(tbl).repartition(3),
+                      n_seeds=3, max_hops=3).to_pandas() \
+        .set_index("seed").sort_index()
+
+    nbr: dict = {}
+    for s, d in edges:
+        nbr.setdefault(s, set()).add(d)
+        nbr.setdefault(d, set()).add(s)
+    seeds = sorted(nbr)[:3]
+    assert list(got.index) == seeds
+    for s in seeds:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            cur = q.popleft()
+            if dist[cur] >= 3:
+                continue
+            for v in nbr[cur]:
+                if v not in dist:
+                    dist[v] = dist[cur] + 1
+                    q.append(v)
+        ds = [d for d in dist.values() if d >= 1]
+        assert got.loc[s, "n_reached"] == len(ds)
+        assert got.loc[s, "h_units"] == sum(1_000_000 // d for d in ds)
+        assert got.loc[s, "ecc"] == max(ds)
