@@ -315,6 +315,126 @@ def personalized_pagerank_ds(edges_ds, n_seeds: int = 4, iters: int = 3,
                        num_partitions=num_partitions, seeds=seeds)
 
 
+def weighted_pagerank_ds(edges_ds, iters: int = 3, src: str = "subj",
+                         dst: str = "obj", weight: str = "support",
+                         num_partitions: int = 64):
+    """Integer-deterministic WEIGHTED PageRank: mass splits along out
+    edges proportionally to the ``weight`` column instead of evenly —
+    each step
+
+        rank'(v) = 150000 + (85 * Σ_{u→v} rank(u)·w_uv // W_u) // 100
+
+    with ``W_u = Σ_x w_ux`` (floor division per edge, so the result
+    is summation-order independent and bit-identical to the SQL
+    twin).  Multi-edges between a pair pre-sum into one weighted pair
+    row; dangling mass is dropped, like :func:`pagerank_ds`.
+
+    Plan per iteration — same two keyed cogroups as
+    :func:`pagerank_ds`, but the pair stream carries ``w`` and the
+    base carries ``W_u``; shuffle volume is the distinct weighted
+    pair table, never the raw multi-predicate edge stream."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"s": b[src], "d": b[dst],
+                      "w": pc.cast(b[weight], pa.int64())})
+        g = t.group_by(["s", "d"], use_threads=False) \
+            .aggregate([("w", "sum")])
+        return pa.table({"s": g["s"], "d": g["d"], "w": g["w_sum"]})
+
+    pairs = edges_ds.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["s", "d"]).aggregate(Sum("w", alias_name="w")) \
+        .materialize()
+    n_pairs = pairs.count()
+    num_partitions = int(min(num_partitions,
+                             max(4, n_pairs // 2000 + 1)))
+    if n_pairs < 100_000 and pairs.num_blocks() > 2 * num_partitions:
+        pairs = pairs.repartition(num_partitions).materialize()
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        t = pa.concat_tables([
+            pa.table({"node": b["s"],
+                      "ow": pc.cast(b["w"], pa.int64())}),
+            pa.table({"node": b["d"],
+                      "ow": pa.array(np.zeros(b.num_rows,
+                                              dtype=np.int64))}),
+        ])
+        g = t.group_by(["node"], use_threads=False) \
+            .aggregate([("ow", "sum")])
+        return pa.table({"node": g["node"], "ow": g["ow_sum"]})
+
+    base = pairs.map_batches(node_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("ow", alias_name="outw"))
+    if n_pairs < 100_000:
+        base = base.repartition(num_partitions)
+    base = base.materialize()
+
+    def init_ranks(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["node"], "outw": b["outw"],
+            "rank": pa.array(np.full(b.num_rows, PR_R0,
+                                     dtype=np.int64))})
+
+    ranks = base.map_batches(init_ranks, batch_format="pyarrow")
+
+    def contribs(t: pa.Table, starts, nl, nr) -> pa.Table:
+        # left = weighted pairs (payload d, w), right = ranks (one
+        # row per node) — per-edge contribution rank·w // W_u
+        has = (nl > 0) & (nr > 0)
+        ridx = (starts + nl)[has]
+        rank = t["rank"].take(pa.array(ridx)).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ow = t["outw"].take(pa.array(ridx)).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lidx, _ = _lr_indices(starts[has], nl[has],
+                              np.zeros(int(has.sum()), dtype=nl.dtype))
+        w = pc.fill_null(t["w"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)[lidx]
+        rank_rep = np.repeat(rank, nl[has])
+        ow_rep = np.maximum(np.repeat(ow, nl[has]), 1)
+        return pa.table({
+            "d": t["d"].take(pa.array(lidx)),
+            "c": pa.array((rank_rep * w) // ow_rep)})
+
+    def apply_rank(t: pa.Table, starts, nl, nr) -> pa.Table:
+        has_l = nl > 0
+        lidx = starts[has_l]
+        c = pc.fill_null(t["c"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        r_starts = (starts + nl)[has_l]
+        r_lens = nr[has_l]
+        insum = np.zeros(int(has_l.sum()), dtype=np.int64)
+        nz = r_lens > 0
+        if nz.any():
+            insum[nz] = np.add.reduceat(c, r_starts[nz])
+        new_rank = PR_BASE + (PR_NUM * insum) // PR_DEN
+        return pa.table({
+            "node": t["__k"].take(pa.array(lidx)),
+            "outw": t["outw"].take(pa.array(lidx)),
+            "rank": pa.array(new_rank)})
+
+    ranks_schema = pa.schema([("node", pa.string()),
+                              ("outw", pa.int64()),
+                              ("rank", pa.int64())])
+    contrib_schema = pa.schema([("d", pa.string()), ("c", pa.int64())])
+
+    for _ in range(iters):
+        contrib = cogroup_partition_ds(
+            pairs, ranks, "s", "node", contribs, ["d", "w"],
+            ["rank", "outw"], num_partitions=num_partitions,
+            right_schema=ranks_schema)
+        ranks = cogroup_partition_ds(
+            base, contrib, "node", "d", apply_rank, ["outw"], ["c"],
+            num_partitions=num_partitions, right_schema=contrib_schema)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "rank": b["rank"]})
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
 def _wedge_pairs_ds(und_ds, ordered: bool, num_partitions: int = 64,
                     distinct: bool = True):
     """Hash-partition the undirected adjacency by wedge CENTER and emit

@@ -250,6 +250,36 @@ SELECT n AS node, r AS "rank" FROM r{iters}
 """
 
 
+def weighted_pagerank_sql(iters: int = 3) -> str:
+    """Weighted-PageRank twin of
+    :func:`kgforge.functions.graph.weighted_pagerank_ds` — pair
+    weight = number of supporting triple rows (each pre-dedup triple
+    carries support 1, and the edge table sums them), floor division
+    per edge so both engines land on identical int64 ranks."""
+    sql = _triples_ctes() + """,
+wprs AS (SELECT subj AS s, obj AS d, CAST(count(*) AS BIGINT) AS w
+         FROM trip WHERE pred <> 'mentions' GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT n FROM (
+            SELECT s AS n FROM wprs UNION ALL SELECT d AS n FROM wprs)),
+ow AS (SELECT s, CAST(sum(w) AS BIGINT) AS wsum FROM wprs GROUP BY s),
+r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        sql += f""",
+{cur} AS (SELECT nd.n,
+                 CAST(150000 + (85 * coalesce(
+                          sum(({prev}.r * wprs.w) // ow.wsum), 0))
+                      // 100 AS BIGINT) AS r
+          FROM nodes nd
+          LEFT JOIN wprs ON wprs.d = nd.n
+          LEFT JOIN ow ON ow.s = wprs.s
+          LEFT JOIN {prev} ON {prev}.n = wprs.s
+          GROUP BY nd.n)"""
+    return sql + f"""
+SELECT n AS node, r AS "rank" FROM r{iters}
+"""
+
+
 def _ppr_step(prev: str, cur: str) -> str:
     return f""",
 {cur} AS (SELECT nd.n,

@@ -2301,6 +2301,24 @@ def q_kg_aa_linkpred(sf_dir: str):
     return adamic_adar_ds(_entity_edges_for(sf_dir), k=20)
 
 
+def q_kg_wpagerank(sf_dir: str):
+    """Weighted PageRank over the entity graph — mass splits along
+    out edges proportionally to edge support (summed across
+    predicates), integer micro-unit ranks."""
+    from kgforge.functions.graph import weighted_pagerank_ds
+
+    edges = _dict_flagship_for(sf_dir)["edges"]
+
+    def proj(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(b["pred"], "mentions"))
+        return pa.table({"subj": b["subj"].filter(keep),
+                         "obj": b["obj"].filter(keep),
+                         "support": b["support"].filter(keep)})
+
+    return weighted_pagerank_ds(
+        edges.map_batches(proj, batch_format="pyarrow"), iters=3)
+
+
 def q_kg_harmonic(sf_dir: str):
     """Per-seed bounded-radius harmonic centrality + eccentricity
     (4 smallest seeds, 4 hops) — integer micro-unit harmonic sums."""
@@ -5253,6 +5271,7 @@ QUERIES = {
     "kg_aa_linkpred": q_kg_aa_linkpred,
     "kg_richclub": q_kg_richclub,
     "kg_harmonic": q_kg_harmonic,
+    "kg_wpagerank": q_kg_wpagerank,
     "kg_ppr": q_kg_ppr,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
@@ -6010,6 +6029,7 @@ ORACLE_SQL["kg_aa_linkpred"] = _dict_oracle.adamic_adar_sql(k=20)
 ORACLE_SQL["kg_richclub"] = _dict_oracle.rich_club_sql()
 ORACLE_SQL["kg_harmonic"] = _dict_oracle.harmonic_sql(n_seeds=4,
                                                       max_hops=4)
+ORACLE_SQL["kg_wpagerank"] = _dict_oracle.weighted_pagerank_sql(iters=3)
 ORACLE_SQL["kg_ppr"] = _dict_oracle.ppr_sql(iters=3, n_seeds=4)
 ORACLE_SQL["kg_hits"] = _dict_oracle.hits_sql(iters=2)
 ORACLE_SQL["kg_comp_sizes"] = _dict_oracle.comp_sizes_sql()

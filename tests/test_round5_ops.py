@@ -504,3 +504,34 @@ def test_harmonic_matches_bruteforce(ray_session):
         assert got.loc[s, "n_reached"] == len(ds)
         assert got.loc[s, "h_units"] == sum(1_000_000 // d for d in ds)
         assert got.loc[s, "ecc"] == max(ds)
+
+
+def test_weighted_pagerank_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import weighted_pagerank_ds
+
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+             ("c", "a", 5), ("d", "a", 1), ("a", "b", 2)]
+    tbl = pa.table({"subj": pa.array([e[0] for e in edges]),
+                    "obj": pa.array([e[1] for e in edges]),
+                    "support": pa.array([e[2] for e in edges],
+                                        pa.int64())})
+    got = {r.node: r.rank for r in weighted_pagerank_ds(
+        rd.from_arrow(tbl).repartition(3), iters=3).to_pandas()
+        .itertuples()}
+
+    w: dict = {}
+    for s, d, x in edges:
+        w[(s, d)] = w.get((s, d), 0) + x
+    nodes = sorted({n for e in w for n in e})
+    W = {u: sum(x for (s, _), x in w.items() if s == u) for u in nodes}
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        nxt = {}
+        for v in nodes:
+            insum = sum((r[u] * x) // W[u]
+                        for (u, d), x in w.items() if d == v)
+            nxt[v] = 150_000 + (85 * insum) // 100
+        r = nxt
+    assert got == r
