@@ -1419,30 +1419,13 @@ def rich_club_ds(edges_ds, src: str = "subj", dst: str = "obj",
         "rc_ppm": pa.array([r[3] for r in rows], pa.int64())})
 
 
-def edge_jaccard_ds(edges_ds, src: str = "subj", dst: str = "obj",
-                    num_partitions: int = 64):
-    """Link-strength scoring: per undirected edge (a < b) the
-    neighborhood Jaccard ``|N(a)∩N(b)| × 10⁶ // |N(a)∪N(b)|`` in
-    exact integer ppm (``= cn × 10⁶ // (deg(a) + deg(b) − cn)``;
-    edges with NO common neighbor are kept at 0) → (a, b, cn,
-    jac_ppm).  The KG-curation signal separating well-supported edges
-    from one-off extractions.
-
-    Plan: wedge enumeration with per-block combine (the only wide
-    move carries (a, b, cn) partials); ONE a-keyed cogroup sums
-    partials and LEFT-joins onto the canonical adjacency (arrow C++
-    join per partition — cn=0 edges survive); two schema-hinted
-    cogroups attach the endpoint degrees.  Same hub-cap contract as
-    the other wedge operators."""
-    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
-                             both_directions=True).materialize()
-    n_pairs = und.count()
-    num_partitions = int(min(num_partitions,
-                             max(4, n_pairs // 2000 + 1)))
-    if n_pairs < 100_000 and und.num_blocks() > 2 * num_partitions:
-        und = und.repartition(num_partitions).materialize()
-    node_t = und.schema().base_schema.field("n1").type
-
+def _edge_cn_ds(und, num_partitions: int, node_t):
+    """Per-edge common-neighbor counts of a both-directions distinct
+    adjacency: canonical (a < b, cn) rows, cn = 0 edges KEPT — the
+    shared engine of :func:`edge_jaccard_ds` and :func:`ktruss_ds`.
+    Wedge enumeration with per-block combine; one a-keyed cogroup
+    sums partials and LEFT-joins onto the canonical adjacency (arrow
+    C++ join per partition)."""
     wedges = _wedge_pairs_ds(und, ordered=True,
                              num_partitions=num_partitions,
                              distinct=False)
@@ -1477,12 +1460,106 @@ def edge_jaccard_ds(edges_ds, src: str = "subj", dst: str = "obj",
         return pa.table({"a": out["a"], "b": out["b"],
                          "cn": pc.fill_null(out["cn"], 0)})
 
-    pairs = cogroup_partition_ds(
+    return cogroup_partition_ds(
         cn, ce, "a", "n1", join_cn, ["b", "cn"], ["n2"],
         num_partitions=num_partitions,
         left_schema=pa.schema([("a", node_t), ("b", node_t),
                                ("cn", pa.int64())]),
         right_schema=pa.schema([("n1", node_t), ("n2", node_t)]))
+
+
+def ktruss_ds(edges_ds, k: int = 4, rounds: int = 3,
+              src: str = "subj", dst: str = "obj",
+              num_partitions: int = 64):
+    """Bounded-round k-truss peeling: iteratively drop edges whose
+    within-subgraph triangle support (common-neighbor count) falls
+    below ``k − 2``, ``rounds`` times, then score the survivors —
+    output ``(a, b, support)`` with a < b and support = cn inside the
+    FINAL subgraph.  Bounded rounds is the same fixed-round contract
+    as :func:`kcore_ds` (the SQL twin unrolls the identical number);
+    the loop exits early at a fixed point, which is safe because
+    further rounds are then no-ops in both engines.
+
+    Scale shape: each round is one wedge-enumeration pass + filter
+    over the CURRENT edge set (monotonically shrinking); the shuffle
+    carries (a, b, cn) rows, never the raw multi-predicate stream."""
+    import ray.data as rd
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+    n_pairs = und.count()
+    num_partitions = int(min(num_partitions,
+                             max(4, n_pairs // 2000 + 1)))
+    if n_pairs < 100_000 and und.num_blocks() > 2 * num_partitions:
+        und = und.repartition(num_partitions).materialize()
+    if n_pairs == 0:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "support": pa.array([], pa.int64())}))
+    node_t = und.schema().base_schema.field("n1").type
+    need = k - 2
+
+    def keep_strong(b: pa.Table) -> pa.Table:
+        m = pc.greater_equal(b["cn"], need)
+        return pa.table({"a": b["a"].filter(m), "b": b["b"].filter(m)})
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n1": pa.concat_arrays([b["a"].combine_chunks(),
+                                    b["b"].combine_chunks()]),
+            "n2": pa.concat_arrays([b["b"].combine_chunks(),
+                                    b["a"].combine_chunks()])})
+
+    n_edges = n_pairs // 2
+    for _ in range(rounds):
+        kept = _edge_cn_ds(und, num_partitions, node_t) \
+            .map_batches(keep_strong, batch_format="pyarrow") \
+            .materialize()
+        n_new = kept.count()
+        if n_new == 0:
+            return rd.from_arrow(pa.table({
+                "a": pa.array([], node_t), "b": pa.array([], node_t),
+                "support": pa.array([], pa.int64())}))
+        und = kept.map_batches(widen, batch_format="pyarrow") \
+            .materialize()
+        if n_new == n_edges:        # fixed point — no-op rounds left
+            break
+        n_edges = n_new
+
+    def score(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b["a"], "b": b["b"],
+                         "support": b["cn"]})
+
+    return _edge_cn_ds(und, num_partitions, node_t) \
+        .map_batches(score, batch_format="pyarrow")
+
+
+def edge_jaccard_ds(edges_ds, src: str = "subj", dst: str = "obj",
+                    num_partitions: int = 64):
+    """Link-strength scoring: per undirected edge (a < b) the
+    neighborhood Jaccard ``|N(a)∩N(b)| × 10⁶ // |N(a)∪N(b)|`` in
+    exact integer ppm (``= cn × 10⁶ // (deg(a) + deg(b) − cn)``;
+    edges with NO common neighbor are kept at 0) → (a, b, cn,
+    jac_ppm).  The KG-curation signal separating well-supported edges
+    from one-off extractions.
+
+    Plan: wedge enumeration with per-block combine (the only wide
+    move carries (a, b, cn) partials); ONE a-keyed cogroup sums
+    partials and LEFT-joins onto the canonical adjacency (arrow C++
+    join per partition — cn=0 edges survive); two schema-hinted
+    cogroups attach the endpoint degrees.  Same hub-cap contract as
+    the other wedge operators."""
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+    n_pairs = und.count()
+    num_partitions = int(min(num_partitions,
+                             max(4, n_pairs // 2000 + 1)))
+    if n_pairs < 100_000 and und.num_blocks() > 2 * num_partitions:
+        und = und.repartition(num_partitions).materialize()
+    node_t = und.schema().base_schema.field("n1").type
+
+    pairs = _edge_cn_ds(und, num_partitions, node_t)
 
     def deg_partial(b: pa.Table) -> pa.Table:
         g = b.group_by(["n1"], use_threads=False).aggregate(

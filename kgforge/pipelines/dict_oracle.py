@@ -448,6 +448,43 @@ FROM m
 """
 
 
+def ktruss_sql(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled twin of :func:`kgforge.functions.graph.ktruss_ds`:
+    ``rounds`` peels of edges with within-subgraph common-neighbor
+    count < ``k − 2``, then the survivors scored on the final
+    subgraph (extra rounds past the engine's fixed-point early exit
+    are no-ops, so the fixed unroll matches)."""
+    need = k - 2
+    sql = entity_pairs_prelude() + """,
+e0 AS MATERIALIZED (SELECT n1 AS a, n2 AS b FROM und
+                    WHERE n1 < n2),
+u0 AS MATERIALIZED (SELECT a AS n1, b AS n2 FROM e0
+                    UNION ALL SELECT b, a FROM e0)"""
+    for i in range(rounds):
+        p, c = i, i + 1
+        sql += f""",
+c{p} AS MATERIALIZED (
+    SELECT l.n2 AS a, r.n2 AS b, CAST(count(*) AS BIGINT) AS cn
+    FROM u{p} l JOIN u{p} r ON r.n1 = l.n1 AND l.n2 < r.n2
+    GROUP BY 1, 2),
+e{c} AS MATERIALIZED (
+    SELECT e{p}.a, e{p}.b FROM e{p}
+    JOIN c{p} ON c{p}.a = e{p}.a AND c{p}.b = e{p}.b
+    WHERE c{p}.cn >= {need}),
+u{c} AS MATERIALIZED (
+    SELECT a AS n1, b AS n2 FROM e{c}
+    UNION ALL SELECT b, a FROM e{c})"""
+    r = rounds
+    return sql + f""",
+cf AS (SELECT l.n2 AS a, r.n2 AS b, CAST(count(*) AS BIGINT) AS cn
+       FROM u{r} l JOIN u{r} r ON r.n1 = l.n1 AND l.n2 < r.n2
+       GROUP BY 1, 2)
+SELECT e{r}.a, e{r}.b,
+       CAST(coalesce(cf.cn, 0) AS BIGINT) AS support
+FROM e{r} LEFT JOIN cf ON cf.a = e{r}.a AND cf.b = e{r}.b
+"""
+
+
 def rich_club_sql(thresholds=(1, 2, 4, 8, 16, 32)) -> str:
     """Rich-club coefficient curve — twin of
     :func:`kgforge.functions.graph.rich_club_ds` (same undirected

@@ -2301,6 +2301,14 @@ def q_kg_aa_linkpred(sf_dir: str):
     return adamic_adar_ds(_entity_edges_for(sf_dir), k=20)
 
 
+def q_kg_ktruss(sf_dir: str):
+    """Bounded-round 4-truss peeling of the entity graph — surviving
+    edges with their within-subgraph triangle support."""
+    from kgforge.functions.graph import ktruss_ds
+
+    return ktruss_ds(_entity_edges_for(sf_dir), k=4, rounds=3)
+
+
 def q_kg_wpagerank(sf_dir: str):
     """Weighted PageRank over the entity graph — mass splits along
     out edges proportionally to edge support (summed across
@@ -5272,6 +5280,7 @@ QUERIES = {
     "kg_richclub": q_kg_richclub,
     "kg_harmonic": q_kg_harmonic,
     "kg_wpagerank": q_kg_wpagerank,
+    "kg_ktruss": q_kg_ktruss,
     "kg_ppr": q_kg_ppr,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
@@ -6030,6 +6039,7 @@ ORACLE_SQL["kg_richclub"] = _dict_oracle.rich_club_sql()
 ORACLE_SQL["kg_harmonic"] = _dict_oracle.harmonic_sql(n_seeds=4,
                                                       max_hops=4)
 ORACLE_SQL["kg_wpagerank"] = _dict_oracle.weighted_pagerank_sql(iters=3)
+ORACLE_SQL["kg_ktruss"] = _dict_oracle.ktruss_sql(k=4, rounds=3)
 ORACLE_SQL["kg_ppr"] = _dict_oracle.ppr_sql(iters=3, n_seeds=4)
 ORACLE_SQL["kg_hits"] = _dict_oracle.hits_sql(iters=2)
 ORACLE_SQL["kg_comp_sizes"] = _dict_oracle.comp_sizes_sql()

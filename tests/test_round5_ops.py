@@ -535,3 +535,49 @@ def test_weighted_pagerank_matches_bruteforce(ray_session):
             nxt[v] = 150_000 + (85 * insum) // 100
         r = nxt
     assert got == r
+
+
+def test_ktruss_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import ktruss_ds
+
+    # two triangles sharing an edge (4-truss core) + a pendant path
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"),
+             ("b", "d"), ("c", "d"), ("d", "e"), ("e", "f")]
+    tbl = pa.table({"subj": pa.array([e[0] for e in edges]),
+                    "obj": pa.array([e[1] for e in edges])})
+    got = ktruss_ds(rd.from_arrow(tbl).repartition(3),
+                    k=4, rounds=3).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+
+    # brute-force peel
+    E = {tuple(sorted(e)) for e in edges}
+    for _ in range(3):
+        nbr: dict = {}
+        for a, b in E:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        keep = {(a, b) for a, b in E if len(nbr[a] & nbr[b]) >= 2}
+        if keep == E:
+            break
+        E = keep
+    nbr = {}
+    for a, b in E:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    want = sorted((a, b, len(nbr[a] & nbr[b])) for a, b in E)
+    assert [(r.a, r.b, r.support) for r in got.itertuples()] == want
+    # the K4 survives, the pendant path does not
+    assert len(want) == 6 and all(s == 2 for *_, s in want)
+
+
+def test_ktruss_empty_result(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import ktruss_ds
+
+    tbl = pa.table({"subj": pa.array(["a", "b"]),
+                    "obj": pa.array(["b", "c"])})
+    got = ktruss_ds(rd.from_arrow(tbl), k=4, rounds=2).to_pandas()
+    assert len(got) == 0
