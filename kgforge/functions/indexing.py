@@ -638,3 +638,109 @@ def next_token_topk_ds(ds, k: int = 3, text_col: str = "text",
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("__p").map_groups(rank, batch_format="pyarrow")
+
+
+def source_similarity_ds(ds, text_col: str = "text",
+                         by: str = "source",
+                         num_partitions: int = 32):
+    """Corpus-similarity moments between sources: for every source
+    pair (src_a < src_b) the EXACT integer dot product of their
+    term-frequency vectors plus both squared norms —
+    ``(src_a, src_b, dot, na2, nb2)``.  The consumer derives cosine
+    from the three integers; an engine-side sqrt would risk the
+    value hash (float ulp), so none is taken.
+
+    Plan: per-batch (source, term, count) partials → one
+    (source, term) groupby; dot products form in TERM-hash
+    partitions (each term's full row set is co-located, runs are
+    bounded by the number of sources, pairwise products vectorized
+    per run and pre-summed per pair in-partition) → a tiny final
+    pair groupby; norms are one more source-keyed reduce.  Shuffle
+    volume is the (source, term) TF table — the corpus never moves.
+    Assumes the source column is low-cardinality (pair count grows
+    as sources²)."""
+    from ray.data.aggregate import Sum
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        flat, par = _token_lists(batch, text_col)
+        if len(flat) == 0:
+            return pa.table({by: pa.array([], pa.string()),
+                             "w": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        t = pa.table({by: batch[by].take(par), "w": flat})
+        g = t.group_by([by, "w"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({by: g[by], "w": g["w"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    tf = ds.select_columns([by, text_col]) \
+        .map_batches(tf_partial, batch_format="pyarrow") \
+        .groupby([by, "w"]).aggregate(Sum("c", alias_name="c")) \
+        .materialize()
+
+    def tag_term(b: pa.Table) -> pa.Table:
+        return b.append_column("__p", pa.array(
+            _part_codes(b["w"], num_partitions)))
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"src_a": pa.array([], pa.string()),
+                          "src_b": pa.array([], pa.string()),
+                          "dot": pa.array([], pa.int64())})
+        t = t.sort_by([("w", "ascending"), (by, "ascending")])
+        w = t["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(w) == 0:
+            return empty
+        s = t[by].combine_chunks()
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(w[1:] != w[:-1]) + 1])
+        runlen = np.diff(np.concatenate([starts, [len(w)]]))
+        outs = []
+        for k in np.unique(runlen):
+            if k < 2:
+                continue
+            runs = starts[runlen == k]
+            idx = runs[:, None] + np.arange(k)[None, :]
+            ii, jj = np.triu_indices(int(k), 1)
+            outs.append((idx[:, ii].ravel(), idx[:, jj].ravel()))
+        if not outs:
+            return empty
+        ai = np.concatenate([o[0] for o in outs])
+        bi = np.concatenate([o[1] for o in outs])
+        part = pa.table({"src_a": s.take(pa.array(ai)),
+                         "src_b": s.take(pa.array(bi)),
+                         "dot": pa.array(c[ai] * c[bi])})
+        g = part.group_by(["src_a", "src_b"], use_threads=False) \
+            .aggregate([("dot", "sum")])
+        return pa.table({"src_a": g["src_a"], "src_b": g["src_b"],
+                         "dot": g["dot_sum"]})
+
+    dots = tf.map_batches(tag_term, batch_format="pyarrow") \
+        .groupby("__p").map_groups(pair_partials,
+                                   batch_format="pyarrow") \
+        .groupby(["src_a", "src_b"]) \
+        .aggregate(Sum("dot", alias_name="dot"))
+
+    def norm_partial(b: pa.Table) -> pa.Table:
+        c = b["c"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({by: b[by], "n2": pa.array(c * c)})
+        g = t.group_by([by], use_threads=False).aggregate(
+            [("n2", "sum")])
+        return pa.table({by: g[by], "n2": g["n2_sum"]})
+
+    norms = {r[by]: r["n2"] for r in
+             tf.map_batches(norm_partial, batch_format="pyarrow")
+             .groupby(by).aggregate(Sum("n2", alias_name="n2"))
+             .take_all()}                       # sources-bounded
+
+    def attach_norms(b: pa.Table) -> pa.Table:
+        na = [norms[x] for x in b["src_a"].to_pylist()]
+        nb = [norms[x] for x in b["src_b"].to_pylist()]
+        return pa.table({
+            "src_a": b["src_a"], "src_b": b["src_b"], "dot": b["dot"],
+            "na2": pa.array(na, pa.int64()),
+            "nb2": pa.array(nb, pa.int64())})
+
+    return dots.map_batches(attach_norms, batch_format="pyarrow")

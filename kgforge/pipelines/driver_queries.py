@@ -247,6 +247,16 @@ def q_c4_rules(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "source", "text"]))
 
 
+def q_source_similarity(sf_dir: str):
+    """Pairwise corpus-similarity moments between sources: exact
+    integer TF-vector dot products + squared norms (cosine left to
+    the consumer — no float sqrt in the hash path)."""
+    from kgforge.functions.indexing import source_similarity_ds
+
+    return source_similarity_ds(
+        _read(sf_dir, "documents", ["source", "text"]))
+
+
 def q_lang_id(sf_dir: str):
     return F_text.lang_id_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -5284,6 +5294,7 @@ QUERIES = {
     "kg_ppr": q_kg_ppr,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
+    "source_similarity": q_source_similarity,
     "kg_hits": q_kg_hits,
     "kg_comp_sizes": q_kg_comp_sizes,
     "kg_communities": q_kg_communities,
@@ -5559,6 +5570,26 @@ ORACLE_SQL = {
                CAST(sum(CASE WHEN f_sent + f_brace + f_lorem + f_lw = 0
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         FROM f GROUP BY 1
+    """,
+    "source_similarity": r"""
+        WITH tf AS (SELECT source,
+                           unnest(regexp_extract_all(
+                               coalesce(text, ''), '\S+')) AS w
+                    FROM documents),
+        cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+                FROM tf GROUP BY 1, 2),
+        dots AS (SELECT a.source AS src_a, b.source AS src_b,
+                        CAST(sum(a.c * b.c) AS BIGINT) AS dot
+                 FROM cnt a JOIN cnt b
+                   ON a.w = b.w AND a.source < b.source
+                 GROUP BY 1, 2),
+        norms AS (SELECT source, CAST(sum(c * c) AS BIGINT) AS n2
+                  FROM cnt GROUP BY 1)
+        SELECT d.src_a, d.src_b, d.dot,
+               na.n2 AS na2, nb.n2 AS nb2
+        FROM dots d
+        JOIN norms na ON na.source = d.src_a
+        JOIN norms nb ON nb.source = d.src_b
     """,
     "substring_dup_pairs": """
         WITH w AS (SELECT DISTINCT doc_id, substring(text, g.i, 25) AS s

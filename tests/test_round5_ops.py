@@ -581,3 +581,37 @@ def test_ktruss_empty_result(ray_session):
                     "obj": pa.array(["b", "c"])})
     got = ktruss_ds(rd.from_arrow(tbl), k=4, rounds=2).to_pandas()
     assert len(got) == 0
+
+
+def test_source_similarity_matches_bruteforce(ray_session):
+    from collections import Counter
+
+    import ray.data as rd
+
+    from kgforge.functions.indexing import source_similarity_ds
+
+    texts = ["cat dog cat", "dog mouse", "cat cat cat", "bird",
+             "dog dog bird"]
+    src = ["s1", "s1", "s2", "s3", "s3"]
+    tbl = pa.table({"source": pa.array(src), "text": pa.array(texts)})
+    got = source_similarity_ds(rd.from_arrow(tbl).repartition(3)) \
+        .to_pandas().sort_values(["src_a", "src_b"]) \
+        .reset_index(drop=True)
+
+    tf: dict = {}
+    for s, t in zip(src, texts):
+        tf.setdefault(s, Counter()).update(t.split())
+    srcs = sorted(tf)
+    want = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            dot = sum(tf[a][w] * tf[b][w] for w in tf[a] if w in tf[b])
+            if dot == 0:
+                continue                       # inner-join semantics
+            na2 = sum(v * v for v in tf[a].values())
+            nb2 = sum(v * v for v in tf[b].values())
+            want.append((a, b, dot, na2, nb2))
+    got_rows = [(r.src_a, r.src_b, r.dot, r.na2, r.nb2)
+                for r in got.itertuples()]
+    assert got_rows == want
+    assert len(want) >= 2
