@@ -2338,6 +2338,134 @@ def _bfs_from(und, seeds: list, max_hops: int, num_partitions: int,
     return visited
 
 
+def path_counts_ds(edges_ds, n_seeds: int = 4, max_hops: int = 4,
+                   src: str = "subj", dst: str = "obj",
+                   num_partitions: int = 64,
+                   driver_max_members: int = 2_000_000):
+    """Shortest-path COUNTS from the seed set (the exact-integer σ
+    half of Brandes betweenness): for every node within ``max_hops``
+    undirected hops of the ``n_seeds`` smallest nodes, ``(node,
+    dist, paths)`` where ``dist`` is the min hop count and ``paths``
+    = number of distinct shortest paths from the seed set (σ_S(v) =
+    Σ_{u ∈ pred(v)} σ_S(u) over dist-(d−1) predecessors; seeds count
+    1 at dist 0).  Pure integer recurrence — bit-exact vs the
+    unrolled-by-level SQL twin.
+
+    Two lanes like :func:`_bfs_from`: under the driver bound each
+    hop collects the frontier-ADJACENT edge pairs (Σ deg(frontier)
+    rows — the ego/BFS broadcast contract) and folds counts
+    vectorized on the driver; past the bound the frontier rides a
+    Dataset with its count payload — per hop one cogroup expands
+    (und × frontier) into (n2, c) contribution rows, a groupby sums
+    σ per node, and an anti-join against visited keeps the fresh
+    level."""
+    import ray
+    import ray.data as rd
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+    seeds = _smallest_nodes(und, n_seeds)
+
+    dist: dict[str, int] = {s: 0 for s in seeds}
+    cnt: dict[str, int] = {s: 1 for s in seeds}
+    frontier: set[str] = set(seeds)
+    hops_done = 0
+    while (hops_done < max_hops and frontier
+           and len(dist) <= driver_max_members):
+        fref = ray.put(pa.array(sorted(frontier), pa.string()))
+
+        def hop_edges(b: pa.Table, _f=fref) -> pa.Table:
+            mask = pc.is_in(b["n1"], value_set=ray.get(_f))
+            return pa.table({"u": b["n1"].filter(mask),
+                             "v": b["n2"].filter(mask)})
+
+        us: list = []
+        vs: list = []
+        for part in und.map_batches(hop_edges, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            us.extend(part["u"].to_pylist())
+            vs.extend(part["v"].to_pylist())
+        hops_done += 1
+        import pandas as pd
+        df = pd.DataFrame({"v": vs,
+                           "c": [cnt[u] for u in us]})
+        df = df[~df["v"].isin(dist.keys())]
+        acc = df.groupby("v", sort=True)["c"].sum()
+        frontier = set(acc.index)
+        for v, c in acc.items():
+            dist[v] = hops_done
+            cnt[v] = int(c)
+
+    if hops_done == max_hops or not frontier:
+        ks = sorted(dist)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(ks, pa.string()),
+            "dist": pa.array([dist[k] for k in ks], pa.int64()),
+            "paths": pa.array([cnt[k] for k in ks], pa.int64())}))
+
+    # ---- spill: frontier rides a Dataset with its count payload ----
+    from ray.data.aggregate import Sum
+
+    ks = sorted(dist)
+    visited = rd.from_arrow(pa.table({
+        "node": pa.array(ks, pa.string()),
+        "dist": pa.array([dist[k] for k in ks], pa.int64()),
+        "paths": pa.array([cnt[k] for k in ks], pa.int64())}))
+    fs = sorted(frontier)
+    front_ds = rd.from_arrow(pa.table({
+        "node": pa.array(fs, pa.string()),
+        "cnt": pa.array([cnt[k] for k in fs], pa.int64())}))
+    front_schema = pa.schema([("node", pa.string()),
+                              ("cnt", pa.int64())])
+    sum_schema = pa.schema([("node", pa.string()), ("c", pa.int64())])
+
+    def expand(t: pa.Table, starts, nl, nr) -> pa.Table:
+        # left = und pairs (payload n2), right = frontier (one row
+        # per node, payload cnt): every left n2 inherits the key's σ
+        has = (nl > 0) & (nr > 0)
+        ridx = (starts + nl)[has]
+        c = t["cnt"].take(pa.array(ridx)).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lidx, _ = _lr_indices(starts[has], nl[has],
+                              np.zeros(int(has.sum()), dtype=nl.dtype))
+        return pa.table({"node": t["n2"].take(pa.array(lidx)),
+                         "c": pa.array(np.repeat(c, nl[has]))})
+
+    def unseen(t: pa.Table, starts, nl, nr) -> pa.Table:
+        keep = (nl > 0) & (nr == 0)
+        li = starts[keep]
+        return pa.table({"node": t["__k"].take(pa.array(li)),
+                         "cnt": t["c"].take(pa.array(li))})
+
+    while hops_done < max_hops:
+        hops_done += 1
+        contrib = cogroup_partition_ds(
+            und, front_ds, "n1", "node", expand, ["n2"], ["cnt"],
+            num_partitions=num_partitions, right_schema=front_schema)
+        summed = contrib.groupby("node") \
+            .aggregate(Sum("c", alias_name="c"))
+        fresh = cogroup_partition_ds(
+            summed, visited, "node", "node", unseen, ["c"],
+            ["dist", "paths"], num_partitions=num_partitions,
+            left_schema=sum_schema).materialize()
+        if fresh.count() == 0:
+            break
+        d = hops_done
+
+        def stamp(b: pa.Table, _d=d) -> pa.Table:
+            return pa.table({
+                "node": b["node"],
+                "dist": pa.array(np.full(b.num_rows, _d, np.int64)),
+                "paths": b["cnt"]})
+
+        visited = visited.union(
+            fresh.map_batches(stamp, batch_format="pyarrow")) \
+            .materialize()
+        front_ds = fresh
+
+    return visited
+
+
 def harmonic_ds(edges_ds, n_seeds: int = 4, max_hops: int = 4,
                 src: str = "subj", dst: str = "obj",
                 num_partitions: int = 64,

@@ -759,6 +759,38 @@ SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node
 """
 
 
+def path_counts_sql(n_seeds: int = 4, max_hops: int = 4) -> str:
+    """Level-unrolled twin of
+    :func:`kgforge.functions.graph.path_counts_ds`: min hop distances
+    from the seed set via the recursive walk, then σ accumulated one
+    MATERIALIZED CTE per level (σ_d(v) = Σ σ_{d−1}(u) over edges u→v
+    with dist(u)=d−1, dist(v)=d)."""
+    prelude = entity_pairs_prelude().replace("\nWITH jj",
+                                             "\nWITH RECURSIVE jj", 1)
+    sql = prelude + f""",
+bnodes AS (SELECT DISTINCT n1 AS n FROM und),
+bseeds AS (SELECT n FROM bnodes ORDER BY n LIMIT {n_seeds}),
+walk(node, d) AS (
+  SELECT n, 0 FROM bseeds
+  UNION
+  SELECT u.n2, walk.d + 1 FROM walk JOIN und u ON u.n1 = walk.node
+  WHERE walk.d < {max_hops}),
+lv AS MATERIALIZED (SELECT node, CAST(min(d) AS BIGINT) AS dist
+                    FROM walk GROUP BY node),
+p0 AS (SELECT n AS node, CAST(1 AS BIGINT) AS c FROM bseeds)"""
+    for d in range(1, max_hops + 1):
+        sql += f""",
+p{d} AS MATERIALIZED (
+    SELECT u.n2 AS node, CAST(sum(p{d - 1}.c) AS BIGINT) AS c
+    FROM p{d - 1} JOIN und u ON u.n1 = p{d - 1}.node
+    JOIN lv ON lv.node = u.n2 AND lv.dist = {d}
+    GROUP BY u.n2)"""
+    unions = "\nUNION ALL ".join(
+        f"SELECT node, CAST({d} AS BIGINT) AS dist, c AS paths "
+        f"FROM p{d}" for d in range(max_hops + 1))
+    return sql + "\n" + unions + "\n"
+
+
 def harmonic_sql(n_seeds: int = 4, max_hops: int = 4) -> str:
     """Seed-keyed recursive-CTE twin of
     :func:`kgforge.functions.graph.harmonic_ds`: per-seed min hop

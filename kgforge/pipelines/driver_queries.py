@@ -2311,6 +2311,15 @@ def q_kg_aa_linkpred(sf_dir: str):
     return adamic_adar_ds(_entity_edges_for(sf_dir), k=20)
 
 
+def q_kg_path_counts(sf_dir: str):
+    """Shortest-path counts (exact σ) from the 4 smallest seeds
+    within 4 hops — (node, dist, paths), pure integers."""
+    from kgforge.functions.graph import path_counts_ds
+
+    return path_counts_ds(_entity_edges_for(sf_dir), n_seeds=4,
+                          max_hops=4)
+
+
 def q_kg_ktruss(sf_dir: str):
     """Bounded-round 4-truss peeling of the entity graph — surviving
     edges with their within-subgraph triangle support."""
@@ -5291,6 +5300,7 @@ QUERIES = {
     "kg_harmonic": q_kg_harmonic,
     "kg_wpagerank": q_kg_wpagerank,
     "kg_ktruss": q_kg_ktruss,
+    "kg_path_counts": q_kg_path_counts,
     "kg_ppr": q_kg_ppr,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
@@ -6071,6 +6081,8 @@ ORACLE_SQL["kg_harmonic"] = _dict_oracle.harmonic_sql(n_seeds=4,
                                                       max_hops=4)
 ORACLE_SQL["kg_wpagerank"] = _dict_oracle.weighted_pagerank_sql(iters=3)
 ORACLE_SQL["kg_ktruss"] = _dict_oracle.ktruss_sql(k=4, rounds=3)
+ORACLE_SQL["kg_path_counts"] = _dict_oracle.path_counts_sql(n_seeds=4,
+                                                            max_hops=4)
 ORACLE_SQL["kg_ppr"] = _dict_oracle.ppr_sql(iters=3, n_seeds=4)
 ORACLE_SQL["kg_hits"] = _dict_oracle.hits_sql(iters=2)
 ORACLE_SQL["kg_comp_sizes"] = _dict_oracle.comp_sizes_sql()

@@ -615,3 +615,52 @@ def test_source_similarity_matches_bruteforce(ray_session):
                 for r in got.itertuples()]
     assert got_rows == want
     assert len(want) >= 2
+
+
+def _sigma_bruteforce(edges, seeds, max_hops):
+    from collections import deque
+
+    nbr: dict = {}
+    for s, d in edges:
+        nbr.setdefault(s, set()).add(d)
+        nbr.setdefault(d, set()).add(s)
+    dist = {s: 0 for s in seeds}
+    cnt = {s: 1 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        acc: dict = {}
+        for u in frontier:
+            for v in nbr.get(u, ()):
+                if v not in dist:
+                    acc[v] = acc.get(v, 0) + cnt[u]
+        frontier = set(acc)
+        for v, c in acc.items():
+            dist[v] = h
+            cnt[v] = c
+        if not frontier:
+            break
+    return {n: (dist[n], cnt[n]) for n in dist}
+
+
+def test_path_counts_matches_bruteforce_both_lanes(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import path_counts_ds
+
+    # diamond (2 shortest paths) + chain + a second component
+    edges = [("a", "b1"), ("a", "b2"), ("b1", "c"), ("b2", "c"),
+             ("c", "d"), ("d", "e"), ("a", "x"), ("p", "q")]
+    tbl = pa.table({"subj": pa.array([e[0] for e in edges]),
+                    "obj": pa.array([e[1] for e in edges])})
+    ds = rd.from_arrow(tbl).repartition(3)
+    want = _sigma_bruteforce(edges, sorted(
+        {n for e in edges for n in e})[:1], 4)
+
+    for dmax in (2_000_000, 0):       # broadcast lane / forced spill
+        got = {r.node: (r.dist, r.paths)
+               for r in path_counts_ds(
+                   ds, n_seeds=1, max_hops=4,
+                   driver_max_members=dmax).to_pandas().itertuples()}
+        assert got == want, dmax
+    # the diamond's far corner sees 2 shortest paths
+    assert want["c"] == (2, 2)
