@@ -1250,3 +1250,83 @@ def c4_rules_ds(ds, text_col: str = "text", id_col: str = "doc_id",
             Sum("fail_lorem", alias_name="fail_lorem"),
             Sum("fail_linewords", alias_name="fail_linewords"),
             Sum("n_pass", alias_name="n_pass"))
+
+
+def char_bigram_stats_ds(ds, text_col: str = "text",
+                         by: str = "source"):
+    """Per-``by`` character-bigram collision moments — the
+    exact-integer building blocks of character-level Rényi-2 entropy
+    (a language/quality signal that needs no tokenizer):
+    ``(by, n_bigrams, distinct_bigrams, coll)`` with
+    ``coll = Σ_bg c_bg²`` over the group's codepoint-bigram counts.
+    Codepoint semantics (one UTF-32 unit per character), matching
+    the SQL twin's character ``substring``.
+
+    Scale shape: each batch decodes to a UTF-32 numpy view in one C
+    call (no per-doc Python), packs bigrams as int64 codes and
+    pre-reduces with one arrow ``group_by``; the shuffle carries
+    (group, code, count) rows bounded by the distinct-bigram
+    vocabulary, and the final reduce is a tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({by: pa.array([], pa.string()),
+                          "code": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        text = pc.fill_null(b[text_col], "").combine_chunks()
+        n = len(text)
+        if n == 0:
+            return empty
+        src = b[by].combine_chunks()
+        uniq = src.unique()
+        sidx = pc.index_in(src, value_set=uniq) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = text.to_pylist()
+        joined = "".join(docs)
+        cp = np.frombuffer(joined.encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.int64)
+        if len(cp) < 2:
+            return empty
+        clens = np.array([len(t) for t in docs], dtype=np.int64)
+        ends = np.cumsum(clens)
+        codes = (cp[:-1] << 21) | cp[1:]
+        doc_of = np.repeat(np.arange(n), clens)[:-1]
+        valid = np.ones(len(codes), dtype=bool)
+        bnd = ends[:-1] - 1                   # doc boundaries
+        bnd = bnd[(bnd >= 0) & (bnd < len(codes))]   # empty-doc edges
+        valid[bnd] = False
+        t = pa.table({
+            "g": pa.array(sidx[doc_of[valid]], pa.int64()),
+            "code": pa.array(codes[valid], pa.int64())})
+        gg = t.group_by(["g", "code"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            by: uniq.take(gg["g"]),
+            "code": gg["code"],
+            "c": pc.cast(gg["count_all"], pa.int64())})
+
+    counts = ds.select_columns([by, text_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby([by, "code"]).aggregate(Sum("c", alias_name="c"))
+
+    def moments(b: pa.Table) -> pa.Table:
+        c = b["c"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({by: b[by],
+                      "n_bigrams": pa.array(c),
+                      "distinct_bigrams": pa.array(
+                          np.ones(len(c), dtype=np.int64)),
+                      "coll": pa.array(c * c)})
+        g = t.group_by([by], use_threads=False).aggregate(
+            [("n_bigrams", "sum"), ("distinct_bigrams", "sum"),
+             ("coll", "sum")])
+        return pa.table({by: g[by],
+                         "n_bigrams": g["n_bigrams_sum"],
+                         "distinct_bigrams": g["distinct_bigrams_sum"],
+                         "coll": g["coll_sum"]})
+
+    return counts.map_batches(moments, batch_format="pyarrow") \
+        .groupby(by).aggregate(
+            Sum("n_bigrams", alias_name="n_bigrams"),
+            Sum("distinct_bigrams", alias_name="distinct_bigrams"),
+            Sum("coll", alias_name="coll"))

@@ -247,6 +247,14 @@ def q_c4_rules(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "source", "text"]))
 
 
+def q_char_bigram_stats(sf_dir: str):
+    """Byte-bigram collision moments per source (Rényi-2 entropy
+    building blocks) — see
+    :func:`kgforge.functions.textstats.char_bigram_stats_ds`."""
+    return F_text.char_bigram_stats_ds(
+        _read(sf_dir, "documents", ["source", "text"]))
+
+
 def q_source_similarity(sf_dir: str):
     """Pairwise corpus-similarity moments between sources: exact
     integer TF-vector dot products + squared norms (cosine left to
@@ -4100,6 +4108,46 @@ def q_ewma_hourly(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_decayed_counts(sf_dir: str):
+    """Exponentially time-decayed event counts per type: each event
+    weighs ``10⁶ // 2^age_days`` micro-units (age relative to the
+    corpus's max day; 0 beyond 19 days — the weight underflows the
+    micro-unit scale), summed per type next to the raw count.  The
+    freshness-weighted popularity signal, exact in both engines
+    (power-of-two halving = integer shift, no float decay).
+
+    Scale plan: one combiner-first (type, day) reduce (calendar ×
+    types bounded output), then a bounded driver fold — the
+    ``cusum_changepoint`` contract."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": b["event_type"],
+                      "day": pa.array(us // 86_400_000_000)})
+        return t.group_by(["event_type", "day"],
+                          use_threads=False).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["event_type", "day", "n"])
+
+    daily = _read(sf_dir, "events", ["event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "day"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    mx = int(daily["day"].max())
+    rows = []
+    for etype, g in daily.groupby("event_type", sort=True):
+        age = mx - g["day"].to_numpy(dtype=np.int64)
+        c = g["n"].to_numpy(dtype=np.int64)
+        w = np.where(age < 20, 1_000_000 // (1 << np.minimum(age, 19)),
+                     0).astype(np.int64)
+        rows.append({"event_type": etype,
+                     "n_events": int(c.sum()),
+                     "decayed_units": int((c * w).sum())})
+    return pd.DataFrame(rows)
+
+
 def q_late_events(sf_dir: str):
     """Out-of-order arrival QA per user — see
     :func:`kgforge.functions.events.late_events_ds`."""
@@ -5350,6 +5398,8 @@ QUERIES = {
     "hourly_autocorr": q_hourly_autocorr,
     "cusum_changepoint": q_cusum_changepoint,
     "ewma_hourly": q_ewma_hourly,
+    "decayed_counts": q_decayed_counts,
+    "char_bigram_stats": q_char_bigram_stats,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
     "setsim_join": q_setsim_join,
@@ -6326,6 +6376,33 @@ ranked AS (SELECT event_type, h, dev,
            FROM stat)
 SELECT event_type, h AS cp_hour, dev AS cusum_stat
 FROM ranked WHERE rn = 1
+"""
+ORACLE_SQL["decayed_counts"] = """
+WITH d AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+mx AS (SELECT max(day) AS m FROM d)
+SELECT event_type,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(sum(c * (CASE WHEN mx.m - day >= 20 THEN 0
+                          ELSE 1000000 // (1 << (mx.m - day)) END))
+            AS BIGINT) AS decayed_units
+FROM d CROSS JOIN mx GROUP BY event_type
+"""
+ORACLE_SQL["char_bigram_stats"] = """
+WITH bg AS (SELECT source,
+                   substring(coalesce(text, ''), g.i, 2) AS b
+            FROM documents
+            CROSS JOIN generate_series(1, 8192) g(i)
+            WHERE g.i <= length(coalesce(text, '')) - 1),
+cnt AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+        FROM bg GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS distinct_bigrams,
+       CAST(sum(c * c) AS BIGINT) AS coll
+FROM cnt GROUP BY source
 """
 ORACLE_SQL["ewma_hourly"] = """
 WITH RECURSIVE hourly AS (

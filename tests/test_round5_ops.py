@@ -664,3 +664,60 @@ def test_path_counts_matches_bruteforce_both_lanes(ray_session):
         assert got == want, dmax
     # the diamond's far corner sees 2 shortest paths
     assert want["c"] == (2, 2)
+
+
+def test_char_bigram_stats_matches_bruteforce(ray_session):
+    from collections import Counter
+
+    import ray.data as rd
+
+    from kgforge.functions.textstats import char_bigram_stats_ds
+
+    texts = ["abcab", "", "x", "héllo wörld", "aaaa"]
+    src = ["s1", "s1", "s2", "s2", "s3"]
+    tbl = pa.table({"source": pa.array(src), "text": pa.array(texts)})
+    got = char_bigram_stats_ds(rd.from_arrow(tbl).repartition(3)) \
+        .to_pandas().set_index("source").sort_index()
+
+    want: dict = {}
+    for s, t in zip(src, texts):
+        cnt = want.setdefault(s, Counter())
+        cnt.update(t[i:i + 2] for i in range(len(t) - 1))
+    for s, cnt in want.items():
+        if not cnt:
+            assert s not in got.index      # empty groups drop out
+            continue
+        assert got.loc[s, "n_bigrams"] == sum(cnt.values())
+        assert got.loc[s, "distinct_bigrams"] == len(cnt)
+        assert got.loc[s, "coll"] == sum(v * v for v in cnt.values())
+    # unicode doc contributed codepoint bigrams (é ll etc.)
+    assert got.loc["s2", "n_bigrams"] == len("x") - 1 + len("héllo wörld") - 1
+
+
+def test_decayed_counts_planted_decay(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import q_decayed_counts
+
+    # type "old" all 25 days before max (weight 0), "new" at max day
+    base = 1_700_000_000_000_000
+    day = 86_400_000_000
+    ts = np.array([base, base, base + 25 * day, base + 25 * day,
+                   base + 24 * day])
+    types = ["old", "old", "new", "new", "new"]
+    n_ev = len(ts)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n_ev), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n_ev, dtype=np.int64)),
+        "event_type": pa.array(types),
+        "value": pa.array(np.zeros(n_ev)),
+        "props": pa.array(["{}"] * n_ev)})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = q_decayed_counts(str(tmp_path)).set_index("event_type")
+    assert got.loc["old", "n_events"] == 2
+    assert got.loc["old", "decayed_units"] == 0          # age 25 >= 20
+    assert got.loc["new", "n_events"] == 3
+    # 2 events at age 0 (1e6 each) + 1 at age 1 (5e5)
+    assert got.loc["new", "decayed_units"] == 2_500_000
