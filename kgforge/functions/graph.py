@@ -2466,6 +2466,85 @@ def path_counts_ds(edges_ds, n_seeds: int = 4, max_hops: int = 4,
     return visited
 
 
+def betweenness_ds(edges_ds, n_seeds: int = 4, max_hops: int = 4,
+                   src: str = "subj", dst: str = "obj",
+                   driver_max_members: int = 2_000_000):
+    """Seed-set betweenness dependencies (Brandes 2001, bounded-radius
+    integer form): the forward pass is :func:`path_counts_ds`'s σ
+    recurrence; the backward pass accumulates
+    ``dep(v) = Σ_{w ∈ succ(v)} σ(v)·(10⁶ + dep(w)) // σ(w)`` in
+    micro-units (floor per DAG edge — deterministic, no float
+    division), descending one BFS level at a time.  Output
+    ``(node, dist, paths, dep_units)`` for every node within
+    ``max_hops`` of the ``n_seeds`` smallest seeds.
+
+    Lane contract: the level-synchronous state (distances, σ, and the
+    per-level DAG edge lists) is held on the driver under
+    ``driver_max_members`` — the documented bound shared with the
+    ego/BFS broadcast lanes; past it the operator raises rather than
+    silently degrade (the distributed extension mirrors
+    :func:`path_counts_ds`'s spill lane level-by-level and is noted
+    there).  Shuffle volume per hop is one ``is_in`` semi-filter over
+    the distinct-pair table; the edge multiset never moves."""
+    import ray
+    import ray.data as rd
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+    seeds = _smallest_nodes(und, n_seeds)
+
+    dist: dict[str, int] = {s: 0 for s in seeds}
+    cnt: dict[str, int] = {s: 1 for s in seeds}
+    frontier: set[str] = set(seeds)
+    dag: list[tuple[list, list]] = []      # dag[h-1] = (us, vs)
+    hops_done = 0
+    while hops_done < max_hops and frontier:
+        if len(dist) > driver_max_members:
+            raise ValueError(
+                "betweenness_ds: reachable set exceeds "
+                f"driver_max_members={driver_max_members}; raise the "
+                "bound or shrink max_hops (distributed backward pass "
+                "not implemented — see path_counts_ds spill lane)")
+        fref = ray.put(pa.array(sorted(frontier), pa.string()))
+
+        def hop_edges(b: pa.Table, _f=fref) -> pa.Table:
+            mask = pc.is_in(b["n1"], value_set=ray.get(_f))
+            return pa.table({"u": b["n1"].filter(mask),
+                             "v": b["n2"].filter(mask)})
+
+        us: list = []
+        vs: list = []
+        for part in und.map_batches(hop_edges, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            us.extend(part["u"].to_pylist())
+            vs.extend(part["v"].to_pylist())
+        hops_done += 1
+        import pandas as pd
+        df = pd.DataFrame({"u": us, "v": vs})
+        df = df[~df["v"].isin(dist.keys())]      # DAG edges into level h
+        dag.append((df["u"].tolist(), df["v"].tolist()))
+        acc = df.assign(c=[cnt[u] for u in df["u"]]) \
+            .groupby("v", sort=True)["c"].sum()
+        frontier = set(acc.index)
+        for v, c in acc.items():
+            dist[v] = hops_done
+            cnt[v] = int(c)
+
+    dep: dict[str, int] = {n: 0 for n in dist}
+    for h in range(len(dag), 0, -1):
+        us, vs = dag[h - 1]
+        for u, v in zip(us, vs):
+            if dist.get(v) == h:             # true DAG edge survived
+                dep[u] += cnt[u] * (1_000_000 + dep[v]) // cnt[v]
+
+    ks = sorted(dist)
+    return rd.from_arrow(pa.table({
+        "node": pa.array(ks, pa.string()),
+        "dist": pa.array([dist[k] for k in ks], pa.int64()),
+        "paths": pa.array([cnt[k] for k in ks], pa.int64()),
+        "dep_units": pa.array([dep[k] for k in ks], pa.int64())}))
+
+
 def harmonic_ds(edges_ds, n_seeds: int = 4, max_hops: int = 4,
                 src: str = "subj", dst: str = "obj",
                 num_partitions: int = 64,

@@ -791,6 +791,55 @@ p{d} AS MATERIALIZED (
     return sql + "\n" + unions + "\n"
 
 
+def betweenness_sql(n_seeds: int = 4, max_hops: int = 4) -> str:
+    """Twin of :func:`kgforge.functions.graph.betweenness_ds`:
+    the :func:`path_counts_sql` forward CTEs plus the backward
+    dependency pass unrolled one level at a time descending
+    (``dep(v) = Σ σ(v)·(10⁶ + dep(w)) // σ(w)`` over DAG successors
+    — nonneg integers, floor = truncate)."""
+    prelude = entity_pairs_prelude().replace("\nWITH jj",
+                                             "\nWITH RECURSIVE jj", 1)
+    sql = prelude + f""",
+bnodes AS (SELECT DISTINCT n1 AS n FROM und),
+bseeds AS (SELECT n FROM bnodes ORDER BY n LIMIT {n_seeds}),
+walk(node, d) AS (
+  SELECT n, 0 FROM bseeds
+  UNION
+  SELECT u.n2, walk.d + 1 FROM walk JOIN und u ON u.n1 = walk.node
+  WHERE walk.d < {max_hops}),
+lv AS MATERIALIZED (SELECT node, CAST(min(d) AS BIGINT) AS dist
+                    FROM walk GROUP BY node),
+p0 AS (SELECT n AS node, CAST(1 AS BIGINT) AS c FROM bseeds)"""
+    for d in range(1, max_hops + 1):
+        sql += f""",
+p{d} AS MATERIALIZED (
+    SELECT u.n2 AS node, CAST(sum(p{d - 1}.c) AS BIGINT) AS c
+    FROM p{d - 1} JOIN und u ON u.n1 = p{d - 1}.node
+    JOIN lv ON lv.node = u.n2 AND lv.dist = {d}
+    GROUP BY u.n2)"""
+    sql += f""",
+d{max_hops} AS (SELECT node, CAST(0 AS BIGINT) AS dep
+                FROM p{max_hops})"""
+    for d in range(max_hops - 1, -1, -1):
+        w = d + 1
+        sql += f""",
+d{d} AS MATERIALIZED (
+    SELECT p{d}.node,
+           CAST(coalesce(sum(p{d}.c * (1000000 + dn.dep) // pw.c), 0)
+                AS BIGINT) AS dep
+    FROM p{d}
+    LEFT JOIN und u ON u.n1 = p{d}.node
+    LEFT JOIN p{w} pw ON pw.node = u.n2
+    LEFT JOIN d{w} dn ON dn.node = u.n2 AND pw.node IS NOT NULL
+    GROUP BY p{d}.node)"""
+    unions = "\nUNION ALL ".join(
+        f"SELECT p{d}.node, CAST({d} AS BIGINT) AS dist, p{d}.c AS "
+        f"paths, d{d}.dep AS dep_units FROM p{d} "
+        f"JOIN d{d} ON d{d}.node = p{d}.node"
+        for d in range(max_hops + 1))
+    return sql + "\n" + unions + "\n"
+
+
 def harmonic_sql(n_seeds: int = 4, max_hops: int = 4) -> str:
     """Seed-keyed recursive-CTE twin of
     :func:`kgforge.functions.graph.harmonic_ds`: per-seed min hop

@@ -2319,6 +2319,15 @@ def q_kg_aa_linkpred(sf_dir: str):
     return adamic_adar_ds(_entity_edges_for(sf_dir), k=20)
 
 
+def q_kg_betweenness(sf_dir: str):
+    """Seed-set betweenness dependencies (integer Brandes) within 4
+    hops of the 4 smallest seeds — (node, dist, paths, dep_units)."""
+    from kgforge.functions.graph import betweenness_ds
+
+    return betweenness_ds(_entity_edges_for(sf_dir), n_seeds=4,
+                          max_hops=4)
+
+
 def q_kg_path_counts(sf_dir: str):
     """Shortest-path counts (exact σ) from the 4 smallest seeds
     within 4 hops — (node, dist, paths), pure integers."""
@@ -5349,6 +5358,7 @@ QUERIES = {
     "kg_wpagerank": q_kg_wpagerank,
     "kg_ktruss": q_kg_ktruss,
     "kg_path_counts": q_kg_path_counts,
+    "kg_betweenness": q_kg_betweenness,
     "kg_ppr": q_kg_ppr,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
@@ -6132,6 +6142,8 @@ ORACLE_SQL["kg_harmonic"] = _dict_oracle.harmonic_sql(n_seeds=4,
 ORACLE_SQL["kg_wpagerank"] = _dict_oracle.weighted_pagerank_sql(iters=3)
 ORACLE_SQL["kg_ktruss"] = _dict_oracle.ktruss_sql(k=4, rounds=3)
 ORACLE_SQL["kg_path_counts"] = _dict_oracle.path_counts_sql(n_seeds=4,
+                                                            max_hops=4)
+ORACLE_SQL["kg_betweenness"] = _dict_oracle.betweenness_sql(n_seeds=4,
                                                             max_hops=4)
 ORACLE_SQL["kg_ppr"] = _dict_oracle.ppr_sql(iters=3, n_seeds=4)
 ORACLE_SQL["kg_hits"] = _dict_oracle.hits_sql(iters=2)

@@ -721,3 +721,47 @@ def test_decayed_counts_planted_decay(ray_session, tmp_path):
     assert got.loc["new", "n_events"] == 3
     # 2 events at age 0 (1e6 each) + 1 at age 1 (5e5)
     assert got.loc["new", "decayed_units"] == 2_500_000
+
+
+def test_betweenness_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import betweenness_ds
+
+    edges = [("a", "b1"), ("a", "b2"), ("b1", "c"), ("b2", "c"),
+             ("c", "d"), ("d", "e")]
+    tbl = pa.table({"subj": pa.array([e[0] for e in edges]),
+                    "obj": pa.array([e[1] for e in edges])})
+    got = {r.node: (r.dist, r.paths, r.dep_units)
+           for r in betweenness_ds(rd.from_arrow(tbl).repartition(3),
+                                   n_seeds=1, max_hops=4)
+           .to_pandas().itertuples()}
+
+    # brute-force integer Brandes from seed "a"
+    nbr: dict = {}
+    for s, d in edges:
+        nbr.setdefault(s, set()).add(d)
+        nbr.setdefault(d, set()).add(s)
+    dist = {"a": 0}
+    cnt = {"a": 1}
+    frontier = {"a"}
+    dag = []
+    for h in range(1, 5):
+        lvl_edges = [(u, v) for u in sorted(frontier)
+                     for v in sorted(nbr[u]) if v not in dist]
+        dag.append(lvl_edges)
+        acc: dict = {}
+        for u, v in lvl_edges:
+            acc[v] = acc.get(v, 0) + cnt[u]
+        frontier = set(acc)
+        for v, c in acc.items():
+            dist[v] = h
+            cnt[v] = c
+    dep = {n: 0 for n in dist}
+    for h in range(len(dag), 0, -1):
+        for u, v in dag[h - 1]:
+            dep[u] += cnt[u] * (1_000_000 + dep[v]) // cnt[v]
+    want = {n: (dist[n], cnt[n], dep[n]) for n in dist}
+    assert got == want
+    # the bridge c-d dominates: c carries both paths onward
+    assert got["c"][2] > got["b1"][2]
