@@ -2110,6 +2110,130 @@ def label_prop_communities_ds(edges_ds, rounds: int = 2,
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
+def modularity_ds(edges_ds, rounds: int = 2, src: str = "subj",
+                  dst: str = "obj",
+                  num_partitions: int = 64) -> pa.Table:
+    """Newman modularity of the deterministic LPA partition
+    (:func:`label_prop_communities_ds`), exact-integer form: one row
+    ``(m, n_comms, intra_edges, sum_dc2, q_ppm)`` with
+    ``q_ppm = 10⁶·(4·m·intra_edges − Σ_c d_c²) // 4m²`` (truncating
+    toward zero like the SQL twin — Q can be negative).  ``m`` =
+    undirected edge count, ``d_c`` = degree mass of community ``c``.
+
+    Plan: the partition re-runs LPA (deterministic, so both passes
+    agree); intra-edge counting attaches labels to both endpoints of
+    the canonical a<b edge stream via two keyed cogroups (the
+    rich-club attach shape); the degree-mass squares reduce
+    community-keyed.  Driver state is three scalars — communities
+    never materialize on the driver."""
+    from ray.data.aggregate import Sum
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+    n_pairs = und.count()
+    num_partitions = int(min(num_partitions,
+                             max(4, n_pairs // 2000 + 1)))
+    if n_pairs < 100_000 and und.num_blocks() > 2 * num_partitions:
+        und = und.repartition(num_partitions).materialize()
+    node_t = und.schema().base_schema.field("n1").type
+    m = n_pairs // 2
+    if m == 0:
+        return pa.table({c: pa.array([0], pa.int64()) for c in
+                         ("m", "n_comms", "intra_edges", "sum_dc2",
+                          "q_ppm")})
+
+    labels = label_prop_communities_ds(
+        edges_ds, rounds=rounds, src=src, dst=dst,
+        num_partitions=num_partitions).materialize()
+    lab_schema = pa.schema([("node", node_t), ("community", node_t)])
+
+    # ---- degree mass per community → n_comms, Σ d_c² ----
+    def deg_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["n1"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"n": g["n1"],
+                         "dg": pc.cast(g["count_all"], pa.int64())})
+
+    deg = und.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("n").aggregate(Sum("dg", alias_name="dg"))
+
+    def attach_lab(out_col, left_cols, lab_col="community"):
+        def fn(t: pa.Table, starts, nl, nr) -> pa.Table:
+            has = (nl > 0) & (nr > 0)
+            ridx = (starts + nl)[has]
+            lab = t[lab_col].take(pa.array(ridx))
+            lidx, _ = _lr_indices(starts[has], nl[has],
+                                  np.zeros(int(has.sum()),
+                                           dtype=nl.dtype))
+            lab_rep = lab.take(pa.array(
+                np.repeat(np.arange(int(has.sum())), nl[has])))
+            cols = {c: t[c].take(pa.array(lidx)) for c in left_cols}
+            cols["__kk"] = t["__k"].take(pa.array(lidx))
+            cols[out_col] = lab_rep
+            return pa.table(cols)
+        return fn
+
+    dc = cogroup_partition_ds(
+        deg, labels, "n", "node", attach_lab("lab", ["dg"]), ["dg"],
+        ["community"], num_partitions=num_partitions,
+        left_schema=pa.schema([("n", node_t), ("dg", pa.int64())]),
+        right_schema=lab_schema) \
+        .groupby("lab").aggregate(Sum("dg", alias_name="dc"))
+
+    n_comms = 0
+    sum_dc2 = 0
+    for part in dc.iter_batches(batch_format="pyarrow"):
+        v = part["dc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_comms += int(len(v))
+        sum_dc2 += int((v * v).sum())
+
+    # ---- intra-community edges over the canonical a<b stream ----
+    def canon(b: pa.Table) -> pa.Table:
+        lt = pc.less(b["n1"], b["n2"])
+        return pa.table({"a": b["n1"].filter(lt),
+                         "b": b["n2"].filter(lt)})
+
+    ce = und.map_batches(canon, batch_format="pyarrow")
+    with_la = cogroup_partition_ds(
+        ce, labels, "a", "node", attach_lab("la", ["b"]), ["b"],
+        ["community"], num_partitions=num_partitions,
+        left_schema=pa.schema([("a", node_t), ("b", node_t)]),
+        right_schema=lab_schema)
+
+    def rekey(b: pa.Table) -> pa.Table:
+        return pa.table({"b": b["b"], "la": b["la"]})
+
+    with_lb = cogroup_partition_ds(
+        with_la.map_batches(rekey, batch_format="pyarrow"), labels,
+        "b", "node", attach_lab("lb", ["la"]), ["la"], ["community"],
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("b", node_t), ("la", node_t)]),
+        right_schema=lab_schema)
+
+    def intra_partial(b: pa.Table) -> pa.Table:
+        eq = pc.equal(b["la"], b["lb"])
+        return pa.table({"c": pa.array(
+            [int(pc.sum(pc.cast(eq, pa.int64())).as_py() or 0)],
+            pa.int64())})
+
+    intra = 0
+    for part in with_lb.map_batches(intra_partial,
+                                    batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        intra += int(part["c"].to_numpy(zero_copy_only=False).sum())
+
+    q_num = 4 * m * intra - sum_dc2
+    q_den = 4 * m * m
+    q = abs(q_num) * 1_000_000 // q_den
+    q_ppm = q if q_num >= 0 else -q        # truncate toward zero
+    return pa.table({
+        "m": pa.array([m], pa.int64()),
+        "n_comms": pa.array([n_comms], pa.int64()),
+        "intra_edges": pa.array([intra], pa.int64()),
+        "sum_dc2": pa.array([sum_dc2], pa.int64()),
+        "q_ppm": pa.array([q_ppm], pa.int64())})
+
+
 def katz_ds(edges_ds, iters: int = 3, src: str = "subj",
             dst: str = "obj", num_partitions: int = 64):
     """Integer-deterministic Katz centrality (attenuation β = 1/2)

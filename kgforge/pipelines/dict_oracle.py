@@ -713,6 +713,35 @@ SELECT node, lab AS community FROM l{rounds}
 """
 
 
+def modularity_sql(rounds: int = 2) -> str:
+    """Newman-modularity twin of
+    :func:`kgforge.functions.graph.modularity_ds` over the same
+    deterministic LPA partition (DuckDB's truncating ``//`` matches
+    the engine's sign-aware truncation)."""
+    sql = entity_pairs_prelude() + """,
+l0 AS MATERIALIZED (SELECT DISTINCT n1 AS node, n1 AS lab FROM und)"""
+    for i in range(rounds):
+        sql += _lpa_step(f"l{i}", f"l{i + 1}")
+    return sql + f""",
+lf AS MATERIALIZED (SELECT node, lab FROM l{rounds}),
+dd AS (SELECT n1 AS n, CAST(count(*) AS BIGINT) AS dg
+       FROM und GROUP BY n1),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und WHERE n1 < n2),
+dc AS (SELECT lf.lab, CAST(sum(dd.dg) AS BIGINT) AS dcm
+       FROM dd JOIN lf ON lf.node = dd.n GROUP BY lf.lab),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_comms,
+               CAST(sum(dcm * dcm) AS BIGINT) AS sum_dc2 FROM dc),
+ie AS (SELECT CAST(count(*) AS BIGINT) AS intra
+       FROM und u JOIN lf la ON la.node = u.n1
+       JOIN lf lb ON lb.node = u.n2
+       WHERE u.n1 < u.n2 AND la.lab = lb.lab)
+SELECT mm.m, agg.n_comms, ie.intra AS intra_edges, agg.sum_dc2,
+       CAST((4 * mm.m * ie.intra - agg.sum_dc2) * 1000000
+            // (4 * mm.m * mm.m) AS BIGINT) AS q_ppm
+FROM mm CROSS JOIN agg CROSS JOIN ie
+"""
+
+
 def _katz_step(prev: str, cur: str) -> str:
     return f""",
 {cur} AS MATERIALIZED (SELECT nd.n,

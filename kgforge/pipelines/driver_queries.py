@@ -2319,6 +2319,14 @@ def q_kg_aa_linkpred(sf_dir: str):
     return adamic_adar_ds(_entity_edges_for(sf_dir), k=20)
 
 
+def q_kg_modularity(sf_dir: str):
+    """Newman modularity of the deterministic LPA partition — one
+    exact-integer summary row."""
+    from kgforge.functions.graph import modularity_ds
+
+    return modularity_ds(_entity_edges_for(sf_dir), rounds=2)
+
+
 def q_kg_betweenness(sf_dir: str):
     """Seed-set betweenness dependencies (integer Brandes) within 4
     hops of the 4 smallest seeds — (node, dist, paths, dep_units)."""
@@ -5359,6 +5367,7 @@ QUERIES = {
     "kg_ktruss": q_kg_ktruss,
     "kg_path_counts": q_kg_path_counts,
     "kg_betweenness": q_kg_betweenness,
+    "kg_modularity": q_kg_modularity,
     "kg_ppr": q_kg_ppr,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
@@ -6145,6 +6154,7 @@ ORACLE_SQL["kg_path_counts"] = _dict_oracle.path_counts_sql(n_seeds=4,
                                                             max_hops=4)
 ORACLE_SQL["kg_betweenness"] = _dict_oracle.betweenness_sql(n_seeds=4,
                                                             max_hops=4)
+ORACLE_SQL["kg_modularity"] = _dict_oracle.modularity_sql(rounds=2)
 ORACLE_SQL["kg_ppr"] = _dict_oracle.ppr_sql(iters=3, n_seeds=4)
 ORACLE_SQL["kg_hits"] = _dict_oracle.hits_sql(iters=2)
 ORACLE_SQL["kg_comp_sizes"] = _dict_oracle.comp_sizes_sql()

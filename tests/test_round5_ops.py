@@ -765,3 +765,40 @@ def test_betweenness_matches_bruteforce(ray_session):
     assert got == want
     # the bridge c-d dominates: c carries both paths onward
     assert got["c"][2] > got["b1"][2]
+
+
+def test_modularity_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import (label_prop_communities_ds,
+                                         modularity_ds)
+
+    # two triangles joined by one bridge
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+    tbl = pa.table({"subj": pa.array([e[0] for e in edges]),
+                    "obj": pa.array([e[1] for e in edges])})
+    ds = rd.from_arrow(tbl).repartition(3)
+    got = modularity_ds(ds, rounds=2).to_pandas().iloc[0]
+
+    labs = {r["node"]: r["community"]
+            for r in label_prop_communities_ds(ds, rounds=2)
+            .take_all()}
+    und = {tuple(sorted(e)) for e in edges}
+    m = len(und)
+    deg: dict = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    dc: dict = {}
+    for n, d in deg.items():
+        dc[labs[n]] = dc.get(labs[n], 0) + d
+    intra = sum(1 for a, b in und if labs[a] == labs[b])
+    sum_dc2 = sum(v * v for v in dc.values())
+    q_num = 4 * m * intra - sum_dc2
+    q = abs(q_num) * 1_000_000 // (4 * m * m)
+    assert got["m"] == m
+    assert got["n_comms"] == len(dc)
+    assert got["intra_edges"] == intra
+    assert got["sum_dc2"] == sum_dc2
+    assert got["q_ppm"] == (q if q_num >= 0 else -q)
