@@ -2590,6 +2590,55 @@ def path_counts_ds(edges_ds, n_seeds: int = 4, max_hops: int = 4,
     return visited
 
 
+def diameter_est_ds(edges_ds, max_hops: int = 6, src: str = "subj",
+                    dst: str = "obj", num_partitions: int = 64,
+                    driver_max_members: int = 2_000_000) -> pa.Table:
+    """Double-sweep diameter lower bound (the standard BFS heuristic):
+    sweep 1 from the lexicographically smallest node finds the
+    farthest node (max dist, ties → smallest id); sweep 2 from that
+    node reports its bounded-radius eccentricity — a certified lower
+    bound on the component's diameter.  One row ``(seed, far_node,
+    ecc1, diameter_lb)``, all within ``max_hops``.
+
+    Plan: two runs of the shared two-lane BFS engine
+    (:func:`_bfs_from`); the farthest-node argmax folds per batch
+    (each batch contributes its own (max dist, smallest node) — a
+    bounded partial)."""
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+    seeds = _smallest_nodes(und, 1)
+    if not seeds:
+        return pa.table({
+            "seed": pa.array([], pa.string()),
+            "far_node": pa.array([], pa.string()),
+            "ecc1": pa.array([], pa.int64()),
+            "diameter_lb": pa.array([], pa.int64())})
+    s0 = seeds[0]
+
+    def far_of(lv) -> tuple[str, int]:
+        best_d, best_n = -1, None
+        for part in lv.iter_batches(batch_format="pyarrow"):
+            d = part["dist"].to_numpy(zero_copy_only=False)
+            if len(d) == 0:
+                continue
+            mx = int(d.max())
+            nodes = part["node"].to_pylist()
+            cand = min(n for n, dd in zip(nodes, d) if dd == mx)
+            if mx > best_d or (mx == best_d and cand < best_n):
+                best_d, best_n = mx, cand
+        return best_n, best_d
+
+    far1, ecc1 = far_of(_bfs_from(und, [s0], max_hops,
+                                  num_partitions, driver_max_members))
+    _, ecc2 = far_of(_bfs_from(und, [far1], max_hops,
+                               num_partitions, driver_max_members))
+    return pa.table({
+        "seed": pa.array([s0], pa.string()),
+        "far_node": pa.array([far1], pa.string()),
+        "ecc1": pa.array([ecc1], pa.int64()),
+        "diameter_lb": pa.array([ecc2], pa.int64())})
+
+
 def betweenness_ds(edges_ds, n_seeds: int = 4, max_hops: int = 4,
                    src: str = "subj", dst: str = "obj",
                    driver_max_members: int = 2_000_000):

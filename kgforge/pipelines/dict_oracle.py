@@ -820,6 +820,39 @@ p{d} AS MATERIALIZED (
     return sql + "\n" + unions + "\n"
 
 
+def diameter_est_sql(max_hops: int = 6) -> str:
+    """Double-sweep twin of
+    :func:`kgforge.functions.graph.diameter_est_ds` — two recursive
+    BFS walks, the second seeded by the first sweep's farthest node
+    (max dist, ties → smallest id)."""
+    prelude = entity_pairs_prelude().replace("\nWITH jj",
+                                             "\nWITH RECURSIVE jj", 1)
+    return prelude + f""",
+bnodes AS (SELECT DISTINCT n1 AS n FROM und),
+s0 AS (SELECT n FROM bnodes ORDER BY n LIMIT 1),
+w1(node, d) AS (
+  SELECT n, 0 FROM s0
+  UNION
+  SELECT u.n2, w1.d + 1 FROM w1 JOIN und u ON u.n1 = w1.node
+  WHERE w1.d < {max_hops}),
+lv1 AS MATERIALIZED (SELECT node, CAST(min(d) AS BIGINT) AS dist
+                     FROM w1 GROUP BY node),
+far AS (SELECT node, dist FROM lv1
+        ORDER BY dist DESC, node LIMIT 1),
+w2(node, d) AS (
+  SELECT node, 0 FROM far
+  UNION
+  SELECT u.n2, w2.d + 1 FROM w2 JOIN und u ON u.n1 = w2.node
+  WHERE w2.d < {max_hops}),
+lv2 AS MATERIALIZED (SELECT node, CAST(min(d) AS BIGINT) AS dist
+                     FROM w2 GROUP BY node)
+SELECT (SELECT n FROM s0) AS seed,
+       (SELECT node FROM far) AS far_node,
+       (SELECT dist FROM far) AS ecc1,
+       (SELECT max(dist) FROM lv2) AS diameter_lb
+"""
+
+
 def betweenness_sql(n_seeds: int = 4, max_hops: int = 4) -> str:
     """Twin of :func:`kgforge.functions.graph.betweenness_ds`:
     the :func:`path_counts_sql` forward CTEs plus the backward

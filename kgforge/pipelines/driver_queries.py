@@ -2319,6 +2319,13 @@ def q_kg_aa_linkpred(sf_dir: str):
     return adamic_adar_ds(_entity_edges_for(sf_dir), k=20)
 
 
+def q_kg_diameter(sf_dir: str):
+    """Double-sweep diameter lower bound of the entity graph."""
+    from kgforge.functions.graph import diameter_est_ds
+
+    return diameter_est_ds(_entity_edges_for(sf_dir), max_hops=6)
+
+
 def q_kg_modularity(sf_dir: str):
     """Newman modularity of the deterministic LPA partition — one
     exact-integer summary row."""
@@ -4125,6 +4132,77 @@ def q_ewma_hourly(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_type_affinity(sf_dir: str):
+    """Co-engagement matrix between event types: for every type pair
+    (a < b) the exact distinct-user overlap ``(type_a, type_b,
+    users_both, users_a, users_b)`` — the audience-similarity /
+    cross-sell signal.  Combiner-first distinct (user, type) reduce,
+    then user-hash partitions emit per-user type pairs (types are
+    low-cardinality, so each user contributes ≤ T² bounded rows)
+    into one tiny final groupby; the raw event stream never
+    re-shuffles."""
+    from ray.data.aggregate import Count, Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"u": b["user_id"], "t": b["event_type"]})
+        return t.group_by(["u", "t"], use_threads=False).aggregate([])
+
+    ut = _read(sf_dir, "events", ["user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["u", "t"]).aggregate(Count(alias_name="__c")) \
+        .materialize()
+
+    per_type = {r["t"]: r["n"] for r in
+                ut.groupby("t").aggregate(Count(alias_name="n"))
+                .take_all()}                       # T rows
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b["u"], "t": b["t"],
+                         "__p": pa.array(_part_codes(b["u"], 32))})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"type_a": pa.array([], pa.string()),
+                          "type_b": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        t = t.sort_by([("u", "ascending"), ("t", "ascending")])
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return empty
+        tv = t["t"].combine_chunks()
+        starts = np.concatenate(
+            [[0], np.flatnonzero(u[1:] != u[:-1]) + 1])
+        runlen = np.diff(np.concatenate([starts, [len(u)]]))
+        outs = []
+        for k in np.unique(runlen):
+            if k < 2:
+                continue
+            runs = starts[runlen == k]
+            idx = runs[:, None] + np.arange(k)[None, :]
+            ii, jj = np.triu_indices(int(k), 1)
+            outs.append((idx[:, ii].ravel(), idx[:, jj].ravel()))
+        if not outs:
+            return empty
+        ai = np.concatenate([o[0] for o in outs])
+        bi = np.concatenate([o[1] for o in outs])
+        part = pa.table({"type_a": tv.take(pa.array(ai)),
+                         "type_b": tv.take(pa.array(bi)),
+                         "c": pa.array(np.ones(len(ai), np.int64))})
+        g = part.group_by(["type_a", "type_b"],
+                          use_threads=False).aggregate([("c", "sum")])
+        return pa.table({"type_a": g["type_a"],
+                         "type_b": g["type_b"], "c": g["c_sum"]})
+
+    both = ut.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(pairs, batch_format="pyarrow") \
+        .groupby(["type_a", "type_b"]) \
+        .aggregate(Sum("c", alias_name="users_both")).to_pandas()
+    both["users_a"] = both["type_a"].map(per_type).astype(np.int64)
+    both["users_b"] = both["type_b"].map(per_type).astype(np.int64)
+    return both
+
+
 def q_decayed_counts(sf_dir: str):
     """Exponentially time-decayed event counts per type: each event
     weighs ``10⁶ // 2^age_days`` micro-units (age relative to the
@@ -5368,6 +5446,7 @@ QUERIES = {
     "kg_path_counts": q_kg_path_counts,
     "kg_betweenness": q_kg_betweenness,
     "kg_modularity": q_kg_modularity,
+    "kg_diameter": q_kg_diameter,
     "kg_ppr": q_kg_ppr,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
@@ -5418,6 +5497,7 @@ QUERIES = {
     "cusum_changepoint": q_cusum_changepoint,
     "ewma_hourly": q_ewma_hourly,
     "decayed_counts": q_decayed_counts,
+    "type_affinity": q_type_affinity,
     "char_bigram_stats": q_char_bigram_stats,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
@@ -6155,6 +6235,7 @@ ORACLE_SQL["kg_path_counts"] = _dict_oracle.path_counts_sql(n_seeds=4,
 ORACLE_SQL["kg_betweenness"] = _dict_oracle.betweenness_sql(n_seeds=4,
                                                             max_hops=4)
 ORACLE_SQL["kg_modularity"] = _dict_oracle.modularity_sql(rounds=2)
+ORACLE_SQL["kg_diameter"] = _dict_oracle.diameter_est_sql(max_hops=6)
 ORACLE_SQL["kg_ppr"] = _dict_oracle.ppr_sql(iters=3, n_seeds=4)
 ORACLE_SQL["kg_hits"] = _dict_oracle.hits_sql(iters=2)
 ORACLE_SQL["kg_comp_sizes"] = _dict_oracle.comp_sizes_sql()
@@ -6398,6 +6479,18 @@ ranked AS (SELECT event_type, h, dev,
            FROM stat)
 SELECT event_type, h AS cp_hour, dev AS cusum_stat
 FROM ranked WHERE rn = 1
+"""
+ORACLE_SQL["type_affinity"] = """
+WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t
+            FROM events),
+per AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY t)
+SELECT a.t AS type_a, b.t AS type_b,
+       CAST(count(*) AS BIGINT) AS users_both,
+       CAST(min(pa.n) AS BIGINT) AS users_a,
+       CAST(min(pb.n) AS BIGINT) AS users_b
+FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+JOIN per pa ON pa.t = a.t JOIN per pb ON pb.t = b.t
+GROUP BY a.t, b.t
 """
 ORACLE_SQL["decayed_counts"] = """
 WITH d AS (SELECT event_type,

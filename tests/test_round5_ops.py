@@ -802,3 +802,58 @@ def test_modularity_matches_bruteforce(ray_session):
     assert got["intra_edges"] == intra
     assert got["sum_dc2"] == sum_dc2
     assert got["q_ppm"] == (q if q_num >= 0 else -q)
+
+
+def test_diameter_est_double_sweep(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import diameter_est_ds
+
+    # path graph a-b-c-d-e: sweep from a finds e (ecc 4), sweep from
+    # e confirms diameter 4
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    tbl = pa.table({"subj": pa.array([e[0] for e in edges]),
+                    "obj": pa.array([e[1] for e in edges])})
+    got = diameter_est_ds(rd.from_arrow(tbl).repartition(2),
+                          max_hops=6).to_pandas().iloc[0]
+    assert got["seed"] == "a"
+    assert got["far_node"] == "e"
+    assert got["ecc1"] == 4
+    assert got["diameter_lb"] == 4
+
+
+def test_type_affinity_matches_bruteforce(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import q_type_affinity
+
+    users = [1, 1, 1, 2, 2, 3, 3, 3, 4]
+    types = ["x", "y", "x", "y", "z", "x", "y", "z", "x"]
+    n_ev = len(users)
+    base = 1_700_000_000_000_000
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n_ev), pa.int64()),
+        "ts": pa.array(np.full(n_ev, base), pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types),
+        "value": pa.array(np.zeros(n_ev)),
+        "props": pa.array(["{}"] * n_ev)})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = q_type_affinity(str(tmp_path)).sort_values(
+        ["type_a", "type_b"]).reset_index(drop=True)
+
+    sets: dict = {}
+    for u, t in zip(users, types):
+        sets.setdefault(t, set()).add(u)
+    ts = sorted(sets)
+    want = []
+    for i, a in enumerate(ts):
+        for b in ts[i + 1:]:
+            both = len(sets[a] & sets[b])
+            if both == 0:
+                continue
+            want.append((a, b, both, len(sets[a]), len(sets[b])))
+    got_rows = [(r.type_a, r.type_b, r.users_both, r.users_a,
+                 r.users_b) for r in got.itertuples()]
+    assert got_rows == want
