@@ -3755,6 +3755,46 @@ def q_small_qty_revenue(sf_dir: str):
         "n_lines": pa.array(g["n_lines"].to_numpy(np.int64))})
 
 
+def q_nation_hhi(sf_dir: str):
+    """Supplier-concentration Herfindahl index per supplying nation:
+    shares of shipped quantity per supplier in integer ppm (floored),
+    ``hhi = Σ share_ppm² // 10⁶`` — exact in both engines (10 000 =
+    monopoly... in the HHI·10⁴ scale this formula lands on ppm²/10⁶
+    micro-units).  Scale plan: one combiner-first (supplier, qty)
+    reduce (supplier-table-bounded output), then the dimension-LUT
+    driver fold every TPC-H-shape query here uses."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = np.rint(b["l_quantity"].combine_chunks()
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        g = pa.table({"s": b["l_suppkey"], "q": pa.array(qty)}) \
+            .group_by(["s"], use_threads=False) \
+            .aggregate([("q", "sum")])
+        return pa.table({"s": g["s"], "q": g["q_sum"]})
+
+    sq = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("s").aggregate(Sum("q", alias_name="q")).to_pandas()
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]) \
+        .to_pandas()
+    sq = sq.merge(supp, left_on="s", right_on="s_suppkey") \
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    rows = []
+    for name, g in sq.groupby("n_name", sort=True):
+        q = g["q"].to_numpy(dtype=np.int64)
+        t = int(q.sum())
+        share = q * 1_000_000 // t
+        rows.append({"n_name": name,
+                     "n_suppliers": int(len(q)),
+                     "total_qty": t,
+                     "hhi": int((share * share).sum() // 1_000_000)})
+    return pd.DataFrame(rows)
+
+
 def q_dominant_supplier(sf_dir: str):
     """TPC-H Q20-adapted supply-concentration report — each part's
     leading supplier (max shipped quantity, ties → smaller suppkey)
@@ -5498,6 +5538,7 @@ QUERIES = {
     "ewma_hourly": q_ewma_hourly,
     "decayed_counts": q_decayed_counts,
     "type_affinity": q_type_affinity,
+    "nation_hhi": q_nation_hhi,
     "char_bigram_stats": q_char_bigram_stats,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
@@ -6479,6 +6520,23 @@ ranked AS (SELECT event_type, h, dev,
            FROM stat)
 SELECT event_type, h AS cp_hour, dev AS cusum_stat
 FROM ranked WHERE rn = 1
+"""
+ORACLE_SQL["nation_hhi"] = """
+WITH sq AS (SELECT l_suppkey AS s,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM lineitem GROUP BY 1),
+sn AS (SELECT sq.s, n.n_name, sq.q
+       FROM sq JOIN supplier su ON su.s_suppkey = sq.s
+       JOIN nation n ON n.n_nationkey = su.s_nationkey),
+tot AS (SELECT n_name, CAST(sum(q) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS ns
+        FROM sn GROUP BY 1)
+SELECT tot.n_name, tot.ns AS n_suppliers, tot.t AS total_qty,
+       CAST(sum((sn.q * 1000000 // tot.t) * (sn.q * 1000000 // tot.t))
+            // 1000000 AS BIGINT) AS hhi
+FROM sn JOIN tot USING (n_name)
+GROUP BY tot.n_name, tot.ns, tot.t
 """
 ORACLE_SQL["type_affinity"] = """
 WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t

@@ -857,3 +857,38 @@ def test_type_affinity_matches_bruteforce(ray_session, tmp_path):
     got_rows = [(r.type_a, r.type_b, r.users_both, r.users_a,
                  r.users_b) for r in got.itertuples()]
     assert got_rows == want
+
+
+def test_jsonl_and_csv_sources_round_trip(ray_session, tmp_path):
+    """JSONL documents and CSV events normalize to the parquet
+    schemas and feed existing operators unchanged."""
+    import json
+
+    from kgforge.functions.textstats import c4_rules_ds
+    from kgforge.sources.textio import (read_documents_jsonl,
+                                        read_events_csv)
+
+    jl = tmp_path / "docs.jsonl"
+    with open(jl, "w") as f:
+        for i, (s, t) in enumerate([("s1", "one. two. three. ok text"),
+                                    ("s1", None),
+                                    ("s2", "short {code}")]):
+            f.write(json.dumps({"doc_id": i, "source": s,
+                                "text": t}) + "\n")
+    docs = read_documents_jsonl(str(jl))
+    tbl = docs.to_pandas().sort_values("doc_id")
+    assert list(tbl.doc_id) == [0, 1, 2]
+    assert tbl.text.iloc[1] == ""              # null -> ''
+    # the census operator runs on the JSONL-sourced dataset directly
+    census = c4_rules_ds(read_documents_jsonl(str(jl))).to_pandas()
+    assert census.n_docs.sum() == 3
+
+    cs = tmp_path / "events.csv"
+    with open(cs, "w") as f:
+        f.write("event_id,ts,user_id,event_type,value,props\n")
+        f.write('0,2024-01-01 00:00:07,1,click,1.5,"{}"\n')
+        f.write('1,2024-01-01 01:00:07,2,view,0.5,"{}"\n')
+    ev = read_events_csv(str(cs)).to_pandas().sort_values("event_id")
+    assert str(ev.ts.dtype).startswith("datetime64")
+    assert list(ev.event_type) == ["click", "view"]
+    assert list(ev.user_id) == [1, 2]
