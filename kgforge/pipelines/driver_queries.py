@@ -4172,6 +4172,16 @@ def q_ewma_hourly(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_peak_concurrency(sf_dir: str):
+    """Peak simultaneous user sessions (30-min gap sessionization) +
+    the earliest microsecond the peak is reached — see
+    :func:`kgforge.functions.events.peak_concurrency_ds`."""
+    from kgforge.functions.events import peak_concurrency_ds
+
+    return peak_concurrency_ds(
+        _read(sf_dir, "events", ["user_id", "ts"]))
+
+
 def q_type_affinity(sf_dir: str):
     """Co-engagement matrix between event types: for every type pair
     (a < b) the exact distinct-user overlap ``(type_a, type_b,
@@ -5539,6 +5549,7 @@ QUERIES = {
     "decayed_counts": q_decayed_counts,
     "type_affinity": q_type_affinity,
     "nation_hhi": q_nation_hhi,
+    "peak_concurrency": q_peak_concurrency,
     "char_bigram_stats": q_char_bigram_stats,
     "dup_ngrams": q_dup_ngrams,
     "source_contamination": q_source_contamination,
@@ -6520,6 +6531,34 @@ ranked AS (SELECT event_type, h, dev,
            FROM stat)
 SELECT event_type, h AS cp_hour, dev AS cusum_stat
 FROM ranked WHERE rn = 1
+"""
+ORACLE_SQL["peak_concurrency"] = """
+WITH o AS (SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      AS prev
+           FROM events),
+b AS (SELECT user_id, ts,
+             CASE WHEN prev IS NULL
+                   OR ts - prev > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM o),
+s AS (SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM b),
+iv AS (SELECT user_id, sid,
+              CAST(epoch_us(min(ts)) AS BIGINT) AS st,
+              CAST(epoch_us(max(ts)) AS BIGINT) AS en
+       FROM s GROUP BY 1, 2),
+deltas AS (SELECT st AS t, 1 AS d FROM iv
+           UNION ALL SELECT en + 1, -1 FROM iv),
+net AS (SELECT t, CAST(sum(d) AS BIGINT) AS d FROM deltas GROUP BY t),
+run AS (SELECT t, sum(d) OVER (ORDER BY t) AS c FROM net),
+mx AS (SELECT max(c) AS peak FROM run)
+SELECT CAST(mx.peak AS BIGINT) AS peak,
+       CAST((SELECT min(t) FROM run WHERE c = mx.peak) AS BIGINT)
+           AS peak_t_us,
+       (SELECT CAST(count(*) AS BIGINT) FROM iv) AS n_sessions
+FROM mx
 """
 ORACLE_SQL["nation_hhi"] = """
 WITH sq AS (SELECT l_suppkey AS s,

@@ -892,3 +892,27 @@ def test_jsonl_and_csv_sources_round_trip(ray_session, tmp_path):
     assert str(ev.ts.dtype).startswith("datetime64")
     assert list(ev.event_type) == ["click", "view"]
     assert list(ev.user_id) == [1, 2]
+
+
+def test_peak_concurrency_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.events import peak_concurrency_ds
+
+    # three users; sessions engineered to overlap 3-way once
+    m = 60_000_000
+    ev = [(1, 0), (1, 10 * m),          # u1: [0, 10m]
+          (2, 5 * m), (2, 12 * m),      # u2: [5m, 12m]
+          (3, 9 * m),                   # u3: [9m, 9m]
+          (1, 120 * m),                 # u1 second session
+          ]
+    tbl = pa.table({
+        "user_id": pa.array([e[0] for e in ev], pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000 + e[1] for e in ev],
+                       pa.timestamp("us"))})
+    got = peak_concurrency_ds(rd.from_arrow(tbl).repartition(3),
+                              gap_minutes=30).to_pandas().iloc[0]
+    # 3-way overlap at t=9m (u1+u2+u3); 4 sessions total
+    assert got["peak"] == 3
+    assert got["peak_t_us"] == 1_700_000_000_000_000 + 9 * m
+    assert got["n_sessions"] == 4
