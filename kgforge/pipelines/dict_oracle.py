@@ -194,6 +194,27 @@ FROM ments GROUP BY surface
 """
 
 
+def ambiguity_sql() -> str:
+    """Twin of ``q_kg_ambiguity`` — per-surface type-ambiguity census
+    over the gold mention stream (majority type by count DESC, etype
+    ASC; share in truncating integer ppm)."""
+    return corpus_prelude() + """,
+tc AS (SELECT surface, etype, CAST(count(*) AS BIGINT) AS c
+       FROM ments GROUP BY 1, 2),
+tot AS (SELECT surface, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS nt
+        FROM tc GROUP BY 1),
+top AS (SELECT surface, etype, c,
+               row_number() OVER (PARTITION BY surface
+                                  ORDER BY c DESC, etype) AS rn
+        FROM tc)
+SELECT t.surface, tot.n AS n_mentions, tot.nt AS n_types,
+       t.etype AS top_type,
+       CAST(t.c * 1000000 // tot.n AS BIGINT) AS top_share_ppm
+FROM top t JOIN tot ON tot.surface = t.surface WHERE t.rn = 1
+"""
+
+
 def entity_pairs_prelude() -> str:
     """The graph-analytics base: distinct directed entity–entity pairs
     (``mentions`` doc→surface edges excluded) from the triple stream —

@@ -2319,6 +2319,71 @@ def q_kg_aa_linkpred(sf_dir: str):
     return adamic_adar_ds(_entity_edges_for(sf_dir), k=20)
 
 
+def q_kg_ambiguity(sf_dir: str):
+    """Surface-form ambiguity census: per surface the mention count,
+    distinct type count, majority type (count DESC, type ASC) and
+    its share in integer ppm — the linking-difficulty signal.
+    Scale plan: per-batch (surface, etype) count partials → one
+    keyed groupby → a surface-hash partition pass folds each
+    surface's run vectorized (sort + run offsets, no per-surface
+    callback)."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    ments = _dict_flagship_for(sf_dir)["mentions"] \
+        .select_columns(["surface", "etype"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["surface", "etype"],
+                       use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"surface": g["surface"], "etype": g["etype"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    tc = ments.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["surface", "etype"]).aggregate(Sum("c", alias_name="c"))
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("__p", pa.array(
+            _part_codes(b["surface"], 32)))
+
+    def fold(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "surface": pa.array([], pa.string()),
+            "n_mentions": pa.array([], pa.int64()),
+            "n_types": pa.array([], pa.int64()),
+            "top_type": pa.array([], pa.string()),
+            "top_share_ppm": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = pc.sort_indices(pa.table({
+            "s": t["surface"], "negc": pa.array(-c),
+            "e": t["etype"]}),
+            sort_keys=[("s", "ascending"), ("negc", "ascending"),
+                       ("e", "ascending")])
+        o = order.to_numpy(zero_copy_only=False)
+        t = t.take(pa.array(o))
+        s = t["surface"].combine_chunks()
+        c = c[o]
+        codes = s.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1])
+        runlen = np.diff(np.concatenate([starts, [len(codes)]]))
+        n = np.add.reduceat(c, starts)
+        return pa.table({
+            "surface": s.take(pa.array(starts)),
+            "n_mentions": pa.array(n),
+            "n_types": pa.array(runlen.astype(np.int64)),
+            "top_type": t["etype"].take(pa.array(starts)),
+            "top_share_ppm": pa.array(c[starts] * 1_000_000 // n)})
+
+    return tc.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(fold, batch_format="pyarrow")
+
+
 def q_kg_diameter(sf_dir: str):
     """Double-sweep diameter lower bound of the entity graph."""
     from kgforge.functions.graph import diameter_est_ds
@@ -5497,6 +5562,7 @@ QUERIES = {
     "kg_betweenness": q_kg_betweenness,
     "kg_modularity": q_kg_modularity,
     "kg_diameter": q_kg_diameter,
+    "kg_ambiguity": q_kg_ambiguity,
     "kg_ppr": q_kg_ppr,
     "gopher_rules": q_gopher_rules,
     "c4_rules": q_c4_rules,
@@ -6288,6 +6354,7 @@ ORACLE_SQL["kg_betweenness"] = _dict_oracle.betweenness_sql(n_seeds=4,
                                                             max_hops=4)
 ORACLE_SQL["kg_modularity"] = _dict_oracle.modularity_sql(rounds=2)
 ORACLE_SQL["kg_diameter"] = _dict_oracle.diameter_est_sql(max_hops=6)
+ORACLE_SQL["kg_ambiguity"] = _dict_oracle.ambiguity_sql()
 ORACLE_SQL["kg_ppr"] = _dict_oracle.ppr_sql(iters=3, n_seeds=4)
 ORACLE_SQL["kg_hits"] = _dict_oracle.hits_sql(iters=2)
 ORACLE_SQL["kg_comp_sizes"] = _dict_oracle.comp_sizes_sql()
