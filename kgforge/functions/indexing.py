@@ -744,3 +744,103 @@ def source_similarity_ds(ds, text_col: str = "text",
             "nb2": pa.array(nb, pa.int64())})
 
     return dots.map_batches(attach_norms, batch_format="pyarrow")
+
+
+def bm25_topk_ds(ds, terms, n_docs: int, sum_dl: int,
+                 k1: float = 1.2, b: float = 0.75, k: int = 20,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 dl_col: str = "n_chars"):
+    """Okapi BM25 top-``k`` documents for a fixed query-term set:
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with ``idf = ln((N − df + 0.5)/(df + 0.5) + 1)`` (the Lucene
+    non-negative variant) and doc length ``dl`` taken from the
+    ``dl_col`` column (chars), so the oracle needs no second
+    tokenization pass.  Returns ``(doc_id, score, n_terms)`` — the
+    top-``k`` by (score rounded to 4, doc_id asc).
+
+    Determinism contract with the SQL twin: terms are summed in FIXED
+    slot order (lexicographic), missing terms add exactly ``0.0``, and
+    every double derives from exact integers (tf, df, N, Σdl) through
+    an identically-ordered formula — bit-identical scores, so the
+    top-``k`` cut agrees.
+
+    Scale plan: one tokenize+filter pass emits only matched-doc rows
+    (fixed tf slots, ≤ |terms| ints per doc — the corpus text never
+    leaves the scan); the bounded matched set is materialized once,
+    df comes from one ``Sum`` aggregate over indicator columns, and
+    the ranking pass folds per-batch top-``k`` partials on the driver
+    (k × blocks rows).  N and Σdl arrive as scalars from a pruned
+    metadata read owned by the caller."""
+    from ray.data.aggregate import Sum
+
+    slots = sorted(set(terms))
+
+    def match(batch: pa.Table) -> pa.Table:
+        flat, par = _token_lists(batch, text_col)
+        cols = {"doc": batch[id_col],
+                "dl": pc.cast(batch[dl_col], pa.int64())}
+        any_hit = None
+        for i, term in enumerate(slots):
+            hit = pc.equal(flat, term)
+            # per-doc tf for this slot: segment-sum of the hit mask
+            tf = np.zeros(batch.num_rows, dtype=np.int64)
+            idx = par.to_numpy(zero_copy_only=False)[
+                hit.to_numpy(zero_copy_only=False)]
+            np.add.at(tf, idx, 1)
+            cols[f"tf{i}"] = pa.array(tf)
+            cols[f"m{i}"] = pa.array((tf > 0).astype(np.int64))
+            any_hit = tf > 0 if any_hit is None else (any_hit | (tf > 0))
+        t = pa.table(cols)
+        if any_hit is None:
+            return t.slice(0, 0)
+        return t.filter(pa.array(any_hit))
+
+    matched = ds.map_batches(match, batch_format="pyarrow") \
+        .materialize()                      # match-rate-bounded rows
+    aggs = [Sum(f"m{i}", alias_name=f"df{i}") for i in range(len(slots))]
+    stat = matched.aggregate(*aggs) or {}
+    dfs = [int(stat.get(f"df{i}") or 0) for i in range(len(slots))]
+
+    n_f = float(n_docs)
+    avgdl = float(sum_dl) / n_f
+    idfs = [float(np.log((n_f - df + 0.5) / (df + 0.5) + 1.0))
+            for df in dfs]
+
+    def rank(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64()),
+                             "n_terms": pa.array([], pa.int64())})
+        dl = batch["dl"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        den_norm = k1 * ((1.0 - b) + b * dl / avgdl)
+        score = np.zeros(len(dl), dtype=np.float64)
+        n_terms = np.zeros(len(dl), dtype=np.int64)
+        for i in range(len(slots)):
+            tf = batch[f"tf{i}"].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            comp = idfs[i] * (tf * (k1 + 1.0)) / (tf + den_norm)
+            comp[tf == 0.0] = 0.0
+            score = score + comp
+            n_terms += (tf > 0).astype(np.int64)
+        sr = round_away(score, 4)
+        order = np.lexsort((np.asarray(
+            batch["doc"].combine_chunks().to_numpy(
+                zero_copy_only=False)), -sr))[:k]
+        return pa.table({
+            id_col: batch["doc"].combine_chunks().take(
+                pa.array(order, pa.int64())),
+            "score": pa.array(sr[order]),
+            "n_terms": pa.array(n_terms[order])})
+
+    parts = matched.map_batches(rank, batch_format="pyarrow") \
+        .take_all()                          # k × blocks rows
+    import pandas as pd
+
+    if not parts:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64"),
+                             "n_terms": pd.Series([], dtype="int64")})
+    df = pd.DataFrame(parts).sort_values(
+        ["score", id_col], ascending=[False, True]).head(k)
+    return df.reset_index(drop=True)

@@ -5415,7 +5415,228 @@ def q_market_share(sf_dir: str):
                      "share_ppm": pa.array(n * 1_000_000 // tot)})
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session additions: BM25 retrieval + three TPC-H-adapted shapes
+# ---------------------------------------------------------------------------
+
+def q_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-20 docs for the shared 3-term query set.  N and
+    Σdl come from a column-pruned metadata read; the match pass ships
+    only fixed tf slots for matched docs (corpus text never leaves the
+    scan); ranking folds per-batch top-k partials on the driver."""
+    from kgforge.functions.indexing import bm25_topk_ds
+
+    meta = _read(sf_dir, "documents", ["n_chars"])
+    n_docs = meta.count()
+    sum_dl = int(_read(sf_dir, "documents", ["n_chars"]).sum("n_chars"))
+    return bm25_topk_ds(
+        _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]),
+        terms=SEARCH_TERMS, n_docs=n_docs, sum_dl=sum_dl)
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: parts whose exact-cents revenue exceeds a
+    fixed fraction (1/2000) of GLOBAL revenue — the global-threshold
+    broadcast pattern.  Scale plan: per-batch (part, cents) combiner
+    partials -> one part-keyed Sum groupby (part-table-bounded), the
+    global total folded from that bounded result on the driver; the
+    lineitem stream is never collected."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cents = round_away(price * 100, 0).astype(np.int64)
+        t = pa.table({"p": b["l_partkey"], "c": pa.array(cents)})
+        g = t.group_by(["p"], use_threads=False).aggregate(
+            [("c", "sum")])
+        return pa.table({"p": g["p"], "c": g["c_sum"]})
+
+    pv = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("p").aggregate(Sum("c", alias_name="v")).to_pandas()
+    total = sum(int(x) for x in pv["v"])
+    # threshold scales with the part count (1.5x the average part
+    # value, as an exact integer cross-multiply) so the selection
+    # stays a stable fraction at any corpus size
+    n_parts = len(pv)
+    out = pv[pv["v"].to_numpy(dtype=np.int64) * 2 * n_parts
+             > 3 * total]
+    return pd.DataFrame({
+        "p_partkey": out["p"].to_numpy(dtype=np.int64),
+        "value_cents": out["v"].to_numpy(dtype=np.int64)})
+
+
+def q_type_hour_chi2(sf_dir: str):
+    """Chi-squared independence census between event type and
+    hour-of-day: one row per contingency cell with the exact integer
+    observed count, the exact integer margins, and the cell's chi2
+    contribution ``(o - e)^2 / e`` (e = row·col/n in double, rounded
+    to 6) — per-cell rows instead of a global float total, so no
+    cross-cell float summation order can diverge between engines.
+    Scale plan: per-batch (type, hour) combiner partials -> one
+    types×24-bounded groupby; margins fold from that bounded table on
+    the driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks()
+        hour = pc.hour(ts)
+        t = pa.table({"event_type": b["event_type"], "hour": hour,
+                      "one": pa.array(np.ones(b.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["event_type", "hour"],
+                       use_threads=False).aggregate([("one", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "hour": pc.cast(g["hour"], pa.int64()),
+                         "n": g["one_sum"]})
+
+    cells = _read(sf_dir, "events", ["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    n_tot = int(cells["n"].sum())
+    row_m = cells.groupby("event_type")["n"].sum().to_dict()
+    col_m = cells.groupby("hour")["n"].sum().to_dict()
+    o = cells["n"].to_numpy(dtype=np.int64).astype(np.float64)
+    rm = cells["event_type"].map(row_m).to_numpy(dtype=np.int64) \
+        .astype(np.float64)
+    cm = cells["hour"].map(col_m).to_numpy(dtype=np.int64) \
+        .astype(np.float64)
+    from kgforge.common.hashing import round_away
+
+    e = rm * cm / float(n_tot)
+    chi = (o - e) * (o - e) / e
+    out = pd.DataFrame({
+        "event_type": cells["event_type"],
+        "hour": cells["hour"].to_numpy(dtype=np.int64),
+        "observed": cells["n"].to_numpy(dtype=np.int64),
+        "row_total": rm.astype(np.int64),
+        "col_total": cm.astype(np.int64),
+        "chi2_cell": round_away(chi, 6)})
+    return out
+
+
+_CORR_VARS = ("quantity", "extendedprice", "discount", "tax")
+
+
+def q_numeric_corr(sf_dir: str):
+    """Exact Pearson correlation matrix over the four lineitem
+    measures, from integer moments: every Σx, Σx², Σxy is an exact
+    int64 per 8192-row batch and an exact arbitrary-precision Python
+    int on the driver fold, so the final double derives from the SAME
+    integers as the SQL twin's HUGEINT moments — bit-identical
+    before the shared round(·, 6).  Scale plan: one streaming pass,
+    15 int64 partials per batch, driver folds blocks×15 ints."""
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = np.rint(b["l_quantity"].combine_chunks()
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        e = round_away(b["l_extendedprice"].combine_chunks()
+                       .to_numpy(zero_copy_only=False) * 100,
+                       0).astype(np.int64)
+        d = round_away(b["l_discount"].combine_chunks()
+                       .to_numpy(zero_copy_only=False) * 100,
+                       0).astype(np.int64)
+        t = round_away(b["l_tax"].combine_chunks()
+                       .to_numpy(zero_copy_only=False) * 100,
+                       0).astype(np.int64)
+        v = {"q": q, "e": e, "d": d, "t": t}
+        cols = {"n": pa.array([len(q)], pa.int64())}
+        names = ("q", "e", "d", "t")
+        for a in names:
+            cols[f"s_{a}"] = pa.array([int(v[a].sum())], pa.int64())
+        for i, a in enumerate(names):
+            for bn in names[i:]:
+                cols[f"s_{a}{bn}"] = pa.array(
+                    [int((v[a] * v[bn]).sum())], pa.int64())
+        return pa.table(cols)
+
+    parts = _read(sf_dir, "lineitem",
+                  ["l_quantity", "l_extendedprice", "l_discount",
+                   "l_tax"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=8192).to_pandas()
+    # arbitrary-precision fold: a pandas int64 sum of the
+    # per-batch second-moment partials overflows at sf>=0.1
+    tot = {c: sum(int(x) for x in parts[c]) for c in parts.columns}
+
+    names = ("q", "e", "d", "t")
+    n = tot["n"]
+    rows = []
+    for i, a in enumerate(names):
+        for bn in names[i + 1:]:
+            num = n * tot[f"s_{a}{bn}"] - tot[f"s_{a}"] * tot[f"s_{bn}"]
+            dx = n * tot[f"s_{a}{a}"] - tot[f"s_{a}"] ** 2
+            dy = n * tot[f"s_{bn}{bn}"] - tot[f"s_{bn}"] ** 2
+            corr = float(np.float64(float(num))
+                         / np.sqrt(np.float64(float(dx))
+                                   * np.float64(float(dy))))
+            rows.append({
+                "col_a": _CORR_VARS[names.index(a)],
+                "col_b": _CORR_VARS[names.index(bn)],
+                "n": n,
+                "corr": float(np.round(np.float64(corr), 6))})
+    df = pd.DataFrame(rows)
+    df["n"] = df["n"].astype(np.int64)
+    return df
+
+
+def q_weighted_median(sf_dir: str):
+    """Exact weighted median of quantity per returnflag, weighted by
+    exact-cents revenue: smallest q with 2·cumweight ≥ total (lower
+    weighted median).  Scale plan: the value domain is bounded
+    (1..50), so per-batch (flag, qty, w) combiner partials collapse
+    to a ≤ flags×50-row groupby — the classic histogram-median that
+    replaces a full sort at any corpus size."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = np.rint(b["l_quantity"].combine_chunks()
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        w = round_away(b["l_extendedprice"].combine_chunks()
+                       .to_numpy(zero_copy_only=False) * 100,
+                       0).astype(np.int64)
+        t = pa.table({"f": b["l_returnflag"], "q": pa.array(q),
+                      "w": pa.array(w)})
+        g = t.group_by(["f", "q"], use_threads=False).aggregate(
+            [("w", "sum")])
+        return pa.table({"f": g["f"], "q": g["q"], "w": g["w_sum"]})
+
+    hist = _read(sf_dir, "lineitem",
+                 ["l_returnflag", "l_quantity", "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["f", "q"]).aggregate(Sum("w", alias_name="w")) \
+        .to_pandas()                      # flags × |qty domain| rows
+    rows = []
+    for f, g in hist.groupby("f", sort=True):
+        g = g.sort_values("q")
+        w = g["w"].to_numpy(dtype=np.int64)
+        cw = np.cumsum(w)
+        tot = int(cw[-1])
+        idx = int(np.argmax(2 * cw >= tot))
+        rows.append({"l_returnflag": f,
+                     "median_qty": int(g["q"].iloc[idx]),
+                     "total_weight": tot})
+    df = pd.DataFrame(rows)
+    df["median_qty"] = df["median_qty"].astype(np.int64)
+    df["total_weight"] = df["total_weight"].astype(np.int64)
+    return df
+
+
 QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "important_parts": q_important_parts,
+    "type_hour_chi2": q_type_hour_chi2,
+    "numeric_corr": q_numeric_corr,
+    "weighted_median": q_weighted_median,
     "explode_spans": q_explode_spans,
     "order_count_dist": q_order_count_dist,
     "skyline_parts": q_skyline_parts,
@@ -8443,4 +8664,156 @@ ORACLE_SQL["stitch_pairs"] = """
     SELECT DISTINCT t.doc_a, hh.doc_b
     FROM t JOIN hh ON hh.h = t.h AND t.doc_a <> hh.doc_b
     ORDER BY doc_a, doc_b
+"""
+
+ORACLE_SQL["bm25_topk"] = r"""
+    WITH tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\S+'))
+                                  AS term
+                       FROM documents)
+                 WHERE term IN ('{t0}', '{t1}', '{t2}')
+                 GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tfq GROUP BY 1),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(n_chars) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM documents),
+    comp AS (SELECT t.doc_id, t.term,
+                    ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                    * (CAST(t.tf AS DOUBLE) * 2.2)
+                    / (CAST(t.tf AS DOUBLE)
+                       + 1.2 * (0.25
+                                + 0.75 * CAST(d.n_chars AS DOUBLE)
+                                       / st.avgdl)) AS c
+             FROM tfq t
+             JOIN dfq USING (term)
+             JOIN documents d USING (doc_id)
+             CROSS JOIN st),
+    sc AS (SELECT doc_id,
+                  coalesce(max(CASE WHEN term = '{s0}' THEN c END), 0.0)
+                + coalesce(max(CASE WHEN term = '{s1}' THEN c END), 0.0)
+                + coalesce(max(CASE WHEN term = '{s2}' THEN c END), 0.0)
+                      AS s,
+                  CAST(count(*) AS BIGINT) AS n_terms
+           FROM comp GROUP BY doc_id)
+    SELECT doc_id, round(s, 4) AS score, n_terms
+    FROM sc
+    ORDER BY round(s, 4) DESC, doc_id
+    LIMIT 20
+"""
+_BM25_SLOTS = sorted(set(SEARCH_TERMS))
+ORACLE_SQL["bm25_topk"] = ORACLE_SQL["bm25_topk"].format(
+    t0=SEARCH_TERMS[0], t1=SEARCH_TERMS[1], t2=SEARCH_TERMS[2],
+    s0=_BM25_SLOTS[0], s1=_BM25_SLOTS[1], s2=_BM25_SLOTS[2])
+
+ORACLE_SQL["important_parts"] = """
+    WITH pv AS (SELECT l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS v
+                FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(sum(v) AS HUGEINT) AS tot,
+                 CAST(count(*) AS HUGEINT) AS np FROM pv)
+    SELECT l_partkey AS p_partkey, v AS value_cents
+    FROM pv, t WHERE CAST(v AS HUGEINT) * 2 * np > 3 * tot
+"""
+
+ORACLE_SQL["type_hour_chi2"] = """
+    WITH cells AS (SELECT event_type,
+                          CAST(hour(ts) AS BIGINT) AS hour,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+    rm AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS r
+           FROM cells GROUP BY 1),
+    cm AS (SELECT hour, CAST(sum(n) AS BIGINT) AS c
+           FROM cells GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM cells)
+    SELECT cells.event_type, cells.hour, cells.n AS observed,
+           rm.r AS row_total, cm.c AS col_total,
+           round((CAST(cells.n AS DOUBLE)
+                  - CAST(rm.r AS DOUBLE) * CAST(cm.c AS DOUBLE) / t.nt)
+                 * (CAST(cells.n AS DOUBLE)
+                    - CAST(rm.r AS DOUBLE) * CAST(cm.c AS DOUBLE)
+                      / t.nt)
+                 / (CAST(rm.r AS DOUBLE) * CAST(cm.c AS DOUBLE) / t.nt),
+                 6) AS chi2_cell
+    FROM cells JOIN rm USING (event_type) JOIN cm USING (hour)
+    CROSS JOIN t
+"""
+
+ORACLE_SQL["numeric_corr"] = """
+    WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS e,
+                      CAST(round(l_discount * 100) AS BIGINT) AS d,
+                      CAST(round(l_tax * 100) AS BIGINT) AS t
+               FROM lineitem),
+    m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(CAST(q AS HUGEINT)) AS sq,
+                 sum(CAST(e AS HUGEINT)) AS se,
+                 sum(CAST(d AS HUGEINT)) AS sd,
+                 sum(CAST(t AS HUGEINT)) AS st,
+                 sum(CAST(q AS HUGEINT) * q) AS sqq,
+                 sum(CAST(e AS HUGEINT) * e) AS see,
+                 sum(CAST(d AS HUGEINT) * d) AS sdd,
+                 sum(CAST(t AS HUGEINT) * t) AS stt,
+                 sum(CAST(q AS HUGEINT) * e) AS sqe,
+                 sum(CAST(q AS HUGEINT) * d) AS sqd,
+                 sum(CAST(q AS HUGEINT) * t) AS sqt,
+                 sum(CAST(e AS HUGEINT) * d) AS sed,
+                 sum(CAST(e AS HUGEINT) * t) AS set_,
+                 sum(CAST(d AS HUGEINT) * t) AS sdt
+          FROM b)
+    SELECT 'quantity' AS col_a, 'extendedprice' AS col_b,
+           CAST(n AS BIGINT) AS n,
+           round(CAST(n * sqe - sq * se AS DOUBLE)
+                 / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                        * CAST(n * see - se * se AS DOUBLE)), 6) AS corr
+    FROM m
+    UNION ALL
+    SELECT 'quantity', 'discount', CAST(n AS BIGINT),
+           round(CAST(n * sqd - sq * sd AS DOUBLE)
+                 / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                        * CAST(n * sdd - sd * sd AS DOUBLE)), 6)
+    FROM m
+    UNION ALL
+    SELECT 'quantity', 'tax', CAST(n AS BIGINT),
+           round(CAST(n * sqt - sq * st AS DOUBLE)
+                 / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                        * CAST(n * stt - st * st AS DOUBLE)), 6)
+    FROM m
+    UNION ALL
+    SELECT 'extendedprice', 'discount', CAST(n AS BIGINT),
+           round(CAST(n * sed - se * sd AS DOUBLE)
+                 / sqrt(CAST(n * see - se * se AS DOUBLE)
+                        * CAST(n * sdd - sd * sd AS DOUBLE)), 6)
+    FROM m
+    UNION ALL
+    SELECT 'extendedprice', 'tax', CAST(n AS BIGINT),
+           round(CAST(n * set_ - se * st AS DOUBLE)
+                 / sqrt(CAST(n * see - se * se AS DOUBLE)
+                        * CAST(n * stt - st * st AS DOUBLE)), 6)
+    FROM m
+    UNION ALL
+    SELECT 'discount', 'tax', CAST(n AS BIGINT),
+           round(CAST(n * sdt - sd * st AS DOUBLE)
+                 / sqrt(CAST(n * sdd - sd * sd AS DOUBLE)
+                        * CAST(n * stt - st * st AS DOUBLE)), 6)
+    FROM m
+"""
+
+ORACLE_SQL["weighted_median"] = """
+    WITH w AS (SELECT l_returnflag AS f,
+                      CAST(round(l_quantity) AS BIGINT) AS q,
+                      CAST(sum(CAST(round(l_extendedprice * 100)
+                                    AS BIGINT)) AS BIGINT) AS w
+               FROM lineitem GROUP BY 1, 2),
+    c AS (SELECT f, q, w,
+                 CAST(sum(w) OVER (PARTITION BY f ORDER BY q)
+                      AS BIGINT) AS cw,
+                 CAST(sum(w) OVER (PARTITION BY f) AS BIGINT) AS tw
+          FROM w)
+    SELECT f AS l_returnflag, CAST(min(q) AS BIGINT) AS median_qty,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cw >= tw GROUP BY f
 """
