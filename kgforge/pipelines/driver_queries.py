@@ -1190,8 +1190,8 @@ def _orderkey_value_set_ref(sf_dir: str):
 
     Distributed distinct: per-batch ``pc.unique`` combiners shrink each
     block to its distinct keys before anything leaves the map stage;
-    the driver unions the already-small partials once and ``ray.put``\ s
-    the result.  Broadcast semi/anti-join is the right plan while the
+    the driver unions the already-small partials once and broadcasts
+    the result via ``ray.put``.  Broadcast semi/anti-join is the right plan while the
     DISTINCT key set (≈ |orders|, far smaller than |lineitem|) fits in
     worker memory; past that threshold the scale path is to
     hash-partition both sides on the key (``kgforge.stages.exchange``)
