@@ -2321,3 +2321,142 @@ def winnow_pairs_ds(ds, text_col: str = "text", id_col: str = "doc_id",
                                          int(min_shared)))
 
     return summed.map_batches(floor_filter, batch_format="pyarrow")
+
+
+def snm_pairs_ds(ds, text_col: str = "text", id_col: str = "doc_id",
+                 key_chars: int = 24, window: int = 4,
+                 num_partitions: int = 64):
+    """Sorted-neighborhood dedup blocking (Hernandez & Stolfo 1995):
+    order records by a sort key (the first ``key_chars`` codepoints of
+    the text) and emit every candidate pair within ``window`` rank
+    positions — the classic entity-resolution alternative to
+    minhash/LSH blocking when near-duplicates share a prefix.  Output:
+    ``(doc_a, doc_b, dist, key_match)`` with ``dist`` the rank
+    distance (1..window) and ``key_match`` = 1 when the two sort keys
+    are identical.
+
+    Scale shape — three slim passes, the corpus text never shuffles:
+
+    1. a per-batch ``(first_codepoint, count)`` combiner reduce gives
+       the driver an alphabet-bounded histogram; its prefix sums are
+       the global rank offsets of the codepoint-ordered partitions
+       (UTF-8 bytewise order == codepoint order, so partition order ≡
+       key order — the ``pack_chunks`` offset machinery on a range
+       key instead of a hash key);
+    2. each codepoint partition sorts locally by ``(key, id)`` and
+       adds its offset → exact global row numbers ``rn``, emitting
+       only ``(rn, id, key)`` rows;
+    3. every row lands in overlap buckets ``rn // window`` and
+       ``rn // window - 1`` (bucket k spans ranks [k·w, (k+2)·w), so
+       any pair within ``window`` co-locates in exactly the bucket
+       owning its LEFT member); buckets hash into ``num_partitions``
+       groups where a run-offset pass emits the pairs — ≤ 2·w rows
+       per bucket, callbacks ∝ partitions, never ∝ buckets.
+    """
+    from ray.data.aggregate import Sum
+
+    w = int(window)
+
+    def cp_hist(b: pa.Table) -> pa.Table:
+        key = pc.utf8_slice_codeunits(
+            pc.fill_null(b[text_col], ""), 0, key_chars)
+        first = pc.utf8_slice_codeunits(key, 0, 1).combine_chunks()
+        docs = first.to_pylist()
+        cp0 = np.array([ord(s[0]) if s else -1 for s in docs],
+                       dtype=np.int64)
+        t = pa.table({"cp0": pa.array(cp0)})
+        g = t.group_by(["cp0"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"cp0": g["cp0"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    base = ds.select_columns([id_col, text_col]).materialize()
+    hist = base.map_batches(cp_hist, batch_format="pyarrow") \
+        .groupby("cp0").aggregate(Sum("c", alias_name="c")) \
+        .to_pandas().sort_values("cp0")
+    cps = hist["cp0"].to_numpy(dtype=np.int64)          # sorted
+    counts = hist["c"].to_numpy(dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        key = pc.utf8_slice_codeunits(
+            pc.fill_null(b[text_col], ""), 0, key_chars)
+        first = pc.utf8_slice_codeunits(key, 0, 1).combine_chunks()
+        docs = first.to_pylist()
+        cp0 = np.array([ord(s[0]) if s else -1 for s in docs],
+                       dtype=np.int64)
+        part = np.searchsorted(cps, cp0)
+        return pa.table({id_col: b[id_col], "__key": key,
+                         "__p": pa.array(part.astype(np.int32))})
+
+    def rank(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("__key", "ascending"),
+                                            (id_col, "ascending")])
+        t = t.take(idx)
+        off = int(offsets[int(t["__p"][0].as_py())]) if t.num_rows else 0
+        rn = np.arange(t.num_rows, dtype=np.int64) + off
+        return pa.table({id_col: t[id_col], "__key": t["__key"],
+                         "rn": pa.array(rn)})
+
+    ranked = base.map_batches(keyed, batch_format="pyarrow") \
+        .groupby("__p").map_groups(rank, batch_format="pyarrow")
+
+    def overlap(b: pa.Table) -> pa.Table:
+        rn = b["rn"].combine_chunks().to_numpy(zero_copy_only=False)
+        bkt = np.concatenate([rn // w, rn // w - 1])
+        keep = bkt >= 0
+        idx = pa.array(np.concatenate([np.arange(len(rn))] * 2)[keep])
+        return pa.table({
+            id_col: b[id_col].take(idx),
+            "__key": b["__key"].take(idx),
+            "rn": pa.array(np.concatenate([rn, rn])[keep]),
+            "bkt": pa.array(bkt[keep]),
+            "__p": pa.array((bkt[keep] % num_partitions)
+                            .astype(np.int32))})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64()),
+            "key_match": pa.array([], pa.int64())})
+        t = t.sort_by([("bkt", "ascending"), ("rn", "ascending")])
+        bk = t["bkt"].combine_chunks().to_numpy(zero_copy_only=False)
+        rn = t["rn"].combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(bk):
+            return empty
+        starts = np.concatenate(
+            [[0], np.flatnonzero(bk[1:] != bk[:-1]) + 1]).astype(np.int64)
+        lens = np.diff(np.concatenate([starts, [len(bk)]])) \
+            .astype(np.int64)
+        outs_a, outs_b = [], []
+        for k in np.unique(lens):
+            if k < 2:
+                continue
+            runs = starts[lens == k]
+            ii, jj = np.triu_indices(int(k), 1)
+            ai = (runs[:, None] + ii[None, :]).ravel()
+            bi = (runs[:, None] + jj[None, :]).ravel()
+            outs_a.append(ai)
+            outs_b.append(bi)
+        if not outs_a:
+            return empty
+        ai = np.concatenate(outs_a)
+        bi = np.concatenate(outs_b)
+        d = rn[bi] - rn[ai]
+        own = (rn[ai] // w) == bk[ai]       # left member owns the pair
+        keep = (d >= 1) & (d <= w) & own
+        ai, bi = ai[keep], bi[keep]
+        if not len(ai):
+            return empty
+        ids = t[id_col].combine_chunks()
+        keys = t["__key"].combine_chunks()
+        km = pc.equal(keys.take(pa.array(ai)), keys.take(pa.array(bi)))
+        return pa.table({
+            "doc_a": ids.take(pa.array(ai)),
+            "doc_b": ids.take(pa.array(bi)),
+            "dist": pa.array(d[keep]),
+            "key_match": pc.cast(km, pa.int64())})
+
+    return ranked.map_batches(overlap, batch_format="pyarrow") \
+        .groupby("__p").map_groups(pairs, batch_format="pyarrow")

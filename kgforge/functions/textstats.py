@@ -1330,3 +1330,96 @@ def char_bigram_stats_ds(ds, text_col: str = "text",
             Sum("n_bigrams", alias_name="n_bigrams"),
             Sum("distinct_bigrams", alias_name="distinct_bigrams"),
             Sum("coll", alias_name="coll"))
+
+
+def source_char_kl_ds(ds, text_col: str = "text", by: str = "source"):
+    """Per-``by`` KL divergence of the character-unigram distribution
+    from the whole-corpus distribution, in exact integer micro-nats —
+    the domain-shift / contamination signal ("which source writes
+    unlike the rest of the corpus").  With the shared grid
+    ``L(x) = round(ln(x)·1e6)`` and per-source char counts ``c`` vs
+    global counts ``C``:
+
+        kl_micro = L(N) − L(n) − (Σ_ch c·(L(C) − L(c))) // n
+
+    Every numerator term is non-negative (``c ≤ C``, L monotone), so
+    floor division equals truncation and both engines agree
+    bit-for-bit.  Codepoint semantics matching SQL character
+    ``substring``.
+
+    Scale shape: per-batch UTF-32 decode + (group, codepoint) arrow
+    pre-reduce; the shuffle carries vocabulary-bounded count cells;
+    the global char histogram (alphabet-bounded) broadcasts into one
+    vectorized searchsorted pass over the cells; only |sources| rows
+    reach the driver."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({by: pa.array([], pa.string()),
+                          "cp": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        text = pc.fill_null(b[text_col], "").combine_chunks()
+        n = len(text)
+        if n == 0:
+            return empty
+        src = b[by].combine_chunks()
+        uniq = src.unique()
+        sidx = pc.index_in(src, value_set=uniq) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = text.to_pylist()
+        joined = "".join(docs)
+        cp = np.frombuffer(joined.encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.int64)
+        if len(cp) == 0:
+            return empty
+        clens = np.array([len(t) for t in docs], dtype=np.int64)
+        doc_of = np.repeat(np.arange(n), clens)
+        t = pa.table({"g": pa.array(sidx[doc_of], pa.int64()),
+                      "cp": pa.array(cp)})
+        gg = t.group_by(["g", "cp"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({by: uniq.take(gg["g"]), "cp": gg["cp"],
+                         "c": pc.cast(gg["count_all"], pa.int64())})
+
+    cells = ds.select_columns([by, text_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby([by, "cp"]).aggregate(Sum("c", alias_name="c")) \
+        .materialize()
+
+    glob = cells.groupby("cp") \
+        .aggregate(Sum("c", alias_name="gc")).to_pandas() \
+        .sort_values("cp")                        # alphabet-bounded
+    gcp = glob["cp"].to_numpy(dtype=np.int64)
+    glc = round_away(np.log(glob["gc"].to_numpy(dtype=np.int64))
+                     * 1_000_000, 0).astype(np.int64)
+    big_n = int(glob["gc"].sum())
+
+    def fold(b: pa.Table) -> pa.Table:
+        c = b["c"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cp = b["cp"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lc = round_away(np.log(c) * 1_000_000, 0).astype(np.int64)
+        x = c * (glc[np.searchsorted(gcp, cp)] - lc)
+        return pa.table({by: b[by], "n": pa.array(c),
+                         "d": pa.array(np.ones(len(c), np.int64)),
+                         "x": pa.array(x)})
+
+    agg = cells.map_batches(fold, batch_format="pyarrow") \
+        .groupby(by).aggregate(
+            Sum("n", alias_name="n_chars"),
+            Sum("d", alias_name="distinct_chars"),
+            Sum("x", alias_name="x")).to_pandas()
+    n = agg["n_chars"].to_numpy(dtype=np.int64)
+    l_nn = int(round_away(np.log(big_n) * 1_000_000, 0))
+    l_n = round_away(np.log(n) * 1_000_000, 0).astype(np.int64)
+    kl = l_nn - l_n - agg["x"].to_numpy(dtype=np.int64) // n
+    out = pa.table({
+        by: pa.Array.from_pandas(agg[by]),
+        "n_chars": pa.array(n),
+        "distinct_chars": pa.array(
+            agg["distinct_chars"].to_numpy(dtype=np.int64)),
+        "kl_micro": pa.array(kl.astype(np.int64))})
+    return out

@@ -5631,7 +5631,150 @@ def q_weighted_median(sf_dir: str):
     return df
 
 
+def q_conversion_lag(sf_dir: str):
+    """Ordered first-touch conversion latency between event types:
+    for every type pair (a, b) the users whose FIRST ``a`` strictly
+    precedes their FIRST ``b``, with total and max first-to-first lag
+    in exact microseconds — the directional funnel-latency companion
+    to ``type_affinity``'s unordered overlap.
+
+    Scale shape: combiner-first (user, type) min-ts reduce (cells
+    shuffle, never events), then user-hash partitions emit the ≤ T²
+    ordered pairs per user via one ts-sorted run pass into a tiny
+    (type_a, type_b) groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        t = pa.table({"u": b["user_id"], "t": b["event_type"],
+                      "ft": us})
+        g = t.group_by(["u", "t"], use_threads=False).aggregate(
+            [("ft", "min")])
+        return pa.table({"u": g["u"], "t": g["t"], "ft": g["ft_min"]})
+
+    firsts = _read(sf_dir, "events", ["user_id", "event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["u", "t"]).aggregate(Min("ft", alias_name="ft"))
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b["u"], "t": b["t"], "ft": b["ft"],
+                         "__p": pa.array(_part_codes(b["u"], 32))})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"type_a": pa.array([], pa.string()),
+                          "type_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64()),
+                          "m": pa.array([], pa.int64())})
+        t = t.sort_by([("u", "ascending"), ("ft", "ascending"),
+                       ("t", "ascending")])
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return empty
+        ft = t["ft"].combine_chunks().to_numpy(zero_copy_only=False)
+        tv = t["t"].combine_chunks()
+        starts = np.concatenate(
+            [[0], np.flatnonzero(u[1:] != u[:-1]) + 1])
+        runlen = np.diff(np.concatenate([starts, [len(u)]]))
+        outs = []
+        for k in np.unique(runlen):
+            if k < 2:
+                continue
+            runs = starts[runlen == k]
+            ii, jj = np.triu_indices(int(k), 1)
+            outs.append(((runs[:, None] + ii[None, :]).ravel(),
+                         (runs[:, None] + jj[None, :]).ravel()))
+        if not outs:
+            return empty
+        ai = np.concatenate([o[0] for o in outs])
+        bi = np.concatenate([o[1] for o in outs])
+        lag = ft[bi] - ft[ai]
+        keep = lag > 0                       # strict: ties excluded
+        ai, bi, lag = ai[keep], bi[keep], lag[keep]
+        if not len(ai):
+            return empty
+        part = pa.table({"type_a": tv.take(pa.array(ai)),
+                         "type_b": tv.take(pa.array(bi)),
+                         "n": pa.array(np.ones(len(ai), np.int64)),
+                         "s": pa.array(lag), "m": pa.array(lag)})
+        g = part.group_by(["type_a", "type_b"],
+                          use_threads=False).aggregate(
+            [("n", "sum"), ("s", "sum"), ("m", "max")])
+        return pa.table({"type_a": g["type_a"],
+                         "type_b": g["type_b"], "n": g["n_sum"],
+                         "s": g["s_sum"], "m": g["m_max"]})
+
+    return firsts.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(pairs, batch_format="pyarrow") \
+        .groupby(["type_a", "type_b"]).aggregate(
+            Sum("n", alias_name="n_users"),
+            Sum("s", alias_name="total_lag_us"),
+            Max("m", alias_name="max_lag_us"))
+
+
+def q_max_drawdown(sf_dir: str):
+    """Max drawdown of each event type's hourly traffic: the largest
+    drop from a prior peak in the per-hour event-count series
+    (observed-hour grain, the ``hourly_delta`` contract) plus the
+    earliest hour it is realized — the load-regression / outage
+    signal.  Combiner-first (type, hour) reduce (calendar-bounded
+    output), then one vectorized running-max pass per type on the
+    driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({"event_type": b["event_type"],
+                      "h": pa.array(us // 3_600_000_000)})
+        return t.group_by(["event_type", "h"],
+                          use_threads=False).aggregate(
+            [([], "count_all")]).rename_columns(
+            ["event_type", "h", "n"])
+
+    hourly = _read(sf_dir, "events", ["event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "h"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+
+    rows = []
+    for etype, g in hourly.groupby("event_type", sort=True):
+        g = g.sort_values("h")
+        c = g["n"].to_numpy(dtype=np.int64)
+        peak = np.maximum.accumulate(c)
+        dd = peak - c
+        best = int(dd.max())
+        pos = int(np.argmax(dd))             # earliest (first) max
+        rows.append({"event_type": etype, "max_drawdown": best,
+                     "dd_hour": int(g["h"].to_numpy()[pos]),
+                     "n_hours": len(c)})
+    df = pd.DataFrame(rows)
+    for c in ("max_drawdown", "dd_hour", "n_hours"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+def q_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood dedup blocking over the documents table —
+    see :func:`kgforge.functions.dedup.snm_pairs_ds`."""
+    return F_dedup.snm_pairs_ds(_read(sf_dir, "documents",
+                                      ["doc_id", "text"]))
+
+
+def q_source_char_kl(sf_dir: str):
+    """Per-source char-distribution KL divergence vs the corpus — see
+    :func:`kgforge.functions.textstats.source_char_kl_ds`."""
+    return F_text.source_char_kl_ds(
+        _read(sf_dir, "documents", ["source", "text"]))
+
+
 QUERIES = {
+    "snm_pairs": q_snm_pairs,
+    "source_char_kl": q_source_char_kl,
+    "conversion_lag": q_conversion_lag,
+    "max_drawdown": q_max_drawdown,
     "bm25_topk": q_bm25_topk,
     "important_parts": q_important_parts,
     "type_hour_chi2": q_type_hour_chi2,
@@ -8816,4 +8959,74 @@ ORACLE_SQL["weighted_median"] = """
     SELECT f AS l_returnflag, CAST(min(q) AS BIGINT) AS median_qty,
            CAST(min(tw) AS BIGINT) AS total_weight
     FROM c WHERE 2 * cw >= tw GROUP BY f
+"""
+
+ORACLE_SQL["snm_pairs"] = """
+WITH k AS (SELECT doc_id,
+                  substring(coalesce(text, ''), 1, 24) AS key
+           FROM documents),
+r AS (SELECT doc_id, key,
+             row_number() OVER (ORDER BY key, doc_id) - 1 AS rn
+      FROM k)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(b.rn - a.rn AS BIGINT) AS dist,
+       CAST(CASE WHEN a.key = b.key THEN 1 ELSE 0 END AS BIGINT)
+           AS key_match
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+"""
+
+ORACLE_SQL["source_char_kl"] = """
+WITH ch AS (SELECT source,
+                   substring(coalesce(text, ''), g.i, 1) AS c
+            FROM documents CROSS JOIN generate_series(1, 8192) g(i)
+            WHERE g.i <= length(coalesce(text, ''))),
+cnt AS (SELECT source, c, CAST(count(*) AS BIGINT) AS n
+        FROM ch GROUP BY 1, 2),
+gt AS (SELECT c, CAST(sum(n) AS BIGINT) AS gn FROM cnt GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cnt),
+per AS (SELECT source, CAST(sum(cnt.n) AS BIGINT) AS n_chars,
+               CAST(count(*) AS BIGINT) AS distinct_chars,
+               CAST(sum(cnt.n *
+                        (CAST(round(ln(gt.gn) * 1000000) AS BIGINT)
+                         - CAST(round(ln(cnt.n) * 1000000) AS BIGINT)))
+                    AS BIGINT) AS x
+        FROM cnt JOIN gt USING (c) GROUP BY source)
+SELECT per.source, per.n_chars, per.distinct_chars,
+       CAST(CAST(round(ln(tot.nn) * 1000000) AS BIGINT)
+            - CAST(round(ln(per.n_chars) * 1000000) AS BIGINT)
+            - per.x // per.n_chars AS BIGINT) AS kl_micro
+FROM per CROSS JOIN tot
+"""
+
+ORACLE_SQL["conversion_lag"] = """
+WITH f AS (SELECT user_id, event_type, min(ts) AS ft
+           FROM events GROUP BY 1, 2)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(epoch_us(b.ft) - epoch_us(a.ft)) AS BIGINT)
+           AS total_lag_us,
+       CAST(max(epoch_us(b.ft) - epoch_us(a.ft)) AS BIGINT)
+           AS max_lag_us
+FROM f a JOIN f b ON a.user_id = b.user_id AND a.ft < b.ft
+GROUP BY 1, 2
+"""
+
+ORACLE_SQL["max_drawdown"] = """
+WITH hourly AS (SELECT event_type,
+                       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+rm AS (SELECT event_type, h, c,
+              max(c) OVER (PARTITION BY event_type ORDER BY h)
+                  AS peak
+       FROM hourly),
+dd AS (SELECT event_type, h, CAST(peak - c AS BIGINT) AS dd FROM rm),
+mx AS (SELECT event_type, max(dd) AS max_drawdown,
+              CAST(count(*) AS BIGINT) AS n_hours
+       FROM dd GROUP BY 1)
+SELECT mx.event_type, CAST(mx.max_drawdown AS BIGINT) AS max_drawdown,
+       CAST(min(dd.h) AS BIGINT) AS dd_hour, mx.n_hours
+FROM mx JOIN dd ON dd.event_type = mx.event_type
+                AND dd.dd = mx.max_drawdown
+GROUP BY 1, 2, 4
 """

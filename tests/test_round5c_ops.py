@@ -1,0 +1,167 @@
+"""Round-5 session-C operators: sorted-neighborhood dedup blocking,
+per-source char-distribution KL, ordered first-touch conversion lag,
+and hourly-traffic max drawdown — each against an independent
+brute-force oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(tmp_path, users, types, ts_us):
+    n = len(users)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.asarray(ts_us, dtype=np.int64),
+                       pa.timestamp("us")),
+        "user_id": pa.array(np.asarray(users, dtype=np.int64)),
+        "event_type": pa.array(list(types)),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array(["{}"] * n)})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return tbl
+
+
+def test_snm_pairs_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.dedup import snm_pairs_ds
+
+    rng = np.random.RandomState(5)
+    # texts engineered to exercise: shared prefixes (key ties), empty
+    # strings, and multiple first-codepoint partitions
+    stems = ["alpha doc about graphs", "alpha doc about graphs!",
+             "beta record", "beta record", "zulu outlier", "",
+             "gamma text body", "alpha doc ZZZ"]
+    texts = [stems[rng.randint(len(stems))] + (" " * rng.randint(3))
+             for _ in range(80)]
+    ids = np.arange(80, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                 "text": pa.array(texts)})) \
+        .repartition(7)
+    w = 4
+    got = snm_pairs_ds(ds, window=w).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    # brute force: python string sort IS codepoint order
+    keys = [t[:24] for t in texts]
+    order = sorted(range(80), key=lambda i: (keys[i], ids[i]))
+    rn = {order[r]: r for r in range(80)}
+    want = []
+    for a in range(80):
+        for b in range(80):
+            d = rn[b] - rn[a]
+            if 1 <= d <= w:
+                want.append((ids[a], ids[b], d,
+                             1 if keys[a] == keys[b] else 0))
+    want.sort()
+    got_rows = [(r.doc_a, r.doc_b, r.dist, r.key_match)
+                for r in got.itertuples()]
+    assert got_rows == want
+
+
+def test_source_char_kl_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.textstats import source_char_kl_ds
+
+    rng = np.random.RandomState(13)
+    alphabets = {"s1": "abcde ", "s2": "abxyz ", "s3": "a"}
+    srcs, texts = [], []
+    for _ in range(120):
+        s = ("s1", "s2", "s3")[rng.randint(3)]
+        a = alphabets[s]
+        texts.append("".join(a[rng.randint(len(a))]
+                             for _ in range(rng.randint(1, 40))))
+        srcs.append(s)
+    ds = rd.from_arrow(pa.table({"source": pa.array(srcs),
+                                 "text": pa.array(texts)})) \
+        .repartition(6)
+    got = source_char_kl_ds(ds).to_pandas() \
+        .set_index("source").sort_index()
+
+    def L(x):
+        return int(round_away(np.log(x) * 1_000_000, 0))
+
+    glob: dict = {}
+    per: dict = {}
+    for s, t in zip(srcs, texts):
+        d = per.setdefault(s, {})
+        for ch in t:
+            glob[ch] = glob.get(ch, 0) + 1
+            d[ch] = d.get(ch, 0) + 1
+    big_n = sum(glob.values())
+    for s, d in per.items():
+        n = sum(d.values())
+        x = sum(c * (L(glob[ch]) - L(c)) for ch, c in d.items())
+        kl = L(big_n) - L(n) - x // n
+        row = got.loc[s]
+        assert row["n_chars"] == n
+        assert row["distinct_chars"] == len(d)
+        assert row["kl_micro"] == kl
+
+
+def test_conversion_lag_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_conversion_lag
+
+    rng = np.random.RandomState(21)
+    n = 400
+    users = rng.randint(0, 40, n)
+    types = [("click", "view", "buy", "ship")[i] for i in
+             rng.randint(0, 4, n)]
+    base = 1_700_000_000_000_000
+    ts = base + rng.randint(0, 10_000, n).astype(np.int64) * 1_000_000
+    _write_events(tmp_path, users, types, ts)
+
+    got = q_conversion_lag(str(tmp_path)).to_pandas() \
+        .set_index(["type_a", "type_b"]).sort_index()
+
+    first: dict = {}
+    for u, t, s in zip(users, types, ts):
+        k = (int(u), t)
+        first[k] = min(first.get(k, s), int(s))
+    agg: dict = {}
+    for (u, ta), fa in first.items():
+        for (u2, tb), fb in first.items():
+            if u2 == u and fb > fa:
+                lag = fb - fa
+                c = agg.setdefault((ta, tb), [0, 0, 0])
+                c[0] += 1
+                c[1] += lag
+                c[2] = max(c[2], lag)
+    assert len(got) == len(agg)
+    for (ta, tb), (cnt, tot, mx) in agg.items():
+        row = got.loc[(ta, tb)]
+        assert row["n_users"] == cnt
+        assert row["total_lag_us"] == tot
+        assert row["max_lag_us"] == mx
+
+
+def test_max_drawdown_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_max_drawdown
+
+    rng = np.random.RandomState(8)
+    n = 600
+    users = rng.randint(0, 10, n)
+    types = [("click", "view")[i % 2] for i in range(n)]
+    base_h = 490_000                    # hours since epoch
+    # spiky series: peak then trough to force a non-zero drawdown
+    hours = base_h + rng.randint(0, 48, n)
+    ts = hours.astype(np.int64) * 3_600_000_000 \
+        + rng.randint(0, 3600, n).astype(np.int64) * 1_000_000
+    _write_events(tmp_path, users, types, ts)
+
+    got = q_max_drawdown(str(tmp_path)).set_index("event_type")
+
+    df = pd.DataFrame({"t": types, "h": ts // 3_600_000_000})
+    for t, g in df.groupby("t"):
+        hist = g.groupby("h").size().sort_index()
+        c = hist.to_numpy(dtype=np.int64)
+        peak = np.maximum.accumulate(c)
+        dd = peak - c
+        row = got.loc[t]
+        assert row["max_drawdown"] == int(dd.max())
+        assert row["dd_hour"] == int(hist.index[int(np.argmax(dd))])
+        assert row["n_hours"] == len(c)
