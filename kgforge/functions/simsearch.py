@@ -195,9 +195,12 @@ def ivf_build(ds, index_root: str, vec_col: str = "embedding",
         return batch.append_column("centroid", pa.array(a)) \
                     .append_column("cent_id", pa.array(a))
 
+    from kgforge.common.parquet_io import prune_torn_fragments
+
     os.makedirs(index_root, exist_ok=True)
     ds.map_batches(assign, batch_format="pyarrow") \
         .write_parquet(index_root, partition_cols=["centroid"])
+    prune_torn_fragments(index_root)   # drop dead write attempts' residue
     np.savez(os.path.join(index_root, "centroids.npz"), cent=cent)
     return cent
 

@@ -161,11 +161,22 @@ def build_nodes_ds(linked_mentions_ds, num_buckets: int | None = None):
 
 
 def write_graph_table(ds, path: str, table_name: str) -> str:
-    """Write one graph table (Lance-layout Parquet dir + manifest)."""
+    """Write one graph table (Lance-layout Parquet dir + manifest).
+
+    A Ray write task killed mid-file and retried leaves a torn orphan
+    (PAR1 header, no footer) beside the complete retry file — Ray's
+    write filenames carry the attempt's task index, so the orphan is
+    never overwritten.  Every block the returned ``write_parquet``
+    acknowledges was durably written by a SUCCESSFUL attempt, so any
+    file failing the footer check is a dead attempt's residue: it is
+    quarantined (deleted) before the manifest is built, and readers
+    that glob the directory see only complete fragments."""
+    from kgforge.common.parquet_io import prune_torn_fragments
+
     os.makedirs(path, exist_ok=True)
     out_dir = os.path.join(path, table_name)
     ds.write_parquet(out_dir, mode="overwrite")
-    files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    files = prune_torn_fragments(out_dir)
     with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
         json.dump({"format": "lance-layout-parquet", "version": 1,
                    "table": table_name, "fragments": files}, f, indent=1)

@@ -165,3 +165,30 @@ def test_max_drawdown_matches_bruteforce(ray_session, tmp_path):
         assert row["max_drawdown"] == int(dd.max())
         assert row["dd_hour"] == int(hist.index[int(np.argmax(dd))])
         assert row["n_hours"] == len(c)
+
+
+def test_prune_torn_fragments(tmp_path):
+    """A torn write-attempt orphan (PAR1 header, truncated footer) is
+    deleted; complete fragments survive and are returned."""
+    from kgforge.common.parquet_io import (prune_torn_fragments,
+                                           valid_parquet_footer)
+
+    good = tmp_path / "a" / "good.parquet"
+    good.parent.mkdir()
+    pq.write_table(pa.table({"x": pa.array([1, 2], pa.int64())}),
+                   str(good))
+    full = good.read_bytes()
+    torn = tmp_path / "a" / "torn.parquet"
+    torn.write_bytes(full[: len(full) // 2])     # killed mid-write
+    tiny = tmp_path / "tiny.parquet"
+    tiny.write_bytes(b"PAR1")
+    other = tmp_path / "notes.txt"
+    other.write_text("keep me")
+
+    assert valid_parquet_footer(str(good))
+    assert not valid_parquet_footer(str(torn))
+    kept = prune_torn_fragments(str(tmp_path))
+    assert kept == [str(good.relative_to(tmp_path))]
+    assert not torn.exists() and not tiny.exists()
+    assert other.exists()
+    assert pq.read_table(str(good)).num_rows == 2
