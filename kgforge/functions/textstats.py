@@ -1423,3 +1423,60 @@ def source_char_kl_ds(ds, text_col: str = "text", by: str = "source"):
             agg["distinct_chars"].to_numpy(dtype=np.int64)),
         "kl_micro": pa.array(kl.astype(np.int64))})
     return out
+
+
+def source_token_entropy_ds(ds, text_col: str = "text",
+                            by: str = "source"):
+    """Per-``by`` Shannon entropy of the whitespace-token distribution
+    in exact integer micro-nats on the shared ``L(x) =
+    round(ln(x)·1e6)`` grid: ``entropy_micro = (n·L(n) − Σ_t c_t·L(c_t))
+    // n`` (numerator non-negative by concavity, floor == truncate) —
+    the lexical-diversity counterpart of :func:`source_char_kl_ds`.
+
+    Scale shape: per-batch (group, term) arrow pre-reduce, a keyed
+    groupby over vocabulary-bounded count cells (tokens never
+    shuffle), then a cell-local fold into three per-group sums; only
+    |groups| rows reach the driver."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b[text_col], ""), r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        t = pa.table({by: b[by].take(par.filter(mask)),
+                      "term": flat.filter(mask)})
+        g = t.group_by([by, "term"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({by: g[by], "term": g["term"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    cells = ds.select_columns([by, text_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby([by, "term"]).aggregate(Sum("c", alias_name="c"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        c = b["c"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lc = round_away(np.log(c) * 1_000_000, 0).astype(np.int64)
+        return pa.table({by: b[by], "n": pa.array(c),
+                         "d": pa.array(np.ones(len(c), np.int64)),
+                         "clc": pa.array(c * lc)})
+
+    agg = cells.map_batches(fold, batch_format="pyarrow") \
+        .groupby(by).aggregate(
+            Sum("n", alias_name="n_tokens"),
+            Sum("d", alias_name="distinct_tokens"),
+            Sum("clc", alias_name="sum_clc")).to_pandas()
+    n = agg["n_tokens"].to_numpy(dtype=np.int64)
+    ln_n = round_away(np.log(n) * 1_000_000, 0).astype(np.int64)
+    ent = (n * ln_n - agg["sum_clc"].to_numpy(dtype=np.int64)) // n
+    return pa.table({
+        by: pa.Array.from_pandas(agg[by]),
+        "n_tokens": pa.array(n),
+        "distinct_tokens": pa.array(
+            agg["distinct_tokens"].to_numpy(dtype=np.int64)),
+        "entropy_micro": pa.array(ent.astype(np.int64))})

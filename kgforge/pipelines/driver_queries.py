@@ -5770,7 +5770,216 @@ def q_source_char_kl(sf_dir: str):
         _read(sf_dir, "documents", ["source", "text"]))
 
 
+def q_customer_gini(sf_dir: str):
+    """Per-nation Gini coefficient of customer order revenue in exact
+    ppm: with per-customer cents ``x`` sorted ascending and ranks
+    ``i = 1..n``, ``gini_ppm = (2·Σi·x − (n+1)·Σx)·10⁶ // (n·Σx)``
+    (tie order cancels — equal values contribute the same Σi·x under
+    any permutation).  The revenue-inequality companion to
+    ``pareto_share``.
+
+    Scale shape: (custkey, cents) combiner partials → custkey cogroup
+    attaches nationkey → the sorted-rank moment runs inside |nation|
+    dimension-bounded groups; Σi·x folds in arbitrary-precision
+    Python ints (an int64 dot overflows near n ≈ 10⁶ customers per
+    nation — the ``numeric_corr`` precedent), n·Σx stays HUGEINT-safe
+    in the SQL twin."""
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    from kgforge.common.hashing import round_away
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        cents = round_away(
+            b["o_totalprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        g = pa.table({"k": b["o_custkey"], "c": pa.array(cents)}) \
+            .group_by(["k"], use_threads=False).aggregate([("c", "sum")])
+        return pa.table({"o_custkey": g["k"], "cents": g["c_sum"]})
+
+    rev = orders.map_batches(rev_partial, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def fuse(t: pa.Table, starts, nl, nr) -> pa.Table:
+        keep = (nl > 0) & (nr > 0)
+        if not keep.any():
+            return pa.table({"nk": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        c = pc.fill_null(t["cents"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.add.reduceat(c, starts)[keep]
+        ridx = pa.array((starts + nl)[keep])
+        return pa.table({"nk": t["c_nationkey"].take(ridx),
+                         "cents": pa.array(sums)})
+
+    per_cust = cogroup_partition_ds(
+        rev, cust, "o_custkey", "c_custkey", fuse,
+        ["cents"], ["c_nationkey"],
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]))
+
+    def per_nation(t: pa.Table) -> pa.Table:
+        nk = int(t["nk"][0].as_py())
+        c = np.sort(t["cents"].combine_chunks()
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+        n = len(c)
+        s0 = int(c.sum())
+        # arbitrary-precision rank moment (see docstring)
+        s1 = int(np.dot(np.arange(1, n + 1, dtype=object),
+                        c.astype(object)))
+        gini = (2 * s1 - (n + 1) * s0) * 1_000_000 // (n * s0)
+        return pa.table({"nk": pa.array([nk], pa.int64()),
+                         "gini_ppm": pa.array([gini], pa.int64()),
+                         "n_customers": pa.array([n], pa.int64()),
+                         "total_cents": pa.array([s0], pa.int64())})
+
+    res = per_cust.groupby("nk").map_groups(
+        per_nation, batch_format="pyarrow").to_pandas()
+    out_schema = pa.schema([("n_name", pa.string()),
+                            ("gini_ppm", pa.int64()),
+                            ("n_customers", pa.int64()),
+                            ("total_cents", pa.int64())])
+    if not len(res):
+        return out_schema.empty_table()
+    import pyarrow.dataset as pds
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"],
+                row_filter=pds.field("n_nationkey")
+                .isin([int(k) for k in res["nk"]])).to_pandas()
+    m = res.merge(nat, left_on="nk", right_on="n_nationkey") \
+        .sort_values("n_name")
+    return pa.table({
+        "n_name": pa.array(m["n_name"], pa.string()),
+        "gini_ppm": pa.array(m["gini_ppm"].to_numpy(np.int64)),
+        "n_customers": pa.array(m["n_customers"].to_numpy(np.int64)),
+        "total_cents": pa.array(m["total_cents"].to_numpy(np.int64))})
+
+
+def q_lang_source_pmi(sf_dir: str):
+    """Pointwise mutual information between document language and
+    source per (lang, source) cell in exact integer micro-nats:
+    ``pmi_micro = L(c) + L(N) − L(row) − L(col)`` on the shared log
+    grid — the corpus-composition dependence census (which sources
+    over/under-represent which languages).
+
+    Scale shape: one (lang, source) combiner reduce — the shuffle
+    carries langs×sources-bounded cells; marginals and the grid fold
+    run on the driver over that bounded table."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({"lang": b["lang"], "source": b["source"]}) \
+            .group_by(["lang", "source"], use_threads=False) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["lang", "source", "c"])
+
+    cells = _read(sf_dir, "documents", ["lang", "source"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lang", "source"]) \
+        .aggregate(Sum("c", alias_name="c")).to_pandas()
+
+    def L(x):
+        return round_away(np.log(x) * 1_000_000, 0).astype(np.int64)
+
+    c = cells["c"].to_numpy(dtype=np.int64)
+    big_n = int(c.sum())
+    row = cells.groupby("lang")["c"].transform("sum") \
+        .to_numpy(dtype=np.int64)
+    col = cells.groupby("source")["c"].transform("sum") \
+        .to_numpy(dtype=np.int64)
+    pmi = L(c) + int(L(np.array([big_n]))[0]) - L(row) - L(col)
+    return pa.table({
+        "lang": pa.Array.from_pandas(cells["lang"]),
+        "source": pa.Array.from_pandas(cells["source"]),
+        "n": pa.array(c),
+        "pmi_micro": pa.array(pmi.astype(np.int64))})
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2-adapted (no partsupp table in this corpus): for every
+    part, the supplier observed shipping it at the lowest exact-cents
+    line price (ties → smallest suppkey), plus how many distinct
+    suppliers ship the part — the procurement-routing table.
+
+    Scale shape: (part, supp) min-cents combiner reduce (supply-pair
+    bounded cells, lineitem never re-shuffles), then part-hash
+    partitions pick each part's argmin with one sorted run pass;
+    supplier names attach from the dimension LUT on the driver-bounded
+    result."""
+    from ray.data.aggregate import Min
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import _part_codes
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = round_away(
+            b["l_extendedprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        g = pa.table({"pk": b["l_partkey"], "sk": b["l_suppkey"],
+                      "c": pa.array(cents)}) \
+            .group_by(["pk", "sk"], use_threads=False) \
+            .aggregate([("c", "min")])
+        return pa.table({"pk": g["pk"], "sk": g["sk"],
+                         "c": g["c_min"]})
+
+    pairs = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["pk", "sk"]).aggregate(Min("c", alias_name="c"))
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("__p",
+                               pa.array(_part_codes(b["pk"], 32)))
+
+    def argmin(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("pk", "ascending"), ("c", "ascending"),
+                       ("sk", "ascending")])
+        pk = t["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(pk):
+            return pa.table({"p_partkey": pa.array([], pa.int64()),
+                             "s_suppkey": pa.array([], pa.int64()),
+                             "min_cents": pa.array([], pa.int64()),
+                             "n_suppliers": pa.array([], pa.int64())})
+        starts = np.concatenate(
+            [[0], np.flatnonzero(pk[1:] != pk[:-1]) + 1])
+        lens = np.diff(np.concatenate([starts, [len(pk)]]))
+        idx = pa.array(starts)
+        return pa.table({"p_partkey": t["pk"].take(idx),
+                         "s_suppkey": t["sk"].take(idx),
+                         "min_cents": t["c"].take(idx),
+                         "n_suppliers": pa.array(
+                             lens.astype(np.int64))})
+
+    res = pairs.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(argmin, batch_format="pyarrow") \
+        .to_pandas()
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]) \
+        .to_pandas()
+    m = res.merge(sup, on="s_suppkey")
+    return pa.table({
+        "p_partkey": pa.array(m["p_partkey"].to_numpy(np.int64)),
+        "s_suppkey": pa.array(m["s_suppkey"].to_numpy(np.int64)),
+        "s_name": pa.array(m["s_name"], pa.string()),
+        "min_cents": pa.array(m["min_cents"].to_numpy(np.int64)),
+        "n_suppliers": pa.array(m["n_suppliers"].to_numpy(np.int64))})
+
+
+def q_source_token_entropy(sf_dir: str):
+    """Per-source whitespace-token Shannon entropy — see
+    :func:`kgforge.functions.textstats.source_token_entropy_ds`."""
+    return F_text.source_token_entropy_ds(
+        _read(sf_dir, "documents", ["source", "text"]))
+
+
 QUERIES = {
+    "customer_gini": q_customer_gini,
+    "lang_source_pmi": q_lang_source_pmi,
+    "min_cost_supplier": q_min_cost_supplier,
+    "source_token_entropy": q_source_token_entropy,
     "snm_pairs": q_snm_pairs,
     "source_char_kl": q_source_char_kl,
     "conversion_lag": q_conversion_lag,
@@ -9029,4 +9238,75 @@ SELECT mx.event_type, CAST(mx.max_drawdown AS BIGINT) AS max_drawdown,
 FROM mx JOIN dd ON dd.event_type = mx.event_type
                 AND dd.dd = mx.max_drawdown
 GROUP BY 1, 2, 4
+"""
+
+ORACLE_SQL["customer_gini"] = """
+WITH r AS (SELECT o_custkey AS ck,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS cents
+           FROM orders GROUP BY 1),
+j AS (SELECT c.c_nationkey AS nk, r.ck, r.cents
+      FROM r JOIN customer c ON c.c_custkey = r.ck),
+w AS (SELECT nk, cents,
+             row_number() OVER (PARTITION BY nk
+                                ORDER BY cents, ck) AS i
+      FROM j),
+g AS (SELECT nk, sum(cents * i) AS s1, sum(cents) AS s0,
+             CAST(count(*) AS BIGINT) AS n
+      FROM w GROUP BY nk)
+SELECT nt.n_name,
+       CAST((2 * g.s1 - (g.n + 1) * g.s0) * 1000000
+            // (g.n * g.s0) AS BIGINT) AS gini_ppm,
+       g.n AS n_customers, CAST(g.s0 AS BIGINT) AS total_cents
+FROM g JOIN nation nt ON nt.n_nationkey = g.nk
+"""
+
+ORACLE_SQL["lang_source_pmi"] = """
+WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, CAST(sum(c) AS BIGINT) AS rn FROM c GROUP BY 1),
+s AS (SELECT source, CAST(sum(c) AS BIGINT) AS cn FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM c)
+SELECT c.lang, c.source, c.c AS n,
+       CAST(CAST(round(ln(c.c) * 1000000) AS BIGINT)
+            + CAST(round(ln(t.nn) * 1000000) AS BIGINT)
+            - CAST(round(ln(r.rn) * 1000000) AS BIGINT)
+            - CAST(round(ln(s.cn) * 1000000) AS BIGINT)
+            AS BIGINT) AS pmi_micro
+FROM c JOIN r USING (lang) JOIN s USING (source) CROSS JOIN t
+"""
+
+ORACLE_SQL["min_cost_supplier"] = """
+WITH p AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                  min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS c
+           FROM lineitem GROUP BY 1, 2),
+w AS (SELECT pk, sk, c,
+             row_number() OVER (PARTITION BY pk
+                                ORDER BY c, sk) AS rn,
+             CAST(count(*) OVER (PARTITION BY pk) AS BIGINT)
+                 AS n_suppliers
+      FROM p)
+SELECT w.pk AS p_partkey, w.sk AS s_suppkey, s.s_name,
+       w.c AS min_cents, w.n_suppliers
+FROM w JOIN supplier s ON s.s_suppkey = w.sk
+WHERE w.rn = 1
+"""
+
+ORACLE_SQL["source_token_entropy"] = r"""
+WITH toks AS (SELECT source,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS term
+              FROM documents),
+c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2),
+u AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS d,
+             CAST(sum(c * CAST(round(ln(c) * 1000000) AS BIGINT))
+                  AS BIGINT) AS sum_clc
+      FROM c GROUP BY 1)
+SELECT source, n AS n_tokens, d AS distinct_tokens,
+       CAST((n * CAST(round(ln(n) * 1000000) AS BIGINT) - sum_clc)
+            // n AS BIGINT) AS entropy_micro
+FROM u
 """
