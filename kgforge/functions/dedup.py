@@ -331,10 +331,19 @@ def _doc_shingle_voids(text: str, n: int) -> np.ndarray:
 def jaccard_blocked_pairs_ds(ds, block_cols=("source",),
                              text_col: str = "text", id_col: str = "doc_id",
                              theta: float = 0.5, shingle_n: int = SHINGLE_N,
-                             num_partitions: int = 64):
+                             num_partitions: int = 64,
+                             metric: str = "jaccard"):
     """Exact shingle-Jaccard pairs within deterministic blocks — the
     oracle-checked member of the dedup family (same blocks + shingles
     expressible in DuckDB SQL).
+
+    ``metric="containment"`` switches the score to Broder containment
+    ``|A∩B| / min(|A|, |B|)`` (output column ``containment``) — the
+    asymmetric subset-duplication detector (a short doc quoted whole
+    inside a long one scores 1.0 where Jaccard stays near 0): the
+    RefinedWeb/Lee-et-al. near-dup criterion for quote/boilerplate
+    absorption.  Same blocks, same shingle stream, same SQL
+    expressibility (``least(ca.n, cb.n)`` denominator).
 
     r5 re-plan (VERDICT r4 items 1+2): blocks ride HASH PARTITIONS of
     the block key (P Ray callbacks, not one per block), and the
@@ -344,11 +353,15 @@ def jaccard_blocked_pairs_ds(ds, block_cols=("source",),
     gram-sorted stream (``np.add.at`` on a k×k int32 matrix; the former
     plan ran an O(k²) Python loop of Python-set intersections —
     12.5M set ops for one 5k-doc block)."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
+    out_col = metric
+
     def pairs_of(group: pa.Table) -> pa.Table:
         k = group.num_rows
         empty = pa.table({"id_a": pa.array([], pa.int64()),
                           "id_b": pa.array([], pa.int64()),
-                          "jaccard": pa.array([], pa.float64())})
+                          out_col: pa.array([], pa.float64())})
         if k < 2:
             return empty
         ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
@@ -384,20 +397,38 @@ def jaccard_blocked_pairs_ds(ds, block_cols=("source",),
                 t_off += 1
         iu, ju = np.triu_indices(k, k=1)
         inter = counts[iu, ju].astype(np.float64)
-        un = (m[iu] + m[ju]).astype(np.float64) - inter
-        j = np.where(un > 0, inter / np.maximum(un, 1.0), 1.0)
+        if metric == "containment":
+            den = np.minimum(m[iu], m[ju]).astype(np.float64)
+        else:
+            den = (m[iu] + m[ju]).astype(np.float64) - inter
+        j = np.where(den > 0, inter / np.maximum(den, 1.0), 1.0)
         mask = j >= theta
         if not mask.any():
             return empty
         return pa.table({
             "id_a": pa.array(ids[iu[mask]], pa.int64()),
             "id_b": pa.array(ids[ju[mask]], pa.int64()),
-            "jaccard": pa.array(round_away(j[mask], 4), pa.float64())})
+            out_col: pa.array(round_away(j[mask], 4), pa.float64())})
 
     pruned = ds.select_columns(
         list(dict.fromkeys(list(block_cols) + [id_col, text_col])))
     return _partitioned_block_verify(pruned, list(block_cols), pairs_of,
                                      num_partitions=num_partitions)
+
+
+def containment_blocked_pairs_ds(ds, block_cols=("source",),
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 theta: float = 0.5,
+                                 shingle_n: int = SHINGLE_N,
+                                 num_partitions: int = 64):
+    """Broder containment pairs ``|A∩B| / min(|A|,|B|) ≥ θ`` within
+    deterministic blocks — see :func:`jaccard_blocked_pairs_ds`
+    (``metric="containment"``)."""
+    return jaccard_blocked_pairs_ds(
+        ds, block_cols=block_cols, text_col=text_col, id_col=id_col,
+        theta=theta, shingle_n=shingle_n,
+        num_partitions=num_partitions, metric="containment")
 
 
 def _string_shingle_set(text: str, n: int) -> set:

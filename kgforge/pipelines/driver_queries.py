@@ -403,6 +403,16 @@ def q_jaccard_pairs(sf_dir: str):
         block_cols=("source", "len_bucket"), theta=0.2)
 
 
+def q_containment_pairs(sf_dir: str):
+    """Broder containment near-dup pairs within ``source`` blocks —
+    :func:`kgforge.functions.dedup.containment_blocked_pairs_ds`
+    (asymmetric subset-duplication: quote/boilerplate absorption the
+    symmetric Jaccard criterion misses)."""
+    return F_dedup.containment_blocked_pairs_ds(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]),
+        block_cols=("source",), theta=0.3)
+
+
 def q_minhash_pairs(sf_dir: str):
     # single-file read = one block = one actor; spread the signer
     return F_dedup.minhash_dedup_pairs_ds(
@@ -6079,6 +6089,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "jaccard_pairs": q_jaccard_pairs,
+    "containment_pairs": q_containment_pairs,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -6357,6 +6368,25 @@ ORACLE_SQL = {
         JOIN counts ca ON ca.doc_id = ia
         JOIN counts cb ON cb.doc_id = ib
         WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.2
+    """,
+    "containment_pairs": """
+        WITH sh AS (SELECT DISTINCT doc_id, source,
+                           substring(text, g.i, 5) AS s
+                    FROM documents, generate_series(1, 4096) g(i)
+                    WHERE g.i <= greatest(length(text) - 4, 1)),
+        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+                  FROM sh a JOIN sh b
+                    ON a.source = b.source AND a.s = b.s
+                   AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT ia AS id_a, ib AS id_b,
+               round(CAST(i AS DOUBLE) / least(ca.n, cb.n), 4)
+                   AS containment
+        FROM inter
+        JOIN counts ca ON ca.doc_id = ia
+        JOIN counts cb ON cb.doc_id = ib
+        WHERE CAST(i AS DOUBLE) / least(ca.n, cb.n) >= 0.3
     """,
     "gopher_rules": """
         WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
