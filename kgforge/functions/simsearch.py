@@ -521,3 +521,94 @@ def knn_graph_ds(ds, k: int = 3, n_blocks: int = 4,
         .groupby("__b").map_groups(cross, batch_format="pyarrow") \
         .map_batches(tag, batch_format="pyarrow") \
         .groupby("__p").map_groups(merge, batch_format="pyarrow")
+
+
+def kcenter_select_ds(ds, k: int = 8, vec_col: str = "embedding",
+                      id_col: str = "vec_id"):
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-first
+    traversal; the coreset strategy of Sener & Savarese, ICLR 2018):
+    seed with the smallest ``id_col``, then ``k−1`` times add the point
+    maximizing its distance to the selected set (ties → smallest id).
+    Output: ``(step, vec_id, dist_micro2)`` — the squared L2 distance
+    (in micro-unit² space) of each pick to the set at selection time
+    (0 for the seed).
+
+    Determinism: vectors are quantized to ``round(x·10⁶)`` int64 per
+    element FIRST, so distances are exact integers — no float
+    summation-order risk between numpy and the SQL twin (the argmax
+    tiebreak is therefore exact too).
+
+    Scale shape: ``k`` streaming passes (greedy k-center is inherently
+    iterative), each a pure ``map_batches`` computing min-distance to
+    the ≤k broadcast centers (one (B×d−c)² pass per center) and
+    emitting ONE candidate row per batch (per-batch argmax combiner) —
+    only num_batches rows reach the driver per pass; the corpus never
+    shuffles and never materializes."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from kgforge.common.hashing import round_away
+
+    def _quant(col) -> np.ndarray:
+        return round_away(_list_mat(col) * 1_000_000, 0).astype(np.int64)
+
+    # seed = row with the smallest id (tiny aggregate + pruned fetch)
+    seed_id = ds.select_columns([id_col]).aggregate(
+        Min(id_col))[f"min({id_col})"]
+    seed_row = _take_rows_by_id(ds, id_col, [seed_id])[0]
+    seed_vec = round_away(
+        np.asarray(seed_row[vec_col], dtype=np.float64) * 1_000_000,
+        0).astype(np.int64)
+
+    sel_ids = [int(seed_id)]
+    sel_vecs = [seed_vec]
+    sel_dist = [0]
+
+    for _ in range(1, k):
+        centers = np.stack(sel_vecs)           # (c, d) int64
+        taken = np.asarray(sorted(sel_ids), dtype=np.int64)
+        centers_ref = ray.put((centers, taken))
+
+        def far_candidate(b: pa.Table) -> pa.Table:
+            cents, done = ray.get(centers_ref)
+            empty = pa.table({id_col: pa.array([], pa.int64()),
+                              "dm": pa.array([], pa.int64()),
+                              "vec": pa.array([], pa.list_(pa.int64()))})
+            ids = b[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            live = ~np.isin(ids, done)
+            if not live.any():
+                return empty
+            ids = ids[live]
+            q = _quant(b[vec_col])[live]       # (n, d) int64
+            dmin = np.full(len(ids), np.iinfo(np.int64).max,
+                           dtype=np.int64)
+            for c in cents:
+                diff = q - c[None, :]
+                np.minimum(dmin, np.einsum("ij,ij->i", diff, diff),
+                           out=dmin)
+            # argmax by (dmin desc, id asc)
+            best = np.lexsort((ids, -dmin))[0]
+            return pa.table({
+                id_col: pa.array([ids[best]], pa.int64()),
+                "dm": pa.array([int(dmin[best])], pa.int64()),
+                "vec": pa.array([q[best].tolist()],
+                                pa.list_(pa.int64()))})
+
+        cand = ds.select_columns([id_col, vec_col]) \
+            .map_batches(far_candidate, batch_format="pyarrow") \
+            .to_pandas()
+        if not len(cand):
+            break                              # k exceeds corpus size
+        order = np.lexsort((cand[id_col].to_numpy(np.int64),
+                            -cand["dm"].to_numpy(np.int64)))[0]
+        row = cand.iloc[order]
+        sel_ids.append(int(row[id_col]))
+        sel_vecs.append(np.asarray(row["vec"], dtype=np.int64))
+        sel_dist.append(int(row["dm"]))
+
+    return pa.table({
+        "step": pa.array(np.arange(1, len(sel_ids) + 1,
+                                   dtype=np.int64)),
+        id_col: pa.array(sel_ids, pa.int64()),
+        "dist_micro2": pa.array(sel_dist, pa.int64())})

@@ -1480,3 +1480,98 @@ def source_token_entropy_ds(ds, text_col: str = "text",
         "distinct_tokens": pa.array(
             agg["distinct_tokens"].to_numpy(dtype=np.int64)),
         "entropy_micro": pa.array(ent.astype(np.int64))})
+
+
+def dsir_weights_ds(ds, target_lang: str = "en", text_col: str = "text",
+                    lang_col: str = "lang", id_col: str = "doc_id",
+                    num_buckets: int = 8192):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per document the
+    hashed bag-of-tokens LM log-ratio ``Σ_t [log p_target(b(t)) −
+    log p_raw(b(t))]`` in exact integer micro-nats on the shared
+    ``L(x) = round(ln(x)·1e6)`` grid, add-one smoothed over
+    ``num_buckets`` hashed feature buckets.  The target distribution
+    is the ``lang_col == target_lang`` slice; raw is the whole corpus.
+    High-weight docs "look like" the target slice and would be kept by
+    DSIR's importance resampling.
+
+    Scale shape: pass 1 is a per-batch arrow pre-reduce of
+    (bucket, c_all, c_tgt) cells into ONE vocabulary-INDEPENDENT
+    groupby — the hashing trick caps the shuffle at ``num_buckets``
+    cells no matter the corpus vocabulary; pass 2 is a pure scoring
+    map with the λ LUT (num_buckets int64s) broadcast once via
+    ``ray.put``.  Corpus text never shuffles; token md5s run through
+    DuckDB's vectorized kernel on the DISTINCT dictionary of each
+    batch.  Output: one (doc_id, n_tokens, weight_micro) row per doc
+    (token-less docs score 0)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import md5_u64_arr, round_away
+
+    B = int(num_buckets)
+
+    def _doc_buckets(b: pa.Table):
+        """→ (parent doc index, bucket id) for every token of the
+        batch, bucketing only the batch's distinct tokens."""
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b[text_col], ""), r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        par = pc.list_parent_indices(toks).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        keep = np.asarray(pc.not_equal(flat, ""))
+        dct = flat.dictionary_encode()
+        codes = dct.indices.to_numpy(zero_copy_only=False)
+        if len(dct.dictionary):
+            dict_buckets = (md5_u64_arr(dct.dictionary) %
+                            np.uint64(B)).astype(np.int64)
+            buckets = dict_buckets[codes]
+        else:
+            buckets = np.empty(0, dtype=np.int64)
+        return par[keep], buckets[keep]
+
+    def census(b: pa.Table) -> pa.Table:
+        par, buckets = _doc_buckets(b)
+        is_tgt = pc.equal(pc.fill_null(b[lang_col], ""), target_lang) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        c_all = np.bincount(buckets, minlength=B)
+        c_tgt = np.bincount(buckets[is_tgt[par]], minlength=B)
+        nz = np.flatnonzero(c_all)
+        return pa.table({
+            "bucket": pa.array(nz.astype(np.int64)),
+            "c_all": pa.array(c_all[nz].astype(np.int64)),
+            "c_tgt": pa.array(c_tgt[nz].astype(np.int64))})
+
+    cells = ds.select_columns([lang_col, text_col]) \
+        .map_batches(census, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(
+            Sum("c_all", alias_name="c_all"),
+            Sum("c_tgt", alias_name="c_tgt")).to_pandas()
+    c_all = np.zeros(B, dtype=np.int64)
+    c_tgt = np.zeros(B, dtype=np.int64)
+    bk = cells["bucket"].to_numpy(dtype=np.int64)
+    c_all[bk] = cells["c_all"].to_numpy(dtype=np.int64)
+    c_tgt[bk] = cells["c_tgt"].to_numpy(dtype=np.int64)
+    n_all, n_tgt = int(c_all.sum()), int(c_tgt.sum())
+
+    def _L(x) -> np.ndarray:
+        return round_away(np.log(np.asarray(x, dtype=np.float64))
+                          * 1_000_000, 0).astype(np.int64)
+
+    lam = (_L(c_tgt + 1) - int(_L(n_tgt + B))) \
+        - (_L(c_all + 1) - int(_L(n_all + B)))
+    lam_ref = ray.put(lam)
+
+    def score(b: pa.Table) -> pa.Table:
+        lut = ray.get(lam_ref)
+        par, buckets = _doc_buckets(b)
+        n = b.num_rows
+        n_tok = np.bincount(par, minlength=n).astype(np.int64)
+        w = np.zeros(n, dtype=np.int64)
+        np.add.at(w, par, lut[buckets])
+        return pa.table({id_col: b[id_col],
+                         "n_tokens": pa.array(n_tok),
+                         "weight_micro": pa.array(w)})
+
+    return ds.select_columns([id_col, text_col]) \
+        .map_batches(score, batch_format="pyarrow")

@@ -5985,7 +5985,64 @@ def q_source_token_entropy(sf_dir: str):
         _read(sf_dir, "documents", ["source", "text"]))
 
 
+def q_kcenter_select(sf_dir: str):
+    """Greedy k-center coreset (farthest-first traversal) over the
+    embeddings table — see
+    :func:`kgforge.functions.simsearch.kcenter_select_ds`."""
+    from kgforge.functions.simsearch import kcenter_select_ds
+
+    return kcenter_select_ds(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=8)
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled farthest-first traversal twin: step i picks the max
+    min-distance row of d_{i-1} (ties → smallest vec_id), d_i folds the
+    new center in via ``least``.  Distances are exact integers over the
+    same ``round(x·10⁶)`` quantization the engine uses — no float
+    summation-order risk in the compare."""
+    def dist(a: str, b: str) -> str:
+        # fixed 64-dim embeddings table (generate_series rejects
+        # lateral column bounds like len(qv))
+        return (f"(SELECT CAST(sum(({a}.qv[g.i] - {b}.qv[g.i]) * "
+                f"({a}.qv[g.i] - {b}.qv[g.i])) AS BIGINT) "
+                f"FROM generate_series(1, 64) g(i))")
+
+    parts = [
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) "
+        "AS qv FROM embeddings)",
+        ", s1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1)",
+        f", d1 AS (SELECT q.vec_id, q.qv, {dist('q', 's1')} AS dm "
+        "FROM q, s1 WHERE q.vec_id <> s1.vec_id)"]
+    for i in range(2, k + 1):
+        parts.append(f", s{i} AS (SELECT vec_id, qv, dm FROM d{i - 1} "
+                     "ORDER BY dm DESC, vec_id LIMIT 1)")
+        if i < k:
+            parts.append(
+                f", d{i} AS (SELECT d.vec_id, d.qv, "
+                f"least(d.dm, {dist('d', f's{i}')}) AS dm "
+                f"FROM d{i - 1} d, s{i} "
+                f"WHERE d.vec_id <> s{i}.vec_id)")
+    sel = ["SELECT CAST(1 AS BIGINT) AS step, vec_id, "
+           "CAST(0 AS BIGINT) AS dist_micro2 FROM s1"]
+    for i in range(2, k + 1):
+        sel.append(f"SELECT CAST({i} AS BIGINT), vec_id, "
+                   f"CAST(dm AS BIGINT) FROM s{i}")
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights vs the ``lang='en'`` target slice — see
+    :func:`kgforge.functions.textstats.dsir_weights_ds`."""
+    return F_text.dsir_weights_ds(
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"]),
+        target_lang="en")
+
+
 QUERIES = {
+    "kcenter_select": q_kcenter_select,
+    "dsir_weights": q_dsir_weights,
     "customer_gini": q_customer_gini,
     "lang_source_pmi": q_lang_source_pmi,
     "min_cost_supplier": q_min_cost_supplier,
@@ -9321,6 +9378,39 @@ SELECT w.pk AS p_partkey, w.sk AS s_suppkey, s.s_name,
        w.c AS min_cents, w.n_suppliers
 FROM w JOIN supplier s ON s.s_suppkey = w.sk
 WHERE w.rn = 1
+"""
+
+ORACLE_SQL["kcenter_select"] = _kcenter_sql(8)
+
+ORACLE_SQL["dsir_weights"] = r"""
+WITH toks AS (SELECT doc_id, lang,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS term
+              FROM documents),
+b AS (SELECT doc_id, lang,
+             CAST(CAST(concat('0x', substr(md5(term), 1, 16))
+                       AS UBIGINT) % 8192 AS BIGINT) AS bucket
+      FROM toks),
+cells AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_all,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c_tgt
+          FROM b GROUP BY 1),
+tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all,
+               CAST(sum(c_tgt) AS BIGINT) AS n_tgt FROM cells),
+lam AS (SELECT bucket,
+               (CAST(round(ln(c_tgt + 1) * 1000000) AS BIGINT)
+                - CAST(round(ln(n_tgt + 8192) * 1000000) AS BIGINT))
+             - (CAST(round(ln(c_all + 1) * 1000000) AS BIGINT)
+                - CAST(round(ln(n_all + 8192) * 1000000) AS BIGINT))
+                   AS lam
+        FROM cells, tot),
+per_doc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(l.lam) AS BIGINT) AS w
+            FROM b JOIN lam l USING (bucket) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.w, 0) AS weight_micro
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
 
 ORACLE_SQL["source_token_entropy"] = r"""

@@ -65,3 +65,101 @@ def test_containment_pairs_matches_bruteforce(ray_session):
             if len(sh[a] & sh[b]) / max(
                 1, len(sh[a] | sh[b])) < 0.3]
     assert asym, "fixture lost its asymmetric containment pairs"
+
+
+def test_dsir_weights_matches_bruteforce(ray_session):
+    import hashlib
+    import math
+
+    import ray.data as rd
+
+    from kgforge.functions.textstats import dsir_weights_ds
+
+    rng = np.random.RandomState(7)
+    tgt_vocab = ["alpha", "beta", "gamma", "delta"]
+    raw_vocab = ["uno", "dos", "tres", "quatro", "cinco"]
+    rows = []
+    for i in range(50):
+        is_en = i % 2 == 0
+        vocab = tgt_vocab if is_en else raw_vocab
+        n = rng.randint(0, 12)     # includes empty docs
+        rows.append((i, "en" if is_en else "es",
+                     " ".join(vocab[rng.randint(len(vocab))]
+                              for _ in range(n))))
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "lang": pa.array([r[1] for r in rows]),
+                    "text": pa.array([r[2] for r in rows])})
+    got = dsir_weights_ds(rd.from_arrow(tbl), target_lang="en") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    B = 8192
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:16], 16) % B
+
+    def L(x):
+        v = math.log(x) * 1e6
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    c_all, c_tgt = {}, {}
+    for _, lang, text in rows:
+        for t in text.split():
+            b = bucket(t)
+            c_all[b] = c_all.get(b, 0) + 1
+            if lang == "en":
+                c_tgt[b] = c_tgt.get(b, 0) + 1
+    n_all, n_tgt = sum(c_all.values()), sum(c_tgt.values())
+    for did, lang, text in rows:
+        toks = text.split()
+        w = sum((L(c_tgt.get(bucket(t), 0) + 1) - L(n_tgt + B))
+                - (L(c_all.get(bucket(t), 0) + 1) - L(n_all + B))
+                for t in toks)
+        r = got.iloc[did]
+        assert r["n_tokens"] == len(toks)
+        assert r["weight_micro"] == w, (did, r["weight_micro"], w)
+    # the planted signal: target-vocab docs score strictly higher
+    en_w = got[got.doc_id % 2 == 0].query("n_tokens > 0")["weight_micro"]
+    es_w = got[got.doc_id % 2 == 1].query("n_tokens > 0")["weight_micro"]
+    assert en_w.min() > es_w.max()
+
+
+def test_kcenter_select_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.simsearch import kcenter_select_ds
+
+    rng = np.random.RandomState(3)
+    # three well-separated clusters + duplicates of the seed point
+    cents = np.array([[0.0, 0.0, 0.0], [5.0, 5.0, 5.0],
+                      [-4.0, 3.0, -2.0]])
+    pts = np.concatenate([
+        cents[rng.randint(3, size=40)] + rng.randn(40, 3) * 0.01])
+    pts[7] = pts[0]                       # exact duplicate of an early id
+    ids = np.arange(40, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(map(float, p)) for p in pts],
+                              pa.list_(pa.float32()))})
+    k = 6
+    got = kcenter_select_ds(rd.from_arrow(tbl), k=k).to_pandas()
+
+    # brute force over the same quantization (the table stores
+    # float32, so quantize the float32-rounded values like the engine)
+    f32 = pts.astype(np.float32).astype(np.float64)
+    q = np.floor(np.abs(f32 * 1e6) + 0.5) * np.sign(f32)
+    q = q.astype(np.int64)
+    sel = [0]
+    dist = [0]
+    for _ in range(1, k):
+        dmin = np.min(
+            [((q - q[s][None, :]) ** 2).sum(1) for s in sel], axis=0)
+        cand = [i for i in range(40) if i not in sel]
+        best = max(cand, key=lambda i: (dmin[i], -i))
+        sel.append(best)
+        dist.append(int(dmin[best]))
+    assert list(got["vec_id"]) == sel
+    assert list(got["dist_micro2"]) == dist
+    assert list(got["step"]) == list(range(1, k + 1))
+    # sanity: the three clusters are covered by the first three picks
+    lab = np.argmin(((pts[:, None, :] - cents[None]) ** 2).sum(-1), 1)
+    assert len(set(lab[sel[:3]])) == 3
