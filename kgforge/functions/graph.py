@@ -3092,3 +3092,86 @@ def compose_edges_ds(edges_ds, pred_a: str, pred_b: str,
     return pairs.groupby([src, dst]) \
         .aggregate(Count(alias_name="__c")) \
         .map_batches(finish, batch_format="pyarrow")
+
+
+def bowtie_ds(edges_ds, max_hops: int = 6, src: str = "subj",
+              dst: str = "obj", num_partitions: int = 64,
+              driver_max_members: int = 2_000_000):
+    """Hop-bounded bow-tie census of the DIRECTED entity graph (Broder
+    et al. 2000, "Graph structure in the Web"): from the
+    lexicographically smallest node, nodes reachable forward AND
+    backward within ``max_hops`` are the seed's (bounded) SCC,
+    forward-only = OUT, backward-only = IN, neither = OTHER.  Output:
+    one ``(cls, n_nodes)`` row per non-empty class.
+
+    Scale shape: two :func:`_bfs_from` walks (the shared two-lane
+    broadcast/spill BFS engine) over the directed distinct-pair table
+    and its swap; classification is a flag-union groupby — (node,
+    in_fwd, in_bwd) rows, never adjacency — followed by a 4-row class
+    count.  The edge table never moves; the walks shuffle frontier
+    rows only when the visited set spills past the driver bound."""
+    from ray.data.aggregate import Sum
+
+    fwd = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=False).materialize()
+
+    def swap(b: pa.Table) -> pa.Table:
+        return pa.table({"n1": b["n2"], "n2": b["n1"]})
+
+    bwd = fwd.map_batches(swap, batch_format="pyarrow").materialize()
+
+    # seed = smallest node over BOTH endpoint columns (directed pairs
+    # don't surface sink-only nodes in n1)
+    def seed_partial(b: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([b["n1"].combine_chunks(),
+                              b["n2"].combine_chunks()]).unique()
+        return pa.table({"n": u.take(pc.sort_indices(u)[:1])})
+
+    cand: list[str] = []
+    for part in fwd.map_batches(seed_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        cand.extend(part["n"].to_pylist())
+    if not cand:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "cls": pa.array([], pa.string()),
+            "n_nodes": pa.array([], pa.int64())}))
+    seed = min(cand)
+
+    f_lv = _bfs_from(fwd, [seed], max_hops, num_partitions,
+                     driver_max_members)
+    b_lv = _bfs_from(bwd, [seed], max_hops, num_partitions,
+                     driver_max_members)
+
+    def tag(flag_f: int, flag_b: int):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table({
+                "node": b["node"],
+                "f": pa.array(np.full(n, flag_f, dtype=np.int64)),
+                "b": pa.array(np.full(n, flag_b, dtype=np.int64))})
+        return fn
+
+    def base(b: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([b["n1"].combine_chunks(),
+                              b["n2"].combine_chunks()]).unique()
+        z = np.zeros(len(u), dtype=np.int64)
+        return pa.table({"node": u, "f": pa.array(z), "b": pa.array(z)})
+
+    flags = fwd.map_batches(base, batch_format="pyarrow") \
+        .union(f_lv.map_batches(tag(1, 0), batch_format="pyarrow")) \
+        .union(b_lv.map_batches(tag(0, 1), batch_format="pyarrow")) \
+        .groupby("node").aggregate(Sum("f", alias_name="f"),
+                                   Sum("b", alias_name="b"))
+
+    def classify(b: pa.Table) -> pa.Table:
+        f = b["f"].combine_chunks().to_numpy(zero_copy_only=False) > 0
+        bb = b["b"].combine_chunks().to_numpy(zero_copy_only=False) > 0
+        cls = np.where(f & bb, "scc",
+                       np.where(f, "out", np.where(bb, "in", "other")))
+        return pa.table({"cls": pa.array(cls.tolist(), pa.string()),
+                         "one": pa.array(np.ones(b.num_rows, np.int64))})
+
+    return flags.map_batches(classify, batch_format="pyarrow") \
+        .groupby("cls").aggregate(Sum("one", alias_name="n_nodes"))

@@ -1109,3 +1109,40 @@ SELECT CAST(count(*) AS BIGINT) AS n_reached,
             // greatest(count(*), 1) AS BIGINT) AS mean_dist_milli
 FROM lv
 """
+
+
+def bowtie_sql(max_hops: int = 6) -> str:
+    """Recursive-CTE twin of :func:`kgforge.functions.graph.bowtie_ds`:
+    forward and backward hop-bounded walks from the lexicographically
+    smallest node over the DIRECTED distinct-pair graph (self-loops
+    dropped, matching the engine's pair table), then a flag-join class
+    census."""
+    prelude = entity_pairs_prelude().replace("\nWITH jj",
+                                             "\nWITH RECURSIVE jj", 1)
+    return prelude + f""",
+dprs AS (SELECT DISTINCT s, d FROM prs WHERE s <> d),
+bnodes AS (SELECT DISTINCT n FROM (
+             SELECT s AS n FROM dprs UNION ALL SELECT d FROM dprs)),
+bseed AS (SELECT n FROM bnodes ORDER BY n LIMIT 1),
+fwd(node, dd) AS (
+  SELECT n, 0 FROM bseed
+  UNION
+  SELECT p.d, fwd.dd + 1 FROM fwd JOIN dprs p ON p.s = fwd.node
+  WHERE fwd.dd < {max_hops}),
+bwd(node, dd) AS (
+  SELECT n, 0 FROM bseed
+  UNION
+  SELECT p.s, bwd.dd + 1 FROM bwd JOIN dprs p ON p.d = bwd.node
+  WHERE bwd.dd < {max_hops}),
+fs AS (SELECT DISTINCT node FROM fwd),
+bs AS (SELECT DISTINCT node FROM bwd)
+SELECT CASE WHEN fs.node IS NOT NULL AND bs.node IS NOT NULL THEN 'scc'
+            WHEN fs.node IS NOT NULL THEN 'out'
+            WHEN bs.node IS NOT NULL THEN 'in'
+            ELSE 'other' END AS cls,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM bnodes n
+LEFT JOIN fs ON fs.node = n.n
+LEFT JOIN bs ON bs.node = n.n
+GROUP BY 1
+"""

@@ -5985,6 +5985,15 @@ def q_source_token_entropy(sf_dir: str):
         _read(sf_dir, "documents", ["source", "text"]))
 
 
+def q_kg_bowtie(sf_dir: str):
+    """Hop-bounded bow-tie census (SCC / IN / OUT / OTHER from the
+    smallest node) of the directed entity graph — see
+    :func:`kgforge.functions.graph.bowtie_ds`."""
+    from kgforge.functions.graph import bowtie_ds
+
+    return bowtie_ds(_entity_edges_for(sf_dir), max_hops=6)
+
+
 def q_kcenter_select(sf_dir: str):
     """Greedy k-center coreset (farthest-first traversal) over the
     embeddings table — see
@@ -6041,6 +6050,7 @@ def q_dsir_weights(sf_dir: str):
 
 
 QUERIES = {
+    "kg_bowtie": q_kg_bowtie,
     "kcenter_select": q_kcenter_select,
     "dsir_weights": q_dsir_weights,
     "customer_gini": q_customer_gini,
@@ -9381,6 +9391,8 @@ WHERE w.rn = 1
 """
 
 ORACLE_SQL["kcenter_select"] = _kcenter_sql(8)
+
+ORACLE_SQL["kg_bowtie"] = _dict_oracle.bowtie_sql(max_hops=6)
 
 ORACLE_SQL["dsir_weights"] = r"""
 WITH toks AS (SELECT doc_id, lang,

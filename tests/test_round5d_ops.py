@@ -1,6 +1,7 @@
 """Round-5 session-D operators: Broder containment near-dup pairs,
-DSIR importance weights, and greedy k-center coreset selection — each
-against an independent brute-force oracle."""
+DSIR importance weights, greedy k-center coreset selection, and the
+directed bow-tie census — each against an independent brute-force
+oracle."""
 
 import numpy as np
 import pyarrow as pa
@@ -163,3 +164,51 @@ def test_kcenter_select_matches_bruteforce(ray_session):
     # sanity: the three clusters are covered by the first three picks
     lab = np.argmin(((pts[:, None, :] - cents[None]) ** 2).sum(-1), 1)
     assert len(set(lab[sel[:3]])) == 3
+
+
+def test_kg_bowtie_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import bowtie_ds
+
+    # planted bow-tie: cycle {a0,a1,a2} is the seed's SCC ('a0' is the
+    # smallest node), i* feed in, o* flow out, x* are disconnected
+    edges = [("i1", "a0"), ("i2", "i1"), ("a0", "a1"), ("a1", "a2"),
+             ("a2", "a0"), ("a1", "o1"), ("o1", "o2"), ("x1", "x2")]
+    tbl = pa.table({
+        "subj": pa.array([e[0] for e in edges]),
+        "pred": pa.array(["r"] * len(edges)),
+        "obj": pa.array([e[1] for e in edges])})
+
+    def brute(max_hops):
+        nodes = sorted({n for e in edges for n in e})
+        seed = nodes[0]
+        adj, radj = {}, {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+            radj.setdefault(d, set()).add(s)
+
+        def reach(start, g, hops):
+            seen, frontier = {start}, {start}
+            for _ in range(hops):
+                frontier = {y for x in frontier
+                            for y in g.get(x, ())} - seen
+                seen |= frontier
+            return seen
+
+        f, b = reach(seed, adj, max_hops), reach(seed, radj, max_hops)
+        out = {}
+        for n in nodes:
+            cls = ("scc" if n in f and n in b else
+                   "out" if n in f else "in" if n in b else "other")
+            out[cls] = out.get(cls, 0) + 1
+        return out
+
+    for dmm in (2_000_000, 1):      # broadcast lane, forced spill lane
+        got = bowtie_ds(rd.from_arrow(tbl), max_hops=6,
+                        driver_max_members=dmm).to_pandas()
+        got_d = dict(zip(got["cls"], got["n_nodes"]))
+        assert got_d == brute(6), (dmm, got_d)
+    # tighter horizon cuts the far-out node into OTHER
+    got1 = bowtie_ds(rd.from_arrow(tbl), max_hops=1).to_pandas()
+    assert dict(zip(got1["cls"], got1["n_nodes"])) == brute(1)
