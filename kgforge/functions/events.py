@@ -3123,3 +3123,137 @@ def peak_concurrency_ds(ds, gap_minutes: int = 30,
         "peak": pa.array([int(peak)], pa.int64()),
         "peak_t_us": pa.array([peak_t], pa.int64()),
         "n_sessions": pa.array([int(n_sessions)], pa.int64())})
+
+
+def removal_effect_ds(ds, conv_type: str = "purchase", steps: int = 6,
+                      by: str = "user_id", on: str = "ts",
+                      id_col: str = "event_id",
+                      type_col: str = "event_type",
+                      num_partitions: int = 64) -> pa.Table:
+    """Markov removal-effect attribution (Anderl et al. 2016): model
+    each user's journey (truncated at the first ``conv_type``) as a
+    first-order Markov chain with a virtual ``__START__`` state and an
+    implicit journey-``__END__`` absorber, then score every channel by
+    how much ``steps``-hop conversion mass disappears when the channel
+    becomes a black hole (transitions into it are lost; no
+    renormalization — the standard removal semantics).  All mass
+    arithmetic is integer micro-units with per-edge floor division, so
+    both engines land on identical int64s.  Output per non-conversion
+    channel: ``(channel, p_full_micro, p_removed_micro,
+    removal_micro)``.
+
+    Scale shape: ONE user-hash shuffle builds the journeys; inside a
+    partition truncation + transition extraction is fully vectorized
+    over all users at once (dictionary codes, prefix-sum conversion
+    counts, adjacent-pair masks) and only (prev, next, n) partial
+    counts leave — the global matrix is |types|²-bounded, and the
+    removal sweep is a driver-side loop over a tiny integer matrix."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    START, END = "__START__", "__END__"
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({by: b[by], type_col: b[type_col],
+                      "__on": pc.cast(_on_key(b[on]), pa.int64()),
+                      id_col: b[id_col]})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t[by], num_partitions)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            (by, "ascending"), ("__on", "ascending"),
+            (id_col, "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if not n:
+            return empty
+        te = t[type_col].combine_chunks().dictionary_encode()
+        names = te.dictionary.to_pylist()
+        codes = te.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        brk = _run_breaks(t[by].combine_chunks(),
+                          np.zeros(n, dtype=np.int32))
+        starts = np.flatnonzero(brk)
+        seg = np.repeat(starts,
+                        np.diff(np.concatenate([starts, [n]])))
+        conv_code = names.index(conv_type) if conv_type in names else -1
+        pref = np.concatenate([[0], np.cumsum(codes == conv_code)])
+        keep = (pref[:-1] - pref[seg]) == 0   # prefix up to 1st conv
+        # adjacent kept pairs within a user = real transitions
+        pair = keep[:-1] & keep[1:] & ~brk[1:] if n > 1 \
+            else np.zeros(0, dtype=bool)
+        a_codes = codes[:-1][pair]
+        b_codes = codes[1:][pair]
+        # per-user journey start / end rows (kept set is a run prefix)
+        last = np.zeros(n, dtype=bool)
+        last[np.concatenate([starts[1:] - 1, [n - 1]])] = True
+        end_row = keep & (last | np.concatenate(
+            [~keep[1:] | brk[1:], [True]])[:n])
+        S, E = len(names), len(names) + 1    # START / END codes
+        a_all = np.concatenate([a_codes,
+                                np.full(len(starts), S, np.int64),
+                                codes[end_row]])
+        b_all = np.concatenate([b_codes, codes[starts],
+                                np.full(int(end_row.sum()), E,
+                                        np.int64)])
+        key = a_all * (len(names) + 2) + b_all
+        uk, cnt = np.unique(key, return_counts=True)
+        lut = names + [START, END]
+        return pa.table({
+            "a": pa.array([lut[int(k) // (len(names) + 2)]
+                           for k in uk], pa.string()),
+            "b": pa.array([lut[int(k) % (len(names) + 2)]
+                           for k in uk], pa.string()),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    mat = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+
+    types = sorted(
+        r[type_col] for r in
+        ds.map_batches(
+            lambda b: pa.table(
+                {type_col: b[type_col].combine_chunks().unique()}),
+            batch_format="pyarrow")
+        .groupby(type_col).aggregate(Count(alias_name="__c"))
+        .take_all())
+
+    tot: dict[str, int] = {}
+    adj: dict[str, list] = {}
+    for a, b, c in zip(mat["a"], mat["b"], mat["n"]):
+        tot[a] = tot.get(a, 0) + int(c)
+        adj.setdefault(a, []).append((b, int(c)))
+
+    def absorbed(excl: str | None) -> int:
+        v = {START: 1_000_000}
+        got = 0
+        for _ in range(steps):
+            nv: dict[str, int] = {}
+            for a, mass in v.items():
+                for b, c in adj.get(a, ()):
+                    m = mass * c // tot[a]
+                    if b == conv_type:
+                        got += m
+                    elif b != END and b != excl:
+                        nv[b] = nv.get(b, 0) + m
+            v = nv
+        return got
+
+    p_full = absorbed(None)
+    chans = [t for t in types if t != conv_type]
+    p_rem = [absorbed(x) for x in chans]
+    return pa.table({
+        "channel": pa.array(chans, pa.string()),
+        "p_full_micro": pa.array([p_full] * len(chans), pa.int64()),
+        "p_removed_micro": pa.array(p_rem, pa.int64()),
+        "removal_micro": pa.array([p_full - p for p in p_rem],
+                                  pa.int64())})

@@ -5985,6 +5985,72 @@ def q_source_token_entropy(sf_dir: str):
         _read(sf_dir, "documents", ["source", "text"]))
 
 
+def q_removal_effect(sf_dir: str):
+    """Markov removal-effect channel attribution — see
+    :func:`kgforge.functions.events.removal_effect_ds`."""
+    from kgforge.functions.events import removal_effect_ds
+
+    return removal_effect_ds(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"]),
+        conv_type="purchase", steps=6)
+
+
+def _removal_effect_sql(conv: str = "purchase", steps: int = 6) -> str:
+    """Channel-parallel unrolled twin of ``removal_effect_ds``: the
+    propagation carries a ``ch`` column (one lane per removable
+    channel plus ``__FULL__``), exclusion is ``c.b <> v.ch``, and the
+    per-edge integer floor rule matches the engine exactly."""
+    sql = f"""
+WITH seq AS (SELECT user_id, event_type, ts, event_id,
+                    coalesce(sum(CASE WHEN event_type = '{conv}'
+                                      THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS prior_conv
+             FROM events),
+kept AS (SELECT user_id, event_type, ts, event_id
+         FROM seq WHERE prior_conv = 0),
+o AS (SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM kept),
+tr AS (SELECT event_type AS a, coalesce(nxt, '__END__') AS b FROM o
+       UNION ALL
+       SELECT '__START__', event_type FROM o WHERE rn = 1),
+c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2),
+t AS (SELECT a, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+ty AS (SELECT DISTINCT event_type AS ty FROM events
+       WHERE event_type <> '{conv}'),
+chs AS (SELECT ty AS ch FROM ty UNION ALL SELECT '__FULL__'),
+v0 AS (SELECT ch, '__START__' AS st, CAST(1000000 AS BIGINT) AS m
+       FROM chs)"""
+    for s in range(1, steps + 1):
+        sql += f""",
+g{s} AS (SELECT v.ch, CAST(sum(v.m * c.n // t.tot) AS BIGINT) AS g
+         FROM v{s - 1} v JOIN c ON c.a = v.st JOIN t ON t.a = v.st
+         WHERE c.b = '{conv}' GROUP BY 1),
+v{s} AS (SELECT v.ch, c.b AS st,
+                CAST(sum(v.m * c.n // t.tot) AS BIGINT) AS m
+         FROM v{s - 1} v JOIN c ON c.a = v.st JOIN t ON t.a = v.st
+         WHERE c.b <> '{conv}' AND c.b <> '__END__' AND c.b <> v.ch
+         GROUP BY 1, 2)"""
+    gs = " UNION ALL ".join(f"SELECT ch, g FROM g{s}"
+                            for s in range(1, steps + 1))
+    return sql + f""",
+gs AS ({gs}),
+ptab AS (SELECT chs.ch, CAST(coalesce(sum(gs.g), 0) AS BIGINT) AS p
+         FROM chs LEFT JOIN gs ON gs.ch = chs.ch GROUP BY 1)
+SELECT ch AS channel,
+       (SELECT p FROM ptab WHERE ch = '__FULL__') AS p_full_micro,
+       p AS p_removed_micro,
+       (SELECT p FROM ptab WHERE ch = '__FULL__') - p AS removal_micro
+FROM ptab WHERE ch <> '__FULL__'
+"""
+
+
 def q_kg_bowtie(sf_dir: str):
     """Hop-bounded bow-tie census (SCC / IN / OUT / OTHER from the
     smallest node) of the directed entity graph — see
@@ -6050,6 +6116,7 @@ def q_dsir_weights(sf_dir: str):
 
 
 QUERIES = {
+    "removal_effect": q_removal_effect,
     "kg_bowtie": q_kg_bowtie,
     "kcenter_select": q_kcenter_select,
     "dsir_weights": q_dsir_weights,
@@ -9393,6 +9460,8 @@ WHERE w.rn = 1
 ORACLE_SQL["kcenter_select"] = _kcenter_sql(8)
 
 ORACLE_SQL["kg_bowtie"] = _dict_oracle.bowtie_sql(max_hops=6)
+
+ORACLE_SQL["removal_effect"] = _removal_effect_sql("purchase", 6)
 
 ORACLE_SQL["dsir_weights"] = r"""
 WITH toks AS (SELECT doc_id, lang,

@@ -212,3 +212,79 @@ def test_kg_bowtie_matches_bruteforce(ray_session):
     # tighter horizon cuts the far-out node into OTHER
     got1 = bowtie_ds(rd.from_arrow(tbl), max_hops=1).to_pandas()
     assert dict(zip(got1["cls"], got1["n_nodes"])) == brute(1)
+
+
+def test_removal_effect_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.events import removal_effect_ds
+
+    # planted journeys: 'ad' is the sole gateway to conversion,
+    # 'blog' never leads anywhere, 'spam' appears only AFTER the
+    # conversion (so truncation must erase it from the chain)
+    journeys = (
+        [["ad", "buy"]] * 6 +
+        [["ad", "ad", "buy", "spam"]] * 3 +
+        [["blog"]] * 4 +
+        [["blog", "blog"]] * 2 +
+        [["ad"]] * 5
+    )
+    users, types, ts = [], [], []
+    for u, j in enumerate(journeys):
+        for i, ev in enumerate(j):
+            users.append(u)
+            types.append(ev)
+            ts.append(u * 1_000_000 + i)
+    n = len(users)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.asarray(ts, np.int64), pa.timestamp("us")),
+        "user_id": pa.array(np.asarray(users, np.int64)),
+        "event_type": pa.array(types)})
+    H = 6
+    got = removal_effect_ds(rd.from_arrow(tbl), conv_type="buy",
+                            steps=H).to_pandas()
+    got = got.sort_values("channel").reset_index(drop=True)
+
+    # brute force: rebuild the truncated chain + integer propagation
+    tr, tot = {}, {}
+    for j in journeys:
+        cut = j[:j.index("buy") + 1] if "buy" in j else j
+        seq = ["__START__"] + cut + (
+            ["__END__"] if cut[-1] != "buy" else ["__END__"])
+        # NOTE: engine emits an __END__ row for EVERY journey's last
+        # kept state (including 'buy'); it is never propagated from
+        for a, b in zip(seq[:-1], seq[1:]):
+            tr[(a, b)] = tr.get((a, b), 0) + 1
+            tot[a] = tot.get(a, 0) + 1
+
+    def absorbed(excl):
+        v = {"__START__": 1_000_000}
+        won = 0
+        for _ in range(H):
+            nv = {}
+            for a, m in v.items():
+                for (aa, b), c in tr.items():
+                    if aa != a:
+                        continue
+                    x = m * c // tot[a]
+                    if b == "buy":
+                        won += x
+                    elif b not in ("__END__", excl):
+                        nv[b] = nv.get(b, 0) + x
+            v = nv
+        return won
+
+    p_full = absorbed(None)
+    exp = {ch: absorbed(ch) for ch in ("ad", "blog", "spam")}
+    assert list(got["channel"]) == ["ad", "blog", "spam"]
+    for _, r in got.iterrows():
+        assert r["p_full_micro"] == p_full
+        assert r["p_removed_micro"] == exp[r["channel"]]
+        assert r["removal_micro"] == p_full - exp[r["channel"]]
+    # the planted structure: removing the gateway kills ALL conversion,
+    # removing the dead-end blog channel costs nothing
+    assert exp["ad"] == 0 and p_full > 0
+    assert exp["blog"] == p_full
+    # 'spam' only occurs post-conversion: truncation erases it
+    assert exp["spam"] == p_full
