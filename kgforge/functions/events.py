@@ -3257,3 +3257,94 @@ def removal_effect_ds(ds, conv_type: str = "purchase", steps: int = 6,
         "p_removed_micro": pa.array(p_rem, pa.int64()),
         "removal_micro": pa.array([p_full - p for p in p_rem],
                                   pa.int64())})
+
+
+def position_attribution_ds(ds, conv_type: str = "purchase",
+                            by: str = "user_id", on: str = "ts",
+                            id_col: str = "event_id",
+                            type_col: str = "event_type",
+                            num_partitions: int = 64):
+    """U-shaped (position-based) attribution: each CONVERTING user's
+    pre-conversion touches credit 40% to the first, 40% to the last,
+    and 20% split over the middles (single touch → 100%, two touches
+    → 50/50), in integer micro-credits with floor division (middles
+    get ``200000 // (cnt−2)`` each; no remainder redistribution — the
+    SQL twin floors identically).  Complements
+    :func:`first_touch` / :func:`removal_effect_ds` with the third
+    classic multi-touch rule.  Output: ``(channel, credit_micro,
+    n_touches)``.
+
+    Scale shape: one user-hash shuffle; per partition the
+    pre-first-conversion prefix, per-user positions and credits are
+    all vectorized run arithmetic, and only |channels|-bounded
+    (channel, credit, touches) partials leave."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({by: b[by], type_col: b[type_col],
+                      "__on": pc.cast(_on_key(b[on]), pa.int64()),
+                      id_col: b[id_col]})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t[by], num_partitions)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            (by, "ascending"), ("__on", "ascending"),
+            (id_col, "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        empty = pa.table({"channel": pa.array([], pa.string()),
+                          "credit": pa.array([], pa.int64()),
+                          "touches": pa.array([], pa.int64())})
+        if not n:
+            return empty
+        te = t[type_col].combine_chunks().dictionary_encode()
+        names = te.dictionary.to_pylist()
+        codes = te.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if conv_type not in names:
+            return empty
+        conv_code = names.index(conv_type)
+        brk = _run_breaks(t[by].combine_chunks(),
+                          np.zeros(n, dtype=np.int32))
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        seg = np.repeat(starts, lens)
+        isconv = codes == conv_code
+        pref = np.concatenate([[0], np.cumsum(isconv)])
+        # credited = strictly before the user's first conversion, and
+        # the user must convert at all
+        run_convs = np.repeat(pref[starts + lens] - pref[starts], lens)
+        credited = ((pref[:-1] - pref[seg]) == 0) & ~isconv \
+            & (run_convs > 0)
+        if not credited.any():
+            return empty
+        pos = np.arange(n, dtype=np.int64) - seg + 1     # 1-based rn
+        # cnt per run = credited touches (a run prefix) per user
+        cred_i = np.add.reduceat(credited.astype(np.int64), starts)
+        cnt = np.repeat(cred_i, lens)
+        rn, ct = pos[credited], cnt[credited]
+        credit = np.where(
+            ct == 1, 1_000_000,
+            np.where(ct == 2, 500_000,
+                     np.where((rn == 1) | (rn == ct), 400_000,
+                              200_000 // np.maximum(ct - 2, 1))))
+        ch = codes[credited]
+        sums = np.bincount(ch, weights=credit.astype(np.float64),
+                           minlength=len(names)).astype(np.int64)
+        cnts = np.bincount(ch, minlength=len(names)).astype(np.int64)
+        nz = np.flatnonzero(cnts)
+        return pa.table({
+            "channel": pa.array([names[i] for i in nz], pa.string()),
+            "credit": pa.array(sums[nz]),
+            "touches": pa.array(cnts[nz])})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby("channel").aggregate(
+            Sum("credit", alias_name="credit_micro"),
+            Sum("touches", alias_name="n_touches"))

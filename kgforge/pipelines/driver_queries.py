@@ -5985,6 +5985,17 @@ def q_source_token_entropy(sf_dir: str):
         _read(sf_dir, "documents", ["source", "text"]))
 
 
+def q_position_attribution(sf_dir: str):
+    """U-shaped position-based multi-touch attribution — see
+    :func:`kgforge.functions.events.position_attribution_ds`."""
+    from kgforge.functions.events import position_attribution_ds
+
+    return position_attribution_ds(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"]),
+        conv_type="purchase")
+
+
 def q_removal_effect(sf_dir: str):
     """Markov removal-effect channel attribution — see
     :func:`kgforge.functions.events.removal_effect_ds`."""
@@ -6116,6 +6127,7 @@ def q_dsir_weights(sf_dir: str):
 
 
 QUERIES = {
+    "position_attribution": q_position_attribution,
     "removal_effect": q_removal_effect,
     "kg_bowtie": q_kg_bowtie,
     "kcenter_select": q_kcenter_select,
@@ -9462,6 +9474,33 @@ ORACLE_SQL["kcenter_select"] = _kcenter_sql(8)
 ORACLE_SQL["kg_bowtie"] = _dict_oracle.bowtie_sql(max_hops=6)
 
 ORACLE_SQL["removal_effect"] = _removal_effect_sql("purchase", 6)
+
+ORACLE_SQL["position_attribution"] = r"""
+WITH seq AS (SELECT user_id, event_type, ts, event_id,
+                    coalesce(sum(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS prior_conv
+             FROM events),
+pre AS (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM seq
+        WHERE prior_conv = 0 AND event_type <> 'purchase'
+          AND user_id IN (SELECT DISTINCT user_id FROM events
+                          WHERE event_type = 'purchase')),
+cn AS (SELECT user_id, max(rn) AS cnt FROM pre GROUP BY 1),
+cr AS (SELECT p.event_type AS channel,
+              CASE WHEN c.cnt = 1 THEN 1000000
+                   WHEN c.cnt = 2 THEN 500000
+                   WHEN p.rn = 1 OR p.rn = c.cnt THEN 400000
+                   ELSE 200000 // (c.cnt - 2) END AS credit
+       FROM pre p JOIN cn c USING (user_id))
+SELECT channel, CAST(sum(credit) AS BIGINT) AS credit_micro,
+       CAST(count(*) AS BIGINT) AS n_touches
+FROM cr GROUP BY 1
+"""
 
 ORACLE_SQL["dsir_weights"] = r"""
 WITH toks AS (SELECT doc_id, lang,

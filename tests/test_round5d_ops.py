@@ -288,3 +288,54 @@ def test_removal_effect_matches_bruteforce(ray_session):
     assert exp["blog"] == p_full
     # 'spam' only occurs post-conversion: truncation erases it
     assert exp["spam"] == p_full
+
+
+def test_position_attribution_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.events import position_attribution_ds
+
+    # journeys exercising cnt = 1, 2, 3, 5, a non-converter, and a
+    # user who converts on their very first event (no credit at all)
+    journeys = [
+        ["ad", "buy"],                                   # cnt=1 → 100%
+        ["ad", "blog", "buy"],                           # cnt=2 → 50/50
+        ["ad", "mail", "blog", "buy"],                   # cnt=3 → U
+        ["blog", "ad", "mail", "ad", "blog", "buy"],     # cnt=5 → U
+        ["ad", "blog", "mail"],                          # never converts
+        ["buy", "ad", "blog"],                           # conv first
+    ]
+    users, types, ts = [], [], []
+    for u, j in enumerate(journeys):
+        for i, ev in enumerate(j):
+            users.append(u)
+            types.append(ev)
+            ts.append(u * 1_000_000 + i)
+    n = len(users)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.asarray(ts, np.int64), pa.timestamp("us")),
+        "user_id": pa.array(np.asarray(users, np.int64)),
+        "event_type": pa.array(types)})
+    got = position_attribution_ds(
+        rd.from_arrow(tbl), conv_type="buy").to_pandas()
+    got = got.sort_values("channel").reset_index(drop=True)
+
+    exp_credit: dict = {}
+    exp_touch: dict = {}
+    for j in journeys:
+        if "buy" not in j:
+            continue
+        pre = j[:j.index("buy")]
+        cnt = len(pre)
+        for rn, ch in enumerate(pre, start=1):
+            c = (1_000_000 if cnt == 1 else
+                 500_000 if cnt == 2 else
+                 400_000 if rn in (1, cnt) else
+                 200_000 // (cnt - 2))
+            exp_credit[ch] = exp_credit.get(ch, 0) + c
+            exp_touch[ch] = exp_touch.get(ch, 0) + 1
+    assert list(got["channel"]) == sorted(exp_credit)
+    for _, r in got.iterrows():
+        assert r["credit_micro"] == exp_credit[r["channel"]]
+        assert r["n_touches"] == exp_touch[r["channel"]]
