@@ -3175,3 +3175,76 @@ def bowtie_ds(edges_ds, max_hops: int = 6, src: str = "subj",
 
     return flags.map_batches(classify, batch_format="pyarrow") \
         .groupby("cls").aggregate(Sum("one", alias_name="n_nodes"))
+
+
+def hub_knockout_ds(edges_ds, k: int = 5, src: str = "subj",
+                    dst: str = "obj"):
+    """Attack-tolerance census (Albert, Jeong & Barabási 2000, "Error
+    and attack tolerance of complex networks"): remove the ``k``
+    highest-degree hubs (degree desc, node asc tiebreak) and report
+    the component structure before and after — one row per phase:
+    ``(phase, n_nodes, n_pairs, n_components, largest)`` where
+    ``n_nodes`` counts nodes with ≥1 surviving edge and ``n_pairs``
+    the distinct undirected pairs.
+
+    Scale shape: hub selection is a per-batch partial top-k over the
+    degree table folded on the driver (k rows broadcast); the
+    knockout is a pure ``is_in`` filter map; each phase's census rides
+    :func:`components_ds` (auto driver-union-find / distributed
+    min-label propagation) plus component-keyed aggregates — no step
+    materializes the graph on the driver beyond the measured
+    components bound."""
+    import ray
+    from ray.data.aggregate import Count, Max
+
+    deg = degree_ds(edges_ds, src=src, dst=dst)
+
+    def topk_partial(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("degree", "descending"),
+                                            ("node", "ascending")])
+        return b.take(idx[:k]).select(["node", "degree"])
+
+    cand = []
+    for part in deg.map_batches(topk_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        cand.extend(zip(part["node"].to_pylist(),
+                        part["degree"].to_pylist()))
+    cand.sort(key=lambda r: (-r[1], r[0]))
+    hubs = pa.array([n for n, _ in cand[:k]], pa.string())
+
+    def knockout(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.invert(pc.is_in(b[src], value_set=hubs)),
+            pc.invert(pc.is_in(b[dst], value_set=hubs)))
+        return b.filter(keep)
+
+    def census(phase: str, e_ds) -> dict:
+        und = _distinct_pairs_ds(e_ds, src, dst, "n1", "n2",
+                                 both_directions=True).materialize()
+        n_pairs = und.map_batches(
+            lambda b: b.filter(pc.less(b["n1"], b["n2"])),
+            batch_format="pyarrow").count()
+        comp = components_ds(e_ds, src=src, dst=dst)
+        szs = comp.groupby("component").aggregate(
+            Count(alias_name="size")).materialize()
+        n_comp = szs.count()
+        if n_comp:
+            largest = szs.aggregate(Max("size"))["max(size)"]
+            n_nodes = comp.count()
+        else:
+            largest, n_nodes = 0, 0
+        return {"phase": phase, "n_nodes": int(n_nodes),
+                "n_pairs": int(n_pairs),
+                "n_components": int(n_comp),
+                "largest": int(largest)}
+
+    post_edges = edges_ds.map_batches(
+        knockout, batch_format="pyarrow").materialize()
+    rows = [census("pre", edges_ds), census("post", post_edges)]
+    return pa.table({
+        "phase": pa.array([r["phase"] for r in rows], pa.string()),
+        "n_nodes": pa.array([r["n_nodes"] for r in rows], pa.int64()),
+        "n_pairs": pa.array([r["n_pairs"] for r in rows], pa.int64()),
+        "n_components": pa.array([r["n_components"] for r in rows],
+                                 pa.int64()),
+        "largest": pa.array([r["largest"] for r in rows], pa.int64())})

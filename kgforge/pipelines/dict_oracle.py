@@ -1146,3 +1146,45 @@ LEFT JOIN fs ON fs.node = n.n
 LEFT JOIN bs ON bs.node = n.n
 GROUP BY 1
 """
+
+
+def hub_knockout_sql(k: int = 5) -> str:
+    """Twin of :func:`kgforge.functions.graph.hub_knockout_ds`: hubs =
+    top-k by distinct-neighbor degree (degree DESC, node ASC), then the
+    recursive-closure component census before and after the knockout."""
+    prelude = entity_pairs_prelude().replace("\nWITH jj",
+                                             "\nWITH RECURSIVE jj", 1)
+    return prelude + f""",
+degq AS (SELECT n1 AS node, CAST(count(*) AS BIGINT) AS degree
+         FROM und GROUP BY 1),
+hubs AS (SELECT node FROM degq ORDER BY degree DESC, node LIMIT {k}),
+und2 AS (SELECT n1, n2 FROM und
+         WHERE n1 NOT IN (SELECT node FROM hubs)
+           AND n2 NOT IN (SELECT node FROM hubs)),
+r1(node, lab) AS (
+  SELECT n1, n1 FROM und
+  UNION
+  SELECT r.node, u.n2 FROM r1 r JOIN und u ON u.n1 = r.lab),
+c1 AS (SELECT node, min(lab) AS component FROM r1 GROUP BY node),
+s1 AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+       FROM c1 GROUP BY 1),
+r2(node, lab) AS (
+  SELECT n1, n1 FROM und2
+  UNION
+  SELECT r.node, u.n2 FROM r2 r JOIN und2 u ON u.n1 = r.lab),
+c2 AS (SELECT node, min(lab) AS component FROM r2 GROUP BY node),
+s2 AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+       FROM c2 GROUP BY 1)
+SELECT 'pre' AS phase,
+       CAST((SELECT count(*) FROM c1) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM und WHERE n1 < n2) AS BIGINT)
+           AS n_pairs,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_components,
+       CAST(coalesce((SELECT max(sz) FROM s1), 0) AS BIGINT) AS largest
+UNION ALL
+SELECT 'post',
+       CAST((SELECT count(*) FROM c2) AS BIGINT),
+       CAST((SELECT count(*) FROM und2 WHERE n1 < n2) AS BIGINT),
+       CAST((SELECT count(*) FROM s2) AS BIGINT),
+       CAST(coalesce((SELECT max(sz) FROM s2), 0) AS BIGINT)
+"""

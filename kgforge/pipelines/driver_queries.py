@@ -5985,6 +5985,14 @@ def q_source_token_entropy(sf_dir: str):
         _read(sf_dir, "documents", ["source", "text"]))
 
 
+def q_kg_robustness(sf_dir: str):
+    """Hub-knockout attack-tolerance census — see
+    :func:`kgforge.functions.graph.hub_knockout_ds`."""
+    from kgforge.functions.graph import hub_knockout_ds
+
+    return hub_knockout_ds(_entity_edges_for(sf_dir), k=5)
+
+
 def q_position_attribution(sf_dir: str):
     """U-shaped position-based multi-touch attribution — see
     :func:`kgforge.functions.events.position_attribution_ds`."""
@@ -6127,6 +6135,7 @@ def q_dsir_weights(sf_dir: str):
 
 
 QUERIES = {
+    "kg_robustness": q_kg_robustness,
     "position_attribution": q_position_attribution,
     "removal_effect": q_removal_effect,
     "kg_bowtie": q_kg_bowtie,
@@ -9472,6 +9481,8 @@ WHERE w.rn = 1
 ORACLE_SQL["kcenter_select"] = _kcenter_sql(8)
 
 ORACLE_SQL["kg_bowtie"] = _dict_oracle.bowtie_sql(max_hops=6)
+
+ORACLE_SQL["kg_robustness"] = _dict_oracle.hub_knockout_sql(k=5)
 
 ORACLE_SQL["removal_effect"] = _removal_effect_sql("purchase", 6)
 

@@ -339,3 +339,50 @@ def test_position_attribution_matches_bruteforce(ray_session):
     for _, r in got.iterrows():
         assert r["credit_micro"] == exp_credit[r["channel"]]
         assert r["n_touches"] == exp_touch[r["channel"]]
+
+
+def test_hub_knockout_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import hub_knockout_ds
+
+    # star through hub 'h' bridging two cliques + a separate pair;
+    # knocking out the hub (k=1) must split the giant component
+    edges = [("h", "a1"), ("h", "a2"), ("h", "b1"), ("h", "b2"),
+             ("a1", "a2"), ("b1", "b2"), ("c1", "c2")]
+    tbl = pa.table({
+        "subj": pa.array([e[0] for e in edges]),
+        "pred": pa.array(["r"] * len(edges)),
+        "obj": pa.array([e[1] for e in edges])})
+    got = hub_knockout_ds(rd.from_arrow(tbl), k=1).to_pandas()
+    got = got.set_index("phase")
+
+    def census(eds):
+        nodes = sorted({n for e in eds for n in e})
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in eds:
+            parent[find(a)] = find(b)
+        comps = {}
+        for n in nodes:
+            comps.setdefault(find(n), []).append(n)
+        pairs = {tuple(sorted(e)) for e in eds}
+        return (len(nodes), len(pairs), len(comps),
+                max(len(v) for v in comps.values()) if comps else 0)
+
+    pre = census(edges)
+    post = census([e for e in edges if "h" not in e])
+    for phase, exp in (("pre", pre), ("post", post)):
+        r = got.loc[phase]
+        assert (r["n_nodes"], r["n_pairs"], r["n_components"],
+                r["largest"]) == exp, (phase, dict(r))
+    # the attack signature: one giant component shatters
+    assert got.loc["pre", "n_components"] == 2
+    assert got.loc["post", "n_components"] == 3
+    assert got.loc["post", "largest"] < got.loc["pre", "largest"]
