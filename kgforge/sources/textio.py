@@ -69,3 +69,60 @@ def read_events_csv(path: str, columns: list[str] | None = None):
         return out
 
     return ds.map_batches(normalize, batch_format="pyarrow")
+
+
+def _binary_shard_reader(path: str, decode, columns):
+    """Shard-per-file table reader on Ray Data's streaming
+    ``read_binary_files`` source: each file decodes to Arrow ON THE
+    WORKER (one block per shard, nothing on the driver), with column
+    pruning pushed into the decoder."""
+    import ray.data as rd
+
+    files = rd.read_binary_files(path)
+
+    def decode_batch(b: pa.Table) -> pa.Table:
+        tables = [decode(data, columns)
+                  for data in b["bytes"].to_pylist()]
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return decode(None, columns).slice(0, 0)
+        return pa.concat_tables(tables, promote_options="default")
+
+    return files.map_batches(decode_batch, batch_format="pyarrow")
+
+
+def read_documents_orc(path: str, columns: list[str] | None = None):
+    """Documents table from ORC shards — column pruning happens at the
+    ORC stripe decode (``ORCFile.read(columns=...)``), mirroring the
+    parquet reader's scan-level pruning."""
+    from pyarrow import orc as _orc
+
+    want = columns or ["doc_id", "source", "text"]
+
+    def decode(data, cols):
+        if data is None:
+            return pa.table({c: pa.array([], pa.string())
+                             for c in want})
+        f = _orc.ORCFile(pa.BufferReader(data))
+        return f.read(columns=list(cols) if cols else None)
+
+    return _binary_shard_reader(path, decode, want)
+
+
+def read_documents_feather(path: str,
+                           columns: list[str] | None = None):
+    """Documents table from Feather/Arrow-IPC shards — zero-copy
+    column projection at the IPC decode."""
+    from pyarrow import feather as _feather
+
+    want = columns or ["doc_id", "source", "text"]
+
+    def decode(data, cols):
+        if data is None:
+            return pa.table({c: pa.array([], pa.string())
+                             for c in want})
+        return _feather.read_table(
+            pa.BufferReader(data),
+            columns=list(cols) if cols else None)
+
+    return _binary_shard_reader(path, decode, want)

@@ -386,3 +386,38 @@ def test_hub_knockout_matches_bruteforce(ray_session):
     assert got.loc["pre", "n_components"] == 2
     assert got.loc["post", "n_components"] == 3
     assert got.loc["post", "largest"] < got.loc["pre", "largest"]
+
+
+def test_orc_and_feather_sources_round_trip(ray_session, tmp_path):
+    from pyarrow import feather as pf
+    from pyarrow import orc as porc
+
+    from kgforge.functions.textstats import token_stats
+    from kgforge.sources.textio import (read_documents_feather,
+                                        read_documents_orc)
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "source": pa.array(["s0", "s1", "s0"]),
+        "text": pa.array(["hello world", "", "a b c d"]),
+        "lang": pa.array(["en", "en", "es"])})
+    od = tmp_path / "orc"
+    fd = tmp_path / "feather"
+    od.mkdir()
+    fd.mkdir()
+    porc.write_table(tbl.slice(0, 2), str(od / "part0.orc"))
+    porc.write_table(tbl.slice(2), str(od / "part1.orc"))
+    pf.write_feather(tbl.slice(0, 1), str(fd / "part0.feather"))
+    pf.write_feather(tbl.slice(1), str(fd / "part1.feather"))
+
+    for reader, root in ((read_documents_orc, od),
+                         (read_documents_feather, fd)):
+        ds = reader(str(root), columns=["doc_id", "text"])
+        got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(got.columns) == ["doc_id", "text"]
+        assert list(got["doc_id"]) == [1, 2, 3]
+        assert list(got["text"]) == ["hello world", "", "a b c d"]
+        # downstream operator runs unchanged on the ingested table
+        stats = ds.map_batches(token_stats, batch_format="pyarrow") \
+            .to_pandas().sort_values("doc_id")
+        assert list(stats["n_tokens"]) == [2, 0, 4]
