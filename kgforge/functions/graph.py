@@ -3248,3 +3248,67 @@ def hub_knockout_ds(edges_ds, k: int = 5, src: str = "subj",
         "n_components": pa.array([r["n_components"] for r in rows],
                                  pa.int64()),
         "largest": pa.array([r["largest"] for r in rows], pa.int64())})
+
+
+def densification_ds(triples_ds, n_docs: int, doc_col: str = "doc_id",
+                     src: str = "subj", dst: str = "obj",
+                     doc_num_start: int = 5) -> pa.Table:
+    """Densification-law census (Leskovec, Kleinberg & Faloutsos 2005,
+    "Graphs over time"): bucket the corpus into 10 arrival deciles by
+    document number and report, per decile, the NEW and CUMULATIVE
+    distinct edges and nodes — each edge/node stamped with its first
+    arrival (min doc number over its occurrences).  Super-linear
+    cum_edges vs cum_nodes growth is the densification signature.
+
+    Scale shape: one (subj, obj)-keyed min-groupby stamps edge
+    arrivals, one node-keyed min-groupby folds both endpoint roles;
+    only decile histograms (10 cells each) reach the driver."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    def proj(b: pa.Table) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(b[doc_col],
+                                              doc_num_start, 50),
+                      pa.int64())
+        return pa.table({"s": b[src], "d": b[dst], "num": num})
+
+    e_first = triples_ds.map_batches(proj, batch_format="pyarrow") \
+        .groupby(["s", "d"]).aggregate(Min("num", alias_name="num"))
+
+    def both_ends(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([
+                b["s"].combine_chunks().cast(pa.string()),
+                b["d"].combine_chunks().cast(pa.string())]),
+            "num": pa.concat_arrays([b["num"].combine_chunks()] * 2)})
+
+    n_first = e_first.map_batches(both_ends, batch_format="pyarrow") \
+        .groupby("node").aggregate(Min("num", alias_name="num"))
+
+    def decile_hist(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            num = b["num"].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            dec = np.minimum(num * 10 // max(n_docs, 1), 9)
+            h = np.bincount(dec, minlength=10).astype(np.int64)
+            return pa.table({"decile": pa.array(np.arange(10,
+                                                          dtype=np.int64)),
+                             col: pa.array(h)})
+        return fn
+
+    from ray.data.aggregate import Sum
+
+    eh = e_first.map_batches(decile_hist("e"), batch_format="pyarrow") \
+        .groupby("decile").aggregate(Sum("e", alias_name="e")) \
+        .to_pandas().set_index("decile")["e"]
+    nh = n_first.map_batches(decile_hist("n"), batch_format="pyarrow") \
+        .groupby("decile").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas().set_index("decile")["n"]
+    e_new = np.array([int(eh.get(d, 0)) for d in range(10)], np.int64)
+    n_new = np.array([int(nh.get(d, 0)) for d in range(10)], np.int64)
+    return pa.table({
+        "decile": pa.array(np.arange(10, dtype=np.int64)),
+        "new_edges": pa.array(e_new),
+        "cum_edges": pa.array(np.cumsum(e_new).astype(np.int64)),
+        "new_nodes": pa.array(n_new),
+        "cum_nodes": pa.array(np.cumsum(n_new).astype(np.int64))})

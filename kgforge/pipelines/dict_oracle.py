@@ -1188,3 +1188,35 @@ SELECT 'post',
        CAST((SELECT count(*) FROM s2) AS BIGINT),
        CAST(coalesce((SELECT max(sz) FROM s2), 0) AS BIGINT)
 """
+
+
+def densification_sql() -> str:
+    """Twin of :func:`kgforge.functions.graph.densification_ds`: edge
+    and node first-arrival deciles over the entity-graph triple stream
+    (``mentions`` provenance edges excluded), cumulative via a window
+    sum over the dense 0-9 decile axis."""
+    return _triples_ctes() + """,
+eF AS (SELECT subj, obj,
+              min(CAST(substring(doc_id, 6) AS BIGINT)) AS num
+       FROM trip WHERE pred <> 'mentions' GROUP BY 1, 2),
+nF AS (SELECT node, min(num) AS num FROM (
+         SELECT subj AS node, num FROM eF
+         UNION ALL SELECT obj, num FROM eF) GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents),
+ed AS (SELECT least(num * 10 // nd.n, 9) AS decile,
+              CAST(count(*) AS BIGINT) AS e
+       FROM eF, nd GROUP BY 1),
+nh AS (SELECT least(num * 10 // nd.n, 9) AS decile,
+              CAST(count(*) AS BIGINT) AS nn
+       FROM nF, nd GROUP BY 1),
+dec AS (SELECT unnest(generate_series(0, 9)) AS decile)
+SELECT CAST(d.decile AS BIGINT) AS decile,
+       CAST(coalesce(ed.e, 0) AS BIGINT) AS new_edges,
+       CAST(sum(coalesce(ed.e, 0)) OVER (ORDER BY d.decile)
+            AS BIGINT) AS cum_edges,
+       CAST(coalesce(nh.nn, 0) AS BIGINT) AS new_nodes,
+       CAST(sum(coalesce(nh.nn, 0)) OVER (ORDER BY d.decile)
+            AS BIGINT) AS cum_nodes
+FROM dec d LEFT JOIN ed ON ed.decile = d.decile
+LEFT JOIN nh ON nh.decile = d.decile
+"""

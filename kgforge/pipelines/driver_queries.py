@@ -5985,6 +5985,22 @@ def q_source_token_entropy(sf_dir: str):
         _read(sf_dir, "documents", ["source", "text"]))
 
 
+def q_kg_densification(sf_dir: str):
+    """Densification-law census (edge/node arrival deciles) — see
+    :func:`kgforge.functions.graph.densification_ds`."""
+    from kgforge.functions.graph import densification_ds
+
+    trip = _dict_flagship_for(sf_dir)["triples"]
+
+    def drop_mentions(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.equal(b["pred"], "mentions")))
+
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    return densification_ds(
+        trip.map_batches(drop_mentions, batch_format="pyarrow"),
+        n_docs=n_docs)
+
+
 def q_kg_robustness(sf_dir: str):
     """Hub-knockout attack-tolerance census — see
     :func:`kgforge.functions.graph.hub_knockout_ds`."""
@@ -6135,6 +6151,7 @@ def q_dsir_weights(sf_dir: str):
 
 
 QUERIES = {
+    "kg_densification": q_kg_densification,
     "kg_robustness": q_kg_robustness,
     "position_attribution": q_position_attribution,
     "removal_effect": q_removal_effect,
@@ -9483,6 +9500,8 @@ ORACLE_SQL["kcenter_select"] = _kcenter_sql(8)
 ORACLE_SQL["kg_bowtie"] = _dict_oracle.bowtie_sql(max_hops=6)
 
 ORACLE_SQL["kg_robustness"] = _dict_oracle.hub_knockout_sql(k=5)
+
+ORACLE_SQL["kg_densification"] = _dict_oracle.densification_sql()
 
 ORACLE_SQL["removal_effect"] = _removal_effect_sql("purchase", 6)
 

@@ -421,3 +421,42 @@ def test_orc_and_feather_sources_round_trip(ray_session, tmp_path):
         stats = ds.map_batches(token_stats, batch_format="pyarrow") \
             .to_pandas().sort_values("doc_id")
         assert list(stats["n_tokens"]) == [2, 0, 4]
+
+
+def test_densification_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import densification_ds
+
+    # 10 docs; edges planted so arrivals cluster early and repeat
+    # later (repeats must NOT count again), one brand-new late edge
+    trip = [
+        ("a", "b", 0), ("b", "c", 0),        # decile 0: 2 edges, 3 nodes
+        ("a", "b", 3),                        # repeat — no new arrival
+        ("c", "d", 5),                        # decile 5: 1 edge, 1 node
+        ("e", "f", 9), ("a", "f", 9),         # decile 9
+    ]
+    tbl = pa.table({
+        "subj": pa.array([t[0] for t in trip]),
+        "pred": pa.array(["rel"] * len(trip)),
+        "obj": pa.array([t[1] for t in trip]),
+        "doc_id": pa.array(["dict-%08d" % t[2] for t in trip])})
+    got = densification_ds(rd.from_arrow(tbl), n_docs=10).to_pandas()
+
+    e_first, n_first = {}, {}
+    for s, d, num in trip:
+        e_first[(s, d)] = min(e_first.get((s, d), num), num)
+    for (s, d), num in e_first.items():
+        for n in (s, d):
+            n_first[n] = min(n_first.get(n, num), num)
+    e_new = [0] * 10
+    n_new = [0] * 10
+    for num in e_first.values():
+        e_new[min(num * 10 // 10, 9)] += 1
+    for num in n_first.values():
+        n_new[min(num * 10 // 10, 9)] += 1
+    assert list(got["new_edges"]) == e_new
+    assert list(got["new_nodes"]) == n_new
+    assert list(got["cum_edges"]) == list(np.cumsum(e_new))
+    assert list(got["cum_nodes"]) == list(np.cumsum(n_new))
+    assert list(got["decile"]) == list(range(10))
