@@ -1220,3 +1220,22 @@ SELECT CAST(d.decile AS BIGINT) AS decile,
 FROM dec d LEFT JOIN ed ON ed.decile = d.decile
 LEFT JOIN nh ON nh.decile = d.decile
 """
+
+
+def triad_census_sql() -> str:
+    """Twin of :func:`kgforge.functions.graph.triad_census_ds`: the
+    same directed wedge table joined against the pair set for the two
+    closing-edge patterns; cycles counted at all three rotations ÷ 3."""
+    return entity_pairs_prelude() + """,
+dprs AS (SELECT DISTINCT s, d FROM prs WHERE s <> d),
+w AS (SELECT i.s AS a, i.d AS b, o.d AS c
+      FROM dprs i JOIN dprs o ON o.s = i.d AND o.d <> i.s)
+SELECT 'cycle' AS motif,
+       CAST((SELECT count(*) FROM w
+             JOIN dprs e ON e.s = w.c AND e.d = w.a) // 3
+            AS BIGINT) AS n
+UNION ALL
+SELECT 'ffl',
+       CAST((SELECT count(*) FROM w
+             JOIN dprs e ON e.s = w.a AND e.d = w.c) AS BIGINT)
+"""

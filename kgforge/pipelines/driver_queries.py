@@ -5985,6 +5985,14 @@ def q_source_token_entropy(sf_dir: str):
         _read(sf_dir, "documents", ["source", "text"]))
 
 
+def q_kg_triads(sf_dir: str):
+    """Directed triad-motif census (feed-forward vs cycle) — see
+    :func:`kgforge.functions.graph.triad_census_ds`."""
+    from kgforge.functions.graph import triad_census_ds
+
+    return triad_census_ds(_entity_edges_for(sf_dir))
+
+
 def q_kg_densification(sf_dir: str):
     """Densification-law census (edge/node arrival deciles) — see
     :func:`kgforge.functions.graph.densification_ds`."""
@@ -6151,6 +6159,7 @@ def q_dsir_weights(sf_dir: str):
 
 
 QUERIES = {
+    "kg_triads": q_kg_triads,
     "kg_densification": q_kg_densification,
     "kg_robustness": q_kg_robustness,
     "position_attribution": q_position_attribution,
@@ -9502,6 +9511,8 @@ ORACLE_SQL["kg_bowtie"] = _dict_oracle.bowtie_sql(max_hops=6)
 ORACLE_SQL["kg_robustness"] = _dict_oracle.hub_knockout_sql(k=5)
 
 ORACLE_SQL["kg_densification"] = _dict_oracle.densification_sql()
+
+ORACLE_SQL["kg_triads"] = _dict_oracle.triad_census_sql()
 
 ORACLE_SQL["removal_effect"] = _removal_effect_sql("purchase", 6)
 

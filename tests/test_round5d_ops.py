@@ -460,3 +460,38 @@ def test_densification_matches_bruteforce(ray_session):
     assert list(got["cum_edges"]) == list(np.cumsum(e_new))
     assert list(got["cum_nodes"]) == list(np.cumsum(n_new))
     assert list(got["decile"]) == list(range(10))
+
+
+def test_triad_census_matches_bruteforce(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from kgforge.functions.graph import triad_census_ds
+
+    rng = np.random.RandomState(17)
+    nodes = ["n%02d" % i for i in range(12)]
+    eset = set()
+    # plant one clean FFL and one clean cycle, then random edges
+    eset |= {("n00", "n01"), ("n01", "n02"), ("n00", "n02")}   # FFL
+    eset |= {("n03", "n04"), ("n04", "n05"), ("n05", "n03")}   # cycle
+    while len(eset) < 40:
+        a, b = rng.choice(12, 2, replace=False)
+        eset.add((nodes[a], nodes[b]))
+    edges = sorted(eset)
+    tbl = pa.table({
+        "subj": pa.array([e[0] for e in edges]),
+        "pred": pa.array(["r"] * len(edges)),
+        "obj": pa.array([e[1] for e in edges])})
+    got = triad_census_ds(rd.from_arrow(tbl)).to_pandas()
+    got_d = dict(zip(got["motif"], got["n"]))
+
+    ffl = cyc = 0
+    for a, b, c in itertools.permutations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset:
+            if (a, c) in eset:
+                ffl += 1
+            if (c, a) in eset:
+                cyc += 1
+    assert got_d == {"ffl": ffl, "cycle": cyc // 3}
+    assert got_d["ffl"] >= 1 and got_d["cycle"] >= 1
