@@ -1575,3 +1575,69 @@ def dsir_weights_ds(ds, target_lang: str = "en", text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]) \
         .map_batches(score, batch_format="pyarrow")
+
+
+def source_length_w1_ds(ds, text_col: str = "text",
+                        by: str = "source") -> pa.Table:
+    """Pairwise 1-D Wasserstein-1 distance between per-``by``
+    token-count distributions — the classic distribution-shift monitor
+    between corpus slices.  Over integer support, ``W1 = Σ_v |F_a(v) −
+    F_b(v)| · gap(v)``; cross-multiplying the empirical CDFs clears
+    the divisions so the numerator ``Σ |F_a(v)·n_b − F_b(v)·n_a| ·
+    gap`` is EXACT (arbitrary-precision ints on the driver, HUGEINT in
+    the SQL twin), reported as ``w1_micro = num·10⁶ // (n_a·n_b)``.
+
+    Scale shape: one (group, token-count) combiner groupby — the cell
+    count is |groups| × |distinct lengths| (length-bounded, never
+    corpus-bounded); the pairwise fold runs on the driver over that
+    bounded grid (same contract as the PMI / KL census ops)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.count_substring_regex(
+            pc.fill_null(b[text_col], ""), pattern=r"\S+")
+        t = pa.table({by: b[by], "v": pc.cast(v, pa.int64())})
+        g = t.group_by([by, "v"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({by: g[by], "v": g["v"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    cells = ds.select_columns([by, text_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby([by, "v"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+
+    groups = sorted(cells[by].unique())
+    dom = sorted(cells["v"].unique())
+    vidx = {v: i for i, v in enumerate(dom)}
+    hist = {g: [0] * len(dom) for g in groups}
+    for g, v, c in zip(cells[by], cells["v"], cells["c"]):
+        hist[g][vidx[v]] = int(c)
+    cum = {}
+    n_of = {}
+    for g in groups:
+        acc, cl = 0, []
+        for c in hist[g]:
+            acc += c
+            cl.append(acc)
+        cum[g], n_of[g] = cl, acc
+    gaps = [int(dom[i + 1]) - int(dom[i]) for i in range(len(dom) - 1)]
+
+    a_col, b_col, na_col, nb_col, w_col = [], [], [], [], []
+    for i, ga in enumerate(groups):
+        for gb in groups[i + 1:]:
+            na, nb = n_of[ga], n_of[gb]
+            num = sum(abs(cum[ga][k] * nb - cum[gb][k] * na) * gaps[k]
+                      for k in range(len(gaps)))
+            a_col.append(ga)
+            b_col.append(gb)
+            na_col.append(na)
+            nb_col.append(nb)
+            w_col.append(num * 1_000_000 // (na * nb)
+                         if na and nb else 0)
+    return pa.table({
+        "source_a": pa.array(a_col, pa.string()),
+        "source_b": pa.array(b_col, pa.string()),
+        "n_a": pa.array(na_col, pa.int64()),
+        "n_b": pa.array(nb_col, pa.int64()),
+        "w1_micro": pa.array(w_col, pa.int64())})

@@ -6150,6 +6150,14 @@ def _kcenter_sql(k: int = 8) -> str:
     return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
 
 
+def q_source_length_w1(sf_dir: str):
+    """Pairwise Wasserstein-1 between per-source length
+    distributions — see
+    :func:`kgforge.functions.textstats.source_length_w1_ds`."""
+    return F_text.source_length_w1_ds(
+        _read(sf_dir, "documents", ["source", "text"]))
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights vs the ``lang='en'`` target slice — see
     :func:`kgforge.functions.textstats.dsir_weights_ds`."""
@@ -6159,6 +6167,7 @@ def q_dsir_weights(sf_dir: str):
 
 
 QUERIES = {
+    "source_length_w1": q_source_length_w1,
     "kg_triads": q_kg_triads,
     "kg_densification": q_kg_densification,
     "kg_robustness": q_kg_robustness,
@@ -9541,6 +9550,34 @@ cr AS (SELECT p.event_type AS channel,
 SELECT channel, CAST(sum(credit) AS BIGINT) AS credit_micro,
        CAST(count(*) AS BIGINT) AS n_touches
 FROM cr GROUP BY 1
+"""
+
+ORACLE_SQL["source_length_w1"] = r"""
+WITH h AS (SELECT source,
+                  CAST(len(regexp_extract_all(coalesce(text, ''),
+                                              '\S+')) AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+dom AS (SELECT DISTINCT v FROM h),
+grid AS (SELECT s.source, d.v
+         FROM (SELECT DISTINCT source FROM h) s, dom d),
+F AS (SELECT g.source, g.v,
+             sum(coalesce(h.c, 0)) OVER (PARTITION BY g.source
+                                         ORDER BY g.v) AS f,
+             lead(g.v) OVER (PARTITION BY g.source ORDER BY g.v)
+                 - g.v AS gap
+      FROM grid g LEFT JOIN h ON h.source = g.source AND h.v = g.v)
+SELECT a.source AS source_a, b.source AS source_b,
+       na.n AS n_a, nb.n AS n_b,
+       CAST(coalesce(sum(CASE WHEN a.gap IS NULL THEN 0
+                              ELSE abs(a.f * nb.n - b.f * na.n)
+                                   * a.gap END), 0)
+            * 1000000 // (na.n * nb.n) AS BIGINT) AS w1_micro
+FROM F a JOIN F b ON a.v = b.v AND a.source < b.source
+JOIN n na ON na.source = a.source
+JOIN n nb ON nb.source = b.source
+GROUP BY 1, 2, 3, 4
 """
 
 ORACLE_SQL["dsir_weights"] = r"""

@@ -495,3 +495,46 @@ def test_triad_census_matches_bruteforce(ray_session):
                 cyc += 1
     assert got_d == {"ffl": ffl, "cycle": cyc // 3}
     assert got_d["ffl"] >= 1 and got_d["cycle"] >= 1
+
+
+def test_source_length_w1_matches_scipy_style_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.textstats import source_length_w1_ds
+
+    rng = np.random.RandomState(23)
+    rows = []
+    # s0 short docs, s1 long docs (planted shift), s2 mixed
+    for i in range(90):
+        src = "s%d" % (i % 3)
+        n = {"s0": rng.randint(1, 5), "s1": rng.randint(8, 15),
+             "s2": rng.randint(1, 15)}[src]
+        rows.append((src, " ".join(["w"] * n)))
+    rows.append(("s0", ""))              # zero-token doc
+    tbl = pa.table({"source": pa.array([r[0] for r in rows]),
+                    "text": pa.array([r[1] for r in rows])})
+    got = source_length_w1_ds(rd.from_arrow(tbl)).to_pandas()
+
+    lens = {}
+    for src, text in rows:
+        lens.setdefault(src, []).append(len(text.split()))
+
+    def w1(xs, ys):
+        # exact integer cross-multiplied CDF area over the union grid
+        dom = sorted(set(xs) | set(ys))
+        na, nb = len(xs), len(ys)
+        num = 0
+        for k in range(len(dom) - 1):
+            fa = sum(1 for x in xs if x <= dom[k])
+            fb = sum(1 for y in ys if y <= dom[k])
+            num += abs(fa * nb - fb * na) * (dom[k + 1] - dom[k])
+        return num * 1_000_000 // (na * nb)
+
+    for _, r in got.iterrows():
+        exp = w1(lens[r["source_a"]], lens[r["source_b"]])
+        assert r["w1_micro"] == exp, (r["source_a"], r["source_b"])
+        assert r["n_a"] == len(lens[r["source_a"]])
+    gd = {(r["source_a"], r["source_b"]): r["w1_micro"]
+          for _, r in got.iterrows()}
+    # planted shift: the short-vs-long pair dominates
+    assert gd[("s0", "s1")] == max(gd.values()) > 0
