@@ -6150,6 +6150,53 @@ def _kcenter_sql(k: int = 8) -> str:
     return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
 
 
+def q_benford_digits(sf_dir: str):
+    """Benford first-digit census of order totals (the classic
+    anomaly/fraud screen): observed count per leading digit plus the
+    Benford-law expectation in exact integer micro-units
+    (``E_d = n·(L(d+1)−L(d)) // L(10)`` on the shared log grid) and
+    the absolute deviation.  One pure map + 9-cell groupby; the
+    expectation folds on the driver."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def digits(b: pa.Table) -> pa.Table:
+        cents = round_away(
+            b["o_totalprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        cents = np.abs(cents)
+        d = cents.copy()
+        d[d == 0] = 1
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        h = np.bincount(d, minlength=10)[1:10].astype(np.int64)
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "observed": pa.array(h)})
+
+    obs = ds.map_batches(digits, batch_format="pyarrow") \
+        .groupby("digit").aggregate(
+            Sum("observed", alias_name="observed")).to_pandas() \
+        .set_index("digit")["observed"]
+    o = np.array([int(obs.get(d, 0)) for d in range(1, 10)], np.int64)
+    n = int(o.sum())
+
+    def L(x: float) -> int:
+        return int(round_away(np.log(x) * 1_000_000, 0))
+
+    exp = np.array([n * (L(d + 1) - L(d)) // L(10)
+                    for d in range(1, 10)], dtype=np.int64)
+    return pa.table({
+        "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+        "observed": pa.array(o),
+        "expected": pa.array(exp),
+        "abs_dev": pa.array(np.abs(o - exp).astype(np.int64))})
+
+
 def q_source_length_w1(sf_dir: str):
     """Pairwise Wasserstein-1 between per-source length
     distributions — see
@@ -6167,6 +6214,7 @@ def q_dsir_weights(sf_dir: str):
 
 
 QUERIES = {
+    "benford_digits": q_benford_digits,
     "source_length_w1": q_source_length_w1,
     "kg_triads": q_kg_triads,
     "kg_densification": q_kg_densification,
@@ -9550,6 +9598,30 @@ cr AS (SELECT p.event_type AS channel,
 SELECT channel, CAST(sum(credit) AS BIGINT) AS credit_micro,
        CAST(count(*) AS BIGINT) AS n_touches
 FROM cr GROUP BY 1
+"""
+
+ORACLE_SQL["benford_digits"] = r"""
+WITH o AS (SELECT CAST(substr(CAST(CAST(abs(round(o_totalprice * 100))
+                                   AS BIGINT) AS VARCHAR), 1, 1)
+                       AS BIGINT) AS d
+           FROM orders),
+h AS (SELECT greatest(d, 1) AS digit,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM o GROUP BY 1),
+dig AS (SELECT unnest(generate_series(1, 9)) AS digit),
+tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM h),
+j AS (SELECT CAST(dig.digit AS BIGINT) AS digit,
+             CAST(coalesce(h.observed, 0) AS BIGINT) AS observed,
+             CAST(tot.n * (CAST(round(ln(dig.digit + 1) * 1000000)
+                                AS BIGINT)
+                           - CAST(round(ln(dig.digit) * 1000000)
+                                  AS BIGINT))
+                  // CAST(round(ln(10) * 1000000) AS BIGINT)
+                  AS BIGINT) AS expected
+     FROM dig LEFT JOIN h ON h.digit = dig.digit, tot)
+SELECT digit, observed, expected,
+       CAST(abs(observed - expected) AS BIGINT) AS abs_dev
+FROM j
 """
 
 ORACLE_SQL["source_length_w1"] = r"""

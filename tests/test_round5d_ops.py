@@ -538,3 +538,54 @@ def test_source_length_w1_matches_scipy_style_bruteforce(ray_session):
           for _, r in got.iterrows()}
     # planted shift: the short-vs-long pair dominates
     assert gd[("s0", "s1")] == max(gd.values()) > 0
+
+
+def test_benford_digits_matches_bruteforce(ray_session, tmp_path):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import q_benford_digits
+
+    rng = np.random.RandomState(31)
+    # log-uniform prices follow Benford closely; add exact edge cents
+    prices = list(np.exp(rng.uniform(0, 10, 400)))
+    prices += [0.01, 9.99, 100.00, 0.0]
+    n = len(prices)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_custkey": pa.array(np.zeros(n, np.int64)),
+        "o_orderstatus": pa.array(["O"] * n),
+        "o_totalprice": pa.array(prices, pa.float64()),
+        "o_orderdate": pa.array(np.zeros(n, np.int64),
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n)}),
+        str(tmp_path / "orders.parquet"))
+    got = q_benford_digits(str(tmp_path)).to_pandas()
+
+    def lead(p):
+        c = abs(int(math.floor(abs(p * 100) + 0.5)))
+        if c == 0:
+            return 1
+        while c >= 10:
+            c //= 10
+        return c
+
+    obs = [0] * 10
+    for p in prices:
+        obs[lead(p)] += 1
+    tot = sum(obs[1:])
+
+    def L(x):
+        v = math.log(x) * 1e6
+        return int(math.floor(v + 0.5))
+
+    for _, r in got.iterrows():
+        d = int(r["digit"])
+        assert r["observed"] == obs[d]
+        exp = tot * (L(d + 1) - L(d)) // L(10)
+        assert r["expected"] == exp
+        assert r["abs_dev"] == abs(obs[d] - exp)
+    # log-uniform fixture: digit 1 dominates, near-monotone decay
+    o = list(got.sort_values("digit")["observed"])
+    assert o[0] == max(o)
