@@ -6150,6 +6150,32 @@ def _kcenter_sql(k: int = 8) -> str:
     return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
 
 
+def q_dsir_topk(sf_dir: str):
+    """DSIR selection: the 100 highest-importance docs by
+    (weight desc, doc_id asc) — the resampling step of the DSIR
+    pipeline as a per-batch partial-top-k + driver merge (only
+    num_batches × k candidate rows leave the scoring map)."""
+    scored = F_text.dsir_weights_ds(
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"]),
+        target_lang="en")
+    k = 100
+
+    def partial(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[
+            ("weight_micro", "descending"), ("doc_id", "ascending")])
+        return b.take(idx[:k])
+
+    cand = scored.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    cand = cand.sort_values(["weight_micro", "doc_id"],
+                            ascending=[False, True]).head(k)
+    return pa.table({
+        "doc_id": pa.array(cand["doc_id"].to_numpy(np.int64)),
+        "n_tokens": pa.array(cand["n_tokens"].to_numpy(np.int64)),
+        "weight_micro": pa.array(
+            cand["weight_micro"].to_numpy(np.int64))})
+
+
 def q_benford_digits(sf_dir: str):
     """Benford first-digit census of order totals (the classic
     anomaly/fraud screen): observed count per leading digit plus the
@@ -6214,6 +6240,7 @@ def q_dsir_weights(sf_dir: str):
 
 
 QUERIES = {
+    "dsir_topk": q_dsir_topk,
     "benford_digits": q_benford_digits,
     "source_length_w1": q_source_length_w1,
     "kg_triads": q_kg_triads,
@@ -9682,6 +9709,8 @@ SELECT d.doc_id,
        coalesce(p.w, 0) AS weight_micro
 FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
+
+ORACLE_SQL["dsir_topk"] = ORACLE_SQL["dsir_weights"].rstrip() + "\nORDER BY weight_micro DESC, d.doc_id LIMIT 100\n"
 
 ORACLE_SQL["source_token_entropy"] = r"""
 WITH toks AS (SELECT source,

@@ -589,3 +589,30 @@ def test_benford_digits_matches_bruteforce(ray_session, tmp_path):
     # log-uniform fixture: digit 1 dominates, near-monotone decay
     o = list(got.sort_values("digit")["observed"])
     assert o[0] == max(o)
+
+
+def test_dsir_topk_is_the_sorted_head(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import (q_dsir_topk,
+                                                  q_dsir_weights)
+
+    rng = np.random.RandomState(41)
+    vocab = ["alpha", "beta", "uno", "dos", "tres"]
+    rows = [(i, "en" if i % 2 == 0 else "es",
+             " ".join(vocab[rng.randint(5)]
+                      for _ in range(rng.randint(1, 9))))
+            for i in range(150)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows]),
+        "source": pa.array(["s"] * 150),
+        "text": pa.array([r[2] for r in rows]),
+        "n_chars": pa.array([len(r[2]) for r in rows], pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    allw = q_dsir_weights(str(tmp_path)).to_pandas()
+    top = q_dsir_topk(str(tmp_path)).to_pandas()
+    exp = allw.sort_values(["weight_micro", "doc_id"],
+                           ascending=[False, True]).head(100)
+    assert list(top["doc_id"]) == list(exp["doc_id"])
+    assert list(top["weight_micro"]) == list(exp["weight_micro"])
