@@ -1641,3 +1641,69 @@ def source_length_w1_ds(ds, text_col: str = "text",
         "n_a": pa.array(na_col, pa.int64()),
         "n_b": pa.array(nb_col, pa.int64()),
         "w1_micro": pa.array(w_col, pa.int64())})
+
+
+def mannwhitney_u_ds(ds, value_col: str = "n_chars",
+                     by: str = "source") -> pa.Table:
+    """Pairwise Mann–Whitney U (Wilcoxon rank-sum) between per-``by``
+    distributions of an integer column — the classic nonparametric
+    two-sample location-shift test between corpus slices.  Over the
+    shared value domain, ``U_a = Σ_v c_a(v)·(#b < v) + ½·c_a(v)·c_b(v)``
+    (ties counted half); the report carries ``u2 = 2·U_a`` so every
+    number stays an exact integer, plus the common-language effect
+    size ``cles_micro = u2·10⁶ // (2·n_a·n_b)`` (P(a > b) + ½P(a = b),
+    0.5 ⇔ no shift).
+
+    Scale shape: one (group, value) combiner groupby — cell count is
+    |groups| × |distinct values| (value-domain-bounded, never
+    corpus-bounded); the pairwise fold runs on the driver over that
+    bounded grid with Python-int exactness (same contract as
+    :func:`source_length_w1_ds`)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({by: b[by],
+                      "v": b[value_col].combine_chunks()
+                      .cast(pa.int64())})
+        g = t.group_by([by, "v"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({by: g[by], "v": g["v"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    cells = ds.select_columns([by, value_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby([by, "v"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+
+    groups = sorted(cells[by].unique())
+    dom = sorted(cells["v"].unique())
+    vidx = {v: i for i, v in enumerate(dom)}
+    hist = {g: [0] * len(dom) for g in groups}
+    for g, v, c in zip(cells[by], cells["v"], cells["c"]):
+        hist[g][vidx[v]] = int(c)
+
+    a_col, b_col, na_col, nb_col, u_col, e_col = [], [], [], [], [], []
+    for i, ga in enumerate(groups):
+        ca = hist[ga]
+        na = sum(ca)
+        for gb in groups[i + 1:]:
+            cb = hist[gb]
+            nb = sum(cb)
+            u2, cumb = 0, 0
+            for k in range(len(dom)):
+                u2 += 2 * ca[k] * cumb + ca[k] * cb[k]
+                cumb += cb[k]
+            a_col.append(ga)
+            b_col.append(gb)
+            na_col.append(na)
+            nb_col.append(nb)
+            u_col.append(u2)
+            e_col.append(u2 * 1_000_000 // (2 * na * nb)
+                         if na and nb else 0)
+    return pa.table({
+        "source_a": pa.array(a_col, pa.string()),
+        "source_b": pa.array(b_col, pa.string()),
+        "n_a": pa.array(na_col, pa.int64()),
+        "n_b": pa.array(nb_col, pa.int64()),
+        "u2": pa.array(u_col, pa.int64()),
+        "cles_micro": pa.array(e_col, pa.int64())})

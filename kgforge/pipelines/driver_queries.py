@@ -6249,7 +6249,17 @@ def q_kaplan_meier(sf_dir: str):
         by="o_custkey", on="o_orderdate", tie="o_orderkey")
 
 
+def q_mannwhitney_u(sf_dir: str):
+    """Pairwise Mann–Whitney rank-sum shift test between per-source
+    doc-length distributions — see
+    :func:`kgforge.functions.textstats.mannwhitney_u_ds`."""
+    return F_text.mannwhitney_u_ds(
+        _read(sf_dir, "documents", ["source", "n_chars"]),
+        value_col="n_chars", by="source")
+
+
 QUERIES = {
+    "mannwhitney_u": q_mannwhitney_u,
     "kaplan_meier": q_kaplan_meier,
     "dsir_topk": q_dsir_topk,
     "benford_digits": q_benford_digits,
@@ -9785,4 +9795,30 @@ km AS (SELECT rn, dur, r, d,
 SELECT dur AS gap_days, r AS n_risk, d AS n_events,
        s AS survival_micro
 FROM km
+"""
+
+ORACLE_SQL["mannwhitney_u"] = """
+WITH c AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n FROM c GROUP BY 1),
+p AS (SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+      FROM s a JOIN s b ON a.source < b.source),
+dom AS (SELECT DISTINCT v FROM c),
+grid AS (SELECT p.sa, p.sb, p.na, p.nb, d.v,
+                coalesce(ca.n, 0) AS cav, coalesce(cb.n, 0) AS cbv
+         FROM p CROSS JOIN dom d
+         LEFT JOIN c ca ON ca.source = p.sa AND ca.v = d.v
+         LEFT JOIN c cb ON cb.source = p.sb AND cb.v = d.v),
+w AS (SELECT sa, sb, na, nb, cav, cbv,
+             coalesce(sum(cbv) OVER (
+                 PARTITION BY sa, sb ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS cumb
+      FROM grid)
+SELECT sa AS source_a, sb AS source_b, na AS n_a, nb AS n_b,
+       CAST(sum(2 * cav * cumb + cav * cbv) AS BIGINT) AS u2,
+       CAST(sum(2 * cav * cumb + cav * cbv) * 1000000
+            // (2 * na * nb) AS BIGINT) AS cles_micro
+FROM w GROUP BY 1, 2, 3, 4
 """

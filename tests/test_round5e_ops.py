@@ -61,3 +61,39 @@ def test_kaplan_meier_matches_bruteforce(ray_session):
     # survival must be non-increasing and end strictly below start
     sm = got["survival_micro"].to_numpy()
     assert (np.diff(sm) <= 0).all() and sm[-1] < 1_000_000
+
+
+def test_mannwhitney_u_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.textstats import mannwhitney_u_ds
+
+    rng = np.random.RandomState(3)
+    srcs = (["alpha"] * 50) + (["beta"] * 70) + (["gamma"] * 30)
+    vals = np.concatenate([
+        rng.randint(10, 40, 50),
+        rng.randint(25, 60, 70),
+        rng.randint(10, 60, 30)]).astype(np.int64)
+    tbl = pa.table({"source": pa.array(srcs), "n_chars": pa.array(vals)})
+    got = mannwhitney_u_ds(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+    names = ["alpha", "beta", "gamma"]
+    samp = {g: vals[np.array(srcs) == g] for g in names}
+    k = 0
+    for i, ga in enumerate(names):
+        for gb in names[i + 1:]:
+            a, b = samp[ga], samp[gb]
+            u2 = int(2 * (a[:, None] > b[None, :]).sum()
+                     + (a[:, None] == b[None, :]).sum())
+            row = got.iloc[k]
+            assert (row["source_a"], row["source_b"]) == (ga, gb)
+            assert row["n_a"] == len(a) and row["n_b"] == len(b)
+            assert row["u2"] == u2
+            assert row["cles_micro"] == u2 * 1_000_000 // (
+                2 * len(a) * len(b))
+            k += 1
+    assert k == 3
+    # beta stochastically dominates alpha in this fixture
+    ab = got[(got.source_a == "alpha") & (got.source_b == "beta")]
+    assert int(ab["cles_micro"].iloc[0]) < 500_000
