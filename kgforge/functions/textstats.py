@@ -1707,3 +1707,47 @@ def mannwhitney_u_ds(ds, value_col: str = "n_chars",
         "n_b": pa.array(nb_col, pa.int64()),
         "u2": pa.array(u_col, pa.int64()),
         "cles_micro": pa.array(e_col, pa.int64())})
+
+
+def temperature_mix_ds(ds, size_col: str = "n_chars",
+                       by: str = "source",
+                       tau: float = 0.7) -> pa.Table:
+    """Temperature-scaled mixture weights per ``by`` slice — the
+    standard multilingual/multi-source LM sampling allocator
+    (p_i ∝ size_i^τ, τ<1 upweights small slices): per group the raw
+    size ``chars``, the tempered mass ``w_pow = round(chars^τ)`` on
+    the shared integer grid (round-half-away, matching SQL round()),
+    and the normalized ``weight_micro = w_pow·10⁶ // Σ w_pow`` — all
+    integer after the one gridded pow, so both engines agree
+    bit-for-bit.
+
+    Scale shape: a pure per-batch sum partial + one |groups|-row
+    groupby; the normalization folds on the driver over bounded
+    rows."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({by: b[by],
+                      "c": b[size_col].combine_chunks()
+                      .cast(pa.int64())})
+        g = t.group_by([by], use_threads=False).aggregate(
+            [("c", "sum")])
+        return pa.table({by: g[by], "chars": g["c_sum"]})
+
+    agg = ds.select_columns([by, size_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(by).aggregate(Sum("chars", alias_name="chars")) \
+        .to_pandas().sort_values(by).reset_index(drop=True)
+
+    c = agg["chars"].to_numpy().astype(np.int64)
+    w = round_away(np.power(c.astype(np.float64), tau), 0) \
+        .astype(np.int64)
+    tot = int(w.sum())
+    wm = np.array([int(x) * 1_000_000 // tot for x in w], np.int64)
+    return pa.table({
+        by: pa.Array.from_pandas(agg[by]),
+        "chars": pa.array(c),
+        "w_pow": pa.array(w),
+        "weight_micro": pa.array(wm)})

@@ -6258,7 +6258,16 @@ def q_mannwhitney_u(sf_dir: str):
         value_col="n_chars", by="source")
 
 
+def q_temperature_mix(sf_dir: str):
+    """Temperature-scaled (τ=0.7) per-source sampling weights over
+    char budgets — see
+    :func:`kgforge.functions.textstats.temperature_mix_ds`."""
+    return F_text.temperature_mix_ds(
+        _read(sf_dir, "documents", ["source", "n_chars"]), tau=0.7)
+
+
 QUERIES = {
+    "temperature_mix": q_temperature_mix,
     "mannwhitney_u": q_mannwhitney_u,
     "kaplan_meier": q_kaplan_meier,
     "dsir_topk": q_dsir_topk,
@@ -9821,4 +9830,17 @@ SELECT sa AS source_a, sb AS source_b, na AS n_a, nb AS n_b,
        CAST(sum(2 * cav * cumb + cav * cbv) * 1000000
             // (2 * na * nb) AS BIGINT) AS cles_micro
 FROM w GROUP BY 1, 2, 3, 4
+"""
+
+ORACLE_SQL["temperature_mix"] = """
+WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM documents GROUP BY 1),
+w AS (SELECT source, chars,
+             CAST(round(pow(chars, 0.7)) AS BIGINT) AS w_pow
+      FROM s),
+t AS (SELECT CAST(sum(w_pow) AS BIGINT) AS tot FROM w)
+SELECT source, chars, w_pow,
+       CAST(w_pow * 1000000 // (SELECT tot FROM t) AS BIGINT)
+           AS weight_micro
+FROM w
 """

@@ -97,3 +97,32 @@ def test_mannwhitney_u_matches_bruteforce(ray_session):
     # beta stochastically dominates alpha in this fixture
     ab = got[(got.source_a == "alpha") & (got.source_b == "beta")]
     assert int(ab["cles_micro"].iloc[0]) < 500_000
+
+
+def test_temperature_mix_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.textstats import temperature_mix_ds
+
+    rng = np.random.RandomState(5)
+    srcs = rng.choice(["w", "x", "y", "z"], 200)
+    chars = rng.randint(50, 5000, 200).astype(np.int64)
+    tbl = pa.table({"source": pa.array(srcs.tolist()),
+                    "n_chars": pa.array(chars)})
+    got = temperature_mix_ds(rd.from_arrow(tbl), tau=0.7).to_pandas()
+
+    tot = {g: int(chars[srcs == g].sum()) for g in "wxyz"}
+    import math
+    w = {g: math.floor(abs(tot[g]) ** 0.7 + 0.5) for g in "wxyz"}
+    s = sum(w.values())
+    assert list(got["source"]) == list("wxyz")
+    for _, row in got.iterrows():
+        g = row["source"]
+        assert row["chars"] == tot[g]
+        assert row["w_pow"] == w[g]
+        assert row["weight_micro"] == w[g] * 1_000_000 // s
+    # tau < 1 upweights the smallest slice vs its raw share
+    small = min(tot, key=tot.get)
+    raw_micro = tot[small] * 1_000_000 // sum(tot.values())
+    assert int(got[got.source == small]["weight_micro"].iloc[0]) \
+        > raw_micro
