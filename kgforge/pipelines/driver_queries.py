@@ -6266,7 +6266,107 @@ def q_temperature_mix(sf_dir: str):
         _read(sf_dir, "documents", ["source", "n_chars"]), tau=0.7)
 
 
+def q_forecast_backtest(sf_dir: str):
+    """Seasonal-naive forecast backtest per nation: predict month m's
+    order revenue with month m−12, benchmark against the naive lag-1
+    predictor, report the MASE ratio in exact integer micro-units
+    (MASE < 1e6 ⇔ seasonality beats persistence).  Scale plan: ONE
+    custkey cogroup of orders against customer emits (nation, month,
+    cents) partials; the global groupby is nations × months bounded
+    and the lag algebra folds on the driver (nation names ride a
+    ≤25-row LUT)."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    empty = pa.table({"nk": pa.array([], pa.int64()),
+                      "ym": pa.array([], pa.int64()),
+                      "cents": pa.array([], pa.int64())})
+
+    def fuse(t: pa.Table, starts, nl, nr) -> pa.Table:
+        n = t.num_rows
+        keep_run = (nl > 0) & (nr > 0)
+        if not keep_run.any():
+            return empty
+        is_left = np.zeros(n, dtype=bool)
+        for s, a in zip(starts[keep_run], nl[keep_run]):
+            is_left[s:s + a] = True
+        nk_run = t["c_nationkey"].take(
+            pa.array((starts + nl)[keep_run])).combine_chunks() \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nk = np.repeat(nk_run, nl[keep_run])
+        od = t["o_orderdate"].filter(pa.array(is_left)) \
+            .combine_chunks()
+        ym = (pc.year(od).cast(pa.int64()).to_numpy(
+                  zero_copy_only=False) * 100
+              + pc.month(od).cast(pa.int64()).to_numpy(
+                  zero_copy_only=False))
+        cents = round_away(
+            t["o_totalprice"].filter(pa.array(is_left))
+            .combine_chunks().to_numpy(zero_copy_only=False) * 100,
+            0).astype(np.int64)
+        code = nk * 1_000_000 + ym
+        uniq, inv = np.unique(code, return_inverse=True)
+        sums = np.bincount(inv, weights=cents.astype(np.float64)) \
+            .astype(np.int64)
+        return pa.table({"nk": pa.array(uniq // 1_000_000),
+                         "ym": pa.array(uniq % 1_000_000),
+                         "cents": pa.array(sums)})
+
+    cells = cogroup_partition_ds(
+        orders, cust, "o_custkey", "c_custkey", fuse,
+        ["o_orderdate", "o_totalprice"], ["c_nationkey"],
+        left_schema=pa.schema([
+            ("o_custkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_totalprice", pa.float64())]),
+        right_schema=pa.schema([
+            ("c_custkey", pa.int64()),
+            ("c_nationkey", pa.int32())])) \
+        .groupby(["nk", "ym"]).aggregate(
+            Sum("cents", alias_name="cents")).to_pandas()
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(
+        nation["n_nationkey"].to_numpy(zero_copy_only=False),
+        nation["n_name"].to_pylist()))
+
+    out = {}
+    for nk, grp in cells.groupby("nk"):
+        rev = {int(r.ym): int(r.cents) for r in grp.itertuples()}
+        es = e1 = nm = 0
+        for ym, c in sorted(rev.items()):
+            prev = ym - 1 if ym % 100 != 1 else ym - 89
+            seas = ym - 100
+            if prev in rev and seas in rev:
+                nm += 1
+                es += abs(c - rev[seas])
+                e1 += abs(c - rev[prev])
+        if nm:
+            out[name_of[int(nk)]] = (
+                nm, es, e1, es * 1_000_000 // e1 if e1 else 0)
+    names = sorted(out)
+    return pa.table({
+        "n_name": pa.array(names, pa.string()),
+        "n_months": pa.array([out[n][0] for n in names], pa.int64()),
+        "sum_err_seasonal": pa.array([out[n][1] for n in names],
+                                     pa.int64()),
+        "sum_err_naive": pa.array([out[n][2] for n in names],
+                                  pa.int64()),
+        "mase_micro": pa.array([out[n][3] for n in names],
+                               pa.int64())})
+
+
 QUERIES = {
+    "forecast_backtest": q_forecast_backtest,
     "temperature_mix": q_temperature_mix,
     "mannwhitney_u": q_mannwhitney_u,
     "kaplan_meier": q_kaplan_meier,
@@ -9843,4 +9943,31 @@ SELECT source, chars, w_pow,
        CAST(w_pow * 1000000 // (SELECT tot FROM t) AS BIGINT)
            AS weight_micro
 FROM w
+"""
+
+ORACLE_SQL["forecast_backtest"] = """
+WITH r AS (SELECT c_nationkey AS nk,
+                  CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                       AS BIGINT) AS ym,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+b AS (SELECT cur.nk,
+             CAST(abs(cur.cents - s.cents) AS BIGINT) AS err_s,
+             CAST(abs(cur.cents - p.cents) AS BIGINT) AS err_1
+      FROM r cur
+      JOIN r s ON s.nk = cur.nk AND s.ym = cur.ym - 100
+      JOIN r p ON p.nk = cur.nk
+              AND p.ym = CASE WHEN cur.ym % 100 = 1
+                              THEN cur.ym - 89 ELSE cur.ym - 1 END)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_months,
+       CAST(sum(err_s) AS BIGINT) AS sum_err_seasonal,
+       CAST(sum(err_1) AS BIGINT) AS sum_err_naive,
+       CAST(CASE WHEN sum(err_1) = 0 THEN 0
+                 ELSE sum(err_s) * 1000000 // sum(err_1) END
+            AS BIGINT) AS mase_micro
+FROM b JOIN nation ON n_nationkey = nk
+GROUP BY 1
 """

@@ -126,3 +126,66 @@ def test_temperature_mix_matches_bruteforce(ray_session):
     raw_micro = tot[small] * 1_000_000 // sum(tot.values())
     assert int(got[got.source == small]["weight_micro"].iloc[0]) \
         > raw_micro
+
+
+def test_forecast_backtest_matches_bruteforce(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import q_forecast_backtest
+
+    rng = np.random.RandomState(9)
+    n_orders, n_cust = 600, 30
+    ck = rng.randint(1, n_cust + 1, n_orders).astype(np.int64)
+    day_us = 86_400_000_000
+    # ~3 years of dates starting 1995-01-01 (epoch day 9131)
+    ts = ((9131 + rng.randint(0, 1095, n_orders).astype(np.int64))
+          * day_us)
+    price = np.round(rng.uniform(10, 9000, n_orders), 2)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n_orders, dtype=np.int64)),
+        "o_custkey": pa.array(ck),
+        "o_orderdate": pa.array(ts).cast(pa.timestamp("us")),
+        "o_totalprice": pa.array(price)}),
+        str(tmp_path / "orders.parquet"))
+    nk = (np.arange(1, n_cust + 1, dtype=np.int64) % 4).astype(np.int32)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(1, n_cust + 1,
+                                        dtype=np.int64)),
+        "c_nationkey": pa.array(nk)}),
+        str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(np.arange(4, dtype=np.int32)),
+        "n_name": pa.array([f"N{i}" for i in range(4)])}),
+        str(tmp_path / "nation.parquet"))
+
+    got = q_forecast_backtest(str(tmp_path)).to_pandas()
+
+    # brute force
+    import collections
+    rev = collections.defaultdict(lambda: collections.defaultdict(int))
+    days = ts // day_us
+    import datetime
+    for i in range(n_orders):
+        d = datetime.date(1970, 1, 1) + datetime.timedelta(
+            days=int(days[i]))
+        ym = d.year * 100 + d.month
+        nat = int(nk[(ck[i] - 1)])
+        rev[nat][ym] += int(np.floor(price[i] * 100 + 0.5))
+    exp = {}
+    for nat, m in rev.items():
+        es = e1 = cnt = 0
+        for ym, c in sorted(m.items()):
+            prev = ym - 1 if ym % 100 != 1 else ym - 89
+            if prev in m and (ym - 100) in m:
+                cnt += 1
+                es += abs(c - m[ym - 100])
+                e1 += abs(c - m[prev])
+        if cnt:
+            exp[f"N{nat}"] = (cnt, es, e1,
+                              es * 1_000_000 // e1 if e1 else 0)
+    assert list(got["n_name"]) == sorted(exp)
+    for _, row in got.iterrows():
+        cnt, es, e1, mase = exp[row["n_name"]]
+        assert (row["n_months"], row["sum_err_seasonal"],
+                row["sum_err_naive"], row["mase_micro"]) \
+            == (cnt, es, e1, mase)
