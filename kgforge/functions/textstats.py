@@ -1751,3 +1751,170 @@ def temperature_mix_ds(ds, size_col: str = "n_chars",
         "chars": pa.array(c),
         "w_pow": pa.array(w),
         "weight_micro": pa.array(wm)})
+
+
+def _doc_char_ngrams(texts: list[str], n: int):
+    """All within-doc character n-gram u64 codes (21 bits per code
+    point, so a trigram packs exactly into 63 bits) over a batch,
+    plus the per-doc n-gram counts — ONE utf-32 pass over the
+    concatenated batch text, no per-char Python."""
+    joined = "".join(texts)
+    codes = np.frombuffer(joined.encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.uint64)
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    ng = np.maximum(lens - (n - 1), 0)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    tot = int(ng.sum())
+    if tot == 0:
+        return np.zeros(0, np.uint64), ng
+    within = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(ng)[:-1]]), ng)
+    idx = np.repeat(starts, ng) + within
+    out = codes[idx]
+    for j in range(1, n):
+        out = (out << np.uint64(21)) | codes[idx + j]
+    return out, ng
+
+
+def trigram_backoff_ds(docs_ds, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       by: str = "lang") -> "object":
+    """Char-trigram stupid-backoff LM scored on a held-out split —
+    the KenLM-style quality filter with honest OOV handling: the
+    model trains on even ``doc_id`` docs, scores odd ones.  Per
+    scored trigram (a,b,c): seen → ``L(c₃) − L(c₂(ab))``; else seen
+    bigram (b,c) → ``L4 + L(c₂(bc)) − L(c₁(b))``; else seen char c →
+    ``2·L4 + L(c₁(c)) − L(N)``; else OOV → ``2·L4 − L(N)`` — with
+    ``L(x) = round(ln(x)·1e6)`` the shared integer grid and
+    ``L4 = L(0.4)`` the backoff penalty, so every emitted number is
+    an exact int64 both engines agree on.  Reports per ``by`` slice
+    the scored doc/trigram counts, the per-backoff-level hit census
+    and the summed log-score.
+
+    Scale plan: the count pass ships per-batch ``np.unique`` partials
+    of DISTINCT grams (alphabet³-bounded, never corpus-sized); the
+    folded model broadcasts once via ``ray.put`` as three sorted u64
+    key + gridded-log arrays; scoring is searchsorted gathers + one
+    bounded per-slice groupby — documents never shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        texts = [(t or "") for t, i in
+                 zip(b[text_col].to_pylist(), ids) if i % 2 == 0]
+        lvl_col, g_col, c_col = [], [], []
+        for n in (1, 2, 3):
+            g, _ = _doc_char_ngrams(texts, n)
+            keys, counts = np.unique(g, return_counts=True)
+            lvl_col.append(np.full(len(keys), n, np.int64))
+            g_col.append(keys.astype(np.int64))
+            c_col.append(counts.astype(np.int64))
+        return pa.table({
+            "lvl": pa.array(np.concatenate(lvl_col)),
+            "g": pa.array(np.concatenate(g_col)),
+            "c": pa.array(np.concatenate(c_col))})
+
+    model = docs_ds.select_columns([id_col, text_col]) \
+        .map_batches(count_partial, batch_format="pyarrow") \
+        .groupby(["lvl", "g"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+
+    def level(n: int):
+        m = model[model["lvl"] == n]
+        k = m["g"].to_numpy().astype(np.uint64)
+        c = m["c"].to_numpy().astype(np.int64)
+        order = np.argsort(k)
+        k, c = k[order], c[order]
+        lg = round_away(np.log(c) * 1_000_000, 0).astype(np.int64) \
+            if len(c) else np.zeros(0, np.int64)
+        return k, c, lg
+
+    k1, c1, l1 = level(1)
+    k2, c2, l2 = level(2)
+    k3, c3, l3 = level(3)
+    big_n = int(c1.sum())
+    l_n = int(round_away(np.log(big_n) * 1_000_000, 0)) if big_n \
+        else 0
+    l4 = int(round_away(np.log(0.4) * 1_000_000, 0))
+    side = ray.put((k1, l1, k2, l2, k3, l3))
+
+    M21 = np.uint64((1 << 21) - 1)
+    M42 = np.uint64((1 << 42) - 1)
+
+    def _lookup(keys, sk, sv):
+        """Gathered values + hit mask via one searchsorted."""
+        if not len(sk):
+            return (np.zeros(len(keys), np.int64),
+                    np.zeros(len(keys), bool))
+        pos = np.searchsorted(sk, keys)
+        pos_c = np.minimum(pos, len(sk) - 1)
+        hit = sk[pos_c] == keys
+        return sv[pos_c], hit
+
+    def score(b: pa.Table, _s=side) -> pa.Table:
+        sk1, sv1, sk2, sv2, sk3, sv3 = ray.get(_s)
+        ids = b[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        keep_doc = ids % 2 == 1
+        texts = [(t or "") for t, k in
+                 zip(b[text_col].to_pylist(), keep_doc) if k]
+        langs = b[by].filter(pa.array(keep_doc))
+        g, ng = _doc_char_ngrams(texts, 3)
+        v3, h3 = _lookup(g, sk3, sv3)
+        w12 = g >> np.uint64(21)
+        w23 = g & M42
+        w2 = w12 & M21
+        w3 = g & M21
+        p12, _ = _lookup(w12, sk2, sv2)
+        p23, h23 = _lookup(w23, sk2, sv2)
+        u2, _ = _lookup(w2, sk1, sv1)
+        u3, h_u3 = _lookup(w3, sk1, sv1)
+        lev = np.where(h3, 0,
+                       np.where(h23, 1, np.where(h_u3, 2, 3)))
+        sc = np.where(
+            lev == 0, v3 - p12,
+            np.where(lev == 1, l4 + p23 - u2,
+                     np.where(lev == 2, 2 * l4 + u3 - l_n,
+                              2 * l4 - l_n))).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(ng)[:-1]])
+        has = ng > 0
+        out = {"n_docs": has.astype(np.int64),
+               "n_trigrams": ng}
+        sums = np.zeros(len(ng), np.int64)
+        if has.any():
+            sums[has] = np.add.reduceat(sc, offs[has])
+        out["score_micro"] = sums
+        for li, name in enumerate(["n_tri", "n_bi", "n_uni",
+                                   "n_oov"]):
+            cnt = np.zeros(len(ng), np.int64)
+            if has.any():
+                cnt[has] = np.add.reduceat(
+                    (lev == li).astype(np.int64), offs[has])
+            out[name] = cnt
+        cols = {by: langs}
+        cols.update({k: pa.array(v) for k, v in out.items()})
+        t = pa.table(cols)
+        g_ = t.group_by([by], use_threads=False).aggregate(
+            [(c, "sum") for c in out])
+        return g_.rename_columns([by] + list(out))
+
+    def drop_empty(b: pa.Table) -> pa.Table:
+        # a by-slice whose scored docs are all sub-trigram emits no
+        # row (mirrors the SQL twin, whose trigram rows define it)
+        return b.filter(pc.greater(b["n_trigrams"], 0))
+
+    return docs_ds.select_columns([id_col, by, text_col]) \
+        .map_batches(score, batch_format="pyarrow") \
+        .groupby(by).aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_trigrams", alias_name="n_trigrams"),
+            Sum("score_micro", alias_name="score_micro"),
+            Sum("n_tri", alias_name="n_tri"),
+            Sum("n_bi", alias_name="n_bi"),
+            Sum("n_uni", alias_name="n_uni"),
+            Sum("n_oov", alias_name="n_oov")) \
+        .map_batches(drop_empty, batch_format="pyarrow")

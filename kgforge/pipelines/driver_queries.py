@@ -6365,7 +6365,16 @@ def q_forecast_backtest(sf_dir: str):
                                pa.int64())})
 
 
+def q_trigram_backoff(sf_dir: str):
+    """Char-trigram stupid-backoff LM scored on the odd-doc_id
+    held-out split, per-lang backoff-level census — see
+    :func:`kgforge.functions.textstats.trigram_backoff_ds`."""
+    return F_text.trigram_backoff_ds(
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"]))
+
+
 QUERIES = {
+    "trigram_backoff": q_trigram_backoff,
     "forecast_backtest": q_forecast_backtest,
     "temperature_mix": q_temperature_mix,
     "mannwhitney_u": q_mannwhitney_u,
@@ -9970,4 +9979,68 @@ SELECT n_name,
             AS BIGINT) AS mase_micro
 FROM b JOIN nation ON n_nationkey = nk
 GROUP BY 1
+"""
+
+ORACLE_SQL["trigram_backoff"] = """
+WITH tr AS (SELECT doc_id, lang, coalesce(text, '') AS t
+            FROM documents),
+c3 AS (SELECT substr(t, CAST(i AS INT), 3) AS g,
+              CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT t, unnest(range(1, length(t) - 1)) AS i
+             FROM tr WHERE doc_id % 2 = 0)
+       GROUP BY 1),
+c2 AS (SELECT substr(t, CAST(i AS INT), 2) AS g,
+              CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT t, unnest(range(1, length(t))) AS i
+             FROM tr WHERE doc_id % 2 = 0)
+       GROUP BY 1),
+c1 AS (SELECT substr(t, CAST(i AS INT), 1) AS g,
+              CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT t, unnest(range(1, length(t) + 1)) AS i
+             FROM tr WHERE doc_id % 2 = 0)
+       GROUP BY 1),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c1),
+sc AS (SELECT lang, doc_id, substr(t, CAST(i AS INT), 3) AS g
+       FROM (SELECT lang, doc_id, t,
+                    unnest(range(1, length(t) - 1)) AS i
+             FROM tr WHERE doc_id % 2 = 1)),
+j AS (SELECT sc.lang, sc.doc_id,
+             c3.c AS c123, b12.c AS c12, b23.c AS c23,
+             u2.c AS cw2, u3.c AS cw3
+      FROM sc
+      LEFT JOIN c3 ON c3.g = sc.g
+      LEFT JOIN c2 b12 ON b12.g = substr(sc.g, 1, 2)
+      LEFT JOIN c2 b23 ON b23.g = substr(sc.g, 2, 2)
+      LEFT JOIN c1 u2 ON u2.g = substr(sc.g, 2, 1)
+      LEFT JOIN c1 u3 ON u3.g = substr(sc.g, 3, 1)),
+s AS (SELECT lang, doc_id,
+             CASE WHEN c123 IS NOT NULL THEN 0
+                  WHEN c23 IS NOT NULL THEN 1
+                  WHEN cw3 IS NOT NULL THEN 2 ELSE 3 END AS lev,
+             CASE WHEN c123 IS NOT NULL THEN
+                      CAST(round(ln(c123) * 1000000) AS BIGINT)
+                      - CAST(round(ln(c12) * 1000000) AS BIGINT)
+                  WHEN c23 IS NOT NULL THEN
+                      CAST(round(ln(0.4) * 1000000) AS BIGINT)
+                      + CAST(round(ln(c23) * 1000000) AS BIGINT)
+                      - CAST(round(ln(cw2) * 1000000) AS BIGINT)
+                  WHEN cw3 IS NOT NULL THEN
+                      2 * CAST(round(ln(0.4) * 1000000) AS BIGINT)
+                      + CAST(round(ln(cw3) * 1000000) AS BIGINT)
+                      - CAST(round(ln((SELECT n FROM n)) * 1000000)
+                             AS BIGINT)
+                  ELSE 2 * CAST(round(ln(0.4) * 1000000) AS BIGINT)
+                      - CAST(round(ln((SELECT n FROM n)) * 1000000)
+                             AS BIGINT)
+             END AS sm
+      FROM j)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(sm) AS BIGINT) AS score_micro,
+       CAST(count(*) FILTER (WHERE lev = 0) AS BIGINT) AS n_tri,
+       CAST(count(*) FILTER (WHERE lev = 1) AS BIGINT) AS n_bi,
+       CAST(count(*) FILTER (WHERE lev = 2) AS BIGINT) AS n_uni,
+       CAST(count(*) FILTER (WHERE lev = 3) AS BIGINT) AS n_oov
+FROM s GROUP BY 1
 """

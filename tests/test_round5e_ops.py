@@ -189,3 +189,77 @@ def test_forecast_backtest_matches_bruteforce(ray_session, tmp_path):
         assert (row["n_months"], row["sum_err_seasonal"],
                 row["sum_err_naive"], row["mase_micro"]) \
             == (cnt, es, e1, mase)
+
+
+def test_trigram_backoff_matches_bruteforce(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from kgforge.functions.textstats import trigram_backoff_ds
+
+    rng = np.random.RandomState(13)
+    alphabet = list("abcdef ")
+    texts, langs = [], []
+    for i in range(80):
+        k = rng.randint(0, 30)
+        texts.append("".join(rng.choice(alphabet, k)))
+        langs.append("L%d" % (i % 2))
+    ids = np.arange(80, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "lang": pa.array(langs),
+                    "text": pa.array(texts)})
+    got = trigram_backoff_ds(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+
+    def L(x):
+        return math.floor(abs(math.log(x) * 1e6) + 0.5) \
+            * (1 if math.log(x) >= 0 else -1)
+
+    def grams(t, n):
+        return [t[i:i + n] for i in range(len(t) - n + 1)]
+
+    import collections
+    c1 = collections.Counter()
+    c2 = collections.Counter()
+    c3 = collections.Counter()
+    for i in range(0, 80, 2):
+        c1.update(grams(texts[i], 1))
+        c2.update(grams(texts[i], 2))
+        c3.update(grams(texts[i], 3))
+    N = sum(c1.values())
+    L4 = L(0.4)  # ln(0.4) < 0 -> round-away on the negative side
+    assert L4 == -916291
+    exp = {}
+    for i in range(1, 80, 2):
+        lang = langs[i]
+        st = exp.setdefault(lang, [0, 0, 0, [0, 0, 0, 0]])
+        gs = grams(texts[i], 3)
+        if not gs:
+            continue
+        st[0] += 1
+        st[1] += len(gs)
+        for g in gs:
+            if g in c3:
+                st[2] += L(c3[g]) - L(c2[g[:2]])
+                st[3][0] += 1
+            elif g[1:] in c2:
+                st[2] += L4 + L(c2[g[1:]]) - L(c1[g[1]])
+                st[3][1] += 1
+            elif g[2] in c1:
+                st[2] += 2 * L4 + L(c1[g[2]]) - L(N)
+                st[3][2] += 1
+            else:
+                st[2] += 2 * L4 - L(N)
+                st[3][3] += 1
+    exp = {k: v for k, v in exp.items() if v[1] > 0}
+    assert list(got["lang"]) == sorted(exp)
+    for _, row in got.iterrows():
+        nd, nt, sm, lv = exp[row["lang"]]
+        assert (row["n_docs"], row["n_trigrams"],
+                row["score_micro"]) == (nd, nt, sm)
+        assert [row["n_tri"], row["n_bi"], row["n_uni"],
+                row["n_oov"]] == lv
+    # the fixture must actually exercise at least one backoff level
+    assert int(got["n_bi"].sum() + got["n_uni"].sum()
+               + got["n_oov"].sum()) > 0
