@@ -54,11 +54,16 @@ def hash_u64_np(strings, *, seed: int = 0) -> np.ndarray:
     so the blake2b→md5 family change is observable only in rows-only
     lanes, whose invariance tests are value-free by design.
     """
+    import pyarrow as pa
+
     n = len(strings)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     pre = f"{seed}\x1f" if seed else ""
-    if n < _HASH_NP_CUTOVER or not all(isinstance(s, str) for s in strings):
+    is_arrow = isinstance(strings, (pa.Array, pa.ChunkedArray))
+    if not is_arrow and (
+            n < _HASH_NP_CUTOVER
+            or not all(isinstance(s, str) for s in strings)):
         out = np.empty(n, dtype=np.uint64)
         pb = pre.encode("utf-8")
         for i, s in enumerate(strings):

@@ -3391,3 +3391,136 @@ def triad_census_ds(edges_ds, src: str = "subj", dst: str = "obj",
     return pa.table({
         "motif": pa.array(["cycle", "ffl"], pa.string()),
         "n": pa.array([cyc // 3, ffl], pa.int64())})
+
+
+def linkpred_auc_ds(edges_ds, src: str = "subj", dst: str = "obj",
+                    holdout_mod: int = 5,
+                    num_partitions: int = 64) -> pa.Table:
+    """Held-out AUC of common-neighbor link prediction — the
+    evaluation row for the linkpred family (CN/RA/AA/Jaccard all rank
+    by neighborhood overlap; CN is the shared backbone).  Protocol:
+    canonical undirected pairs whose md5 high-32 bits satisfy
+    ``h % holdout_mod == 0`` are HELD OUT (test positives, the same
+    first-8-hex-chars grid as the ``hash_split`` lane); the remaining
+    pairs form the training graph; candidates are every non-adjacent
+    distance-2 pair of the training graph scored by common-neighbor
+    count.  Positives missing from the candidate set score 0 (no
+    surviving path — counted in ``n_pos_zero``); negatives are the
+    non-test candidates.  AUC is the exact Mann–Whitney fold over the
+    two SCORE HISTOGRAMS: ``u2 = Σ_s pos(s)·(2·cum_neg(<s) + neg(s))``
+    and ``auc_micro = u2·10⁶ // (2·n_pos·n_neg)`` — all integers, so
+    the SQL twin agrees bit-for-bit.
+
+    Scale shape: the split is a pure streaming filter (no shuffle);
+    scoring reuses :func:`_cn_nonadj_ds` (hash-partitioned wedges,
+    per-block combiners, one cogroup); labeling is ONE pair-keyed
+    cogroup of candidates against the held-out edge set (membership,
+    not re-hash — a hash-matching non-edge is not a positive) that
+    also surfaces zero-score positives as right-only runs; after it
+    only (score, n_pos, n_neg) HISTOGRAM rows move —
+    score-domain-bounded — and the AUC folds on the driver with
+    Python-int exactness."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import hash_u64_np
+
+    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=True).materialize()
+
+    def is_test(lo, hi) -> np.ndarray:
+        key = pc.binary_join_element_wise(lo, hi, "\x1f")
+        h = hash_u64_np(key.combine_chunks()
+                        if isinstance(key, pa.ChunkedArray) else key)
+        return (h >> np.uint64(32)) \
+            % np.uint64(holdout_mod) == np.uint64(0)
+
+    def train_filter(b: pa.Table) -> pa.Table:
+        n1 = b["n1"].combine_chunks()
+        n2 = b["n2"].combine_chunks()
+        lo = pc.min_element_wise(n1, n2)
+        hi = pc.max_element_wise(n1, n2)
+        keep = pa.array(~is_test(lo, hi))
+        return pa.table({"n1": n1.filter(keep),
+                         "n2": n2.filter(keep)})
+
+    train = und.map_batches(train_filter, batch_format="pyarrow") \
+        .materialize()
+
+    def test_keys(b: pa.Table) -> pa.Table:
+        n1 = b["n1"].combine_chunks()
+        n2 = b["n2"].combine_chunks()
+        lt = pc.less(n1, n2)
+        lo, hi = n1.filter(lt), n2.filter(lt)
+        if not len(lo):
+            return pa.table({"k": pa.array([], pa.string())})
+        m = pa.array(is_test(lo, hi))
+        return pa.table({"k": pc.binary_join_element_wise(
+            lo.filter(m), hi.filter(m), "\x1f")})
+
+    tp = und.map_batches(test_keys, batch_format="pyarrow")
+
+    def cand_key(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pc.binary_join_element_wise(
+                b["a"].combine_chunks(), b["b"].combine_chunks(),
+                "\x1f"),
+            "cn": b["cn"]})
+
+    cand = _cn_nonadj_ds(train, num_partitions) \
+        .map_batches(cand_key, batch_format="pyarrow")
+
+    empty = pa.table({"s": pa.array([], pa.int64()),
+                      "pos_n": pa.array([], pa.int64()),
+                      "neg_n": pa.array([], pa.int64())})
+
+    def fuse(t: pa.Table, starts, nl, nr) -> pa.Table:
+        # candidates are distinct pairs (nl ≤ 1); a test-pair run with
+        # no candidate is a zero-score positive (no surviving path)
+        has_c = nl > 0
+        is_pos = nr > 0
+        s = np.zeros(len(starts), dtype=np.int64)
+        if has_c.any():
+            s[has_c] = t["cn"].take(pa.array(starts[has_c])) \
+                .combine_chunks().to_numpy(zero_copy_only=False)
+        keep = has_c | is_pos
+        if not keep.any():
+            return empty
+        code = s[keep] * 2 + is_pos[keep].astype(np.int64)
+        uniq, counts = np.unique(code, return_counts=True)
+        return pa.table({
+            "s": pa.array(uniq // 2),
+            "pos_n": pa.array(np.where(uniq % 2 == 1, counts, 0)
+                              .astype(np.int64)),
+            "neg_n": pa.array(np.where(uniq % 2 == 0, counts, 0)
+                              .astype(np.int64))})
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    hist = cogroup_partition_ds(
+        cand, tp, "k", "k", fuse, ["cn"], [],
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("k", pa.string()),
+                               ("cn", pa.int64())]),
+        right_schema=pa.schema([("k", pa.string())])) \
+        .groupby("s").aggregate(
+            Sum("pos_n", alias_name="pos_n"),
+            Sum("neg_n", alias_name="neg_n")).to_pandas() \
+        .sort_values("s").reset_index(drop=True)
+
+    s_vals = [int(x) for x in hist["s"]]
+    pos = [int(x) for x in hist["pos_n"]]
+    neg = [int(x) for x in hist["neg_n"]]
+    n_pos_zero = sum(p for s, p in zip(s_vals, pos) if s == 0)
+    n_pos, n_neg = sum(pos), sum(neg)
+    u2, cumn = 0, 0
+    for p, nn in zip(pos, neg):
+        u2 += p * (2 * cumn + nn)
+        cumn += nn
+    auc = u2 * 1_000_000 // (2 * n_pos * n_neg) \
+        if n_pos and n_neg else 0
+    return pa.table({
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+        "n_pos_zero": pa.array([n_pos_zero], pa.int64()),
+        "u2": pa.array([u2], pa.int64()),
+        "auc_micro": pa.array([auc], pa.int64())})

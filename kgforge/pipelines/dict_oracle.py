@@ -1239,3 +1239,56 @@ SELECT 'ffl',
        CAST((SELECT count(*) FROM w
              JOIN dprs e ON e.s = w.a AND e.d = w.c) AS BIGINT)
 """
+
+
+def linkpred_auc_sql(holdout_mod: int = 5) -> str:
+    """Held-out common-neighbor link-prediction AUC — twin of
+    :func:`kgforge.functions.graph.linkpred_auc_ds` (same md5
+    first-8-hex-chars holdout grid, same candidate protocol, same
+    exact Mann–Whitney histogram fold)."""
+    return entity_pairs_prelude() + f""",
+canon AS (SELECT n1, n2 FROM und WHERE n1 < n2),
+lab AS (SELECT n1, n2,
+               CAST(concat('0x', substr(md5(n1 || chr(31) || n2),
+                                        1, 8)) AS UBIGINT)
+                   % {holdout_mod} = 0 AS is_test
+        FROM canon),
+tr AS (SELECT n1, n2 FROM lab WHERE NOT is_test),
+trund AS (SELECT n1, n2 FROM tr
+          UNION ALL SELECT n2 AS n1, n1 AS n2 FROM tr),
+w AS (SELECT l.n2 AS a, r.n2 AS b FROM trund l
+      JOIN trund r ON r.n1 = l.n1 AND l.n2 < r.n2),
+cnt AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn
+        FROM w GROUP BY 1, 2),
+nonadj AS (SELECT cnt.a, cnt.b, cnt.cn FROM cnt
+           WHERE NOT EXISTS (SELECT 1 FROM tr u
+                             WHERE u.n1 = cnt.a AND u.n2 = cnt.b)),
+posall AS (SELECT n1 AS a, n2 AS b FROM lab WHERE is_test),
+poss AS (SELECT coalesce(cn.cn, 0) AS s FROM posall
+         LEFT JOIN nonadj cn
+             ON cn.a = posall.a AND cn.b = posall.b),
+negs AS (SELECT cn AS s FROM nonadj
+         WHERE NOT EXISTS (SELECT 1 FROM posall p
+                           WHERE p.a = nonadj.a
+                             AND p.b = nonadj.b)),
+ph AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM poss GROUP BY 1),
+nh AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM negs GROUP BY 1),
+dom AS (SELECT DISTINCT s FROM
+            (SELECT s FROM ph UNION ALL SELECT s FROM nh)),
+grid AS (SELECT d.s, coalesce(p.c, 0) AS pc_, coalesce(q.c, 0) AS nc_
+         FROM dom d LEFT JOIN ph p ON p.s = d.s
+         LEFT JOIN nh q ON q.s = d.s),
+wd AS (SELECT s, pc_, nc_,
+              coalesce(sum(nc_) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cumn
+       FROM grid)
+SELECT CAST(sum(pc_) AS BIGINT) AS n_pos,
+       CAST(sum(nc_) AS BIGINT) AS n_neg,
+       CAST(sum(CASE WHEN s = 0 THEN pc_ ELSE 0 END) AS BIGINT)
+           AS n_pos_zero,
+       CAST(sum(pc_ * (2 * cumn + nc_)) AS BIGINT) AS u2,
+       CAST(sum(pc_ * (2 * cumn + nc_)) * 1000000
+            // (2 * sum(pc_) * sum(nc_)) AS BIGINT) AS auc_micro
+FROM wd
+"""

@@ -6373,7 +6373,17 @@ def q_trigram_backoff(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "lang", "text"]))
 
 
+def q_kg_auc(sf_dir: str):
+    """Held-out AUC of common-neighbor link prediction over the
+    entity graph — see
+    :func:`kgforge.functions.graph.linkpred_auc_ds`."""
+    from kgforge.functions.graph import linkpred_auc_ds
+
+    return linkpred_auc_ds(_entity_edges_for(sf_dir))
+
+
 QUERIES = {
+    "kg_auc": q_kg_auc,
     "trigram_backoff": q_trigram_backoff,
     "forecast_backtest": q_forecast_backtest,
     "temperature_mix": q_temperature_mix,
@@ -10044,3 +10054,5 @@ SELECT lang,
        CAST(count(*) FILTER (WHERE lev = 3) AS BIGINT) AS n_oov
 FROM s GROUP BY 1
 """
+
+ORACLE_SQL["kg_auc"] = _dict_oracle.linkpred_auc_sql()

@@ -263,3 +263,55 @@ def test_trigram_backoff_matches_bruteforce(ray_session):
     # the fixture must actually exercise at least one backoff level
     assert int(got["n_bi"].sum() + got["n_uni"].sum()
                + got["n_oov"].sum()) > 0
+
+
+def test_linkpred_auc_matches_bruteforce(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from kgforge.functions.graph import linkpred_auc_ds
+
+    rng = np.random.RandomState(17)
+    nodes = ["n%02d" % i for i in range(30)]
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.choice(30, 2, replace=False)
+        edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    el = sorted(edges)
+    tbl = pa.table({"subj": pa.array([a for a, _ in el]),
+                    "obj": pa.array([b for _, b in el])})
+    got = linkpred_auc_ds(rd.from_arrow(tbl)).to_pandas().iloc[0]
+
+    def h(a, b):
+        return int(hashlib.md5(
+            f"{a}\x1f{b}".encode()).hexdigest()[:8], 16)
+
+    test = {e for e in edges if h(*e) % 5 == 0}
+    train = edges - test
+    adj = {}
+    for a, b in train:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # candidates: non-adjacent (in train) pairs with >= 1 common nbr
+    cand = {}
+    ns = sorted(adj)
+    for i, a in enumerate(ns):
+        for b in ns[i + 1:]:
+            if b in adj[a]:
+                continue
+            cn = len(adj[a] & adj[b])
+            if cn:
+                cand[(a, b)] = cn
+    pos_scores = [cand.get(e, 0) for e in test]
+    neg_scores = [v for k, v in cand.items() if k not in test]
+    u2 = sum(2 * int(p > n) + int(p == n)
+             for p in pos_scores for n in neg_scores)
+    assert got["n_pos"] == len(pos_scores)
+    assert got["n_neg"] == len(neg_scores)
+    assert got["n_pos_zero"] == sum(1 for p in pos_scores if p == 0)
+    assert got["u2"] == u2
+    assert got["auc_micro"] == u2 * 1_000_000 // (
+        2 * len(pos_scores) * len(neg_scores))
+    # fixture sanity: split non-trivial, AUC informative
+    assert len(test) > 2 and len(neg_scores) > 10
