@@ -1918,3 +1918,71 @@ def trigram_backoff_ds(docs_ds, text_col: str = "text",
             Sum("n_uni", alias_name="n_uni"),
             Sum("n_oov", alias_name="n_oov")) \
         .map_batches(drop_empty, batch_format="pyarrow")
+
+
+def ks_test_ds(ds, value_col: str = "n_chars",
+               by: str = "source") -> pa.Table:
+    """Pairwise two-sample Kolmogorov–Smirnov statistic between
+    per-``by`` distributions of an integer column — the sup-norm
+    member of the shift-test trio (:func:`source_length_w1_ds` is the
+    earth-mover member, :func:`mannwhitney_u_ds` the rank member).
+    Cross-multiplying the empirical CDFs clears the divisions:
+    ``ks_scaled = max_v |F_a(v)·n_b − F_b(v)·n_a|`` is an exact
+    integer and ``ks_micro = ks_scaled·10⁶ // (n_a·n_b)`` the
+    reported statistic.
+
+    Scale shape: identical to the W1 lane — one (group, value)
+    combiner groupby bounds the cells to |groups| × |distinct
+    values|; the pairwise sup fold runs on the driver over that
+    bounded grid with Python-int exactness."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({by: b[by],
+                      "v": b[value_col].combine_chunks()
+                      .cast(pa.int64())})
+        g = t.group_by([by, "v"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({by: g[by], "v": g["v"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    cells = ds.select_columns([by, value_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby([by, "v"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+
+    groups = sorted(cells[by].unique())
+    dom = sorted(cells["v"].unique())
+    vidx = {v: i for i, v in enumerate(dom)}
+    hist = {g: [0] * len(dom) for g in groups}
+    for g, v, c in zip(cells[by], cells["v"], cells["c"]):
+        hist[g][vidx[v]] = int(c)
+    cum, n_of = {}, {}
+    for g in groups:
+        acc, cl = 0, []
+        for c in hist[g]:
+            acc += c
+            cl.append(acc)
+        cum[g], n_of[g] = cl, acc
+
+    a_col, b_col, na_col, nb_col, ks_col, km_col = \
+        [], [], [], [], [], []
+    for i, ga in enumerate(groups):
+        for gb in groups[i + 1:]:
+            na, nb = n_of[ga], n_of[gb]
+            ks = max((abs(cum[ga][k] * nb - cum[gb][k] * na)
+                      for k in range(len(dom))), default=0)
+            a_col.append(ga)
+            b_col.append(gb)
+            na_col.append(na)
+            nb_col.append(nb)
+            ks_col.append(ks)
+            km_col.append(ks * 1_000_000 // (na * nb)
+                          if na and nb else 0)
+    return pa.table({
+        "source_a": pa.array(a_col, pa.string()),
+        "source_b": pa.array(b_col, pa.string()),
+        "n_a": pa.array(na_col, pa.int64()),
+        "n_b": pa.array(nb_col, pa.int64()),
+        "ks_scaled": pa.array(ks_col, pa.int64()),
+        "ks_micro": pa.array(km_col, pa.int64())})

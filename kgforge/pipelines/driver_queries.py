@@ -6382,7 +6382,17 @@ def q_kg_auc(sf_dir: str):
     return linkpred_auc_ds(_entity_edges_for(sf_dir))
 
 
+def q_ks_test(sf_dir: str):
+    """Pairwise two-sample Kolmogorov–Smirnov shift statistic between
+    per-source doc-length distributions — see
+    :func:`kgforge.functions.textstats.ks_test_ds`."""
+    return F_text.ks_test_ds(
+        _read(sf_dir, "documents", ["source", "n_chars"]),
+        value_col="n_chars", by="source")
+
+
 QUERIES = {
+    "ks_test": q_ks_test,
     "kg_auc": q_kg_auc,
     "trigram_backoff": q_trigram_backoff,
     "forecast_backtest": q_forecast_backtest,
@@ -10056,3 +10066,31 @@ FROM s GROUP BY 1
 """
 
 ORACLE_SQL["kg_auc"] = _dict_oracle.linkpred_auc_sql()
+
+ORACLE_SQL["ks_test"] = """
+WITH c AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n FROM c GROUP BY 1),
+p AS (SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+      FROM s a JOIN s b ON a.source < b.source),
+dom AS (SELECT DISTINCT v FROM c),
+grid AS (SELECT p.sa, p.sb, p.na, p.nb, d.v,
+                coalesce(ca.n, 0) AS cav, coalesce(cb.n, 0) AS cbv
+         FROM p CROSS JOIN dom d
+         LEFT JOIN c ca ON ca.source = p.sa AND ca.v = d.v
+         LEFT JOIN c cb ON cb.source = p.sb AND cb.v = d.v),
+w AS (SELECT sa, sb, na, nb,
+             sum(cav) OVER (PARTITION BY sa, sb ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cuma,
+             sum(cbv) OVER (PARTITION BY sa, sb ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumb
+      FROM grid)
+SELECT sa AS source_a, sb AS source_b, na AS n_a, nb AS n_b,
+       CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS ks_scaled,
+       CAST(max(abs(cuma * nb - cumb * na)) * 1000000
+            // (na * nb) AS BIGINT) AS ks_micro
+FROM w GROUP BY 1, 2, 3, 4
+"""

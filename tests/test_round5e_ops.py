@@ -315,3 +315,29 @@ def test_linkpred_auc_matches_bruteforce(ray_session):
         2 * len(pos_scores) * len(neg_scores))
     # fixture sanity: split non-trivial, AUC informative
     assert len(test) > 2 and len(neg_scores) > 10
+
+
+def test_ks_test_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.textstats import ks_test_ds
+
+    rng = np.random.RandomState(21)
+    srcs = (["p"] * 60) + (["q"] * 40)
+    vals = np.concatenate([rng.randint(0, 50, 60),
+                           rng.randint(20, 70, 40)]).astype(np.int64)
+    tbl = pa.table({"source": pa.array(srcs), "n_chars": pa.array(vals)})
+    got = ks_test_ds(rd.from_arrow(tbl)).to_pandas().iloc[0]
+
+    a = np.sort(vals[:60])
+    b = np.sort(vals[60:])
+    dom = np.unique(vals)
+    fa = np.searchsorted(a, dom, side="right")
+    fb = np.searchsorted(b, dom, side="right")
+    ks = int(np.abs(fa * 40 - fb * 60).max())
+    assert (got["source_a"], got["source_b"]) == ("p", "q")
+    assert (got["n_a"], got["n_b"]) == (60, 40)
+    assert got["ks_scaled"] == ks
+    assert got["ks_micro"] == ks * 1_000_000 // (60 * 40)
+    # shifted fixture must register a real gap
+    assert got["ks_micro"] > 100_000
