@@ -844,3 +844,154 @@ def bm25_topk_ds(ds, terms, n_docs: int, sum_dl: int,
     df = pd.DataFrame(parts).sort_values(
         ["score", id_col], ascending=[False, True]).head(k)
     return df.reset_index(drop=True)
+
+
+def bpe_merges_ds(docs_ds, text_col: str = "text",
+                  n_merges: int = 8):
+    """Learn the first ``n_merges`` BPE merge rules over the corpus —
+    classic Sennrich subword training, distributed: merges are picked
+    by weighted adjacent-symbol-pair frequency over the WORD-FREQUENCY
+    dictionary (never the raw corpus), applied left-to-right greedy
+    (overlapping runs keep every other match, the reference BPE
+    semantics), ties broken (count DESC, left ASC, right ASC) so the
+    rule sequence is deterministic.  Returns one row per merge:
+    ``(step, left, right, pair_count)``.
+
+    Scale shape: ONE corpus pass builds the (word, n) dict (per-batch
+    count partials, one vocab-bounded groupby); each of the
+    ``n_merges`` rounds is a vectorized pair-count map over the
+    symbolized dict + a pair groupby whose argmax ships per-block
+    TOP-1 partials to the driver, then a vectorized merge map — the
+    corpus is never re-read and nothing corpus-sized ever moves.  The
+    dict materializes per round (vocab-bounded) to keep the lineage
+    flat.  Iterative by nature → no SQL twin (rows-only lane; the
+    pure-Python reference BPE in the unit test is the oracle)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def word_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b[text_col], ""), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        t = pa.table({"word": flat})
+        g = t.group_by(["word"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"word": g["word"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    words = docs_ds.select_columns([text_col]) \
+        .map_batches(word_counts, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+
+    def symbolize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "syms": pa.array([list(w) for w in
+                              b["word"].to_pylist()],
+                             pa.list_(pa.string())),
+            "n": b["n"]})
+
+    dict_ds = words.map_batches(symbolize, batch_format="pyarrow") \
+        .materialize()
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        syms = b["syms"].combine_chunks()
+        vals = np.asarray(syms.values.to_pylist(), dtype=object)
+        offs = syms.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = b["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        npairs = np.maximum(lens - 1, 0)
+        tot = int(npairs.sum())
+        if tot == 0:
+            return pa.table({"l": pa.array([], pa.string()),
+                             "r": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(npairs)[:-1]]), npairs)
+        idx = np.repeat(offs[:-1], npairs) + within
+        w = np.repeat(n, npairs)
+        t = pa.table({"l": pa.array(vals[idx].tolist(), pa.string()),
+                      "r": pa.array(vals[idx + 1].tolist(),
+                                    pa.string()),
+                      "c": pa.array(w.astype(np.int64))})
+        g = t.group_by(["l", "r"], use_threads=False).aggregate(
+            [("c", "sum")])
+        return pa.table({"l": g["l"], "r": g["r"], "c": g["c_sum"]})
+
+    def top1(b: pa.Table) -> pa.Table:
+        if b.num_rows <= 1:
+            return b
+        c = pc.negate(b["c"]).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((np.asarray(b["r"].to_pylist()),
+                            np.asarray(b["l"].to_pylist()), c))
+        return b.take(pa.array(order[:1]))
+
+    def greedy_keep(match: np.ndarray) -> np.ndarray:
+        """Left-to-right non-overlapping keeps: within each run of
+        consecutive matches keep even offsets (reference BPE)."""
+        if not match.any():
+            return match
+        run_start = match & np.concatenate([[True], ~match[:-1]])
+        starts_idx = np.maximum.accumulate(
+            np.where(run_start, np.arange(len(match)), 0))
+        off = np.arange(len(match)) - starts_idx
+        return match & (off % 2 == 0)
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        cand = dict_ds.map_batches(pair_counts,
+                                   batch_format="pyarrow") \
+            .groupby(["l", "r"]).aggregate(Sum("c", alias_name="c")) \
+            .map_batches(top1, batch_format="pyarrow").to_pandas()
+        if not len(cand):
+            break
+        cand = cand.sort_values(["c", "l", "r"],
+                                ascending=[False, True, True])
+        left, right = str(cand.iloc[0]["l"]), str(cand.iloc[0]["r"])
+        cnt = int(cand.iloc[0]["c"])
+        if cnt <= 0:
+            break
+        merges.append((step, left, right, cnt))
+
+        def apply(b: pa.Table, _l=left, _r=right) -> pa.Table:
+            syms = b["syms"].combine_chunks()
+            vals = np.asarray(syms.values.to_pylist(), dtype=object)
+            offs = syms.offsets.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(vals) == 0:
+                return b
+            same_row = np.ones(max(len(vals) - 1, 0), dtype=bool)
+            row_end = np.zeros(len(vals), dtype=bool)
+            row_end[offs[1:] - 1] = True
+            same_row &= ~row_end[:-1]
+            match = (vals[:-1] == _l) & (vals[1:] == _r) & same_row
+            keep = greedy_keep(match)
+            if not keep.any():
+                return b
+            drop = np.zeros(len(vals), dtype=bool)
+            drop[np.flatnonzero(keep) + 1] = True
+            vals = vals.copy()
+            vals[np.flatnonzero(keep)] = _l + _r
+            lens = np.diff(offs)
+            drops_per_row = np.add.reduceat(
+                drop.astype(np.int64), offs[:-1]) \
+                if len(offs) > 1 else np.zeros(0, np.int64)
+            new_lens = lens - drops_per_row
+            new_vals = vals[~drop]
+            new_offs = np.concatenate(
+                [[0], np.cumsum(new_lens)]).astype(np.int32)
+            syms_new = pa.ListArray.from_arrays(
+                pa.array(new_offs, pa.int32()),
+                pa.array(new_vals.tolist(), pa.string()))
+            return pa.table({"syms": syms_new, "n": b["n"]})
+
+        dict_ds = dict_ds.map_batches(apply, batch_format="pyarrow") \
+            .materialize()
+
+    return pa.table({
+        "step": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64())})

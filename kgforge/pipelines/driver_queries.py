@@ -6391,7 +6391,19 @@ def q_ks_test(sf_dir: str):
         value_col="n_chars", by="source")
 
 
+def q_bpe_merges(sf_dir: str):
+    """First 8 learned BPE merge rules over the corpus word dict —
+    iterative by nature, rows-only lane (the pure-Python reference
+    BPE in the unit test is the oracle); see
+    :func:`kgforge.functions.indexing.bpe_merges_ds`."""
+    from kgforge.functions.indexing import bpe_merges_ds
+
+    return bpe_merges_ds(_read(sf_dir, "documents", ["text"]),
+                         n_merges=8)
+
+
 QUERIES = {
+    "bpe_merges": q_bpe_merges,
     "ks_test": q_ks_test,
     "kg_auc": q_kg_auc,
     "trigram_backoff": q_trigram_backoff,

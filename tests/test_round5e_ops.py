@@ -341,3 +341,64 @@ def test_ks_test_matches_bruteforce(ray_session):
     assert got["ks_micro"] == ks * 1_000_000 // (60 * 40)
     # shifted fixture must register a real gap
     assert got["ks_micro"] > 100_000
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Pure-Python Sennrich BPE on a word-frequency dict."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = \
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        merges.append((step, l, r, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_matches_reference(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from kgforge.functions.indexing import bpe_merges_ds
+
+    rng = np.random.RandomState(23)
+    base_words = ["lower", "lowest", "newer", "newest", "wider",
+                  "low", "new", "aaaa", "aaab", "banana"]
+    texts = []
+    for _ in range(50):
+        k = rng.randint(2, 12)
+        texts.append(" ".join(rng.choice(base_words, k)))
+    tbl = pa.table({"text": pa.array(texts)})
+    got = bpe_merges_ds(rd.from_arrow(tbl), n_merges=6).to_pandas()
+
+    wc = collections.Counter(
+        w for t in texts for w in t.split())
+    exp = _bpe_reference(wc, 6)
+    assert len(got) == len(exp) == 6
+    for (st, l, r, c), (_, row) in zip(exp, got.iterrows()):
+        assert (row["step"], row["left"], row["right"],
+                row["pair_count"]) == (st, l, r, c)
+    # the 'aaaa'/'aaab' runs force the overlapping-match greedy rule:
+    # the (a, a) merge must be learned, and applying it to 'aaaa'
+    # keeps every other match -> ('aa','aa'), never ('aa','a','a')
+    assert ("a", "a") in {(l, r) for _, l, r, _ in exp}
