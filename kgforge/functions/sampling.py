@@ -239,3 +239,79 @@ def weighted_sample_ds(ds, k: int = 50, weight_col: str = "n_chars",
                          weight_col: pa.array(w[hit], pa.int64())})
 
     return base.groupby("__p").map_groups(pick, batch_format="pyarrow")
+
+
+# Poisson(1) CDF thresholds on the u64 grid: T[k] = floor(P(X<=k)·2⁶⁴)
+# (50-digit Decimal, pinned as literals so the SQL twin can inline the
+# SAME integers — weight w = #{k : u >= T[k]} = the Poisson(1) inverse
+# CDF of u/2⁶⁴, capped at len(T)).
+POISSON1_U64_THRESHOLDS = (
+    6786177901268885274, 13572355802537770549, 16965444753172213186,
+    18096474403383694065, 18379231815936564285, 18435783298447138329,
+    18445208545532234003, 18446555009401533385, 18446723317385195808)
+
+
+def poisson_bootstrap_ds(ds, value_col: str = "o_totalprice",
+                         key_col: str = "o_orderkey",
+                         b_reps: int = 32) -> "pa.Table":
+    """Poisson bootstrap of the mean — THE web-scale bootstrap
+    (resampling weights are iid Poisson(1), so no replicate ever
+    needs a global sample): replicate ``b`` weighs row ``r`` by the
+    Poisson(1) inverse CDF of the md5-derived uniform
+    ``u = h64(key ‖ 0x1f ‖ b)``, fully deterministic on the same
+    first-16-hex-chars grid as the ``hash_split`` lane.  Reports the
+    full-data mean and the min/max replicate means (with B = 32 these
+    ARE the 2.5 % / 97.5 % order statistics) in exact integer
+    micro-cents: every sum is integral and the only division is the
+    final floored ``·10⁶ // n``.
+
+    Scale shape: one streaming pass; each batch emits B per-replicate
+    (Σ w·cents, Σ w) partial rows (B-bounded, never row-bounded), the
+    only exchange is the B-row groupby, and the order statistics fold
+    on the driver over B rows."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import hash_u64_np, round_away
+
+    thr = np.array(POISSON1_U64_THRESHOLDS, dtype=np.uint64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = round_away(
+            b[value_col].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        keys = pc.cast(b[key_col], pa.string()).combine_chunks()
+        reps, swc, sw = [], [], []
+        for rep in range(b_reps):
+            ks = pc.binary_join_element_wise(
+                keys, pa.scalar(str(rep)), "\x1f")
+            u = hash_u64_np(ks)
+            w = np.searchsorted(thr, u, side="right").astype(np.int64)
+            reps.append(rep)
+            swc.append(int((w * cents).sum()))
+            sw.append(int(w.sum()))
+        return pa.table({
+            "rep": pa.array(reps, pa.int64()),
+            "swc": pa.array(swc, pa.int64()),
+            "sw": pa.array(sw, pa.int64()),
+            "sc": pa.array([int(cents.sum())] + [0] * (b_reps - 1),
+                           pa.int64()),
+            "nr": pa.array([len(cents)] + [0] * (b_reps - 1),
+                           pa.int64())})
+
+    agg = ds.select_columns([key_col, value_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("rep").aggregate(
+            Sum("swc", alias_name="swc"),
+            Sum("sw", alias_name="sw"),
+            Sum("sc", alias_name="sc"),
+            Sum("nr", alias_name="nr")).to_pandas()
+
+    means = sorted(int(r.swc) * 1_000_000 // int(r.sw)
+                   for r in agg.itertuples() if int(r.sw) > 0)
+    full = int(agg["sc"].sum()) * 1_000_000 // int(agg["nr"].sum())
+    return pa.table({
+        "b_reps": pa.array([len(means)], pa.int64()),
+        "mean_micro": pa.array([full], pa.int64()),
+        "boot_lo_micro": pa.array([means[0]], pa.int64()),
+        "boot_hi_micro": pa.array([means[-1]], pa.int64())})

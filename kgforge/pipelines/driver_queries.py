@@ -6402,7 +6402,17 @@ def q_bpe_merges(sf_dir: str):
                          n_merges=8)
 
 
+def q_poisson_bootstrap(sf_dir: str):
+    """Deterministic Poisson-bootstrap CI for the mean order value —
+    see :func:`kgforge.functions.sampling.poisson_bootstrap_ds`."""
+    from kgforge.functions.sampling import poisson_bootstrap_ds
+
+    return poisson_bootstrap_ds(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]))
+
+
 QUERIES = {
+    "poisson_bootstrap": q_poisson_bootstrap,
     "bpe_merges": q_bpe_merges,
     "ks_test": q_ks_test,
     "kg_auc": q_kg_auc,
@@ -10105,4 +10115,28 @@ SELECT sa AS source_a, sb AS source_b, na AS n_a, nb AS n_b,
        CAST(max(abs(cuma * nb - cumb * na)) * 1000000
             // (na * nb) AS BIGINT) AS ks_micro
 FROM w GROUP BY 1, 2, 3, 4
+"""
+
+ORACLE_SQL["poisson_bootstrap"] = """
+WITH reps AS (SELECT unnest(range(0, 32)) AS rep),
+h AS (SELECT rep,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)
+                  || chr(31) || CAST(rep AS VARCHAR)), 1, 16))
+                  AS UBIGINT) AS u
+      FROM orders, reps),
+w AS (SELECT rep, cents, CASE WHEN u < CAST('6786177901268885274' AS UBIGINT) THEN 0 WHEN u < CAST('13572355802537770549' AS UBIGINT) THEN 1 WHEN u < CAST('16965444753172213186' AS UBIGINT) THEN 2 WHEN u < CAST('18096474403383694065' AS UBIGINT) THEN 3 WHEN u < CAST('18379231815936564285' AS UBIGINT) THEN 4 WHEN u < CAST('18435783298447138329' AS UBIGINT) THEN 5 WHEN u < CAST('18445208545532234003' AS UBIGINT) THEN 6 WHEN u < CAST('18446555009401533385' AS UBIGINT) THEN 7 WHEN u < CAST('18446723317385195808' AS UBIGINT) THEN 8 ELSE 9 END AS w FROM h),
+m AS (SELECT rep, CAST(sum(w * cents) AS BIGINT) AS swc,
+             CAST(sum(w) AS BIGINT) AS sw
+      FROM w GROUP BY 1),
+mm AS (SELECT rep, swc * 1000000 // sw AS mean_micro
+       FROM m WHERE sw > 0),
+f AS (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) * 1000000 // count(*) AS full_micro
+      FROM orders)
+SELECT CAST(count(*) AS BIGINT) AS b_reps,
+       CAST((SELECT full_micro FROM f) AS BIGINT) AS mean_micro,
+       CAST(min(mean_micro) AS BIGINT) AS boot_lo_micro,
+       CAST(max(mean_micro) AS BIGINT) AS boot_hi_micro
+FROM mm
 """

@@ -402,3 +402,42 @@ def test_bpe_merges_matches_reference(ray_session):
     # the (a, a) merge must be learned, and applying it to 'aaaa'
     # keeps every other match -> ('aa','aa'), never ('aa','a','a')
     assert ("a", "a") in {(l, r) for _, l, r, _ in exp}
+
+
+def test_poisson_bootstrap_matches_bruteforce(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from kgforge.functions.sampling import (POISSON1_U64_THRESHOLDS,
+                                            poisson_bootstrap_ds)
+
+    rng = np.random.RandomState(29)
+    n = 300
+    keys = np.arange(1000, 1000 + n, dtype=np.int64)
+    vals = np.round(rng.uniform(5, 500, n), 2)
+    tbl = pa.table({"o_orderkey": pa.array(keys),
+                    "o_totalprice": pa.array(vals)})
+    got = poisson_bootstrap_ds(
+        rd.from_arrow(tbl), b_reps=16).to_pandas().iloc[0]
+
+    cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+    means = []
+    for rep in range(16):
+        swc = sw = 0
+        for k, c in zip(keys, cents):
+            u = int(hashlib.md5(
+                f"{k}\x1f{rep}".encode()).hexdigest()[:16], 16)
+            w = sum(1 for t in POISSON1_U64_THRESHOLDS if u >= t)
+            swc += w * int(c)
+            sw += w
+        if sw:
+            means.append(swc * 1_000_000 // sw)
+    means.sort()
+    full = int(cents.sum()) * 1_000_000 // n
+    assert got["b_reps"] == len(means)
+    assert got["mean_micro"] == full
+    assert got["boot_lo_micro"] == means[0]
+    assert got["boot_hi_micro"] == means[-1]
+    # CI must bracket the full mean and be non-degenerate
+    assert means[0] < full < means[-1]
