@@ -308,3 +308,92 @@ def embedding_drift_ds(ds, vec_col: str = "embedding",
         "n_even": pa.array(ne), "n_odd": pa.array(no),
         "sum_even_micro": pa.array(se), "sum_odd_micro": pa.array(so),
         "drift_micro": pa.array(mean_e - mean_o, pa.float64())})
+
+
+def embedding_cov_ds(ds, vec_col: str = "embedding", k: int = 20,
+                     scale: int = 1_000_000) -> pa.Table:
+    """Top-``k`` most-covarying dimension pairs of the embedding
+    cloud — the redundancy / feature-collapse census (strongly
+    covarying dimensions mean wasted capacity; the precursor to a
+    whitening decision).  Vectors quantize to the shared micro grid
+    and every accumulation is integral: per-batch partials are the
+    exact Gram ``S = Qᵀ Q``, the dimension sums and the row count;
+    the driver folds them in Python ints (no overflow at any row
+    count) and ranks pairs by ``|cov_scaled| = |n·S_ij − s_i·s_j|``
+    (count-scaled covariance, exact).  Reported per pair:
+    ``cov_pico = cov_scaled // (n·(n−1))`` (micro² units) and
+    ``corr_micro`` via one IEEE-exact double cast + sqrt + divide
+    sequence mirrored verbatim by the SQL twin.
+
+    Scale shape: one streaming pass; each batch ships ONE d×d int64
+    partial (d²-bounded, never row-bounded; the in-batch matmul is
+    int64-safe for |q| ≤ 10⁶ up to ~9M rows per batch); the fold and
+    the k-row ranking run on the driver."""
+    import pyarrow.compute as pc
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[vec_col].combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        par = pc.list_parent_indices(col) \
+            .to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        lens = np.bincount(par, minlength=n).astype(np.int64)
+        d = int(lens.max()) if n else 0
+        q = round_away(flat * scale, 0).astype(np.int64) \
+            .reshape(n, d)
+        gram = q.T @ q
+        # self-describing tagged cells (batches may be re-concatenated
+        # downstream): [0, d²) gram, [d², d²+d) dim sums, d²+d count,
+        # -1 the dimension itself (folded with max, not sum)
+        cells = np.concatenate([
+            np.arange(d * d + d + 1, dtype=np.int64), [-1]])
+        vals = np.concatenate([
+            gram.reshape(-1), q.sum(axis=0), [np.int64(n)],
+            [np.int64(d)]])
+        return pa.table({"cell": pa.array(cells),
+                         "v": pa.array(vals.astype(np.int64))})
+
+    parts = ds.select_columns([vec_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .iter_batches(batch_format="pyarrow")
+
+    acc, d = {}, 0
+    for p in parts:
+        for c, v in zip(p["cell"].to_numpy(zero_copy_only=False),
+                        p["v"].to_numpy(zero_copy_only=False)):
+            c, v = int(c), int(v)
+            if c == -1:
+                d = max(d, v)
+            else:
+                acc[c] = acc.get(c, 0) + v
+
+    S = {c: v for c, v in acc.items() if c < d * d}
+    s_sum = {i: acc.get(d * d + i, 0) for i in range(d)}
+    n_tot = acc.get(d * d + d, 0)
+    var = {i: n_tot * S.get(i * d + i, 0) - s_sum.get(i, 0) ** 2
+           for i in range(d)}
+    rows = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            cov = n_tot * S.get(i * d + j, 0) \
+                - s_sum.get(i, 0) * s_sum.get(j, 0)
+            rows.append((abs(cov), i, j, cov))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    rows = rows[:k]
+    den = n_tot * (n_tot - 1)
+    corr = [int(round_away(
+        float(cv) / np.sqrt(float(var[i]) * float(var[j]))
+        * 1_000_000, 0)) if var[i] and var[j] else 0
+        for _, i, j, cv in rows]
+    # sign-magnitude division: DuckDB // truncates toward zero on
+    # negatives while Python floors — abs() makes them agree
+    pico = [(1 if cv >= 0 else -1) * (abs(cv) // den)
+            for _, _, _, cv in rows]
+    return pa.table({
+        "dim_i": pa.array([r[1] for r in rows], pa.int64()),
+        "dim_j": pa.array([r[2] for r in rows], pa.int64()),
+        "cov_pico": pa.array(pico, pa.int64()),
+        "corr_micro": pa.array(corr, pa.int64())})

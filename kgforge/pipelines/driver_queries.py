@@ -6411,7 +6411,18 @@ def q_poisson_bootstrap(sf_dir: str):
         _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]))
 
 
+def q_embedding_cov(sf_dir: str):
+    """Top-20 most-covarying embedding dimension pairs (redundancy /
+    collapse census) — see
+    :func:`kgforge.functions.clustering.embedding_cov_ds`."""
+    from kgforge.functions.clustering import embedding_cov_ds
+
+    return embedding_cov_ds(
+        _read(sf_dir, "embeddings", ["embedding"]), k=20)
+
+
 QUERIES = {
+    "embedding_cov": q_embedding_cov,
     "poisson_bootstrap": q_poisson_bootstrap,
     "bpe_merges": q_bpe_merges,
     "ks_test": q_ks_test,
@@ -10139,4 +10150,49 @@ SELECT CAST(count(*) AS BIGINT) AS b_reps,
        CAST(min(mean_micro) AS BIGINT) AS boot_lo_micro,
        CAST(max(mean_micro) AS BIGINT) AS boot_hi_micro
 FROM mm
+"""
+
+ORACLE_SQL["embedding_cov"] = """
+WITH q AS (SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                         AS BIGINT)) AS qv
+           FROM embeddings),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+s AS (SELECT g.i AS i, CAST(sum(qv[g.i]) AS BIGINT) AS s
+      FROM q, generate_series(1, 64) g(i) GROUP BY 1),
+sii AS (SELECT g.i AS i,
+               CAST(sum(qv[g.i] * qv[g.i]) AS HUGEINT) AS sii
+        FROM q, generate_series(1, 64) g(i) GROUP BY 1),
+var AS (SELECT i,
+               (SELECT n FROM nn) * sii - CAST(s.s AS HUGEINT) * s.s
+                   AS v
+        FROM sii JOIN s USING (i)),
+g2 AS (SELECT gi.i AS i, gj.j AS j
+       FROM generate_series(1, 64) gi(i),
+            generate_series(1, 64) gj(j)
+       WHERE gi.i < gj.j),
+sij AS (SELECT g2.i, g2.j,
+               CAST(sum(qv[g2.i] * qv[g2.j]) AS HUGEINT) AS sij
+        FROM q, g2 GROUP BY 1, 2),
+cov AS (SELECT sij.i, sij.j,
+               (SELECT n FROM nn) * sij.sij
+                   - CAST(sa.s AS HUGEINT) * sb.s AS cv
+        FROM sij JOIN s sa ON sa.i = sij.i
+        JOIN s sb ON sb.i = sij.j),
+top AS (SELECT i, j, cv FROM cov
+        ORDER BY abs(cv) DESC, i, j LIMIT 20)
+SELECT CAST(top.i - 1 AS BIGINT) AS dim_i,
+       CAST(top.j - 1 AS BIGINT) AS dim_j,
+       CAST(CASE WHEN cv < 0 THEN
+                -(abs(cv) // ((SELECT n FROM nn)
+                              * ((SELECT n FROM nn) - 1)))
+            ELSE cv // ((SELECT n FROM nn)
+                        * ((SELECT n FROM nn) - 1)) END
+            AS BIGINT) AS cov_pico,
+       CAST(CASE WHEN va.v = 0 OR vb.v = 0 THEN 0
+            ELSE round(CAST(cv AS DOUBLE)
+                       / sqrt(CAST(va.v AS DOUBLE)
+                              * CAST(vb.v AS DOUBLE)) * 1000000)
+            END AS BIGINT) AS corr_micro
+FROM top JOIN var va ON va.i = top.i JOIN var vb ON vb.i = top.j
 """

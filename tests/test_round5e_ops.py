@@ -441,3 +441,45 @@ def test_poisson_bootstrap_matches_bruteforce(ray_session):
     assert got["boot_hi_micro"] == means[-1]
     # CI must bracket the full mean and be non-degenerate
     assert means[0] < full < means[-1]
+
+
+def test_embedding_cov_matches_bruteforce(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from kgforge.functions.clustering import embedding_cov_ds
+
+    rng = np.random.RandomState(31)
+    n, d = 150, 6
+    base = rng.uniform(-1, 1, (n, d)).astype(np.float32)
+    base[:, 3] = base[:, 1] * 0.9 + 0.05 * base[:, 3]  # planted corr
+    tbl = pa.table({"embedding": pa.array(
+        [row.tolist() for row in base],
+        pa.list_(pa.float32()))})
+    got = embedding_cov_ds(rd.from_arrow(tbl), k=5).to_pandas()
+
+    q = np.floor(np.abs(base.astype(np.float64) * 1e6) + 0.5) \
+        .astype(np.int64) * np.sign(base).astype(np.int64)
+    S = q.T.astype(object) @ q.astype(object)
+    s = q.sum(axis=0).astype(object)
+    rows = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            cv = int(n * S[i, j] - s[i] * s[j])
+            rows.append((abs(cv), i, j, cv))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    var = {i: int(n * S[i, i] - s[i] ** 2) for i in range(d)}
+    den = n * (n - 1)
+    assert len(got) == 5
+    for (a, i, j, cv), (_, row) in zip(rows[:5], got.iterrows()):
+        assert (row["dim_i"], row["dim_j"]) == (i, j)
+        assert row["cov_pico"] == (1 if cv >= 0 else -1) * (
+            abs(cv) // den)
+        c = cv / math.sqrt(float(var[i]) * float(var[j])) * 1e6
+        exp_corr = int(math.floor(abs(c) + 0.5)) * (
+            1 if c >= 0 else -1)
+        assert row["corr_micro"] == exp_corr
+    # the planted (1, 3) correlation must rank first
+    assert (got.iloc[0]["dim_i"], got.iloc[0]["dim_j"]) == (1, 3)
+    assert abs(got.iloc[0]["corr_micro"]) > 800_000
