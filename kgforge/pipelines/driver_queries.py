@@ -6266,17 +6266,11 @@ def q_temperature_mix(sf_dir: str):
         _read(sf_dir, "documents", ["source", "n_chars"]), tau=0.7)
 
 
-def q_forecast_backtest(sf_dir: str):
-    """Seasonal-naive forecast backtest per nation: predict month m's
-    order revenue with month m−12, benchmark against the naive lag-1
-    predictor, report the MASE ratio in exact integer micro-units
-    (MASE < 1e6 ⇔ seasonality beats persistence).  Scale plan: ONE
-    custkey cogroup of orders against customer emits (nation, month,
-    cents) partials; the global groupby is nations × months bounded
-    and the lag algebra folds on the driver (nation names ride a
-    ≤25-row LUT)."""
-    import pyarrow.parquet as pq
-
+def _nation_month_cells(sf_dir: str):
+    """(nation key, yyyymm, revenue cents) cells — ONE custkey cogroup
+    of orders against customer emitting bounded (nation, month, cents)
+    partials, shared by the monthly-series queries
+    (``forecast_backtest``, ``anova_month``)."""
     from ray.data.aggregate import Sum
 
     from kgforge.common.hashing import round_away
@@ -6320,7 +6314,7 @@ def q_forecast_backtest(sf_dir: str):
                          "ym": pa.array(uniq % 1_000_000),
                          "cents": pa.array(sums)})
 
-    cells = cogroup_partition_ds(
+    return cogroup_partition_ds(
         orders, cust, "o_custkey", "c_custkey", fuse,
         ["o_orderdate", "o_totalprice"], ["c_nationkey"],
         left_schema=pa.schema([
@@ -6333,11 +6327,27 @@ def q_forecast_backtest(sf_dir: str):
         .groupby(["nk", "ym"]).aggregate(
             Sum("cents", alias_name="cents")).to_pandas()
 
+
+def _nation_name_lut(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
-    name_of = dict(zip(
+    return dict(zip(
         nation["n_nationkey"].to_numpy(zero_copy_only=False),
         nation["n_name"].to_pylist()))
+
+
+def q_forecast_backtest(sf_dir: str):
+    """Seasonal-naive forecast backtest per nation: predict month m's
+    order revenue with month m−12, benchmark against the naive lag-1
+    predictor, report the MASE ratio in exact integer micro-units
+    (MASE < 1e6 ⇔ seasonality beats persistence).  Scale plan: the
+    shared :func:`_nation_month_cells` cogroup; the lag algebra folds
+    on the driver over nations × months bounded cells (nation names
+    ride a ≤25-row LUT)."""
+    cells = _nation_month_cells(sf_dir)
+    name_of = _nation_name_lut(sf_dir)
 
     out = {}
     for nk, grp in cells.groupby("nk"):
@@ -6421,7 +6431,53 @@ def q_embedding_cov(sf_dir: str):
         _read(sf_dir, "embeddings", ["embedding"]), k=20)
 
 
+def q_anova_month(sf_dir: str):
+    """Seasonality strength per nation: one-way ANOVA of the monthly
+    revenue series grouped by month-of-year, reported as
+    ``eta2_micro = floor(10⁶·SSB/SST)`` in EXACT integer arithmetic —
+    clearing denominators with ``Π n_g`` (≤ 7¹² fits the twin's
+    HUGEINT; the engine folds Python ints) makes
+    ``eta² = (N·Σ_g S_g²·(Π/n_g) − S²·Π) / (Π·(N·Σx² − S²))`` a pure
+    integer ratio both engines floor identically.  Scale plan: the
+    shared :func:`_nation_month_cells` cogroup; the ANOVA folds on
+    the driver over nations × months bounded cells."""
+    cells = _nation_month_cells(sf_dir)
+    name_of = _nation_name_lut(sf_dir)
+
+    out = {}
+    for nk, grp in cells.groupby("nk"):
+        xs = [(int(r.ym) % 100, int(r.cents))
+              for r in grp.itertuples()]
+        n = len(xs)
+        if n < 2:
+            continue
+        s = sum(c for _, c in xs)
+        sx2 = sum(c * c for _, c in xs)
+        sst_n = n * sx2 - s * s
+        if sst_n == 0:
+            continue
+        groups = {}
+        for moy, c in xs:
+            ng, sg = groups.get(moy, (0, 0))
+            groups[moy] = (ng + 1, sg + c)
+        prod = 1
+        for ng, _ in groups.values():
+            prod *= ng
+        ssb_num = n * sum(sg * sg * (prod // ng)
+                          for ng, sg in groups.values()) \
+            - s * s * prod
+        out[name_of[int(nk)]] = (
+            n, 1_000_000 * ssb_num // (prod * sst_n))
+    names = sorted(out)
+    return pa.table({
+        "n_name": pa.array(names, pa.string()),
+        "n_months": pa.array([out[n][0] for n in names], pa.int64()),
+        "eta2_micro": pa.array([out[n][1] for n in names],
+                               pa.int64())})
+
+
 QUERIES = {
+    "anova_month": q_anova_month,
     "embedding_cov": q_embedding_cov,
     "poisson_bootstrap": q_poisson_bootstrap,
     "bpe_merges": q_bpe_merges,
@@ -10195,4 +10251,36 @@ SELECT CAST(top.i - 1 AS BIGINT) AS dim_i,
                               * CAST(vb.v AS DOUBLE)) * 1000000)
             END AS BIGINT) AS corr_micro
 FROM top JOIN var va ON va.i = top.i JOIN var vb ON vb.i = top.j
+"""
+
+ORACLE_SQL["anova_month"] = """
+WITH r AS (SELECT c_nationkey AS nk,
+                  CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                       AS BIGINT) AS ym,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+g AS (SELECT nk, ym % 100 AS moy,
+             CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(cents) AS HUGEINT) AS sg
+      FROM r GROUP BY 1, 2),
+t AS (SELECT nk, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS s,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT)
+                 AS sx2
+      FROM r GROUP BY 1),
+p AS (SELECT nk, CAST(product(ng) AS HUGEINT) AS pp
+      FROM g GROUP BY 1),
+b AS (SELECT g.nk,
+             CAST(sum(g.sg * g.sg * (p.pp // g.ng)) AS HUGEINT)
+                 AS sb
+      FROM g JOIN p USING (nk) GROUP BY 1)
+SELECT n_name, t.n AS n_months,
+       CAST((1000000 * (t.n * b.sb - t.s * t.s * p.pp))
+            // (p.pp * (t.n * t.sx2 - t.s * t.s)) AS BIGINT)
+           AS eta2_micro
+FROM t JOIN b ON b.nk = t.nk JOIN p ON p.nk = t.nk
+JOIN nation ON n_nationkey = t.nk
+WHERE t.n >= 2 AND t.n * t.sx2 - t.s * t.s <> 0
 """

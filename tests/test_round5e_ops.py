@@ -483,3 +483,67 @@ def test_embedding_cov_matches_bruteforce(ray_session):
     # the planted (1, 3) correlation must rank first
     assert (got.iloc[0]["dim_i"], got.iloc[0]["dim_j"]) == (1, 3)
     assert abs(got.iloc[0]["corr_micro"]) > 800_000
+
+
+def test_anova_month_matches_bruteforce(ray_session, tmp_path):
+    from fractions import Fraction
+
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import q_anova_month
+
+    rng = np.random.RandomState(37)
+    n_orders, n_cust = 500, 20
+    ck = rng.randint(1, n_cust + 1, n_orders).astype(np.int64)
+    day_us = 86_400_000_000
+    ts = ((8401 + rng.randint(0, 1000, n_orders).astype(np.int64))
+          * day_us)
+    price = np.round(rng.uniform(10, 2000, n_orders), 2)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n_orders, dtype=np.int64)),
+        "o_custkey": pa.array(ck),
+        "o_orderdate": pa.array(ts).cast(pa.timestamp("us")),
+        "o_totalprice": pa.array(price)}),
+        str(tmp_path / "orders.parquet"))
+    nk = (np.arange(1, n_cust + 1, dtype=np.int64) % 3).astype(np.int32)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(1, n_cust + 1,
+                                        dtype=np.int64)),
+        "c_nationkey": pa.array(nk)}),
+        str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(np.arange(3, dtype=np.int32)),
+        "n_name": pa.array([f"N{i}" for i in range(3)])}),
+        str(tmp_path / "nation.parquet"))
+
+    got = q_anova_month(str(tmp_path)).to_pandas()
+
+    import collections
+    import datetime
+    rev = collections.defaultdict(lambda: collections.defaultdict(int))
+    days = ts // day_us
+    for i in range(n_orders):
+        d = datetime.date(1970, 1, 1) + datetime.timedelta(
+            days=int(days[i]))
+        rev[int(nk[ck[i] - 1])][d.year * 100 + d.month] += \
+            int(np.floor(price[i] * 100 + 0.5))
+    exp = {}
+    for nat, m in rev.items():
+        xs = list(m.items())
+        n = len(xs)
+        mu = Fraction(sum(c for _, c in xs), n)
+        sst = sum((Fraction(c) - mu) ** 2 for _, c in xs)
+        gs = collections.defaultdict(list)
+        for ym, c in xs:
+            gs[ym % 100].append(c)
+        ssb = sum(len(v) * (Fraction(sum(v), len(v)) - mu) ** 2
+                  for v in gs.values())
+        if n >= 2 and sst:
+            exp[f"N{nat}"] = (n, int(1_000_000 * ssb / sst))
+    assert list(got["n_name"]) == sorted(exp)
+    for _, row in got.iterrows():
+        n, eta = exp[row["n_name"]]
+        assert (row["n_months"], row["eta2_micro"]) == (n, eta)
+    # eta2 is a proportion of variance
+    assert ((got["eta2_micro"] >= 0)
+            & (got["eta2_micro"] <= 1_000_000)).all()
