@@ -6476,7 +6476,38 @@ def q_anova_month(sf_dir: str):
                                pa.int64())})
 
 
+def q_kg_degree_zipf(sf_dir: str):
+    """Scale-free exponent check: OLS slope of ln(n_nodes) vs
+    ln(degree) over the entity graph's degree distribution, exact
+    integer ppm on the shared ``round(ln·1e6)`` grid (a power-law
+    graph sits near −2…−3; a random graph curves away).  Reuses the
+    kg_degree_dist histogram fold (≤ distinct-degree rows move) and
+    the zipf_slope regression: Python-int sums, division truncating
+    toward zero to match DuckDB ``//``."""
+    import math
+
+    dist = q_kg_degree_dist(sf_dir).to_pandas()
+    dist = dist[dist["degree"] > 0]
+
+    def slog(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    xs = [slog(int(d)) for d in dist["degree"]]
+    ys = [slog(int(v)) for v in dist["n_nodes"]]
+    k = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    det = k * sxx - sx * sx
+    num = (k * sxy - sx * sy) * 1_000_000
+    slope = (abs(num) // det) * (1 if num >= 0 else -1) if det else 0
+    return pa.table({
+        "n_degrees": pa.array([k], pa.int64()),
+        "slope_micro": pa.array([slope], pa.int64())})
+
+
 QUERIES = {
+    "kg_degree_zipf": q_kg_degree_zipf,
     "anova_month": q_anova_month,
     "embedding_cov": q_embedding_cov,
     "poisson_bootstrap": q_poisson_bootstrap,
@@ -10284,3 +10315,26 @@ FROM t JOIN b ON b.nk = t.nk JOIN p ON p.nk = t.nk
 JOIN nation ON n_nationkey = t.nk
 WHERE t.n >= 2 AND t.n * t.sx2 - t.s * t.s <> 0
 """
+
+ORACLE_SQL["kg_degree_zipf"] = (
+    "WITH dd AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes "
+    "FROM (" + _dict_oracle.degree_sql() + ") GROUP BY degree),\n"
+    """xy AS (SELECT CAST(round(ln(degree) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(n_nodes) * 1000000) AS BIGINT) AS y
+      FROM dd WHERE degree > 0),
+s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM xy)
+SELECT k AS n_degrees,
+       CAST(CASE WHEN k * sxx - sx * sx = 0 THEN 0
+                 WHEN (k * sxy - sx * sy) < 0 THEN
+                     -((abs(k * sxy - sx * sy) * 1000000)
+                       // (k * sxx - sx * sx))
+                 ELSE ((k * sxy - sx * sy) * 1000000)
+                       // (k * sxx - sx * sx) END
+            AS BIGINT) AS slope_micro
+FROM s
+""")

@@ -547,3 +547,21 @@ def test_anova_month_matches_bruteforce(ray_session, tmp_path):
     # eta2 is a proportion of variance
     assert ((got["eta2_micro"] >= 0)
             & (got["eta2_micro"] <= 1_000_000)).all()
+
+
+def test_kg_degree_zipf_matches_numpy_ols(ray_session):
+    from kgforge.pipelines.driver_queries import (q_kg_degree_dist,
+                                                  q_kg_degree_zipf)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_kg_degree_zipf(sf).to_pandas().iloc[0]
+    dist = q_kg_degree_dist(sf).to_pandas()
+    dist = dist[dist["degree"] > 0]
+    x = np.log(dist["degree"].to_numpy(float))
+    y = np.log(dist["n_nodes"].to_numpy(float))
+    slope = np.polyfit(x, y, 1)[0]
+    assert got["n_degrees"] == len(dist)
+    # integer-grid OLS vs float OLS agree to ~1e-3 (grid quantization)
+    assert abs(got["slope_micro"] / 1e6 - slope) < 2e-3
+    # entity graphs are heavy-tailed: slope decisively negative
+    assert got["slope_micro"] < -300_000
