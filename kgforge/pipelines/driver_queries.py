@@ -6506,7 +6506,72 @@ def q_kg_degree_zipf(sf_dir: str):
         "slope_micro": pa.array([slope], pa.int64())})
 
 
+def q_token_shift(sf_dir: str):
+    """Top-20 corpus-drift tokens between the even/odd doc_id halves
+    (the A/B vocabulary-shift census): per token the exact
+    cross-multiplied rate shift ``|c_e·N_o − c_o·N_e|`` (no division,
+    so class imbalance never biases the rank), ties → token ASC.
+    Scale plan: per-batch (token, half) count partials → ONE
+    vocab-bounded groupby (materialized once, reused for the N_e/N_o
+    fold and the scoring pass); per-block partial top-20 so the
+    driver merge sees blocks × 20 rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        half = pc.bit_wise_and(ids.take(par), 1)
+        t = pa.table({"token": flat,
+                      "e": pc.cast(pc.equal(half, 0), pa.int64()),
+                      "o": pc.cast(pc.equal(half, 1), pa.int64())})
+        g = t.group_by(["token"], use_threads=False).aggregate(
+            [("e", "sum"), ("o", "sum")])
+        return pa.table({"token": g["token"], "e": g["e_sum"],
+                         "o": g["o_sum"]})
+
+    cells = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(
+            Sum("e", alias_name="e"),
+            Sum("o", alias_name="o")).materialize()
+
+    n_e = int(cells.sum("e") or 0)
+    n_o = int(cells.sum("o") or 0)
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        e = b["e"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = b["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        shift = np.abs(e * n_o - o * n_e)
+        t = pa.table({"token": b["token"],
+                      "n_even": pa.array(e),
+                      "n_odd": pa.array(o),
+                      "shift_scaled": pa.array(shift)})
+        if t.num_rows <= 20:
+            return t
+        order = np.lexsort(
+            (np.asarray(t["token"].to_pylist()), -shift))
+        return t.take(pa.array(order[:20]))
+
+    top = cells.map_batches(score_topk, batch_format="pyarrow") \
+        .to_pandas()
+    top = top.sort_values(["shift_scaled", "token"],
+                          ascending=[False, True]).head(20)
+    return pa.table({
+        "token": pa.array(top["token"].tolist(), pa.string()),
+        "n_even": pa.array(top["n_even"].to_numpy(np.int64)),
+        "n_odd": pa.array(top["n_odd"].to_numpy(np.int64)),
+        "shift_scaled": pa.array(
+            top["shift_scaled"].to_numpy(np.int64))})
+
+
 QUERIES = {
+    "token_shift": q_token_shift,
     "kg_degree_zipf": q_kg_degree_zipf,
     "anova_month": q_anova_month,
     "embedding_cov": q_embedding_cov,
@@ -10338,3 +10403,21 @@ SELECT k AS n_degrees,
             AS BIGINT) AS slope_micro
 FROM s
 """)
+
+ORACLE_SQL["token_shift"] = r"""
+WITH t AS (SELECT doc_id % 2 AS half,
+                  unnest(regexp_extract_all(coalesce(text, ''),
+                                            '\S+')) AS tok
+           FROM documents),
+c AS (SELECT tok,
+             CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS ce,
+             CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS co
+      FROM t GROUP BY 1),
+n AS (SELECT CAST(sum(ce) AS BIGINT) AS ne,
+             CAST(sum(co) AS BIGINT) AS no
+      FROM c)
+SELECT tok AS token, ce AS n_even, co AS n_odd,
+       CAST(abs(ce * (SELECT no FROM n)
+                - co * (SELECT ne FROM n)) AS BIGINT) AS shift_scaled
+FROM c ORDER BY shift_scaled DESC, token LIMIT 20
+"""

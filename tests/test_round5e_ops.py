@@ -565,3 +565,42 @@ def test_kg_degree_zipf_matches_numpy_ols(ray_session):
     assert abs(got["slope_micro"] / 1e6 - slope) < 2e-3
     # entity graphs are heavy-tailed: slope decisively negative
     assert got["slope_micro"] < -300_000
+
+
+def test_token_shift_matches_bruteforce(ray_session, tmp_path):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import q_token_shift
+
+    rng = np.random.RandomState(41)
+    words = ["apple", "pear", "plum", "kiwi", "fig"]
+    texts, ids = [], []
+    for i in range(120):
+        # plant drift: 'apple' dominates even docs, 'fig' odd ones
+        bias = ["apple"] * 3 if i % 2 == 0 else ["fig"] * 3
+        k = rng.randint(3, 10)
+        texts.append(" ".join(list(rng.choice(words, k)) + bias))
+        ids.append(i)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.array(ids, np.int64)),
+        "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"))
+
+    got = q_token_shift(str(tmp_path)).to_pandas()
+
+    ce, co = collections.Counter(), collections.Counter()
+    for i, t in zip(ids, texts):
+        (ce if i % 2 == 0 else co).update(t.split())
+    ne, no = sum(ce.values()), sum(co.values())
+    rows = sorted(
+        ((abs(ce[t] * no - co[t] * ne), t, ce[t], co[t])
+         for t in set(ce) | set(co)),
+        key=lambda r: (-r[0], r[1]))[:20]
+    assert len(got) == min(20, len(rows))
+    for (sh, tok, e, o), (_, row) in zip(rows, got.iterrows()):
+        assert (row["token"], row["n_even"], row["n_odd"],
+                row["shift_scaled"]) == (tok, e, o, sh)
+    # the planted movers rank first and second
+    assert set(got["token"].head(2)) == {"apple", "fig"}
