@@ -6570,7 +6570,48 @@ def q_token_shift(sf_dir: str):
             top["shift_scaled"].to_numpy(np.int64))})
 
 
+def q_partition_skew(sf_dir: str):
+    """Shuffle-skew advisor: hash-partition the event stream by
+    ``user_id`` on the md5 first-8-hex grid (the engine's shared
+    partition convention) into 64 buckets and report the imbalance a
+    real exchange would see — min/median/max bucket rows and
+    ``skew_micro = 2·max·10⁶ // med2`` (med2 = the two central order
+    stats summed, so even counts stay integral; 1e6 ⇔ perfectly
+    balanced).  The go/no-go signal before keying a wide operation on
+    a candidate column.  Scale plan: per-batch 64-cell bincount
+    partials, one 64-row exchange, driver fold."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import hash_u64_np
+
+    P = 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = pc.cast(b["user_id"], pa.string()).combine_chunks()
+        h = hash_u64_np(keys)
+        p = ((h >> np.uint64(32)) % np.uint64(P)).astype(np.int64)
+        cnt = np.bincount(p, minlength=P).astype(np.int64)
+        return pa.table({"p": pa.array(np.arange(P, dtype=np.int64)),
+                         "n": pa.array(cnt)})
+
+    cells = _read(sf_dir, "events", ["user_id"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("p").aggregate(Sum("n", alias_name="n")).to_pandas()
+
+    ns = sorted(int(x) for x in cells["n"] if int(x) > 0)
+    k = len(ns)
+    med2 = ns[(k + 1) // 2 - 1] + ns[k // 2]
+    return pa.table({
+        "n_partitions": pa.array([k], pa.int64()),
+        "min_rows": pa.array([ns[0]], pa.int64()),
+        "med2_rows": pa.array([med2], pa.int64()),
+        "max_rows": pa.array([ns[-1]], pa.int64()),
+        "skew_micro": pa.array([2 * ns[-1] * 1_000_000 // med2],
+                               pa.int64())})
+
+
 QUERIES = {
+    "partition_skew": q_partition_skew,
     "token_shift": q_token_shift,
     "kg_degree_zipf": q_kg_degree_zipf,
     "anova_month": q_anova_month,
@@ -10420,4 +10461,26 @@ SELECT tok AS token, ce AS n_even, co AS n_odd,
        CAST(abs(ce * (SELECT no FROM n)
                 - co * (SELECT ne FROM n)) AS BIGINT) AS shift_scaled
 FROM c ORDER BY shift_scaled DESC, token LIMIT 20
+"""
+
+ORACLE_SQL["partition_skew"] = """
+WITH h AS (SELECT CAST(CAST(concat('0x',
+               substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) % 64 AS BIGINT) AS p
+           FROM events),
+c AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
+o AS (SELECT n, row_number() OVER (ORDER BY n) AS rn,
+             count(*) OVER () AS k
+      FROM c WHERE n > 0)
+SELECT CAST(max(k) AS BIGINT) AS n_partitions,
+       CAST(min(n) AS BIGINT) AS min_rows,
+       CAST(sum(CASE WHEN rn = (k + 1) // 2 THEN n ELSE 0 END)
+            + sum(CASE WHEN rn = k // 2 + 1 THEN n ELSE 0 END)
+            AS BIGINT) AS med2_rows,
+       CAST(max(n) AS BIGINT) AS max_rows,
+       CAST(2 * max(n) * 1000000
+            // (sum(CASE WHEN rn = (k + 1) // 2 THEN n ELSE 0 END)
+                + sum(CASE WHEN rn = k // 2 + 1 THEN n ELSE 0 END))
+            AS BIGINT) AS skew_micro
+FROM o
 """

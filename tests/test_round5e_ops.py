@@ -604,3 +604,34 @@ def test_token_shift_matches_bruteforce(ray_session, tmp_path):
                 row["shift_scaled"]) == (tok, e, o, sh)
     # the planted movers rank first and second
     assert set(got["token"].head(2)) == {"apple", "fig"}
+
+
+def test_partition_skew_matches_bruteforce(ray_session, tmp_path):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import q_partition_skew
+
+    rng = np.random.RandomState(43)
+    # hot-key fixture: user 7 owns a third of the stream
+    users = np.concatenate([
+        rng.randint(0, 200, 400), np.full(200, 7)]).astype(np.int64)
+    pq.write_table(pa.table({"user_id": pa.array(users)}),
+                   str(tmp_path / "events.parquet"))
+    got = q_partition_skew(str(tmp_path)).to_pandas().iloc[0]
+
+    import collections
+    cnt = collections.Counter(
+        int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 64
+        for u in users)
+    ns = sorted(cnt.values())
+    k = len(ns)
+    med2 = ns[(k + 1) // 2 - 1] + ns[k // 2]
+    assert got["n_partitions"] == k
+    assert got["min_rows"] == ns[0]
+    assert got["med2_rows"] == med2
+    assert got["max_rows"] == ns[-1]
+    assert got["skew_micro"] == 2 * ns[-1] * 1_000_000 // med2
+    # the planted hot key must register as real skew
+    assert got["skew_micro"] > 2_000_000
