@@ -6610,7 +6610,47 @@ def q_partition_skew(sf_dir: str):
                                pa.int64())})
 
 
+def q_seasonal_anomaly(sf_dir: str):
+    """Seasonally-adjusted traffic anomalies: the top-20 hours whose
+    event count deviates most from their (day-of-week, hour-of-day)
+    profile mean, ``resid_micro = |c·n_g − S_g|·10⁶ // n_g`` exact
+    (cross-multiplied, so the profile mean is never a float), ties →
+    hour ASC.  Day-of-week from the integer epoch-hour grid
+    (``((eh // 24) + 4) % 7``, 1970-01-01 = Thursday) so both engines
+    share one calendar rule.  Scale plan: per-batch hourly count
+    partials → one calendar-bounded groupby → driver fold (the same
+    dense-hourly contract as the EWMA/autocorr lanes)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        eh = (b["ts"].combine_chunks().cast(pa.int64())
+              .to_numpy(zero_copy_only=False) // 3_600_000_000)
+        uniq, counts = np.unique(eh, return_counts=True)
+        return pa.table({"eh": pa.array(uniq.astype(np.int64)),
+                         "c": pa.array(counts.astype(np.int64))})
+
+    cells = _read(sf_dir, "events", ["ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("eh").aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+
+    eh = cells["eh"].to_numpy(np.int64)
+    c = cells["c"].to_numpy(np.int64)
+    key = ((eh // 24) + 4) % 7 * 24 + eh % 24
+    ng = np.zeros(7 * 24, np.int64)
+    sg = np.zeros(7 * 24, np.int64)
+    np.add.at(ng, key, 1)
+    np.add.at(sg, key, c)
+    resid = np.abs(c * ng[key] - sg[key]) * 1_000_000 // ng[key]
+    order = np.lexsort((eh, -resid))[:20]
+    return pa.table({
+        "eh": pa.array(eh[order]),
+        "n_events": pa.array(c[order]),
+        "resid_micro": pa.array(resid[order])})
+
+
 QUERIES = {
+    "seasonal_anomaly": q_seasonal_anomaly,
     "partition_skew": q_partition_skew,
     "token_shift": q_token_shift,
     "kg_degree_zipf": q_kg_degree_zipf,
@@ -10483,4 +10523,19 @@ SELECT CAST(max(k) AS BIGINT) AS n_partitions,
                 + sum(CASE WHEN rn = k // 2 + 1 THEN n ELSE 0 END))
             AS BIGINT) AS skew_micro
 FROM o
+"""
+
+ORACLE_SQL["seasonal_anomaly"] = """
+WITH h AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS eh,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+g AS (SELECT ((eh // 24) + 4) % 7 * 24 + eh % 24 AS k,
+             CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(c) AS BIGINT) AS sg
+      FROM h GROUP BY 1)
+SELECT eh, c AS n_events,
+       CAST(abs(c * ng - sg) * 1000000 // ng AS BIGINT)
+           AS resid_micro
+FROM h JOIN g ON ((h.eh // 24) + 4) % 7 * 24 + h.eh % 24 = g.k
+ORDER BY resid_micro DESC, eh LIMIT 20
 """

@@ -635,3 +635,50 @@ def test_partition_skew_matches_bruteforce(ray_session, tmp_path):
     assert got["skew_micro"] == 2 * ns[-1] * 1_000_000 // med2
     # the planted hot key must register as real skew
     assert got["skew_micro"] > 2_000_000
+
+
+def test_seasonal_anomaly_finds_planted_spike(ray_session, tmp_path):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import q_seasonal_anomaly
+
+    rng = np.random.RandomState(47)
+    hr_us = 3_600_000_000
+    ts = []
+    # steady diurnal load over 21 days + one planted spike hour
+    for day in range(21):
+        for hod in range(24):
+            base = 5 + (3 if 8 <= hod <= 18 else 0)
+            eh = day * 24 + hod
+            n = base + int(rng.randint(0, 2))
+            if day == 10 and hod == 3:
+                n += 200  # the anomaly
+            ts.extend([eh * hr_us + int(o) for o in
+                       rng.randint(0, hr_us, n)])
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(ts, np.int64)).cast(
+            pa.timestamp("us"))}),
+        str(tmp_path / "events.parquet"))
+    got = q_seasonal_anomaly(str(tmp_path)).to_pandas()
+
+    cnt = collections.Counter(t // hr_us for t in ts)
+    ng = collections.Counter()
+    sg = collections.Counter()
+    for eh, c in cnt.items():
+        k = ((eh // 24) + 4) % 7 * 24 + eh % 24
+        ng[k] += 1
+        sg[k] += c
+    rows = sorted(
+        ((abs(c * ng[((eh // 24) + 4) % 7 * 24 + eh % 24]
+              - sg[((eh // 24) + 4) % 7 * 24 + eh % 24]) * 1_000_000
+          // ng[((eh // 24) + 4) % 7 * 24 + eh % 24], eh, c)
+         for eh, c in cnt.items()),
+        key=lambda r: (-r[0], r[1]))[:20]
+    assert len(got) == 20
+    for (r, eh, c), (_, row) in zip(rows, got.iterrows()):
+        assert (row["eh"], row["n_events"],
+                row["resid_micro"]) == (eh, c, r)
+    # the planted spike hour ranks first
+    assert got.iloc[0]["eh"] == 10 * 24 + 3
