@@ -6649,7 +6649,44 @@ def q_seasonal_anomaly(sf_dir: str):
         "resid_micro": pa.array(resid[order])})
 
 
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of the two retrieval rankers on the
+    shared 3-term query — the standard hybrid-search combiner:
+    ``rrf_scaled(d) = Σ_r 10⁶ // (60 + rank_r(d))`` over the BM25
+    top-20 and the conjunctive term-frequency top-20 (docs absent
+    from a list contribute 0; floor division keeps every score an
+    exact integer).  Top-10 by (rrf DESC, doc_id ASC) with both
+    source ranks attached (0 = absent).  Scale plan: pure composition
+    — both rankers already fold k-bounded results; the fusion is a
+    40-row driver merge."""
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    bm = _pd(q_bm25_topk(sf_dir)) \
+        .sort_values(["score", "doc_id"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    ts = _pd(q_term_search(sf_dir)) \
+        .sort_values(["score", "doc_id"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    r_bm = {int(d): i + 1 for i, d in enumerate(bm["doc_id"])}
+    r_ts = {int(d): i + 1 for i, d in enumerate(ts["doc_id"])}
+    rows = []
+    for d in set(r_bm) | set(r_ts):
+        rb, rt = r_bm.get(d, 0), r_ts.get(d, 0)
+        s = (1_000_000 // (60 + rb) if rb else 0) \
+            + (1_000_000 // (60 + rt) if rt else 0)
+        rows.append((s, d, rb, rt))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    rows = rows[:10]
+    return pa.table({
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "rrf_scaled": pa.array([r[0] for r in rows], pa.int64()),
+        "rank_bm25": pa.array([r[2] for r in rows], pa.int64()),
+        "rank_ts": pa.array([r[3] for r in rows], pa.int64())})
+
+
 QUERIES = {
+    "rrf_fusion": q_rrf_fusion,
     "seasonal_anomaly": q_seasonal_anomaly,
     "partition_skew": q_partition_skew,
     "token_shift": q_token_shift,
@@ -10538,4 +10575,25 @@ SELECT eh, c AS n_events,
            AS resid_micro
 FROM h JOIN g ON ((h.eh // 24) + 4) % 7 * 24 + h.eh % 24 = g.k
 ORDER BY resid_micro DESC, eh LIMIT 20
+"""
+
+ORACLE_SQL["rrf_fusion"] = """
+WITH bm AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS r
+            FROM (""" + ORACLE_SQL["bm25_topk"] + """)),
+ts AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM (""" + ORACLE_SQL["term_search"] + """)),
+u AS (SELECT coalesce(bm.doc_id, ts.doc_id) AS doc_id,
+             coalesce(bm.r, 0) AS rb, coalesce(ts.r, 0) AS rt
+      FROM bm FULL OUTER JOIN ts ON bm.doc_id = ts.doc_id)
+SELECT doc_id,
+       CAST(CASE WHEN rb > 0 THEN 1000000 // (60 + rb) ELSE 0 END
+            + CASE WHEN rt > 0 THEN 1000000 // (60 + rt) ELSE 0 END
+            AS BIGINT) AS rrf_scaled,
+       CAST(rb AS BIGINT) AS rank_bm25,
+       CAST(rt AS BIGINT) AS rank_ts
+FROM u
+ORDER BY rrf_scaled DESC, doc_id LIMIT 10
 """

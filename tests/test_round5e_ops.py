@@ -682,3 +682,59 @@ def test_seasonal_anomaly_finds_planted_spike(ray_session, tmp_path):
                 row["resid_micro"]) == (eh, c, r)
     # the planted spike hour ranks first
     assert got.iloc[0]["eh"] == 10 * 24 + 3
+
+
+def test_rrf_fusion_matches_bruteforce(ray_session, tmp_path):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import (SEARCH_TERMS,
+                                                  q_bm25_topk,
+                                                  q_rrf_fusion,
+                                                  q_term_search)
+    import pandas as pd
+
+    rng = np.random.RandomState(53)
+    fill = ["alpha", "beta", "gamma", "delta"]
+    texts, ids = [], []
+    for i in range(60):
+        k = rng.randint(5, 25)
+        toks = list(rng.choice(fill, k))
+        # seed varying mixes of the query terms
+        for t in SEARCH_TERMS:
+            toks += [t] * int(rng.randint(0, 4))
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+        ids.append(i)
+    tbl = pa.table({
+        "doc_id": pa.array(np.array(ids, np.int64)),
+        "text": pa.array(texts),
+        "n_chars": pa.array(np.array([len(t) for t in texts],
+                                     np.int64))})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = q_rrf_fusion(str(tmp_path)).to_pandas()
+
+    def _pd(res):
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    bm = _pd(q_bm25_topk(str(tmp_path))).sort_values(
+        ["score", "doc_id"], ascending=[False, True])
+    ts = _pd(q_term_search(str(tmp_path))).sort_values(
+        ["score", "doc_id"], ascending=[False, True])
+    rb = {int(d): i + 1 for i, d in enumerate(bm["doc_id"])}
+    rt = {int(d): i + 1 for i, d in enumerate(ts["doc_id"])}
+    exp = sorted(
+        ((-((1_000_000 // (60 + rb[d]) if d in rb else 0)
+            + (1_000_000 // (60 + rt[d]) if d in rt else 0)), d)
+         for d in set(rb) | set(rt)))[:10]
+    assert len(got) == len(exp)
+    for (neg_s, d), (_, row) in zip(exp, got.iterrows()):
+        assert (row["doc_id"], row["rrf_scaled"]) == (d, -neg_s)
+        assert row["rank_bm25"] == rb.get(d, 0)
+        assert row["rank_ts"] == rt.get(d, 0)
+    # fusion must honor both rankers: a doc in only one list cannot
+    # outrank one near the top of both
+    both = got[(got.rank_bm25 > 0) & (got.rank_ts > 0)]
+    assert len(both) > 0
