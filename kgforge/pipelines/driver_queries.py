@@ -6685,7 +6685,111 @@ def q_rrf_fusion(sf_dir: str):
         "rank_ts": pa.array([r[3] for r in rows], pa.int64())})
 
 
+def q_source_scorecard(sf_dir: str):
+    """Per-source corpus scorecard — the one-stop ingest dashboard
+    row: doc/char/token/stopword totals, English share (the shared
+    lang_id precedence rule), and the exact-duplicate doc count
+    (docs whose md5 digest appears ≥2 times ANYWHERE in the corpus —
+    cross-source copies count).  All integers.  Scale plan: one pure
+    map + |sources|-row groupby for the text stats; the dup census
+    ships only (digest, source, n) cells through a digest-keyed
+    groupby and a hash(digest) % P fold (digests co-located, so the
+    ≥2 test is partition-local) — text never shuffles."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.dedup import _md5_col
+    from kgforge.functions.joins import _part_codes
+    from kgforge.functions.textstats import (STOPWORDS, TOKEN_RE,
+                                             _count_re)
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        nt = pc.cast(_count_re(text, TOKEN_RE), pa.int64())
+        ns = pc.cast(_count_re(
+            text, r"\b(" + "|".join(STOPWORDS) + r")\b"), pa.int64())
+        nc = pc.cast(pc.utf8_length(pc.fill_null(text, "")),
+                     pa.int64())
+        n_en = _count_re(text, r"\b(the|of|and)\b") \
+            .to_numpy(zero_copy_only=False)
+        n_de = _count_re(text, r"\b(der|die|und)\b") \
+            .to_numpy(zero_copy_only=False)
+        n_es = _count_re(text, r"\b(el|la|los)\b") \
+            .to_numpy(zero_copy_only=False)
+        is_en = ((n_en >= n_de) & (n_en >= n_es) & (n_en > 0)) \
+            .astype(np.int64)
+        t = pa.table({"source": b["source"], "n_docs": pa.array(
+            np.ones(b.num_rows, np.int64)),
+            "n_chars": nc, "n_tokens": nt, "n_stopwords": ns,
+            "n_en_docs": pa.array(is_en)})
+        g = t.group_by(["source"], use_threads=False).aggregate(
+            [(c, "sum") for c in ["n_docs", "n_chars", "n_tokens",
+                                  "n_stopwords", "n_en_docs"]])
+        return g.rename_columns(
+            ["source", "n_docs", "n_chars", "n_tokens",
+             "n_stopwords", "n_en_docs"])
+
+    stats = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(stats_partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chars", alias_name="n_chars"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_stopwords", alias_name="n_stopwords"),
+            Sum("n_en_docs", alias_name="n_en_docs")).to_pandas()
+
+    def digest_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"h": _md5_col(b["text"]), "source": b["source"]})
+        g = t.group_by(["h", "source"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({"h": g["h"], "source": g["source"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("__p", pa.array(_part_codes(b["h"], 32)))
+
+    def dup_fold(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("h", "ascending")])
+        t = t.take(idx)
+        h = t["h"].combine_chunks().dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(h):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "dup_docs": pa.array([], pa.int64())})
+        starts = np.concatenate(
+            [[0], np.flatnonzero(h[1:] != h[:-1]) + 1])
+        tot = np.add.reduceat(n, starts)
+        run_of = np.cumsum(np.isin(np.arange(len(h)), starts)) - 1
+        dup = np.where(tot[run_of] >= 2, n, 0)
+        g = pa.table({"source": t["source"],
+                      "dup_docs": pa.array(dup.astype(np.int64))}) \
+            .group_by(["source"], use_threads=False).aggregate(
+            [("dup_docs", "sum")])
+        return pa.table({"source": g["source"],
+                         "dup_docs": g["dup_docs_sum"]})
+
+    dups = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(digest_partial, batch_format="pyarrow") \
+        .groupby(["h", "source"]).aggregate(Sum("n", alias_name="n")) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(dup_fold, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("dup_docs", alias_name="dup_docs")).to_pandas()
+
+    m = stats.merge(dups, on="source", how="left").fillna(0) \
+        .sort_values("source").reset_index(drop=True)
+    return pa.table({
+        "source": pa.array(m["source"].tolist(), pa.string()),
+        "n_docs": pa.array(m["n_docs"].to_numpy(np.int64)),
+        "n_chars": pa.array(m["n_chars"].to_numpy(np.int64)),
+        "n_tokens": pa.array(m["n_tokens"].to_numpy(np.int64)),
+        "n_stopwords": pa.array(m["n_stopwords"].to_numpy(np.int64)),
+        "n_en_docs": pa.array(m["n_en_docs"].to_numpy(np.int64)),
+        "dup_docs": pa.array(m["dup_docs"].to_numpy(np.int64))})
+
+
 QUERIES = {
+    "source_scorecard": q_source_scorecard,
     "rrf_fusion": q_rrf_fusion,
     "seasonal_anomaly": q_seasonal_anomaly,
     "partition_skew": q_partition_skew,
@@ -10596,4 +10700,41 @@ SELECT doc_id,
        CAST(rt AS BIGINT) AS rank_ts
 FROM u
 ORDER BY rrf_scaled DESC, doc_id LIMIT 10
+"""
+
+ORACLE_SQL["source_scorecard"] = r"""
+WITH s AS (SELECT source,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(length(coalesce(text, ''))) AS BIGINT)
+                      AS n_chars,
+                  CAST(sum(length(regexp_extract_all(
+                      coalesce(text, ''), '\S+'))) AS BIGINT)
+                      AS n_tokens,
+                  CAST(sum(length(regexp_extract_all(coalesce(text,
+                      ''), '\b(the|a|of|and|data)\b'))) AS BIGINT)
+                      AS n_stopwords,
+                  CAST(sum(CASE WHEN
+                      length(regexp_extract_all(coalesce(text, ''),
+                             '\b(the|of|and)\b'))
+                      >= length(regexp_extract_all(coalesce(text,
+                             ''), '\b(der|die|und)\b'))
+                      AND length(regexp_extract_all(coalesce(text,
+                             ''), '\b(the|of|and)\b'))
+                      >= length(regexp_extract_all(coalesce(text,
+                             ''), '\b(el|la|los)\b'))
+                      AND length(regexp_extract_all(coalesce(text,
+                             ''), '\b(the|of|and)\b')) > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_en_docs
+           FROM documents GROUP BY 1),
+hc AS (SELECT md5(coalesce(text, '')) AS h, source,
+              CAST(count(*) AS BIGINT) AS n
+       FROM documents GROUP BY 1, 2),
+ht AS (SELECT h, CAST(sum(n) AS BIGINT) AS tot FROM hc GROUP BY 1),
+d AS (SELECT hc.source,
+             CAST(sum(CASE WHEN ht.tot >= 2 THEN hc.n ELSE 0 END)
+                  AS BIGINT) AS dup_docs
+      FROM hc JOIN ht USING (h) GROUP BY 1)
+SELECT s.source, s.n_docs, s.n_chars, s.n_tokens, s.n_stopwords,
+       s.n_en_docs, coalesce(d.dup_docs, 0) AS dup_docs
+FROM s LEFT JOIN d ON d.source = s.source
 """

@@ -738,3 +738,52 @@ def test_rrf_fusion_matches_bruteforce(ray_session, tmp_path):
     # outrank one near the top of both
     both = got[(got.rank_bm25 > 0) & (got.rank_ts > 0)]
     assert len(both) > 0
+
+
+def test_source_scorecard_matches_bruteforce(ray_session, tmp_path):
+    import collections
+    import re
+
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import q_source_scorecard
+
+    texts = [
+        ("web", "the cat sat of the mat and data"),
+        ("web", "duplicate body here"),
+        ("wiki", "duplicate body here"),          # cross-source dup
+        ("wiki", "der hund und die katze und der ball"),
+        ("web", "el gato y la casa los dias"),
+        ("wiki", "unique text with no stopwords whatsoever"),
+        ("web", "duplicate body here"),           # triple
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "source": pa.array([s for s, _ in texts]),
+        "text": pa.array([t for _, t in texts])}),
+        str(tmp_path / "documents.parquet"))
+    got = q_source_scorecard(str(tmp_path)).to_pandas() \
+        .set_index("source")
+
+    exp = collections.defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    body_count = collections.Counter(t for _, t in texts)
+    for s, t in texts:
+        e = exp[s]
+        e[0] += 1
+        e[1] += len(t)
+        e[2] += len(re.findall(r"\S+", t))
+        e[3] += len(re.findall(r"\b(?:the|a|of|and|data)\b", t))
+        n_en = len(re.findall(r"\b(?:the|of|and)\b", t))
+        n_de = len(re.findall(r"\b(?:der|die|und)\b", t))
+        n_es = len(re.findall(r"\b(?:el|la|los)\b", t))
+        e[4] += int(n_en >= n_de and n_en >= n_es and n_en > 0)
+        e[5] += int(body_count[t] >= 2)
+    assert sorted(got.index) == sorted(exp)
+    for s, e in exp.items():
+        row = got.loc[s]
+        assert [row["n_docs"], row["n_chars"], row["n_tokens"],
+                row["n_stopwords"], row["n_en_docs"],
+                row["dup_docs"]] == e
+    # the cross-source duplicate must be visible on BOTH sides
+    assert got.loc["web"]["dup_docs"] == 2
+    assert got.loc["wiki"]["dup_docs"] == 1
