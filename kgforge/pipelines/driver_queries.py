@@ -6788,7 +6788,40 @@ def q_source_scorecard(sf_dir: str):
         "dup_docs": pa.array(m["dup_docs"].to_numpy(np.int64))})
 
 
+def q_transition_entropy(sf_dir: str):
+    """Conditional next-event entropy per predecessor state — the
+    predictability census completing the Markov family (transitions →
+    stationary → entropy): with the shared ``L(x) = round(ln(x)·1e6)``
+    grid, ``H(next|prev) = (T·L(T) − Σ c·L(c)) // T`` exact-integer
+    over the per-prev transition counts.  Scale plan: rides the
+    event_transitions exchange (type²-bounded cells), entropy folds
+    on the driver."""
+    import math
+
+    cells = q_event_transitions(sf_dir).to_pandas()
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    out = {}
+    for prev, grp in cells.groupby("prev_type"):
+        ns = [int(x) for x in grp["n"]]
+        t = sum(ns)
+        out[prev] = (t, len(ns),
+                     (t * L(t) - sum(c * L(c) for c in ns)) // t)
+    names = sorted(out)
+    return pa.table({
+        "prev_type": pa.array(names, pa.string()),
+        "n_transitions": pa.array([out[p][0] for p in names],
+                                  pa.int64()),
+        "n_successors": pa.array([out[p][1] for p in names],
+                                 pa.int64()),
+        "entropy_micro": pa.array([out[p][2] for p in names],
+                                  pa.int64())})
+
+
 QUERIES = {
+    "transition_entropy": q_transition_entropy,
     "source_scorecard": q_source_scorecard,
     "rrf_fusion": q_rrf_fusion,
     "seasonal_anomaly": q_seasonal_anomaly,
@@ -10737,4 +10770,24 @@ d AS (SELECT hc.source,
 SELECT s.source, s.n_docs, s.n_chars, s.n_tokens, s.n_stopwords,
        s.n_en_docs, coalesce(d.dup_docs, 0) AS dup_docs
 FROM s LEFT JOIN d ON d.source = s.source
+"""
+
+ORACLE_SQL["transition_entropy"] = """
+WITH o AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                      AS nxt
+           FROM events),
+c AS (SELECT event_type AS prev_type, nxt AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+u AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n * CAST(round(ln(n) * 1000000) AS BIGINT))
+                  AS BIGINT) AS sum_clc
+      FROM c GROUP BY 1)
+SELECT prev_type, t AS n_transitions, k AS n_successors,
+       CAST((t * CAST(round(ln(t) * 1000000) AS BIGINT) - sum_clc)
+            // t AS BIGINT) AS entropy_micro
+FROM u
 """

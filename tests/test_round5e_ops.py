@@ -787,3 +787,51 @@ def test_source_scorecard_matches_bruteforce(ray_session, tmp_path):
     # the cross-source duplicate must be visible on BOTH sides
     assert got.loc["web"]["dup_docs"] == 2
     assert got.loc["wiki"]["dup_docs"] == 1
+
+
+def test_transition_entropy_matches_bruteforce(ray_session, tmp_path):
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    from kgforge.pipelines.driver_queries import q_transition_entropy
+
+    rng = np.random.RandomState(59)
+    n = 500
+    users = rng.randint(0, 40, n).astype(np.int64)
+    # 'click' is near-deterministic (-> view), 'buy' is high-entropy
+    types = rng.choice(["click", "view", "buy"], n,
+                       p=[0.5, 0.3, 0.2]).tolist()
+    ts = np.sort(rng.randint(0, 10**12, n).astype(np.int64))
+    eid = np.arange(n, dtype=np.int64)
+    pq.write_table(pa.table({
+        "user_id": pa.array(users), "event_id": pa.array(eid),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(types)}),
+        str(tmp_path / "events.parquet"))
+    got = q_transition_entropy(str(tmp_path)).to_pandas() \
+        .set_index("prev_type")
+
+    seq = collections.defaultdict(list)
+    order = np.lexsort((eid, ts))
+    for i in order:
+        seq[int(users[i])].append(types[i])
+    cnt = collections.defaultdict(collections.Counter)
+    for evs in seq.values():
+        for a, b in zip(evs, evs[1:]):
+            cnt[a][b] += 1
+
+    def L(v):
+        return int(math.floor(math.log(v) * 1e6 + 0.5))
+
+    assert sorted(got.index) == sorted(cnt)
+    for prev, c in cnt.items():
+        t = sum(c.values())
+        h = (t * L(t) - sum(v * L(v) for v in c.values())) // t
+        row = got.loc[prev]
+        assert (row["n_transitions"], row["n_successors"],
+                row["entropy_micro"]) == (t, len(c), h)
+    # entropy bounded by ln(k)
+    for prev, c in cnt.items():
+        assert got.loc[prev]["entropy_micro"] <= L(len(c)) + 1
