@@ -3456,3 +3456,78 @@ def kaplan_meier_ds(ds, by: str = "o_custkey", on: str = "o_orderdate",
         "n_risk": pa.array(out_r, pa.int64()),
         "n_events": pa.array(out_d, pa.int64()),
         "survival_micro": pa.array(out_s, pa.int64())})
+
+
+def session_entry_exit_ds(ds, by: str = "user_id", on: str = "ts",
+                          tie: str = "event_id",
+                          type_col: str = "event_type",
+                          gap_us: int = 1_800_000_000,
+                          num_partitions: int = 64):
+    """Entry/exit-page census over 30-minute-gap sessions — the
+    classic landing→exit flow table: per (entry_type, exit_type) the
+    session count and how many were bounces (single-event sessions).
+    Shares the session rule with the sessionize family (break when
+    the same-key gap exceeds ``gap_us``; order = (on, tie)).
+
+    Scale shape: ONE shuffle by ``hash(key) % P``; each partition
+    sorts once, cuts session runs vectorized (key-change OR gap
+    break), reads entry/exit types at run offsets and emits
+    (entry, exit, bounce) COUNT partials — the global exchange moves
+    type²-bounded cells, never events."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+    P = np.uint64(num_partitions)
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b[by].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            p = (((k * MIX) >> np.uint64(32)) % P).astype(np.int32)
+        return pa.table({"__p": pa.array(p), by: b[by],
+                         "__on": b[on].combine_chunks()
+                         .cast(pa.int64()),
+                         "__tie": b[tie], type_col: b[type_col]})
+
+    empty = pa.table({"entry_type": pa.array([], pa.string()),
+                      "exit_type": pa.array([], pa.string()),
+                      "n_sessions": pa.array([], pa.int64()),
+                      "n_bounce": pa.array([], pa.int64())})
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(t, sort_keys=[
+            (by, "ascending"), ("__on", "ascending"),
+            ("__tie", "ascending")])
+        t = t.take(idx)
+        k = t[by].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["__on"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        brk = np.ones(len(k), dtype=bool)
+        if len(k) > 1:
+            brk[1:] = (k[1:] != k[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(k)) - 1
+        n = ends - starts + 1
+        et = t[type_col].combine_chunks()
+        entry = et.take(pa.array(starts))
+        exit_ = et.take(pa.array(ends))
+        g = pa.table({"entry_type": entry, "exit_type": exit_,
+                      "n_sessions": pa.array(
+                          np.ones(len(starts), np.int64)),
+                      "n_bounce": pa.array(
+                          (n == 1).astype(np.int64))}) \
+            .group_by(["entry_type", "exit_type"],
+                      use_threads=False).aggregate(
+            [("n_sessions", "sum"), ("n_bounce", "sum")])
+        return g.rename_columns(["entry_type", "exit_type",
+                                 "n_sessions", "n_bounce"])
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby(["entry_type", "exit_type"]).aggregate(
+            Sum("n_sessions", alias_name="n_sessions"),
+            Sum("n_bounce", alias_name="n_bounce"))

@@ -6820,7 +6820,17 @@ def q_transition_entropy(sf_dir: str):
                                   pa.int64())})
 
 
+def q_session_entry_exit(sf_dir: str):
+    """Landing→exit flow table with bounce counts over 30-min-gap
+    sessions — see
+    :func:`kgforge.functions.events.session_entry_exit_ds`."""
+    return F_events.session_entry_exit_ds(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"]))
+
+
 QUERIES = {
+    "session_entry_exit": q_session_entry_exit,
     "transition_entropy": q_transition_entropy,
     "source_scorecard": q_source_scorecard,
     "rrf_fusion": q_rrf_fusion,
@@ -10790,4 +10800,32 @@ SELECT prev_type, t AS n_transitions, k AS n_successors,
        CAST((t * CAST(round(ln(t) * 1000000) AS BIGINT) - sum_clc)
             // t AS BIGINT) AS entropy_micro
 FROM u
+"""
+
+ORACLE_SQL["session_entry_exit"] = """
+WITH s AS (SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sx AS (SELECT user_id, ts, event_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+       FROM s),
+r AS (SELECT user_id, sess, event_type,
+        row_number() OVER (PARTITION BY user_id, sess
+                           ORDER BY ts, event_id) AS rn,
+        count(*) OVER (PARTITION BY user_id, sess) AS n
+      FROM sx),
+e AS (SELECT user_id, sess,
+        max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+        max(CASE WHEN rn = n THEN event_type END) AS exit_type,
+        max(n) AS n
+      FROM r GROUP BY 1, 2)
+SELECT entry_type, exit_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_bounce
+FROM e GROUP BY 1, 2
 """

@@ -835,3 +835,54 @@ def test_transition_entropy_matches_bruteforce(ray_session, tmp_path):
     # entropy bounded by ln(k)
     for prev, c in cnt.items():
         assert got.loc[prev]["entropy_micro"] <= L(len(c)) + 1
+
+
+def test_session_entry_exit_matches_bruteforce(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from kgforge.functions.events import session_entry_exit_ds
+
+    rng = np.random.RandomState(61)
+    n = 400
+    users = rng.randint(0, 30, n).astype(np.int64)
+    # cluster times so real multi-event sessions AND bounces form
+    ts = np.sort(rng.choice(
+        np.arange(0, 3 * 10**12, 10**9), n).astype(np.int64))
+    types = rng.choice(["home", "search", "cart"], n).tolist()
+    eid = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "user_id": pa.array(users), "event_id": pa.array(eid),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(types)})
+    got = session_entry_exit_ds(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values(["entry_type", "exit_type"]) \
+        .reset_index(drop=True)
+
+    gap = 1_800_000_000
+    per_user = collections.defaultdict(list)
+    order = np.lexsort((eid, ts, users))
+    for i in order:
+        per_user[int(users[i])].append((int(ts[i]), types[i]))
+    cells = collections.Counter()
+    bounce = collections.Counter()
+    for evs in per_user.values():
+        sess = [[evs[0]]]
+        for prev, cur in zip(evs, evs[1:]):
+            if cur[0] - prev[0] > gap:
+                sess.append([])
+            sess[-1].append(cur)
+        for s in sess:
+            key = (s[0][1], s[-1][1])
+            cells[key] += 1
+            if len(s) == 1:
+                bounce[key] += 1
+    assert len(got) == len(cells)
+    for (en, ex), c in sorted(cells.items()):
+        row = got[(got.entry_type == en) & (got.exit_type == ex)]
+        assert int(row["n_sessions"].iloc[0]) == c
+        assert int(row["n_bounce"].iloc[0]) == bounce[(en, ex)]
+    # fixture must contain both bounces and multi-event sessions
+    assert got["n_bounce"].sum() > 0
+    assert (got["n_sessions"].sum() - got["n_bounce"].sum()) > 0
