@@ -169,17 +169,16 @@ def q_part_supplier_counts(sf_dir: str):
 
     from kgforge.functions.joins import shuffle_join_ds
 
+    from kgforge.functions.graph import _lr_indices
+    from kgforge.functions.joins import cogroup_partition_ds
+
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
 
     def pre_distinct(b: pa.Table) -> pa.Table:
         return b.group_by(["l_partkey", "l_suppkey"],
                           use_threads=False).aggregate([])
 
-    pairs = li.map_batches(pre_distinct, batch_format="pyarrow") \
-        .groupby(["l_partkey", "l_suppkey"]) \
-        .aggregate(Count(alias_name="__c")) \
-        .map_batches(lambda b: b.select(["l_partkey", "l_suppkey"]),
-                     batch_format="pyarrow")
+    pairs = li.map_batches(pre_distinct, batch_format="pyarrow")
 
     part = _read(sf_dir, "part",
                  ["p_partkey", "p_brand", "p_type", "p_size"],
@@ -191,21 +190,58 @@ def q_part_supplier_counts(sf_dir: str):
                     .to_pandas()["s_suppkey"].to_numpy(dtype=np.int64))
     ref = ray.put(black)
 
-    joined = shuffle_join_ds(pairs, part, "l_partkey", "p_partkey",
-                             ["l_suppkey"],
-                             ["p_brand", "p_type", "p_size"], "inner")
+    empty = pa.table({"p_brand": pa.array([], pa.string()),
+                      "p_type": pa.array([], pa.string()),
+                      "p_size": pa.array([], pa.int64()),
+                      "l_suppkey": pa.array([], pa.int64())})
 
-    def anti(b: pa.Table) -> pa.Table:
-        bl = ray.get(ref)
-        sk = b["l_suppkey"].combine_chunks() \
+    def fuse(t: pa.Table, starts, nl, nr) -> pa.Table:
+        # the partkey exchange already co-locates every (part, supp)
+        # pair, so the global pair-distinct that used to be its OWN
+        # all-to-all completes here, fused with the join and the
+        # broadcast blacklist anti-filter
+        keep_run = (nl > 0) & (nr > 0)
+        if not keep_run.any():
+            return empty
+        lidx, _ = _lr_indices(starts, nl, nr)
+        run_of_left = np.repeat(np.arange(len(starts)), nl)
+        supp = t["l_suppkey"].take(pa.array(lidx)).combine_chunks() \
             .to_numpy(zero_copy_only=False)
-        if len(bl) == 0:
-            return b
-        j = np.searchsorted(bl, sk)
-        hit = (j < len(bl)) & (bl[np.minimum(j, len(bl) - 1)] == sk)
-        return b.filter(pa.array(~hit))
+        kmask = keep_run[run_of_left]
+        code = run_of_left[kmask].astype(np.int64) * (1 << 32) \
+            + supp[kmask]
+        uniq = np.unique(code)
+        runs, supps = uniq >> 32, uniq & ((1 << 32) - 1)
+        bl = ray.get(ref)
+        if len(bl):
+            j = np.searchsorted(bl, supps)
+            hit = (j < len(bl)) & (bl[np.minimum(j, len(bl) - 1)]
+                                   == supps)
+            runs, supps = runs[~hit], supps[~hit]
+        ridx = pa.array((starts + nl)[runs])
+        return pa.table({
+            "p_brand": t["p_brand"].take(ridx),
+            "p_type": t["p_type"].take(ridx),
+            "p_size": t["p_size"].take(ridx).combine_chunks()
+            .cast(pa.int64()),
+            "l_suppkey": pa.array(supps.astype(np.int64))})
 
-    dist = joined.map_batches(anti, batch_format="pyarrow") \
+    joined = cogroup_partition_ds(
+        pairs, part, "l_partkey", "p_partkey", fuse,
+        ["l_suppkey"], ["p_brand", "p_type", "p_size"],
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("l_suppkey", pa.int64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("p_brand", pa.string()),
+                                ("p_type", pa.string()),
+                                ("p_size", pa.int32())]))
+
+    def pre_distinct2(b: pa.Table) -> pa.Table:
+        return b.group_by(["p_brand", "p_type", "p_size",
+                           "l_suppkey"], use_threads=False) \
+            .aggregate([])
+
+    dist = joined.map_batches(pre_distinct2, batch_format="pyarrow") \
         .groupby(["p_brand", "p_type", "p_size", "l_suppkey"]) \
         .aggregate(Count(alias_name="__c")) \
         .map_batches(lambda b: b.select(["p_brand", "p_type", "p_size"]),
