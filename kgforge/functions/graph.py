@@ -1201,21 +1201,17 @@ def kcore_ds(edges_ds, k: int = 2, rounds: int = 8,
         batch_format="pyarrow")
 
 
-def assortativity_ds(edges_ds, src: str = "subj", dst: str = "obj",
-                     num_partitions: int = 64) -> pa.Table:
-    """Degree-assortativity moments of the undirected distinct-pair
-    graph: over every directed pair (a, b), the EXACT integer moment
-    sums of (deg(a), deg(b)) plus the regression slope in ppm —
-    ``(n_pairs, num, denx, deny, slope_ppm)`` with
-    ``num = n·Σxy − Σx·Σy``, ``denx = n·Σx² − (Σx)²`` (deny
-    symmetric), ``slope_ppm = num × 10⁶ // denx`` — one row, no
-    floats, no sqrt (the consumer can form Pearson r from the three
-    integers; a float sqrt here would risk the value hash).
-
-    Plan: degrees via ``degree_ds``'s distinct-pair base; two
-    cogroups attach deg(a) then deg(b) to the pair stream; per-batch
-    integer moment partials fold on the driver (Python ints — no
-    int64 overflow for Σx², Σxy at web-scale degree sums)."""
+def _pairs_with_degrees_ds(edges_ds, src: str, dst: str,
+                           num_partitions: int = 64):
+    """Shared base of the degree-conditioned censuses
+    (:func:`assortativity_ds`, :func:`rich_club_ds`,
+    :func:`neighbor_degree_ds`): the both-directions distinct-pair
+    stream with the undirected degree attached at BOTH ends —
+    ``(pairs, deg)`` where ``pairs`` has int64 columns ``da``/``db``
+    (one row per directed distinct pair) and ``deg`` is the
+    materialized ``(n, dg)`` node-degree table.  Two hash cogroups;
+    the corpus-scale edge multiset never moves — only distinct pairs
+    plus two n-row degree joins shuffle."""
     import pyarrow.compute as pc
 
     from kgforge.functions.joins import cogroup_partition_ds
@@ -1232,13 +1228,13 @@ def assortativity_ds(edges_ds, src: str = "subj", dst: str = "obj",
     if n_pairs < 100_000 and und.num_blocks() > 2 * num_partitions:
         und = und.repartition(num_partitions).materialize()
 
+    from ray.data.aggregate import Sum
+
     def deg_partial(b: pa.Table) -> pa.Table:
         g = b.group_by(["n1"], use_threads=False).aggregate(
             [([], "count_all")])
         return pa.table({"n": g["n1"],
                          "dg": pc.cast(g["count_all"], pa.int64())})
-
-    from ray.data.aggregate import Sum
 
     deg = und.map_batches(deg_partial, batch_format="pyarrow") \
         .groupby("n").aggregate(Sum("dg", alias_name="dg")) \
@@ -1275,6 +1271,29 @@ def assortativity_ds(edges_ds, src: str = "subj", dst: str = "obj",
         num_partitions=num_partitions,
         left_schema=pa.schema([("n2", node_t), ("da", pa.int64())]),
         right_schema=deg_schema)
+    return pairs, deg
+
+
+def assortativity_ds(edges_ds, src: str = "subj", dst: str = "obj",
+                     num_partitions: int = 64) -> pa.Table:
+    """Degree-assortativity moments of the undirected distinct-pair
+    graph: over every directed pair (a, b), the EXACT integer moment
+    sums of (deg(a), deg(b)) plus the regression slope in ppm —
+    ``(n_pairs, num, denx, deny, slope_ppm)`` with
+    ``num = n·Σxy − Σx·Σy``, ``denx = n·Σx² − (Σx)²`` (deny
+    symmetric), ``slope_ppm = num × 10⁶ // denx`` — one row, no
+    floats, no sqrt (the consumer can form Pearson r from the three
+    integers; a float sqrt here would risk the value hash).
+
+    Plan: degrees via ``degree_ds``'s distinct-pair base; two
+    cogroups attach deg(a) then deg(b) to the pair stream
+    (:func:`_pairs_with_degrees_ds`); per-batch integer moment
+    partials fold on the driver (Python ints — no int64 overflow for
+    Σx², Σxy at web-scale degree sums)."""
+    import pyarrow.compute as pc
+
+    pairs, _deg = _pairs_with_degrees_ds(edges_ds, src, dst,
+                                         num_partitions)
 
     def moments(b: pa.Table) -> pa.Table:
         x = b["da"].combine_chunks().to_numpy(zero_copy_only=False) \
@@ -1331,63 +1350,20 @@ def rich_club_ds(edges_ds, src: str = "subj", dst: str = "obj",
     million (0 when the club has < 2 members) — exact integers, so
     both engines hash bit-identically.
 
-    Plan: :func:`assortativity_ds`'s shape — degrees from the
-    both-directions distinct-pair table, two hash cogroups attach
-    deg(a)/deg(b) to the pair stream, then a per-batch histogram of
-    ``min(da, db)`` (degree-bounded, so the driver fold is tiny).
-    Each undirected edge appears twice in the directed stream with
-    the same min-degree, so ``E_k = count/2`` — no a<b filter, no
-    extra pass.  The node-side histogram folds straight off the
-    degree table.  Shuffle volume: distinct pairs + two n-row degree
-    joins — the corpus-scale edge multiset never moves."""
+    Plan: :func:`_pairs_with_degrees_ds` (assortativity's shape) —
+    degrees from the both-directions distinct-pair table, two hash
+    cogroups attach deg(a)/deg(b) to the pair stream, then a
+    per-batch histogram of ``min(da, db)`` (degree-bounded, so the
+    driver fold is tiny).  Each undirected edge appears twice in the
+    directed stream with the same min-degree, so ``E_k = count/2`` —
+    no a<b filter, no extra pass.  The node-side histogram folds
+    straight off the degree table.  Shuffle volume: distinct pairs +
+    two n-row degree joins — the corpus-scale edge multiset never
+    moves."""
     from ray.data.aggregate import Sum
 
-    from kgforge.functions.joins import cogroup_partition_ds
-
-    und = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
-                             both_directions=True).materialize()
-    n_pairs = und.count()
-    num_partitions = int(min(num_partitions,
-                             max(4, n_pairs // 2000 + 1)))
-    if n_pairs < 100_000 and und.num_blocks() > 2 * num_partitions:
-        und = und.repartition(num_partitions).materialize()
-
-    def deg_partial(b: pa.Table) -> pa.Table:
-        g = b.group_by(["n1"], use_threads=False).aggregate(
-            [([], "count_all")])
-        return pa.table({"n": g["n1"],
-                         "dg": pc.cast(g["count_all"], pa.int64())})
-
-    deg = und.map_batches(deg_partial, batch_format="pyarrow") \
-        .groupby("n").aggregate(Sum("dg", alias_name="dg")) \
-        .materialize()
-
-    def attach(out_col, left_cols):
-        def fn(t: pa.Table, starts, nl, nr) -> pa.Table:
-            total = nl + nr
-            row_key = np.repeat(np.arange(len(nl)), total)
-            pos = np.arange(len(row_key))
-            in_left = pos < (starts + nl)[row_key]
-            mask = ((nl > 0) & (nr > 0))[row_key] & in_left
-            lidx = np.flatnonzero(mask)
-            ridx = (starts + nl)[row_key][lidx]
-            cols = {c: t[c].take(pa.array(lidx)) for c in left_cols}
-            cols[out_col] = t["dg"].take(pa.array(ridx))
-            return pa.table(cols)
-        return fn
-
-    node_t = und.schema().base_schema.field("n1").type
-    deg_schema = pa.schema([("n", node_t), ("dg", pa.int64())])
-    with_da = cogroup_partition_ds(
-        und, deg, "n1", "n", attach("da", ["n2"]), ["n2"], ["dg"],
-        num_partitions=num_partitions,
-        left_schema=pa.schema([("n1", node_t), ("n2", node_t)]),
-        right_schema=deg_schema)
-    pairs = cogroup_partition_ds(
-        with_da, deg, "n2", "n", attach("db", ["da"]), ["da"], ["dg"],
-        num_partitions=num_partitions,
-        left_schema=pa.schema([("n2", node_t), ("da", pa.int64())]),
-        right_schema=deg_schema)
+    pairs, deg = _pairs_with_degrees_ds(edges_ds, src, dst,
+                                        num_partitions)
 
     def dmin_hist(b: pa.Table) -> pa.Table:
         da = b["da"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1430,6 +1406,56 @@ def rich_club_ds(edges_ds, src: str = "subj", dst: str = "obj",
         "n_nodes": pa.array([r[1] for r in rows], pa.int64()),
         "n_edges": pa.array([r[2] for r in rows], pa.int64()),
         "rc_ppm": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def neighbor_degree_ds(edges_ds, src: str = "subj", dst: str = "obj",
+                       num_partitions: int = 64) -> pa.Table:
+    """Average-neighbor-degree curve knn(k) (Pastor-Satorras et al.
+    2001) of the undirected distinct-pair graph — the
+    degree-correlation profile that assortativity collapses to one
+    slope: per degree class ``k``, the class size ``n_nodes``, the
+    directed pair count ``n_pairs`` (= k·n_nodes by construction, a
+    free cross-check), the exact neighbor-degree sum and
+    ``knn_micro = sum_nbr_deg·10⁶ // n_pairs`` — integers only, so
+    both engines hash bit-identically.  Rows ordered by degree ASC.
+
+    Plan: :func:`_pairs_with_degrees_ds` attaches deg at both ends;
+    a per-batch (da → count, Σdb) partial collapses the pair stream
+    to a degree-bounded histogram; ``n_nodes = n_pairs // k`` folds
+    for free (every degree-k node contributes exactly k pair rows) —
+    no second pass over the degree table."""
+    from ray.data.aggregate import Sum
+
+    pairs, _deg = _pairs_with_degrees_ds(edges_ds, src, dst,
+                                         num_partitions)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"degree": b["da"], "db": b["db"],
+                      "one": pa.array(
+                          np.ones(b.num_rows, dtype=np.int64))})
+        g = t.group_by(["degree"], use_threads=False).aggregate(
+            [("one", "sum"), ("db", "sum")])
+        return pa.table({"degree": g["degree"], "np": g["one_sum"],
+                         "sd": g["db_sum"]})
+
+    hist = pairs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("degree").aggregate(
+            Sum("np", alias_name="n_pairs"),
+            Sum("sd", alias_name="sum_nbr_deg")).to_pandas()
+    hist = hist.sort_values("degree")
+    k = hist["degree"].to_numpy(np.int64)
+    npair = hist["n_pairs"].to_numpy(np.int64)
+    sd = hist["sum_nbr_deg"].to_numpy(np.int64)
+    # Python-int fold: sd×10⁶ overflows int64 once Σ_nbr_deg passes
+    # ~9·10¹² (well inside web-scale pair counts); the histogram is
+    # degree-bounded so the loop is trivial
+    knn = [int(s) * 1_000_000 // int(p) for s, p in zip(sd, npair)]
+    return pa.table({
+        "degree": pa.array(k),
+        "n_nodes": pa.array(npair // k),
+        "n_pairs": pa.array(npair),
+        "sum_nbr_deg": pa.array(sd),
+        "knn_micro": pa.array(knn, pa.int64())})
 
 
 def _edge_cn_ds(und, num_partitions: int, node_t):

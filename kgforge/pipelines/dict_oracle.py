@@ -531,6 +531,26 @@ FROM nk JOIN ek ON ek.k = nk.k ORDER BY nk.k
 """
 
 
+def neighbor_degree_sql() -> str:
+    """Average-neighbor-degree curve knn(k) — twin of
+    :func:`kgforge.functions.graph.neighbor_degree_ds` (same
+    undirected distinct-pair degrees; every degree-k node contributes
+    exactly k directed pair rows, so n_nodes = n_pairs // k; nonneg
+    integer // so floor == truncate)."""
+    return entity_pairs_prelude() + """,
+dd AS (SELECT n1 AS n, CAST(count(*) AS BIGINT) AS dg
+       FROM und GROUP BY n1)
+SELECT a.dg AS degree,
+       CAST(count(*) // a.dg AS BIGINT) AS n_nodes,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(b.dg) AS BIGINT) AS sum_nbr_deg,
+       CAST(sum(CAST(b.dg AS HUGEINT)) * 1000000 // count(*)
+            AS BIGINT) AS knn_micro
+FROM und JOIN dd a ON a.n = und.n1 JOIN dd b ON b.n = und.n2
+GROUP BY a.dg ORDER BY a.dg
+"""
+
+
 def edge_jaccard_sql() -> str:
     """Per-edge neighborhood Jaccard — twin of
     :func:`kgforge.functions.graph.edge_jaccard_ds` (same canonical

@@ -6865,7 +6865,364 @@ def q_session_entry_exit(sf_dir: str):
               ["user_id", "ts", "event_id", "event_type"]))
 
 
+def q_kg_neighbor_degree(sf_dir: str):
+    """Average-neighbor-degree curve knn(k) of the entity graph — see
+    :func:`kgforge.functions.graph.neighbor_degree_ds`."""
+    from kgforge.functions.graph import neighbor_degree_ds
+
+    return neighbor_degree_ds(_entity_edges_for(sf_dir))
+
+
+def q_theil_sen_nation(sf_dir: str):
+    """Per-nation Theil–Sen trend of monthly order revenue: the
+    median of all pairwise month-to-month slopes — the robust trend
+    estimator an OLS fit (``group_regression``) can't give when a
+    few promo months spike.  Slope per (i < j) month pair is the
+    sign-magnitude truncating integer
+    ``sign(Δcents) · |Δcents|·10⁶ // Δmonth``; the median uses the
+    med2 convention (sum of the two middle order stats — 2× the
+    median at odd pair counts), so every value is an exact integer.
+    Rows: (n_name, n_months, n_pairs, slope_med2), n_name ASC;
+    nations with < 2 active months are dropped.
+
+    Scale plan: orders partial-aggregate per batch to (custkey, ym,
+    cents) combiner rows, ONE custkey-hash cogroup attaches the
+    nation key (the only corpus-scale exchange), then a
+    nations×months-bounded groupby; the O(months²) pair loop runs on
+    the driver over ≤ 25×84 cells in exact Python ints (Δcents×10⁶
+    overflows int64 past ~$92 B/month)."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        ym = (us // 86_400_000_000).astype("datetime64[D]") \
+            .astype("datetime64[M]").astype(np.int64) + 1970 * 12
+        cents = round_away(
+            b["o_totalprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        t = pa.table({"ck": b["o_custkey"], "ym": pa.array(ym),
+                      "c": pa.array(cents)})
+        g = t.group_by(["ck", "ym"], use_threads=False).aggregate(
+            [("c", "sum")])
+        return pa.table({"ck": g["ck"], "ym": g["ym"], "c": g["c_sum"]})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(o_partial, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(
+            lambda b: pa.table({
+                "ck": b["c_custkey"],
+                "dg": pc.cast(b["c_nationkey"], pa.int64())}),
+            batch_format="pyarrow")
+
+    def attach_nk(t: pa.Table, starts, nl, nr) -> pa.Table:
+        joined = _attach_right(t, starts, nl, nr, ["ym", "c"],
+                               ("dg", "nk"), ["ym", "c"])
+        g = joined.group_by(["nk", "ym"], use_threads=False) \
+            .aggregate([("c", "sum")])
+        return pa.table({"nk": g["nk"], "ym": g["ym"], "c": g["c_sum"]})
+
+    cells = cogroup_partition_ds(
+        orders, cust, "ck", "ck", attach_nk, ["ym", "c"], ["dg"],
+        left_schema=pa.schema([("ck", pa.int64()), ("ym", pa.int64()),
+                               ("c", pa.int64())]),
+        right_schema=pa.schema([("ck", pa.int64()),
+                                ("dg", pa.int64())])) \
+        .groupby(["nk", "ym"]).aggregate(Sum("c", alias_name="cents")) \
+        .to_pandas()
+
+    names = {int(r["n_nationkey"]): r["n_name"]
+             for _, r in _read(sf_dir, "nation",
+                               ["n_nationkey", "n_name"])
+             .to_pandas().iterrows()}
+    rows = []
+    for nk, grp in cells.groupby("nk"):
+        grp = grp.sort_values("ym")
+        ym = [int(v) for v in grp["ym"]]
+        cv = [int(v) for v in grp["cents"]]
+        m = len(ym)
+        if m < 2:
+            continue
+        slopes = []
+        for i in range(m):
+            for j in range(i + 1, m):
+                dy, dx = cv[j] - cv[i], ym[j] - ym[i]
+                q = abs(dy) * 1_000_000 // dx
+                slopes.append(q if dy >= 0 else -q)
+        slopes.sort()
+        k = len(slopes)
+        med2 = slopes[(k + 1) // 2 - 1] + slopes[k // 2]
+        rows.append((names[int(nk)], m, k, med2))
+    rows.sort()
+    return pa.table({
+        "n_name": pa.array([r[0] for r in rows], pa.string()),
+        "n_months": pa.array([r[1] for r in rows], pa.int64()),
+        "n_pairs": pa.array([r[2] for r in rows], pa.int64()),
+        "slope_med2": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def q_rank_stability(sf_dir: str):
+    """Kendall-tau rank stability of the top-50 suppliers (by total
+    discounted revenue, ties → suppkey ASC) between the early period
+    (ship date < 1995-01-01) and the late period — the
+    leaderboard-churn monitor.  Ranks within the club are total
+    orders (revenue DESC, suppkey ASC), so no tau tie terms;
+    ``tau_ppm = sign(C−D) · |C−D|·10⁶ // n_pairs`` (truncate toward
+    zero, DuckDB // semantics).  One row: (n_items, n_pairs,
+    n_concordant, n_discordant, tau_ppm).
+
+    Scale plan: one streaming pass over lineitem with per-batch
+    (suppkey, early/late cents) combiner partials; the groupby output
+    is supplier-bounded (a dimension), and the O(50²) pair census
+    runs on the driver."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    cut_us = int(np.datetime64("1995-01-01", "us").astype(np.int64))
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        cents = round_away(
+            b["l_extendedprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].combine_chunks()
+               .to_numpy(zero_copy_only=False)) * 100,
+            0).astype(np.int64)
+        early = us < cut_us
+        t = pa.table({"sk": b["l_suppkey"],
+                      "a": pa.array(np.where(early, cents, 0)),
+                      "b": pa.array(np.where(early, 0, cents))})
+        g = t.group_by(["sk"], use_threads=False).aggregate(
+            [("a", "sum"), ("b", "sum")])
+        return pa.table({"sk": g["sk"], "a": g["a_sum"],
+                         "b": g["b_sum"]})
+
+    sup = _read(sf_dir, "lineitem",
+                ["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("sk").aggregate(Sum("a", alias_name="ra"),
+                                 Sum("b", alias_name="rb")) \
+        .to_pandas()
+    sup["tot"] = sup["ra"] + sup["rb"]
+    top = sup.sort_values(["tot", "sk"],
+                          ascending=[False, True]).head(50)
+    ra = top.sort_values(["ra", "sk"], ascending=[False, True])
+    ka = {int(s): i for i, s in enumerate(ra["sk"], 1)}
+    rb = top.sort_values(["rb", "sk"], ascending=[False, True])
+    kb = {int(s): i for i, s in enumerate(rb["sk"], 1)}
+    sks = [int(s) for s in top["sk"]]
+    conc = disc = 0
+    for i in range(len(sks)):
+        for j in range(i + 1, len(sks)):
+            s = ((ka[sks[i]] - ka[sks[j]])
+                 * (kb[sks[i]] - kb[sks[j]]))
+            if s > 0:
+                conc += 1
+            elif s < 0:
+                disc += 1
+    n_pairs = len(sks) * (len(sks) - 1) // 2
+    d = conc - disc
+    tau = (abs(d) * 1_000_000 // n_pairs if n_pairs else 0)
+    if d < 0:
+        tau = -tau
+    return pa.table({
+        "n_items": pa.array([len(sks)], pa.int64()),
+        "n_pairs": pa.array([n_pairs], pa.int64()),
+        "n_concordant": pa.array([conc], pa.int64()),
+        "n_discordant": pa.array([disc], pa.int64()),
+        "tau_ppm": pa.array([tau], pa.int64())})
+
+
+def q_spearman_qty_discount(sf_dir: str):
+    """Spearman rank correlation between lineitem quantity and
+    discount — the monotone-association check Pearson
+    (``numeric_corr``) misses under nonlinear pricing curves.  Both
+    columns have bounded integer domains (quantity 1..50, discount
+    0..10 pp), so the EXACT tie-corrected rho folds from the ≤ 50×11
+    joint histogram: doubled average ranks ``r2(v) = 2·cb + c + 1``
+    stay integers, the moment sums are arbitrary-precision Python
+    ints (Σc·r² passes int64 near 600 M rows), and the final double
+    derives from the same integers as the SQL twin's HUGEINTs —
+    bit-identical before the shared round(·, 6).  One row: (n, rho).
+
+    Scale plan: one streaming pass, per-batch joint-histogram
+    combiner partials, one ≤ 550-cell groupby — no sort, no global
+    rank pass."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = np.rint(b["l_quantity"].combine_chunks()
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        d = round_away(b["l_discount"].combine_chunks()
+                       .to_numpy(zero_copy_only=False) * 100,
+                       0).astype(np.int64)
+        t = pa.table({"q": pa.array(q), "d": pa.array(d),
+                      "one": pa.array(np.ones(len(q), np.int64))})
+        g = t.group_by(["q", "d"], use_threads=False).aggregate(
+            [("one", "sum")])
+        return pa.table({"q": g["q"], "d": g["d"], "c": g["one_sum"]})
+
+    cells = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["q", "d"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+
+    qv = cells["q"].to_numpy(np.int64)
+    dv = cells["d"].to_numpy(np.int64)
+    cv = [int(x) for x in cells["c"]]
+
+    def rank2(vals):
+        tot = {}
+        for v, c in zip(vals, cv):
+            tot[int(v)] = tot.get(int(v), 0) + c
+        r2, cb = {}, 0
+        for v in sorted(tot):
+            r2[v] = 2 * cb + tot[v] + 1
+            cb += tot[v]
+        return r2
+
+    rq, rd = rank2(qv), rank2(dv)
+    n = sx = sy = sxx = syy = sxy = 0
+    for q, d, c in zip(qv, dv, cv):
+        x, y = rq[int(q)], rd[int(d)]
+        n += c
+        sx += c * x
+        sy += c * y
+        sxx += c * x * x
+        syy += c * y * y
+        sxy += c * x * y
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    rho = float(np.float64(float(num))
+                / np.sqrt(np.float64(float(dx))
+                          * np.float64(float(dy))))
+    return pd.DataFrame({
+        "n": pd.Series([n], dtype=np.int64),
+        "rho": [float(np.round(np.float64(rho), 6))]})
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity census of the customer table under the
+    quasi-identifier (nation, market segment) — the re-identification
+    risk scan a privacy review runs before releasing training data:
+    equivalence-class count, the smallest class, and how many classes
+    / rows sit below k = 5 and k = 50.  One row, exact integers.
+
+    Scale plan: per-batch QI-histogram combiner partials collapse to
+    a ≤ nations×segments groupby; the driver folds bounded cells —
+    the table itself never shuffles."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"nk": pc.cast(b["c_nationkey"], pa.int64()),
+                      "seg": b["c_mktsegment"],
+                      "one": pa.array(
+                          np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["nk", "seg"], use_threads=False).aggregate(
+            [("one", "sum")])
+        return pa.table({"nk": g["nk"], "seg": g["seg"],
+                         "c": g["one_sum"]})
+
+    cells = _read(sf_dir, "customer",
+                  ["c_nationkey", "c_mktsegment"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["nk", "seg"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+    c = cells["c"].to_numpy(np.int64)
+    return pa.table({
+        "n_rows": pa.array([int(c.sum())], pa.int64()),
+        "n_classes": pa.array([len(c)], pa.int64()),
+        "min_class": pa.array([int(c.min()) if len(c) else 0],
+                              pa.int64()),
+        "max_class": pa.array([int(c.max()) if len(c) else 0],
+                              pa.int64()),
+        "n_classes_lt5": pa.array([int((c < 5).sum())], pa.int64()),
+        "n_rows_lt5": pa.array([int(c[c < 5].sum())], pa.int64()),
+        "n_classes_lt50": pa.array([int((c < 50).sum())], pa.int64()),
+        "n_rows_lt50": pa.array([int(c[c < 50].sum())], pa.int64())})
+
+
+def q_split_leakage(sf_dir: str):
+    """Train/test contamination check of the deterministic md5 doc
+    split (``hash_split``'s 80/20 rule) against normalized-exact
+    duplicate content (``dedup_normalized``'s digest): test documents
+    whose normalized text also appears in train are leaked — the
+    eval-integrity gate every corpus release needs.  One row:
+    (n_train, n_test, n_leaked_test, leak_ppm, n_shared_classes).
+
+    Scale plan: one digest-keyed groupby of (train, test) count
+    partials — only (digest, 2 ints) rows shuffle, never text; the
+    class stream folds through per-batch scalar partials, so no
+    digest-cardinality collection anywhere."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import md5_u64_arr
+    from kgforge.functions.dedup import _md5_col, normalize_text
+
+    def digest_split(b: pa.Table) -> pa.Table:
+        texts = [normalize_text(t) for t in b["text"].to_pylist()]
+        buckets = (md5_u64_arr(pc.cast(b["doc_id"], pa.string()),
+                               nhex=8) % np.uint64(100)) \
+            .astype(np.int64)
+        tr = (buckets < 80).astype(np.int64)
+        t = pa.table({"h": _md5_col(texts), "tr": pa.array(tr),
+                      "te": pa.array(1 - tr)})
+        g = t.group_by(["h"], use_threads=False).aggregate(
+            [("tr", "sum"), ("te", "sum")])
+        return pa.table({"h": g["h"], "tr": g["tr_sum"],
+                         "te": g["te_sum"]})
+
+    classes = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(digest_split, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("tr", alias_name="nt"),
+                                Sum("te", alias_name="nv"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        nt = b["nt"].combine_chunks().to_numpy(zero_copy_only=False)
+        nv = b["nv"].combine_chunks().to_numpy(zero_copy_only=False)
+        shared = (nt > 0) & (nv > 0)
+        return pa.table({
+            "n_train": pa.array([int(nt.sum())], pa.int64()),
+            "n_test": pa.array([int(nv.sum())], pa.int64()),
+            "n_leaked_test": pa.array([int(nv[shared].sum())],
+                                      pa.int64()),
+            "n_shared_classes": pa.array([int(shared.sum())],
+                                         pa.int64())})
+
+    parts = classes.map_batches(fold, batch_format="pyarrow") \
+        .to_pandas()
+    n_train = int(parts["n_train"].sum())
+    n_test = int(parts["n_test"].sum())
+    leaked = int(parts["n_leaked_test"].sum())
+    return pa.table({
+        "n_train": pa.array([n_train], pa.int64()),
+        "n_test": pa.array([n_test], pa.int64()),
+        "n_leaked_test": pa.array([leaked], pa.int64()),
+        "leak_ppm": pa.array(
+            [leaked * 1_000_000 // n_test if n_test else 0],
+            pa.int64()),
+        "n_shared_classes": pa.array(
+            [int(parts["n_shared_classes"].sum())], pa.int64())})
+
+
 QUERIES = {
+    "kg_neighbor_degree": q_kg_neighbor_degree,
+    "theil_sen_nation": q_theil_sen_nation,
+    "rank_stability": q_rank_stability,
+    "spearman_qty_discount": q_spearman_qty_discount,
+    "k_anonymity": q_k_anonymity,
+    "split_leakage": q_split_leakage,
     "session_entry_exit": q_session_entry_exit,
     "transition_entropy": q_transition_entropy,
     "source_scorecard": q_source_scorecard,
@@ -10864,4 +11221,154 @@ SELECT entry_type, exit_type,
        CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_bounce
 FROM e GROUP BY 1, 2
+"""
+
+ORACLE_SQL["kg_neighbor_degree"] = _dict_oracle.neighbor_degree_sql()
+
+ORACLE_SQL["theil_sen_nation"] = """
+WITH m AS (SELECT c_nationkey AS nk,
+                  year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+p AS (SELECT a.nk,
+             CAST(CASE WHEN b.cents >= a.cents
+                  THEN CAST(b.cents - a.cents AS HUGEINT) * 1000000
+                       // (b.ym - a.ym)
+                  ELSE -(CAST(a.cents - b.cents AS HUGEINT) * 1000000
+                         // (b.ym - a.ym)) END AS BIGINT) AS s
+      FROM m a JOIN m b ON a.nk = b.nk AND b.ym > a.ym),
+r AS (SELECT nk, s, row_number() OVER (PARTITION BY nk ORDER BY s)
+                        AS rn,
+             count(*) OVER (PARTITION BY nk) AS k
+      FROM p),
+mm AS (SELECT nk, CAST(max(k) AS BIGINT) AS n_pairs,
+              CAST(sum(CASE WHEN rn = (k + 1) // 2 THEN s ELSE 0 END)
+                   + sum(CASE WHEN rn = k // 2 + 1 THEN s ELSE 0 END)
+                   AS BIGINT) AS slope_med2
+       FROM r GROUP BY nk),
+cnt AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_months
+        FROM m GROUP BY nk)
+SELECT n_name, cnt.n_months, mm.n_pairs, mm.slope_med2
+FROM mm JOIN cnt ON cnt.nk = mm.nk
+JOIN nation ON n_nationkey = mm.nk
+ORDER BY n_name
+"""
+
+ORACLE_SQL["rank_stability"] = """
+WITH r AS (SELECT l_suppkey AS sk,
+                  CAST(sum(CASE WHEN l_shipdate
+                                     < TIMESTAMP '1995-01-01'
+                           THEN CAST(round(l_extendedprice
+                                     * (1 - l_discount) * 100)
+                                     AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS ra,
+                  CAST(sum(CASE WHEN l_shipdate
+                                     >= TIMESTAMP '1995-01-01'
+                           THEN CAST(round(l_extendedprice
+                                     * (1 - l_discount) * 100)
+                                     AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS rb
+           FROM lineitem GROUP BY 1),
+top AS (SELECT sk, ra, rb
+        FROM (SELECT sk, ra, rb,
+                     row_number() OVER (ORDER BY ra + rb DESC, sk)
+                         AS rt
+              FROM r)
+        WHERE rt <= 50),
+rk AS (SELECT sk,
+              row_number() OVER (ORDER BY ra DESC, sk) AS ka,
+              row_number() OVER (ORDER BY rb DESC, sk) AS kb
+       FROM top),
+p AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(*) FILTER (WHERE (a.ka - b.ka)
+                                         * (a.kb - b.kb) > 0)
+                  AS BIGINT) AS conc,
+             CAST(count(*) FILTER (WHERE (a.ka - b.ka)
+                                         * (a.kb - b.kb) < 0)
+                  AS BIGINT) AS disc
+      FROM rk a JOIN rk b ON a.sk < b.sk),
+ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM rk)
+SELECT ni.n_items, p.n_pairs, p.conc AS n_concordant,
+       p.disc AS n_discordant,
+       CAST(CASE WHEN p.n_pairs = 0 THEN 0
+                 WHEN p.conc >= p.disc
+                 THEN (p.conc - p.disc) * 1000000 // p.n_pairs
+                 ELSE -((p.disc - p.conc) * 1000000 // p.n_pairs)
+            END AS BIGINT) AS tau_ppm
+FROM ni, p
+"""
+
+ORACLE_SQL["spearman_qty_discount"] = """
+WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+                  CAST(round(l_discount * 100) AS BIGINT) AS d
+           FROM lineitem),
+h AS (SELECT q, d, CAST(count(*) AS HUGEINT) AS c
+      FROM b GROUP BY 1, 2),
+qt AS (SELECT q, sum(c) AS cq FROM h GROUP BY 1),
+qr AS (SELECT q, 2 * (sum(cq) OVER (ORDER BY q
+                      ROWS UNBOUNDED PRECEDING) - cq) + cq + 1 AS r2
+       FROM qt),
+dt AS (SELECT d, sum(c) AS cd FROM h GROUP BY 1),
+dr AS (SELECT d, 2 * (sum(cd) OVER (ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) - cd) + cd + 1 AS r2
+       FROM dt),
+m AS (SELECT sum(c) AS n,
+             sum(c * qr.r2) AS sx, sum(c * dr.r2) AS sy,
+             sum(c * qr.r2 * qr.r2) AS sxx,
+             sum(c * dr.r2 * dr.r2) AS syy,
+             sum(c * qr.r2 * dr.r2) AS sxy
+      FROM h JOIN qr ON qr.q = h.q JOIN dr ON dr.d = h.d)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+FROM m
+"""
+
+ORACLE_SQL["k_anonymity"] = """
+WITH c AS (SELECT c_nationkey, c_mktsegment,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM customer GROUP BY 1, 2)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(n) AS BIGINT) AS min_class,
+       CAST(max(n) AS BIGINT) AS max_class,
+       CAST(count(*) FILTER (WHERE n < 5) AS BIGINT)
+           AS n_classes_lt5,
+       CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT)
+           AS n_rows_lt5,
+       CAST(count(*) FILTER (WHERE n < 50) AS BIGINT)
+           AS n_classes_lt50,
+       CAST(coalesce(sum(n) FILTER (WHERE n < 50), 0) AS BIGINT)
+           AS n_rows_lt50
+FROM c
+"""
+
+ORACLE_SQL["split_leakage"] = """
+WITH s AS (SELECT md5(trim(regexp_replace(regexp_replace(
+                      lower(text), '[^a-z0-9 ]+', '', 'g'),
+                      ' +', ' ', 'g'))) AS h,
+                  CASE WHEN CAST(concat('0x',
+                            substr(md5(CAST(doc_id AS VARCHAR)),
+                                   1, 8))
+                       AS UBIGINT) % 100 < 80
+                       THEN 1 ELSE 0 END AS tr
+           FROM documents),
+c AS (SELECT h, CAST(sum(tr) AS BIGINT) AS nt,
+             CAST(count(*) - sum(tr) AS BIGINT) AS nv
+      FROM s GROUP BY 1)
+SELECT CAST(sum(nt) AS BIGINT) AS n_train,
+       CAST(sum(nv) AS BIGINT) AS n_test,
+       CAST(coalesce(sum(nv) FILTER (WHERE nt > 0 AND nv > 0), 0)
+            AS BIGINT) AS n_leaked_test,
+       CAST(CASE WHEN sum(nv) = 0 THEN 0
+                 ELSE coalesce(sum(nv) FILTER (WHERE nt > 0
+                                               AND nv > 0), 0)
+                      * 1000000 // sum(nv) END AS BIGINT)
+           AS leak_ppm,
+       CAST(count(*) FILTER (WHERE nt > 0 AND nv > 0) AS BIGINT)
+           AS n_shared_classes
+FROM c
 """

@@ -1,0 +1,293 @@
+"""Round-5 session-F operators: average-neighbor-degree curve,
+Theil–Sen nation trends, Kendall-tau rank stability, exact Spearman
+over bounded domains, k-anonymity census and train/test split
+leakage — each against an independent brute-force oracle."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_neighbor_degree_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import neighbor_degree_ds
+
+    rng = np.random.RandomState(11)
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.randint(0, 18, 2)
+        if a != b:
+            edges.add((f"n{a}", f"n{b}"))
+    tbl = pa.table({"subj": pa.array([e[0] for e in edges]),
+                    "obj": pa.array([e[1] for e in edges])})
+    got = neighbor_degree_ds(rd.from_arrow(tbl).repartition(3)) \
+        .to_pandas()
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(s) for n, s in adj.items()}
+    by_k = {}
+    for n, s in adj.items():
+        k = deg[n]
+        cnt, sd = by_k.get(k, (0, 0))
+        by_k[k] = (cnt + 1, sd + sum(deg[m] for m in s))
+    assert list(got["degree"]) == sorted(by_k)
+    for _, row in got.iterrows():
+        n_nodes, sd = by_k[row["degree"]]
+        n_pairs = n_nodes * int(row["degree"])
+        assert row["n_nodes"] == n_nodes
+        assert row["n_pairs"] == n_pairs
+        assert row["sum_nbr_deg"] == sd
+        assert row["knn_micro"] == sd * 1_000_000 // n_pairs
+
+
+def _write_nation_dims(tmp_path, n_nations=3):
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(np.arange(n_nations, dtype=np.int32)),
+        "n_name": pa.array([f"NATION{i:02d}"
+                            for i in range(n_nations)]),
+        "n_regionkey": pa.array(np.zeros(n_nations, np.int32))}),
+        str(tmp_path / "nation.parquet"))
+
+
+def test_theil_sen_nation_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_theil_sen_nation
+
+    rng = np.random.RandomState(5)
+    n_cust = 30
+    cust_nation = rng.randint(0, 3, n_cust)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+        "c_nationkey": pa.array(cust_nation.astype(np.int32))}),
+        str(tmp_path / "customer.parquet"))
+    _write_nation_dims(tmp_path)
+
+    # planted: nation 0 trends up, nation 2 trends down
+    rows = []
+    for i in range(400):
+        ck = int(rng.randint(0, n_cust))
+        nk = cust_nation[ck]
+        mo = int(rng.randint(0, 18))
+        base = 1000.0 + (50.0 * mo if nk == 0
+                         else -40.0 * mo if nk == 2 else 0.0)
+        price = round(base + rng.uniform(0, 200), 2)
+        rows.append((ck, np.datetime64("1994-01-01", "us")
+                     + np.timedelta64(mo, "M").astype("timedelta64[us]")
+                     + np.timedelta64(int(rng.randint(0, 25)), "D")
+                     .astype("timedelta64[us]"), price))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array([r[1] for r in rows],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([r[2] for r in rows],
+                                 pa.float64())}),
+        str(tmp_path / "orders.parquet"))
+
+    got = q_theil_sen_nation(str(tmp_path)).to_pandas()
+
+    # brute force
+    cells = {}
+    for ck, ts, price in rows:
+        d = ts.astype("datetime64[M]").astype(int) + 1970 * 12
+        key = (int(cust_nation[ck]), int(d))
+        cells[key] = cells.get(key, 0) + int(round(price * 100))
+    exp = {}
+    for nk in range(3):
+        ms = sorted((ym, c) for (k, ym), c in cells.items()
+                    if k == nk)
+        if len(ms) < 2:
+            continue
+        slopes = []
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                dy = ms[j][1] - ms[i][1]
+                dx = ms[j][0] - ms[i][0]
+                q = abs(dy) * 1_000_000 // dx
+                slopes.append(q if dy >= 0 else -q)
+        slopes.sort()
+        k = len(slopes)
+        exp[f"NATION{nk:02d}"] = (
+            len(ms), k, slopes[(k + 1) // 2 - 1] + slopes[k // 2])
+    assert list(got["n_name"]) == sorted(exp)
+    for _, row in got.iterrows():
+        m, k, med2 = exp[row["n_name"]]
+        assert (row["n_months"], row["n_pairs"],
+                row["slope_med2"]) == (m, k, med2)
+    # the planted trends have the right signs
+    g = dict(zip(got["n_name"], got["slope_med2"]))
+    assert g["NATION00"] > 0 > g["NATION02"]
+
+
+def test_rank_stability_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_rank_stability
+
+    rng = np.random.RandomState(9)
+    rows = []
+    # planted reversal: supplier s climbs with s early, falls late
+    for s in range(12):
+        for _ in range(6):
+            early = rng.rand() < 0.5
+            base = (100.0 * (s + 1) if early
+                    else 100.0 * (12 - s))
+            rows.append((s,
+                         np.datetime64("1993-06-01", "us") if early
+                         else np.datetime64("1996-06-01", "us"),
+                         round(base + rng.uniform(0, 30), 2),
+                         round(rng.choice([0.0, 0.05, 0.1]), 2)))
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_shipdate": pa.array([r[1] for r in rows],
+                               pa.timestamp("us")),
+        "l_extendedprice": pa.array([r[2] for r in rows],
+                                    pa.float64()),
+        "l_discount": pa.array([r[3] for r in rows], pa.float64())}),
+        str(tmp_path / "lineitem.parquet"))
+
+    got = q_rank_stability(str(tmp_path)).to_pandas().iloc[0]
+
+    def cents(p, d):
+        x = p * (1 - d) * 100
+        return int(np.floor(x + 0.5)) if x >= 0 else int(
+            np.ceil(x - 0.5))
+
+    ra, rb = {}, {}
+    for s, ts, p, d in rows:
+        tgt = ra if ts < np.datetime64("1995-01-01", "us") else rb
+        tgt[s] = tgt.get(s, 0) + cents(p, d)
+    sks = sorted(set(ra) | set(rb),
+                 key=lambda s: (-(ra.get(s, 0) + rb.get(s, 0)), s))[:50]
+    ka = {s: i for i, s in enumerate(
+        sorted(sks, key=lambda s: (-ra.get(s, 0), s)), 1)}
+    kb = {s: i for i, s in enumerate(
+        sorted(sks, key=lambda s: (-rb.get(s, 0), s)), 1)}
+    conc = disc = 0
+    for i in range(len(sks)):
+        for j in range(i + 1, len(sks)):
+            v = ((ka[sks[i]] - ka[sks[j]])
+                 * (kb[sks[i]] - kb[sks[j]]))
+            conc += v > 0
+            disc += v < 0
+    np_ = len(sks) * (len(sks) - 1) // 2
+    d = conc - disc
+    tau = abs(d) * 1_000_000 // np_
+    if d < 0:
+        tau = -tau
+    assert (got["n_items"], got["n_pairs"], got["n_concordant"],
+            got["n_discordant"], got["tau_ppm"]) \
+        == (len(sks), np_, conc, disc, tau)
+    assert got["tau_ppm"] < 0   # the planted reversal dominates
+
+
+def test_spearman_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import (
+        q_spearman_qty_discount,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 500
+    qty = rng.randint(1, 51, n)
+    # planted monotone link: discount grows with quantity + noise
+    disc = np.clip((qty // 10 + rng.randint(-1, 2, n)), 0, 10) / 100.0
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(qty.astype(np.float64)),
+        "l_discount": pa.array(disc)}),
+        str(tmp_path / "lineitem.parquet"))
+
+    got = q_spearman_qty_discount(str(tmp_path)).iloc[0]
+
+    def avg_ranks(v):
+        order = np.argsort(v, kind="stable")
+        r = np.empty(len(v), dtype=np.float64)
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            r[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return r
+
+    rx = avg_ranks(qty.astype(np.int64))
+    ry = avg_ranks(np.rint(disc * 100).astype(np.int64))
+    exp = np.corrcoef(rx, ry)[0, 1]
+    assert got["n"] == n
+    assert abs(got["rho"] - exp) < 2e-6
+    assert got["rho"] > 0.5   # the planted link is visible
+
+
+def test_k_anonymity_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_k_anonymity
+
+    rng = np.random.RandomState(2)
+    nk = rng.randint(0, 4, 300).astype(np.int32)
+    seg = np.array(["A", "B"])[rng.randint(0, 2, 300)]
+    # planted singleton class
+    nk = np.append(nk, np.int32(9))
+    seg = np.append(seg, "Z")
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array(nk),
+        "c_mktsegment": pa.array(seg)}),
+        str(tmp_path / "customer.parquet"))
+
+    got = q_k_anonymity(str(tmp_path)).to_pandas().iloc[0]
+
+    from collections import Counter
+    cls = Counter(zip(nk.tolist(), seg.tolist()))
+    cs = np.array(sorted(cls.values()))
+    assert got["n_rows"] == 301
+    assert got["n_classes"] == len(cs)
+    assert got["min_class"] == 1 and got["max_class"] == cs.max()
+    assert got["n_classes_lt5"] == int((cs < 5).sum())
+    assert got["n_rows_lt5"] == int(cs[cs < 5].sum())
+    assert got["n_classes_lt50"] == int((cs < 50).sum())
+    assert got["n_rows_lt50"] == int(cs[cs < 50].sum())
+
+
+def test_split_leakage_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_split_leakage
+
+    rng = np.random.RandomState(8)
+    texts, ids = [], []
+    base = ["the quick fox", "lazy dogs sleep", "hello world",
+            "data pipeline", "graph engine"]
+    for i in range(200):
+        t = base[rng.randint(0, len(base))]
+        if rng.rand() < 0.5:   # normalization-equivalent variants
+            t = t.upper() + "!!"
+        texts.append(t + ("" if rng.rand() < 0.7
+                          else f" extra {rng.randint(0, 30)}"))
+        ids.append(i)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.array(ids, np.int64)),
+        "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"))
+
+    got = q_split_leakage(str(tmp_path)).to_pandas().iloc[0]
+
+    import re
+    def norm(t):
+        return re.sub(r" +", " ",
+                      re.sub(r"[^a-z0-9 ]+", "", t.lower())).strip()
+
+    cls = {}
+    for i, t in zip(ids, texts):
+        bucket = int(hashlib.md5(str(i).encode())
+                     .hexdigest()[:8], 16) % 100
+        h = hashlib.md5(norm(t).encode()).hexdigest()
+        nt, nv = cls.get(h, (0, 0))
+        cls[h] = (nt + (bucket < 80), nv + (bucket >= 80))
+    n_train = sum(v[0] for v in cls.values())
+    n_test = sum(v[1] for v in cls.values())
+    leaked = sum(v[1] for v in cls.values() if v[0] > 0 and v[1] > 0)
+    shared = sum(1 for v in cls.values() if v[0] > 0 and v[1] > 0)
+    assert (got["n_train"], got["n_test"], got["n_leaked_test"],
+            got["n_shared_classes"]) \
+        == (n_train, n_test, leaked, shared)
+    assert got["leak_ppm"] == leaked * 1_000_000 // n_test
+    assert leaked > 0   # the planted dup families cross the split
