@@ -7216,7 +7216,199 @@ def q_split_leakage(sf_dir: str):
             [int(parts["n_shared_classes"].sum())], pa.int64())})
 
 
+def q_cohort_ltv(sf_dir: str):
+    """Customer-lifetime-value table: cohort = month of a customer's
+    FIRST order; per (cohort, months-since-first) the exact cents
+    revenue plus the running cumulative — the acquisition-quality
+    curve marketing reads next to ``cohort_retention``.  Rows ordered
+    (cohort_year, cohort_month, months_since).
+
+    Scale plan: orders partial-combine per batch to (custkey, ym,
+    cents) rows, then ONE custkey-hash partition; inside a partition
+    the cohort (= min ym per customer) falls out of the (ck, ym) sort
+    as the run head — no separate firsts pass, no self-join.  The
+    global exchange after it is calendar²-bounded (cohort × offset
+    cells)."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import _part_codes
+
+    P = 64
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        ym = (us // 86_400_000_000).astype("datetime64[D]") \
+            .astype("datetime64[M]").astype(np.int64) + 1970 * 12
+        cents = round_away(
+            b["o_totalprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        t = pa.table({"ck": b["o_custkey"], "ym": pa.array(ym),
+                      "c": pa.array(cents)})
+        g = t.group_by(["ck", "ym"], use_threads=False).aggregate(
+            [("c", "sum")])
+        out = pa.table({"ck": g["ck"], "ym": g["ym"],
+                        "c": g["c_sum"]})
+        return out.append_column(
+            "__p", pa.array(_part_codes(out["ck"], P)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("ck", "ascending"),
+                                            ("ym", "ascending")])
+        t = t.take(idx)
+        ck = t["ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        ym = t["ym"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(ck)
+        if n == 0:
+            return pa.table({"cohort": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64()),
+                             "nc": pa.array([], pa.int64())})
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = ck[1:] != ck[:-1]
+        starts = np.flatnonzero(brk)
+        runlens = np.diff(np.concatenate([starts, [n]]))
+        cohort = np.repeat(ym[starts], runlens)
+        k = ym - cohort
+        nc = np.zeros(n, dtype=np.int64)
+        nc[starts] = 1          # one customer per run, at its k=0 cell
+        g = pa.table({"cohort": pa.array(cohort), "k": pa.array(k),
+                      "rev": pa.array(c), "nc": pa.array(nc)}) \
+            .group_by(["cohort", "k"], use_threads=False) \
+            .aggregate([("rev", "sum"), ("nc", "sum")])
+        return pa.table({"cohort": g["cohort"], "k": g["k"],
+                         "rev": g["rev_sum"], "nc": g["nc_sum"]})
+
+    cells = _read(sf_dir, "orders",
+                  ["o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(o_partial, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby(["cohort", "k"]).aggregate(
+            Sum("rev", alias_name="rev"),
+            Sum("nc", alias_name="nc")).to_pandas()
+
+    cells = cells.sort_values(["cohort", "k"])
+    n_custs = {int(co): int(g.loc[g["k"] == 0, "nc"].sum())
+               for co, g in cells.groupby("cohort")}
+    cum, out = {}, []
+    for _, r in cells.iterrows():
+        co, k, rev = int(r["cohort"]), int(r["k"]), int(r["rev"])
+        cum[co] = cum.get(co, 0) + rev
+        out.append((co // 12, co % 12 + 1, k, n_custs[co], rev,
+                    cum[co]))
+    return pa.table({
+        "cohort_year": pa.array([r[0] for r in out], pa.int64()),
+        "cohort_month": pa.array([r[1] for r in out], pa.int64()),
+        "months_since": pa.array([r[2] for r in out], pa.int64()),
+        "n_custs": pa.array([r[3] for r in out], pa.int64()),
+        "rev_cents": pa.array([r[4] for r in out], pa.int64()),
+        "cum_cents": pa.array([r[5] for r in out], pa.int64())})
+
+
+def q_filter_funnel(sf_dir: str):
+    """Data-prep filter-funnel observability: how many documents
+    survive each successive corpus gate — ALL → Gopher quality rules
+    (the ``gopher_rules`` census' 4 rules) → + lang = 'en' → + one
+    representative per normalized-exact-dup class
+    (``dedup_normalized``'s digest).  Rows: (stage, gate, n_docs,
+    n_dropped) — the one-glance answer to "where did my corpus go?".
+
+    Scale plan: one streaming pass computes the integer-exact rule
+    flags and the digest per batch, partial-combining to (digest, n,
+    q, ql) rows; ONE digest-keyed groupby (digests only — text never
+    shuffles), then scalar per-batch folds — the distinct count is
+    Σ(ql > 0), so no digest-cardinality collection anywhere."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.dedup import _md5_col, normalize_text
+    from kgforge.functions.textstats import (
+        GOPHER_MAX_MWL, GOPHER_MAX_WORDS, GOPHER_MIN_MWL,
+        GOPHER_MIN_WORDS, GOPHER_STOP_PCT, GOPHER_STOPWORDS,
+        GOPHER_UNIQ_PCT,
+    )
+
+    stop_set = pa.array(list(GOPHER_STOPWORDS), pa.string())
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b["text"], "")
+        n = len(text)
+        n_spaces = pc.count_substring(text, pattern=" ") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = n_spaces + 1
+        sum_wl = pc.utf8_length(text) \
+            .to_numpy(zero_copy_only=False).astype(np.int64) - n_spaces
+        words = pc.split_pattern(text, pattern=" ")
+        lens = pc.list_value_length(words) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words).combine_chunks()
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) \
+            .astype(np.int64)
+        stop_flags = pc.is_in(flat, value_set=stop_set) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_stop = np.add.reduceat(stop_flags, starts) if len(flat) \
+            else np.zeros(n, dtype=np.int64)
+        codes = flat.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        span = int(codes.max()) + 1 if len(codes) else 1
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        uniq_keys = np.unique(doc_of * span + codes)
+        n_uniq = np.bincount(uniq_keys // span, minlength=n) \
+            .astype(np.int64)
+        q = ((n_words >= GOPHER_MIN_WORDS)
+             & (n_words <= GOPHER_MAX_WORDS)
+             & (sum_wl >= GOPHER_MIN_MWL * n_words)
+             & (sum_wl <= GOPHER_MAX_MWL * n_words)
+             & (n_stop * 100 >= GOPHER_STOP_PCT * n_words)
+             & (n_uniq * 100 >= GOPHER_UNIQ_PCT * n_words)) \
+            .astype(np.int64)
+        en = pc.fill_null(pc.equal(b["lang"], "en"), False) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [normalize_text(t)
+                 for t in b["text"].to_pylist()]
+        t = pa.table({"h": _md5_col(texts),
+                      "n": pa.array(np.ones(n, np.int64)),
+                      "q": pa.array(q), "ql": pa.array(q * en)})
+        g = t.group_by(["h"], use_threads=False).aggregate(
+            [("n", "sum"), ("q", "sum"), ("ql", "sum")])
+        return pa.table({"h": g["h"], "n": g["n_sum"],
+                         "q": g["q_sum"], "ql": g["ql_sum"]})
+
+    classes = _read(sf_dir, "documents", ["text", "lang"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("h").aggregate(Sum("n", alias_name="n"),
+                                Sum("q", alias_name="q"),
+                                Sum("ql", alias_name="ql"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        ql = b["ql"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([int(pc.sum(b["n"]).as_py() or 0)],
+                          pa.int64()),
+            "q": pa.array([int(pc.sum(b["q"]).as_py() or 0)],
+                          pa.int64()),
+            "ql": pa.array([int(ql.sum())], pa.int64()),
+            "u": pa.array([int((ql > 0).sum())], pa.int64())})
+
+    parts = classes.map_batches(fold, batch_format="pyarrow") \
+        .to_pandas()
+    n, q = int(parts["n"].sum()), int(parts["q"].sum())
+    ql, u = int(parts["ql"].sum()), int(parts["u"].sum())
+    stages = [(0, "all", n, 0), (1, "quality", q, n - q),
+              (2, "quality+lang", ql, q - ql),
+              (3, "unique", u, ql - u)]
+    return pa.table({
+        "stage": pa.array([s[0] for s in stages], pa.int64()),
+        "gate": pa.array([s[1] for s in stages], pa.string()),
+        "n_docs": pa.array([s[2] for s in stages], pa.int64()),
+        "n_dropped": pa.array([s[3] for s in stages], pa.int64())})
+
+
 QUERIES = {
+    "cohort_ltv": q_cohort_ltv,
+    "filter_funnel": q_filter_funnel,
     "kg_neighbor_degree": q_kg_neighbor_degree,
     "theil_sen_nation": q_theil_sen_nation,
     "rank_stability": q_rank_stability,
@@ -11371,4 +11563,65 @@ SELECT CAST(sum(nt) AS BIGINT) AS n_train,
        CAST(count(*) FILTER (WHERE nt > 0 AND nv > 0) AS BIGINT)
            AS n_shared_classes
 FROM c
+"""
+
+ORACLE_SQL["cohort_ltv"] = """
+WITH o AS (SELECT o_custkey AS ck,
+                  year(o_orderdate) * 12 + month(o_orderdate) - 1
+                      AS ym,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+f AS (SELECT ck, min(ym) AS cohort FROM o GROUP BY 1),
+cells AS (SELECT f.cohort, o.ym - f.cohort AS k,
+                 CAST(sum(o.cents) AS BIGINT) AS rev
+          FROM o JOIN f ON f.ck = o.ck GROUP BY 1, 2),
+nc AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_custs
+       FROM f GROUP BY 1)
+SELECT CAST(cells.cohort // 12 AS BIGINT) AS cohort_year,
+       CAST(cells.cohort % 12 + 1 AS BIGINT) AS cohort_month,
+       CAST(cells.k AS BIGINT) AS months_since,
+       nc.n_custs,
+       cells.rev AS rev_cents,
+       CAST(sum(cells.rev) OVER (PARTITION BY cells.cohort
+                                 ORDER BY cells.k
+                                 ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_cents
+FROM cells JOIN nc ON nc.cohort = cells.cohort
+ORDER BY cohort_year, cohort_month, months_since
+"""
+
+ORACLE_SQL["filter_funnel"] = """
+WITH w AS (SELECT string_split(text, ' ') AS ws, lang, text
+           FROM documents),
+m AS (SELECT lang, text, len(ws) AS nw,
+             (SELECT coalesce(sum(length(x.w)), 0)
+              FROM unnest(ws) x(w)) AS swl,
+             (SELECT count(*) FROM unnest(ws) x(w)
+              WHERE x.w IN ('the','a','of','to','and','in','is'))
+                 AS nstop,
+             (SELECT count(DISTINCT x.w) FROM unnest(ws) x(w))
+                 AS nuniq
+      FROM w),
+fl AS (SELECT CASE WHEN nw BETWEEN 20 AND 1000
+                    AND swl >= 3 * nw AND swl <= 5 * nw
+                    AND nstop * 100 >= 2 * nw
+                    AND nuniq * 100 >= 35 * nw
+                   THEN 1 ELSE 0 END AS q,
+              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+              md5(trim(regexp_replace(regexp_replace(
+                  lower(coalesce(text, '')), '[^a-z0-9 ]+', '', 'g'),
+                  ' +', ' ', 'g'))) AS h
+       FROM m),
+c AS (SELECT h, count(*) AS n, sum(q) AS q, sum(q * en) AS ql
+      FROM fl GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS q,
+             CAST(sum(ql) AS BIGINT) AS ql,
+             CAST(count(*) FILTER (WHERE ql > 0) AS BIGINT) AS u
+      FROM c)
+SELECT CAST(0 AS BIGINT) AS stage, 'all' AS gate, n AS n_docs,
+       CAST(0 AS BIGINT) AS n_dropped FROM t
+UNION ALL SELECT 1, 'quality', q, n - q FROM t
+UNION ALL SELECT 2, 'quality+lang', ql, q - ql FROM t
+UNION ALL SELECT 3, 'unique', u, ql - u FROM t
 """

@@ -291,3 +291,107 @@ def test_split_leakage_matches_bruteforce(ray_session, tmp_path):
         == (n_train, n_test, leaked, shared)
     assert got["leak_ppm"] == leaked * 1_000_000 // n_test
     assert leaked > 0   # the planted dup families cross the split
+
+
+def test_cohort_ltv_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_cohort_ltv
+
+    rng = np.random.RandomState(6)
+    rows = []
+    for _ in range(300):
+        ck = int(rng.randint(0, 40))
+        mo = int(rng.randint(0, 12))
+        price = round(float(rng.uniform(50, 500)), 2)
+        ts = (np.datetime64("1995-01-01", "us")
+              + np.timedelta64(mo, "M").astype("timedelta64[us]")
+              + np.timedelta64(int(rng.randint(0, 25)), "D")
+              .astype("timedelta64[us]"))
+        rows.append((ck, ts, price))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array([r[1] for r in rows],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([r[2] for r in rows],
+                                 pa.float64())}),
+        str(tmp_path / "orders.parquet"))
+
+    got = q_cohort_ltv(str(tmp_path)).to_pandas()
+
+    ym_of = {}
+    for ck, ts, price in rows:
+        ym = int(ts.astype("datetime64[M]").astype(int)) + 1970 * 12
+        ym_of.setdefault(ck, []).append((ym, int(round(price * 100))))
+    cohort_of = {ck: min(v[0] for v in lst)
+                 for ck, lst in ym_of.items()}
+    cells, ncust = {}, {}
+    for ck, lst in ym_of.items():
+        co = cohort_of[ck]
+        ncust[co] = ncust.get(co, 0) + 1
+        for ym, cents in lst:
+            key = (co, ym - co)
+            cells[key] = cells.get(key, 0) + cents
+    exp, cum = [], {}
+    for (co, k) in sorted(cells):
+        cum[co] = cum.get(co, 0) + cells[(co, k)]
+        exp.append((co // 12, co % 12 + 1, k, ncust[co],
+                    cells[(co, k)], cum[co]))
+    assert len(got) == len(exp)
+    for (_, row), e in zip(got.iterrows(), exp):
+        assert (row["cohort_year"], row["cohort_month"],
+                row["months_since"], row["n_custs"],
+                row["rev_cents"], row["cum_cents"]) == e
+    # cumulative is monotone within every cohort
+    for _, grp in got.groupby(["cohort_year", "cohort_month"]):
+        assert grp["cum_cents"].is_monotonic_increasing
+
+
+def test_filter_funnel_matches_bruteforce(ray_session, tmp_path):
+    import re
+    from kgforge.pipelines.driver_queries import q_filter_funnel
+
+    rng = np.random.RandomState(4)
+    vocab = ["the", "a", "of", "to", "and", "in", "is", "fox",
+             "dog", "run", "walk", "tree", "house", "sky", "word"]
+    texts, langs = [], []
+    for i in range(150):
+        n_w = int(rng.randint(5, 60))     # some fail the 20-word gate
+        texts.append(" ".join(rng.choice(vocab, n_w)))
+        langs.append("en" if rng.rand() < 0.7 else "fr")
+    # planted duplicate pair engineered to pass every quality gate:
+    # 24 words, mean word length 94/24 ≈ 3.9, 2 stopwords, all unique
+    long_ok = " ".join(["the", "and"]
+                       + [f"wd{i:02d}" for i in range(22)])
+    texts += [long_ok, long_ok + "!!"]
+    langs += ["en", "en"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts), "lang": pa.array(langs)}),
+        str(tmp_path / "documents.parquet"))
+
+    got = q_filter_funnel(str(tmp_path)).to_pandas()
+
+    def norm(t):
+        return re.sub(r" +", " ",
+                      re.sub(r"[^a-z0-9 ]+", "", t.lower())).strip()
+
+    stop = {"the", "a", "of", "to", "and", "in", "is"}
+    n = len(texts)
+    q_flags = []
+    for t in texts:
+        ws = t.split(" ")
+        nw, swl = len(ws), sum(len(w) for w in ws)
+        nstop = sum(w in stop for w in ws)
+        nuniq = len(set(ws))
+        q_flags.append(20 <= nw <= 1000 and 3 * nw <= swl <= 5 * nw
+                       and nstop * 100 >= 2 * nw
+                       and nuniq * 100 >= 35 * nw)
+    q = sum(q_flags)
+    ql_flags = [f and la == "en" for f, la in zip(q_flags, langs)]
+    ql = sum(ql_flags)
+    u = len({hashlib.md5(norm(t).encode()).hexdigest()
+             for t, f in zip(texts, ql_flags) if f})
+    assert list(got["n_docs"]) == [n, q, ql, u]
+    assert list(got["n_dropped"]) == [0, n - q, q - ql, ql - u]
+    assert u < ql            # the planted dup pair collapses
+    assert list(got["gate"]) == ["all", "quality", "quality+lang",
+                                 "unique"]
