@@ -7406,7 +7406,129 @@ def q_filter_funnel(sf_dir: str):
         "n_dropped": pa.array([s[3] for s in stages], pa.int64())})
 
 
+def q_token_burstiness(sf_dir: str):
+    """Church–Gale burstiness of the 20 highest-document-frequency
+    tokens: variance-to-mean ratio of the per-document count (zeros
+    included) — content words clump (VMR ≫ 1), function words spread
+    (VMR ≈ 1); the signal a naive TF filter misses.  With N docs,
+    per-token total ``tot`` and per-doc-count square sum ``sq``,
+    ``vmr_micro = (N·sq − tot²)·10⁶ // (N·tot)`` — nonnegative by
+    Cauchy–Schwarz, so floor == truncate and both engines hash
+    bit-identically.  Rows ordered (n_docs DESC, token ASC).
+
+    Scale plan: per-batch (doc, token)-count partials collapse to one
+    vocab-bounded token groupby; per-block partial top-20 so the
+    driver merge sees blocks×20 rows; the VMR fold runs in exact
+    Python ints (N·sq overflows int64 past ~10⁹ doc-occurrences)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        g = pa.table({"d": par, "w": flat}) \
+            .group_by(["d", "w"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        c = pc.cast(g["count_all"], pa.int64())
+        t = pa.table({"token": g["w"],
+                      "df": pa.array(np.ones(len(c), np.int64)),
+                      "tot": c, "sq": pc.multiply(c, c)})
+        g2 = t.group_by(["token"], use_threads=False).aggregate(
+            [("df", "sum"), ("tot", "sum"), ("sq", "sum")])
+        return pa.table({"token": g2["token"], "df": g2["df_sum"],
+                         "tot": g2["tot_sum"], "sq": g2["sq_sum"]})
+
+    cells = _read(sf_dir, "documents", ["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("df", alias_name="df"),
+                                    Sum("tot", alias_name="tot"),
+                                    Sum("sq", alias_name="sq"))
+
+    def topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= 20:
+            return b
+        df = b["df"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort(
+            (np.asarray(b["token"].to_pylist()), -df))
+        return b.take(pa.array(order[:20]))
+
+    top = cells.map_batches(topk, batch_format="pyarrow").to_pandas()
+    top = top.sort_values(["df", "token"],
+                          ascending=[False, True]).head(20)
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    rows = []
+    for _, r in top.iterrows():
+        tot, sq = int(r["tot"]), int(r["sq"])
+        vmr = (n_docs * sq - tot * tot) * 1_000_000 // (n_docs * tot)
+        rows.append((r["token"], int(r["df"]), tot, sq, vmr))
+    return pa.table({
+        "token": pa.array([r[0] for r in rows], pa.string()),
+        "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        "n_occurrences": pa.array([r[2] for r in rows], pa.int64()),
+        "sum_sq": pa.array([r[3] for r in rows], pa.int64()),
+        "vmr_micro": pa.array([r[4] for r in rows], pa.int64())})
+
+
+def q_type_dow_mi(sf_dir: str):
+    """Mutual information between event type and day-of-week on the
+    shared ``L(x) = round(ln(x)·10⁶)`` grid — the single-number
+    dependence census next to ``type_hour_chi2``'s test statistic:
+    ``mi_micro = sign·(|Σ n·(L(n)+L(N)−L(row)−L(col))| // N)``
+    (sign-magnitude: MI ≥ 0 analytically but the rounded grid can dip
+    a near-zero sum below 0; truncation toward zero matches DuckDB).
+    One row: (n_events, n_types, n_dows, mi_micro).
+
+    Scale plan: per-batch (type, dow) histogram partials → one
+    type×7-bounded groupby; the L-grid fold runs on the driver."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        dow = ((b["ts"].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000 + 4)
+               % 7)
+        t = pa.table({"et": b["event_type"],
+                      "dow": pa.array(dow.astype(np.int64)),
+                      "one": pa.array(np.ones(len(dow), np.int64))})
+        g = t.group_by(["et", "dow"], use_threads=False).aggregate(
+            [("one", "sum")])
+        return pa.table({"et": g["et"], "dow": g["dow"],
+                         "n": g["one_sum"]})
+
+    cells = _read(sf_dir, "events", ["event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["et", "dow"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    n_tot = int(cells["n"].sum())
+    row = cells.groupby("et")["n"].sum().to_dict()
+    col = cells.groupby("dow")["n"].sum().to_dict()
+    ln_t = L(n_tot)
+    s = 0
+    for _, r in cells.iterrows():
+        n = int(r["n"])
+        s += n * (L(n) + ln_t - L(int(row[r["et"]]))
+                  - L(int(col[r["dow"]])))
+    mi = abs(s) // n_tot
+    if s < 0:
+        mi = -mi
+    return pa.table({
+        "n_events": pa.array([n_tot], pa.int64()),
+        "n_types": pa.array([len(row)], pa.int64()),
+        "n_dows": pa.array([len(col)], pa.int64()),
+        "mi_micro": pa.array([mi], pa.int64())})
+
+
 QUERIES = {
+    "token_burstiness": q_token_burstiness,
+    "type_dow_mi": q_type_dow_mi,
     "cohort_ltv": q_cohort_ltv,
     "filter_funnel": q_filter_funnel,
     "kg_neighbor_degree": q_kg_neighbor_degree,
@@ -11624,4 +11746,53 @@ SELECT CAST(0 AS BIGINT) AS stage, 'all' AS gate, n AS n_docs,
 UNION ALL SELECT 1, 'quality', q, n - q FROM t
 UNION ALL SELECT 2, 'quality+lang', ql, q - ql FROM t
 UNION ALL SELECT 3, 'unique', u, ql - u FROM t
+"""
+
+ORACLE_SQL["token_burstiness"] = r"""
+WITH toks AS (SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS w
+              FROM documents),
+pc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1, 2),
+s AS (SELECT w, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS tot,
+             sum(CAST(c AS HUGEINT) * c) AS sq
+      FROM pc GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM documents),
+top AS (SELECT * FROM s ORDER BY df DESC, w LIMIT 20)
+SELECT w AS token, df AS n_docs, tot AS n_occurrences,
+       CAST(sq AS BIGINT) AS sum_sq,
+       CAST(((SELECT n FROM nd) * sq
+             - CAST(tot AS HUGEINT) * tot) * 1000000
+            // ((SELECT n FROM nd) * tot) AS BIGINT) AS vmr_micro
+FROM top ORDER BY n_docs DESC, token
+"""
+
+ORACLE_SQL["type_dow_mi"] = """
+WITH c AS (SELECT event_type,
+                  CAST((epoch_us(ts) // 86400000000 + 4) % 7
+                       AS BIGINT) AS dow,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS rn
+      FROM c GROUP BY 1),
+k AS (SELECT dow, CAST(sum(n) AS BIGINT) AS cn FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM c),
+terms AS (SELECT c.n
+                 * (CAST(floor(ln(c.n) * 1000000 + 0.5) AS BIGINT)
+                    + (SELECT CAST(floor(ln(tn) * 1000000 + 0.5)
+                                   AS BIGINT) FROM t)
+                    - CAST(floor(ln(r.rn) * 1000000 + 0.5) AS BIGINT)
+                    - CAST(floor(ln(k.cn) * 1000000 + 0.5) AS BIGINT))
+                     AS v
+          FROM c JOIN r USING (event_type) JOIN k USING (dow))
+SELECT (SELECT tn FROM t) AS n_events,
+       (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_types,
+       (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_dows,
+       CAST(CASE WHEN sum(v) >= 0
+                 THEN sum(v) // (SELECT tn FROM t)
+                 ELSE -((-sum(v)) // (SELECT tn FROM t)) END
+            AS BIGINT) AS mi_micro
+FROM terms
 """

@@ -395,3 +395,87 @@ def test_filter_funnel_matches_bruteforce(ray_session, tmp_path):
     assert u < ql            # the planted dup pair collapses
     assert list(got["gate"]) == ["all", "quality", "quality+lang",
                                  "unique"]
+
+
+def test_token_burstiness_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_token_burstiness
+
+    rng = np.random.RandomState(12)
+    texts = []
+    for i in range(80):
+        words = list(rng.choice(["alpha", "beta", "gamma", "delta"],
+                                rng.randint(3, 10)))
+        if i % 8 == 0:          # planted bursty token: clumps hard
+            words += ["burst"] * int(rng.randint(5, 15))
+        texts.append(" ".join(words))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"))
+
+    got = q_token_burstiness(str(tmp_path)).to_pandas()
+
+    from collections import Counter
+    n = len(texts)
+    per_doc = [Counter(t.split()) for t in texts]
+    stats = {}
+    for cnt in per_doc:
+        for w, c in cnt.items():
+            df, tot, sq = stats.get(w, (0, 0, 0))
+            stats[w] = (df + 1, tot + c, sq + c * c)
+    top = sorted(stats.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    assert len(got) == len(top)
+    for (_, row), (w, (df, tot, sq)) in zip(got.iterrows(), top):
+        vmr = (n * sq - tot * tot) * 1_000_000 // (n * tot)
+        assert (row["token"], row["n_docs"], row["n_occurrences"],
+                row["sum_sq"], row["vmr_micro"]) == (w, df, tot, sq,
+                                                     vmr)
+    by_tok = dict(zip(got["token"], got["vmr_micro"]))
+    # the planted clumping token is far burstier than the background
+    assert by_tok["burst"] > 3 * max(
+        v for t, v in by_tok.items() if t != "burst")
+
+
+def test_type_dow_mi_matches_bruteforce(ray_session, tmp_path):
+    import math
+    from kgforge.pipelines.driver_queries import q_type_dow_mi
+
+    rng = np.random.RandomState(13)
+    n = 600
+    day_us = 86_400_000_000
+    # planted dependence: type 'wk' only on two weekdays
+    types, days = [], []
+    for _ in range(n):
+        if rng.rand() < 0.4:
+            types.append("wk")
+            days.append(int(rng.choice([2, 3])))
+        else:
+            types.append(str(rng.choice(["a", "b"])))
+            days.append(int(rng.randint(0, 7)))
+    ts = [(d + 7 * int(rng.randint(0, 50))) * day_us
+          + int(rng.randint(0, day_us)) for d in days]
+    pq.write_table(pa.table({
+        "event_type": pa.array(types),
+        "ts": pa.array(np.array(ts, np.int64)).cast(
+            pa.timestamp("us"))}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_type_dow_mi(str(tmp_path)).to_pandas().iloc[0]
+
+    from collections import Counter
+    dows = [(t // day_us + 4) % 7 for t in ts]
+    cells = Counter(zip(types, dows))
+    row = Counter(types)
+    col = Counter(dows)
+
+    def L(v):
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    s = sum(c * (L(c) + L(n) - L(row[t]) - L(col[d]))
+            for (t, d), c in cells.items())
+    mi = abs(s) // n
+    if s < 0:
+        mi = -mi
+    assert (got["n_events"], got["n_types"], got["n_dows"],
+            got["mi_micro"]) == (n, len(row), len(col), mi)
+    assert got["mi_micro"] > 100_000   # planted dependence visible
