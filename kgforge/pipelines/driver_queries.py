@@ -7526,7 +7526,173 @@ def q_type_dow_mi(sf_dir: str):
         "mi_micro": pa.array([mi], pa.int64())})
 
 
+_FD_CANDIDATES = (
+    ("part", "p_brand", "p_type"),
+    ("part", "p_name", "p_brand"),
+    ("part", "p_type", "p_size"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("events", "user_id", "event_type"),
+)
+
+
+def q_fd_audit(sf_dir: str):
+    """Functional-dependency audit over a fixed candidate list — the
+    schema-inference / data-contract check (does X determine Y?): per
+    candidate ``lhs → rhs`` the distinct-lhs count, distinct-pair
+    count, how many lhs values violate the FD (> 1 rhs), the worst
+    fan-out, and ``fd_ppm`` = share of lhs values that hold it.  Rows
+    ordered by the fd label.
+
+    Scale plan: per candidate, per-batch partial-distinct (lhs, rhs)
+    pairs → ONE pair groupby (distinct pairs only shuffle, never the
+    table) → per-batch per-lhs counts → one lhs groupby → scalar
+    folds.  Values are strings/ints cast to string so one output
+    schema fits every candidate."""
+    from ray.data.aggregate import Count, Sum
+
+    out = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        def dpair(b: pa.Table, lhs=lhs, rhs=rhs) -> pa.Table:
+            t = pa.table({"l": pc.cast(b[lhs], pa.string()),
+                          "r": pc.cast(b[rhs], pa.string())})
+            return t.group_by(["l", "r"],
+                              use_threads=False).aggregate([])
+
+        pairs = _read(sf_dir, table, [lhs, rhs]) \
+            .map_batches(dpair, batch_format="pyarrow") \
+            .groupby(["l", "r"]).aggregate(Count(alias_name="__c"))
+
+        def per_lhs(b: pa.Table) -> pa.Table:
+            g = b.select(["l"]).group_by(["l"], use_threads=False) \
+                .aggregate([([], "count_all")])
+            return pa.table({"l": g["l"],
+                             "c": pc.cast(g["count_all"],
+                                          pa.int64())})
+
+        stats = pairs.map_batches(per_lhs, batch_format="pyarrow") \
+            .groupby("l").aggregate(Sum("c", alias_name="c"))
+
+        def fold(b: pa.Table) -> pa.Table:
+            c = b["c"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n_lhs": pa.array([len(c)], pa.int64()),
+                "n_pairs": pa.array([int(c.sum())], pa.int64()),
+                "viol": pa.array([int((c > 1).sum())], pa.int64()),
+                "maxc": pa.array([int(c.max()) if len(c) else 0],
+                                 pa.int64())})
+
+        p = stats.map_batches(fold, batch_format="pyarrow") \
+            .to_pandas()
+        n_lhs = int(p["n_lhs"].sum())
+        out.append((f"{table}.{lhs}->{rhs}", n_lhs,
+                    int(p["n_pairs"].sum()), int(p["viol"].sum()),
+                    int(p["maxc"].max()) if len(p) else 0))
+    out.sort()
+    return pa.table({
+        "fd": pa.array([r[0] for r in out], pa.string()),
+        "n_lhs": pa.array([r[1] for r in out], pa.int64()),
+        "n_pairs": pa.array([r[2] for r in out], pa.int64()),
+        "n_violating_lhs": pa.array([r[3] for r in out], pa.int64()),
+        "max_rhs_per_lhs": pa.array([r[4] for r in out], pa.int64()),
+        "fd_ppm": pa.array(
+            [(r[1] - r[3]) * 1_000_000 // r[1] if r[1] else 0
+             for r in out], pa.int64())})
+
+
+def q_markov_order2_gain(sf_dir: str):
+    """Second-order memory gain of the per-user event process on the
+    shared ``L(x) = round(ln(x)·10⁶)`` grid: over all positions with
+    TWO predecessors, ``h1 = H(next | prev)``, ``h2 = H(next | prev2,
+    prev1)`` and ``gain = h1 − h2`` — near zero ⇒ the first-order
+    Markov family (``event_transitions`` → ``markov_stationary`` →
+    ``transition_entropy``) already captures the dynamics.  Each H is
+    sign-magnitude ``Σ_ctx (t·L(t) − Σ c·L(c)) // N`` (exact
+    integers; truncation toward zero matches DuckDB).  One row:
+    (n_triples, h1_micro, h2_micro, gain_micro).
+
+    Scale plan: ONE user-hash partition; inside a partition the
+    (prev2, prev1, next) triple stream is a vectorized shift over the
+    (user, ts, id) sort; everything after is a type³-bounded cell
+    exchange + driver fold."""
+    import math
+
+    from ray.data.aggregate import Sum
+    from kgforge.functions.joins import _part_codes
+
+    P = 64
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({"u": b["user_id"],
+                      "ts": pc.cast(pc.cast(b["ts"],
+                                            pa.timestamp("us")),
+                                    pa.int64()),
+                      "eid": b["event_id"], "et": b["event_type"]})
+        return t.append_column("__p",
+                               pa.array(_part_codes(t["u"], P)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("u", "ascending"),
+                                            ("ts", "ascending"),
+                                            ("eid", "ascending")])
+        t = t.take(idx)
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        et = t["et"].combine_chunks()
+        n = len(u)
+        if n < 3:
+            return pa.table({"p2": pa.array([], pa.string()),
+                             "p1": pa.array([], pa.string()),
+                             "nx": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ok = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        pos = np.flatnonzero(ok) + 2
+        g = pa.table({
+            "p2": et.take(pa.array(pos - 2)),
+            "p1": et.take(pa.array(pos - 1)),
+            "nx": et.take(pa.array(pos)),
+            "one": pa.array(np.ones(len(pos), np.int64))}) \
+            .group_by(["p2", "p1", "nx"], use_threads=False) \
+            .aggregate([("one", "sum")])
+        return pa.table({"p2": g["p2"], "p1": g["p1"],
+                         "nx": g["nx"], "n": g["one_sum"]})
+
+    cells = _read(sf_dir, "events",
+                  ["user_id", "ts", "event_id", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby(["p2", "p1", "nx"]).aggregate(
+            Sum("n", alias_name="n")).to_pandas()
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    def cond_entropy(ctx_cols):
+        ctx_tot = cells.groupby(ctx_cols)["n"].sum()
+        out_tot = cells.groupby(ctx_cols + ["nx"])["n"].sum()
+        s = sum(int(t) * L(int(t)) for t in ctx_tot)
+        s -= sum(int(c) * L(int(c)) for c in out_tot)
+        return s
+
+    n_tot = int(cells["n"].sum())
+    if n_tot == 0:
+        h1 = h2 = 0
+    else:
+        def div(s):
+            q = abs(s) // n_tot
+            return q if s >= 0 else -q
+        h1 = div(cond_entropy(["p1"]))
+        h2 = div(cond_entropy(["p2", "p1"]))
+    return pa.table({
+        "n_triples": pa.array([n_tot], pa.int64()),
+        "h1_micro": pa.array([h1], pa.int64()),
+        "h2_micro": pa.array([h2], pa.int64()),
+        "gain_micro": pa.array([h1 - h2], pa.int64())})
+
+
 QUERIES = {
+    "fd_audit": q_fd_audit,
+    "markov_order2_gain": q_markov_order2_gain,
     "token_burstiness": q_token_burstiness,
     "type_dow_mi": q_type_dow_mi,
     "cohort_ltv": q_cohort_ltv,
@@ -11795,4 +11961,60 @@ SELECT (SELECT tn FROM t) AS n_events,
                  ELSE -((-sum(v)) // (SELECT tn FROM t)) END
             AS BIGINT) AS mi_micro
 FROM terms
+"""
+
+
+def _fd_sql_one(table: str, lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{table}.{lhs}->{rhs}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_lhs,
+       CAST(sum(c) AS BIGINT) AS n_pairs,
+       CAST(count(*) FILTER (WHERE c > 1) AS BIGINT)
+           AS n_violating_lhs,
+       CAST(max(c) AS BIGINT) AS max_rhs_per_lhs,
+       CAST((count(*) - count(*) FILTER (WHERE c > 1)) * 1000000
+            // count(*) AS BIGINT) AS fd_ppm
+FROM (SELECT l, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT DISTINCT CAST({lhs} AS VARCHAR) AS l,
+                            CAST({rhs} AS VARCHAR) AS r
+            FROM {table})
+      GROUP BY l)
+"""
+
+
+ORACLE_SQL["fd_audit"] = " UNION ALL ".join(
+    _fd_sql_one(*c) for c in _FD_CANDIDATES) + " ORDER BY fd"
+
+ORACLE_SQL["markov_order2_gain"] = """
+WITH s AS (SELECT event_type AS nx,
+                  lag(event_type, 1) OVER w AS p1,
+                  lag(event_type, 2) OVER w AS p2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts, event_id)),
+c AS (SELECT p2, p1, nx, CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+n AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+lg AS (SELECT
+    (SELECT sum(t * CAST(floor(ln(t) * 1000000 + 0.5) AS BIGINT))
+     FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY p1))
+    - (SELECT sum(t * CAST(floor(ln(t) * 1000000 + 0.5) AS BIGINT))
+       FROM (SELECT CAST(sum(n) AS BIGINT) AS t
+             FROM c GROUP BY p1, nx)) AS s1,
+    (SELECT sum(t * CAST(floor(ln(t) * 1000000 + 0.5) AS BIGINT))
+     FROM (SELECT CAST(sum(n) AS BIGINT) AS t
+           FROM c GROUP BY p2, p1))
+    - (SELECT sum(t * CAST(floor(ln(t) * 1000000 + 0.5) AS BIGINT))
+       FROM (SELECT CAST(sum(n) AS BIGINT) AS t
+             FROM c GROUP BY p2, p1, nx)) AS s2)
+SELECT n.nt AS n_triples,
+       CAST(CASE WHEN s1 >= 0 THEN s1 // nt
+                 ELSE -((-s1) // nt) END AS BIGINT) AS h1_micro,
+       CAST(CASE WHEN s2 >= 0 THEN s2 // nt
+                 ELSE -((-s2) // nt) END AS BIGINT) AS h2_micro,
+       CAST(CASE WHEN s1 >= 0 THEN s1 // nt
+                 ELSE -((-s1) // nt) END
+            - CASE WHEN s2 >= 0 THEN s2 // nt
+                   ELSE -((-s2) // nt) END AS BIGINT) AS gain_micro
+FROM lg, n
 """

@@ -479,3 +479,127 @@ def test_type_dow_mi_matches_bruteforce(ray_session, tmp_path):
     assert (got["n_events"], got["n_types"], got["n_dows"],
             got["mi_micro"]) == (n, len(row), len(col), mi)
     assert got["mi_micro"] > 100_000   # planted dependence visible
+
+
+def test_fd_audit_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_fd_audit
+
+    rng = np.random.RandomState(14)
+    # part: plant a TRUE FD p_brand -> p_type and a violated one
+    brands = [f"B{i}" for i in rng.randint(0, 5, 120)]
+    types = [f"T{b[1:]}" for b in brands]          # brand determines
+    names = [f"N{i}" for i in rng.randint(0, 10, 120)]
+    sizes = rng.randint(1, 6, 120).astype(np.int32)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(120, dtype=np.int64)),
+        "p_name": pa.array(names), "p_brand": pa.array(brands),
+        "p_type": pa.array(types), "p_size": pa.array(sizes)}),
+        str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(rng.randint(0, 20, 200)
+                              .astype(np.int64)),
+        "o_orderpriority": pa.array(
+            [f"P{i}" for i in rng.randint(0, 3, 200)])}),
+        str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "user_id": pa.array(rng.randint(0, 8, 150).astype(np.int64)),
+        "event_type": pa.array(
+            [f"e{i}" for i in rng.randint(0, 4, 150)])}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_fd_audit(str(tmp_path)).to_pandas()
+
+    def stats(pairs):
+        from collections import defaultdict
+        m = defaultdict(set)
+        for a, b in pairs:
+            m[str(a)].add(str(b))
+        n_lhs = len(m)
+        n_pairs = sum(len(v) for v in m.values())
+        viol = sum(1 for v in m.values() if len(v) > 1)
+        mx = max(len(v) for v in m.values())
+        return (n_lhs, n_pairs, viol, mx,
+                (n_lhs - viol) * 1_000_000 // n_lhs)
+
+    exp = {
+        "part.p_brand->p_type": stats(zip(brands, types)),
+        "part.p_name->p_brand": stats(zip(names, brands)),
+        "part.p_type->p_size": stats(zip(types, sizes)),
+    }
+    by_fd = {r["fd"]: r for _, r in got.iterrows()}
+    # exact checks for the three planted part candidates
+    for fd in ("part.p_brand->p_type", "part.p_name->p_brand",
+               "part.p_type->p_size"):
+        r = by_fd[fd]
+        assert (r["n_lhs"], r["n_pairs"], r["n_violating_lhs"],
+                r["max_rhs_per_lhs"], r["fd_ppm"]) == exp[fd]
+    # the planted TRUE FD holds exactly
+    assert by_fd["part.p_brand->p_type"]["fd_ppm"] == 1_000_000
+    assert by_fd["part.p_brand->p_type"]["n_violating_lhs"] == 0
+    # the random candidates are (overwhelmingly) violated
+    assert by_fd["part.p_name->p_brand"]["fd_ppm"] < 1_000_000
+    assert len(got) == 5 and list(got["fd"]) == sorted(got["fd"])
+
+
+def test_markov_order2_gain_matches_bruteforce(ray_session,
+                                               tmp_path):
+    import math
+    from kgforge.pipelines.driver_queries import q_markov_order2_gain
+
+    rng = np.random.RandomState(15)
+    # planted order-2 process: next = 'z' iff prev2 == prev1
+    rows = []
+    eid = 0
+    for u in range(10):
+        seq = [str(rng.choice(["a", "b"]))]
+        for _ in range(40):
+            if len(seq) >= 2 and seq[-1] == seq[-2]:
+                seq.append("z")
+            else:
+                seq.append(str(rng.choice(["a", "b"])))
+        for i, et in enumerate(seq):
+            rows.append((u, i * 1_000_000, eid, et))
+            eid += 1
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64))
+            .cast(pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows])}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_markov_order2_gain(str(tmp_path)).to_pandas().iloc[0]
+
+    from collections import Counter
+    triples = Counter()
+    by_u = {}
+    for u, ts, _, et in rows:
+        by_u.setdefault(u, []).append(et)
+    for seq in by_u.values():
+        for i in range(2, len(seq)):
+            triples[(seq[i - 2], seq[i - 1], seq[i])] += 1
+
+    def L(v):
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    def cond_h(key):
+        ctx, out = Counter(), Counter()
+        for (p2, p1, nx), c in triples.items():
+            k = key(p2, p1)
+            ctx[k] += c
+            out[(k, nx)] += c
+        return (sum(t * L(t) for t in ctx.values())
+                - sum(c * L(c) for c in out.values()))
+
+    n = sum(triples.values())
+
+    def div(s):
+        q = abs(s) // n
+        return q if s >= 0 else -q
+
+    h1 = div(cond_h(lambda p2, p1: p1))
+    h2 = div(cond_h(lambda p2, p1: (p2, p1)))
+    assert (got["n_triples"], got["h1_micro"], got["h2_micro"],
+            got["gain_micro"]) == (n, h1, h2, h1 - h2)
+    # order-2 memory is planted: knowing prev2 kills most entropy
+    assert got["gain_micro"] > 100_000
