@@ -7690,7 +7690,145 @@ def q_markov_order2_gain(sf_dir: str):
         "gain_micro": pa.array([h1 - h2], pa.int64())})
 
 
+def q_label_centroid_dist(sf_dir: str):
+    """Pairwise squared distance between per-label embedding
+    centroids on the shared micro grid — the class-separation census
+    (collapsed centroids ⇒ the labels are not linearly separable;
+    read next to ``embedding_drift`` / ``kmeans_clusters``).
+    ``dist2_micro2(a, b) = Σ_i (s_ia·n_b − s_ib·n_a)² //
+    (n_a²·n_b²)`` — exact integers from per-label dimension sums, so
+    both engines hash bit-identically.  Rows ordered (label_a,
+    label_b), a < b.
+
+    Scale plan: one streaming pass; each batch ships labels×(d+1)
+    partial rows (dim −1 carries the count), ONE bounded groupby;
+    the pairwise fold runs on the driver in Python ints (the cross
+    term passes int64 at ~3k rows/label and int128 near 10⁶ — the
+    SQL twin's HUGEINT bound; the Ray side is arbitrary
+    precision)."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        flat = round_away(
+            pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            .astype(np.float64) * 1_000_000, 0).astype(np.int64)
+        par = pc.list_parent_indices(col) \
+            .to_numpy(zero_copy_only=False)
+        lab = pc.cast(b["label"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        lens = np.bincount(par, minlength=b.num_rows)
+        d = int(lens[0]) if len(lens) else 0
+        dim = np.concatenate(
+            [np.arange(d, dtype=np.int64)] * b.num_rows) \
+            if b.num_rows else np.zeros(0, np.int64)
+        t = pa.table({"label": pa.array(np.repeat(lab, lens)),
+                      "dim": pa.array(dim), "s": pa.array(flat)})
+        g = t.group_by(["label", "dim"], use_threads=False) \
+            .aggregate([("s", "sum")])
+        cnt = pa.table({
+            "label": pa.array(lab),
+            "dim": pa.array(np.full(len(lab), -1, np.int64)),
+            "s": pa.array(np.ones(len(lab), np.int64))}) \
+            .group_by(["label", "dim"], use_threads=False) \
+            .aggregate([("s", "sum")])
+        return pa.concat_tables([
+            pa.table({"label": g["label"], "dim": g["dim"],
+                      "s": g["s_sum"]}),
+            pa.table({"label": cnt["label"], "dim": cnt["dim"],
+                      "s": cnt["s_sum"]})])
+
+    cells = _read(sf_dir, "embeddings", ["embedding", "label"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "dim"]).aggregate(Sum("s", alias_name="s")) \
+        .to_pandas()
+
+    ns = {int(r["label"]): int(r["s"])
+          for _, r in cells[cells["dim"] == -1].iterrows()}
+    sums = {}
+    for _, r in cells[cells["dim"] >= 0].iterrows():
+        sums.setdefault(int(r["label"]), {})[int(r["dim"])] = \
+            int(r["s"])
+    labels = sorted(ns)
+    rows = []
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            na, nb = ns[a], ns[b]
+            d2 = sum((sums[a].get(k, 0) * nb
+                      - sums[b].get(k, 0) * na) ** 2
+                     for k in set(sums[a]) | set(sums[b]))
+            rows.append((a, b, na, nb, d2 // (na * na * nb * nb)))
+    return pa.table({
+        "label_a": pa.array([r[0] for r in rows], pa.int64()),
+        "label_b": pa.array([r[1] for r in rows], pa.int64()),
+        "n_a": pa.array([r[2] for r in rows], pa.int64()),
+        "n_b": pa.array([r[3] for r in rows], pa.int64()),
+        "dist2_micro2": pa.array([r[4] for r in rows], pa.int64())})
+
+
+def q_hapax_share(sf_dir: str):
+    """Per-source hapax-legomena share: token total, type count and
+    the share of types occurring exactly once within the source —
+    the lexical-richness / scrape-noise number next to
+    ``vocab_growth`` (a hapax spike usually means OCR junk or ID
+    strings).  ``hapax_ppm = n_hapax·10⁶ // n_types``.  Rows ordered
+    by source.
+
+    Scale plan: per-batch (source, token) count partials → ONE
+    vocab-bounded groupby → per-batch per-source scalar partials →
+    one tiny source groupby; the corpus never shuffles."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        src = b["source"].take(par)
+        g = pa.table({"source": src, "w": flat}) \
+            .group_by(["source", "w"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "w": g["w"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    vocab = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "w"]).aggregate(Sum("c", alias_name="c"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        c = b["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table({"source": b["source"],
+                      "tok": pa.array(c),
+                      "typ": pa.array(np.ones(len(c), np.int64)),
+                      "hap": pa.array((c == 1).astype(np.int64))})
+        g = t.group_by(["source"], use_threads=False).aggregate(
+            [("tok", "sum"), ("typ", "sum"), ("hap", "sum")])
+        return pa.table({"source": g["source"], "tok": g["tok_sum"],
+                         "typ": g["typ_sum"], "hap": g["hap_sum"]})
+
+    agg = vocab.map_batches(fold, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("tok", alias_name="n_tokens"),
+            Sum("typ", alias_name="n_types"),
+            Sum("hap", alias_name="n_hapax")).to_pandas()
+    agg = agg.sort_values("source")
+    return pa.table({
+        "source": pa.array(agg["source"].tolist(), pa.string()),
+        "n_tokens": pa.array(agg["n_tokens"].to_numpy(np.int64)),
+        "n_types": pa.array(agg["n_types"].to_numpy(np.int64)),
+        "n_hapax": pa.array(agg["n_hapax"].to_numpy(np.int64)),
+        "hapax_ppm": pa.array(
+            agg["n_hapax"].to_numpy(np.int64) * 1_000_000
+            // agg["n_types"].to_numpy(np.int64))})
+
+
 QUERIES = {
+    "label_centroid_dist": q_label_centroid_dist,
+    "hapax_share": q_hapax_share,
     "fd_audit": q_fd_audit,
     "markov_order2_gain": q_markov_order2_gain,
     "token_burstiness": q_token_burstiness,
@@ -12017,4 +12155,46 @@ SELECT n.nt AS n_triples,
             - CASE WHEN s2 >= 0 THEN s2 // nt
                    ELSE -((-s2) // nt) END AS BIGINT) AS gain_micro
 FROM lg, n
+"""
+
+ORACLE_SQL["label_centroid_dist"] = """
+WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+                  list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                AS BIGINT)) AS qv
+           FROM embeddings),
+n AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY 1),
+s AS (SELECT label, g.i AS i, CAST(sum(qv[g.i]) AS BIGINT) AS s
+      FROM q, generate_series(1, 64) g(i) GROUP BY 1, 2),
+p AS (SELECT a.label AS la, b.label AS lb, a.n AS na, b.n AS nb
+      FROM n a JOIN n b ON a.label < b.label),
+num AS (SELECT p.la, p.lb, p.na, p.nb,
+               sum((CAST(sa.s AS HUGEINT) * p.nb
+                    - CAST(sb.s AS HUGEINT) * p.na)
+                   * (CAST(sa.s AS HUGEINT) * p.nb
+                      - CAST(sb.s AS HUGEINT) * p.na)) AS d2
+        FROM p JOIN s sa ON sa.label = p.la
+        JOIN s sb ON sb.label = p.lb AND sb.i = sa.i
+        GROUP BY 1, 2, 3, 4)
+SELECT la AS label_a, lb AS label_b, na AS n_a, nb AS n_b,
+       CAST(d2 // (CAST(na AS HUGEINT) * na * nb * nb) AS BIGINT)
+           AS dist2_micro2
+FROM num ORDER BY label_a, label_b
+"""
+
+ORACLE_SQL["hapax_share"] = r"""
+WITH toks AS (SELECT source,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS w
+              FROM documents),
+v AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+       CAST(count(*) FILTER (WHERE c = 1) * 1000000 // count(*)
+            AS BIGINT) AS hapax_ppm
+FROM v GROUP BY 1 ORDER BY source
 """

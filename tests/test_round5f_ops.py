@@ -603,3 +603,92 @@ def test_markov_order2_gain_matches_bruteforce(ray_session,
             got["gain_micro"]) == (n, h1, h2, h1 - h2)
     # order-2 memory is planted: knowing prev2 kills most entropy
     assert got["gain_micro"] > 100_000
+
+
+def test_label_centroid_dist_matches_bruteforce(ray_session,
+                                                tmp_path):
+    from kgforge.pipelines.driver_queries import q_label_centroid_dist
+
+    rng = np.random.RandomState(16)
+    d, per = 64, 40
+    # planted geometry: label 2 sits far from labels 0 and 1
+    centers = {0: np.zeros(d), 1: np.zeros(d) + 0.05,
+               2: np.zeros(d) + 2.0}
+    vecs, labels = [], []
+    for lab, c in centers.items():
+        for _ in range(per):
+            vecs.append((c + rng.normal(0, 0.01, d))
+                        .astype(np.float32))
+            labels.append(lab)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.array(labels, np.int32))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    got = q_label_centroid_dist(str(tmp_path)).to_pandas()
+
+    def rnd(x):
+        return int(np.floor(x + 0.5)) if x >= 0 else int(
+            np.ceil(x - 0.5))
+
+    sums = {lab: np.zeros(d, dtype=object) for lab in centers}
+    ns = {lab: 0 for lab in centers}
+    for v, lab in zip(vecs, labels):
+        qv = np.array([rnd(float(x) * 1_000_000) for x in v],
+                      dtype=object)
+        sums[lab] = sums[lab] + qv
+        ns[lab] += 1
+    exp = []
+    labs = sorted(centers)
+    for i, a in enumerate(labs):
+        for b in labs[i + 1:]:
+            na, nb = ns[a], ns[b]
+            d2 = int(sum((int(sa) * nb - int(sb) * na) ** 2
+                         for sa, sb in zip(sums[a], sums[b])))
+            exp.append((a, b, na, nb, d2 // (na * na * nb * nb)))
+    assert len(got) == 3
+    for (_, row), e in zip(got.iterrows(), exp):
+        assert (row["label_a"], row["label_b"], row["n_a"],
+                row["n_b"], row["dist2_micro2"]) == e
+    by = {(r["label_a"], r["label_b"]): r["dist2_micro2"]
+          for _, r in got.iterrows()}
+    assert by[(0, 2)] > 100 * by[(0, 1)]   # planted geometry
+
+
+def test_hapax_share_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_hapax_share
+
+    rng = np.random.RandomState(17)
+    texts, srcs = [], []
+    for i in range(100):
+        src = f"s{i % 3}"
+        words = list(rng.choice(["aa", "bb", "cc", "dd"],
+                                rng.randint(3, 8)))
+        if src == "s2":           # planted hapax-heavy source
+            words.append(f"rare{i}")
+        texts.append(" ".join(words))
+        srcs.append(src)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(100, dtype=np.int64)),
+        "text": pa.array(texts), "source": pa.array(srcs)}),
+        str(tmp_path / "documents.parquet"))
+
+    got = q_hapax_share(str(tmp_path)).to_pandas()
+
+    from collections import Counter
+    per_src = {}
+    for t, s in zip(texts, srcs):
+        per_src.setdefault(s, Counter()).update(t.split())
+    assert list(got["source"]) == sorted(per_src)
+    for _, row in got.iterrows():
+        cnt = per_src[row["source"]]
+        tok = sum(cnt.values())
+        typ = len(cnt)
+        hap = sum(1 for c in cnt.values() if c == 1)
+        assert (row["n_tokens"], row["n_types"], row["n_hapax"],
+                row["hapax_ppm"]) == (tok, typ, hap,
+                                      hap * 1_000_000 // typ)
+    by = dict(zip(got["source"], got["hapax_ppm"]))
+    assert by["s2"] > by["s0"] and by["s2"] > by["s1"]
