@@ -7826,7 +7826,174 @@ def q_hapax_share(sf_dir: str):
             // agg["n_types"].to_numpy(np.int64))})
 
 
+def q_price_index(sf_dir: str):
+    """Year-over-year unit-value price index of shipped lineitems:
+    ``uvi_ppm(y) = (cents_y·qty_{y−1}·10⁶) // (qty_y·cents_{y−1})``
+    — the price/mix-drift monitor (a UVI jump with flat volumes means
+    the catalogue, not the demand, moved).  Exact integers; rows =
+    years with a predecessor, ordered by year.
+
+    Scale plan: one streaming pass of per-batch (year, cents, qty)
+    combiner partials → a years-bounded groupby; the index folds on
+    the driver in Python ints (cents·qty crosses int64 near
+    $10¹⁰ × 10⁹ units)."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        yr = ((us // 86_400_000_000).astype("datetime64[D]")
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        cents = round_away(
+            b["l_extendedprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        qty = np.rint(b["l_quantity"].combine_chunks()
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.table({"yr": pa.array(yr), "c": pa.array(cents),
+                      "q": pa.array(qty)})
+        g = t.group_by("yr", use_threads=False).aggregate(
+            [("c", "sum"), ("q", "sum")])
+        return pa.table({"yr": g["yr"], "c": g["c_sum"],
+                         "q": g["q_sum"]})
+
+    years = _read(sf_dir, "lineitem",
+                  ["l_shipdate", "l_extendedprice", "l_quantity"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("yr").aggregate(Sum("c", alias_name="c"),
+                                 Sum("q", alias_name="q")) \
+        .to_pandas().sort_values("yr")
+    by = {int(r["yr"]): (int(r["c"]), int(r["q"]))
+          for _, r in years.iterrows()}
+    rows = []
+    for y in sorted(by):
+        if y - 1 not in by:
+            continue
+        c, q = by[y]
+        pc_, pq_ = by[y - 1]
+        rows.append((y, c, q, pc_, pq_,
+                     c * pq_ * 1_000_000 // (q * pc_)))
+    return pa.table({
+        "year": pa.array([r[0] for r in rows], pa.int64()),
+        "rev_cents": pa.array([r[1] for r in rows], pa.int64()),
+        "qty_units": pa.array([r[2] for r in rows], pa.int64()),
+        "prev_rev_cents": pa.array([r[3] for r in rows], pa.int64()),
+        "prev_qty_units": pa.array([r[4] for r in rows], pa.int64()),
+        "uvi_ppm": pa.array([r[5] for r in rows], pa.int64())})
+
+
+def q_text_entropy_rate(sf_dir: str):
+    """Per-source bigram entropy rate on the shared
+    ``L(x) = round(ln(x)·10⁶)`` grid: over each source's in-document
+    consecutive token pairs, the unconditional next-token entropy
+    ``h1``, the conditional ``h2 = H(next | prev)`` and the
+    first-order redundancy ``h1 − h2`` — the compressibility /
+    repetitiveness census next to ``compression_ratio`` (which zlib
+    makes un-SQL-able; this one is value-exact).  Sign-magnitude
+    integer division throughout.  Rows ordered by source.
+
+    Scale plan: (source, w1, w2) count partials → one distinct-bigram
+    groupby; the context and marginal totals are two further
+    distinct-unigram groupbys of the CELL stream (already ≤ distinct
+    bigrams, never the corpus); every entropy sum folds through
+    per-batch scalar partials — no vocabulary collection anywhere."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), pattern=r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        par = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "") \
+            .to_numpy(zero_copy_only=False)
+        # consecutive same-doc nonempty pairs — empties only appear at
+        # split boundaries, so adjacency matches the SQL extract list
+        ok = ((par[1:] == par[:-1]) & nonempty[1:] & nonempty[:-1]) \
+            if len(par) > 1 else np.zeros(0, dtype=bool)
+        idx = np.flatnonzero(ok) + 1
+        g = pa.table({
+            "source": b["source"].combine_chunks()
+            .take(pa.array(par[idx])),
+            "w1": flat.take(pa.array(idx - 1)),
+            "w2": flat.take(pa.array(idx))}) \
+            .group_by(["source", "w1", "w2"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "w1": g["w1"],
+                         "w2": g["w2"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    cells = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "w1", "w2"]) \
+        .aggregate(Sum("c", alias_name="c")).materialize()
+
+    def _lsum(ds, key_cols, val):
+        """per-source Σ v·L(v) + Σ v via scalar per-batch partials."""
+        def fold(b: pa.Table) -> pa.Table:
+            v = b[val].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            lv = np.floor(np.log(v) * 1_000_000 + 0.5).astype(np.int64)
+            t = pa.table({"source": b["source"],
+                          "s": pa.array(v * lv), "n": pa.array(v)})
+            g = t.group_by(["source"], use_threads=False).aggregate(
+                [("s", "sum"), ("n", "sum")])
+            return pa.table({"source": g["source"], "s": g["s_sum"],
+                             "n": g["n_sum"]})
+        return ds.map_batches(fold, batch_format="pyarrow") \
+            .groupby("source").aggregate(
+                Sum("s", alias_name="s"), Sum("n", alias_name="n")) \
+            .to_pandas()
+
+    joint = _lsum(cells, None, "c")
+
+    def margin(col):
+        def proj(b: pa.Table) -> pa.Table:
+            g = b.select(["source", col, "c"]) \
+                .group_by(["source", col], use_threads=False) \
+                .aggregate([("c", "sum")])
+            return pa.table({"source": g["source"], col: g[col],
+                             "t": g["c_sum"]})
+        return cells.map_batches(proj, batch_format="pyarrow") \
+            .groupby(["source", col]).aggregate(
+                Sum("t", alias_name="t"))
+
+    ctx = _lsum(margin("w1"), None, "t")
+    marg = _lsum(margin("w2"), None, "t")
+
+    import math
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    js = {r["source"]: (int(r["s"]), int(r["n"]))
+          for _, r in joint.iterrows()}
+    cs = {r["source"]: int(r["s"]) for _, r in ctx.iterrows()}
+    ms = {r["source"]: int(r["s"]) for _, r in marg.iterrows()}
+
+    def div(s, n):
+        q = abs(s) // n
+        return q if s >= 0 else -q
+
+    rows = []
+    for src in sorted(js):
+        sj, n = js[src]
+        h1 = div(n * L(n) - ms[src], n)
+        h2 = div(cs[src] - sj, n)
+        rows.append((src, n, h1, h2, h1 - h2))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "n_bigrams": pa.array([r[1] for r in rows], pa.int64()),
+        "h1_micro": pa.array([r[2] for r in rows], pa.int64()),
+        "h2_micro": pa.array([r[3] for r in rows], pa.int64()),
+        "redundancy_micro": pa.array([r[4] for r in rows],
+                                     pa.int64())})
+
+
 QUERIES = {
+    "price_index": q_price_index,
+    "text_entropy_rate": q_text_entropy_rate,
     "label_centroid_dist": q_label_centroid_dist,
     "hapax_share": q_hapax_share,
     "fd_audit": q_fd_audit,
@@ -12197,4 +12364,72 @@ SELECT source,
        CAST(count(*) FILTER (WHERE c = 1) * 1000000 // count(*)
             AS BIGINT) AS hapax_ppm
 FROM v GROUP BY 1 ORDER BY source
+"""
+
+ORACLE_SQL["price_index"] = """
+WITH y AS (SELECT year(l_shipdate) AS yr,
+                  CAST(sum(CAST(round(l_extendedprice * 100)
+                                AS BIGINT)) AS BIGINT) AS c,
+                  CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                       AS BIGINT) AS q
+           FROM lineitem GROUP BY 1)
+SELECT CAST(a.yr AS BIGINT) AS year, a.c AS rev_cents,
+       a.q AS qty_units, b.c AS prev_rev_cents,
+       b.q AS prev_qty_units,
+       CAST(CAST(a.c AS HUGEINT) * b.q * 1000000
+            // (CAST(a.q AS HUGEINT) * b.c) AS BIGINT) AS uvi_ppm
+FROM y a JOIN y b ON b.yr = a.yr - 1 ORDER BY year
+"""
+
+ORACLE_SQL["text_entropy_rate"] = r"""
+WITH t AS (SELECT source, regexp_extract_all(coalesce(text, ''),
+                                             '\S+') AS tl
+           FROM documents),
+bg AS (SELECT source, unnest(tl[1:len(tl) - 1]) AS w1,
+              unnest(tl[2:len(tl)]) AS w2
+       FROM t WHERE len(tl) >= 2),
+j AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM bg GROUP BY 1, 2, 3),
+js AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+              CAST(sum(c * CAST(floor(ln(c) * 1000000 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS sj
+       FROM j GROUP BY 1),
+cx AS (SELECT source, w1, CAST(sum(c) AS BIGINT) AS t
+       FROM j GROUP BY 1, 2),
+cs AS (SELECT source,
+              CAST(sum(t * CAST(floor(ln(t) * 1000000 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS sc
+       FROM cx GROUP BY 1),
+mg AS (SELECT source, w2, CAST(sum(c) AS BIGINT) AS m
+       FROM j GROUP BY 1, 2),
+ms AS (SELECT source,
+              CAST(sum(m * CAST(floor(ln(m) * 1000000 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS sm
+       FROM mg GROUP BY 1)
+SELECT js.source, js.n AS n_bigrams,
+       CAST(CASE WHEN js.n * CAST(floor(ln(js.n) * 1000000 + 0.5)
+                             AS BIGINT) - ms.sm >= 0
+                 THEN (js.n * CAST(floor(ln(js.n) * 1000000 + 0.5)
+                                   AS BIGINT) - ms.sm) // js.n
+                 ELSE -((ms.sm - js.n
+                         * CAST(floor(ln(js.n) * 1000000 + 0.5)
+                                AS BIGINT)) // js.n) END AS BIGINT)
+           AS h1_micro,
+       CAST(CASE WHEN cs.sc - js.sj >= 0
+                 THEN (cs.sc - js.sj) // js.n
+                 ELSE -((js.sj - cs.sc) // js.n) END AS BIGINT)
+           AS h2_micro,
+       CAST(CASE WHEN js.n * CAST(floor(ln(js.n) * 1000000 + 0.5)
+                             AS BIGINT) - ms.sm >= 0
+                 THEN (js.n * CAST(floor(ln(js.n) * 1000000 + 0.5)
+                                   AS BIGINT) - ms.sm) // js.n
+                 ELSE -((ms.sm - js.n
+                         * CAST(floor(ln(js.n) * 1000000 + 0.5)
+                                AS BIGINT)) // js.n) END
+            - CASE WHEN cs.sc - js.sj >= 0
+                   THEN (cs.sc - js.sj) // js.n
+                   ELSE -((js.sj - cs.sc) // js.n) END AS BIGINT)
+           AS redundancy_micro
+FROM js JOIN cs USING (source) JOIN ms USING (source)
+ORDER BY source
 """

@@ -692,3 +692,104 @@ def test_hapax_share_matches_bruteforce(ray_session, tmp_path):
                                       hap * 1_000_000 // typ)
     by = dict(zip(got["source"], got["hapax_ppm"]))
     assert by["s2"] > by["s0"] and by["s2"] > by["s1"]
+
+
+def test_price_index_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_price_index
+
+    rng = np.random.RandomState(18)
+    rows = []
+    for _ in range(400):
+        yr = int(rng.randint(1994, 1998))
+        qty = float(rng.randint(1, 40))
+        # planted inflation: unit price grows 10%/year
+        unit = 100.0 * (1.1 ** (yr - 1994)) + rng.uniform(0, 5)
+        rows.append((np.datetime64(f"{yr}-06-15", "us"),
+                     round(unit * qty, 2), qty))
+    pq.write_table(pa.table({
+        "l_shipdate": pa.array([r[0] for r in rows],
+                               pa.timestamp("us")),
+        "l_extendedprice": pa.array([r[1] for r in rows],
+                                    pa.float64()),
+        "l_quantity": pa.array([r[2] for r in rows], pa.float64())}),
+        str(tmp_path / "lineitem.parquet"))
+
+    got = q_price_index(str(tmp_path)).to_pandas()
+
+    by = {}
+    for ts, price, qty in rows:
+        yr = int(str(ts)[:4])
+        c, q = by.get(yr, (0, 0))
+        by[yr] = (c + int(np.floor(price * 100 + 0.5)),
+                  q + int(round(qty)))
+    exp = []
+    for y in sorted(by):
+        if y - 1 not in by:
+            continue
+        c, q = by[y]
+        pc_, pq_ = by[y - 1]
+        exp.append((y, c, q, pc_, pq_,
+                    c * pq_ * 1_000_000 // (q * pc_)))
+    assert len(got) == len(exp)
+    for (_, row), e in zip(got.iterrows(), exp):
+        assert (row["year"], row["rev_cents"], row["qty_units"],
+                row["prev_rev_cents"], row["prev_qty_units"],
+                row["uvi_ppm"]) == e
+    # planted ~10% inflation shows in every YoY index
+    assert (got["uvi_ppm"] > 1_040_000).all()
+
+
+def test_text_entropy_rate_matches_bruteforce(ray_session,
+                                              tmp_path):
+    import math
+    from kgforge.pipelines.driver_queries import q_text_entropy_rate
+
+    rng = np.random.RandomState(19)
+    texts, srcs = [], []
+    for i in range(90):
+        src = f"s{i % 2}"
+        if src == "s0":        # deterministic cycle: fully redundant
+            words = ["a", "b", "c"] * 6
+        else:                  # iid tokens: near-zero redundancy
+            words = list(rng.choice(["a", "b", "c", "d"], 18))
+        texts.append(" ".join(words))
+        srcs.append(src)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts), "source": pa.array(srcs)}),
+        str(tmp_path / "documents.parquet"))
+
+    got = q_text_entropy_rate(str(tmp_path)).to_pandas()
+
+    from collections import Counter
+    joint = {}
+    for t, s in zip(texts, srcs):
+        ws = t.split()
+        joint.setdefault(s, Counter()).update(zip(ws[:-1], ws[1:]))
+
+    def L(v):
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    def div(s, n):
+        q = abs(s) // n
+        return q if s >= 0 else -q
+
+    assert list(got["source"]) == sorted(joint)
+    for _, row in got.iterrows():
+        cnt = joint[row["source"]]
+        n = sum(cnt.values())
+        ctx, marg = Counter(), Counter()
+        for (w1, w2), c in cnt.items():
+            ctx[w1] += c
+            marg[w2] += c
+        h1 = div(n * L(n) - sum(m * L(m) for m in marg.values()), n)
+        h2 = div(sum(t * L(t) for t in ctx.values())
+                 - sum(c * L(c) for c in cnt.values()),
+                 n)
+        assert (row["n_bigrams"], row["h1_micro"], row["h2_micro"],
+                row["redundancy_micro"]) == (n, h1, h2, h1 - h2)
+    by = {r["source"]: r for _, r in got.iterrows()}
+    # the deterministic cycle is fully predictable given prev
+    assert by["s0"]["h2_micro"] == 0
+    assert by["s0"]["redundancy_micro"] > 1_000_000
+    assert by["s1"]["redundancy_micro"] < 200_000
