@@ -1458,6 +1458,113 @@ def neighbor_degree_ds(edges_ds, src: str = "subj", dst: str = "obj",
         "knn_micro": pa.array(knn, pa.int64())})
 
 
+def eigencentrality_ds(edges_ds, iters: int = 3, src: str = "subj",
+                       dst: str = "obj", num_partitions: int = 64,
+                       k: int = 20) -> pa.Table:
+    """Integer-deterministic eigenvector centrality (von Mises power
+    iteration, max-normalized) over the undirected distinct-pair
+    graph — the prestige score PageRank's teleport mass distorts:
+
+        y(v)  = Σ_{u ∈ N(v)} x(u)          (x₀ ≡ 10⁶)
+        x'(v) = y(v)·10⁶ // max_w y(w)
+
+    Floor division and a scalar max per step keep every score an
+    exact int64 independent of summation order — bit-identical
+    across cluster sizes and engines (int64-safe while
+    max-degree·10¹² fits, i.e. deg < ~9·10⁶; the SQL twin uses the
+    same BIGINT grid).  → top-``k`` (node, score_micro), score DESC,
+    node ASC.
+
+    Plan per iteration (pagerank's lane on the undirected pairs):
+    ONE s-keyed cogroup emits neighbor contributions, a combiner-
+    first groupby sums them, one scalar ``max`` normalizes — the
+    corpus-scale edge multiset never moves after the distinct-pair
+    projection."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    pairs = _distinct_pairs_ds(edges_ds, src, dst, "s", "d",
+                               both_directions=True).materialize()
+    n_pairs = pairs.count()
+    num_partitions = int(min(num_partitions,
+                             max(4, n_pairs // 2000 + 1)))
+    if n_pairs < 100_000 and pairs.num_blocks() > 2 * num_partitions:
+        pairs = pairs.repartition(num_partitions).materialize()
+    node_t = pairs.schema().base_schema.field("s").type
+
+    # x₀: every node at 10⁶ — derived from the distinct-d projection
+    # (both_directions ⇒ every node appears as d)
+    def init_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["d"]).group_by(["d"],
+                                     use_threads=False).aggregate([])
+        return pa.table({
+            "node": g["d"],
+            "r": pa.array(np.full(g.num_rows, 1_000_000, np.int64))})
+
+    x = pairs.map_batches(init_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("r", alias_name="__s")) \
+        .map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "r": pa.array(np.full(b.num_rows, 1_000_000,
+                                      np.int64))}),
+            batch_format="pyarrow").materialize()
+
+    def contribs(t: pa.Table, starts, nl, nr) -> pa.Table:
+        # left = pair rows (payload d); right = x rows (payload r,
+        # exactly one per node)
+        has = (nl > 0) & (nr > 0)
+        ridx = (starts + nl)[has]
+        r = t["r"].take(pa.array(ridx)).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lidx, _ = _lr_indices(starts[has], nl[has],
+                              np.zeros(int(has.sum()),
+                                       dtype=nl.dtype))
+        out = pa.table({"d": t["d"].take(pa.array(lidx)),
+                        "c": pa.array(np.repeat(r, nl[has]))})
+        g = out.group_by(["d"], use_threads=False).aggregate(
+            [("c", "sum")])
+        return pa.table({"d": g["d"], "c": g["c_sum"]})
+
+    x_schema = pa.schema([("node", node_t), ("r", pa.int64())])
+    for _ in range(iters):
+        y = cogroup_partition_ds(
+            pairs, x, "s", "node", contribs, ["d"], ["r"],
+            num_partitions=num_partitions,
+            left_schema=pa.schema([("s", node_t), ("d", node_t)]),
+            right_schema=x_schema) \
+            .groupby("d").aggregate(Sum("c", alias_name="r")) \
+            .materialize()
+        m = int(y.max("r"))
+
+        def norm(b: pa.Table, m=m) -> pa.Table:
+            r = b["r"].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"node": b["d"],
+                             "r": pa.array(r * 1_000_000 // m)})
+
+        # no materialize: norm is a stateless map over the
+        # materialized y — re-deriving it inside the next cogroup is
+        # cheaper than one more full execution (pagerank's trade)
+        x = y.map_batches(norm, batch_format="pyarrow")
+
+    def topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        r = b["r"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((np.asarray(b["node"].to_pylist()), -r))
+        return b.take(pa.array(order[:k]))
+
+    top = x.map_batches(topk, batch_format="pyarrow").to_pandas()
+    top = top.sort_values(["r", "node"],
+                          ascending=[False, True]).head(k)
+    return pa.table({
+        "node": pa.array(top["node"].tolist(), pa.string()),
+        "score_micro": pa.array(top["r"].to_numpy(np.int64))})
+
+
 def _edge_cn_ds(und, num_partitions: int, node_t):
     """Per-edge common-neighbor counts of a both-directions distinct
     adjacency: canonical (a < b, cn) rows, cn = 0 edges KEPT — the

@@ -551,6 +551,31 @@ GROUP BY a.dg ORDER BY a.dg
 """
 
 
+def eigencentrality_sql(iters: int = 3, k: int = 20) -> str:
+    """Max-normalized power-iteration eigenvector centrality — twin
+    of :func:`kgforge.functions.graph.eigencentrality_ds` (same
+    undirected distinct pairs, x₀ ≡ 10⁶, nonneg integer // so floor
+    == truncate; y₁ = deg·10⁶ folds in closed form)."""
+    steps = ["y1 AS (SELECT n2 AS n, CAST(count(*) AS BIGINT)"
+             " * 1000000 AS r FROM und GROUP BY n2)",
+             "m1 AS (SELECT max(r) AS m FROM y1)",
+             "x1 AS (SELECT n, r * 1000000 // (SELECT m FROM m1)"
+             " AS r FROM y1)"]
+    for i in range(2, iters + 1):
+        steps.append(
+            f"y{i} AS (SELECT und.n2 AS n, CAST(sum(x{i-1}.r)"
+            f" AS BIGINT) AS r FROM und JOIN x{i-1}"
+            f" ON x{i-1}.n = und.n1 GROUP BY 1)")
+        steps.append(f"m{i} AS (SELECT max(r) AS m FROM y{i})")
+        steps.append(
+            f"x{i} AS (SELECT n, r * 1000000 //"
+            f" (SELECT m FROM m{i}) AS r FROM y{i})")
+    return entity_pairs_prelude() + ",\n" + ",\n".join(steps) + f"""
+SELECT n AS node, CAST(r AS BIGINT) AS score_micro
+FROM x{iters} ORDER BY score_micro DESC, node LIMIT {k}
+"""
+
+
 def edge_jaccard_sql() -> str:
     """Per-edge neighborhood Jaccard — twin of
     :func:`kgforge.functions.graph.edge_jaccard_ds` (same canonical

@@ -7991,7 +7991,54 @@ def q_text_entropy_rate(sf_dir: str):
                                      pa.int64())})
 
 
+def q_kg_local_bridges(sf_dir: str):
+    """Local-bridge census of the entity graph: edges whose endpoints
+    share NO common neighbor (span > 2 — removing one lengthens the
+    a↔b path to ≥ 3) are the weak ties that hold communities together
+    (Granovetter); their share plus the mean edge-Jaccard gives the
+    one-row cohesion summary of the ``kg_edge_jaccard`` table.
+    (n_edges, n_local_bridges, bridge_ppm, mean_jac_ppm) — exact
+    integers.
+
+    Scale plan: rides :func:`edge_jaccard_ds` (wedge partials, cn=0
+    edges kept) and folds scalar per-batch partials — nothing new
+    shuffles."""
+    from kgforge.functions.graph import edge_jaccard_ds
+
+    ej = edge_jaccard_ds(_entity_edges_for(sf_dir))
+
+    def fold(b: pa.Table) -> pa.Table:
+        cn = b["cn"].combine_chunks().to_numpy(zero_copy_only=False)
+        jac = b["jac_ppm"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(cn)], pa.int64()),
+            "nb": pa.array([int((cn == 0).sum())], pa.int64()),
+            "sj": pa.array([int(jac.sum())], pa.int64())})
+
+    p = ej.map_batches(fold, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    nb = int(p["nb"].sum())
+    sj = int(p["sj"].sum())
+    return pa.table({
+        "n_edges": pa.array([n], pa.int64()),
+        "n_local_bridges": pa.array([nb], pa.int64()),
+        "bridge_ppm": pa.array([nb * 1_000_000 // n if n else 0],
+                               pa.int64()),
+        "mean_jac_ppm": pa.array([sj // n if n else 0], pa.int64())})
+
+
+def q_kg_eigencentrality(sf_dir: str):
+    """Top-20 entity eigenvector centrality — see
+    :func:`kgforge.functions.graph.eigencentrality_ds`."""
+    from kgforge.functions.graph import eigencentrality_ds
+
+    return eigencentrality_ds(_entity_edges_for(sf_dir))
+
+
 QUERIES = {
+    "kg_eigencentrality": q_kg_eigencentrality,
+    "kg_local_bridges": q_kg_local_bridges,
     "price_index": q_price_index,
     "text_entropy_rate": q_text_entropy_rate,
     "label_centroid_dist": q_label_centroid_dist,
@@ -12433,3 +12480,16 @@ SELECT js.source, js.n AS n_bigrams,
 FROM js JOIN cs USING (source) JOIN ms USING (source)
 ORDER BY source
 """
+
+ORACLE_SQL["kg_local_bridges"] = """
+WITH ej AS (""" + _dict_oracle.edge_jaccard_sql() + """)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(*) FILTER (WHERE cn = 0) AS BIGINT)
+           AS n_local_bridges,
+       CAST(count(*) FILTER (WHERE cn = 0) * 1000000 // count(*)
+            AS BIGINT) AS bridge_ppm,
+       CAST(sum(jac_ppm) // count(*) AS BIGINT) AS mean_jac_ppm
+FROM ej
+"""
+
+ORACLE_SQL["kg_eigencentrality"] = _dict_oracle.eigencentrality_sql()

@@ -793,3 +793,58 @@ def test_text_entropy_rate_matches_bruteforce(ray_session,
     assert by["s0"]["h2_micro"] == 0
     assert by["s0"]["redundancy_micro"] > 1_000_000
     assert by["s1"]["redundancy_micro"] < 200_000
+
+
+def test_eigencentrality_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import eigencentrality_ds
+
+    rng = np.random.RandomState(21)
+    edges = set()
+    # planted hub: node h touches everything
+    for i in range(14):
+        edges.add(("hub", f"n{i}"))
+    while len(edges) < 45:
+        a, b = rng.randint(0, 14, 2)
+        if a != b:
+            edges.add((f"n{a}", f"n{b}"))
+    tbl = pa.table({"subj": pa.array([e[0] for e in edges]),
+                    "obj": pa.array([e[1] for e in edges])})
+    got = eigencentrality_ds(rd.from_arrow(tbl).repartition(3)) \
+        .to_pandas()
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    x = {n: 1_000_000 for n in adj}
+    for _ in range(3):
+        y = {v: sum(x[u] for u in nbrs) for v, nbrs in adj.items()}
+        m = max(y.values())
+        x = {v: r * 1_000_000 // m for v, r in y.items()}
+    exp = sorted(x.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert len(got) == min(20, len(exp))
+    for (_, row), (n, r) in zip(got.iterrows(), exp):
+        assert (row["node"], row["score_micro"]) == (n, r)
+    assert got.iloc[0]["node"] == "hub"
+    assert got.iloc[0]["score_micro"] == 1_000_000
+
+
+def test_local_bridges_matches_bruteforce(ray_session, tmp_path):
+    import ray.data as rd
+
+    from kgforge.functions.graph import edge_jaccard_ds
+
+    # two triangles joined by one bridge edge: exactly 1 local bridge
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "z"), ("z", "x"),
+             ("a", "x")]
+    tbl = pa.table({"subj": pa.array([e[0] for e in edges]),
+                    "obj": pa.array([e[1] for e in edges])})
+    ej = edge_jaccard_ds(rd.from_arrow(tbl)).to_pandas()
+    n = len(ej)
+    nb = int((ej["cn"] == 0).sum())
+    assert n == 7 and nb == 1          # only a–x spans the parts
+    bridge = ej[ej["cn"] == 0].iloc[0]
+    assert {bridge["a"], bridge["b"]} == {"a", "x"}
