@@ -8036,7 +8036,186 @@ def q_kg_eigencentrality(sf_dir: str):
     return eigencentrality_ds(_entity_edges_for(sf_dir))
 
 
+_BASKET_CAP = 64     # deterministic per-basket part cap, both engines
+
+
+def q_basket_triples(sf_dir: str):
+    """Market-basket mining, Apriori step 3: top-20 part TRIPLES by
+    co-order count (ties → (a, b, c) ascending) — the 3-itemset lift
+    base ``basket_pairs`` can't give.  Baskets wider than
+    ``_BASKET_CAP`` distinct parts keep their first cap parts in part
+    order (deterministic, spelled identically in the SQL twin) so one
+    pathological mega-basket can't emit O(k³) rows at web scale.
+
+    Scale plan: per-batch distinct (order, part) partials → ONE
+    orderkey-hash partition; per-partition run offsets emit each
+    basket's C(k,3) combinations with a cached index template per k,
+    partial-counting triples before the (a, b, c) groupby; per-block
+    top-20 partials fold on the driver."""
+    import itertools
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    P, k_out = 64, 20
+
+    def dpart(b: pa.Table) -> pa.Table:
+        g = pa.table({"ok": b["l_orderkey"], "pk": b["l_partkey"]}) \
+            .group_by(["ok", "pk"], use_threads=False).aggregate([])
+        return g.append_column("__p",
+                               pa.array(_part_codes(g["ok"], P)))
+
+    combo_cache: dict[int, np.ndarray] = {}
+
+    def combos(k: int) -> np.ndarray:
+        if k not in combo_cache:
+            combo_cache[k] = np.array(
+                list(itertools.combinations(range(k), 3)),
+                dtype=np.int64)
+        return combo_cache[k]
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.group_by(["ok", "pk"], use_threads=False).aggregate([])
+        idx = pc.sort_indices(t, sort_keys=[("ok", "ascending"),
+                                            ("pk", "ascending")])
+        t = t.take(idx)
+        ok = t["ok"].combine_chunks().to_numpy(zero_copy_only=False)
+        pk = t["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(ok)
+        if n == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        outs = []
+        for s, ln in zip(starts, lens):
+            ln = min(int(ln), _BASKET_CAP)
+            if ln < 3:
+                continue
+            ix = combos(ln) + s
+            outs.append(np.stack([pk[ix[:, 0]], pk[ix[:, 1]],
+                                  pk[ix[:, 2]]], axis=1))
+        if not outs:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        m = np.concatenate(outs)
+        g = pa.table({"a": pa.array(m[:, 0]), "b": pa.array(m[:, 1]),
+                      "c": pa.array(m[:, 2])}) \
+            .group_by(["a", "b", "c"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({"a": g["a"], "b": g["b"], "c": g["c"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    trip = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .map_batches(dpart, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby(["a", "b", "c"]).aggregate(Sum("n",
+                                                alias_name="n_orders"))
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("n_orders", "descending"),
+                          ("a", "ascending"), ("b", "ascending"),
+                          ("c", "ascending")])
+        return b.take(idx[:k_out])
+
+    parts = [t for t in ray.get(
+        trip.map_batches(block_topk, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_columns]
+    flat = pa.concat_tables(parts) if parts else pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+        "c": pa.array([], pa.int64()),
+        "n_orders": pa.array([], pa.int64())})
+    idx = pc.sort_indices(
+        flat, sort_keys=[("n_orders", "descending"),
+                         ("a", "ascending"), ("b", "ascending"),
+                         ("c", "ascending")])
+    out = flat.take(idx[:k_out])
+    return pa.table({"a": out["a"], "b": out["b"], "c": out["c"],
+                     "n_orders": pc.cast(out["n_orders"],
+                                         pa.int64())})
+
+
+def q_dwell_time(sf_dir: str):
+    """Per-event-type dwell time: mean microseconds until the SAME
+    user's next event when it arrives within the 30-minute session
+    window — the engagement metric sessionize's counts don't expose
+    (which screens do users linger on?).  (event_type, n_dwells,
+    sum_dwell_us, mean_dwell_us) exact integers, type ASC.
+
+    Scale plan: ONE user-hash partition (sessionize's lane); inside
+    a partition the successor gap is a vectorized shift over the
+    (user, ts, id) sort; per-batch type-bounded partials fold through
+    one tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    P = 64
+    gap_us = 1_800_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({"u": b["user_id"],
+                      "t": pc.cast(pc.cast(b["ts"],
+                                           pa.timestamp("us")),
+                                   pa.int64()),
+                      "eid": b["event_id"], "et": b["event_type"]})
+        return t.append_column("__p",
+                               pa.array(_part_codes(t["u"], P)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("u", "ascending"),
+                                            ("t", "ascending"),
+                                            ("eid", "ascending")])
+        t = t.take(idx)
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n < 2:
+            return pa.table({"et": pa.array([], pa.string()),
+                             "nd": pa.array([], pa.int64()),
+                             "sd": pa.array([], pa.int64())})
+        gap = ts[1:] - ts[:-1]
+        ok = (u[1:] == u[:-1]) & (gap <= gap_us)
+        idx0 = np.flatnonzero(ok)
+        g = pa.table({"et": t["et"].combine_chunks()
+                      .take(pa.array(idx0)),
+                      "nd": pa.array(np.ones(len(idx0), np.int64)),
+                      "sd": pa.array(gap[idx0])}) \
+            .group_by(["et"], use_threads=False).aggregate(
+            [("nd", "sum"), ("sd", "sum")])
+        return pa.table({"et": g["et"], "nd": g["nd_sum"],
+                         "sd": g["sd_sum"]})
+
+    agg = _read(sf_dir, "events",
+                ["user_id", "ts", "event_id", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby("et").aggregate(Sum("nd", alias_name="n_dwells"),
+                                 Sum("sd", alias_name="sum_dwell_us")) \
+        .to_pandas().sort_values("et")
+    nd = agg["n_dwells"].to_numpy(np.int64)
+    sd = agg["sum_dwell_us"].to_numpy(np.int64)
+    return pa.table({
+        "event_type": pa.array(agg["et"].tolist(), pa.string()),
+        "n_dwells": pa.array(nd),
+        "sum_dwell_us": pa.array(sd),
+        "mean_dwell_us": pa.array(sd // nd)})
+
+
 QUERIES = {
+    "basket_triples": q_basket_triples,
+    "dwell_time": q_dwell_time,
     "kg_eigencentrality": q_kg_eigencentrality,
     "kg_local_bridges": q_kg_local_bridges,
     "price_index": q_price_index,
@@ -12493,3 +12672,45 @@ FROM ej
 """
 
 ORACLE_SQL["kg_eigencentrality"] = _dict_oracle.eigencentrality_sql()
+
+ORACLE_SQL["basket_triples"] = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cap AS (SELECT l_orderkey, l_partkey
+        FROM (SELECT l_orderkey, l_partkey,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_partkey) AS rn
+              FROM li)
+        WHERE rn <= {_BASKET_CAP}),
+tr AS (SELECT a.l_partkey AS a, b.l_partkey AS b, c.l_partkey AS c,
+              CAST(count(*) AS BIGINT) AS n_orders
+       FROM cap a JOIN cap b
+         ON a.l_orderkey = b.l_orderkey
+        AND a.l_partkey < b.l_partkey
+       JOIN cap c
+         ON b.l_orderkey = c.l_orderkey
+        AND b.l_partkey < c.l_partkey
+       GROUP BY 1, 2, 3)
+SELECT a, b, c, n_orders FROM tr
+ORDER BY n_orders DESC, a, b, c LIMIT 20
+"""
+
+ORACLE_SQL["dwell_time"] = """
+WITH s AS (SELECT event_type, epoch_us(ts) AS t,
+                  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                      AS nt
+           FROM events)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE nt IS NOT NULL
+                             AND nt - t <= 1800000000) AS BIGINT)
+           AS n_dwells,
+       CAST(coalesce(sum(nt - t) FILTER (
+                WHERE nt IS NOT NULL AND nt - t <= 1800000000), 0)
+            AS BIGINT) AS sum_dwell_us,
+       CAST(coalesce(sum(nt - t) FILTER (
+                WHERE nt IS NOT NULL AND nt - t <= 1800000000), 0)
+            // count(*) FILTER (WHERE nt IS NOT NULL
+                                AND nt - t <= 1800000000)
+            AS BIGINT) AS mean_dwell_us
+FROM s GROUP BY 1 ORDER BY event_type
+"""

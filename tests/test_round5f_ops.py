@@ -848,3 +848,83 @@ def test_local_bridges_matches_bruteforce(ray_session, tmp_path):
     assert n == 7 and nb == 1          # only a–x spans the parts
     bridge = ej[ej["cn"] == 0].iloc[0]
     assert {bridge["a"], bridge["b"]} == {"a", "x"}
+
+
+def test_basket_triples_matches_bruteforce(ray_session, tmp_path):
+    import itertools
+    from kgforge.pipelines.driver_queries import q_basket_triples
+
+    rng = np.random.RandomState(22)
+    rows = []
+    for ok in range(80):
+        parts = rng.choice(30, rng.randint(2, 8), replace=False)
+        for pk in parts:
+            rows.append((ok, int(pk)))
+        if ok % 4 == 0:           # planted frequent triple
+            for pk in (101, 102, 103):
+                rows.append((ok, pk))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64())}),
+        str(tmp_path / "lineitem.parquet"))
+
+    got = q_basket_triples(str(tmp_path)).to_pandas()
+
+    from collections import Counter
+    baskets = {}
+    for ok, pk in rows:
+        baskets.setdefault(ok, set()).add(pk)
+    cnt = Counter()
+    for parts in baskets.values():
+        for tr in itertools.combinations(sorted(parts), 3):
+            cnt[tr] += 1
+    exp = sorted(cnt.items(),
+                 key=lambda kv: (-kv[1],) + kv[0])[:20]
+    assert len(got) == len(exp)
+    for (_, row), ((a, b, c), n) in zip(got.iterrows(), exp):
+        assert (row["a"], row["b"], row["c"],
+                row["n_orders"]) == (a, b, c, n)
+    assert (got.iloc[0]["a"], got.iloc[0]["b"],
+            got.iloc[0]["c"]) == (101, 102, 103)
+
+
+def test_dwell_time_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_dwell_time
+
+    rng = np.random.RandomState(23)
+    rows = []
+    eid = 0
+    for u in range(12):
+        t = 0
+        for _ in range(20):
+            # mix of in-session gaps and session breaks
+            t += int(rng.choice([5_000_000, 60_000_000,
+                                 3_600_000_000]))
+            rows.append((u, t, eid,
+                         str(rng.choice(["view", "click", "buy"]))))
+            eid += 1
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64))
+            .cast(pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows])}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_dwell_time(str(tmp_path)).to_pandas()
+
+    agg = {}
+    by_u = {}
+    for u, t, e, et in rows:
+        by_u.setdefault(u, []).append((t, e, et))
+    for seq in by_u.values():
+        seq.sort()
+        for (t, _, et), (nt, _, _) in zip(seq[:-1], seq[1:]):
+            if nt - t <= 1_800_000_000:
+                n, s = agg.get(et, (0, 0))
+                agg[et] = (n + 1, s + (nt - t))
+    assert list(got["event_type"]) == sorted(agg)
+    for _, row in got.iterrows():
+        n, s = agg[row["event_type"]]
+        assert (row["n_dwells"], row["sum_dwell_us"],
+                row["mean_dwell_us"]) == (n, s, s // n)
