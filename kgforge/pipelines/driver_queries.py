@@ -8092,13 +8092,18 @@ def q_basket_triples(sf_dir: str):
         brk = np.ones(n, dtype=bool)
         brk[1:] = ok[1:] != ok[:-1]
         starts = np.flatnonzero(brk)
-        lens = np.diff(np.concatenate([starts, [n]]))
+        lens = np.minimum(np.diff(np.concatenate([starts, [n]])),
+                          _BASKET_CAP)
         outs = []
-        for s, ln in zip(starts, lens):
-            ln = min(int(ln), _BASKET_CAP)
+        # one vectorized emission per DISTINCT basket size (≤ cap
+        # values), not one Python iteration per basket
+        for ln in np.unique(lens):
+            ln = int(ln)
             if ln < 3:
                 continue
-            ix = combos(ln) + s
+            s_k = starts[lens == ln]
+            ix = (combos(ln)[None, :, :]
+                  + s_k[:, None, None]).reshape(-1, 3)
             outs.append(np.stack([pk[ix[:, 0]], pk[ix[:, 1]],
                                   pk[ix[:, 2]]], axis=1))
         if not outs:
@@ -8111,26 +8116,45 @@ def q_basket_triples(sf_dir: str):
                       "c": pa.array(m[:, 2])}) \
             .group_by(["a", "b", "c"], use_threads=False) \
             .aggregate([([], "count_all")])
+        a = g["a"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        b2 = g["b"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        c2 = g["c"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15)
+                 ^ b2 * np.uint64(0xBF58476D1CE4E5B9)
+                 ^ c2 * np.uint64(0x94D049BB133111EB))
+            h = (h ^ (h >> np.uint64(30))) \
+                * np.uint64(0xBF58476D1CE4E5B9)
         return pa.table({"a": g["a"], "b": g["b"], "c": g["c"],
-                         "n": pc.cast(g["count_all"], pa.int64())})
+                         "n": pc.cast(g["count_all"], pa.int64()),
+                         "__q": pa.array(
+                             (h % np.uint64(P)).astype(np.int32))})
+
+    # a triple's orderkey partitions can differ, so partials merge on
+    # hash(triple) % P — 64 single-int groups instead of a global
+    # 3-column sort (measured 19.4s → ~1s at sf0.1 for 1.6M triples)
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["a", "b", "c"], use_threads=False) \
+            .aggregate([("n", "sum")])
+        out = pa.table({"a": g["a"], "b": g["b"], "c": g["c"],
+                        "n_orders": g["n_sum"]})
+        idx = pc.sort_indices(
+            out, sort_keys=[("n_orders", "descending"),
+                            ("a", "ascending"), ("b", "ascending"),
+                            ("c", "ascending")])
+        return out.take(idx[:k_out])
 
     trip = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
         .map_batches(dpart, batch_format="pyarrow") \
         .groupby("__p").map_groups(per_partition,
                                    batch_format="pyarrow") \
-        .groupby(["a", "b", "c"]).aggregate(Sum("n",
-                                                alias_name="n_orders"))
+        .groupby("__q").map_groups(merge, batch_format="pyarrow")
 
-    def block_topk(b: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            b, sort_keys=[("n_orders", "descending"),
-                          ("a", "ascending"), ("b", "ascending"),
-                          ("c", "ascending")])
-        return b.take(idx[:k_out])
-
-    parts = [t for t in ray.get(
-        trip.map_batches(block_topk, batch_format="pyarrow")
-        .to_arrow_refs()) if t.num_columns]
+    parts = [t for t in ray.get(trip.to_arrow_refs())
+             if t.num_columns]
     flat = pa.concat_tables(parts) if parts else pa.table({
         "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
         "c": pa.array([], pa.int64()),
