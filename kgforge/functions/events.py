@@ -3531,3 +3531,110 @@ def session_entry_exit_ds(ds, by: str = "user_id", on: str = "ts",
         .groupby(["entry_type", "exit_type"]).aggregate(
             Sum("n_sessions", alias_name="n_sessions"),
             Sum("n_bounce", alias_name="n_bounce"))
+
+
+def interval_coverage_ds(ds, by: str = "user_id", on: str = "ts",
+                         dur_col: str = "value",
+                         dur_scale_us: int = 60_000_000,
+                         num_partitions: int = 64):
+    """Per-key interval-UNION coverage census (the classic interval
+    union / utilization operator): each event opens the interval
+    ``[ts, ts + floor(dur·scale)]`` (negative durations clamp to 0)
+    and per key we compute the union length of all its intervals, the
+    span ``max_end − min_start`` and a utilization decile ``union·10
+    // span`` (a key whose intervals tile its whole span lands in
+    decile 10, one with sparse blips in decile 0); output is the
+    bounded census (decile, n_keys, sum_union_us, sum_span_us),
+    decile ASC.  All arithmetic is exact int64 microseconds.
+
+    Scale plan: ONE ``hash(key) % P`` exchange of (key, start, end)
+    triples; inside a partition the union is the textbook sweep —
+    sort by (key, start, end), segmented running-max of ends (cummax
+    over ends offset by ``rank(key)·range`` so resets cost no per-key
+    loop), ``covered = Σ max(0, end − max(start, prev_cummax))`` —
+    then an 11-row-bounded decile fold, so the final groupby moves
+    ``P × 11`` rows regardless of key count."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    def tag(b: pa.Table) -> pa.Table:
+        s = pc.cast(pc.cast(b[on], pa.timestamp("us")), pa.int64())
+        d = pc.max_element_wise(
+            pc.cast(pc.floor(pc.multiply(
+                pc.cast(b[dur_col], pa.float64()),
+                float(dur_scale_us))), pa.int64()),
+            pa.scalar(0, pa.int64()))
+        t = pa.table({"k": b[by], "s": s, "e": pc.add(s, d)})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t["k"], num_partitions)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table({"decile": pa.array([], pa.int64()),
+                          "n_keys": pa.array([], pa.int64()),
+                          "sum_union_us": pa.array([], pa.int64()),
+                          "sum_span_us": pa.array([], pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[("k", "ascending"),
+                                            ("s", "ascending"),
+                                            ("e", "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        if n == 0:
+            return empty
+        k = t["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = t["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        e = t["e"].combine_chunks().to_numpy(zero_copy_only=False)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(brk)
+        seg = np.cumsum(brk) - 1              # 0-based key rank
+        # segmented cummax of ends: offset each key's values into its
+        # own disjoint band, cummax once, shift back (range-bounded so
+        # rank·band stays far inside int64)
+        base = int(s.min())
+        band = int(e.max()) - base + 1
+        # rank·band must stay inside int64: when a partition holds
+        # more keys than one band-pass allows, sweep in key-aligned
+        # slices (outer loop ∝ total_keys · band / 2⁶², ~1 in practice)
+        keys_per_pass = max(1, (2 ** 62) // band)
+        cm = np.empty(n, dtype=np.int64)
+        for first_seg in range(0, int(seg[-1]) + 1, keys_per_pass):
+            lo = starts[first_seg]
+            hi = starts[first_seg + keys_per_pass] \
+                if first_seg + keys_per_pass <= len(starts) - 1 else n
+            sg = seg[lo:hi] - seg[lo]
+            cm[lo:hi] = np.maximum.accumulate(
+                e[lo:hi] - base + sg * band) - sg * band
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = np.iinfo(np.int64).min
+        if n > 1:
+            prev[1:] = cm[:-1] + base
+            prev[starts] = np.iinfo(np.int64).min
+        covered = np.maximum(e - np.maximum(s, prev), 0)
+        union = np.add.reduceat(covered, starts)
+        span = np.maximum.reduceat(e, starts) \
+            - np.minimum.reduceat(s, starts)
+        dec = np.where(span > 0,
+                       np.minimum(union * 10 // np.maximum(span, 1),
+                                  10), 10)
+        g = pa.table({"decile": pa.array(dec, pa.int64()),
+                      "n_keys": pa.array(
+                          np.ones(len(dec), np.int64)),
+                      "sum_union_us": pa.array(union, pa.int64()),
+                      "sum_span_us": pa.array(span, pa.int64())}) \
+            .group_by(["decile"], use_threads=False).aggregate(
+            [("n_keys", "sum"), ("sum_union_us", "sum"),
+             ("sum_span_us", "sum")])
+        return g.rename_columns(["decile", "n_keys", "sum_union_us",
+                                 "sum_span_us"])
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby("decile").aggregate(
+            Sum("n_keys", alias_name="n_keys"),
+            Sum("sum_union_us", alias_name="sum_union_us"),
+            Sum("sum_span_us", alias_name="sum_span_us")) \
+        .sort("decile")

@@ -3670,3 +3670,95 @@ def linkpred_auc_ds(edges_ds, src: str = "subj", dst: str = "obj",
         "n_pos_zero": pa.array([n_pos_zero], pa.int64()),
         "u2": pa.array([u2], pa.int64()),
         "auc_micro": pa.array([auc], pa.int64())})
+
+
+def widest_paths_ds(pairs_ds, n_seeds: int = 4, max_hops: int = 4,
+                    a_col: str = "a", b_col: str = "b",
+                    w_col: str = "n_sents",
+                    driver_max_nodes: int = 2_000_000):
+    """Widest-path (max-bottleneck) widths from a deterministic seed
+    set over a WEIGHTED undirected pair table: ``width(v)`` = the
+    maximum over ≤ ``max_hops``-hop paths from any seed of the
+    minimum edge weight along the path — the capacity/bandwidth
+    question PageRank-style diffusion can't answer.  Seeds are the
+    ``n_seeds`` lexicographically smallest nodes (shared with the SQL
+    twin); output is (node, width) for reachable non-seed nodes,
+    node ASC.  Exact int64 throughout (seed sentinel 2⁴⁰ sits above
+    any co-occurrence count and never leaks: every non-seed width is
+    min-ed with a real edge weight).
+
+    Scale shape: the broadcast lane of :func:`bfs_levels_ds` — each
+    hop ``ray.put``\\ s the (node, width) frontier snapshot once and
+    streams ONE ``pc.index_in`` pass over the symmetrized edge table
+    (per-batch (neighbor, min(width, w)) partials group-maxed before
+    they reach the driver), so the edge table never shuffles.  The
+    node census is vocabulary-bounded (distinct entity surfaces);
+    past ``driver_max_nodes`` the same relax runs as a hash-cogroup
+    frontier Dataset exactly like :func:`_bfs_from`'s spill lane —
+    this entry implements the broadcast lane and raises on the bound
+    so the caller picks the lane explicitly."""
+    import ray
+    import ray.data as rd
+
+    INF = 1 << 40
+
+    def sym(b: pa.Table) -> pa.Table:
+        w = pc.cast(b[w_col], pa.int64())
+        return pa.table({
+            "n1": pa.concat_arrays([b[a_col].combine_chunks(),
+                                    b[b_col].combine_chunks()]),
+            "n2": pa.concat_arrays([b[b_col].combine_chunks(),
+                                    b[a_col].combine_chunks()]),
+            "w": pa.concat_arrays([w.combine_chunks()] * 2)})
+
+    und = pairs_ds.map_batches(sym, batch_format="pyarrow") \
+        .materialize()
+    seeds = _smallest_nodes(und, n_seeds)
+    width: dict = {s: INF for s in seeds}
+
+    for _ in range(max_hops):
+        if len(width) > driver_max_nodes:
+            raise ValueError(
+                f"widest_paths_ds broadcast lane: {len(width)} nodes "
+                f"exceed driver_max_nodes={driver_max_nodes}; run the "
+                "frontier-Dataset lane (see _bfs_from spill)")
+        keys = sorted(width)
+        karr = pa.array(keys, pa.string())
+        wnp = np.array([width[k] for k in keys], dtype=np.int64)
+        ref = ray.put((karr, wnp))
+
+        def hop(b: pa.Table, _r=ref) -> pa.Table:
+            ka, wv = ray.get(_r)
+            idx = pc.index_in(b["n1"], value_set=ka)
+            m = pc.is_valid(idx)
+            sub = b.filter(m)
+            if sub.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.string()),
+                                 "cand": pa.array([], pa.int64())})
+            ii = pc.index_in(sub["n1"], value_set=ka) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            cand = np.minimum(
+                wv[ii],
+                sub["w"].combine_chunks()
+                .to_numpy(zero_copy_only=False))
+            g = pa.table({"node": sub["n2"],
+                          "cand": pa.array(cand, pa.int64())}) \
+                .group_by(["node"], use_threads=False) \
+                .aggregate([("cand", "max")])
+            return pa.table({"node": g["node"], "cand": g["cand_max"]})
+
+        changed = False
+        for part in und.map_batches(hop, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            for node, cand in zip(part["node"].to_pylist(),
+                                  part["cand"].to_pylist()):
+                if cand > width.get(node, 0):
+                    width[node] = cand
+                    changed = True
+        if not changed:
+            break
+
+    out = sorted(n for n in width if n not in set(seeds))
+    return rd.from_arrow(pa.table({
+        "node": pa.array(out, pa.string()),
+        "width": pa.array([width[n] for n in out], pa.int64())}))

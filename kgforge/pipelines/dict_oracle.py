@@ -1337,3 +1337,39 @@ SELECT CAST(sum(pc_) AS BIGINT) AS n_pos,
             // (2 * sum(pc_) * sum(nc_)) AS BIGINT) AS auc_micro
 FROM wd
 """
+
+
+def widest_sql(n_seeds: int = 4, max_hops: int = 4) -> str:
+    """Level-unrolled twin of
+    :func:`kgforge.functions.graph.widest_paths_ds`: seeds = the
+    ``n_seeds`` lexicographically smallest nodes of the sentence
+    co-mention graph at sentinel width 2⁴⁰, then ``max_hops`` rounds
+    of the max-min relax ``w(v) ← greatest(w(v), max over edges
+    (u,v) of least(w(u), weight))``; non-seed nodes with positive
+    width, node ASC."""
+    steps = []
+    for k in range(max_hops):
+        steps.append(f""",
+wx{k + 1} AS (SELECT cur.n AS n,
+              greatest(cur.wd,
+                       coalesce(max(least(p.wd, e.w)), 0)) AS wd
+          FROM wx{k} cur
+          LEFT JOIN wpr e ON e.n2 = cur.n
+          LEFT JOIN wx{k} p ON p.n = e.n1
+          GROUP BY cur.n, cur.wd)""")
+    return cooccur_sql().replace(
+        "SELECT a, b, n_sents FROM pr", f""",
+wpr AS (SELECT a AS n1, b AS n2, CAST(n_sents AS BIGINT) AS w FROM pr
+        UNION ALL
+        SELECT b, a, CAST(n_sents AS BIGINT) FROM pr),
+wnodes AS (SELECT DISTINCT n1 AS n FROM wpr),
+wseeds AS (SELECT n FROM wnodes ORDER BY n LIMIT {n_seeds}),
+wx0 AS (SELECT n,
+               CAST(CASE WHEN n IN (SELECT n FROM wseeds)
+                    THEN 1099511627776 ELSE 0 END AS BIGINT) AS wd
+        FROM wnodes){"".join(steps)}
+SELECT n AS node, CAST(wd AS BIGINT) AS width
+FROM wx{max_hops}
+WHERE wd > 0 AND n NOT IN (SELECT n FROM wseeds)
+ORDER BY node
+""")

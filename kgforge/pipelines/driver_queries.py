@@ -12738,3 +12738,516 @@ SELECT event_type,
             AS BIGINT) AS mean_dwell_us
 FROM s GROUP BY 1 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 session-G operators
+# ---------------------------------------------------------------------------
+
+def q_interval_coverage(sf_dir: str):
+    """Per-user interval-UNION coverage census (events as
+    ``[ts, ts + value minutes]`` intervals) — see
+    :func:`kgforge.functions.events.interval_coverage_ds`."""
+    from kgforge.functions.events import interval_coverage_ds
+
+    return interval_coverage_ds(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]))
+
+
+def q_item_cf_topk(sf_dir: str):
+    """Item-item collaborative-filtering neighbors: exact integer
+    cosine² (ppm: ``n_ab²·10⁶ // (n_a·n_b)``) between parts over
+    order-basket co-occurrence, top-5 neighbors for each of the 20
+    most-ordered parts (count DESC, part ASC) — the
+    neighborhood-based recommender primitive on top of the basket
+    pair engine.  (part, nbr, n_co, cos2_ppm, rnk), part ASC, rnk.
+
+    Scale plan: distinct (order, part) via one pair-hash exchange
+    (fd_audit's shape), pair counts via the market-basket
+    ``cooccur_pairs_ds`` exchange; part marginals are a
+    dimension-bounded LUT broadcast once (parts are a catalog
+    dimension, not corpus-scale); anchors and the final top-5 fold
+    are per-batch bounded partials — no extra all-to-all."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from kgforge.functions.graph import cooccur_pairs_ds
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def dpair(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_orderkey", "l_partkey"],
+                          use_threads=False).aggregate([])
+
+    dp = li.map_batches(dpair, batch_format="pyarrow") \
+        .groupby(["l_orderkey", "l_partkey"]) \
+        .aggregate(Count(alias_name="__c"))
+
+    def per_part(b: pa.Table) -> pa.Table:
+        g = b.select(["l_partkey"]).group_by(
+            ["l_partkey"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({"p": g["l_partkey"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    marg = dp.map_batches(per_part, batch_format="pyarrow") \
+        .groupby("p").aggregate(Sum("c", alias_name="c"))
+
+    # part marginals: dimension-bounded LUT (catalog cardinality)
+    mp = marg.to_pandas()
+    c_of = dict(zip(mp["p"].astype(int), mp["c"].astype(int)))
+    anchors = sorted(c_of.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    anchor_set = {p for p, _ in anchors}
+    aarr = pa.array(sorted(anchor_set), pa.int64())
+    cref = ray.put((np.array(sorted(c_of), dtype=np.int64),
+                    np.array([c_of[k] for k in sorted(c_of)],
+                             dtype=np.int64)))
+
+    pairs = cooccur_pairs_ds(li, ["l_orderkey"], "l_partkey")
+
+    def score(b: pa.Table, _c=cref) -> pa.Table:
+        keys, cs = ray.get(_c)
+        a = pc.cast(b["a"], pa.int64())
+        bb = pc.cast(b["b"], pa.int64())
+        n = pc.cast(b["n_groups"], pa.int64())
+        part = pa.concat_arrays([a.combine_chunks(),
+                                 bb.combine_chunks()])
+        nbr = pa.concat_arrays([bb.combine_chunks(),
+                                a.combine_chunks()])
+        nn = pa.concat_arrays([n.combine_chunks()] * 2)
+        m = pc.is_in(part, value_set=aarr)
+        part, nbr, nn = (part.filter(m), nbr.filter(m), nn.filter(m))
+        pv = part.to_numpy(zero_copy_only=False)
+        nv = nbr.to_numpy(zero_copy_only=False)
+        co = nn.to_numpy(zero_copy_only=False)
+        ca = cs[np.searchsorted(keys, pv)]
+        cb = cs[np.searchsorted(keys, nv)]
+        cos2 = co * co * 1_000_000 // (ca * cb)
+        # bounded partial: top-5 per anchor part inside the batch
+        t = pa.table({"part": pa.array(pv), "nbr": pa.array(nv),
+                      "n_co": pa.array(co), "cos2_ppm": pa.array(cos2)})
+        idx = pc.sort_indices(t, sort_keys=[
+            ("part", "ascending"), ("cos2_ppm", "descending"),
+            ("nbr", "ascending")])
+        t = t.take(idx)
+        ptv = t["part"].combine_chunks().to_numpy(zero_copy_only=False)
+        brk = np.ones(len(ptv), dtype=bool)
+        if len(ptv) > 1:
+            brk[1:] = ptv[1:] != ptv[:-1]
+        pos = np.arange(len(ptv)) - np.repeat(
+            np.flatnonzero(brk), np.diff(np.append(
+                np.flatnonzero(brk), len(ptv))))
+        return t.filter(pa.array(pos < 5))
+
+    rows = []
+    for part in pairs.map_batches(score, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        rows.extend(zip(part["part"].to_pylist(),
+                        part["nbr"].to_pylist(),
+                        part["n_co"].to_pylist(),
+                        part["cos2_ppm"].to_pylist()))
+    rows.sort(key=lambda r: (r[0], -r[3], r[1]))
+    out, seen, rk = [], None, 0
+    for p, nb, co, c2 in rows:
+        rk = rk + 1 if p == seen else 1
+        seen = p
+        if rk <= 5:
+            out.append((p, nb, co, c2, rk))
+    return pa.table({
+        "part": pa.array([r[0] for r in out], pa.int64()),
+        "nbr": pa.array([r[1] for r in out], pa.int64()),
+        "n_co": pa.array([r[2] for r in out], pa.int64()),
+        "cos2_ppm": pa.array([r[3] for r in out], pa.int64()),
+        "rnk": pa.array([r[4] for r in out], pa.int64())})
+
+
+def q_kg_widest_path(sf_dir: str):
+    """Widest-path (max-bottleneck) widths from the 4 smallest nodes
+    over the weighted sentence co-mention graph — see
+    :func:`kgforge.functions.graph.widest_paths_ds`."""
+    from kgforge.functions.graph import cooccur_pairs_ds, \
+        widest_paths_ds
+
+    ments = _dict_flagship_for(sf_dir)["mentions"].select_columns(
+        ["doc_id", "sent_idx", "surface"])
+    pairs = cooccur_pairs_ds(ments, ["doc_id", "sent_idx"], "surface")
+    return widest_paths_ds(pairs, n_seeds=4, max_hops=4,
+                           w_col="n_groups")
+
+
+def q_lang_confusion(sf_dir: str):
+    """Declared-vs-predicted language confusion matrix over the
+    function-word lang-ID heuristic: (lang, pred_lang, n_docs,
+    share_ppm of the declared language's docs), lang/pred ASC — the
+    QA table that says WHERE the classifier disagrees with the
+    catalog metadata, not just how often.
+
+    Scale plan: the lang-ID pure map plus one (lang, pred)-bounded
+    groupby; the share denominator folds on the driver over the
+    ≤ |langs|² matrix."""
+    from ray.data.aggregate import Count
+
+    from kgforge.functions.textstats import lang_id
+
+    def tag(b: pa.Table) -> pa.Table:
+        p = lang_id(b, "text", "doc_id")
+        return pa.table({"lang": b["lang"],
+                         "pred_lang": p["pred_lang"]})
+
+    m = _read(sf_dir, "documents", ["doc_id", "text", "lang"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby(["lang", "pred_lang"]) \
+        .aggregate(Count(alias_name="n_docs")) \
+        .to_pandas().sort_values(["lang", "pred_lang"])
+    tot = m.groupby("lang")["n_docs"].transform("sum")
+    m["share_ppm"] = (m["n_docs"].astype(np.int64) * 1_000_000
+                      // tot.astype(np.int64))
+    return pa.table({
+        "lang": pa.array(m["lang"].tolist(), pa.string()),
+        "pred_lang": pa.array(m["pred_lang"].tolist(), pa.string()),
+        "n_docs": pa.array(m["n_docs"].to_numpy(np.int64)),
+        "share_ppm": pa.array(m["share_ppm"].to_numpy(np.int64))})
+
+
+QUERIES["interval_coverage"] = q_interval_coverage
+QUERIES["item_cf_topk"] = q_item_cf_topk
+QUERIES["kg_widest_path"] = q_kg_widest_path
+QUERIES["lang_confusion"] = q_lang_confusion
+
+ORACLE_SQL["interval_coverage"] = """
+WITH iv AS (SELECT user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS s,
+                   CAST(epoch_us(ts) AS BIGINT)
+                   + greatest(CAST(floor(value * 60000000) AS BIGINT),
+                              0) AS e
+            FROM events),
+o AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM iv),
+per AS (SELECT user_id,
+               CAST(sum(greatest(e - greatest(s,
+                        coalesce(pm, -9223372036854775807)), 0))
+                    AS BIGINT) AS u,
+               CAST(max(e) - min(s) AS BIGINT) AS span
+        FROM o GROUP BY 1)
+SELECT CAST(CASE WHEN span > 0 THEN least(u * 10 // span, 10)
+            ELSE 10 END AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(u) AS BIGINT) AS sum_union_us,
+       CAST(sum(span) AS BIGINT) AS sum_span_us
+FROM per GROUP BY 1 ORDER BY decile
+"""
+
+ORACLE_SQL["item_cf_topk"] = """
+WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+marg AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM bp GROUP BY 1),
+anchors AS (SELECT p, c FROM marg ORDER BY c DESC, p LIMIT 20),
+pairs AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n
+          FROM bp a JOIN bp b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2),
+dir AS (SELECT pa AS part, pb AS nbr, n FROM pairs
+        UNION ALL SELECT pb, pa, n FROM pairs),
+sc AS (SELECT d.part, d.nbr, d.n AS n_co,
+              d.n * d.n * 1000000 // (am.c * m.c) AS cos2_ppm
+       FROM dir d JOIN anchors am ON am.p = d.part
+       JOIN marg m ON m.p = d.nbr),
+rk AS (SELECT *, row_number() OVER (PARTITION BY part
+                 ORDER BY cos2_ppm DESC, nbr) AS rnk FROM sc)
+SELECT CAST(part AS BIGINT) AS part, CAST(nbr AS BIGINT) AS nbr,
+       n_co, CAST(cos2_ppm AS BIGINT) AS cos2_ppm,
+       CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= 5 ORDER BY part, rnk
+"""
+
+ORACLE_SQL["kg_widest_path"] = _dict_oracle.widest_sql(n_seeds=4,
+                                                       max_hops=4)
+
+ORACLE_SQL["lang_confusion"] = r"""
+WITH c AS (SELECT lang,
+                  array_length(regexp_extract_all(text,
+                      '\b(the|of|and)\b')) AS n_en,
+                  array_length(regexp_extract_all(text,
+                      '\b(der|die|und)\b')) AS n_de,
+                  array_length(regexp_extract_all(text,
+                      '\b(el|la|los)\b')) AS n_es
+           FROM documents),
+p AS (SELECT lang,
+             CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en > 0
+                  THEN 'en'
+                  WHEN n_de >= n_es AND n_de > 0 THEN 'de'
+                  WHEN n_es > 0 THEN 'es' ELSE 'unk' END AS pred_lang
+      FROM c),
+m AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM p GROUP BY 1, 2)
+SELECT lang, pred_lang, n_docs,
+       CAST(n_docs * 1000000 //
+            sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+           AS share_ppm
+FROM m ORDER BY lang, pred_lang
+"""
+
+
+def q_bipartite_butterflies(sf_dir: str):
+    """Butterfly (4-cycle) census of the part–supplier bipartite
+    graph — THE bipartite cohesion statistic (Sanei-Mehri et al.,
+    KDD'18): wedges = Σ_p C(suppliers(p), 2), butterflies =
+    Σ_{supplier pairs} C(shared_parts, 2).  One row: (n_parts,
+    n_suppliers, n_adj, n_wedges, n_butterflies).
+
+    Scale plan: distinct (part, supp) via one pair exchange; wedge
+    counts are per-part bounded partials; supplier-pair shared-part
+    counts ride the market-basket ``cooccur_pairs_ds`` exchange
+    (quadratic only in suppliers-per-part, the bounded catalog
+    fan-out); every fold after that is scalar."""
+    from ray.data.aggregate import Count, Sum
+
+    from kgforge.functions.graph import cooccur_pairs_ds
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def dpair(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_partkey", "l_suppkey"],
+                          use_threads=False).aggregate([])
+
+    dp = li.map_batches(dpair, batch_format="pyarrow") \
+        .groupby(["l_partkey", "l_suppkey"]) \
+        .aggregate(Count(alias_name="__c"))
+
+    def per_part(b: pa.Table) -> pa.Table:
+        g = b.select(["l_partkey"]).group_by(
+            ["l_partkey"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({"p": g["l_partkey"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    # a part's rows may straddle groupby output blocks → per-part
+    # counts need their own keyed sum before the wedge fold
+    def wedge_fold(b: pa.Table) -> pa.Table:
+        c = b["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_parts": pa.array([len(c)], pa.int64()),
+            "n_adj": pa.array([int(c.sum())], pa.int64()),
+            "wedges": pa.array([int((c * (c - 1) // 2).sum())],
+                               pa.int64())})
+
+    pp = dp.map_batches(per_part, batch_format="pyarrow") \
+        .groupby("p").aggregate(Sum("c", alias_name="c")) \
+        .map_batches(wedge_fold, batch_format="pyarrow").to_pandas()
+
+    def supp_partial(b: pa.Table) -> pa.Table:
+        u = b["l_suppkey"].combine_chunks().unique()
+        return pa.table({"s": u})
+
+    ns = dp.map_batches(supp_partial, batch_format="pyarrow") \
+        .groupby("s").aggregate(Count(alias_name="__c")) \
+        .count()
+
+    pairs = cooccur_pairs_ds(li, ["l_partkey"], "l_suppkey")
+
+    def bf_partial(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["n_groups"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"bf": pa.array(
+            [int((n * (n - 1) // 2).sum())], pa.int64())})
+
+    bf = pairs.map_batches(bf_partial, batch_format="pyarrow") \
+        .to_pandas()
+    return pa.table({
+        "n_parts": pa.array([int(pp["n_parts"].sum())], pa.int64()),
+        "n_suppliers": pa.array([int(ns)], pa.int64()),
+        "n_adj": pa.array([int(pp["n_adj"].sum())], pa.int64()),
+        "n_wedges": pa.array([int(pp["wedges"].sum())], pa.int64()),
+        "n_butterflies": pa.array([int(bf["bf"].sum())], pa.int64())})
+
+
+def q_knn_purity(sf_dir: str):
+    """Leave-one-out 1-NN label purity per label over the embedding
+    table (queries = the 1000 smallest vec_ids, neighbors = the full
+    corpus): the cheap clusterability probe before anyone trains a
+    classifier.  (label, n_queries, n_correct, purity_ppm), label ASC.
+
+    Scale plan: rides :func:`kgforge.functions.simsearch.knn_brute_ds`
+    (broadcast query matrix, per-batch partial top-k, Q×k driver
+    merge); the label attach is an ``is_in``-pruned stream over the
+    bounded involved-id set, never a corpus join."""
+    import pyarrow.dataset as pds
+
+    from kgforge.functions.simsearch import knn_brute_ds
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids = [r["vec_id"] for r in
+            _read(sf_dir, "embeddings", ["vec_id"],
+                  row_filter=(pds.field("vec_id") < 1000))
+            .take_all()]
+    nn = knn_brute_ds(emb, qids, k=1).to_pandas()
+
+    involved = pa.array(sorted({*nn["query_id"].tolist(),
+                                *nn["neighbor_id"].tolist()}),
+                        pa.int64())
+
+    def lab(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["vec_id"], value_set=involved)
+        return b.filter(m)
+
+    lt = _read(sf_dir, "embeddings", ["vec_id", "label"]) \
+        .map_batches(lab, batch_format="pyarrow").to_pandas()
+    label_of = dict(zip(lt["vec_id"].astype(int),
+                        lt["label"].astype(int)))
+    census: dict = {}
+    for q, nb in zip(nn["query_id"].astype(int),
+                     nn["neighbor_id"].astype(int)):
+        lq = label_of[q]
+        n, ok = census.get(lq, (0, 0))
+        census[lq] = (n + 1, ok + (label_of[nb] == lq))
+    ks = sorted(census)
+    return pa.table({
+        "label": pa.array(ks, pa.int64()),
+        "n_queries": pa.array([census[k][0] for k in ks], pa.int64()),
+        "n_correct": pa.array([census[k][1] for k in ks], pa.int64()),
+        "purity_ppm": pa.array(
+            [census[k][1] * 1_000_000 // census[k][0] for k in ks],
+            pa.int64())})
+
+
+def q_psi_value_drift(sf_dir: str):
+    """Population-Stability-Index drift of the event value
+    distribution between the even/odd ``event_id`` parity halves,
+    per event type over 10 fixed-width value bins ([0,50) … [450,∞)):
+    ``psi_micro = Σ_bins (p_ppm − q_ppm)·(L(p_ppm) − L(q_ppm)) //
+    10⁶`` on the shared ``L(x) = round(ln(x)·10⁶)`` grid, bins where
+    either half is empty skipped (the exact-integer form of the
+    ε-padded industry PSI).  (event_type, n_even, n_odd, psi_micro),
+    type ASC.
+
+    Scale plan: one (type × bin × parity)-bounded pre-aggregated
+    groupby; the PSI fold is a ≤ types×10-row driver pass."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def tag(b: pa.Table) -> pa.Table:
+        v = pc.cast(b["value"], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        bins = np.minimum((v // 50.0).astype(np.int64), 9)
+        par = pc.cast(b["event_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False) % 2
+        t = pa.table({"et": b["event_type"],
+                      "bin": pa.array(bins),
+                      "par": pa.array(par),
+                      "n": pa.array(np.ones(len(v), np.int64))})
+        g = t.group_by(["et", "bin", "par"],
+                       use_threads=False).aggregate([("n", "sum")])
+        return pa.table({"et": g["et"], "bin": g["bin"],
+                         "par": g["par"], "n": g["n_sum"]})
+
+    cells = _read(sf_dir, "events", ["event_id", "event_type",
+                                     "value"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby(["et", "bin", "par"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    per: dict = {}
+    for _, r in cells.iterrows():
+        et, b_, p_, n = r["et"], int(r["bin"]), int(r["par"]), \
+            int(r["n"])
+        d = per.setdefault(et, {})
+        d[(b_, p_)] = n
+    out = []
+    for et in sorted(per):
+        d = per[et]
+        n_even = sum(v for (b_, p_), v in d.items() if p_ == 0)
+        n_odd = sum(v for (b_, p_), v in d.items() if p_ == 1)
+        acc = 0
+        for b_ in range(10):
+            ce, co = d.get((b_, 0), 0), d.get((b_, 1), 0)
+            if ce > 0 and co > 0:
+                p_ppm = ce * 1_000_000 // n_even
+                q_ppm = co * 1_000_000 // n_odd
+                if p_ppm > 0 and q_ppm > 0:
+                    acc += (p_ppm - q_ppm) * (L(p_ppm) - L(q_ppm))
+        out.append((et, n_even, n_odd, acc // 1_000_000))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in out], pa.string()),
+        "n_even": pa.array([r[1] for r in out], pa.int64()),
+        "n_odd": pa.array([r[2] for r in out], pa.int64()),
+        "psi_micro": pa.array([r[3] for r in out], pa.int64())})
+
+
+QUERIES["bipartite_butterflies"] = q_bipartite_butterflies
+QUERIES["knn_purity"] = q_knn_purity
+QUERIES["psi_value_drift"] = q_psi_value_drift
+
+ORACLE_SQL["bipartite_butterflies"] = """
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+            FROM lineitem),
+wp AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM ps GROUP BY 1),
+spairs AS (SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS n
+           FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+           GROUP BY 1, 2)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM wp) AS n_parts,
+       (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM ps)
+           AS n_suppliers,
+       (SELECT CAST(count(*) AS BIGINT) FROM ps) AS n_adj,
+       (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+        FROM wp) AS n_wedges,
+       (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+        FROM spairs) AS n_butterflies
+"""
+
+ORACLE_SQL["knn_purity"] = """
+WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 1000),
+s AS (SELECT q.vec_id AS qid, q.label AS qlab, e.vec_id AS nid,
+             CAST(e.label AS BIGINT) AS nlab,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    q.qe) AS sim
+      FROM embeddings e, q WHERE e.vec_id <> q.vec_id),
+r AS (SELECT qid, qlab, nlab,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, nid) AS rk
+      FROM s)
+SELECT qlab AS label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(count(*) FILTER (WHERE nlab = qlab) AS BIGINT)
+           AS n_correct,
+       CAST(count(*) FILTER (WHERE nlab = qlab) * 1000000 // count(*)
+            AS BIGINT) AS purity_ppm
+FROM r WHERE rk = 1 GROUP BY 1 ORDER BY label
+"""
+
+ORACLE_SQL["psi_value_drift"] = """
+WITH c AS (SELECT event_type AS et,
+                  least(CAST(floor(value / 50) AS BIGINT), 9) AS bin,
+                  CAST(event_id % 2 AS BIGINT) AS par,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2, 3),
+tot AS (SELECT et,
+               CAST(coalesce(sum(n) FILTER (WHERE par = 0), 0)
+                    AS BIGINT) AS n_even,
+               CAST(coalesce(sum(n) FILTER (WHERE par = 1), 0)
+                    AS BIGINT) AS n_odd
+        FROM c GROUP BY 1),
+cells AS (SELECT e.et, e.bin,
+                 e.n * 1000000 // t.n_even AS p_ppm,
+                 o.n * 1000000 // t.n_odd AS q_ppm
+          FROM c e JOIN c o ON o.et = e.et AND o.bin = e.bin
+                           AND e.par = 0 AND o.par = 1
+          JOIN tot t ON t.et = e.et),
+terms AS (SELECT et,
+                 (p_ppm - q_ppm) *
+                 (CAST(floor(ln(p_ppm) * 1000000 + 0.5) AS BIGINT)
+                  - CAST(floor(ln(q_ppm) * 1000000 + 0.5) AS BIGINT))
+                     AS term
+          FROM cells WHERE p_ppm > 0 AND q_ppm > 0)
+SELECT t.et AS event_type, t.n_even, t.n_odd,
+       CAST(coalesce(sum(term), 0) // 1000000 AS BIGINT) AS psi_micro
+FROM tot t LEFT JOIN terms x ON x.et = t.et
+GROUP BY 1, 2, 3 ORDER BY event_type
+"""

@@ -1,0 +1,333 @@
+"""Round-5 session-G operators: per-key interval-union coverage,
+item-item cosine CF neighbors, widest (max-bottleneck) paths and the
+declared-vs-predicted language confusion matrix — each against an
+independent brute-force oracle."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _union_len(intervals):
+    """Brute-force interval union length via sorted merge."""
+    out = 0
+    cur_s = cur_e = None
+    for s, e in sorted(intervals):
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                out += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    if cur_e is not None:
+        out += cur_e - cur_s
+    return out
+
+
+def test_interval_coverage_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_interval_coverage
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for u in range(30):
+        t = int(rng.randint(0, 10**9))
+        for _ in range(int(rng.randint(1, 12))):
+            t += int(rng.randint(0, 7200) * 1_000_000)
+            # durations in "value minutes", incl. overlapping + zero
+            rows.append((u, t, float(rng.choice(
+                [0.0, 0.5, 5.0, 60.0, 240.0]))))
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64))
+            .cast(pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64())}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_interval_coverage(str(tmp_path)).to_pandas()
+
+    per = {}
+    for u, t, v in rows:
+        d = max(int(np.floor(v * 60_000_000)), 0)
+        per.setdefault(u, []).append((t, t + d))
+    census = {}
+    for ivs in per.values():
+        u_len = _union_len(ivs)
+        span = max(e for _, e in ivs) - min(s for s, _ in ivs)
+        dec = min(u_len * 10 // span, 10) if span > 0 else 10
+        n, su, ss = census.get(dec, (0, 0, 0))
+        census[dec] = (n + 1, su + u_len, ss + span)
+    assert list(got["decile"]) == sorted(census)
+    for _, row in got.iterrows():
+        n, su, ss = census[row["decile"]]
+        assert (row["n_keys"], row["sum_union_us"],
+                row["sum_span_us"]) == (n, su, ss)
+
+
+def test_interval_coverage_partition_invariance(ray_session,
+                                                tmp_path):
+    """The decile census must not depend on block layout."""
+    from kgforge.functions.events import interval_coverage_ds
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    n = 400
+    tbl = pa.table({
+        "user_id": pa.array(rng.randint(0, 40, n), pa.int64()),
+        "ts": pa.array(rng.randint(0, 10**7, n).astype(np.int64)
+                       * 1_000_000).cast(pa.timestamp("us")),
+        "value": pa.array(rng.uniform(0, 100, n), pa.float64())})
+    a = interval_coverage_ds(rd.from_arrow(tbl)).to_pandas()
+    b = interval_coverage_ds(
+        rd.from_arrow(tbl).repartition(7)).to_pandas()
+    assert a.equals(b)
+
+
+def test_item_cf_topk_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_item_cf_topk
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for ok in range(120):
+        for pk in rng.choice(25, size=rng.randint(1, 6),
+                             replace=False):
+            rows.append((ok, int(pk) + 100))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64())}),
+        str(tmp_path / "lineitem.parquet"))
+
+    got = q_item_cf_topk(str(tmp_path)).to_pandas()
+
+    baskets = {}
+    for ok, pk in rows:
+        baskets.setdefault(ok, set()).add(pk)
+    marg = {}
+    from collections import Counter
+    co = Counter()
+    for parts in baskets.values():
+        for p in parts:
+            marg[p] = marg.get(p, 0) + 1
+        for a, b in itertools.combinations(sorted(parts), 2):
+            co[(a, b)] += 1
+    anchors = sorted(marg, key=lambda p: (-marg[p], p))[:20]
+    exp = []
+    for p in sorted(anchors):
+        nbrs = []
+        for (a, b), n in co.items():
+            if a == p:
+                nbrs.append((b, n))
+            elif b == p:
+                nbrs.append((a, n))
+        scored = sorted(
+            ((nb, n, n * n * 1_000_000 // (marg[p] * marg[nb]))
+             for nb, n in nbrs),
+            key=lambda t: (-t[2], t[0]))[:5]
+        for rk, (nb, n, c2) in enumerate(scored, 1):
+            exp.append((p, nb, n, c2, rk))
+    assert len(got) == len(exp)
+    for (_, row), e in zip(got.iterrows(), exp):
+        assert (row["part"], row["nbr"], row["n_co"],
+                row["cos2_ppm"], row["rnk"]) == e
+
+
+def test_widest_paths_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import widest_paths_ds
+
+    rng = np.random.RandomState(5)
+    edges = {}
+    while len(edges) < 40:
+        a, b = rng.randint(0, 15, 2)
+        if a != b:
+            k = (f"n{min(a, b):02d}", f"n{max(a, b):02d}")
+            edges.setdefault(k, int(rng.randint(1, 9)))
+    tbl = pa.table({
+        "a": pa.array([k[0] for k in edges]),
+        "b": pa.array([k[1] for k in edges]),
+        "n_sents": pa.array(list(edges.values()), pa.int64())})
+
+    got = widest_paths_ds(rd.from_arrow(tbl).repartition(3),
+                          n_seeds=3, max_hops=4).to_pandas()
+
+    nodes = sorted({n for k in edges for n in k})
+    seeds = nodes[:3]
+    INF = 1 << 40
+    width = {s: INF for s in seeds}
+    adj = {}
+    for (a, b), w in edges.items():
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    for _ in range(4):
+        snap = dict(width)
+        for u, wu in snap.items():
+            for v, w in adj.get(u, []):
+                cand = min(wu, w)
+                if cand > width.get(v, 0):
+                    width[v] = cand
+    exp = {n: w for n, w in width.items() if n not in seeds}
+    assert list(got["node"]) == sorted(exp)
+    for _, row in got.iterrows():
+        assert row["width"] == exp[row["node"]]
+
+
+def test_lang_confusion_shares_sum(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_lang_confusion
+
+    texts = ["the cat of the house and more", "der hund und die katze",
+             "el gato la casa los perros", "zzz qqq", "the el la of"]
+    langs = ["en", "en", "es", "de", "es"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(texts))]),
+        "text": pa.array(texts), "lang": pa.array(langs)}),
+        str(tmp_path / "documents.parquet"))
+
+    got = q_lang_confusion(str(tmp_path)).to_pandas()
+
+    # brute force: replicate the fixed-precedence argmax
+    import re
+    def pred(t):
+        en = len(re.findall(r"\b(the|of|and)\b", t))
+        de = len(re.findall(r"\b(der|die|und)\b", t))
+        es = len(re.findall(r"\b(el|la|los)\b", t))
+        if en >= de and en >= es and en > 0:
+            return "en"
+        if de >= es and de > 0:
+            return "de"
+        return "es" if es > 0 else "unk"
+
+    from collections import Counter
+    cm = Counter((l, pred(t)) for l, t in zip(langs, texts))
+    tot = Counter()
+    for (l, _), n in cm.items():
+        tot[l] += n
+    assert len(got) == len(cm)
+    for _, row in got.iterrows():
+        key = (row["lang"], row["pred_lang"])
+        assert row["n_docs"] == cm[key]
+        assert row["share_ppm"] == \
+            cm[key] * 1_000_000 // tot[row["lang"]]
+
+
+def test_bipartite_butterflies_matches_bruteforce(ray_session,
+                                                  tmp_path):
+    from kgforge.pipelines.driver_queries import \
+        q_bipartite_butterflies
+
+    rng = np.random.RandomState(17)
+    rows = []
+    for p in range(30):
+        for s in rng.choice(12, size=rng.randint(1, 5),
+                            replace=False):
+            rows.append((p, int(s)))
+    rows += rows[:10]          # duplicates must not double-count
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in rows], pa.int64())}),
+        str(tmp_path / "lineitem.parquet"))
+
+    got = q_bipartite_butterflies(str(tmp_path)).to_pandas()
+
+    adj = sorted(set(rows))
+    by_p = {}
+    for p, s in adj:
+        by_p.setdefault(p, set()).add(s)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in by_p.values())
+    from collections import Counter
+    co = Counter()
+    for v in by_p.values():
+        for a, b in itertools.combinations(sorted(v), 2):
+            co[(a, b)] += 1
+    bf = sum(n * (n - 1) // 2 for n in co.values())
+    row = got.iloc[0]
+    assert (row["n_parts"], row["n_suppliers"], row["n_adj"],
+            row["n_wedges"], row["n_butterflies"]) == \
+        (len(by_p), len({s for _, s in adj}), len(adj), wedges, bf)
+
+
+def test_knn_purity_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_knn_purity
+
+    rng = np.random.RandomState(29)
+    n, d = 60, 8
+    centers = rng.normal(0, 5, (3, d))
+    labels = rng.randint(0, 3, n)
+    vecs = centers[labels] + rng.normal(0, 1, (n, d))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int64))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    got = q_knn_purity(str(tmp_path)).to_pandas()
+
+    vf = np.array([np.asarray(v, np.float32) for v in
+                   [list(map(float, r)) for r in vecs]],
+                  dtype=np.float64)
+    un = vf / np.linalg.norm(vf, axis=1, keepdims=True)
+    sims = un @ un.T
+    census = {}
+    for q in range(n):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        best = np.lexsort((np.arange(n), -s))[0]
+        lq = labels[q]
+        c = census.get(lq, [0, 0])
+        c[0] += 1
+        c[1] += int(labels[best] == lq)
+        census[lq] = c
+    assert list(got["label"]) == sorted(census)
+    for _, row in got.iterrows():
+        nq, ok = census[row["label"]]
+        assert (row["n_queries"], row["n_correct"],
+                row["purity_ppm"]) == (nq, ok,
+                                       ok * 1_000_000 // nq)
+
+
+def test_psi_value_drift_matches_bruteforce(ray_session, tmp_path):
+    import math
+
+    from kgforge.pipelines.driver_queries import q_psi_value_drift
+
+    rng = np.random.RandomState(41)
+    n = 600
+    et = rng.choice(["view", "click"], n)
+    val = np.where(et == "view", rng.uniform(0, 500, n),
+                   rng.uniform(0, 200, n))
+    # odd half of "click" drifts upward → nonzero PSI
+    eid = np.arange(n)
+    val = np.where((et == "click") & (eid % 2 == 1), val + 150, val)
+    pq.write_table(pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "event_type": pa.array(et.tolist()),
+        "value": pa.array(val, pa.float64())}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_psi_value_drift(str(tmp_path)).to_pandas()
+
+    def L(v):
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    exp = {}
+    for t in ("click", "view"):
+        m = et == t
+        ev = val[m & (eid % 2 == 0)]
+        ov = val[m & (eid % 2 == 1)]
+        acc = 0
+        for b in range(10):
+            ce = int(((ev // 50).clip(max=9) == b).sum())
+            co = int(((ov // 50).clip(max=9) == b).sum())
+            if ce > 0 and co > 0:
+                p = ce * 1_000_000 // len(ev)
+                q = co * 1_000_000 // len(ov)
+                if p > 0 and q > 0:
+                    acc += (p - q) * (L(p) - L(q))
+        exp[t] = (len(ev), len(ov), acc // 1_000_000)
+    assert list(got["event_type"]) == sorted(exp)
+    for _, row in got.iterrows():
+        assert (row["n_even"], row["n_odd"], row["psi_micro"]) == \
+            exp[row["event_type"]]
+    assert got.set_index("event_type").loc["click", "psi_micro"] > 0
