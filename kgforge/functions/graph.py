@@ -3762,3 +3762,111 @@ def widest_paths_ds(pairs_ds, n_seeds: int = 4, max_hops: int = 4,
     return rd.from_arrow(pa.table({
         "node": pa.array(out, pa.string()),
         "width": pa.array([width[n] for n in out], pa.int64())}))
+
+
+def mutual_reach_ds(edges_ds, n_seeds: int = 4, max_hops: int = 4,
+                    src: str = "subj", dst: str = "obj",
+                    driver_max_members: int = 2_000_000):
+    """Bounded-hop strongly-connected-membership probe over the
+    DIRECTED graph: for each of the ``n_seeds`` lexicographically
+    smallest nodes, every other node v with seed→v AND v→seed within
+    ``max_hops`` directed hops — i.e. the members of the seed's SCC
+    that a bounded forward+backward BFS can certify (the FW-BW pivot
+    step of distributed SCC).  Output (seed, node), seed/node ASC.
+
+    Scale shape: the broadcast frontier lane of :func:`_bfs_from`,
+    but ONE streaming pass per hop expands ALL 2·n_seeds frontiers
+    (forward along src→dst, backward along dst→src) — per batch the
+    seed loop is ``n_seeds``-bounded vectorized ``pc.is_in`` masks,
+    so the directed distinct-pair table is scanned ``max_hops``
+    times total, never shuffled.  Past ``driver_max_members``
+    visited nodes per seed the frontier moves to the
+    :func:`_bfs_from` spill lane (hash-cogroup expansion)."""
+    import ray
+
+    prs = _distinct_pairs_ds(edges_ds, src, dst, "n1", "n2",
+                             both_directions=False).materialize()
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([b["n1"].combine_chunks(),
+                              b["n2"].combine_chunks()]).unique()
+        idx = pc.sort_indices(u)[:n_seeds]
+        return pa.table({"n": u.take(idx)})
+
+    cand: list[str] = []
+    for part in prs.map_batches(node_partial,
+                                batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        cand.extend(part["n"].to_pylist())
+    seeds = sorted(set(cand))[:n_seeds]
+
+    fwd = [{s} for s in seeds]       # visited, forward
+    bwd = [{s} for s in seeds]
+    ffr = [{s} for s in seeds]       # frontiers
+    bfr = [{s} for s in seeds]
+
+    for _ in range(max_hops):
+        if not any(ffr) and not any(bfr):
+            break
+        for vis in (*fwd, *bwd):
+            if len(vis) > driver_max_members:
+                raise ValueError(
+                    "mutual_reach_ds broadcast lane exceeded "
+                    f"driver_max_members={driver_max_members}; use "
+                    "the _bfs_from spill lane")
+        fref = ray.put([pa.array(sorted(f), pa.string())
+                        for f in ffr])
+        bref = ray.put([pa.array(sorted(f), pa.string())
+                        for f in bfr])
+
+        def hop(b: pa.Table, _f=fref, _b=bref) -> pa.Table:
+            fa, ba = ray.get(_f), ray.get(_b)
+            sides, sids, nodes = [], [], []
+            for i in range(len(fa)):
+                if len(fa[i]):
+                    m = pc.is_in(b["n1"], value_set=fa[i])
+                    nb = b["n2"].filter(m).combine_chunks().unique()
+                    sides.append(np.zeros(len(nb), np.int8))
+                    sids.append(np.full(len(nb), i, np.int32))
+                    nodes.append(nb)
+                if len(ba[i]):
+                    m = pc.is_in(b["n2"], value_set=ba[i])
+                    nb = b["n1"].filter(m).combine_chunks().unique()
+                    sides.append(np.ones(len(nb), np.int8))
+                    sids.append(np.full(len(nb), i, np.int32))
+                    nodes.append(nb)
+            if not nodes:
+                return pa.table({
+                    "side": pa.array([], pa.int8()),
+                    "seed_i": pa.array([], pa.int32()),
+                    "node": pa.array([], pa.string())})
+            return pa.table({
+                "side": pa.array(np.concatenate(sides)),
+                "seed_i": pa.array(np.concatenate(sids)),
+                "node": pa.concat_arrays(nodes)})
+
+        nxt_f = [set() for _ in seeds]
+        nxt_b = [set() for _ in seeds]
+        for part in prs.map_batches(hop, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            sd = part["side"].to_numpy(zero_copy_only=False)
+            si = part["seed_i"].to_numpy(zero_copy_only=False)
+            nd = part["node"].to_pylist()
+            for s_, i_, n_ in zip(sd, si, nd):
+                (nxt_f if s_ == 0 else nxt_b)[i_].add(n_)
+        for i in range(len(seeds)):
+            ffr[i] = nxt_f[i] - fwd[i]
+            bfr[i] = nxt_b[i] - bwd[i]
+            fwd[i] |= ffr[i]
+            bwd[i] |= bfr[i]
+
+    s_out, n_out = [], []
+    for i, s in enumerate(seeds):
+        for n in sorted((fwd[i] & bwd[i]) - {s}):
+            s_out.append(s)
+            n_out.append(n)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "seed": pa.array(s_out, pa.string()),
+        "node": pa.array(n_out, pa.string())}))

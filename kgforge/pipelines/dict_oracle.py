@@ -1373,3 +1373,38 @@ FROM wx{max_hops}
 WHERE wd > 0 AND n NOT IN (SELECT n FROM wseeds)
 ORDER BY node
 """)
+
+
+def mutual_reach_sql(n_seeds: int = 4, max_hops: int = 4) -> str:
+    """Recursive-CTE twin of
+    :func:`kgforge.functions.graph.mutual_reach_ds`: seeds = the
+    ``n_seeds`` smallest nodes of the DIRECTED entity graph; a node
+    is emitted when the seed reaches it forward AND backward within
+    ``max_hops`` directed hops."""
+    prelude = entity_pairs_prelude().replace("\nWITH jj",
+                                             "\nWITH RECURSIVE jj", 1)
+    return prelude + f""",
+dprs AS (SELECT s, d FROM prs WHERE s <> d),
+dnodes AS (SELECT DISTINCT n FROM (
+             SELECT s AS n FROM dprs
+             UNION ALL SELECT d FROM dprs)),
+dseeds AS (SELECT n FROM dnodes ORDER BY n LIMIT {n_seeds}),
+mfwd(seed, node, dh) AS (
+  SELECT n, n, 0 FROM dseeds
+  UNION
+  SELECT mfwd.seed, p.d, mfwd.dh + 1
+  FROM mfwd JOIN dprs p ON p.s = mfwd.node
+  WHERE mfwd.dh < {max_hops}),
+mbwd(seed, node, dh) AS (
+  SELECT n, n, 0 FROM dseeds
+  UNION
+  SELECT mbwd.seed, p.s, mbwd.dh + 1
+  FROM mbwd JOIN dprs p ON p.d = mbwd.node
+  WHERE mbwd.dh < {max_hops})
+SELECT f.seed, f.node
+FROM (SELECT DISTINCT seed, node FROM mfwd) f
+JOIN (SELECT DISTINCT seed, node FROM mbwd) b
+  ON b.seed = f.seed AND b.node = f.node
+WHERE f.node <> f.seed
+ORDER BY f.seed, f.node
+"""

@@ -13251,3 +13251,182 @@ SELECT t.et AS event_type, t.n_even, t.n_odd,
 FROM tot t LEFT JOIN terms x ON x.et = t.et
 GROUP BY 1, 2, 3 ORDER BY event_type
 """
+
+
+def q_kg_scc_seeds(sf_dir: str):
+    """Bounded-hop SCC membership of the 4 smallest entity nodes over
+    the DIRECTED entity graph — see
+    :func:`kgforge.functions.graph.mutual_reach_ds`."""
+    from kgforge.functions.graph import mutual_reach_ds
+
+    return mutual_reach_ds(_entity_edges_for(sf_dir), n_seeds=4,
+                           max_hops=4)
+
+
+def q_markov_absorption(sf_dir: str):
+    """K-step absorption probability into the ``purchase`` state of
+    the per-user event-type Markov chain: ``p_K(s)`` = probability a
+    chain at state s reaches purchase within K=4 steps (purchase
+    absorbing), exact integer ppm with floor at every multiply —
+    the conversion-potential score per current state.  (event_type,
+    reach_ppm), type ASC.
+
+    Scale plan: transition counts ride the
+    :func:`kgforge.functions.events.event_transitions_ds` exchange
+    (type²-bounded); the K iterations fold on the ≤|types|² driver
+    matrix."""
+    tm = q_event_transitions(sf_dir).to_pandas()
+
+    c: dict = {}
+    rs: dict = {}
+    states = set()
+    for _, r in tm.iterrows():
+        c[(r["prev_type"], r["next_type"])] = int(r["n"])
+        rs[r["prev_type"]] = rs.get(r["prev_type"], 0) + int(r["n"])
+        states.add(r["prev_type"])
+        states.add(r["next_type"])
+    ks = sorted(states)
+    p = {s: 1_000_000 if s == "purchase" else 0 for s in ks}
+    for _ in range(4):
+        p = {s: 1_000_000 if s == "purchase" else
+             (sum(c.get((s, t), 0) * p[t] for t in ks) // rs[s]
+              if rs.get(s) else 0)
+             for s in ks}
+    return pa.table({
+        "event_type": pa.array(ks, pa.string()),
+        "reach_ppm": pa.array([p[s] for s in ks], pa.int64())})
+
+
+def q_ipf_allocation(sf_dir: str):
+    """Two-round iterative proportional fitting (raking) of the
+    (customer nation × order year) revenue-cents matrix onto uniform
+    row/column targets — the survey-statistics / data-harmonization
+    allocation operator, exact integers (floor at each scale).
+    (nationkey, o_year, cents_raw, cents_raked), nation/year ASC.
+
+    Scale plan: per-batch (custkey, year) revenue partials → one
+    keyed sum, one shuffle join to the customer dimension, one
+    (nation × year)-bounded groupby; both IPF rounds fold on the
+    ≤ 25×years driver matrix."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import shuffle_join_ds
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "ck": b["o_custkey"],
+            "y": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                pc.cast(b["o_totalprice"], pa.float64()), 100.0)),
+                pa.int64())})
+        g = t.group_by(["ck", "y"], use_threads=False) \
+            .aggregate([("cents", "sum")])
+        return pa.table({"ck": g["ck"], "y": g["y"],
+                         "cents": g["cents_sum"]})
+
+    per_cy = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby(["ck", "y"]).aggregate(Sum("cents",
+                                            alias_name="cents"))
+
+    joined = shuffle_join_ds(
+        per_cy, _read(sf_dir, "customer",
+                      ["c_custkey", "c_nationkey"]),
+        on_left="ck", on_right="c_custkey",
+        left_cols=["y", "cents"], right_cols=["c_nationkey"])
+
+    def cell(b: pa.Table) -> pa.Table:
+        g = b.group_by(["c_nationkey", "y"],
+                       use_threads=False).aggregate([("cents",
+                                                      "sum")])
+        return pa.table({"nk": g["c_nationkey"], "y": g["y"],
+                         "cents": g["cents_sum"]})
+
+    x0 = joined.map_batches(cell, batch_format="pyarrow") \
+        .groupby(["nk", "y"]).aggregate(Sum("cents",
+                                            alias_name="cents")) \
+        .to_pandas()
+
+    nk = x0["nk"].to_numpy(np.int64)
+    yy = x0["y"].to_numpy(np.int64)
+    v0 = x0["cents"].to_numpy(np.int64)
+    tot = int(v0.sum())
+    t_row = tot // len(np.unique(nk))
+    t_col = tot // len(np.unique(yy))
+    # python-int arithmetic: cents × target products overflow int64
+    row_sum = {k: int(v0[nk == k].sum()) for k in np.unique(nk)}
+    v1 = np.array([int(v) * t_row // max(row_sum[k], 1)
+                   for v, k in zip(v0, nk)], dtype=np.int64)
+    col_sum = {k: int(v1[yy == k].sum()) for k in np.unique(yy)}
+    v2 = np.array([int(v) * t_col // max(col_sum[k], 1)
+                   for v, k in zip(v1, yy)], dtype=np.int64)
+    order = np.lexsort((yy, nk))
+    return pa.table({
+        "nationkey": pa.array(nk[order], pa.int64()),
+        "o_year": pa.array(yy[order], pa.int64()),
+        "cents_raw": pa.array(v0[order], pa.int64()),
+        "cents_raked": pa.array(v2[order], pa.int64())})
+
+
+QUERIES["kg_scc_seeds"] = q_kg_scc_seeds
+QUERIES["markov_absorption"] = q_markov_absorption
+QUERIES["ipf_allocation"] = q_ipf_allocation
+
+ORACLE_SQL["kg_scc_seeds"] = _dict_oracle.mutual_reach_sql(
+    n_seeds=4, max_hops=4)
+
+_MABS_STEP = """,
+mp{next} AS (SELECT st.et,
+            CAST(CASE WHEN st.et = 'purchase' THEN 1000000
+                 ELSE coalesce(
+                     (SELECT sum(c.n * p.p) FROM mc c
+                      JOIN mp{prev} p ON p.et = c.nxt
+                      WHERE c.et = st.et), 0)
+                 // coalesce((SELECT rs FROM mr
+                              WHERE mr.et = st.et), 1)
+                 END AS BIGINT) AS p
+     FROM mst st)"""
+
+ORACLE_SQL["markov_absorption"] = """
+WITH s AS (SELECT event_type AS et,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                      AS nxt
+           FROM events),
+mc AS (SELECT et, nxt, CAST(count(*) AS BIGINT) AS n
+       FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+mr AS (SELECT et, CAST(sum(n) AS BIGINT) AS rs FROM mc GROUP BY 1),
+mst AS (SELECT DISTINCT et FROM (
+          SELECT et FROM mc UNION ALL SELECT nxt FROM mc)),
+mp0 AS (SELECT et, CAST(CASE WHEN et = 'purchase' THEN 1000000
+                        ELSE 0 END AS BIGINT) AS p
+        FROM mst)""" + "".join(
+    _MABS_STEP.format(prev=i, next=i + 1) for i in range(4)) + """
+SELECT et AS event_type, p AS reach_ppm FROM mp4 ORDER BY event_type
+"""
+
+ORACLE_SQL["ipf_allocation"] = """
+WITH j AS (SELECT c_nationkey AS nk,
+                  CAST(year(o_orderdate) AS BIGINT) AS y,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                      AS cents
+           FROM orders JOIN customer ON c_custkey = o_custkey),
+x0 AS (SELECT nk, y, CAST(sum(cents) AS BIGINT) AS v
+       FROM j GROUP BY 1, 2),
+t AS (SELECT CAST(sum(v) AS BIGINT) AS tot,
+             CAST(count(DISTINCT nk) AS BIGINT) AS nr,
+             CAST(count(DISTINCT y) AS BIGINT) AS nc
+      FROM x0),
+x1 AS (SELECT nk, y, v,
+              CAST(v AS HUGEINT) * (SELECT tot // nr FROM t)
+              // greatest(sum(v) OVER (PARTITION BY nk), 1) AS v1
+       FROM x0),
+x2 AS (SELECT nk, y, v, v1,
+              CAST(v1 AS HUGEINT) * (SELECT tot // nc FROM t)
+              // greatest(sum(v1) OVER (PARTITION BY y), 1) AS v2
+       FROM x1)
+SELECT CAST(nk AS BIGINT) AS nationkey, y AS o_year,
+       v AS cents_raw, CAST(v2 AS BIGINT) AS cents_raked
+FROM x2 ORDER BY nationkey, o_year
+"""

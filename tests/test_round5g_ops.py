@@ -331,3 +331,145 @@ def test_psi_value_drift_matches_bruteforce(ray_session, tmp_path):
         assert (row["n_even"], row["n_odd"], row["psi_micro"]) == \
             exp[row["event_type"]]
     assert got.set_index("event_type").loc["click", "psi_micro"] > 0
+
+
+def test_mutual_reach_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from kgforge.functions.graph import mutual_reach_ds
+
+    rng = np.random.RandomState(13)
+    edges = set()
+    while len(edges) < 70:
+        a, b = rng.randint(0, 20, 2)
+        if a != b:
+            edges.add((f"n{a:02d}", f"n{b:02d}"))
+    tbl = pa.table({"subj": pa.array([e[0] for e in edges]),
+                    "obj": pa.array([e[1] for e in edges])})
+
+    got = mutual_reach_ds(rd.from_arrow(tbl).repartition(3),
+                          n_seeds=3, max_hops=4).to_pandas()
+
+    nodes = sorted({n for e in edges for n in e})
+    seeds = nodes[:3]
+    fadj, badj = {}, {}
+    for a, b in edges:
+        fadj.setdefault(a, set()).add(b)
+        badj.setdefault(b, set()).add(a)
+
+    def reach(s, adj, hops):
+        vis, fr = {s}, {s}
+        for _ in range(hops):
+            nxt = set()
+            for u in fr:
+                nxt |= adj.get(u, set())
+            fr = nxt - vis
+            vis |= fr
+        return vis
+
+    exp = []
+    for s in seeds:
+        both = (reach(s, fadj, 4) & reach(s, badj, 4)) - {s}
+        exp.extend((s, n) for n in sorted(both))
+    assert exp, "fixture must exercise nonempty mutual sets"
+    assert list(map(tuple, got.values)) == exp
+
+
+def test_markov_absorption_matches_bruteforce(ray_session,
+                                              tmp_path):
+    from kgforge.pipelines.driver_queries import q_markov_absorption
+
+    rng = np.random.RandomState(19)
+    rows = []
+    eid = 0
+    for u in range(40):
+        for _ in range(15):
+            rows.append((u, eid * 1_000_000, eid, str(rng.choice(
+                ["view", "click", "cart", "purchase"]))))
+            eid += 1
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64))
+            .cast(pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows])}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_markov_absorption(str(tmp_path)).to_pandas()
+
+    from collections import Counter
+    c = Counter()
+    by_u = {}
+    for u, t, e, et in rows:
+        by_u.setdefault(u, []).append((t, e, et))
+    for seq in by_u.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq[:-1], seq[1:]):
+            c[(a, b)] += 1
+    states = sorted({s for k in c for s in k})
+    rs = {s: sum(n for (a, _), n in c.items() if a == s)
+          for s in states}
+    p = {s: 1_000_000 if s == "purchase" else 0 for s in states}
+    for _ in range(4):
+        p = {s: 1_000_000 if s == "purchase" else
+             (sum(c.get((s, t), 0) * p[t] for t in states)
+              // rs[s] if rs.get(s) else 0)
+             for s in states}
+    assert list(got["event_type"]) == states
+    for _, row in got.iterrows():
+        assert row["reach_ppm"] == p[row["event_type"]]
+    # absorbing state pinned, others strictly inside (0, 1)
+    gp = dict(zip(got["event_type"], got["reach_ppm"]))
+    assert gp["purchase"] == 1_000_000
+    assert all(0 < v < 1_000_000 for s, v in gp.items()
+               if s != "purchase")
+
+
+def test_ipf_allocation_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_ipf_allocation
+
+    rng = np.random.RandomState(23)
+    n_cust, n_orders = 25, 400
+    nat = rng.randint(0, 5, n_cust)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_nationkey": pa.array(nat.astype(np.int64))}),
+        str(tmp_path / "customer.parquet"))
+    ck = rng.randint(0, n_cust, n_orders)
+    yr = rng.randint(0, 3, n_orders)
+    price = np.round(rng.uniform(10, 500, n_orders), 2)
+    dates = (np.datetime64("2021-01-15") +
+             (yr * 365).astype("timedelta64[D]"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(ck.astype(np.int64)),
+        "o_orderdate": pa.array(dates),
+        "o_totalprice": pa.array(price, pa.float64())}),
+        str(tmp_path / "orders.parquet"))
+
+    got = q_ipf_allocation(str(tmp_path)).to_pandas()
+
+    cells = {}
+    for k, y, pr in zip(ck, yr, price):
+        key = (int(nat[k]), 2021 + int(y))
+        cells[key] = cells.get(key, 0) + int(round(pr * 100))
+    tot = sum(cells.values())
+    nks = sorted({k for k, _ in cells})
+    yys = sorted({y for _, y in cells})
+    t_row, t_col = tot // len(nks), tot // len(yys)
+    rsum = {k: sum(v for (a, _), v in cells.items() if a == k)
+            for k in nks}
+    v1 = {key: v * t_row // max(rsum[key[0]], 1)
+          for key, v in cells.items()}
+    csum = {y: sum(v for (_, b), v in v1.items() if b == y)
+            for y in yys}
+    v2 = {key: v * t_col // max(csum[key[1]], 1)
+          for key, v in v1.items()}
+    assert len(got) == len(cells)
+    for _, row in got.iterrows():
+        key = (row["nationkey"], row["o_year"])
+        assert row["cents_raw"] == cells[key]
+        assert row["cents_raked"] == v2[key]
+    # raking moved row sums toward the uniform target
+    raked_rows = got.groupby("nationkey")["cents_raked"].sum()
+    assert (abs(raked_rows - t_row) <= abs(
+        got.groupby("nationkey")["cents_raw"].sum() - t_row)).all()
