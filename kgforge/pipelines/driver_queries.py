@@ -13430,3 +13430,322 @@ SELECT CAST(nk AS BIGINT) AS nationkey, y AS o_year,
        v AS cents_raw, CAST(v2 AS BIGINT) AS cents_raked
 FROM x2 ORDER BY nationkey, o_year
 """
+
+
+def q_golden_record(sf_dir: str):
+    """Survivorship / golden-record merge over prefix-16 blocked
+    record families (MDM blocking on the first 16 characters, the
+    template-family key): for every block with ≥ 2 members, the
+    surviving id (min doc_id) plus field-level merge rules — distinct
+    source count, canonical source (min), distinct lang count,
+    canonical lang (min).  (block_key, keep_id, n_members,
+    n_sources, canon_source, n_langs, canon_lang), key ASC.
+
+    Scale plan: ONE block-keyed exchange of (key, id, source, lang)
+    rows (full text never shuffles); per-block merges are vectorized
+    arrow group_by aggregates; output schema is pinned so the
+    zero-duplicate case still types."""
+    def block(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "block_key": pc.utf8_slice_codeunits(b["text"], 0, 16),
+            "doc_id": b["doc_id"], "source": b["source"],
+            "lang": b["lang"]})
+
+    rows = _read(sf_dir, "documents",
+                 ["doc_id", "text", "source", "lang"]) \
+        .map_batches(block, batch_format="pyarrow")
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["block_key"], use_threads=False) \
+            .aggregate([("doc_id", "min"), ("doc_id", "count"),
+                        ("source", "count_distinct"),
+                        ("source", "min"),
+                        ("lang", "count_distinct"), ("lang", "min")])
+        g = g.filter(pc.greater(g["doc_id_count"], 1))
+        return pa.table({
+            "block_key": g["block_key"],
+            "keep_id": g["doc_id_min"],
+            "n_members": pc.cast(g["doc_id_count"], pa.int64()),
+            "n_sources": pc.cast(g["source_count_distinct"],
+                                 pa.int64()),
+            "canon_source": g["source_min"],
+            "n_langs": pc.cast(g["lang_count_distinct"], pa.int64()),
+            "canon_lang": g["lang_min"]})
+
+    out = rows.groupby("block_key") \
+        .map_groups(merge, batch_format="pyarrow") \
+        .sort("block_key").to_pandas()
+    return pa.table({
+        "block_key": pa.array(out.get("block_key", []), pa.string()),
+        "keep_id": pa.array(out.get("keep_id", []), pa.int64()),
+        "n_members": pa.array(out.get("n_members", []), pa.int64()),
+        "n_sources": pa.array(out.get("n_sources", []), pa.int64()),
+        "canon_source": pa.array(out.get("canon_source", []),
+                                 pa.string()),
+        "n_langs": pa.array(out.get("n_langs", []), pa.int64()),
+        "canon_lang": pa.array(out.get("canon_lang", []),
+                               pa.string())})
+
+
+def q_triplet_margin(sf_dir: str):
+    """Triplet-margin QA census of the embedding space: for every
+    anchor (vec_id < 500) with a same-label successor, pos = the
+    next same-label id, neg = the first id of the cyclically next
+    EXISTING label; a violation is cos(a, pos) ≤ cos(a, neg).
+    (label, n_triplets, n_violations, viol_ppm), label ASC — the
+    metric-learning sanity check (do labels beat a fixed impostor?).
+
+    Scale plan: pos ids ride ONE label-hash exchange (sorted shift,
+    no pairs); negs are an L-bounded first-id table; the cosine
+    fold touches only the ≤ 3×|anchors| gathered vectors."""
+    from ray.data.aggregate import Min
+
+    from kgforge.functions.joins import _part_codes
+
+    P = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({"vec_id": b["vec_id"],
+                      "label": pc.cast(b["label"], pa.int64())})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t["label"], P)))
+
+    def succ(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("label", "ascending"),
+                                            ("vec_id", "ascending")])
+        t = t.take(idx)
+        lab = t["label"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        vid = t["vec_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        n = len(lab)
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "pos_id": pa.array([], pa.int64())})
+        ok = np.zeros(n, dtype=bool)
+        if n > 1:
+            ok[:-1] = lab[1:] == lab[:-1]
+        keep = ok & (vid < 500)
+        return pa.table({
+            "vec_id": pa.array(vid[keep], pa.int64()),
+            "label": pa.array(lab[keep], pa.int64()),
+            "pos_id": pa.array(np.roll(vid, -1)[keep], pa.int64())})
+
+    ids = _read(sf_dir, "embeddings", ["vec_id", "label"])
+    trip = ids.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(succ, batch_format="pyarrow") \
+        .to_pandas()
+
+    firsts = ids.map_batches(tag, batch_format="pyarrow") \
+        .groupby("label").aggregate(Min("vec_id",
+                                        alias_name="first_id")) \
+        .to_pandas()
+    labs = sorted(firsts["label"].astype(int))
+    first_of = dict(zip(firsts["label"].astype(int),
+                        firsts["first_id"].astype(int)))
+
+    def cyc_next(lab: int) -> int:
+        bigger = [l for l in labs if l > lab]
+        return bigger[0] if bigger else labs[0]
+
+    trip = trip.sort_values("vec_id")
+    neg_ids = [first_of[cyc_next(int(l))] for l in trip["label"]]
+
+    need = sorted({*trip["vec_id"].astype(int),
+                   *trip["pos_id"].astype(int), *neg_ids})
+    need_arr = pa.array(need, pa.int64())
+
+    def gather(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["vec_id"], value_set=need_arr))
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(gather, batch_format="pyarrow").to_pandas()
+    vec_of = {int(i): np.asarray(e, dtype=np.float64)
+              for i, e in zip(emb["vec_id"], emb["embedding"])}
+
+    def cos(a, b):
+        return float(np.dot(a, b) /
+                     (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    census: dict = {}
+    for (_, r), nid in zip(trip.iterrows(), neg_ids):
+        a = vec_of[int(r["vec_id"])]
+        sp = cos(a, vec_of[int(r["pos_id"])])
+        sn = cos(a, vec_of[nid])
+        n, v = census.get(int(r["label"]), (0, 0))
+        census[int(r["label"])] = (n + 1, v + (sp <= sn))
+    ks = sorted(census)
+    return pa.table({
+        "label": pa.array(ks, pa.int64()),
+        "n_triplets": pa.array([census[k][0] for k in ks],
+                               pa.int64()),
+        "n_violations": pa.array([census[k][1] for k in ks],
+                                 pa.int64()),
+        "viol_ppm": pa.array(
+            [census[k][1] * 1_000_000 // census[k][0] for k in ks],
+            pa.int64())})
+
+
+def q_quantile_norm(sf_dir: str):
+    """Quantile-normalization mapping census: each document's
+    within-SOURCE length-rank decile ``(rn−1)·10 // cnt`` paired
+    with the GLOBAL decile-midpoint length it would be mapped to
+    (exact quantile rule ``value at floor((N−1)·(2d+1)/20)`` of the
+    (n_chars, doc_id) order) — the cross-source distribution
+    harmonization step.  (source, decile, n_docs, sum_chars,
+    global_q_chars), source/decile ASC.
+
+    Scale plan: global midpoints come from a (value, count)
+    HISTOGRAM fold (distinct lengths, never rows); ranks ride ONE
+    source-hash exchange with a vectorized per-run row_number."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    P = 32
+
+    hist = _read(sf_dir, "documents", ["n_chars"]) \
+        .map_batches(
+            lambda b: b.group_by(["n_chars"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["n_chars", "n"]),
+            batch_format="pyarrow") \
+        .groupby("n_chars").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas().sort_values("n_chars")
+    vals = hist["n_chars"].to_numpy(np.int64)
+    cnts = hist["n"].to_numpy(np.int64)
+    N = int(cnts.sum())
+    cum = np.cumsum(cnts)
+    gq = {d: int(vals[np.searchsorted(
+        cum, (N - 1) * (2 * d + 1) // 20 + 1)]) for d in range(10)}
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"],
+                      "nc": pc.cast(b["n_chars"], pa.int64()),
+                      "doc_id": b["doc_id"]})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t["source"], P)))
+
+    def census(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("source", "ascending"), ("nc", "ascending"),
+            ("doc_id", "ascending")])
+        t = t.take(idx)
+        src = t["source"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        nc = t["nc"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(src)
+        if n == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "decile": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "sum_chars": pa.array([], pa.int64())})
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, n))
+        rn = np.arange(n) - np.repeat(starts, lens)
+        cnt = np.repeat(lens, lens)
+        dec = rn * 10 // cnt
+        g = pa.table({"source": t["source"],
+                      "decile": pa.array(dec.astype(np.int64)),
+                      "n_docs": pa.array(np.ones(n, np.int64)),
+                      "sum_chars": pa.array(nc)}) \
+            .group_by(["source", "decile"],
+                      use_threads=False).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")])
+        return g.rename_columns(["source", "decile", "n_docs",
+                                 "sum_chars"])
+
+    agg = _read(sf_dir, "documents", ["doc_id", "source",
+                                      "n_chars"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(census, batch_format="pyarrow") \
+        .groupby(["source", "decile"]).aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars")) \
+        .to_pandas().sort_values(["source", "decile"])
+    return pa.table({
+        "source": pa.array(agg["source"].tolist(), pa.string()),
+        "decile": pa.array(agg["decile"].to_numpy(np.int64)),
+        "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64)),
+        "sum_chars": pa.array(agg["sum_chars"].to_numpy(np.int64)),
+        "global_q_chars": pa.array(
+            [gq[int(d)] for d in agg["decile"]], pa.int64())})
+
+
+QUERIES["golden_record"] = q_golden_record
+QUERIES["triplet_margin"] = q_triplet_margin
+QUERIES["quantile_norm"] = q_quantile_norm
+
+ORACLE_SQL["golden_record"] = """
+WITH g AS (SELECT substring(text, 1, 16) AS block_key,
+                  CAST(min(doc_id) AS BIGINT) AS keep_id,
+                  CAST(count(*) AS BIGINT) AS n_members,
+                  CAST(count(DISTINCT source) AS BIGINT)
+                      AS n_sources,
+                  min(source) AS canon_source,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                  min(lang) AS canon_lang
+           FROM documents GROUP BY 1)
+SELECT * FROM g WHERE n_members > 1 ORDER BY block_key
+"""
+
+ORACLE_SQL["triplet_margin"] = """
+WITH a AS (SELECT vec_id, CAST(label AS BIGINT) AS lab,
+                  CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+anch AS (SELECT * FROM a WHERE vec_id < 500),
+pos AS (SELECT an.vec_id, an.lab, min(o.vec_id) AS pid
+        FROM anch an JOIN a o ON o.lab = an.lab
+                             AND o.vec_id > an.vec_id
+        GROUP BY 1, 2),
+labs AS (SELECT lab, CAST(min(vec_id) AS BIGINT) AS fid
+         FROM a GROUP BY 1),
+trip AS (SELECT p.vec_id, p.lab, p.pid,
+                (SELECT fid FROM labs
+                 WHERE lab = coalesce(
+                     (SELECT min(l2.lab) FROM labs l2
+                      WHERE l2.lab > p.lab),
+                     (SELECT min(l3.lab) FROM labs l3))) AS nid
+         FROM pos p),
+sc AS (SELECT t.lab,
+              CASE WHEN list_cosine_similarity(pe.e, ae.e) <=
+                        list_cosine_similarity(ne.e, ae.e)
+                   THEN 1 ELSE 0 END AS viol
+       FROM trip t
+       JOIN a ae ON ae.vec_id = t.vec_id
+       JOIN a pe ON pe.vec_id = t.pid
+       JOIN a ne ON ne.vec_id = t.nid)
+SELECT lab AS label, CAST(count(*) AS BIGINT) AS n_triplets,
+       CAST(sum(viol) AS BIGINT) AS n_violations,
+       CAST(sum(viol) * 1000000 // count(*) AS BIGINT) AS viol_ppm
+FROM sc GROUP BY 1 ORDER BY label
+"""
+
+ORACLE_SQL["quantile_norm"] = """
+WITH d AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS nc
+           FROM documents),
+g AS (SELECT nc, row_number() OVER (ORDER BY nc, doc_id) AS rn
+      FROM d),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+gq AS (SELECT dd.d,
+              (SELECT nc FROM g
+               WHERE rn = 1 + ((SELECT n FROM nn) - 1)
+                     * (2 * dd.d + 1) // 20) AS qv
+       FROM generate_series(0, 9) dd(d)),
+s AS (SELECT source, nc,
+             (row_number() OVER (PARTITION BY source
+                                 ORDER BY nc, doc_id) - 1) * 10
+             // count(*) OVER (PARTITION BY source) AS dec
+      FROM d),
+sc AS (SELECT source, CAST(dec AS BIGINT) AS decile,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(nc) AS BIGINT) AS sum_chars
+       FROM s GROUP BY 1, 2)
+SELECT source, decile, n_docs, sum_chars,
+       (SELECT CAST(qv AS BIGINT) FROM gq WHERE gq.d = sc.decile)
+           AS global_q_chars
+FROM sc ORDER BY source, decile
+"""

@@ -473,3 +473,137 @@ def test_ipf_allocation_matches_bruteforce(ray_session, tmp_path):
     raked_rows = got.groupby("nationkey")["cents_raked"].sum()
     assert (abs(raked_rows - t_row) <= abs(
         got.groupby("nationkey")["cents_raw"].sum() - t_row)).all()
+
+
+def test_golden_record_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_golden_record
+
+    texts = ["TEMPLATE-A: hello world x", "TEMPLATE-A: hello there",
+             "TEMPLATE-B: one", "TEMPLATE-B: two", "TEMPLATE-B: 3",
+             "unique text entirely"]
+    srcs = ["web", "api", "web", "web", "feed", "web"]
+    langs = ["en", "de", "en", "en", "en", "es"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([10, 3, 7, 5, 9, 1], pa.int64()),
+        "text": pa.array(texts), "source": pa.array(srcs),
+        "lang": pa.array(langs)}),
+        str(tmp_path / "documents.parquet"))
+
+    got = q_golden_record(str(tmp_path)).to_pandas()
+
+    fam = {}
+    for did, t, s, l in zip([10, 3, 7, 5, 9, 1], texts, srcs, langs):
+        fam.setdefault(t[:16], []).append((did, s, l))
+    exp = []
+    for k in sorted(fam):
+        mem = fam[k]
+        if len(mem) < 2:
+            continue
+        exp.append((k, min(m[0] for m in mem), len(mem),
+                    len({m[1] for m in mem}),
+                    min(m[1] for m in mem),
+                    len({m[2] for m in mem}),
+                    min(m[2] for m in mem)))
+    assert len(got) == len(exp)
+    for (_, row), e in zip(got.iterrows(), exp):
+        assert (row["block_key"], row["keep_id"], row["n_members"],
+                row["n_sources"], row["canon_source"],
+                row["n_langs"], row["canon_lang"]) == e
+
+
+def test_golden_record_empty_is_typed(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_golden_record
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["abcdefghijklmnopq", "zyxwvutsrqponmlk"]),
+        "source": pa.array(["a", "b"]),
+        "lang": pa.array(["en", "en"])}),
+        str(tmp_path / "documents.parquet"))
+    got = q_golden_record(str(tmp_path))
+    assert got.num_rows == 0
+    assert got.schema.field("keep_id").type == pa.int64()
+
+
+def test_triplet_margin_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_triplet_margin
+
+    rng = np.random.RandomState(31)
+    n, d = 80, 6
+    centers = rng.normal(0, 4, (4, d))
+    labels = rng.randint(0, 4, n)
+    vecs = centers[labels] + rng.normal(0, 1.5, (n, d))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int64))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    got = q_triplet_margin(str(tmp_path)).to_pandas()
+
+    vf = np.array([np.asarray(np.array(v, np.float32), np.float64)
+                   for v in vecs])
+    labs = sorted(set(labels.tolist()))
+    first = {l: int(np.flatnonzero(labels == l).min()) for l in labs}
+
+    def cyc(l):
+        big = [x for x in labs if x > l]
+        return big[0] if big else labs[0]
+
+    def cos(a, b):
+        return float(vf[a] @ vf[b] /
+                     (np.linalg.norm(vf[a]) * np.linalg.norm(vf[b])))
+
+    census = {}
+    for a in range(min(n, 500)):
+        same = np.flatnonzero((labels == labels[a]) &
+                              (np.arange(n) > a))
+        if not len(same):
+            continue
+        pos, neg = int(same.min()), first[cyc(int(labels[a]))]
+        nq, v = census.get(int(labels[a]), (0, 0))
+        census[int(labels[a])] = (nq + 1,
+                                  v + (cos(a, pos) <= cos(a, neg)))
+    assert list(got["label"]) == sorted(census)
+    for _, row in got.iterrows():
+        nq, v = census[row["label"]]
+        assert (row["n_triplets"], row["n_violations"],
+                row["viol_ppm"]) == (nq, v, v * 1_000_000 // nq)
+
+
+def test_quantile_norm_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_quantile_norm
+
+    rng = np.random.RandomState(37)
+    n = 300
+    srcs = rng.choice(["a", "b", "c"], n)
+    nc = rng.randint(5, 500, n)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "source": pa.array(srcs.tolist()),
+        "n_chars": pa.array(nc.astype(np.int64))}),
+        str(tmp_path / "documents.parquet"))
+
+    got = q_quantile_norm(str(tmp_path)).to_pandas()
+
+    order = np.lexsort((np.arange(n), nc))
+    gsorted = nc[order]
+    gq = {d: int(gsorted[(n - 1) * (2 * d + 1) // 20])
+          for d in range(10)}
+    exp = {}
+    for s in ("a", "b", "c"):
+        m = np.flatnonzero(srcs == s)
+        so = m[np.lexsort((m, nc[m]))]
+        cnt = len(so)
+        for rn, i in enumerate(so):
+            dec = rn * 10 // cnt
+            k = (s, dec)
+            nn, sc = exp.get(k, (0, 0))
+            exp[k] = (nn + 1, sc + int(nc[i]))
+    assert len(got) == len(exp)
+    for _, row in got.iterrows():
+        k = (row["source"], row["decile"])
+        nn, sc = exp[k]
+        assert (row["n_docs"], row["sum_chars"],
+                row["global_q_chars"]) == (nn, sc, gq[row["decile"]])
