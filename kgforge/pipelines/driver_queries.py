@@ -13749,3 +13749,256 @@ SELECT source, decile, n_docs, sum_chars,
            AS global_q_chars
 FROM sc ORDER BY source, decile
 """
+
+
+def q_isotonic_return_rate(sf_dir: str):
+    """Isotonic (monotone non-decreasing) calibration of the return
+    rate as a function of discount level, via the exact max–min
+    closed form of PAVA on the shared micro grid: ``iso[i] =
+    max_{j≤i} min_{k≥i} rate_micro(j..k)`` with ``rate_micro(j..k)
+    = Σret·10⁶ // Σn`` (floored pool averages — the quantized
+    isotonic fit both engines define identically).  (discount_cents,
+    n, n_returned, raw_ppm, iso_ppm), discount ASC.
+
+    Scale plan: ONE (discount-level)-bounded pre-aggregated groupby
+    (11 cells); the O(levels³) closed form folds on the driver."""
+    from ray.data.aggregate import Sum
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "d": pc.cast(pc.round(pc.multiply(
+                pc.cast(b["l_discount"], pa.float64()), 100.0)),
+                pa.int64()),
+            "n": pa.array(np.ones(b.num_rows, np.int64)),
+            "r": pc.cast(pc.equal(b["l_returnflag"], "R"),
+                         pa.int64())})
+        g = t.group_by(["d"], use_threads=False).aggregate(
+            [("n", "sum"), ("r", "sum")])
+        return pa.table({"d": g["d"], "n": g["n_sum"],
+                         "r": g["r_sum"]})
+
+    lv = _read(sf_dir, "lineitem", ["l_discount", "l_returnflag"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("d").aggregate(Sum("n", alias_name="n"),
+                                Sum("r", alias_name="r")) \
+        .to_pandas().sort_values("d")
+    d = lv["d"].to_numpy(np.int64)
+    n = lv["n"].to_numpy(np.int64)
+    r = lv["r"].to_numpy(np.int64)
+    L = len(d)
+    cn = np.concatenate([[0], np.cumsum(n)])
+    cr = np.concatenate([[0], np.cumsum(r)])
+
+    def rate(j, k):           # pool average over levels j..k, micro
+        return int(cr[k + 1] - cr[j]) * 1_000_000 \
+            // int(cn[k + 1] - cn[j])
+
+    iso = [max(min(rate(j, k) for k in range(i, L))
+               for j in range(i + 1))
+           for i in range(L)]
+    return pa.table({
+        "discount_cents": pa.array(d, pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "n_returned": pa.array(r, pa.int64()),
+        "raw_ppm": pa.array(r * 1_000_000 // n, pa.int64()),
+        "iso_ppm": pa.array(iso, pa.int64())})
+
+
+def q_leadlag_xcorr(sf_dir: str):
+    """Lead–lag finder between the hourly ``view`` and ``purchase``
+    count series: for every lag in [−12, 12] hours the exact-integer
+    centered cross-score ``L·Σ a(h)·b(h+lag) − Σa·Σb`` over the
+    overlap window (missing hours count 0, L = span − |lag|), plus
+    the argmax flag — does purchasing trail browsing, and by how
+    many hours?  (lag_hours, score, n_overlap_hours, is_best),
+    lag ASC; best = max score, tie → smallest lag.
+
+    Scale plan: per-batch (hour, type) partials → one hours-bounded
+    groupby; the 25-lag scan folds on the driver series."""
+    from ray.data.aggregate import Sum
+
+    ta, tb = "view", "purchase"
+
+    def tag(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"],
+                     value_set=pa.array([ta, tb]))
+        sub = b.filter(m)
+        t = pa.table({
+            "h": pc.cast(pc.floor(pc.divide(pc.cast(pc.cast(
+                sub["ts"], pa.timestamp("us")), pa.int64()),
+                3_600_000_000.0)), pa.int64()),
+            "et": sub["event_type"],
+            "n": pa.array(np.ones(sub.num_rows, np.int64))})
+        g = t.group_by(["h", "et"], use_threads=False) \
+            .aggregate([("n", "sum")])
+        return pa.table({"h": g["h"], "et": g["et"],
+                         "n": g["n_sum"]})
+
+    hh = _read(sf_dir, "events", ["ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby(["h", "et"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    hmin, hmax = int(hh["h"].min()), int(hh["h"].max())
+    H = hmax - hmin + 1
+    a = np.zeros(H, dtype=np.int64)
+    b_ = np.zeros(H, dtype=np.int64)
+    for _, row in hh.iterrows():
+        (a if row["et"] == ta else b_)[int(row["h"]) - hmin] += \
+            int(row["n"])
+    out = []
+    for lag in range(-12, 13):
+        Lw = H - abs(lag)
+        if Lw <= 0:
+            out.append((lag, 0, 0))
+            continue
+        if lag >= 0:
+            av, bv = a[:H - lag], b_[lag:]
+        else:
+            av, bv = a[-lag:], b_[:H + lag]
+        score = Lw * int(np.dot(av, bv)) \
+            - int(av.sum()) * int(bv.sum())
+        out.append((lag, score, Lw))
+    best = max(out, key=lambda t: (t[1], -t[0]))[0]
+    return pa.table({
+        "lag_hours": pa.array([o[0] for o in out], pa.int64()),
+        "score": pa.array([o[1] for o in out], pa.int64()),
+        "n_overlap_hours": pa.array([o[2] for o in out],
+                                    pa.int64()),
+        "is_best": pa.array([int(o[0] == best) for o in out],
+                            pa.int64())})
+
+
+def q_l_diversity(sf_dir: str):
+    """l-diversity census of the orders table under the
+    quasi-identifier (order priority, order year) with sensitive
+    attribute order status: per group l = distinct sensitive values;
+    output the census by l — how many QI groups (and rows) are
+    protected at each diversity level.  (l_distinct, n_groups,
+    n_rows), l ASC — k_anonymity's sibling audit.
+
+    Scale plan: (prio × year × status)-bounded pre-aggregated
+    groupby, then two driver-bounded folds."""
+    from ray.data.aggregate import Sum
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "pr": b["o_orderpriority"],
+            "y": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            "st": b["o_orderstatus"],
+            "n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["pr", "y", "st"], use_threads=False) \
+            .aggregate([("n", "sum")])
+        return pa.table({"pr": g["pr"], "y": g["y"], "st": g["st"],
+                         "n": g["n_sum"]})
+
+    cells = _read(sf_dir, "orders",
+                  ["o_orderpriority", "o_orderdate",
+                   "o_orderstatus"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby(["pr", "y", "st"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    per: dict = {}
+    for _, row in cells.iterrows():
+        k = (row["pr"], int(row["y"]))
+        l_, nr = per.get(k, (0, 0))
+        per[k] = (l_ + 1, nr + int(row["n"]))
+    census: dict = {}
+    for l_, nr in per.values():
+        g, rr = census.get(l_, (0, 0))
+        census[l_] = (g + 1, rr + nr)
+    ks = sorted(census)
+    return pa.table({
+        "l_distinct": pa.array(ks, pa.int64()),
+        "n_groups": pa.array([census[k][0] for k in ks], pa.int64()),
+        "n_rows": pa.array([census[k][1] for k in ks], pa.int64())})
+
+
+QUERIES["isotonic_return_rate"] = q_isotonic_return_rate
+QUERIES["leadlag_xcorr"] = q_leadlag_xcorr
+QUERIES["l_diversity"] = q_l_diversity
+
+ORACLE_SQL["isotonic_return_rate"] = """
+WITH lv AS (SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (WHERE l_returnflag = 'R')
+                        AS BIGINT) AS r
+            FROM lineitem GROUP BY 1),
+rk AS (SELECT d, n, r, row_number() OVER (ORDER BY d) AS i,
+              count(*) OVER () AS L
+       FROM lv),
+cum AS (SELECT i, d, n, r,
+               sum(n) OVER (ORDER BY i) AS cn,
+               sum(r) OVER (ORDER BY i) AS cr
+        FROM rk),
+pools AS (SELECT j.i AS j, k.i AS k,
+                 (k.cr - j.cr + j.r) * 1000000
+                 // (k.cn - j.cn + j.n) AS rate
+          FROM cum j JOIN cum k ON k.i >= j.i),
+inner_min AS (SELECT c.i, p.j,
+                     min(p.rate) FILTER (WHERE p.k >= c.i) AS mn
+              FROM cum c JOIN pools p ON p.j <= c.i
+              GROUP BY 1, 2),
+iso AS (SELECT i, max(mn) AS iso_rate FROM inner_min
+        WHERE mn IS NOT NULL GROUP BY 1)
+SELECT c.d AS discount_cents, c.n, c.r AS n_returned,
+       CAST(c.r * 1000000 // c.n AS BIGINT) AS raw_ppm,
+       CAST(iso.iso_rate AS BIGINT) AS iso_ppm
+FROM cum c JOIN iso ON iso.i = c.i ORDER BY discount_cents
+"""
+
+ORACLE_SQL["leadlag_xcorr"] = """
+WITH e AS (SELECT CAST(floor(epoch_us(ts) / 3600000000.0)
+                       AS BIGINT) AS h,
+                  event_type AS et, CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE event_type IN ('view', 'purchase')
+           GROUP BY 1, 2),
+bnd AS (SELECT min(h) AS hmin, max(h) AS hmax,
+               max(h) - min(h) + 1 AS hspan
+        FROM e),
+lags AS (SELECT g.lag FROM generate_series(-12, 12) g(lag)),
+prod AS (SELECT l.lag,
+                coalesce(sum(av.n * bv.n), 0) AS sab
+         FROM lags l
+         LEFT JOIN e av ON av.et = 'view'
+         LEFT JOIN e bv ON bv.et = 'purchase'
+                        AND bv.h = av.h + l.lag
+         GROUP BY 1),
+sums AS (SELECT l.lag,
+                (SELECT coalesce(sum(n), 0) FROM e, bnd
+                 WHERE et = 'view'
+                   AND h >= hmin + greatest(-l.lag, 0)
+                   AND h <= hmax - greatest(l.lag, 0)) AS sa,
+                (SELECT coalesce(sum(n), 0) FROM e, bnd
+                 WHERE et = 'purchase'
+                   AND h >= hmin + greatest(l.lag, 0)
+                   AND h <= hmax - greatest(-l.lag, 0)) AS sb
+         FROM lags l),
+sc AS (SELECT l.lag,
+              CAST(CASE WHEN (SELECT hspan FROM bnd)
+                             - abs(l.lag) <= 0 THEN 0
+                   ELSE ((SELECT hspan FROM bnd) - abs(l.lag))
+                        * p.sab - s.sa * s.sb END AS BIGINT)
+                  AS score,
+              CAST(greatest((SELECT hspan FROM bnd) - abs(l.lag), 0)
+                   AS BIGINT) AS n_overlap_hours
+       FROM lags l JOIN prod p ON p.lag = l.lag
+       JOIN sums s ON s.lag = l.lag),
+best AS (SELECT lag FROM sc
+         ORDER BY score DESC, lag LIMIT 1)
+SELECT lag AS lag_hours, score, n_overlap_hours,
+       CAST(CASE WHEN lag = (SELECT lag FROM best)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_best
+FROM sc ORDER BY lag_hours
+"""
+
+ORACLE_SQL["l_diversity"] = """
+WITH g AS (SELECT o_orderpriority AS pr,
+                  CAST(year(o_orderdate) AS BIGINT) AS y,
+                  CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+                      AS l,
+                  CAST(count(*) AS BIGINT) AS nr
+           FROM orders GROUP BY 1, 2)
+SELECT l AS l_distinct, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(nr) AS BIGINT) AS n_rows
+FROM g GROUP BY 1 ORDER BY l_distinct
+"""

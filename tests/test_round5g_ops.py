@@ -607,3 +607,106 @@ def test_quantile_norm_matches_bruteforce(ray_session, tmp_path):
         nn, sc = exp[k]
         assert (row["n_docs"], row["sum_chars"],
                 row["global_q_chars"]) == (nn, sc, gq[row["decile"]])
+
+
+def test_isotonic_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import \
+        q_isotonic_return_rate
+
+    rng = np.random.RandomState(43)
+    n = 1500
+    disc = rng.randint(0, 8, n) / 100.0
+    # non-monotone raw rates so PAVA must actually pool
+    p_ret = np.where(disc * 100 % 3 == 0, 0.4, 0.1)
+    ret = rng.uniform(0, 1, n) < p_ret
+    pq.write_table(pa.table({
+        "l_discount": pa.array(disc, pa.float64()),
+        "l_returnflag": pa.array(
+            np.where(ret, "R", "N").tolist())}),
+        str(tmp_path / "lineitem.parquet"))
+
+    got = q_isotonic_return_rate(str(tmp_path)).to_pandas()
+
+    lev = sorted({int(round(d * 100)) for d in disc})
+    nn = {d: 0 for d in lev}
+    rr = {d: 0 for d in lev}
+    for d, r in zip(disc, ret):
+        k = int(round(d * 100))
+        nn[k] += 1
+        rr[k] += int(r)
+    L = len(lev)
+
+    def rate(j, k):
+        return sum(rr[lev[x]] for x in range(j, k + 1)) \
+            * 1_000_000 // sum(nn[lev[x]] for x in range(j, k + 1))
+
+    iso = [max(min(rate(j, k) for k in range(i, L))
+               for j in range(i + 1)) for i in range(L)]
+    assert list(got["discount_cents"]) == lev
+    assert list(got["iso_ppm"]) == iso
+    v = got["iso_ppm"].to_numpy()
+    assert (np.diff(v) >= 0).all()
+    assert not (np.diff(got["raw_ppm"].to_numpy()) >= 0).all()
+
+
+def test_leadlag_recovers_planted_lag(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_leadlag_xcorr
+
+    rng = np.random.RandomState(47)
+    rows = []
+    base = 1_600_000_000_000_000
+    for h in range(120):
+        nv = int(rng.poisson(20) + (30 if h % 24 == 9 else 0))
+        npu = int(rng.poisson(5) + (25 if (h - 3) % 24 == 9 else 0))
+        for _ in range(nv):
+            rows.append((base + h * 3_600_000_000, "view"))
+        for _ in range(npu):
+            rows.append((base + h * 3_600_000_000, "purchase"))
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array([r[0] for r in rows], np.int64))
+            .cast(pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows])}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_leadlag_xcorr(str(tmp_path)).to_pandas()
+    assert len(got) == 25
+    assert got["is_best"].sum() == 1
+    best = int(got.loc[got["is_best"] == 1, "lag_hours"].iloc[0])
+    assert best == 3          # purchases trail views by 3 hours
+
+
+def test_l_diversity_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_l_diversity
+
+    rng = np.random.RandomState(53)
+    n = 500
+    pr = rng.choice(["1-URGENT", "2-HIGH", "3-NORMAL"], n)
+    yr = rng.randint(0, 2, n)
+    # diversity varies by priority: urgent groups see 1 status
+    st = np.where(pr == "1-URGENT", "F",
+                  rng.choice(["F", "O", "P"], n))
+    dates = (np.datetime64("2020-06-01") +
+             (yr * 365).astype("timedelta64[D]"))
+    pq.write_table(pa.table({
+        "o_orderpriority": pa.array(pr.tolist()),
+        "o_orderdate": pa.array(dates),
+        "o_orderstatus": pa.array(st.tolist())}),
+        str(tmp_path / "orders.parquet"))
+
+    got = q_l_diversity(str(tmp_path)).to_pandas()
+
+    per = {}
+    for p, y, s in zip(pr, yr, st):
+        per.setdefault((p, 2020 + y), set()).add(s)
+    cnt = {}
+    for p, y, s in zip(pr, yr, st):
+        cnt[(p, 2020 + y)] = cnt.get((p, 2020 + y), 0) + 1
+    census = {}
+    for k, ss in per.items():
+        g, r = census.get(len(ss), (0, 0))
+        census[len(ss)] = (g + 1, r + cnt[k])
+    assert list(got["l_distinct"]) == sorted(census)
+    for _, row in got.iterrows():
+        g, r = census[row["l_distinct"]]
+        assert (row["n_groups"], row["n_rows"]) == (g, r)
+    assert len(got) > 1
