@@ -14002,3 +14002,269 @@ SELECT l AS l_distinct, CAST(count(*) AS BIGINT) AS n_groups,
        CAST(sum(nr) AS BIGINT) AS n_rows
 FROM g GROUP BY 1 ORDER BY l_distinct
 """
+
+
+def q_calendar_gapfill(sf_dir: str):
+    """Calendar-densification census of daily order activity per
+    customer nation: over each nation's [first, last] order-day span,
+    the active-day count, implicit zero-filled day count, the longest
+    zero-day streak and the busiest day's order count — the gap-fill
+    / zero-densification ETL step expressed as a census (the dense
+    series itself never materializes).  (nationkey, n_days_active,
+    n_days_span, n_days_zero, longest_zero_streak, max_daily),
+    nation ASC.
+
+    Scale plan: per-batch (custkey, day) partials → one keyed sum,
+    one shuffle join to the customer dimension, one (nation ×
+    day)-bounded groupby, then a nation-hash partitioned vectorized
+    diff fold — zero days are arithmetic (span − active, max gap −
+    1), never rows."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes, shuffle_join_ds
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "ck": b["o_custkey"],
+            "day": pc.cast(pc.floor(pc.divide(pc.cast(pc.cast(
+                b["o_orderdate"], pa.timestamp("us")), pa.int64()),
+                86_400_000_000.0)), pa.int64()),
+            "n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["ck", "day"], use_threads=False) \
+            .aggregate([("n", "sum")])
+        return pa.table({"ck": g["ck"], "day": g["day"],
+                         "n": g["n_sum"]})
+
+    per_cd = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby(["ck", "day"]).aggregate(Sum("n", alias_name="n"))
+
+    joined = shuffle_join_ds(
+        per_cd, _read(sf_dir, "customer",
+                      ["c_custkey", "c_nationkey"]),
+        on_left="ck", on_right="c_custkey",
+        left_cols=["day", "n"], right_cols=["c_nationkey"])
+
+    def cell(b: pa.Table) -> pa.Table:
+        g = b.group_by(["c_nationkey", "day"],
+                       use_threads=False).aggregate([("n", "sum")])
+        t = pa.table({"nk": g["c_nationkey"], "day": g["day"],
+                      "n": g["n_sum"]})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t["nk"], 16)))
+
+    def fold(t: pa.Table) -> pa.Table:
+        # a (nation, day) cell may straddle blocks → re-sum first
+        g = t.group_by(["nk", "day"], use_threads=False) \
+            .aggregate([("n", "sum")])
+        g = g.sort_by([("nk", "ascending"), ("day", "ascending")])
+        nk = g["nk"].combine_chunks().to_numpy(zero_copy_only=False)
+        dy = g["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        nn = g["n_sum"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        n = len(nk)
+        if n == 0:
+            return pa.table({
+                "nationkey": pa.array([], pa.int64()),
+                "n_days_active": pa.array([], pa.int64()),
+                "n_days_span": pa.array([], pa.int64()),
+                "n_days_zero": pa.array([], pa.int64()),
+                "longest_zero_streak": pa.array([], pa.int64()),
+                "max_daily": pa.array([], pa.int64())})
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = nk[1:] != nk[:-1]
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n) - 1
+        active = ends - starts + 1
+        span = dy[ends] - dy[starts] + 1
+        gaps = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            gaps[1:] = dy[1:] - dy[:-1] - 1
+            gaps[starts] = 0
+        longest = np.maximum.reduceat(gaps, starts)
+        maxd = np.maximum.reduceat(nn, starts)
+        return pa.table({
+            "nationkey": pa.array(nk[starts], pa.int64()),
+            "n_days_active": pa.array(active, pa.int64()),
+            "n_days_span": pa.array(span, pa.int64()),
+            "n_days_zero": pa.array(span - active, pa.int64()),
+            "longest_zero_streak": pa.array(longest, pa.int64()),
+            "max_daily": pa.array(maxd, pa.int64())})
+
+    return joined.map_batches(cell, batch_format="pyarrow") \
+        .groupby("__p").map_groups(fold, batch_format="pyarrow") \
+        .sort("nationkey")
+
+
+def q_robust_scaler_params(sf_dir: str):
+    """Robust-scaler fit over the embedding table: per dimension the
+    exact p05/p50/p95 of the micro-rounded values (order statistic
+    at ``floor((N−1)·q)``) — the clipping/scaling parameters an ML
+    feature pipeline freezes before training.  (dim, p05_micro,
+    p50_micro, p95_micro), dim ASC.
+
+    Scale plan: the explode shuffles (dim, micro) PAIRS partitioned
+    by dim (exactly 64 groups, so callback count is dims-bounded);
+    each partition sorts its own dimension once.  At corpus scales
+    where a dimension's values outgrow a partition, the same
+    interface runs on the KLL sketch lane
+    (:mod:`kgforge.functions.sketches`) — documented trade."""
+    def explode(b: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(e, dtype=np.float64)
+                      for e in b["embedding"].to_pylist()])
+        n, d = m.shape
+        micro = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table({
+            "dim": pa.array(np.tile(np.arange(1, d + 1), n),
+                            pa.int64()),
+            "v": pa.array(micro.reshape(-1), pa.int64())})
+
+    def stats(t: pa.Table) -> pa.Table:
+        dim = t["dim"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = []
+        for d in np.unique(dim):
+            vv = np.sort(v[dim == d])
+            N = len(vv)
+            out.append((int(d),
+                        int(vv[(N - 1) * 5 // 100]),
+                        int(vv[(N - 1) * 50 // 100]),
+                        int(vv[(N - 1) * 95 // 100])))
+        return pa.table({
+            "dim": pa.array([o[0] for o in out], pa.int64()),
+            "p05_micro": pa.array([o[1] for o in out], pa.int64()),
+            "p50_micro": pa.array([o[2] for o in out], pa.int64()),
+            "p95_micro": pa.array([o[3] for o in out], pa.int64())})
+
+    return _read(sf_dir, "embeddings", ["embedding"]) \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby("dim").map_groups(stats, batch_format="pyarrow") \
+        .sort("dim")
+
+
+def q_substitute_ladder(sf_dir: str):
+    """Price-ladder substitution map: for every part, the next
+    CHEAPER part of the same brand (price ties broken by part key)
+    and the substitute's price ratio in ppm — the assortative
+    "trade-down" lookup merchandising runs after any price change.
+    (p_partkey, sub_partkey, price_cents, sub_price_cents,
+    ratio_ppm), part ASC; brand-cheapest parts have no row.
+
+    Scale plan: ONE brand-hash exchange; inside a partition the
+    ladder is a vectorized shift over the (brand, price, key) sort —
+    no pairs, no self-join."""
+    from kgforge.functions.joins import _part_codes
+
+    P = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "brand": b["p_brand"], "pk": b["p_partkey"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                pc.cast(b["p_retailprice"], pa.float64()), 100.0)),
+                pa.int64())})
+        return t.append_column(
+            "__p", pa.array(_part_codes(t["brand"], P)))
+
+    def ladder(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("brand", "ascending"), ("cents", "ascending"),
+            ("pk", "ascending")])
+        t = t.take(idx)
+        br = t["brand"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        pk = t["pk"].combine_chunks().to_numpy(zero_copy_only=False)
+        ct = t["cents"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        n = len(br)
+        if n < 2:
+            return pa.table({
+                "p_partkey": pa.array([], pa.int64()),
+                "sub_partkey": pa.array([], pa.int64()),
+                "price_cents": pa.array([], pa.int64()),
+                "sub_price_cents": pa.array([], pa.int64()),
+                "ratio_ppm": pa.array([], pa.int64())})
+        ok = np.zeros(n, dtype=bool)
+        ok[1:] = br[1:] == br[:-1]
+        keep = np.flatnonzero(ok)
+        sub = keep - 1
+        return pa.table({
+            "p_partkey": pa.array(pk[keep], pa.int64()),
+            "sub_partkey": pa.array(pk[sub], pa.int64()),
+            "price_cents": pa.array(ct[keep], pa.int64()),
+            "sub_price_cents": pa.array(ct[sub], pa.int64()),
+            "ratio_ppm": pa.array(
+                ct[sub] * 1_000_000 // np.maximum(ct[keep], 1),
+                pa.int64())})
+
+    return _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_retailprice"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(ladder, batch_format="pyarrow") \
+        .sort("p_partkey")
+
+
+QUERIES["calendar_gapfill"] = q_calendar_gapfill
+QUERIES["robust_scaler_params"] = q_robust_scaler_params
+QUERIES["substitute_ladder"] = q_substitute_ladder
+
+ORACLE_SQL["calendar_gapfill"] = """
+WITH nd AS (SELECT c_nationkey AS nk,
+                   CAST(floor(epoch_us(CAST(o_orderdate AS
+                        TIMESTAMP)) / 86400000000.0) AS BIGINT)
+                       AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY 1, 2),
+w AS (SELECT nk, day, n,
+             lag(day) OVER (PARTITION BY nk ORDER BY day) AS pd
+      FROM nd)
+SELECT CAST(nk AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_days_active,
+       CAST(max(day) - min(day) + 1 AS BIGINT) AS n_days_span,
+       CAST(max(day) - min(day) + 1 - count(*) AS BIGINT)
+           AS n_days_zero,
+       CAST(coalesce(max(day - pd - 1), 0) AS BIGINT)
+           AS longest_zero_streak,
+       CAST(max(n) AS BIGINT) AS max_daily
+FROM w GROUP BY 1 ORDER BY nationkey
+"""
+
+ORACLE_SQL["robust_scaler_params"] = """
+WITH x AS (SELECT g.i AS dim,
+                  CAST(floor(CAST(embedding[g.i] AS DOUBLE)
+                             * 1000000 + 0.5) AS BIGINT) AS v
+           FROM embeddings, generate_series(1, 64) g(i)),
+r AS (SELECT dim, v,
+             row_number() OVER (PARTITION BY dim ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY dim) AS n
+      FROM x)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(max(CASE WHEN rn = 1 + (n - 1) * 5 // 100 THEN v END)
+            AS BIGINT) AS p05_micro,
+       CAST(max(CASE WHEN rn = 1 + (n - 1) * 50 // 100 THEN v END)
+            AS BIGINT) AS p50_micro,
+       CAST(max(CASE WHEN rn = 1 + (n - 1) * 95 // 100 THEN v END)
+            AS BIGINT) AS p95_micro
+FROM r GROUP BY dim ORDER BY dim
+"""
+
+ORACLE_SQL["substitute_ladder"] = """
+WITH p AS (SELECT p_partkey AS pk, p_brand AS brand,
+                  CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                      AS cents
+           FROM part),
+w AS (SELECT pk, brand, cents,
+             lag(pk) OVER (PARTITION BY brand
+                           ORDER BY cents, pk) AS spk,
+             lag(cents) OVER (PARTITION BY brand
+                              ORDER BY cents, pk) AS sc
+      FROM p)
+SELECT CAST(pk AS BIGINT) AS p_partkey,
+       CAST(spk AS BIGINT) AS sub_partkey,
+       cents AS price_cents, CAST(sc AS BIGINT) AS sub_price_cents,
+       CAST(sc * 1000000 // greatest(cents, 1) AS BIGINT)
+           AS ratio_ppm
+FROM w WHERE spk IS NOT NULL ORDER BY p_partkey
+"""

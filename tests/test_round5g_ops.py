@@ -710,3 +710,102 @@ def test_l_diversity_matches_bruteforce(ray_session, tmp_path):
         g, r = census[row["l_distinct"]]
         assert (row["n_groups"], row["n_rows"]) == (g, r)
     assert len(got) > 1
+
+
+def test_calendar_gapfill_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_calendar_gapfill
+
+    rng = np.random.RandomState(59)
+    n_cust = 20
+    nat = rng.randint(0, 4, n_cust)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_nationkey": pa.array(nat.astype(np.int64))}),
+        str(tmp_path / "customer.parquet"))
+    ck = rng.randint(0, n_cust, 300)
+    day = rng.choice(np.sort(rng.choice(400, 60, replace=False)),
+                     300)
+    dates = (np.datetime64("2019-01-01") +
+             day.astype("timedelta64[D]"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(ck.astype(np.int64)),
+        "o_orderdate": pa.array(dates)}),
+        str(tmp_path / "orders.parquet"))
+
+    got = q_calendar_gapfill(str(tmp_path)).to_pandas()
+
+    from collections import Counter
+    per = {}
+    for c, d in zip(ck, day):
+        per.setdefault(int(nat[c]), Counter())[int(d)] += 1
+    assert list(got["nationkey"]) == sorted(per)
+    for _, row in got.iterrows():
+        cnt = per[row["nationkey"]]
+        days = sorted(cnt)
+        span = days[-1] - days[0] + 1
+        gaps = max((b - a - 1 for a, b in zip(days, days[1:])),
+                   default=0)
+        assert (row["n_days_active"], row["n_days_span"],
+                row["n_days_zero"], row["longest_zero_streak"],
+                row["max_daily"]) == \
+            (len(days), span, span - len(days), gaps,
+             max(cnt.values()))
+
+
+def test_robust_scaler_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import \
+        q_robust_scaler_params
+
+    rng = np.random.RandomState(61)
+    n, d = 200, 64
+    vecs = rng.normal(0, 2, (n, d)).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    got = q_robust_scaler_params(str(tmp_path)).to_pandas()
+    assert list(got["dim"]) == list(range(1, 65))
+    micro = np.floor(vecs.astype(np.float64) * 1_000_000
+                     + 0.5).astype(np.int64)
+    for _, row in got.iterrows():
+        vv = np.sort(micro[:, row["dim"] - 1])
+        assert row["p05_micro"] == vv[(n - 1) * 5 // 100]
+        assert row["p50_micro"] == vv[(n - 1) * 50 // 100]
+        assert row["p95_micro"] == vv[(n - 1) * 95 // 100]
+
+
+def test_substitute_ladder_matches_bruteforce(ray_session,
+                                              tmp_path):
+    from kgforge.pipelines.driver_queries import q_substitute_ladder
+
+    rng = np.random.RandomState(67)
+    n = 120
+    brand = rng.choice(["B1", "B2", "B3"], n)
+    price = np.round(rng.uniform(1, 100, n), 2)
+    price[5] = price[9]          # tie inside a brand
+    brand[9] = brand[5]
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(n), pa.int64()),
+        "p_brand": pa.array(brand.tolist()),
+        "p_retailprice": pa.array(price, pa.float64())}),
+        str(tmp_path / "part.parquet"))
+
+    got = q_substitute_ladder(str(tmp_path)).to_pandas()
+
+    exp = {}
+    for b in set(brand.tolist()):
+        m = np.flatnonzero(brand == b)
+        cents = np.round(price[m] * 100).astype(np.int64)
+        order = m[np.lexsort((m, cents[np.argsort(m).argsort()]))]
+        ladder = sorted(zip(np.round(price[m] * 100)
+                            .astype(np.int64), m))
+        for (c1, k1), (c0, k0) in zip(ladder[1:], ladder[:-1]):
+            exp[k1] = (k0, c1, c0, c0 * 1_000_000 // max(c1, 1))
+    assert list(got["p_partkey"]) == sorted(exp)
+    for _, row in got.iterrows():
+        k0, c1, c0, rt = exp[row["p_partkey"]]
+        assert (row["sub_partkey"], row["price_cents"],
+                row["sub_price_cents"], row["ratio_ppm"]) == \
+            (k0, c1, c0, rt)
