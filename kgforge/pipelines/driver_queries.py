@@ -14268,3 +14268,342 @@ SELECT CAST(pk AS BIGINT) AS p_partkey,
            AS ratio_ppm
 FROM w WHERE spk IS NOT NULL ORDER BY p_partkey
 """
+
+
+def q_cross_entropy_matrix(sf_dir: str):
+    """Cross-source domain-shift matrix: add-1-smoothed word-bigram
+    cross-entropy of every source's text under every OTHER source's
+    bigram LM, on the shared ``L(x)=round(ln x·10⁶)`` grid:
+    ``xent(model s, eval t) = L(N_s + V) − Σ_b c_t(b)·L(c_s(b)+1)
+    // N_t`` (V = global distinct-bigram vocabulary; only bigrams
+    seen in BOTH sources contribute to the sum, exactly as the
+    algebra implies).  (model_source, eval_source, n_bigrams,
+    xent_micro), model/eval ASC — the "which corpus transfers to
+    which" table.
+
+    Scale plan: per-source bigram counts ride one (source, bigram)
+    groupby; the S×S fold is a bigram-hash partitioned run-pair
+    exchange (k² per bigram run, k ≤ |sources|) so no count table
+    is ever broadcast or collected; V and N_s are bounded
+    partials."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    P = 64
+
+    def bigrams(b: pa.Table) -> pa.Table:
+        src_out, w1_out, w2_out = [], [], []
+        for s, txt in zip(b["source"].to_pylist(),
+                          b["text"].to_pylist()):
+            ws = (txt or "").split()
+            if len(ws) >= 2:
+                src_out.extend([s] * (len(ws) - 1))
+                w1_out.extend(ws[:-1])
+                w2_out.extend(ws[1:])
+        t = pa.table({"source": pa.array(src_out, pa.string()),
+                      "w1": pa.array(w1_out, pa.string()),
+                      "w2": pa.array(w2_out, pa.string()),
+                      "c": pa.array(
+                          np.ones(len(src_out), np.int64))})
+        g = t.group_by(["source", "w1", "w2"],
+                       use_threads=False).aggregate([("c", "sum")])
+        return pa.table({"source": g["source"], "w1": g["w1"],
+                         "w2": g["w2"], "c": g["c_sum"]})
+
+    counts = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(bigrams, batch_format="pyarrow") \
+        .groupby(["source", "w1", "w2"]) \
+        .aggregate(Sum("c", alias_name="c")).materialize()
+
+    def tag(b: pa.Table) -> pa.Table:
+        code = pc.binary_join_element_wise(b["w1"], b["w2"], "\x1f")
+        return b.append_column("__p",
+                               pa.array(_part_codes(code, P)))
+
+    def xent_partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"ms": pa.array([], pa.string()),
+                          "es": pa.array([], pa.string()),
+                          "acc": pa.array([], pa.int64()),
+                          "nbg": pa.array([], pa.int64())})
+        idx = pc.sort_indices(t, sort_keys=[
+            ("w1", "ascending"), ("w2", "ascending"),
+            ("source", "ascending")])
+        t = t.take(idx)
+        n = t.num_rows
+        if n == 0:
+            return empty
+        w1 = t["w1"].combine_chunks().to_numpy(zero_copy_only=False)
+        w2 = t["w2"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (w1[1:] != w1[:-1]) | (w2[1:] != w2[:-1])
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, n))
+        m = lens * lens
+        tot = int(m.sum())
+        kofs = np.repeat(np.arange(len(m)), m)
+        j = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(m)[:-1]]), m)
+        j1 = starts[kofs] + j // lens[kofs]    # model row
+        j2 = starts[kofs] + j % lens[kofs]     # eval row
+        lc = np.floor(np.log(c.astype(np.float64) + 1.0)
+                      * 1_000_000 + 0.5).astype(np.int64)
+        part = pa.table({
+            "ms": t["source"].take(pa.array(j1)),
+            "es": t["source"].take(pa.array(j2)),
+            "acc": pa.array(c[j2] * lc[j1], pa.int64()),
+            "nbg": pa.array(np.zeros(tot, np.int64))})
+        g = part.group_by(["ms", "es"], use_threads=False) \
+            .aggregate([("acc", "sum")])
+        out = pa.table({"ms": g["ms"], "es": g["es"],
+                        "acc": g["acc_sum"],
+                        "nbg": pa.array(
+                            np.zeros(len(g), np.int64))})
+        # one V-partial row per partition (distinct bigram runs)
+        vrow = pa.table({"ms": pa.array(["\x00V"], pa.string()),
+                         "es": pa.array(["\x00V"], pa.string()),
+                         "acc": pa.array([0], pa.int64()),
+                         "nbg": pa.array([len(starts)], pa.int64())})
+        return pa.concat_tables([out, vrow])
+
+    folded = counts.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(xent_partials,
+                                   batch_format="pyarrow") \
+        .groupby(["ms", "es"]).aggregate(
+            Sum("acc", alias_name="acc"),
+            Sum("nbg", alias_name="nbg")).to_pandas()
+
+    def nsum(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source"], use_threads=False) \
+            .aggregate([("c", "sum")])
+        return pa.table({"source": g["source"], "n": g["c_sum"]})
+
+    ns = counts.map_batches(nsum, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    n_of = dict(zip(ns["source"], ns["n"].astype(int)))
+    V = int(folded.loc[folded["ms"] == "\x00V", "nbg"].sum())
+    acc_of = {(r["ms"], r["es"]): int(r["acc"])
+              for _, r in folded.iterrows() if r["ms"] != "\x00V"}
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    srcs = sorted(n_of)
+    rows = [(s, t2, n_of[t2],
+             L(n_of[s] + V) - acc_of.get((s, t2), 0) // n_of[t2])
+            for s in srcs for t2 in srcs]
+    return pa.table({
+        "model_source": pa.array([r[0] for r in rows], pa.string()),
+        "eval_source": pa.array([r[1] for r in rows], pa.string()),
+        "n_bigrams": pa.array([r[2] for r in rows], pa.int64()),
+        "xent_micro": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def q_conformal_coverage(sf_dir: str):
+    """Split-conformal interval check for the seasonal-naive monthly
+    revenue forecast per nation: residuals |rev(m) − rev(m−12)| on
+    the FIRST half of forecastable months calibrate ``qhat`` (exact
+    p90 order statistic), the second half measures empirical
+    coverage of ``±qhat`` — did the 90% interval hold out of
+    sample?  (n_name, n_cal, n_test, qhat_cents, coverage_ppm),
+    name ASC; nations without a test month are dropped.
+
+    Scale plan: rides the shared ``_nation_month_cells`` cogroup;
+    the split + order statistic fold on nations × months bounded
+    cells."""
+    cells = _nation_month_cells(sf_dir)
+    name_of = _nation_name_lut(sf_dir)
+
+    out = {}
+    for nk, grp in cells.groupby("nk"):
+        rev = {int(r.ym): int(r.cents) for r in grp.itertuples()}
+        res = [(ym, abs(c - rev[ym - 100]))
+               for ym, c in sorted(rev.items()) if ym - 100 in rev]
+        n = len(res)
+        n_cal = (n + 1) // 2
+        n_test = n - n_cal
+        if n_test == 0:
+            continue
+        cal = sorted(r for _, r in res[:n_cal])
+        qhat = cal[(n_cal - 1) * 90 // 100]
+        cov = sum(r <= qhat for _, r in res[n_cal:])
+        out[name_of[int(nk)]] = (
+            n_cal, n_test, qhat, cov * 1_000_000 // n_test)
+    names = sorted(out)
+    return pa.table({
+        "n_name": pa.array(names, pa.string()),
+        "n_cal": pa.array([out[n][0] for n in names], pa.int64()),
+        "n_test": pa.array([out[n][1] for n in names], pa.int64()),
+        "qhat_cents": pa.array([out[n][2] for n in names],
+                               pa.int64()),
+        "coverage_ppm": pa.array([out[n][3] for n in names],
+                                 pa.int64())})
+
+
+def q_next_event_ndcg(sf_dir: str):
+    """Ranking-metric evaluation of the next-event predictor: train
+    per-state top-3 next-type rankings on EVEN user ids (count DESC,
+    type ASC), score hit@1 and NDCG@3 on ODD users' transitions with
+    the fixed integer gain table ``g(r) = 10¹² // round(log2(r+1)
+    ·10⁶)`` (g(1)=10⁶ ⇒ NDCG is already ppm-normalized).
+    (prev_type, n_eval, n_hit1, ndcg_ppm), type ASC.
+
+    Scale plan: two type²-bounded transition exchanges (one per
+    split) via the event_transitions partition plan; the rank join
+    and metric fold run on the driver matrix."""
+    import math
+
+    from kgforge.functions.events import event_transitions_ds
+
+    def half(par: int):
+        def flt(b: pa.Table) -> pa.Table:
+            m = pc.equal(pc.bit_wise_and(
+                pc.cast(b["user_id"], pa.int64()),
+                pa.scalar(1, pa.int64())), pa.scalar(par, pa.int64()))
+            return b.filter(m)
+
+        return _read(sf_dir, "events",
+                     ["user_id", "ts", "event_id", "event_type"]) \
+            .map_batches(flt, batch_format="pyarrow")
+
+    train = event_transitions_ds(half(0)).to_pandas()
+    ev = event_transitions_ds(half(1)).to_pandas()
+
+    rank_of: dict = {}
+    for prev, grp in train.groupby("prev_type"):
+        ordered = sorted(zip(-grp["n"].astype(int),
+                             grp["next_type"]))
+        for r, (_, nxt) in enumerate(ordered[:3], start=1):
+            rank_of[(prev, nxt)] = r
+
+    g = {1: 10**12 // round(math.log2(2) * 1_000_000),
+         2: 10**12 // round(math.log2(3) * 1_000_000),
+         3: 10**12 // round(math.log2(4) * 1_000_000)}
+    census: dict = {}
+    for _, row in ev.iterrows():
+        prev, nxt, n = row["prev_type"], row["next_type"], \
+            int(row["n"])
+        r = rank_of.get((prev, nxt))
+        ne, h1, gain = census.get(prev, (0, 0, 0))
+        census[prev] = (ne + n, h1 + (n if r == 1 else 0),
+                        gain + (n * g[r] if r else 0))
+    ks = sorted(census)
+    return pa.table({
+        "prev_type": pa.array(ks, pa.string()),
+        "n_eval": pa.array([census[k][0] for k in ks], pa.int64()),
+        "n_hit1": pa.array([census[k][1] for k in ks], pa.int64()),
+        "ndcg_ppm": pa.array(
+            [census[k][2] // census[k][0] for k in ks], pa.int64())})
+
+
+QUERIES["cross_entropy_matrix"] = q_cross_entropy_matrix
+QUERIES["conformal_coverage"] = q_conformal_coverage
+QUERIES["next_event_ndcg"] = q_next_event_ndcg
+
+ORACLE_SQL["cross_entropy_matrix"] = r"""
+WITH t0 AS (SELECT source, regexp_extract_all(coalesce(text, ''),
+                                              '\S+') AS tl
+            FROM documents),
+bg AS (SELECT source, unnest(tl[1:len(tl) - 1]) AS w1,
+              unnest(tl[2:len(tl)]) AS w2
+       FROM t0 WHERE len(tl) >= 2),
+j AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM bg GROUP BY 1, 2, 3),
+ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM j
+       GROUP BY 1),
+vv AS (SELECT CAST(count(*) AS BIGINT) AS nv
+       FROM (SELECT DISTINCT w1, w2 FROM j)),
+acc AS (SELECT s.source AS ms, t.source AS es,
+               CAST(sum(t.c * CAST(floor(ln(s.c + 1) * 1000000
+                                          + 0.5) AS BIGINT))
+                    AS BIGINT) AS a
+        FROM j t JOIN j s ON s.w1 = t.w1 AND s.w2 = t.w2
+        GROUP BY 1, 2)
+SELECT a2.source AS model_source, b2.source AS eval_source,
+       b2.n AS n_bigrams,
+       CAST(CAST(floor(ln(a2.n + (SELECT nv FROM vv)) * 1000000
+                       + 0.5) AS BIGINT)
+            - coalesce(acc.a, 0) // b2.n AS BIGINT) AS xent_micro
+FROM ns a2 CROSS JOIN ns b2
+LEFT JOIN acc ON acc.ms = a2.source AND acc.es = b2.source
+ORDER BY model_source, eval_source
+"""
+
+ORACLE_SQL["conformal_coverage"] = """
+WITH r AS (SELECT c_nationkey AS nk,
+                  CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                       AS BIGINT) AS ym,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+res AS (SELECT cur.nk, cur.ym,
+               CAST(abs(cur.cents - s.cents) AS BIGINT) AS e
+        FROM r cur JOIN r s ON s.nk = cur.nk
+                           AND s.ym = cur.ym - 100),
+w AS (SELECT nk, ym, e,
+             row_number() OVER (PARTITION BY nk ORDER BY ym) AS rn,
+             count(*) OVER (PARTITION BY nk) AS n
+      FROM res),
+split_ AS (SELECT nk, ym, e, rn, n, (n + 1) // 2 AS n_cal
+           FROM w),
+calr AS (SELECT nk, e,
+                row_number() OVER (PARTITION BY nk ORDER BY e)
+                    AS er,
+                count(*) OVER (PARTITION BY nk) AS nc
+         FROM split_ WHERE rn <= n_cal),
+q AS (SELECT nk, max(CASE WHEN er = 1 + (nc - 1) * 90 // 100
+                          THEN e END) AS qhat,
+             max(nc) AS n_cal
+      FROM calr GROUP BY nk),
+tst AS (SELECT s.nk,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(count(*) FILTER (WHERE s.e <= q.qhat)
+                    AS BIGINT) AS cov
+        FROM split_ s JOIN q ON q.nk = s.nk
+        WHERE s.rn > s.n_cal GROUP BY 1)
+SELECT n_name, CAST(q.n_cal AS BIGINT) AS n_cal, t.n_test,
+       CAST(q.qhat AS BIGINT) AS qhat_cents,
+       CAST(t.cov * 1000000 // t.n_test AS BIGINT) AS coverage_ppm
+FROM tst t JOIN q ON q.nk = t.nk
+JOIN nation ON n_nationkey = t.nk
+ORDER BY n_name
+"""
+
+ORACLE_SQL["next_event_ndcg"] = """
+WITH s AS (SELECT user_id, event_type AS prev,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                      AS nxt
+           FROM events),
+tr AS (SELECT prev, nxt, CAST(count(*) AS BIGINT) AS n
+       FROM s WHERE nxt IS NOT NULL AND user_id % 2 = 0
+       GROUP BY 1, 2),
+rk AS (SELECT prev, nxt,
+              row_number() OVER (PARTITION BY prev
+                                 ORDER BY n DESC, nxt) AS r
+       FROM tr),
+ev AS (SELECT prev, nxt, CAST(count(*) AS BIGINT) AS n
+       FROM s WHERE nxt IS NOT NULL AND user_id % 2 = 1
+       GROUP BY 1, 2),
+sc AS (SELECT ev.prev, ev.n,
+              CASE WHEN rk.r = 1 THEN ev.n ELSE 0 END AS h1,
+              CASE WHEN rk.r = 1
+                       THEN ev.n * (1000000000000 // 1000000)
+                   WHEN rk.r = 2
+                       THEN ev.n * (1000000000000 // 1584963)
+                   WHEN rk.r = 3
+                       THEN ev.n * (1000000000000 // 2000000)
+                   ELSE 0 END AS gain
+       FROM ev LEFT JOIN rk ON rk.prev = ev.prev
+                           AND rk.nxt = ev.nxt AND rk.r <= 3)
+SELECT prev AS prev_type, CAST(sum(n) AS BIGINT) AS n_eval,
+       CAST(sum(h1) AS BIGINT) AS n_hit1,
+       CAST(sum(gain) // sum(n) AS BIGINT) AS ndcg_ppm
+FROM sc GROUP BY 1 ORDER BY prev_type
+"""

@@ -809,3 +809,161 @@ def test_substitute_ladder_matches_bruteforce(ray_session,
         assert (row["sub_partkey"], row["price_cents"],
                 row["sub_price_cents"], row["ratio_ppm"]) == \
             (k0, c1, c0, rt)
+
+
+def test_cross_entropy_matrix_matches_bruteforce(ray_session,
+                                                 tmp_path):
+    import math
+
+    from kgforge.pipelines.driver_queries import \
+        q_cross_entropy_matrix
+
+    rng = np.random.RandomState(71)
+    vocab_a = ["apple", "banana", "cherry", "date"]
+    vocab_b = ["alpha", "beta", "gamma", "banana"]
+    texts, srcs = [], []
+    for i in range(30):
+        v = vocab_a if i % 2 == 0 else vocab_b
+        texts.append(" ".join(rng.choice(v, rng.randint(3, 12))))
+        srcs.append("sa" if i % 2 == 0 else "sb")
+    pq.write_table(pa.table({
+        "source": pa.array(srcs), "text": pa.array(texts)}),
+        str(tmp_path / "documents.parquet"))
+
+    got = q_cross_entropy_matrix(str(tmp_path)).to_pandas()
+
+    from collections import Counter
+    cnt = {s: Counter() for s in ("sa", "sb")}
+    for s, t in zip(srcs, texts):
+        ws = t.split()
+        for a, b in zip(ws[:-1], ws[1:]):
+            cnt[s][(a, b)] += 1
+    V = len(set().union(*[set(c) for c in cnt.values()]))
+    N = {s: sum(c.values()) for s, c in cnt.items()}
+
+    def L(v):
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    assert len(got) == 4
+    for _, row in got.iterrows():
+        ms, es = row["model_source"], row["eval_source"]
+        acc = sum(ct * L(cnt[ms][bg] + 1)
+                  for bg, ct in cnt[es].items())
+        assert row["n_bigrams"] == N[es]
+        assert row["xent_micro"] == L(N[ms] + V) - acc // N[es]
+    # transfer must cost more than self-entropy
+    m = got.set_index(["model_source", "eval_source"])["xent_micro"]
+    assert m[("sa", "sb")] > m[("sb", "sb")]
+    assert m[("sb", "sa")] > m[("sa", "sa")]
+
+
+def test_conformal_coverage_matches_bruteforce(ray_session,
+                                               tmp_path):
+    from kgforge.pipelines.driver_queries import \
+        q_conformal_coverage
+
+    rng = np.random.RandomState(73)
+    rows = []
+    for nk in range(3):
+        for ym_i in range(40):          # > 12 months → forecastable
+            y, m = 2018 + ym_i // 12, ym_i % 12 + 1
+            for _ in range(rng.randint(1, 4)):
+                rows.append((nk * 7, np.datetime64(
+                    f"{y}-{m:02d}-15"),
+                    float(np.round(rng.uniform(50, 900), 2))))
+    cust = pa.table({
+        "c_custkey": pa.array([0, 7, 14], pa.int64()),
+        "c_nationkey": pa.array([0, 1, 2], pa.int64())})
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+        "n_name": pa.array(["ALGERIA", "BRAZIL", "CANADA"])}),
+        str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array(np.array([r[1] for r in rows],
+                                         dtype="datetime64[us]")),
+        "o_totalprice": pa.array([r[2] for r in rows],
+                                 pa.float64())}),
+        str(tmp_path / "orders.parquet"))
+
+    got = q_conformal_coverage(str(tmp_path)).to_pandas()
+
+    import collections
+    rev = collections.defaultdict(int)
+    for ck, d, p in rows:
+        ym = int(str(d)[:4]) * 100 + int(str(d)[5:7])
+        rev[(ck // 7, ym)] += int(round(p * 100))
+    names = {0: "ALGERIA", 1: "BRAZIL", 2: "CANADA"}
+    exp = {}
+    for nk in range(3):
+        series = {ym: c for (k, ym), c in rev.items() if k == nk}
+        res = [(ym, abs(c - series[ym - 100]))
+               for ym, c in sorted(series.items())
+               if ym - 100 in series]
+        n = len(res)
+        n_cal = (n + 1) // 2
+        n_test = n - n_cal
+        cal = sorted(r for _, r in res[:n_cal])
+        qhat = cal[(n_cal - 1) * 90 // 100]
+        cov = sum(r <= qhat for _, r in res[n_cal:])
+        exp[names[nk]] = (n_cal, n_test, qhat,
+                          cov * 1_000_000 // n_test)
+    assert list(got["n_name"]) == sorted(exp)
+    for _, row in got.iterrows():
+        assert (row["n_cal"], row["n_test"], row["qhat_cents"],
+                row["coverage_ppm"]) == exp[row["n_name"]]
+
+
+def test_next_event_ndcg_matches_bruteforce(ray_session, tmp_path):
+    import math
+
+    from kgforge.pipelines.driver_queries import q_next_event_ndcg
+
+    rng = np.random.RandomState(79)
+    rows = []
+    eid = 0
+    for u in range(30):
+        for _ in range(20):
+            rows.append((u, eid * 1_000_000, eid, str(rng.choice(
+                ["view", "click", "cart", "purchase"],
+                p=[0.5, 0.3, 0.1, 0.1]))))
+            eid += 1
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64))
+            .cast(pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows])}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_next_event_ndcg(str(tmp_path)).to_pandas()
+
+    from collections import Counter
+    tr, ev = Counter(), Counter()
+    by_u = {}
+    for u, t, e, et in rows:
+        by_u.setdefault(u, []).append((t, e, et))
+    for u, seq in by_u.items():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq[:-1], seq[1:]):
+            (tr if u % 2 == 0 else ev)[(a, b)] += 1
+    rank = {}
+    for prev in {a for a, _ in tr}:
+        ordered = sorted(((-n, b) for (a, b), n in tr.items()
+                          if a == prev))
+        for r, (_, b) in enumerate(ordered[:3], 1):
+            rank[(prev, b)] = r
+    g = {r: 10**12 // round(math.log2(r + 1) * 1_000_000)
+         for r in (1, 2, 3)}
+    exp = {}
+    for (a, b), n in ev.items():
+        r = rank.get((a, b))
+        ne, h1, gain = exp.get(a, (0, 0, 0))
+        exp[a] = (ne + n, h1 + (n if r == 1 else 0),
+                  gain + (n * g[r] if r else 0))
+    assert list(got["prev_type"]) == sorted(exp)
+    for _, row in got.iterrows():
+        ne, h1, gain = exp[row["prev_type"]]
+        assert (row["n_eval"], row["n_hit1"],
+                row["ndcg_ppm"]) == (ne, h1, gain // ne)
