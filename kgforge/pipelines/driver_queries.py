@@ -14607,3 +14607,256 @@ SELECT prev AS prev_type, CAST(sum(n) AS BIGINT) AS n_eval,
        CAST(sum(gain) // sum(n) AS BIGINT) AS ndcg_ppm
 FROM sc GROUP BY 1 ORDER BY prev_type
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 session H: rank / contingency test statistics on exact grids
+# ---------------------------------------------------------------------------
+
+def q_kruskal_wallis(sf_dir: str):
+    """Kruskal–Wallis H census of quantity across return flags — the
+    nonparametric ANOVA next to ``anova_month``'s eta²: one row per
+    group with its exact doubled rank sum (ties → average ranks, so
+    2·rank is always an integer), the per-group H term on the micro
+    grid (``term = 3·10⁶·S_g² // (n_g·N·(N+1))`` with S_g = 2·R_g —
+    all-positive integer division both engines truncate identically),
+    the shared ``h_micro = Σterm − 3(N+1)·10⁶`` and the exact tie-
+    correction numerator ``Σ(t³−t)``.
+
+    Scale plan: quantity is a bounded integer domain (1..50), so
+    per-batch (flag, qty) combiner partials collapse into one
+    flags×50-bounded groupby; ranks, H and ties fold on the driver
+    over ≤150 cells — the lineitem stream never shuffles."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.rint(b["l_quantity"].combine_chunks()
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.table({"f": b["l_returnflag"], "v": pa.array(v),
+                      "one": pa.array(np.ones(len(v), np.int64))})
+        g = t.group_by(["f", "v"], use_threads=False).aggregate(
+            [("one", "sum")])
+        return pa.table({"f": g["f"], "v": g["v"], "n": g["one_sum"]})
+
+    cells = _read(sf_dir, "lineitem",
+                  ["l_returnflag", "l_quantity"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["f", "v"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+
+    tv = cells.groupby("v")["n"].sum().sort_index()
+    cum_before, acc = {}, 0
+    for v, t in tv.items():
+        cum_before[int(v)] = acc
+        acc += int(t)
+    n_tot = acc
+    r2_of = {int(v): 2 * cum_before[int(v)] + int(t) + 1
+             for v, t in tv.items()}
+    groups: dict = {}
+    for _, r in cells.iterrows():
+        n = int(r["n"])
+        ng, s2 = groups.get(r["f"], (0, 0))
+        groups[r["f"]] = (ng + n, s2 + n * r2_of[int(r["v"])])
+    terms = {f: (3_000_000 * s2 * s2) // (ng * n_tot * (n_tot + 1))
+             for f, (ng, s2) in groups.items()}
+    h_micro = sum(terms.values()) - 3 * (n_tot + 1) * 1_000_000
+    tie_sum = sum(int(t) ** 3 - int(t) for t in tv)
+    fs = sorted(groups)
+    return pa.table({
+        "l_returnflag": pa.array(fs, pa.string()),
+        "n_group": pa.array([groups[f][0] for f in fs], pa.int64()),
+        "rank_sum_x2": pa.array([groups[f][1] for f in fs],
+                                pa.int64()),
+        "term_micro": pa.array([terms[f] for f in fs], pa.int64()),
+        "h_micro": pa.array([h_micro] * len(fs), pa.int64()),
+        "tie_sum": pa.array([tie_sum] * len(fs), pa.int64())})
+
+
+def q_cramers_v(sf_dir: str):
+    """Exact-integer squared Cramér's V between event type and
+    hour-of-day — the normalized effect size next to
+    ``type_hour_chi2``'s per-cell census: one row carrying
+    ``chi2_micro = Σ 10⁶·(O·N − r·c)² // (r·c·N)`` (per-cell
+    all-positive integer division, identical truncation in both
+    engines — no float E, no cross-cell float summation) and
+    ``v2_micro = chi2_micro // (N·(min(R,C)−1))``; the sqrt stays off
+    the contract so the value is exact.
+
+    Scale plan: same types×24-bounded combiner partials as the chi2
+    census; the integer fold runs on the driver over ≤ R·C cells."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.hour(b["ts"].combine_chunks())
+        t = pa.table({"et": b["event_type"], "h": hour,
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["et", "h"], use_threads=False).aggregate(
+            [("one", "sum")])
+        return pa.table({"et": g["et"],
+                         "h": pc.cast(g["h"], pa.int64()),
+                         "n": g["one_sum"]})
+
+    cells = _read(sf_dir, "events", ["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["et", "h"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    n_tot = int(cells["n"].sum())
+    row = cells.groupby("et")["n"].sum().to_dict()
+    col = cells.groupby("h")["n"].sum().to_dict()
+    chi2 = 0
+    for _, r in cells.iterrows():
+        o, rm, cm = int(r["n"]), int(row[r["et"]]), int(col[r["h"]])
+        chi2 += (1_000_000 * (o * n_tot - rm * cm) ** 2) \
+            // (rm * cm * n_tot)
+    k = min(len(row), len(col)) - 1
+    return pa.table({
+        "n_events": pa.array([n_tot], pa.int64()),
+        "n_types": pa.array([len(row)], pa.int64()),
+        "n_hours": pa.array([len(col)], pa.int64()),
+        "df": pa.array([(len(row) - 1) * (len(col) - 1)], pa.int64()),
+        "chi2_micro": pa.array([chi2], pa.int64()),
+        "v2_micro": pa.array([chi2 // (n_tot * k)], pa.int64())})
+
+
+def q_g_test(sf_dir: str):
+    """G-test (log-likelihood-ratio) of independence between event
+    type and hour-of-day on the shared ``L(x)=⌊ln(x)·10⁶+½⌋`` grid:
+    ``g_micro = 2·Σ n·(L(n)+L(N)−L(r)−L(c))`` — a pure integer sum
+    with NO division at all, so both engines agree bit-for-bit (the
+    rounded grid can dip a near-zero G negative; reported as-is).
+    Complements ``cramers_v``'s Pearson chi2 with the
+    information-theoretic variant (G = 2N·MI in nats).
+
+    Scale plan: same types×24-bounded combiner partials; integer
+    fold on the driver."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.hour(b["ts"].combine_chunks())
+        t = pa.table({"et": b["event_type"], "h": hour,
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["et", "h"], use_threads=False).aggregate(
+            [("one", "sum")])
+        return pa.table({"et": g["et"],
+                         "h": pc.cast(g["h"], pa.int64()),
+                         "n": g["one_sum"]})
+
+    cells = _read(sf_dir, "events", ["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["et", "h"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    n_tot = int(cells["n"].sum())
+    row = cells.groupby("et")["n"].sum().to_dict()
+    col = cells.groupby("h")["n"].sum().to_dict()
+    ln_t = L(n_tot)
+    s = 0
+    for _, r in cells.iterrows():
+        n = int(r["n"])
+        s += n * (L(n) + ln_t - L(int(row[r["et"]]))
+                  - L(int(col[r["h"]])))
+    return pa.table({
+        "n_events": pa.array([n_tot], pa.int64()),
+        "df": pa.array([(len(row) - 1) * (len(col) - 1)], pa.int64()),
+        "g_micro": pa.array([2 * s], pa.int64())})
+
+
+QUERIES["kruskal_wallis"] = q_kruskal_wallis
+QUERIES["cramers_v"] = q_cramers_v
+QUERIES["g_test"] = q_g_test
+
+ORACLE_SQL["kruskal_wallis"] = """
+WITH q AS (SELECT l_returnflag AS f,
+                  CAST(round(l_quantity) AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2),
+tv AS (SELECT v, CAST(sum(n) AS BIGINT) AS t FROM q GROUP BY 1),
+cumv AS (SELECT v, t,
+                CAST(sum(t) OVER (ORDER BY v) - t AS BIGINT) AS cb
+         FROM tv),
+r AS (SELECT q.f, q.n, (2 * c.cb + c.t + 1) AS r2
+      FROM q JOIN cumv c USING (v)),
+sg AS (SELECT f, CAST(sum(n) AS HUGEINT) AS ng,
+              sum(CAST(n AS HUGEINT) * r2) AS s2
+       FROM r GROUP BY 1),
+nt AS (SELECT CAST(sum(t) AS HUGEINT) AS n FROM tv),
+ts AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tie FROM tv),
+terms AS (SELECT f, ng, s2,
+                 (3000000 * s2 * s2)
+                     // (ng * (SELECT n FROM nt)
+                         * ((SELECT n FROM nt) + 1)) AS term
+          FROM sg),
+h AS (SELECT sum(term)
+             - 3 * ((SELECT n FROM nt) + 1) * 1000000 AS hm
+      FROM terms)
+SELECT f AS l_returnflag, CAST(ng AS BIGINT) AS n_group,
+       CAST(s2 AS BIGINT) AS rank_sum_x2,
+       CAST(term AS BIGINT) AS term_micro,
+       CAST((SELECT hm FROM h) AS BIGINT) AS h_micro,
+       CAST((SELECT tie FROM ts) AS BIGINT) AS tie_sum
+FROM terms ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["cramers_v"] = """
+WITH c AS (SELECT event_type AS et,
+                  CAST(hour(ts) AS BIGINT) AS h,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT et, CAST(sum(n) AS BIGINT) AS rn FROM c GROUP BY 1),
+k AS (SELECT h, CAST(sum(n) AS BIGINT) AS cn FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS HUGEINT) AS tn,
+             CAST(count(DISTINCT et) AS HUGEINT) AS nr,
+             CAST(count(DISTINCT h) AS HUGEINT) AS nc
+      FROM c),
+terms AS (SELECT (1000000 * (CAST(c.n AS HUGEINT) * (SELECT tn FROM t)
+                             - CAST(r.rn AS HUGEINT) * k.cn)
+                          * (CAST(c.n AS HUGEINT) * (SELECT tn FROM t)
+                             - CAST(r.rn AS HUGEINT) * k.cn))
+                 // (CAST(r.rn AS HUGEINT) * k.cn
+                     * (SELECT tn FROM t)) AS v
+          FROM c JOIN r USING (et) JOIN k USING (h))
+SELECT CAST((SELECT tn FROM t) AS BIGINT) AS n_events,
+       CAST((SELECT nr FROM t) AS BIGINT) AS n_types,
+       CAST((SELECT nc FROM t) AS BIGINT) AS n_hours,
+       CAST(((SELECT nr FROM t) - 1) * ((SELECT nc FROM t) - 1)
+            AS BIGINT) AS df,
+       CAST(sum(v) AS BIGINT) AS chi2_micro,
+       CAST(sum(v) // ((SELECT tn FROM t)
+                       * (CASE WHEN (SELECT nr FROM t)
+                                    < (SELECT nc FROM t)
+                               THEN (SELECT nr FROM t)
+                               ELSE (SELECT nc FROM t) END - 1))
+            AS BIGINT) AS v2_micro
+FROM terms
+"""
+
+ORACLE_SQL["g_test"] = """
+WITH c AS (SELECT event_type AS et,
+                  CAST(hour(ts) AS BIGINT) AS h,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT et, CAST(sum(n) AS BIGINT) AS rn FROM c GROUP BY 1),
+k AS (SELECT h, CAST(sum(n) AS BIGINT) AS cn FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+             CAST(count(DISTINCT et) AS BIGINT) AS nr,
+             CAST(count(DISTINCT h) AS BIGINT) AS nc
+      FROM c),
+terms AS (SELECT CAST(c.n AS HUGEINT)
+                 * (CAST(floor(ln(c.n) * 1000000 + 0.5) AS BIGINT)
+                    + (SELECT CAST(floor(ln(tn) * 1000000 + 0.5)
+                                   AS BIGINT) FROM t)
+                    - CAST(floor(ln(r.rn) * 1000000 + 0.5) AS BIGINT)
+                    - CAST(floor(ln(k.cn) * 1000000 + 0.5) AS BIGINT))
+                     AS v
+          FROM c JOIN r USING (et) JOIN k USING (h))
+SELECT (SELECT tn FROM t) AS n_events,
+       CAST(((SELECT nr FROM t) - 1) * ((SELECT nc FROM t) - 1)
+            AS BIGINT) AS df,
+       CAST(2 * sum(v) AS BIGINT) AS g_micro
+FROM terms
+"""
