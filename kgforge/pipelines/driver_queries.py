@@ -14860,3 +14860,332 @@ SELECT (SELECT tn FROM t) AS n_events,
        CAST(2 * sum(v) AS BIGINT) AS g_micro
 FROM terms
 """
+
+
+def q_welch_t(sf_dir: str):
+    """Welch's unequal-variance t-test between the BUILDING and
+    MACHINERY segments' account balances, reported as t² and the
+    Welch–Satterthwaite df — every input to the two doubles is an
+    exact integer (cents sums / squared-cents sums), so both engines
+    derive the SAME doubles from the SAME integers before the shared
+    round (t² avoids the sqrt; df uses the closed rational form
+    ``D²/(A1²/(n1−1)+A2²/(n2−1))`` with A_i the cleared-denominator
+    variance terms).
+
+    Scale plan: per-batch (segment, n, Σcents, Σcents²) int64
+    partials → a 2-row bounded collect; the exact fold runs on the
+    driver in Python ints (the cents² totals overflow int64 at sf≥1,
+    like ``numeric_corr``)."""
+    import pyarrow.dataset as pds
+
+    SEG_A, SEG_B = "BUILDING", "MACHINERY"
+
+    def partial(b: pa.Table) -> pa.Table:
+        from kgforge.common.hashing import round_away
+
+        cents = round_away(
+            b["c_acctbal"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        seg = b["c_mktsegment"].to_pylist()
+        out = {"seg": [], "n": [], "s": [], "q": []}
+        segs = np.asarray(seg)
+        for s in (SEG_A, SEG_B):
+            m = segs == s
+            if m.any():
+                c = cents[m]
+                out["seg"].append(s)
+                out["n"].append(int(m.sum()))
+                out["s"].append(int(c.sum()))
+                out["q"].append(int((c * c).sum()))
+        return pa.table({"seg": pa.array(out["seg"], pa.string()),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "s": pa.array(out["s"], pa.int64()),
+                         "q": pa.array(out["q"], pa.int64())})
+
+    parts = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"],
+                  row_filter=pds.field("c_mktsegment").isin(
+                      [SEG_A, SEG_B])) \
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=8192).to_pandas()
+    tot = {s: [0, 0, 0] for s in (SEG_A, SEG_B)}
+    for _, r in parts.iterrows():
+        t = tot[r["seg"]]
+        t[0] += int(r["n"])
+        t[1] += int(r["s"])
+        t[2] += int(r["q"])
+    (n1, s1, q1), (n2, s2, q2) = tot[SEG_A], tot[SEG_B]
+    num = s1 * n2 - s2 * n1
+    a1 = (n1 * q1 - s1 * s1) * n2 * n2 * (n2 - 1)
+    a2 = (n2 * q2 - s2 * s2) * n1 * n1 * (n1 - 1)
+    d = a1 + a2
+    from kgforge.common.hashing import round_away
+
+    t2 = float(round_away(
+        float(num) * float(num) * float((n1 - 1) * (n2 - 1))
+        / float(d), 6))
+    df = float(round_away(
+        float(d) * float(d)
+        / (float(a1) * float(a1) / (n1 - 1)
+           + float(a2) * float(a2) / (n2 - 1)), 2))
+    mean_a = float(round_away(float(s1) / (100 * n1), 2))
+    mean_b = float(round_away(float(s2) / (100 * n2), 2))
+    return pa.table({
+        "seg_a": pa.array([SEG_A], pa.string()),
+        "seg_b": pa.array([SEG_B], pa.string()),
+        "n_a": pa.array([n1], pa.int64()),
+        "n_b": pa.array([n2], pa.int64()),
+        "mean_a": pa.array([mean_a], pa.float64()),
+        "mean_b": pa.array([mean_b], pa.float64()),
+        "t2": pa.array([t2], pa.float64()),
+        "df_w": pa.array([df], pa.float64())})
+
+
+def q_runs_test(sf_dir: str):
+    """Wald–Wolfowitz runs test of daily order revenue against its
+    lower median: the number of above/below runs over the calendar
+    plus the exact expected-runs micro value
+    ``mu_micro = 10⁶ + 2·10⁶·n₁·n₂ // (n₁+n₂)`` — a randomness /
+    autocorrelation smell test for the revenue series (trending
+    markets produce far fewer runs than independence predicts).
+
+    Scale plan: per-batch (day, cents) combiner partials → one
+    calendar-bounded groupby; the median, the sign sequence and the
+    run count fold on the driver over ≤ |days| rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        from kgforge.common.hashing import round_away
+
+        day = (b["o_orderdate"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        cents = round_away(
+            b["o_totalprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        g = pa.table({"day": pa.array(day), "c": pa.array(cents)}) \
+            .group_by(["day"], use_threads=False) \
+            .aggregate([("c", "sum")])
+        return pa.table({"day": g["day"], "cents": g["c_sum"]})
+
+    days = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("cents", alias_name="cents")) \
+        .to_pandas().sort_values("day")
+    cents = days["cents"].to_numpy(dtype=np.int64)
+    n_days = len(cents)
+    med = int(np.sort(cents)[(n_days - 1) // 2])   # lower median
+    above = cents > med
+    n1 = int(above.sum())
+    n2 = n_days - n1
+    runs = 1 + int((above[1:] != above[:-1]).sum()) if n_days else 0
+    mu_micro = 1_000_000 + 2_000_000 * n1 * n2 // (n1 + n2)
+    return pa.table({
+        "n_days": pa.array([n_days], pa.int64()),
+        "n_above": pa.array([n1], pa.int64()),
+        "n_below": pa.array([n2], pa.int64()),
+        "runs": pa.array([runs], pa.int64()),
+        "mu_micro": pa.array([mu_micro], pa.int64())})
+
+
+def q_theil_nation(sf_dir: str):
+    """Theil-T inequality decomposition of customer order revenue by
+    nation on the shared ``L(x)=⌊ln(x)·10⁶+½⌋`` grid: per nation the
+    within-nation Theil index
+    ``(Σx·L(x) + X_g·(L(n_g)−L(X_g))) // X_g`` (sign-magnitude) and
+    the nation's exact between-group numerator term
+    ``X_g·(L(X_g)+L(N)−L(X)−L(n_g))`` — the additive decomposition
+    T = T_between + Σ share_g·T_g that Gini cannot offer.
+
+    Scale plan: (custkey, cents) combiner partials → ONE custkey
+    cogroup attaching nationkey (pareto_share's fuse) → per-batch
+    per-nation (n, Σx, Σx·L(x)) partials → nations×batches bounded
+    collect; Python-int driver fold (Σx·L(x) overflows int64 at
+    sf≥1)."""
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    from kgforge.common.hashing import round_away
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        cents = round_away(
+            b["o_totalprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        g = pa.table({"k": b["o_custkey"], "c": pa.array(cents)}) \
+            .group_by(["k"], use_threads=False).aggregate([("c", "sum")])
+        return pa.table({"o_custkey": g["k"], "cents": g["c_sum"]})
+
+    rev = orders.map_batches(rev_partial, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def fuse(t: pa.Table, starts, nl, nr) -> pa.Table:
+        keep = (nl > 0) & (nr > 0)
+        if not keep.any():
+            return pa.table({"nk": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64())})
+        c = pc.fill_null(t["cents"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.add.reduceat(c, starts)[keep]
+        ridx = pa.array((starts + nl)[keep])
+        return pa.table({
+            "nk": pc.cast(t["c_nationkey"].take(ridx), pa.int64()),
+            "x": pa.array(sums)})
+
+    per_cust = cogroup_partition_ds(
+        rev, cust, "o_custkey", "c_custkey", fuse,
+        ["cents"], ["c_nationkey"],
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int32())]))
+
+    def nation_partial(b: pa.Table) -> pa.Table:
+        nk = b["nk"].to_numpy(zero_copy_only=False)
+        x = b["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lx = np.floor(np.log(x.astype(np.float64)) * 1_000_000
+                      + 0.5).astype(np.int64)
+        t = pa.table({"nk": b["nk"],
+                      "one": pa.array(np.ones(len(x), np.int64)),
+                      "x": pa.array(x), "w": pa.array(x * lx)})
+        g = t.group_by(["nk"], use_threads=False).aggregate(
+            [("one", "sum"), ("x", "sum"), ("w", "sum")])
+        return pa.table({"nk": g["nk"], "n": g["one_sum"],
+                         "x": g["x_sum"], "w": g["w_sum"]})
+
+    parts = per_cust.map_batches(nation_partial,
+                                 batch_format="pyarrow",
+                                 batch_size=2048).to_pandas()
+    agg: dict = {}
+    for _, r in parts.iterrows():
+        n, x, w = agg.get(int(r["nk"]), (0, 0, 0))
+        agg[int(r["nk"])] = (n + int(r["n"]), x + int(r["x"]),
+                             w + int(r["w"]))
+
+    import math
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    def sdiv(a: int, b: int) -> int:
+        return a // b if a >= 0 else -((-a) // b)
+
+    n_tot = sum(v[0] for v in agg.values())
+    x_tot = sum(v[1] for v in agg.values())
+    name_of = _nation_name_lut(sf_dir)
+    rows = sorted((name_of[nk], n, x, w) for nk, (n, x, w)
+                  in agg.items())
+    within = [sdiv(w + x * (L(n) - L(x)), x) for _, n, x, w in rows]
+    between = [x * (L(x) + L(n_tot) - L(x_tot) - L(n))
+               for _, n, x, _ in rows]
+    return pa.table({
+        "n_name": pa.array([r[0] for r in rows], pa.string()),
+        "n_cust": pa.array([r[1] for r in rows], pa.int64()),
+        "rev_cents": pa.array([r[2] for r in rows], pa.int64()),
+        "theil_within_micro": pa.array(within, pa.int64()),
+        "between_term": pa.array(between, pa.int64())})
+
+
+QUERIES["welch_t"] = q_welch_t
+QUERIES["runs_test"] = q_runs_test
+QUERIES["theil_nation"] = q_theil_nation
+
+ORACLE_SQL["welch_t"] = """
+WITH b AS (SELECT c_mktsegment AS seg,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+m AS (SELECT seg, CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(cents AS HUGEINT)) AS s,
+             sum(CAST(cents AS HUGEINT) * cents) AS q
+      FROM b GROUP BY 1),
+w AS (SELECT (SELECT n FROM m WHERE seg = 'BUILDING') AS n1,
+             (SELECT s FROM m WHERE seg = 'BUILDING') AS s1,
+             (SELECT q FROM m WHERE seg = 'BUILDING') AS q1,
+             (SELECT n FROM m WHERE seg = 'MACHINERY') AS n2,
+             (SELECT s FROM m WHERE seg = 'MACHINERY') AS s2,
+             (SELECT q FROM m WHERE seg = 'MACHINERY') AS q2),
+z AS (SELECT n1, n2, s1, s2,
+             s1 * n2 - s2 * n1 AS num,
+             (n1 * q1 - s1 * s1) * n2 * n2 * (n2 - 1) AS a1,
+             (n2 * q2 - s2 * s2) * n1 * n1 * (n1 - 1) AS a2
+      FROM w)
+SELECT 'BUILDING' AS seg_a, 'MACHINERY' AS seg_b,
+       CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+       round(CAST(s1 AS DOUBLE) / CAST(100 * n1 AS DOUBLE), 2)
+           AS mean_a,
+       round(CAST(s2 AS DOUBLE) / CAST(100 * n2 AS DOUBLE), 2)
+           AS mean_b,
+       round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+             * CAST((n1 - 1) * (n2 - 1) AS DOUBLE)
+             / CAST(a1 + a2 AS DOUBLE), 6) AS t2,
+       round(CAST(a1 + a2 AS DOUBLE) * CAST(a1 + a2 AS DOUBLE)
+             / (CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE)
+                / CAST(n1 - 1 AS DOUBLE)
+                + CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)
+                  / CAST(n2 - 1 AS DOUBLE)), 2) AS df_w
+FROM z
+"""
+
+ORACLE_SQL["runs_test"] = """
+WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                       AS BIGINT) AS day,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+med AS (SELECT cents AS m
+        FROM (SELECT cents,
+                     row_number() OVER (ORDER BY cents) AS rn,
+                     count(*) OVER () AS n
+              FROM d)
+        WHERE rn = (n + 1) // 2),
+s AS (SELECT day, CASE WHEN cents > (SELECT m FROM med)
+                       THEN 1 ELSE 0 END AS ab
+      FROM d),
+r AS (SELECT ab, lag(ab) OVER (ORDER BY day) AS pab FROM s),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(ab) AS BIGINT) AS n1
+      FROM s)
+SELECT c.n_days, c.n1 AS n_above,
+       c.n_days - c.n1 AS n_below,
+       (SELECT CAST(1 + count(*) FILTER (WHERE pab IS NOT NULL
+                                           AND ab <> pab)
+                    AS BIGINT) FROM r) AS runs,
+       1000000 + 2000000 * c.n1 * (c.n_days - c.n1)
+                 // (c.n1 + (c.n_days - c.n1)) AS mu_micro
+FROM c
+"""
+
+ORACLE_SQL["theil_nation"] = """
+WITH pc_ AS (SELECT o_custkey AS ck,
+                    CAST(sum(CAST(round(o_totalprice * 100)
+                                  AS BIGINT)) AS BIGINT) AS x
+             FROM orders GROUP BY 1),
+j AS (SELECT CAST(c_nationkey AS BIGINT) AS nk, x,
+             CAST(floor(ln(x) * 1000000 + 0.5) AS BIGINT) AS lx
+      FROM pc_ JOIN customer ON c_custkey = ck),
+g AS (SELECT nk, CAST(count(*) AS HUGEINT) AS ng,
+             CAST(sum(x) AS HUGEINT) AS xg,
+             sum(CAST(x AS HUGEINT) * lx) AS wg
+      FROM j GROUP BY 1),
+t AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+             CAST(sum(xg) AS BIGINT) AS x FROM g),
+e AS (SELECT nk, ng, xg,
+             wg + xg * (CAST(floor(ln(ng) * 1000000 + 0.5) AS BIGINT)
+                        - CAST(floor(ln(xg) * 1000000 + 0.5)
+                               AS BIGINT)) AS v,
+             xg * (CAST(floor(ln(xg) * 1000000 + 0.5) AS BIGINT)
+                   + (SELECT CAST(floor(ln(n) * 1000000 + 0.5)
+                                  AS BIGINT) FROM t)
+                   - (SELECT CAST(floor(ln(x) * 1000000 + 0.5)
+                                  AS BIGINT) FROM t)
+                   - CAST(floor(ln(ng) * 1000000 + 0.5) AS BIGINT))
+                 AS bt
+      FROM g)
+SELECT n_name, CAST(ng AS BIGINT) AS n_cust,
+       CAST(xg AS BIGINT) AS rev_cents,
+       CAST(CASE WHEN v >= 0 THEN v // xg
+                 ELSE -((-v) // xg) END AS BIGINT)
+           AS theil_within_micro,
+       CAST(bt AS BIGINT) AS between_term
+FROM e JOIN nation ON CAST(n_nationkey AS BIGINT) = nk
+ORDER BY n_name
+"""

@@ -139,3 +139,140 @@ def test_g_test_matches_bruteforce(ray_session, tmp_path):
     assert int(got["df"]) == (len(row) - 1) * (len(col) - 1)
     # planted hour→type dependence ⇒ strongly positive G
     assert 2 * s > 10_000_000
+
+
+def test_welch_t_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_welch_t
+
+    rng = np.random.RandomState(3)
+    segs, bals = [], []
+    for s, mu, sd in (("BUILDING", 500.0, 100.0),
+                      ("MACHINERY", 560.0, 300.0),
+                      ("FURNITURE", 0.0, 1.0)):      # must be ignored
+        for _ in range(80):
+            segs.append(s)
+            bals.append(round(float(rng.normal(mu, sd)), 2))
+    pq.write_table(pa.table({
+        "c_mktsegment": pa.array(segs, pa.string()),
+        "c_acctbal": pa.array(bals, pa.float64())}),
+        str(tmp_path / "customer.parquet"))
+
+    got = q_welch_t(str(tmp_path)).to_pandas().iloc[0]
+
+    def stats(seg):
+        c = [int(round(b * 100)) for s, b in zip(segs, bals)
+             if s == seg]
+        return len(c), sum(c), sum(x * x for x in c)
+
+    n1, s1, q1 = stats("BUILDING")
+    n2, s2, q2 = stats("MACHINERY")
+    assert (int(got["n_a"]), int(got["n_b"])) == (n1, n2)
+    # independent float brute force within rounding distance
+    import numpy as _np
+
+    a = _np.array([b for s, b in zip(segs, bals) if s == "BUILDING"])
+    b_ = _np.array([b for s, b in zip(segs, bals)
+                    if s == "MACHINERY"])
+    se2 = a.var(ddof=1) / n1 + b_.var(ddof=1) / n2
+    t2_ref = (a.mean() - b_.mean()) ** 2 / se2
+    df_ref = se2 ** 2 / ((a.var(ddof=1) / n1) ** 2 / (n1 - 1)
+                         + (b_.var(ddof=1) / n2) ** 2 / (n2 - 1))
+    assert abs(float(got["t2"]) - t2_ref) < 1e-4 * max(t2_ref, 1)
+    assert abs(float(got["df_w"]) - df_ref) < 0.02
+    assert abs(float(got["mean_a"]) - a.mean()) < 0.01
+
+
+def test_runs_test_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_runs_test
+
+    rng = np.random.RandomState(17)
+    # planted trend: first half low, second half high -> few runs
+    days, prices = [], []
+    for d in range(60):
+        base = 100.0 if d < 30 else 500.0
+        for _ in range(int(rng.randint(1, 4))):
+            days.append(d)
+            prices.append(round(base + float(rng.rand() * 10), 2))
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(
+            np.array([d * 86_400_000_000 for d in days], np.int64))
+            .cast(pa.timestamp("us")),
+        "o_totalprice": pa.array(prices, pa.float64())}),
+        str(tmp_path / "orders.parquet"))
+
+    got = q_runs_test(str(tmp_path)).to_pandas().iloc[0]
+
+    daily = {}
+    for d, p in zip(days, prices):
+        daily[d] = daily.get(d, 0) + int(round(p * 100))
+    cents = [daily[d] for d in sorted(daily)]
+    med = sorted(cents)[(len(cents) - 1) // 2]
+    ab = [c > med for c in cents]
+    runs = 1 + sum(1 for i in range(1, len(ab)) if ab[i] != ab[i - 1])
+    n1, n2 = sum(ab), len(ab) - sum(ab)
+    assert int(got["runs"]) == runs
+    assert int(got["n_above"]) == n1
+    assert int(got["n_below"]) == n2
+    assert int(got["mu_micro"]) == 1_000_000 + 2_000_000 * n1 * n2 \
+        // (n1 + n2)
+    # planted trend: far fewer runs than expected under independence
+    assert runs * 1_000_000 < int(got["mu_micro"]) // 2
+
+
+def test_theil_nation_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_theil_nation
+
+    rng = np.random.RandomState(23)
+    # nation 0: equal revenues (theil ~ 0); nation 1: one whale
+    cust_nation = {}
+    rows = []
+    ck = 1
+    for nk, revs in ((0, [200.0] * 10),
+                     (1, [10.0] * 9 + [5000.0])):
+        for r in revs:
+            cust_nation[ck] = nk
+            n_orders = int(rng.randint(1, 4))
+            split = np.full(n_orders, r / n_orders)
+            for s in split:
+                rows.append((ck, round(float(s), 2)))
+            ck += 1
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_totalprice": pa.array([r[1] for r in rows], pa.float64())}),
+        str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(sorted(cust_nation), pa.int64()),
+        "c_nationkey": pa.array(
+            [cust_nation[k] for k in sorted(cust_nation)],
+            pa.int32())}),
+        str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int32()),
+        "n_name": pa.array(["EQUALIA", "WHALELAND"], pa.string())}),
+        str(tmp_path / "nation.parquet"))
+
+    got = q_theil_nation(str(tmp_path)).to_pandas() \
+        .set_index("n_name")
+
+    def L(v):
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    percust = {}
+    for ck_, p in rows:
+        percust[ck_] = percust.get(ck_, 0) + int(round(p * 100))
+    n_tot, x_tot = len(percust), sum(percust.values())
+    for name, nk in (("EQUALIA", 0), ("WHALELAND", 1)):
+        xs = [x for c, x in percust.items() if cust_nation[c] == nk]
+        ng, xg = len(xs), sum(xs)
+        w = sum(x * L(x) for x in xs)
+        v = w + xg * (L(ng) - L(xg))
+        within = v // xg if v >= 0 else -((-v) // xg)
+        assert int(got.loc[name, "theil_within_micro"]) == within
+        assert int(got.loc[name, "n_cust"]) == ng
+        assert int(got.loc[name, "rev_cents"]) == xg
+        assert int(got.loc[name, "between_term"]) == xg * (
+            L(xg) + L(n_tot) - L(x_tot) - L(ng))
+    # planted whale: unequal nation far above the equal one
+    assert int(got.loc["WHALELAND", "theil_within_micro"]) > \
+        1_000_000
+    assert abs(int(got.loc["EQUALIA", "theil_within_micro"])) < 1_000
