@@ -15189,3 +15189,235 @@ SELECT n_name, CAST(ng AS BIGINT) AS n_cust,
 FROM e JOIN nation ON CAST(n_nationkey AS BIGINT) = nk
 ORDER BY n_name
 """
+
+
+def q_abc_parts(sf_dir: str):
+    """ABC inventory classification census over part revenue: parts
+    sorted by revenue (desc, partkey-tied) get class A while the
+    inclusive cumulative share ≤ 80%, B while ≤ 95%, else C — one
+    exact-integer row per class (``cum·100 ≤ 80·tot`` comparisons,
+    no float shares until the final ``share_ppm = cents·10⁶ // tot``).
+
+    Scale plan: the global ordered cumsum is a TWO-LEVEL prefix, not
+    a driver sort — parts bucket by the exact power-of-two band of
+    their revenue (band order == revenue order, integer compares
+    only), per-band totals fold on the driver (≤ 64 rows), and each
+    band's within-band sorted cumsum + class census runs as ONE
+    vectorized group callback seeded with its band prefix offset; at
+    10⁹ parts this is 64 callbacks, never a part-count loop."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        cents = round_away(
+            b["l_extendedprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].combine_chunks()
+               .to_numpy(zero_copy_only=False)) * 100,
+            0).astype(np.int64)
+        g = pa.table({"pk": b["l_partkey"], "c": pa.array(cents)}) \
+            .group_by(["pk"], use_threads=False).aggregate(
+            [("c", "sum")])
+        return pa.table({"pk": g["pk"], "c": g["c_sum"]})
+
+    per_part = _read(sf_dir, "lineitem",
+                     ["l_partkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(rev_partial, batch_format="pyarrow") \
+        .groupby("pk").aggregate(Sum("c", alias_name="c"))
+
+    _POW2 = (2 ** np.arange(63, dtype=np.int64))
+
+    def add_band(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False)
+        band = np.searchsorted(_POW2, c, side="right") - 1
+        return b.append_column("band", pa.array(band.astype(np.int64)))
+
+    banded = per_part.map_batches(add_band, batch_format="pyarrow")
+    banded = banded.materialize()     # consumed twice (totals + census)
+
+    def band_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["band"], use_threads=False).aggregate(
+            [("c", "sum")])
+        return pa.table({"band": g["band"], "s": g["c_sum"]})
+
+    btot = banded.map_batches(band_partial, batch_format="pyarrow") \
+        .to_pandas().groupby("band")["s"].sum().to_dict()
+    btot = {int(k): int(v) for k, v in btot.items()}
+    tot = sum(btot.values())
+    offset = {b: sum(v for k, v in btot.items() if k > b)
+              for b in btot}
+
+    def census(g: pa.Table) -> pa.Table:
+        band = int(g["band"][0].as_py())
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, -c))
+        cs = c[order]
+        cum = offset[band] + np.cumsum(cs)
+        cls = np.where(cum * 100 <= 80 * tot, 0,
+                       np.where(cum * 100 <= 95 * tot, 1, 2))
+        ks, idx = np.unique(cls, return_inverse=True)
+        n = np.bincount(idx)
+        s = np.array([cs[idx == i].sum() for i in range(len(ks))],
+                     dtype=np.int64)
+        return pa.table({"cls": pa.array(ks.astype(np.int64)),
+                         "n": pa.array(n.astype(np.int64)),
+                         "s": pa.array(s)})
+
+    parts = banded.groupby("band") \
+        .map_groups(census, batch_format="pyarrow").to_pandas()
+    agg: dict = {}
+    for _, r in parts.iterrows():
+        n, s = agg.get(int(r["cls"]), (0, 0))
+        agg[int(r["cls"])] = (n + int(r["n"]), s + int(r["s"]))
+    names = {0: "A", 1: "B", 2: "C"}
+    ks = sorted(agg)
+    return pa.table({
+        "abc_class": pa.array([names[k] for k in ks], pa.string()),
+        "n_parts": pa.array([agg[k][0] for k in ks], pa.int64()),
+        "rev_cents": pa.array([agg[k][1] for k in ks], pa.int64()),
+        "share_ppm": pa.array([agg[k][1] * 1_000_000 // tot
+                               for k in ks], pa.int64())})
+
+
+def q_price_elasticity(sf_dir: str):
+    """Log-log price elasticity of demand per brand: OLS slope of
+    ``L3(qty)`` on ``L3(unit price cents)`` where
+    ``L3(x)=⌊ln(x)·10³+½⌋`` — all five regression moments are exact
+    integers folded per brand, and both engines derive the final
+    slope/intercept doubles from the SAME integer moments (brands
+    with a degenerate design, den = 0, are dropped on both sides).
+
+    Scale plan: per-batch partkey-keyed moment partials (5 int64
+    sums) → one partkey cogroup attaching brand (parts-bounded rows
+    shuffle, never lineitem) → one 25-bounded brand groupby."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def moment_partial(b: pa.Table) -> pa.Table:
+        e = b["l_extendedprice"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        q = b["l_quantity"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        unit = round_away(e * 100.0 / q, 0)
+        x = np.floor(np.log(unit) * 1_000 + 0.5).astype(np.int64)
+        y = np.floor(np.log(round_away(q, 0)) * 1_000
+                     + 0.5).astype(np.int64)
+        t = pa.table({"pk": b["l_partkey"],
+                      "one": pa.array(np.ones(len(x), np.int64)),
+                      "sx": pa.array(x), "sy": pa.array(y),
+                      "sxy": pa.array(x * y), "sxx": pa.array(x * x)})
+        g = t.group_by(["pk"], use_threads=False).aggregate(
+            [("one", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")])
+        return pa.table({"pk": g["pk"], "n": g["one_sum"],
+                         "sx": g["sx_sum"], "sy": g["sy_sum"],
+                         "sxy": g["sxy_sum"], "sxx": g["sxx_sum"]})
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    moments = _read(sf_dir, "lineitem",
+                    ["l_partkey", "l_extendedprice", "l_quantity"]) \
+        .map_batches(moment_partial, batch_format="pyarrow")
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    _M = ("n", "sx", "sy", "sxy", "sxx")
+
+    def fuse(t: pa.Table, starts, nl, nr) -> pa.Table:
+        keep = (nl > 0) & (nr > 0)
+        if not keep.any():
+            return pa.table(
+                {"brand": pa.array([], pa.string()),
+                 **{m: pa.array([], pa.int64()) for m in _M}})
+        cols = {}
+        for m in _M:
+            v = pc.fill_null(t[m], 0).combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[m] = pa.array(np.add.reduceat(v, starts)[keep])
+        ridx = pa.array((starts + nl)[keep])
+        return pa.table({"brand": t["p_brand"].take(ridx), **cols})
+
+    per_part = cogroup_partition_ds(
+        moments, part, "pk", "p_partkey", fuse,
+        list(_M), ["p_brand"],
+        left_schema=pa.schema([("pk", pa.int64())]
+                              + [(m, pa.int64()) for m in _M]),
+        right_schema=pa.schema([("p_partkey", pa.int64()),
+                                ("p_brand", pa.string())]))
+
+    agg = per_part.groupby("brand").aggregate(
+        *[Sum(m, alias_name=m) for m in _M]).to_pandas() \
+        .sort_values("brand")
+    rows = []
+    for _, r in agg.iterrows():
+        n, sx, sy, sxy, sxx = (int(r[m]) for m in _M)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        if den == 0:
+            continue
+        slope = float(round_away(float(num) / float(den), 6))
+        icept = float(round_away(
+            (float(sy) - float(num) / float(den) * float(sx))
+            / float(n), 6))
+        rows.append((str(r["brand"]), n, slope, icept))
+    return pa.table({
+        "p_brand": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "elasticity": pa.array([r[2] for r in rows], pa.float64()),
+        "intercept_millinats": pa.array([r[3] for r in rows],
+                                        pa.float64())})
+
+
+QUERIES["abc_parts"] = q_abc_parts
+QUERIES["price_elasticity"] = q_price_elasticity
+
+ORACLE_SQL["abc_parts"] = """
+WITH pr AS (SELECT l_partkey AS pk,
+                   CAST(sum(CAST(round(l_extendedprice
+                                       * (1.0 - l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1),
+o AS (SELECT pk, c,
+             CAST(sum(c) OVER (ORDER BY c DESC, pk) AS HUGEINT)
+                 AS cum,
+             (SELECT CAST(sum(c) AS HUGEINT) FROM pr) AS tot
+      FROM pr),
+cl AS (SELECT CASE WHEN cum * 100 <= 80 * tot THEN 'A'
+                   WHEN cum * 100 <= 95 * tot THEN 'B'
+                   ELSE 'C' END AS abc_class,
+              c, tot
+       FROM o)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(c) AS BIGINT) AS rev_cents,
+       CAST(CAST(sum(c) AS HUGEINT) * 1000000 // max(tot) AS BIGINT)
+           AS share_ppm
+FROM cl GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["price_elasticity"] = """
+WITH r AS (SELECT l_partkey AS pk,
+                  CAST(floor(ln(round(l_extendedprice * 100
+                                      / l_quantity)) * 1000 + 0.5)
+                       AS BIGINT) AS x,
+                  CAST(floor(ln(round(l_quantity)) * 1000 + 0.5)
+                       AS BIGINT) AS y
+           FROM lineitem),
+j AS (SELECT p_brand, x, y FROM r JOIN part ON p_partkey = pk),
+m AS (SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+      FROM j GROUP BY 1)
+SELECT p_brand, CAST(n AS BIGINT) AS n_rows,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS elasticity,
+       round((CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept_millinats
+FROM m WHERE n * sxx - sx * sx <> 0 ORDER BY p_brand
+"""

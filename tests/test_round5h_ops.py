@@ -276,3 +276,97 @@ def test_theil_nation_matches_bruteforce(ray_session, tmp_path):
     assert int(got.loc["WHALELAND", "theil_within_micro"]) > \
         1_000_000
     assert abs(int(got.loc["EQUALIA", "theil_within_micro"])) < 1_000
+
+
+def test_abc_parts_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_abc_parts
+
+    rng = np.random.RandomState(29)
+    pks, exts, discs = [], [], []
+    for pk in range(1, 61):
+        # planted whale parts: a few parts carry most revenue
+        scale = 5000.0 if pk <= 3 else 10.0
+        for _ in range(int(rng.randint(1, 5))):
+            pks.append(pk)
+            exts.append(round(scale * (1 + float(rng.rand())), 2))
+            discs.append(round(float(rng.randint(0, 10)) / 100, 2))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array(pks, pa.int64()),
+        "l_extendedprice": pa.array(exts, pa.float64()),
+        "l_discount": pa.array(discs, pa.float64())}),
+        str(tmp_path / "lineitem.parquet"))
+
+    got = q_abc_parts(str(tmp_path)).to_pandas().set_index("abc_class")
+
+    rev = {}
+    for pk, e, d in zip(pks, exts, discs):
+        c = int(np.floor(abs(e * (1.0 - d) * 100) + 0.5))
+        rev[pk] = rev.get(pk, 0) + c
+    items = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(rev.values())
+    cum, census = 0, {}
+    for pk, c in items:
+        cum += c
+        cls = "A" if cum * 100 <= 80 * tot else \
+            ("B" if cum * 100 <= 95 * tot else "C")
+        n, s = census.get(cls, (0, 0))
+        census[cls] = (n + 1, s + c)
+    for cls, (n, s) in census.items():
+        assert int(got.loc[cls, "n_parts"]) == n
+        assert int(got.loc[cls, "rev_cents"]) == s
+        assert int(got.loc[cls, "share_ppm"]) == s * 1_000_000 // tot
+    # planted whales: class A is a small fraction of the parts
+    assert census["A"][0] <= 5 and census["C"][0] > 10
+
+
+def test_price_elasticity_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_price_elasticity
+
+    rng = np.random.RandomState(31)
+    # planted elasticity: qty = (price/1000)^-2 exactly on the grid
+    pks, exts, qtys, brands = [], [], [], []
+    part_rows = []
+    for pk in range(1, 21):
+        brand = "ELASTIC" if pk <= 10 else "FLAT"
+        part_rows.append((pk, brand))
+        for _ in range(12):
+            unit = float(rng.choice([10.0, 20.0, 40.0]))
+            q = (40.0 / unit) ** 2 if brand == "ELASTIC" \
+                else float(rng.randint(1, 8))
+            pks.append(pk)
+            qtys.append(q)
+            exts.append(round(unit * q, 6))
+            brands.append(brand)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array(pks, pa.int64()),
+        "l_extendedprice": pa.array(exts, pa.float64()),
+        "l_quantity": pa.array(qtys, pa.float64())}),
+        str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([r[0] for r in part_rows], pa.int64()),
+        "p_brand": pa.array([r[1] for r in part_rows], pa.string())}),
+        str(tmp_path / "part.parquet"))
+
+    got = q_price_elasticity(str(tmp_path)).to_pandas() \
+        .set_index("p_brand")
+
+    # brute force on the same millinat grid
+    mo = {}
+    for pk, e, q, br in zip(pks, exts, qtys, brands):
+        unit = int(np.floor(abs(e * 100.0 / q) + 0.5))
+        x = int(math.floor(math.log(unit) * 1_000 + 0.5))
+        y = int(math.floor(
+            math.log(int(np.floor(q + 0.5))) * 1_000 + 0.5))
+        n, sx, sy, sxy, sxx = mo.get(br, (0, 0, 0, 0, 0))
+        mo[br] = (n + 1, sx + x, sy + y, sxy + x * y, sxx + x * x)
+    for br, (n, sx, sy, sxy, sxx) in mo.items():
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den == 0:
+            assert br not in got.index
+            continue
+        slope = float(got.loc[br, "elasticity"])
+        assert abs(slope - num / den) < 1e-5
+        assert int(got.loc[br, "n_rows"]) == n
+    # planted power law: ELASTIC slope ~ -2, FLAT ~ 0
+    assert abs(float(got.loc["ELASTIC", "elasticity"]) + 2.0) < 0.05
+    assert abs(float(got.loc["FLAT", "elasticity"])) < 0.5
