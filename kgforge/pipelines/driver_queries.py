@@ -15421,3 +15421,138 @@ SELECT p_brand, CAST(n AS BIGINT) AS n_rows,
              / CAST(n AS DOUBLE), 6) AS intercept_millinats
 FROM m WHERE n * sxx - sx * sx <> 0 ORDER BY p_brand
 """
+
+
+def q_embedding_pca_var(sf_dir: str):
+    """Top principal component of the embedding cloud via THREE
+    unrolled integer power-iteration steps on the exact count-scaled
+    covariance ``C = n·S − s·sᵀ`` (micro-grid Gram S, dimension sums
+    s — all integers): v₀ = 10⁶·1, vₖ₊₁ = ⌊C·vₖ·10⁶ / max|C·vₖ|⌋
+    (sign-magnitude), Rayleigh quotient λ = v₂ᵀ(C·v₂) / v₂ᵀv₂ —
+    reported as the exact eigenvalue / total-variance integers
+    ``lambda_micro2``, ``trace_micro2`` and ``top_share_ppm`` plus
+    the dominant dimension of the converged direction.  The spectral
+    health census for embedding collapse (one dominant direction ⇒
+    near-rank-1 features).
+
+    Scale plan: one streaming pass shipping ONE d×d int64 Gram
+    partial per batch (d²-bounded, never row-bounded); the 64×64
+    fold and the three matvecs run on the driver in Python ints."""
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = b.num_rows
+        d = len(flat) // n
+        q = round_away(flat * 1_000_000, 0).astype(np.int64) \
+            .reshape(n, d)
+        gram = q.T @ q
+        cells = np.concatenate([
+            np.arange(d * d + d + 1, dtype=np.int64), [-1]])
+        vals = np.concatenate([
+            gram.reshape(-1), q.sum(axis=0), [np.int64(n)],
+            [np.int64(d)]])
+        return pa.table({"cell": pa.array(cells),
+                         "v": pa.array(vals.astype(np.int64))})
+
+    acc: dict = {}
+    d = 0
+    for b in _read(sf_dir, "embeddings", ["embedding"]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        cells = b["cell"].to_numpy(zero_copy_only=False)
+        vals = b["v"].to_numpy(zero_copy_only=False)
+        for c, v in zip(cells, vals):
+            c, v = int(c), int(v)
+            if c == -1:
+                d = max(d, v)
+            else:
+                acc[c] = acc.get(c, 0) + v
+    n = acc[d * d + d]
+    s = [acc[d * d + j] for j in range(d)]
+    C = [[n * acc[i * d + j] - s[i] * s[j] for j in range(d)]
+         for i in range(d)]
+
+    def sdiv(a: int, b: int) -> int:
+        return a // b if a >= 0 else -((-a) // b)
+
+    def step(v):
+        y = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in y)
+        return y, [sdiv(x * 1_000_000, m) for x in y]
+
+    v = [1_000_000] * d
+    _, v = step(v)
+    _, v2 = step(v)
+    y3, _ = step(v2)
+    num = sum(v2[i] * y3[i] for i in range(d))
+    den = sum(x * x for x in v2)
+    lam = num // den
+    trace = sum(C[i][i] for i in range(d))
+    dom = min(range(d), key=lambda i: (-abs(y3[i]), i))
+    nn1 = n * (n - 1)
+    return pa.table({
+        "n_vecs": pa.array([n], pa.int64()),
+        "dim": pa.array([d], pa.int64()),
+        "dom_dim": pa.array([dom], pa.int64()),
+        "lambda_micro2": pa.array([lam // nn1], pa.int64()),
+        "trace_micro2": pa.array([trace // nn1], pa.int64()),
+        "top_share_ppm": pa.array([lam * 1_000_000 // trace],
+                                  pa.int64())})
+
+
+QUERIES["embedding_pca_var"] = q_embedding_pca_var
+
+ORACLE_SQL["embedding_pca_var"] = """
+WITH f AS (SELECT vec_id AS r, unnest(embedding) AS e,
+                  generate_subscripts(embedding, 1) AS pos
+           FROM embeddings),
+q AS (SELECT r, CAST(pos - 1 AS BIGINT) AS d,
+             CAST(round(CAST(e AS DOUBLE) * 1000000) AS HUGEINT) AS q
+      FROM f),
+nn AS (SELECT CAST(count(DISTINCT r) AS HUGEINT) AS n FROM q),
+s AS (SELECT d, sum(q) AS s FROM q GROUP BY 1),
+g AS (SELECT a.d AS i, b.d AS j, sum(a.q * b.q) AS sij
+      FROM q a JOIN q b ON a.r = b.r GROUP BY 1, 2),
+c AS (SELECT i, j,
+             (SELECT n FROM nn) * sij - sa.s * sb.s AS c
+      FROM g JOIN s sa ON sa.d = i JOIN s sb ON sb.d = j),
+y1 AS (SELECT i, sum(c) * 1000000 AS y FROM c GROUP BY 1),
+m1 AS (SELECT max(abs(y)) AS m FROM y1),
+v1 AS (SELECT i AS j,
+              CASE WHEN y >= 0
+                   THEN (y * 1000000) // (SELECT m FROM m1)
+                   ELSE -(((-y) * 1000000) // (SELECT m FROM m1))
+              END AS v
+       FROM y1),
+y2 AS (SELECT c.i, sum(c.c * v1.v) AS y
+       FROM c JOIN v1 USING (j) GROUP BY 1),
+m2 AS (SELECT max(abs(y)) AS m FROM y2),
+v2 AS (SELECT i AS j,
+              CASE WHEN y >= 0
+                   THEN (y * 1000000) // (SELECT m FROM m2)
+                   ELSE -(((-y) * 1000000) // (SELECT m FROM m2))
+              END AS v
+       FROM y2),
+y3 AS (SELECT c.i, sum(c.c * v2.v) AS y
+       FROM c JOIN v2 USING (j) GROUP BY 1),
+ray AS (SELECT sum(v2.v * y3.y) AS num,
+               (SELECT sum(v * v) FROM v2) AS den
+        FROM y3 JOIN v2 ON v2.j = y3.i),
+tr AS (SELECT sum(c) AS t FROM c WHERE i = j),
+dm AS (SELECT i FROM y3 ORDER BY abs(y) DESC, i LIMIT 1)
+SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_vecs,
+       (SELECT CAST(count(*) AS BIGINT) FROM s) AS dim,
+       (SELECT CAST(i AS BIGINT) FROM dm) AS dom_dim,
+       CAST((num // den)
+            // ((SELECT n FROM nn) * ((SELECT n FROM nn) - 1))
+            AS BIGINT) AS lambda_micro2,
+       CAST((SELECT t FROM tr)
+            // ((SELECT n FROM nn) * ((SELECT n FROM nn) - 1))
+            AS BIGINT) AS trace_micro2,
+       CAST(((num // den) * 1000000) // (SELECT t FROM tr)
+            AS BIGINT) AS top_share_ppm
+FROM ray
+"""

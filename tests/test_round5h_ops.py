@@ -370,3 +370,56 @@ def test_price_elasticity_matches_bruteforce(ray_session, tmp_path):
     # planted power law: ELASTIC slope ~ -2, FLAT ~ 0
     assert abs(float(got.loc["ELASTIC", "elasticity"]) + 2.0) < 0.05
     assert abs(float(got.loc["FLAT", "elasticity"])) < 0.5
+
+
+def test_embedding_pca_var_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_embedding_pca_var
+
+    rng = np.random.RandomState(41)
+    # planted rank-1 structure along dim 2 of 8
+    d, n = 8, 120
+    base = rng.randn(n, d) * 0.02
+    base[:, 2] += rng.randn(n) * 0.9
+    vecs = [[round(float(x), 6) for x in row] for row in base]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    got = q_embedding_pca_var(str(tmp_path)).to_pandas().iloc[0]
+
+    # brute force: same integer pipeline, independently coded
+    q = np.floor(np.abs(np.array(
+        [np.array(v, np.float64) for v in pq.read_table(
+            str(tmp_path / "embeddings.parquet"))["embedding"]
+         .to_pylist()])) * 1_000_000 + 0.5).astype(np.int64)
+    sign = np.sign([np.array(v, np.float64) for v in pq.read_table(
+        str(tmp_path / "embeddings.parquet"))["embedding"]
+        .to_pylist()]).astype(np.int64)
+    q = q * sign
+    S = (q.T @ q).tolist()
+    s = q.sum(axis=0).tolist()
+    C = [[n * S[i][j] - s[i] * s[j] for j in range(d)]
+         for i in range(d)]
+
+    def sdiv(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    def step(v):
+        y = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in y)
+        return y, [sdiv(x * 1_000_000, m) for x in y]
+
+    v = [1_000_000] * d
+    _, v = step(v)
+    _, v2 = step(v)
+    y3, _ = step(v2)
+    num = sum(v2[i] * y3[i] for i in range(d))
+    den = sum(x * x for x in v2)
+    trace = sum(C[i][i] for i in range(d))
+    assert int(got["lambda_micro2"]) == (num // den) // (n * (n - 1))
+    assert int(got["trace_micro2"]) == trace // (n * (n - 1))
+    assert int(got["top_share_ppm"]) == (num // den) * 1_000_000 \
+        // trace
+    assert int(got["dom_dim"]) == 2           # planted direction
+    assert int(got["top_share_ppm"]) > 900_000  # near-rank-1 cloud
