@@ -15556,3 +15556,484 @@ SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_vecs,
             AS BIGINT) AS top_share_ppm
 FROM ray
 """
+
+
+def q_token_simpson(sf_dir: str):
+    """Per-source Simpson diversity of the token distribution:
+    ``simpson_ppb = Σc(c−1)·10⁹ // (T(T−1))`` — the repeat-probability
+    concentration index next to ``source_token_entropy`` (a boilerplate
+    -heavy source shows a Simpson spike long before entropy moves).
+
+    Scale plan: rides the (source, token) vocab groupby; per-batch
+    int64 partials of Σc(c−1) / Σc / types → one tiny source groupby;
+    the ×10⁹ fold runs on the driver in Python ints."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        src = b["source"].take(par)
+        g = pa.table({"source": src, "w": flat}) \
+            .group_by(["source", "w"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "w": g["w"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    vocab = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "w"]).aggregate(Sum("c", alias_name="c"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        c = b["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table({"source": b["source"],
+                      "tok": pa.array(c),
+                      "typ": pa.array(np.ones(len(c), np.int64)),
+                      "rep": pa.array(c * (c - 1))})
+        g = t.group_by(["source"], use_threads=False).aggregate(
+            [("tok", "sum"), ("typ", "sum"), ("rep", "sum")])
+        return pa.table({"source": g["source"], "tok": g["tok_sum"],
+                         "typ": g["typ_sum"], "rep": g["rep_sum"]})
+
+    agg = vocab.map_batches(fold, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("tok", alias_name="n_tokens"),
+            Sum("typ", alias_name="n_types"),
+            Sum("rep", alias_name="rep")).to_pandas() \
+        .sort_values("source")
+    rows = []
+    for _, r in agg.iterrows():
+        t, rep = int(r["n_tokens"]), int(r["rep"])
+        rows.append((str(r["source"]), t, int(r["n_types"]),
+                     rep * 1_000_000_000 // (t * (t - 1))))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "n_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "n_types": pa.array([r[2] for r in rows], pa.int64()),
+        "simpson_ppb": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def q_source_jsd(sf_dir: str):
+    """Pairwise Jensen–Shannon divergence between source unigram
+    distributions on the shared L grid — the symmetric, bounded
+    domain-shift matrix next to ``source_char_kl``'s char-level KL.
+    With counts a_i (total A) and b_i (total B):
+    ``KL(P‖M)·A·10⁶ = Σ a_i·(L(2a_iB) − L(a_iB + b_iA))`` — pure
+    integers; ``jsd_micro`` is the sum of the two sign-magnitude
+    divisions (by 2A and 2B).
+
+    Scale plan: one (source, token) vocab groupby → hash(token)%P
+    partitions (P callbacks, never per-token) with dense per-source
+    count vectors and one vectorized pass per source pair; per-pair
+    int64 partials fold on the driver.  The corpus never shuffles and
+    the vocabulary is never collected."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        src = b["source"].take(par)
+        g = pa.table({"source": src, "w": flat}) \
+            .group_by(["source", "w"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "w": g["w"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    vocab = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "w"]).aggregate(Sum("c", alias_name="c")) \
+        .materialize()
+
+    def tot_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source"], use_threads=False).aggregate(
+            [("c", "sum")])
+        return pa.table({"source": g["source"], "t": g["c_sum"]})
+
+    tots = vocab.map_batches(tot_partial, batch_format="pyarrow") \
+        .to_pandas().groupby("source")["t"].sum().to_dict()
+    tots = {str(k): int(v) for k, v in tots.items()}
+    srcs = sorted(tots)
+    pairs = [(a, b) for i, a in enumerate(srcs)
+             for b in srcs[i + 1:]]
+
+    P = 64
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("__p",
+                               pa.array(_part_codes(b["w"], P)))
+
+    def pair_terms(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__p"])
+        w = t["w"].combine_chunks().dictionary_encode()
+        tok = w.indices.to_numpy(zero_copy_only=False)
+        nv = len(w.dictionary)
+        src = t["source"].to_pylist()
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dense = {}
+        srcs_np = np.asarray(src)
+        for s in srcs:
+            v = np.zeros(nv, np.int64)
+            m = srcs_np == s
+            v[tok[m]] = c[m]
+            dense[s] = v
+
+        def L(v):
+            safe = np.where(v > 0, v, 1).astype(np.float64)
+            return np.floor(np.log(safe) * 1_000_000
+                            + 0.5).astype(np.int64)
+
+        out_a, out_b, sa_l, sb_l = [], [], [], []
+        for x, y in pairs:
+            a, b = dense[x], dense[y]
+            A, B = tots[x], tots[y]
+            mix = a * B + b * A
+            ta = np.where(a > 0, a * (L(2 * a * B) - L(mix)), 0)
+            tb = np.where(b > 0, b * (L(2 * b * A) - L(mix)), 0)
+            sa_l.append(x)
+            sb_l.append(y)
+            out_a.append(int(ta.sum()))
+            out_b.append(int(tb.sum()))
+        return pa.table({"sa": pa.array(sa_l, pa.string()),
+                         "sb": pa.array(sb_l, pa.string()),
+                         "ta": pa.array(out_a, pa.int64()),
+                         "tb": pa.array(out_b, pa.int64())})
+
+    parts = vocab.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(pair_terms,
+                                   batch_format="pyarrow").to_pandas()
+
+    def sdiv(a: int, b: int) -> int:
+        return a // b if a >= 0 else -((-a) // b)
+
+    acc = {p: [0, 0] for p in pairs}
+    for _, r in parts.iterrows():
+        e = acc[(r["sa"], r["sb"])]
+        e[0] += int(r["ta"])
+        e[1] += int(r["tb"])
+    rows = [(x, y, tots[x], tots[y],
+             sdiv(acc[(x, y)][0], 2 * tots[x])
+             + sdiv(acc[(x, y)][1], 2 * tots[y]))
+            for x, y in pairs]
+    return pa.table({
+        "src_a": pa.array([r[0] for r in rows], pa.string()),
+        "src_b": pa.array([r[1] for r in rows], pa.string()),
+        "tok_a": pa.array([r[2] for r in rows], pa.int64()),
+        "tok_b": pa.array([r[3] for r in rows], pa.int64()),
+        "jsd_micro": pa.array([r[4] for r in rows], pa.int64())})
+
+
+def q_daily_dispersion(sf_dir: str):
+    """Per-type Poisson over/under-dispersion of the DAILY event
+    count series, zero days included over the global calendar span:
+    ``vmr_ppm = (D·Σc² − S²)·10⁶ // ((D−1)·S)`` (variance-to-mean on
+    the span of D days) — the time-axis burstiness census next to
+    ``token_burstiness``'s per-doc VMR (vmr ≫ 10⁶ ⇒ campaign spikes,
+    ≪ 10⁶ ⇒ rate-limited).
+
+    Scale plan: per-batch (type, day) combiner partials → one
+    types×days-bounded groupby; the span and the integer fold run on
+    the driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (b["ts"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        t = pa.table({"et": b["event_type"],
+                      "day": pa.array(day.astype(np.int64)),
+                      "one": pa.array(np.ones(len(day), np.int64))})
+        g = t.group_by(["et", "day"], use_threads=False).aggregate(
+            [("one", "sum")])
+        return pa.table({"et": g["et"], "day": g["day"],
+                         "n": g["one_sum"]})
+
+    cells = _read(sf_dir, "events", ["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["et", "day"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    span = int(cells["day"].max()) - int(cells["day"].min()) + 1
+    rows = []
+    for et, grp in cells.groupby("et"):
+        cs = [int(x) for x in grp["n"]]
+        s, q = sum(cs), sum(c * c for c in cs)
+        if span < 2 or s == 0:
+            continue
+        rows.append((str(et), len(cs), s,
+                     (span * q - s * s) * 1_000_000
+                     // ((span - 1) * s)))
+    rows.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_days_active": pa.array([r[1] for r in rows], pa.int64()),
+        "n_events": pa.array([r[2] for r in rows], pa.int64()),
+        "day_span": pa.array([span] * len(rows), pa.int64()),
+        "vmr_ppm": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def q_gap_cv2(sf_dir: str):
+    """Per-type squared coefficient of variation of same-user
+    inter-event gaps (whole seconds):
+    ``cv2_ppm = n·(n·Σg² − S²)·10⁶ // ((n−1)·S²)`` — the burstiness
+    classifier on the inter-arrival axis (cv² ≈ 10⁶ Poisson, ≫ 10⁶
+    bursty, ≪ 10⁶ pacemaker).  The gap is attributed to the EARLIER
+    event's type.
+
+    Scale plan: dwell_time's user-hash partition lane — one shuffle,
+    vectorized successor shift per partition, type-bounded int64
+    partials, Python-int driver fold (S² overflows int64 at sf≥1)."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    P = 64
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({"u": b["user_id"],
+                      "t": pc.cast(pc.cast(b["ts"],
+                                           pa.timestamp("us")),
+                                   pa.int64()),
+                      "eid": b["event_id"], "et": b["event_type"]})
+        return t.append_column("__p",
+                               pa.array(_part_codes(t["u"], P)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("u", "ascending"),
+                                            ("t", "ascending"),
+                                            ("eid", "ascending")])
+        t = t.take(idx)
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n < 2:
+            return pa.table({"et": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64())})
+        g = (ts[1:] - ts[:-1]) // 1_000_000
+        ok = u[1:] == u[:-1]
+        idx0 = np.flatnonzero(ok)
+        gs = g[idx0]
+        out = pa.table({"et": t["et"].combine_chunks()
+                        .take(pa.array(idx0)),
+                        "n": pa.array(np.ones(len(idx0), np.int64)),
+                        "s": pa.array(gs),
+                        "q": pa.array(gs * gs)}) \
+            .group_by(["et"], use_threads=False).aggregate(
+            [("n", "sum"), ("s", "sum"), ("q", "sum")])
+        return pa.table({"et": out["et"], "n": out["n_sum"],
+                         "s": out["s_sum"], "q": out["q_sum"]})
+
+    parts = _read(sf_dir, "events",
+                  ["user_id", "ts", "event_id", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .to_pandas()
+    acc: dict = {}
+    for _, r in parts.iterrows():
+        n, s, q = acc.get(r["et"], (0, 0, 0))
+        acc[r["et"]] = (n + int(r["n"]), s + int(r["s"]),
+                        q + int(r["q"]))
+    rows = []
+    for et in sorted(acc):
+        n, s, q = acc[et]
+        if n < 2 or s == 0:
+            continue
+        rows.append((str(et), n, s,
+                     n * (n * q - s * s) * 1_000_000
+                     // ((n - 1) * s * s)))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_gaps": pa.array([r[1] for r in rows], pa.int64()),
+        "sum_gap_s": pa.array([r[2] for r in rows], pa.int64()),
+        "cv2_ppm": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def q_streak_lengths(sf_dir: str):
+    """Longest consecutive-active-day streak per user → user-count
+    histogram — the habit/retention census (how many users ever
+    built an N-day streak?).
+
+    Scale plan: ONE user-hash shuffle of distinct (user, day) pairs;
+    inside each of P partitions the islands are a vectorized
+    diff/reduceat pass (per-user consecutive-day runs → per-user max
+    → streak histogram partial); one streak-bounded groupby."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    P = 64
+
+    def tag(b: pa.Table) -> pa.Table:
+        day = (b["ts"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        t = pa.table({"u": b["user_id"],
+                      "day": pa.array(day.astype(np.int64))})
+        g = t.group_by(["u", "day"], use_threads=False).aggregate([])
+        return g.append_column("__p",
+                               pa.array(_part_codes(g["u"], P)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__p"])
+        idx = pc.sort_indices(t, sort_keys=[("u", "ascending"),
+                                            ("day", "ascending")])
+        t = t.take(idx)
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        # batches were pre-deduped per batch; dedupe across batches
+        keep = np.ones(len(u), bool)
+        keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        n = len(u)
+        if n == 0:
+            return pa.table({"streak": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        brk = np.ones(n, bool)
+        brk[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        run_u = u[starts]
+        ustart = np.flatnonzero(np.concatenate(
+            [[True], run_u[1:] != run_u[:-1]]))
+        best = np.maximum.reduceat(lens, ustart)
+        ks, cnt = np.unique(best, return_counts=True)
+        return pa.table({"streak": pa.array(ks.astype(np.int64)),
+                         "n_users": pa.array(cnt.astype(np.int64))})
+
+    return _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby("streak").aggregate(Sum("n_users",
+                                         alias_name="n_users")) \
+        .sort("streak")
+
+
+QUERIES["token_simpson"] = q_token_simpson
+QUERIES["source_jsd"] = q_source_jsd
+QUERIES["daily_dispersion"] = q_daily_dispersion
+QUERIES["gap_cv2"] = q_gap_cv2
+QUERIES["streak_lengths"] = q_streak_lengths
+
+ORACLE_SQL["token_simpson"] = r"""
+WITH toks AS (SELECT source,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS w
+              FROM documents),
+v AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2),
+a AS (SELECT source, CAST(sum(c) AS HUGEINT) AS t,
+             CAST(count(*) AS BIGINT) AS ty,
+             sum(CAST(c AS HUGEINT) * (c - 1)) AS rep
+      FROM v GROUP BY 1)
+SELECT source, CAST(t AS BIGINT) AS n_tokens, ty AS n_types,
+       CAST(rep * 1000000000 // (t * (t - 1)) AS BIGINT)
+           AS simpson_ppb
+FROM a ORDER BY source
+"""
+
+ORACLE_SQL["source_jsd"] = r"""
+WITH toks AS (SELECT source,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS w
+              FROM documents),
+v AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2),
+t AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM v GROUP BY 1),
+p AS (SELECT a.source AS sa, b.source AS sb,
+             a.tot AS ta, b.tot AS tb
+      FROM t a JOIN t b ON a.source < b.source),
+u AS (SELECT DISTINCT w FROM v),
+cells AS (SELECT p.sa, p.sb, p.ta, p.tb,
+                 coalesce(va.c, 0) AS a, coalesce(vb.c, 0) AS b
+          FROM p CROSS JOIN u
+          LEFT JOIN v va ON va.source = p.sa AND va.w = u.w
+          LEFT JOIN v vb ON vb.source = p.sb AND vb.w = u.w
+          WHERE coalesce(va.c, 0) > 0 OR coalesce(vb.c, 0) > 0),
+terms AS (SELECT sa, sb, ta, tb,
+                 CASE WHEN a > 0 THEN
+                     a * (CAST(floor(ln(2 * a * tb) * 1000000 + 0.5)
+                               AS BIGINT)
+                          - CAST(floor(ln(a * tb + b * ta) * 1000000
+                                       + 0.5) AS BIGINT))
+                 ELSE 0 END AS xa,
+                 CASE WHEN b > 0 THEN
+                     b * (CAST(floor(ln(2 * b * ta) * 1000000 + 0.5)
+                               AS BIGINT)
+                          - CAST(floor(ln(a * tb + b * ta) * 1000000
+                                       + 0.5) AS BIGINT))
+                 ELSE 0 END AS xb
+          FROM cells),
+s AS (SELECT sa, sb, ta, tb,
+             CAST(sum(xa) AS BIGINT) AS suma,
+             CAST(sum(xb) AS BIGINT) AS sumb
+      FROM terms GROUP BY 1, 2, 3, 4)
+SELECT sa AS src_a, sb AS src_b, ta AS tok_a, tb AS tok_b,
+       (CASE WHEN suma >= 0 THEN suma // (2 * ta)
+             ELSE -((-suma) // (2 * ta)) END
+        + CASE WHEN sumb >= 0 THEN sumb // (2 * tb)
+               ELSE -((-sumb) // (2 * tb)) END) AS jsd_micro
+FROM s ORDER BY src_a, src_b
+"""
+
+ORACLE_SQL["daily_dispersion"] = """
+WITH c AS (SELECT event_type AS et,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+sp AS (SELECT max(day) - min(day) + 1 AS d FROM c),
+a AS (SELECT et, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(n) AS HUGEINT) AS s,
+             sum(CAST(n AS HUGEINT) * n) AS q
+      FROM c GROUP BY 1)
+SELECT et AS event_type, nd AS n_days_active,
+       CAST(s AS BIGINT) AS n_events,
+       CAST((SELECT d FROM sp) AS BIGINT) AS day_span,
+       CAST(((SELECT d FROM sp) * q - s * s) * 1000000
+            // (((SELECT d FROM sp) - 1) * s) AS BIGINT) AS vmr_ppm
+FROM a WHERE (SELECT d FROM sp) >= 2 AND s > 0
+ORDER BY event_type
+"""
+
+ORACLE_SQL["gap_cv2"] = """
+WITH s AS (SELECT event_type AS et, epoch_us(ts) AS t,
+                  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                      AS nt
+           FROM events),
+g AS (SELECT et, (nt - t) // 1000000 AS gap
+      FROM s WHERE nt IS NOT NULL),
+a AS (SELECT et, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(gap) AS HUGEINT) AS sg,
+             sum(CAST(gap AS HUGEINT) * gap) AS q
+      FROM g GROUP BY 1)
+SELECT et AS event_type, CAST(n AS BIGINT) AS n_gaps,
+       CAST(sg AS BIGINT) AS sum_gap_s,
+       CAST(n * (n * q - sg * sg) * 1000000
+            // ((n - 1) * sg * sg) AS BIGINT) AS cv2_ppm
+FROM a WHERE n >= 2 AND sg > 0 ORDER BY event_type
+"""
+
+ORACLE_SQL["streak_lengths"] = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           FROM events),
+i AS (SELECT user_id,
+             day - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS grp
+      FROM d),
+l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+      FROM i GROUP BY user_id, grp),
+m AS (SELECT user_id, max(len) AS streak FROM l GROUP BY 1)
+SELECT streak, CAST(count(*) AS BIGINT) AS n_users
+FROM m GROUP BY 1 ORDER BY streak
+"""

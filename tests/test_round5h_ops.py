@@ -423,3 +423,207 @@ def test_embedding_pca_var_matches_bruteforce(ray_session, tmp_path):
         // trace
     assert int(got["dom_dim"]) == 2           # planted direction
     assert int(got["top_share_ppm"]) > 900_000  # near-rank-1 cloud
+
+
+def _write_docs(tmp_path, sources, texts):
+    pq.write_table(pa.table({
+        "source": pa.array(sources, pa.string()),
+        "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+
+def test_token_simpson_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_token_simpson
+
+    _write_docs(tmp_path,
+                ["boiler", "boiler", "rich", "rich"],
+                ["spam spam spam spam eggs",
+                 "spam spam ham",
+                 "alpha beta gamma delta",
+                 "epsilon zeta eta theta"])
+
+    got = q_token_simpson(str(tmp_path)).to_pandas() \
+        .set_index("source")
+
+    for src in ("boiler", "rich"):
+        cnt = {}
+        for s, txt in zip(["boiler", "boiler", "rich", "rich"],
+                          ["spam spam spam spam eggs",
+                           "spam spam ham",
+                           "alpha beta gamma delta",
+                           "epsilon zeta eta theta"]):
+            if s != src:
+                continue
+            for w in txt.split():
+                cnt[w] = cnt.get(w, 0) + 1
+        t = sum(cnt.values())
+        rep = sum(c * (c - 1) for c in cnt.values())
+        assert int(got.loc[src, "n_tokens"]) == t
+        assert int(got.loc[src, "n_types"]) == len(cnt)
+        assert int(got.loc[src, "simpson_ppb"]) == \
+            rep * 1_000_000_000 // (t * (t - 1))
+    assert int(got.loc["boiler", "simpson_ppb"]) > \
+        int(got.loc["rich", "simpson_ppb"]) + 100_000_000
+
+
+def test_source_jsd_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_source_jsd
+
+    srcs = ["same1", "same2", "far"]
+    texts = {"same1": "a b c a b c a b",
+             "same2": "a b c a b c b a",
+             "far": "x y z w x y z w"}
+    _write_docs(tmp_path, srcs, [texts[s] for s in srcs])
+
+    got = q_source_jsd(str(tmp_path)).to_pandas()
+    got = got.set_index(["src_a", "src_b"])
+
+    def L(x):
+        return int(math.floor(math.log(x) * 1_000_000 + 0.5))
+
+    def counts(s):
+        d = {}
+        for w in texts[s].split():
+            d[w] = d.get(w, 0) + 1
+        return d
+
+    def sdiv(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    import itertools
+
+    for x, y in itertools.combinations(sorted(srcs), 2):
+        ca, cb = counts(x), counts(y)
+        A, B = sum(ca.values()), sum(cb.values())
+        sa = sb = 0
+        for w in set(ca) | set(cb):
+            a, b = ca.get(w, 0), cb.get(w, 0)
+            mix = a * B + b * A
+            if a > 0:
+                sa += a * (L(2 * a * B) - L(mix))
+            if b > 0:
+                sb += b * (L(2 * b * A) - L(mix))
+        jsd = sdiv(sa, 2 * A) + sdiv(sb, 2 * B)
+        assert int(got.loc[(x, y), "jsd_micro"]) == jsd
+        assert int(got.loc[(x, y), "tok_a"]) == A
+    # identical-vocab pair near 0; disjoint pair near ln2 (693147)
+    assert abs(int(got.loc[("same1", "same2"), "jsd_micro"])) < 20_000
+    assert int(got.loc[("far", "same1"), "jsd_micro"]) > 650_000
+
+
+def test_daily_dispersion_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_daily_dispersion
+
+    rng = np.random.RandomState(13)
+    days, types = [], []
+    for d in range(30):
+        # steady: ~3/day every day; bursty: 30 on two days only
+        for _ in range(3):
+            days.append(d)
+            types.append("steady")
+    for d in (5, 20):
+        for _ in range(30):
+            days.append(d)
+            types.append("bursty")
+    ts = [(d * 86_400 + int(rng.randint(0, 86_400))) * 1_000_000
+          for d in days]
+    pq.write_table(pa.table({
+        "ts": pa.array(np.array(ts, np.int64)).cast(pa.timestamp("us")),
+        "event_type": pa.array(types, pa.string())}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_daily_dispersion(str(tmp_path)).to_pandas() \
+        .set_index("event_type")
+
+    span = max(days) - min(days) + 1
+    for et in ("steady", "bursty"):
+        cnt = {}
+        for d, t in zip(days, types):
+            if t == et:
+                cnt[d] = cnt.get(d, 0) + 1
+        s = sum(cnt.values())
+        q = sum(c * c for c in cnt.values())
+        vmr = (span * q - s * s) * 1_000_000 // ((span - 1) * s)
+        assert int(got.loc[et, "vmr_ppm"]) == vmr
+        assert int(got.loc[et, "n_days_active"]) == len(cnt)
+        assert int(got.loc[et, "day_span"]) == span
+    assert int(got.loc["bursty", "vmr_ppm"]) > 10_000_000
+    assert int(got.loc["steady", "vmr_ppm"]) < 2_000_000
+
+
+def test_gap_cv2_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_gap_cv2
+
+    rng = np.random.RandomState(19)
+    rows = []  # (user, ts_us, type)
+    eid = 0
+    for u in range(10):
+        t = int(rng.randint(0, 1000)) * 1_000_000
+        for _ in range(20):
+            # metronome: exactly 60s; bursty: 1s or 1000s
+            if u < 5:
+                t += 60 * 1_000_000
+                rows.append((u, t, "metronome"))
+            else:
+                t += int(rng.choice([1, 1000])) * 1_000_000
+                rows.append((u, t, "bursty"))
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64))
+            .cast(pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string())}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_gap_cv2(str(tmp_path)).to_pandas().set_index("event_type")
+
+    per_user: dict = {}
+    for i, (u, t, et) in enumerate(rows):
+        per_user.setdefault(u, []).append((t, i, et))
+    acc: dict = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        for (t1, _, et1), (t2, _, _) in zip(evs, evs[1:]):
+            g = (t2 - t1) // 1_000_000
+            n, s, q = acc.get(et1, (0, 0, 0))
+            acc[et1] = (n + 1, s + g, q + g * g)
+    for et, (n, s, q) in acc.items():
+        cv2 = n * (n * q - s * s) * 1_000_000 // ((n - 1) * s * s)
+        assert int(got.loc[et, "cv2_ppm"]) == cv2
+        assert int(got.loc[et, "n_gaps"]) == n
+        assert int(got.loc[et, "sum_gap_s"]) == s
+    assert int(got.loc["metronome", "cv2_ppm"]) == 0
+    assert int(got.loc["bursty", "cv2_ppm"]) > 500_000
+
+
+def test_streak_lengths_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_streak_lengths
+
+    rng = np.random.RandomState(37)
+    rows = []
+    expected: dict = {}
+    for u in range(40):
+        days = sorted(set(int(x) for x in
+                          rng.choice(30, rng.randint(1, 15),
+                                     replace=False)))
+        best = cur = 1
+        for a, b in zip(days, days[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            best = max(best, cur)
+        expected[best] = expected.get(best, 0) + 1
+        for d in days:
+            # several events per active day
+            for _ in range(int(rng.randint(1, 4))):
+                rows.append((u, (d * 86_400
+                                 + int(rng.randint(0, 86_400)))
+                             * 1_000_000))
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64))
+            .cast(pa.timestamp("us"))}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_streak_lengths(str(tmp_path)).to_pandas()
+    got = dict(zip(got["streak"].astype(int),
+                   got["n_users"].astype(int)))
+    assert got == expected
