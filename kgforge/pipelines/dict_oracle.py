@@ -1408,3 +1408,17 @@ JOIN (SELECT DISTINCT seed, node FROM mbwd) b
 WHERE f.node <> f.seed
 ORDER BY f.seed, f.node
 """
+
+
+def pred_pairs_sql() -> str:
+    """Twin of ``q_kg_pred_pairs`` — distinct (subj, pred) pairs from
+    the pre-dedup triple stream, unordered predicate pairs per
+    subject (a < b), counted over subjects."""
+    return _triples_ctes() + """,
+sp AS (SELECT DISTINCT subj, pred FROM trip)
+SELECT p1.pred AS pred_a, p2.pred AS pred_b,
+       CAST(count(*) AS BIGINT) AS n_subjects
+FROM sp p1 JOIN sp p2
+  ON p1.subj = p2.subj AND p1.pred < p2.pred
+GROUP BY 1, 2
+"""

@@ -16037,3 +16037,182 @@ m AS (SELECT user_id, max(len) AS streak FROM l GROUP BY 1)
 SELECT streak, CAST(count(*) AS BIGINT) AS n_users
 FROM m GROUP BY 1 ORDER BY streak
 """
+
+
+def q_length_jarque_bera(sf_dir: str):
+    """Jarque–Bera normality test of log document length — is the
+    corpus log-normal in size, or has scraping mixed regimes? —
+    computed entirely from exact integer raw moments of
+    ``L3(n_chars)=⌊ln(n_chars)·10³+½⌋``: A = n·M2, B = n²·M3,
+    C = n³·M4 clear every denominator, ``g1 = B/A^1.5``,
+    ``g2 = C/A²``, ``JB = n/6·(g1² + (g2−3)²/4)`` — both engines
+    derive the doubles from the SAME integers.
+
+    Scale plan: one streaming pass of 5 int64 partials per 512-row
+    batch (x⁴ bounds the batch size); the fold runs on the driver in
+    Python ints (s1³ needs ~2¹²⁵ at sf 1)."""
+    import pyarrow.dataset as pds
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        nc = b["n_chars"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        x = np.floor(np.log(nc) * 1_000 + 0.5).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "s1": pa.array([int(x.sum())], pa.int64()),
+            "s2": pa.array([int((x * x).sum())], pa.int64()),
+            "s3": pa.array([int((x * x * x).sum())], pa.int64()),
+            "s4": pa.array([int((x * x * x * x).sum())], pa.int64())})
+
+    parts = _read(sf_dir, "documents", ["n_chars"],
+                  row_filter=pds.field("n_chars") > 0) \
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=512).to_pandas()
+    n = sum(int(v) for v in parts["n"])
+    s1 = sum(int(v) for v in parts["s1"])
+    s2 = sum(int(v) for v in parts["s2"])
+    s3 = sum(int(v) for v in parts["s3"])
+    s4 = sum(int(v) for v in parts["s4"])
+    a = n * s2 - s1 * s1
+    bb = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+    c = n ** 3 * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 \
+        - 3 * s1 ** 4
+    g2m3 = c - 3 * a * a
+    fa, fb = float(a), float(bb)
+    skew = float(round_away(fb / np.sqrt(fa * fa * fa), 6))
+    kurt = float(round_away(float(c) / (fa * fa), 6))
+    jb = float(round_away(
+        float(n) / 6.0 * (fb * fb / (fa * fa * fa)
+                          + float(g2m3) * float(g2m3)
+                            / (4.0 * fa * fa * fa * fa)), 4))
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "mu_millinats": pa.array([s1 // n], pa.int64()),
+        "skew_g1": pa.array([skew], pa.float64()),
+        "kurt_g2": pa.array([kurt], pa.float64()),
+        "jb": pa.array([jb], pa.float64())})
+
+
+def q_user_lifespan(sf_dir: str):
+    """User activity-lifespan census: days between a user's first
+    and last event, bucketed by whole weeks (capped at 12) — the
+    churn-horizon histogram next to ``cohort_retention``.
+
+    Scale plan: per-batch per-user (min_day, max_day) partials → one
+    user-keyed groupby (only day extrema shuffle) → per-batch bucket
+    census → one 13-bounded groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (b["ts"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        t = pa.table({"u": b["user_id"],
+                      "lo": pa.array(day.astype(np.int64)),
+                      "hi": pa.array(day.astype(np.int64))})
+        g = t.group_by(["u"], use_threads=False).aggregate(
+            [("lo", "min"), ("hi", "max")])
+        return pa.table({"u": g["u"], "lo": g["lo_min"],
+                         "hi": g["hi_max"]})
+
+    spans = _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("u").aggregate(Min("lo", alias_name="lo"),
+                                Max("hi", alias_name="hi"))
+
+    def census(b: pa.Table) -> pa.Table:
+        span = (b["hi"].combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                - b["lo"].combine_chunks()
+                .to_numpy(zero_copy_only=False)).astype(np.int64)
+        bucket = np.minimum(span // 7, 12)
+        t = pa.table({"week_bucket": pa.array(bucket),
+                      "n": pa.array(np.ones(len(span), np.int64)),
+                      "s": pa.array(span)})
+        g = t.group_by(["week_bucket"], use_threads=False).aggregate(
+            [("n", "sum"), ("s", "sum")])
+        return pa.table({"week_bucket": g["week_bucket"],
+                         "n": g["n_sum"], "s": g["s_sum"]})
+
+    return spans.map_batches(census, batch_format="pyarrow") \
+        .groupby("week_bucket").aggregate(
+            Sum("n", alias_name="n_users"),
+            Sum("s", alias_name="sum_span_days")) \
+        .sort("week_bucket")
+
+
+def q_kg_pred_pairs(sf_dir: str):
+    """Predicate co-occurrence within subjects of the KG: for each
+    unordered predicate pair, how many subjects carry both — the
+    schema-affinity census that seeds Horn-rule mining (pred_a ∧
+    pred_b on one subject).  Rides the dict-lane triples and the
+    generic ``cooccur_pairs_ds`` primitive (subject-keyed distinct
+    pairs; predicates are bounded so the pair space is tiny)."""
+    from kgforge.functions.graph import cooccur_pairs_ds
+
+    trips = _dict_flagship_for(sf_dir)["triples"].select_columns(
+        ["subj", "pred"])
+    pairs = cooccur_pairs_ds(trips, ["subj"], "pred")
+    return pairs.map_batches(
+        lambda b: pa.table({"pred_a": b["a"], "pred_b": b["b"],
+                            "n_subjects": pc.cast(b["n_groups"],
+                                                  pa.int64())}),
+        batch_format="pyarrow")
+
+
+QUERIES["length_jarque_bera"] = q_length_jarque_bera
+QUERIES["user_lifespan"] = q_user_lifespan
+QUERIES["kg_pred_pairs"] = q_kg_pred_pairs
+
+ORACLE_SQL["length_jarque_bera"] = """
+WITH x AS (SELECT CAST(floor(ln(n_chars) * 1000 + 0.5) AS BIGINT)
+               AS x
+           FROM documents WHERE n_chars > 0),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS s1,
+             sum(CAST(x AS HUGEINT) * x) AS s2,
+             sum(CAST(x AS HUGEINT) * x * x) AS s3,
+             sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+      FROM x),
+z AS (SELECT n, s1,
+             n * s2 - s1 * s1 AS a,
+             n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS b,
+             n * n * n * s4 - 4 * n * n * s1 * s3
+                 + 6 * n * s1 * s1 * s2
+                 - 3 * s1 * s1 * s1 * s1 AS c
+      FROM m)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(s1 // n AS BIGINT) AS mu_millinats,
+       round(CAST(b AS DOUBLE)
+             / sqrt(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                    * CAST(a AS DOUBLE)), 6) AS skew_g1,
+       round(CAST(c AS DOUBLE)
+             / (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), 6)
+           AS kurt_g2,
+       round(CAST(n AS DOUBLE) / 6.0
+             * (CAST(b AS DOUBLE) * CAST(b AS DOUBLE)
+                / (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                   * CAST(a AS DOUBLE))
+                + CAST(c - 3 * a * a AS DOUBLE)
+                  * CAST(c - 3 * a * a AS DOUBLE)
+                  / (4.0 * CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                     * CAST(a AS DOUBLE) * CAST(a AS DOUBLE))), 4)
+           AS jb
+FROM z
+"""
+
+ORACLE_SQL["user_lifespan"] = """
+WITH s AS (SELECT user_id,
+                  max(CAST(epoch_us(ts) // 86400000000 AS BIGINT))
+                  - min(CAST(epoch_us(ts) // 86400000000 AS BIGINT))
+                      AS span
+           FROM events GROUP BY 1)
+SELECT CASE WHEN span // 7 < 12 THEN span // 7 ELSE 12 END
+           AS week_bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(span) AS BIGINT) AS sum_span_days
+FROM s GROUP BY 1 ORDER BY week_bucket
+"""
+
+ORACLE_SQL["kg_pred_pairs"] = _dict_oracle.pred_pairs_sql()

@@ -627,3 +627,67 @@ def test_streak_lengths_matches_bruteforce(ray_session, tmp_path):
     got = dict(zip(got["streak"].astype(int),
                    got["n_users"].astype(int)))
     assert got == expected
+
+
+def test_length_jarque_bera_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_length_jarque_bera
+
+    rng = np.random.RandomState(43)
+    # log-normal lengths => JB small; add a planted heavy tail
+    lens = np.concatenate([
+        np.exp(rng.normal(7, 0.5, 300)).astype(np.int64) + 1,
+        np.full(30, 2_000_000, np.int64)])          # planted outliers
+    pq.write_table(pa.table({
+        "n_chars": pa.array(lens, pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = q_length_jarque_bera(str(tmp_path)).to_pandas().iloc[0]
+
+    x = [int(math.floor(math.log(v) * 1_000 + 0.5)) for v in lens]
+    n = len(x)
+    s1, s2 = sum(x), sum(v * v for v in x)
+    s3 = sum(v ** 3 for v in x)
+    s4 = sum(v ** 4 for v in x)
+    a = n * s2 - s1 * s1
+    b = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+    c = n ** 3 * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 \
+        - 3 * s1 ** 4
+    assert int(got["n_docs"]) == n
+    assert int(got["mu_millinats"]) == s1 // n
+    skew = float(b) / math.sqrt(float(a) ** 3)
+    kurt = float(c) / float(a) ** 2
+    assert abs(float(got["skew_g1"]) - skew) < 1e-5
+    assert abs(float(got["kurt_g2"]) - kurt) < 1e-5
+    jb = n / 6.0 * (skew ** 2 + (kurt - 3) ** 2 / 4)
+    assert abs(float(got["jb"]) - jb) < max(1e-3 * jb, 1e-3)
+    assert float(got["jb"]) > 100.0     # planted tail kills normality
+
+
+def test_user_lifespan_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_user_lifespan
+
+    rng = np.random.RandomState(47)
+    rows = []
+    expected: dict = {}
+    for u in range(50):
+        first = int(rng.randint(0, 50))
+        span = int(rng.randint(0, 120))
+        days = [first, first + span] + [
+            first + int(rng.randint(0, span + 1))
+            for _ in range(int(rng.randint(0, 5)))]
+        for d in days:
+            rows.append((u, (d * 86_400 + u) * 1_000_000))
+        bk = min(span // 7, 12)
+        n, s = expected.get(bk, (0, 0))
+        expected[bk] = (n + 1, s + span)
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64))
+            .cast(pa.timestamp("us"))}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_user_lifespan(str(tmp_path)).to_pandas()
+    got_d = {int(r["week_bucket"]): (int(r["n_users"]),
+                                     int(r["sum_span_days"]))
+             for _, r in got.iterrows()}
+    assert got_d == expected
