@@ -16216,3 +16216,312 @@ FROM s GROUP BY 1 ORDER BY week_bucket
 """
 
 ORACLE_SQL["kg_pred_pairs"] = _dict_oracle.pred_pairs_sql()
+
+
+def q_nbinom_fit(sf_dir: str):
+    """Method-of-moments negative-binomial fit of per-user event
+    counts — the standard engagement-heterogeneity model (var > mean
+    ⇒ NB; r small ⇒ a few superusers dominate).  With exact integers
+    n, S = Σc, Q = Σc²: ``mean_ppm = S·10⁶ // n``, variance
+    numerator V = n·Q − S², ``r_micro = S²·(n−1)·10⁶ //
+    (n·(V − ... ))`` — concretely r = mean²/(var − mean) and
+    p = mean/var become the two integer ratios below, every division
+    a single mirrored floor.
+
+    Scale plan: per-user counts via one user-keyed groupby of
+    per-batch count partials; the moment fold is a second streaming
+    pass of 3 int64 partials."""
+    from ray.data.aggregate import Sum
+
+    def cpartial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"u": g["user_id"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    counts = _read(sf_dir, "events", ["user_id"]) \
+        .map_batches(cpartial, batch_format="pyarrow") \
+        .groupby("u").aggregate(Sum("c", alias_name="c"))
+
+    def mpartial(b: pa.Table) -> pa.Table:
+        c = b["c"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(c)], pa.int64()),
+            "s": pa.array([int(c.sum())], pa.int64()),
+            "q": pa.array([int((c * c).sum())], pa.int64())})
+
+    parts = counts.map_batches(mpartial,
+                               batch_format="pyarrow").to_pandas()
+    n = sum(int(v) for v in parts["n"])
+    s = sum(int(v) for v in parts["s"])
+    q = sum(int(v) for v in parts["q"])
+    # var = (nQ - S^2)/(n(n-1)); overdispersion var - mean
+    v_num = n * q - s * s                     # = var * n(n-1)
+    od_num = v_num - s * (n - 1)              # = (var - mean) * n(n-1)
+    # r = mean^2/(var-mean) ; p = mean/var   (exact single floors)
+    r_micro = s * s * (n - 1) * 1_000_000 // (n * od_num) \
+        if od_num > 0 else -1
+    p_ppm = s * (n - 1) * 1_000_000 // v_num
+    return pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "n_events": pa.array([s], pa.int64()),
+        "mean_ppm": pa.array([s * 1_000_000 // n], pa.int64()),
+        "var_x_nn1": pa.array([v_num], pa.int64()),
+        "r_micro": pa.array([r_micro], pa.int64()),
+        "p_ppm": pa.array([p_ppm], pa.int64())})
+
+
+def q_weekly_churn_markov(sf_dir: str):
+    """Two-state weekly activity Markov matrix over the global week
+    span: per user each consecutive week pair (w, w+1) inside
+    [min_week, max_week] transitions active/inactive; the 2×2 counts
+    and the churn / reactivation rates ``p10_ppm = n10·10⁶ //
+    (n11+n10)``, ``p01_ppm = n01·10⁶ // (n00+n01)``.  Computed by
+    COUNT ALGEBRA on each user's distinct active weeks — n11 =
+    consecutive active pairs, n10 = active-below-max − n11, n01 =
+    active-above-min − n11, n00 = remainder — so neither engine ever
+    expands the users×weeks grid.
+
+    Scale plan: distinct (user, week) rows through ONE user-hash
+    shuffle; per-partition vectorized diff/reduceat; driver folds 4
+    integers."""
+    from kgforge.functions.joins import _part_codes
+
+    P = 64
+
+    def tag(b: pa.Table) -> pa.Table:
+        wk = (b["ts"].combine_chunks().cast(pa.int64())
+              .to_numpy(zero_copy_only=False) // (7 * 86_400_000_000))
+        t = pa.table({"u": b["user_id"],
+                      "w": pa.array(wk.astype(np.int64))})
+        g = t.group_by(["u", "w"], use_threads=False).aggregate([])
+        return g.append_column("__p",
+                               pa.array(_part_codes(g["u"], P)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        """Emits tagged rows: kind 0 = (week, deduped active count);
+        kind 1 = consecutive-pair count; kind 2 = user count — the
+        global-span edge counts fold from the week histogram on the
+        driver (weeks are calendar-bounded)."""
+        t = t.drop_columns(["__p"])
+        idx = pc.sort_indices(t, sort_keys=[("u", "ascending"),
+                                            ("w", "ascending")])
+        t = t.take(idx)
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = t["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.ones(len(u), bool)
+        keep[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        u, w = u[keep], w[keep]
+        if len(u) == 0:
+            return pa.table({"kind": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        aa = int(((u[1:] == u[:-1]) & (w[1:] == w[:-1] + 1)).sum())
+        wk, cnt = np.unique(w, return_counts=True)
+        kind = np.concatenate([np.zeros(len(wk), np.int64), [1, 2]])
+        k = np.concatenate([wk.astype(np.int64), [0, 0]])
+        v = np.concatenate([cnt.astype(np.int64),
+                            [aa, len(np.unique(u))]])
+        return pa.table({"kind": pa.array(kind), "k": pa.array(k),
+                         "v": pa.array(v)})
+
+    parts = _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p") \
+        .map_groups(per_partition, batch_format="pyarrow").to_pandas()
+    hist: dict = {}
+    aa = n_users = 0
+    for _, r in parts.iterrows():
+        kind, k, v = int(r["kind"]), int(r["k"]), int(r["v"])
+        if kind == 0:
+            hist[k] = hist.get(k, 0) + v
+        elif kind == 1:
+            aa += v
+        else:
+            n_users += v
+    act = sum(hist.values())
+    wmin, wmax = min(hist), max(hist)
+    at_max, at_min = hist[wmax], hist[wmin]
+    n11 = aa
+    n10 = (act - at_max) - aa
+    n01 = (act - at_min) - aa
+    span_w = wmax - wmin + 1
+    n00 = n_users * (span_w - 1) - n11 - n10 - n01
+    p10 = n10 * 1_000_000 // (n11 + n10) if n11 + n10 else 0
+    p01 = n01 * 1_000_000 // (n00 + n01) if n00 + n01 else 0
+    return pa.table({
+        "n_users": pa.array([n_users], pa.int64()),
+        "week_span": pa.array([span_w], pa.int64()),
+        "n00": pa.array([n00], pa.int64()),
+        "n01": pa.array([n01], pa.int64()),
+        "n10": pa.array([n10], pa.int64()),
+        "n11": pa.array([n11], pa.int64()),
+        "p01_ppm": pa.array([p01], pa.int64()),
+        "p10_ppm": pa.array([p10], pa.int64())})
+
+
+def q_gap_autocorr(sf_dir: str):
+    """Lag-1 serial correlation of same-user inter-event gaps (whole
+    seconds), per event type of the EARLIEST event in the pair of
+    gaps — do long waits follow long waits?  Exact Pearson from five
+    integer moments over consecutive gap pairs (g, g'), doubles
+    derived from the same integers both engines (types with a
+    degenerate denominator are dropped on both sides).
+
+    Scale plan: dwell_time's user-hash lane; inside a partition the
+    gap pairs are a double shift over the (user, ts, id) sort;
+    type-bounded int64 partials, Python-int driver fold."""
+    from kgforge.common.hashing import round_away
+    from kgforge.functions.joins import _part_codes
+
+    P = 64
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({"u": b["user_id"],
+                      "t": pc.cast(pc.cast(b["ts"],
+                                           pa.timestamp("us")),
+                                   pa.int64()),
+                      "eid": b["event_id"], "et": b["event_type"]})
+        return t.append_column("__p",
+                               pa.array(_part_codes(t["u"], P)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("u", "ascending"),
+                                            ("t", "ascending"),
+                                            ("eid", "ascending")])
+        t = t.take(idx)
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(u)
+        cols = ("n", "sx", "sy", "sxy", "sxx", "syy")
+        if n < 3:
+            return pa.table({"et": pa.array([], pa.string()),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        g = (ts[1:] - ts[:-1]) // 1_000_000
+        same = u[1:] == u[:-1]
+        # pair (g_i, g_{i+1}) valid when events i, i+1, i+2 same user
+        ok = same[:-1] & same[1:]
+        i0 = np.flatnonzero(ok)
+        x, y = g[i0], g[i0 + 1]
+        out = pa.table({"et": t["et"].combine_chunks()
+                        .take(pa.array(i0)),
+                        "n": pa.array(np.ones(len(i0), np.int64)),
+                        "sx": pa.array(x), "sy": pa.array(y),
+                        "sxy": pa.array(x * y),
+                        "sxx": pa.array(x * x),
+                        "syy": pa.array(y * y)}) \
+            .group_by(["et"], use_threads=False).aggregate(
+            [(c, "sum") for c in cols])
+        return pa.table({"et": out["et"],
+                         **{c: out[f"{c}_sum"] for c in cols}})
+
+    parts = _read(sf_dir, "events",
+                  ["user_id", "ts", "event_id", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .to_pandas()
+    acc: dict = {}
+    for _, r in parts.iterrows():
+        e = acc.setdefault(r["et"], [0] * 6)
+        for i, c in enumerate(("n", "sx", "sy", "sxy", "sxx", "syy")):
+            e[i] += int(r[c])
+    rows = []
+    for et in sorted(acc):
+        n, sx, sy, sxy, sxx, syy = acc[et]
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        if n < 2 or dx == 0 or dy == 0:
+            continue
+        r1 = float(round_away(
+            float(n * sxy - sx * sy)
+            / np.sqrt(float(dx) * float(dy)), 6))
+        rows.append((str(et), n, r1))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+        "autocorr_r1": pa.array([r[2] for r in rows], pa.float64())})
+
+
+QUERIES["nbinom_fit"] = q_nbinom_fit
+QUERIES["weekly_churn_markov"] = q_weekly_churn_markov
+QUERIES["gap_autocorr"] = q_gap_autocorr
+
+ORACLE_SQL["nbinom_fit"] = """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(c AS HUGEINT)) AS s,
+             sum(CAST(c AS HUGEINT) * c) AS q
+      FROM c),
+z AS (SELECT n, s, q, n * q - s * s AS v_num,
+             (n * q - s * s) - s * (n - 1) AS od_num
+      FROM m)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(s AS BIGINT) AS n_events,
+       CAST(s * 1000000 // n AS BIGINT) AS mean_ppm,
+       CAST(v_num AS BIGINT) AS var_x_nn1,
+       CAST(CASE WHEN od_num > 0
+                 THEN s * s * (n - 1) * 1000000 // (n * od_num)
+                 ELSE -1 END AS BIGINT) AS r_micro,
+       CAST(s * (n - 1) * 1000000 // v_num AS BIGINT) AS p_ppm
+FROM z
+"""
+
+ORACLE_SQL["weekly_churn_markov"] = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS w
+           FROM events),
+sp AS (SELECT min(w) AS wmin, max(w) AS wmax FROM d),
+aa AS (SELECT CAST(count(*) AS BIGINT) AS aa
+       FROM d a JOIN d b
+         ON a.user_id = b.user_id AND b.w = a.w + 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS act,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS nu,
+             CAST(count(*) FILTER (WHERE w = (SELECT wmax FROM sp))
+                  AS BIGINT) AS at_max,
+             CAST(count(*) FILTER (WHERE w = (SELECT wmin FROM sp))
+                  AS BIGINT) AS at_min
+      FROM d),
+z AS (SELECT nu, (SELECT wmax - wmin + 1 FROM sp) AS span_w,
+             (SELECT aa FROM aa) AS n11,
+             act - at_max - (SELECT aa FROM aa) AS n10,
+             act - at_min - (SELECT aa FROM aa) AS n01,
+             nu * ((SELECT wmax - wmin FROM sp))
+                 - (SELECT aa FROM aa)
+                 - (act - at_max - (SELECT aa FROM aa))
+                 - (act - at_min - (SELECT aa FROM aa)) AS n00
+      FROM t)
+SELECT nu AS n_users, span_w AS week_span, n00, n01, n10, n11,
+       CASE WHEN n00 + n01 > 0
+            THEN n01 * 1000000 // (n00 + n01) ELSE 0 END AS p01_ppm,
+       CASE WHEN n11 + n10 > 0
+            THEN n10 * 1000000 // (n11 + n10) ELSE 0 END AS p10_ppm
+FROM z
+"""
+
+ORACLE_SQL["gap_autocorr"] = """
+WITH s AS (SELECT event_type AS et, epoch_us(ts) AS t,
+                  lead(epoch_us(ts), 1) OVER w AS t1,
+                  lead(epoch_us(ts), 2) OVER w AS t2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT et, (t1 - t) // 1000000 AS x,
+             (t2 - t1) // 1000000 AS y
+      FROM s WHERE t2 IS NOT NULL),
+a AS (SELECT et, CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM g GROUP BY 1)
+SELECT et AS event_type, CAST(n AS BIGINT) AS n_pairs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           AS autocorr_r1
+FROM a
+WHERE n >= 2 AND n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+ORDER BY event_type
+"""

@@ -691,3 +691,125 @@ def test_user_lifespan_matches_bruteforce(ray_session, tmp_path):
                                      int(r["sum_span_days"]))
              for _, r in got.iterrows()}
     assert got_d == expected
+
+
+def test_nbinom_fit_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_nbinom_fit
+
+    rng = np.random.RandomState(53)
+    # overdispersed counts: a few superusers
+    counts = [1] * 30 + [3] * 20 + [50, 80, 120]
+    rows = []
+    for u, c in enumerate(counts):
+        for i in range(c):
+            rows.append((u, (u * 10_000 + i) * 1_000_000))
+    rng.shuffle(rows)
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64))
+            .cast(pa.timestamp("us"))}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_nbinom_fit(str(tmp_path)).to_pandas().iloc[0]
+
+    n = len(counts)
+    s, q = sum(counts), sum(c * c for c in counts)
+    v_num = n * q - s * s
+    od = v_num - s * (n - 1)
+    assert int(got["n_users"]) == n
+    assert int(got["n_events"]) == s
+    assert int(got["mean_ppm"]) == s * 1_000_000 // n
+    assert int(got["var_x_nn1"]) == v_num
+    assert int(got["r_micro"]) == s * s * (n - 1) * 1_000_000 \
+        // (n * od)
+    assert int(got["p_ppm"]) == s * (n - 1) * 1_000_000 // v_num
+    # overdispersed: r small (heterogeneous), p well below 1
+    assert int(got["r_micro"]) < 1_000_000
+
+
+def test_weekly_churn_markov_matches_bruteforce(ray_session,
+                                                tmp_path):
+    from kgforge.pipelines.driver_queries import q_weekly_churn_markov
+
+    rng = np.random.RandomState(59)
+    active: dict = {}
+    rows = []
+    for u in range(30):
+        wks = sorted(set(int(x) for x in
+                         rng.choice(20, rng.randint(1, 12),
+                                    replace=False)))
+        active[u] = set(wks)
+        for w in wks:
+            for _ in range(int(rng.randint(1, 3))):
+                rows.append((u, (w * 7 * 86_400
+                                 + int(rng.randint(0, 600_000)))
+                             * 1_000_000))
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64))
+            .cast(pa.timestamp("us"))}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_weekly_churn_markov(str(tmp_path)).to_pandas().iloc[0]
+
+    wmin = min(min(s) for s in active.values())
+    wmax = max(max(s) for s in active.values())
+    n = {"00": 0, "01": 0, "10": 0, "11": 0}
+    for s in active.values():
+        for w in range(wmin, wmax):
+            key = f"{int(w in s)}{int(w + 1 in s)}"
+            n[key] += 1
+    assert int(got["n00"]) == n["00"]
+    assert int(got["n01"]) == n["01"]
+    assert int(got["n10"]) == n["10"]
+    assert int(got["n11"]) == n["11"]
+    assert int(got["week_span"]) == wmax - wmin + 1
+    assert int(got["p10_ppm"]) == n["10"] * 1_000_000 \
+        // (n["11"] + n["10"])
+    assert int(got["p01_ppm"]) == n["01"] * 1_000_000 \
+        // (n["00"] + n["01"])
+
+
+def test_gap_autocorr_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_gap_autocorr
+
+    rng = np.random.RandomState(61)
+    rows = []
+    for u in range(8):
+        t = 0
+        # alternating short/long gaps => strong NEGATIVE lag-1 corr
+        for i in range(30):
+            t += (5 if i % 2 == 0 else 500) * 1_000_000
+            rows.append((u, t, "alternator"))
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64))
+            .cast(pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string())}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_gap_autocorr(str(tmp_path)).to_pandas() \
+        .set_index("event_type")
+
+    mo = [0] * 6
+    per_user: dict = {}
+    for u, t, _ in rows:
+        per_user.setdefault(u, []).append(t)
+    for ts in per_user.values():
+        ts.sort()
+        gaps = [(b - a) // 1_000_000 for a, b in zip(ts, ts[1:])]
+        for x, y in zip(gaps, gaps[1:]):
+            mo[0] += 1
+            mo[1] += x
+            mo[2] += y
+            mo[3] += x * y
+            mo[4] += x * x
+            mo[5] += y * y
+    n, sx, sy, sxy, sxx, syy = mo
+    r1 = (n * sxy - sx * sy) / math.sqrt(
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    assert int(got.loc["alternator", "n_pairs"]) == n
+    assert abs(float(got.loc["alternator", "autocorr_r1"]) - r1) \
+        < 1e-5
+    assert float(got.loc["alternator", "autocorr_r1"]) < -0.9
