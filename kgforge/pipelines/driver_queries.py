@@ -16525,3 +16525,324 @@ FROM a
 WHERE n >= 2 AND n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
 ORDER BY event_type
 """
+
+
+def q_vocab_chao1(sf_dir: str):
+    """Chao1 vocabulary-richness estimate per source — how many token
+    types does the source REALLY have, given what we sampled?
+    ``chao1_est = S + f1(f1−1) // (2(f2+1))`` (bias-corrected form,
+    exact integer) plus Good–Turing sample coverage
+    ``coverage_ppm = (T−f1)·10⁶ // T`` — the crawl-more-or-stop
+    signal next to ``vocab_growth``'s Heaps curve.
+
+    Scale plan: rides the (source, token) vocab groupby; per-batch
+    (types, f1, f2, tokens) int64 partials → one tiny source
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        src = b["source"].take(par)
+        g = pa.table({"source": src, "w": flat}) \
+            .group_by(["source", "w"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "w": g["w"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    vocab = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "w"]).aggregate(Sum("c", alias_name="c"))
+
+    def fold(b: pa.Table) -> pa.Table:
+        c = b["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = pa.table({"source": b["source"],
+                      "ty": pa.array(np.ones(len(c), np.int64)),
+                      "f1": pa.array((c == 1).astype(np.int64)),
+                      "f2": pa.array((c == 2).astype(np.int64)),
+                      "tok": pa.array(c)})
+        g = t.group_by(["source"], use_threads=False).aggregate(
+            [("ty", "sum"), ("f1", "sum"), ("f2", "sum"),
+             ("tok", "sum")])
+        return pa.table({"source": g["source"], "ty": g["ty_sum"],
+                         "f1": g["f1_sum"], "f2": g["f2_sum"],
+                         "tok": g["tok_sum"]})
+
+    agg = vocab.map_batches(fold, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("ty", alias_name="n_types"),
+            Sum("f1", alias_name="f1"),
+            Sum("f2", alias_name="f2"),
+            Sum("tok", alias_name="n_tokens")).to_pandas() \
+        .sort_values("source")
+    rows = []
+    for _, r in agg.iterrows():
+        s, f1, f2, t = (int(r[c]) for c in
+                        ("n_types", "f1", "f2", "n_tokens"))
+        rows.append((str(r["source"]), s, f1, f2, t,
+                     s + f1 * (f1 - 1) // (2 * (f2 + 1)),
+                     (t - f1) * 1_000_000 // t))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "n_types": pa.array([r[1] for r in rows], pa.int64()),
+        "f1": pa.array([r[2] for r in rows], pa.int64()),
+        "f2": pa.array([r[3] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r[4] for r in rows], pa.int64()),
+        "chao1_est": pa.array([r[5] for r in rows], pa.int64()),
+        "coverage_ppm": pa.array([r[6] for r in rows], pa.int64())})
+
+
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?[0-9][0-9\- ]{7,}[0-9]"),
+    ("long_id", r"[0-9]{9,}"),
+)
+
+
+def q_pii_census(sf_dir: str):
+    """PII-pattern census per source: share of documents matching an
+    email / phone / long-numeric-ID regex (RE2 both engines) — the
+    data-governance gate before any corpus ships.
+
+    Scale plan: pure vectorized map (three compiled RE2 scans per
+    batch), source-bounded count partials, zero shuffle of text."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b["text"], "")
+        cols = {"source": b["source"],
+                "n": pa.array(np.ones(b.num_rows, np.int64))}
+        for name, pat in _PII_PATTERNS:
+            m = pc.match_substring_regex(txt, pat)
+            cols[name] = pc.cast(m, pa.int64())
+        g = pa.table(cols).group_by(["source"],
+                                    use_threads=False).aggregate(
+            [("n", "sum")] + [(n, "sum") for n, _ in _PII_PATTERNS])
+        return pa.table({"source": g["source"], "n": g["n_sum"],
+                         **{n: g[f"{n}_sum"]
+                            for n, _ in _PII_PATTERNS}})
+
+    agg = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n", alias_name="n_docs"),
+            *[Sum(n, alias_name=f"n_{n}") for n, _ in _PII_PATTERNS]) \
+        .to_pandas().sort_values("source")
+    out = {"source": pa.array(agg["source"].astype(str), pa.string()),
+           "n_docs": pa.array(agg["n_docs"].astype(np.int64),
+                              pa.int64())}
+    nd = agg["n_docs"].to_numpy(dtype=np.int64)
+    for n, _ in _PII_PATTERNS:
+        v = agg[f"n_{n}"].to_numpy(dtype=np.int64)
+        out[f"n_{n}"] = pa.array(v, pa.int64())
+        out[f"{n}_ppm"] = pa.array(v * 1_000_000 // nd, pa.int64())
+    return pa.table(out)
+
+
+def q_linear_attribution(sf_dir: str):
+    """Linear multi-touch attribution: each purchase splits 10⁶
+    micro-credits equally (floored) over the same user's non-purchase
+    touches in the strict 7-day lookback — the equal-weight
+    counterpart to ``first_touch`` / ``position_attribution`` /
+    ``removal_effect``.  Per touch type: touches credited and total
+    micro-credit.
+
+    Scale plan: one user-hash shuffle; per partition the window is
+    TWO vectorized searchsorted calls on a user-offset time axis
+    (no per-conversion Python), type credit via bounded one-hot
+    prefix sums."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    P = 64
+    W = 7 * 86_400_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({"u": b["user_id"],
+                      "t": pc.cast(pc.cast(b["ts"],
+                                           pa.timestamp("us")),
+                                   pa.int64()),
+                      "et": b["event_type"]})
+        return t.append_column("__p",
+                               pa.array(_part_codes(t["u"], P)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("u", "ascending"),
+                                            ("t", "ascending")])
+        t = t.take(idx)
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        et = t["et"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False)
+        types = et.dictionary.to_pylist()
+        n = len(u)
+        if n == 0:
+            return pa.table({"et": pa.array([], pa.string()),
+                             "nt": pa.array([], pa.int64()),
+                             "cr": pa.array([], pa.int64()),
+                             "nc": pa.array([], pa.int64()),
+                             "na": pa.array([], pa.int64())})
+        # user-offset time axis: globally monotone within partition
+        _, urank = np.unique(u, return_inverse=True)
+        adj = ts + urank.astype(np.int64) * (1 << 50)
+        is_conv = np.array([types[c] == "purchase"
+                            for c in range(len(types))])[codes]
+        is_touch = ~is_conv
+        # exclusive prefix sums: total and per type
+        cum_touch = np.zeros(n + 1, np.int64)
+        np.cumsum(is_touch, out=cum_touch[1:])
+        conv_idx = np.flatnonzero(is_conv)
+        lo = np.searchsorted(adj, adj[conv_idx] - W, side="left")
+        hi = np.searchsorted(adj, adj[conv_idx], side="left")
+        k = cum_touch[hi] - cum_touch[lo]
+        credit = np.where(k > 0, 1_000_000 // np.maximum(k, 1), 0)
+        nt_out, cr_out, et_out = [], [], []
+        for ci, tname in enumerate(types):
+            if tname == "purchase":
+                continue
+            cum_t = np.zeros(n + 1, np.int64)
+            np.cumsum((codes == ci) & is_touch, out=cum_t[1:])
+            cnt = cum_t[hi] - cum_t[lo]
+            et_out.append(tname)
+            nt_out.append(int(cnt.sum()))
+            cr_out.append(int((cnt * credit).sum()))
+        # sentinel row carries the conversion totals even when the
+        # partition has no touch types at all
+        et_out.append("\x00conv")
+        nt_out.append(0)
+        cr_out.append(0)
+        m = len(et_out)
+        return pa.table({
+            "et": pa.array(et_out, pa.string()),
+            "nt": pa.array(nt_out, pa.int64()),
+            "cr": pa.array(cr_out, pa.int64()),
+            "nc": pa.array([0] * (m - 1) + [len(conv_idx)],
+                           pa.int64()),
+            "na": pa.array([0] * (m - 1) + [int((k > 0).sum())],
+                           pa.int64())})
+
+    agg = _read(sf_dir, "events", ["user_id", "ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby("et").aggregate(
+            Sum("nt", alias_name="touches"),
+            Sum("cr", alias_name="credit_micro"),
+            Sum("nc", alias_name="nc"),
+            Sum("na", alias_name="na")).to_pandas() \
+        .sort_values("et")
+    n_conv = int(agg["nc"].sum())
+    n_attr = int(agg["na"].sum())
+    agg = agg[agg["et"] != "\x00conv"]
+    return pa.table({
+        "event_type": pa.array(agg["et"].astype(str), pa.string()),
+        "touches": pa.array(agg["touches"].astype(np.int64),
+                            pa.int64()),
+        "credit_micro": pa.array(
+            agg["credit_micro"].astype(np.int64), pa.int64()),
+        "n_conversions": pa.array([n_conv] * len(agg), pa.int64()),
+        "n_attributed": pa.array([n_attr] * len(agg), pa.int64())})
+
+
+def q_doc_prefix_dup(sf_dir: str):
+    """Top-20 duplicated 48-character document prefixes — the
+    boilerplate / template detector (scraped headers, license
+    blocks) that exact-hash dedup misses when tails differ.
+
+    Scale plan: prefixes (not documents) shuffle once; top-k via
+    sort-limit on the count table."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        pre = pc.utf8_slice_codeunits(
+            pc.fill_null(b["text"], ""), 0, 48)
+        g = pa.table({"prefix": pre}) \
+            .group_by(["prefix"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({"prefix": g["prefix"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    return _read(sf_dir, "documents", ["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("prefix").aggregate(Sum("n", alias_name="n_docs")) \
+        .sort(["n_docs", "prefix"], descending=[True, False]) \
+        .limit(20)
+
+
+QUERIES["vocab_chao1"] = q_vocab_chao1
+QUERIES["pii_census"] = q_pii_census
+QUERIES["linear_attribution"] = q_linear_attribution
+QUERIES["doc_prefix_dup"] = q_doc_prefix_dup
+
+ORACLE_SQL["vocab_chao1"] = r"""
+WITH toks AS (SELECT source,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS w
+              FROM documents),
+v AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS s,
+             CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS f1,
+             CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS f2,
+             CAST(sum(c) AS BIGINT) AS t
+      FROM v GROUP BY 1)
+SELECT source, s AS n_types, f1, f2, t AS n_tokens,
+       s + f1 * (f1 - 1) // (2 * (f2 + 1)) AS chao1_est,
+       (t - f1) * 1000000 // t AS coverage_ppm
+FROM a ORDER BY source
+"""
+
+ORACLE_SQL["pii_census"] = r"""
+WITH d AS (SELECT source, coalesce(text, '') AS text
+           FROM documents),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) FILTER (WHERE regexp_matches(text,
+                 '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                 AS BIGINT) AS n_email,
+             CAST(count(*) FILTER (WHERE regexp_matches(text,
+                 '\+?[0-9][0-9\- ]{7,}[0-9]')) AS BIGINT) AS n_phone,
+             CAST(count(*) FILTER (WHERE regexp_matches(text,
+                 '[0-9]{9,}')) AS BIGINT) AS n_long_id
+      FROM d GROUP BY 1)
+SELECT source, n_docs, n_email, n_email * 1000000 // n_docs
+           AS email_ppm,
+       n_phone, n_phone * 1000000 // n_docs AS phone_ppm,
+       n_long_id, n_long_id * 1000000 // n_docs AS long_id_ppm
+FROM a ORDER BY source
+"""
+
+ORACLE_SQL["linear_attribution"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+           FROM events),
+conv AS (SELECT user_id, t,
+                row_number() OVER () AS cid
+         FROM e WHERE event_type = 'purchase'),
+tw AS (SELECT c.cid, tch.event_type AS et
+       FROM conv c JOIN e tch
+         ON tch.user_id = c.user_id
+        AND tch.event_type <> 'purchase'
+        AND tch.t < c.t AND tch.t >= c.t - 604800000000),
+k AS (SELECT cid, CAST(count(*) AS BIGINT) AS k FROM tw GROUP BY 1),
+cr AS (SELECT tw.et, CAST(count(*) AS BIGINT) AS touches,
+              CAST(sum(1000000 // k.k) AS BIGINT) AS credit_micro
+       FROM tw JOIN k USING (cid) GROUP BY 1),
+tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM conv)
+                   AS n_conversions,
+               (SELECT CAST(count(*) AS BIGINT) FROM k)
+                   AS n_attributed)
+SELECT et AS event_type, touches, credit_micro,
+       tot.n_conversions, tot.n_attributed
+FROM cr CROSS JOIN tot ORDER BY event_type
+"""
+
+ORACLE_SQL["doc_prefix_dup"] = """
+SELECT substr(coalesce(text, ''), 1, 48) AS prefix,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1 ORDER BY n_docs DESC, prefix LIMIT 20
+"""

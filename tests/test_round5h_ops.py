@@ -813,3 +813,117 @@ def test_gap_autocorr_matches_bruteforce(ray_session, tmp_path):
     assert abs(float(got.loc["alternator", "autocorr_r1"]) - r1) \
         < 1e-5
     assert float(got.loc["alternator", "autocorr_r1"]) < -0.9
+
+
+def test_vocab_chao1_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_vocab_chao1
+
+    # planted: half the types are hapax => chao1 well above observed
+    text_a = " ".join(["common"] * 20
+                      + [f"rare{i}" for i in range(10)]
+                      + ["twice", "twice", "double", "double"])
+    text_b = "a a a b b c"
+    _write_docs(tmp_path, ["richsrc", "poorsrc"], [text_a, text_b])
+
+    got = q_vocab_chao1(str(tmp_path)).to_pandas().set_index("source")
+
+    for src, txt in (("richsrc", text_a), ("poorsrc", text_b)):
+        cnt = {}
+        for w in txt.split():
+            cnt[w] = cnt.get(w, 0) + 1
+        s = len(cnt)
+        f1 = sum(1 for c in cnt.values() if c == 1)
+        f2 = sum(1 for c in cnt.values() if c == 2)
+        t = sum(cnt.values())
+        assert int(got.loc[src, "n_types"]) == s
+        assert int(got.loc[src, "f1"]) == f1
+        assert int(got.loc[src, "f2"]) == f2
+        assert int(got.loc[src, "chao1_est"]) == \
+            s + f1 * (f1 - 1) // (2 * (f2 + 1))
+        assert int(got.loc[src, "coverage_ppm"]) == \
+            (t - f1) * 1_000_000 // t
+    assert int(got.loc["richsrc", "chao1_est"]) > \
+        int(got.loc["richsrc", "n_types"])
+
+
+def test_pii_census_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_pii_census
+
+    docs = [
+        ("leaky", "contact me at jane.doe@example.com today"),
+        ("leaky", "call +1 555-123-4567 or 9876543210 now"),
+        ("leaky", "nothing sensitive here"),
+        ("clean", "plain text only"),
+        ("clean", "more plain text"),
+    ]
+    _write_docs(tmp_path, [d[0] for d in docs], [d[1] for d in docs])
+
+    got = q_pii_census(str(tmp_path)).to_pandas().set_index("source")
+
+    assert int(got.loc["leaky", "n_docs"]) == 3
+    assert int(got.loc["leaky", "n_email"]) == 1
+    assert int(got.loc["leaky", "n_phone"]) == 1
+    assert int(got.loc["leaky", "n_long_id"]) == 1
+    assert int(got.loc["leaky", "email_ppm"]) == 1_000_000 // 3
+    assert int(got.loc["clean", "n_email"]) == 0
+    assert int(got.loc["clean", "n_phone"]) == 0
+    assert int(got.loc["clean", "n_long_id"]) == 0
+
+
+def test_linear_attribution_matches_bruteforce(ray_session,
+                                               tmp_path):
+    from kgforge.pipelines.driver_queries import q_linear_attribution
+
+    D = 86_400_000_000
+    rows = [
+        # user 1: 2 touches then purchase -> 500000 each
+        (1, 1 * D, "click"), (1, 2 * D, "view"),
+        (1, 3 * D, "purchase"),
+        # user 2: 3 touches in window, 1 outside (8 days before)
+        (2, 0 * D, "click"),
+        (2, 5 * D, "click"), (2, 6 * D, "view"),
+        (2, 7 * D, "signup"), (2, 8 * D, "purchase"),
+        # user 3: purchase with no touches -> unattributed
+        (3, 4 * D, "purchase"),
+    ]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64))
+            .cast(pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string())}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_linear_attribution(str(tmp_path)).to_pandas() \
+        .set_index("event_type")
+
+    # u1: click+view @500000 each; u2: k=3 -> 333333 each
+    assert int(got.loc["click", "touches"]) == 2
+    assert int(got.loc["click", "credit_micro"]) == 500_000 + 333_333
+    assert int(got.loc["view", "touches"]) == 2
+    assert int(got.loc["view", "credit_micro"]) == 500_000 + 333_333
+    assert int(got.loc["signup", "touches"]) == 1
+    assert int(got.loc["signup", "credit_micro"]) == 333_333
+    assert int(got["n_conversions"].iloc[0]) == 3
+    assert int(got["n_attributed"].iloc[0]) == 2
+
+
+def test_doc_prefix_dup_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_doc_prefix_dup
+
+    boiler = "COPYRIGHT NOTICE: all rights reserved by the scraper"
+    srcs, texts = [], []
+    for i in range(7):
+        srcs.append("s")
+        texts.append(boiler + f" unique tail {i}")
+    for i in range(25):
+        srcs.append("s")
+        texts.append(f"unique doc number {i} with its own start")
+    _write_docs(tmp_path, srcs, texts)
+
+    got = q_doc_prefix_dup(str(tmp_path)).to_pandas()
+
+    assert got.iloc[0]["prefix"] == boiler[:48]
+    assert int(got.iloc[0]["n_docs"]) == 7
+    assert len(got) == 20
+    assert (got["n_docs"].to_numpy()[1:]
+            <= got["n_docs"].to_numpy()[:-1]).all()
