@@ -16846,3 +16846,347 @@ SELECT substr(coalesce(text, ''), 1, 48) AS prefix,
 FROM documents
 GROUP BY 1 ORDER BY n_docs DESC, prefix LIMIT 20
 """
+
+
+def q_mann_kendall(sf_dir: str):
+    """Mann–Kendall trend test on daily order revenue:
+    ``S = Σ_{i<j} sign(c_j − c_i)`` over day order, the exact
+    tie-corrected variance numerator ``var_x18 = n(n−1)(2n+5) −
+    Σt(t−1)(2t+5)`` and the continuity-corrected z — the standard
+    nonparametric is-revenue-trending test next to ``theil_sen``'s
+    slope.
+
+    Scale plan: daily cells are calendar-bounded; the O(days²) sign
+    fold runs on the driver as one numpy broadcast."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        cents = round_away(
+            b["o_totalprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        g = pa.table({"day": pa.array(day), "c": pa.array(cents)}) \
+            .group_by(["day"], use_threads=False) \
+            .aggregate([("c", "sum")])
+        return pa.table({"day": g["day"], "cents": g["c_sum"]})
+
+    days = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("cents", alias_name="cents")) \
+        .to_pandas().sort_values("day")
+    c = days["cents"].to_numpy(dtype=np.int64)
+    n = len(c)
+    sgn = np.sign(c[None, :] - c[:, None])
+    s = int(np.triu(sgn, 1).sum())
+    _, tcnt = np.unique(c, return_counts=True)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        int(t) * (int(t) - 1) * (2 * int(t) + 5) for t in tcnt)
+    if s > 0:
+        z = float(round_away((s - 1)
+                             / np.sqrt(float(var18) / 18.0), 4))
+    elif s < 0:
+        z = float(round_away((s + 1)
+                             / np.sqrt(float(var18) / 18.0), 4))
+    else:
+        z = 0.0
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "s_stat": pa.array([s], pa.int64()),
+        "var_x18": pa.array([var18], pa.int64()),
+        "z": pa.array([z], pa.float64())})
+
+
+def q_mixed_script_census(sf_dir: str):
+    """Mixed-script census per source: documents containing Latin,
+    Han, and BOTH scripts (RE2 Unicode classes in both engines) —
+    the encoding-noise / language-contamination smell test a lang-id
+    column cannot give (a 'zh' doc full of Latin boilerplate is a
+    scrape artifact).
+
+    Scale plan: pure vectorized map, source-bounded partials, zero
+    text shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b["text"], "")
+        lat = pc.match_substring_regex(txt, r"[A-Za-z]")
+        han = pc.match_substring_regex(txt, r"\p{Han}")
+        both = pc.and_(lat, han)
+        g = pa.table({"source": b["source"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "lat": pc.cast(lat, pa.int64()),
+                      "han": pc.cast(han, pa.int64()),
+                      "mix": pc.cast(both, pa.int64())}) \
+            .group_by(["source"], use_threads=False).aggregate(
+            [("n", "sum"), ("lat", "sum"), ("han", "sum"),
+             ("mix", "sum")])
+        return pa.table({"source": g["source"], "n": g["n_sum"],
+                         "lat": g["lat_sum"], "han": g["han_sum"],
+                         "mix": g["mix_sum"]})
+
+    agg = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("lat", alias_name="n_latin"),
+            Sum("han", alias_name="n_han"),
+            Sum("mix", alias_name="n_mixed")).to_pandas() \
+        .sort_values("source")
+    nd = agg["n_docs"].to_numpy(dtype=np.int64)
+    mx = agg["n_mixed"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "source": pa.array(agg["source"].astype(str), pa.string()),
+        "n_docs": pa.array(nd, pa.int64()),
+        "n_latin": pa.array(agg["n_latin"].astype(np.int64),
+                            pa.int64()),
+        "n_han": pa.array(agg["n_han"].astype(np.int64), pa.int64()),
+        "n_mixed": pa.array(mx, pa.int64()),
+        "mixed_ppm": pa.array(mx * 1_000_000 // nd, pa.int64())})
+
+
+def q_twonn_id(sf_dir: str):
+    """TwoNN intrinsic-dimension estimate of the embedding cloud
+    (Facco et al.): with each point's two nearest squared distances
+    on the micro grid (exact int64, ties by neighbor id),
+    ``id_micro = 2·n_eff·10¹² // Σ(L(d2₂)−L(d2₁))`` — how many
+    degrees of freedom the embeddings REALLY use, the manifold
+    counterpart to ``embedding_pca_var``'s linear census.  Exact
+    duplicates (d2₁ = 0) are excluded and reported.
+
+    Scale plan: blocked self-join (knn_graph's plan) — rows replicate
+    to B block-pair buckets, each bucket keeps a per-query partial
+    top-2 by (d², id), one query-hash merge; distances are integer
+    matmuls (norms + dot), never float."""
+    from kgforge.common.hashing import round_away  # noqa: F401
+    from kgforge.functions.joins import _part_codes
+
+    B = 4
+    P = 32
+
+    def quant(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = b.num_rows
+        d = len(flat) // n if n else 0
+        from kgforge.common.hashing import round_away as ra
+
+        q = ra(flat * 1_000_000, 0).astype(np.int64).reshape(n, d)
+        return pa.table({"vec_id": b["vec_id"],
+                         "q": pa.array(list(q),
+                                       pa.list_(pa.int64()))})
+
+    def replicate(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ids = b["vec_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(n, dtype=np.int64), B)
+        t = np.tile(np.arange(B, dtype=np.int64), n)
+        bi = (ids % B).astype(np.int64)[rep]
+        lo, hi = np.minimum(bi, t), np.maximum(bi, t)
+        out = b.take(pa.array(rep))
+        return out.append_column("__b", pa.array(lo * B + hi))
+
+    def bucket_top2(t: pa.Table) -> pa.Table:
+        bucket = int(t["__b"][0].as_py())
+        bi, bj = bucket // B, bucket % B
+        ids = t["vec_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        ord_ = np.argsort(ids, kind="stable")
+        ids = ids[ord_]
+        qs = t["q"].combine_chunks()
+        flat = pc.list_flatten(qs).to_numpy(zero_copy_only=False)
+        d = len(flat) // len(ids) if len(ids) else 0
+        Q = flat.reshape(len(ids), d)[ord_]
+        blk = (ids % B).astype(np.int64)
+        rows = []
+
+        def emit(qi, qm, ci, cm):
+            if len(qi) == 0 or len(ci) == 0:
+                return
+            dots = qm @ cm.T
+            nq = (qm * qm).sum(axis=1)
+            nc = (cm * cm).sum(axis=1)
+            d2 = nq[:, None] + nc[None, :] - 2 * dots
+            self_m = qi[:, None] == ci[None, :]
+            sent = np.iinfo(np.int64).max
+            d2m = np.where(self_m, sent, d2)
+            kk = min(2, d2m.shape[1])
+            part = np.argpartition(d2m, kk - 1, axis=1)[:, :kk]
+            dd = np.take_along_axis(d2m, part, axis=1)
+            cc = ci[part]
+            if kk == 2:            # order the pair by (d2, id) asc
+                swap = (dd[:, 1] < dd[:, 0]) | (
+                    (dd[:, 1] == dd[:, 0]) & (cc[:, 1] < cc[:, 0]))
+                dd[swap] = dd[swap][:, ::-1]
+                cc[swap] = cc[swap][:, ::-1]
+            qrep = np.repeat(qi, kk)
+            dflat, cflat = dd.reshape(-1), cc.reshape(-1)
+            keep = dflat != sent
+            rows.append((qrep[keep], dflat[keep], cflat[keep]))
+
+        mi, mj = blk == bi, blk == bj
+        if bi == bj:
+            emit(ids[mi], Q[mi], ids[mi], Q[mi])
+        else:
+            emit(ids[mi], Q[mi], ids[mj], Q[mj])
+            emit(ids[mj], Q[mj], ids[mi], Q[mi])
+        if rows:
+            vv = np.concatenate([r[0] for r in rows])
+            dv = np.concatenate([r[1] for r in rows])
+            cv = np.concatenate([r[2] for r in rows])
+        else:
+            vv = dv = cv = np.array([], np.int64)
+        out = pa.table({"vec_id": pa.array(vv.astype(np.int64)),
+                        "d2": pa.array(dv.astype(np.int64)),
+                        "nb": pa.array(cv.astype(np.int64))})
+        return out.append_column(
+            "__p", pa.array(_part_codes(out["vec_id"], P)))
+
+    def merge_top2(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        d2 = t["d2"].combine_chunks().to_numpy(zero_copy_only=False)
+        nb = t["nb"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = np.lexsort((nb, d2, v))
+        v, d2, nb = v[o], d2[o], nb[o]
+        # drop duplicate (query, neighbor) rows from shared buckets
+        keep = np.ones(len(v), bool)
+        keep[1:] = (v[1:] != v[:-1]) | (nb[1:] != nb[:-1]) \
+            | (d2[1:] != d2[:-1])
+        v, d2, nb = v[keep], d2[keep], nb[keep]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], v[1:] != v[:-1]]))
+        ends = np.concatenate([starts[1:], [len(v)]])
+        take = np.concatenate([
+            np.arange(s, min(s + 2, e)) for s, e in
+            zip(starts, ends)]) if len(starts) else np.array([], int)
+        ok = take[(ends[np.searchsorted(starts, take, "right") - 1]
+                   - starts[np.searchsorted(starts, take, "right")
+                            - 1]) >= 2]
+        v, d2 = v[ok], d2[ok]
+        # rows come in (d2_1, d2_2) pairs per surviving query
+        q1, q2 = d2[0::2], d2[1::2]
+        vv = v[0::2]
+        valid = q1 > 0
+        lq1 = np.floor(np.log(np.where(valid, q1, 1)) * 1_000_000
+                       + 0.5).astype(np.int64)
+        lq2 = np.floor(np.log(np.where(valid, q2, 1).astype(
+            np.float64)) * 1_000_000 + 0.5).astype(np.int64)
+        ssum = int(((lq2 - lq1) * valid).sum())
+        return pa.table({
+            "n_eff": pa.array([int(valid.sum())], pa.int64()),
+            "n_dup": pa.array([int((~valid).sum())], pa.int64()),
+            "lsum": pa.array([ssum], pa.int64()),
+            "nv": pa.array([len(vv)], pa.int64())})
+
+    parts = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(quant, batch_format="pyarrow") \
+        .map_batches(replicate, batch_format="pyarrow") \
+        .groupby("__b").map_groups(bucket_top2,
+                                   batch_format="pyarrow") \
+        .groupby("__p").map_groups(merge_top2,
+                                   batch_format="pyarrow") \
+        .to_pandas()
+    n_eff = sum(int(v) for v in parts["n_eff"])
+    n_dup = sum(int(v) for v in parts["n_dup"])
+    lsum = sum(int(v) for v in parts["lsum"])
+    return pa.table({
+        "n_points": pa.array([n_eff + n_dup], pa.int64()),
+        "n_eff": pa.array([n_eff], pa.int64()),
+        "n_dup": pa.array([n_dup], pa.int64()),
+        "lsum_micro": pa.array([lsum], pa.int64()),
+        "id_micro": pa.array(
+            [2 * n_eff * 10 ** 12 // lsum if lsum > 0 else -1],
+            pa.int64())})
+
+
+QUERIES["mann_kendall"] = q_mann_kendall
+QUERIES["mixed_script_census"] = q_mixed_script_census
+QUERIES["twonn_id"] = q_twonn_id
+
+ORACLE_SQL["mann_kendall"] = """
+WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                       AS BIGINT) AS day,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+s AS (SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1
+                           ELSE 0 END) AS BIGINT) AS s
+      FROM d a JOIN d b ON a.day < b.day),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+t AS (SELECT CAST(coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0)
+                  AS BIGINT) AS tie
+      FROM (SELECT CAST(count(*) AS BIGINT) AS tc
+            FROM d GROUP BY c) WHERE tc > 1),
+v AS (SELECT n.n, s.s,
+             n.n * (n.n - 1) * (2 * n.n + 5) - t.tie AS var18
+      FROM n, s, t)
+SELECT n AS n_days, s AS s_stat, var18 AS var_x18,
+       CASE WHEN s > 0
+            THEN round((s - 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0),
+                       4)
+            WHEN s < 0
+            THEN round((s + 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0),
+                       4)
+            ELSE 0.0 END AS z
+FROM v
+"""
+
+ORACLE_SQL["mixed_script_census"] = r"""
+WITH d AS (SELECT source, coalesce(text, '') AS text
+           FROM documents),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) FILTER (WHERE regexp_matches(text,
+                 '[A-Za-z]')) AS BIGINT) AS n_latin,
+             CAST(count(*) FILTER (WHERE regexp_matches(text,
+                 '\p{Han}')) AS BIGINT) AS n_han,
+             CAST(count(*) FILTER (WHERE regexp_matches(text,
+                 '[A-Za-z]') AND regexp_matches(text, '\p{Han}'))
+                 AS BIGINT) AS n_mixed
+      FROM d GROUP BY 1)
+SELECT source, n_docs, n_latin, n_han, n_mixed,
+       n_mixed * 1000000 // n_docs AS mixed_ppm
+FROM a ORDER BY source
+"""
+
+ORACLE_SQL["twonn_id"] = """
+WITH f AS (SELECT vec_id AS r, unnest(embedding) AS e,
+                  generate_subscripts(embedding, 1) AS pos
+           FROM embeddings),
+q AS (SELECT r, pos, CAST(round(CAST(e AS DOUBLE) * 1000000)
+                          AS BIGINT) AS q
+      FROM f),
+d2 AS (SELECT a.r AS ra, b.r AS rb,
+              CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+       FROM q a JOIN q b ON a.pos = b.pos AND a.r <> b.r
+       GROUP BY 1, 2),
+rk AS (SELECT ra, d2,
+              row_number() OVER (PARTITION BY ra
+                                 ORDER BY d2, rb) AS rn
+       FROM d2),
+nn AS (SELECT ra, max(CASE WHEN rn = 1 THEN d2 END) AS d1,
+              max(CASE WHEN rn = 2 THEN d2 END) AS d2_
+       FROM rk WHERE rn <= 2 GROUP BY 1),
+ag AS (SELECT CAST(count(*) FILTER (WHERE d1 > 0) AS BIGINT)
+                  AS n_eff,
+              CAST(count(*) FILTER (WHERE d1 = 0) AS BIGINT)
+                  AS n_dup,
+              CAST(coalesce(sum(
+                  CASE WHEN d1 > 0 THEN
+                      CAST(floor(ln(d2_) * 1000000 + 0.5) AS BIGINT)
+                      - CAST(floor(ln(d1) * 1000000 + 0.5) AS BIGINT)
+                  ELSE 0 END), 0) AS BIGINT) AS lsum
+       FROM nn)
+SELECT n_eff + n_dup AS n_points, n_eff, n_dup,
+       lsum AS lsum_micro,
+       CASE WHEN lsum > 0
+            THEN CAST(2 * CAST(n_eff AS HUGEINT) * 1000000000000
+                      // lsum AS BIGINT)
+            ELSE -1 END AS id_micro
+FROM ag
+"""

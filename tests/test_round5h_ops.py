@@ -927,3 +927,106 @@ def test_doc_prefix_dup_matches_bruteforce(ray_session, tmp_path):
     assert len(got) == 20
     assert (got["n_docs"].to_numpy()[1:]
             <= got["n_docs"].to_numpy()[:-1]).all()
+
+
+def test_mann_kendall_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_mann_kendall
+
+    rng = np.random.RandomState(67)
+    days, prices = [], []
+    for d in range(80):
+        # planted monotone trend with noise and ties
+        base = 100 + d * 10
+        for _ in range(int(rng.randint(1, 3))):
+            days.append(d)
+            prices.append(float(base + int(rng.randint(0, 3))))
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(
+            np.array([d * 86_400_000_000 for d in days], np.int64))
+            .cast(pa.timestamp("us")),
+        "o_totalprice": pa.array(prices, pa.float64())}),
+        str(tmp_path / "orders.parquet"))
+
+    got = q_mann_kendall(str(tmp_path)).to_pandas().iloc[0]
+
+    daily = {}
+    for d, p in zip(days, prices):
+        daily[d] = daily.get(d, 0) + int(round(p * 100))
+    c = [daily[d] for d in sorted(daily)]
+    n = len(c)
+    s = sum((cj > ci) - (cj < ci)
+            for i, ci in enumerate(c) for cj in c[i + 1:])
+    ties: dict = {}
+    for v in c:
+        ties[v] = ties.get(v, 0) + 1
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+    assert int(got["s_stat"]) == s
+    assert int(got["var_x18"]) == var18
+    assert int(got["n_days"]) == n
+    z = (s - 1) / math.sqrt(var18 / 18.0)
+    assert abs(float(got["z"]) - z) < 1e-3
+    assert float(got["z"]) > 3.0        # planted trend is decisive
+
+
+def test_mixed_script_census_matches_bruteforce(ray_session,
+                                                tmp_path):
+    from kgforge.pipelines.driver_queries import q_mixed_script_census
+
+    docs = [("web", "hello world"),
+            ("web", "hello 世界 mixed line"),
+            ("web", "纯中文文本"),
+            ("clean", "only ascii here")]
+    _write_docs(tmp_path, [d[0] for d in docs], [d[1] for d in docs])
+
+    got = q_mixed_script_census(str(tmp_path)).to_pandas() \
+        .set_index("source")
+
+    assert int(got.loc["web", "n_docs"]) == 3
+    assert int(got.loc["web", "n_latin"]) == 2
+    assert int(got.loc["web", "n_han"]) == 2
+    assert int(got.loc["web", "n_mixed"]) == 1
+    assert int(got.loc["web", "mixed_ppm"]) == 1_000_000 // 3
+    assert int(got.loc["clean", "n_han"]) == 0
+
+
+def test_twonn_id_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_twonn_id
+
+    rng = np.random.RandomState(71)
+    # planted 2-manifold embedded in 8-d (last 6 dims zero) + 1 dup
+    n, d = 60, 8
+    pts = np.zeros((n, d))
+    pts[:, :2] = rng.rand(n, 2)
+    pts[n - 1] = pts[0]                      # exact duplicate pair
+    vecs = [[round(float(x), 6) for x in row] for row in pts]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    got = q_twonn_id(str(tmp_path)).to_pandas().iloc[0]
+
+    # brute force on the identical integer grid
+    raw = [np.array(v, np.float64) for v in pq.read_table(
+        str(tmp_path / "embeddings.parquet"))["embedding"]
+        .to_pylist()]
+    q = np.array([np.sign(v) * np.floor(np.abs(v) * 1_000_000 + 0.5)
+                  for v in raw]).astype(np.int64)
+    lsum = n_eff = n_dup = 0
+    for i in range(n):
+        d2 = ((q - q[i]) ** 2).sum(axis=1)
+        order = sorted((int(d2[j]), j) for j in range(n) if j != i)
+        d1, d2_ = order[0][0], order[1][0]
+        if d1 == 0:
+            n_dup += 1
+            continue
+        n_eff += 1
+        lsum += (int(math.floor(math.log(d2_) * 1_000_000 + 0.5))
+                 - int(math.floor(math.log(d1) * 1_000_000 + 0.5)))
+    assert int(got["n_eff"]) == n_eff
+    assert int(got["n_dup"]) == n_dup == 2
+    assert int(got["lsum_micro"]) == lsum
+    assert int(got["id_micro"]) == 2 * n_eff * 10 ** 12 // lsum
+    # planted 2-manifold: estimate lands near 2
+    assert 1_300_000 < int(got["id_micro"]) < 3_000_000
