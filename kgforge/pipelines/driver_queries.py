@@ -17190,3 +17190,196 @@ SELECT n_eff + n_dup AS n_points, n_eff, n_dup,
             ELSE -1 END AS id_micro
 FROM ag
 """
+
+
+_FUNNEL_STEPS = (("view", "click"), ("click", "purchase"))
+
+
+def q_funnel_step_latency(sf_dir: str):
+    """Funnel step latency: for each user's FIRST occurrence of each
+    step, the minute-floored delay distribution of view→click and
+    click→purchase (only when ordered correctly) — lower median and
+    lower p90 over the bounded minute grid, exact in both engines.
+
+    Scale plan: one user-hash shuffle; per partition the per-user
+    firsts are a vectorized groupby-min; per-pair minute histograms
+    (bounded domain) fold through one tiny groupby; quantiles walk
+    the histogram on the driver."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    P = 64
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({"u": b["user_id"],
+                      "t": pc.cast(pc.cast(b["ts"],
+                                           pa.timestamp("us")),
+                                   pa.int64()),
+                      "et": b["event_type"]})
+        return t.append_column("__p",
+                               pa.array(_part_codes(t["u"], P)))
+
+    steps = sorted({s for pair in _FUNNEL_STEPS for s in pair})
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        g = t.drop_columns(["__p"]).group_by(
+            ["u", "et"], use_threads=False).aggregate([("t", "min")])
+        u = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        et = g["et"].to_pylist()
+        tm = g["t_min"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        firsts: dict = {}
+        for uu, ee, tt in zip(u, et, tm):
+            if ee in steps:
+                firsts.setdefault(int(uu), {})[ee] = int(tt)
+        hist: dict = {}
+        for udict in firsts.values():
+            for a, bname in _FUNNEL_STEPS:
+                if a in udict and bname in udict \
+                        and udict[bname] > udict[a]:
+                    m = (udict[bname] - udict[a]) // 60_000_000
+                    key = (f"{a}->{bname}", m)
+                    hist[key] = hist.get(key, 0) + 1
+        ks = sorted(hist)
+        return pa.table({
+            "step": pa.array([k[0] for k in ks], pa.string()),
+            "minute": pa.array([k[1] for k in ks], pa.int64()),
+            "n": pa.array([hist[k] for k in ks], pa.int64())})
+
+    cells = _read(sf_dir, "events", ["user_id", "ts", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby(["step", "minute"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    rows = []
+    for step, grp in cells.groupby("step"):
+        grp = grp.sort_values("minute")
+        n_tot = int(grp["n"].sum())
+        r_med = (n_tot + 1) // 2
+        r_p90 = (9 * n_tot + 10) // 10
+        cum = 0
+        med = p90 = None
+        for _, r in grp.iterrows():
+            cum += int(r["n"])
+            if med is None and cum >= r_med:
+                med = int(r["minute"])
+            if p90 is None and cum >= r_p90:
+                p90 = int(r["minute"])
+        rows.append((str(step), n_tot, med, p90))
+    rows.sort()
+    return pa.table({
+        "step": pa.array([r[0] for r in rows], pa.string()),
+        "n_users": pa.array([r[1] for r in rows], pa.int64()),
+        "median_min": pa.array([r[2] for r in rows], pa.int64()),
+        "p90_min": pa.array([r[3] for r in rows], pa.int64())})
+
+
+_CTX_THRESHOLDS = (512, 1024, 2048, 4096, 8192)
+
+
+def q_ctx_window_census(sf_dir: str):
+    """Context-window fit census per source: how many documents
+    exceed each standard context length (whitespace tokens ≥ 512 /
+    1k / 2k / 4k / 8k) plus the total token mass beyond 512 — the
+    chunking-budget planner next to ``pack_chunks``.
+
+    Scale plan: pure vectorized token-count map, source-bounded
+    partials, zero text shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(
+            zero_copy_only=False)
+        cnt = np.zeros(b.num_rows, np.int64)
+        if len(par):
+            np.add.at(cnt, par, nonempty.astype(np.int64))
+        cols = {"source": b["source"],
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+                "tok": pa.array(cnt),
+                "over512tok": pa.array(
+                    np.where(cnt >= 512, cnt, 0))}
+        for th in _CTX_THRESHOLDS:
+            cols[f"ge{th}"] = pa.array((cnt >= th).astype(np.int64))
+        g = pa.table(cols).group_by(["source"],
+                                    use_threads=False).aggregate(
+            [("n", "sum"), ("tok", "sum"), ("over512tok", "sum")]
+            + [(f"ge{th}", "sum") for th in _CTX_THRESHOLDS])
+        out = {"source": g["source"], "n": g["n_sum"],
+               "tok": g["tok_sum"], "over": g["over512tok_sum"]}
+        for th in _CTX_THRESHOLDS:
+            out[f"ge{th}"] = g[f"ge{th}_sum"]
+        return pa.table(out)
+
+    agg = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("tok", alias_name="n_tokens"),
+            Sum("over", alias_name="tokens_over_512"),
+            *[Sum(f"ge{th}", alias_name=f"docs_ge_{th}")
+              for th in _CTX_THRESHOLDS]).to_pandas() \
+        .sort_values("source")
+    cols = {"source": pa.array(agg["source"].astype(str),
+                               pa.string())}
+    for c in (["n_docs", "n_tokens", "tokens_over_512"]
+              + [f"docs_ge_{th}" for th in _CTX_THRESHOLDS]):
+        cols[c] = pa.array(agg[c].astype(np.int64), pa.int64())
+    return pa.table(cols)
+
+
+QUERIES["funnel_step_latency"] = q_funnel_step_latency
+QUERIES["ctx_window_census"] = q_ctx_window_census
+
+ORACLE_SQL["funnel_step_latency"] = """
+WITH f AS (SELECT user_id, event_type, min(epoch_us(ts)) AS t
+           FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')
+           GROUP BY 1, 2),
+d AS (SELECT a.event_type || '->' || b.event_type AS step,
+             (b.t - a.t) // 60000000 AS m
+      FROM f a JOIN f b
+        ON a.user_id = b.user_id AND b.t > a.t
+       AND ((a.event_type = 'view' AND b.event_type = 'click')
+            OR (a.event_type = 'click'
+                AND b.event_type = 'purchase'))),
+r AS (SELECT step, m,
+             row_number() OVER (PARTITION BY step ORDER BY m) AS rn,
+             count(*) OVER (PARTITION BY step) AS n
+      FROM d)
+SELECT step, CAST(max(n) AS BIGINT) AS n_users,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN m END) AS BIGINT)
+           AS median_min,
+       CAST(max(CASE WHEN rn = (9 * n + 10) // 10 THEN m END)
+            AS BIGINT) AS p90_min
+FROM r GROUP BY step ORDER BY step
+"""
+
+ORACLE_SQL["ctx_window_census"] = r"""
+WITH d AS (SELECT source,
+                  CAST((SELECT count(*) FROM unnest(
+                      regexp_extract_all(coalesce(text, ''), '\S+'))
+                      x(w)) AS BIGINT) AS tok
+           FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(tok) FILTER (WHERE tok >= 512), 0)
+            AS BIGINT) AS tokens_over_512,
+       CAST(count(*) FILTER (WHERE tok >= 512) AS BIGINT)
+           AS docs_ge_512,
+       CAST(count(*) FILTER (WHERE tok >= 1024) AS BIGINT)
+           AS docs_ge_1024,
+       CAST(count(*) FILTER (WHERE tok >= 2048) AS BIGINT)
+           AS docs_ge_2048,
+       CAST(count(*) FILTER (WHERE tok >= 4096) AS BIGINT)
+           AS docs_ge_4096,
+       CAST(count(*) FILTER (WHERE tok >= 8192) AS BIGINT)
+           AS docs_ge_8192
+FROM d GROUP BY 1 ORDER BY source
+"""

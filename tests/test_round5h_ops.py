@@ -1030,3 +1030,70 @@ def test_twonn_id_matches_bruteforce(ray_session, tmp_path):
     assert int(got["id_micro"]) == 2 * n_eff * 10 ** 12 // lsum
     # planted 2-manifold: estimate lands near 2
     assert 1_300_000 < int(got["id_micro"]) < 3_000_000
+
+
+def test_funnel_step_latency_matches_bruteforce(ray_session,
+                                                tmp_path):
+    from kgforge.pipelines.driver_queries import q_funnel_step_latency
+
+    rng = np.random.RandomState(73)
+    rows = []
+    deltas = {"view->click": [], "click->purchase": []}
+    for u in range(40):
+        t0 = int(rng.randint(0, 10**6)) * 1_000_000
+        tv = t0
+        rows.append((u, tv, "view"))
+        if rng.rand() < 0.8:
+            tc = tv + int(rng.randint(1, 5000)) * 60_000_000 \
+                + int(rng.randint(0, 60_000_000))
+            rows.append((u, tc, "click"))
+            deltas["view->click"].append((tc - tv) // 60_000_000)
+            if rng.rand() < 0.6:
+                tp = tc + int(rng.randint(1, 2000)) * 60_000_000
+                rows.append((u, tp, "purchase"))
+                deltas["click->purchase"].append(
+                    (tp - tc) // 60_000_000)
+        # noise: duplicate later views must not matter (firsts only)
+        rows.append((u, tv + 10**12, "view"))
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64))
+            .cast(pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string())}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_funnel_step_latency(str(tmp_path)).to_pandas() \
+        .set_index("step")
+
+    for step, ds in deltas.items():
+        ds = sorted(ds)
+        n = len(ds)
+        assert int(got.loc[step, "n_users"]) == n
+        assert int(got.loc[step, "median_min"]) == ds[(n + 1) // 2 - 1]
+        assert int(got.loc[step, "p90_min"]) == \
+            ds[(9 * n + 10) // 10 - 1]
+
+
+def test_ctx_window_census_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_ctx_window_census
+
+    docs = [
+        ("small", "one two three"),
+        ("small", " ".join(["w"] * 600)),          # >= 512
+        ("big", " ".join(["w"] * 1500)),           # >= 1024
+        ("big", " ".join(["w"] * 5000)),           # >= 4096
+    ]
+    _write_docs(tmp_path, [d[0] for d in docs], [d[1] for d in docs])
+
+    got = q_ctx_window_census(str(tmp_path)).to_pandas() \
+        .set_index("source")
+
+    assert int(got.loc["small", "n_docs"]) == 2
+    assert int(got.loc["small", "n_tokens"]) == 603
+    assert int(got.loc["small", "docs_ge_512"]) == 1
+    assert int(got.loc["small", "tokens_over_512"]) == 600
+    assert int(got.loc["big", "docs_ge_1024"]) == 2
+    assert int(got.loc["big", "docs_ge_2048"]) == 1
+    assert int(got.loc["big", "docs_ge_4096"]) == 1
+    assert int(got.loc["big", "docs_ge_8192"]) == 0
+    assert int(got.loc["big", "tokens_over_512"]) == 6500
