@@ -17383,3 +17383,200 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            AS docs_ge_8192
 FROM d GROUP BY 1 ORDER BY source
 """
+
+
+def q_hill_tail(sf_dir: str):
+    """Hill estimator of the Pareto tail index of customer revenue
+    (k = 100 top order statistics):
+    ``alpha_micro = k·10¹² // Σ(L(x_i) − L(x_{k+1}))`` — how heavy is
+    the whale tail that ``pareto_share`` and ``customer_gini`` only
+    summarize?  Exact integers end-to-end (ties broken by custkey).
+
+    Scale plan: per-customer cents via one custkey groupby; the
+    top-(k+1) is a distributed sort-limit; the 101-row fold runs on
+    the driver."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    K = 100
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        cents = round_away(
+            b["o_totalprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        g = pa.table({"k": b["o_custkey"], "c": pa.array(cents)}) \
+            .group_by(["k"], use_threads=False).aggregate([("c", "sum")])
+        return pa.table({"ck": g["k"], "cents": g["c_sum"]})
+
+    top = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(rev_partial, batch_format="pyarrow") \
+        .groupby("ck").aggregate(Sum("cents", alias_name="cents")) \
+        .sort(["cents", "ck"], descending=[True, False]) \
+        .limit(K + 1).to_pandas()
+
+    import math
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    xs = [int(v) for v in top["cents"]]
+    lthr = L(xs[K])
+    denom = sum(L(x) - lthr for x in xs[:K])
+    return pa.table({
+        "k": pa.array([K], pa.int64()),
+        "x_threshold_cents": pa.array([xs[K]], pa.int64()),
+        "denom_micro": pa.array([denom], pa.int64()),
+        "alpha_micro": pa.array(
+            [K * 10 ** 12 // denom if denom > 0 else -1], pa.int64())})
+
+
+def q_gumbel_maxima(sf_dir: str):
+    """Gumbel (EV-I) fit of WEEKLY MAXIMUM daily order revenue by the
+    method of moments — the capacity-planning distribution for "how
+    big can a peak day get": ``β = sqrt(6·var)/π``, ``μ = mean − γβ``
+    with both doubles derived from the exact integer block-maxima
+    moments (γ, π written identically in both engines).
+
+    Scale plan: daily cells → 52·years-bounded weekly maxima →
+    3-integer driver fold."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        cents = round_away(
+            b["o_totalprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        g = pa.table({"day": pa.array(day), "c": pa.array(cents)}) \
+            .group_by(["day"], use_threads=False) \
+            .aggregate([("c", "sum")])
+        return pa.table({"day": g["day"], "cents": g["c_sum"]})
+
+    days = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("cents", alias_name="cents")) \
+        .to_pandas()
+    days["week"] = days["day"] // 7
+    wk = days.groupby("week")["cents"].max()
+    xs = [int(v) for v in wk]
+    n = len(xs)
+    s = sum(xs)
+    q = sum(x * x for x in xs)
+    v = n * q - s * s
+
+    import math
+
+    from kgforge.common.hashing import round_away as ra
+
+    beta = math.sqrt(6.0 * float(v) / float(n * (n - 1))) / math.pi
+    mu = float(s) / float(n) - 0.5772156649015329 * beta
+    return pa.table({
+        "n_weeks": pa.array([n], pa.int64()),
+        "max_cents": pa.array([max(xs)], pa.int64()),
+        "beta": pa.array([float(ra(beta, 4))], pa.float64()),
+        "mu": pa.array([float(ra(mu, 4))], pa.float64())})
+
+
+def q_split3_census(sf_dir: str):
+    """Stratified QA of a deterministic 3-way split (md5 ppm buckets:
+    train < 80, val < 90, else test): per (split, lang) document and
+    character counts — does every stratum keep the corpus mix?
+    Rides ``hash_split``'s md5 convention so the 3-way assignment is
+    stable across runs, engines and cluster sizes.
+
+    Scale plan: pure map + one split×lang-bounded groupby."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import md5_u64_arr
+
+    def assign(b: pa.Table) -> pa.Table:
+        buckets = (md5_u64_arr(pc.cast(b["doc_id"], pa.string()),
+                               nhex=8)
+                   % np.uint64(100)).astype(np.int64)
+        split = np.where(buckets < 80, "train",
+                         np.where(buckets < 90, "val", "test"))
+        g = pa.table({"split": pa.array(split, pa.string()),
+                      "lang": b["lang"],
+                      "n": pa.array(np.ones(len(split), np.int64)),
+                      "ch": b["n_chars"]}) \
+            .group_by(["split", "lang"], use_threads=False) \
+            .aggregate([("n", "sum"), ("ch", "sum")])
+        return pa.table({"split": g["split"], "lang": g["lang"],
+                         "n": g["n_sum"], "ch": g["ch_sum"]})
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]) \
+        .map_batches(assign, batch_format="pyarrow") \
+        .groupby(["split", "lang"]).aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("ch", alias_name="n_chars")) \
+        .sort(["split", "lang"])
+
+
+QUERIES["hill_tail"] = q_hill_tail
+QUERIES["gumbel_maxima"] = q_gumbel_maxima
+QUERIES["split3_census"] = q_split3_census
+
+ORACLE_SQL["hill_tail"] = """
+WITH pc_ AS (SELECT o_custkey AS ck,
+                    CAST(sum(CAST(round(o_totalprice * 100)
+                                  AS BIGINT)) AS BIGINT) AS c
+             FROM orders GROUP BY 1),
+top AS (SELECT c, row_number() OVER (ORDER BY c DESC, ck) AS rn
+        FROM pc_ QUALIFY rn <= 101),
+thr AS (SELECT CAST(floor(ln(c) * 1000000 + 0.5) AS BIGINT) AS lt,
+               c AS xc
+        FROM top WHERE rn = 101),
+d AS (SELECT CAST(sum(CAST(floor(ln(c) * 1000000 + 0.5) AS BIGINT)
+                      - (SELECT lt FROM thr)) AS BIGINT) AS denom
+      FROM top WHERE rn <= 100)
+SELECT CAST(100 AS BIGINT) AS k,
+       (SELECT xc FROM thr) AS x_threshold_cents,
+       d.denom AS denom_micro,
+       CASE WHEN d.denom > 0
+            THEN CAST(100 * CAST(1000000000000 AS HUGEINT)
+                      // d.denom AS BIGINT)
+            ELSE -1 END AS alpha_micro
+FROM d
+"""
+
+ORACLE_SQL["gumbel_maxima"] = """
+WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                       AS BIGINT) AS day,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+w AS (SELECT day // 7 AS week, max(cents) AS mx FROM d GROUP BY 1),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(mx AS HUGEINT)) AS s,
+             sum(CAST(mx AS HUGEINT) * mx) AS q,
+             CAST(max(mx) AS BIGINT) AS mmax
+      FROM w)
+SELECT CAST(n AS BIGINT) AS n_weeks, mmax AS max_cents,
+       round(sqrt(6.0 * CAST(n * q - s * s AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE)) / pi(), 4) AS beta,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             - 0.5772156649015329
+               * (sqrt(6.0 * CAST(n * q - s * s AS DOUBLE)
+                       / CAST(n * (n - 1) AS DOUBLE)) / pi()), 4)
+           AS mu
+FROM m
+"""
+
+ORACLE_SQL["split3_census"] = """
+WITH s AS (SELECT CASE
+               WHEN CAST(concat('0x',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST(concat('0x',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split,
+               lang, n_chars
+           FROM documents)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM s GROUP BY 1, 2 ORDER BY split, lang
+"""

@@ -1097,3 +1097,103 @@ def test_ctx_window_census_matches_bruteforce(ray_session, tmp_path):
     assert int(got.loc["big", "docs_ge_4096"]) == 1
     assert int(got.loc["big", "docs_ge_8192"]) == 0
     assert int(got.loc["big", "tokens_over_512"]) == 6500
+
+
+def test_hill_tail_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_hill_tail
+
+    rng = np.random.RandomState(79)
+    # planted Pareto(alpha=2) tail over 300 customers
+    rows = []
+    revs = {}
+    for ck in range(1, 301):
+        r = round(float(100.0 * (1.0 - rng.rand()) ** (-1 / 2.0)), 2)
+        revs[ck] = int(round(r * 100))
+        rows.append((ck, r))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_totalprice": pa.array([r[1] for r in rows],
+                                 pa.float64())}),
+        str(tmp_path / "orders.parquet"))
+
+    got = q_hill_tail(str(tmp_path)).to_pandas().iloc[0]
+
+    def L(v):
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    top = sorted(revs.items(), key=lambda kv: (-kv[1], kv[0]))[:101]
+    xs = [c for _, c in top]
+    denom = sum(L(x) - L(xs[100]) for x in xs[:100])
+    assert int(got["x_threshold_cents"]) == xs[100]
+    assert int(got["denom_micro"]) == denom
+    assert int(got["alpha_micro"]) == 100 * 10 ** 12 // denom
+    # planted alpha = 2 (Hill is noisy at k=100: wide band)
+    assert 1_200_000 < int(got["alpha_micro"]) < 3_200_000
+
+
+def test_gumbel_maxima_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_gumbel_maxima
+
+    rng = np.random.RandomState(83)
+    days, prices = [], []
+    for d in range(140):                      # 20 weeks
+        for _ in range(int(rng.randint(1, 4))):
+            days.append(d)
+            prices.append(round(float(rng.gumbel(1000, 120)), 2))
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(
+            np.array([d * 86_400_000_000 for d in days], np.int64))
+            .cast(pa.timestamp("us")),
+        "o_totalprice": pa.array(prices, pa.float64())}),
+        str(tmp_path / "orders.parquet"))
+
+    got = q_gumbel_maxima(str(tmp_path)).to_pandas().iloc[0]
+
+    daily = {}
+    for d, p in zip(days, prices):
+        daily[d] = daily.get(d, 0) + int(round(p * 100))
+    weekly = {}
+    for d, c in daily.items():
+        weekly[d // 7] = max(weekly.get(d // 7, 0), c)
+    xs = list(weekly.values())
+    n, s = len(xs), sum(xs)
+    q = sum(x * x for x in xs)
+    v = n * q - s * s
+    beta = math.sqrt(6.0 * float(v) / float(n * (n - 1))) / math.pi
+    mu = float(s) / float(n) - 0.5772156649015329 * beta
+    assert int(got["n_weeks"]) == n
+    assert int(got["max_cents"]) == max(xs)
+    assert abs(float(got["beta"]) - beta) < 1e-3
+    assert abs(float(got["mu"]) - mu) < 1e-3
+
+
+def test_split3_census_matches_bruteforce(ray_session, tmp_path):
+    import hashlib
+
+    from kgforge.pipelines.driver_queries import q_split3_census
+
+    rng = np.random.RandomState(89)
+    ids = list(range(1, 400))
+    langs = [str(rng.choice(["en", "zh", "de"])) for _ in ids]
+    chars = [int(rng.randint(10, 5000)) for _ in ids]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+        "n_chars": pa.array(chars, pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = q_split3_census(str(tmp_path)).to_pandas()
+    got_d = {(r["split"], r["lang"]): (int(r["n_docs"]),
+                                       int(r["n_chars"]))
+             for _, r in got.iterrows()}
+
+    exp: dict = {}
+    for i, lg, ch in zip(ids, langs, chars):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) \
+            % 100
+        sp = "train" if b < 80 else ("val" if b < 90 else "test")
+        n, c = exp.get((sp, lg), (0, 0))
+        exp[(sp, lg)] = (n + 1, c + ch)
+    assert got_d == exp
+    # all three splits materialized
+    assert {s for s, _ in got_d} == {"train", "val", "test"}
