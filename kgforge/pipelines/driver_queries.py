@@ -17580,3 +17580,222 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS n_chars
 FROM s GROUP BY 1, 2 ORDER BY split, lang
 """
+
+
+def q_log_rank_test(sf_dir: str):
+    """Log-rank test comparing time-to-second-event (whole days)
+    between users whose FIRST event was a click vs a view — the
+    survival-curve comparison that completes the ``kaplan_meier``
+    family.  At each distinct duration d: O1 (group-1 events),
+    ``e1_micro = N1·O·10⁶ // N`` and
+    ``v_micro = N1·N2·O·(N−O)·10⁶ // (N²·(N−1))`` — per-term integer
+    floors, so no cross-row float summation exists in either engine;
+    ``z2_micro = diff² // (var·10⁶)``.
+
+    Scale plan: per-user (first type, duration) via one user-hash
+    pass; durations are day-bounded histograms per group; risk sets
+    and the fold run on the driver."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    P = 64
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = pa.table({"u": b["user_id"],
+                      "t": pc.cast(pc.cast(b["ts"],
+                                           pa.timestamp("us")),
+                                   pa.int64()),
+                      "eid": b["event_id"], "et": b["event_type"]})
+        return t.append_column("__p",
+                               pa.array(_part_codes(t["u"], P)))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("u", "ascending"),
+                                            ("t", "ascending"),
+                                            ("eid", "ascending")])
+        t = t.take(idx)
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        et = t["et"].to_pylist()
+        n = len(u)
+        starts = np.flatnonzero(np.concatenate(
+            [[True], u[1:] != u[:-1]]))
+        ends = np.concatenate([starts[1:], [n]])
+        ok = (ends - starts) >= 2
+        s_ok = starts[ok]
+        g = np.asarray(et, dtype=object)[s_ok]
+        dur = (ts[s_ok + 1] - ts[s_ok]) // 86_400_000_000
+        keep = (g == "click") | (g == "view")
+        tab = pa.table({"grp": pa.array(
+            [str(x) for x in g[keep]], pa.string()),
+            "dur": pa.array(dur[keep].astype(np.int64)),
+            "n": pa.array(np.ones(int(keep.sum()), np.int64))}) \
+            .group_by(["grp", "dur"], use_threads=False) \
+            .aggregate([("n", "sum")])
+        return pa.table({"grp": tab["grp"], "dur": tab["dur"],
+                         "n": tab["n_sum"]})
+
+    cells = _read(sf_dir, "events",
+                  ["user_id", "ts", "event_id", "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(per_partition,
+                                   batch_format="pyarrow") \
+        .groupby(["grp", "dur"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    h1 = cells[cells["grp"] == "click"].set_index("dur")["n"] \
+        .astype(int).to_dict()
+    h2 = cells[cells["grp"] == "view"].set_index("dur")["n"] \
+        .astype(int).to_dict()
+    n1_tot, n2_tot = sum(h1.values()), sum(h2.values())
+    durs = sorted(set(h1) | set(h2))
+    n1, n2 = n1_tot, n2_tot
+    o1_sum = e1_sum = v_sum = 0
+    for d in durs:
+        o1, o2 = h1.get(d, 0), h2.get(d, 0)
+        o = o1 + o2
+        nn = n1 + n2
+        o1_sum += o1
+        e1_sum += n1 * o * 1_000_000 // nn
+        if nn > 1:
+            v_sum += n1 * n2 * o * (nn - o) * 1_000_000 \
+                // (nn * nn * (nn - 1))
+        n1 -= o1
+        n2 -= o2
+    diff = o1_sum * 1_000_000 - e1_sum
+    z2 = diff * diff // v_sum if v_sum > 0 else -1   # micro z²
+    return pa.table({
+        "n_click": pa.array([n1_tot], pa.int64()),
+        "n_view": pa.array([n2_tot], pa.int64()),
+        "o1": pa.array([o1_sum], pa.int64()),
+        "e1_micro": pa.array([e1_sum], pa.int64()),
+        "var_micro": pa.array([v_sum], pa.int64()),
+        "z2_micro": pa.array([z2], pa.int64())})
+
+
+_QUANT_BITS = (2, 4, 6, 8)
+
+
+def q_quant_error_curve(sf_dir: str):
+    """Embedding quantization error curve: exact integer squared
+    reconstruction error (micro² units) of uniform b-bit quantization
+    over [−1, 1] for b ∈ {2, 4, 6, 8} — the compression-planning
+    companion to ``quantize_embeddings``.
+
+    Scale plan: one streaming pass; 4 int64 partials per batch."""
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = round_away(flat * 1_000_000, 0).astype(np.int64)
+        cols = {"n": pa.array([len(q)], pa.int64())}
+        for bits in _QUANT_BITS:
+            lv = (1 << bits) - 1
+            # code on the micro grid: round((q+1e6)·lv / 2e6)
+            code = round_away((q + 1_000_000).astype(np.float64)
+                              * lv / 2_000_000, 0).astype(np.int64)
+            code = np.clip(code, 0, lv)
+            recon = round_away(code.astype(np.float64) * 2_000_000
+                               / lv, 0).astype(np.int64) - 1_000_000
+            err = q - recon
+            cols[f"e{bits}"] = pa.array([int((err * err).sum())],
+                                        pa.int64())
+        return pa.table(cols)
+
+    parts = _read(sf_dir, "embeddings", ["embedding"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = sum(int(v) for v in parts["n"])
+    rows = []
+    for bits in _QUANT_BITS:
+        e = sum(int(v) for v in parts[f"e{bits}"])
+        rows.append((bits, n, e, e // n))
+    return pa.table({
+        "bits": pa.array([r[0] for r in rows], pa.int64()),
+        "n_values": pa.array([r[1] for r in rows], pa.int64()),
+        "sse_micro2": pa.array([r[2] for r in rows], pa.int64()),
+        "mse_micro2": pa.array([r[3] for r in rows], pa.int64())})
+
+
+QUERIES["log_rank_test"] = q_log_rank_test
+QUERIES["quant_error_curve"] = q_quant_error_curve
+
+ORACLE_SQL["log_rank_test"] = """
+WITH r AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+f AS (SELECT a.user_id, a.event_type AS grp,
+             (b.t - a.t) // 86400000000 AS dur
+      FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn = 2
+      WHERE a.rn = 1 AND a.event_type IN ('click', 'view')),
+h AS (SELECT grp, dur, CAST(count(*) AS BIGINT) AS n
+      FROM f GROUP BY 1, 2),
+d AS (SELECT dur,
+             CAST(coalesce(sum(n) FILTER (WHERE grp = 'click'), 0)
+                  AS BIGINT) AS o1,
+             CAST(coalesce(sum(n) FILTER (WHERE grp = 'view'), 0)
+                  AS BIGINT) AS o2
+      FROM h GROUP BY 1),
+rs AS (SELECT dur, o1, o2,
+              CAST((SELECT coalesce(sum(n), 0) FROM h
+                    WHERE grp = 'click') AS BIGINT)
+                  - CAST(coalesce(sum(o1) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+              CAST((SELECT coalesce(sum(n), 0) FROM h
+                    WHERE grp = 'view') AS BIGINT)
+                  - CAST(coalesce(sum(o2) OVER (ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS n2
+       FROM d),
+terms AS (SELECT o1,
+                 n1 * (o1 + o2) * 1000000 // (n1 + n2) AS e1,
+                 CASE WHEN n1 + n2 > 1 THEN
+                     CAST(n1 AS HUGEINT) * n2 * (o1 + o2)
+                     * ((n1 + n2) - (o1 + o2)) * 1000000
+                     // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2)
+                         * ((n1 + n2) - 1))
+                 ELSE 0 END AS v
+          FROM rs),
+agg AS (SELECT CAST(sum(o1) AS BIGINT) AS o1,
+               CAST(sum(e1) AS BIGINT) AS e1,
+               CAST(sum(v) AS BIGINT) AS v
+        FROM terms)
+SELECT (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM h
+        WHERE grp = 'click') AS n_click,
+       (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM h
+        WHERE grp = 'view') AS n_view,
+       o1, e1 AS e1_micro, v AS var_micro,
+       CASE WHEN v > 0
+            THEN CAST((CAST(o1 AS HUGEINT) * 1000000 - e1)
+                      * (CAST(o1 AS HUGEINT) * 1000000 - e1)
+                      // CAST(v AS HUGEINT) AS BIGINT)
+            ELSE -1 END AS z2_micro
+FROM agg
+"""
+
+ORACLE_SQL["quant_error_curve"] = """
+WITH f AS (SELECT CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                             * 1000000) AS BIGINT) AS q
+           FROM embeddings),
+e AS (SELECT b.bits,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((q - (CAST(round(
+                 least(greatest(round((q + 1000000)
+                     * ((1 << b.bits) - 1) / 2000000), 0),
+                     (1 << b.bits) - 1) * 2000000
+                 / ((1 << b.bits) - 1)) AS BIGINT) - 1000000))
+                 * (q - (CAST(round(
+                 least(greatest(round((q + 1000000)
+                     * ((1 << b.bits) - 1) / 2000000), 0),
+                     (1 << b.bits) - 1) * 2000000
+                 / ((1 << b.bits) - 1)) AS BIGINT) - 1000000)))
+                 AS BIGINT) AS sse
+      FROM f CROSS JOIN (SELECT unnest([2, 4, 6, 8]) AS bits) b
+      GROUP BY 1)
+SELECT CAST(bits AS BIGINT) AS bits, n AS n_values,
+       sse AS sse_micro2, sse // n AS mse_micro2
+FROM e ORDER BY bits
+"""

@@ -1197,3 +1197,95 @@ def test_split3_census_matches_bruteforce(ray_session, tmp_path):
     assert got_d == exp
     # all three splits materialized
     assert {s for s, _ in got_d} == {"train", "val", "test"}
+
+
+def test_log_rank_test_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_log_rank_test
+
+    rng = np.random.RandomState(97)
+    rows, eid = [], 0
+    users = []  # (grp, dur)
+    for u in range(120):
+        first = "click" if u % 2 == 0 else "view"
+        t0 = int(rng.randint(0, 10**6)) * 1_000_000
+        # planted: clicks return much sooner than views
+        dur_days = int(rng.randint(0, 5)) if first == "click" \
+            else int(rng.randint(5, 30))
+        rows.append((eid, u, t0, first))
+        eid += 1
+        rows.append((eid, u, t0 + dur_days * 86_400_000_000
+                     + 1_000_000, "purchase"))
+        eid += 1
+        users.append((first, dur_days))
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[2] for r in rows], np.int64))
+            .cast(pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string())}),
+        str(tmp_path / "events.parquet"))
+
+    got = q_log_rank_test(str(tmp_path)).to_pandas().iloc[0]
+
+    h1: dict = {}
+    h2: dict = {}
+    for g, d in users:
+        (h1 if g == "click" else h2)[d] = \
+            (h1 if g == "click" else h2).get(d, 0) + 1
+    n1, n2 = sum(h1.values()), sum(h2.values())
+    o1s = e1s = vs = 0
+    for d in sorted(set(h1) | set(h2)):
+        o1, o2 = h1.get(d, 0), h2.get(d, 0)
+        o, nn = o1 + o2, n1 + n2
+        o1s += o1
+        e1s += n1 * o * 1_000_000 // nn
+        if nn > 1:
+            vs += n1 * n2 * o * (nn - o) * 1_000_000 \
+                // (nn * nn * (nn - 1))
+        n1 -= o1
+        n2 -= o2
+    diff = o1s * 1_000_000 - e1s
+    assert int(got["o1"]) == o1s
+    assert int(got["e1_micro"]) == e1s
+    assert int(got["var_micro"]) == vs
+    assert int(got["z2_micro"]) == diff * diff // vs
+    # planted separation is decisive (chi2_1 > 30)
+    assert int(got["z2_micro"]) > 30_000_000
+
+
+def test_quant_error_curve_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_quant_error_curve
+
+    rng = np.random.RandomState(101)
+    n, d = 50, 6
+    vecs = [[round(float(x), 6) for x in rng.uniform(-1, 1, d)]
+            for _ in range(n)]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    got = q_quant_error_curve(str(tmp_path)).to_pandas() \
+        .set_index("bits")
+
+    raw = [np.array(v, np.float64) for v in pq.read_table(
+        str(tmp_path / "embeddings.parquet"))["embedding"]
+        .to_pylist()]
+    flat = np.concatenate(raw)
+
+    def ra(x):
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+    q = ra(flat * 1_000_000).astype(np.int64)
+    for bits in (2, 4, 6, 8):
+        lv = (1 << bits) - 1
+        code = np.clip(ra((q + 1_000_000).astype(np.float64) * lv
+                          / 2_000_000), 0, lv).astype(np.int64)
+        recon = ra(code.astype(np.float64) * 2_000_000
+                   / lv).astype(np.int64) - 1_000_000
+        sse = int(((q - recon) ** 2).sum())
+        assert int(got.loc[bits, "sse_micro2"]) == sse
+        assert int(got.loc[bits, "mse_micro2"]) == sse // len(q)
+    # monotone: more bits, less error
+    e = got["sse_micro2"].to_numpy()
+    assert (e[1:] < e[:-1]).all()
