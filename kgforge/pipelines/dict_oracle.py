@@ -1422,3 +1422,25 @@ FROM sp p1 JOIN sp p2
   ON p1.subj = p2.subj AND p1.pred < p2.pred
 GROUP BY 1, 2
 """
+
+
+def pred_obj_entropy_sql() -> str:
+    """Twin of ``q_kg_pred_obj_entropy`` — per-predicate object
+    entropy on the shared L grid over the pre-dedup triple stream."""
+    return _triples_ctes() + """,
+po AS (SELECT pred, obj, CAST(count(*) AS BIGINT) AS c
+       FROM trip GROUP BY 1, 2),
+np_ AS (SELECT pred, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS nobj
+        FROM po GROUP BY 1),
+t AS (SELECT po.pred,
+             CAST(sum(po.c
+                  * (CAST(floor(ln(np_.n) * 1000000 + 0.5) AS BIGINT)
+                     - CAST(floor(ln(po.c) * 1000000 + 0.5)
+                            AS BIGINT))) AS BIGINT) AS s
+      FROM po JOIN np_ USING (pred) GROUP BY 1)
+SELECT t.pred, np_.nobj AS n_objects, np_.n AS n_triples,
+       CASE WHEN t.s >= 0 THEN t.s // np_.n
+            ELSE -((-t.s) // np_.n) END AS h_micro
+FROM t JOIN np_ USING (pred) ORDER BY pred
+"""

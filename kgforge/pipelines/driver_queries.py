@@ -17799,3 +17799,215 @@ SELECT CAST(bits AS BIGINT) AS bits, n AS n_values,
        sse AS sse_micro2, sse // n AS mse_micro2
 FROM e ORDER BY bits
 """
+
+
+def q_fisher_ratio(sf_dir: str):
+    """Fisher discriminant trace ratio of the labeled embedding
+    cloud: ``trace(S_between)·10⁶ // trace(S_within)`` from exact
+    integer per-label moments (micro grid) — one scalar for "are the
+    labels linearly separable at all", next to
+    ``label_centroid_dist``'s pairwise table.  With per-label count
+    n_c, sum vector s_c, Σ|x|² = q_c and global (n, s), both engines
+    compute the per-label single floors
+    ``sw = Σ_c (q_c·n_c − |s_c|²) // n_c`` and
+    ``sb = Σ_c |s_c·n − s·n_c|² // (n_c·n²)`` — all-positive integer
+    divisions, mirrored verbatim.
+
+    Scale plan: per-batch (label, count, sumvec, Σ|x|²) partials —
+    labels×(d+2) int64 rows — one bounded groupby; driver fold."""
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = b.num_rows
+        d = len(flat) // n if n else 0
+        q = round_away(flat * 1_000_000, 0).astype(np.int64) \
+            .reshape(n, d)
+        lab = b["label"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ls, inv = np.unique(lab, return_inverse=True)
+        rows = []
+        for i, lv in enumerate(ls):
+            m = inv == i
+            qs = q[m]
+            rows.append((int(lv), int(m.sum()),
+                         [int(x) for x in qs.sum(axis=0)],
+                         int((qs * qs).sum())))
+        return pa.table({
+            "label": pa.array([r[0] for r in rows], pa.int64()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "s": pa.array([r[2] for r in rows],
+                          pa.list_(pa.int64())),
+            "q2": pa.array([r[3] for r in rows], pa.int64())})
+
+    parts = _read(sf_dir, "embeddings", ["embedding", "label"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    acc: dict = {}
+    for _, r in parts.iterrows():
+        lv = int(r["label"])
+        n0, s0, q0 = acc.get(lv, (0, None, 0))
+        sv = [int(x) for x in r["s"]]
+        if s0 is None:
+            s0 = [0] * len(sv)
+        acc[lv] = (n0 + int(r["n"]),
+                   [a + b for a, b in zip(s0, sv)],
+                   q0 + int(r["q2"]))
+    n_tot = sum(v[0] for v in acc.values())
+    d = len(next(iter(acc.values()))[1])
+    s_tot = [sum(v[1][j] for v in acc.values()) for j in range(d)]
+    sw = sb = 0
+    for n_c, s_c, q_c in acc.values():
+        sw += (q_c * n_c - sum(x * x for x in s_c)) // n_c
+        num = sum((x * n_tot - g * n_c) ** 2
+                  for x, g in zip(s_c, s_tot))
+        sb += num // (n_c * n_tot * n_tot)
+    return pa.table({
+        "n_vecs": pa.array([n_tot], pa.int64()),
+        "n_labels": pa.array([len(acc)], pa.int64()),
+        "sw_micro2": pa.array([sw], pa.int64()),
+        "sb_micro2": pa.array([sb], pa.int64()),
+        "fisher_micro": pa.array([sb * 1_000_000 // sw
+                                  if sw > 0 else -1], pa.int64())})
+
+
+def q_kg_pred_obj_entropy(sf_dir: str):
+    """Per-predicate object entropy on the L grid — how concentrated
+    is each relation's object distribution?  (H ≈ 0 ⇒ near-functional
+    predicate; high H ⇒ open relation) — the information-theoretic
+    companion to ``kg_pred_card``'s distinct counts.
+    ``h_micro = sign_mag(Σ c·(L(N_p)−L(c)), N_p)``.
+
+    Scale plan: rides the dict-lane triples; (pred, obj) counts are
+    one bounded groupby (objects shuffle as counts, never text
+    beyond the object surface)."""
+    from ray.data.aggregate import Sum
+
+    trips = _dict_flagship_for(sf_dir)["triples"].select_columns(
+        ["pred", "obj"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["pred", "obj"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"pred": g["pred"], "obj": g["obj"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    cells = trips.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["pred", "obj"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+
+    import math
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    rows = []
+    for pred, grp in cells.groupby("pred"):
+        cs = [int(x) for x in grp["c"]]
+        n_p = sum(cs)
+        s = sum(c * (L(n_p) - L(c)) for c in cs)
+        h = s // n_p if s >= 0 else -((-s) // n_p)
+        rows.append((str(pred), len(cs), n_p, h))
+    rows.sort()
+    return pa.table({
+        "pred": pa.array([r[0] for r in rows], pa.string()),
+        "n_objects": pa.array([r[1] for r in rows], pa.int64()),
+        "n_triples": pa.array([r[2] for r in rows], pa.int64()),
+        "h_micro": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def q_round_price_bias(sf_dir: str):
+    """Round-number bias census of order totals: counts of cents
+    endings (.00 / .50 / .99 / other) — fabricated or hand-entered
+    money columns overshoot round endings; organic ones don't.  One
+    row per ending with the exact ppm share.
+
+    Scale plan: pure map; 4-bounded partials."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = round_away(
+            b["o_totalprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        e = cents % 100
+        ending = np.where(e == 0, "00",
+                          np.where(e == 50, "50",
+                                   np.where(e == 99, "99", "other")))
+        g = pa.table({"ending": pa.array(ending, pa.string()),
+                      "n": pa.array(np.ones(len(e), np.int64))}) \
+            .group_by(["ending"], use_threads=False).aggregate(
+            [("n", "sum")])
+        return pa.table({"ending": g["ending"], "n": g["n_sum"]})
+
+    agg = _read(sf_dir, "orders", ["o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("ending").aggregate(Sum("n", alias_name="n_orders")) \
+        .to_pandas().sort_values("ending")
+    tot = int(agg["n_orders"].sum())
+    return pa.table({
+        "ending": pa.array(agg["ending"].astype(str), pa.string()),
+        "n_orders": pa.array(agg["n_orders"].astype(np.int64),
+                             pa.int64()),
+        "share_ppm": pa.array(
+            [int(v) * 1_000_000 // tot for v in agg["n_orders"]],
+            pa.int64())})
+
+
+QUERIES["fisher_ratio"] = q_fisher_ratio
+QUERIES["kg_pred_obj_entropy"] = q_kg_pred_obj_entropy
+QUERIES["round_price_bias"] = q_round_price_bias
+
+ORACLE_SQL["fisher_ratio"] = """
+WITH f AS (SELECT vec_id, label,
+                  CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                             * 1000000) AS BIGINT) AS q,
+                  generate_subscripts(embedding, 1) AS pos
+           FROM embeddings),
+pl AS (SELECT label, CAST(pos - 1 AS BIGINT) AS dim,
+              sum(CAST(q AS HUGEINT)) AS s,
+              sum(CAST(q AS HUGEINT) * q) AS q2
+       FROM f GROUP BY 1, 2),
+lc AS (SELECT label, CAST(count(DISTINCT vec_id) AS HUGEINT) AS n
+       FROM f GROUP BY 1),
+gt AS (SELECT CAST(sum(n) AS HUGEINT) AS n FROM lc),
+gs AS (SELECT dim, CAST(sum(s) AS HUGEINT) AS g FROM pl GROUP BY 1),
+w AS (SELECT pl.label,
+             (sum(pl.q2) * max(lc.n) - sum(pl.s * pl.s))
+                 // max(lc.n) AS sw_c,
+             sum((pl.s * (SELECT n FROM gt) - gs.g * lc.n)
+                 * (pl.s * (SELECT n FROM gt) - gs.g * lc.n))
+                 // (max(lc.n) * (SELECT n FROM gt)
+                     * (SELECT n FROM gt)) AS sb_c
+      FROM pl JOIN lc USING (label) JOIN gs USING (dim)
+      GROUP BY pl.label),
+agg AS (SELECT CAST(sum(sw_c) AS BIGINT) AS sw,
+               CAST(sum(sb_c) AS BIGINT) AS sb
+        FROM w)
+SELECT CAST((SELECT n FROM gt) AS BIGINT) AS n_vecs,
+       (SELECT CAST(count(*) AS BIGINT) FROM lc) AS n_labels,
+       sw AS sw_micro2, sb AS sb_micro2,
+       CASE WHEN sw > 0
+            THEN CAST(CAST(sb AS HUGEINT) * 1000000 // sw AS BIGINT)
+            ELSE -1 END AS fisher_micro
+FROM agg
+"""
+
+ORACLE_SQL["round_price_bias"] = """
+WITH e AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 100
+               AS e
+           FROM orders),
+c AS (SELECT CASE WHEN e = 0 THEN '00' WHEN e = 50 THEN '50'
+                  WHEN e = 99 THEN '99' ELSE 'other' END AS ending,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM e GROUP BY 1)
+SELECT ending, n_orders,
+       CAST(CAST(n_orders AS HUGEINT) * 1000000
+            // (SELECT sum(n_orders) FROM c) AS BIGINT) AS share_ppm
+FROM c ORDER BY ending
+"""
+
+ORACLE_SQL["kg_pred_obj_entropy"] = _dict_oracle.pred_obj_entropy_sql()

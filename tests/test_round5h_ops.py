@@ -1289,3 +1289,62 @@ def test_quant_error_curve_matches_bruteforce(ray_session, tmp_path):
     # monotone: more bits, less error
     e = got["sse_micro2"].to_numpy()
     assert (e[1:] < e[:-1]).all()
+
+
+def test_fisher_ratio_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_fisher_ratio
+
+    rng = np.random.RandomState(103)
+    n, d = 90, 6
+    labels = np.array([i % 3 for i in range(n)], np.int32)
+    pts = rng.randn(n, d) * 0.05
+    pts[labels == 1, 0] += 2.0        # planted separation on dim 0
+    pts[labels == 2, 1] += 2.0
+    vecs = [[round(float(x), 6) for x in row] for row in pts]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())}),
+        str(tmp_path / "embeddings.parquet"))
+
+    got = q_fisher_ratio(str(tmp_path)).to_pandas().iloc[0]
+
+    raw = [np.array(v, np.float64) for v in pq.read_table(
+        str(tmp_path / "embeddings.parquet"))["embedding"]
+        .to_pylist()]
+    q = np.array([np.sign(v) * np.floor(np.abs(v) * 1_000_000 + 0.5)
+                  for v in raw]).astype(np.int64)
+    s_tot = q.sum(axis=0)
+    sw = sb = 0
+    for lv in (0, 1, 2):
+        m = labels == lv
+        qs = q[m]
+        n_c = int(m.sum())
+        s_c = qs.sum(axis=0)
+        q_c = int((qs * qs).sum())
+        sw += (q_c * n_c - int((s_c * s_c).sum())) // n_c
+        sb += sum((int(a) * n - int(g) * n_c) ** 2
+                  for a, g in zip(s_c, s_tot)) // (n_c * n * n)
+    assert int(got["sw_micro2"]) == sw
+    assert int(got["sb_micro2"]) == sb
+    assert int(got["fisher_micro"]) == sb * 1_000_000 // sw
+    # planted separation: between-scatter dominates within-scatter
+    assert int(got["fisher_micro"]) > 10_000_000
+
+
+def test_round_price_bias_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_round_price_bias
+
+    prices = [10.00, 25.00, 3.50, 7.99, 8.99, 12.34, 99.99, 5.00]
+    pq.write_table(pa.table({
+        "o_totalprice": pa.array(prices, pa.float64())}),
+        str(tmp_path / "orders.parquet"))
+
+    got = q_round_price_bias(str(tmp_path)).to_pandas() \
+        .set_index("ending")
+
+    assert int(got.loc["00", "n_orders"]) == 3
+    assert int(got.loc["50", "n_orders"]) == 1
+    assert int(got.loc["99", "n_orders"]) == 3
+    assert int(got.loc["other", "n_orders"]) == 1
+    assert int(got.loc["00", "share_ppm"]) == 3 * 1_000_000 // 8
