@@ -18011,3 +18011,138 @@ FROM c ORDER BY ending
 """
 
 ORACLE_SQL["kg_pred_obj_entropy"] = _dict_oracle.pred_obj_entropy_sql()
+
+
+def q_price_dispersion_topk(sf_dir: str):
+    """Top-20 parts by unit-price dispersion (CV² of round unit
+    cents, ppm): catalog items whose realized prices disagree most —
+    the pricing-anomaly / data-entry-error detector.
+    ``cv2_ppm = n(nQ − S²)·10⁶ // ((n−1)S²)``, parts with n < 5
+    excluded; ties by partkey.
+
+    Scale plan: per-batch partkey moment partials → one partkey
+    groupby (3 int64 sums shuffle, never rows) → vectorized ppm →
+    sort-limit."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        e = b["l_extendedprice"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        qn = b["l_quantity"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        unit = round_away(e * 100.0 / qn, 0).astype(np.int64)
+        t = pa.table({"pk": b["l_partkey"],
+                      "n": pa.array(np.ones(len(unit), np.int64)),
+                      "s": pa.array(unit),
+                      "q": pa.array(unit * unit)})
+        g = t.group_by(["pk"], use_threads=False).aggregate(
+            [("n", "sum"), ("s", "sum"), ("q", "sum")])
+        return pa.table({"pk": g["pk"], "n": g["n_sum"],
+                         "s": g["s_sum"], "q": g["q_sum"]})
+
+    agg = _read(sf_dir, "lineitem",
+                ["l_partkey", "l_extendedprice", "l_quantity"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("pk").aggregate(Sum("n", alias_name="n"),
+                                 Sum("s", alias_name="s"),
+                                 Sum("q", alias_name="q"))
+
+    def cv2(b: pa.Table) -> pa.Table:
+        n = b["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = b["s"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(object)
+        q = b["q"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(object)
+        keep = n >= 5
+        nn = n[keep].astype(object)
+        ss, qq = s[keep], q[keep]
+        v = [int(a * (a * c - b_ * b_) * 1_000_000
+                 // ((a - 1) * b_ * b_))
+             for a, b_, c in zip(nn, ss, qq)]
+        return pa.table({
+            "l_partkey": b["pk"].filter(pa.array(keep)),
+            "n_lines": pa.array(n[keep].astype(np.int64)),
+            "cv2_ppm": pa.array(v, pa.int64())})
+
+    return agg.map_batches(cv2, batch_format="pyarrow") \
+        .sort(["cv2_ppm", "l_partkey"], descending=[True, False]) \
+        .limit(20)
+
+
+def q_nonascii_census(sf_dir: str):
+    """Non-ASCII character share per source (codepoints outside
+    printable ASCII) — the mojibake / encoding-damage detector next
+    to ``mixed_script_census``'s per-doc flags.
+
+    Scale plan: one RE2 count per batch, source-bounded partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b["text"], "")
+        total = pc.utf8_length(txt)
+        na = pc.count_substring_regex(txt, r"[^\x20-\x7E]")
+        g = pa.table({"source": b["source"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "ch": pc.cast(total, pa.int64()),
+                      "na": pc.cast(na, pa.int64())}) \
+            .group_by(["source"], use_threads=False).aggregate(
+            [("n", "sum"), ("ch", "sum"), ("na", "sum")])
+        return pa.table({"source": g["source"], "n": g["n_sum"],
+                         "ch": g["ch_sum"], "na": g["na_sum"]})
+
+    agg = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("ch", alias_name="n_chars"),
+            Sum("na", alias_name="n_nonascii")).to_pandas() \
+        .sort_values("source")
+    ch = agg["n_chars"].to_numpy(dtype=np.int64)
+    na = agg["n_nonascii"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "source": pa.array(agg["source"].astype(str), pa.string()),
+        "n_docs": pa.array(agg["n_docs"].astype(np.int64),
+                           pa.int64()),
+        "n_chars": pa.array(ch, pa.int64()),
+        "n_nonascii": pa.array(na, pa.int64()),
+        "nonascii_ppm": pa.array(
+            np.where(ch > 0, na * 1_000_000 // np.maximum(ch, 1), 0),
+            pa.int64())})
+
+
+QUERIES["price_dispersion_topk"] = q_price_dispersion_topk
+QUERIES["nonascii_census"] = q_nonascii_census
+
+ORACLE_SQL["price_dispersion_topk"] = """
+WITH u AS (SELECT l_partkey AS pk,
+                  CAST(round(l_extendedprice * 100 / l_quantity)
+                       AS BIGINT) AS unit
+           FROM lineitem),
+m AS (SELECT pk, CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(unit AS HUGEINT)) AS s,
+             sum(CAST(unit AS HUGEINT) * unit) AS q
+      FROM u GROUP BY 1 HAVING count(*) >= 5)
+SELECT pk AS l_partkey, CAST(n AS BIGINT) AS n_lines,
+       CAST(n * (n * q - s * s) * 1000000
+            // ((n - 1) * s * s) AS BIGINT) AS cv2_ppm
+FROM m ORDER BY cv2_ppm DESC, l_partkey LIMIT 20
+"""
+
+ORACLE_SQL["nonascii_census"] = r"""
+WITH d AS (SELECT source, coalesce(text, '') AS text
+           FROM documents),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             CAST(sum(length(text)
+                      - length(regexp_replace(text,
+                          '[^\x20-\x7E]', '', 'g'))) AS BIGINT)
+                 AS n_nonascii
+      FROM d GROUP BY 1)
+SELECT source, n_docs, n_chars, n_nonascii,
+       CASE WHEN n_chars > 0
+            THEN n_nonascii * 1000000 // n_chars ELSE 0 END
+           AS nonascii_ppm
+FROM a ORDER BY source
+"""

@@ -1348,3 +1348,70 @@ def test_round_price_bias_matches_bruteforce(ray_session, tmp_path):
     assert int(got.loc["99", "n_orders"]) == 3
     assert int(got.loc["other", "n_orders"]) == 1
     assert int(got.loc["00", "share_ppm"]) == 3 * 1_000_000 // 8
+
+
+def test_price_dispersion_topk_matches_bruteforce(ray_session,
+                                                  tmp_path):
+    from kgforge.pipelines.driver_queries import (
+        q_price_dispersion_topk,
+    )
+
+    rng = np.random.RandomState(107)
+    pks, exts, qtys = [], [], []
+    units = {}
+    for pk in range(1, 40):
+        # part 1 has a planted 10x price outlier
+        base = 50.0
+        for i in range(8):
+            u = base * (10.0 if (pk == 1 and i == 0) else 1.0) \
+                * (1 + 0.01 * float(rng.rand()))
+            q = float(rng.randint(1, 5))
+            pks.append(pk)
+            qtys.append(q)
+            exts.append(round(u * q, 2))
+            units.setdefault(pk, []).append(
+                int(np.floor(abs(exts[-1] * 100.0 / q) + 0.5)))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array(pks, pa.int64()),
+        "l_extendedprice": pa.array(exts, pa.float64()),
+        "l_quantity": pa.array(qtys, pa.float64())}),
+        str(tmp_path / "lineitem.parquet"))
+
+    got = q_price_dispersion_topk(str(tmp_path)).to_pandas()
+
+    exp = []
+    for pk, us in units.items():
+        n, s = len(us), sum(us)
+        q = sum(u * u for u in us)
+        if n >= 5:
+            exp.append((n * (n * q - s * s) * 1_000_000
+                        // ((n - 1) * s * s), -pk, pk, n))
+    exp.sort(key=lambda x: (-x[0], x[2]))
+    assert int(got.iloc[0]["l_partkey"]) == 1     # planted outlier
+    for i in range(min(20, len(exp))):
+        assert int(got.iloc[i]["l_partkey"]) == exp[i][2]
+        assert int(got.iloc[i]["cv2_ppm"]) == exp[i][0]
+        assert int(got.iloc[i]["n_lines"]) == exp[i][3]
+
+
+def test_nonascii_census_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_nonascii_census
+
+    docs = [("ascii", "plain text 123"),
+            ("noisy", "café naïve 日本"),
+            ("noisy", "pure ascii here")]
+    _write_docs(tmp_path, [d[0] for d in docs], [d[1] for d in docs])
+
+    got = q_nonascii_census(str(tmp_path)).to_pandas() \
+        .set_index("source")
+
+    for src in ("ascii", "noisy"):
+        txts = [t for s, t in docs if s == src]
+        ch = sum(len(t) for t in txts)
+        na = sum(1 for t in txts for c in t
+                 if not (0x20 <= ord(c) <= 0x7E))
+        assert int(got.loc[src, "n_chars"]) == ch
+        assert int(got.loc[src, "n_nonascii"]) == na
+        assert int(got.loc[src, "nonascii_ppm"]) == \
+            na * 1_000_000 // ch
+    assert int(got.loc["ascii", "n_nonascii"]) == 0
