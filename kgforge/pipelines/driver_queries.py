@@ -18146,3 +18146,201 @@ SELECT source, n_docs, n_chars, n_nonascii,
            AS nonascii_ppm
 FROM a ORDER BY source
 """
+
+
+def q_discount_lift(sf_dir: str):
+    """Quantity lift by discount band (discount·100 = 0..10): line
+    count, exact mean quantity in ppm and revenue share per band —
+    does discounting actually move volume?
+
+    Scale plan: 11-bounded combiner partials, zero shuffle beyond
+    the tiny band groupby."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = round_away(
+            b["l_discount"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        qn = np.rint(b["l_quantity"].combine_chunks()
+                     .to_numpy(zero_copy_only=False)).astype(np.int64)
+        rev = round_away(
+            b["l_extendedprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].combine_chunks()
+               .to_numpy(zero_copy_only=False)) * 100,
+            0).astype(np.int64)
+        g = pa.table({"band": pa.array(d),
+                      "n": pa.array(np.ones(len(d), np.int64)),
+                      "q": pa.array(qn), "r": pa.array(rev)}) \
+            .group_by(["band"], use_threads=False).aggregate(
+            [("n", "sum"), ("q", "sum"), ("r", "sum")])
+        return pa.table({"band": g["band"], "n": g["n_sum"],
+                         "q": g["q_sum"], "r": g["r_sum"]})
+
+    agg = _read(sf_dir, "lineitem",
+                ["l_discount", "l_quantity", "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("band").aggregate(
+            Sum("n", alias_name="n_lines"),
+            Sum("q", alias_name="sum_qty"),
+            Sum("r", alias_name="rev_cents")).to_pandas() \
+        .sort_values("band")
+    tot_rev = sum(int(v) for v in agg["rev_cents"])
+    return pa.table({
+        "discount_band": pa.array(agg["band"].astype(np.int64),
+                                  pa.int64()),
+        "n_lines": pa.array(agg["n_lines"].astype(np.int64),
+                            pa.int64()),
+        "mean_qty_ppm": pa.array(
+            [int(q) * 1_000_000 // int(n)
+             for q, n in zip(agg["sum_qty"], agg["n_lines"])],
+            pa.int64()),
+        "rev_cents": pa.array(agg["rev_cents"].astype(np.int64),
+                              pa.int64()),
+        "rev_share_ppm": pa.array(
+            [int(r) * 1_000_000 // tot_rev
+             for r in agg["rev_cents"]], pa.int64())})
+
+
+def q_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary overlap coefficient between sources:
+    ``overlap_ppm = |A∩B|·10⁶ // min(|A|,|B|)`` over token TYPE sets
+    — the set-level companion to ``source_jsd``'s distributional
+    divergence (high overlap + high JSD ⇒ same words, different
+    mixes).
+
+    Scale plan: (source, token) distinct rows → hash(token)%P
+    partitions; per partition one dense presence matrix and a single
+    int matmul emits all C(S,2) intersection partials — the
+    vocabulary itself is never collected."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import _part_codes
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b["text"], ""), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat, par = flat.filter(keep), par.filter(keep)
+        src = b["source"].take(par)
+        g = pa.table({"source": src, "w": flat}) \
+            .group_by(["source", "w"], use_threads=False) \
+            .aggregate([])
+        return g
+
+    from ray.data.aggregate import Count
+
+    distinct = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "w"]).aggregate(Count(alias_name="__c"))
+
+    P = 64
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.drop_columns(["__c"])
+        return b.append_column("__p",
+                               pa.array(_part_codes(b["w"], P)))
+
+    def inter_partial(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__p"])
+        w = t["w"].combine_chunks().dictionary_encode()
+        tok = w.indices.to_numpy(zero_copy_only=False)
+        nv = len(w.dictionary)
+        s = t["source"].combine_chunks().dictionary_encode()
+        sidx = s.indices.to_numpy(zero_copy_only=False)
+        snames = [str(x) for x in s.dictionary.to_pylist()]
+        ns = len(snames)
+        pres = np.zeros((ns, nv), np.int64)
+        pres[sidx, tok] = 1
+        inter = pres @ pres.T
+        ia, ib, iv, sa, sb = [], [], [], [], []
+        for i in range(ns):
+            for j in range(ns):
+                if snames[i] < snames[j]:
+                    sa.append(snames[i])
+                    sb.append(snames[j])
+                    iv.append(int(inter[i, j]))
+        sz_s, sz_n = snames, [int(x) for x in pres.sum(axis=1)]
+        return pa.table({
+            "sa": pa.array(sa + sz_s, pa.string()),
+            "sb": pa.array(sb + [""] * len(sz_s), pa.string()),
+            "v": pa.array(iv + sz_n, pa.int64())})
+
+    parts = distinct.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__p").map_groups(inter_partial,
+                                   batch_format="pyarrow") \
+        .groupby(["sa", "sb"]).aggregate(Sum("v", alias_name="v")) \
+        .to_pandas()
+    sizes = {r["sa"]: int(r["v"]) for _, r in parts.iterrows()
+             if r["sb"] == ""}
+    inter = {(str(r["sa"]), str(r["sb"])): int(r["v"])
+             for _, r in parts.iterrows() if r["sb"] != ""}
+    import itertools
+
+    rows = []
+    for a, b_ in itertools.combinations(sorted(sizes), 2):
+        v = inter.get((a, b_), 0)
+        mn = min(sizes[a], sizes[b_])
+        rows.append((a, b_, sizes[a], sizes[b_], v,
+                     v * 1_000_000 // mn))
+    return pa.table({
+        "src_a": pa.array([r[0] for r in rows], pa.string()),
+        "src_b": pa.array([r[1] for r in rows], pa.string()),
+        "types_a": pa.array([r[2] for r in rows], pa.int64()),
+        "types_b": pa.array([r[3] for r in rows], pa.int64()),
+        "n_common": pa.array([r[4] for r in rows], pa.int64()),
+        "overlap_ppm": pa.array([r[5] for r in rows], pa.int64())})
+
+
+QUERIES["discount_lift"] = q_discount_lift
+QUERIES["vocab_overlap"] = q_vocab_overlap
+
+ORACLE_SQL["discount_lift"] = """
+WITH b AS (SELECT CAST(round(l_discount * 100) AS BIGINT) AS band,
+                  CAST(round(l_quantity) AS BIGINT) AS q,
+                  CAST(round(l_extendedprice * (1.0 - l_discount)
+                             * 100) AS BIGINT) AS r
+           FROM lineitem),
+a AS (SELECT band, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(q) AS BIGINT) AS sq,
+             CAST(sum(r) AS BIGINT) AS rev_cents
+      FROM b GROUP BY 1)
+SELECT band AS discount_band, n_lines,
+       CAST(CAST(sq AS HUGEINT) * 1000000 // n_lines AS BIGINT)
+           AS mean_qty_ppm,
+       rev_cents,
+       CAST(CAST(rev_cents AS HUGEINT) * 1000000
+            // (SELECT sum(rev_cents) FROM a) AS BIGINT)
+           AS rev_share_ppm
+FROM a ORDER BY discount_band
+"""
+
+ORACLE_SQL["vocab_overlap"] = r"""
+WITH toks AS (SELECT source,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                                               '\S+')) AS w
+              FROM documents),
+v AS (SELECT DISTINCT source, w FROM toks),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       FROM v GROUP BY 1),
+iv AS (SELECT a.source AS sa, b.source AS sb,
+              CAST(count(*) AS BIGINT) AS n_common
+       FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT p.sa AS src_a, p.sb AS src_b,
+       za.n AS types_a, zb.n AS types_b,
+       coalesce(iv.n_common, 0) AS n_common,
+       coalesce(iv.n_common, 0) * 1000000
+           // CASE WHEN za.n < zb.n THEN za.n ELSE zb.n END
+           AS overlap_ppm
+FROM (SELECT a.source AS sa, b.source AS sb
+      FROM sz a JOIN sz b ON a.source < b.source) p
+JOIN sz za ON za.source = p.sa
+JOIN sz zb ON zb.source = p.sb
+LEFT JOIN iv ON iv.sa = p.sa AND iv.sb = p.sb
+ORDER BY src_a, src_b
+"""

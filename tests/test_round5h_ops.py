@@ -1415,3 +1415,68 @@ def test_nonascii_census_matches_bruteforce(ray_session, tmp_path):
         assert int(got.loc[src, "nonascii_ppm"]) == \
             na * 1_000_000 // ch
     assert int(got.loc["ascii", "n_nonascii"]) == 0
+
+
+def test_discount_lift_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_discount_lift
+
+    rng = np.random.RandomState(109)
+    rows = []
+    for _ in range(200):
+        d = float(rng.choice([0.0, 0.05, 0.10]))
+        # planted lift: bigger discount, bigger qty
+        q = float(rng.randint(1, 10)) + d * 100
+        e = round(q * 50.0, 2)
+        rows.append((d, q, e))
+    pq.write_table(pa.table({
+        "l_discount": pa.array([r[0] for r in rows], pa.float64()),
+        "l_quantity": pa.array([r[1] for r in rows], pa.float64()),
+        "l_extendedprice": pa.array([r[2] for r in rows],
+                                    pa.float64())}),
+        str(tmp_path / "lineitem.parquet"))
+
+    got = q_discount_lift(str(tmp_path)).to_pandas() \
+        .set_index("discount_band")
+
+    acc: dict = {}
+    for d, q, e in rows:
+        band = int(round(d * 100))
+        rev = int(np.floor(abs(e * (1.0 - d) * 100) + 0.5))
+        n, sq, r = acc.get(band, (0, 0, 0))
+        acc[band] = (n + 1, sq + int(round(q)), r + rev)
+    tot = sum(v[2] for v in acc.values())
+    for band, (n, sq, r) in acc.items():
+        assert int(got.loc[band, "n_lines"]) == n
+        assert int(got.loc[band, "mean_qty_ppm"]) == \
+            sq * 1_000_000 // n
+        assert int(got.loc[band, "rev_cents"]) == r
+        assert int(got.loc[band, "rev_share_ppm"]) == \
+            r * 1_000_000 // tot
+    assert int(got.loc[10, "mean_qty_ppm"]) > \
+        int(got.loc[0, "mean_qty_ppm"]) + 8_000_000
+
+
+def test_vocab_overlap_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_vocab_overlap
+
+    texts = {"a": "x y z shared words here",
+             "b": "x y z shared other tokens",
+             "c": "totally different vocabulary set"}
+    srcs = sorted(texts)
+    _write_docs(tmp_path, srcs, [texts[s] for s in srcs])
+
+    got = q_vocab_overlap(str(tmp_path)).to_pandas() \
+        .set_index(["src_a", "src_b"])
+
+    import itertools
+
+    sets = {s: set(t.split()) for s, t in texts.items()}
+    for x, y in itertools.combinations(srcs, 2):
+        inter = len(sets[x] & sets[y])
+        mn = min(len(sets[x]), len(sets[y]))
+        assert int(got.loc[(x, y), "n_common"]) == inter
+        assert int(got.loc[(x, y), "types_a"]) == len(sets[x])
+        assert int(got.loc[(x, y), "overlap_ppm"]) == \
+            inter * 1_000_000 // mn
+    assert int(got.loc[("a", "c"), "n_common"]) == 0
+    assert int(got.loc[("a", "b"), "overlap_ppm"]) > 600_000
