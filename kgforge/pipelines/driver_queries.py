@@ -16960,7 +16960,6 @@ def q_twonn_id(sf_dir: str):
     to B block-pair buckets, each bucket keeps a per-query partial
     top-2 by (d², id), one query-hash merge; distances are integer
     matmuls (norms + dot), never float."""
-    from kgforge.common.hashing import round_away  # noqa: F401
     from kgforge.functions.joins import _part_codes
 
     B = 4
