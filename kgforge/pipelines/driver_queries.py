@@ -18343,3 +18343,198 @@ JOIN sz zb ON zb.source = p.sb
 LEFT JOIN iv ON iv.sa = p.sa AND iv.sb = p.sb
 ORDER BY src_a, src_b
 """
+
+
+def q_dup_cluster_sources(sf_dir: str):
+    """Cross-source reach of near-duplicate clusters: for each
+    connected near-dup cluster, how many distinct sources does it
+    span?  Histogram (n_sources → clusters, docs) — single-source
+    clusters are scraper echo, multi-source ones are syndication /
+    contamination (the cluster-level view above
+    ``cross_source_dups``'s pair counts).
+
+    Scale plan: rides ``dup_clusters``' component labels; one
+    doc_id-keyed cogroup attaches source; per-batch distinct
+    (cluster, source) partials → one cluster-keyed groupby →
+    bounded histogram."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.functions.joins import cogroup_partition_ds
+
+    # source-AGNOSTIC blocking (len bucket only) — the whole point is
+    # clusters that cross sources, which jaccard_pairs' per-source
+    # blocking precludes by construction
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(b["text"]) \
+            .to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "len_bucket", pa.array((lens % 16).astype(np.int64)))
+
+    pairs = F_dedup.jaccard_blocked_pairs_ds(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        block_cols=("len_bucket",), theta=0.2)
+    clusters = F_dedup.dup_clusters_ds(pairs)
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def fuse(t: pa.Table, starts, nl, nr) -> pa.Table:
+        keep = (nl > 0) & (nr > 0)
+        if not keep.any():
+            return pa.table({"cluster_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string())})
+        lidx = pa.array(starts[keep])
+        ridx = pa.array((starts + nl)[keep])
+        return pa.table({
+            "cluster_id": t["cluster_id"].take(lidx),
+            "source": t["source"].take(ridx)})
+
+    joined = cogroup_partition_ds(
+        clusters, docs, "doc_id", "doc_id", fuse,
+        ["cluster_id"], ["source"],
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("cluster_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("source", pa.string())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["cluster_id", "source"],
+                       use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"cluster_id": g["cluster_id"],
+                         "source": g["source"],
+                         "nd": pc.cast(g["count_all"], pa.int64())})
+
+    cells = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["cluster_id", "source"]) \
+        .aggregate(Sum("nd", alias_name="nd")).to_pandas()
+    per = cells.groupby("cluster_id").agg(
+        ns=("source", "nunique"), nd=("nd", "sum"))
+    hist = per.groupby("ns").agg(n_clusters=("nd", "size"),
+                                 n_docs=("nd", "sum"))
+    return pa.table({
+        "n_sources": pa.array(
+            [int(x) for x in hist.index], pa.int64()),
+        "n_clusters": pa.array(
+            hist["n_clusters"].astype(np.int64).to_numpy(),
+            pa.int64()),
+        "n_docs": pa.array(
+            hist["n_docs"].astype(np.int64).to_numpy(), pa.int64())})
+
+
+def q_type_hour_jsd(sf_dir: str):
+    """Pairwise Jensen–Shannon divergence between event types'
+    hour-of-day profiles (L grid, same integer formulation as
+    ``source_jsd``) — which behaviors share a daily rhythm?
+
+    Scale plan: one types×24-bounded combiner groupby; the 10-pair
+    fold runs on the driver."""
+    from ray.data.aggregate import Sum
+
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.hour(b["ts"].combine_chunks())
+        t = pa.table({"et": b["event_type"], "h": hour,
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["et", "h"], use_threads=False).aggregate(
+            [("one", "sum")])
+        return pa.table({"et": g["et"],
+                         "h": pc.cast(g["h"], pa.int64()),
+                         "n": g["one_sum"]})
+
+    cells = _read(sf_dir, "events", ["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["et", "h"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+
+    def L(v: int) -> int:
+        return int(math.floor(math.log(v) * 1_000_000 + 0.5))
+
+    def sdiv(a: int, b: int) -> int:
+        return a // b if a >= 0 else -((-a) // b)
+
+    prof: dict = {}
+    for _, r in cells.iterrows():
+        prof.setdefault(str(r["et"]), {})[int(r["h"])] = int(r["n"])
+    types = sorted(prof)
+    rows = []
+    for i, x in enumerate(types):
+        for y in types[i + 1:]:
+            a_, b_ = prof[x], prof[y]
+            A = sum(a_.values())
+            B = sum(b_.values())
+            sa = sb = 0
+            for h in set(a_) | set(b_):
+                a = a_.get(h, 0)
+                b2 = b_.get(h, 0)
+                mix = a * B + b2 * A
+                if a > 0:
+                    sa += a * (L(2 * a * B) - L(mix))
+                if b2 > 0:
+                    sb += b2 * (L(2 * b2 * A) - L(mix))
+            rows.append((x, y, sdiv(sa, 2 * A) + sdiv(sb, 2 * B)))
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], pa.string()),
+        "type_b": pa.array([r[1] for r in rows], pa.string()),
+        "jsd_micro": pa.array([r[2] for r in rows], pa.int64())})
+
+
+QUERIES["dup_cluster_sources"] = q_dup_cluster_sources
+QUERIES["type_hour_jsd"] = q_type_hour_jsd
+
+ORACLE_SQL["dup_cluster_sources"] = ORACLE_SQL["dup_clusters"].replace(
+    "ON a.source = b.source AND a.len_bucket = b.len_bucket",
+    "ON a.len_bucket = b.len_bucket").replace(
+    "SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id",
+    """, cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+              FROM reach GROUP BY id),
+    j AS (SELECT cl.cluster_id, d2.source
+          FROM cl JOIN documents d2 USING (doc_id)),
+    per AS (SELECT cluster_id,
+                   CAST(count(DISTINCT source) AS BIGINT) AS ns,
+                   CAST(count(*) AS BIGINT) AS nd
+            FROM j GROUP BY 1)
+    SELECT ns AS n_sources, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(nd) AS BIGINT) AS n_docs
+    FROM per GROUP BY 1 ORDER BY 1""")
+
+ORACLE_SQL["type_hour_jsd"] = """
+WITH c AS (SELECT event_type AS et,
+                  CAST(hour(ts) AS BIGINT) AS h,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+t AS (SELECT et, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+p AS (SELECT a.et AS ta, b.et AS tb, a.tot AS sa, b.tot AS sb
+      FROM t a JOIN t b ON a.et < b.et),
+hrs AS (SELECT DISTINCT h FROM c),
+cells AS (SELECT p.ta, p.tb, p.sa, p.sb,
+                 coalesce(ca.n, 0) AS a, coalesce(cb.n, 0) AS b
+          FROM p CROSS JOIN hrs
+          LEFT JOIN c ca ON ca.et = p.ta AND ca.h = hrs.h
+          LEFT JOIN c cb ON cb.et = p.tb AND cb.h = hrs.h
+          WHERE coalesce(ca.n, 0) > 0 OR coalesce(cb.n, 0) > 0),
+terms AS (SELECT ta, tb, sa, sb,
+                 CASE WHEN a > 0 THEN
+                     a * (CAST(floor(ln(2 * a * sb) * 1000000 + 0.5)
+                               AS BIGINT)
+                          - CAST(floor(ln(a * sb + b * sa) * 1000000
+                                       + 0.5) AS BIGINT))
+                 ELSE 0 END AS xa,
+                 CASE WHEN b > 0 THEN
+                     b * (CAST(floor(ln(2 * b * sa) * 1000000 + 0.5)
+                               AS BIGINT)
+                          - CAST(floor(ln(a * sb + b * sa) * 1000000
+                                       + 0.5) AS BIGINT))
+                 ELSE 0 END AS xb
+          FROM cells),
+s AS (SELECT ta, tb, sa, sb, CAST(sum(xa) AS BIGINT) AS suma,
+             CAST(sum(xb) AS BIGINT) AS sumb
+      FROM terms GROUP BY 1, 2, 3, 4)
+SELECT ta AS type_a, tb AS type_b,
+       (CASE WHEN suma >= 0 THEN suma // (2 * sa)
+             ELSE -((-suma) // (2 * sa)) END
+        + CASE WHEN sumb >= 0 THEN sumb // (2 * sb)
+               ELSE -((-sumb) // (2 * sb)) END) AS jsd_micro
+FROM s ORDER BY type_a, type_b
+"""

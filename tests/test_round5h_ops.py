@@ -1480,3 +1480,92 @@ def test_vocab_overlap_matches_bruteforce(ray_session, tmp_path):
             inter * 1_000_000 // mn
     assert int(got.loc[("a", "c"), "n_common"]) == 0
     assert int(got.loc[("a", "b"), "overlap_ppm"]) > 600_000
+
+
+def test_dup_cluster_sources_matches_bruteforce(ray_session,
+                                                tmp_path):
+    from kgforge.pipelines.driver_queries import q_dup_cluster_sources
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    docs = [
+        # cluster 1: 3 near-dups across 2 sources
+        ("s1", base + " v1"), ("s1", base + " v2"),
+        ("s2", base + " v3"),
+        # cluster 2: 2 near-dups in one source
+        ("s3", "completely different shared text block alpha beta "
+               "gamma delta epsilon zeta eta theta iota kappa x"),
+        ("s3", "completely different shared text block alpha beta "
+               "gamma delta epsilon zeta eta theta iota kappa y"),
+        # singletons (no pairs)
+        ("s1", "unique text one with nothing in common at all here"),
+        ("s2", "another disjoint document about entirely other "
+               "things"),
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "source": pa.array([d[0] for d in docs], pa.string()),
+        "text": pa.array([d[1] for d in docs], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = q_dup_cluster_sources(str(tmp_path)).to_pandas() \
+        .set_index("n_sources")
+
+    # cluster 1 spans 2 sources (3 docs); cluster 2 spans 1 (2 docs)
+    assert int(got.loc[2, "n_clusters"]) == 1
+    assert int(got.loc[2, "n_docs"]) == 3
+    assert int(got.loc[1, "n_clusters"]) == 1
+    assert int(got.loc[1, "n_docs"]) == 2
+
+
+def test_type_hour_jsd_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_type_hour_jsd
+
+    rng = np.random.RandomState(113)
+    hours, types = [], []
+    for _ in range(400):
+        r = rng.rand()
+        if r < 0.4:
+            types.append("night_a")
+            hours.append(int(rng.randint(0, 4)))
+        elif r < 0.8:
+            types.append("night_b")
+            hours.append(int(rng.randint(0, 4)))
+        else:
+            types.append("day")
+            hours.append(int(rng.randint(10, 18)))
+    _write_events(tmp_path, hours, types)
+
+    got = q_type_hour_jsd(str(tmp_path)).to_pandas() \
+        .set_index(["type_a", "type_b"])
+
+    def L(x):
+        return int(math.floor(math.log(x) * 1_000_000 + 0.5))
+
+    def sdiv(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    import itertools
+
+    prof: dict = {}
+    for h, t in zip(hours, types):
+        prof.setdefault(t, {})[h] = prof.setdefault(t, {}).get(h,
+                                                               0) + 1
+    for x, y in itertools.combinations(sorted(prof), 2):
+        A = sum(prof[x].values())
+        B = sum(prof[y].values())
+        sa = sb = 0
+        for h in set(prof[x]) | set(prof[y]):
+            a = prof[x].get(h, 0)
+            b = prof[y].get(h, 0)
+            mix = a * B + b * A
+            if a:
+                sa += a * (L(2 * a * B) - L(mix))
+            if b:
+                sb += b * (L(2 * b * A) - L(mix))
+        assert int(got.loc[(x, y), "jsd_micro"]) == \
+            sdiv(sa, 2 * A) + sdiv(sb, 2 * B)
+    # same rhythm ≈ 0; disjoint rhythms ≈ ln 2
+    assert abs(int(got.loc[("night_a", "night_b"),
+                           "jsd_micro"])) < 30_000
+    assert int(got.loc[("day", "night_a"), "jsd_micro"]) > 650_000
