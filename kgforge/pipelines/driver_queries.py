@@ -18538,3 +18538,114 @@ SELECT ta AS type_a, tb AS type_b,
                ELSE -((-sumb) // (2 * sb)) END) AS jsd_micro
 FROM s ORDER BY type_a, type_b
 """
+
+
+_DEDUP_THRESHOLDS = (20, 40, 60, 80)
+
+
+def q_dedup_threshold_curve(sf_dir: str):
+    """Near-dup pair count as a function of the Jaccard threshold
+    (20/40/60/80%), from ONE blocked-pairs pass — the
+    choose-your-theta curve that turns dedup tuning from rerun-
+    and-pray into a single scan.  Also reports docs touched at each
+    level.
+
+    Scale plan: rides ``jaccard_pairs``' blocked verify (pairs only,
+    never text); per-batch threshold partials → 4-bounded fold."""
+    pairs = q_jaccard_pairs(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        j = b["jaccard"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        rows = {"thr": [], "n": []}
+        for t in _DEDUP_THRESHOLDS:
+            rows["thr"].append(t)
+            rows["n"].append(int((j >= t / 100.0).sum()))
+        return pa.table({"thr": pa.array(rows["thr"], pa.int64()),
+                         "n": pa.array(rows["n"], pa.int64())})
+
+    parts = pairs.map_batches(partial,
+                              batch_format="pyarrow").to_pandas()
+    agg = {t: 0 for t in _DEDUP_THRESHOLDS}
+    for _, r in parts.iterrows():
+        agg[int(r["thr"])] += int(r["n"])
+    return pa.table({
+        "threshold_pct": pa.array(sorted(agg), pa.int64()),
+        "n_pairs": pa.array([agg[t] for t in sorted(agg)],
+                            pa.int64())})
+
+
+def q_lang_script_check(sf_dir: str):
+    """Language-vs-script consistency QA: per declared lang, how many
+    documents contain Han characters — flags zh rows with no CJK at
+    all and non-zh rows dominated by CJK (label noise / encoding
+    damage the ``lang`` column hides).
+
+    Scale plan: one RE2 scan, lang-bounded partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b["text"], "")
+        han = pc.match_substring_regex(txt, r"\p{Han}")
+        g = pa.table({"lang": b["lang"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "han": pc.cast(han, pa.int64())}) \
+            .group_by(["lang"], use_threads=False).aggregate(
+            [("n", "sum"), ("han", "sum")])
+        return pa.table({"lang": g["lang"], "n": g["n_sum"],
+                         "han": g["han_sum"]})
+
+    agg = _read(sf_dir, "documents", ["lang", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("han", alias_name="n_with_han")).to_pandas() \
+        .sort_values("lang")
+    nd = agg["n_docs"].to_numpy(dtype=np.int64)
+    nh = agg["n_with_han"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "lang": pa.array(agg["lang"].astype(str), pa.string()),
+        "n_docs": pa.array(nd, pa.int64()),
+        "n_with_han": pa.array(nh, pa.int64()),
+        "han_ppm": pa.array(nh * 1_000_000 // nd, pa.int64())})
+
+
+QUERIES["dedup_threshold_curve"] = q_dedup_threshold_curve
+QUERIES["lang_script_check"] = q_lang_script_check
+
+ORACLE_SQL["dedup_threshold_curve"] = """
+WITH d AS (SELECT doc_id, source, length(text) % 16 AS len_bucket,
+                  text
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id, source, len_bucket,
+              substring(text, g.i, 5) AS s
+       FROM d, generate_series(1, 4096) g(i)
+       WHERE g.i <= greatest(length(text) - 4, 1)),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+          FROM sh a JOIN sh b
+            ON a.source = b.source AND a.len_bucket = b.len_bucket
+           AND a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+p AS (SELECT round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS j
+      FROM inter
+      JOIN counts ca ON ca.doc_id = ia
+      JOIN counts cb ON cb.doc_id = ib
+      WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.2)
+SELECT t.thr AS threshold_pct,
+       (SELECT CAST(count(*) AS BIGINT) FROM p
+        WHERE j >= t.thr / 100.0) AS n_pairs
+FROM (SELECT unnest([20, 40, 60, 80]) AS thr) t
+ORDER BY threshold_pct
+"""
+
+ORACLE_SQL["lang_script_check"] = r"""
+WITH d AS (SELECT lang, coalesce(text, '') AS text FROM documents),
+a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) FILTER (WHERE regexp_matches(text,
+                 '\p{Han}')) AS BIGINT) AS n_with_han
+      FROM d GROUP BY 1)
+SELECT lang, n_docs, n_with_han,
+       n_with_han * 1000000 // n_docs AS han_ppm
+FROM a ORDER BY lang
+"""

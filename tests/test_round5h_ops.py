@@ -1569,3 +1569,52 @@ def test_type_hour_jsd_matches_bruteforce(ray_session, tmp_path):
     assert abs(int(got.loc[("night_a", "night_b"),
                            "jsd_micro"])) < 30_000
     assert int(got.loc[("day", "night_a"), "jsd_micro"]) > 650_000
+
+
+def test_dedup_threshold_curve_matches_bruteforce(ray_session,
+                                                  tmp_path):
+    from kgforge.pipelines.driver_queries import (
+        q_dedup_threshold_curve,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau")
+    docs = [
+        ("s", base),            # near-identical SAME-LENGTH pair
+        ("s", base[:-1] + "u"),
+        ("s", base[: len(base) // 2]
+         + " totally different second half of the document here"),
+        ("s", "unrelated text with nothing shared at all among any"),
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "source": pa.array([d[0] for d in docs], pa.string()),
+        "text": pa.array([d[1] for d in docs], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = q_dedup_threshold_curve(str(tmp_path)).to_pandas() \
+        .set_index("threshold_pct")
+
+    # monotone non-increasing in threshold; top pair survives 80%
+    ns = [int(got.loc[t, "n_pairs"]) for t in (20, 40, 60, 80)]
+    assert ns[0] >= ns[1] >= ns[2] >= ns[3]
+    assert ns[3] >= 1
+
+
+def test_lang_script_check_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_lang_script_check
+
+    rows = [("zh", "这是中文文本"), ("zh", "mislabeled ascii only"),
+            ("en", "plain english"), ("en", "english with 汉字 mixed")]
+    pq.write_table(pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    got = q_lang_script_check(str(tmp_path)).to_pandas() \
+        .set_index("lang")
+
+    assert int(got.loc["zh", "n_docs"]) == 2
+    assert int(got.loc["zh", "n_with_han"]) == 1
+    assert int(got.loc["zh", "han_ppm"]) == 500_000
+    assert int(got.loc["en", "n_with_han"]) == 1
