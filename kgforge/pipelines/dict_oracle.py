@@ -1444,3 +1444,64 @@ SELECT t.pred, np_.nobj AS n_objects, np_.n AS n_triples,
             ELSE -((-t.s) // np_.n) END AS h_micro
 FROM t JOIN np_ USING (pred) ORDER BY pred
 """
+
+
+def doc_yield_sql() -> str:
+    """Twin of ``q_kg_doc_yield``."""
+    return _triples_ctes() + """,
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+nm AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n FROM ments),
+nt AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM trip)
+SELECT nd.n AS n_docs, nm.n AS docs_with_mentions,
+       nt.n AS docs_with_triples,
+       nm.n * 1000000 // nd.n AS mention_yield_ppm,
+       nt.n * 1000000 // nd.n AS triple_yield_ppm
+FROM nd, nm, nt
+"""
+
+
+def support_stats_sql() -> str:
+    """Twin of ``q_kg_support_stats`` (deduped edges, lower median)."""
+    return _triples_ctes() + """,
+e AS (SELECT subj, pred, obj,
+             CAST(sum(support) AS BIGINT) AS support
+      FROM trip GROUP BY 1, 2, 3),
+r AS (SELECT pred, support,
+             row_number() OVER (PARTITION BY pred
+                                ORDER BY support) AS rn,
+             count(*) OVER (PARTITION BY pred) AS ne
+      FROM e)
+SELECT pred, CAST(max(ne) AS BIGINT) AS n_edges,
+       CAST(sum(support) AS BIGINT) AS total_support,
+       CAST(max(support) AS BIGINT) AS max_support,
+       CAST(max(CASE WHEN rn = (ne + 1) // 2 THEN support END)
+            AS BIGINT) AS median_support
+FROM r GROUP BY pred ORDER BY pred
+"""
+
+
+def multi_pred_pairs_sql() -> str:
+    """Twin of ``q_kg_multi_pred_pairs``."""
+    return _triples_ctes() + """,
+e AS (SELECT DISTINCT subj, pred, obj FROM trip),
+pc_ AS (SELECT subj, obj, CAST(count(*) AS BIGINT) AS np
+        FROM e GROUP BY 1, 2)
+SELECT np AS n_preds, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pc_ GROUP BY 1 ORDER BY n_preds
+"""
+
+
+def sent_yield_sql() -> str:
+    """Twin of ``q_kg_sent_yield`` (zero bucket from the sentence
+    stream)."""
+    return _triples_ctes() + """,
+ps AS (SELECT doc_id, sent_idx, CAST(count(*) AS BIGINT) AS nt
+       FROM trip GROUP BY 1, 2),
+h AS (SELECT nt AS n_triples, CAST(count(*) AS BIGINT) AS n_sents
+      FROM ps GROUP BY 1),
+z AS (SELECT CAST(0 AS BIGINT) AS n_triples,
+             (SELECT CAST(count(*) AS BIGINT) FROM sents)
+                 - (SELECT CAST(coalesce(sum(n_sents), 0) AS BIGINT)
+                    FROM h) AS n_sents)
+SELECT * FROM z UNION ALL SELECT * FROM h ORDER BY n_triples
+"""

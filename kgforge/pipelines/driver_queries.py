@@ -18649,3 +18649,177 @@ SELECT lang, n_docs, n_with_han,
        n_with_han * 1000000 // n_docs AS han_ppm
 FROM a ORDER BY lang
 """
+
+
+def q_kg_doc_yield(sf_dir: str):
+    """KG construction yield: of all corpus documents, how many
+    produced ≥1 mention and ≥1 triple — the end-to-end extraction
+    health number (a yield drop localizes to tagger vs extractor).
+
+    Scale plan: two distinct-doc count folds over the dict-lane
+    mention / triple streams + one corpus count; only doc ids
+    shuffle."""
+    res = _dict_flagship_for(sf_dir)
+
+    def distinct_docs(ds, col: str) -> int:
+        from ray.data.aggregate import Count
+
+        def partial(b: pa.Table) -> pa.Table:
+            g = b.select([col]).group_by([col],
+                                         use_threads=False).aggregate([])
+            return g
+
+        return ds.select_columns([col]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .groupby(col).aggregate(Count(alias_name="__c")) \
+            .count()
+
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    n_ment = distinct_docs(res["mentions"], "doc_id")
+    n_trip = distinct_docs(res["triples"], "doc_id")
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "docs_with_mentions": pa.array([n_ment], pa.int64()),
+        "docs_with_triples": pa.array([n_trip], pa.int64()),
+        "mention_yield_ppm": pa.array(
+            [n_ment * 1_000_000 // n_docs], pa.int64()),
+        "triple_yield_ppm": pa.array(
+            [n_trip * 1_000_000 // n_docs], pa.int64())})
+
+
+def q_kg_support_stats(sf_dir: str):
+    """Per-predicate edge-support distribution after dedup: edges,
+    total support, max support and the exact lower-median support —
+    which relations rest on single sightings vs repeated evidence?
+
+    Scale plan: rides the deduped edges table; support is a small
+    integer domain, so the median walks a bounded histogram."""
+    from ray.data.aggregate import Sum
+
+    edges = _dict_flagship_for(sf_dir)["edges"] \
+        .select_columns(["pred", "support"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["pred", "support"],
+                       use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"pred": g["pred"],
+                         "support": pc.cast(g["support"], pa.int64()),
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    cells = edges.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["pred", "support"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    rows = []
+    for pred, grp in cells.groupby("pred"):
+        grp = grp.sort_values("support")
+        n_edges = int(grp["n"].sum())
+        tot = sum(int(s) * int(c)
+                  for s, c in zip(grp["support"], grp["n"]))
+        r_med = (n_edges + 1) // 2
+        cum = 0
+        med = None
+        for _, r in grp.iterrows():
+            cum += int(r["n"])
+            if med is None and cum >= r_med:
+                med = int(r["support"])
+        rows.append((str(pred), n_edges, tot,
+                     int(grp["support"].max()), med))
+    rows.sort()
+    return pa.table({
+        "pred": pa.array([r[0] for r in rows], pa.string()),
+        "n_edges": pa.array([r[1] for r in rows], pa.int64()),
+        "total_support": pa.array([r[2] for r in rows], pa.int64()),
+        "max_support": pa.array([r[3] for r in rows], pa.int64()),
+        "median_support": pa.array([r[4] for r in rows], pa.int64())})
+
+
+def q_kg_multi_pred_pairs(sf_dir: str):
+    """Multi-relation entity pairs: (subj, obj) pairs connected by
+    more than one predicate after dedup — relation redundancy /
+    conflict candidates (is `works_for` + `founded` signal, or an
+    extractor leak?).  One row per predicate-multiplicity bucket.
+
+    Scale plan: (subj, obj) pred-count groupby over the edges table
+    (ids only shuffle), bounded multiplicity histogram."""
+    from ray.data.aggregate import Sum
+
+    edges = _dict_flagship_for(sf_dir)["edges"] \
+        .select_columns(["subj", "obj", "pred"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["subj", "obj"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"subj": g["subj"], "obj": g["obj"],
+                         "np": pc.cast(g["count_all"], pa.int64())})
+
+    counts = edges.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["subj", "obj"]).aggregate(Sum("np",
+                                                alias_name="np"))
+
+    def hist(b: pa.Table) -> pa.Table:
+        np_ = b["np"].combine_chunks().to_numpy(zero_copy_only=False)
+        ks, cnt = np.unique(np_, return_counts=True)
+        return pa.table({"n_preds": pa.array(ks.astype(np.int64)),
+                         "n_pairs": pa.array(cnt.astype(np.int64))})
+
+    return counts.map_batches(hist, batch_format="pyarrow") \
+        .groupby("n_preds").aggregate(Sum("n_pairs",
+                                          alias_name="n_pairs")) \
+        .sort("n_preds")
+
+
+def q_kg_sent_yield(sf_dir: str):
+    """Triples-per-sentence histogram over the pre-dedup triple
+    stream — the extraction-density profile (0-heavy ⇒ rules too
+    tight; a fat tail ⇒ a template sentence is flooding the graph).
+    Sentences with no triples are counted via the sentence stream.
+
+    Scale plan: (doc, sent) triple counts via one bounded groupby;
+    the zero bucket folds from the sentence count."""
+    from ray.data.aggregate import Sum
+
+    res = _dict_flagship_for(sf_dir)
+    trips = res["triples"].select_columns(["doc_id", "sent_idx"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["doc_id", "sent_idx"],
+                       use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "sent_idx": g["sent_idx"],
+                         "nt": pc.cast(g["count_all"], pa.int64())})
+
+    per_sent = trips.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["doc_id", "sent_idx"]) \
+        .aggregate(Sum("nt", alias_name="nt"))
+
+    def hist(b: pa.Table) -> pa.Table:
+        nt = b["nt"].combine_chunks().to_numpy(zero_copy_only=False)
+        ks, cnt = np.unique(nt, return_counts=True)
+        return pa.table({"n_triples": pa.array(ks.astype(np.int64)),
+                         "n_sents": pa.array(cnt.astype(np.int64))})
+
+    agg = per_sent.map_batches(hist, batch_format="pyarrow") \
+        .groupby("n_triples").aggregate(Sum("n_sents",
+                                            alias_name="n_sents")) \
+        .to_pandas()
+    n_sent_total = res["sentences"].count()
+    nonzero = int(agg["n_sents"].sum())
+    rows = [(0, n_sent_total - nonzero)] + sorted(
+        (int(r["n_triples"]), int(r["n_sents"]))
+        for _, r in agg.iterrows())
+    return pa.table({
+        "n_triples": pa.array([r[0] for r in rows], pa.int64()),
+        "n_sents": pa.array([r[1] for r in rows], pa.int64())})
+
+
+QUERIES["kg_doc_yield"] = q_kg_doc_yield
+QUERIES["kg_support_stats"] = q_kg_support_stats
+QUERIES["kg_multi_pred_pairs"] = q_kg_multi_pred_pairs
+QUERIES["kg_sent_yield"] = q_kg_sent_yield
+
+ORACLE_SQL["kg_doc_yield"] = _dict_oracle.doc_yield_sql()
+ORACLE_SQL["kg_support_stats"] = _dict_oracle.support_stats_sql()
+ORACLE_SQL["kg_multi_pred_pairs"] = _dict_oracle.multi_pred_pairs_sql()
+ORACLE_SQL["kg_sent_yield"] = _dict_oracle.sent_yield_sql()
