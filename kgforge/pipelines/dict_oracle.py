@@ -1505,3 +1505,18 @@ z AS (SELECT CAST(0 AS BIGINT) AS n_triples,
                     FROM h) AS n_sents)
 SELECT * FROM z UNION ALL SELECT * FROM h ORDER BY n_triples
 """
+
+
+def surface_len_stats_sql() -> str:
+    """Twin of ``q_kg_surface_len_stats`` (node table = distinct
+    surfaces with min-etype, as in nodes_sql)."""
+    return corpus_prelude() + """,
+nodes AS (SELECT surface, min(etype) AS etype
+          FROM ments GROUP BY surface)
+SELECT etype, CAST(count(*) AS BIGINT) AS n_surfaces,
+       CAST(sum(length(surface)) * 1000000 // count(*) AS BIGINT)
+           AS mean_len_ppm,
+       CAST(min(length(surface)) AS BIGINT) AS min_len,
+       CAST(max(length(surface)) AS BIGINT) AS max_len
+FROM nodes GROUP BY 1 ORDER BY etype
+"""

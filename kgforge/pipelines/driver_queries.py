@@ -18823,3 +18823,94 @@ ORACLE_SQL["kg_doc_yield"] = _dict_oracle.doc_yield_sql()
 ORACLE_SQL["kg_support_stats"] = _dict_oracle.support_stats_sql()
 ORACLE_SQL["kg_multi_pred_pairs"] = _dict_oracle.multi_pred_pairs_sql()
 ORACLE_SQL["kg_sent_yield"] = _dict_oracle.sent_yield_sql()
+
+
+def q_order_width_dist(sf_dir: str):
+    """Lineitems-per-order histogram — the order-width profile that
+    sizes the basket-join fanout (``basket_pairs``' O(k²) cost rides
+    this distribution's tail).
+
+    Scale plan: per-batch orderkey count partials → one orderkey
+    groupby → bounded width histogram."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"ok": g["l_orderkey"],
+                         "w": pc.cast(g["count_all"], pa.int64())})
+
+    widths = _read(sf_dir, "lineitem", ["l_orderkey"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("ok").aggregate(Sum("w", alias_name="w"))
+
+    def hist(b: pa.Table) -> pa.Table:
+        w = b["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        ks, cnt = np.unique(w, return_counts=True)
+        return pa.table({"n_lines": pa.array(ks.astype(np.int64)),
+                         "n_orders": pa.array(cnt.astype(np.int64))})
+
+    return widths.map_batches(hist, batch_format="pyarrow") \
+        .groupby("n_lines").aggregate(Sum("n_orders",
+                                          alias_name="n_orders")) \
+        .sort("n_lines")
+
+
+def q_kg_surface_len_stats(sf_dir: str):
+    """Entity surface-form length census per type (codepoints):
+    count, exact mean length in ppm, min and max — the
+    gazetteer-drift check (a LOC type whose mean length jumps has
+    started absorbing sentence fragments).
+
+    Scale plan: rides the deduped node table; per-batch (etype, n,
+    Σlen, min, max) partials → one type-bounded groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    nodes = _dict_flagship_for(sf_dir)["nodes"] \
+        .select_columns(["surface", "etype"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(b["surface"])
+        t = pa.table({"etype": b["etype"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "s": pc.cast(ln, pa.int64()),
+                      "mn": pc.cast(ln, pa.int64()),
+                      "mx": pc.cast(ln, pa.int64())})
+        g = t.group_by(["etype"], use_threads=False).aggregate(
+            [("n", "sum"), ("s", "sum"), ("mn", "min"), ("mx", "max")])
+        return pa.table({"etype": g["etype"], "n": g["n_sum"],
+                         "s": g["s_sum"], "mn": g["mn_min"],
+                         "mx": g["mx_max"]})
+
+    agg = nodes.map_batches(partial, batch_format="pyarrow") \
+        .groupby("etype").aggregate(
+            Sum("n", alias_name="n_surfaces"),
+            Sum("s", alias_name="s"),
+            Min("mn", alias_name="min_len"),
+            Max("mx", alias_name="max_len")).to_pandas() \
+        .sort_values("etype")
+    return pa.table({
+        "etype": pa.array(agg["etype"].astype(str), pa.string()),
+        "n_surfaces": pa.array(agg["n_surfaces"].astype(np.int64),
+                               pa.int64()),
+        "mean_len_ppm": pa.array(
+            [int(s) * 1_000_000 // int(n)
+             for s, n in zip(agg["s"], agg["n_surfaces"])],
+            pa.int64()),
+        "min_len": pa.array(agg["min_len"].astype(np.int64),
+                            pa.int64()),
+        "max_len": pa.array(agg["max_len"].astype(np.int64),
+                            pa.int64())})
+
+
+QUERIES["order_width_dist"] = q_order_width_dist
+QUERIES["kg_surface_len_stats"] = q_kg_surface_len_stats
+
+ORACLE_SQL["order_width_dist"] = """
+WITH w AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1)
+SELECT w AS n_lines, CAST(count(*) AS BIGINT) AS n_orders
+FROM w GROUP BY 1 ORDER BY n_lines
+"""
+
+ORACLE_SQL["kg_surface_len_stats"] = _dict_oracle.surface_len_stats_sql()
