@@ -18914,3 +18914,120 @@ FROM w GROUP BY 1 ORDER BY n_lines
 """
 
 ORACLE_SQL["kg_surface_len_stats"] = _dict_oracle.surface_len_stats_sql()
+
+
+def q_knn_mutual_rate(sf_dir: str):
+    """Mutuality of the exact cosine kNN graph (k=3): the share of
+    directed edges whose reverse is also a kNN edge — low mutuality
+    is the classic hubness symptom (a few points dominate everyone's
+    neighbor lists while their own lists ignore the crowd).
+
+    Scale plan: rides the blocked kNN graph; undirected pair counts
+    via one (lo, hi) groupby of id pairs."""
+    from ray.data.aggregate import Sum
+
+    edges = q_knn_graph(sf_dir)
+
+    def pairkey(b: pa.Table) -> pa.Table:
+        q = b["query_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        nb = b["neighbor_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lo": pa.array(np.minimum(q, nb).astype(np.int64)),
+            "hi": pa.array(np.maximum(q, nb).astype(np.int64)),
+            "one": pa.array(np.ones(len(q), np.int64))})
+
+    cnt = edges.map_batches(pairkey, batch_format="pyarrow") \
+        .groupby(["lo", "hi"]).aggregate(Sum("one", alias_name="c")) \
+        .to_pandas()
+    n_edges = int(cnt["c"].sum())
+    n_mutual = 2 * int((cnt["c"] == 2).sum())
+    n_points = _read(sf_dir, "embeddings", ["vec_id"]).count()
+    return pa.table({
+        "n_points": pa.array([n_points], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_mutual": pa.array([n_mutual], pa.int64()),
+        "mutual_ppm": pa.array([n_mutual * 1_000_000 // n_edges],
+                               pa.int64())})
+
+
+def q_knn_indegree_dist(sf_dir: str):
+    """In-degree histogram of the exact cosine kNN graph (k=3) —
+    the hub census itself: how many points are nobody's neighbor
+    (in-degree 0) vs everyone's (fat tail)?
+
+    Scale plan: neighbor-keyed count groupby; zero bucket from the
+    vector count."""
+    from ray.data.aggregate import Sum
+
+    edges = q_knn_graph(sf_dir).select_columns(["neighbor_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["neighbor_id"],
+                       use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"nb": g["neighbor_id"],
+                         "d": pc.cast(g["count_all"], pa.int64())})
+
+    deg = edges.map_batches(partial, batch_format="pyarrow") \
+        .groupby("nb").aggregate(Sum("d", alias_name="d")) \
+        .to_pandas()
+    hist: dict = {}
+    for _, r in deg.iterrows():
+        d = int(r["d"])
+        hist[d] = hist.get(d, 0) + 1
+    n_points = _read(sf_dir, "embeddings", ["vec_id"]).count()
+    hist[0] = n_points - len(deg)
+    ks = sorted(k for k in hist if hist[k] > 0)
+    return pa.table({
+        "indegree": pa.array(ks, pa.int64()),
+        "n_points": pa.array([hist[k] for k in ks], pa.int64())})
+
+
+QUERIES["knn_mutual_rate"] = q_knn_mutual_rate
+QUERIES["knn_indegree_dist"] = q_knn_indegree_dist
+
+_KNN_EDGES_CTE = """
+WITH s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                      AS sim
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id <> b.vec_id),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id)
+                 AS rk
+      FROM s),
+e AS (SELECT query_id, neighbor_id FROM r WHERE rk <= 3)
+"""
+
+ORACLE_SQL["knn_mutual_rate"] = _KNN_EDGES_CTE + """,
+p AS (SELECT least(query_id, neighbor_id) AS lo,
+             greatest(query_id, neighbor_id) AS hi,
+             CAST(count(*) AS BIGINT) AS c
+      FROM e GROUP BY 1, 2),
+m AS (SELECT CAST(sum(c) AS BIGINT) AS n_edges,
+             CAST(coalesce(sum(2) FILTER (WHERE c = 2), 0)
+                  AS BIGINT) AS n_mutual
+      FROM p)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+           AS n_points,
+       n_edges, n_mutual,
+       n_mutual * 1000000 // n_edges AS mutual_ppm
+FROM m
+"""
+
+ORACLE_SQL["knn_indegree_dist"] = _KNN_EDGES_CTE + """,
+d AS (SELECT neighbor_id, CAST(count(*) AS BIGINT) AS deg
+      FROM e GROUP BY 1),
+h AS (SELECT deg AS indegree, CAST(count(*) AS BIGINT) AS n_points
+      FROM d GROUP BY 1),
+z AS (SELECT CAST(0 AS BIGINT) AS indegree,
+             (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+                 - (SELECT CAST(count(*) AS BIGINT) FROM d)
+                 AS n_points)
+SELECT * FROM z WHERE n_points > 0
+UNION ALL SELECT * FROM h ORDER BY indegree
+"""
