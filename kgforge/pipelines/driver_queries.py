@@ -19031,3 +19031,171 @@ z AS (SELECT CAST(0 AS BIGINT) AS indegree,
 SELECT * FROM z WHERE n_points > 0
 UNION ALL SELECT * FROM h ORDER BY indegree
 """
+
+
+def q_customer_rev_deciles(sf_dir: str):
+    """Customer revenue decile table (rank deciles, revenue desc):
+    per decile the customer count, exact revenue cents and ppm share
+    — the whale curve behind ``pareto_share``'s single cut.
+
+    Scale plan: same two-level banded prefix as ``abc_parts`` but
+    accumulating RANK offsets (counts) instead of revenue: per-band
+    counts fold on the driver (≤64 rows), each band census gets its
+    rank offset and the decile split is pure integer arithmetic —
+    64 callbacks at any customer count."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        cents = round_away(
+            b["o_totalprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        g = pa.table({"ck": b["o_custkey"], "c": pa.array(cents)}) \
+            .group_by(["ck"], use_threads=False).aggregate([("c", "sum")])
+        return pa.table({"ck": g["ck"], "c": g["c_sum"]})
+
+    per_cust = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(rev_partial, batch_format="pyarrow") \
+        .groupby("ck").aggregate(Sum("c", alias_name="c"))
+
+    _POW2 = (2 ** np.arange(63, dtype=np.int64))
+
+    def add_band(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False)
+        band = np.searchsorted(_POW2, c, side="right") - 1
+        return b.append_column("band",
+                               pa.array(band.astype(np.int64)))
+
+    banded = per_cust.map_batches(add_band,
+                                  batch_format="pyarrow").materialize()
+
+    def band_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by(["band"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"band": g["band"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    bc = banded.map_batches(band_counts, batch_format="pyarrow") \
+        .to_pandas().groupby("band")["n"].sum().to_dict()
+    bc = {int(k): int(v) for k, v in bc.items()}
+    n_tot = sum(bc.values())
+    rank_off = {b: sum(v for k, v in bc.items() if k > b)
+                for b in bc}
+
+    def census(g: pa.Table) -> pa.Table:
+        band = int(g["band"][0].as_py())
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = g["ck"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -c))
+        cs = c[order]
+        rank = rank_off[band] + np.arange(len(cs))  # 0-based rank
+        dec = rank * 10 // n_tot
+        ks, idx = np.unique(dec, return_inverse=True)
+        n = np.bincount(idx)
+        s = np.array([cs[idx == i].sum() for i in range(len(ks))],
+                     dtype=np.int64)
+        return pa.table({"decile": pa.array(ks.astype(np.int64)),
+                         "n": pa.array(n.astype(np.int64)),
+                         "s": pa.array(s)})
+
+    parts = banded.groupby("band") \
+        .map_groups(census, batch_format="pyarrow").to_pandas()
+    agg: dict = {}
+    for _, r in parts.iterrows():
+        n, s = agg.get(int(r["decile"]), (0, 0))
+        agg[int(r["decile"])] = (n + int(r["n"]), s + int(r["s"]))
+    tot = sum(v[1] for v in agg.values())
+    ks = sorted(agg)
+    return pa.table({
+        "decile": pa.array(ks, pa.int64()),
+        "n_customers": pa.array([agg[k][0] for k in ks], pa.int64()),
+        "rev_cents": pa.array([agg[k][1] for k in ks], pa.int64()),
+        "share_ppm": pa.array([agg[k][1] * 1_000_000 // tot
+                               for k in ks], pa.int64())})
+
+
+def q_supplier_debt_census(sf_dir: str):
+    """Suppliers in the red per nation: count, negative-balance count
+    and ppm, plus the exact summed debt cents — the supply-risk
+    census.
+
+    Scale plan: nation-bounded combiner partials, one tiny
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = round_away(
+            b["s_acctbal"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        neg = cents < 0
+        g = pa.table({"nk": pc.cast(b["s_nationkey"], pa.int64()),
+                      "n": pa.array(np.ones(len(cents), np.int64)),
+                      "nn": pa.array(neg.astype(np.int64)),
+                      "debt": pa.array(np.where(neg, -cents, 0))}) \
+            .group_by(["nk"], use_threads=False).aggregate(
+            [("n", "sum"), ("nn", "sum"), ("debt", "sum")])
+        return pa.table({"nk": g["nk"], "n": g["n_sum"],
+                         "nn": g["nn_sum"], "debt": g["debt_sum"]})
+
+    agg = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("nk").aggregate(
+            Sum("n", alias_name="n_suppliers"),
+            Sum("nn", alias_name="n_negative"),
+            Sum("debt", alias_name="debt_cents")).to_pandas()
+    name_of = _nation_name_lut(sf_dir)
+    agg["n_name"] = agg["nk"].map(lambda k: name_of[int(k)])
+    agg = agg.sort_values("n_name")
+    return pa.table({
+        "n_name": pa.array(agg["n_name"].astype(str), pa.string()),
+        "n_suppliers": pa.array(agg["n_suppliers"].astype(np.int64),
+                                pa.int64()),
+        "n_negative": pa.array(agg["n_negative"].astype(np.int64),
+                               pa.int64()),
+        "negative_ppm": pa.array(
+            [int(nn) * 1_000_000 // int(n) for nn, n in
+             zip(agg["n_negative"], agg["n_suppliers"])], pa.int64()),
+        "debt_cents": pa.array(agg["debt_cents"].astype(np.int64),
+                               pa.int64())})
+
+
+QUERIES["customer_rev_deciles"] = q_customer_rev_deciles
+QUERIES["supplier_debt_census"] = q_supplier_debt_census
+
+ORACLE_SQL["customer_rev_deciles"] = """
+WITH pc_ AS (SELECT o_custkey AS ck,
+                    CAST(sum(CAST(round(o_totalprice * 100)
+                                  AS BIGINT)) AS BIGINT) AS c
+             FROM orders GROUP BY 1),
+r AS (SELECT c, (row_number() OVER (ORDER BY c DESC, ck) - 1)
+                * 10 // (SELECT count(*) FROM pc_) AS dec
+      FROM pc_),
+a AS (SELECT dec, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(c) AS BIGINT) AS rev_cents
+      FROM r GROUP BY 1)
+SELECT dec AS decile, n_customers, rev_cents,
+       CAST(CAST(rev_cents AS HUGEINT) * 1000000
+            // (SELECT sum(rev_cents) FROM a) AS BIGINT)
+           AS share_ppm
+FROM a ORDER BY decile
+"""
+
+ORACLE_SQL["supplier_debt_census"] = """
+WITH s AS (SELECT CAST(s_nationkey AS BIGINT) AS nk,
+                  CAST(round(s_acctbal * 100) AS BIGINT) AS c
+           FROM supplier),
+a AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(count(*) FILTER (WHERE c < 0) AS BIGINT)
+                 AS n_negative,
+             CAST(coalesce(sum(-c) FILTER (WHERE c < 0), 0)
+                  AS BIGINT) AS debt_cents
+      FROM s GROUP BY 1)
+SELECT n_name, n_suppliers, n_negative,
+       n_negative * 1000000 // n_suppliers AS negative_ppm,
+       debt_cents
+FROM a JOIN nation ON CAST(n_nationkey AS BIGINT) = nk
+ORDER BY n_name
+"""
