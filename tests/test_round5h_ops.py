@@ -1618,3 +1618,132 @@ def test_lang_script_check_matches_bruteforce(ray_session, tmp_path):
     assert int(got.loc["zh", "n_with_han"]) == 1
     assert int(got.loc["zh", "han_ppm"]) == 500_000
     assert int(got.loc["en", "n_with_han"]) == 1
+
+
+def test_order_width_dist_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_order_width_dist
+
+    rng = np.random.RandomState(127)
+    oks = []
+    expected: dict = {}
+    for ok in range(1, 60):
+        w = int(rng.randint(1, 8))
+        expected[w] = expected.get(w, 0) + 1
+        oks.extend([ok] * w)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(oks, pa.int64())}),
+        str(tmp_path / "lineitem.parquet"))
+
+    got = q_order_width_dist(str(tmp_path)).to_pandas()
+    got_d = dict(zip(got["n_lines"].astype(int),
+                     got["n_orders"].astype(int)))
+    assert got_d == expected
+
+
+def test_customer_rev_deciles_matches_bruteforce(ray_session,
+                                                 tmp_path):
+    from kgforge.pipelines.driver_queries import q_customer_rev_deciles
+
+    rng = np.random.RandomState(131)
+    rows = []
+    rev = {}
+    for ck in range(1, 74):          # 73 customers: uneven deciles
+        for _ in range(int(rng.randint(1, 4))):
+            p = round(float(rng.uniform(10, 5000)), 2)
+            rows.append((ck, p))
+            rev[ck] = rev.get(ck, 0) + int(round(p * 100))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_totalprice": pa.array([r[1] for r in rows],
+                                 pa.float64())}),
+        str(tmp_path / "orders.parquet"))
+
+    got = q_customer_rev_deciles(str(tmp_path)).to_pandas() \
+        .set_index("decile")
+
+    order = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    n = len(order)
+    tot = sum(rev.values())
+    exp: dict = {}
+    for rank, (_, c) in enumerate(order):
+        d = rank * 10 // n
+        en, es = exp.get(d, (0, 0))
+        exp[d] = (en + 1, es + c)
+    for d, (en, es) in exp.items():
+        assert int(got.loc[d, "n_customers"]) == en
+        assert int(got.loc[d, "rev_cents"]) == es
+        assert int(got.loc[d, "share_ppm"]) == es * 1_000_000 // tot
+    # whale curve: top decile out-earns bottom decile
+    assert int(got.loc[0, "rev_cents"]) > int(got.loc[9, "rev_cents"])
+
+
+def test_supplier_debt_census_matches_bruteforce(ray_session,
+                                                 tmp_path):
+    from kgforge.pipelines.driver_queries import q_supplier_debt_census
+
+    bals = [(0, 100.50), (0, -20.25), (0, -5.00), (1, 999.99)]
+    pq.write_table(pa.table({
+        "s_nationkey": pa.array([b[0] for b in bals], pa.int32()),
+        "s_acctbal": pa.array([b[1] for b in bals], pa.float64())}),
+        str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int32()),
+        "n_name": pa.array(["DEBTLAND", "RICHLAND"], pa.string())}),
+        str(tmp_path / "nation.parquet"))
+
+    got = q_supplier_debt_census(str(tmp_path)).to_pandas() \
+        .set_index("n_name")
+
+    assert int(got.loc["DEBTLAND", "n_suppliers"]) == 3
+    assert int(got.loc["DEBTLAND", "n_negative"]) == 2
+    assert int(got.loc["DEBTLAND", "negative_ppm"]) == \
+        2 * 1_000_000 // 3
+    assert int(got.loc["DEBTLAND", "debt_cents"]) == 2025 + 500
+    assert int(got.loc["RICHLAND", "n_negative"]) == 0
+
+
+def test_knn_mutual_and_indegree_match_bruteforce(ray_session,
+                                                  tmp_path):
+    from kgforge.pipelines.driver_queries import (
+        q_knn_indegree_dist, q_knn_mutual_rate,
+    )
+
+    rng = np.random.RandomState(137)
+    n, d = 40, 8
+    pts = rng.randn(n, d)
+    vecs = [[round(float(x), 6) for x in row] for row in pts]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+
+    mut = q_knn_mutual_rate(str(tmp_path)).to_pandas().iloc[0]
+    deg = q_knn_indegree_dist(str(tmp_path)).to_pandas()
+
+    # brute-force cosine kNN on the read-back float32 values
+    raw = np.array([np.array(v, np.float64) for v in pq.read_table(
+        str(tmp_path / "embeddings.parquet"))["embedding"]
+        .to_pylist()])
+    U = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+    S = U @ U.T
+    np.fill_diagonal(S, -np.inf)
+    edges = set()
+    for i in range(n):
+        order = sorted(range(n), key=lambda j: (-S[i, j], j))[:3]
+        for j in order:
+            edges.add((i, j))
+    mutual = sum(1 for (a, b) in edges if (b, a) in edges)
+    assert int(mut["n_edges"]) == len(edges)
+    assert int(mut["n_mutual"]) == mutual
+    assert int(mut["mutual_ppm"]) == mutual * 1_000_000 // len(edges)
+    indeg: dict = {}
+    for _, b in edges:
+        indeg[b] = indeg.get(b, 0) + 1
+    hist: dict = {}
+    for i in range(n):
+        k = indeg.get(i, 0)
+        hist[k] = hist.get(k, 0) + 1
+    hist = {k: v for k, v in hist.items() if v > 0}
+    got_d = dict(zip(deg["indegree"].astype(int),
+                     deg["n_points"].astype(int)))
+    assert got_d == hist
