@@ -19199,3 +19199,122 @@ SELECT n_name, n_suppliers, n_negative,
 FROM a JOIN nation ON CAST(n_nationkey AS BIGINT) = nk
 ORDER BY n_name
 """
+
+
+def q_order_status_mix(sf_dir: str):
+    """Order-status mix per order year (counts + ppm share within
+    the year) — the fulfillment-drift census: a year whose 'F' share
+    sags signals backlog growth long before the open-orders curve
+    peaks.
+
+    Scale plan: years×statuses-bounded combiner census."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        yr = pc.year(b["o_orderdate"].combine_chunks())
+        g = pa.table({"yr": pc.cast(yr, pa.int64()),
+                      "st": b["o_orderstatus"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64))}) \
+            .group_by(["yr", "st"], use_threads=False).aggregate(
+            [("n", "sum")])
+        return pa.table({"yr": g["yr"], "st": g["st"],
+                         "n": g["n_sum"]})
+
+    cells = _read(sf_dir, "orders",
+                  ["o_orderdate", "o_orderstatus"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["yr", "st"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    ytot = cells.groupby("yr")["n"].sum().to_dict()
+    cells = cells.sort_values(["yr", "st"])
+    return pa.table({
+        "order_year": pa.array(cells["yr"].astype(np.int64),
+                               pa.int64()),
+        "o_orderstatus": pa.array(cells["st"].astype(str),
+                                  pa.string()),
+        "n_orders": pa.array(cells["n"].astype(np.int64),
+                             pa.int64()),
+        "share_ppm": pa.array(
+            [int(n) * 1_000_000 // int(ytot[y])
+             for y, n in zip(cells["yr"], cells["n"])], pa.int64())})
+
+
+def q_part_type_price_premium(sf_dir: str):
+    """Catalog price premium per part type: exact mean retail cents
+    vs the global mean, as a signed ppm premium
+    ``(mean_type − mean_all)·10⁶ / mean_all`` computed with cleared
+    denominators (``(s_t·n − s·n_t)·10⁶ // (s·n_t)``, sign-magnitude)
+    — which catalog families carry the margin?
+
+    Scale plan: type-bounded (n, Σcents) combiner census."""
+    from ray.data.aggregate import Sum
+
+    from kgforge.common.hashing import round_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = round_away(
+            b["p_retailprice"].combine_chunks()
+            .to_numpy(zero_copy_only=False) * 100, 0).astype(np.int64)
+        g = pa.table({"pt": b["p_type"],
+                      "n": pa.array(np.ones(len(cents), np.int64)),
+                      "s": pa.array(cents)}) \
+            .group_by(["pt"], use_threads=False).aggregate(
+            [("n", "sum"), ("s", "sum")])
+        return pa.table({"pt": g["pt"], "n": g["n_sum"],
+                         "s": g["s_sum"]})
+
+    agg = _read(sf_dir, "part", ["p_type", "p_retailprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("pt").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s")).to_pandas().sort_values("pt")
+    n_tot = int(agg["n"].sum())
+    s_tot = int(agg["s"].sum())
+
+    def sdiv(a: int, b: int) -> int:
+        return a // b if a >= 0 else -((-a) // b)
+
+    prem = [sdiv((int(s) * n_tot - s_tot * int(n)) * 1_000_000,
+                 s_tot * int(n))
+            for s, n in zip(agg["s"], agg["n"])]
+    return pa.table({
+        "p_type": pa.array(agg["pt"].astype(str), pa.string()),
+        "n_parts": pa.array(agg["n"].astype(np.int64), pa.int64()),
+        "sum_cents": pa.array(agg["s"].astype(np.int64), pa.int64()),
+        "premium_ppm": pa.array(prem, pa.int64())})
+
+
+QUERIES["order_status_mix"] = q_order_status_mix
+QUERIES["part_type_price_premium"] = q_part_type_price_premium
+
+ORACLE_SQL["order_status_mix"] = """
+WITH c AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  o_orderstatus AS st,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1, 2),
+t AS (SELECT yr, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.yr AS order_year, c.st AS o_orderstatus, c.n AS n_orders,
+       CAST(CAST(c.n AS HUGEINT) * 1000000 // t.tot AS BIGINT)
+           AS share_ppm
+FROM c JOIN t USING (yr) ORDER BY order_year, o_orderstatus
+"""
+
+ORACLE_SQL["part_type_price_premium"] = """
+WITH a AS (SELECT p_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(round(p_retailprice * 100)
+                                AS BIGINT)) AS BIGINT) AS s
+           FROM part GROUP BY 1),
+g AS (SELECT CAST(sum(n) AS HUGEINT) AS nt,
+             CAST(sum(s) AS HUGEINT) AS st FROM a)
+SELECT p_type, n AS n_parts, s AS sum_cents,
+       CAST(CASE WHEN (CAST(s AS HUGEINT) * (SELECT nt FROM g)
+                       - (SELECT st FROM g) * n) >= 0
+            THEN (CAST(s AS HUGEINT) * (SELECT nt FROM g)
+                  - (SELECT st FROM g) * n) * 1000000
+                 // ((SELECT st FROM g) * n)
+            ELSE -((-(CAST(s AS HUGEINT) * (SELECT nt FROM g)
+                      - (SELECT st FROM g) * n)) * 1000000
+                   // ((SELECT st FROM g) * n)) END AS BIGINT)
+           AS premium_ppm
+FROM a ORDER BY p_type
+"""

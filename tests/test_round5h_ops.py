@@ -1747,3 +1747,65 @@ def test_knn_mutual_and_indegree_match_bruteforce(ray_session,
     got_d = dict(zip(deg["indegree"].astype(int),
                      deg["n_points"].astype(int)))
     assert got_d == hist
+
+
+def test_order_status_mix_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_order_status_mix
+
+    rng = np.random.RandomState(139)
+    rows = []
+    for _ in range(300):
+        yr = int(rng.choice([1995, 1996]))
+        st = str(rng.choice(["O", "F", "P"]))
+        day = (yr - 1970) * 365 + int(rng.randint(0, 360))
+        rows.append((day * 86_400_000_000, st))
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(
+            np.array([r[0] for r in rows], np.int64))
+            .cast(pa.timestamp("us")),
+        "o_orderstatus": pa.array([r[1] for r in rows],
+                                  pa.string())}),
+        str(tmp_path / "orders.parquet"))
+
+    got = q_order_status_mix(str(tmp_path)).to_pandas()
+
+    import datetime
+
+    exp: dict = {}
+    ytot: dict = {}
+    for us, st in rows:
+        yr = datetime.datetime.utcfromtimestamp(us // 10**6).year
+        exp[(yr, st)] = exp.get((yr, st), 0) + 1
+        ytot[yr] = ytot.get(yr, 0) + 1
+    got_d = {(int(r["order_year"]), r["o_orderstatus"]):
+             (int(r["n_orders"]), int(r["share_ppm"]))
+             for _, r in got.iterrows()}
+    for (yr, st), n in exp.items():
+        assert got_d[(yr, st)] == (n, n * 1_000_000 // ytot[yr])
+
+
+def test_part_type_price_premium_matches_bruteforce(ray_session,
+                                                    tmp_path):
+    from kgforge.pipelines.driver_queries import (
+        q_part_type_price_premium,
+    )
+
+    rows = [("luxury", 1000.00)] * 5 + [("budget", 10.00)] * 15
+    pq.write_table(pa.table({
+        "p_type": pa.array([r[0] for r in rows], pa.string()),
+        "p_retailprice": pa.array([r[1] for r in rows],
+                                  pa.float64())}),
+        str(tmp_path / "part.parquet"))
+
+    got = q_part_type_price_premium(str(tmp_path)).to_pandas() \
+        .set_index("p_type")
+
+    n_tot, s_tot = 20, 5 * 100000 + 15 * 1000
+    for pt, s, n in (("luxury", 500000, 5), ("budget", 15000, 15)):
+        num = s * n_tot - s_tot * n
+        prem = (num * 1_000_000) // (s_tot * n) if num >= 0 else \
+            -((-num * 1_000_000) // (s_tot * n))
+        assert int(got.loc[pt, "premium_ppm"]) == prem
+        assert int(got.loc[pt, "sum_cents"]) == s
+    assert int(got.loc["luxury", "premium_ppm"]) > 2_000_000
+    assert int(got.loc["budget", "premium_ppm"]) < -900_000
