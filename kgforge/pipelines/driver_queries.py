@@ -19318,3 +19318,115 @@ SELECT p_type, n AS n_parts, s AS sum_cents,
            AS premium_ppm
 FROM a ORDER BY p_type
 """
+
+
+def q_error_rate_hourly(sf_dir: str):
+    """Error share per hour-of-day (counts + ppm) — the ops-health
+    rhythm census: a deploy-hour error spike shows here before any
+    anomaly detector fires.
+
+    Scale plan: 24-bounded combiner census."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.hour(b["ts"].combine_chunks())
+        err = pc.equal(b["event_type"], "error")
+        g = pa.table({"h": pc.cast(hour, pa.int64()),
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "e": pc.cast(err, pa.int64())}) \
+            .group_by(["h"], use_threads=False).aggregate(
+            [("n", "sum"), ("e", "sum")])
+        return pa.table({"h": g["h"], "n": g["n_sum"],
+                         "e": g["e_sum"]})
+
+    agg = _read(sf_dir, "events", ["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("h").aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("e", alias_name="n_errors")).to_pandas() \
+        .sort_values("h")
+    return pa.table({
+        "hour": pa.array(agg["h"].astype(np.int64), pa.int64()),
+        "n_events": pa.array(agg["n_events"].astype(np.int64),
+                             pa.int64()),
+        "n_errors": pa.array(agg["n_errors"].astype(np.int64),
+                             pa.int64()),
+        "error_ppm": pa.array(
+            [int(e) * 1_000_000 // int(n)
+             for e, n in zip(agg["n_errors"], agg["n_events"])],
+            pa.int64())})
+
+
+def q_empty_doc_census(sf_dir: str):
+    """Empty / whitespace-only / sub-20-char document share per
+    source — the most basic ingest-QA gate, surprisingly absent from
+    most pipelines until a tokenizer divides by zero.
+
+    Scale plan: pure vectorized map, source-bounded partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b["text"], "")
+        stripped = pc.utf8_trim(txt, characters=" \t\n\r")
+        empty = pc.equal(pc.utf8_length(stripped), 0)
+        tiny = pc.and_(pc.less(pc.utf8_length(stripped), 20),
+                       pc.invert(empty))
+        g = pa.table({"source": b["source"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64)),
+                      "e": pc.cast(empty, pa.int64()),
+                      "t": pc.cast(tiny, pa.int64())}) \
+            .group_by(["source"], use_threads=False).aggregate(
+            [("n", "sum"), ("e", "sum"), ("t", "sum")])
+        return pa.table({"source": g["source"], "n": g["n_sum"],
+                         "e": g["e_sum"], "t": g["t_sum"]})
+
+    agg = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("e", alias_name="n_empty"),
+            Sum("t", alias_name="n_tiny")).to_pandas() \
+        .sort_values("source")
+    nd = agg["n_docs"].to_numpy(dtype=np.int64)
+    bad = agg["n_empty"].to_numpy(dtype=np.int64) \
+        + agg["n_tiny"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "source": pa.array(agg["source"].astype(str), pa.string()),
+        "n_docs": pa.array(nd, pa.int64()),
+        "n_empty": pa.array(agg["n_empty"].astype(np.int64),
+                            pa.int64()),
+        "n_tiny": pa.array(agg["n_tiny"].astype(np.int64),
+                           pa.int64()),
+        "bad_ppm": pa.array(bad * 1_000_000 // nd, pa.int64())})
+
+
+QUERIES["error_rate_hourly"] = q_error_rate_hourly
+QUERIES["empty_doc_census"] = q_empty_doc_census
+
+ORACLE_SQL["error_rate_hourly"] = """
+WITH a AS (SELECT CAST(hour(ts) AS BIGINT) AS hour,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(count(*) FILTER (WHERE event_type = 'error')
+                       AS BIGINT) AS n_errors
+           FROM events GROUP BY 1)
+SELECT hour, n_events, n_errors,
+       n_errors * 1000000 // n_events AS error_ppm
+FROM a ORDER BY hour
+"""
+
+ORACLE_SQL["empty_doc_census"] = """
+WITH d AS (SELECT source,
+                  trim(coalesce(text, ''),
+                       ' ' || chr(9) || chr(10) || chr(13)) AS t
+           FROM documents),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) FILTER (WHERE length(t) = 0) AS BIGINT)
+                 AS n_empty,
+             CAST(count(*) FILTER (WHERE length(t) > 0
+                                   AND length(t) < 20) AS BIGINT)
+                 AS n_tiny
+      FROM d GROUP BY 1)
+SELECT source, n_docs, n_empty, n_tiny,
+       (n_empty + n_tiny) * 1000000 // n_docs AS bad_ppm
+FROM a ORDER BY source
+"""

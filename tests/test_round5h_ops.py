@@ -1809,3 +1809,42 @@ def test_part_type_price_premium_matches_bruteforce(ray_session,
         assert int(got.loc[pt, "sum_cents"]) == s
     assert int(got.loc["luxury", "premium_ppm"]) > 2_000_000
     assert int(got.loc["budget", "premium_ppm"]) < -900_000
+
+
+def test_error_rate_hourly_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_error_rate_hourly
+
+    # planted: hour 3 is the deploy hour with 50% errors
+    hours, types = [], []
+    for h in (3, 3, 3, 3, 10, 10, 10, 10):
+        for i in range(10):
+            hours.append(h)
+            types.append("error" if (h == 3 and i < 5) else "view")
+    _write_events(tmp_path, hours, types)
+
+    got = q_error_rate_hourly(str(tmp_path)).to_pandas() \
+        .set_index("hour")
+
+    assert int(got.loc[3, "n_events"]) == 40
+    assert int(got.loc[3, "n_errors"]) == 20
+    assert int(got.loc[3, "error_ppm"]) == 500_000
+    assert int(got.loc[10, "n_errors"]) == 0
+
+
+def test_empty_doc_census_matches_bruteforce(ray_session, tmp_path):
+    from kgforge.pipelines.driver_queries import q_empty_doc_census
+
+    docs = [("dirty", ""), ("dirty", "   \t\n "), ("dirty", "tiny"),
+            ("dirty", "this one is long enough to pass the gate ok"),
+            ("clean", "a perfectly reasonable document body here")]
+    _write_docs(tmp_path, [d[0] for d in docs], [d[1] for d in docs])
+
+    got = q_empty_doc_census(str(tmp_path)).to_pandas() \
+        .set_index("source")
+
+    assert int(got.loc["dirty", "n_docs"]) == 4
+    assert int(got.loc["dirty", "n_empty"]) == 2
+    assert int(got.loc["dirty", "n_tiny"]) == 1
+    assert int(got.loc["dirty", "bad_ppm"]) == 3 * 1_000_000 // 4
+    assert int(got.loc["clean", "n_empty"]) == 0
+    assert int(got.loc["clean", "bad_ppm"]) == 0
